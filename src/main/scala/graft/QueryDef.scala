@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named query: the Spark-native implementation plus (when the
+  * semantics are ANSI-SQL-expressible) the DuckDB oracle the driver uses
+  * as independent ground truth. `sql = None` → driver records a weaker
+  * rows-only check (used for ops whose semantics aren't SQL-expressible,
+  * e.g. LSH bucketing with engine-specific hashes).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String],
+    headline: Boolean = false)
+
+object QueryDef {
+  /** Helpers shared by all query suites to keep Spark results and DuckDB
+    * oracle results bit-identical:
+    *
+    * Floating-point SUMs are order-dependent, and Spark's partial
+    * aggregation order differs from DuckDB's single-threaded order — so
+    * any `sum(double)` would hash-mismatch in the last bits. All money/
+    * quantity aggregates therefore go through DECIMAL(38,10): the
+    * double→decimal cast is value-deterministic, decimal addition is
+    * exact and associative (order-independent), and the final
+    * decimal→double cast is round-to-nearest in both engines. Per-row
+    * double arithmetic (`price * (1-disc)`) is plain IEEE754 binary64 in
+    * both engines and needs no such treatment.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(38, 10))
+
+  /** Exact, order-independent sum of a double column, returned as double.
+    *
+    * The sum is first re-scaled to DECIMAL(27,4): DuckDB's decimal→double
+    * cast divides the (possibly >2^53) unscaled int128 by 10^scale in
+    * double arithmetic and can be off by 1 ulp, while Spark's BigDecimal
+    * cast is correctly rounded. At scale 4 with sums < ~9e11 the unscaled
+    * value fits in 2^53, so both engines' casts are exactly rounded and
+    * agree bit-for-bit.
+    */
+  def dsum(c: Column): Column =
+    sum(dec(c)).cast(DecimalType(27, 4)).cast(DoubleType)
+  /** SQL-side twin of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS DECIMAL(27,4)) AS DOUBLE)"
+  /** Exact mean: decimal sum cast to double, then double division. */
+  def davg(c: Column): Column = (dsum(c) / count(lit(1)))
+  def davgSql(expr: String): String =
+    s"(${dsumSql(expr)} / COUNT(*))"
+}

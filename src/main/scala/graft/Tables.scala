@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Testdata/table access layer.
+  *
+  * Mirrors the reference's single-statement scan surface
+  * (`cli/src/main.rs:297-299` expands `--table T` to `SELECT * FROM T`):
+  * here a "table" is one parquet dataset under the scale-factor dir.
+  * Reads are plain `spark.read.parquet` so Catalyst can push filters and
+  * prune columns into the scan — at 100 TB these tables would be
+  * partitioned directories and the same code holds.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, so ts arrives as a Long
+    * of epoch-nanos; normalize to TimestampType at µs precision
+    * (floor-truncation, matching DuckDB's ns→µs cast).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      // `div` = integral division: ns → µs floor without a double round-trip
+      // (epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range).
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

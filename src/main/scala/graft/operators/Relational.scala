@@ -1,0 +1,670 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import graft.QueryDef._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The relational-operator surface.
+  *
+  * The reference delegates ALL relational algebra to PostgreSQL through its
+  * `--query` passthrough (`cli/src/main.rs:54-58`, `README.md:48-52`); this
+  * engine supplies the same query surface natively through Catalyst
+  * (SURVEY.md §2.4). Every query below is declarative DataFrame API — no
+  * RDDs, no collect loops — so predicate pushdown, column pruning,
+  * partial aggregation and join-strategy selection are Catalyst's job.
+  *
+  * Scale notes (100 TB design stance):
+  *  - Dimension tables (region/nation/supplier/part/customer at TPC-H
+  *    ratios) are broadcast explicitly; fact-fact joins (lineitem⋈orders)
+  *    shuffle on the join key, which AQE re-plans at runtime.
+  *  - Aggregations are partial (map-side combine) automatically because
+  *    they are expressed as `groupBy().agg()` over codegen'd expressions.
+  *  - Window functions partition on high-cardinality keys (custkey,
+  *    suppkey, user_id) so per-partition state stays small.
+  */
+object Relational {
+
+  private def ts(lit_ : String): Column = to_timestamp(lit(lit_))
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- q01: full-scan aggregation (TPC-H Q1 shape): partial agg +
+    // decimal-exact sums; scan prunes to 9 of 11 columns.
+    QueryDef(
+      "q01_pricing_summary",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity")} AS sum_qty,
+          ${dsumSql("l_extendedprice")} AS sum_base_price,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+          ${davgSql("l_quantity")} AS avg_qty,
+          ${davgSql("l_extendedprice")} AS avg_price,
+          ${davgSql("l_discount")} AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    // ---- q02: filter + projection; both must reach the parquet scan
+    // (PushedFilters + 4-column ReadSchema).
+    QueryDef(
+      "q02_filter_project",
+      (s, d) =>
+        T.lineitem(s, d)
+          .filter(col("l_quantity") >= lit(45.0) && col("l_discount") > lit(0.08))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS net_price
+        FROM lineitem
+        WHERE l_quantity >= 45.0 AND l_discount > 0.08
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- q03: broadcast dim join (customer is the small side at TPC-H
+    // ratio 1:10 vs orders) + aggregation.
+    QueryDef(
+      "q03_join_agg_segment",
+      (s, d) => {
+        val o = T.orders(s, d)
+        val c = T.customer(s, d)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            dsum(col("o_totalprice")).as("total_revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment,
+               ${dsumSql("o_totalprice")} AS total_revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""),
+      headline = true),
+
+    // ---- q04: 5-way join through the dim chain (TPC-H Q5 shape).
+    // lineitem⋈orders shuffles on orderkey; every dim is broadcast.
+    QueryDef(
+      "q04_join5_nation_revenue",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        val o = T.orders(s, d).filter(
+          col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        val c = T.customer(s, d)
+        val n = T.nation(s, d)
+        val r = T.region(s, d)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""
+        SELECT r_name, n_name,
+               ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name"""),
+      headline = true),
+
+    // ---- q05: left-semi join (EXISTS) — customers that have at least one
+    // urgent order; semi-join avoids materializing the join product.
+    QueryDef(
+      "q05_semi_join",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val o = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // ---- q06: left-anti join (NOT EXISTS) — customers with no orders.
+    QueryDef(
+      "q06_anti_join",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val o = T.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- q07: window top-k per group — row_number with a unique
+    // tiebreak (orderkey) so results are deterministic in both engines.
+    QueryDef(
+      "q07_topk_per_customer",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        T.orders(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+          .orderBy(col("o_custkey"), col("rk"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders) t
+        WHERE rk <= 3
+        ORDER BY o_custkey, rk"""),
+      headline = true),
+
+    // ---- q08: running-total window. The running sum is decimal-exact so
+    // Spark's incremental accumulation and DuckDB's segment-tree
+    // accumulation agree bit-for-bit after the final cast to double.
+    QueryDef(
+      "q08_running_total",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.lineitem(s, d)
+          .filter(col("l_suppkey") <= 10)
+          .select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("running_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) OVER (
+                 PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        FROM lineitem
+        WHERE l_suppkey <= 10
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // ---- q09: global sort + limit (top-k). Spark executes this as a
+    // TakeOrderedAndProject — no full sort materialization.
+    QueryDef(
+      "q09_global_topk",
+      (s, d) =>
+        T.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100""")),
+
+    // ---- q10: distinct (shuffle dedup on the grouping key).
+    QueryDef(
+      "q10_distinct",
+      (s, d) =>
+        T.customer(s, d)
+          .select(col("c_mktsegment"), col("c_nationkey"))
+          .distinct()
+          .orderBy(col("c_mktsegment"), col("c_nationkey")),
+      Some("""
+        SELECT DISTINCT c_mktsegment, c_nationkey
+        FROM customer
+        ORDER BY c_mktsegment, c_nationkey""")),
+
+    // ---- q11/q12/q13: set operations.
+    QueryDef(
+      "q11_union",
+      (s, d) => {
+        val a = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+        val b = T.customer(s, d).filter(col("c_acctbal") > 9000.0).select(col("c_custkey").as("k"))
+        a.union(b).distinct().orderBy(col("k"))
+      },
+      Some("""
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000.0
+        ORDER BY k""")),
+
+    QueryDef(
+      "q12_intersect",
+      (s, d) => {
+        val a = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+        val b = T.orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        a.intersect(b).orderBy(col("k"))
+      },
+      Some("""
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY k""")),
+
+    QueryDef(
+      "q13_except",
+      (s, d) => {
+        val a = T.customer(s, d).filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("k"))
+        val b = T.orders(s, d).filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey").as("k"))
+        a.except(b).orderBy(col("k"))
+      },
+      Some("""
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+        EXCEPT
+        SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
+        ORDER BY k""")),
+
+    // ---- q14: rollup (hierarchical grouping sets). NULLS FIRST ordering
+    // matches Spark's ascending default.
+    QueryDef(
+      "q14_rollup",
+      (s, d) =>
+        T.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some(s"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ${dsumSql("l_quantity")} AS qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- q15: cube.
+    QueryDef(
+      "q15_cube",
+      (s, d) =>
+        T.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ${dsumSql("o_totalprice")} AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ---- q16: SQL passthrough — the reference's `--query` surface
+    // (`cli/src/main.rs:54-58`): arbitrary SQL executed by the engine,
+    // here with GROUPING SETS to cover the third grouping-set form.
+    QueryDef(
+      "q16_sql_grouping_sets",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql(s"""
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ---- q17: group-filter (HAVING).
+    QueryDef(
+      "q17_having",
+      (s, d) =>
+        T.part(s, d)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"), davg(col("p_retailprice")).as("avg_price"))
+          .filter(col("n_parts") > 20)
+          .orderBy(col("p_brand")),
+      Some(s"""
+        SELECT p_brand, COUNT(*) AS n_parts, ${davgSql("p_retailprice")} AS avg_price
+        FROM part
+        GROUP BY p_brand
+        HAVING COUNT(*) > 20
+        ORDER BY p_brand""")),
+
+    // ---- q18: scalar subquery — customers above the global mean balance.
+    // The global aggregate is a 1-row broadcast; mean is decimal-exact so
+    // the filter boundary is identical in both engines.
+    QueryDef(
+      "q18_scalar_subquery",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val avgBal = c.agg(davg(col("c_acctbal")).as("avg_bal"))
+        c.join(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .select(col("c_custkey"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT ${davgSql("c_acctbal")} FROM customer)
+        ORDER BY c_custkey""")),
+
+    // ---- q19: conditional aggregation (CASE inside agg).
+    QueryDef(
+      "q19_case_agg",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+            dsum(when(col("o_totalprice") > 100000.0, col("o_totalprice")).otherwise(lit(0.0))).as("big_total"))
+          .orderBy(col("o_orderpriority")),
+      Some(s"""
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               ${dsumSql("CASE WHEN o_totalprice > 100000.0 THEN o_totalprice ELSE 0.0 END")} AS big_total
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---- q20: string scalar functions (projection-only; codegen'd).
+    QueryDef(
+      "q20_string_funcs",
+      (s, d) =>
+        T.part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            lower(col("p_brand")).as("lbrand"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_type"), 1, 5).as("type_prefix"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+            regexp_replace(col("p_name"), " ", "_").as("snake_name"))
+          .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey,
+               UPPER(p_name) AS uname,
+               LOWER(p_brand) AS lbrand,
+               LENGTH(p_name) AS name_len,
+               SUBSTRING(p_type, 1, 5) AS type_prefix,
+               CONCAT_WS('|', p_brand, p_type) AS brand_type,
+               REGEXP_REPLACE(p_name, ' ', '_', 'g') AS snake_name
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // ---- q21: date/time functions + aggregation by calendar bucket.
+    QueryDef(
+      "q21_date_funcs",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy(
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("y"), col("m")),
+      Some(s"""
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m,
+               COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY y, m""")),
+
+    // ---- q22: pivot (wide conditional aggregation).
+    QueryDef(
+      "q22_pivot",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+          .na.fill(0L, Seq("F", "O", "P"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---- q23: theta / banded join — parts against a tiny literal
+    // bucket dimension via non-equi BETWEEN condition (broadcast NLJ).
+    QueryDef(
+      "q23_theta_band_join",
+      (s, d) => {
+        import s.implicits._
+        val buckets = Seq(
+          (0, 10, "small"), (11, 25, "medium"), (26, 40, "large"), (41, 1000, "xlarge"))
+          .toDF("lo", "hi", "size_class")
+        T.part(s, d)
+          .join(broadcast(buckets),
+            col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+          .groupBy(col("size_class"))
+          .agg(count(lit(1)).as("n"), davg(col("p_retailprice")).as("avg_price"))
+          .orderBy(col("size_class"))
+      },
+      Some(s"""
+        SELECT size_class, COUNT(*) AS n, ${davgSql("p_retailprice")} AS avg_price
+        FROM part
+        JOIN (VALUES (0,10,'small'),(11,25,'medium'),(26,40,'large'),(41,1000,'xlarge'))
+             AS b(lo, hi, size_class)
+          ON p_size >= lo AND p_size <= hi
+        GROUP BY size_class
+        ORDER BY size_class""")),
+
+    // ---- q24: as-of join — for each purchase event, the most recent
+    // click by the same user at or before it. Implemented as a single
+    // window pass over the union (one shuffle on user_id, no self-join
+    // blowup) — the scalable formulation of ASOF JOIN. Timestamps are
+    // truncated to milliseconds in both engines so the ns-vs-µs storage
+    // difference cannot flip any comparison.
+    QueryDef(
+      "q24_asof_join",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(
+            col("event_id"), col("user_id"), col("event_type"),
+            date_trunc("millisecond", col("ts")).as("mts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("mts").asc, col("is_click").desc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("is_click", (col("event_type") === "click").cast("int"))
+          .withColumn("prev_click_ms",
+            last(when(col("is_click") === 1, unix_millis(col("mts"))), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("prev_click_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT e.event_id, e.user_id,
+               (SELECT MAX(epoch_ms(date_trunc('millisecond', CAST(c.ts AS TIMESTAMP))))
+                FROM events c
+                WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                  AND date_trunc('millisecond', CAST(c.ts AS TIMESTAMP))
+                      <= date_trunc('millisecond', CAST(e.ts AS TIMESTAMP))) AS prev_click_ms
+        FROM events e
+        WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id""")),
+
+    // ---- q25: count distinct + exact distinct-per-group.
+    QueryDef(
+      "q25_count_distinct",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT l_partkey) AS n_part,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      headline = true),
+
+    // ---- q26: correlated-style per-group max join-back (TPC-H Q2 shape):
+    // max acctbal per nation, then the suppliers achieving it.
+    QueryDef(
+      "q26_groupwise_max",
+      (s, d) => {
+        val sup = T.supplier(s, d)
+        val mx = sup.groupBy(col("s_nationkey").as("mk"))
+          .agg(max(col("s_acctbal")).as("max_bal"))
+        sup.join(broadcast(mx),
+            col("s_nationkey") === col("mk") && col("s_acctbal") === col("max_bal"))
+          .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+          .orderBy(col("s_nationkey"), col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_nationkey, s_suppkey, s_acctbal
+        FROM supplier s
+        JOIN (SELECT s_nationkey AS mk, MAX(s_acctbal) AS max_bal
+              FROM supplier GROUP BY s_nationkey) m
+          ON s.s_nationkey = m.mk AND s.s_acctbal = m.max_bal
+        ORDER BY s_nationkey, s_suppkey""")),
+
+    // ---- q27: full outer join with coalesced keys.
+    QueryDef(
+      "q27_full_outer_join",
+      (s, d) => {
+        val byC = T.orders(s, d).filter(col("o_orderstatus") === "P")
+          .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_pending"))
+        val byB = T.customer(s, d).filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("k"), lit(1L).as("overdrawn"))
+        byC.join(byB, Seq("k"), "full_outer")
+          .select(col("k"), coalesce(col("n_pending"), lit(0L)).as("n_pending"),
+                  coalesce(col("overdrawn"), lit(0L)).as("overdrawn"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        SELECT COALESCE(a.k, b.k) AS k,
+               COALESCE(a.n_pending, 0) AS n_pending,
+               COALESCE(b.overdrawn, 0) AS overdrawn
+        FROM (SELECT o_custkey AS k, COUNT(*) AS n_pending FROM orders
+              WHERE o_orderstatus = 'P' GROUP BY o_custkey) a
+        FULL OUTER JOIN (SELECT c_custkey AS k, 1 AS overdrawn FROM customer
+              WHERE c_acctbal < 0) b
+          ON a.k = b.k
+        ORDER BY k""")),
+
+    // ---- q28: lag/lead windows over the events stream.
+    QueryDef(
+      "q28_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("mts").asc, col("event_id").asc)
+        T.events(s, d)
+          .filter(col("user_id") <= 50)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  unix_millis(date_trunc("millisecond", col("ts"))).as("mts"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("gap_ms", col("mts") - lag(col("mts"), 1).over(w))
+          .select(col("event_id"), col("user_id"), col("prev_type"), col("next_type"), col("gap_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+               LAG(event_type, 1) OVER w AS prev_type,
+               LEAD(event_type, 1) OVER w AS next_type,
+               mts - LAG(mts, 1) OVER w AS gap_ms
+        FROM (SELECT event_id, user_id, event_type,
+                     epoch_ms(date_trunc('millisecond', CAST(ts AS TIMESTAMP))) AS mts
+              FROM events WHERE user_id <= 50) e
+        WINDOW w AS (PARTITION BY user_id ORDER BY mts ASC, event_id ASC)
+        ORDER BY event_id""")),
+
+    // ---- q29: JSON extraction from the events props column.
+    QueryDef(
+      "q29_json_extract",
+      (s, d) =>
+        T.events(s, d)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))
+          .filter(col("k_val") >= 50)
+          .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        ORDER BY event_id""")),
+
+    // ---- q30: sessionization — classic event-stream gap analysis: a new
+    // session starts after a >30-minute silence; one window pass, then a
+    // running count of session starts (all integer arithmetic → exact).
+    QueryDef(
+      "q30_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("mts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_millis(date_trunc("millisecond", col("ts"))).as("mts"))
+          .withColumn("new_sess",
+            when(col("mts") - lag(col("mts"), 1).over(w) > 30L * 60000L, 1L)
+              .when(lag(col("mts"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("session_no", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("session_no"))
+          .agg(count(lit(1)).as("n_events"), min(col("mts")).as("start_ms"), max(col("mts")).as("end_ms"))
+          .orderBy(col("user_id"), col("session_no"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+                 epoch_ms(date_trunc('millisecond', CAST(ts AS TIMESTAMP))) AS mts
+          FROM events),
+        flagged AS (
+          SELECT *, CASE WHEN mts - LAG(mts, 1) OVER w > 30 * 60000 THEN 1
+                         WHEN LAG(mts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id)),
+        sess AS (
+          SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY mts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM flagged)
+        SELECT user_id, session_no, COUNT(*) AS n_events,
+               MIN(mts) AS start_ms, MAX(mts) AS end_ms
+        FROM sess
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_no"""),
+      headline = true)
+  )
+}
