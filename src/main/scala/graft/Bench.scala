@@ -29,8 +29,12 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     val qmap = SparkEntry.queries
 
-    // one warm-up pass so JIT/codegen/file-listing costs don't dominate
-    names.headOption.foreach { n => qmap(n)(spark, sfDir).count() }
+    // warm EVERY query once so file-listing/codegen/JIT costs don't land
+    // inside any timed run (ADVICE r01: head-only warm-up skewed q03+)
+    names.foreach { n =>
+      try qmap(n)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warm $n failed: $e") }
+    }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()

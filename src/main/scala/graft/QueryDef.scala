@@ -34,18 +34,19 @@ object QueryDef {
 
   /** Exact, order-independent sum of a double column, returned as double.
     *
-    * The sum is first re-scaled to DECIMAL(27,4): DuckDB's decimal→double
-    * cast divides the (possibly >2^53) unscaled int128 by 10^scale in
-    * double arithmetic and can be off by 1 ulp, while Spark's BigDecimal
-    * cast is correctly rounded. At scale 4 with sums < ~9e11 the unscaled
-    * value fits in 2^53, so both engines' casts are exactly rounded and
-    * agree bit-for-bit.
+    * The sum is first re-scaled to DECIMAL(27,4): at scale 4 with sums
+    * < ~9e11 the unscaled value fits in 2^53, so the final decimal→double
+    * cast is exactly rounded in both engines. The scale-10→4 step itself
+    * is NOT cast-equivalent across engines (Spark's decimal downcast
+    * rounds HALF_UP, DuckDB's cast truncates), so the SQL twin rounds
+    * explicitly: DuckDB ROUND is half-away-from-zero, which matches
+    * Spark's HALF_UP at every magnitude.
     */
   def dsum(c: Column): Column =
     sum(dec(c)).cast(DecimalType(27, 4)).cast(DoubleType)
   /** SQL-side twin of [[dsum]]. */
   def dsumSql(expr: String): String =
-    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS DECIMAL(27,4)) AS DOUBLE)"
+    s"CAST(CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,10))), 4) AS DECIMAL(27,4)) AS DOUBLE)"
   /** Exact mean: decimal sum cast to double, then double division. */
   def davg(c: Column): Column = (dsum(c) / count(lit(1)))
   def davgSql(expr: String): String =

@@ -193,8 +193,8 @@ object Relational {
       Some("""
         SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
           SELECT o_custkey, o_orderkey, o_totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
           FROM orders) t
         WHERE rk <= 3
         ORDER BY o_custkey, rk"""),
@@ -392,8 +392,8 @@ object Relational {
           .orderBy(col("o_orderpriority")),
       Some(s"""
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
                ${dsumSql("CASE WHEN o_totalprice > 100000.0 THEN o_totalprice ELSE 0.0 END")} AS big_total
         FROM orders
         GROUP BY o_orderpriority
@@ -417,7 +417,7 @@ object Relational {
         SELECT p_partkey,
                UPPER(p_name) AS uname,
                LOWER(p_brand) AS lbrand,
-               LENGTH(p_name) AS name_len,
+               CAST(LENGTH(p_name) AS INT) AS name_len,
                SUBSTRING(p_type, 1, 5) AS type_prefix,
                CONCAT_WS('|', p_brand, p_type) AS brand_type,
                REGEXP_REPLACE(p_name, ' ', '_', 'g') AS snake_name
@@ -453,9 +453,9 @@ object Relational {
           .orderBy(col("o_orderpriority")),
       Some("""
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
@@ -581,7 +581,7 @@ object Relational {
                COALESCE(b.overdrawn, 0) AS overdrawn
         FROM (SELECT o_custkey AS k, COUNT(*) AS n_pending FROM orders
               WHERE o_orderstatus = 'P' GROUP BY o_custkey) a
-        FULL OUTER JOIN (SELECT c_custkey AS k, 1 AS overdrawn FROM customer
+        FULL OUTER JOIN (SELECT c_custkey AS k, CAST(1 AS BIGINT) AS overdrawn FROM customer
               WHERE c_acctbal < 0) b
           ON a.k = b.k
         ORDER BY k""")),
@@ -657,8 +657,8 @@ object Relational {
                          WHEN LAG(mts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id)),
         sess AS (
-          SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY mts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY mts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
           FROM flagged)
         SELECT user_id, session_no, COUNT(*) AS n_events,
                MIN(mts) AS start_ms, MAX(mts) AS end_ms

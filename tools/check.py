@@ -30,10 +30,11 @@ def canon(v):
 
 def frame_rows(con, rel):
     cols = rel.columns
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [tuple(canon(r[i]) for i in order) for r in rel.fetchall()]
     rows.sort()
-    return [cols[i] for i in order], rows
+    return [f"{cols[i]}:{types[i]}" for i in order], rows
 
 
 def main():
