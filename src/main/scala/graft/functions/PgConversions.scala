@@ -1,0 +1,421 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PostgreSQL → Spark type-conversion surface (SURVEY.md §2.3, T1–T35).
+  *
+  * The reference implements these as per-column conversion closures over
+  * the PG binary wire format (`cli/src/postgres_cloner.rs:578-699`,
+  * `cli/src/datatypes/`). This engine receives values in PG's *text*
+  * form (the portable representation a JDBC/text scan delivers) and
+  * converts with native Catalyst expressions wherever possible — every
+  * function below returning a plain `Column` stays inside whole-stage
+  * codegen; only the interval/multidim-array parsers (genuinely
+  * recursive grammars) are Scala UDFs.
+  *
+  * Handling options mirror the reference's `SchemaSettings`
+  * (`cli/src/postgres_cloner.rs:41-51`, defaults `:122-134`).
+  */
+object PgConversions {
+
+  // ---------------------------------------------------------------- settings
+
+  /** Mirror of the reference's `SchemaSettings` (postgres_cloner.rs:41-51):
+    * one case class holding every user-facing handling knob with the
+    * reference's defaults (postgres_cloner.rs:122-134). */
+  final case class PgSettings(
+      numericHandling: String = "double",    // double|decimal|float32|string
+      decimalPrecision: Int = 38,
+      decimalScale: Int = 18,
+      enumHandling: String = "text",         // text|plain-text|int
+      jsonHandling: String = "text",         // text-marked-json|text
+      macaddrHandling: String = "text",      // text|byte-array|int64
+      intervalHandling: String = "interval", // interval|struct
+      arrayHandling: String = "plain",       // plain|dims|dims+lb
+      float16Handling: String = "float32")   // float32|float16
+
+  // ------------------------------------------------------------ T1–T5, T11
+
+  /** T1 bool: PG text 't'/'f' → BooleanType (postgres_cloner.rs:586). */
+  def pgBool(c: Column): Column =
+    when(c === "t", lit(true)).when(c === "f", lit(false))
+      .otherwise(c.cast(BooleanType))
+
+  /** T2 int2 → ShortType (postgres_cloner.rs:587). */
+  def pgInt2(c: Column): Column = c.cast(ShortType)
+
+  /** T3 int4 → IntegerType (postgres_cloner.rs:588). */
+  def pgInt4(c: Column): Column = c.cast(IntegerType)
+
+  /** T4 oid (u32): reference annotates Parquet UInt32
+    * (postgres_cloner.rs:589, myfrom.rs:38-42). Spark has no unsigned
+    * types → widen to LongType so all 2^32 values survive (documented
+    * deviation, SURVEY §7.4). */
+  def pgOid(c: Column): Column = c.cast(LongType)
+
+  /** T5 int8 → LongType (postgres_cloner.rs:590). */
+  def pgInt8(c: Column): Column = c.cast(LongType)
+
+  /** T11 "char" (1-byte, annotated UInt8 by the reference,
+    * postgres_cloner.rs:597): widen to ShortType for 128..255. */
+  def pgCharByte(c: Column): Column = c.cast(ShortType)
+
+  // ----------------------------------------------------------------- T6: floats
+
+  /** T6 float4/float8: PG text (incl 'NaN','Infinity','-Infinity','-0')
+    * → Float/Double preserving specials bit-exactly
+    * (postgres_cloner.rs:591-592; py-tests/test_basic_types.py:78-103). */
+  def pgFloat4(c: Column): Column = c.cast(FloatType)
+  def pgFloat8(c: Column): Column = c.cast(DoubleType)
+
+  // ------------------------------------------------------------ T7–T9: numeric
+
+  /** T7 numeric → DecimalType(p,s): NaN → NULL (parquet has no decimal
+    * NaN), out-of-range → NULL + warn (datatypes/numeric.rs:19-28;
+    * py-tests/test_basic_types.py:104-147). The range guard runs before
+    * the cast so ANSI mode cannot throw; values too wide for (p,s) after
+    * HALF_UP rounding are NULLed exactly like the reference's
+    * try_into failure path. */
+  def numericToDecimal(c: Column, p: Int, s: Int): Column = {
+    val bound = math.pow(10.0, (p - s).toDouble)
+    when(c === "NaN" || c.isNull, lit(null).cast(DecimalType(p, s)))
+      .when(abs(c.cast(DoubleType)) >= bound, lit(null).cast(DecimalType(p, s)))
+      .otherwise(c.cast(DecimalType(p, s)))
+  }
+
+  /** T8 numeric → double/float32: parse from decimal text (the
+    * precision-preserving path the reference uses, numeric.rs:81-98);
+    * NaN stays NaN. */
+  def numericToDouble(c: Column): Column = c.cast(DoubleType)
+  def numericToFloat(c: Column): Column = c.cast(FloatType)
+
+  /** T9 numeric → string: PG decimal text passthrough; NaN → literal
+    * "NaN" (postgres_cloner.rs:735-739). Text input is already exactly
+    * that. */
+  def numericToString(c: Column): Column = c.cast(StringType)
+
+  // ----------------------------------------------------------------- T10 money
+
+  /** T10 money: raw int64 cents → Decimal(18,2)
+    * (postgres_cloner.rs:596, datatypes/money.rs:6-26). Integer/100 at
+    * scale 2 is exact — no rounding can occur. */
+  def moneyToDecimal(cents: Column): Column =
+    (cents.cast(DecimalType(20, 2)) / lit(100)).cast(DecimalType(18, 2))
+
+  // ------------------------------------------------------- T12–T14: bytes/text
+
+  /** T12 bytea: PG hex text form '\x0102' → BinaryType. */
+  def pgBytea(c: Column): Column =
+    unhex(regexp_replace(c, "^\\\\x", ""))
+
+  /** T14 jsonb: the wire value carries a 1-byte version header the
+    * reference strips (datatypes/jsonb.rs:17-24); here the header-bearing
+    * binary → UTF-8 string. json (no header) is a passthrough. */
+  def jsonbStripHeader(bin: Column): Column =
+    decode(substr(bin, lit(2), length(bin) - 1), "UTF-8")
+
+  // ------------------------------------------------------ T15–T18: date & time
+
+  /** T17 date: 'yyyy-mm-dd' → DateType (postgres_cloner.rs:612-613). */
+  def pgDate(c: Column): Column = c.cast(DateType)
+
+  /** T16 timestamp (no tz) → TimestampNTZType micros
+    * (postgres_cloner.rs:610-611). */
+  def pgTimestamp(c: Column): Column = c.cast(TimestampNTZType)
+
+  /** T15 timestamptz → TimestampType (UTC-adjusted micros,
+    * postgres_cloner.rs:608-609). Sessions pin spark.sql.session.timeZone
+    * =UTC so the text form is interpreted exactly like PG's UTC wire form. */
+  def pgTimestampTz(c: Column): Column = c.cast(TimestampType)
+
+  /** T18 time: 'HH:MM:SS[.ffffff]' → micros since midnight as Long
+    * (Spark has no TimeType; SURVEY §2.3 T18 documents LongType). */
+  def pgTimeMicros(c: Column): Column =
+    unix_micros(to_timestamp(concat(lit("1970-01-01 "), c)))
+
+  // ----------------------------------------------------------------- T19: uuid
+
+  /** T19 uuid: canonical text → 16-byte binary, matching the reference's
+    * FIXED_LEN_BYTE_ARRAY(16) bytes (postgres_cloner.rs:617-618,
+    * myfrom.rs:87-91). */
+  def uuidToBinary(c: Column): Column = unhex(regexp_replace(c, "-", ""))
+
+  // -------------------------------------------------------------- T20: macaddr
+
+  /** T20 macaddr, 3 handlings (postgres_cloner.rs:620-628,
+    * myfrom.rs:99-117): canonical dashed-hex text / 6-byte binary /
+    * int64 of the 6 bytes big-endian. */
+  def macaddrText(c: Column): Column =
+    lower(regexp_replace(c, "[:.]", "-"))
+  def macaddrBinary(c: Column): Column =
+    unhex(regexp_replace(c, "[:.-]", ""))
+  def macaddrInt64(c: Column): Column =
+    conv(regexp_replace(c, "[:.-]", ""), 16, 10).cast(LongType)
+
+  // ---------------------------------------------------------- T22: bit strings
+
+  /** T22 bit/varbit: PG text form is already the '0'/'1' string the
+    * reference emits (postgres_cloner.rs:631-632). */
+  def pgBits(c: Column): Column = c.cast(StringType)
+
+  // ------------------------------------------------------- T23/T24: interval
+
+  /** Interval parts exactly as PG stores them (months, days, micros) —
+    * the struct handling's field set (postgres_cloner.rs:638-653). */
+  final case class PgIntervalParts(months: Int, days: Int, microseconds: Long)
+
+  private val intervalYmd =
+    """(-?\d+)\s+(year|mon|day)s?""".r
+  private val intervalHms =
+    """(?:^|\s)([+-]?)(\d+):(\d{2}):(\d{2})(\.\d{1,6})?""".r
+
+  /** Parse PG's postgres-style interval text
+    * ('1 year 2 mons 3 days 04:05:06.000001', negatives allowed per
+    * part) into (months, days, microseconds). */
+  private[graft] def parseInterval(s: String): PgIntervalParts = {
+    var months = 0; var days = 0; var micros = 0L
+    intervalYmd.findAllMatchIn(s).foreach { m =>
+      val n = m.group(1).toLong
+      m.group(2) match {
+        case "year" => months += (n * 12).toInt
+        case "mon"  => months += n.toInt
+        case "day"  => days += n.toInt
+      }
+    }
+    intervalHms.findFirstMatchIn(s).foreach { m =>
+      val sign = if (m.group(1) == "-") -1L else 1L
+      val frac = Option(m.group(5))
+        .map(f => (f.drop(1).padTo(6, '0')).toLong).getOrElse(0L)
+      micros = sign * ((m.group(2).toLong * 3600L +
+        m.group(3).toLong * 60L + m.group(4).toLong) * 1000000L + frac)
+    }
+    PgIntervalParts(months, days, micros)
+  }
+
+  /** T24 interval → struct{months,days,microseconds}
+    * (postgres_cloner.rs:638-653; py-tests/test_basic_types.py:262-280:
+    * '1 year 2 months 1 days 40:05:06.000001' → {14, 1, 144306000001}). */
+  val intervalToStruct =
+    udf((s: String) => Option(s).map(parseInterval))
+
+  /** T23 interval → 12-byte LE Parquet INTERVAL bytes: µs truncated to
+    * ms, whole-day seconds folded into the day field
+    * (datatypes/interval.rs:27-44). */
+  private[graft] def intervalBytes(p: PgIntervalParts): Array[Byte] = {
+    val msPerDay = 1000L * 60 * 60 * 24
+    val millisTotal = p.microseconds / 1000L
+    val days = p.days + (millisTotal / msPerDay).toInt
+    val millis = (millisTotal % msPerDay).toInt
+    val b = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(p.months).putInt(days).putInt(millis)
+    b.array()
+  }
+
+  val intervalToBytes =
+    udf((s: String) => Option(s).map(x => intervalBytes(parseInterval(x))))
+
+  // ----------------------------------------------------------------- T25/T26: enum
+
+  /** T26 enum → int: 1-based index in catalog definition order
+    * (postgres_cloner.rs:439-446). The order list is what a pg_enum
+    * catalog read yields; lookup is a broadcast-safe map literal so the
+    * conversion stays codegen'd. Unknown values error (ANSI element_at),
+    * matching the reference's panic. T25 (text handling) is identity. */
+  def enumToInt(c: Column, definitionOrder: Seq[String]): Column = {
+    val m = map(definitionOrder.zipWithIndex.flatMap {
+      case (v, i) => Seq(lit(v), lit(i + 1))
+    }: _*)
+    element_at(m, c)
+  }
+
+  // ----------------------------------------------------------------- T27: range
+
+  /** T27 range → struct{lower,upper,lower_inclusive,upper_inclusive,
+    * is_empty} from PG's canonical text form
+    * (postgres_cloner.rs:501-540, pg_custom_types.rs:84-161):
+    * 'empty' → all-NULL bounds + is_empty=true + inclusivities false;
+    * infinite bounds ('(,)') → NULL bound, is_empty=false.
+    * `castElem` maps the bound text to the subtype (int, timestamp, …). */
+  def rangeToStruct(c: Column, castElem: Column => Column): Column = {
+    val isEmpty = c === "empty"
+    val inner = substr(c, lit(2), length(c) - 2)
+    val lowerS = split_part(inner, lit(","), lit(1))
+    val upperS = split_part(inner, lit(","), lit(2))
+    val lower = when(isEmpty || lowerS === "", lit(null)).otherwise(castElem(lowerS))
+    val upper = when(isEmpty || upperS === "", lit(null)).otherwise(castElem(upperS))
+    when(c.isNull, lit(null)).otherwise(struct(
+      lower.as("lower"),
+      upper.as("upper"),
+      (!isEmpty && substring(c, 1, 1) === "[").as("lower_inclusive"),
+      (!isEmpty && c.endsWith("]")).as("upper_inclusive"),
+      isEmpty.as("is_empty")))
+  }
+
+  /** tsrange bound text is quoted ('"2020-01-01 00:00:00"'). */
+  def unquote(c: Column): Column = regexp_replace(c, "\"", "")
+
+  // ------------------------------------------------------------ T28: composite
+
+  /** T28 composite → struct: parse PG record text '(a,b,c)' into named
+    * fields (postgres_cloner.rs:541-558, pg_custom_types.rs:162-287).
+    * Empty field text → NULL field; all-NULL-fields record '(,,)' is a
+    * non-NULL struct, distinct from SQL NULL
+    * (py-tests/test_custom_types.py:146-147). Quoting/escapes beyond the
+    * simple form are out of fixture scope. */
+  def compositeToStruct(c: Column, fields: Seq[(String, Column => Column)]): Column = {
+    val inner = substr(c, lit(2), length(c) - 2)
+    val cols = fields.zipWithIndex.map { case ((name, cast), i) =>
+      val f = split_part(inner, lit(","), lit(i + 1))
+      when(f === "", lit(null)).otherwise(cast(f)).as(name)
+    }
+    when(c.isNull, lit(null)).otherwise(struct(cols: _*))
+  }
+
+  // ------------------------------------------------- T30/T31: arrays
+
+  /** T30 1-D array: PG text '{a,b,NULL}' → ArrayType with element
+    * nulls; '{}' → empty array ≠ NULL (appenders/array.rs:98-115).
+    * Elements with NaN (numeric arrays) go through the same NaN→NULL
+    * rule as scalars when castElem = numericToDecimal. */
+  def arrayFromText(c: Column, castElem: Column => Column): Column = {
+    val inner = substr(c, lit(2), length(c) - 2)
+    val parts = when(inner === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(inner, ","))
+    when(c.isNull, lit(null))
+      .otherwise(transform(parts, e =>
+        when(e === "NULL", lit(null)).otherwise(castElem(e))))
+  }
+
+  /** Multidim parse result for T31 (postgres_cloner.rs:843-893,
+    * datatypes/array.rs:9-62): row-major flattened data + per-dimension
+    * sizes + per-dimension lower bounds (PG default lower bound is 1;
+    * explicit '[-2:0]=' prefixes override, py-tests/test_arrays.py:104). */
+  final case class PgMultidimArray(
+      data: Seq[Option[Long]], dims: Seq[Long], lower_bound: Seq[Int])
+
+  /** T31 multi-dim array text parse: '{{1,2},{3,4}}' or
+    * '[-2:0]={1,2,3}'. A genuine recursive grammar → small UDF
+    * (SURVEY §2.3 T31 explicitly allows the UDF parse). */
+  private[graft] def parseMultidim(s: String): PgMultidimArray = {
+    val (boundsPart, dataPart) =
+      if (s.startsWith("[")) { val i = s.indexOf('='); (s.substring(0, i), s.substring(i + 1)) }
+      else ("", s)
+    val explicitLb = """\[(-?\d+):(-?\d+)\]""".r
+      .findAllMatchIn(boundsPart).map(_.group(1).toInt).toList
+
+    // recursive descent over {...} nesting
+    def parse(in: String, pos: Int): (Seq[Any], Int) = {
+      var i = pos + 1 // skip '{'
+      val out = scala.collection.mutable.ArrayBuffer[Any]()
+      val sb = new StringBuilder
+      def flush(): Unit = {
+        val t = sb.result(); sb.clear()
+        if (t.nonEmpty) out += (if (t == "NULL") None else Some(t.toLong))
+      }
+      while (i < in.length && in.charAt(i) != '}') {
+        in.charAt(i) match {
+          case '{' => val (sub, ni) = parse(in, i); out += sub; i = ni
+          case ',' => flush(); i += 1
+          case ch  => sb += ch; i += 1
+        }
+      }
+      flush()
+      (out.toSeq, i + 1)
+    }
+    val (tree, _) = parse(dataPart, 0)
+
+    def dimsOf(t: Seq[Any]): List[Long] = t.headOption match {
+      case Some(sub: Seq[_]) => t.size.toLong :: dimsOf(sub.asInstanceOf[Seq[Any]])
+      case _                 => if (t.isEmpty) Nil else List(t.size.toLong)
+    }
+    def flat(t: Seq[Any]): Seq[Option[Long]] = t.flatMap {
+      case sub: Seq[_] => flat(sub.asInstanceOf[Seq[Any]])
+      case v: Option[_] => Seq(v.asInstanceOf[Option[Long]])
+    }
+    val dims = dimsOf(tree)
+    val lb = if (explicitLb.nonEmpty) explicitLb else dims.map(_ => 1)
+    PgMultidimArray(flat(tree), dims, lb)
+  }
+
+  val multidimToStruct =
+    udf((s: String) => Option(s).map(parseMultidim))
+
+  // ------------------------------------------------- T32–T34: pgvector
+
+  /** T32 vector: '[1,2,3]' → ArrayType(FloatType) with non-null
+    * elements (postgres_cloner.rs:659, datatypes/pgvector.rs:11-34). */
+  def vectorFromText(c: Column): Column =
+    transform(
+      split(regexp_replace(c, "^\\[|\\]$", ""), ","),
+      e => e.cast(FloatType))
+
+  /** IEEE 754 half-precision round-trip: float → f16 (round to nearest
+    * even, overflow → ±inf) → float. Java 17 has no Float.float16ToFloat
+    * (added in 19), so the bit algorithm is spelled out. */
+  private[graft] def roundToFloat16(f: Float): Float = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val absBits = bits & 0x7fffffff
+    val half: Int =
+      if (absBits >= 0x7f800000) sign | 0x7c00 | (if (absBits > 0x7f800000) 0x200 else 0) // inf/nan
+      else if (absBits >= 0x477ff000) sign | 0x7c00 // overflows f16 → inf
+      else if (absBits < 0x33000000) sign // underflow → ±0
+      else if (absBits < 0x38800000) { // subnormal f16
+        val shift = 126 - (absBits >>> 23)
+        val mant = (absBits & 0x7fffff) | 0x800000
+        val m = mant >>> (shift + 1)
+        val rem = mant & ((1 << (shift + 1)) - 1)
+        val mid = 1 << shift
+        sign | (if (rem > mid || (rem == mid && (m & 1) == 1)) m + 1 else m)
+      } else {
+        val exp = ((absBits >>> 23) - 112) << 10
+        val m = (absBits >>> 13) & 0x3ff
+        val rem = absBits & 0x1fff
+        val base = sign | exp | m
+        if (rem > 0x1000 || (rem == 0x1000 && (m & 1) == 1)) base + 1 else base
+      }
+    // back to float32
+    val s = (half & 0x8000) << 16
+    val e = (half >>> 10) & 0x1f
+    val m = half & 0x3ff
+    if (e == 0x1f) java.lang.Float.intBitsToFloat(s | 0x7f800000 | (m << 13))
+    else if (e == 0) {
+      if (m == 0) java.lang.Float.intBitsToFloat(s)
+      else java.lang.Float.intBitsToFloat(s) + (m * math.pow(2, -24).toFloat *
+        (if ((half & 0x8000) != 0) -1 else 1))
+    } else java.lang.Float.intBitsToFloat(s | ((e + 112) << 23) | (m << 13))
+  }
+
+  private val f16Udf = udf((f: java.lang.Float) =>
+    Option(f).map(x => roundToFloat16(x.floatValue)))
+
+  /** T33 halfvec: float32 handling (default): values pass through f16
+    * precision (postgres_cloner.rs:660-666; py-tests/test_pgvector.py:
+    * 100-125 expects 1.0001→1.0, 10001→10000). */
+  def halfvecFromText(c: Column): Column =
+    transform(
+      split(regexp_replace(c, "^\\[|\\]$", ""), ","),
+      e => f16Udf(e.cast(FloatType)))
+
+  /** T34 sparsevec: '{1:-1.5,5:5.25}/10' → Map[Int,Float]. The text
+    * form's indices are already 1-based — the same +1 shift the
+    * reference applies to the 0-based wire indices
+    * (postgres_cloner.rs:667-693, shift at :670). '{}/n' → empty map
+    * ≠ NULL. */
+  def sparsevecFromText(c: Column): Column = {
+    val entries = regexp_extract(c, "\\{(.*)\\}", 1)
+    val emptyMap = map_from_arrays(
+      array().cast(ArrayType(IntegerType)), array().cast(ArrayType(FloatType)))
+    when(c.isNull, lit(null))
+      .when(entries === "", emptyMap)
+      .otherwise(
+        transform_values(
+          transform_keys(
+            str_to_map(entries, lit(","), lit(":")),
+            (k, _) => k.cast(IntegerType)),
+          (_, v) => v.cast(FloatType)))
+  }
+}

@@ -1,0 +1,484 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.PgConversions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.3 type-conversion fixture queries (T1–T35).
+  *
+  * Each query feeds the PG *text-form* values the reference's py-tests
+  * insert (FIXTURES.md F1–F20) through [[graft.functions.PgConversions]]
+  * and emits the converted columns. The DuckDB oracle either recomputes
+  * the conversion in SQL or — where DuckDB cannot express it — asserts
+  * the literal expected values taken from the reference's spec
+  * (`/root/reference/py-tests`), which is exactly how the reference
+  * tests itself (expected-value assertions, wrappers.py:123-129).
+  *
+  * Inputs are literal DataFrames: the conversions are per-column scalar
+  * maps, so correctness is data-size-independent; scale behavior is
+  * covered by the relational/pipeline suites.
+  */
+object Types {
+
+  private def df(s: SparkSession)(rows: Seq[(Int, String)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("id", "v")
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- t01: T1/T2/T3/T5 + T4 oid(u32→long) + T11 "char"(u8→short).
+    QueryDef(
+      "t01_int_types",
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          (1, "t", "1", "2", "3", "4294967295", "65"),
+          (2, "f", "-32768", "-2147483648", "-9223372036854775807", "0", "255"),
+          (3, null, null, null, null, null, null))
+          .toDF("id", "b", "i2", "i4", "i8", "oid", "c1")
+          .select(col("id"),
+            pgBool(col("b")).as("bool_v"),
+            pgInt2(col("i2")).as("i2_v"),
+            pgInt4(col("i4")).as("i4_v"),
+            pgInt8(col("i8")).as("i8_v"),
+            pgOid(col("oid")).as("oid_v"),
+            pgCharByte(col("c1")).as("char_v"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, true,  CAST(1 AS SMALLINT),      2,           CAST(3 AS BIGINT),
+              CAST(4294967295 AS BIGINT), CAST(65 AS SMALLINT)),
+          (2, false, CAST(-32768 AS SMALLINT), -2147483648, CAST(-9223372036854775807 AS BIGINT),
+              CAST(0 AS BIGINT),          CAST(255 AS SMALLINT)),
+          (3, NULL, NULL, NULL, NULL, NULL, NULL)
+        ) t(id, bool_v, i2_v, i4_v, i8_v, oid_v, char_v) ORDER BY id""")),
+
+    // ---- t02: T6 float4/float8 — NaN, ±Infinity, -0 preserved
+    // (py-tests/test_basic_types.py:78-103).
+    QueryDef(
+      "t02_float_special",
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          (1, "1.5", "2.2"), (2, "NaN", "NaN"), (3, "Infinity", "Infinity"),
+          (4, "-Infinity", "-Infinity"), (5, "-0", "-0"), (6, null, null))
+          .toDF("id", "f4", "f8")
+          .select(col("id"),
+            pgFloat4(col("f4")).as("f4_v"),
+            pgFloat8(col("f8")).as("f8_v"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT id, CAST(f4 AS FLOAT) AS f4_v, CAST(f8 AS DOUBLE) AS f8_v
+        FROM (VALUES (1,'1.5','2.2'), (2,'NaN','NaN'), (3,'Infinity','Infinity'),
+                     (4,'-Infinity','-Infinity'), (5,'-0','-0'), (6,NULL,NULL)) t(id, f4, f8)
+        ORDER BY id""")),
+
+    // ---- t03: T7 numeric→decimal at the reference's three physical
+    // widths (BYTE_ARRAY p38, INT64 p18, INT32 p9); NaN→NULL,
+    // overflow→NULL (py-tests/test_basic_types.py:104-147).
+    QueryDef(
+      "t03_numeric_decimal",
+      (s, _) =>
+        df(s)(Seq(
+          (1, "1000.0001"), (2, "NaN"),
+          (3, "1.00000000000000000000000000000000000000000001"),
+          (4, "99999999999.9999"), (5, null), (6, "-12345.6789")))
+          .select(col("id"),
+            numericToDecimal(col("v"), 38, 18).as("d38"),
+            numericToDecimal(col("v"), 18, 9).as("d18"),
+            numericToDecimal(col("v"), 9, 4).as("d9"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT id,
+          CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e20 THEN NULL
+               ELSE CAST(v AS DECIMAL(38,18)) END AS d38,
+          CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e9 THEN NULL
+               ELSE CAST(v AS DECIMAL(18,9)) END AS d18,
+          CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e5 THEN NULL
+               ELSE CAST(v AS DECIMAL(9,4)) END AS d9
+        FROM (VALUES (1,'1000.0001'), (2,'NaN'),
+                     (3,'1.00000000000000000000000000000000000000000001'),
+                     (4,'99999999999.9999'), (5,NULL), (6,'-12345.6789')) t(id, v)
+        ORDER BY id""")),
+
+    // ---- t04: T8/T9 numeric→double/float32/string; NaN stays NaN
+    // (double/float) or the literal 'NaN' (string)
+    // (py-tests/test_basic_types.py:148-196).
+    QueryDef(
+      "t04_numeric_lossy",
+      (s, _) =>
+        df(s)(Seq(
+          (1, "1000.0001"), (2, "NaN"),
+          (3, "1.00000000000000000000000000000000000000000001"), (4, null)))
+          .select(col("id"),
+            numericToDouble(col("v")).as("f64_v"),
+            numericToFloat(col("v")).as("f32_v"),
+            numericToString(col("v")).as("str_v"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT id, CAST(v AS DOUBLE) AS f64_v, CAST(v AS FLOAT) AS f32_v, v AS str_v
+        FROM (VALUES (1,'1000.0001'), (2,'NaN'),
+                     (3,'1.00000000000000000000000000000000000000000001'), (4,NULL)) t(id, v)
+        ORDER BY id""")),
+
+    // ---- t05: T10 money (int64 cents → Decimal(18,2)), T19 uuid
+    // (16-byte binary + text), T20 macaddr (all 3 handlings).
+    QueryDef(
+      "t05_money_uuid_mac",
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          (1, Some(123456L), "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11", "08:00:2b:01:02:03"),
+          (2, Some(-50L), "00000000-0000-0000-0000-000000000000", "ff:ff:ff:ff:ff:ff"),
+          (3, None, null, null))
+          .toDF("id", "cents", "u", "m")
+          .select(col("id"),
+            moneyToDecimal(col("cents")).as("money_v"),
+            uuidToBinary(col("u")).as("uuid_bytes"),
+            col("u").as("uuid_text"),
+            macaddrText(col("m")).as("mac_text"),
+            macaddrBinary(col("m")).as("mac_bytes"),
+            macaddrInt64(col("m")).as("mac_int"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT id,
+          CAST(cents / 100.0 AS DECIMAL(18,2)) AS money_v,
+          unhex(replace(u, '-', '')) AS uuid_bytes,
+          u AS uuid_text,
+          lower(replace(m, ':', '-')) AS mac_text,
+          unhex(replace(m, ':', '')) AS mac_bytes,
+          CAST('0x' || replace(m, ':', '') AS BIGINT) AS mac_int
+        FROM (VALUES
+          (1, 123456, 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', '08:00:2b:01:02:03'),
+          (2, -50, '00000000-0000-0000-0000-000000000000', 'ff:ff:ff:ff:ff:ff'),
+          (3, NULL, NULL, NULL)) t(id, cents, u, m)
+        ORDER BY id""")),
+
+    // ---- t06: T12 bytea, T13 text family (char(10) space-padded),
+    // T14 json passthrough + jsonb 1-byte version-header strip,
+    // T22 bit/varbit → '0'/'1' text.
+    QueryDef(
+      "t06_text_bytes_bits",
+      (s, _) => {
+        import s.implicits._
+        val jsonbWire: String => Array[Byte] =
+          t => (1.toByte +: t.getBytes("UTF-8").toSeq).toArray
+        Seq(
+          (1, "\\x0102ff", "some name", "CaseInsensitive", "char      ",
+            """{"a": 1}""", jsonbWire("""{"a": 1}"""), "101000", "101"),
+          (2, null, null, null, null, null, null, null, null))
+          .toDF("id", "by", "nm", "ci", "ch", "js", "jb", "bits", "vbits")
+          .select(col("id"),
+            pgBytea(col("by")).as("bytea_v"),
+            col("nm").as("name_v"), col("ci").as("citext_v"), col("ch").as("char_v"),
+            col("js").as("json_v"),
+            jsonbStripHeader(col("jb")).as("jsonb_v"),
+            pgBits(col("bits")).as("bits_v"),
+            pgBits(col("vbits")).as("varbits_v"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, unhex('0102ff'), 'some name', 'CaseInsensitive', 'char      ',
+              '{"a": 1}', '{"a": 1}', '101000', '101'),
+          (2, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+        ) t(id, bytea_v, name_v, citext_v, char_v, json_v, jsonb_v, bits_v, varbits_v)
+        ORDER BY id""")),
+
+    // ---- t07: T15/T16/T17/T18 date & time. timestamptz is emitted as
+    // epoch-micros (tz-independent; SURVEY §7.4 documents Spark's
+    // session-TZ handling), timestamp as TimestampNTZ, time as
+    // micros-since-midnight Long.
+    QueryDef(
+      "t07_datetime",
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          (1, "2000-01-01", "12:34:56.123456", "2000-01-01 12:34:56.123456", "2000-01-01 12:34:56.123456"),
+          (2, "1969-12-31", "00:00:00", "1969-12-31 23:59:59", "2038-01-19 03:14:07"),
+          (3, null, null, null, null))
+          .toDF("id", "dt", "tm", "ts", "tstz")
+          .select(col("id"),
+            pgDate(col("dt")).as("date_v"),
+            pgTimeMicros(col("tm")).as("time_us"),
+            pgTimestamp(col("ts")).as("ts_v"),
+            unix_micros(pgTimestampTz(col("tstz"))).as("tstz_us"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT id, CAST(dt AS DATE) AS date_v,
+               epoch_us(CAST('1970-01-01 ' || tm AS TIMESTAMP)) AS time_us,
+               CAST(ts AS TIMESTAMP) AS ts_v,
+               epoch_us(CAST(tstz AS TIMESTAMP)) AS tstz_us
+        FROM (VALUES
+          (1, '2000-01-01', '12:34:56.123456', '2000-01-01 12:34:56.123456', '2000-01-01 12:34:56.123456'),
+          (2, '1969-12-31', '00:00:00', '1969-12-31 23:59:59', '2038-01-19 03:14:07'),
+          (3, NULL, NULL, NULL, NULL)) t(id, dt, tm, ts, tstz)
+        ORDER BY id""")),
+
+    // ---- t08: T24 interval→struct{months,days,microseconds} — µs kept
+    // (py-tests/test_basic_types.py:262-280: '1 year 2 mons 1 days
+    // 40:05:06.000001' → {14, 1, 144306000001}). Oracle = literal
+    // expected values (DuckDB cannot parse PG interval text).
+    QueryDef(
+      "t08_interval_struct",
+      (s, _) =>
+        df(s)(Seq(
+          (1, "1 year 2 mons 1 days 40:05:06.000001"),
+          (2, "-1 days +02:03:04"), (3, "3 mons"), (4, null)))
+          .select(col("id"), intervalToStruct(col("v")).as("interval_v"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT * FROM (VALUES
+          (1, {'months': CAST(14 AS INT), 'days': CAST(1 AS INT),
+               'microseconds': CAST(144306000001 AS BIGINT)}),
+          (2, {'months': CAST(0 AS INT), 'days': CAST(-1 AS INT),
+               'microseconds': CAST(7384000000 AS BIGINT)}),
+          (3, {'months': CAST(3 AS INT), 'days': CAST(0 AS INT),
+               'microseconds': CAST(0 AS BIGINT)}),
+          (4, CAST(NULL AS STRUCT(months INTEGER, days INTEGER, microseconds BIGINT)))
+        ) t(id, interval_v) ORDER BY id""")),
+
+    // ---- t09: T23 interval→12-byte LE Parquet INTERVAL bytes: µs→ms
+    // truncation, whole-day seconds folded into days
+    // (datatypes/interval.rs:27-44: 40 h → +1 day 16:05:06). Oracle =
+    // literal expected bytes.
+    QueryDef(
+      "t09_interval_bytes",
+      (s, _) =>
+        df(s)(Seq(
+          (1, "1 year 2 mons 1 days 40:05:06.000001"),
+          (2, "-1 days +02:03:04"), (3, "3 mons"), (4, null)))
+          .select(col("id"), intervalToBytes(col("v")).as("interval_b"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT * FROM (VALUES
+          (1, unhex('0E0000000200000050937303')),
+          (2, unhex('00000000FFFFFFFFC0AB7000')),
+          (3, unhex('030000000000000000000000')),
+          (4, NULL)
+        ) t(id, interval_b) ORDER BY id""")),
+
+    // ---- t10: T25 enum→text (identity) + T26 enum→int (1-based
+    // pg_enum definition order; postgres_cloner.rs:439-446:
+    // monday=1 … sunday=7).
+    QueryDef(
+      "t10_enum",
+      (s, _) => {
+        val weekdays = Seq("monday", "tuesday", "wednesday", "thursday",
+          "friday", "saturday", "sunday")
+        df(s)(Seq((1, "monday"), (2, "sunday"), (3, "wednesday"), (4, null)))
+          .select(col("id"),
+            col("v").as("enum_text"),
+            enumToInt(col("v"), weekdays).as("enum_int"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT id, v AS enum_text,
+          CASE v WHEN 'monday' THEN 1 WHEN 'tuesday' THEN 2 WHEN 'wednesday' THEN 3
+                 WHEN 'thursday' THEN 4 WHEN 'friday' THEN 5 WHEN 'saturday' THEN 6
+                 WHEN 'sunday' THEN 7 END AS enum_int
+        FROM (VALUES (1,'monday'), (2,'sunday'), (3,'wednesday'), (4,NULL)) t(id, v)
+        ORDER BY id""")),
+
+    // ---- t11: T27 int4range→struct. 'empty' → all-NULL bounds +
+    // is_empty + false inclusivities; '(,)' → NULL bounds, is_empty
+    // false (pg_custom_types.rs:126-152; test_custom_types.py:100-133).
+    QueryDef(
+      "t11_range_int4",
+      (s, _) =>
+        df(s)(Seq(
+          (1, "[1,5)"), (2, "empty"), (3, "(,)"), (4, "[3,)"), (5, "(,10)"),
+          (6, null)))
+          .select(col("id"),
+            rangeToStruct(col("v"), _.cast(IntegerType)).as("range_v"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT * FROM (VALUES
+          (1, {'lower': 1, 'upper': 5, 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false}),
+          (2, {'lower': CAST(NULL AS INT), 'upper': CAST(NULL AS INT), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': true}),
+          (3, {'lower': CAST(NULL AS INT), 'upper': CAST(NULL AS INT), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': false}),
+          (4, {'lower': 3, 'upper': CAST(NULL AS INT), 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false}),
+          (5, {'lower': CAST(NULL AS INT), 'upper': 10, 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': false}),
+          (6, CAST(NULL AS STRUCT(lower INTEGER, upper INTEGER, lower_inclusive BOOLEAN, upper_inclusive BOOLEAN, is_empty BOOLEAN)))
+        ) t(id, range_v) ORDER BY id""")),
+
+    // ---- t12: T27 tsrange→struct (quoted timestamp bounds).
+    QueryDef(
+      "t12_range_ts",
+      (s, _) =>
+        df(s)(Seq(
+          (1, "[\"2020-01-01 00:00:00\",\"2020-06-30 12:00:00\")"),
+          (2, "empty"), (3, "(,\"2021-01-01 00:00:00\")"), (4, null)))
+          .select(col("id"),
+            rangeToStruct(col("v"), e => unquote(e).cast(TimestampNTZType)).as("range_v"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT * FROM (VALUES
+          (1, {'lower': CAST('2020-01-01 00:00:00' AS TIMESTAMP), 'upper': CAST('2020-06-30 12:00:00' AS TIMESTAMP), 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false}),
+          (2, {'lower': CAST(NULL AS TIMESTAMP), 'upper': CAST(NULL AS TIMESTAMP), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': true}),
+          (3, {'lower': CAST(NULL AS TIMESTAMP), 'upper': CAST('2021-01-01 00:00:00' AS TIMESTAMP), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': false}),
+          (4, CAST(NULL AS STRUCT(lower TIMESTAMP, upper TIMESTAMP, lower_inclusive BOOLEAN, upper_inclusive BOOLEAN, is_empty BOOLEAN)))
+        ) t(id, range_v) ORDER BY id""")),
+
+    // ---- t13: T28 composite→struct; all-NULL-fields record '(,,)' is a
+    // non-NULL struct ≠ SQL NULL (py-tests/test_custom_types.py:146-147).
+    QueryDef(
+      "t13_composite",
+      (s, _) =>
+        df(s)(Seq((1, "(1ehz,1,A)"), (2, null), (3, "(,,)"), (4, "(abcd,42,Z)")))
+          .select(col("id"),
+            compositeToStruct(col("v"), Seq(
+              "pdbid" -> identity,
+              "model" -> (_.cast(IntegerType)),
+              "chain" -> identity)).as("comp_v"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT * FROM (VALUES
+          (1, {'pdbid': '1ehz', 'model': 1, 'chain': 'A'}),
+          (2, CAST(NULL AS STRUCT(pdbid VARCHAR, model INTEGER, chain VARCHAR))),
+          (3, {'pdbid': CAST(NULL AS VARCHAR), 'model': CAST(NULL AS INT), 'chain': CAST(NULL AS VARCHAR)}),
+          (4, {'pdbid': 'abcd', 'model': 42, 'chain': 'Z'})
+        ) t(id, comp_v) ORDER BY id""")),
+
+    // ---- t14: T30 1-D arrays from PG text — NULL array ≠ empty ≠
+    // [NULL]; numeric array elements follow the scalar NaN→NULL rule
+    // (appenders/array.rs:98-115; test_arrays.py:13-56). First nested
+    // (ArrayType) outputs through the engine + sink.
+    QueryDef(
+      "t14_arrays_nulls",
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          (1, "{a,b}", "{1,2}", "{1.10,2.20}"),
+          (2, null, null, null),
+          (3, "{NULL,a,NULL,b}", "{}", "{NULL}"),
+          (4, "{}", "{-5,NULL}", "{NaN,3.5}"))
+          .toDF("id", "ta", "ia", "na")
+          .select(col("id"),
+            arrayFromText(col("ta"), identity).as("text_arr"),
+            arrayFromText(col("ia"), _.cast(IntegerType)).as("int_arr"),
+            arrayFromText(col("na"), numericToDecimal(_, 18, 9)).as("num_arr"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, ['a','b'], CAST([1,2] AS INTEGER[]), CAST(['1.10','2.20'] AS DECIMAL(18,9)[])),
+          (2, CAST(NULL AS VARCHAR[]), CAST(NULL AS INTEGER[]), CAST(NULL AS DECIMAL(18,9)[])),
+          (3, [NULL,'a',NULL,'b'], CAST([] AS INTEGER[]), CAST([NULL] AS DECIMAL(18,9)[])),
+          (4, CAST([] AS VARCHAR[]), CAST([-5,NULL] AS INTEGER[]), CAST([NULL,'3.5'] AS DECIMAL(18,9)[]))
+        ) t(id, text_arr, int_arr, num_arr) ORDER BY id""")),
+
+    // ---- t15: T31 multidim arrays → {data,dims,lower_bound} struct:
+    // row-major flatten, per-dim sizes, explicit (possibly negative)
+    // lower bounds (postgres_cloner.rs:843-893; test_arrays.py:94-131).
+    QueryDef(
+      "t15_array_multidim",
+      (s, _) =>
+        df(s)(Seq(
+          (1, "{{1,2},{3,4},{NULL,5}}"), (2, "{1,2,3}"),
+          (3, "[-2:0]={1,2,3}"), (4, "{{{1}}}"), (5, null), (6, "{}")))
+          .select(col("id"), multidimToStruct(col("v")).as("arr_v"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT * FROM (VALUES
+          (1, {'data': CAST([1,2,3,4,NULL,5] AS BIGINT[]), 'dims': CAST([3,2] AS BIGINT[]), 'lower_bound': CAST([1,1] AS INTEGER[])}),
+          (2, {'data': CAST([1,2,3] AS BIGINT[]), 'dims': CAST([3] AS BIGINT[]), 'lower_bound': CAST([1] AS INTEGER[])}),
+          (3, {'data': CAST([1,2,3] AS BIGINT[]), 'dims': CAST([3] AS BIGINT[]), 'lower_bound': CAST([-2] AS INTEGER[])}),
+          (4, {'data': CAST([1] AS BIGINT[]), 'dims': CAST([1,1,1] AS BIGINT[]), 'lower_bound': CAST([1,1,1] AS INTEGER[])}),
+          (5, CAST(NULL AS STRUCT(data BIGINT[], dims BIGINT[], lower_bound INTEGER[]))),
+          (6, {'data': CAST([] AS BIGINT[]), 'dims': CAST([] AS BIGINT[]), 'lower_bound': CAST([] AS INTEGER[])})
+        ) t(id, arr_v) ORDER BY id""")),
+
+    // ---- t16: T32 vector + T33 halfvec (f16 precision edges:
+    // 1.0001→1.0, 10001→10000, 6.0e-8→2^-24; test_pgvector.py:100-125)
+    // + bit(5) text. Halfvec oracle = literal expected floats.
+    QueryDef(
+      "t16_pgvector",
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          (1, "[1,2,3]", "[1.0001,10001]", "10101"),
+          (2, null, null, null),
+          (3, "[0.5,-0.25,3.75]", "[6.0e-8,1]", "0"))
+          .toDF("id", "v", "hv", "bits")
+          .select(col("id"),
+            vectorFromText(col("v")).as("vec_v"),
+            halfvecFromText(col("hv")).as("halfvec_v"),
+            pgBits(col("bits")).as("bits_v"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT id,
+          CAST(string_split(trim(v, '[]'), ',') AS FLOAT[]) AS vec_v,
+          hv AS halfvec_v, bits AS bits_v
+        FROM (VALUES
+          (1, '[1,2,3]', CAST([1.0, 10000.0] AS FLOAT[]), '10101'),
+          (2, NULL, CAST(NULL AS FLOAT[]), NULL),
+          (3, '[0.5,-0.25,3.75]', CAST([5.9604645e-8, 1.0] AS FLOAT[]), '0')
+        ) t(id, v, hv, bits) ORDER BY id""")),
+
+    // ---- t17: T34 sparsevec → Map[Int,Float]; text indices already
+    // carry the +1 shift the reference applies to wire indices
+    // (postgres_cloner.rs:670); '{}/10' → empty map ≠ NULL
+    // (test_pgvector.py:34-45). First MapType through the sink.
+    QueryDef(
+      "t17_sparsevec",
+      (s, _) =>
+        df(s)(Seq(
+          (1, "{1:-1,5:5.25}/5"), (2, "{}/10"), (3, null), (4, "{2:0.5}/3")))
+          .select(col("id"), sparsevecFromText(col("v")).as("sparse_v"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT * FROM (VALUES
+          (1, map([1,5], CAST([-1, 5.25] AS FLOAT[]))),
+          (2, map(CAST([] AS INTEGER[]), CAST([] AS FLOAT[]))),
+          (3, CAST(NULL AS MAP(INTEGER, FLOAT))),
+          (4, map([2], CAST([0.5] AS FLOAT[])))
+        ) t(id, sparse_v) ORDER BY id""")),
+
+    // ---- t18: F20-style nesting stress — list⟨struct⟨list⟨float⟩⟩⟩ with
+    // NULLs at every level, exercising Spark's Dremel shredder (O9–O15)
+    // end-to-end (test_pgvector.py:128-173).
+    QueryDef(
+      "t18_nested_vectors",
+      (s, _) => {
+        import s.implicits._
+        val wrapperType = StructType(Seq(
+          StructField("single", ArrayType(FloatType)),
+          StructField("half", ArrayType(FloatType))))
+        Seq(
+          (1, "[1,2]", "[0.5,0.25]"), (2, null, null), (3, "[3.5]", "[1.0001]"))
+          .toDF("id", "v1", "v2")
+          .select(col("id"),
+            when(col("v1").isNull, lit(null).cast(wrapperType))
+              .otherwise(struct(
+                vectorFromText(col("v1")).as("single"),
+                halfvecFromText(col("v2")).as("half"))).as("wrapper"),
+            when(col("id") === 2, lit(null).cast(ArrayType(wrapperType)))
+              .when(col("id") === 3, array(
+                struct(vectorFromText(col("v1")).as("single"),
+                  halfvecFromText(col("v2")).as("half")),
+                lit(null).cast(wrapperType)))
+              .otherwise(array(
+                struct(vectorFromText(col("v1")).as("single"),
+                  halfvecFromText(col("v2")).as("half")))).as("wrappers"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, {'single': CAST([1,2] AS FLOAT[]), 'half': CAST([0.5,0.25] AS FLOAT[])},
+              [{'single': CAST([1,2] AS FLOAT[]), 'half': CAST([0.5,0.25] AS FLOAT[])}]),
+          (2, CAST(NULL AS STRUCT(single FLOAT[], half FLOAT[])),
+              CAST(NULL AS STRUCT(single FLOAT[], half FLOAT[])[])),
+          (3, {'single': CAST([3.5] AS FLOAT[]), 'half': CAST([1.0] AS FLOAT[])},
+              [{'single': CAST([3.5] AS FLOAT[]), 'half': CAST([1.0] AS FLOAT[])}, NULL])
+        ) t(id, wrapper, wrappers) ORDER BY id"""))
+  )
+}
