@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** Every registered query across all operator suites. */
   def all: Seq[QueryDef] =
-    operators.Relational.queries ++ operators.Types.queries
+    operators.Relational.queries ++ operators.Types.queries ++
+      operators.Pipeline.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

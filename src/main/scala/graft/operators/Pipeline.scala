@@ -1,0 +1,571 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables (builder brief; beyond the reference's surface).
+  *
+  * Scale stance (100 TB): every operator is bucketed/blocked — MinHash
+  * bands and SimHash chunks turn near-dup search into `groupBy(bucket)`
+  * (no all-pairs); candidate verification joins are bounded by bucket
+  * collisions; embedding search broadcasts the (small) query side and
+  * the IVF variant restricts the scan to one cluster. Nothing here
+  * collects to the driver.
+  *
+  * Determinism stance: every floating-point reduction that must match
+  * the DuckDB oracle bit-for-bit is either (a) an exact integer/decimal
+  * aggregate, or (b) a *sequential* double fold (`aggregate` over an
+  * array — same left-to-right order DuckDB's `list_reduce` uses), never
+  * a partitioned float `SUM`.
+  */
+object Pipeline {
+
+  /** 32-bit integer identity of a shingle: md5-prefix parse. Identical
+    * formula on the oracle side: CAST('0x' || substr(md5(s),1,8) AS BIGINT). */
+  private def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** 48-bit token hash (fits exactly in double/BIGINT on both engines). */
+  private def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+
+  private def words(c: Column): Column = split(c, "\\s+")
+
+  /** Sequential (left-to-right) double dot product of two float arrays —
+    * matches DuckDB list_reduce over list_transform exactly. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(dotAb: Column, n2a: Column, n2b: Column): Column =
+    dotAb / (sqrt(n2a) * sqrt(n2b))
+
+  /** MinHash params: 32 universal-hash functions h_i(x)=(a_i x+b_i) mod p
+    * over the 32-bit shingle ids; 8 bands × 4 rows. */
+  private val MinhashP = 4294967311L
+  private val NumHashes = 32
+  private val BandRows = 4
+  private def hashA(i: Int): Long = 2L * i + 1
+  private def hashB(i: Int): Long = 99991L * i + 7
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- p01: exact deduplication via content hash — one shuffle on the
+    // 128-bit digest; representative = min doc_id per group. At 100 TB
+    // the digest groupBy is the canonical exact-dedup plan (no text
+    // comparison, fixed-width keys).
+    QueryDef(
+      "p01_exact_dedup",
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(
+            min(col("doc_id")).as("keep_doc_id"),
+            count(lit(1)).as("n_copies"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("keep_doc_id")),
+      Some("""
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""),
+      headline = true),
+
+    // ---- p02: MinHash-LSH near-duplicate detection. Single shuffle
+    // computes all 32 min-hashes (no 32× row blowup); stack() emits the
+    // 8 banded signatures; near-dup candidates come from bucket
+    // collisions only (groupBy(band, sig)); exact word-5-gram Jaccard
+    // verifies candidates. The oracle recomputes the identical pipeline
+    // in SQL from the same hash formulas.
+    QueryDef(
+      "p02_minhash_lsh",
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 5)
+        val sh = docs
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), size(col("ws")) - 4),
+              i => array_join(slice(col("ws"), i, lit(5)), " "))).as("sh"))
+          .select(col("doc_id"), hash32(col("sh")).as("x"))
+          .distinct()
+
+        val minCols = (0 until NumHashes).map(i =>
+          min((lit(hashA(i)) * col("x") + lit(hashB(i))) % MinhashP).as(s"mh$i"))
+        val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+
+        val sigCols = (0 until NumHashes / BandRows).map(b =>
+          concat_ws(",", (0 until BandRows).map(r =>
+            col(s"mh${b * BandRows + r}").cast(StringType)): _*).as(s"sig$b"))
+        val stackExpr = (0 until NumHashes / BandRows)
+          .map(b => s"$b, sig$b").mkString(", ")
+        val bands = mh.select(col("doc_id") +: sigCols: _*)
+          .select(col("doc_id"),
+            expr(s"stack(${NumHashes / BandRows}, $stackExpr) AS (band, sig)"))
+
+        val buckets = bands.groupBy(col("band"), col("sig"))
+          .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")) > 1)
+        val pairs = buckets
+          .select(explode(col("docs")).as("da"), col("docs"))
+          .select(col("da"), explode(col("docs")).as("db"))
+          .filter(col("da") < col("db"))
+          .distinct()
+
+        val ns = sh.groupBy(col("doc_id")).count()
+        val inter = pairs
+          .join(sh.as("s1"), col("da") === col("s1.doc_id"))
+          .join(sh.as("s2"),
+            col("db") === col("s2.doc_id") && col("s1.x") === col("s2.x"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        inter
+          .join(ns.as("na"), col("da") === col("na.doc_id"))
+          .join(ns.as("nb"), col("db") === col("nb.doc_id"))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            (col("c") / (col("na.count") + col("nb.count") - col("c"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+          WHERE len(string_split_regex(text, '\\s+')) >= 5),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8) AS BIGINT) AS x
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+        params AS (
+          SELECT i, 2*i + 1 AS a, 99991*i + 7 AS b FROM unnest(range(0, $NumHashes)) t(i)),
+        mh AS (
+          SELECT doc_id, i, MIN((a*x + b) % $MinhashP) AS mh
+          FROM sh, params GROUP BY doc_id, i),
+        sig AS (
+          SELECT doc_id, i // $BandRows AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+          FROM mh GROUP BY doc_id, i // $BandRows),
+        buckets AS (
+          SELECT band, sig, list_sort(list(DISTINCT doc_id)) AS docs
+          FROM sig GROUP BY band, sig HAVING COUNT(DISTINCT doc_id) > 1),
+        pairs AS (
+          SELECT DISTINCT ta.da, tb.db
+          FROM buckets, unnest(docs) ta(da), unnest(docs) tb(db) WHERE ta.da < tb.db),
+        ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.da, p.db, COUNT(*) AS c
+          FROM pairs p
+          JOIN sh s1 ON s1.doc_id = p.da
+          JOIN sh s2 ON s2.doc_id = p.db AND s2.x = s1.x
+          GROUP BY p.da, p.db)
+        SELECT i.da AS doc_a, i.db AS doc_b,
+               i.c / (na.n + nb.n - i.c) AS jaccard
+        FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
+        WHERE i.c / (na.n + nb.n - i.c) >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      headline = true),
+
+    // ---- p03: SimHash fingerprints — 48-bit weighted-bit-vote hash,
+    // one shuffle (48 conditional sums in a single groupBy).
+    QueryDef(
+      "p03_simhash",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+          .select(col("doc_id"), hash48(col("w")).as("t"))
+        val votes = (0 until 48).map(b =>
+          sum(when(expr(s"(t >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+        val fp = (0 until 48).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+        toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"), fp.as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS t
+          FROM documents, unnest(string_split_regex(text, '\s+')) u(w)),
+        votes AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN (t >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM toks, unnest(range(0, 48)) bb(b)
+          GROUP BY doc_id, b)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- p04: exact character-trigram Jaccard near-dup, blocked by
+    // lang (the natural text-dedup partition; bounds the self-join to a
+    // block, never all-pairs across the corpus).
+    QueryDef(
+      "p04_ngram_jaccard",
+      (s, d) => {
+        val tri = T.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(
+            transform(sequence(lit(1), length(col("text")) - 2),
+              i => substr(col("text"), i, lit(3)))).as("tri"))
+          .distinct()
+        val inter = tri.as("a")
+          .join(tri.as("b"),
+            col("a.lang") === col("b.lang") && col("a.tri") === col("b.tri") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("c"))
+        val ns = tri.groupBy(col("doc_id")).count()
+        inter
+          .join(ns.as("na"), col("da") === col("na.doc_id"))
+          .join(ns.as("nb"), col("db") === col("nb.doc_id"))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            (col("c") / (col("na.count") + col("nb.count") - col("c"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH tri AS (
+          SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
+          FROM documents, unnest(range(1, length(text) - 1)) t(i)),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+          FROM tri a JOIN tri b
+            ON a.lang = b.lang AND a.tri = b.tri AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        ns AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id)
+        SELECT i.da AS doc_a, i.db AS doc_b,
+               i.c / (na.n + nb.n - i.c) AS jaccard
+        FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
+        WHERE i.c / (na.n + nb.n - i.c) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- p05: brute-force cosine top-k over embeddings — the ANN
+    // baseline. Query side (k rows) is broadcast; per-vector norms are
+    // computed once; the scan side streams. Dot products are sequential
+    // double folds (see object doc) so ranks agree with the oracle.
+    QueryDef(
+      "p05_embedding_knn",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            dot(col("embedding"), col("embedding")).as("n2"))
+        val q = e.filter(col("vec_id") <= 4)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(dot(col("qe"), col("embedding")), col("qn2"), col("n2")).as("cos_sim"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 list_reduce(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) AS n2
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id,
+                 list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+          FROM e q, e c WHERE q.vec_id <= 4 AND c.vec_id <> q.vec_id)
+        SELECT q_id, vec_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rk
+        FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk"""),
+      headline = true),
+
+    // ---- p06: embedding cosine near-dup, blocked by label cluster
+    // (the IVF-style partition: candidate pairs only within a cluster,
+    // never all-pairs across the corpus).
+    QueryDef(
+      "p06_embedding_neardup",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            dot(col("embedding"), col("embedding")).as("n2"))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.label").as("label"),
+            cosine(dot(col("a.embedding"), col("b.embedding")),
+              col("a.n2"), col("b.n2")).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 list_reduce(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) AS n2
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                 (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                 (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+        ORDER BY vec_a, vec_b""")),
+
+    // ---- p07: IVF approximate nearest-neighbor — coarse quantizer
+    // (one deterministic medoid per label cluster; k-means training is
+    // an offline job, stubbed here by min-vec_id medoids), probe the
+    // best cluster, then search only that cluster's members. The scale
+    // path: the scan is restricted to ~1/k of the corpus and the
+    // centroid table broadcasts.
+    QueryDef(
+      "p07_ann_ivf",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            dot(col("embedding"), col("embedding")).as("n2"))
+        val wMed = Window.partitionBy(col("label")).orderBy(col("vec_id").asc)
+        val medoids = e.withColumn("mrk", row_number().over(wMed))
+          .filter(col("mrk") === 1)
+          .select(col("label").as("m_label"), col("embedding").as("me"), col("n2").as("mn2"))
+        val wAssign = Window.partitionBy(col("q_id"))
+          .orderBy(col("m_cos").desc, col("m_label").asc)
+        val assigned = e.filter(col("vec_id") <= 4)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+          .crossJoin(broadcast(medoids))
+          .withColumn("m_cos", cosine(dot(col("qe"), col("me")), col("qn2"), col("mn2")))
+          .withColumn("ark", row_number().over(wAssign))
+          .filter(col("ark") === 1)
+          .select(col("q_id"), col("qe"), col("qn2"), col("m_label").as("probe_label"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        e.join(broadcast(assigned), col("label") === col("probe_label"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("probe_label"), col("vec_id"),
+            cosine(dot(col("qe"), col("embedding")), col("qn2"), col("n2")).as("cos_sim"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 3)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 list_reduce(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) AS n2
+          FROM embeddings),
+        medoids AS (
+          SELECT label AS m_label, embedding AS me, n2 AS mn2
+          FROM e QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id ASC) = 1),
+        assigned AS (
+          SELECT q.vec_id AS q_id, q.embedding AS qe, q.n2 AS qn2, m.m_label AS probe_label
+          FROM e q, medoids m WHERE q.vec_id <= 4
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(q.embedding) + 1),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(m.me[i] AS DOUBLE)),
+              (acc, x) -> acc + x) / (sqrt(q.n2) * sqrt(m.mn2)) DESC, m.m_label ASC) = 1),
+        scored AS (
+          SELECT a.q_id, a.probe_label, c.vec_id,
+                 list_reduce(list_transform(range(1, len(a.qe) + 1),
+                   i -> CAST(a.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) / (sqrt(a.qn2) * sqrt(c.n2)) AS cos_sim
+          FROM assigned a JOIN e c ON c.label = a.probe_label AND c.vec_id <> a.q_id)
+        SELECT q_id, probe_label, vec_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rk
+        FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""")),
+
+    // ---- p08: corpus text statistics per language (partial-aggregable;
+    // exact integer sums so the double means are deterministic).
+    QueryDef(
+      "p08_text_stats",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("lang"), col("n_chars"),
+            size(words(col("text"))).cast(LongType).as("n_words"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+            sum(col("n_words")).as("total_words"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("lang")),
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_words,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- p09: language-ID heuristic — stopword-marker voting with a
+    // fixed tie-break chain (deterministic argmax). On real corpora the
+    // marker lists carry the signal; here they exercise the operator.
+    QueryDef(
+      "p09_lang_id",
+      (s, d) => {
+        val markers = Map(
+          "en" -> Seq("the", "a", "of", "and", "is"),
+          "de" -> Seq("der", "die", "das", "und", "ist"),
+          "fr" -> Seq("le", "la", "les", "et", "est"),
+          "es" -> Seq("el", "los", "las", "y", "es"))
+        def score(m: Seq[String]): Column =
+          size(filter(words(col("text")), w => w.isin(m.map(lit(_)): _*)))
+            .cast(LongType)
+        val scored = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            score(markers("en")).as("s_en"), score(markers("de")).as("s_de"),
+            score(markers("fr")).as("s_fr"), score(markers("es")).as("s_es"))
+        scored
+          .withColumn("predicted",
+            when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0, "und")
+              .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+              .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+              .when(col("s_fr") >= col("s_es"), "fr")
+              .otherwise("es"))
+          .select(col("doc_id"), col("lang"), col("predicted"),
+            (col("predicted") === col("lang")).as("agrees"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+            CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+            CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr,
+            CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('el','los','las','y','es'))) AS BIGINT) AS s_es
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+                    WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS predicted,
+               CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+                    WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END = lang AS agrees
+        FROM scored ORDER BY doc_id""")),
+
+    // ---- p10: document quality scoring — length, stopword ratio,
+    // punctuation ratio, token diversity, combined with a fixed-order
+    // double formula (deterministic; per-row, embarrassingly parallel).
+    QueryDef(
+      "p10_quality_score",
+      (s, d) => {
+        val ws = words(col("text"))
+        val nWords = size(ws).cast(DoubleType)
+        val stopRatio =
+          size(filter(ws, w => w.isin("the", "a", "of", "and", "is")))
+            .cast(DoubleType) / nWords
+        val punctRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+            .cast(DoubleType) / length(col("text")).cast(DoubleType)
+        val diversity =
+          size(array_distinct(ws)).cast(DoubleType) / nWords
+        val lenScore = least(col("n_chars").cast(DoubleType) / 500.0, lit(1.0))
+        val q = lenScore * 0.4 + stopRatio * 0.2 + (lit(1.0) - punctRatio) * 0.2 +
+          diversity * 0.2
+        T.documents(s, d)
+          .select(col("doc_id"), q.as("quality"), (q >= 0.5).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+          + CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+            / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 0.2
+          + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)) * 0.2
+          + CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+            / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 0.2 AS quality,
+          least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+          + CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+            / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 0.2
+          + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)) * 0.2
+          + CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+            / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 0.2 >= 0.5 AS keep
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- p11: token counting — whitespace tokens and a BPE-ish
+    // regex tokenizer (letter runs | digit runs | single symbol),
+    // aggregated per language.
+    QueryDef(
+      "p11_token_count",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("lang"),
+            size(words(col("text"))).cast(LongType).as("ws_toks"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast(LongType).as("bpe_toks"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_toks")).as("total_ws_tokens"),
+            sum(col("bpe_toks")).as("total_bpe_tokens"))
+          .orderBy(col("lang")),
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- p12: document fingerprinting — min-of-rolling-window hashes
+    // (winnowing-style, window = word 3-grams) + distinct-gram count;
+    // a compact per-doc sketch for shard-local dedup indexes.
+    QueryDef(
+      "p12_fingerprint",
+      (s, d) => {
+        val grams = T.documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), size(col("ws")) - 2),
+              i => array_join(slice(col("ws"), i, lit(3)), " "))).as("g"))
+          .select(col("doc_id"), hash32(col("g")).as("h"))
+        grams.groupBy(col("doc_id"))
+          .agg(min(col("h")).as("fingerprint"),
+            countDistinct(col("h")).as("n_distinct_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents
+          WHERE len(string_split_regex(text, '\s+')) >= 3),
+        g AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8) AS BIGINT) AS h
+          FROM w, unnest(range(1, len(ws) - 1)) t(i))
+        SELECT doc_id, MIN(h) AS fingerprint, COUNT(DISTINCT h) AS n_distinct_grams
+        FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- m01: multimodal column plumbing — opaque binary payload +
+    // typed metadata struct; "decode"/feature steps are deterministic
+    // byte-level functions (the real decode is stubbed — image/audio
+    // libs are not in scope; the schema/partitioning/batch shape is the
+    // real deliverable, see operators.Multimodal for the typed
+    // mapPartitions path).
+    QueryDef(
+      "m01_multimodal_meta",
+      (s, d) => {
+        val payload = encode(col("text"), "UTF-8")
+        T.documents(s, d)
+          .select(col("doc_id"),
+            struct(
+              lit("text/plain").as("mime"),
+              octet_length(payload).cast(LongType).as("n_bytes")).as("meta"),
+            substring(hex(payload), 1, 16).as("head_hex"),
+            (octet_length(payload).cast(LongType) / lit(100L)).cast(LongType)
+              .as("n_frames"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               {'mime': 'text/plain', 'n_bytes': CAST(octet_length(encode(text)) AS BIGINT)} AS meta,
+               substr(hex(encode(text)), 1, 16) AS head_hex,
+               CAST(octet_length(encode(text)) // 100 AS BIGINT) AS n_frames
+        FROM documents ORDER BY doc_id"""))
+  )
+}
