@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.{JdbcReader, ParquetDirReader, ParquetSink, Reader}
+import graft.functions.PgConversions.PgSettings
+
+/** CLI shell mirroring the reference's argument surface
+  * (`cli/src/main.rs:48-184`: `export --table T | --query Q -o FILE`
+  * plus connection and handling options; env fallbacks
+  * `postgres_cloner.rs:202-273`).
+  *
+  * The source is either a live PostgreSQL (`--connection jdbc:...`,
+  * `DATABASE_URL`/`POSTGRES_URL` env) or a parquet directory
+  * (`--connection dir:/path`) — both behind [[sources.Reader]], so the
+  * export path is identical. Exactly-one-of table/query is enforced
+  * with the reference's error wording (`main.rs:252-260`).
+  */
+object Main {
+
+  final case class Args(
+      outputFile: String = "",
+      table: Option[String] = None,
+      query: Option[String] = None,
+      connection: Option[String] = None,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      quiet: Boolean = false,
+      settings: PgSettings = PgSettings())
+
+  /** Pure parser — unit-testable; throws IllegalArgumentException with
+    * user-facing messages. */
+  private[graft] def parseArgs(argv: Seq[String], env: Map[String, String]): Args = {
+    if (argv.isEmpty || argv.head != "export")
+      throw new IllegalArgumentException("usage: export [OPTIONS] --output-file FILE (--table T | --query SQL)")
+    var a = Args()
+    var rest = argv.tail.toList
+    def take(flag: String): String = rest match {
+      case v :: tl if !v.startsWith("--") => rest = tl; v
+      case _ => throw new IllegalArgumentException(s"missing value for $flag")
+    }
+    while (rest.nonEmpty) {
+      val flag = rest.head; rest = rest.tail
+      flag match {
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--table" | "-t" => a = a.copy(table = Some(take(flag)))
+        case "--query" | "-q" => a = a.copy(query = Some(take(flag)))
+        case "--connection" => a = a.copy(connection = Some(take(flag)))
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" => a = a.copy(compressionLevel = Some(take(flag).toInt))
+        case "--quiet" => a = a.copy(quiet = true)
+        case "--numeric-handling" =>
+          a = a.copy(settings = a.settings.copy(numericHandling = take(flag)))
+        case "--decimal-precision" =>
+          a = a.copy(settings = a.settings.copy(decimalPrecision = take(flag).toInt))
+        case "--decimal-scale" =>
+          a = a.copy(settings = a.settings.copy(decimalScale = take(flag).toInt))
+        case "--enum-handling" =>
+          a = a.copy(settings = a.settings.copy(enumHandling = take(flag)))
+        case "--interval-handling" =>
+          a = a.copy(settings = a.settings.copy(intervalHandling = take(flag)))
+        case "--macaddr-handling" =>
+          a = a.copy(settings = a.settings.copy(macaddrHandling = take(flag)))
+        case "--array-handling" =>
+          a = a.copy(settings = a.settings.copy(arrayHandling = take(flag)))
+        case other =>
+          throw new IllegalArgumentException(s"unknown option '$other'")
+      }
+    }
+    if (a.outputFile.isEmpty)
+      throw new IllegalArgumentException("--output-file is required")
+    (a.table, a.query) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException("either --table or --query must be specified, but not both")
+      case (None, None) =>
+        throw new IllegalArgumentException("either --table or --query must be specified")
+      case _ =>
+    }
+    ParquetSink.codecFor(a.compression) // validate early
+    a
+  }
+
+  private[graft] def readerFor(a: Args, env: Map[String, String]): Reader = {
+    val conn = JdbcReader.resolveUrl(a.connection, env).getOrElse(
+      throw new IllegalArgumentException(
+        "no connection: pass --connection, or set DATABASE_URL / POSTGRES_URL"))
+    if (conn.startsWith("dir:"))
+      new ParquetDirReader(conn.stripPrefix("dir:"), Tables.names)
+    else if (conn.startsWith("jdbc:"))
+      new JdbcReader(conn, env.get("PGUSER"), env.get("PGPASSWORD"))
+    else throw new IllegalArgumentException(
+      s"unsupported connection '$conn' (expected jdbc:postgresql://... or dir:/path)")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a =
+      try parseArgs(argv.toSeq, sys.env)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
+      }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-export")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val reader = readerFor(a, sys.env)
+      val df = a.table.map(reader.table(spark, _))
+        .getOrElse(reader.query(spark, a.query.get))
+      val stats = ParquetSink.write(df, a.outputFile,
+        ParquetSink.SinkOptions(
+          compression = a.compression,
+          compressionLevel = a.compressionLevel,
+          quiet = a.quiet))
+      if (!a.quiet)
+        System.err.println(s"exported ${stats.rows} rows to ${a.outputFile}")
+    } finally spark.stop()
+  }
+}

@@ -14,8 +14,16 @@ import org.apache.spark.sql.types.LongType
   * partitioned directories and the same code holds.
   */
 object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** All access goes through the [[sources.Reader]] seam so a JDBC
+    * source (sources.JdbcReader + PostgresDialect) drops in without
+    * touching any operator (SURVEY §7.2-3). */
+  def reader(dir: String): sources.Reader = new sources.ParquetDirReader(dir, names)
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    reader(dir).table(spark, name)
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+/** Configured Parquet sink (O16/O19/O18).
+  *
+  * Mirrors the reference's writer surface: codec map with zstd default
+  * (`cli/src/main.rs:228-276`), row-group size control
+  * (`cli/src/postgres_cloner.rs:305` — 500 MiB raw), optional
+  * single-file output (the reference always writes one file), overwrite
+  * semantics, and a live progress meter (rows, MiB, rows/s every
+  * ≥300 ms — `cli/src/parquet_writer.rs:107-151`).
+  *
+  * All knobs map to the Spark/parquet-mr options that implement the
+  * same behavior; the Dremel shredding and row-group buffering the
+  * reference hand-rolls (~1,700 LoC) are `df.write.parquet` itself
+  * (SURVEY §7.1).
+  */
+object ParquetSink {
+
+  /** Codec names accepted by the reference (main.rs:239-248) → parquet-mr
+    * codec. lzo is rejected exactly like parquet-mr would, with a clear
+    * message (SURVEY §7.4 documents the deviation). */
+  val Codecs: Map[String, String] = Map(
+    "none" -> "uncompressed",
+    "snappy" -> "snappy",
+    "gzip" -> "gzip",
+    "brotli" -> "brotli",
+    "lz4" -> "lz4",
+    "zstd" -> "zstd")
+
+  final case class SinkOptions(
+      compression: String = "zstd",          // reference default (main.rs:240)
+      compressionLevel: Option[Int] = None,  // zstd/gzip level
+      rowGroupBytes: Long = 512L * 1024 * 1024,
+      maxRecordsPerFile: Option[Long] = None,
+      singleFile: Boolean = true,            // reference writes one file
+      overwrite: Boolean = true,
+      quiet: Boolean = true)
+
+  final case class WriteStats(rows: Long, bytes: Long, files: Int)
+
+  def codecFor(name: String): String =
+    Codecs.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unsupported compression '$name' (supported: ${Codecs.keys.toSeq.sorted.mkString(", ")}; lzo is not available in parquet-mr)"))
+
+  /** O18 parity: rows/bytes/rate from executor output metrics, printed
+    * at most every 300 ms, plus a final summary line. */
+  private final class Progress(quiet: Boolean) extends SparkListener {
+    val rows = new AtomicLong(0)
+    val bytes = new AtomicLong(0)
+    private val lastPrint = new AtomicLong(0)
+    private val t0 = System.nanoTime()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val om = te.taskMetrics.outputMetrics
+      if (om != null) {
+        val r = rows.addAndGet(om.recordsWritten)
+        val b = bytes.addAndGet(om.bytesWritten)
+        val now = System.currentTimeMillis()
+        val last = lastPrint.get()
+        if (!quiet && now - last >= 300 && lastPrint.compareAndSet(last, now)) {
+          val secs = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+        f"[sink] $r rows, ${b / 1048576.0}%.1f MiB, ${r / math.max(secs, 1e-9)}%.0f rows/s")
+        }
+      }
+    }
+  }
+
+  def write(df: DataFrame, path: String, opts: SinkOptions = SinkOptions()): WriteStats = {
+    val spark = df.sparkSession
+    val codec = codecFor(opts.compression)
+    val listener = new Progress(opts.quiet)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = if (opts.singleFile) df.coalesce(1) else df
+      var w = out.write
+        .mode(if (opts.overwrite) "overwrite" else "errorifexists")
+        .option("compression", codec)
+        .option("parquet.block.size", opts.rowGroupBytes)
+      opts.compressionLevel.foreach { lvl =>
+        w = w.option("parquet.compression.codec.zstd.level", lvl)
+      }
+      opts.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n))
+      w.parquet(path)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // final stats from the files themselves (the listener is a live
+    // meter; footers are the ground truth)
+    val parts = partFiles(path)
+    val stats = WriteStats(
+      parts.map(rowCount).sum, parts.map(_.length).sum, parts.length)
+    if (!opts.quiet)
+      System.err.println(
+        f"[sink] done: ${stats.rows} rows, ${stats.bytes / 1048576.0}%.2f MiB parquet, ${stats.files} file(s)")
+    stats
+  }
+
+  def partFiles(path: String): Seq[java.io.File] = {
+    val files = new java.io.File(path).listFiles()
+    if (files == null) Seq.empty
+    else files.filter(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+  }
+
+  private def footer(f: java.io.File) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter finally r.close()
+  }
+
+  def rowCount(f: java.io.File): Long = {
+    import scala.jdk.CollectionConverters._
+    footer(f).getBlocks.asScala.map(_.getRowCount).sum
+  }
+
+  /** Compression codec of the first column chunk (for option round-trip
+    * assertions). */
+  def fileCodec(f: java.io.File): String = {
+    val b = footer(f).getBlocks
+    b.get(0).getColumns.get(0).getCodec.toString.toLowerCase
+  }
+}

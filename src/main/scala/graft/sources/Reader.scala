@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed source abstraction (SURVEY §7.2-3; O1–O4).
+  *
+  * The reference's source surface is exactly two shapes —
+  * `--table T` (expanded to `SELECT * FROM T`, cli/src/main.rs:297-299)
+  * and `--query SQL` (cli/src/postgres_cloner.rs:294-323) — over one
+  * PostgreSQL connection. [[Reader]] is that seam: the parquet
+  * implementation backs the test corpus, the JDBC implementation
+  * carries the same two shapes to a live database with
+  * [[PostgresDialect]] supplying the §2.3 type mappings during schema
+  * inference (O4). Both return plain DataFrames, so every downstream
+  * operator is source-agnostic and Catalyst pushes filters/pruning
+  * into whichever scan is active.
+  */
+trait Reader {
+
+  /** O1: full-table scan. */
+  def table(spark: SparkSession, name: String): DataFrame
+
+  /** O2: arbitrary-query scan, executed by the engine that owns the
+    * data (PG server-side for JDBC; Catalyst over registered views for
+    * parquet). */
+  def query(spark: SparkSession, sql: String): DataFrame
+}
+
+/** Parquet-directory reader: one `<dir>/<name>.parquet` per table —
+  * the driver's testdata layout. At 100 TB these would be partitioned
+  * directories; `spark.read.parquet` handles both identically. */
+final class ParquetDirReader(dir: String, tableNames: Seq[String]) extends Reader {
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def query(spark: SparkSession, sql: String): DataFrame = {
+    tableNames.foreach(t => table(spark, t).createOrReplaceTempView(t))
+    spark.sql(sql)
+  }
+}
+
+/** JDBC reader for a live PostgreSQL (O1–O3).
+  *
+  * Connection options mirror the reference's surface
+  * (`cli/src/postgres_cloner.rs:136-292`): url from `--connection` or
+  * `DATABASE_URL`/`POSTGRES_URL`, credentials from `PGUSER`/`PGPASSWORD`,
+  * TLS via the url's `ssl*` query params. `fetchsize` keeps the stream
+  * row-group-sized like the reference's bounded buffers;
+  * `partitionOptions` enables the parallel scan the reference lacks
+  * (single-partition default preserves its row order).
+  */
+final class JdbcReader(
+    url: String,
+    user: Option[String] = None,
+    password: Option[String] = None,
+    fetchSize: Int = 10000,
+    partitionOptions: Map[String, String] = Map.empty) extends Reader {
+
+  PostgresDialect.register()
+
+  private def base(spark: SparkSession) = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("fetchsize", fetchSize)
+    val r1 = user.fold(r)(u => r.option("user", u))
+    val r2 = password.fold(r1)(p => r1.option("password", p))
+    partitionOptions.foldLeft(r2) { case (acc, (k, v)) => acc.option(k, v) }
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame =
+    base(spark).option("dbtable", name).load()
+
+  def query(spark: SparkSession, sql: String): DataFrame =
+    base(spark).option("query", sql).load()
+}
+
+object JdbcReader {
+  /** Env-var resolution order matching the reference
+    * (postgres_cloner.rs:202-273): explicit arg, then DATABASE_URL,
+    * then POSTGRES_URL. */
+  def resolveUrl(explicit: Option[String], env: Map[String, String]): Option[String] =
+    explicit.orElse(env.get("DATABASE_URL")).orElse(env.get("POSTGRES_URL"))
+}

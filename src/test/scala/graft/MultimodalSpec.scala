@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRecord
+
+/** Typed mapPartitions plumbing for multimodal payloads. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("extractFeatures: schema-stable typed output, deterministic stub") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRecord(1L, "image/png", Array.tabulate(250)(_.toByte)),
+      MediaRecord(2L, "audio/wav", Array.empty[Byte])).toDS()
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.doc_id)
+    assert(out(0).n_bytes == 250 && out(0).n_frames == 3)
+    assert(out(0).head_hex == "0001020304050607")
+    assert(out(0).width == 16 + 0 && out(0).height == 16 + 1)
+    assert(out(1).n_bytes == 0 && out(1).n_frames == 1 && out(1).head_hex == "")
+  }
+
+  test("sampleFrames: one row per stride") {
+    import spark.implicits._
+    val ds = Seq(MediaRecord(7L, "video/mp4", Array.fill(1000)(1.toByte))).toDS()
+    val frames = Multimodal.sampleFrames(ds, 256).collect().sortBy(_.frame_no)
+    assert(frames.length == 3)
+    assert(frames.map(_.offset).toSeq == Seq(0L, 256L, 512L))
+  }
+
+  test("fromDocuments: real table → typed records, features match m01") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.fromDocuments(spark, TestSpark.sfDir))
+    val viaSql = SparkEntry.queries("m01_multimodal_meta")(spark, TestSpark.sfDir)
+    val a = feats.collect().map(f => f.doc_id -> (f.n_bytes, f.head_hex)).toMap
+    val b = viaSql.collect()
+      .map(r => r.getLong(0) -> (r.getStruct(1).getLong(1), r.getString(2))).toMap
+    assert(a == b)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.PgConversions._
+
+/** Pure-function unit tests for the conversion parsers (no Spark). */
+class PgConversionsSpec extends AnyFunSuite {
+
+  // ---- interval parse (reference spec: py-tests/test_basic_types.py:242-280)
+  test("interval: full form keeps microseconds in struct mode") {
+    assert(parseInterval("1 year 2 mons 1 days 40:05:06.000001") ==
+      PgIntervalParts(14, 1, 144306000001L))
+  }
+  test("interval: negative day with positive time") {
+    assert(parseInterval("-1 days +02:03:04") == PgIntervalParts(0, -1, 7384000000L))
+  }
+  test("interval: months only") {
+    assert(parseInterval("3 mons") == PgIntervalParts(3, 0, 0L))
+  }
+  test("interval: negative time part") {
+    assert(parseInterval("-00:00:01.5") == PgIntervalParts(0, 0, -1500000L))
+  }
+
+  // ---- interval bytes (datatypes/interval.rs:27-44)
+  test("interval bytes: 40h folds one day into the day field, µs truncated") {
+    val b = intervalBytes(PgIntervalParts(14, 1, 144306000001L))
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(b.length == 12)
+    assert(buf.getInt == 14)       // months
+    assert(buf.getInt == 2)        // 1 + 1 folded day
+    assert(buf.getInt == 57906000) // 16:05:06 in millis
+  }
+
+  // ---- float16 rounding (py-tests/test_pgvector.py:100-125)
+  test("f16: precision edges") {
+    assert(roundToFloat16(1.0001f) == 1.0f)
+    assert(roundToFloat16(10001f) == 10000f)
+    assert(roundToFloat16(6.0e-8f) == 5.9604645e-8f) // 2^-24 subnormal
+    assert(roundToFloat16(1.5f) == 1.5f)             // exactly representable
+    assert(roundToFloat16(-2.5f) == -2.5f)
+    assert(roundToFloat16(1e6f).isPosInfinity)       // overflows f16
+    assert(roundToFloat16(Float.NaN).isNaN)
+    assert(java.lang.Float.floatToRawIntBits(roundToFloat16(-0.0f)) ==
+      java.lang.Float.floatToRawIntBits(-0.0f))
+  }
+
+  // ---- multidim array parse (postgres_cloner.rs:843-893; test_arrays.py:94-131)
+  test("multidim: 2-D with NULL element, row-major flatten") {
+    val r = parseMultidim("{{1,2},{3,4},{NULL,5}}")
+    assert(r.data == Seq(Some(1L), Some(2L), Some(3L), Some(4L), None, Some(5L)))
+    assert(r.dims == Seq(3L, 2L))
+    assert(r.lower_bound == Seq(1, 1))
+  }
+  test("multidim: explicit negative lower bound") {
+    val r = parseMultidim("[-2:0]={1,2,3}")
+    assert(r.data == Seq(Some(1L), Some(2L), Some(3L)))
+    assert(r.dims == Seq(3L))
+    assert(r.lower_bound == Seq(-2))
+  }
+  test("multidim: deep singleton and empty") {
+    assert(parseMultidim("{{{1}}}").dims == Seq(1L, 1L, 1L))
+    val e = parseMultidim("{}")
+    assert(e.data.isEmpty && e.dims.isEmpty && e.lower_bound.isEmpty)
+  }
+}

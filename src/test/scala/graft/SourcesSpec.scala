@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.sources.{ParquetSink, PostgresDialect}
+import java.nio.file.Files
+
+/** Reader seam, writer options round-trip, dialect mappings, CLI parse. */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ---- Reader (O1/O2)
+  test("ParquetDirReader: table scan and query scan") {
+    val r = Tables.reader(TestSpark.sfDir)
+    assert(r.table(spark, "region").count() == 5)
+    assert(r.query(spark, "SELECT COUNT(*) AS n FROM region").collect()(0).getLong(0) == 5)
+  }
+
+  // ---- PostgresDialect (O4)
+  test("dialect maps pg type names per §2.3") {
+    def m(tn: String, sqlType: Int = java.sql.Types.OTHER) =
+      PostgresDialect.getCatalystType(sqlType, tn, 0, new MetadataBuilder)
+    assert(m("int2").contains(ShortType))
+    assert(m("oid").contains(LongType))      // T4: u32 widened
+    assert(m("money").contains(DecimalType(18, 2)))
+    assert(m("timestamptz").contains(TimestampType))
+    assert(m("timestamp").contains(TimestampNTZType))
+    assert(m("uuid").contains(StringType))
+    assert(m("vector").contains(StringType)) // decoded by PgConversions
+    assert(m("some_enum_type").contains(StringType)) // OTHER → text
+    assert(PostgresDialect.canHandle("jdbc:postgresql://h/db"))
+    assert(!PostgresDialect.canHandle("jdbc:mysql://h/db"))
+  }
+
+  // ---- ParquetSink (O16/O19)
+  test("sink: codec + single-file round-trip via footer") {
+    val out = Files.createTempDirectory("sink").toString + "/t"
+    val df = spark.range(1000).toDF("id")
+    val stats = ParquetSink.write(df, out, ParquetSink.SinkOptions(
+      compression = "zstd", compressionLevel = Some(3)))
+    assert(stats.rows == 1000 && stats.files == 1)
+    val f = ParquetSink.partFiles(out).head
+    assert(ParquetSink.fileCodec(f) == "zstd")
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+
+  test("sink: multi-file with maxRecordsPerFile; gzip codec") {
+    val out = Files.createTempDirectory("sink").toString + "/t"
+    val df = spark.range(1000).toDF("id")
+    val stats = ParquetSink.write(df, out, ParquetSink.SinkOptions(
+      compression = "gzip", singleFile = false, maxRecordsPerFile = Some(300)))
+    assert(stats.rows == 1000 && stats.files >= 4)
+    assert(ParquetSink.fileCodec(ParquetSink.partFiles(out).head) == "gzip")
+  }
+
+  test("sink: lzo and unknown codecs rejected with a clear message") {
+    val e = intercept[IllegalArgumentException](ParquetSink.codecFor("lzo"))
+    assert(e.getMessage.contains("lzo"))
+    intercept[IllegalArgumentException](ParquetSink.codecFor("nope"))
+  }
+
+  // ---- CLI arg surface (O3/O22 error-message parity)
+  test("cli: exactly one of table/query; env-var connection resolution") {
+    import Main.parseArgs
+    val ok = parseArgs(Seq("export", "-o", "/tmp/x", "--table", "t1",
+      "--compression", "gzip", "--numeric-handling", "decimal"), Map.empty)
+    assert(ok.table.contains("t1") && ok.compression == "gzip")
+    assert(ok.settings.numericHandling == "decimal")
+
+    val both = intercept[IllegalArgumentException](
+      parseArgs(Seq("export", "-o", "x", "--table", "a", "--query", "b"), Map.empty))
+    assert(both.getMessage.contains("not both"))
+    val neither = intercept[IllegalArgumentException](
+      parseArgs(Seq("export", "-o", "x"), Map.empty))
+    assert(neither.getMessage.contains("must be specified"))
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("export", "-o", "x", "--table", "a", "--compression", "lzo"), Map.empty))
+
+    assert(graft.sources.JdbcReader.resolveUrl(None,
+      Map("DATABASE_URL" -> "jdbc:postgresql://a", "POSTGRES_URL" -> "jdbc:postgresql://b"))
+      .contains("jdbc:postgresql://a"))
+    val dirReader = Main.readerFor(Main.Args(connection = Some(s"dir:${TestSpark.sfDir}")), Map.empty)
+    assert(dirReader.table(spark, "nation").count() == 25)
+  }
+}
