@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface.
+  *
+  * The reference is batch-only (SURVEY §1.1), so this is beyond-parity:
+  * the same event-stream semantics the batch suite covers (q28/q30)
+  * expressed as incremental plans — `readStream → transform →
+  * writeStream` with watermarks bounding state. Each transform takes a
+  * streaming OR batch DataFrame (Spark's unified API), so the batch
+  * tests validate logic and the streaming tests validate incremental
+  * execution with MemoryStream sources.
+  *
+  * Scale: state is keyed by (user_id[, window]) — high-cardinality keys
+  * shard across executors; watermarks evict state so long-running jobs
+  * hold only the active horizon.
+  */
+object Streams {
+
+  /** Sessionization (the streaming twin of q30): native session windows
+    * merge events separated by < gap; the watermark closes sessions and
+    * evicts their state. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Tumbling-window event counts with late-data handling: rows later
+    * than the watermark are dropped, on-time late rows update their
+    * window — standard incremental aggregation shape. */
+  def eventCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  // ---- custom keyed state: KeyValueGroupedDataset.mapGroupsWithState
+
+  final case class UserEvent(user_id: Long, event_type: String)
+  final case class UserStats(user_id: Long, n_events: Long, n_purchases: Long)
+
+  /** Running per-user counters — the mapGroupsWithState shape for
+    * semantics window functions can't express incrementally. State is
+    * one small struct per user. */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0L))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            acc.copy(
+              n_events = acc.n_events + 1,
+              n_purchases = acc.n_purchases + (if (e.event_type == "purchase") 1 else 0))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Expected output mode for [[runningUserStats]] sinks. */
+  val runningStatsOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.streaming.Streams
+import graft.streaming.Streams.UserEvent
+
+/** Incremental execution of the streaming transforms via MemoryStream. */
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: events within gap merge, beyond gap split") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val df = in.toDF().toDF("user_id", "ts")
+    val q = Streams.sessionize(df, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+        (1L, ts("2024-01-01 12:00:00")), (2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance the watermark far enough to close all sessions
+      in.addData((9L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("eventCounts: tumbling window with watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "event_type")
+    val q = Streams.eventCounts(df, window_ = "1 hour")
+      .writeStream.format("memory").queryName("counts")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:01:00"), "click"), (ts("2024-01-01 10:59:00"), "click"),
+        (ts("2024-01-01 10:30:00"), "purchase"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 13:00:00"), "click")) // closes the 10:00 window
+      q.processAllAvailable()
+      val rows = spark.table("counts")
+        .select("event_type", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(rows == Seq(("click", 2L), ("purchase", 1L)))
+    } finally q.stop()
+  }
+
+  test("runningUserStats: keyed state accumulates across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = Streams.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("stats")
+      .outputMode(Streams.runningStatsOutputMode).start()
+    try {
+      in.addData(UserEvent(1, "click"), UserEvent(1, "purchase"))
+      q.processAllAvailable()
+      in.addData(UserEvent(1, "click"), UserEvent(2, "click"))
+      q.processAllAvailable()
+      val last = spark.table("stats")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("n_purchases").as("p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(last == Seq((1L, 3L, 1L), (2L, 1L, 0L)))
+    } finally q.stop()
+  }
+}
