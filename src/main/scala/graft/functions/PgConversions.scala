@@ -85,6 +85,25 @@ object PgConversions {
       .otherwise(c.cast(DecimalType(p, s)))
   }
 
+  /** T7 at precision > 38 (reference tests use 76 and 140,
+    * py-tests/test_basic_types.py:126-132): exceeds Spark's DecimalType
+    * maximum, so emit the same physical bytes the reference writes —
+    * the two's-complement big-endian unscaled value at the requested
+    * scale (datatypes/numeric.rs:12-17 `convert_decimal_to_bytes`) as
+    * BinaryType (SURVEY §7.4 documented deviation: Spark cannot attach
+    * the DECIMAL(p>38) logical annotation). NaN → NULL as in the
+    * in-range path. */
+  private[graft] def bigDecimalBytes(text: String, scale: Int): Array[Byte] =
+    new java.math.BigDecimal(text)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().toByteArray
+
+  def numericToBigDecimalBytes(c: Column, precision: Int, scale: Int): Column = {
+    val u = udf((s: String) =>
+      Option(s).filter(_ != "NaN").map(bigDecimalBytes(_, scale)))
+    u(c)
+  }
+
   /** T8 numeric → double/float32: parse from decimal text (the
     * precision-preserving path the reference uses, numeric.rs:81-98);
     * NaN stays NaN. */

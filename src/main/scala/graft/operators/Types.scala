@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.functions.PgConversions._
+import graft.functions.PgTypeMapper
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -479,6 +480,37 @@ object Types {
               CAST(NULL AS STRUCT(single FLOAT[], half FLOAT[])[])),
           (3, {'single': CAST([3.5] AS FLOAT[]), 'half': CAST([1.0] AS FLOAT[])},
               [{'single': CAST([3.5] AS FLOAT[]), 'half': CAST([1.0] AS FLOAT[])}, NULL])
-        ) t(id, wrapper, wrappers) ORDER BY id"""))
+        ) t(id, wrapper, wrappers) ORDER BY id""")),
+
+    // ---- t19: T7 precision beyond DecimalType's 38 (reference tests
+    // use numeric(140,100) exported at p76/s50,
+    // py-tests/test_basic_types.py:126-132) — the settings-driven
+    // [[graft.functions.PgTypeMapper]] routes to the two's-complement
+    // byte encoding the reference writes; string handling keeps full
+    // 100-digit fidelity. Oracle = literal expected bytes.
+    QueryDef(
+      "t19_numeric_p76",
+      (s, _) => {
+        val p76 = PgSettings(
+          numericHandling = "decimal", decimalPrecision = 76, decimalScale = 50)
+        val str = PgSettings(numericHandling = "string")
+        df(s)(Seq(
+          (1, "1000.0001"), (2, "NaN"),
+          (3, "1.00000000000000000000000000000000000000000001"),
+          (4, null), (5, "-12345.6789")))
+          .select(col("id"),
+            PgTypeMapper.convert("numeric", col("v"), p76).as("d76_bytes"),
+            PgTypeMapper.convert("numeric", col("v"), str).as("str_v"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, unhex('010B46C88E4142A5C5CBAE9201154CFDFA400000000000'), '1000.0001'),
+          (2, NULL, 'NaN'),
+          (3, unhex('446C3B15F9926687D2C40534FDB5640000000F4240'),
+              '1.00000000000000000000000000000000000000000001'),
+          (4, NULL, NULL),
+          (5, unhex('F31C4A5EF46CB5DDA4087AF14786B6D858C00000000000'), '-12345.6789')
+        ) t(id, d76_bytes, str_v) ORDER BY id"""))
   )
 }

@@ -44,6 +44,25 @@ class PgConversionsSpec extends AnyFunSuite {
       java.lang.Float.floatToRawIntBits(-0.0f))
   }
 
+  // ---- p>38 decimal bytes (datatypes/numeric.rs:12-17)
+  test("bigDecimalBytes: two's-complement BE unscaled value at scale") {
+    def hex(s: String, scale: Int) =
+      bigDecimalBytes(s, scale).map(b => f"${b & 0xff}%02X").mkString
+    assert(hex("1", 2) == "64")            // 1.00 → 100
+    assert(hex("-1", 2) == "9C")           // -100
+    assert(hex("1000.0001", 50) == "010B46C88E4142A5C5CBAE9201154CFDFA400000000000")
+  }
+
+  test("PgTypeMapper: unsupported types error with the column workaround") {
+    import graft.functions.{PgTypeMapper => M}
+    import org.apache.spark.sql.functions.col
+    val e = intercept[IllegalArgumentException](
+      M.convert("tsvector", col("c"), PgSettings()))
+    assert(e.getMessage.contains("tsvector") && e.getMessage.contains("::text"))
+    intercept[IllegalArgumentException](
+      M.convert("numeric", col("c"), PgSettings(numericHandling = "bogus")))
+  }
+
   // ---- multidim array parse (postgres_cloner.rs:843-893; test_arrays.py:94-131)
   test("multidim: 2-D with NULL element, row-major flatten") {
     val r = parseMultidim("{{1,2},{3,4},{NULL,5}}")
