@@ -101,6 +101,7 @@ object Main {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-export")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

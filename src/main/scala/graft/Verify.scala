@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .appName("graft-verify")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // INT64 micros (not INT96) so DuckDB/pyarrow read timestamps losslessly

@@ -36,11 +36,12 @@ object Pipeline {
   private def words(c: Column): Column = split(c, "\\s+")
 
   /** Sequential (left-to-right) double dot product of two float arrays —
-    * matches DuckDB list_reduce over list_transform exactly. */
+    * matches DuckDB list_reduce over list_transform exactly. Backed by
+    * the codegen'd [[graft.plans.FloatDotProduct]] expression
+    * (registered via GraftExtensions) instead of interpreted
+    * higher-order functions. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("float_dot", a, b)
 
   private def cosine(dotAb: Column, n2a: Column, n2b: Column): Column =
     dotAb / (sqrt(n2a) * sqrt(n2b))

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The codegen'd float_dot expression registered by GraftExtensions. */
+class FloatDotProductSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("float_dot: sequential double accumulation, codegen and eval agree") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.4f)))
+      .toDF("a", "b")
+      .select(call_function("float_dot", col("a"), col("b")).as("d"))
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    // reference values computed by the same sequential fold
+    def fold(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    assert(got == Seq(fold(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
+      fold(Seq(0.1f, 0.2f), Seq(0.3f, 0.4f))))
+  }
+
+  test("float_dot: null array propagates, type mismatch rejected") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(call_function("float_dot", col("a"), col("b")).as("d"))
+    assert(df.collect()(0).isNullAt(0))
+    val e = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b")
+        .select(call_function("float_dot", col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("float_dot") ||
+      e.getMessage.contains("array<float>"))
+  }
+}
