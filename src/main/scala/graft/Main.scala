@@ -91,6 +91,28 @@ object Main {
       s"unsupported connection '$conn' (expected jdbc:postgresql://... or dir:/path)")
   }
 
+  /** The export pipeline: read (table or query) → single ordered
+    * parquet file. Order preservation is the reference's implicit
+    * contract (py-tests export `ORDER BY` queries and assert row order,
+    * wrappers.py:117-118): the sink's coalesce(1) concatenates
+    * partitions in order, so a sorted query stays sorted in the file
+    * (SURVEY §7.5-4). Separated from main() so tests drive it with a
+    * shared session. */
+  private[graft] def runExport(spark: SparkSession, a: Args,
+      env: Map[String, String]): ParquetSink.WriteStats = {
+    val reader = readerFor(a, env)
+    val df = a.table.map(reader.table(spark, _))
+      .getOrElse(reader.query(spark, a.query.get))
+    val stats = ParquetSink.write(df, a.outputFile,
+      ParquetSink.SinkOptions(
+        compression = a.compression,
+        compressionLevel = a.compressionLevel,
+        quiet = a.quiet))
+    if (!a.quiet)
+      System.err.println(s"exported ${stats.rows} rows to ${a.outputFile}")
+    stats
+  }
+
   def main(argv: Array[String]): Unit = {
     val a =
       try parseArgs(argv.toSeq, sys.env)
@@ -106,17 +128,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val reader = readerFor(a, sys.env)
-      val df = a.table.map(reader.table(spark, _))
-        .getOrElse(reader.query(spark, a.query.get))
-      val stats = ParquetSink.write(df, a.outputFile,
-        ParquetSink.SinkOptions(
-          compression = a.compression,
-          compressionLevel = a.compressionLevel,
-          quiet = a.quiet))
-      if (!a.quiet)
-        System.err.println(s"exported ${stats.rows} rows to ${a.outputFile}")
-    } finally spark.stop()
+    try runExport(spark, a, sys.env)
+    finally spark.stop()
   }
 }

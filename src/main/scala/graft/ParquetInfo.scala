@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** O20 parity: the reference's hidden `parquet-info` diagnostic
+  * (`cli/src/parquetinfo.rs:36-70`) — dump file metadata, per-row-group
+  * and per-column stats, then the schema and a value sample.
+  *
+  * Usage: runMain graft.ParquetInfo <file-or-dir> [sampleRows]
+  */
+object ParquetInfo {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse(
+      sys.error("usage: ParquetInfo <file-or-dir> [sampleRows]"))
+    val sample = args.lift(1).map(_.toInt).getOrElse(20)
+
+    val target = new java.io.File(path)
+    val files =
+      if (target.isFile) Seq(target)
+      else graft.sources.ParquetSink.partFiles(path)
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val ft = r.getFooter
+        println(s"file: ${f.getPath}")
+        println(s"  created by: ${ft.getFileMetaData.getCreatedBy}")
+        println(s"  schema:\n${ft.getFileMetaData.getSchema.toString.linesIterator.map("    " + _).mkString("\n")}")
+        ft.getBlocks.asScala.zipWithIndex.foreach { case (b, i) =>
+          println(f"  row group $i: ${b.getRowCount} rows, ${b.getTotalByteSize} raw bytes, ${b.getCompressedSize} compressed")
+          b.getColumns.asScala.foreach { c =>
+            println(s"    ${c.getPath}: ${c.getPrimitiveType.getPrimitiveTypeName} codec=${c.getCodec} " +
+              s"values=${c.getValueCount} encodings=${c.getEncodings.asScala.mkString(",")}")
+          }
+        }
+      } finally r.close()
+    }
+
+    if (sample > 0) {
+      val spark = SparkSession.builder().master("local[2]")
+        .appName("graft-parquet-info")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        val df = spark.read.parquet(path)
+        df.printSchema()
+        df.show(sample, truncate = false)
+      } finally spark.stop()
+    }
+  }
+}

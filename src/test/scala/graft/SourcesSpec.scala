@@ -59,6 +59,19 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ParquetSink.codecFor("nope"))
   }
 
+  // ---- end-to-end export: single ordered file (§7.5-4)
+  test("export: ordered query → single parquet file, order preserved") {
+    val out = java.nio.file.Files.createTempDirectory("exp").toString + "/region"
+    val stats = Main.runExport(spark, Main.Args(
+      outputFile = out,
+      query = Some("SELECT r_regionkey, r_name FROM region ORDER BY r_name DESC"),
+      connection = Some(s"dir:${TestSpark.sfDir}"),
+      quiet = true), Map.empty)
+    assert(stats.rows == 5 && stats.files == 1)
+    val names = spark.read.parquet(out).collect().map(_.getString(1)).toSeq
+    assert(names == names.sorted.reverse) // file row order = query order
+  }
+
   // ---- CLI arg surface (O3/O22 error-message parity)
   test("cli: exactly one of table/query; env-var connection resolution") {
     import Main.parseArgs
