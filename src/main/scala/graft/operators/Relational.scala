@@ -665,6 +665,47 @@ object Relational {
         FROM sess
         GROUP BY user_id, session_no
         ORDER BY user_id, session_no"""),
-      headline = true)
+      headline = true),
+
+    // ---- q31: approx_count_distinct (HyperLogLog++). Sketch estimates
+    // are engine-specific, so there is no DuckDB value oracle (rows-only
+    // check); RelationalSpec asserts the estimate lands within the
+    // configured relative error of the exact count.
+    QueryDef(
+      "q31_approx_count_distinct",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
+          .orderBy(col("l_returnflag")),
+      None),
+
+    // ---- q32: two-phase salted aggregation — the skew-mitigation plan
+    // shape for heavy grouping keys (l_returnflag has 3 values → at
+    // 100 TB a plain groupBy funnels the corpus through 3 reducers).
+    // Phase 1 fans each key across 16 salts (decimal partials stay
+    // exact); phase 2 combines partials. Result is bit-identical to the
+    // unsalted plan, so the oracle is the plain GROUP BY.
+    QueryDef(
+      "q32_salted_agg",
+      (s, d) => {
+        val salted = T.lineitem(s, d)
+          .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(dec(col("l_quantity"))).as("part_qty"),
+               count(lit(1)).as("part_n"))
+        salted.groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("part_qty")).cast(DecimalType(27, 4)).cast(DoubleType).as("sum_qty"),
+            sum(col("part_n")).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""
+        SELECT l_returnflag,
+               ${dsumSql("l_quantity")} AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }

@@ -511,6 +511,37 @@ object Types {
               '1.00000000000000000000000000000000000000000001'),
           (4, NULL, NULL),
           (5, unhex('F31C4A5EF46CB5DDA4087AF14786B6D858C00000000000'), '-12345.6789')
-        ) t(id, d76_bytes, str_v) ORDER BY id"""))
+        ) t(id, d76_bytes, str_v) ORDER BY id""")),
+
+    // ---- t20: F16 enum ranges — a range whose subtype is an enum:
+    // text bounds plus the enum→int handling applied inside the range
+    // struct (test_custom_types.py:94-133; bounds '[monday,tuesday]',
+    // '(,)', 'empty', NULL).
+    QueryDef(
+      "t20_enum_range",
+      (s, _) => {
+        val weekdays = Seq("monday", "tuesday", "wednesday", "thursday",
+          "friday", "saturday", "sunday")
+        df(s)(Seq(
+          (1, "[monday,tuesday]"), (2, "(,)"), (3, "empty"), (4, null),
+          (5, "[friday,)")))
+          .select(col("id"),
+            rangeToStruct(col("v"), identity).as("range_text"),
+            rangeToStruct(col("v"), e => enumToInt(e, weekdays)).as("range_int"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, {'lower': 'monday', 'upper': 'tuesday', 'lower_inclusive': true, 'upper_inclusive': true, 'is_empty': false},
+              {'lower': 1, 'upper': 2, 'lower_inclusive': true, 'upper_inclusive': true, 'is_empty': false}),
+          (2, {'lower': CAST(NULL AS VARCHAR), 'upper': CAST(NULL AS VARCHAR), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': false},
+              {'lower': CAST(NULL AS INT), 'upper': CAST(NULL AS INT), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': false}),
+          (3, {'lower': CAST(NULL AS VARCHAR), 'upper': CAST(NULL AS VARCHAR), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': true},
+              {'lower': CAST(NULL AS INT), 'upper': CAST(NULL AS INT), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': true}),
+          (4, CAST(NULL AS STRUCT(lower VARCHAR, upper VARCHAR, lower_inclusive BOOLEAN, upper_inclusive BOOLEAN, is_empty BOOLEAN)),
+              CAST(NULL AS STRUCT(lower INTEGER, upper INTEGER, lower_inclusive BOOLEAN, upper_inclusive BOOLEAN, is_empty BOOLEAN))),
+          (5, {'lower': 'friday', 'upper': CAST(NULL AS VARCHAR), 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false},
+              {'lower': 5, 'upper': CAST(NULL AS INT), 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false})
+        ) t(id, range_text, range_int) ORDER BY id"""))
   )
 }
