@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.types._
+import graft.functions.PgConversions
+import graft.functions.PgConversions.PgSettings
+import graft.functions.PgTypeMapper
+
+/** O4 core: pg_catalog introspection → recursive type resolution →
+  * Spark schema + per-column conversion recipe.
+  *
+  * This is the engine's equivalent of the reference's
+  * `map_schema_column` recursion over `postgres::types::Kind`
+  * (`cli/src/postgres_cloner.rs:429-561`): [[PgKind]] mirrors
+  * `Kind::{Simple,Enum,Array,Domain,Range,Composite}`, [[PgSchema.toSparkType]]
+  * mirrors the schema construction (array handling modes, range/composite
+  * groups), and [[PgSchema.recipe]] mirrors the appender-tree
+  * construction — except the "appender" is a Catalyst Column over the
+  * text-form transfer, so Spark's Parquet writer does the Dremel
+  * shredding (SURVEY §1.3).
+  *
+  * The catalog model is three relations, exactly what the introspection
+  * queries in [[PgCatalog.IntrospectionSql]] return from a live server;
+  * tests drive the same code from canned rows.
+  */
+object PgSchema {
+
+  // ---- Kind ADT (postgres_cloner.rs:429: match t.kind())
+  sealed trait PgKind
+  final case class PgSimple(name: String) extends PgKind
+  final case class PgEnum(name: String, labels: Seq[String]) extends PgKind
+  final case class PgArray(elem: PgKind) extends PgKind
+  final case class PgDomain(inner: PgKind) extends PgKind
+  final case class PgRange(elem: PgKind) extends PgKind
+  final case class PgComposite(name: String, fields: Seq[(String, PgKind)]) extends PgKind
+
+  private def rangeStruct(bound: DataType) = StructType(Seq(
+    StructField("lower", bound),
+    StructField("upper", bound),
+    StructField("lower_inclusive", BooleanType),
+    StructField("upper_inclusive", BooleanType),
+    StructField("is_empty", BooleanType)))
+
+  /** Target Spark type per kind + settings (postgres_cloner.rs:434-558). */
+  def toSparkType(kind: PgKind, s: PgSettings): DataType = kind match {
+    case PgSimple(name) => simpleType(name, s)
+    case PgEnum(_, _) =>
+      if (s.enumHandling == "int") IntegerType else StringType
+    case PgArray(elem) => s.arrayHandling match {
+      case "plain" => ArrayType(toSparkType(elem, s))
+      case "dims" => StructType(Seq(
+        StructField("data", ArrayType(toSparkType(elem, s))),
+        StructField("dims", ArrayType(LongType)),
+        StructField("lower_bound", ArrayType(IntegerType))))
+      case _ => StructType(Seq( // dims+lb — same struct; dims mode omits lb
+        StructField("data", ArrayType(toSparkType(elem, s))),
+        StructField("dims", ArrayType(LongType)),
+        StructField("lower_bound", ArrayType(IntegerType))))
+    }
+    case PgDomain(inner) => toSparkType(inner, s) // transparent unwrap (:498-500)
+    case PgRange(elem) => rangeStruct(toSparkType(elem, s))
+    case PgComposite(_, fields) =>
+      StructType(fields.map { case (n, k) => StructField(n, toSparkType(k, s)) })
+  }
+
+  /** map_simple_type (postgres_cloner.rs:578-699) as a type table. */
+  def simpleType(name: String, s: PgSettings): DataType = name match {
+    case "bool" => BooleanType
+    case "int2" => ShortType
+    case "int4" => IntegerType
+    case "int8" => LongType
+    case "oid" => LongType
+    case "\"char\"" => ShortType
+    case "float4" => FloatType
+    case "float8" => DoubleType
+    case "numeric" => s.numericHandling match {
+      case "decimal" =>
+        if (s.decimalPrecision > 38) BinaryType
+        else DecimalType(s.decimalPrecision, s.decimalScale)
+      case "double" => DoubleType
+      case "float32" => FloatType
+      case _ => StringType
+    }
+    case "money" => DecimalType(18, 2)
+    case "bytea" | "uuid" => BinaryType
+    case "macaddr" => s.macaddrHandling match {
+      case "byte-array" => BinaryType
+      case "int64" => LongType
+      case _ => StringType
+    }
+    case "name" | "text" | "xml" | "bpchar" | "varchar" | "citext" |
+         "json" | "jsonb" | "inet" | "bit" | "varbit" => StringType
+    case "date" => DateType
+    case "time" => LongType
+    case "timestamp" => TimestampNTZType
+    case "timestamptz" => TimestampType
+    case "interval" =>
+      if (s.intervalHandling == "struct")
+        StructType(Seq(StructField("months", IntegerType),
+          StructField("days", IntegerType), StructField("microseconds", LongType)))
+      else BinaryType
+    case "vector" | "halfvec" => ArrayType(FloatType)
+    case "sparsevec" => MapType(IntegerType, FloatType)
+    case other => throw new IllegalArgumentException(
+      s"unsupported simple type '$other' — cast to ::text in the query (T35 policy)")
+  }
+
+  /** The conversion Column for a text-form transfer of `kind` — the
+    * appender-tree equivalent. Recursion depth matches what a text
+    * transfer can carry unambiguously: scalars everywhere; ranges and
+    * composites of scalars/enums; arrays of scalars. Deeper shapes
+    * (composite-of-composite wire data) need the binary protocol the
+    * JDBC path does not expose — same boundary the reference's ::text
+    * workaround draws (T35). */
+  def recipe(kind: PgKind, c: Column, s: PgSettings): Column = kind match {
+    case PgSimple(name) => PgTypeMapper.convert(name, c, s)
+    case PgEnum(_, labels) =>
+      if (s.enumHandling == "int") PgConversions.enumToInt(c, labels) else c
+    case PgDomain(inner) => recipe(inner, c, s)
+    case PgRange(elem) =>
+      PgConversions.rangeToStruct(c,
+        e => recipe(elem, PgConversions.unquote(e), s))
+    case PgComposite(_, fields) =>
+      PgConversions.compositeToStruct(c,
+        fields.map { case (n, k) => n -> ((f: Column) => recipe(k, f, s)) })
+    case PgArray(elem) if s.arrayHandling == "plain" =>
+      PgConversions.arrayFromText(c, e => recipe(elem, e, s))
+    case PgArray(PgSimple(n)) if n == "int2" || n == "int4" || n == "int8" =>
+      PgConversions.multidimToStruct(c) // dims/dims+lb modes (T31)
+    case other => throw new IllegalArgumentException(
+      s"no text recipe for $other — cast to ::text in the query (T35 policy)")
+  }
+
+  // ---- catalog model (what IntrospectionSql returns)
+
+  final case class PgTypeRow(
+      oid: Long, name: String, typtype: String,
+      elemOid: Long, baseOid: Long, relOid: Long, rangeSubtypeOid: Long)
+  final case class PgEnumRow(enumTypeOid: Long, sortOrder: Double, label: String)
+  final case class PgAttributeRow(relOid: Long, num: Int, name: String, typeOid: Long)
+
+  final case class PgCatalog(
+      types: Seq[PgTypeRow],
+      enums: Seq[PgEnumRow],
+      attrs: Seq[PgAttributeRow]) {
+
+    private val byOid = types.map(t => t.oid -> t).toMap
+
+    /** postgres_cloner.rs:429-561 Kind resolution from catalog rows. */
+    def resolve(oid: Long): PgKind = {
+      val t = byOid.getOrElse(oid,
+        throw new IllegalArgumentException(s"unknown type oid $oid"))
+      t.typtype match {
+        case "e" => PgEnum(t.name,
+          enums.filter(_.enumTypeOid == oid).sortBy(_.sortOrder).map(_.label))
+        case "d" => PgDomain(resolve(t.baseOid))
+        case "r" => PgRange(resolve(t.rangeSubtypeOid))
+        case "c" => PgComposite(t.name,
+          attrs.filter(_.relOid == t.relOid).sortBy(_.num)
+            .map(a => a.name -> resolve(a.typeOid)))
+        case _ if t.elemOid != 0 && t.name.startsWith("_") =>
+          PgArray(resolve(t.elemOid)) // pg array types: _elemname
+        case _ => PgSimple(t.name)
+      }
+    }
+  }
+
+  object PgCatalog {
+    /** The three introspection queries a live run executes through
+      * [[Reader.query]] (pg_catalog is plain SQL — server-side, tiny). */
+    val IntrospectionSql: Seq[String] = Seq(
+      """SELECT t.oid, t.typname, t.typtype, t.typelem, t.typbasetype,
+        |       t.typrelid, COALESCE(r.rngsubtype, 0) AS rngsubtype
+        |FROM pg_type t LEFT JOIN pg_range r ON r.rngtypid = t.oid""".stripMargin,
+      "SELECT enumtypid, enumsortorder, enumlabel FROM pg_enum",
+      """SELECT attrelid, attnum, attname, atttypid FROM pg_attribute
+        |WHERE attnum > 0 AND NOT attisdropped""".stripMargin)
+
+    /** Load the catalog from a live connection (same rows the canned
+      * test fixtures model). */
+    def load(spark: SparkSession, reader: Reader): PgCatalog = {
+      val Seq(tq, eq, aq) = IntrospectionSql
+      PgCatalog(
+        reader.query(spark, tq).collect().toSeq.map(r => PgTypeRow(
+          r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))),
+        reader.query(spark, eq).collect().toSeq.map(r =>
+          PgEnumRow(r.getLong(0), r.getDouble(1), r.getString(2))),
+        reader.query(spark, aq).collect().toSeq.map(r =>
+          PgAttributeRow(r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))))
+    }
+  }
+}

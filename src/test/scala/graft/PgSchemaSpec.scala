@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import graft.sources.PgSchema._
+import graft.functions.PgConversions.PgSettings
+
+/** Catalog resolution + schema/recipe recursion against a canned
+  * pg_catalog (the shapes the reference's py-tests create:
+  * weekday enum, weekday_range, chain_id composite, arrays, domains). */
+class PgSchemaSpec extends AnyFunSuite {
+
+  private val catalog = PgCatalog(
+    types = Seq(
+      PgTypeRow(21, "int2", "b", 0, 0, 0, 0),
+      PgTypeRow(23, "int4", "b", 0, 0, 0, 0),
+      PgTypeRow(20, "int8", "b", 0, 0, 0, 0),
+      PgTypeRow(25, "text", "b", 0, 0, 0, 0),
+      PgTypeRow(1042, "bpchar", "b", 0, 0, 0, 0),
+      PgTypeRow(1700, "numeric", "b", 0, 0, 0, 0),
+      PgTypeRow(1007, "_int4", "b", 23, 0, 0, 0),     // int4[]
+      PgTypeRow(60000, "weekday", "e", 0, 0, 0, 0),
+      PgTypeRow(60001, "weekday_range", "r", 0, 0, 0, 60000),
+      PgTypeRow(60002, "chain_id", "c", 0, 0, 77, 0),
+      PgTypeRow(60003, "posint", "d", 0, 23, 0, 0)),  // domain over int4
+    enums = (Seq("monday", "tuesday", "wednesday", "thursday", "friday",
+      "saturday", "sunday").zipWithIndex.map { case (l, i) =>
+        PgEnumRow(60000, i + 1.0, l) }).reverse, // order comes from sortorder, not row order
+    attrs = Seq(
+      PgAttributeRow(77, 2, "model", 23),
+      PgAttributeRow(77, 1, "pdbid", 1042),
+      PgAttributeRow(77, 3, "chain", 1042)))
+
+  private val dflt = PgSettings()
+
+  test("resolve: enum labels in sortorder, domain unwrap, array, range, composite") {
+    assert(catalog.resolve(60000) == PgEnum("weekday", Seq("monday", "tuesday",
+      "wednesday", "thursday", "friday", "saturday", "sunday")))
+    assert(catalog.resolve(60003) == PgDomain(PgSimple("int4")))
+    assert(catalog.resolve(1007) == PgArray(PgSimple("int4")))
+    assert(catalog.resolve(60001) == PgRange(PgEnum("weekday", Seq("monday",
+      "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday"))))
+    assert(catalog.resolve(60002) == PgComposite("chain_id", Seq(
+      "pdbid" -> PgSimple("bpchar"), "model" -> PgSimple("int4"),
+      "chain" -> PgSimple("bpchar"))))
+  }
+
+  test("toSparkType: settings-dependent targets") {
+    assert(toSparkType(catalog.resolve(60001), dflt) == StructType(Seq(
+      StructField("lower", StringType), StructField("upper", StringType),
+      StructField("lower_inclusive", BooleanType),
+      StructField("upper_inclusive", BooleanType),
+      StructField("is_empty", BooleanType))))
+    assert(toSparkType(catalog.resolve(60000), dflt.copy(enumHandling = "int")) == IntegerType)
+    assert(toSparkType(catalog.resolve(1007), dflt) == ArrayType(IntegerType))
+    assert(toSparkType(catalog.resolve(1007), dflt.copy(arrayHandling = "dims"))
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("data", "dims", "lower_bound"))
+    assert(toSparkType(PgSimple("numeric"),
+      dflt.copy(numericHandling = "decimal", decimalPrecision = 76)) == BinaryType)
+    assert(toSparkType(catalog.resolve(60003), dflt) == IntegerType) // domain → base
+  }
+
+  test("recipe: range-of-enum end-to-end matches the t20 fixture semantics") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val kind = catalog.resolve(60001)
+    val out = Seq((1, "[monday,tuesday]"), (2, "empty"))
+      .toDF("id", "v")
+      .select(col("id"),
+        recipe(kind, col("v"), dflt.copy(enumHandling = "int")).as("r"))
+      .orderBy(col("id")).collect()
+    assert(out(0).getStruct(1).getInt(0) == 1) // monday → 1
+    assert(out(0).getStruct(1).getInt(1) == 2) // tuesday → 2
+    assert(out(1).getStruct(1).getBoolean(4))  // empty → is_empty
+  }
+
+  test("recipe: composite of scalars parses record text") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val kind = catalog.resolve(60002)
+    val out = Seq((1, "(1ehz,42,A)")).toDF("id", "v")
+      .select(recipe(kind, col("v"), dflt).as("c")).collect()
+    assert(out(0).getStruct(0).getString(0) == "1ehz")
+    assert(out(0).getStruct(0).getInt(1) == 42)
+  }
+
+  test("unknown simple type and unknown oid raise the T35 policy error") {
+    intercept[IllegalArgumentException](simpleType("tsvector", dflt))
+    intercept[IllegalArgumentException](catalog.resolve(99999))
+  }
+}
