@@ -542,6 +542,59 @@ object Types {
               CAST(NULL AS STRUCT(lower INTEGER, upper INTEGER, lower_inclusive BOOLEAN, upper_inclusive BOOLEAN, is_empty BOOLEAN))),
           (5, {'lower': 'friday', 'upper': CAST(NULL AS VARCHAR), 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false},
               {'lower': 5, 'upper': CAST(NULL AS INT), 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false})
-        ) t(id, range_text, range_int) ORDER BY id"""))
+        ) t(id, range_text, range_int) ORDER BY id""")),
+
+    // ---- t21: conversion throughput at fact-table scale (the bench
+    // headline for the type layer): synthesize PG text forms from
+    // lineitem (600k rows at sf0.1), push them through uuid/decimal/
+    // date/time conversions, and aggregate so Catalyst cannot prune the
+    // conversion work. Every aggregate is exact (decimal sum, string
+    // min/max, long max) so the oracle hash-matches.
+    QueryDef(
+      "t21_bulk_convert",
+      (s, d) => {
+        val li = graft.Tables.lineitem(s, d)
+        val m = md5(concat(col("l_orderkey").cast(StringType), lit("-"),
+          col("l_linenumber").cast(StringType)))
+        val textForms = li.select(
+          concat(substring(m, 1, 8), lit("-"), substring(m, 9, 4), lit("-"),
+            substring(m, 13, 4), lit("-"), substring(m, 17, 4), lit("-"),
+            substring(m, 21, 12)).as("uuid_t"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).cast(StringType).as("num_t"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("date_t"),
+          date_format(col("l_shipdate"), "HH:mm:ss").as("time_t"))
+        textForms.select(
+          uuidToBinary(col("uuid_t")).as("uuid_b"),
+          numericToDecimal(col("num_t"), 18, 9).as("price_d"),
+          pgDate(col("date_t")).as("date_v"),
+          pgTimeMicros(col("time_t")).as("time_us"))
+          .groupBy(year(col("date_v")).as("y"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("price_d")).cast(DecimalType(27, 4)).cast(DoubleType).as("total_price"),
+            min(hex(col("uuid_b"))).as("min_uuid_hex"),
+            max(col("time_us")).as("max_time_us"))
+          .orderBy(col("y"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))) AS mm,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS num_t,
+                 strftime(l_shipdate, '%Y-%m-%d') AS date_t,
+                 strftime(l_shipdate, '%H:%M:%S') AS time_t
+          FROM lineitem),
+        conv AS (
+          SELECT unhex(concat(substr(mm,1,8), substr(mm,9,4), substr(mm,13,4),
+                   substr(mm,17,4), substr(mm,21,12))) AS uuid_b,
+                 CAST(num_t AS DECIMAL(18,9)) AS price_d,
+                 CAST(date_t AS DATE) AS date_v,
+                 epoch_us(CAST(concat('1970-01-01 ', time_t) AS TIMESTAMP)) AS time_us
+          FROM m)
+        SELECT CAST(YEAR(date_v) AS INT) AS y, COUNT(*) AS n,
+               CAST(CAST(ROUND(SUM(price_d), 4) AS DECIMAL(27,4)) AS DOUBLE) AS total_price,
+               MIN(hex(uuid_b)) AS min_uuid_hex,
+               CAST(MAX(time_us) AS BIGINT) AS max_time_us
+        FROM conv GROUP BY YEAR(date_v) ORDER BY y"""),
+      headline = true)
   )
 }
