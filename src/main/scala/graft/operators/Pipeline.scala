@@ -95,8 +95,11 @@ object Pipeline {
           .select(col("doc_id"), hash32(col("sh")).as("x"))
           .distinct()
 
+        // one shuffle yields all 32 minima AND the set size (the size
+        // rides the same exchange instead of a second groupBy over sh)
         val minCols = (0 until NumHashes).map(i =>
-          min((lit(hashA(i)) * col("x") + lit(hashB(i))) % MinhashP).as(s"mh$i"))
+          min((lit(hashA(i)) * col("x") + lit(hashB(i))) % MinhashP).as(s"mh$i")) :+
+          count(lit(1)).as("n")
         val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
 
         val sigCols = (0 until NumHashes / BandRows).map(b =>
@@ -117,7 +120,7 @@ object Pipeline {
           .filter(col("da") < col("db"))
           .distinct()
 
-        val ns = sh.groupBy(col("doc_id")).count()
+        val ns = mh.select(col("doc_id"), col("n"))
         val inter = pairs
           .join(sh.as("s1"), col("da") === col("s1.doc_id"))
           .join(sh.as("s2"),
@@ -127,7 +130,7 @@ object Pipeline {
           .join(ns.as("na"), col("da") === col("na.doc_id"))
           .join(ns.as("nb"), col("db") === col("nb.doc_id"))
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            (col("c") / (col("na.count") + col("nb.count") - col("c"))).as("jaccard"))
+            (col("c") / (col("na.n") + col("nb.n") - col("c"))).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
