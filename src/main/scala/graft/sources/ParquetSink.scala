@@ -84,6 +84,13 @@ object ParquetSink {
       opts.compressionLevel.foreach { lvl =>
         w = w.option("parquet.compression.codec.zstd.level", lvl)
       }
+      // High-ratio codecs get bigger pages so the codec sees more
+      // context — the reference's write-batch heuristic for
+      // zstd(level>2)/brotli/gzip (cli/src/main.rs:267-276), expressed
+      // through parquet-mr's page size.
+      val highRatio = codec == "gzip" || codec == "brotli" ||
+        (codec == "zstd" && opts.compressionLevel.exists(_ > 2))
+      if (highRatio) w = w.option("parquet.page.size", 4 * 1024 * 1024)
       opts.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n))
       w.parquet(path)
     } finally spark.sparkContext.removeSparkListener(listener)
