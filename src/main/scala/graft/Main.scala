@@ -62,6 +62,10 @@ object Main {
           a = a.copy(settings = a.settings.copy(macaddrHandling = take(flag)))
         case "--array-handling" =>
           a = a.copy(settings = a.settings.copy(arrayHandling = take(flag)))
+        case "--json-handling" =>
+          a = a.copy(settings = a.settings.copy(jsonHandling = take(flag)))
+        case "--float16-handling" =>
+          a = a.copy(settings = a.settings.copy(float16Handling = take(flag)))
         case other =>
           throw new IllegalArgumentException(s"unknown option '$other'")
       }

@@ -545,6 +545,33 @@ object Pipeline {
         SELECT doc_id, MIN(h) AS fingerprint, COUNT(DISTINCT h) AS n_distinct_grams
         FROM g GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- p13: the composed curation pipeline (operators.Curation) —
+    // dedup → lang gate → length gate → quality gate → token cap, the
+    // end-to-end corpus-prep job, oracle-checked as one query.
+    QueryDef(
+      "p13_curation_pipeline",
+      (s, d) =>
+        Curation.curate(T.documents(s, d)).orderBy(col("doc_id")),
+      Some("""
+        WITH dedup AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang, source, n_chars,
+                 CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+                 least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+                 + CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+                   / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 0.2
+                 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE)) * 0.2
+                 + CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+                   / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 0.2 AS quality
+          FROM dedup
+          WHERE dup_rank = 1 AND lang IN ('en','de','fr','es') AND n_chars >= 100)
+        SELECT doc_id, lang, source, n_chars, n_tokens, quality
+        FROM scored WHERE quality >= 0.5 AND n_tokens <= 10000
+        ORDER BY doc_id""")),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio
