@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.PgConversions._
+
+/** Property-based checks over the pure conversion functions
+  * (scalacheck driven through its own runner). */
+class ConversionPropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("f16 rounding is idempotent and sign-preserving") {
+    check(Prop.forAll(Gen.chooseNum(-65504f, 65504f)) { f =>
+      val once = roundToFloat16(f)
+      val idem = roundToFloat16(once) == once || once.isNaN
+      val sign = f == 0f || once.isNaN || once == 0f || ((f < 0) == (once < 0))
+      idem && sign
+    })
+  }
+
+  test("f16 rounding error is within half an f16 ULP for normal values") {
+    check(Prop.forAll(Gen.chooseNum(6.2e-5f, 65000f)) { f =>
+      val r = roundToFloat16(f)
+      val ulp = math.pow(2, math.floor(math.log(f) / math.log(2)) - 10)
+      math.abs(r - f) <= ulp / 2 * 1.0000001
+    })
+  }
+
+  test("interval parse: months/days/time compose linearly") {
+    val g = for {
+      y <- Gen.chooseNum(0, 40); m <- Gen.chooseNum(0, 11)
+      d <- Gen.chooseNum(-30, 30)
+      h <- Gen.chooseNum(0, 100); mi <- Gen.chooseNum(0, 59); se <- Gen.chooseNum(0, 59)
+    } yield (y, m, d, h, mi, se)
+    check(Prop.forAll(g) { case (y, m, d, h, mi, se) =>
+      val p = parseInterval(f"$y year $m mons $d days $h%d:$mi%02d:$se%02d")
+      p.months == y * 12 + m && p.days == d &&
+        p.microseconds == (h * 3600L + mi * 60L + se) * 1000000L
+    })
+  }
+
+  test("interval bytes: seconds fold into days; millis field stays sub-day") {
+    check(Prop.forAll(Gen.chooseNum(0L, 400L * 24 * 3600 * 1000000L)) { us =>
+      val b = intervalBytes(PgIntervalParts(0, 0, us))
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.getInt // months
+      val days = buf.getInt
+      val millis = buf.getInt
+      millis >= 0 && millis < 86400000 &&
+        days.toLong * 86400000L + millis == us / 1000
+    })
+  }
+
+  test("multidim parse: dims recover shape, data flattens row-major") {
+    val g = for {
+      d1 <- Gen.chooseNum(1, 5); d2 <- Gen.chooseNum(1, 5)
+      vals <- Gen.listOfN(d1 * d2, Gen.chooseNum(-1000L, 1000L))
+    } yield (d1, d2, vals)
+    check(Prop.forAll(g) { case (d1, d2, vals) =>
+      val text = vals.grouped(d2).map(_.mkString("{", ",", "}"))
+        .mkString("{", ",", "}")
+      val r = parseMultidim(text)
+      r.dims == Seq(d1.toLong, d2.toLong) &&
+        r.data == vals.map(Some(_)) && r.lower_bound == Seq(1, 1)
+    })
+  }
+
+  test("bigDecimalBytes round-trips through BigInteger at the same scale") {
+    val g = for {
+      unscaled <- Gen.chooseNum(-1000000000L, 1000000000L)
+      scale <- Gen.chooseNum(0, 30)
+    } yield (unscaled, scale)
+    check(Prop.forAll(g) { case (unscaled, scale) =>
+      val text = new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(unscaled), scale).toPlainString
+      new java.math.BigInteger(bigDecimalBytes(text, scale)).longValueExact == unscaled
+    })
+  }
+}
