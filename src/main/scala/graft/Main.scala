@@ -22,6 +22,10 @@ object Main {
       table: Option[String] = None,
       query: Option[String] = None,
       connection: Option[String] = None,
+      host: Option[String] = None,
+      port: Option[Int] = None,
+      user: Option[String] = None,
+      dbname: Option[String] = None,
       compression: String = "zstd",
       compressionLevel: Option[Int] = None,
       quiet: Boolean = false,
@@ -45,6 +49,10 @@ object Main {
         case "--table" | "-t" => a = a.copy(table = Some(take(flag)))
         case "--query" | "-q" => a = a.copy(query = Some(take(flag)))
         case "--connection" => a = a.copy(connection = Some(take(flag)))
+        case "--host" | "-H" => a = a.copy(host = Some(take(flag)))
+        case "--port" | "-p" => a = a.copy(port = Some(take(flag).toInt))
+        case "--user" | "-U" => a = a.copy(user = Some(take(flag)))
+        case "--dbname" | "-d" => a = a.copy(dbname = Some(take(flag)))
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" => a = a.copy(compressionLevel = Some(take(flag).toInt))
         case "--quiet" => a = a.copy(quiet = true)
@@ -79,18 +87,29 @@ object Main {
         throw new IllegalArgumentException("either --table or --query must be specified")
       case _ =>
     }
+    // --connection and discrete args are mutually exclusive
+    // (reference conflict rule, cli/src/main.rs:119-131)
+    if (a.connection.isDefined &&
+        (a.host.isDefined || a.port.isDefined || a.dbname.isDefined))
+      throw new IllegalArgumentException(
+        "--connection cannot be combined with --host/--port/--dbname")
     ParquetSink.codecFor(a.compression) // validate early
     a
   }
 
+  /** Discrete args → jdbc url (postgres_cloner.rs:222-273 parity). */
+  private[graft] def discreteUrl(a: Args): Option[String] =
+    a.host.map(h =>
+      s"jdbc:postgresql://$h:${a.port.getOrElse(5432)}/${a.dbname.getOrElse("postgres")}")
+
   private[graft] def readerFor(a: Args, env: Map[String, String]): Reader = {
-    val conn = JdbcReader.resolveUrl(a.connection, env).getOrElse(
-      throw new IllegalArgumentException(
-        "no connection: pass --connection, or set DATABASE_URL / POSTGRES_URL"))
+    val conn = JdbcReader.resolveUrl(a.connection.orElse(discreteUrl(a)), env)
+      .getOrElse(throw new IllegalArgumentException(
+        "no connection: pass --connection or --host, or set DATABASE_URL / POSTGRES_URL"))
     if (conn.startsWith("dir:"))
       new ParquetDirReader(conn.stripPrefix("dir:"), Tables.names)
     else if (conn.startsWith("jdbc:"))
-      new JdbcReader(conn, env.get("PGUSER"), env.get("PGPASSWORD"))
+      new JdbcReader(conn, a.user.orElse(env.get("PGUSER")), env.get("PGPASSWORD"))
     else throw new IllegalArgumentException(
       s"unsupported connection '$conn' (expected jdbc:postgresql://... or dir:/path)")
   }

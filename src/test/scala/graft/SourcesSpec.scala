@@ -89,6 +89,14 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       parseArgs(Seq("export", "-o", "x", "--table", "a", "--compression", "lzo"), Map.empty))
 
+    val conflict = intercept[IllegalArgumentException](
+      parseArgs(Seq("export", "-o", "x", "--table", "a",
+        "--connection", "jdbc:postgresql://h/db", "--host", "h2"), Map.empty))
+    assert(conflict.getMessage.contains("cannot be combined"))
+    val disc = parseArgs(Seq("export", "-o", "x", "--table", "a",
+      "--host", "db.example", "--port", "5544", "--dbname", "mydb"), Map.empty)
+    assert(Main.discreteUrl(disc).contains("jdbc:postgresql://db.example:5544/mydb"))
+
     assert(graft.sources.JdbcReader.resolveUrl(None,
       Map("DATABASE_URL" -> "jdbc:postgresql://a", "POSTGRES_URL" -> "jdbc:postgresql://b"))
       .contains("jdbc:postgresql://a"))
