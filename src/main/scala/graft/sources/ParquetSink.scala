@@ -37,6 +37,7 @@ object ParquetSink {
       rowGroupBytes: Long = 512L * 1024 * 1024,
       maxRecordsPerFile: Option[Long] = None,
       singleFile: Boolean = true,            // reference writes one file
+      partitionBy: Seq[String] = Seq.empty,  // beyond-reference: hive-style layout
       overwrite: Boolean = true,
       quiet: Boolean = true)
 
@@ -76,11 +77,12 @@ object ParquetSink {
     val listener = new Progress(opts.quiet)
     spark.sparkContext.addSparkListener(listener)
     try {
-      val out = if (opts.singleFile) df.coalesce(1) else df
+      val out = if (opts.singleFile && opts.partitionBy.isEmpty) df.coalesce(1) else df
       var w = out.write
         .mode(if (opts.overwrite) "overwrite" else "errorifexists")
         .option("compression", codec)
         .option("parquet.block.size", opts.rowGroupBytes)
+      if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)
       opts.compressionLevel.foreach { lvl =>
         w = w.option("parquet.compression.codec.zstd.level", lvl)
       }

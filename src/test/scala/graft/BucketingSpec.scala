@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.ParquetSink
+
+/** Scale techniques the 100 TB plan relies on: bucketed co-located
+  * joins (no shuffle on the join key) and hive-partitioned output. */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed fact-fact join runs without a shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bspec_a")
+    spark.sql("DROP TABLE IF EXISTS bspec_b")
+    spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("va"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("bspec_a")
+    spark.range(10000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("bspec_b")
+
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("bspec_a").join(spark.table("bspec_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 10000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bspec_a")
+      spark.sql("DROP TABLE IF EXISTS bspec_b")
+    }
+  }
+
+  test("sink partitionBy writes hive-style directories") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("part").toString + "/t"
+    val df = Seq((1, "en"), (2, "de"), (3, "en")).toDF("id", "lang")
+    ParquetSink.write(df, out, ParquetSink.SinkOptions(
+      partitionBy = Seq("lang"), singleFile = false))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("lang=de", "lang=en"))
+    assert(spark.read.parquet(out).count() == 3)
+  }
+}
