@@ -58,6 +58,20 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize agrees with the batch window-function sessionization (q30)") {
+    // unified API: the same transform runs in batch mode over the real
+    // events table; session_window(gap) and the q30 lag-based flags
+    // define identical sessions (no exact-30-minute gaps in the data)
+    val viaStream = Streams.sessionize(
+      Tables.events(spark, TestSpark.sfDir).select(col("user_id"), col("ts")))
+      .groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBatch = SparkEntry.queries("q30_sessionize")(spark, TestSpark.sfDir)
+      .groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStream == viaBatch)
+  }
+
   test("runningUserStats: keyed state accumulates across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
