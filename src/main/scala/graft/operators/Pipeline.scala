@@ -572,6 +572,25 @@ object Pipeline {
         FROM scored WHERE quality >= 0.5 AND n_tokens <= 10000
         ORDER BY doc_id""")),
 
+    // ---- p14: corpus vocabulary — global word frequencies with exact
+    // doc-frequency, top-100 by count (deterministic tiebreak on the
+    // word). The groupBy(word) shuffle is the canonical distributed
+    // term-count; TakeOrdered handles the top-k without a full sort.
+    QueryDef(
+      "p14_vocab_topk",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        toks.groupBy(col("w"))
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("tf").desc, col("w").asc)
+          .limit(100)
+      },
+      Some("""
+        SELECT w, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM documents, unnest(string_split_regex(text, '\s+')) t(w)
+        GROUP BY w ORDER BY tf DESC, w ASC LIMIT 100""")),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio

@@ -706,6 +706,53 @@ object Relational {
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // ---- q33: RANGE window frames + first_value/ntile — the
+    // value-based frame family (rowsBetween is covered by q08/q24/q30).
+    // The 7-day trailing count uses a RANGE frame over epoch-days.
+    QueryDef(
+      "q33_range_frame",
+      (s, d) => {
+        val base = T.lineitem(s, d)
+          .filter(col("l_suppkey") <= 5)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            (unix_micros(col("l_shipdate").cast(TimestampType)) / lit(86400000000L))
+              .cast(LongType).as("ship_day"))
+        val wRange = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+          .rangeBetween(-6, Window.currentRow)
+        val wOrder = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("ship_day"), col("l_orderkey"), col("l_linenumber"))
+        base
+          .withColumn("n_7day", count(lit(1)).over(wRange))
+          .withColumn("first_day", first(col("ship_day")).over(wOrder))
+          .withColumn("quartile", ntile(4).over(wOrder))
+          .orderBy(col("l_suppkey"), col("ship_day"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber, ship_day,
+               COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7day,
+               FIRST_VALUE(ship_day) OVER w AS first_day,
+               CAST(NTILE(4) OVER w AS INT) AS quartile
+        FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+                     CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS ship_day
+              FROM lineitem WHERE l_suppkey <= 5) t
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_day, l_orderkey, l_linenumber)
+        ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber""")),
+
+    // ---- q34: exact median (half-sums of doubles ending in .0/.5 are
+    // exact in both engines, so the interpolated value hash-matches).
+    QueryDef(
+      "q34_median",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_linestatus"))
+          .agg(median(col("l_quantity")).as("median_qty"),
+               count(lit(1)).as("n"))
+          .orderBy(col("l_linestatus")),
+      Some("""
+        SELECT l_linestatus, median(l_quantity) AS median_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
   )
 }
