@@ -591,6 +591,34 @@ object Pipeline {
         FROM documents, unnest(string_split_regex(text, '\s+')) t(w)
         GROUP BY w ORDER BY tf DESC, w ASC LIMIT 100""")),
 
+    // ---- p15: deterministic stratified sampling — hash-bucket
+    // subsampling per language stratum (10% en, 50% others), the
+    // reproducible corpus-downsampling op (no RNG: membership is a pure
+    // function of doc_id, so reruns and the oracle agree exactly).
+    QueryDef(
+      "p15_stratified_sample",
+      (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+          .cast(LongType) % 100
+        T.documents(s, d)
+          .withColumn("bucket", bucket)
+          .filter(
+            (col("lang") === "en" && col("bucket") < 10) ||
+            (col("lang") =!= "en" && col("bucket") < 50))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT lang, n_chars,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bucket
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+        FROM b
+        WHERE (lang = 'en' AND bucket < 10) OR (lang <> 'en' AND bucket < 50)
+        GROUP BY lang ORDER BY lang""")),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio

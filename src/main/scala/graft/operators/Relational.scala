@@ -753,6 +753,34 @@ object Relational {
           .orderBy(col("l_linestatus")),
       Some("""
         SELECT l_linestatus, median(l_quantity) AS median_qty, COUNT(*) AS n
-        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- q35: the full rank family — rank/dense_rank/percent_rank/
+    // cume_dist (row_number covered by q07). The ratios are exact
+    // small-integer divisions, bit-stable across engines.
+    QueryDef(
+      "q35_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        T.orders(s, d)
+          .filter(col("o_custkey") <= 100)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            rank().over(w).as("rk"),
+            dense_rank().over(w).as("drk"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey,
+               CAST(RANK() OVER w AS INT) AS rk,
+               CAST(DENSE_RANK() OVER w AS INT) AS drk,
+               PERCENT_RANK() OVER w AS prk,
+               CUME_DIST() OVER w AS cd
+        FROM orders WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ORDER BY o_orderpriority, rk, o_orderkey"""))
   )
 }
