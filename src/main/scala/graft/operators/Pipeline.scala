@@ -202,7 +202,11 @@ object Pipeline {
 
     // ---- p04: exact character-trigram Jaccard near-dup, blocked by
     // lang (the natural text-dedup partition; bounds the self-join to a
-    // block, never all-pairs across the corpus).
+    // block, never all-pairs across the corpus). This is the EXACT
+    // baseline — within a block the trigram join is still quadratic in
+    // colliding docs, so at corpus scale the sketch path (p02
+    // MinHash-LSH) is the production choice and p04 the verifier run
+    // on candidate subsets.
     QueryDef(
       "p04_ngram_jaccard",
       (s, d) => {
