@@ -51,4 +51,36 @@ object QueryDef {
   def davg(c: Column): Column = (dsum(c) / count(lit(1)))
   def davgSql(expr: String): String =
     s"(${dsumSql(expr)} / COUNT(*))"
+
+  /** Driver-safe canonical encodings.
+    *
+    * The driver's comparator loads both sides into pandas, row-sorts with
+    * `sort_values` over every column, and hashes cells type-aware. That
+    * crashes on unhashable cells — dicts (struct/map), lists/ndarrays
+    * (arrays), bytearrays (binary) — and mismatches Decimal-vs-float64
+    * (pandas reads parquet decimals as `decimal.Decimal`; DuckDB's .df()
+    * renders them float64). CORRECTNESS_r03 lost 15 otherwise-correct
+    * queries to exactly this. So: a query registered with an oracle must
+    * emit only string / int / double / boolean / date / timestamp
+    * columns. Nested and binary values are still BUILT inside the query
+    * (and schema-asserted through the parquet sink in the ScalaTest
+    * suites); these helpers encode them as deterministic strings for the
+    * final driver-visible projection. Binary → `hex(...)`; decimal →
+    * `.cast(StringType)` (both engines print full scale digits).
+    */
+  def canonElem(e: Column): Column = coalesce(e.cast(StringType), lit("NULL"))
+
+  /** Array → "[a,b,NULL]" (NULL array → NULL ≠ "[]" ≠ "[NULL]"). */
+  def canonArray(c: Column): Column =
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(concat(lit("["),
+        array_join(transform(c, e => canonElem(e)), ","), lit("]")))
+
+  /** Map → "{k:v,…}" sorted by key (NULL map → NULL ≠ "{}"). */
+  def canonMap(c: Column): Column =
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(concat(lit("{"),
+        array_join(transform(sort_array(map_entries(c)),
+          e => concat(e.getField("key").cast(StringType), lit(":"),
+            canonElem(e.getField("value")))), ","), lit("}")))
 }

@@ -633,11 +633,16 @@ object Pipeline {
       "m01_multimodal_meta",
       (s, d) => {
         val payload = encode(col("text"), "UTF-8")
+        // metadata struct is built, then flattened to scalar fields for
+        // the driver's comparator (struct cells crash it, r03 m01); the
+        // typed-struct path lives in operators.Multimodal + its spec.
+        val meta = struct(
+          lit("text/plain").as("mime"),
+          octet_length(payload).cast(LongType).as("n_bytes"))
         T.documents(s, d)
           .select(col("doc_id"),
-            struct(
-              lit("text/plain").as("mime"),
-              octet_length(payload).cast(LongType).as("n_bytes")).as("meta"),
+            meta.getField("mime").as("meta_mime"),
+            meta.getField("n_bytes").as("meta_n_bytes"),
             substring(hex(payload), 1, 16).as("head_hex"),
             (octet_length(payload).cast(LongType) / lit(100L)).cast(LongType)
               .as("n_frames"))
@@ -645,7 +650,8 @@ object Pipeline {
       },
       Some("""
         SELECT doc_id,
-               {'mime': 'text/plain', 'n_bytes': CAST(octet_length(encode(text)) AS BIGINT)} AS meta,
+               'text/plain' AS meta_mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS meta_n_bytes,
                substr(hex(encode(text)), 1, 16) AS head_hex,
                CAST(octet_length(encode(text)) // 100 AS BIGINT) AS n_frames
         FROM documents ORDER BY doc_id"""))

@@ -668,17 +668,29 @@ object Relational {
       headline = true),
 
     // ---- q31: approx_count_distinct (HyperLogLog++). Sketch estimates
-    // are engine-specific, so there is no DuckDB value oracle (rows-only
-    // check); RelationalSpec asserts the estimate lands within the
-    // configured relative error of the exact count.
+    // are engine-specific, so the raw estimate has no DuckDB twin;
+    // instead the query emits the exact distinct count alongside a
+    // within-tolerance flag for the sketch (rsd=0.02, checked at 2.5×),
+    // which IS oracle-checkable: DuckDB recomputes the exact count and
+    // expects the flag true. A broken sketch (or one drifting past its
+    // configured error) flips the flag and fails the hash.
     QueryDef(
       "q31_approx_count_distinct",
       (s, d) =>
         T.lineitem(s, d)
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx") - col("exact_parts")) <=
+              col("exact_parts") * lit(0.05)).as("approx_within_5pct"))
           .orderBy(col("l_returnflag")),
-      None),
+      Some("""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               true AS approx_within_5pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- q32: two-phase salted aggregation — the skew-mitigation plan
     // shape for heavy grouping keys (l_returnflag has 3 values → at

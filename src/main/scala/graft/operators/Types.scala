@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.QueryDef.{canonArray, canonMap}
 import graft.functions.PgConversions._
 import graft.functions.PgTypeMapper
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -26,6 +27,112 @@ object Types {
   private def df(s: SparkSession)(rows: Seq[(Int, String)]): DataFrame = {
     import s.implicits._
     rows.toDF("id", "v")
+  }
+
+  // ---- Nested builders ------------------------------------------------
+  // The REAL converted shapes — DecimalType / StructType / ArrayType /
+  // MapType columns. The registered queries flatten these to the scalar
+  // encodings the driver's comparator can hash (see QueryDef.canonArray
+  // scaladoc for why); TypesFixtureSpec asserts the nested schemas and
+  // values here directly and round-trips them through the parquet sink.
+
+  private[graft] def t03Nested(s: SparkSession): DataFrame =
+    df(s)(Seq(
+      (1, "1000.0001"), (2, "NaN"),
+      (3, "1.00000000000000000000000000000000000000000001"),
+      (4, "99999999999.9999"), (5, null), (6, "-12345.6789")))
+      .select(col("id"),
+        numericToDecimal(col("v"), 38, 18).as("d38"),
+        numericToDecimal(col("v"), 18, 9).as("d18"),
+        numericToDecimal(col("v"), 9, 4).as("d9"))
+
+  private[graft] def t08Nested(s: SparkSession): DataFrame =
+    df(s)(Seq(
+      (1, "1 year 2 mons 1 days 40:05:06.000001"),
+      (2, "-1 days +02:03:04"), (3, "3 mons"), (4, null)))
+      .select(col("id"), intervalToStruct(col("v")).as("interval_v"))
+
+  private[graft] def t11Nested(s: SparkSession): DataFrame =
+    df(s)(Seq(
+      (1, "[1,5)"), (2, "empty"), (3, "(,)"), (4, "[3,)"), (5, "(,10)"),
+      (6, null)))
+      .select(col("id"),
+        rangeToStruct(col("v"), _.cast(IntegerType)).as("range_v"))
+
+  private[graft] def t12Nested(s: SparkSession): DataFrame =
+    df(s)(Seq(
+      (1, "[\"2020-01-01 00:00:00\",\"2020-06-30 12:00:00\")"),
+      (2, "empty"), (3, "(,\"2021-01-01 00:00:00\")"), (4, null)))
+      .select(col("id"),
+        rangeToStruct(col("v"), e => unquote(e).cast(TimestampNTZType)).as("range_v"))
+
+  private[graft] def t13Nested(s: SparkSession): DataFrame =
+    df(s)(Seq((1, "(1ehz,1,A)"), (2, null), (3, "(,,)"), (4, "(abcd,42,Z)")))
+      .select(col("id"),
+        compositeToStruct(col("v"), Seq(
+          "pdbid" -> identity,
+          "model" -> (_.cast(IntegerType)),
+          "chain" -> identity)).as("comp_v"))
+
+  private[graft] def t14Nested(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1, "{a,b}", "{1,2}", "{1.10,2.20}"),
+      (2, null, null, null),
+      (3, "{NULL,a,NULL,b}", "{}", "{NULL}"),
+      (4, "{}", "{-5,NULL}", "{NaN,3.5}"))
+      .toDF("id", "ta", "ia", "na")
+      .select(col("id"),
+        arrayFromText(col("ta"), identity).as("text_arr"),
+        arrayFromText(col("ia"), _.cast(IntegerType)).as("int_arr"),
+        arrayFromText(col("na"), numericToDecimal(_, 18, 9)).as("num_arr"))
+  }
+
+  private[graft] def t15Nested(s: SparkSession): DataFrame =
+    df(s)(Seq(
+      (1, "{{1,2},{3,4},{NULL,5}}"), (2, "{1,2,3}"),
+      (3, "[-2:0]={1,2,3}"), (4, "{{{1}}}"), (5, null), (6, "{}")))
+      .select(col("id"), multidimToStruct(col("v")).as("arr_v"))
+
+  private[graft] def t16Nested(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1, "[1,2,3]", "[1.0001,10001]", "10101"),
+      (2, null, null, null),
+      (3, "[0.5,-0.25,3.75]", "[6.0e-8,1]", "0"))
+      .toDF("id", "v", "hv", "bits")
+      .select(col("id"),
+        vectorFromText(col("v")).as("vec_v"),
+        halfvecFromText(col("hv")).as("halfvec_v"),
+        pgBits(col("bits")).as("bits_v"))
+  }
+
+  private[graft] def t17Nested(s: SparkSession): DataFrame =
+    df(s)(Seq(
+      (1, "{1:-1,5:5.25}/5"), (2, "{}/10"), (3, null), (4, "{2:0.5}/3")))
+      .select(col("id"), sparsevecFromText(col("v")).as("sparse_v"))
+
+  private[graft] def t18Nested(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val wrapperType = StructType(Seq(
+      StructField("single", ArrayType(FloatType)),
+      StructField("half", ArrayType(FloatType))))
+    Seq(
+      (1, "[1,2]", "[0.5,0.25]"), (2, null, null), (3, "[3.5]", "[1.0001]"))
+      .toDF("id", "v1", "v2")
+      .select(col("id"),
+        when(col("v1").isNull, lit(null).cast(wrapperType))
+          .otherwise(struct(
+            vectorFromText(col("v1")).as("single"),
+            halfvecFromText(col("v2")).as("half"))).as("wrapper"),
+        when(col("id") === 2, lit(null).cast(ArrayType(wrapperType)))
+          .when(col("id") === 3, array(
+            struct(vectorFromText(col("v1")).as("single"),
+              halfvecFromText(col("v2")).as("half")),
+            lit(null).cast(wrapperType)))
+          .otherwise(array(
+            struct(vectorFromText(col("v1")).as("single"),
+              halfvecFromText(col("v2")).as("half")))).as("wrappers"))
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -84,24 +191,25 @@ object Types {
     // overflow→NULL (py-tests/test_basic_types.py:104-147).
     QueryDef(
       "t03_numeric_decimal",
+      // decimals compared as strings: pandas reads parquet decimals as
+      // decimal.Decimal, DuckDB's .df() as float64 — the driver hash can
+      // never match on a DecimalType column (r03 t03). Both engines
+      // print full scale digits on the VARCHAR cast.
       (s, _) =>
-        df(s)(Seq(
-          (1, "1000.0001"), (2, "NaN"),
-          (3, "1.00000000000000000000000000000000000000000001"),
-          (4, "99999999999.9999"), (5, null), (6, "-12345.6789")))
+        t03Nested(s)
           .select(col("id"),
-            numericToDecimal(col("v"), 38, 18).as("d38"),
-            numericToDecimal(col("v"), 18, 9).as("d18"),
-            numericToDecimal(col("v"), 9, 4).as("d9"))
+            col("d38").cast(StringType).as("d38"),
+            col("d18").cast(StringType).as("d18"),
+            col("d9").cast(StringType).as("d9"))
           .orderBy(col("id")),
       Some("""
         SELECT id,
-          CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e20 THEN NULL
-               ELSE CAST(v AS DECIMAL(38,18)) END AS d38,
-          CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e9 THEN NULL
-               ELSE CAST(v AS DECIMAL(18,9)) END AS d18,
-          CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e5 THEN NULL
-               ELSE CAST(v AS DECIMAL(9,4)) END AS d9
+          CAST(CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e20 THEN NULL
+               ELSE CAST(v AS DECIMAL(38,18)) END AS VARCHAR) AS d38,
+          CAST(CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e9 THEN NULL
+               ELSE CAST(v AS DECIMAL(18,9)) END AS VARCHAR) AS d18,
+          CAST(CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e5 THEN NULL
+               ELSE CAST(v AS DECIMAL(9,4)) END AS VARCHAR) AS d9
         FROM (VALUES (1,'1000.0001'), (2,'NaN'),
                      (3,'1.00000000000000000000000000000000000000000001'),
                      (4,'99999999999.9999'), (5,NULL), (6,'-12345.6789')) t(id, v)
@@ -138,22 +246,25 @@ object Types {
           (2, Some(-50L), "00000000-0000-0000-0000-000000000000", "ff:ff:ff:ff:ff:ff"),
           (3, None, null, null))
           .toDF("id", "cents", "u", "m")
+          // binary → hex strings, decimal → string (driver-safe scalars;
+          // the binary/decimal forms themselves round-trip the sink in
+          // PgConversionsSpec / TypesFixtureSpec).
           .select(col("id"),
-            moneyToDecimal(col("cents")).as("money_v"),
-            uuidToBinary(col("u")).as("uuid_bytes"),
+            moneyToDecimal(col("cents")).cast(StringType).as("money_v"),
+            hex(uuidToBinary(col("u"))).as("uuid_hex"),
             col("u").as("uuid_text"),
             macaddrText(col("m")).as("mac_text"),
-            macaddrBinary(col("m")).as("mac_bytes"),
+            hex(macaddrBinary(col("m"))).as("mac_hex"),
             macaddrInt64(col("m")).as("mac_int"))
           .orderBy(col("id"))
       },
       Some("""
         SELECT id,
-          CAST(cents / 100.0 AS DECIMAL(18,2)) AS money_v,
-          unhex(replace(u, '-', '')) AS uuid_bytes,
+          CAST(CAST(cents / 100.0 AS DECIMAL(18,2)) AS VARCHAR) AS money_v,
+          upper(replace(u, '-', '')) AS uuid_hex,
           u AS uuid_text,
           lower(replace(m, ':', '-')) AS mac_text,
-          unhex(replace(m, ':', '')) AS mac_bytes,
+          upper(replace(m, ':', '')) AS mac_hex,
           CAST('0x' || replace(m, ':', '') AS BIGINT) AS mac_int
         FROM (VALUES
           (1, 123456, 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', '08:00:2b:01:02:03'),
@@ -175,8 +286,10 @@ object Types {
             """{"a": 1}""", jsonbWire("""{"a": 1}"""), "101000", "101"),
           (2, null, null, null, null, null, null, null, null))
           .toDF("id", "by", "nm", "ci", "ch", "js", "jb", "bits", "vbits")
+          // bytea compared as hex text (binary cells are bytearrays in
+          // the driver's pandas frame → unhashable → crash, r03 t06)
           .select(col("id"),
-            pgBytea(col("by")).as("bytea_v"),
+            hex(pgBytea(col("by"))).as("bytea_hex"),
             col("nm").as("name_v"), col("ci").as("citext_v"), col("ch").as("char_v"),
             col("js").as("json_v"),
             jsonbStripHeader(col("jb")).as("jsonb_v"),
@@ -186,10 +299,10 @@ object Types {
       },
       Some("""
         SELECT * FROM (VALUES
-          (1, unhex('0102ff'), 'some name', 'CaseInsensitive', 'char      ',
+          (1, '0102FF', 'some name', 'CaseInsensitive', 'char      ',
               '{"a": 1}', '{"a": 1}', '101000', '101'),
           (2, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
-        ) t(id, bytea_v, name_v, citext_v, char_v, json_v, jsonb_v, bits_v, varbits_v)
+        ) t(id, bytea_hex, name_v, citext_v, char_v, json_v, jsonb_v, bits_v, varbits_v)
         ORDER BY id""")),
 
     // ---- t07: T15/T16/T17/T18 date & time. timestamptz is emitted as
@@ -226,25 +339,26 @@ object Types {
     // ---- t08: T24 interval→struct{months,days,microseconds} — µs kept
     // (py-tests/test_basic_types.py:262-280: '1 year 2 mons 1 days
     // 40:05:06.000001' → {14, 1, 144306000001}). Oracle = literal
-    // expected values (DuckDB cannot parse PG interval text).
+    // expected values (DuckDB cannot parse PG interval text). The struct
+    // is built, then flattened to scalar fields for the driver-visible
+    // projection (struct cells crash the driver's comparator, r03 t08);
+    // the struct itself round-trips the sink in TypesFixtureSpec.
     QueryDef(
       "t08_interval_struct",
       (s, _) =>
-        df(s)(Seq(
-          (1, "1 year 2 mons 1 days 40:05:06.000001"),
-          (2, "-1 days +02:03:04"), (3, "3 mons"), (4, null)))
-          .select(col("id"), intervalToStruct(col("v")).as("interval_v"))
+        t08Nested(s)
+          .select(col("id"),
+            col("interval_v.months").as("iv_months"),
+            col("interval_v.days").as("iv_days"),
+            col("interval_v.microseconds").as("iv_us"))
           .orderBy(col("id")),
       Some("""
         SELECT * FROM (VALUES
-          (1, {'months': CAST(14 AS INT), 'days': CAST(1 AS INT),
-               'microseconds': CAST(144306000001 AS BIGINT)}),
-          (2, {'months': CAST(0 AS INT), 'days': CAST(-1 AS INT),
-               'microseconds': CAST(7384000000 AS BIGINT)}),
-          (3, {'months': CAST(3 AS INT), 'days': CAST(0 AS INT),
-               'microseconds': CAST(0 AS BIGINT)}),
-          (4, CAST(NULL AS STRUCT(months INTEGER, days INTEGER, microseconds BIGINT)))
-        ) t(id, interval_v) ORDER BY id""")),
+          (1, CAST(14 AS INT), CAST(1 AS INT), CAST(144306000001 AS BIGINT)),
+          (2, CAST(0 AS INT), CAST(-1 AS INT), CAST(7384000000 AS BIGINT)),
+          (3, CAST(3 AS INT), CAST(0 AS INT), CAST(0 AS BIGINT)),
+          (4, CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT))
+        ) t(id, iv_months, iv_days, iv_us) ORDER BY id""")),
 
     // ---- t09: T23 interval→12-byte LE Parquet INTERVAL bytes: µs→ms
     // truncation, whole-day seconds folded into days
@@ -256,15 +370,16 @@ object Types {
         df(s)(Seq(
           (1, "1 year 2 mons 1 days 40:05:06.000001"),
           (2, "-1 days +02:03:04"), (3, "3 mons"), (4, null)))
-          .select(col("id"), intervalToBytes(col("v")).as("interval_b"))
+          // hex text for the driver (bytearray cells crash its sort)
+          .select(col("id"), hex(intervalToBytes(col("v"))).as("interval_hex"))
           .orderBy(col("id")),
       Some("""
         SELECT * FROM (VALUES
-          (1, unhex('0E0000000200000050937303')),
-          (2, unhex('00000000FFFFFFFFC0AB7000')),
-          (3, unhex('030000000000000000000000')),
+          (1, '0E0000000200000050937303'),
+          (2, '00000000FFFFFFFFC0AB7000'),
+          (3, '030000000000000000000000'),
           (4, NULL)
-        ) t(id, interval_b) ORDER BY id""")),
+        ) t(id, interval_hex) ORDER BY id""")),
 
     // ---- t10: T25 enum→text (identity) + T26 enum→int (1-based
     // pg_enum definition order; postgres_cloner.rs:439-446:
@@ -291,62 +406,71 @@ object Types {
     // ---- t11: T27 int4range→struct. 'empty' → all-NULL bounds +
     // is_empty + false inclusivities; '(,)' → NULL bounds, is_empty
     // false (pg_custom_types.rs:126-152; test_custom_types.py:100-133).
+    // Flattened to scalar fields for the driver; a NULL range yields
+    // NULL in every field (including the booleans), which stays
+    // distinguishable from '(,)' (false,false,false).
     QueryDef(
       "t11_range_int4",
       (s, _) =>
-        df(s)(Seq(
-          (1, "[1,5)"), (2, "empty"), (3, "(,)"), (4, "[3,)"), (5, "(,10)"),
-          (6, null)))
+        t11Nested(s)
           .select(col("id"),
-            rangeToStruct(col("v"), _.cast(IntegerType)).as("range_v"))
+            col("range_v.lower").as("lo"),
+            col("range_v.upper").as("hi"),
+            col("range_v.lower_inclusive").as("lo_inc"),
+            col("range_v.upper_inclusive").as("hi_inc"),
+            col("range_v.is_empty").as("is_empty"))
           .orderBy(col("id")),
       Some("""
         SELECT * FROM (VALUES
-          (1, {'lower': 1, 'upper': 5, 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false}),
-          (2, {'lower': CAST(NULL AS INT), 'upper': CAST(NULL AS INT), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': true}),
-          (3, {'lower': CAST(NULL AS INT), 'upper': CAST(NULL AS INT), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': false}),
-          (4, {'lower': 3, 'upper': CAST(NULL AS INT), 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false}),
-          (5, {'lower': CAST(NULL AS INT), 'upper': 10, 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': false}),
-          (6, CAST(NULL AS STRUCT(lower INTEGER, upper INTEGER, lower_inclusive BOOLEAN, upper_inclusive BOOLEAN, is_empty BOOLEAN)))
-        ) t(id, range_v) ORDER BY id""")),
+          (1, 1, 5, true, false, false),
+          (2, CAST(NULL AS INT), CAST(NULL AS INT), false, false, true),
+          (3, CAST(NULL AS INT), CAST(NULL AS INT), false, false, false),
+          (4, 3, CAST(NULL AS INT), true, false, false),
+          (5, CAST(NULL AS INT), 10, false, false, false),
+          (6, CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN))
+        ) t(id, lo, hi, lo_inc, hi_inc, is_empty) ORDER BY id""")),
 
     // ---- t12: T27 tsrange→struct (quoted timestamp bounds).
     QueryDef(
       "t12_range_ts",
       (s, _) =>
-        df(s)(Seq(
-          (1, "[\"2020-01-01 00:00:00\",\"2020-06-30 12:00:00\")"),
-          (2, "empty"), (3, "(,\"2021-01-01 00:00:00\")"), (4, null)))
+        t12Nested(s)
           .select(col("id"),
-            rangeToStruct(col("v"), e => unquote(e).cast(TimestampNTZType)).as("range_v"))
+            col("range_v.lower").as("lo"),
+            col("range_v.upper").as("hi"),
+            col("range_v.lower_inclusive").as("lo_inc"),
+            col("range_v.upper_inclusive").as("hi_inc"),
+            col("range_v.is_empty").as("is_empty"))
           .orderBy(col("id")),
       Some("""
         SELECT * FROM (VALUES
-          (1, {'lower': CAST('2020-01-01 00:00:00' AS TIMESTAMP), 'upper': CAST('2020-06-30 12:00:00' AS TIMESTAMP), 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false}),
-          (2, {'lower': CAST(NULL AS TIMESTAMP), 'upper': CAST(NULL AS TIMESTAMP), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': true}),
-          (3, {'lower': CAST(NULL AS TIMESTAMP), 'upper': CAST('2021-01-01 00:00:00' AS TIMESTAMP), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': false}),
-          (4, CAST(NULL AS STRUCT(lower TIMESTAMP, upper TIMESTAMP, lower_inclusive BOOLEAN, upper_inclusive BOOLEAN, is_empty BOOLEAN)))
-        ) t(id, range_v) ORDER BY id""")),
+          (1, CAST('2020-01-01 00:00:00' AS TIMESTAMP), CAST('2020-06-30 12:00:00' AS TIMESTAMP), true, false, false),
+          (2, CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), false, false, true),
+          (3, CAST(NULL AS TIMESTAMP), CAST('2021-01-01 00:00:00' AS TIMESTAMP), false, false, false),
+          (4, CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN))
+        ) t(id, lo, hi, lo_inc, hi_inc, is_empty) ORDER BY id""")),
 
     // ---- t13: T28 composite→struct; all-NULL-fields record '(,,)' is a
     // non-NULL struct ≠ SQL NULL (py-tests/test_custom_types.py:146-147).
+    // Flattened per-field + an explicit comp_null flag: the all-NULL-
+    // fields record '(,,)' must stay ≠ SQL NULL after flattening.
     QueryDef(
       "t13_composite",
       (s, _) =>
-        df(s)(Seq((1, "(1ehz,1,A)"), (2, null), (3, "(,,)"), (4, "(abcd,42,Z)")))
+        t13Nested(s)
           .select(col("id"),
-            compositeToStruct(col("v"), Seq(
-              "pdbid" -> identity,
-              "model" -> (_.cast(IntegerType)),
-              "chain" -> identity)).as("comp_v"))
+            col("comp_v.pdbid").as("pdbid"),
+            col("comp_v.model").as("model"),
+            col("comp_v.chain").as("chain"),
+            col("comp_v").isNull.as("comp_null"))
           .orderBy(col("id")),
       Some("""
         SELECT * FROM (VALUES
-          (1, {'pdbid': '1ehz', 'model': 1, 'chain': 'A'}),
-          (2, CAST(NULL AS STRUCT(pdbid VARCHAR, model INTEGER, chain VARCHAR))),
-          (3, {'pdbid': CAST(NULL AS VARCHAR), 'model': CAST(NULL AS INT), 'chain': CAST(NULL AS VARCHAR)}),
-          (4, {'pdbid': 'abcd', 'model': 42, 'chain': 'Z'})
-        ) t(id, comp_v) ORDER BY id""")),
+          (1, '1ehz', 1, 'A', false),
+          (2, CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS VARCHAR), true),
+          (3, CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS VARCHAR), false),
+          (4, 'abcd', 42, 'Z', false)
+        ) t(id, pdbid, model, chain, comp_null) ORDER BY id""")),
 
     // ---- t14: T30 1-D arrays from PG text — NULL array ≠ empty ≠
     // [NULL]; numeric array elements follow the scalar NaN→NULL rule
@@ -354,26 +478,22 @@ object Types {
     // (ArrayType) outputs through the engine + sink.
     QueryDef(
       "t14_arrays_nulls",
-      (s, _) => {
-        import s.implicits._
-        Seq(
-          (1, "{a,b}", "{1,2}", "{1.10,2.20}"),
-          (2, null, null, null),
-          (3, "{NULL,a,NULL,b}", "{}", "{NULL}"),
-          (4, "{}", "{-5,NULL}", "{NaN,3.5}"))
-          .toDF("id", "ta", "ia", "na")
+      // canonical "[..]" strings for the driver: NULL ≠ "[]" ≠ "[NULL]"
+      // survives the encoding; the raw ArrayType columns round-trip the
+      // sink in TypesFixtureSpec.
+      (s, _) =>
+        t14Nested(s)
           .select(col("id"),
-            arrayFromText(col("ta"), identity).as("text_arr"),
-            arrayFromText(col("ia"), _.cast(IntegerType)).as("int_arr"),
-            arrayFromText(col("na"), numericToDecimal(_, 18, 9)).as("num_arr"))
-          .orderBy(col("id"))
-      },
+            canonArray(col("text_arr")).as("text_arr"),
+            canonArray(col("int_arr")).as("int_arr"),
+            canonArray(col("num_arr")).as("num_arr"))
+          .orderBy(col("id")),
       Some("""
         SELECT * FROM (VALUES
-          (1, ['a','b'], CAST([1,2] AS INTEGER[]), CAST(['1.10','2.20'] AS DECIMAL(18,9)[])),
-          (2, CAST(NULL AS VARCHAR[]), CAST(NULL AS INTEGER[]), CAST(NULL AS DECIMAL(18,9)[])),
-          (3, [NULL,'a',NULL,'b'], CAST([] AS INTEGER[]), CAST([NULL] AS DECIMAL(18,9)[])),
-          (4, CAST([] AS VARCHAR[]), CAST([-5,NULL] AS INTEGER[]), CAST([NULL,'3.5'] AS DECIMAL(18,9)[]))
+          (1, '[a,b]', '[1,2]', '[1.100000000,2.200000000]'),
+          (2, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+          (3, '[NULL,a,NULL,b]', '[]', '[NULL]'),
+          (4, '[]', '[-5,NULL]', '[NULL,3.500000000]')
         ) t(id, text_arr, int_arr, num_arr) ORDER BY id""")),
 
     // ---- t15: T31 multidim arrays → {data,dims,lower_bound} struct:
@@ -382,48 +502,42 @@ object Types {
     QueryDef(
       "t15_array_multidim",
       (s, _) =>
-        df(s)(Seq(
-          (1, "{{1,2},{3,4},{NULL,5}}"), (2, "{1,2,3}"),
-          (3, "[-2:0]={1,2,3}"), (4, "{{{1}}}"), (5, null), (6, "{}")))
-          .select(col("id"), multidimToStruct(col("v")).as("arr_v"))
+        t15Nested(s)
+          .select(col("id"),
+            canonArray(col("arr_v.data")).as("data_s"),
+            canonArray(col("arr_v.dims")).as("dims_s"),
+            canonArray(col("arr_v.lower_bound")).as("lb_s"))
           .orderBy(col("id")),
       Some("""
         SELECT * FROM (VALUES
-          (1, {'data': CAST([1,2,3,4,NULL,5] AS BIGINT[]), 'dims': CAST([3,2] AS BIGINT[]), 'lower_bound': CAST([1,1] AS INTEGER[])}),
-          (2, {'data': CAST([1,2,3] AS BIGINT[]), 'dims': CAST([3] AS BIGINT[]), 'lower_bound': CAST([1] AS INTEGER[])}),
-          (3, {'data': CAST([1,2,3] AS BIGINT[]), 'dims': CAST([3] AS BIGINT[]), 'lower_bound': CAST([-2] AS INTEGER[])}),
-          (4, {'data': CAST([1] AS BIGINT[]), 'dims': CAST([1,1,1] AS BIGINT[]), 'lower_bound': CAST([1,1,1] AS INTEGER[])}),
-          (5, CAST(NULL AS STRUCT(data BIGINT[], dims BIGINT[], lower_bound INTEGER[]))),
-          (6, {'data': CAST([] AS BIGINT[]), 'dims': CAST([] AS BIGINT[]), 'lower_bound': CAST([] AS INTEGER[])})
-        ) t(id, arr_v) ORDER BY id""")),
+          (1, '[1,2,3,4,NULL,5]', '[3,2]', '[1,1]'),
+          (2, '[1,2,3]', '[3]', '[1]'),
+          (3, '[1,2,3]', '[3]', '[-2]'),
+          (4, '[1]', '[1,1,1]', '[1,1,1]'),
+          (5, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+          (6, '[]', '[]', '[]')
+        ) t(id, data_s, dims_s, lb_s) ORDER BY id""")),
 
     // ---- t16: T32 vector + T33 halfvec (f16 precision edges:
     // 1.0001→1.0, 10001→10000, 6.0e-8→2^-24; test_pgvector.py:100-125)
     // + bit(5) text. Halfvec oracle = literal expected floats.
     QueryDef(
       "t16_pgvector",
-      (s, _) => {
-        import s.implicits._
-        Seq(
-          (1, "[1,2,3]", "[1.0001,10001]", "10101"),
-          (2, null, null, null),
-          (3, "[0.5,-0.25,3.75]", "[6.0e-8,1]", "0"))
-          .toDF("id", "v", "hv", "bits")
+      // float arrays as canonical strings (Java Float.toString
+      // rendering, pinned as literals in the oracle)
+      (s, _) =>
+        t16Nested(s)
           .select(col("id"),
-            vectorFromText(col("v")).as("vec_v"),
-            halfvecFromText(col("hv")).as("halfvec_v"),
-            pgBits(col("bits")).as("bits_v"))
-          .orderBy(col("id"))
-      },
+            canonArray(col("vec_v")).as("vec_s"),
+            canonArray(col("halfvec_v")).as("halfvec_s"),
+            col("bits_v"))
+          .orderBy(col("id")),
       Some("""
-        SELECT id,
-          CAST(string_split(trim(v, '[]'), ',') AS FLOAT[]) AS vec_v,
-          hv AS halfvec_v, bits AS bits_v
-        FROM (VALUES
-          (1, '[1,2,3]', CAST([1.0, 10000.0] AS FLOAT[]), '10101'),
-          (2, NULL, CAST(NULL AS FLOAT[]), NULL),
-          (3, '[0.5,-0.25,3.75]', CAST([5.9604645e-8, 1.0] AS FLOAT[]), '0')
-        ) t(id, v, hv, bits) ORDER BY id""")),
+        SELECT * FROM (VALUES
+          (1, '[1.0,2.0,3.0]', '[1.0,10000.0]', '10101'),
+          (2, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), NULL),
+          (3, '[0.5,-0.25,3.75]', '[5.9604645E-8,1.0]', '0')
+        ) t(id, vec_s, halfvec_s, bits_v) ORDER BY id""")),
 
     // ---- t17: T34 sparsevec → Map[Int,Float]; text indices already
     // carry the +1 shift the reference applies to wire indices
@@ -431,18 +545,19 @@ object Types {
     // (test_pgvector.py:34-45). First MapType through the sink.
     QueryDef(
       "t17_sparsevec",
+      // key-sorted "{k:v,…}" string: empty map "{}" stays ≠ NULL;
+      // the MapType column itself round-trips in TypesFixtureSpec.
       (s, _) =>
-        df(s)(Seq(
-          (1, "{1:-1,5:5.25}/5"), (2, "{}/10"), (3, null), (4, "{2:0.5}/3")))
-          .select(col("id"), sparsevecFromText(col("v")).as("sparse_v"))
+        t17Nested(s)
+          .select(col("id"), canonMap(col("sparse_v")).as("sparse_s"))
           .orderBy(col("id")),
       Some("""
         SELECT * FROM (VALUES
-          (1, map([1,5], CAST([-1, 5.25] AS FLOAT[]))),
-          (2, map(CAST([] AS INTEGER[]), CAST([] AS FLOAT[]))),
-          (3, CAST(NULL AS MAP(INTEGER, FLOAT))),
-          (4, map([2], CAST([0.5] AS FLOAT[])))
-        ) t(id, sparse_v) ORDER BY id""")),
+          (1, '{1:-1.0,5:5.25}'),
+          (2, '{}'),
+          (3, CAST(NULL AS VARCHAR)),
+          (4, '{2:0.5}')
+        ) t(id, sparse_s) ORDER BY id""")),
 
     // ---- t18: F20-style nesting stress — list⟨struct⟨list⟨float⟩⟩⟩ with
     // NULLs at every level, exercising Spark's Dremel shredder (O9–O15)
@@ -450,37 +565,31 @@ object Types {
     QueryDef(
       "t18_nested_vectors",
       (s, _) => {
-        import s.implicits._
-        val wrapperType = StructType(Seq(
-          StructField("single", ArrayType(FloatType)),
-          StructField("half", ArrayType(FloatType))))
-        Seq(
-          (1, "[1,2]", "[0.5,0.25]"), (2, null, null), (3, "[3.5]", "[1.0001]"))
-          .toDF("id", "v1", "v2")
+        // canonical string per wrapper struct; the genuinely-nested
+        // list⟨struct⟨list⟨float⟩⟩⟩ column round-trips the sink in
+        // TypesFixtureSpec (driver cells must stay scalar).
+        def cw(w: Column): Column =
+          when(w.isNull, lit(null).cast(StringType))
+            .otherwise(concat(lit("{single:"),
+              coalesce(canonArray(w.getField("single")), lit("NULL")),
+              lit(",half:"),
+              coalesce(canonArray(w.getField("half")), lit("NULL")), lit("}")))
+        t18Nested(s)
           .select(col("id"),
-            when(col("v1").isNull, lit(null).cast(wrapperType))
-              .otherwise(struct(
-                vectorFromText(col("v1")).as("single"),
-                halfvecFromText(col("v2")).as("half"))).as("wrapper"),
-            when(col("id") === 2, lit(null).cast(ArrayType(wrapperType)))
-              .when(col("id") === 3, array(
-                struct(vectorFromText(col("v1")).as("single"),
-                  halfvecFromText(col("v2")).as("half")),
-                lit(null).cast(wrapperType)))
-              .otherwise(array(
-                struct(vectorFromText(col("v1")).as("single"),
-                  halfvecFromText(col("v2")).as("half")))).as("wrappers"))
+            cw(col("wrapper")).as("wrapper_s"),
+            when(col("wrappers").isNull, lit(null).cast(StringType))
+              .otherwise(concat(lit("["),
+                array_join(transform(col("wrappers"),
+                  e => coalesce(cw(e), lit("NULL"))), ","),
+                lit("]"))).as("wrappers_s"))
           .orderBy(col("id"))
       },
       Some("""
         SELECT * FROM (VALUES
-          (1, {'single': CAST([1,2] AS FLOAT[]), 'half': CAST([0.5,0.25] AS FLOAT[])},
-              [{'single': CAST([1,2] AS FLOAT[]), 'half': CAST([0.5,0.25] AS FLOAT[])}]),
-          (2, CAST(NULL AS STRUCT(single FLOAT[], half FLOAT[])),
-              CAST(NULL AS STRUCT(single FLOAT[], half FLOAT[])[])),
-          (3, {'single': CAST([3.5] AS FLOAT[]), 'half': CAST([1.0] AS FLOAT[])},
-              [{'single': CAST([3.5] AS FLOAT[]), 'half': CAST([1.0] AS FLOAT[])}, NULL])
-        ) t(id, wrapper, wrappers) ORDER BY id""")),
+          (1, '{single:[1.0,2.0],half:[0.5,0.25]}', '[{single:[1.0,2.0],half:[0.5,0.25]}]'),
+          (2, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+          (3, '{single:[3.5],half:[1.0]}', '[{single:[3.5],half:[1.0]},NULL]')
+        ) t(id, wrapper_s, wrappers_s) ORDER BY id""")),
 
     // ---- t19: T7 precision beyond DecimalType's 38 (reference tests
     // use numeric(140,100) exported at p76/s50,
@@ -499,19 +608,19 @@ object Types {
           (3, "1.00000000000000000000000000000000000000000001"),
           (4, null), (5, "-12345.6789")))
           .select(col("id"),
-            PgTypeMapper.convert("numeric", col("v"), p76).as("d76_bytes"),
+            hex(PgTypeMapper.convert("numeric", col("v"), p76)).as("d76_hex"),
             PgTypeMapper.convert("numeric", col("v"), str).as("str_v"))
           .orderBy(col("id"))
       },
       Some("""
         SELECT * FROM (VALUES
-          (1, unhex('010B46C88E4142A5C5CBAE9201154CFDFA400000000000'), '1000.0001'),
+          (1, '010B46C88E4142A5C5CBAE9201154CFDFA400000000000', '1000.0001'),
           (2, NULL, 'NaN'),
-          (3, unhex('446C3B15F9926687D2C40534FDB5640000000F4240'),
+          (3, '446C3B15F9926687D2C40534FDB5640000000F4240',
               '1.00000000000000000000000000000000000000000001'),
           (4, NULL, NULL),
-          (5, unhex('F31C4A5EF46CB5DDA4087AF14786B6D858C00000000000'), '-12345.6789')
-        ) t(id, d76_bytes, str_v) ORDER BY id""")),
+          (5, 'F31C4A5EF46CB5DDA4087AF14786B6D858C00000000000', '-12345.6789')
+        ) t(id, d76_hex, str_v) ORDER BY id""")),
 
     // ---- t20: F16 enum ranges — a range whose subtype is an enum:
     // text bounds plus the enum→int handling applied inside the range
@@ -522,27 +631,29 @@ object Types {
       (s, _) => {
         val weekdays = Seq("monday", "tuesday", "wednesday", "thursday",
           "friday", "saturday", "sunday")
+        val rt = rangeToStruct(col("v"), identity)
+        val ri = rangeToStruct(col("v"), e => enumToInt(e, weekdays))
         df(s)(Seq(
           (1, "[monday,tuesday]"), (2, "(,)"), (3, "empty"), (4, null),
           (5, "[friday,)")))
           .select(col("id"),
-            rangeToStruct(col("v"), identity).as("range_text"),
-            rangeToStruct(col("v"), e => enumToInt(e, weekdays)).as("range_int"))
+            rt.getField("lower").as("t_lo"),
+            rt.getField("upper").as("t_hi"),
+            ri.getField("lower").as("i_lo"),
+            ri.getField("upper").as("i_hi"),
+            rt.getField("lower_inclusive").as("lo_inc"),
+            rt.getField("upper_inclusive").as("hi_inc"),
+            rt.getField("is_empty").as("is_empty"))
           .orderBy(col("id"))
       },
       Some("""
         SELECT * FROM (VALUES
-          (1, {'lower': 'monday', 'upper': 'tuesday', 'lower_inclusive': true, 'upper_inclusive': true, 'is_empty': false},
-              {'lower': 1, 'upper': 2, 'lower_inclusive': true, 'upper_inclusive': true, 'is_empty': false}),
-          (2, {'lower': CAST(NULL AS VARCHAR), 'upper': CAST(NULL AS VARCHAR), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': false},
-              {'lower': CAST(NULL AS INT), 'upper': CAST(NULL AS INT), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': false}),
-          (3, {'lower': CAST(NULL AS VARCHAR), 'upper': CAST(NULL AS VARCHAR), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': true},
-              {'lower': CAST(NULL AS INT), 'upper': CAST(NULL AS INT), 'lower_inclusive': false, 'upper_inclusive': false, 'is_empty': true}),
-          (4, CAST(NULL AS STRUCT(lower VARCHAR, upper VARCHAR, lower_inclusive BOOLEAN, upper_inclusive BOOLEAN, is_empty BOOLEAN)),
-              CAST(NULL AS STRUCT(lower INTEGER, upper INTEGER, lower_inclusive BOOLEAN, upper_inclusive BOOLEAN, is_empty BOOLEAN))),
-          (5, {'lower': 'friday', 'upper': CAST(NULL AS VARCHAR), 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false},
-              {'lower': 5, 'upper': CAST(NULL AS INT), 'lower_inclusive': true, 'upper_inclusive': false, 'is_empty': false})
-        ) t(id, range_text, range_int) ORDER BY id""")),
+          (1, 'monday', 'tuesday', 1, 2, true, true, false),
+          (2, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), false, false, false),
+          (3, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), false, false, true),
+          (4, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)),
+          (5, 'friday', CAST(NULL AS VARCHAR), 5, CAST(NULL AS INT), true, false, false)
+        ) t(id, t_lo, t_hi, i_lo, i_hi, lo_inc, hi_inc, is_empty) ORDER BY id""")),
 
     // ---- t21: conversion throughput at fact-table scale (the bench
     // headline for the type layer): synthesize PG text forms from

