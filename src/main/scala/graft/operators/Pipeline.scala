@@ -88,19 +88,27 @@ object Pipeline {
         val docs = T.documents(s, d)
           .select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= 5)
-        val sh = docs
-          .select(col("doc_id"), explode(
-            transform(sequence(lit(1), size(col("ws")) - 4),
-              i => array_join(slice(col("ws"), i, lit(5)), " "))).as("sh"))
-          .select(col("doc_id"), hash32(col("sh")).as("x"))
-          .distinct()
+        // Per-doc distinct shingle-hash ARRAY, built map-side with
+        // higher-order functions — no explode, no (doc,shingle) shuffle.
+        // This is the expensive artifact (one md5 per 5-gram); it feeds
+        // the signature computation and both sides of the verification
+        // join, so materialize it once (spills past memory — at 100 TB
+        // you'd persist exactly this table).
+        val xs = docs
+          .select(col("doc_id"),
+            array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
+              i => hash32(array_join(slice(col("ws"), i, lit(5)), " "))))
+              .as("xs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-        // one shuffle yields all 32 minima AND the set size (the size
-        // rides the same exchange instead of a second groupBy over sh)
+        // All 32 minima + set size are pure per-row array folds: the
+        // whole signature stage is map-side, ZERO shuffle (the r03 plan
+        // shuffled every (doc,shingle) pair through distinct + groupBy).
         val minCols = (0 until NumHashes).map(i =>
-          min((lit(hashA(i)) * col("x") + lit(hashB(i))) % MinhashP).as(s"mh$i")) :+
-          count(lit(1)).as("n")
-        val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+          array_min(transform(col("xs"),
+            x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP)).as(s"mh$i"))
+        val mh = xs.select(
+          col("doc_id") +: size(col("xs")).as("n") +: minCols: _*)
 
         val sigCols = (0 until NumHashes / BandRows).map(b =>
           concat_ws(",", (0 until BandRows).map(r =>
@@ -111,6 +119,8 @@ object Pipeline {
           .select(col("doc_id"),
             expr(s"stack(${NumHashes / BandRows}, $stackExpr) AS (band, sig)"))
 
+        // The ONLY full shuffle in the pipeline: 8 signature rows per
+        // doc, grouped by (band, sig) — the LSH bucketing itself.
         val buckets = bands.groupBy(col("band"), col("sig"))
           .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
           .filter(size(col("docs")) > 1)
@@ -120,17 +130,18 @@ object Pipeline {
           .filter(col("da") < col("db"))
           .distinct()
 
-        val ns = mh.select(col("doc_id"), col("n"))
-        val inter = pairs
-          .join(sh.as("s1"), col("da") === col("s1.doc_id"))
-          .join(sh.as("s2"),
-            col("db") === col("s2.doc_id") && col("s1.x") === col("s2.x"))
-          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-        inter
-          .join(ns.as("na"), col("da") === col("na.doc_id"))
-          .join(ns.as("nb"), col("db") === col("nb.doc_id"))
+        // Exact-Jaccard verification: fetch the two shingle arrays and
+        // intersect in place — bounded by bucket collisions (pairs is
+        // tiny, so both joins broadcast it against the cached xs).
+        pairs
+          .join(xs.as("xa"), col("da") === col("xa.doc_id"))
+          .join(xs.as("xb"), col("db") === col("xb.doc_id"))
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            (col("c") / (col("na.n") + col("nb.n") - col("c"))).as("jaccard"))
+            size(array_intersect(col("xa.xs"), col("xb.xs")))
+              .cast(DoubleType).as("c"),
+            size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
