@@ -634,6 +634,91 @@ object Pipeline {
         WHERE (lang = 'en' AND bucket < 10) OR (lang <> 'en' AND bucket < 50)
         GROUP BY lang ORDER BY lang""")),
 
+    // ---- p16: benchmark decontamination — flag training docs sharing
+    // any distinct word-5-gram with a held-out eval set (the GPT-3/PaLM
+    // n-gram-overlap recipe; the eval set here is a deterministic
+    // doc_id slice standing in for a benchmark suite). Scale shape:
+    // grams explode only ONCE per side, the eval side is tiny by
+    // construction (benchmarks are KBs against a 100 TB corpus) so it
+    // broadcasts, and the train side streams through a map-side hash
+    // join — no shuffle of the corpus. In production the join key would
+    // be a 64-bit gram hash instead of the string to cut broadcast
+    // bytes; the string key keeps the oracle byte-exact here.
+    QueryDef(
+      "p16_decontaminate",
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 5)
+        val grams = docs.select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
+            i => array_join(slice(col("ws"), i, lit(5)), " ")))).as("g"))
+        val ev = grams.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_doc"), col("g"))
+        val tr = grams.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id").as("train_doc"), col("g"))
+        tr.join(broadcast(ev), "g")
+          .groupBy(col("train_doc"), col("eval_doc"))
+          .agg(count(lit(1)).as("n_shared_5grams"))
+          .orderBy(col("train_doc"), col("eval_doc"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents
+          WHERE len(string_split_regex(text, '\s+')) >= 5),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g5
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+        ev AS (SELECT doc_id AS eval_doc, g5 FROM g WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id AS train_doc, g5 FROM g WHERE doc_id % 97 <> 0)
+        SELECT train_doc, eval_doc, COUNT(*) AS n_shared_5grams
+        FROM tr JOIN ev ON tr.g5 = ev.g5
+        GROUP BY train_doc, eval_doc ORDER BY train_doc, eval_doc""")),
+
+    // ---- p17: repetition / boilerplate quality filter — fraction of
+    // duplicated non-overlapping 3-word chunks per doc (the Gopher
+    // duplicate-line/-paragraph family adapted to unpunctuated text).
+    // Chunking, counting, AND deduping are per-row array folds
+    // (transform + array_distinct), so the whole per-doc stage is
+    // map-side; the only shuffle is the per-language rollup. Ratios are
+    // exact-integer sums divided once at the end (no float partial-agg
+    // nondeterminism).
+    QueryDef(
+      "p17_repetition",
+      (s, d) => {
+        val chunks = transform(
+          sequence(lit(0), (size(col("ws")) / 3).cast(IntegerType) - 1),
+          i => array_join(slice(col("ws"), i * 3 + 1, lit(3)), " "))
+        T.documents(s, d)
+          .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("lang"),
+            size(chunks).as("n"),
+            size(array_distinct(chunks)).as("nd"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("nd") < col("n"), 1L).otherwise(0L)).as("n_repetitive"),
+            ((sum(col("n")) - sum(col("nd"))).cast(DoubleType) /
+              sum(col("n"))).as("dup_chunk_ratio"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lang, string_split_regex(text, '\s+') AS ws FROM documents
+          WHERE len(string_split_regex(text, '\s+')) >= 3),
+        c AS (
+          SELECT doc_id, lang,
+                 list_transform(range(0, len(ws) // 3),
+                   i -> array_to_string(ws[(3*i+1):(3*i+3)], ' ')) AS chunks
+          FROM w),
+        st AS (
+          SELECT lang, len(chunks) AS n, len(list_distinct(chunks)) AS nd FROM c)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN nd < n THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+               CAST(SUM(n) - SUM(nd) AS DOUBLE) / SUM(n) AS dup_chunk_ratio
+        FROM st GROUP BY lang ORDER BY lang""")),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio

@@ -793,6 +793,37 @@ object Relational {
         FROM orders WHERE o_custkey <= 100
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice DESC, o_orderkey ASC)
-        ORDER BY o_orderpriority, rk, o_orderkey"""))
+        ORDER BY o_orderpriority, rk, o_orderkey""")),
+
+    // ---- q36: map construction + lookup on a fact table —
+    // collect_list→array_sort→map_from_entries builds a per-group
+    // MAP⟨status,count⟩, then element_at/size query it (the §2.4
+    // array/map scalar-function row). The map rides a single groupBy
+    // shuffle; the driver-visible projection canonicalizes it to a
+    // key-sorted string (nested cells can't be driver-hashed).
+    QueryDef(
+      "q36_map_funcs",
+      (s, d) => {
+        val counts = T.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+        counts.groupBy(col("l_returnflag"))
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("l_linestatus"), col("n"))))).as("m"))
+          .select(col("l_returnflag"),
+            QueryDef.canonMap(col("m")).as("status_counts"),
+            coalesce(element_at(col("m"), lit("O")), lit(0L)).as("n_open"),
+            size(col("m")).as("n_statuses"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag,
+               '{' || string_agg(l_linestatus || ':' || n, ',' ORDER BY l_linestatus) || '}' AS status_counts,
+               CAST(COALESCE(MAX(CASE WHEN l_linestatus = 'O' THEN n END), 0) AS BIGINT) AS n_open,
+               CAST(COUNT(*) AS INT) AS n_statuses
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
