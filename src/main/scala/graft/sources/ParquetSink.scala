@@ -50,7 +50,7 @@ object ParquetSink {
 
   /** O18 parity: rows/bytes/rate from executor output metrics, printed
     * at most every 300 ms, plus a final summary line. */
-  private final class Progress(quiet: Boolean) extends SparkListener {
+  private[sources] final class Progress(quiet: Boolean) extends SparkListener {
     val rows = new AtomicLong(0)
     val bytes = new AtomicLong(0)
     private val lastPrint = new AtomicLong(0)
