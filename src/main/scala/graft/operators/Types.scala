@@ -706,6 +706,35 @@ object Types {
                MIN(hex(uuid_b)) AS min_uuid_hex,
                CAST(MAX(time_us) AS BIGINT) AS max_time_us
         FROM conv GROUP BY YEAR(date_v) ORDER BY y"""),
-      headline = true)
+      headline = true),
+
+    // ---- t22: T21 inet + xml text passthrough (reference keeps both
+    // textual, postgres_cloner.rs:592-600) and T29 domain unwrap — the
+    // catalog-driven recipe resolves a domain transparently to its base
+    // type's conversion (postgres_cloner.rs:498-500), here
+    // posint := domain over int4.
+    QueryDef(
+      "t22_inet_xml_domain",
+      (s, _) => {
+        import s.implicits._
+        import graft.sources.PgSchema
+        Seq(
+          (1, "192.168.100.128/25", "<a>x</a>", "42"),
+          (2, "2001:db8::1", "<b/>", "-7"),
+          (3, null, null, null))
+          .toDF("id", "ip", "x", "dv")
+          .select(col("id"),
+            PgTypeMapper.convert("inet", col("ip"), PgSettings()).as("inet_v"),
+            PgTypeMapper.convert("xml", col("x"), PgSettings()).as("xml_v"),
+            PgSchema.recipe(PgSchema.PgDomain(PgSchema.PgSimple("int4")),
+              col("dv"), PgSettings()).as("domain_v"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, '192.168.100.128/25', '<a>x</a>', 42),
+          (2, '2001:db8::1', '<b/>', -7),
+          (3, NULL, NULL, CAST(NULL AS INT))
+        ) t(id, inet_v, xml_v, domain_v) ORDER BY id"""))
   )
 }

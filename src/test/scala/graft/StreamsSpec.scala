@@ -72,6 +72,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(viaStream == viaBatch)
   }
 
+  test("dedupDocuments: in-watermark duplicates dropped, firsts kept") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.dedupDocuments(df, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "alpha"),
+        (ts("2024-01-01 10:05:00"), 2L, "alpha"),   // dup within watermark
+        (ts("2024-01-01 10:10:00"), 3L, "beta"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:20:00"), 4L, "beta")) // dup, later batch
+      q.processAllAvailable()
+      val kept = spark.table("dedup").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("runningUserStats: keyed state accumulates across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
