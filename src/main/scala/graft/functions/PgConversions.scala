@@ -299,14 +299,47 @@ object PgConversions {
     * nulls; '{}' → empty array ≠ NULL (appenders/array.rs:98-115).
     * Elements with NaN (numeric arrays) go through the same NaN→NULL
     * rule as scalars when castElem = numericToDecimal. */
-  def arrayFromText(c: Column, castElem: Column => Column): Column = {
-    val inner = substr(c, lit(2), length(c) - 2)
-    val parts = when(inner === "", array().cast(ArrayType(StringType)))
-      .otherwise(split(inner, ","))
-    when(c.isNull, lit(null))
-      .otherwise(transform(parts, e =>
-        when(e === "NULL", lit(null)).otherwise(castElem(e))))
+  /** 1-D PG array text grammar, quote-aware: quoted elements may carry
+    * embedded commas/braces (range arrays: '{"[1,3)","(,)"}'), backslash
+    * escapes ('{"a\"b"}'), and quoting disambiguates the *string* "NULL"
+    * from a SQL NULL element (PG always quotes the former). A genuine
+    * recursive token grammar → small UDF, same call the reference makes
+    * for its array parse (SURVEY §2.3 T30/T31). */
+  private[graft] def parsePgArray1D(s: String): Seq[Option[String]] = {
+    val inner = s.substring(1, s.length - 1)
+    if (inner.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Option[String]]()
+    val sb = new StringBuilder
+    var i = 0; var quoted = false; var wasQuoted = false
+    def flush(): Unit = {
+      val t = sb.toString
+      out += (if (!wasQuoted && t == "NULL") None else Some(t))
+      sb.clear(); wasQuoted = false
+    }
+    while (i < inner.length) {
+      val ch = inner.charAt(i)
+      if (quoted) {
+        if (ch == '\\') { sb.append(inner.charAt(i + 1)); i += 1 }
+        else if (ch == '"') quoted = false
+        else sb.append(ch)
+      } else ch match {
+        case '"' => quoted = true; wasQuoted = true
+        case ',' => flush()
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    flush()
+    out.toSeq
   }
+
+  private lazy val pgArray1dUdf =
+    udf((s: String) => if (s == null) null else parsePgArray1D(s))
+
+  def arrayFromText(c: Column, castElem: Column => Column): Column =
+    when(c.isNull, lit(null))
+      .otherwise(transform(pgArray1dUdf(c), e =>
+        when(e.isNull, lit(null)).otherwise(castElem(e))))
 
   /** Multidim parse result for T31 (postgres_cloner.rs:843-893,
     * datatypes/array.rs:9-62): row-major flattened data + per-dimension

@@ -135,6 +135,27 @@ object Types {
               halfvecFromText(col("v2")).as("half")))).as("wrappers"))
   }
 
+  private[graft] val Weekdays = Seq("monday", "tuesday", "wednesday",
+    "thursday", "friday", "saturday", "sunday")
+
+  /** F13/F15: arrays whose elements need the quote-aware grammar —
+    * ranges (embedded commas), enums, and text with commas/escapes/
+    * quoted "NULL" (string) vs unquoted NULL (SQL null). */
+  private[graft] def t23Nested(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1, "{\"[1,3)\",empty}", "{monday,sunday}", "{\"a,b\",\"c\\\"d\"}"),
+      (2, "{\"(,3)\",NULL,\"[3,)\"}", "{NULL,friday}", "{NULL,\"NULL\",plain}"),
+      (3, null, null, null),
+      (4, "{}", "{}", "{}"))
+      .toDF("id", "ra", "ea", "ta")
+      .select(col("id"),
+        arrayFromText(col("ra"),
+          e => rangeToStruct(e, _.cast(IntegerType))).as("range_arr"),
+        arrayFromText(col("ea"), e => enumToInt(e, Weekdays)).as("enum_arr"),
+        arrayFromText(col("ta"), identity).as("text_arr"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- t01: T1/T2/T3/T5 + T4 oid(u32→long) + T11 "char"(u8→short).
@@ -735,6 +756,41 @@ object Types {
           (1, '192.168.100.128/25', '<a>x</a>', 42),
           (2, '2001:db8::1', '<b/>', -7),
           (3, NULL, NULL, CAST(NULL AS INT))
-        ) t(id, inet_v, xml_v, domain_v) ORDER BY id"""))
+        ) t(id, inet_v, xml_v, domain_v) ORDER BY id""")),
+
+    // ---- t23: F13 range arrays + F15 enum arrays + quoted text arrays
+    // through the quote-aware array grammar (test_arrays.py:58-92,
+    // test_custom_types.py:13-92). Each range struct flattens to a
+    // 'lo|hi|li|ui|empty' token for the driver; the real
+    // array⟨struct⟩/array⟨int⟩ shapes round-trip in TypesFixtureSpec.
+    QueryDef(
+      "t23_range_enum_arrays",
+      (s, _) => {
+        def fr(r: Column): Column =
+          when(r.isNull, lit(null).cast(StringType))
+            .otherwise(concat_ws("|",
+              coalesce(r.getField("lower").cast(StringType), lit("N")),
+              coalesce(r.getField("upper").cast(StringType), lit("N")),
+              r.getField("lower_inclusive").cast(StringType),
+              r.getField("upper_inclusive").cast(StringType),
+              r.getField("is_empty").cast(StringType)))
+        t23Nested(s)
+          .select(col("id"),
+            when(col("range_arr").isNull, lit(null).cast(StringType))
+              .otherwise(concat(lit("["),
+                array_join(transform(col("range_arr"),
+                  e => coalesce(fr(e), lit("NULL"))), ","),
+                lit("]"))).as("range_arr_s"),
+            canonArray(col("enum_arr")).as("enum_arr_s"),
+            canonArray(col("text_arr")).as("text_arr_s"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, '[1|3|true|false|false,N|N|false|false|true]', '[1,7]', '[a,b,c"d]'),
+          (2, '[N|3|false|false|false,NULL,3|N|true|false|false]', '[NULL,5]', '[NULL,NULL,plain]'),
+          (3, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+          (4, '[]', '[]', '[]')
+        ) t(id, range_arr_s, enum_arr_s, text_arr_s) ORDER BY id"""))
   )
 }

@@ -125,6 +125,24 @@ class TypesFixtureSpec extends AnyFunSuite {
     roundtrip(df, "t16")
   }
 
+  test("t23: quote-aware array grammar — ranges, enums, quoted NULL") {
+    val df = graft.operators.Types.t23Nested(spark).orderBy("id")
+    // array⟨struct⟩ schema for the range array
+    val st = df.schema("range_arr").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(st.fieldNames.toSeq == Seq(
+      "lower", "upper", "lower_inclusive", "upper_inclusive", "is_empty"))
+    val rows = roundtrip(df, "t23").orderBy("id").collect()
+    assert(rows(0).getSeq[Row](1).head == Row(1, 3, true, false, false))
+    assert(rows(1).getSeq[Any](1)(1) == null)          // NULL range element
+    assert(rows(0).getSeq[Int](2) == Seq(1, 7))        // enum→int elements
+    // quoted "NULL" stays the string; unquoted NULL is SQL null
+    assert(rows(1).getSeq[Any](3) == Seq(null, "NULL", "plain"))
+    // embedded comma and escaped quote survive
+    assert(rows(0).getSeq[String](3) == Seq("a,b", "c\"d"))
+    assert(rows(3).getSeq[Any](1).isEmpty)             // '{}' → empty
+  }
+
   test("t18: list⟨struct⟨list⟩⟩ schema with nulls at every level") {
     val df = graft.operators.Types.t18Nested(spark).orderBy("id")
     val at = df.schema("wrappers").dataType.asInstanceOf[ArrayType]
