@@ -824,6 +824,28 @@ object Relational {
                '{' || string_agg(l_linestatus || ':' || n, ',' ORDER BY l_linestatus) || '}' AS status_counts,
                CAST(COALESCE(MAX(CASE WHEN l_linestatus = 'O' THEN n END), 0) AS BIGINT) AS n_open,
                CAST(COUNT(*) AS INT) AS n_statuses
-        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q37: approx_percentile (GK sketch) validated like q31 — the
+    // query emits the EXACT interpolated p90 (which DuckDB recomputes
+    // with quantile_cont; q34 already established the interpolation
+    // formulas agree) plus a tolerance flag for the sketch. A sketch
+    // drifting past its accuracy bound flips the flag and fails.
+    QueryDef(
+      "q37_approx_percentile",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_linestatus"))
+          .agg(
+            percentile(col("l_quantity"), lit(0.9)).as("p90_exact"),
+            percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("p90_approx"))
+          .select(col("l_linestatus"), col("p90_exact"),
+            (abs(col("p90_approx") - col("p90_exact")) <=
+              abs(col("p90_exact")) * lit(0.05) + lit(0.5)).as("approx_close"))
+          .orderBy(col("l_linestatus")),
+      Some("""
+        SELECT l_linestatus, quantile_cont(l_quantity, 0.9) AS p90_exact,
+               true AS approx_close
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
   )
 }

@@ -20,6 +20,8 @@ class PgSchemaSpec extends AnyFunSuite {
       PgTypeRow(1042, "bpchar", "b", 0, 0, 0, 0),
       PgTypeRow(1700, "numeric", "b", 0, 0, 0, 0),
       PgTypeRow(1007, "_int4", "b", 23, 0, 0, 0),     // int4[]
+      PgTypeRow(3904, "int4range", "r", 0, 0, 0, 23),
+      PgTypeRow(3905, "_int4range", "b", 3904, 0, 0, 0), // int4range[]
       PgTypeRow(60000, "weekday", "e", 0, 0, 0, 0),
       PgTypeRow(60001, "weekday_range", "r", 0, 0, 0, 60000),
       PgTypeRow(60002, "chain_id", "c", 0, 0, 77, 0),
@@ -73,6 +75,24 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(out(0).getStruct(1).getInt(0) == 1) // monday → 1
     assert(out(0).getStruct(1).getInt(1) == 2) // tuesday → 2
     assert(out(1).getStruct(1).getBoolean(4))  // empty → is_empty
+  }
+
+  test("recipe: range ARRAY (F13) — quote-aware elements through the catalog path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val kind = catalog.resolve(3905)
+    assert(kind == PgArray(PgRange(PgSimple("int4"))))
+    val out = Seq((1, "{\"[1,3)\",empty,NULL}"), (2, "{}"), (3, null))
+      .toDF("id", "v")
+      .select(col("id"), recipe(kind, col("v"), dflt).as("ra"))
+      .orderBy(col("id")).collect()
+    assert(out(0).getSeq[org.apache.spark.sql.Row](1).head
+      .toSeq == Seq(1, 3, true, false, false))
+    assert(out(0).getSeq[Any](1)(1)
+      .asInstanceOf[org.apache.spark.sql.Row].getBoolean(4)) // empty → is_empty
+    assert(out(0).getSeq[Any](1)(2) == null)                 // NULL element
+    assert(out(1).getSeq[Any](1).isEmpty)
+    assert(out(2).isNullAt(1))
   }
 
   test("recipe: composite of scalars parses record text") {
