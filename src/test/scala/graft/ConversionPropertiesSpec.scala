@@ -69,6 +69,28 @@ class ConversionPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("array grammar: quoting round-trips arbitrary element strings") {
+    // render a PG array text form the way the server would (quote every
+    // element, escape backslash and quote), parse it back, expect the
+    // original elements — including commas, braces, quotes, and the
+    // literal string "NULL" (which quoting keeps distinct from SQL NULL)
+    val elemG = Gen.oneOf(
+      Gen.listOfN(4, Gen.asciiPrintableChar).map(_.mkString),
+      Gen.oneOf("NULL", "a,b", "{x}", "\"q\"", "back\\slash", ""))
+    check(Prop.forAll(Gen.listOf(elemG)) { elems =>
+      val text = elems
+        .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("{", ",", "}")
+      parsePgArray1D(text) == elems.map(Some(_))
+    })
+  }
+
+  test("array grammar: unquoted NULL is SQL null, quoted \"NULL\" is the string") {
+    assert(parsePgArray1D("{NULL,\"NULL\",x}") == Seq(None, Some("NULL"), Some("x")))
+    assert(parsePgArray1D("{}") == Seq.empty)
+    assert(parsePgArray1D("{\"\"}") == Seq(Some("")))
+  }
+
   test("bigDecimalBytes round-trips through BigInteger at the same scale") {
     val g = for {
       unscaled <- Gen.chooseNum(-1000000000L, 1000000000L)
