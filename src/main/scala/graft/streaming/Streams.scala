@@ -73,6 +73,27 @@ object Streams {
   /** Expected output mode for [[runningUserStats]] sinks. */
   val runningStatsOutputMode: OutputMode = OutputMode.Update()
 
+  /** Stream-stream interval join: attribute each purchase to a click by
+    * the same user within the preceding `horizon`. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so Spark can evict buffered rows once the watermark passes —
+    * without the time bound, stream-stream join state grows forever.
+    */
+  def attributePurchases(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("amount"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("amount"))
+  }
+
   /** Streaming exact dedup — the incremental twin of the batch p01
     * content-hash dedup: duplicates arriving within the watermark
     * horizon are dropped, and hash state older than the watermark is

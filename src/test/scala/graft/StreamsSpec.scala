@@ -72,6 +72,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(viaStream == viaBatch)
   }
 
+  test("attributePurchases: stream-stream interval join within horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.attributePurchases(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "amount"),
+      horizon = "30 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00")),   // within 30 min of purchase
+        (1L, ts("2024-01-01 08:00:00")),   // too old
+        (2L, ts("2024-01-01 10:00:00")))   // other user, no purchase
+      purchases.addData((1L, ts("2024-01-01 10:20:00"), 9.99))
+      q.processAllAvailable()
+      // push both watermarks forward so buffered state resolves
+      // (distinct users, so the advancing rows don't join each other)
+      clicks.addData((8L, ts("2024-01-02 00:00:00")))
+      purchases.addData((9L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("user_id", "amount").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((1L, 9.99)))
+    } finally q.stop()
+  }
+
   test("dedupDocuments: in-watermark duplicates dropped, firsts kept") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
