@@ -673,7 +673,8 @@ object Pipeline {
         tr AS (SELECT doc_id AS train_doc, g5 FROM g WHERE doc_id % 97 <> 0)
         SELECT train_doc, eval_doc, COUNT(*) AS n_shared_5grams
         FROM tr JOIN ev ON tr.g5 = ev.g5
-        GROUP BY train_doc, eval_doc ORDER BY train_doc, eval_doc""")),
+        GROUP BY train_doc, eval_doc ORDER BY train_doc, eval_doc"""),
+      headline = true),
 
     // ---- p17: repetition / boilerplate quality filter — fraction of
     // duplicated non-overlapping 3-word chunks per doc (the Gopher
