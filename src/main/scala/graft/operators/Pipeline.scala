@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables => T}
+import graft.QueryDef.dec
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -719,6 +720,46 @@ object Pipeline {
                CAST(SUM(CASE WHEN nd < n THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
                CAST(SUM(n) - SUM(nd) AS DOUBLE) / SUM(n) AS dup_chunk_ratio
         FROM st GROUP BY lang ORDER BY lang""")),
+
+    // ---- p18: source-mixing weights — temperature-scaled sampling
+    // weights per corpus source (the Pile/LLaMA data-mixing recipe at
+    // temperature 1/2: weight ∝ sqrt(tokens)), plus the token budget a
+    // 1M-token mix would draw from each source. Token counts are exact
+    // integer sums; sqrt is IEEE-correctly-rounded in both engines; the
+    // normalizing total goes through an exact DECIMAL sum (order-
+    // independent) so the final double ratios are bit-stable. The
+    // per-source aggregate is one shuffle over a handful of groups; the
+    // scalar total broadcasts.
+    QueryDef(
+      "p18_source_mixing",
+      (s, d) => {
+        val per = T.documents(s, d)
+          .select(col("source"),
+            size(words(col("text"))).cast(LongType).as("toks"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+          .withColumn("raw_w", dec(sqrt(col("tokens"))))
+        val total = per.agg(sum(col("raw_w")).as("total_w"))
+        per.crossJoin(broadcast(total))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            (col("raw_w").cast(DoubleType) / col("total_w").cast(DoubleType))
+              .as("mix_weight"),
+            floor(col("raw_w").cast(DoubleType) / col("total_w").cast(DoubleType)
+              * lit(1000000L)).cast(LongType).as("token_budget"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        w AS (
+          SELECT *, CAST(sqrt(tokens) AS DECIMAL(38,10)) AS raw_w FROM per),
+        t AS (SELECT SUM(raw_w) AS total_w FROM w)
+        SELECT source, n_docs, tokens,
+               CAST(raw_w AS DOUBLE) / CAST(total_w AS DOUBLE) AS mix_weight,
+               CAST(FLOOR(CAST(raw_w AS DOUBLE) / CAST(total_w AS DOUBLE) * 1000000) AS BIGINT) AS token_budget
+        FROM w, t ORDER BY source""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
