@@ -37,11 +37,17 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warm $n failed: $e") }
     }
 
+    // median of 3 timed runs per query: single-shot numbers on a shared
+    // machine carry 20-30% noise, which reads as phantom regressions in
+    // round-over-round comparisons
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { qmap(name)(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { qmap(name)(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
