@@ -346,11 +346,13 @@ object PgConversions {
     * sizes + per-dimension lower bounds (PG default lower bound is 1;
     * explicit '[-2:0]=' prefixes override, py-tests/test_arrays.py:104). */
   final case class PgMultidimArray(
-      data: Seq[Option[Long]], dims: Seq[Long], lower_bound: Seq[Int])
+      data: Seq[Option[String]], dims: Seq[Long], lower_bound: Seq[Int])
 
   /** T31 multi-dim array text parse: '{{1,2},{3,4}}' or
     * '[-2:0]={1,2,3}'. A genuine recursive grammar → small UDF
-    * (SURVEY §2.3 T31 explicitly allows the UDF parse). */
+    * (SURVEY §2.3 T31 explicitly allows the UDF parse). Elements come
+    * back as strings (quote-aware, like the 1-D grammar) so the typed
+    * cast composes per subtype in [[multidimToStructOf]]. */
   private[graft] def parseMultidim(s: String): PgMultidimArray = {
     val (boundsPart, dataPart) =
       if (s.startsWith("[")) { val i = s.indexOf('='); (s.substring(0, i), s.substring(i + 1)) }
@@ -358,19 +360,30 @@ object PgConversions {
     val explicitLb = """\[(-?\d+):(-?\d+)\]""".r
       .findAllMatchIn(boundsPart).map(_.group(1).toInt).toList
 
-    // recursive descent over {...} nesting
+    // recursive descent over {...} nesting; quoted tokens may carry
+    // commas/braces/escapes, and quoting keeps "NULL" ≠ SQL NULL
     def parse(in: String, pos: Int): (Seq[Any], Int) = {
       var i = pos + 1 // skip '{'
       val out = scala.collection.mutable.ArrayBuffer[Any]()
       val sb = new StringBuilder
+      var wasQuoted = false
       def flush(): Unit = {
         val t = sb.result(); sb.clear()
-        if (t.nonEmpty) out += (if (t == "NULL") None else Some(t.toLong))
+        if (t.nonEmpty || wasQuoted)
+          out += (if (!wasQuoted && t == "NULL") None else Some(t))
+        wasQuoted = false
       }
       while (i < in.length && in.charAt(i) != '}') {
         in.charAt(i) match {
           case '{' => val (sub, ni) = parse(in, i); out += sub; i = ni
           case ',' => flush(); i += 1
+          case '"' =>
+            wasQuoted = true; i += 1
+            while (in.charAt(i) != '"') {
+              if (in.charAt(i) == '\\') { sb += in.charAt(i + 1); i += 2 }
+              else { sb += in.charAt(i); i += 1 }
+            }
+            i += 1
           case ch  => sb += ch; i += 1
         }
       }
@@ -383,17 +396,35 @@ object PgConversions {
       case Some(sub: Seq[_]) => t.size.toLong :: dimsOf(sub.asInstanceOf[Seq[Any]])
       case _                 => if (t.isEmpty) Nil else List(t.size.toLong)
     }
-    def flat(t: Seq[Any]): Seq[Option[Long]] = t.flatMap {
+    def flat(t: Seq[Any]): Seq[Option[String]] = t.flatMap {
       case sub: Seq[_] => flat(sub.asInstanceOf[Seq[Any]])
-      case v: Option[_] => Seq(v.asInstanceOf[Option[Long]])
+      case v: Option[_] => Seq(v.asInstanceOf[Option[String]])
     }
     val dims = dimsOf(tree)
     val lb = if (explicitLb.nonEmpty) explicitLb else dims.map(_ => 1)
     PgMultidimArray(flat(tree), dims, lb)
   }
 
-  val multidimToStruct =
+  private lazy val multidimParseUdf =
     udf((s: String) => Option(s).map(parseMultidim))
+
+  /** T31 with a typed element cast: {data: array⟨castElem(T)⟩, dims,
+    * lower_bound}. The parse is subtype-agnostic; the cast composes
+    * per element like the 1-D path (so multidim works for ANY scalar
+    * subtype the recipe can convert, matching the reference's generic
+    * multidim appender). */
+  def multidimToStructOf(c: Column, castElem: Column => Column): Column = {
+    val p = multidimParseUdf(c)
+    when(c.isNull, lit(null)).otherwise(struct(
+      transform(p.getField("data"),
+        e => when(e.isNull, lit(null)).otherwise(castElem(e))).as("data"),
+      p.getField("dims").as("dims"),
+      p.getField("lower_bound").as("lower_bound")))
+  }
+
+  /** Int64-data multidim (the common numeric case; t15). */
+  def multidimToStruct(c: Column): Column =
+    multidimToStructOf(c, _.cast(LongType))
 
   // ------------------------------------------------- T32–T34: pgvector
 

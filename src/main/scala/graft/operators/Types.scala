@@ -88,11 +88,22 @@ object Types {
         arrayFromText(col("na"), numericToDecimal(_, 18, 9)).as("num_arr"))
   }
 
-  private[graft] def t15Nested(s: SparkSession): DataFrame =
-    df(s)(Seq(
-      (1, "{{1,2},{3,4},{NULL,5}}"), (2, "{1,2,3}"),
-      (3, "[-2:0]={1,2,3}"), (4, "{{{1}}}"), (5, null), (6, "{}")))
-      .select(col("id"), multidimToStruct(col("v")).as("arr_v"))
+  private[graft] def t15Nested(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1, "{{1,2},{3,4},{NULL,5}}", "{{a,\"x,y\"},{NULL,d}}"),
+      (2, "{1,2,3}", "{a,b}"),
+      (3, "[-2:0]={1,2,3}", null),
+      (4, "{{{1}}}", "{}"),
+      (5, null, "{\"NULL\",NULL}"),
+      (6, "{}", "{x}"))
+      .toDF("id", "v", "tv")
+      .select(col("id"),
+        multidimToStruct(col("v")).as("arr_v"),
+        // text subtype through the same grammar (quoted elements,
+        // "NULL"-string ≠ SQL NULL) — the generic T31 path
+        multidimToStructOf(col("tv"), identity).as("tarr_v"))
+  }
 
   private[graft] def t16Nested(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -527,17 +538,19 @@ object Types {
           .select(col("id"),
             canonArray(col("arr_v.data")).as("data_s"),
             canonArray(col("arr_v.dims")).as("dims_s"),
-            canonArray(col("arr_v.lower_bound")).as("lb_s"))
+            canonArray(col("arr_v.lower_bound")).as("lb_s"),
+            canonArray(col("tarr_v.data")).as("tdata_s"),
+            canonArray(col("tarr_v.dims")).as("tdims_s"))
           .orderBy(col("id")),
       Some("""
         SELECT * FROM (VALUES
-          (1, '[1,2,3,4,NULL,5]', '[3,2]', '[1,1]'),
-          (2, '[1,2,3]', '[3]', '[1]'),
-          (3, '[1,2,3]', '[3]', '[-2]'),
-          (4, '[1]', '[1,1,1]', '[1,1,1]'),
-          (5, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
-          (6, '[]', '[]', '[]')
-        ) t(id, data_s, dims_s, lb_s) ORDER BY id""")),
+          (1, '[1,2,3,4,NULL,5]', '[3,2]', '[1,1]', '[a,x,y,NULL,d]', '[2,2]'),
+          (2, '[1,2,3]', '[3]', '[1]', '[a,b]', '[2]'),
+          (3, '[1,2,3]', '[3]', '[-2]', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+          (4, '[1]', '[1,1,1]', '[1,1,1]', '[]', '[]'),
+          (5, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '[NULL,NULL]', '[2]'),
+          (6, '[]', '[]', '[]', '[x]', '[1]')
+        ) t(id, data_s, dims_s, lb_s, tdata_s, tdims_s) ORDER BY id""")),
 
     // ---- t16: T32 vector + T33 halfvec (f16 precision edges:
     // 1.0001→1.0, 10001→10000, 6.0e-8→2^-24; test_pgvector.py:100-125)

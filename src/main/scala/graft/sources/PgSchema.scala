@@ -125,8 +125,8 @@ object PgSchema {
         fields.map { case (n, k) => n -> ((f: Column) => recipe(k, f, s)) })
     case PgArray(elem) if s.arrayHandling == "plain" =>
       PgConversions.arrayFromText(c, e => recipe(elem, e, s))
-    case PgArray(PgSimple(n)) if n == "int2" || n == "int4" || n == "int8" =>
-      PgConversions.multidimToStruct(c) // dims/dims+lb modes (T31)
+    case PgArray(elem) => // dims/dims+lb modes (T31), any scalar subtype
+      PgConversions.multidimToStructOf(c, e => recipe(elem, e, s))
     case other => throw new IllegalArgumentException(
       s"no text recipe for $other — cast to ::text in the query (T35 policy)")
   }

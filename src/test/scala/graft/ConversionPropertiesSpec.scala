@@ -65,7 +65,7 @@ class ConversionPropertiesSpec extends AnyFunSuite {
         .mkString("{", ",", "}")
       val r = parseMultidim(text)
       r.dims == Seq(d1.toLong, d2.toLong) &&
-        r.data == vals.map(Some(_)) && r.lower_bound == Seq(1, 1)
+        r.data == vals.map(v => Some(v.toString)) && r.lower_bound == Seq(1, 1)
     })
   }
 

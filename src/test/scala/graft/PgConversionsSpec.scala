@@ -66,13 +66,13 @@ class PgConversionsSpec extends AnyFunSuite {
   // ---- multidim array parse (postgres_cloner.rs:843-893; test_arrays.py:94-131)
   test("multidim: 2-D with NULL element, row-major flatten") {
     val r = parseMultidim("{{1,2},{3,4},{NULL,5}}")
-    assert(r.data == Seq(Some(1L), Some(2L), Some(3L), Some(4L), None, Some(5L)))
+    assert(r.data == Seq(Some("1"), Some("2"), Some("3"), Some("4"), None, Some("5")))
     assert(r.dims == Seq(3L, 2L))
     assert(r.lower_bound == Seq(1, 1))
   }
   test("multidim: explicit negative lower bound") {
     val r = parseMultidim("[-2:0]={1,2,3}")
-    assert(r.data == Seq(Some(1L), Some(2L), Some(3L)))
+    assert(r.data == Seq(Some("1"), Some("2"), Some("3")))
     assert(r.dims == Seq(3L))
     assert(r.lower_bound == Seq(-2))
   }

@@ -99,6 +99,10 @@ class TypesFixtureSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows(0).getStruct(1).getSeq[Any](0) == Seq(1L, 2L, 3L, 4L, null, 5L))
     assert(rows(2).getStruct(1).getSeq[Int](2) == Seq(-2))
+    // generic (text) subtype: quoted comma element, SQL NULL element,
+    // and the quoted "NULL" string all survive
+    assert(rows(0).getStruct(2).getSeq[Any](0) == Seq("a", "x,y", null, "d"))
+    assert(rows(4).getStruct(2).getSeq[Any](0) == Seq("NULL", null))
     roundtrip(df, "t15")
   }
 
