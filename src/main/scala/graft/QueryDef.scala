@@ -70,11 +70,15 @@ object QueryDef {
     */
   def canonElem(e: Column): Column = coalesce(e.cast(StringType), lit("NULL"))
 
-  /** Array → "[a,b,NULL]" (NULL array → NULL ≠ "[]" ≠ "[NULL]"). */
-  def canonArray(c: Column): Column =
+  /** Array → "[a,b,NULL]" (NULL array → NULL ≠ "[]" ≠ "[NULL]"). The
+    * element encoder defaults to a string cast; pass a custom one for
+    * struct elements (an encoder returning NULL for a NULL element
+    * renders as the "NULL" token). */
+  def canonArray(c: Column, enc: Column => Column = canonElem): Column =
     when(c.isNull, lit(null).cast(StringType))
       .otherwise(concat(lit("["),
-        array_join(transform(c, e => canonElem(e)), ","), lit("]")))
+        array_join(transform(c, e => coalesce(enc(e), lit("NULL"))), ","),
+        lit("]")))
 
   /** Map → "{k:v,…}" sorted by key (NULL map → NULL ≠ "{}"). */
   def canonMap(c: Column): Column =

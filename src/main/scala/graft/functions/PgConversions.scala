@@ -305,8 +305,13 @@ object PgConversions {
     * from a SQL NULL element (PG always quotes the former). A genuine
     * recursive token grammar → small UDF, same call the reference makes
     * for its array parse (SURVEY §2.3 T30/T31). */
-  private[graft] def parsePgArray1D(s: String): Seq[Option[String]] = {
-    val inner = s.substring(1, s.length - 1)
+  private[graft] def parsePgArray1D(s: String): Seq[Option[String]] = try {
+    // strip the explicit-bounds decoration PG emits for non-default
+    // lower bounds ('[0:2]={10,20,30}'); plain handling discards the
+    // bounds by design (dims mode keeps them via parseMultidim)
+    val body = if (s.startsWith("[")) s.substring(s.indexOf('=') + 1) else s
+    require(body.startsWith("{") && body.endsWith("}"), "missing braces")
+    val inner = body.substring(1, body.length - 1)
     if (inner.isEmpty) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer[Option[String]]()
     val sb = new StringBuilder
@@ -329,8 +334,12 @@ object PgConversions {
       }
       i += 1
     }
+    require(!quoted, "unterminated quote")
     flush()
     out.toSeq
+  } catch { // T35/O22 policy: label the failing value, don't leak an OOB
+    case e: Exception => throw new IllegalArgumentException(
+      s"malformed PG array text '$s': ${e.getMessage}", e)
   }
 
   private lazy val pgArray1dUdf =
@@ -353,7 +362,7 @@ object PgConversions {
     * (SURVEY §2.3 T31 explicitly allows the UDF parse). Elements come
     * back as strings (quote-aware, like the 1-D grammar) so the typed
     * cast composes per subtype in [[multidimToStructOf]]. */
-  private[graft] def parseMultidim(s: String): PgMultidimArray = {
+  private[graft] def parseMultidim(s: String): PgMultidimArray = try {
     val (boundsPart, dataPart) =
       if (s.startsWith("[")) { val i = s.indexOf('='); (s.substring(0, i), s.substring(i + 1)) }
       else ("", s)
@@ -403,6 +412,9 @@ object PgConversions {
     val dims = dimsOf(tree)
     val lb = if (explicitLb.nonEmpty) explicitLb else dims.map(_ => 1)
     PgMultidimArray(flat(tree), dims, lb)
+  } catch { // T35/O22 policy: label the failing value, don't leak an OOB
+    case e: Exception => throw new IllegalArgumentException(
+      s"malformed PG array text '$s': ${e.getMessage}", e)
   }
 
   private lazy val multidimParseUdf =

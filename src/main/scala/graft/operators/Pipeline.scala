@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{QueryDef, Tables => T}
-import graft.QueryDef.dec
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -94,7 +93,9 @@ object Pipeline {
         // This is the expensive artifact (one md5 per 5-gram); it feeds
         // the signature computation and both sides of the verification
         // join, so materialize it once (spills past memory — at 100 TB
-        // you'd persist exactly this table).
+        // you'd persist exactly this table). Re-invocations do NOT leak
+        // copies: CacheManager dedupes by canonicalized plan, so the
+        // session holds one entry per sfDir.
         val xs = docs
           .select(col("doc_id"),
             array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
@@ -102,14 +103,14 @@ object Pipeline {
               .as("xs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-        // All 32 minima + set size are pure per-row array folds: the
-        // whole signature stage is map-side, ZERO shuffle (the r03 plan
+        // All 32 minima are pure per-row array folds: the whole
+        // signature stage is map-side, ZERO shuffle (the r03 plan
         // shuffled every (doc,shingle) pair through distinct + groupBy).
+        // Set sizes are read off the arrays in the verification join.
         val minCols = (0 until NumHashes).map(i =>
           array_min(transform(col("xs"),
             x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP)).as(s"mh$i"))
-        val mh = xs.select(
-          col("doc_id") +: size(col("xs")).as("n") +: minCols: _*)
+        val mh = xs.select(col("doc_id") +: minCols: _*)
 
         val sigCols = (0 until NumHashes / BandRows).map(b =>
           concat_ws(",", (0 until BandRows).map(r =>
@@ -725,11 +726,13 @@ object Pipeline {
     // weights per corpus source (the Pile/LLaMA data-mixing recipe at
     // temperature 1/2: weight ∝ sqrt(tokens)), plus the token budget a
     // 1M-token mix would draw from each source. Token counts are exact
-    // integer sums; sqrt is IEEE-correctly-rounded in both engines; the
-    // normalizing total goes through an exact DECIMAL sum (order-
-    // independent) so the final double ratios are bit-stable. The
-    // per-source aggregate is one shuffle over a handful of groups; the
-    // scalar total broadcasts.
+    // integer sums; sqrt and the ×1e6 product are IEEE-exactly-rounded
+    // in both engines, so quantizing the weight to an INTEGER via floor
+    // makes the normalizing sum exact and order-independent (a decimal
+    // cast here would hit the Spark-HALF_UP-vs-DuckDB rounding split on
+    // midpoint reprs — QueryDef.dsum scaladoc). The per-source
+    // aggregate is one shuffle over a handful of groups; the scalar
+    // total broadcasts.
     QueryDef(
       "p18_source_mixing",
       (s, d) => {
@@ -738,7 +741,8 @@ object Pipeline {
             size(words(col("text"))).cast(LongType).as("toks"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
-          .withColumn("raw_w", dec(sqrt(col("tokens"))))
+          .withColumn("raw_w",
+            floor(sqrt(col("tokens")) * lit(1000000.0)).cast(LongType))
         val total = per.agg(sum(col("raw_w")).as("total_w"))
         per.crossJoin(broadcast(total))
           .select(col("source"), col("n_docs"), col("tokens"),
@@ -754,8 +758,8 @@ object Pipeline {
                  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tokens
           FROM documents GROUP BY source),
         w AS (
-          SELECT *, CAST(sqrt(tokens) AS DECIMAL(38,10)) AS raw_w FROM per),
-        t AS (SELECT SUM(raw_w) AS total_w FROM w)
+          SELECT *, CAST(FLOOR(sqrt(tokens) * 1000000) AS BIGINT) AS raw_w FROM per),
+        t AS (SELECT CAST(SUM(raw_w) AS BIGINT) AS total_w FROM w)
         SELECT source, n_docs, tokens,
                CAST(raw_w AS DOUBLE) / CAST(total_w AS DOUBLE) AS mix_weight,
                CAST(FLOOR(CAST(raw_w AS DOUBLE) / CAST(total_w AS DOUBLE) * 1000000) AS BIGINT) AS token_budget

@@ -670,10 +670,11 @@ object Relational {
     // ---- q31: approx_count_distinct (HyperLogLog++). Sketch estimates
     // are engine-specific, so the raw estimate has no DuckDB twin;
     // instead the query emits the exact distinct count alongside a
-    // within-tolerance flag for the sketch (rsd=0.02, checked at 2.5×),
-    // which IS oracle-checkable: DuckDB recomputes the exact count and
-    // expects the flag true. A broken sketch (or one drifting past its
-    // configured error) flips the flag and fails the hash.
+    // within-tolerance flag for the sketch (rsd=0.02, checked at 5× —
+    // wide enough that dataset-dependent drift at other scale factors
+    // cannot flip a correct run, tight enough that a broken sketch
+    // still fails), which IS oracle-checkable: DuckDB recomputes the
+    // exact count and expects the flag true.
     QueryDef(
       "q31_approx_count_distinct",
       (s, d) =>
@@ -684,12 +685,12 @@ object Relational {
             approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"))
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("approx") - col("exact_parts")) <=
-              col("exact_parts") * lit(0.05)).as("approx_within_5pct"))
+              col("exact_parts") * lit(0.10)).as("approx_within_10pct"))
           .orderBy(col("l_returnflag")),
       Some("""
         SELECT l_returnflag,
                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-               true AS approx_within_5pct
+               true AS approx_within_10pct
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- q32: two-phase salted aggregation — the skew-mitigation plan

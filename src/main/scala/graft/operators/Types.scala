@@ -418,15 +418,12 @@ object Types {
     // monday=1 … sunday=7).
     QueryDef(
       "t10_enum",
-      (s, _) => {
-        val weekdays = Seq("monday", "tuesday", "wednesday", "thursday",
-          "friday", "saturday", "sunday")
+      (s, _) =>
         df(s)(Seq((1, "monday"), (2, "sunday"), (3, "wednesday"), (4, null)))
           .select(col("id"),
             col("v").as("enum_text"),
-            enumToInt(col("v"), weekdays).as("enum_int"))
-          .orderBy(col("id"))
-      },
+            enumToInt(col("v"), Weekdays).as("enum_int"))
+          .orderBy(col("id")),
       Some("""
         SELECT id, v AS enum_text,
           CASE v WHEN 'monday' THEN 1 WHEN 'tuesday' THEN 2 WHEN 'wednesday' THEN 3
@@ -611,11 +608,7 @@ object Types {
         t18Nested(s)
           .select(col("id"),
             cw(col("wrapper")).as("wrapper_s"),
-            when(col("wrappers").isNull, lit(null).cast(StringType))
-              .otherwise(concat(lit("["),
-                array_join(transform(col("wrappers"),
-                  e => coalesce(cw(e), lit("NULL"))), ","),
-                lit("]"))).as("wrappers_s"))
+            canonArray(col("wrappers"), cw).as("wrappers_s"))
           .orderBy(col("id"))
       },
       Some("""
@@ -663,10 +656,8 @@ object Types {
     QueryDef(
       "t20_enum_range",
       (s, _) => {
-        val weekdays = Seq("monday", "tuesday", "wednesday", "thursday",
-          "friday", "saturday", "sunday")
         val rt = rangeToStruct(col("v"), identity)
-        val ri = rangeToStruct(col("v"), e => enumToInt(e, weekdays))
+        val ri = rangeToStruct(col("v"), e => enumToInt(e, Weekdays))
         df(s)(Seq(
           (1, "[monday,tuesday]"), (2, "(,)"), (3, "empty"), (4, null),
           (5, "[friday,)")))
@@ -789,11 +780,7 @@ object Types {
               r.getField("is_empty").cast(StringType)))
         t23Nested(s)
           .select(col("id"),
-            when(col("range_arr").isNull, lit(null).cast(StringType))
-              .otherwise(concat(lit("["),
-                array_join(transform(col("range_arr"),
-                  e => coalesce(fr(e), lit("NULL"))), ","),
-                lit("]"))).as("range_arr_s"),
+            canonArray(col("range_arr"), fr).as("range_arr_s"),
             canonArray(col("enum_arr")).as("enum_arr_s"),
             canonArray(col("text_arr")).as("text_arr_s"))
           .orderBy(col("id"))

@@ -91,6 +91,18 @@ class ConversionPropertiesSpec extends AnyFunSuite {
     assert(parsePgArray1D("{\"\"}") == Seq(Some("")))
   }
 
+  test("array grammar: explicit 1-D bounds prefix; malformed input is labeled") {
+    // PG decorates non-default lower bounds: plain handling parses the
+    // data and discards the bounds (dims mode keeps them)
+    assert(parsePgArray1D("[0:2]={10,20,30}") == Seq(Some("10"), Some("20"), Some("30")))
+    val unterminated = intercept[IllegalArgumentException](parsePgArray1D("{\"abc}"))
+    assert(unterminated.getMessage.contains("malformed PG array text"))
+    val empty = intercept[IllegalArgumentException](parsePgArray1D(""))
+    assert(empty.getMessage.contains("malformed PG array text"))
+    val multi = intercept[IllegalArgumentException](parseMultidim("{\"abc"))
+    assert(multi.getMessage.contains("malformed PG array text"))
+  }
+
   test("bigDecimalBytes round-trips through BigInteger at the same scale") {
     val g = for {
       unscaled <- Gen.chooseNum(-1000000000L, 1000000000L)
