@@ -765,6 +765,67 @@ object Pipeline {
                CAST(FLOOR(CAST(raw_w AS DOUBLE) / CAST(total_w AS DOUBLE) * 1000000) AS BIGINT) AS token_budget
         FROM w, t ORDER BY source""")),
 
+    // ---- p19: near-dup cluster representative selection — the
+    // keep-best half of a dedup pass: docs sharing an LSH bucket (the
+    // band-0 minhash signature, same formulas as p02) form a cluster;
+    // keep the longest member, doc_id tie-break. One map-side signature
+    // computation + one window over the bucket key — no pairwise work
+    // at all, which is what makes representative selection tractable at
+    // corpus scale (connected-components refinement is an offline
+    // graph job; the bucket proxy is the shard-local policy).
+    QueryDef(
+      "p19_cluster_representative",
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 5)
+        val xs = docs.select(col("doc_id"), col("n_chars"),
+          array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
+            i => hash32(array_join(slice(col("ws"), i, lit(5)), " ")))).as("xs"))
+        val sig = concat_ws(",", (0 until BandRows).map(i =>
+          array_min(transform(col("xs"),
+            x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP))
+            .cast(StringType)): _*)
+        val clustered = xs.select(col("doc_id"), col("n_chars"), sig.as("sig"))
+        val byLen = Window.partitionBy(col("sig"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        clustered
+          .withColumn("rk", row_number().over(byLen))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("sig"))))
+          .filter(col("rk") === 1 && col("n_members") > 1)
+          .select(col("sig"), col("n_members"),
+            col("doc_id").as("keep_doc_id"), col("n_chars").as("kept_chars"))
+          .orderBy(col("keep_doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS ws
+          FROM documents WHERE len(string_split_regex(text, '\\s+')) >= 5),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8) AS BIGINT) AS x
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+        params AS (
+          SELECT i, 2*i + 1 AS a, 99991*i + 7 AS b FROM unnest(range(0, $BandRows)) t(i)),
+        mh AS (
+          SELECT doc_id, i, MIN((a*x + b) % $MinhashP) AS m
+          FROM sh CROSS JOIN params GROUP BY doc_id, i),
+        sig AS (
+          SELECT doc_id, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+          FROM mh GROUP BY doc_id),
+        c AS (
+          SELECT s.sig, s.doc_id, w.n_chars,
+                 COUNT(*) OVER (PARTITION BY s.sig) AS n_members,
+                 ROW_NUMBER() OVER (PARTITION BY s.sig
+                   ORDER BY w.n_chars DESC, s.doc_id ASC) AS rk
+          FROM sig s JOIN w ON w.doc_id = s.doc_id)
+        SELECT sig, CAST(n_members AS BIGINT) AS n_members,
+               keep_doc_id, kept_chars
+        FROM (SELECT sig, n_members, doc_id AS keep_doc_id,
+                     n_chars AS kept_chars, rk FROM c)
+        WHERE rk = 1 AND n_members > 1 ORDER BY keep_doc_id""")),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio
