@@ -39,7 +39,18 @@ object PgTypeMapper {
     }
     case "money" => moneyToDecimal(c)
     case "bytea" => pgBytea(c)
-    case "name" | "text" | "xml" | "bpchar" | "varchar" | "citext" | "json" => c
+    case "name" | "text" | "xml" | "bpchar" | "varchar" | "citext" => c
+    // T14: on the text/JDBC transfer both json and jsonb arrive as plain
+    // JSON text with no version header (the wire-format header case is
+    // [[PgConversions.jsonbStripHeader]]); both handlings keep the text —
+    // the reference's TextMarkedAsJson only differs in the parquet JSON
+    // logical annotation, which Spark's writer cannot emit (documented
+    // deviation, SURVEY §7.4; reference: postgres_cloner.rs:603-607,
+    // datatypes/jsonb.rs:17-24).
+    case "json" | "jsonb" => s.jsonHandling match {
+      case "text" | "text-marked-json" => c
+      case other => unsupported(s"json-handling '$other'")
+    }
     case "uuid" => uuidToBinary(c)
     case "macaddr" => s.macaddrHandling match {
       case "text" => macaddrText(c)
@@ -59,7 +70,16 @@ object PgTypeMapper {
       case other => unsupported(s"interval-handling '$other'")
     }
     case "vector" => vectorFromText(c)
-    case "halfvec" => halfvecFromText(c) // float32 handling (default)
+    // T33: values pass through f16 precision in both handlings; the
+    // reference's 'float16' mode additionally stores FLBA(2), which
+    // Spark's parquet writer cannot emit — reject explicitly rather than
+    // silently writing FLOAT (postgres_cloner.rs:660-666).
+    case "halfvec" => s.float16Handling match {
+      case "float32" => halfvecFromText(c)
+      case "float16" => unsupported(
+        "float16-handling 'float16' (Spark's parquet writer has no FLOAT16/FLBA(2) physical type; use 'float32')")
+      case other => unsupported(s"float16-handling '$other'")
+    }
     case "sparsevec" => sparsevecFromText(c)
     case other => unsupported(s"type '$other'")
   }

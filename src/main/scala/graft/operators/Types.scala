@@ -734,33 +734,39 @@ object Types {
       headline = true),
 
     // ---- t22: T21 inet + xml text passthrough (reference keeps both
-    // textual, postgres_cloner.rs:592-600) and T29 domain unwrap — the
+    // textual, postgres_cloner.rs:592-600), T29 domain unwrap — the
     // catalog-driven recipe resolves a domain transparently to its base
     // type's conversion (postgres_cloner.rs:498-500), here
-    // posint := domain over int4.
+    // posint := domain over int4 — and T14 jsonb through the SAME
+    // catalog recipe path (postgres_cloner.rs:603-607): the r04 verdict
+    // found jsonb reached PgSchema.simpleType but not
+    // PgTypeMapper.convert, so a live jsonb export crashed; this column
+    // keeps the dispatch driver-gated.
     QueryDef(
       "t22_inet_xml_domain",
       (s, _) => {
         import s.implicits._
         import graft.sources.PgSchema
         Seq(
-          (1, "192.168.100.128/25", "<a>x</a>", "42"),
-          (2, "2001:db8::1", "<b/>", "-7"),
-          (3, null, null, null))
-          .toDF("id", "ip", "x", "dv")
+          (1, "192.168.100.128/25", "<a>x</a>", "42", """{"a": [1, 2]}"""),
+          (2, "2001:db8::1", "<b/>", "-7", """"bare string""""),
+          (3, null, null, null, null))
+          .toDF("id", "ip", "x", "dv", "jb")
           .select(col("id"),
             PgTypeMapper.convert("inet", col("ip"), PgSettings()).as("inet_v"),
             PgTypeMapper.convert("xml", col("x"), PgSettings()).as("xml_v"),
             PgSchema.recipe(PgSchema.PgDomain(PgSchema.PgSimple("int4")),
-              col("dv"), PgSettings()).as("domain_v"))
+              col("dv"), PgSettings()).as("domain_v"),
+            PgSchema.recipe(PgSchema.PgSimple("jsonb"),
+              col("jb"), PgSettings()).as("jsonb_v"))
           .orderBy(col("id"))
       },
       Some("""
         SELECT * FROM (VALUES
-          (1, '192.168.100.128/25', '<a>x</a>', 42),
-          (2, '2001:db8::1', '<b/>', -7),
-          (3, NULL, NULL, CAST(NULL AS INT))
-        ) t(id, inet_v, xml_v, domain_v) ORDER BY id""")),
+          (1, '192.168.100.128/25', '<a>x</a>', 42, '{"a": [1, 2]}'),
+          (2, '2001:db8::1', '<b/>', -7, '"bare string"'),
+          (3, NULL, NULL, CAST(NULL AS INT), NULL)
+        ) t(id, inet_v, xml_v, domain_v, jsonb_v) ORDER BY id""")),
 
     // ---- t23: F13 range arrays + F15 enum arrays + quoted text arrays
     // through the quote-aware array grammar (test_arrays.py:58-92,

@@ -109,4 +109,24 @@ class PgSchemaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](simpleType("tsvector", dflt))
     intercept[IllegalArgumentException](catalog.resolve(99999))
   }
+
+  test("recipe: jsonb dispatches through the catalog path (r04 gap)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // both json handlings are text passthrough on the text transfer;
+    // the r04 bug was PgTypeMapper.convert throwing 'unsupported jsonb'
+    val out = Seq((1, """{"a": 1}"""), (2, null)).toDF("id", "v")
+      .select(col("id"), recipe(PgSimple("jsonb"), col("v"), dflt).as("j"),
+        recipe(PgSimple("jsonb"), col("v"),
+          dflt.copy(jsonHandling = "text-marked-json")).as("jm"))
+      .orderBy(col("id")).collect()
+    assert(out(0).getString(1) == """{"a": 1}""")
+    assert(out(0).getString(2) == """{"a": 1}""")
+    assert(out(1).isNullAt(1))
+    // unknown handling values error explicitly instead of silently passing
+    intercept[IllegalArgumentException](
+      recipe(PgSimple("jsonb"), col("v"), dflt.copy(jsonHandling = "nope")))
+    intercept[IllegalArgumentException](
+      recipe(PgSimple("halfvec"), col("v"), dflt.copy(float16Handling = "float16")))
+  }
 }
