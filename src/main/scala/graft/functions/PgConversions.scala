@@ -73,17 +73,15 @@ object PgConversions {
   // ------------------------------------------------------------ T7–T9: numeric
 
   /** T7 numeric → DecimalType(p,s): NaN → NULL (parquet has no decimal
-    * NaN), out-of-range → NULL + warn (datatypes/numeric.rs:19-28;
-    * py-tests/test_basic_types.py:104-147). The range guard runs before
-    * the cast so ANSI mode cannot throw; values too wide for (p,s) after
-    * HALF_UP rounding are NULLed exactly like the reference's
-    * try_into failure path. */
-  def numericToDecimal(c: Column, p: Int, s: Int): Column = {
-    val bound = math.pow(10.0, (p - s).toDouble)
-    when(c === "NaN" || c.isNull, lit(null).cast(DecimalType(p, s)))
-      .when(abs(c.cast(DoubleType)) >= bound, lit(null).cast(DecimalType(p, s)))
-      .otherwise(c.cast(DecimalType(p, s)))
-  }
+    * NaN), out-of-range → NULL (datatypes/numeric.rs:19-28;
+    * py-tests/test_basic_types.py:104-147). try_cast decides overflow on
+    * the EXACT decimal value after HALF_UP rounding — the r04 verdict
+    * flagged the previous double-compare guard, which misjudged values
+    * with >15 significant digits near the bound (and let rounding-carry
+    * overflows like 99999.99996 at (9,4) reach an ANSI-throwing cast). */
+  def numericToDecimal(c: Column, p: Int, s: Int): Column =
+    when(c === "NaN", lit(null).cast(DecimalType(p, s)))
+      .otherwise(c.try_cast(DecimalType(p, s)))
 
   /** T7 at precision > 38 (reference tests use 76 and 140,
     * py-tests/test_basic_types.py:126-132): exceeds Spark's DecimalType
@@ -252,43 +250,115 @@ object PgConversions {
 
   // ----------------------------------------------------------------- T27: range
 
+  /** Quote-aware split of PG record/range inner text on top-level commas
+    * — the same tokenizer rules as the array grammar (parsePgArray1D)
+    * applied to the record syntax (pg_custom_types.rs:162-287): fields
+    * containing `,` `(` `)` `"` `\` or empty strings come quoted, with
+    * `\x` escapes and doubled `""` inside quotes. An *unquoted* empty
+    * token is the NULL/infinite marker; a *quoted* empty token is a real
+    * empty string — the distinction the old split_part parse lost. */
+  private[graft] def splitQuotedFields(inner: String): Seq[Option[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Option[String]]()
+    val sb = new StringBuilder
+    var i = 0; var quoted = false; var wasQuoted = false
+    def flush(): Unit = {
+      val t = sb.toString
+      out += (if (!wasQuoted && t.isEmpty) None else Some(t))
+      sb.clear(); wasQuoted = false
+    }
+    while (i < inner.length) {
+      val ch = inner.charAt(i)
+      if (quoted) ch match {
+        case '\\' => sb.append(inner.charAt(i + 1)); i += 1
+        case '"' =>
+          if (i + 1 < inner.length && inner.charAt(i + 1) == '"') {
+            sb.append('"'); i += 1 // doubled quote inside quotes
+          } else quoted = false
+        case c => sb.append(c)
+      } else ch match {
+        case '"' => quoted = true; wasQuoted = true
+        case '\\' => sb.append(inner.charAt(i + 1)); i += 1
+        case ',' => flush()
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    require(!quoted, "unterminated quote")
+    flush()
+    out.toSeq
+  }
+
+  /** Parsed range text (fields named to match the output struct). */
+  final case class PgRangeParts(
+      lower: Option[String], upper: Option[String],
+      lower_inclusive: Boolean, upper_inclusive: Boolean, is_empty: Boolean)
+
+  private[graft] def parseRange(s: String): PgRangeParts = try {
+    if (s == "empty") PgRangeParts(None, None, lower_inclusive = false,
+      upper_inclusive = false, is_empty = true)
+    else {
+      require(s.length >= 3 && "[(".contains(s.head) && "])".contains(s.last),
+        "missing range brackets")
+      val bounds = splitQuotedFields(s.substring(1, s.length - 1))
+      require(bounds.length == 2, s"expected 2 bounds, got ${bounds.length}")
+      PgRangeParts(bounds(0), bounds(1),
+        lower_inclusive = s.head == '[', upper_inclusive = s.last == ']',
+        is_empty = false)
+    }
+  } catch { // T35/O22 policy: label the failing value
+    case e: Exception => throw new IllegalArgumentException(
+      s"malformed PG range text '$s': ${e.getMessage}", e)
+  }
+
+  private lazy val rangeParseUdf = udf((s: String) => Option(s).map(parseRange))
+
   /** T27 range → struct{lower,upper,lower_inclusive,upper_inclusive,
     * is_empty} from PG's canonical text form
     * (postgres_cloner.rs:501-540, pg_custom_types.rs:84-161):
     * 'empty' → all-NULL bounds + is_empty=true + inclusivities false;
-    * infinite bounds ('(,)') → NULL bound, is_empty=false.
+    * infinite bounds ('(,)') → NULL bound, is_empty=false. Bounds are
+    * tokenized quote-aware (quoted timestamps, text bounds with embedded
+    * commas/quotes) and arrive at `castElem` already unquoted/unescaped.
     * `castElem` maps the bound text to the subtype (int, timestamp, …). */
   def rangeToStruct(c: Column, castElem: Column => Column): Column = {
-    val isEmpty = c === "empty"
-    val inner = substr(c, lit(2), length(c) - 2)
-    val lowerS = split_part(inner, lit(","), lit(1))
-    val upperS = split_part(inner, lit(","), lit(2))
-    val lower = when(isEmpty || lowerS === "", lit(null)).otherwise(castElem(lowerS))
-    val upper = when(isEmpty || upperS === "", lit(null)).otherwise(castElem(upperS))
+    val p = rangeParseUdf(c)
+    def bound(name: String) = {
+      val b = p.getField(name)
+      when(b.isNull, lit(null)).otherwise(castElem(b)).as(name)
+    }
     when(c.isNull, lit(null)).otherwise(struct(
-      lower.as("lower"),
-      upper.as("upper"),
-      (!isEmpty && substring(c, 1, 1) === "[").as("lower_inclusive"),
-      (!isEmpty && c.endsWith("]")).as("upper_inclusive"),
-      isEmpty.as("is_empty")))
+      bound("lower"),
+      bound("upper"),
+      p.getField("lower_inclusive").as("lower_inclusive"),
+      p.getField("upper_inclusive").as("upper_inclusive"),
+      p.getField("is_empty").as("is_empty")))
   }
-
-  /** tsrange bound text is quoted ('"2020-01-01 00:00:00"'). */
-  def unquote(c: Column): Column = regexp_replace(c, "\"", "")
 
   // ------------------------------------------------------------ T28: composite
 
+  private[graft] def parseComposite(s: String): Seq[Option[String]] = try {
+    require(s.length >= 2 && s.head == '(' && s.last == ')', "missing parens")
+    splitQuotedFields(s.substring(1, s.length - 1))
+  } catch { // T35/O22 policy: label the failing value
+    case e: Exception => throw new IllegalArgumentException(
+      s"malformed PG record text '$s': ${e.getMessage}", e)
+  }
+
+  private lazy val recordParseUdf =
+    udf((s: String) => Option(s).map(parseComposite))
+
   /** T28 composite → struct: parse PG record text '(a,b,c)' into named
     * fields (postgres_cloner.rs:541-558, pg_custom_types.rs:162-287).
-    * Empty field text → NULL field; all-NULL-fields record '(,,)' is a
-    * non-NULL struct, distinct from SQL NULL
-    * (py-tests/test_custom_types.py:146-147). Quoting/escapes beyond the
-    * simple form are out of fixture scope. */
+    * Unquoted empty field text → NULL field; all-NULL-fields record
+    * '(,,)' is a non-NULL struct, distinct from SQL NULL
+    * (py-tests/test_custom_types.py:146-147). Fields are tokenized
+    * quote-aware: embedded commas/quotes/escapes and the quoted empty
+    * string '""' ≠ NULL all round-trip (test_custom_types.py:135-160). */
   def compositeToStruct(c: Column, fields: Seq[(String, Column => Column)]): Column = {
-    val inner = substr(c, lit(2), length(c) - 2)
+    val arr = recordParseUdf(c)
     val cols = fields.zipWithIndex.map { case ((name, cast), i) =>
-      val f = split_part(inner, lit(","), lit(i + 1))
-      when(f === "", lit(null)).otherwise(cast(f)).as(name)
+      val f = element_at(arr, i + 1)
+      when(f.isNull, lit(null)).otherwise(cast(f)).as(name)
     }
     when(c.isNull, lit(null)).otherwise(struct(cols: _*))
   }

@@ -40,7 +40,12 @@ object Types {
     df(s)(Seq(
       (1, "1000.0001"), (2, "NaN"),
       (3, "1.00000000000000000000000000000000000000000001"),
-      (4, "99999999999.9999"), (5, null), (6, "-12345.6789")))
+      (4, "99999999999.9999"), (5, null), (6, "-12345.6789"),
+      // boundary rows for the EXACT overflow decision (r04 verdict #4):
+      // 18 significant digits just under the (18,9) bound — a double
+      // compare rounds it to 1e9 and wrongly NULLs it — and a
+      // rounding-carry overflow: 99999.99996 → 100000.0000 at (9,4)
+      (7, "999999999.999999999"), (8, "99999.99996")))
       .select(col("id"),
         numericToDecimal(col("v"), 38, 18).as("d38"),
         numericToDecimal(col("v"), 18, 9).as("d18"),
@@ -64,10 +69,15 @@ object Types {
       (1, "[\"2020-01-01 00:00:00\",\"2020-06-30 12:00:00\")"),
       (2, "empty"), (3, "(,\"2021-01-01 00:00:00\")"), (4, null)))
       .select(col("id"),
-        rangeToStruct(col("v"), e => unquote(e).cast(TimestampNTZType)).as("range_v"))
+        rangeToStruct(col("v"), _.cast(TimestampNTZType)).as("range_v"))
 
   private[graft] def t13Nested(s: SparkSession): DataFrame =
-    df(s)(Seq((1, "(1ehz,1,A)"), (2, null), (3, "(,,)"), (4, "(abcd,42,Z)")))
+    df(s)(Seq((1, "(1ehz,1,A)"), (2, null), (3, "(,,)"), (4, "(abcd,42,Z)"),
+      // quote-aware record grammar (test_custom_types.py:135-160):
+      // embedded comma, doubled-quote escape, backslash escape, and the
+      // quoted empty string '""' which is a real '' ≠ NULL field
+      (5, "(\"a,b\",7,\"q\"\"x\")"), (6, "(\"\",8,)"),
+      (7, "(\"c\\\\d\",-1,\"(e)\")")))
       .select(col("id"),
         compositeToStruct(col("v"), Seq(
           "pdbid" -> identity,
@@ -235,16 +245,21 @@ object Types {
             col("d9").cast(StringType).as("d9"))
           .orderBy(col("id")),
       Some("""
+        -- TRY_CAST at one-digit-wider precision (DuckDB enforces only the
+        -- storage width, not the declared precision), then an EXACT
+        -- decimal bound check mirrors Spark's precision enforcement
         SELECT id,
-          CAST(CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e20 THEN NULL
-               ELSE CAST(v AS DECIMAL(38,18)) END AS VARCHAR) AS d38,
-          CAST(CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e9 THEN NULL
-               ELSE CAST(v AS DECIMAL(18,9)) END AS VARCHAR) AS d18,
-          CAST(CASE WHEN v='NaN' OR abs(CAST(v AS DOUBLE)) >= 1e5 THEN NULL
-               ELSE CAST(v AS DECIMAL(9,4)) END AS VARCHAR) AS d9
+          CAST(CASE WHEN abs(TRY_CAST(v AS DECIMAL(38,18)))
+                    <= 99999999999999999999.999999999999999999
+               THEN TRY_CAST(v AS DECIMAL(38,18)) END AS VARCHAR) AS d38,
+          CAST(CASE WHEN abs(TRY_CAST(v AS DECIMAL(19,9))) < 1000000000.0
+               THEN TRY_CAST(v AS DECIMAL(19,9)) END AS VARCHAR) AS d18,
+          CAST(CASE WHEN abs(TRY_CAST(v AS DECIMAL(11,4))) < 100000.0
+               THEN TRY_CAST(v AS DECIMAL(11,4)) END AS VARCHAR) AS d9
         FROM (VALUES (1,'1000.0001'), (2,'NaN'),
                      (3,'1.00000000000000000000000000000000000000000001'),
-                     (4,'99999999999.9999'), (5,NULL), (6,'-12345.6789')) t(id, v)
+                     (4,'99999999999.9999'), (5,NULL), (6,'-12345.6789'),
+                     (7,'999999999.999999999'), (8,'99999.99996')) t(id, v)
         ORDER BY id""")),
 
     // ---- t04: T8/T9 numeric→double/float32/string; NaN stays NaN
@@ -480,7 +495,9 @@ object Types {
         ) t(id, lo, hi, lo_inc, hi_inc, is_empty) ORDER BY id""")),
 
     // ---- t13: T28 composite→struct; all-NULL-fields record '(,,)' is a
-    // non-NULL struct ≠ SQL NULL (py-tests/test_custom_types.py:146-147).
+    // non-NULL struct ≠ SQL NULL (py-tests/test_custom_types.py:146-147),
+    // plus the quote-aware record grammar (embedded commas, doubled/
+    // backslash quote escapes, '""' empty string ≠ NULL field).
     // Flattened per-field + an explicit comp_null flag: the all-NULL-
     // fields record '(,,)' must stay ≠ SQL NULL after flattening.
     QueryDef(
@@ -498,7 +515,10 @@ object Types {
           (1, '1ehz', 1, 'A', false),
           (2, CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS VARCHAR), true),
           (3, CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS VARCHAR), false),
-          (4, 'abcd', 42, 'Z', false)
+          (4, 'abcd', 42, 'Z', false),
+          (5, 'a,b', 7, 'q"x', false),
+          (6, '', 8, CAST(NULL AS VARCHAR), false),
+          (7, 'c\d', -1, '(e)', false)
         ) t(id, pdbid, model, chain, comp_null) ORDER BY id""")),
 
     // ---- t14: T30 1-D arrays from PG text — NULL array ≠ empty ≠

@@ -118,8 +118,8 @@ object PgSchema {
       if (s.enumHandling == "int") PgConversions.enumToInt(c, labels) else c
     case PgDomain(inner) => recipe(inner, c, s)
     case PgRange(elem) =>
-      PgConversions.rangeToStruct(c,
-        e => recipe(elem, PgConversions.unquote(e), s))
+      // bounds arrive unquoted/unescaped from the range tokenizer
+      PgConversions.rangeToStruct(c, e => recipe(elem, e, s))
     case PgComposite(_, fields) =>
       PgConversions.compositeToStruct(c,
         fields.map { case (n, k) => n -> ((f: Column) => recipe(k, f, s)) })

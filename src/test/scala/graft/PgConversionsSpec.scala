@@ -63,6 +63,37 @@ class PgConversionsSpec extends AnyFunSuite {
       M.convert("numeric", col("c"), PgSettings(numericHandling = "bogus")))
   }
 
+  // ---- record/range tokenizer (pg_custom_types.rs:84-287;
+  // test_custom_types.py:135-160)
+  test("composite: quote-aware fields — commas, escapes, '\"\"' ≠ NULL") {
+    assert(parseComposite("(1ehz,1,A)") ==
+      Seq(Some("1ehz"), Some("1"), Some("A")))
+    assert(parseComposite("(,,)") == Seq(None, None, None))
+    assert(parseComposite("(\"a,b\",7,\"q\"\"x\")") ==
+      Seq(Some("a,b"), Some("7"), Some("q\"x")))
+    assert(parseComposite("(\"c\\\\d\",-1,\"(e)\")") ==
+      Seq(Some("c\\d"), Some("-1"), Some("(e)")))
+    assert(parseComposite("(\"\",8,)") == Seq(Some(""), Some("8"), None))
+    assert(parseComposite("(\"a\\\"b\",x)") == Seq(Some("a\"b"), Some("x")))
+    val e = intercept[IllegalArgumentException](parseComposite("(\"unterminated"))
+    assert(e.getMessage.contains("unterminated"))
+  }
+  test("range: quoted bounds with embedded commas and quotes") {
+    assert(parseRange("empty") == PgRangeParts(None, None, false, false, true))
+    assert(parseRange("[1,5)") ==
+      PgRangeParts(Some("1"), Some("5"), true, false, false))
+    assert(parseRange("(,)") == PgRangeParts(None, None, false, false, false))
+    assert(parseRange("[\"2020-01-01 00:00:00\",\"2020-06-30 12:00:00\")") ==
+      PgRangeParts(Some("2020-01-01 00:00:00"), Some("2020-06-30 12:00:00"),
+        true, false, false))
+    // text range: bound with a comma and an escaped quote stays one bound
+    assert(parseRange("[\"a,b\",\"c\\\"d\"]") ==
+      PgRangeParts(Some("a,b"), Some("c\"d"), true, true, false))
+    // quoted empty string bound is a real '' bound, not infinite
+    assert(parseRange("[\"\",z)") == PgRangeParts(Some(""), Some("z"), true, false, false))
+    intercept[IllegalArgumentException](parseRange("1,5"))
+  }
+
   // ---- multidim array parse (postgres_cloner.rs:843-893; test_arrays.py:94-131)
   test("multidim: 2-D with NULL element, row-major flatten") {
     val r = parseMultidim("{{1,2},{3,4},{NULL,5}}")

@@ -50,6 +50,12 @@ class TypesFixtureSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(3)) // NaN
     assert(rows(3).isNullAt(2) && rows(3).isNullAt(3)) // overflow at p18/p9
     assert(rows(3).getDecimal(1) != null)              // fits p38
+    // exact-bound decisions (r04 verdict #4): 18 significant digits just
+    // under 1e9 must survive (18,9); a rounding carry past the bound must
+    // NULL, not throw
+    assert(rows(6).getDecimal(2).toPlainString == "999999999.999999999")
+    assert(rows(7).getDecimal(3) == null)              // 99999.99996 → (9,4) carry
+    assert(rows(7).getDecimal(2).toPlainString == "99999.999960000")
     roundtrip(df, "t03")
   }
 
@@ -79,6 +85,13 @@ class TypesFixtureSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1))         // NULL composite
     val allNull = rows(2).getStruct(1)  // '(,,)'
     assert(allNull != null && allNull.isNullAt(0) && allNull.isNullAt(1) && allNull.isNullAt(2))
+    // quote-aware record grammar: embedded comma, '""' escape, and the
+    // quoted empty string ≠ NULL field
+    assert(rows(4).getStruct(1).getString(0) == "a,b")
+    assert(rows(4).getStruct(1).getString(2) == "q\"x")
+    assert(rows(5).getStruct(1).getString(0) == "")
+    assert(rows(5).getStruct(1).isNullAt(2))
+    assert(rows(6).getStruct(1).getString(0) == "c\\d")
     roundtrip(df, "t13")
   }
 
