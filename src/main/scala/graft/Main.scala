@@ -26,14 +26,75 @@ object Main {
       port: Option[Int] = None,
       user: Option[String] = None,
       dbname: Option[String] = None,
+      password: Option[String] = None,
+      sslmode: Option[String] = None,
+      sslRootCerts: Seq[String] = Nil,
+      sslClientCert: Option[String] = None,
+      sslClientKey: Option[String] = None,
       compression: String = "zstd",
       compressionLevel: Option[Int] = None,
       quiet: Boolean = false,
       settings: PgSettings = PgSettings())
 
+  /** Successful-exit output (--version/--help), distinct from a parse
+    * error: main prints the text on stdout and exits 0, matching the
+    * reference's clap behavior (py-tests/test_cli.py:18-41). */
+  final case class CliExit(text: String) extends RuntimeException(text)
+
+  private[graft] val Version = "graft 0.5.0"
+
+  private[graft] val HelpText =
+    s"""Exports a PostgreSQL table or query to a Parquet file
+       |
+       |Usage: graft <COMMAND>
+       |
+       |Commands:
+       |  export  Exports a PostgreSQL table or query to a Parquet file
+       |
+       |Options:
+       |  -h, --help     Print help
+       |  -V, --version  Print version
+       |""".stripMargin
+
+  private[graft] val ExportHelpText =
+    s"""Exports a PostgreSQL table or query to a Parquet file
+       |
+       |Usage: graft export [OPTIONS] --output-file <FILE> <--table <T>|--query <SQL>>
+       |
+       |Options:
+       |  -o, --output-file <FILE>    Path to the output file (overwritten if present)
+       |  -q, --query <SQL>           SQL query to execute. Exclusive with --table
+       |  -t, --table <T>             Which table should be exported. Exclusive with --query
+       |  -c, --connection <URL>      Connection URL (jdbc:postgresql://... or dir:/path);
+       |                              DATABASE_URL / POSTGRES_URL env vars also work
+       |  -H, --host <HOST>           Database server host
+       |  -p, --port <PORT>           Database server port (default 5432)
+       |  -d, --dbname <DBNAME>       Database name
+       |  -U, --user <USER>           Database user (default: PGUSER, then dbname)
+       |      --password <PASSWORD>   Password (prefer the PGPASSWORD environment variable)
+       |      --sslmode <MODE>        disable, prefer or require
+       |      --ssl-root-cert <FILE>  TLS root certificate (PEM); implies --sslmode=require
+       |      --ssl-client-cert <FILE>  TLS client certificate (PEM)
+       |      --ssl-client-key <FILE>   TLS client key (PEM)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd, brotli, gzip)
+       |      --quiet                 Only errors are written to stderr
+       |      --numeric-handling / --decimal-precision / --decimal-scale
+       |      --enum-handling / --interval-handling / --macaddr-handling
+       |      --array-handling / --json-handling / --float16-handling
+       |  -h, --help                  Print help
+       |""".stripMargin
+
   /** Pure parser — unit-testable; throws IllegalArgumentException with
-    * user-facing messages. */
+    * user-facing messages and [[CliExit]] for --version/--help. */
   private[graft] def parseArgs(argv: Seq[String], env: Map[String, String]): Args = {
+    argv.headOption match {
+      case Some("--version") | Some("-V") => throw CliExit(Version)
+      case Some("--help") | Some("-h") => throw CliExit(HelpText)
+      case _ =>
+    }
+    if (argv.contains("--help") || argv.contains("-h"))
+      throw CliExit(ExportHelpText)
     if (argv.isEmpty || argv.head != "export")
       throw new IllegalArgumentException("usage: export [OPTIONS] --output-file FILE (--table T | --query SQL)")
     var a = Args()
@@ -53,6 +114,17 @@ object Main {
         case "--port" | "-p" => a = a.copy(port = Some(take(flag).toInt))
         case "--user" | "-U" => a = a.copy(user = Some(take(flag)))
         case "--dbname" | "-d" => a = a.copy(dbname = Some(take(flag)))
+        // O3 TLS/password surface with the reference's aliases
+        // (cli/src/main.rs:104-120)
+        case "--password" => a = a.copy(password = Some(take(flag)))
+        case "--sslmode" | "--tlsmode" | "--ssl-mode" | "--tls-mode" =>
+          a = a.copy(sslmode = Some(take(flag)))
+        case "--ssl-root-cert" | "--tls-root-cert" => // repeatable
+          a = a.copy(sslRootCerts = a.sslRootCerts :+ take(flag))
+        case "--ssl-client-cert" | "--tls-client-cert" =>
+          a = a.copy(sslClientCert = Some(take(flag)))
+        case "--ssl-client-key" | "--tls-client-key" =>
+          a = a.copy(sslClientKey = Some(take(flag)))
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" => a = a.copy(compressionLevel = Some(take(flag).toInt))
         case "--quiet" => a = a.copy(quiet = true)
@@ -87,29 +159,57 @@ object Main {
         throw new IllegalArgumentException("either --table or --query must be specified")
       case _ =>
     }
-    // --connection and discrete args are mutually exclusive
-    // (reference conflict rule, cli/src/main.rs:119-131)
+    // --connection and discrete connection args are mutually exclusive —
+    // the reference's full conflict list (cli/src/main.rs:90:
+    // conflicts_with_all = [host, user, dbname, port, password, sslmode])
     if (a.connection.isDefined &&
-        (a.host.isDefined || a.port.isDefined || a.dbname.isDefined))
+        (a.host.isDefined || a.port.isDefined || a.dbname.isDefined ||
+          a.user.isDefined || a.password.isDefined || a.sslmode.isDefined))
       throw new IllegalArgumentException(
-        "--connection cannot be combined with --host/--port/--dbname")
+        "--connection cannot be combined with --host/--port/--dbname/--user/--password/--sslmode")
+    // validate TLS option combinations early (client cert+key pairing,
+    // sslmode values) so a bad CLI fails before any Spark work
+    JdbcReader.tlsProperties(a.sslmode, a.sslRootCerts,
+      a.sslClientCert, a.sslClientKey)
     ParquetSink.codecFor(a.compression) // validate early
     a
   }
 
-  /** Discrete args → jdbc url (postgres_cloner.rs:222-273 parity). */
+  /** Discrete args → jdbc url. The reference requires BOTH --host and
+    * --dbname on the discrete path (main.rs validate():127-137). */
   private[graft] def discreteUrl(a: Args): Option[String] =
-    a.host.map(h =>
-      s"jdbc:postgresql://$h:${a.port.getOrElse(5432)}/${a.dbname.getOrElse("postgres")}")
+    a.host.map { h =>
+      val db = a.dbname.getOrElse(throw new IllegalArgumentException(
+        "Either --connection <CONNECTION_STRING> or --host <HOST> and --dbname <DBNAME> " +
+          "must be provided, or set the DATABASE_URL environment variable"))
+      s"jdbc:postgresql://$h:${a.port.getOrElse(5432)}/$db"
+    }
+
+  /** Password resolution order (postgres_cloner.rs:268-276): --password
+    * arg, then PGPASSWORD, then a TTY prompt (skipped when no console is
+    * attached — e.g. under a test harness — like the reference's
+    * prompt-failure path, postgres_cloner.rs:136-139). */
+  private[graft] def resolvePassword(a: Args, env: Map[String, String]): Option[String] =
+    a.password.orElse(env.get("PGPASSWORD")).orElse(
+      Option(System.console()).map { c =>
+        new String(c.readPassword("Password for user %s: ",
+          a.user.orElse(env.get("PGUSER")).orElse(a.dbname).getOrElse("")))
+      })
 
   private[graft] def readerFor(a: Args, env: Map[String, String]): Reader = {
     val conn = JdbcReader.resolveUrl(a.connection.orElse(discreteUrl(a)), env)
       .getOrElse(throw new IllegalArgumentException(
-        "no connection: pass --connection or --host, or set DATABASE_URL / POSTGRES_URL"))
+        "Either --connection <CONNECTION_STRING> or --host <HOST> and --dbname <DBNAME> " +
+          "must be provided, or set the DATABASE_URL environment variable"))
     if (conn.startsWith("dir:"))
       new ParquetDirReader(conn.stripPrefix("dir:"), Tables.names)
     else if (conn.startsWith("jdbc:"))
-      new JdbcReader(conn, a.user.orElse(env.get("PGUSER")), env.get("PGPASSWORD"))
+      new JdbcReader(conn,
+        // user falls back PGUSER, then dbname (postgres_cloner.rs:247)
+        a.user.orElse(env.get("PGUSER")).orElse(a.dbname),
+        resolvePassword(a, env),
+        tlsOptions = JdbcReader.tlsProperties(a.sslmode, a.sslRootCerts,
+          a.sslClientCert, a.sslClientKey))
     else throw new IllegalArgumentException(
       s"unsupported connection '$conn' (expected jdbc:postgresql://... or dir:/path)")
   }
@@ -139,8 +239,10 @@ object Main {
   def main(argv: Array[String]): Unit = {
     val a =
       try parseArgs(argv.toSeq, sys.env)
-      catch { case e: IllegalArgumentException =>
-        System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
+      catch {
+        case CliExit(text) => println(text); sys.exit(0)
+        case e: IllegalArgumentException =>
+          System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
       }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

@@ -43,17 +43,19 @@ final class ParquetDirReader(dir: String, tableNames: Seq[String]) extends Reade
   *
   * Connection options mirror the reference's surface
   * (`cli/src/postgres_cloner.rs:136-292`): url from `--connection` or
-  * `DATABASE_URL`/`POSTGRES_URL`, credentials from `PGUSER`/`PGPASSWORD`,
-  * TLS via the url's `ssl*` query params. `fetchsize` keeps the stream
-  * row-group-sized like the reference's bounded buffers;
-  * `partitionOptions` enables the parallel scan the reference lacks
-  * (single-partition default preserves its row order).
+  * `DATABASE_URL`/`POSTGRES_URL`, credentials from `PGUSER`/`PGPASSWORD`
+  * or the `--user`/`--password` args, TLS via [[JdbcReader.tlsProperties]]
+  * (`build_tls_connector`, postgres_cloner.rs:142-186). `fetchsize`
+  * keeps the stream row-group-sized like the reference's bounded
+  * buffers; `partitionOptions` enables the parallel scan the reference
+  * lacks (single-partition default preserves its row order).
   */
 final class JdbcReader(
     url: String,
     user: Option[String] = None,
     password: Option[String] = None,
     fetchSize: Int = 10000,
+    tlsOptions: Map[String, String] = Map.empty,
     partitionOptions: Map[String, String] = Map.empty) extends Reader {
 
   PostgresDialect.register()
@@ -64,7 +66,9 @@ final class JdbcReader(
       .option("fetchsize", fetchSize)
     val r1 = user.fold(r)(u => r.option("user", u))
     val r2 = password.fold(r1)(p => r1.option("password", p))
-    partitionOptions.foldLeft(r2) { case (acc, (k, v)) => acc.option(k, v) }
+    (tlsOptions ++ partitionOptions).foldLeft(r2) {
+      case (acc, (k, v)) => acc.option(k, v)
+    }
   }
 
   def table(spark: SparkSession, name: String): DataFrame =
@@ -80,4 +84,43 @@ object JdbcReader {
     * then POSTGRES_URL. */
   def resolveUrl(explicit: Option[String], env: Map[String, String]): Option[String] =
     explicit.orElse(env.get("DATABASE_URL")).orElse(env.get("POSTGRES_URL"))
+
+  /** O3 TLS surface → PostgreSQL JDBC driver properties.
+    *
+    * Mirrors the reference's `pg_connect` TLS decisions
+    * (postgres_cloner.rs:236-292): no --sslmode defaults to `prefer`,
+    * or to `require` when a root cert is given (main.rs: "The option
+    * implies --sslmode=require"); client cert and key must come
+    * together. Mapping notes (documented deviations, pgjdbc semantics):
+    * with a root cert, `require` becomes pgjdbc's `verify-ca` — the
+    * reference's native-tls verifies the chain in require mode, and
+    * pgjdbc's `require` would silently skip verification; pgjdbc takes
+    * exactly one root-cert FILE (concatenate PEMs to pass several,
+    * where the reference repeats the flag). */
+  def tlsProperties(
+      sslmode: Option[String],
+      sslRootCerts: Seq[String] = Nil,
+      sslClientCert: Option[String] = None,
+      sslClientKey: Option[String] = None): Map[String, String] = {
+    (sslClientCert, sslClientKey) match {
+      case (Some(_), None) | (None, Some(_)) =>
+        throw new IllegalArgumentException(
+          "Options ssl-client-cert and ssl-client-key must both be specified.")
+      case _ =>
+    }
+    sslmode.foreach(m =>
+      if (!Set("disable", "prefer", "require").contains(m))
+        throw new IllegalArgumentException(
+          s"invalid sslmode '$m' (expected disable, prefer or require)"))
+    if (sslRootCerts.length > 1)
+      throw new IllegalArgumentException(
+        "the PostgreSQL JDBC driver accepts a single --ssl-root-cert file; " +
+          "concatenate the PEM certificates into one file")
+    val mode = sslmode.getOrElse(if (sslRootCerts.nonEmpty) "require" else "prefer")
+    val jdbcMode = if (sslRootCerts.nonEmpty && mode == "require") "verify-ca" else mode
+    Map("sslmode" -> jdbcMode) ++
+      sslRootCerts.headOption.map("sslrootcert" -> _) ++
+      sslClientCert.map("sslcert" -> _) ++
+      sslClientKey.map("sslkey" -> _)
+  }
 }

@@ -103,4 +103,79 @@ class SourcesSpec extends AnyFunSuite {
     val dirReader = Main.readerFor(Main.Args(connection = Some(s"dir:${TestSpark.sfDir}")), Map.empty)
     assert(dirReader.table(spark, "nation").count() == 25)
   }
+
+  // ---- O3 TLS/password surface (cli/src/main.rs:104-120,
+  // postgres_cloner.rs:136-292)
+  test("cli: sslmode/cert args → pgjdbc property map") {
+    import graft.sources.JdbcReader.tlsProperties
+    // defaults: prefer without certs; root cert implies require, which
+    // maps to pgjdbc verify-ca so the chain is actually checked
+    assert(tlsProperties(None) == Map("sslmode" -> "prefer"))
+    assert(tlsProperties(Some("disable")) == Map("sslmode" -> "disable"))
+    assert(tlsProperties(Some("require")) == Map("sslmode" -> "require"))
+    assert(tlsProperties(None, Seq("/ca.crt")) ==
+      Map("sslmode" -> "verify-ca", "sslrootcert" -> "/ca.crt"))
+    assert(tlsProperties(Some("require"), Seq("/ca.crt"),
+      Some("/c.pem"), Some("/k.pem")) ==
+      Map("sslmode" -> "verify-ca", "sslrootcert" -> "/ca.crt",
+        "sslcert" -> "/c.pem", "sslkey" -> "/k.pem"))
+    // client cert and key must come together (reference error wording)
+    val pair = intercept[IllegalArgumentException](
+      tlsProperties(None, Nil, Some("/c.pem"), None))
+    assert(pair.getMessage.contains("must both be specified"))
+    intercept[IllegalArgumentException](tlsProperties(Some("verify-full")))
+    intercept[IllegalArgumentException](
+      tlsProperties(None, Seq("/a.crt", "/b.crt")))
+  }
+
+  test("cli: TLS/password args parse with aliases; --connection conflicts") {
+    import Main.parseArgs
+    val a = parseArgs(Seq("export", "-o", "x", "--table", "t",
+      "--host", "h", "--dbname", "db", "--password", "pw",
+      "--tls-mode", "require", "--ssl-root-cert", "/ca.crt",
+      "--tls-client-cert", "/c.pem", "--ssl-client-key", "/k.pem"), Map.empty)
+    assert(a.password.contains("pw") && a.sslmode.contains("require"))
+    assert(a.sslRootCerts == Seq("/ca.crt"))
+    assert(a.sslClientCert.contains("/c.pem") && a.sslClientKey.contains("/k.pem"))
+
+    // the reference's full conflict list: user/password/sslmode too
+    for (extra <- Seq(Seq("--user", "u"), Seq("--password", "p"),
+        Seq("--sslmode", "require"))) {
+      val e = intercept[IllegalArgumentException](parseArgs(
+        Seq("export", "-o", "x", "--table", "t",
+          "--connection", "jdbc:postgresql://h/db") ++ extra, Map.empty))
+      assert(e.getMessage.contains("cannot be combined"))
+    }
+    // bad TLS combinations fail at parse time
+    intercept[IllegalArgumentException](parseArgs(
+      Seq("export", "-o", "x", "--table", "t", "--sslmode", "bogus"), Map.empty))
+    intercept[IllegalArgumentException](parseArgs(
+      Seq("export", "-o", "x", "--table", "t", "--ssl-client-cert", "/c.pem"),
+      Map.empty))
+    // discrete path needs BOTH host and dbname (reference validate())
+    val e2 = intercept[IllegalArgumentException](Main.readerFor(
+      parseArgs(Seq("export", "-o", "x", "--table", "t", "--host", "h"),
+        Map.empty), Map.empty))
+    assert(e2.getMessage.contains("--dbname"))
+  }
+
+  test("cli: password resolution order — arg, then PGPASSWORD") {
+    val a = Main.Args(password = Some("argpw"))
+    assert(Main.resolvePassword(a, Map("PGPASSWORD" -> "envpw")).contains("argpw"))
+    assert(Main.resolvePassword(Main.Args(), Map("PGPASSWORD" -> "envpw"))
+      .contains("envpw"))
+    // no console under sbt → no prompt, no password
+    assert(Main.resolvePassword(Main.Args(), Map.empty).isEmpty)
+  }
+
+  test("cli: --version and --help exit successfully with the expected shapes") {
+    val v = intercept[Main.CliExit](Main.parseArgs(Seq("--version"), Map.empty))
+    assert(v.text.startsWith("graft 0.") && v.text.linesIterator.size == 1)
+    val h = intercept[Main.CliExit](Main.parseArgs(Seq("--help"), Map.empty))
+    assert(h.text.contains("export") && h.text.contains("--version") &&
+      h.text.contains("Exports a PostgreSQL table or query to a Parquet file"))
+    val eh = intercept[Main.CliExit](Main.parseArgs(Seq("export", "-h"), Map.empty))
+    assert(eh.text.contains("--output-file") && eh.text.contains("--table"))
+    assert(eh.text.linesIterator.size < 40) // short help fits on a screen
+  }
 }
