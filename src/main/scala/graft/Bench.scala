@@ -35,23 +35,35 @@ object Bench {
     names.foreach { n =>
       try qmap(n)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $n failed: $e") }
+      // drop intra-query persists (p02) between runs: each timed run
+      // must pay its own build, not time a cached re-read, and cached
+      // blocks must not occupy memory during other queries' runs
+      spark.catalog.clearCache()
     }
 
     // median of 3 timed runs per query: single-shot numbers on a shared
     // machine carry 20-30% noise, which reads as phantom regressions in
-    // round-over-round comparisons
+    // round-over-round comparisons. Failed runs are EXCLUDED from the
+    // median and reported in a "failures" key (ADVICE r04: a silent
+    // time-to-failure skewed the median with no marker in the JSON).
     val results = names.map { name =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { qmap(name)(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { qmap(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false }
+        spark.catalog.clearCache()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.sorted.apply(1)
+      val median = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      (name, median, times.size < 3)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val good = results.filter(_._2 >= 0)
+    val qs = good.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failures = results.filter(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = good.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,7 +68,20 @@ object QueryDef {
     * final driver-visible projection. Binary → `hex(...)`; decimal →
     * `.cast(StringType)` (both engines print full scale digits).
     */
-  def canonElem(e: Column): Column = coalesce(e.cast(StringType), lit("NULL"))
+  /** Injective element encoding (ADVICE r04: the old bare cast made
+    * "x,y" indistinguishable from two tokens and the string "NULL" from
+    * a SQL NULL): elements containing `, [ ] { } " \`, equal to "NULL",
+    * or empty are PG-style quoted with `\"`/`\\` escapes; SQL NULL stays
+    * the bare NULL token. Oracle literals use the same quoting. */
+  def canonElem(e: Column): Column = {
+    val s = e.cast(StringType)
+    val quoted = concat(lit("\""),
+      regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      lit("\""))
+    when(e.isNull, lit("NULL"))
+      .when(s === "NULL" || s === "" || s.rlike("[,\\[\\]{}\"\\\\]"), quoted)
+      .otherwise(s)
+  }
 
   /** Array → "[a,b,NULL]" (NULL array → NULL ≠ "[]" ≠ "[NULL]"). The
     * element encoder defaults to a string cast; pass a custom one for

@@ -54,6 +54,30 @@ object Pipeline {
   private def hashA(i: Int): Long = 2L * i + 1
   private def hashB(i: Int): Long = 99991L * i + 7
 
+  /** p04 stop-gram cap: a trigram shared by more than this many docs in
+    * a lang block carries no dedup signal and would quadratically blow
+    * up the self-join. Above the sf0.01 corpus size, so the driver-gated
+    * result stays the exact Jaccard. */
+  private val NgramDfCap = 1000
+
+  /** p06 sign-random-projection LSH: 8 bands × 4 hyperplane-sign bits
+    * bucket each label block so candidate pairing is bounded per
+    * (label, band, sig) bucket instead of quadratic in the cluster. */
+  private val SrpBands = 8
+  private val SrpRows = 4
+  private val EmbDim = 64
+
+  /** Deterministic ±1 hyperplane weight for projection i, dimension d —
+    * the parity of the first md5 byte of "srp-i-d". The oracle computes
+    * the IDENTICAL formula in SQL (md5 is available in both engines), so
+    * the buckets match by construction with no RNG anywhere. */
+  private def srpWeight(i: Int, d: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"srp-$i-$d".getBytes("UTF-8"))
+      .take(1).map(b => f"${b & 0xff}%02x").mkString
+    if (Integer.parseInt(hex, 16) % 2 == 0) 1 else -1
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- p01: exact deduplication via content hash — one shuffle on the
@@ -93,9 +117,11 @@ object Pipeline {
         // This is the expensive artifact (one md5 per 5-gram); it feeds
         // the signature computation and both sides of the verification
         // join, so materialize it once (spills past memory — at 100 TB
-        // you'd persist exactly this table). Re-invocations do NOT leak
-        // copies: CacheManager dedupes by canonicalized plan, so the
-        // session holds one entry per sfDir.
+        // you'd persist exactly this table). Session contract: the
+        // persist lives until `spark.catalog.clearCache()` — Verify and
+        // Bench call it after every query, so the cache is scoped to one
+        // execution; long-lived sessions embedding this operator should
+        // do the same once the result is materialized.
         val xs = docs
           .select(col("doc_id"),
             array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
@@ -213,21 +239,29 @@ object Pipeline {
                CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
-    // ---- p04: exact character-trigram Jaccard near-dup, blocked by
-    // lang (the natural text-dedup partition; bounds the self-join to a
-    // block, never all-pairs across the corpus). This is the EXACT
-    // baseline — within a block the trigram join is still quadratic in
-    // colliding docs, so at corpus scale the sketch path (p02
-    // MinHash-LSH) is the production choice and p04 the verifier run
-    // on candidate subsets.
+    // ---- p04: character-trigram Jaccard near-dup, blocked by lang AND
+    // capped by gram document-frequency: a trigram shared by more than
+    // NgramDfCap documents ("the" in en) discriminates nothing and would
+    // make the self-join output quadratic in the matching docs — the r04
+    // scale-killer. The df filter shares the (lang, tri) shuffle the
+    // join needs anyway, so the cap costs no extra exchange, and every
+    // join key now fans out to at most cap² pairs. At fixture scale the
+    // cap exceeds the corpus, so results are EXACT; at 100 TB this is
+    // the standard stop-gram approximation (and p02 MinHash-LSH remains
+    // the production sketch path).
     QueryDef(
       "p04_ngram_jaccard",
       (s, d) => {
-        val tri = T.documents(s, d)
+        val tri0 = T.documents(s, d)
           .select(col("doc_id"), col("lang"), explode(
             transform(sequence(lit(1), length(col("text")) - 2),
               i => substr(col("text"), i, lit(3)))).as("tri"))
           .distinct()
+        val tri = tri0
+          .withColumn("df", count(lit(1))
+            .over(Window.partitionBy(col("lang"), col("tri"))))
+          .filter(col("df") <= NgramDfCap)
+          .drop("df")
         val inter = tri.as("a")
           .join(tri.as("b"),
             col("a.lang") === col("b.lang") && col("a.tri") === col("b.tri") &&
@@ -243,10 +277,13 @@ object Pipeline {
           .filter(col("jaccard") >= 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some("""
-        WITH tri AS (
+      Some(s"""
+        WITH tri0 AS (
           SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
           FROM documents, unnest(range(1, length(text) - 1)) t(i)),
+        tri AS (
+          SELECT doc_id, lang, tri FROM tri0
+          QUALIFY COUNT(*) OVER (PARTITION BY lang, tri) <= $NgramDfCap),
         inter AS (
           SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
           FROM tri a JOIN tri b
@@ -299,36 +336,91 @@ object Pipeline {
         FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk"""),
       headline = true),
 
-    // ---- p06: embedding cosine near-dup, blocked by label cluster
-    // (the IVF-style partition: candidate pairs only within a cluster,
-    // never all-pairs across the corpus).
+    // ---- p06: embedding cosine near-dup, blocked by label cluster AND
+    // sub-bucketed by sign-random-projection LSH (the r04 scale fix:
+    // within-cluster all-pairs was quadratic in cluster size, and label
+    // cardinality is small). 32 hyperplane-sign bits are map-side decimal
+    // folds (decimal so the bit is order-independent across engines); 8
+    // bands of 4 bits each feed ONE (label, band, sig) bucket shuffle —
+    // the p02 MinHash shape transplanted to embeddings — and only bucket
+    // collisions reach the exact-cosine verification. Candidate recall is
+    // the standard SRP-LSH trade (pairs colliding in no band are missed);
+    // the oracle computes the identical buckets so both engines see the
+    // same candidate set.
     QueryDef(
       "p06_embedding_neardup",
       (s, d) => {
         val e = T.embeddings(s, d)
           .select(col("vec_id"), col("label"), col("embedding"),
             dot(col("embedding"), col("embedding")).as("n2"))
-        e.as("a").join(e.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        // 32 sign bits: Σ_d ±emb[d] summed as DECIMAL(38,10) — exact,
+        // associative, so the sign matches DuckDB's unordered SUM
+        val dec = DecimalType(38, 10)
+        val bitCols = (0 until SrpBands * SrpRows).map { i =>
+          val w = array((0 until EmbDim).map(dd => lit(srpWeight(i, dd))): _*)
+          val p = aggregate(
+            zip_with(col("embedding"), w,
+              (x, ww) => (x.cast(DoubleType) * ww).cast(dec)),
+            lit(java.math.BigDecimal.ZERO).cast(dec),
+            (acc, x) => (acc + x).cast(dec))
+          when(p >= 0, lit("1")).otherwise(lit("0")).as(s"bit$i")
+        }
+        val sigExpr = (0 until SrpBands).map(b =>
+          s"$b, concat(${(0 until SrpRows).map(r => s"bit${b * SrpRows + r}").mkString(", ")})")
+          .mkString(", ")
+        val bands = e.select(Seq(col("vec_id"), col("label")) ++ bitCols: _*)
+          .select(col("vec_id"), col("label"),
+            expr(s"stack($SrpBands, $sigExpr) AS (band, sig)"))
+        // the ONLY pairing shuffle: bucket collisions within the block
+        val buckets = bands.groupBy(col("label"), col("band"), col("sig"))
+          .agg(array_sort(collect_set(col("vec_id"))).as("vs"))
+          .filter(size(col("vs")) > 1)
+        val pairs = buckets
+          .select(explode(col("vs")).as("va"), col("vs"))
+          .select(col("va"), explode(col("vs")).as("vb"))
+          .filter(col("va") < col("vb"))
+          .distinct()
+        pairs
+          .join(e.as("a"), col("va") === col("a.vec_id"))
+          .join(e.as("b"), col("vb") === col("b.vec_id"))
+          .select(col("va").as("vec_a"), col("vb").as("vec_b"),
             col("a.label").as("label"),
             cosine(dot(col("a.embedding"), col("b.embedding")),
               col("a.n2"), col("b.n2")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
           .orderBy(col("vec_a"), col("vec_b"))
       },
-      Some("""
+      Some(s"""
         WITH e AS (
           SELECT vec_id, label, embedding,
                  list_reduce(list_transform(range(1, len(embedding) + 1),
                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
                    (acc, x) -> acc + x) AS n2
-          FROM embeddings)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+          FROM embeddings),
+        w AS (
+          SELECT i, d,
+                 CASE WHEN CAST('0x' || substr(md5('srp-' || i || '-' || d), 1, 2) AS INT) % 2 = 0
+                      THEN 1 ELSE -1 END AS w
+          FROM range(0, ${SrpBands * SrpRows}) t(i), range(0, $EmbDim) tt(d)),
+        proj AS (
+          SELECT e.vec_id, e.label, w.i,
+                 SUM(CAST(CAST(w.w AS DOUBLE) * CAST(e.embedding[CAST(w.d AS INT) + 1] AS DOUBLE)
+                     AS DECIMAL(38,10))) AS p
+          FROM e, w GROUP BY e.vec_id, e.label, w.i),
+        bits AS (
+          SELECT vec_id, label, i // $SrpRows AS band,
+                 string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+          FROM proj GROUP BY vec_id, label, i // $SrpRows),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          FROM bits a JOIN bits b
+            ON a.label = b.label AND a.band = b.band AND a.sig = b.sig
+           AND a.vec_id < b.vec_id)
+        SELECT p.va AS vec_a, p.vb AS vec_b, a.label AS label,
                list_reduce(list_transform(range(1, len(a.embedding) + 1),
                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
                  (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM pairs p JOIN e a ON a.vec_id = p.va JOIN e b ON b.vec_id = p.vb
         WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
                  (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4

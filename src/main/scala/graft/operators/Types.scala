@@ -561,11 +561,11 @@ object Types {
           .orderBy(col("id")),
       Some("""
         SELECT * FROM (VALUES
-          (1, '[1,2,3,4,NULL,5]', '[3,2]', '[1,1]', '[a,x,y,NULL,d]', '[2,2]'),
+          (1, '[1,2,3,4,NULL,5]', '[3,2]', '[1,1]', '[a,"x,y",NULL,d]', '[2,2]'),
           (2, '[1,2,3]', '[3]', '[1]', '[a,b]', '[2]'),
           (3, '[1,2,3]', '[3]', '[-2]', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
           (4, '[1]', '[1,1,1]', '[1,1,1]', '[]', '[]'),
-          (5, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '[NULL,NULL]', '[2]'),
+          (5, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '["NULL",NULL]', '[2]'),
           (6, '[]', '[]', '[]', '[x]', '[1]')
         ) t(id, data_s, dims_s, lb_s, tdata_s, tdims_s) ORDER BY id""")),
 
@@ -813,8 +813,8 @@ object Types {
       },
       Some("""
         SELECT * FROM (VALUES
-          (1, '[1|3|true|false|false,N|N|false|false|true]', '[1,7]', '[a,b,c"d]'),
-          (2, '[N|3|false|false|false,NULL,3|N|true|false|false]', '[NULL,5]', '[NULL,NULL,plain]'),
+          (1, '[1|3|true|false|false,N|N|false|false|true]', '[1,7]', '["a,b","c\"d"]'),
+          (2, '[N|3|false|false|false,NULL,3|N|true|false|false]', '[NULL,5]', '[NULL,"NULL",plain]'),
           (3, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
           (4, '[]', '[]', '[]')
         ) t(id, range_arr_s, enum_arr_s, text_arr_s) ORDER BY id"""))

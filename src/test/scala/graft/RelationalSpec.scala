@@ -18,7 +18,7 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet == exact.keySet)
     rows.foreach { case (k, n, ok) =>
       assert(n == exact(k), s"flag $k: exact count mismatch")
-      assert(ok, s"flag $k: sketch drifted past 5% of exact")
+      assert(ok, s"flag $k: sketch drifted past 10% of exact (5×rsd=0.02)")
     }
   }
 
