@@ -103,6 +103,50 @@ class ConversionPropertiesSpec extends AnyFunSuite {
     assert(multi.getMessage.contains("malformed PG array text"))
   }
 
+  test("record grammar: quoting round-trips arbitrary composite fields") {
+    // render a PG record text the way the server would: NULL fields are
+    // empty, non-NULL fields are quoted (always-quoting is valid PG
+    // form) with backslash escapes; parse must recover the fields —
+    // including commas, parens, quotes, empty strings, and "NULL"
+    val fieldG = Gen.option(Gen.oneOf(
+      Gen.listOfN(4, Gen.asciiPrintableChar).map(_.mkString),
+      Gen.oneOf("NULL", "a,b", "(x)", "\"q\"", "back\\slash", "")))
+    check(Prop.forAll(Gen.nonEmptyListOf(fieldG)) { fields =>
+      val text = fields
+        .map {
+          case None => ""
+          case Some(e) =>
+            "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        }
+        .mkString("(", ",", ")")
+      parseComposite(text) == fields
+    })
+  }
+
+  test("record grammar: doubled-quote escape is equivalent to backslash") {
+    check(Prop.forAll(Gen.listOfN(3, Gen.asciiPrintableChar).map(_.mkString)) { s =>
+      val doubled = "(\"" + s.replace("\\", "\\\\").replace("\"", "\"\"") + "\")"
+      parseComposite(doubled) == Seq(Some(s))
+    })
+  }
+
+  test("range grammar: quoted bounds round-trip; flags follow brackets") {
+    val boundG = Gen.option(Gen.oneOf(
+      Gen.listOfN(4, Gen.asciiPrintableChar).map(_.mkString),
+      Gen.oneOf("a,b", "[x]", "\"q\"", "2020-01-01 00:00:00", "")))
+    val g = for {
+      lo <- boundG; hi <- boundG
+      loInc <- Gen.oneOf(true, false); hiInc <- Gen.oneOf(true, false)
+    } yield (lo, hi, loInc, hiInc)
+    check(Prop.forAll(g) { case (lo, hi, loInc, hiInc) =>
+      def render(b: Option[String]) = b.fold("")(e =>
+        "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      val text = (if (loInc) "[" else "(") + render(lo) + "," + render(hi) +
+        (if (hiInc) "]" else ")")
+      parseRange(text) == PgRangeParts(lo, hi, loInc, hiInc, is_empty = false)
+    })
+  }
+
   test("bigDecimalBytes round-trips through BigInteger at the same scale") {
     val g = for {
       unscaled <- Gen.chooseNum(-1000000000L, 1000000000L)
