@@ -224,8 +224,23 @@ object Main {
   private[graft] def runExport(spark: SparkSession, a: Args,
       env: Map[String, String]): ParquetSink.WriteStats = {
     val reader = readerFor(a, env)
-    val df = a.table.map(reader.table(spark, _))
+    val raw = a.table.map(reader.table(spark, _))
       .getOrElse(reader.query(spark, a.query.get))
+    // §2.3 conversion layer (the reference's appender tree): on a live
+    // JDBC export, resolve each column's pg type — pg_catalog for
+    // --table, statement-describe for --query — and apply the recipes.
+    // Parquet-dir reads are already typed and pass through.
+    val df = reader match {
+      case j: graft.sources.JdbcReader =>
+        val catalog = graft.sources.PgSchema.PgCatalog.load(spark, j)
+        val kinds: Map[String, graft.sources.PgSchema.PgKind] = a.table match {
+          case Some(t) => catalog.tableKinds(t).map(_.toMap).getOrElse(Map.empty)
+          case None => j.describeQuery(a.query.get)
+            .map { case (n, tn) => n -> catalog.resolveName(tn) }.toMap
+        }
+        graft.sources.PgSchema.convertScan(raw, kinds, a.settings)
+      case _ => raw
+    }
     val stats = ParquetSink.write(df, a.outputFile,
       ParquetSink.SinkOptions(
         compression = a.compression,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 import graft.functions.PgConversions
 import graft.functions.PgConversions.PgSettings
@@ -131,6 +131,40 @@ object PgSchema {
       s"no text recipe for $other — cast to ::text in the query (T35 policy)")
   }
 
+  /** Post-scan conversion layer for a JDBC export — the engine's
+    * appender-tree application point ([[graft.Main.runExport]] calls
+    * this per exported DataFrame; reference equivalent:
+    * `map_schema_root` → appender per column, postgres_cloner.rs:316-428).
+    *
+    * Per column: if the dialect-typed scan already delivered the
+    * settings' target Spark type, pass through (pgjdbc decodes standard
+    * scalars natively); if the transfer is text-form (OTHER/extension
+    * types — uuid, interval, vector, ranges, composites, enums, …),
+    * apply the full [[recipe]]; numeric columns arrive as the scan
+    * metadata's decimal and get the numeric handling applied through
+    * their text form (the reference's default exports numeric as
+    * double). Anything else (e.g. a natively-decoded int array in plain
+    * handling) passes through. */
+  def convertScan(df: DataFrame, kinds: Map[String, PgKind], s: PgSettings): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = df.schema.fields.toSeq.map { f =>
+      kinds.get(f.name) match {
+        case Some(kind) =>
+          val target = toSparkType(kind, s)
+          (f.dataType, kind) match {
+            case (dt, _) if dt == target => col(f.name)
+            case (StringType, _) => recipe(kind, col(f.name), s).as(f.name)
+            case (_: DecimalType, PgSimple("numeric")) =>
+              PgTypeMapper.convert("numeric", col(f.name).cast(StringType), s)
+                .as(f.name)
+            case _ => col(f.name)
+          }
+        case None => col(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
   // ---- catalog model (what IntrospectionSql returns)
 
   final case class PgTypeRow(
@@ -138,11 +172,13 @@ object PgSchema {
       elemOid: Long, baseOid: Long, relOid: Long, rangeSubtypeOid: Long)
   final case class PgEnumRow(enumTypeOid: Long, sortOrder: Double, label: String)
   final case class PgAttributeRow(relOid: Long, num: Int, name: String, typeOid: Long)
+  final case class PgClassRow(oid: Long, relname: String)
 
   final case class PgCatalog(
       types: Seq[PgTypeRow],
       enums: Seq[PgEnumRow],
-      attrs: Seq[PgAttributeRow]) {
+      attrs: Seq[PgAttributeRow],
+      classes: Seq[PgClassRow] = Nil) {
 
     private val byOid = types.map(t => t.oid -> t).toMap
 
@@ -163,6 +199,26 @@ object PgSchema {
         case _ => PgSimple(t.name)
       }
     }
+
+    /** Kind for a pg type NAME (what JDBC statement metadata reports for
+      * a query's output columns). Names absent from the catalog resolve
+      * as simple types — extension scalars like vector need no catalog
+      * recursion, and truly unknown names hit the T35 policy at
+      * conversion time. */
+    def resolveName(typeName: String): PgKind =
+      types.find(_.name == typeName)
+        .map(t => resolve(t.oid)).getOrElse(PgSimple(typeName))
+
+    /** Column name → Kind for `--table t` exports (reference resolves
+      * the same through the prepared statement's column oids,
+      * postgres_cloner.rs:316-330). Schema-qualified names match on the
+      * bare relname. */
+    def tableKinds(table: String): Option[Seq[(String, PgKind)]] = {
+      val relname = table.split('.').last.stripPrefix("\"").stripSuffix("\"")
+      classes.find(_.relname == relname).map(c =>
+        attrs.filter(_.relOid == c.oid).sortBy(_.num)
+          .map(a => a.name -> resolve(a.typeOid)))
+    }
   }
 
   object PgCatalog {
@@ -174,12 +230,13 @@ object PgSchema {
         |FROM pg_type t LEFT JOIN pg_range r ON r.rngtypid = t.oid""".stripMargin,
       "SELECT enumtypid, enumsortorder, enumlabel FROM pg_enum",
       """SELECT attrelid, attnum, attname, atttypid FROM pg_attribute
-        |WHERE attnum > 0 AND NOT attisdropped""".stripMargin)
+        |WHERE attnum > 0 AND NOT attisdropped""".stripMargin,
+      "SELECT oid, relname FROM pg_class WHERE relkind IN ('r','v','m','p','f')")
 
     /** Load the catalog from a live connection (same rows the canned
       * test fixtures model). */
     def load(spark: SparkSession, reader: Reader): PgCatalog = {
-      val Seq(tq, eq, aq) = IntrospectionSql
+      val Seq(tq, eq, aq, cq) = IntrospectionSql
       PgCatalog(
         reader.query(spark, tq).collect().toSeq.map(r => PgTypeRow(
           r.getLong(0), r.getString(1), r.getString(2),
@@ -187,7 +244,9 @@ object PgSchema {
         reader.query(spark, eq).collect().toSeq.map(r =>
           PgEnumRow(r.getLong(0), r.getDouble(1), r.getString(2))),
         reader.query(spark, aq).collect().toSeq.map(r =>
-          PgAttributeRow(r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))))
+          PgAttributeRow(r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))),
+        reader.query(spark, cq).collect().toSeq.map(r =>
+          PgClassRow(r.getLong(0), r.getString(1))))
     }
   }
 }

@@ -76,6 +76,25 @@ final class JdbcReader(
 
   def query(spark: SparkSession, sql: String): DataFrame =
     base(spark).option("query", sql).load()
+
+  /** pg type name per output column of `sql`, from a JDBC describe
+    * (`prepareStatement().getMetaData` — prepared, never executed; the
+    * reference reads the same from its prepared statement's columns,
+    * postgres_cloner.rs:316-330). Drives the conversion recipes for
+    * `--query` exports, where pg_class introspection can't name the
+    * output types. */
+  def describeQuery(sql: String): Seq[(String, String)] = {
+    val props = new java.util.Properties()
+    user.foreach(props.setProperty("user", _))
+    password.foreach(props.setProperty("password", _))
+    tlsOptions.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.prepareStatement(sql).getMetaData
+      (1 to md.getColumnCount).map(i =>
+        md.getColumnLabel(i) -> md.getColumnTypeName(i))
+    } finally conn.close()
+  }
 }
 
 object JdbcReader {

@@ -32,7 +32,13 @@ class PgSchemaSpec extends AnyFunSuite {
     attrs = Seq(
       PgAttributeRow(77, 2, "model", 23),
       PgAttributeRow(77, 1, "pdbid", 1042),
-      PgAttributeRow(77, 3, "chain", 1042)))
+      PgAttributeRow(77, 3, "chain", 1042),
+      // table t_exp(id int4, rng int4range, wd weekday, tags int4[])
+      PgAttributeRow(501, 1, "id", 23),
+      PgAttributeRow(501, 2, "rng", 3904),
+      PgAttributeRow(501, 3, "wd", 60000),
+      PgAttributeRow(501, 4, "tags", 1007)),
+    classes = Seq(PgClassRow(501, "t_exp"), PgClassRow(502, "other")))
 
   private val dflt = PgSettings()
 
@@ -108,6 +114,48 @@ class PgSchemaSpec extends AnyFunSuite {
   test("unknown simple type and unknown oid raise the T35 policy error") {
     intercept[IllegalArgumentException](simpleType("tsvector", dflt))
     intercept[IllegalArgumentException](catalog.resolve(99999))
+  }
+
+  test("tableKinds/resolveName: export-path type resolution") {
+    val kinds = catalog.tableKinds("public.t_exp").get
+    assert(kinds.map(_._1) == Seq("id", "rng", "wd", "tags"))
+    assert(kinds(1)._2 == PgRange(PgSimple("int4")))
+    assert(kinds(2)._2.isInstanceOf[PgEnum])
+    assert(kinds(3)._2 == PgArray(PgSimple("int4")))
+    assert(catalog.tableKinds("nope").isEmpty)
+    // statement-describe names: catalog types recurse, extension
+    // scalars absent from the catalog fall back to simple
+    assert(catalog.resolveName("_int4") == PgArray(PgSimple("int4")))
+    assert(catalog.resolveName("int4range") == PgRange(PgSimple("int4")))
+    assert(catalog.resolveName("vector") == PgSimple("vector"))
+  }
+
+  test("convertScan: dialect-typed columns pass, text transfers convert") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.types.{Decimal => _, _}
+    val df = Seq(
+      (1, "[1,5)", "[0.5,2]", "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11", BigDecimal("12.50")),
+      (2, "empty", null, null, null))
+      .toDF("id", "rng", "vec", "u", "num")
+    val kinds = Map[String, PgKind](
+      "id" -> PgSimple("int4"),          // already IntegerType → untouched
+      "rng" -> PgRange(PgSimple("int4")),
+      "vec" -> PgSimple("vector"),
+      "u" -> PgSimple("uuid"),
+      "num" -> PgSimple("numeric"))      // decimal scan → default double
+    val out = convertScan(df, kinds, dflt)
+    assert(out.schema("id").dataType == IntegerType)
+    assert(out.schema("rng").dataType.isInstanceOf[StructType])
+    assert(out.schema("vec").dataType == ArrayType(FloatType))
+    assert(out.schema("u").dataType == BinaryType)
+    assert(out.schema("num").dataType == DoubleType)
+    val r = out.orderBy(col("id")).collect()
+    assert(r(0).getStruct(1).getInt(0) == 1)         // range lower
+    assert(r(0).getSeq[Float](2) == Seq(0.5f, 2f))
+    assert(r(0).getAs[Array[Byte]](3).length == 16)  // uuid bytes
+    assert(r(0).getDouble(4) == 12.5)
+    assert(r(1).getStruct(1).getBoolean(4))          // 'empty' range
   }
 
   test("recipe: jsonb dispatches through the catalog path (r04 gap)") {
