@@ -143,8 +143,7 @@ object PgSchema {
     * apply the full [[recipe]]; numeric columns arrive as the scan
     * metadata's decimal and get the numeric handling applied through
     * their text form (the reference's default exports numeric as
-    * double). Anything else (e.g. a natively-decoded int array in plain
-    * handling) passes through. */
+    * double). Anything else passes through unchanged. */
   def convertScan(df: DataFrame, kinds: Map[String, PgKind], s: PgSettings): DataFrame = {
     import org.apache.spark.sql.functions.col
     val cols = df.schema.fields.toSeq.map { f =>

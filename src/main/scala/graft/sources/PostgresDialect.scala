@@ -52,6 +52,11 @@ object PostgresDialect extends JdbcDialect {
     case "time" | "timetz" => Some(StringType)
     // T32-T34: pgvector family arrives as its text form
     case "vector" | "halfvec" | "sparsevec" => Some(StringType)
+    // T30/T31: array types (pg names them _elem) transfer as text and
+    // are parsed by the recipe layer per --array-handling; Spark's
+    // generic JDBC fallback has no ARRAY mapping, so without this a
+    // live array scan would throw
+    case n if n.startsWith("_") => Some(StringType)
     case _ => sqlType match {
       // range/composite/enum/domain: pg JDBC reports OTHER; take text
       // and decode with PgConversions (T25-T31)

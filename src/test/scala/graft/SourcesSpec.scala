@@ -28,6 +28,8 @@ class SourcesSpec extends AnyFunSuite {
     assert(m("uuid").contains(StringType))
     assert(m("vector").contains(StringType)) // decoded by PgConversions
     assert(m("some_enum_type").contains(StringType)) // OTHER → text
+    assert(m("_int4", java.sql.Types.ARRAY).contains(StringType)) // arrays → text transfer
+    assert(m("_int4range", java.sql.Types.ARRAY).contains(StringType))
     assert(PostgresDialect.canHandle("jdbc:postgresql://h/db"))
     assert(!PostgresDialect.canHandle("jdbc:mysql://h/db"))
   }
