@@ -62,6 +62,10 @@ object PgConversions {
     * postgres_cloner.rs:597): widen to ShortType for 128..255. */
   def pgCharByte(c: Column): Column = c.cast(ShortType)
 
+  /** T11 from the TEXT form a JDBC scan delivers — the character itself,
+    * not its code ('' is the zero byte): code point → ShortType. */
+  def pgCharFromText(c: Column): Column = ascii(c).cast(ShortType)
+
   // ----------------------------------------------------------------- T6: floats
 
   /** T6 float4/float8: PG text (incl 'NaN','Infinity','-Infinity','-0')

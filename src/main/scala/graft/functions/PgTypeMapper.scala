@@ -24,6 +24,9 @@ object PgTypeMapper {
     case "int4" => pgInt4(c)
     case "int8" => pgInt8(c)
     case "oid" => pgOid(c)
+    // the pg_type name is bare `char` (catalog/describe path, text form);
+    // the quoted spelling and char1 take the numeric wire form
+    case "char" => pgCharFromText(c)
     case "\"char\"" | "char1" => pgCharByte(c)
     case "float4" => pgFloat4(c)
     case "float8" => pgFloat8(c)

@@ -70,7 +70,7 @@ object PgSchema {
     case "int4" => IntegerType
     case "int8" => LongType
     case "oid" => LongType
-    case "\"char\"" => ShortType
+    case "\"char\"" | "char" => ShortType
     case "float4" => FloatType
     case "float8" => DoubleType
     case "numeric" => s.numericHandling match {

@@ -177,4 +177,16 @@ class PgSchemaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       recipe(PgSimple("halfvec"), col("v"), dflt.copy(float16Handling = "float16")))
   }
+
+  test("recipe: bare `char` (catalog name) converts its text form to the code") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    assert(simpleType("char", dflt) == ShortType)
+    val out = Seq((1, "A"), (2, ""), (3, null)).toDF("id", "v")
+      .select(col("id"), recipe(PgSimple("char"), col("v"), dflt).as("c"))
+      .orderBy(col("id")).collect()
+    assert(out(0).getShort(1) == 65)
+    assert(out(1).getShort(1) == 0)   // '' is the zero byte
+    assert(out(2).isNullAt(1))
+  }
 }
