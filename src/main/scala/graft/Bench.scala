@@ -53,8 +53,9 @@ object Bench {
           try { qmap(name)(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e"); false }
+        val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
         spark.catalog.clearCache()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        if (ok) Some(elapsed) else None
       }
       val median = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       (name, median, times.size < 3)

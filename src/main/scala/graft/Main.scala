@@ -93,8 +93,6 @@ object Main {
       case Some("--help") | Some("-h") => throw CliExit(HelpText)
       case _ =>
     }
-    if (argv.contains("--help") || argv.contains("-h"))
-      throw CliExit(ExportHelpText)
     if (argv.isEmpty || argv.head != "export")
       throw new IllegalArgumentException("usage: export [OPTIONS] --output-file FILE (--table T | --query SQL)")
     var a = Args()
@@ -106,6 +104,9 @@ object Main {
     while (rest.nonEmpty) {
       val flag = rest.head; rest = rest.tail
       flag match {
+        // in-loop so an option VALUE that happens to be "-h" (e.g. a
+        // password) is consumed by take() and never hijacks into help
+        case "--help" | "-h" => throw CliExit(ExportHelpText)
         case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
         case "--table" | "-t" => a = a.copy(table = Some(take(flag)))
         case "--query" | "-q" => a = a.copy(query = Some(take(flag)))
@@ -172,7 +173,10 @@ object Main {
     JdbcReader.tlsProperties(a.sslmode, a.sslRootCerts,
       a.sslClientCert, a.sslClientKey)
     ParquetSink.codecFor(a.compression) // validate early
-    a
+    // handling values validated + alias-normalized at parse time, like
+    // the reference's clap ValueEnum (a bad spelling must not surface —
+    // or silently pass — only when the affected type appears in a table)
+    a.copy(settings = PgSettings.validated(a.settings))
   }
 
   /** Discrete args → jdbc url. The reference requires BOTH --host and
@@ -191,9 +195,11 @@ object Main {
     * prompt-failure path, postgres_cloner.rs:136-139). */
   private[graft] def resolvePassword(a: Args, env: Map[String, String]): Option[String] =
     a.password.orElse(env.get("PGPASSWORD")).orElse(
-      Option(System.console()).map { c =>
-        new String(c.readPassword("Password for user %s: ",
+      Option(System.console()).flatMap { c =>
+        // readPassword returns null on EOF at the prompt (Ctrl-D)
+        Option(c.readPassword("Password for user %s: ",
           a.user.orElse(env.get("PGUSER")).orElse(a.dbname).getOrElse("")))
+          .map(new String(_))
       })
 
   private[graft] def readerFor(a: Args, env: Map[String, String]): Reader = {
@@ -233,12 +239,20 @@ object Main {
     val df = reader match {
       case j: graft.sources.JdbcReader =>
         val catalog = graft.sources.PgSchema.PgCatalog.load(spark, j)
-        val kinds: Map[String, graft.sources.PgSchema.PgKind] = a.table match {
-          case Some(t) => catalog.tableKinds(t).map(_.toMap).getOrElse(Map.empty)
-          case None => j.describeQuery(a.query.get)
-            .map { case (n, tn) => n -> catalog.resolveName(tn) }.toMap
+        a.table match {
+          case Some(t) =>
+            val kinds = catalog.tableKinds(t)
+            if (kinds.isEmpty)
+              System.err.println(s"warning: table '$t' not found in " +
+                "pg_catalog introspection; exporting the scan without type conversions")
+            graft.sources.PgSchema.convertScan(raw,
+              kinds.map(_.toMap).getOrElse(Map.empty), a.settings)
+          case None =>
+            // positional, not by-name: a query's output may repeat labels
+            val byPos = j.describeQuery(a.query.get)
+              .map { case (_, tn) => Some(catalog.resolveName(tn)) }
+            graft.sources.PgSchema.convertScanPositional(raw, byPos, a.settings)
         }
-        graft.sources.PgSchema.convertScan(raw, kinds, a.settings)
       case _ => raw
     }
     val stats = ParquetSink.write(df, a.outputFile,

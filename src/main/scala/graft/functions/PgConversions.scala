@@ -36,6 +36,51 @@ object PgConversions {
       arrayHandling: String = "plain",       // plain|dims|dims+lb
       float16Handling: String = "float32")   // float32|float16
 
+  object PgSettings {
+    // Clap-style value enums with the reference's aliases
+    // (postgres_cloner.rs:53-120): each handling's accepted spellings,
+    // normalized to the canonical token the conversion layer matches on.
+    private val aliases: Map[String, Map[String, String]] = Map(
+      "numeric-handling" -> Map(
+        "decimal" -> "decimal", "double" -> "double", "float" -> "double",
+        "float64" -> "double", "float32" -> "float32", "string" -> "string"),
+      "enum-handling" -> Map(
+        "text" -> "text", "plain-text" -> "plain-text", "int" -> "int"),
+      "json-handling" -> Map(
+        "text" -> "text", "text-marked-as-json" -> "text-marked-json",
+        "text-marked-json" -> "text-marked-json"),
+      "macaddr-handling" -> Map(
+        "text" -> "text", "byte-array" -> "byte-array", "int64" -> "int64"),
+      "interval-handling" -> Map(
+        "interval" -> "interval", "struct" -> "struct"),
+      "array-handling" -> Map(
+        "plain" -> "plain", "dimensions" -> "dims", "dims" -> "dims",
+        "dimensions+lowerbound" -> "dims+lb",
+        "dimensions+lower_bound" -> "dims+lb",
+        "dimensions+lower-bound" -> "dims+lb", "dims+lb" -> "dims+lb"),
+      "float16-handling" -> Map(
+        "float32" -> "float32", "float16" -> "float16"))
+
+    private def norm(option: String, value: String): String =
+      aliases(option).getOrElse(value,
+        throw new IllegalArgumentException(
+          s"invalid value '$value' for --$option (expected one of: " +
+            aliases(option).keys.toSeq.sorted.mkString(", ") + ")"))
+
+    /** Validate every handling value at parse time (the reference's clap
+      * ValueEnum rejects bad spellings before any connection is made;
+      * without this a bogus value would only surface — or silently pass —
+      * when a column of the affected type is actually exported). */
+    def validated(s: PgSettings): PgSettings = s.copy(
+      numericHandling = norm("numeric-handling", s.numericHandling),
+      enumHandling = norm("enum-handling", s.enumHandling),
+      jsonHandling = norm("json-handling", s.jsonHandling),
+      macaddrHandling = norm("macaddr-handling", s.macaddrHandling),
+      intervalHandling = norm("interval-handling", s.intervalHandling),
+      arrayHandling = norm("array-handling", s.arrayHandling),
+      float16Handling = norm("float16-handling", s.float16Handling))
+  }
+
   // ------------------------------------------------------------ T1–T5, T11
 
   /** T1 bool: PG text 't'/'f' → BooleanType (postgres_cloner.rs:586). */

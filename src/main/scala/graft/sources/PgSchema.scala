@@ -144,24 +144,48 @@ object PgSchema {
     * metadata's decimal and get the numeric handling applied through
     * their text form (the reference's default exports numeric as
     * double). Anything else passes through unchanged. */
-  def convertScan(df: DataFrame, kinds: Map[String, PgKind], s: PgSettings): DataFrame = {
+  def convertScan(df: DataFrame, kinds: Map[String, PgKind], s: PgSettings): DataFrame =
+    convertScanPositional(df, df.columns.toSeq.map(kinds.get), s)
+
+  /** Positional variant: `kinds(i)` applies to the scan's i-th column.
+    * This is the only correct resolution for `--query` exports, whose
+    * output may carry duplicate labels (`SELECT a.id, b.id …`) that
+    * by-name `col(...)` resolution would reject as ambiguous. Columns
+    * are renamed to unique placeholders for the select and aliased back,
+    * so duplicate-labeled outputs convert fine (Spark's parquet sink
+    * itself still refuses duplicate names at write time — its limit,
+    * surfaced with its own clear message). */
+  def convertScanPositional(
+      df: DataFrame, kinds: Seq[Option[PgKind]], s: PgSettings): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val cols = df.schema.fields.toSeq.map { f =>
-      kinds.get(f.name) match {
+    val names = df.columns.toSeq
+    val renamed = df.toDF(names.indices.map(i => s"__graft_c$i"): _*)
+    val cols = renamed.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val converted = kinds.lift(i).flatten match {
         case Some(kind) =>
           val target = toSparkType(kind, s)
-          (f.dataType, kind) match {
+          (f.dataType, baseKind(kind)) match {
             case (dt, _) if dt == target => col(f.name)
-            case (StringType, _) => recipe(kind, col(f.name), s).as(f.name)
+            case (StringType, _) => recipe(kind, col(f.name), s)
+            // a scan that already decoded numeric (generic JDBC mapping)
+            // still gets the numeric handling, through its text form
             case (_: DecimalType, PgSimple("numeric")) =>
               PgTypeMapper.convert("numeric", col(f.name).cast(StringType), s)
-                .as(f.name)
             case _ => col(f.name)
           }
         case None => col(f.name)
       }
+      converted.as(names(i))
     }
-    df.select(cols: _*)
+    renamed.select(cols: _*)
+  }
+
+  /** Domains are transparent at every decision point (reference unwraps
+    * before dispatch, postgres_cloner.rs:498-500) — a domain over
+    * numeric must take the numeric branch, not fall through. */
+  private def baseKind(kind: PgKind): PgKind = kind match {
+    case PgDomain(inner) => baseKind(inner)
+    case k => k
   }
 
   // ---- catalog model (what IntrospectionSql returns)
@@ -171,7 +195,7 @@ object PgSchema {
       elemOid: Long, baseOid: Long, relOid: Long, rangeSubtypeOid: Long)
   final case class PgEnumRow(enumTypeOid: Long, sortOrder: Double, label: String)
   final case class PgAttributeRow(relOid: Long, num: Int, name: String, typeOid: Long)
-  final case class PgClassRow(oid: Long, relname: String)
+  final case class PgClassRow(oid: Long, relname: String, nspname: String = "public")
 
   final case class PgCatalog(
       types: Seq[PgTypeRow],
@@ -210,14 +234,56 @@ object PgSchema {
 
     /** Column name → Kind for `--table t` exports (reference resolves
       * the same through the prepared statement's column oids,
-      * postgres_cloner.rs:316-330). Schema-qualified names match on the
-      * bare relname. */
+      * postgres_cloner.rs:316-330). Identifier semantics match the
+      * server that executes the scan: unquoted names fold to lowercase,
+      * `"Quoted"` names keep case, `schema.table` matches nspname too.
+      * An unqualified name present in several schemas prefers `public`
+      * (the default search_path tail) and otherwise errors rather than
+      * silently converting with another schema's column types. */
     def tableKinds(table: String): Option[Seq[(String, PgKind)]] = {
-      val relname = table.split('.').last.stripPrefix("\"").stripSuffix("\"")
-      classes.find(_.relname == relname).map(c =>
+      val (schema, relname) = parseQualifiedName(table)
+      val candidates = schema match {
+        case Some(ns) => classes.filter(c => c.nspname == ns && c.relname == relname)
+        case None =>
+          val all = classes.filter(_.relname == relname)
+          if (all.size <= 1) all
+          else {
+            val pub = all.filter(_.nspname == "public")
+            if (pub.size == 1) pub
+            else throw new IllegalArgumentException(
+              s"table '$relname' exists in multiple schemas (" +
+                all.map(_.nspname).sorted.mkString(", ") +
+                "); qualify it as schema.table")
+          }
+      }
+      candidates.headOption.map(c =>
         attrs.filter(_.relOid == c.oid).sortBy(_.num)
           .map(a => a.name -> resolve(a.typeOid)))
     }
+  }
+
+  /** Split `schema.table` on dots outside double quotes; unquoted
+    * segments fold to lowercase (PG identifier folding), quoted segments
+    * strip the quotes and keep case (`""` unescapes to `"`). Returns
+    * (schema, relname) — schema is the second-to-last segment when the
+    * name is qualified (a leading catalog segment, `db.schema.table`,
+    * is ignored like PG ignores it for the local database). */
+  private[sources] def parseQualifiedName(table: String): (Option[String], String) = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQuotes = false
+    table.foreach {
+      case '"' => inQuotes = !inQuotes; sb.append('"')
+      case '.' if !inQuotes => parts += sb.toString; sb.clear()
+      case ch => sb.append(ch)
+    }
+    parts += sb.toString
+    def fold(seg: String): String =
+      if (seg.length >= 2 && seg.head == '"' && seg.last == '"')
+        seg.substring(1, seg.length - 1).replace("\"\"", "\"")
+      else seg.toLowerCase
+    if (parts.size == 1) (None, fold(parts.head))
+    else (Some(fold(parts(parts.size - 2))), fold(parts.last))
   }
 
   object PgCatalog {
@@ -230,7 +296,9 @@ object PgSchema {
       "SELECT enumtypid, enumsortorder, enumlabel FROM pg_enum",
       """SELECT attrelid, attnum, attname, atttypid FROM pg_attribute
         |WHERE attnum > 0 AND NOT attisdropped""".stripMargin,
-      "SELECT oid, relname FROM pg_class WHERE relkind IN ('r','v','m','p','f')")
+      """SELECT c.oid, c.relname, n.nspname
+        |FROM pg_class c JOIN pg_namespace n ON n.oid = c.relnamespace
+        |WHERE c.relkind IN ('r','v','m','p','f')""".stripMargin)
 
     /** Load the catalog from a live connection (same rows the canned
       * test fixtures model). */
@@ -245,7 +313,7 @@ object PgSchema {
         reader.query(spark, aq).collect().toSeq.map(r =>
           PgAttributeRow(r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))),
         reader.query(spark, cq).collect().toSeq.map(r =>
-          PgClassRow(r.getLong(0), r.getString(1))))
+          PgClassRow(r.getLong(0), r.getString(1), r.getString(2))))
     }
   }
 }

@@ -35,6 +35,11 @@ object PostgresDialect extends JdbcDialect {
     // T6: floats (postgres_cloner.rs:591-592)
     case "float4" => Some(FloatType)
     case "float8" => Some(DoubleType)
+    // T7-T9: numeric transfers as text — pgjdbc's getBigDecimal throws
+    // on PG's 'NaN' before any conversion could run, and text keeps the
+    // full precision for the p>38 byte encoding; the recipe layer
+    // applies --numeric-handling (NaN→NULL like datatypes/numeric.rs:19)
+    case "numeric" => Some(StringType)
     // T10: money → exact cents decimal (datatypes/money.rs:6-26)
     case "money" => Some(DecimalType(18, 2))
     // T12: bytea (postgres_cloner.rs:598)

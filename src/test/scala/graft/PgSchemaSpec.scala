@@ -38,7 +38,10 @@ class PgSchemaSpec extends AnyFunSuite {
       PgAttributeRow(501, 2, "rng", 3904),
       PgAttributeRow(501, 3, "wd", 60000),
       PgAttributeRow(501, 4, "tags", 1007)),
-    classes = Seq(PgClassRow(501, "t_exp"), PgClassRow(502, "other")))
+    classes = Seq(PgClassRow(501, "t_exp", "public"), PgClassRow(502, "other", "public"),
+      // same relname in two non-public schemas + a mixed-case quoted name
+      PgClassRow(503, "dup", "audit"), PgClassRow(504, "dup", "staging"),
+      PgClassRow(505, "Cased", "public")))
 
   private val dflt = PgSettings()
 
@@ -123,6 +126,19 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(kinds(2)._2.isInstanceOf[PgEnum])
     assert(kinds(3)._2 == PgArray(PgSimple("int4")))
     assert(catalog.tableKinds("nope").isEmpty)
+    // identifier folding: unquoted matches case-insensitively (PG folds
+    // to lowercase), quoted keeps case; schema qualifier is honored
+    assert(catalog.tableKinds("T_EXP").isDefined)   // folds to t_exp
+    assert(catalog.tableKinds("\"T_EXP\"").isEmpty) // quoted: no such rel
+    assert(catalog.tableKinds("\"Cased\"").isDefined)
+    assert(catalog.tableKinds("cased").isEmpty)     // folded ≠ "Cased"
+    assert(catalog.tableKinds("audit.dup").isDefined)
+    assert(catalog.tableKinds("staging.dup").isDefined)
+    assert(catalog.tableKinds("other.t_exp").isEmpty) // wrong schema ≠ fallback
+    // ambiguous unqualified name (no public candidate) errors instead of
+    // silently picking a schema
+    val amb = intercept[IllegalArgumentException](catalog.tableKinds("dup"))
+    assert(amb.getMessage.contains("audit") && amb.getMessage.contains("staging"))
     // statement-describe names: catalog types recurse, extension
     // scalars absent from the catalog fall back to simple
     assert(catalog.resolveName("_int4") == PgArray(PgSimple("int4")))
@@ -156,6 +172,25 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(r(0).getAs[Array[Byte]](3).length == 16)  // uuid bytes
     assert(r(0).getDouble(4) == 12.5)
     assert(r(1).getStruct(1).getBoolean(4))          // 'empty' range
+  }
+
+  test("convertScan: domain over numeric converts like numeric; dup labels positional") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((BigDecimal("10.25"), "1", "2")).toDF("price", "id", "id")
+    // price: CREATE DOMAIN price AS numeric — scan arrives as decimal,
+    // default numeric-handling must still produce double (r05 review #3)
+    val out = convertScanPositional(df,
+      Seq(Some(PgDomain(PgSimple("numeric"))),
+        Some(PgSimple("int4")), Some(PgSimple("int8"))), dflt)
+    assert(out.schema.fields(0).dataType == DoubleType)
+    // duplicate output labels (SELECT a.id, b.id) convert by position
+    // instead of raising AMBIGUOUS_REFERENCE (r05 review #5)
+    assert(out.schema.fields(1).dataType == IntegerType)
+    assert(out.schema.fields(2).dataType == LongType)
+    assert(out.columns.toSeq == Seq("price", "id", "id"))
+    val r = out.collect()(0)
+    assert(r.getDouble(0) == 10.25 && r.getInt(1) == 1 && r.getLong(2) == 2L)
   }
 
   test("recipe: jsonb dispatches through the catalog path (r04 gap)") {

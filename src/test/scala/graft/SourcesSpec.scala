@@ -170,6 +170,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(Main.resolvePassword(Main.Args(), Map.empty).isEmpty)
   }
 
+  test("cli: handling values validated at parse time, aliases normalized") {
+    import Main.parseArgs
+    def p(extra: String*) =
+      parseArgs(Seq("export", "-o", "x", "--table", "t") ++ extra, Map.empty)
+    // reference clap aliases (postgres_cloner.rs:94-112) → canonical
+    assert(p("--numeric-handling", "float64").settings.numericHandling == "double")
+    assert(p("--array-handling", "dimensions+lowerbound").settings.arrayHandling == "dims+lb")
+    assert(p("--json-handling", "text-marked-as-json").settings.jsonHandling == "text-marked-json")
+    // a bad spelling fails the parse — not only when the type appears
+    val e = intercept[IllegalArgumentException](p("--json-handling", "bogus"))
+    assert(e.getMessage.contains("--json-handling") && e.getMessage.contains("bogus"))
+    intercept[IllegalArgumentException](p("--enum-handling", "integer"))
+    intercept[IllegalArgumentException](p("--interval-handling", "text"))
+  }
+
+  test("cli: -h as an option value is consumed, not hijacked into help") {
+    import Main.parseArgs
+    val a = parseArgs(Seq("export", "-o", "x", "--table", "t",
+      "--host", "h", "--dbname", "db", "--password", "-h"), Map.empty)
+    assert(a.password.contains("-h"))
+    // -h in flag position still prints export help
+    intercept[Main.CliExit](parseArgs(
+      Seq("export", "-o", "x", "--table", "t", "-h"), Map.empty))
+  }
+
+  test("dialect: numeric transfers as text so NaN reaches the recipe layer") {
+    // pgjdbc's getBigDecimal throws on PG 'NaN' before any conversion
+    // could run (r05 review #1); text keeps full precision for p>38 too
+    assert(PostgresDialect.getCatalystType(
+      java.sql.Types.NUMERIC, "numeric", 0, new MetadataBuilder)
+      .contains(StringType))
+  }
+
   test("cli: --version and --help exit successfully with the expected shapes") {
     val v = intercept[Main.CliExit](Main.parseArgs(Seq("--version"), Map.empty))
     assert(v.text.startsWith("graft 0.") && v.text.linesIterator.size == 1)
