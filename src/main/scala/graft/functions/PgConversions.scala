@@ -170,6 +170,15 @@ object PgConversions {
   def moneyToDecimal(cents: Column): Column =
     (cents.cast(DecimalType(20, 2)) / lit(100)).cast(DecimalType(18, 2))
 
+  /** T10 on the text transfer: `$1,234.56` / `-$0.42` (C-locale
+    * lc_monetary output, what a JDBC scan delivers) → Decimal(18,2).
+    * The binary wire form is raw int64 cents — that path is
+    * [[moneyToDecimal]]. Currency symbol and group separators are
+    * stripped; locales that swap `.`/`,` roles are out of scope
+    * (documented — the reference never sees the text form at all). */
+  def moneyFromText(c: Column): Column =
+    regexp_replace(c, "[^0-9.-]", "").cast(DecimalType(18, 2))
+
   // ------------------------------------------------------- T12–T14: bytes/text
 
   /** T12 bytea: PG hex text form '\x0102' → BinaryType. */
@@ -556,6 +565,17 @@ object PgConversions {
   /** Int64-data multidim (the common numeric case; t15). */
   def multidimToStruct(c: Column): Column =
     multidimToStructOf(c, _.cast(LongType))
+
+  /** The reference's Dimensions mode — {data, dims} WITHOUT lower_bound
+    * (postgres_cloner.rs:103-109 `SchemaSettingsArrayHandling::
+    * Dimensions` vs `DimensionsAndLowerBound`). */
+  def multidimToStructOfDims(c: Column, castElem: Column => Column): Column = {
+    val p = multidimParseUdf(c)
+    when(c.isNull, lit(null)).otherwise(struct(
+      transform(p.getField("data"),
+        e => when(e.isNull, lit(null)).otherwise(castElem(e))).as("data"),
+      p.getField("dims").as("dims")))
+  }
 
   // ------------------------------------------------- T32–T34: pgvector
 

@@ -40,7 +40,9 @@ object PgTypeMapper {
       case "string" => numericToString(c)
       case other => unsupported(s"numeric-handling '$other'")
     }
-    case "money" => moneyToDecimal(c)
+    // the recipe path always carries the text form; the int64-cents wire
+    // form is decoded by moneyToDecimal on the fixture path (t05)
+    case "money" => moneyFromText(c)
     case "bytea" => pgBytea(c)
     case "name" | "text" | "xml" | "bpchar" | "varchar" | "citext" => c
     // T14: on the text/JDBC transfer both json and jsonb arrive as plain

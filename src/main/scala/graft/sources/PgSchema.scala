@@ -48,11 +48,10 @@ object PgSchema {
       if (s.enumHandling == "int") IntegerType else StringType
     case PgArray(elem) => s.arrayHandling match {
       case "plain" => ArrayType(toSparkType(elem, s))
-      case "dims" => StructType(Seq(
+      case "dims" => StructType(Seq( // Dimensions mode: no lower_bound
         StructField("data", ArrayType(toSparkType(elem, s))),
-        StructField("dims", ArrayType(LongType)),
-        StructField("lower_bound", ArrayType(IntegerType))))
-      case _ => StructType(Seq( // dims+lb — same struct; dims mode omits lb
+        StructField("dims", ArrayType(LongType))))
+      case _ => StructType(Seq( // dims+lb (DimensionsAndLowerBound)
         StructField("data", ArrayType(toSparkType(elem, s))),
         StructField("dims", ArrayType(LongType)),
         StructField("lower_bound", ArrayType(IntegerType))))
@@ -125,7 +124,9 @@ object PgSchema {
         fields.map { case (n, k) => n -> ((f: Column) => recipe(k, f, s)) })
     case PgArray(elem) if s.arrayHandling == "plain" =>
       PgConversions.arrayFromText(c, e => recipe(elem, e, s))
-    case PgArray(elem) => // dims/dims+lb modes (T31), any scalar subtype
+    case PgArray(elem) if s.arrayHandling == "dims" => // Dimensions mode
+      PgConversions.multidimToStructOfDims(c, e => recipe(elem, e, s))
+    case PgArray(elem) => // dims+lb mode (T31), any scalar subtype
       PgConversions.multidimToStructOf(c, e => recipe(elem, e, s))
     case other => throw new IllegalArgumentException(
       s"no text recipe for $other — cast to ::text in the query (T35 policy)")

@@ -40,8 +40,10 @@ object PostgresDialect extends JdbcDialect {
     // full precision for the p>38 byte encoding; the recipe layer
     // applies --numeric-handling (NaN→NULL like datatypes/numeric.rs:19)
     case "numeric" => Some(StringType)
-    // T10: money → exact cents decimal (datatypes/money.rs:6-26)
-    case "money" => Some(DecimalType(18, 2))
+    // T10: money transfers as text — pgjdbc's decimal/double getters
+    // choke on the currency symbol and group separators; the recipe
+    // parses `$1,234.56` → Decimal(18,2) (datatypes/money.rs:6-26)
+    case "money" => Some(StringType)
     // T12: bytea (postgres_cloner.rs:598)
     case "bytea" => Some(BinaryType)
     // T13/T14/T21/T22/T25: text-shaped transfers

@@ -65,7 +65,10 @@ class PgSchemaSpec extends AnyFunSuite {
       StructField("is_empty", BooleanType))))
     assert(toSparkType(catalog.resolve(60000), dflt.copy(enumHandling = "int")) == IntegerType)
     assert(toSparkType(catalog.resolve(1007), dflt) == ArrayType(IntegerType))
+    // reference's Dimensions mode has no lower_bound; dims+lb does
     assert(toSparkType(catalog.resolve(1007), dflt.copy(arrayHandling = "dims"))
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("data", "dims"))
+    assert(toSparkType(catalog.resolve(1007), dflt.copy(arrayHandling = "dims+lb"))
       .asInstanceOf[StructType].fieldNames.toSeq == Seq("data", "dims", "lower_bound"))
     assert(toSparkType(PgSimple("numeric"),
       dflt.copy(numericHandling = "decimal", decimalPrecision = 76)) == BinaryType)
@@ -211,6 +214,26 @@ class PgSchemaSpec extends AnyFunSuite {
       recipe(PgSimple("jsonb"), col("v"), dflt.copy(jsonHandling = "nope")))
     intercept[IllegalArgumentException](
       recipe(PgSimple("halfvec"), col("v"), dflt.copy(float16Handling = "float16")))
+  }
+
+  test("recipe: dims mode drops lower_bound; money text form parses") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1, "[-2:0]={1,2,3}", "$1,234.56"), (2, "{{1},{2}}", "-$0.42"))
+      .toDF("id", "arr", "m")
+    val out = df.select(col("id"),
+      recipe(PgArray(PgSimple("int8")), col("arr"),
+        dflt.copy(arrayHandling = "dims")).as("a"),
+      recipe(PgSimple("money"), col("m"), dflt).as("mv"))
+      .orderBy(col("id")).collect()
+    val schema = df.select(recipe(PgArray(PgSimple("int8")), col("arr"),
+      dflt.copy(arrayHandling = "dims")).as("a")).schema
+    assert(schema("a").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("data", "dims"))
+    assert(out(0).getStruct(1).getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(out(1).getStruct(1).getSeq[Long](1) == Seq(2L, 1L)) // dims 2x1
+    assert(out(0).getDecimal(2) == new java.math.BigDecimal("1234.56"))
+    assert(out(1).getDecimal(2) == new java.math.BigDecimal("-0.42"))
   }
 
   test("recipe: bare `char` (catalog name) converts its text form to the code") {

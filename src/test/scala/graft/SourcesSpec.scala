@@ -22,7 +22,7 @@ class SourcesSpec extends AnyFunSuite {
       PostgresDialect.getCatalystType(sqlType, tn, 0, new MetadataBuilder)
     assert(m("int2").contains(ShortType))
     assert(m("oid").contains(LongType))      // T4: u32 widened
-    assert(m("money").contains(DecimalType(18, 2)))
+    assert(m("money").contains(StringType)) // '$1,234.56' → recipe parses
     assert(m("timestamptz").contains(TimestampType))
     assert(m("timestamp").contains(TimestampNTZType))
     assert(m("uuid").contains(StringType))
