@@ -34,6 +34,13 @@ object Main {
       compression: String = "zstd",
       compressionLevel: Option[Int] = None,
       quiet: Boolean = false,
+      // beyond-reference scale surface: parallel range-partitioned scan
+      // and parallel multi-file / hive-partitioned sink
+      partitionColumn: Option[String] = None,
+      partitions: Option[Int] = None,
+      multiFile: Boolean = false,
+      maxRecordsPerFile: Option[Long] = None,
+      partitionBy: Seq[String] = Nil,
       settings: PgSettings = PgSettings())
 
   /** Successful-exit output (--version/--help), distinct from a parse
@@ -78,6 +85,11 @@ object Main {
        |      --ssl-client-key <FILE>   TLS client key (PEM)
        |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
        |      --compression-level <N> Compressor level (zstd, brotli, gzip)
+       |      --partition-column <C>  Numeric/date column to range-partition the scan on
+       |      --partitions <N>        Parallel scan connections (requires --partition-column)
+       |      --multi-file            Write one file per task instead of a single file
+       |      --max-records-per-file <N>  Split output files at N rows (implies --multi-file)
+       |      --partition-by <C>      Hive-style output partitioning (repeatable)
        |      --quiet                 Only errors are written to stderr
        |      --numeric-handling / --decimal-precision / --decimal-scale
        |      --enum-handling / --interval-handling / --macaddr-handling
@@ -128,6 +140,14 @@ object Main {
           a = a.copy(sslClientKey = Some(take(flag)))
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" => a = a.copy(compressionLevel = Some(take(flag).toInt))
+        case "--partition-column" => a = a.copy(partitionColumn = Some(take(flag)))
+        case "--partitions" | "--num-partitions" =>
+          a = a.copy(partitions = Some(take(flag).toInt))
+        case "--multi-file" => a = a.copy(multiFile = true)
+        case "--max-records-per-file" =>
+          a = a.copy(maxRecordsPerFile = Some(take(flag).toLong), multiFile = true)
+        case "--partition-by" => // repeatable
+          a = a.copy(partitionBy = a.partitionBy :+ take(flag), multiFile = true)
         case "--quiet" => a = a.copy(quiet = true)
         case "--numeric-handling" =>
           a = a.copy(settings = a.settings.copy(numericHandling = take(flag)))
@@ -170,6 +190,12 @@ object Main {
         "--connection cannot be combined with --host/--port/--dbname/--user/--password/--sslmode")
     // validate TLS option combinations early (client cert+key pairing,
     // sslmode values) so a bad CLI fails before any Spark work
+    // the parallel-scan pair comes together, like ssl cert+key
+    if (a.partitionColumn.isDefined != a.partitions.isDefined)
+      throw new IllegalArgumentException(
+        "Options --partition-column and --partitions must both be specified.")
+    if (a.partitions.exists(_ < 1))
+      throw new IllegalArgumentException("--partitions must be at least 1")
     JdbcReader.tlsProperties(a.sslmode, a.sslRootCerts,
       a.sslClientCert, a.sslClientKey)
     ParquetSink.codecFor(a.compression) // validate early
@@ -230,8 +256,19 @@ object Main {
   private[graft] def runExport(spark: SparkSession, a: Args,
       env: Map[String, String]): ParquetSink.WriteStats = {
     val reader = readerFor(a, env)
-    val raw = a.table.map(reader.table(spark, _))
-      .getOrElse(reader.query(spark, a.query.get))
+    val raw = (reader, a.partitionColumn, a.partitions) match {
+      // parallel range-partitioned scan: n connections, one range slice
+      // each — the scale path; trades the single-cursor row order away
+      case (j: graft.sources.JdbcReader, Some(pc), Some(n)) =>
+        val rel = a.table.getOrElse(s"(${a.query.get}) AS graft_q")
+        j.tablePartitioned(spark, rel, pc, n)
+      case _ =>
+        if (a.partitionColumn.isDefined && !reader.isInstanceOf[graft.sources.JdbcReader])
+          System.err.println("warning: --partition-column/--partitions apply " +
+            "to JDBC sources only (parquet scans already parallelize per file split)")
+        a.table.map(reader.table(spark, _))
+          .getOrElse(reader.query(spark, a.query.get))
+    }
     // §2.3 conversion layer (the reference's appender tree): on a live
     // JDBC export, resolve each column's pg type — pg_catalog for
     // --table, statement-describe for --query — and apply the recipes.
@@ -259,6 +296,9 @@ object Main {
       ParquetSink.SinkOptions(
         compression = a.compression,
         compressionLevel = a.compressionLevel,
+        singleFile = !a.multiFile,
+        maxRecordsPerFile = a.maxRecordsPerFile,
+        partitionBy = a.partitionBy,
         quiet = a.quiet))
     if (!a.quiet)
       System.err.println(s"exported ${stats.rows} rows to ${a.outputFile}")

@@ -107,11 +107,19 @@ object ParquetSink {
     stats
   }
 
+  /** All part files under `path`, recursing into hive-style partition
+    * subdirectories (`col=value/part-*.parquet`). */
   def partFiles(path: String): Seq[java.io.File] = {
-    val files = new java.io.File(path).listFiles()
-    if (files == null) Seq.empty
-    else files.filter(f =>
-      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+    def walk(dir: java.io.File): Seq[java.io.File] = {
+      val files = dir.listFiles()
+      if (files == null) Seq.empty
+      else files.toSeq.flatMap {
+        case d if d.isDirectory => walk(d)
+        case f if f.getName.startsWith("part-") && f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Seq.empty
+      }
+    }
+    walk(new java.io.File(path)).sortBy(_.getPath)
   }
 
   private def footer(f: java.io.File) = {

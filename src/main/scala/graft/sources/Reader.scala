@@ -77,6 +77,29 @@ final class JdbcReader(
   def query(spark: SparkSession, sql: String): DataFrame =
     base(spark).option("query", sql).load()
 
+  /** Range-partitioned parallel scan — the scale path the single-
+    * connection reference cannot offer. `rel` is a table name or a
+    * parenthesized-subquery alias (`(SELECT …) AS q`); bounds for the
+    * stride come from a server-side MIN/MAX probe, so the caller only
+    * names the column and a partition count. Each of the `n` Spark
+    * tasks opens its own connection and reads one range slice; row
+    * order across slices is NOT the server's single-cursor order (use
+    * the default unpartitioned scan when the order contract matters). */
+  def tablePartitioned(
+      spark: SparkSession, rel: String, col: String, n: Int): DataFrame = {
+    val b = query(spark,
+      s"SELECT MIN($col)::text AS lo, MAX($col)::text AS hi FROM $rel").collect()(0)
+    if (b.isNullAt(0) || b.isNullAt(1) || n <= 1)
+      base(spark).option("dbtable", rel).load() // empty relation or n=1
+    else
+      base(spark).option("dbtable", rel)
+        .option("partitionColumn", col)
+        .option("numPartitions", n)
+        .option("lowerBound", b.getString(0))
+        .option("upperBound", b.getString(1))
+        .load()
+  }
+
   /** pg type name per output column of `sql`, from a JDBC describe
     * (`prepareStatement().getMetaData` — prepared, never executed; the
     * reference reads the same from its prepared statement's columns,

@@ -203,6 +203,39 @@ class SourcesSpec extends AnyFunSuite {
       .contains(StringType))
   }
 
+  test("cli: parallel scan/sink flags parse; partition pair enforced") {
+    import Main.parseArgs
+    val a = parseArgs(Seq("export", "-o", "x", "--table", "t",
+      "--partition-column", "id", "--partitions", "8",
+      "--partition-by", "lang", "--partition-by", "source",
+      "--max-records-per-file", "1000"), Map.empty)
+    assert(a.partitionColumn.contains("id") && a.partitions.contains(8))
+    assert(a.partitionBy == Seq("lang", "source") && a.multiFile)
+    assert(a.maxRecordsPerFile.contains(1000L))
+    // pair rule, like ssl cert+key
+    val e = intercept[IllegalArgumentException](parseArgs(
+      Seq("export", "-o", "x", "--table", "t", "--partitions", "8"), Map.empty))
+    assert(e.getMessage.contains("must both be specified"))
+    intercept[IllegalArgumentException](parseArgs(
+      Seq("export", "-o", "x", "--table", "t",
+        "--partition-column", "id", "--partitions", "0"), Map.empty))
+  }
+
+  test("export: hive-partitioned multi-file output; recursive stats") {
+    val out = java.nio.file.Files.createTempDirectory("exp").toString + "/nation"
+    val stats = Main.runExport(spark, Main.Args(
+      outputFile = out,
+      table = Some("nation"),
+      connection = Some(s"dir:${TestSpark.sfDir}"),
+      multiFile = true,
+      partitionBy = Seq("n_regionkey"),
+      quiet = true), Map.empty)
+    assert(stats.rows == 25 && stats.files >= 5) // one dir per region
+    val back = spark.read.parquet(out)
+    assert(back.count() == 25)
+    assert(back.select("n_regionkey").distinct().count() == 5)
+  }
+
   test("cli: --version and --help exit successfully with the expected shapes") {
     val v = intercept[Main.CliExit](Main.parseArgs(Seq("--version"), Map.empty))
     assert(v.text.startsWith("graft 0.") && v.text.linesIterator.size == 1)
