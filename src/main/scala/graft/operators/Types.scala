@@ -817,6 +817,41 @@ object Types {
           (2, '[N|3|false|false|false,NULL,3|N|true|false|false]', '[NULL,5]', '[NULL,"NULL",plain]'),
           (3, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
           (4, '[]', '[]', '[]')
-        ) t(id, range_arr_s, enum_arr_s, text_arr_s) ORDER BY id"""))
+        ) t(id, range_arr_s, enum_arr_s, text_arr_s) ORDER BY id""")),
+
+    // ---- t24: T10 money from its text transfer ('$1,234.56' → exact
+    // Decimal(18,2); the binary-wire cents path is t05) and the
+    // Dimensions array mode — {data, dims} WITHOUT lower_bound,
+    // the reference's SchemaSettingsArrayHandling::Dimensions
+    // (postgres_cloner.rs:103-109). Struct flattens per driver rules;
+    // the no-lower_bound schema is asserted in PgSchemaSpec.
+    QueryDef(
+      "t24_money_dims_mode",
+      (s, _) => {
+        import s.implicits._
+        import graft.sources.PgSchema
+        val dims = PgSettings(arrayHandling = "dims")
+        val arr = PgSchema.recipe(
+          PgSchema.PgArray(PgSchema.PgSimple("int8")), col("arr_t"), dims)
+        Seq(
+          (1, "$1,234.56", "{{1,2},{3,4}}"),
+          (2, "-$0.42", "[-2:0]={10,20,30}"),
+          (3, null, "{}"),
+          (4, "$0.07", null))
+          .toDF("id", "v", "arr_t")
+          .select(col("id"),
+            PgTypeMapper.convert("money", col("v"), dims)
+              .cast(StringType).as("money_v"),
+            canonArray(arr.getField("data")).as("data_s"),
+            canonArray(arr.getField("dims")).as("dims_s"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, '1234.56', '[1,2,3,4]', '[2,2]'),
+          (2, '-0.42', '[10,20,30]', '[3]'),
+          (3, CAST(NULL AS VARCHAR), '[]', '[]'),
+          (4, '0.07', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+        ) t(id, money_v, data_s, dims_s) ORDER BY id"""))
   )
 }
