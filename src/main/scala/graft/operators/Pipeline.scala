@@ -924,6 +924,71 @@ object Pipeline {
                      n_chars AS kept_chars, rk FROM c)
         WHERE rk = 1 AND n_members > 1 ORDER BY keep_doc_id""")),
 
+    // ---- p20: PII detection + redaction — the scrub stage every
+    // training-data pipeline runs before anything else. Pure map-side
+    // regex work (counts on the raw text, chained replacements for the
+    // redacted form); the ONLY shuffle is the final presentation sort,
+    // so the plan is embarrassingly parallel at any corpus size. The
+    // synthetic corpus carries no digits at all, so PII-shaped tokens
+    // (emails, a NANP phone, an IPv4) are injected deterministically
+    // from doc_id on BOTH sides — the same synthesize-then-operate
+    // trick t21 uses — making counts and the redacted-text hash a real
+    // oracle rather than all-zeros.
+    QueryDef(
+      "p20_pii_scrub",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        val ipRe = "10\\.0\\.[0-9]{1,3}\\.1"
+        val id = col("doc_id")
+        val injected = concat(col("text"),
+          when(id % 3 === 0, concat(
+            lit(" contact user"), id.cast(StringType),
+            lit("@mail.example.com or +1-555-"),
+            lpad((id % 10000).cast(StringType), 4, "0"),
+            lit(" from 10.0."), (id % 256).cast(StringType), lit(".1")))
+            .otherwise(lit("")),
+          when(id % 6 === 0, lit(" cc admin@corp.example.org"))
+            .otherwise(lit("")))
+        val redacted = regexp_replace(regexp_replace(regexp_replace(
+          injected, emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+        T.documents(s, d)
+          .select(id,
+            regexp_count(injected, lit(emailRe)).cast(LongType).as("n_emails"),
+            regexp_count(injected, lit(phoneRe)).cast(LongType).as("n_phones"),
+            regexp_count(injected, lit(ipRe)).cast(LongType).as("n_ips"),
+            md5(redacted).as("redacted_hash"),
+            length(redacted).cast(LongType).as("redacted_len"))
+          .orderBy(id)
+      },
+      Some("""
+        WITH inj AS (
+          SELECT doc_id,
+                 concat(text,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     concat(' contact user', CAST(doc_id AS VARCHAR),
+                       '@mail.example.com or +1-555-',
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                       ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1')
+                   ELSE '' END,
+                   CASE WHEN doc_id % 6 = 0 THEN ' cc admin@corp.example.org'
+                   ELSE '' END) AS t
+          FROM documents),
+        red AS (
+          SELECT doc_id, t,
+                 regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+                   '10\.0\.[0-9]{1,3}\.1', '<IP>', 'g') AS r
+          FROM inj)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(t, '10\.0\.[0-9]{1,3}\.1')) AS BIGINT) AS n_ips,
+               md5(r) AS redacted_hash,
+               CAST(length(r) AS BIGINT) AS redacted_len
+        FROM red ORDER BY doc_id""")),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio
