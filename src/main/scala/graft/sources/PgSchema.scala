@@ -269,7 +269,7 @@ object PgSchema {
     * (schema, relname) — schema is the second-to-last segment when the
     * name is qualified (a leading catalog segment, `db.schema.table`,
     * is ignored like PG ignores it for the local database). */
-  private[sources] def parseQualifiedName(table: String): (Option[String], String) = {
+  private[graft] def parseQualifiedName(table: String): (Option[String], String) = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inQuotes = false

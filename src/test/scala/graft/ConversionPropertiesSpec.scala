@@ -147,6 +147,22 @@ class ConversionPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("parseQualifiedName: quoted identifiers round-trip, unquoted fold") {
+    import graft.sources.PgSchema.parseQualifiedName
+    // any relname (incl. dots, quotes, mixed case) survives PG-style
+    // quoting; an unquoted spelling folds to lowercase
+    val ident = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('.', '"', ' ', '_'))).map(_.mkString)
+    def q(s: String) = "\"" + s.replace("\"", "\"\"") + "\""
+    check(Prop.forAll(ident, ident) { (schema, rel) =>
+      parseQualifiedName(q(schema) + "." + q(rel)) == (Some(schema), rel) &&
+        parseQualifiedName(q(rel)) == (None, rel)
+    })
+    check(Prop.forAll(Gen.alphaStr.suchThat(_.nonEmpty)) { s =>
+      parseQualifiedName(s) == (None, s.toLowerCase)
+    })
+  }
+
   test("bigDecimalBytes round-trips through BigInteger at the same scale") {
     val g = for {
       unscaled <- Gen.chooseNum(-1000000000L, 1000000000L)
