@@ -263,7 +263,8 @@ object Main {
         val rel = a.table.getOrElse(s"(${a.query.get}) AS graft_q")
         j.tablePartitioned(spark, rel, pc, n)
       case _ =>
-        if (a.partitionColumn.isDefined && !reader.isInstanceOf[graft.sources.JdbcReader])
+        if (a.partitionColumn.isDefined && !a.quiet &&
+            !reader.isInstanceOf[graft.sources.JdbcReader])
           System.err.println("warning: --partition-column/--partitions apply " +
             "to JDBC sources only (parquet scans already parallelize per file split)")
         a.table.map(reader.table(spark, _))
@@ -278,10 +279,17 @@ object Main {
         val catalog = graft.sources.PgSchema.PgCatalog.load(spark, j)
         a.table match {
           case Some(t) =>
-            val kinds = catalog.tableKinds(t)
-            if (kinds.isEmpty)
-              System.err.println(s"warning: table '$t' not found in " +
-                "pg_catalog introspection; exporting the scan without type conversions")
+            // resolve the relation oid server-side ('t'::regclass) so the
+            // kinds name exactly the relation the scan's FROM resolved
+            // through the session's search_path — a client-side name
+            // match could pick another schema's same-named table
+            val oid = j.query(spark,
+              s"SELECT '${t.replace("'", "''")}'::regclass::oid::int8 AS o")
+              .collect()(0).getLong(0)
+            val kinds = catalog.tableKindsByOid(oid)
+            if (kinds.isEmpty && !a.quiet)
+              System.err.println(s"warning: table '$t' (oid $oid) has no " +
+                "columns in the pg_catalog introspection; exporting without type conversions")
             graft.sources.PgSchema.convertScan(raw,
               kinds.map(_.toMap).getOrElse(Map.empty), a.settings)
           case None =>

@@ -568,14 +568,10 @@ object PgConversions {
 
   /** The reference's Dimensions mode — {data, dims} WITHOUT lower_bound
     * (postgres_cloner.rs:103-109 `SchemaSettingsArrayHandling::
-    * Dimensions` vs `DimensionsAndLowerBound`). */
-  def multidimToStructOfDims(c: Column, castElem: Column => Column): Column = {
-    val p = multidimParseUdf(c)
-    when(c.isNull, lit(null)).otherwise(struct(
-      transform(p.getField("data"),
-        e => when(e.isNull, lit(null)).otherwise(castElem(e))).as("data"),
-      p.getField("dims").as("dims")))
-  }
+    * Dimensions` vs `DimensionsAndLowerBound`). dropFields keeps NULL
+    * inputs NULL, so the null semantics stay those of the full builder. */
+  def multidimToStructOfDims(c: Column, castElem: Column => Column): Column =
+    multidimToStructOf(c, castElem).dropFields("lower_bound")
 
   // ------------------------------------------------- T32–T34: pgvector
 

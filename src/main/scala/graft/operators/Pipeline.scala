@@ -941,7 +941,9 @@ object Pipeline {
         val phoneRe = "\\+1-555-[0-9]{4}"
         val ipRe = "10\\.0\\.[0-9]{1,3}\\.1"
         val id = col("doc_id")
-        val injected = concat(col("text"),
+        // coalesce: Spark's concat propagates NULL, DuckDB's skips it —
+        // a NULL text row must not zero out the injected suffix
+        val injected = concat(coalesce(col("text"), lit("")),
           when(id % 3 === 0, concat(
             lit(" contact user"), id.cast(StringType),
             lit("@mail.example.com or +1-555-"),

@@ -166,8 +166,11 @@ object PgSchema {
         case Some(kind) =>
           val target = toSparkType(kind, s)
           (f.dataType, baseKind(kind)) match {
-            case (dt, _) if dt == target => col(f.name)
+            // a text transfer ALWAYS runs its recipe — even when the
+            // target is also string the recipe may normalize (macaddr's
+            // canonical dash form); for passthrough kinds it is identity
             case (StringType, _) => recipe(kind, col(f.name), s)
+            case (dt, _) if dt == target => col(f.name)
             // a scan that already decoded numeric (generic JDBC mapping)
             // still gets the numeric handling, through its text form
             case (_: DecimalType, PgSimple("numeric")) =>
@@ -233,10 +236,22 @@ object PgSchema {
       types.find(_.name == typeName)
         .map(t => resolve(t.oid)).getOrElse(PgSimple(typeName))
 
-    /** Column name → Kind for `--table t` exports (reference resolves
-      * the same through the prepared statement's column oids,
-      * postgres_cloner.rs:316-330). Identifier semantics match the
-      * server that executes the scan: unquoted names fold to lowercase,
+    /** Column kinds for a relation OID — the live-path resolution: the
+      * oid comes from a server-side `'t'::regclass` probe
+      * ([[graft.Main.runExport]]), so it names exactly the relation the
+      * scan's FROM resolved through the session's search_path. */
+    def tableKindsByOid(oid: Long): Option[Seq[(String, PgKind)]] = {
+      val cols = attrs.filter(_.relOid == oid).sortBy(_.num)
+      if (cols.isEmpty) None
+      else Some(cols.map(a => a.name -> resolve(a.typeOid)))
+    }
+
+    /** Column name → Kind for `--table t` exports resolved client-side
+      * (reference resolves through the prepared statement's column
+      * oids, postgres_cloner.rs:316-330; the live path here prefers
+      * [[tableKindsByOid]] with a server-side regclass probe, which
+      * cannot disagree with the scan). Identifier semantics match the
+      * server: unquoted names fold to lowercase,
       * `"Quoted"` names keep case, `schema.table` matches nspname too.
       * An unqualified name present in several schemas prefers `public`
       * (the default search_path tail) and otherwise errors rather than

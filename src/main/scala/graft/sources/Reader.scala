@@ -84,20 +84,50 @@ final class JdbcReader(
     * names the column and a partition count. Each of the `n` Spark
     * tasks opens its own connection and reads one range slice; row
     * order across slices is NOT the server's single-cursor order (use
-    * the default unpartitioned scan when the order contract matters). */
+    * the default unpartitioned scan when the order contract matters).
+    *
+    * Spark's JDBC partitioner only accepts numeric/date/timestamp
+    * partition columns and parses numeric bounds with `.toLong`, so:
+    * columns the dialect transfers as text (numeric, money) get a
+    * server-side `::float8` shadow key to stride on (dropped after the
+    * load), and fractional bounds are floor/ceil-ed to integer strings. */
   def tablePartitioned(
       spark: SparkSession, rel: String, col: String, n: Int): DataFrame = {
+    if (n <= 1) return base(spark).option("dbtable", rel).load()
+    val schema = base(spark).option("dbtable", rel).load().schema // metadata only
+    val field = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column '$col' is not in the scan (columns: ${schema.fieldNames.mkString(", ")})"))
+    import org.apache.spark.sql.types._
+    val (scanRel, scanCol, probeCol, numericBounds, synthetic) = field.dataType match {
+      case _: NumericType => (rel, col, col, true, false)
+      case DateType | TimestampType | TimestampNTZType => (rel, col, col, false, false)
+      case _ => // text-shaped transfer (numeric/money via the dialect):
+        // stride on a float8 shadow of the column, computed server-side
+        // ($rel may itself be an aliased subquery, so SELECT *, not t.*)
+        (s"(SELECT *, ($col)::float8 AS __graft_part FROM $rel) __graft_p",
+          "__graft_part", s"($col)::float8", true, true)
+    }
     val b = query(spark,
-      s"SELECT MIN($col)::text AS lo, MAX($col)::text AS hi FROM $rel").collect()(0)
-    if (b.isNullAt(0) || b.isNullAt(1) || n <= 1)
-      base(spark).option("dbtable", rel).load() // empty relation or n=1
-    else
-      base(spark).option("dbtable", rel)
-        .option("partitionColumn", col)
-        .option("numPartitions", n)
-        .option("lowerBound", b.getString(0))
-        .option("upperBound", b.getString(1))
-        .load()
+      s"SELECT MIN($probeCol)::text AS lo, MAX($probeCol)::text AS hi FROM $rel")
+      .collect()(0)
+    if (b.isNullAt(0) || b.isNullAt(1)) // empty relation / all-NULL column
+      return base(spark).option("dbtable", rel).load()
+    def intBound(t: String, up: Boolean): String = {
+      val m = if (up) java.math.RoundingMode.CEILING else java.math.RoundingMode.FLOOR
+      new java.math.BigDecimal(t).setScale(0, m).toBigInteger.toString
+    }
+    val (lo, hi) =
+      if (numericBounds) (intBound(b.getString(0), up = false),
+        intBound(b.getString(1), up = true))
+      else (b.getString(0), b.getString(1))
+    val df = base(spark).option("dbtable", scanRel)
+      .option("partitionColumn", scanCol)
+      .option("numPartitions", n)
+      .option("lowerBound", lo)
+      .option("upperBound", hi)
+      .load()
+    if (synthetic) df.drop("__graft_part") else df
   }
 
   /** pg type name per output column of `sql`, from a JDBC describe

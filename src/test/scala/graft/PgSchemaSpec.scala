@@ -177,6 +177,17 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(r(1).getStruct(1).getBoolean(4))          // 'empty' range
   }
 
+  test("convertScan: string-typed scans still run non-identity recipes (macaddr)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // target and scan type are both string, but the recipe normalizes —
+    // the dt==target shortcut must not skip it (r05 review #4)
+    val out = convertScan(
+      Seq("08:00:2B:01:02:03").toDF("mac"),
+      Map[String, PgKind]("mac" -> PgSimple("macaddr")), dflt)
+    assert(out.collect()(0).getString(0) == "08-00-2b-01-02-03")
+  }
+
   test("convertScan: domain over numeric converts like numeric; dup labels positional") {
     val spark = TestSpark.spark
     import spark.implicits._
