@@ -991,6 +991,96 @@ object Pipeline {
                CAST(length(r) AS BIGINT) AS redacted_len
         FROM red ORDER BY doc_id""")),
 
+    // ---- p21: distributed k-means over the embedding corpus — the
+    // real Lloyd's iterations p07's IVF stubs out with medoids. Each
+    // iteration is the canonical scalable shape: broadcast the k×64
+    // centroid table, assign map-side (argmin over k distances, ties to
+    // the lowest cluster id), update with ONE k-row groupBy carrying 64
+    // partial-aggregated sums — no explode, no per-dimension shuffle.
+    // Cross-engine determinism: float sums are order-dependent, so each
+    // element is scaled to an exact integer (round(x*1e7) — identical
+    // IEEE ops in both engines), summed exactly (order-free), and the
+    // mean is a single integer/integer double division. Centroids are
+    // therefore bit-identical in Spark and DuckDB, and every distance
+    // is a sequential per-row fold like p05-p07.
+    QueryDef(
+      "p21_kmeans_cluster",
+      (s, d) => {
+        val K = 4; val Dim = 64; val Scale = 10000000L
+        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val init = e.filter(col("vec_id") < K)
+          .select(col("vec_id").cast(IntegerType).as("cl"),
+            transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
+        def dist2(q: Column, c: Column): Column =
+          aggregate(zip_with(q, c,
+            (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
+            lit(0.0), (acc, x) => acc + x)
+        def assign(cents: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2").asc, col("cl").asc)
+          e.crossJoin(broadcast(cents))
+            .withColumn("d2", dist2(col("embedding"), col("ce")))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("vec_id"), col("embedding"), col("cl"), col("d2"))
+        }
+        def update(asg: DataFrame): DataFrame = {
+          val sums = (0 until Dim).map(i =>
+            sum(round(element_at(col("embedding"), i + 1).cast(DoubleType)
+              * Scale).cast(LongType)).as(s"s$i"))
+          asg.groupBy(col("cl"))
+            .agg(count(lit(1)).as("cnt"), sums: _*)
+            .select(col("cl"), array((0 until Dim).map(i =>
+              col(s"s$i").cast(DoubleType) /
+                (col("cnt") * Scale).cast(DoubleType)): _*).as("ce"))
+        }
+        val c2 = update(assign(update(assign(init))))
+        assign(c2)
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("cl"))))
+          .select(col("vec_id"), col("cl").as("cluster"),
+            col("d2"), col("n_members"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val K = 4; val Dim = 64; val Scale = "10000000"
+        def d2sql(q: String, c: String) =
+          s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> " +
+            s"(CAST($q[i] AS DOUBLE) - $c[i]) * (CAST($q[i] AS DOUBLE) - $c[i])), " +
+            "(acc, x) -> acc + x)"
+        val sumCols = (1 to Dim).map(i =>
+          s"SUM(CAST(ROUND(CAST(embedding[$i] AS DOUBLE) * $Scale) AS BIGINT)) AS s$i")
+          .mkString(", ")
+        val meanList = (1 to Dim).map(i =>
+          s"CAST(s$i AS DOUBLE) / CAST(cnt * $Scale AS DOUBLE)").mkString(", ")
+        def assignSql(name: String, cents: String) =
+          s"""$name AS (
+             |  SELECT e.vec_id, e.embedding, c.cl, ${d2sql("e.embedding", "c.ce")} AS d2
+             |  FROM e CROSS JOIN $cents c
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |    ORDER BY ${d2sql("e.embedding", "c.ce")} ASC, c.cl ASC) = 1)"""
+            .stripMargin
+        def updateSql(uname: String, cname: String, from: String) =
+          s"""$uname AS (
+             |  SELECT cl, COUNT(*) AS cnt, $sumCols FROM $from GROUP BY cl),
+             |$cname AS (
+             |  SELECT cl, [$meanList] AS ce FROM $uname)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |c0 AS (
+           |  SELECT CAST(vec_id AS INT) AS cl,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+           |  FROM e WHERE vec_id < $K),
+           |${assignSql("a1", "c0")},
+           |${updateSql("u1", "c1", "a1")},
+           |${assignSql("a2", "c1")},
+           |${updateSql("u2", "c2", "a2")},
+           |${assignSql("a3", "c2")}
+           |SELECT vec_id, cl AS cluster, d2,
+           |       COUNT(*) OVER (PARTITION BY cl) AS n_members
+           |FROM a3 ORDER BY vec_id""".stripMargin
+      },
+      headline = true),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio
