@@ -1015,14 +1015,27 @@ object Pipeline {
           aggregate(zip_with(q, c,
             (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
             lit(0.0), (acc, x) => acc + x)
+        // assignment is a pure per-row fold over the k centroids — the
+        // centroid table collapses to ONE broadcast row holding a
+        // k-struct array, so the argmin runs inside the scan with zero
+        // shuffle (the windowed crossJoin alternative shuffles the full
+        // corpus per iteration; at 100 TB that difference is the plan)
         def assign(cents: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(col("d2").asc, col("cl").asc)
-          e.crossJoin(broadcast(cents))
-            .withColumn("d2", dist2(col("embedding"), col("ce")))
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") === 1)
-            .select(col("vec_id"), col("embedding"), col("cl"), col("d2"))
+          val cArr = cents
+            .agg(sort_array(collect_list(struct(col("cl"), col("ce")))).as("cs"))
+          e.crossJoin(broadcast(cArr))
+            .withColumn("best", aggregate(col("cs"),
+              struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cl")),
+              (acc, c) => {
+                val d = dist2(col("embedding"), c.getField("ce"))
+                // strict < keeps the first minimum; cs is sorted by cl,
+                // so ties resolve to the lowest cluster id
+                when(d < acc.getField("d2"),
+                  struct(d.as("d2"), c.getField("cl").as("cl")))
+                  .otherwise(acc)
+              }))
+            .select(col("vec_id"), col("embedding"),
+              col("best.cl").as("cl"), col("best.d2").as("d2"))
         }
         def update(asg: DataFrame): DataFrame = {
           val sums = (0 until Dim).map(i =>
