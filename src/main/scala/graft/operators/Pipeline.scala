@@ -937,9 +937,6 @@ object Pipeline {
     QueryDef(
       "p20_pii_scrub",
       (s, d) => {
-        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phoneRe = "\\+1-555-[0-9]{4}"
-        val ipRe = "10\\.0\\.[0-9]{1,3}\\.1"
         val id = col("doc_id")
         // coalesce: Spark's concat propagates NULL, DuckDB's skips it —
         // a NULL text row must not zero out the injected suffix
@@ -952,15 +949,11 @@ object Pipeline {
             .otherwise(lit("")),
           when(id % 6 === 0, lit(" cc admin@corp.example.org"))
             .otherwise(lit("")))
-        val redacted = regexp_replace(regexp_replace(regexp_replace(
-          injected, emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+        val redacted = PiiScrub.redact(injected)
         T.documents(s, d)
-          .select(id,
-            regexp_count(injected, lit(emailRe)).cast(LongType).as("n_emails"),
-            regexp_count(injected, lit(phoneRe)).cast(LongType).as("n_phones"),
-            regexp_count(injected, lit(ipRe)).cast(LongType).as("n_ips"),
-            md5(redacted).as("redacted_hash"),
-            length(redacted).cast(LongType).as("redacted_len"))
+          .select(id +: PiiScrub.counts(injected) :+
+            md5(redacted).as("redacted_hash") :+
+            length(redacted).cast(LongType).as("redacted_len"): _*)
           .orderBy(id)
       },
       Some("""

@@ -105,4 +105,20 @@ object Streams {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Ingest-time scrub + quality gate — the stage that runs in-line
+    * with the stream BEFORE any stateful operator: redact PII
+    * ([[graft.operators.PiiScrub]], the batch p20 expressions verbatim)
+    * and drop documents below a minimum length. Entirely stateless
+    * map-side expressions: no watermark, no state store, trivially
+    * scalable, and bit-identical between batch and streaming execution
+    * (asserted batch≡stream in StreamsSpec). */
+  def scrubAndGate(docs: DataFrame, minChars: Int = 50): DataFrame = {
+    import graft.operators.PiiScrub
+    docs
+      .select(col("doc_id"),
+        PiiScrub.redact(col("text")).as("clean_text"),
+        PiiScrub.counts(col("text")).reduce(_ + _).as("n_pii"))
+      .filter(length(col("clean_text")) >= minChars)
+  }
 }

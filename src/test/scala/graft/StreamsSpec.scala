@@ -124,6 +124,32 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scrubAndGate: stateless scrub gives identical batch and stream results") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      (1L, "reach me at alice@example.com or +1-555-1234 " + ("pad " * 20)),
+      (2L, "server 10.0.42.1 in rack " + ("pad " * 20)),
+      (3L, "too short"), // gated out
+      (4L, ("clean text " * 10)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.scrubAndGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scrub")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("scrub").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      val batch = Streams.scrubAndGate(rows.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(stream == batch)
+      assert(stream.map(_._1) == Seq(1L, 2L, 4L)) // doc 3 gated
+      assert(stream(0)._2.contains("<EMAIL>") && stream(0)._2.contains("<PHONE>"))
+      assert(stream(1)._2.contains("<IP>") && stream(0)._3 == 2L)
+    } finally q.stop()
+  }
+
   test("runningUserStats: keyed state accumulates across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
