@@ -434,7 +434,8 @@ object Pipeline {
 
     // ---- p07: IVF approximate nearest-neighbor — coarse quantizer
     // (one deterministic medoid per label cluster; k-means training is
-    // an offline job, stubbed here by min-vec_id medoids), probe the
+    // an offline job — p21 implements the real distributed Lloyd's
+    // iterations — stubbed here by min-vec_id medoids), probe the
     // best cluster, then search only that cluster's members. The scale
     // path: the scan is restricted to ~1/k of the corpus and the
     // centroid table broadcasts.
@@ -1086,6 +1087,60 @@ object Pipeline {
            |FROM a3 ORDER BY vec_id""".stripMargin
       },
       headline = true),
+
+    // ---- p22: sequence packing — concatenate-and-chunk the token
+    // stream into fixed context windows (L=512), the standard
+    // pre-training data prep where documents may straddle chunk
+    // boundaries. The global token offset is a TWO-PHASE prefix sum:
+    // per-source running sums compute in parallel windows (source is
+    // the shard key), and the tiny per-source totals table — one row
+    // per source — carries the base offsets via broadcast. A single
+    // global orderBy window would drag the whole corpus through ONE
+    // partition; this shape never does. All-integer arithmetic, so the
+    // oracle matches exactly.
+    QueryDef(
+      "p22_sequence_packing",
+      (s, d) => {
+        val L = 512
+        val toks = T.documents(s, d).select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast(LongType).as("tok"))
+        val wIntra = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val intra = toks.withColumn("run", sum(col("tok")).over(wIntra))
+        val wBase = Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bases = toks.groupBy(col("source")).agg(sum(col("tok")).as("total"))
+          .withColumn("cum", sum(col("total")).over(wBase))
+          .select(col("source").as("b_source"), (col("cum") - col("total")).as("base"))
+        intra.join(broadcast(bases), col("source") === col("b_source"))
+          .select(col("doc_id"), col("source"), col("tok"),
+            (col("base") + col("run") - col("tok")).as("tok_offset"))
+          .withColumn("first_chunk", floor(col("tok_offset") / L))
+          .withColumn("last_chunk", floor((col("tok_offset") + col("tok") - 1) / L))
+          .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok
+          FROM documents),
+        r AS (
+          SELECT *, SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS run FROM t),
+        bb AS (
+          SELECT source AS b_source,
+                 CAST(SUM(total) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING)
+                   - total AS BIGINT) AS base
+          FROM (SELECT source, SUM(tok) AS total FROM t GROUP BY source)),
+        o AS (
+          SELECT doc_id, r.source, tok, base + run - tok AS tok_offset
+          FROM r JOIN bb ON r.source = bb.b_source)
+        SELECT doc_id, source, tok, CAST(tok_offset AS BIGINT) AS tok_offset,
+               CAST(FLOOR(tok_offset / 512) AS BIGINT) AS first_chunk,
+               CAST(FLOOR((tok_offset + tok - 1) / 512) AS BIGINT) AS last_chunk,
+               CAST(FLOOR((tok_offset + tok - 1) / 512) - FLOOR(tok_offset / 512) + 1 AS BIGINT) AS n_chunks
+        FROM o ORDER BY doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
