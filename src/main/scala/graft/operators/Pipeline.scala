@@ -996,7 +996,10 @@ object Pipeline {
     // IEEE ops in both engines), summed exactly (order-free), and the
     // mean is a single integer/integer double division. Centroids are
     // therefore bit-identical in Spark and DuckDB, and every distance
-    // is a sequential per-row fold like p05-p07.
+    // is a sequential per-row fold like p05-p07. Bound: long sums hold
+    // while cluster_size × 1e7·max|x| < 2^63 — ~9e11 members at unit
+    // norm; past that, widen the sums to DecimalType(38,0) (exactness
+    // and order-freedom carry over; only the agg width changes).
     QueryDef(
       "p21_kmeans_cluster",
       (s, d) => {

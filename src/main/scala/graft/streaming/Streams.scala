@@ -107,18 +107,22 @@ object Streams {
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Ingest-time scrub + quality gate — the stage that runs in-line
-    * with the stream BEFORE any stateful operator: redact PII
-    * ([[graft.operators.PiiScrub]], the batch p20 expressions verbatim)
-    * and drop documents below a minimum length. Entirely stateless
-    * map-side expressions: no watermark, no state store, trivially
-    * scalable, and bit-identical between batch and streaming execution
+    * with the stream BEFORE any stateful operator: drop documents
+    * shorter than `minChars` (measured on the RAW text, so survival
+    * does not depend on how much PII shrinks away), then redact PII in
+    * place ([[graft.operators.PiiScrub]], the batch p20 expressions
+    * verbatim) and record the match count as `n_pii`. Every other
+    * column (`ts`, `source`, …) passes through untouched, so the gate
+    * composes directly with the stateful stages —
+    * `dedupDocuments(scrubAndGate(docs))` dedups on the scrubbed text.
+    * Entirely stateless map-side expressions: no watermark, no state
+    * store, and bit-identical between batch and streaming execution
     * (asserted batch≡stream in StreamsSpec). */
   def scrubAndGate(docs: DataFrame, minChars: Int = 50): DataFrame = {
     import graft.operators.PiiScrub
     docs
-      .select(col("doc_id"),
-        PiiScrub.redact(col("text")).as("clean_text"),
-        PiiScrub.counts(col("text")).reduce(_ + _).as("n_pii"))
-      .filter(length(col("clean_text")) >= minChars)
+      .filter(length(col("text")) >= minChars)
+      .withColumn("n_pii", PiiScrub.counts(col("text")).reduce(_ + _))
+      .withColumn("text", PiiScrub.redact(col("text")))
   }
 }

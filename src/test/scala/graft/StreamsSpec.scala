@@ -133,21 +133,40 @@ class StreamsSpec extends AnyFunSuite {
       (3L, "too short"), // gated out
       (4L, ("clean text " * 10)))
     val in = MemoryStream[(Long, String)]
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "n_pii").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
     val q = Streams.scrubAndGate(in.toDF().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("scrub")
       .outputMode("append").start()
     try {
       in.addData(rows: _*)
       q.processAllAvailable()
-      val stream = spark.table("scrub").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
-      val batch = Streams.scrubAndGate(rows.toDF("doc_id", "text")).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      val stream = shape(spark.table("scrub"))
+      val batch = shape(Streams.scrubAndGate(rows.toDF("doc_id", "text")))
       assert(stream == batch)
-      assert(stream.map(_._1) == Seq(1L, 2L, 4L)) // doc 3 gated
+      assert(stream.map(_._1) == Seq(1L, 2L, 4L)) // doc 3 gated on RAW length
       assert(stream(0)._2.contains("<EMAIL>") && stream(0)._2.contains("<PHONE>"))
       assert(stream(1)._2.contains("<IP>") && stream(0)._3 == 2L)
     } finally q.stop()
+    // the gate preserves every column, so it composes with the stateful
+    // stages: dedup over the SCRUBBED text (r05 review: the old select
+    // dropped text/ts and broke exactly this composition)
+    val in2 = MemoryStream[(Long, String, Timestamp)]
+    val q2 = Streams.dedupDocuments(
+      Streams.scrubAndGate(in2.toDF().toDF("doc_id", "text", "ts")))
+      .writeStream.format("memory").queryName("scrubdedup")
+      .outputMode("append").start()
+    try {
+      in2.addData(
+        (1L, "dup body " * 10 + "mail a@b.example", ts("2024-01-01 10:00:00")),
+        (2L, "dup body " * 10 + "mail c@d.example", ts("2024-01-01 10:01:00")),
+        (3L, "other " * 12, ts("2024-01-01 10:02:00")))
+      q2.processAllAvailable()
+      // both emails redact to <EMAIL>, so docs 1 and 2 become duplicates
+      assert(spark.table("scrubdedup").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    } finally q2.stop()
   }
 
   test("runningUserStats: keyed state accumulates across batches") {
