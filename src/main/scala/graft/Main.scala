@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{JdbcReader, ParquetDirReader, ParquetSink, Reader}
+import graft.sources.{JdbcReader, JsonlDirReader, ParquetDirReader, ParquetSink, Reader}
 import graft.functions.PgConversions.PgSettings
 
 /** CLI shell mirroring the reference's argument surface
@@ -38,6 +38,7 @@ object Main {
       // and parallel multi-file / hive-partitioned sink
       partitionColumn: Option[String] = None,
       partitions: Option[Int] = None,
+      fetchSize: Int = 10000,
       multiFile: Boolean = false,
       maxRecordsPerFile: Option[Long] = None,
       partitionBy: Seq[String] = Nil,
@@ -85,6 +86,7 @@ object Main {
        |      --ssl-client-key <FILE>   TLS client key (PEM)
        |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
        |      --compression-level <N> Compressor level (zstd, brotli, gzip)
+       |      --fetch-size <N>        JDBC cursor fetch size (default 10000)
        |      --partition-column <C>  Numeric/date column to range-partition the scan on
        |      --partitions <N>        Parallel scan connections (requires --partition-column)
        |      --multi-file            Write one file per task instead of a single file
@@ -140,6 +142,7 @@ object Main {
           a = a.copy(sslClientKey = Some(take(flag)))
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" => a = a.copy(compressionLevel = Some(take(flag).toInt))
+        case "--fetch-size" => a = a.copy(fetchSize = take(flag).toInt)
         case "--partition-column" => a = a.copy(partitionColumn = Some(take(flag)))
         case "--partitions" | "--num-partitions" =>
           a = a.copy(partitions = Some(take(flag).toInt))
@@ -235,15 +238,18 @@ object Main {
           "must be provided, or set the DATABASE_URL environment variable"))
     if (conn.startsWith("dir:"))
       new ParquetDirReader(conn.stripPrefix("dir:"), Tables.names)
+    else if (conn.startsWith("jsonl:"))
+      new JsonlDirReader(conn.stripPrefix("jsonl:"))
     else if (conn.startsWith("jdbc:"))
       new JdbcReader(conn,
         // user falls back PGUSER, then dbname (postgres_cloner.rs:247)
         a.user.orElse(env.get("PGUSER")).orElse(a.dbname),
         resolvePassword(a, env),
+        fetchSize = a.fetchSize,
         tlsOptions = JdbcReader.tlsProperties(a.sslmode, a.sslRootCerts,
           a.sslClientCert, a.sslClientKey))
     else throw new IllegalArgumentException(
-      s"unsupported connection '$conn' (expected jdbc:postgresql://... or dir:/path)")
+      s"unsupported connection '$conn' (expected jdbc:postgresql://..., dir:/path or jsonl:/path)")
   }
 
   /** The export pipeline: read (table or query) → single ordered

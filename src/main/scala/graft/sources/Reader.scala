@@ -39,6 +39,36 @@ final class ParquetDirReader(dir: String, tableNames: Seq[String]) extends Reade
   }
 }
 
+/** JSONL-directory reader (beyond-reference): one
+  * `<dir>/<name>.jsonl[.gz]` per table — the raw-crawl ingest format a
+  * training-data pipeline starts from before anything is columnar.
+  * Schema is inferred from the data by default (an extra read pass);
+  * at 100 TB pass `schema` explicitly so the scan is single-pass, and
+  * note .gz files are not splittable — prefer many shard files (the
+  * usual crawl layout), which parallelize per file. */
+final class JsonlDirReader(
+    dir: String,
+    schema: Option[org.apache.spark.sql.types.StructType] = None) extends Reader {
+  def table(spark: SparkSession, name: String): DataFrame = {
+    val base = s"$dir/$name.jsonl"
+    val path = if (new java.io.File(base).exists()) base else s"$base.gz"
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
+  }
+
+  /** Tables are discovered from the directory (one view per
+    * `*.jsonl[.gz]` file), unlike the parquet reader's fixed testdata
+    * names — crawl dumps carry arbitrary table sets. */
+  def query(spark: SparkSession, sql: String): DataFrame = {
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.endsWith(".jsonl") || f.getName.endsWith(".jsonl.gz"))
+      .foreach { f =>
+        val t = f.getName.stripSuffix(".gz").stripSuffix(".jsonl")
+        table(spark, t).createOrReplaceTempView(t)
+      }
+    spark.sql(sql)
+  }
+}
+
 /** JDBC reader for a live PostgreSQL (O1–O3).
   *
   * Connection options mirror the reference's surface

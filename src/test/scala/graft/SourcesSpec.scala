@@ -16,6 +16,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.query(spark, "SELECT COUNT(*) AS n FROM region").collect()(0).getLong(0) == 5)
   }
 
+  test("JsonlDirReader: jsonl ingest → table/query scans and export to parquet") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    val w = new java.io.PrintWriter(s"$dir/docs.jsonl")
+    w.println("""{"doc_id": 1, "text": "hello world", "lang": "en"}""")
+    w.println("""{"doc_id": 2, "text": "bonjour", "lang": "fr"}""")
+    w.close()
+    val r = new graft.sources.JsonlDirReader(dir)
+    assert(r.table(spark, "docs").count() == 2)
+    assert(r.query(spark, "SELECT COUNT(*) AS n FROM docs WHERE lang = 'en'")
+      .collect()(0).getLong(0) == 1)
+    // full export path over the jsonl: scheme
+    val out = Files.createTempDirectory("jexp").toString + "/docs"
+    val stats = Main.runExport(spark, Main.Args(
+      outputFile = out,
+      query = Some("SELECT doc_id, text FROM docs ORDER BY doc_id"),
+      connection = Some(s"jsonl:$dir"), quiet = true), Map.empty)
+    assert(stats.rows == 2)
+    assert(spark.read.parquet(out).columns.toSeq == Seq("doc_id", "text"))
+  }
+
   // ---- PostgresDialect (O4)
   test("dialect maps pg type names per §2.3") {
     def m(tn: String, sqlType: Int = java.sql.Types.OTHER) =
