@@ -105,12 +105,13 @@ object PgSchema {
   }
 
   /** The conversion Column for a text-form transfer of `kind` — the
-    * appender-tree equivalent. Recursion depth matches what a text
-    * transfer can carry unambiguously: scalars everywhere; ranges and
-    * composites of scalars/enums; arrays of scalars. Deeper shapes
-    * (composite-of-composite wire data) need the binary protocol the
-    * JDBC path does not expose — same boundary the reference's ::text
-    * workaround draws (T35). */
+    * appender-tree equivalent. The recursion composes to arbitrary
+    * depth: each level's tokenizer unescapes its own quoting convention
+    * (arrays backslash-escape, records double quotes) before handing
+    * the field text to the inner recipe, so array⟨composite⟨array⟨…⟩⟩⟩
+    * shapes — the reference's test_pgvector.py:128 level-3 nesting —
+    * parse from the text transfer (PgSchemaSpec "nested composites").
+    * Truly unknown simple types still hit the T35 ::text policy. */
   def recipe(kind: PgKind, c: Column, s: PgSettings): Column = kind match {
     case PgSimple(name) => PgTypeMapper.convert(name, c, s)
     case PgEnum(_, labels) =>

@@ -247,6 +247,60 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(out(1).getDecimal(2) == new java.math.BigDecimal("-0.42"))
   }
 
+  test("recipe: nested composites of vectors (test_pgvector.py:128 shapes)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // cc_vector_wrapper(single vector, half halfvec);
+    // cc_vector_array(wrappers cc_vector_wrapper[], halfarr halfvec, sparse sparsevec);
+    // cc_vector_lvl3(arr cc_vector_array[], notarray cc_vector_wrapper)
+    val wrapper = PgComposite("cc_vector_wrapper", Seq(
+      "single" -> PgSimple("vector"), "half" -> PgSimple("halfvec")))
+    val varr = PgComposite("cc_vector_array", Seq(
+      "wrappers" -> PgArray(wrapper), "halfarr" -> PgSimple("halfvec"),
+      "sparse" -> PgSimple("sparsevec")))
+    val lvl3 = PgComposite("cc_vector_lvl3", Seq(
+      "arr" -> PgArray(varr), "notarray" -> wrapper))
+
+    // text forms as PG emits them: array elements backslash-escape
+    // quotes, record fields double them — the escaping compounds per
+    // nesting level (reference parses the same data from the binary
+    // wire, pg_custom_types.rs:162-287; text is this engine's transfer)
+    val aTxt = """{NULL,"(\"[1,2]\",\"[5,6]\")",NULL,"(\"[1,2]\",\"[5,6]\")",NULL}"""
+    val bTxt = """("{""(\\""[1,2]\\"",\\""[5,6]\\"")"",NULL,""(\\""[1,2,3,4,5,6,7,8]\\"",)""}","[1,2]","{4:1,8:2}/10")"""
+    val bEmpty = """("{}",,)"""
+    val dTxt = """{"(,\"(,\"\"[1,2]\"\")\")",NULL}"""
+
+    val out = Seq((1, aTxt, bTxt, dTxt), (2, null, bEmpty, null))
+      .toDF("id", "a", "b", "d")
+      .select(col("id"),
+        recipe(PgArray(wrapper), col("a"), dflt).as("a"),
+        recipe(varr, col("b"), dflt).as("b"),
+        recipe(PgArray(lvl3), col("d"), dflt).as("d"))
+      .orderBy(col("id")).collect()
+
+    import org.apache.spark.sql.Row
+    val a = out(0).getSeq[Row](1)
+    assert(a.size == 5 && a(0) == null && a(2) == null && a(4) == null)
+    assert(a(1).getSeq[Float](0) == Seq(1f, 2f) && a(1).getSeq[Float](1) == Seq(5f, 6f))
+    val b = out(0).getStruct(2)
+    val ws = b.getSeq[Row](0)
+    assert(ws.size == 3 && ws(1) == null)
+    assert(ws(0).getSeq[Float](0) == Seq(1f, 2f) && ws(0).getSeq[Float](1) == Seq(5f, 6f))
+    assert(ws(2).getSeq[Float](0) == Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
+    assert(ws(2).isNullAt(1)) // NULL half inside a twice-escaped record
+    assert(b.getSeq[Float](1) == Seq(1f, 2f))
+    assert(b.getMap[Int, Float](2) == Map(4 -> 1f, 8 -> 2f)) // sparsevec
+    val d = out(0).getSeq[Row](3)
+    assert(d.size == 2 && d(1) == null)
+    assert(d(0).isNullAt(0)) // lvl3.arr NULL
+    assert(d(0).getStruct(1).isNullAt(0)) // notarray.single NULL
+    assert(d(0).getStruct(1).getSeq[Float](1) == Seq(1f, 2f)) // three levels deep
+    // row 2: empty wrappers array ≠ NULL; NULL halfarr/sparse fields
+    val b2 = out(1).getStruct(2)
+    assert(b2.getSeq[Row](0).isEmpty && b2.isNullAt(1) && b2.isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(3))
+  }
+
   test("recipe: bare `char` (catalog name) converts its text form to the code") {
     val spark = TestSpark.spark
     import spark.implicits._
