@@ -231,6 +231,10 @@ object Main {
           .map(new String(_))
       })
 
+  /** Does the jdbc URL's query string carry `key` itself? */
+  private[graft] def urlParam(conn: String, key: String): Boolean =
+    conn.matches(s"(?i).*[?&]$key=.*")
+
   private[graft] def readerFor(a: Args, env: Map[String, String]): Reader = {
     val conn = JdbcReader.resolveUrl(a.connection.orElse(discreteUrl(a)), env)
       .getOrElse(throw new IllegalArgumentException(
@@ -242,9 +246,14 @@ object Main {
       new JsonlDirReader(conn.stripPrefix("jsonl:"))
     else if (conn.startsWith("jdbc:"))
       new JdbcReader(conn,
+        // credentials embedded in the connection string take precedence
+        // over env fallbacks (reference: test_cli.py:179 — a wrong
+        // PGPASSWORD must not override the URL's password); the --user/
+        // --password args can't conflict here (parse rule above).
         // user falls back PGUSER, then dbname (postgres_cloner.rs:247)
-        a.user.orElse(env.get("PGUSER")).orElse(a.dbname),
-        resolvePassword(a, env),
+        if (urlParam(conn, "user")) None
+        else a.user.orElse(env.get("PGUSER")).orElse(a.dbname),
+        if (urlParam(conn, "password")) None else resolvePassword(a, env),
         fetchSize = a.fetchSize,
         tlsOptions = JdbcReader.tlsProperties(a.sslmode, a.sslRootCerts,
           a.sslClientCert, a.sslClientKey))

@@ -256,6 +256,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.select("n_regionkey").distinct().count() == 5)
   }
 
+  test("cli: connection-string credentials beat PGPASSWORD/PGUSER env") {
+    // reference parity (test_cli.py:179): a wrong PGPASSWORD must not
+    // override the password carried in the connection string itself
+    assert(Main.urlParam("jdbc:postgresql://h/db?user=u&password=pw", "password"))
+    assert(Main.urlParam("jdbc:postgresql://h/db?password=pw", "user") == false)
+    assert(!Main.urlParam("jdbc:postgresql://h/db", "password"))
+    // and --fetch-size parses
+    val a = Main.parseArgs(Seq("export", "-o", "x", "--table", "t",
+      "--fetch-size", "500"), Map.empty)
+    assert(a.fetchSize == 500)
+  }
+
   test("cli: --version and --help exit successfully with the expected shapes") {
     val v = intercept[Main.CliExit](Main.parseArgs(Seq("--version"), Map.empty))
     assert(v.text.startsWith("graft 0.") && v.text.linesIterator.size == 1)
