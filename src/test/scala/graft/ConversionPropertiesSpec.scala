@@ -163,6 +163,31 @@ class ConversionPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("money text parse: C-locale formatting round-trips to exact cents") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // format cents the way PG's money_out does (C locale): $ sign,
+    // thousands separators, 2 decimals, '-' prefix for negatives
+    val gen = Gen.chooseNum(-1000000000L, 1000000000L)
+    val cents = Gen.listOfN(40, gen).sample.get
+    def fmt(c: Long): String = {
+      val sign = if (c < 0) "-" else ""
+      val abs = math.abs(c)
+      val whole = f"${abs / 100}%,d".replace(" ", ",").replace(".", ",")
+      f"$sign$$$whole.${abs % 100}%02d"
+    }
+    val out = cents.map(c => (c, fmt(c))).toDF("cents", "txt")
+      .select(col("cents"), moneyFromText(col("txt")).as("parsed"))
+      .collect()
+    out.foreach { r =>
+      val expected = new java.math.BigDecimal(r.getLong(0)).movePointLeft(2)
+        .setScale(2)
+      assert(r.getDecimal(1).compareTo(expected) == 0,
+        s"cents=${r.getLong(0)} parsed=${r.getDecimal(1)}")
+    }
+  }
+
   test("bigDecimalBytes round-trips through BigInteger at the same scale") {
     val g = for {
       unscaled <- Gen.chooseNum(-1000000000L, 1000000000L)

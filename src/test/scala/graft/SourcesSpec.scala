@@ -26,6 +26,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.table(spark, "docs").count() == 2)
     assert(r.query(spark, "SELECT COUNT(*) AS n FROM docs WHERE lang = 'en'")
       .collect()(0).getLong(0) == 1)
+    // gz branch: compressed shards read transparently
+    val gz = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/zdocs.jsonl.gz")))
+    gz.println("""{"doc_id": 9, "text": "gz row"}""")
+    gz.close()
+    assert(r.table(spark, "zdocs").count() == 1)
+    assert(r.query(spark, "SELECT COUNT(*) AS n FROM zdocs")
+      .collect()(0).getLong(0) == 1)
     // full export path over the jsonl: scheme
     val out = Files.createTempDirectory("jexp").toString + "/docs"
     val stats = Main.runExport(spark, Main.Args(
