@@ -33,8 +33,18 @@ final class ParquetDirReader(dir: String, tableNames: Seq[String]) extends Reade
   def table(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Views for a query scan come from the `tableNames` that actually
+    * exist in the directory plus any other `*.parquet` entries found
+    * there — a `dir:` export against a directory holding only some
+    * tables (or differently-named ones) must not fail registering
+    * absent testdata names. */
   def query(spark: SparkSession, sql: String): DataFrame = {
-    tableNames.foreach(t => table(spark, t).createOrReplaceTempView(t))
+    val present = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet")).toSet
+    (tableNames.filter(present) ++ (present -- tableNames).toSeq.sorted)
+      .foreach(t => table(spark, t).createOrReplaceTempView(t))
     spark.sql(sql)
   }
 }

@@ -14,6 +14,13 @@ class SourcesSpec extends AnyFunSuite {
     val r = Tables.reader(TestSpark.sfDir)
     assert(r.table(spark, "region").count() == 5)
     assert(r.query(spark, "SELECT COUNT(*) AS n FROM region").collect()(0).getLong(0) == 5)
+    // a dir holding only SOME tables (or extra ones) still query-scans:
+    // absent testdata names must not fail view registration
+    val partial = Files.createTempDirectory("pdir").toString
+    r.table(spark, "region").write.parquet(s"$partial/only_table.parquet")
+    val pr = Tables.reader(partial)
+    assert(pr.query(spark, "SELECT COUNT(*) AS n FROM only_table")
+      .collect()(0).getLong(0) == 5)
   }
 
   test("JsonlDirReader: jsonl ingest → table/query scans and export to parquet") {
