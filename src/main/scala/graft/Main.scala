@@ -199,6 +199,11 @@ object Main {
         "Options --partition-column and --partitions must both be specified.")
     if (a.partitions.exists(_ < 1))
       throw new IllegalArgumentException("--partitions must be at least 1")
+    // pgjdbc treats fetchsize 0 as fetch-ALL (whole result buffered in
+    // memory) — reject it here rather than OOM on the tables the knob
+    // exists for
+    if (a.fetchSize < 1)
+      throw new IllegalArgumentException("--fetch-size must be at least 1")
     JdbcReader.tlsProperties(a.sslmode, a.sslRootCerts,
       a.sslClientCert, a.sslClientKey)
     ParquetSink.codecFor(a.compression) // validate early
@@ -231,9 +236,11 @@ object Main {
           .map(new String(_))
       })
 
-  /** Does the jdbc URL's query string carry `key` itself? */
+  /** Does the jdbc URL's query string carry `key` itself?
+    * Case-SENSITIVE like pgjdbc's parameter keys — a `?Password=` the
+    * driver would ignore must not suppress the env fallback. */
   private[graft] def urlParam(conn: String, key: String): Boolean =
-    conn.matches(s"(?i).*[?&]$key=.*")
+    conn.matches(s".*[?&]$key=.*")
 
   private[graft] def readerFor(a: Args, env: Map[String, String]): Reader = {
     val conn = JdbcReader.resolveUrl(a.connection.orElse(discreteUrl(a)), env)

@@ -26,6 +26,34 @@ trait Reader {
   def query(spark: SparkSession, sql: String): DataFrame
 }
 
+/** Directory-as-catalog listing shared by the parquet and jsonl dir
+  * readers: `(table name, qualified path)` per `<name><suffix>` entry,
+  * through the Hadoop FileSystem API so local, `hdfs://` and `s3a://`
+  * directories all behave identically (a `java.io.File` listing
+  * silently returns nothing for remote schemes). Entries whose
+  * basename is not a valid SQL identifier — stray shard files like
+  * `part-00000`, in-progress `a.b.tmp` — are skipped rather than
+  * allowed to fail view registration. */
+private[sources] object DirListing {
+  def list(spark: SparkSession, dir: String,
+      suffixes: Seq[String]): Seq[(String, String)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Seq.empty
+    fs.listStatus(path).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      suffixes.collectFirst { case s if n.endsWith(s) => n.stripSuffix(s) }
+        .filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        .map(t => t -> st.getPath.toString)
+    }.sortBy(_._1)
+  }
+
+  def exists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+}
+
 /** Parquet-directory reader: one `<dir>/<name>.parquet` per table —
   * the driver's testdata layout. At 100 TB these would be partitioned
   * directories; `spark.read.parquet` handles both identically. */
@@ -33,18 +61,18 @@ final class ParquetDirReader(dir: String, tableNames: Seq[String]) extends Reade
   def table(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Views for a query scan come from the `tableNames` that actually
-    * exist in the directory plus any other `*.parquet` entries found
-    * there — a `dir:` export against a directory holding only some
-    * tables (or differently-named ones) must not fail registering
-    * absent testdata names. */
+  /** Views for a query scan: every `*.parquet` entry actually present
+    * (known `tableNames` first, then discovered extras) that the SQL
+    * text mentions — a directory holding only some tables must not
+    * fail registering absent names, and tables the query never
+    * references are not touched at all. */
   def query(spark: SparkSession, sql: String): DataFrame = {
-    val present = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".parquet"))
-      .map(_.getName.stripSuffix(".parquet")).toSet
-    (tableNames.filter(present) ++ (present -- tableNames).toSeq.sorted)
-      .foreach(t => table(spark, t).createOrReplaceTempView(t))
+    val present = DirListing.list(spark, dir, Seq(".parquet")).toMap
+    val sqlLc = sql.toLowerCase
+    (tableNames.filter(present.contains) ++
+      (present.keySet -- tableNames).toSeq.sorted)
+      .filter(t => sqlLc.contains(t.toLowerCase))
+      .foreach(t => spark.read.parquet(present(t)).createOrReplaceTempView(t))
     spark.sql(sql)
   }
 }
@@ -59,22 +87,39 @@ final class ParquetDirReader(dir: String, tableNames: Seq[String]) extends Reade
 final class JsonlDirReader(
     dir: String,
     schema: Option[org.apache.spark.sql.types.StructType] = None) extends Reader {
-  def table(spark: SparkSession, name: String): DataFrame = {
-    val base = s"$dir/$name.jsonl"
-    val path = if (new java.io.File(base).exists()) base else s"$base.gz"
+
+  private def read(spark: SparkSession, path: String): DataFrame =
     schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
+
+  def table(spark: SparkSession, name: String): DataFrame = {
+    val plain = s"$dir/$name.jsonl"
+    val gz = s"$plain.gz"
+    (DirListing.exists(spark, plain), DirListing.exists(spark, gz)) match {
+      case (true, true) => throw new IllegalArgumentException(
+        s"both $name.jsonl and $name.jsonl.gz exist in $dir — " +
+          "ambiguous; remove one")
+      case (_, true) => read(spark, gz)
+      case _ => read(spark, plain)
+    }
   }
 
   /** Tables are discovered from the directory (one view per
     * `*.jsonl[.gz]` file), unlike the parquet reader's fixed testdata
-    * names — crawl dumps carry arbitrary table sets. */
+    * names — crawl dumps carry arbitrary table sets. Only tables the
+    * SQL text mentions are registered: `spark.read.json` runs schema
+    * inference (a full read) at DataFrame-creation time, so eagerly
+    * registering a 50-table crawl directory would scan all of it for
+    * a one-table query. */
   def query(spark: SparkSession, sql: String): DataFrame = {
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.endsWith(".jsonl") || f.getName.endsWith(".jsonl.gz"))
-      .foreach { f =>
-        val t = f.getName.stripSuffix(".gz").stripSuffix(".jsonl")
-        table(spark, t).createOrReplaceTempView(t)
-      }
+    val entries = DirListing.list(spark, dir, Seq(".jsonl", ".jsonl.gz"))
+    val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"ambiguous jsonl tables in $dir (both .jsonl and .jsonl.gz): " +
+        dups.mkString(", "))
+    val sqlLc = sql.toLowerCase
+    entries
+      .filter { case (t, _) => sqlLc.contains(t.toLowerCase) }
+      .foreach { case (t, p) => read(spark, p).createOrReplaceTempView(t) }
     spark.sql(sql)
   }
 }

@@ -172,10 +172,13 @@ class ConversionPropertiesSpec extends AnyFunSuite {
     val gen = Gen.chooseNum(-1000000000L, 1000000000L)
     val cents = Gen.listOfN(40, gen).sample.get
     def fmt(c: Long): String = {
+      // manual grouping — locale-free (a %,d format would emit the JVM
+      // default locale's separators and digit glyphs)
       val sign = if (c < 0) "-" else ""
       val abs = math.abs(c)
-      val whole = f"${abs / 100}%,d".replace(" ", ",").replace(".", ",")
-      f"$sign$$$whole.${abs % 100}%02d"
+      val whole = (abs / 100).toString.reverse.grouped(3).mkString(",").reverse
+      val frac = (abs % 100).toString.reverse.padTo(2, '0').reverse
+      s"$sign$$$whole.$frac"
     }
     val out = cents.map(c => (c, fmt(c))).toDF("cents", "txt")
       .select(col("cents"), moneyFromText(col("txt")).as("parsed"))

@@ -277,6 +277,11 @@ class SourcesSpec extends AnyFunSuite {
     assert(Main.urlParam("jdbc:postgresql://h/db?user=u&password=pw", "password"))
     assert(Main.urlParam("jdbc:postgresql://h/db?password=pw", "user") == false)
     assert(!Main.urlParam("jdbc:postgresql://h/db", "password"))
+    // case-SENSITIVE like pgjdbc: a ?Password= the driver ignores must
+    // not suppress the PGPASSWORD fallback
+    assert(!Main.urlParam("jdbc:postgresql://h/db?Password=pw", "password"))
+    intercept[IllegalArgumentException](Main.parseArgs(
+      Seq("export", "-o", "x", "--table", "t", "--fetch-size", "0"), Map.empty))
     // and --fetch-size parses
     val a = Main.parseArgs(Seq("export", "-o", "x", "--table", "t",
       "--fetch-size", "500"), Map.empty)
