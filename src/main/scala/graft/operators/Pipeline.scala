@@ -1091,6 +1091,65 @@ object Pipeline {
       },
       headline = true),
 
+    // ---- p23: incremental dedup — admit an incoming shard against an
+    // EXISTING corpus, the shape every continuously-ingesting pipeline
+    // runs (p01/p02 dedup a closed corpus; ingest never sees one).
+    // Two anti-joins: exact (content hash) then near-dup (band-0
+    // minhash signature, p19's formulas — docs whose bucket already
+    // exists in the corpus are dropped without any pairwise work). At
+    // scale the corpus side reduces to its distinct hash/signature
+    // sets — fixed-width keys, broadcastable for corpus sizes that fit
+    // and a plain shuffle anti-join beyond; nothing is ever quadratic.
+    // Fixture split: doc_id < 250 = corpus, >= 250 = incoming shard.
+    QueryDef(
+      "p23_incremental_dedup",
+      (s, d) => {
+        def withSig(df: DataFrame): DataFrame = {
+          val ws = df.select(col("doc_id"), md5(col("text")).as("h"),
+            words(col("text")).as("ws"))
+            .filter(size(col("ws")) >= 5)
+          val xs = ws.select(col("doc_id"), col("h"),
+            array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
+              i => hash32(array_join(slice(col("ws"), i, lit(5)), " ")))).as("xs"))
+          xs.select(col("doc_id"), col("h"),
+            concat_ws(",", (0 until BandRows).map(i =>
+              array_min(transform(col("xs"),
+                x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP))
+                .cast(StringType)): _*).as("sig"))
+        }
+        val all = T.documents(s, d)
+        val corpus = withSig(all.filter(col("doc_id") < 250))
+        val incoming = withSig(all.filter(col("doc_id") >= 250))
+        incoming
+          .join(broadcast(corpus.select(col("h")).distinct()), Seq("h"), "left_anti")
+          .join(broadcast(corpus.select(col("sig")).distinct()), Seq("sig"), "left_anti")
+          .select(col("doc_id"), col("h"), col("sig"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, md5(text) AS h, string_split_regex(text, '\\s+') AS ws
+          FROM documents WHERE len(string_split_regex(text, '\\s+')) >= 5),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8) AS BIGINT) AS x
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+        params AS (
+          SELECT i, 2*i + 1 AS a, 99991*i + 7 AS b FROM unnest(range(0, $BandRows)) t(i)),
+        mh AS (
+          SELECT doc_id, i, MIN((a*x + b) % $MinhashP) AS m
+          FROM sh CROSS JOIN params GROUP BY doc_id, i),
+        sig AS (
+          SELECT doc_id, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+          FROM mh GROUP BY doc_id),
+        ds AS (
+          SELECT w.doc_id, w.h, sig.sig FROM w JOIN sig ON w.doc_id = sig.doc_id)
+        SELECT doc_id, h, sig FROM ds
+        WHERE doc_id >= 250
+          AND h NOT IN (SELECT h FROM ds WHERE doc_id < 250)
+          AND sig NOT IN (SELECT sig FROM ds WHERE doc_id < 250)
+        ORDER BY doc_id""")),
+
     // ---- p22: sequence packing — concatenate-and-chunk the token
     // stream into fixed context windows (L=512), the standard
     // pre-training data prep where documents may straddle chunk
