@@ -1091,6 +1091,57 @@ object Pipeline {
       },
       headline = true),
 
+    // ---- p24: distribution rebalancing — subsample the corpus to a
+    // TARGET language mix (en 40%, de/fr/es/zh 15% each), the curation
+    // step that fixes source skew before training. The max total
+    // honoring the target is T = min_l floor(n_l·W/w_l) (integer-exact
+    // with integer weights w_l summing to W); each language keeps its
+    // floor(T·w_l/W) hash-first documents — selection is an md5 rank,
+    // so the sample is deterministic and reproducible with NO RNG, like
+    // p15. Plan shape: one tiny per-lang count agg, a scalar broadcast,
+    // and one rank window partitioned by lang (parallel across
+    // languages) — the single corpus shuffle any stratified pass needs.
+    QueryDef(
+      "p24_rebalance_sample",
+      (s, d) => {
+        import s.implicits._
+        val weights = Seq("en" -> 40L, "de" -> 15L, "fr" -> 15L,
+          "es" -> 15L, "zh" -> 15L)
+        val W = weights.map(_._2).sum
+        val wDf = weights.toDF("lang", "w")
+        val docs = T.documents(s, d).select(col("doc_id"), col("lang"))
+          .join(broadcast(wDf), Seq("lang"))
+        val caps = docs.groupBy(col("lang"), col("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(floor(col("n") * W / col("w")).as("cap_t"))
+        val t = caps.agg(min(col("cap_t")).as("t"))
+        val ranked = docs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(md5(concat(col("lang"), lit(":"), col("doc_id"))), col("doc_id"))))
+        ranked.crossJoin(broadcast(t))
+          .filter(col("rk") <= floor(col("t") * col("w") / W))
+          .select(col("doc_id"), col("lang"), col("rk").cast(LongType).as("rk"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w(lang, w) AS (VALUES
+          ('en', 40), ('de', 15), ('fr', 15), ('es', 15), ('zh', 15)),
+        docs AS (
+          SELECT d.doc_id, d.lang, w.w FROM documents d JOIN w ON d.lang = w.lang),
+        t AS (
+          SELECT MIN(CAST(FLOOR(n * 100.0 / w) AS BIGINT)) AS t
+          FROM (SELECT lang, w, COUNT(*) AS n FROM docs GROUP BY lang, w)),
+        ranked AS (
+          SELECT doc_id, lang, w,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM docs)
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        FROM ranked, t
+        WHERE rk <= CAST(FLOOR(t * w / 100.0) AS BIGINT)
+        ORDER BY doc_id""")),
+
     // ---- p23: incremental dedup — admit an incoming shard against an
     // EXISTING corpus, the shape every continuously-ingesting pipeline
     // runs (p01/p02 dedup a closed corpus; ingest never sees one).
