@@ -54,6 +54,21 @@ object Pipeline {
   private def hashA(i: Int): Long = 2L * i + 1
   private def hashB(i: Int): Long = 99991L * i + 7
 
+  /** Distinct word-5-gram hash set of a words array (the p02/p19/p23
+    * shingle artifact — one definition so the cluster keys can never
+    * de-synchronize between operators). */
+  private def shingleHashes(ws: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(ws) - 4),
+      i => hash32(array_join(slice(ws, i, lit(5)), " "))))
+
+  /** Band-0 minhash signature over a shingle-hash array — the LSH
+    * bucket key shared by p19 and p23. */
+  private def bandSignature(xs: Column): Column =
+    concat_ws(",", (0 until BandRows).map(i =>
+      array_min(transform(xs,
+        x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP))
+        .cast(StringType)): _*)
+
   /** p04 stop-gram cap: a trigram shared by more than this many docs in
     * a lang block carries no dedup signal and would quadratically blow
     * up the self-join. Above the sf0.01 corpus size, so the driver-gated
@@ -879,13 +894,9 @@ object Pipeline {
           .select(col("doc_id"), col("n_chars"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= 5)
         val xs = docs.select(col("doc_id"), col("n_chars"),
-          array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
-            i => hash32(array_join(slice(col("ws"), i, lit(5)), " ")))).as("xs"))
-        val sig = concat_ws(",", (0 until BandRows).map(i =>
-          array_min(transform(col("xs"),
-            x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP))
-            .cast(StringType)): _*)
-        val clustered = xs.select(col("doc_id"), col("n_chars"), sig.as("sig"))
+          shingleHashes(col("ws")).as("xs"))
+        val clustered = xs.select(col("doc_id"), col("n_chars"),
+          bandSignature(col("xs")).as("sig"))
         val byLen = Window.partitionBy(col("sig"))
           .orderBy(col("n_chars").desc, col("doc_id").asc)
         clustered
@@ -1111,9 +1122,13 @@ object Pipeline {
         val wDf = weights.toDF("lang", "w")
         val docs = T.documents(s, d).select(col("doc_id"), col("lang"))
           .join(broadcast(wDf), Seq("lang"))
-        val caps = docs.groupBy(col("lang"), col("w"))
-          .agg(count(lit(1)).as("n"))
-          .select(floor(col("n") * W / col("w")).as("cap_t"))
+        // T minimizes over EVERY target language — one absent from the
+        // corpus must drive T to 0 (empty sample), not silently fall
+        // out of the min and ship a sample violating the target mix
+        val caps = wDf.join(
+            docs.groupBy(col("lang")).agg(count(lit(1)).as("n")),
+            Seq("lang"), "left")
+          .select(floor(coalesce(col("n"), lit(0L)) * W / col("w")).as("cap_t"))
         val t = caps.agg(min(col("cap_t")).as("t"))
         val ranked = docs
           .withColumn("rk", row_number().over(
@@ -1130,8 +1145,10 @@ object Pipeline {
         docs AS (
           SELECT d.doc_id, d.lang, w.w FROM documents d JOIN w ON d.lang = w.lang),
         t AS (
-          SELECT MIN(CAST(FLOOR(n * 100.0 / w) AS BIGINT)) AS t
-          FROM (SELECT lang, w, COUNT(*) AS n FROM docs GROUP BY lang, w)),
+          SELECT MIN(CAST(FLOOR(COALESCE(n, 0) * 100.0 / ww.w) AS BIGINT)) AS t
+          FROM w ww LEFT JOIN
+            (SELECT lang, COUNT(*) AS n FROM docs GROUP BY lang) c
+            ON ww.lang = c.lang),
         ranked AS (
           SELECT doc_id, lang, w,
                  ROW_NUMBER() OVER (PARTITION BY lang
@@ -1155,36 +1172,38 @@ object Pipeline {
     QueryDef(
       "p23_incremental_dedup",
       (s, d) => {
-        def withSig(df: DataFrame): DataFrame = {
-          val ws = df.select(col("doc_id"), md5(col("text")).as("h"),
+        // exact admission needs only the content hash — docs too short
+        // to shingle (<5 words) still dedup exactly and carry sig=NULL,
+        // which an anti-join never matches (kept, near-dup-unknown)
+        def withSig(df: DataFrame): DataFrame =
+          df.select(col("doc_id"), md5(col("text")).as("h"),
             words(col("text")).as("ws"))
-            .filter(size(col("ws")) >= 5)
-          val xs = ws.select(col("doc_id"), col("h"),
-            array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
-              i => hash32(array_join(slice(col("ws"), i, lit(5)), " ")))).as("xs"))
-          xs.select(col("doc_id"), col("h"),
-            concat_ws(",", (0 until BandRows).map(i =>
-              array_min(transform(col("xs"),
-                x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP))
-                .cast(StringType)): _*).as("sig"))
-        }
+            .select(col("doc_id"), col("h"),
+              when(size(col("ws")) >= 5, shingleHashes(col("ws"))).as("xs"))
+            .select(col("doc_id"), col("h"),
+              when(col("xs").isNotNull, bandSignature(col("xs"))).as("sig"))
         val all = T.documents(s, d)
         val corpus = withSig(all.filter(col("doc_id") < 250))
         val incoming = withSig(all.filter(col("doc_id") >= 250))
+        // no broadcast hint: AQE broadcasts the distinct key sets while
+        // they fit and falls back to the shuffle anti-join beyond —
+        // forcing broadcast would OOM exactly at the scale that matters
         incoming
-          .join(broadcast(corpus.select(col("h")).distinct()), Seq("h"), "left_anti")
-          .join(broadcast(corpus.select(col("sig")).distinct()), Seq("sig"), "left_anti")
+          .join(corpus.select(col("h")).distinct(), Seq("h"), "left_anti")
+          .join(corpus.select(col("sig")).distinct()
+            .filter(col("sig").isNotNull), Seq("sig"), "left_anti")
           .select(col("doc_id"), col("h"), col("sig"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
         WITH w AS (
           SELECT doc_id, md5(text) AS h, string_split_regex(text, '\\s+') AS ws
-          FROM documents WHERE len(string_split_regex(text, '\\s+')) >= 5),
+          FROM documents),
         sh AS (
           SELECT DISTINCT doc_id,
                  CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8) AS BIGINT) AS x
-          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)
+          WHERE len(ws) >= 5),
         params AS (
           SELECT i, 2*i + 1 AS a, 99991*i + 7 AS b FROM unnest(range(0, $BandRows)) t(i)),
         mh AS (
@@ -1194,11 +1213,13 @@ object Pipeline {
           SELECT doc_id, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
           FROM mh GROUP BY doc_id),
         ds AS (
-          SELECT w.doc_id, w.h, sig.sig FROM w JOIN sig ON w.doc_id = sig.doc_id)
+          SELECT w.doc_id, w.h, sig.sig
+          FROM w LEFT JOIN sig ON w.doc_id = sig.doc_id)
         SELECT doc_id, h, sig FROM ds
         WHERE doc_id >= 250
           AND h NOT IN (SELECT h FROM ds WHERE doc_id < 250)
-          AND sig NOT IN (SELECT sig FROM ds WHERE doc_id < 250)
+          AND (sig IS NULL OR sig NOT IN
+               (SELECT sig FROM ds WHERE doc_id < 250 AND sig IS NOT NULL))
         ORDER BY doc_id""")),
 
     // ---- p22: sequence packing — concatenate-and-chunk the token
