@@ -1019,10 +1019,11 @@ object Pipeline {
         val init = e.filter(col("vec_id") < K)
           .select(col("vec_id").cast(IntegerType).as("cl"),
             transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
+        // native codegen'd left-to-right fold — bit-identical to the
+        // aggregate(zip_with(...)) HOF spelling and the oracle's
+        // list_reduce, but inside whole-stage codegen (see FloatDistSq)
         def dist2(q: Column, c: Column): Column =
-          aggregate(zip_with(q, c,
-            (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
-            lit(0.0), (acc, x) => acc + x)
+          call_function("float_dist_sq", q, c)
         // assignment is a pure per-row fold over the k centroids — the
         // centroid table collapses to ONE broadcast row holding a
         // k-struct array, so the argmin runs inside the scan with zero

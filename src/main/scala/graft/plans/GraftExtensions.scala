@@ -16,5 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (children: Seq[Expression]) =>
         FloatDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("float_dist_sq"),
+      new ExpressionInfo(classOf[FloatDistSq].getName, "float_dist_sq"),
+      (children: Seq[Expression]) =>
+        FloatDistSq(children(0), children(1))))
   }
 }

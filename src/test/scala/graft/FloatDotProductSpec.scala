@@ -22,6 +22,35 @@ class FloatDotProductSpec extends AnyFunSuite {
       fold(Seq(0.1f, 0.2f), Seq(0.3f, 0.4f))))
   }
 
+  test("float_dist_sq: matches the HOF fold bit-exactly; nulls propagate") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(0.5, 2.0, 3.25)),
+      (Array(0.1f, 0.2f), Array(0.30000001, -0.4)))
+      .toDF("a", "b")
+    val got = df.select(call_function("float_dist_sq", col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    // the HOF spelling the expression replaces must agree bit-exactly
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == hof)
+    def fold(a: Seq[Float], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        val d = x.toDouble - y; acc + d * d }
+    assert(got == Seq(fold(Seq(1f, 2f, 3f), Seq(0.5, 2.0, 3.25)),
+      fold(Seq(0.1f, 0.2f), Seq(0.30000001, -0.4))))
+    val n = Seq((Some(Array(1f)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+      .select(call_function("float_dist_sq", col("a"), col("b")).as("d"))
+    assert(n.collect()(0).isNullAt(0))
+    intercept[Exception] {
+      Seq((Array(1f), Array(1f))).toDF("a", "b")
+        .select(call_function("float_dist_sq", col("a"), col("b"))).collect()
+    }
+  }
+
   test("float_dot: null array propagates, type mismatch rejected") {
     import spark.implicits._
     val df = Seq((Some(Array(1f)), Option.empty[Array[Float]]))
