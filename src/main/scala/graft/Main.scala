@@ -85,7 +85,7 @@ object Main {
        |      --ssl-client-cert <FILE>  TLS client certificate (PEM)
        |      --ssl-client-key <FILE>   TLS client key (PEM)
        |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
-       |      --compression-level <N> Compressor level (zstd, brotli, gzip)
+       |      --compression-level <N> Compressor level (zstd; other codecs warn + ignore)
        |      --fetch-size <N>        JDBC cursor fetch size (default 10000)
        |      --partition-column <C>  Numeric/date column to range-partition the scan on
        |      --partitions <N>        Parallel scan connections (requires --partition-column)

@@ -17,16 +17,15 @@ object ParquetInfo {
 
     val target = new java.io.File(path)
     val files =
-      if (target.isFile) Seq(target)
+      if (target.isFile) Seq(new org.apache.hadoop.fs.Path(path))
       else graft.sources.ParquetSink.partFiles(path)
     files.foreach { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-        new org.apache.hadoop.conf.Configuration())
+        f, new org.apache.hadoop.conf.Configuration())
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val ft = r.getFooter
-        println(s"file: ${f.getPath}")
+        println(s"file: $f")
         println(s"  created by: ${ft.getFileMetaData.getCreatedBy}")
         println(s"  schema:\n${ft.getFileMetaData.getSchema.toString.linesIterator.map("    " + _).mkString("\n")}")
         ft.getBlocks.asScala.zipWithIndex.foreach { case (b, i) =>

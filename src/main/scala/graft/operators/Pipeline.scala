@@ -1218,7 +1218,8 @@ object Pipeline {
           FROM w LEFT JOIN sig ON w.doc_id = sig.doc_id)
         SELECT doc_id, h, sig FROM ds
         WHERE doc_id >= 250
-          AND h NOT IN (SELECT h FROM ds WHERE doc_id < 250)
+          AND (h IS NULL OR h NOT IN
+               (SELECT h FROM ds WHERE doc_id < 250 AND h IS NOT NULL))
           AND (sig IS NULL OR sig NOT IN
                (SELECT sig FROM ds WHERE doc_id < 250 AND sig IS NOT NULL))
         ORDER BY doc_id""")),

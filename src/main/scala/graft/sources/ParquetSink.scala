@@ -84,7 +84,13 @@ object ParquetSink {
         .option("parquet.block.size", opts.rowGroupBytes)
       if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)
       opts.compressionLevel.foreach { lvl =>
-        w = w.option("parquet.compression.codec.zstd.level", lvl)
+        // parquet-mr exposes a level knob for zstd only; the reference
+        // sets gzip/brotli levels natively (main.rs:267-276) — warn
+        // instead of silently ignoring (documented deviation)
+        if (codec == "zstd") w = w.option("parquet.compression.codec.zstd.level", lvl)
+        else if (!opts.quiet)
+          System.err.println(s"warning: --compression-level is ignored for " +
+            s"codec '$codec' (parquet-mr exposes a level option for zstd only)")
       }
       // High-ratio codecs get bigger pages so the codec sees more
       // context — the reference's write-batch heuristic for
@@ -100,45 +106,53 @@ object ParquetSink {
     // meter; footers are the ground truth)
     val parts = partFiles(path)
     val stats = WriteStats(
-      parts.map(rowCount).sum, parts.map(_.length).sum, parts.length)
+      parts.map(rowCount).sum, parts.map(fileLength).sum, parts.length)
     if (!opts.quiet)
       System.err.println(
         f"[sink] done: ${stats.rows} rows, ${stats.bytes / 1048576.0}%.2f MiB parquet, ${stats.files} file(s)")
     stats
   }
 
+  private def hadoopConf = new org.apache.hadoop.conf.Configuration()
+
   /** All part files under `path`, recursing into hive-style partition
-    * subdirectories (`col=value/part-*.parquet`). */
-  def partFiles(path: String): Seq[java.io.File] = {
-    def walk(dir: java.io.File): Seq[java.io.File] = {
-      val files = dir.listFiles()
-      if (files == null) Seq.empty
-      else files.toSeq.flatMap {
-        case d if d.isDirectory => walk(d)
-        case f if f.getName.startsWith("part-") && f.getName.endsWith(".parquet") => Seq(f)
+    * subdirectories (`col=value/part-*.parquet`) — through the Hadoop
+    * FileSystem API, so write stats and footer utilities work for
+    * remote output paths (`hdfs://`, `s3a://`) as well as local disk
+    * (a `java.io.File` listing silently returns nothing for remote
+    * schemes and would report `exported 0 rows`). */
+  def partFiles(path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) return Seq.empty
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap {
+        case st if st.isDirectory => walk(st.getPath)
+        case st if st.getPath.getName.startsWith("part-") &&
+            st.getPath.getName.endsWith(".parquet") => Seq(st.getPath)
         case _ => Seq.empty
       }
-    }
-    walk(new java.io.File(path)).sortBy(_.getPath)
+    walk(root).sortBy(_.toString)
   }
 
-  private def footer(f: java.io.File) = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-      new org.apache.hadoop.conf.Configuration())
+  def fileLength(p: org.apache.hadoop.fs.Path): Long =
+    p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+
+  private def footer(p: org.apache.hadoop.fs.Path) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getFooter finally r.close()
   }
 
-  def rowCount(f: java.io.File): Long = {
+  def rowCount(p: org.apache.hadoop.fs.Path): Long = {
     import scala.jdk.CollectionConverters._
-    footer(f).getBlocks.asScala.map(_.getRowCount).sum
+    footer(p).getBlocks.asScala.map(_.getRowCount).sum
   }
 
   /** Compression codec of the first column chunk (for option round-trip
     * assertions). */
-  def fileCodec(f: java.io.File): String = {
-    val b = footer(f).getBlocks
+  def fileCodec(p: org.apache.hadoop.fs.Path): String = {
+    val b = footer(p).getBlocks
     b.get(0).getColumns.get(0).getCodec.toString.toLowerCase
   }
 }

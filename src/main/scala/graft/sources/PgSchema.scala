@@ -307,7 +307,9 @@ object PgSchema {
     /** The three introspection queries a live run executes through
       * [[Reader.query]] (pg_catalog is plain SQL — server-side, tiny). */
     val IntrospectionSql: Seq[String] = Seq(
-      """SELECT t.oid, t.typname, t.typtype, t.typelem, t.typbasetype,
+      // typtype is itself the 1-byte "char" type, which the dialect
+      // transfers numerically — cast to text so resolve() sees 'e'/'d'/…
+      """SELECT t.oid, t.typname, t.typtype::text, t.typelem, t.typbasetype,
         |       t.typrelid, COALESCE(r.rngsubtype, 0) AS rngsubtype
         |FROM pg_type t LEFT JOIN pg_range r ON r.rngtypid = t.oid""".stripMargin,
       "SELECT enumtypid, enumsortorder, enumlabel FROM pg_enum",
@@ -318,19 +320,27 @@ object PgSchema {
         |WHERE c.relkind IN ('r','v','m','p','f')""".stripMargin)
 
     /** Load the catalog from a live connection (same rows the canned
-      * test fixtures model). */
+      * test fixtures model). Numeric cells are read through [[Number]]
+      * — the dialect types pg_attribute.attnum (int2) as ShortType and
+      * pg_enum.enumsortorder (float4) as FloatType, so a positional
+      * getInt/getDouble would ClassCastException on every live export.
+      * pg_class is NOT fetched here: the live `--table` path resolves
+      * the relation oid server-side via regclass ([[graft.Main]]), so
+      * collecting every relation's row would be pure overhead; the
+      * 4th introspection query backs the client-side [[tableKinds]]
+      * helper for callers that want name-based resolution. */
     def load(spark: SparkSession, reader: Reader): PgCatalog = {
-      val Seq(tq, eq, aq, cq) = IntrospectionSql
+      def nl(v: Any): Long = v.asInstanceOf[Number].longValue
+      def nd(v: Any): Double = v.asInstanceOf[Number].doubleValue
+      val Seq(tq, eq, aq, _) = IntrospectionSql
       PgCatalog(
         reader.query(spark, tq).collect().toSeq.map(r => PgTypeRow(
-          r.getLong(0), r.getString(1), r.getString(2),
-          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))),
+          nl(r.get(0)), r.getString(1), r.getString(2),
+          nl(r.get(3)), nl(r.get(4)), nl(r.get(5)), nl(r.get(6)))),
         reader.query(spark, eq).collect().toSeq.map(r =>
-          PgEnumRow(r.getLong(0), r.getDouble(1), r.getString(2))),
+          PgEnumRow(nl(r.get(0)), nd(r.get(1)), r.getString(2))),
         reader.query(spark, aq).collect().toSeq.map(r =>
-          PgAttributeRow(r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))),
-        reader.query(spark, cq).collect().toSeq.map(r =>
-          PgClassRow(r.getLong(0), r.getString(1), r.getString(2))))
+          PgAttributeRow(nl(r.get(0)), nl(r.get(1)).toInt, r.getString(2), nl(r.get(3)))))
     }
   }
 }

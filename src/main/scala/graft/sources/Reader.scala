@@ -132,16 +132,15 @@ final class JsonlDirReader(
   * or the `--user`/`--password` args, TLS via [[JdbcReader.tlsProperties]]
   * (`build_tls_connector`, postgres_cloner.rs:142-186). `fetchsize`
   * keeps the stream row-group-sized like the reference's bounded
-  * buffers; `partitionOptions` enables the parallel scan the reference
-  * lacks (single-partition default preserves its row order).
+  * buffers; [[tablePartitioned]] provides the parallel scan the
+  * reference lacks (single-partition default preserves its row order).
   */
 final class JdbcReader(
     url: String,
     user: Option[String] = None,
     password: Option[String] = None,
     fetchSize: Int = 10000,
-    tlsOptions: Map[String, String] = Map.empty,
-    partitionOptions: Map[String, String] = Map.empty) extends Reader {
+    tlsOptions: Map[String, String] = Map.empty) extends Reader {
 
   PostgresDialect.register()
 
@@ -151,7 +150,7 @@ final class JdbcReader(
       .option("fetchsize", fetchSize)
     val r1 = user.fold(r)(u => r.option("user", u))
     val r2 = password.fold(r1)(p => r1.option("password", p))
-    (tlsOptions ++ partitionOptions).foldLeft(r2) {
+    tlsOptions.foldLeft(r2) {
       case (acc, (k, v)) => acc.option(k, v)
     }
   }
@@ -203,8 +202,18 @@ final class JdbcReader(
       new java.math.BigDecimal(t).setScale(0, m).toBigInteger.toString
     }
     val (lo, hi) =
-      if (numericBounds) (intBound(b.getString(0), up = false),
-        intBound(b.getString(1), up = true))
+      if (numericBounds)
+        // PG float/numeric MIN/MAX can be 'NaN'/'Infinity' (NaN sorts
+        // greatest); no finite stride exists then — fall back to the
+        // single-cursor scan rather than die in the bound parse
+        try (intBound(b.getString(0), up = false),
+          intBound(b.getString(1), up = true))
+        catch { case _: NumberFormatException =>
+          System.err.println(s"warning: partition column '$col' has " +
+            s"non-finite bounds (${b.getString(0)}, ${b.getString(1)}); " +
+            "scanning unpartitioned")
+          return base(spark).option("dbtable", rel).load()
+        }
       else (b.getString(0), b.getString(1))
     val df = base(spark).option("dbtable", scanRel)
       .option("partitionColumn", scanCol)
