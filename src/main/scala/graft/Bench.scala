@@ -57,7 +57,16 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(elapsed) else None
       }
-      val median = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      // even counts (a partially-failed query) average the two middle
+      // values — upper-middle alone would report the SLOWER of 2 runs as
+      // the "median" (ADVICE r05). Such a query appears in BOTH `queries`
+      // (its median over successful runs) and `failures` (a marker that
+      // not all 3 runs succeeded) by design.
+      val median = if (times.isEmpty) -1.0 else {
+        val s = times.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
       (name, median, times.size < 3)
     }
     val good = results.filter(_._2 >= 0)

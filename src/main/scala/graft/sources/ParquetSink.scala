@@ -103,17 +103,28 @@ object ParquetSink {
       w.parquet(path)
     } finally spark.sparkContext.removeSparkListener(listener)
     // final stats from the files themselves (the listener is a live
-    // meter; footers are the ground truth)
-    val parts = partFiles(path)
+    // meter; footers are the ground truth) — through the SESSION's
+    // hadoop conf so spark.hadoop.* credentials reach remote paths
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = partFiles(path, conf)
     val stats = WriteStats(
-      parts.map(rowCount).sum, parts.map(fileLength).sum, parts.length)
+      parts.map(rowCount(_, conf)).sum,
+      parts.map(fileLength(_, conf)).sum, parts.length)
     if (!opts.quiet)
       System.err.println(
         f"[sink] done: ${stats.rows} rows, ${stats.bytes / 1048576.0}%.2f MiB parquet, ${stats.files} file(s)")
     stats
   }
 
-  private def hadoopConf = new org.apache.hadoop.conf.Configuration()
+  /** Default Hadoop conf for the footer utilities when no session conf
+    * is passed: the active session's (so `spark.hadoop.*` settings —
+    * s3a/hdfs credentials — apply to remote paths), falling back to a
+    * bare Configuration only when no session exists at all. */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** All part files under `path`, recursing into hive-style partition
     * subdirectories (`col=value/part-*.parquet`) — through the Hadoop
@@ -121,9 +132,10 @@ object ParquetSink {
     * remote output paths (`hdfs://`, `s3a://`) as well as local disk
     * (a `java.io.File` listing silently returns nothing for remote
     * schemes and would report `exported 0 rows`). */
-  def partFiles(path: String): Seq[org.apache.hadoop.fs.Path] = {
+  def partFiles(path: String,
+      conf: org.apache.hadoop.conf.Configuration = hadoopConf): Seq[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(hadoopConf)
+    val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Seq.empty
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
       fs.listStatus(p).toSeq.flatMap {
@@ -135,24 +147,28 @@ object ParquetSink {
     walk(root).sortBy(_.toString)
   }
 
-  def fileLength(p: org.apache.hadoop.fs.Path): Long =
-    p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+  def fileLength(p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration = hadoopConf): Long =
+    p.getFileSystem(conf).getFileStatus(p).getLen
 
-  private def footer(p: org.apache.hadoop.fs.Path) = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
+  private def footer(p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getFooter finally r.close()
   }
 
-  def rowCount(p: org.apache.hadoop.fs.Path): Long = {
+  def rowCount(p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration = hadoopConf): Long = {
     import scala.jdk.CollectionConverters._
-    footer(p).getBlocks.asScala.map(_.getRowCount).sum
+    footer(p, conf).getBlocks.asScala.map(_.getRowCount).sum
   }
 
   /** Compression codec of the first column chunk (for option round-trip
     * assertions). */
-  def fileCodec(p: org.apache.hadoop.fs.Path): String = {
-    val b = footer(p).getBlocks
+  def fileCodec(p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration = hadoopConf): String = {
+    val b = footer(p, conf).getBlocks
     b.get(0).getColumns.get(0).getCodec.toString.toLowerCase
   }
 }

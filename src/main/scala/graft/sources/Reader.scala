@@ -52,6 +52,16 @@ private[sources] object DirListing {
     val path = new org.apache.hadoop.fs.Path(p)
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
+
+  /** Whole-identifier mention test for the query-scan view filters: a
+    * table name must appear as its own word, not as a substring of a
+    * longer identifier (`lineitem_old` must not register `lineitem` —
+    * for JSONL that false positive costs a full schema-inference scan).
+    * `\b` is exact for SQL identifiers since they match `\w+`. */
+  def mentions(sql: String, table: String): Boolean =
+    java.util.regex.Pattern
+      .compile("(?i)\\b" + java.util.regex.Pattern.quote(table) + "\\b")
+      .matcher(sql).find()
 }
 
 /** Parquet-directory reader: one `<dir>/<name>.parquet` per table —
@@ -68,10 +78,9 @@ final class ParquetDirReader(dir: String, tableNames: Seq[String]) extends Reade
     * references are not touched at all. */
   def query(spark: SparkSession, sql: String): DataFrame = {
     val present = DirListing.list(spark, dir, Seq(".parquet")).toMap
-    val sqlLc = sql.toLowerCase
     (tableNames.filter(present.contains) ++
       (present.keySet -- tableNames).toSeq.sorted)
-      .filter(t => sqlLc.contains(t.toLowerCase))
+      .filter(t => DirListing.mentions(sql, t))
       .foreach(t => spark.read.parquet(present(t)).createOrReplaceTempView(t))
     spark.sql(sql)
   }
@@ -116,9 +125,8 @@ final class JsonlDirReader(
     if (dups.nonEmpty) throw new IllegalArgumentException(
       s"ambiguous jsonl tables in $dir (both .jsonl and .jsonl.gz): " +
         dups.mkString(", "))
-    val sqlLc = sql.toLowerCase
     entries
-      .filter { case (t, _) => sqlLc.contains(t.toLowerCase) }
+      .filter { case (t, _) => DirListing.mentions(sql, t) }
       .foreach { case (t, p) => read(spark, p).createOrReplaceTempView(t) }
     spark.sql(sql)
   }
@@ -199,7 +207,14 @@ final class JdbcReader(
       return base(spark).option("dbtable", rel).load()
     def intBound(t: String, up: Boolean): String = {
       val m = if (up) java.math.RoundingMode.CEILING else java.math.RoundingMode.FLOOR
-      new java.math.BigDecimal(t).setScale(0, m).toBigInteger.toString
+      val bi = new java.math.BigDecimal(t).setScale(0, m).toBigInteger
+      // Spark parses numeric bounds with `.toLong`; finite float8/numeric
+      // values can exceed Long range (1e30 → '1e+30'). Clamping is safe:
+      // JDBC bounds only set the partition STRIDE — rows below the lower
+      // bound land in the first slice and rows at/above the upper bound
+      // in the last, so no row is dropped.
+      bi.max(java.math.BigInteger.valueOf(Long.MinValue))
+        .min(java.math.BigInteger.valueOf(Long.MaxValue)).toString
     }
     val (lo, hi) =
       if (numericBounds)
@@ -215,6 +230,10 @@ final class JdbcReader(
           return base(spark).option("dbtable", rel).load()
         }
       else (b.getString(0), b.getString(1))
+    // clamping (or a constant column) can collapse the stride entirely —
+    // Spark requires lowerBound < upperBound, so scan unpartitioned then
+    if (numericBounds && lo.toLong >= hi.toLong)
+      return base(spark).option("dbtable", rel).load()
     val df = base(spark).option("dbtable", scanRel)
       .option("partitionColumn", scanCol)
       .option("numPartitions", n)
