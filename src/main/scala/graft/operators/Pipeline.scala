@@ -75,6 +75,10 @@ object Pipeline {
     * result stays the exact Jaccard. */
   private val NgramDfCap = 1000
 
+  /** p27 rarity bound: a bigram is "rare" when it appears in at most
+    * this many distinct documents. */
+  private val RareBigramDf = 2
+
   /** p06 sign-random-projection LSH: 8 bands × 4 hyperplane-sign bits
     * bucket each label block so candidate pairing is bounded per
     * (label, band, sig) bucket instead of quadratic in the cluster. */
@@ -91,6 +95,194 @@ object Pipeline {
       .digest(s"srp-$i-$d".getBytes("UTF-8"))
       .take(1).map(b => f"${b & 0xff}%02x").mkString
     if (Integer.parseInt(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /** Verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) — the p02
+    * MinHash-LSH plan, factored out so p25's component clustering runs
+    * over the IDENTICAL pair graph (one definition, two consumers). */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 5)
+    // Per-doc distinct shingle-hash ARRAY, built map-side with
+    // higher-order functions — no explode, no (doc,shingle) shuffle.
+    // This is the expensive artifact (one md5 per 5-gram); it feeds
+    // the signature computation and both sides of the verification
+    // join, so materialize it once (spills past memory — at 100 TB
+    // you'd persist exactly this table). Session contract: the
+    // persist lives until `spark.catalog.clearCache()` — Verify and
+    // Bench call it after every query, so the cache is scoped to one
+    // execution; long-lived sessions embedding this operator should
+    // do the same once the result is materialized.
+    // (measured: distincting the 5-gram strings before the md5 saves
+    // duplicate hashes but costs an extra string-array materialization
+    // — net slower on this corpus, so hash-then-distinct stays)
+    val xs = docs
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
+          i => hash32(array_join(slice(col("ws"), i, lit(5)), " "))))
+          .as("xs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // All 32 minima are pure per-row array folds: the whole
+    // signature stage is map-side, ZERO shuffle (the r03 plan
+    // shuffled every (doc,shingle) pair through distinct + groupBy).
+    // Set sizes are read off the arrays in the verification join.
+    val minCols = (0 until NumHashes).map(i =>
+      array_min(transform(col("xs"),
+        x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP)).as(s"mh$i"))
+    val mh = xs.select(col("doc_id") +: minCols: _*)
+
+    val sigCols = (0 until NumHashes / BandRows).map(b =>
+      concat_ws(",", (0 until BandRows).map(r =>
+        col(s"mh${b * BandRows + r}").cast(StringType)): _*).as(s"sig$b"))
+    val stackExpr = (0 until NumHashes / BandRows)
+      .map(b => s"$b, sig$b").mkString(", ")
+    val bands = mh.select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"),
+        expr(s"stack(${NumHashes / BandRows}, $stackExpr) AS (band, sig)"))
+
+    // The ONLY full shuffle in the pipeline: 8 signature rows per
+    // doc, grouped by (band, sig) — the LSH bucketing itself.
+    val buckets = bands.groupBy(col("band"), col("sig"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val pairs = buckets
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da") < col("db"))
+      .distinct()
+
+    // Exact-Jaccard verification: fetch the two shingle arrays and
+    // intersect in place — bounded by bucket collisions (pairs is
+    // tiny, so both joins broadcast it against the cached xs).
+    pairs
+      .join(xs.as("xa"), col("da") === col("xa.doc_id"))
+      .join(xs.as("xb"), col("db") === col("xb.doc_id"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        size(array_intersect(col("xa.xs"), col("xb.xs")))
+          .cast(DoubleType).as("c"),
+        size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Oracle-side twin of [[neardupPairs]] as a CTE chain ending in
+    * `verified(doc_a, doc_b, jaccard)` — p02 and p25 splice it into
+    * their oracle SQL so both engines derive the same pair graph. */
+  private val NeardupPairsSql: String = s"""
+    w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+      WHERE len(string_split_regex(text, '\\s+')) >= 5),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8) AS BIGINT) AS x
+      FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+    params AS (
+      SELECT i, 2*i + 1 AS a, 99991*i + 7 AS b FROM unnest(range(0, $NumHashes)) t(i)),
+    mh AS (
+      SELECT doc_id, i, MIN((a*x + b) % $MinhashP) AS mh
+      FROM sh, params GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id, i // $BandRows AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM mh GROUP BY doc_id, i // $BandRows),
+    buckets AS (
+      SELECT band, sig, list_sort(list(DISTINCT doc_id)) AS docs
+      FROM sig GROUP BY band, sig HAVING COUNT(DISTINCT doc_id) > 1),
+    pairs AS (
+      SELECT DISTINCT ta.da, tb.db
+      FROM buckets, unnest(docs) ta(da), unnest(docs) tb(db) WHERE ta.da < tb.db),
+    ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.da, p.db, COUNT(*) AS c
+      FROM pairs p
+      JOIN sh s1 ON s1.doc_id = p.da
+      JOIN sh s2 ON s2.doc_id = p.db AND s2.x = s1.x
+      GROUP BY p.da, p.db),
+    verified AS (
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             i.c / (na.n + nb.n - i.c) AS jaccard
+      FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
+      WHERE i.c / (na.n + nb.n - i.c) >= 0.5)"""
+
+  /** 48-bit SimHash fingerprint per document (p03's plan, factored out
+    * so p26's Hamming-distance pairing runs over the identical
+    * fingerprints): one explode + ONE groupBy carrying 48 conditional
+    * sums — the bit votes — folded into a single BIGINT. */
+  private def simhashFp(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), hash48(col("w")).as("t"))
+    val votes = (0 until 48).map(b =>
+      sum(when(expr(s"(t >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val fp = (0 until 48).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Oracle-side twin of [[simhashFp]] as a CTE chain ending in
+    * `fp(doc_id, simhash)`. */
+  private val SimhashFpSql: String = """
+    toks AS (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS t
+      FROM documents, unnest(string_split_regex(text, '\s+')) u(w)),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (t >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM toks, unnest(range(0, 48)) bb(b)
+      GROUP BY doc_id, b),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id)"""
+
+  /** Connected components over an undirected pair list (first two
+    * columns = the two endpoint ids): returns (node, component) where
+    * component = the minimum node id reachable from `node`.
+    *
+    * Iterative min-label propagation (hash-to-min): each round joins
+    * labels across edges and keeps the per-node minimum; labels only
+    * decrease, so the fixpoint is exactly min-reachable and arrives in
+    * graph-diameter rounds. Each round's label table is
+    * `localCheckpoint`ed — an iterative join plan grows EXPONENTIALLY in
+    * lineage (next references labels twice via the self-join), so
+    * without per-round truncation even a 9-node chain OOMs the driver
+    * building plan strings. The checkpoint doubles as the convergence
+    * probe's materialization (ONE count() per round); on a real cluster
+    * swap `localCheckpoint` for `checkpoint` against a reliable dir so
+    * the truncated lineage survives executor loss. Only nodes that
+    * appear in a pair are returned (isolated nodes are their own
+    * component trivially). */
+  private[graft] def connectedComponents(
+      pairsDf: DataFrame, maxIter: Int = 20): DataFrame = {
+    val Seq(a, b) = pairsDf.columns.take(2).toSeq.map(col)
+    val half = pairsDf.select(a.as("src"), b.as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("lbl").as("nl")),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nl")).as("nbr"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") < col("old")).count()
+      labels = next.select(col("node"), col("lbl"))
+      iter += 1
+    }
+    labels.select(col("node"), col("lbl").as("component"))
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -123,139 +315,23 @@ object Pipeline {
     // in SQL from the same hash formulas.
     QueryDef(
       "p02_minhash_lsh",
-      (s, d) => {
-        val docs = T.documents(s, d)
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 5)
-        // Per-doc distinct shingle-hash ARRAY, built map-side with
-        // higher-order functions — no explode, no (doc,shingle) shuffle.
-        // This is the expensive artifact (one md5 per 5-gram); it feeds
-        // the signature computation and both sides of the verification
-        // join, so materialize it once (spills past memory — at 100 TB
-        // you'd persist exactly this table). Session contract: the
-        // persist lives until `spark.catalog.clearCache()` — Verify and
-        // Bench call it after every query, so the cache is scoped to one
-        // execution; long-lived sessions embedding this operator should
-        // do the same once the result is materialized.
-        // (measured: distincting the 5-gram strings before the md5 saves
-        // duplicate hashes but costs an extra string-array materialization
-        // — net slower on this corpus, so hash-then-distinct stays)
-        val xs = docs
-          .select(col("doc_id"),
-            array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
-              i => hash32(array_join(slice(col("ws"), i, lit(5)), " "))))
-              .as("xs"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-        // All 32 minima are pure per-row array folds: the whole
-        // signature stage is map-side, ZERO shuffle (the r03 plan
-        // shuffled every (doc,shingle) pair through distinct + groupBy).
-        // Set sizes are read off the arrays in the verification join.
-        val minCols = (0 until NumHashes).map(i =>
-          array_min(transform(col("xs"),
-            x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP)).as(s"mh$i"))
-        val mh = xs.select(col("doc_id") +: minCols: _*)
-
-        val sigCols = (0 until NumHashes / BandRows).map(b =>
-          concat_ws(",", (0 until BandRows).map(r =>
-            col(s"mh${b * BandRows + r}").cast(StringType)): _*).as(s"sig$b"))
-        val stackExpr = (0 until NumHashes / BandRows)
-          .map(b => s"$b, sig$b").mkString(", ")
-        val bands = mh.select(col("doc_id") +: sigCols: _*)
-          .select(col("doc_id"),
-            expr(s"stack(${NumHashes / BandRows}, $stackExpr) AS (band, sig)"))
-
-        // The ONLY full shuffle in the pipeline: 8 signature rows per
-        // doc, grouped by (band, sig) — the LSH bucketing itself.
-        val buckets = bands.groupBy(col("band"), col("sig"))
-          .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
-          .filter(size(col("docs")) > 1)
-        val pairs = buckets
-          .select(explode(col("docs")).as("da"), col("docs"))
-          .select(col("da"), explode(col("docs")).as("db"))
-          .filter(col("da") < col("db"))
-          .distinct()
-
-        // Exact-Jaccard verification: fetch the two shingle arrays and
-        // intersect in place — bounded by bucket collisions (pairs is
-        // tiny, so both joins broadcast it against the cached xs).
-        pairs
-          .join(xs.as("xa"), col("da") === col("xa.doc_id"))
-          .join(xs.as("xb"), col("db") === col("xb.doc_id"))
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            size(array_intersect(col("xa.xs"), col("xb.xs")))
-              .cast(DoubleType).as("c"),
-            size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
-          .select(col("doc_a"), col("doc_b"),
-            (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => neardupPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
-        WITH w AS (
-          SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
-          WHERE len(string_split_regex(text, '\\s+')) >= 5),
-        sh AS (
-          SELECT DISTINCT doc_id,
-                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8) AS BIGINT) AS x
-          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
-        params AS (
-          SELECT i, 2*i + 1 AS a, 99991*i + 7 AS b FROM unnest(range(0, $NumHashes)) t(i)),
-        mh AS (
-          SELECT doc_id, i, MIN((a*x + b) % $MinhashP) AS mh
-          FROM sh, params GROUP BY doc_id, i),
-        sig AS (
-          SELECT doc_id, i // $BandRows AS band,
-                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-          FROM mh GROUP BY doc_id, i // $BandRows),
-        buckets AS (
-          SELECT band, sig, list_sort(list(DISTINCT doc_id)) AS docs
-          FROM sig GROUP BY band, sig HAVING COUNT(DISTINCT doc_id) > 1),
-        pairs AS (
-          SELECT DISTINCT ta.da, tb.db
-          FROM buckets, unnest(docs) ta(da), unnest(docs) tb(db) WHERE ta.da < tb.db),
-        ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT p.da, p.db, COUNT(*) AS c
-          FROM pairs p
-          JOIN sh s1 ON s1.doc_id = p.da
-          JOIN sh s2 ON s2.doc_id = p.db AND s2.x = s1.x
-          GROUP BY p.da, p.db)
-        SELECT i.da AS doc_a, i.db AS doc_b,
-               i.c / (na.n + nb.n - i.c) AS jaccard
-        FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
-        WHERE i.c / (na.n + nb.n - i.c) >= 0.5
+        WITH $NeardupPairsSql
+        SELECT doc_a, doc_b, jaccard FROM verified
         ORDER BY doc_a, doc_b"""),
       headline = true),
 
     // ---- p03: SimHash fingerprints — 48-bit weighted-bit-vote hash,
-    // one shuffle (48 conditional sums in a single groupBy).
+    // one shuffle (48 conditional sums in a single groupBy). The
+    // fingerprint builder is shared with p26, which pairs documents by
+    // Hamming distance over these fingerprints.
     QueryDef(
       "p03_simhash",
-      (s, d) => {
-        val toks = T.documents(s, d)
-          .select(col("doc_id"), explode(words(col("text"))).as("w"))
-          .select(col("doc_id"), hash48(col("w")).as("t"))
-        val votes = (0 until 48).map(b =>
-          sum(when(expr(s"(t >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
-        val fp = (0 until 48).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-        toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-          .select(col("doc_id"), fp.as("simhash"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS t
-          FROM documents, unnest(string_split_regex(text, '\s+')) u(w)),
-        votes AS (
-          SELECT doc_id, b,
-                 SUM(CASE WHEN (t >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-          FROM toks, unnest(range(0, 48)) bb(b)
-          GROUP BY doc_id, b)
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-        FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+      (s, d) => simhashFp(s, d).orderBy(col("doc_id")),
+      Some(s"""
+        WITH $SimhashFpSql
+        SELECT doc_id, simhash FROM fp ORDER BY doc_id""")),
 
     // ---- p04: character-trigram Jaccard near-dup, blocked by lang AND
     // capped by gram document-frequency: a trigram shared by more than
@@ -1016,8 +1092,13 @@ object Pipeline {
       (s, d) => {
         val K = 4; val Dim = 64; val Scale = 10000000L
         val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val init = e.filter(col("vec_id") < K)
-          .select(col("vec_id").cast(IntegerType).as("cl"),
+        // seed from the K SMALLEST vec_ids, not `vec_id < K` — ids with
+        // gaps or a non-zero base would silently shrink the cluster
+        // count (ADVICE r05). orderBy+limit is TakeOrdered (no global
+        // sort); the row_number window then ranks only those K rows.
+        val init = e.orderBy(col("vec_id")).limit(K)
+          .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+            .cast(IntegerType).as("cl"),
             transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
         // native codegen'd left-to-right fold — bit-identical to the
         // aggregate(zip_with(...)) HOF spelling and the oracle's
@@ -1089,9 +1170,9 @@ object Pipeline {
              |  SELECT cl, [$meanList] AS ce FROM $uname)""".stripMargin
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
            |c0 AS (
-           |  SELECT CAST(vec_id AS INT) AS cl,
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
            |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-           |  FROM e WHERE vec_id < $K),
+           |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $K),
            |${assignSql("a1", "c0")},
            |${updateSql("u1", "c1", "a1")},
            |${assignSql("a2", "c1")},
@@ -1277,6 +1358,136 @@ object Pipeline {
                CAST(FLOOR((tok_offset + tok - 1) / 512) AS BIGINT) AS last_chunk,
                CAST(FLOOR((tok_offset + tok - 1) / 512) - FLOOR(tok_offset / 512) + 1 AS BIGINT) AS n_chunks
         FROM o ORDER BY doc_id""")),
+
+    // ---- p25: connected components over the verified near-dup pair
+    // graph — p02 emits PAIRS, but collapsing duplicates needs CLUSTERS
+    // (a~b, b~c must keep one of {a,b,c}, not two). Component id = min
+    // reachable doc_id via iterative min-label propagation: each round
+    // is one join + one groupBy(min), and labels only ever decrease, so
+    // the loop converges in graph-diameter rounds (near-dup components
+    // are shallow — dup chains, not long paths). The driver-side loop
+    // runs ONE count() per round purely as the convergence test; all
+    // label state stays distributed, persisted per round and unpersisted
+    // the round after. At 100 TB this is the standard DataFrame CC shape
+    // (hash-to-min); the oracle computes ground-truth min-reachable via
+    // a recursive CTE, so the gate proves the propagation converged.
+    QueryDef(
+      "p25_dedup_components",
+      (s, d) => {
+        val pairs = neardupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        connectedComponents(pairs)
+          .withColumn("csize",
+            count(lit(1)).over(Window.partitionBy(col("component"))))
+          .select(col("node").as("doc_id"), col("component"), col("csize"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $NeardupPairsSql,
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION ALL
+          SELECT doc_b, doc_a FROM verified),
+        reach(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+        comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+        SELECT node AS doc_id, component,
+               CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+        FROM comp ORDER BY doc_id""")),
+
+    // ---- p26: SimHash near-dup pairing by Hamming distance ≤ 3 over
+    // p03's 48-bit fingerprints — the O(n) alternative to shingle-set
+    // LSH when fingerprints are already materialized. Candidate
+    // generation is the pigeonhole block trick (Manku et al., WWW'07
+    // shape): split 48 bits into 4 chunks of 12; any pair within
+    // Hamming 3 differs in at most 3 chunks, so it MUST agree on at
+    // least one → groupBy (chunk-index, chunk-value) finds every such
+    // pair with one shuffle of 4 rows/doc, never an all-pairs join.
+    // Verification is one xor+bit_count per candidate. The oracle is
+    // the BRUTE-FORCE all-pairs scan, so the driver gate proves the
+    // pigeonhole recall is exact, not just plausible.
+    QueryDef(
+      "p26_simhash_neardup",
+      (s, d) => {
+        val fp = simhashFp(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val chunkExpr = (0 until 4)
+          .map(c => s"$c, CAST((simhash >> ${12 * c}) & 4095 AS BIGINT)")
+          .mkString(", ")
+        val chunks = fp.select(col("doc_id"),
+          expr(s"stack(4, $chunkExpr) AS (ck, cv)"))
+        val pairs = chunks.groupBy(col("ck"), col("cv"))
+          .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")) > 1)
+          .select(explode(col("docs")).as("da"), col("docs"))
+          .select(col("da"), explode(col("docs")).as("db"))
+          .filter(col("da") < col("db"))
+          .distinct()
+        pairs
+          .join(fp.select(col("doc_id").as("da"), col("simhash").as("ha")),
+            Seq("da"))
+          .join(fp.select(col("doc_id").as("db"), col("simhash").as("hb")),
+            Seq("db"))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            bit_count(expr("ha ^ hb")).cast(IntegerType).as("hamming"))
+          .filter(col("hamming") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $SimhashFpSql
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- p27: rare-bigram ratio — the share of a document's word
+    // bigrams whose corpus document-frequency is ≤ RareBigramDf, a
+    // fluency/quality signal (gibberish and OCR noise are rare-bigram
+    // dense; fluent text reuses common collocations). All-integer
+    // counts, so the double ratio is one exact int/int division in both
+    // engines. Plan: one explode + groupBy(bigram) for the DF table,
+    // one shuffle join back on bigram, one groupBy(doc) — the canonical
+    // two-pass corpus-statistic shape; nothing is quadratic and the DF
+    // table join is plain hash-partitioned at any scale.
+    QueryDef(
+      "p27_rare_bigram_ratio",
+      (s, d) => {
+        val bigrams = T.documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("ws")) - 1),
+              i => concat_ws(" ",
+                element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+              .as("bg"))
+        val dfTab = bigrams.groupBy(col("bg"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        bigrams.join(dfTab, Seq("bg"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("df") <= RareBigramDf, 1L).otherwise(0L))
+              .as("n_rare"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+            (col("n_rare") / col("n_bigrams")).as("rare_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+          WHERE len(string_split_regex(text, '\\s+')) >= 2),
+        bg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+          FROM w, unnest(range(1, len(ws))) t(i)),
+        dftab AS (
+          SELECT bg, COUNT(DISTINCT doc_id) AS df FROM bg GROUP BY bg)
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN d.df <= $RareBigramDf THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+               SUM(CASE WHEN d.df <= $RareBigramDf THEN 1 ELSE 0 END) / COUNT(*) AS rare_ratio
+        FROM bg b JOIN dftab d ON b.bg = d.bg
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
