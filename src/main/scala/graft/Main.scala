@@ -42,6 +42,8 @@ object Main {
       multiFile: Boolean = false,
       maxRecordsPerFile: Option[Long] = None,
       partitionBy: Seq[String] = Nil,
+      sortBy: Seq[String] = Nil,
+      sortFiles: Option[Int] = None,
       settings: PgSettings = PgSettings())
 
   /** Successful-exit output (--version/--help), distinct from a parse
@@ -92,6 +94,10 @@ object Main {
        |      --multi-file            Write one file per task instead of a single file
        |      --max-records-per-file <N>  Split output files at N rows (implies --multi-file)
        |      --partition-by <C>      Hive-style output partitioning (repeatable)
+       |      --sort-by <C>           Cluster output by column (repeatable): range-
+       |                              partitioned, sorted files with tight min/max stats
+       |      --sort-files <N>        File count for --sort-by layout (default: one, or
+       |                              the shuffle parallelism with --multi-file)
        |      --quiet                 Only errors are written to stderr
        |      --numeric-handling / --decimal-precision / --decimal-scale
        |      --enum-handling / --interval-handling / --macaddr-handling
@@ -151,6 +157,10 @@ object Main {
           a = a.copy(maxRecordsPerFile = Some(take(flag).toLong), multiFile = true)
         case "--partition-by" => // repeatable
           a = a.copy(partitionBy = a.partitionBy :+ take(flag), multiFile = true)
+        case "--sort-by" => // repeatable
+          a = a.copy(sortBy = a.sortBy :+ take(flag))
+        case "--sort-files" =>
+          a = a.copy(sortFiles = Some(take(flag).toInt), multiFile = true)
         case "--quiet" => a = a.copy(quiet = true)
         case "--numeric-handling" =>
           a = a.copy(settings = a.settings.copy(numericHandling = take(flag)))
@@ -329,6 +339,8 @@ object Main {
         singleFile = !a.multiFile,
         maxRecordsPerFile = a.maxRecordsPerFile,
         partitionBy = a.partitionBy,
+        sortBy = a.sortBy,
+        sortFiles = a.sortFiles,
         quiet = a.quiet))
     if (!a.quiet)
       System.err.println(s"exported ${stats.rows} rows to ${a.outputFile}")

@@ -10,33 +10,46 @@ import scala.jdk.CollectionConverters._
   * Usage: runMain graft.ParquetInfo <file-or-dir> [sampleRows]
   */
 object ParquetInfo {
+
+  /** Footer report for one file or a part-file directory, as printable
+    * lines (factored out of main so the report is assertable without
+    * capturing stdout). Uses the active session's Hadoop conf when one
+    * exists, so remote paths see spark.hadoop.* credentials. */
+  def describe(path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())): Seq[String] = {
+    val target = new java.io.File(path)
+    val files =
+      if (target.isFile) Seq(new org.apache.hadoop.fs.Path(path))
+      else graft.sources.ParquetSink.partFiles(path, conf)
+    files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val ft = r.getFooter
+        Seq(s"file: $f",
+          s"  created by: ${ft.getFileMetaData.getCreatedBy}",
+          s"  schema:\n${ft.getFileMetaData.getSchema.toString.linesIterator.map("    " + _).mkString("\n")}") ++
+          ft.getBlocks.asScala.zipWithIndex.flatMap { case (b, i) =>
+            f"  row group $i: ${b.getRowCount} rows, ${b.getTotalByteSize} raw bytes, ${b.getCompressedSize} compressed" +:
+              b.getColumns.asScala.toSeq.map { c =>
+                s"    ${c.getPath}: ${c.getPrimitiveType.getPrimitiveTypeName} codec=${c.getCodec} " +
+                  s"values=${c.getValueCount} encodings=${c.getEncodings.asScala.mkString(",")}"
+              }
+          }
+      } finally r.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse(
       sys.error("usage: ParquetInfo <file-or-dir> [sampleRows]"))
     val sample = args.lift(1).map(_.toInt).getOrElse(20)
 
-    val target = new java.io.File(path)
-    val files =
-      if (target.isFile) Seq(new org.apache.hadoop.fs.Path(path))
-      else graft.sources.ParquetSink.partFiles(path)
-    files.foreach { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        f, new org.apache.hadoop.conf.Configuration())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val ft = r.getFooter
-        println(s"file: $f")
-        println(s"  created by: ${ft.getFileMetaData.getCreatedBy}")
-        println(s"  schema:\n${ft.getFileMetaData.getSchema.toString.linesIterator.map("    " + _).mkString("\n")}")
-        ft.getBlocks.asScala.zipWithIndex.foreach { case (b, i) =>
-          println(f"  row group $i: ${b.getRowCount} rows, ${b.getTotalByteSize} raw bytes, ${b.getCompressedSize} compressed")
-          b.getColumns.asScala.foreach { c =>
-            println(s"    ${c.getPath}: ${c.getPrimitiveType.getPrimitiveTypeName} codec=${c.getCodec} " +
-              s"values=${c.getValueCount} encodings=${c.getEncodings.asScala.mkString(",")}")
-          }
-        }
-      } finally r.close()
-    }
+    describe(path).foreach(println)
 
     if (sample > 0) {
       val spark = SparkSession.builder().master("local[2]")

@@ -38,6 +38,8 @@ object ParquetSink {
       maxRecordsPerFile: Option[Long] = None,
       singleFile: Boolean = true,            // reference writes one file
       partitionBy: Seq[String] = Seq.empty,  // beyond-reference: hive-style layout
+      sortBy: Seq[String] = Seq.empty,       // beyond-reference: clustered layout
+      sortFiles: Option[Int] = None,         // file count for the sorted layout
       overwrite: Boolean = true,
       quiet: Boolean = true)
 
@@ -77,7 +79,23 @@ object ParquetSink {
     val listener = new Progress(opts.quiet)
     spark.sparkContext.addSparkListener(listener)
     try {
-      val out = if (opts.singleFile && opts.partitionBy.isEmpty) df.coalesce(1) else df
+      // Clustered layout (beyond-reference): range-partition + sort by
+      // the cluster columns so every parquet file (and row group inside
+      // it) covers a tight, disjoint key range. At 100 TB this is what
+      // makes point/range scans cheap — file-level and row-group min/max
+      // stats prune everything outside the predicate's range, which
+      // unsorted output cannot do. repartitionByRange samples split
+      // points, so files are also size-balanced under skew.
+      val out =
+        if (opts.sortBy.nonEmpty) {
+          val cols = opts.sortBy.map(df.col)
+          val n = opts.sortFiles.getOrElse(
+            if (opts.singleFile && opts.partitionBy.isEmpty) 1
+            else spark.sessionState.conf.numShufflePartitions)
+          df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+        }
+        else if (opts.singleFile && opts.partitionBy.isEmpty) df.coalesce(1)
+        else df
       var w = out.write
         .mode(if (opts.overwrite) "overwrite" else "errorifexists")
         .option("compression", codec)
@@ -162,6 +180,24 @@ object ParquetSink {
       conf: org.apache.hadoop.conf.Configuration = hadoopConf): Long = {
     import scala.jdk.CollectionConverters._
     footer(p, conf).getBlocks.asScala.map(_.getRowCount).sum
+  }
+
+  /** (min, max) of a column across a file's row-group statistics — the
+    * pruning range a reader's predicate is checked against. None when
+    * the column has no stats (all-NULL or stats disabled). */
+  def columnRange(p: org.apache.hadoop.fs.Path, column: String,
+      conf: org.apache.hadoop.conf.Configuration = hadoopConf): Option[(Any, Any)] = {
+    import scala.jdk.CollectionConverters._
+    val stats = footer(p, conf).getBlocks.asScala.toSeq
+      .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == column))
+      .map(_.getStatistics)
+      .filter(s => s != null && s.hasNonNullValue)
+    if (stats.isEmpty) None
+    else {
+      val lt = Ordering.fromLessThan[Comparable[Any]]((x, y) => x.compareTo(y) < 0)
+      Some((stats.map(_.genericGetMin.asInstanceOf[Comparable[Any]]).min(lt),
+        stats.map(_.genericGetMax.asInstanceOf[Comparable[Any]]).max(lt)))
+    }
   }
 
   /** Compression codec of the first column chunk (for option round-trip

@@ -125,4 +125,21 @@ object Streams {
       .withColumn("n_pii", PiiScrub.counts(col("text")).reduce(_ + _))
       .withColumn("text", PiiScrub.redact(col("text")))
   }
+
+  /** Checkpointed parquet ingestion — the landing end of the stream:
+    * append-mode file sink whose commit log (under `checkpoint`) gives
+    * exactly-once file output across restarts. A batch committed before
+    * a crash is never rewritten on resume, and an uncommitted one is
+    * replayed from the source offsets, so downstream batch jobs (the
+    * whole Pipeline suite) read each ingested record exactly once.
+    * Readers must use the sink's `_spark_metadata` log (plain
+    * `spark.read.parquet` on the directory does) so half-written files
+    * from an in-flight batch are invisible. */
+  def toParquet(df: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 }

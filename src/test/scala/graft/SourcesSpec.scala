@@ -81,6 +81,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1000)
   }
 
+  test("parquet-info: report carries schema, row-group stats, codec, encodings") {
+    val out = Files.createTempDirectory("pinfo").toString + "/t"
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    ParquetSink.write(df, out, ParquetSink.SinkOptions(compression = "snappy"))
+    val report = ParquetInfo.describe(out)
+    assert(report.exists(_.startsWith("file: ")))
+    val schemaLine = report.find(_.contains("schema:")).getOrElse("")
+    assert(schemaLine.contains("id") && schemaLine.contains("name"))
+    assert(report.exists(l => l.contains("row group 0") && l.contains("500 rows")))
+    val colLines = report.filter(_.contains("codec=SNAPPY"))
+    assert(colLines.size == 2, s"expected 2 column chunks, got:\n${report.mkString("\n")}")
+    assert(colLines.forall(_.contains("values=500")))
+    assert(colLines.forall(_.contains("encodings=")))
+  }
+
+  test("sink: sort-by layout — files cover disjoint, ordered key ranges") {
+    val out = Files.createTempDirectory("sorted").toString + "/t"
+    import spark.implicits._
+    // write in scrambled order; the layout must still come out clustered
+    val df = (0 until 10000).map(i => ((i * 7919) % 10000).toLong).toDF("id")
+      .repartition(8)
+    val stats = ParquetSink.write(df, out, ParquetSink.SinkOptions(
+      singleFile = false, sortBy = Seq("id"), sortFiles = Some(4)))
+    assert(stats.rows == 10000)
+    val ranges = ParquetSink.partFiles(out)
+      .flatMap(f => ParquetSink.columnRange(f, "id"))
+      .map { case (lo, hi) => (lo.asInstanceOf[Long], hi.asInstanceOf[Long]) }
+      .sortBy(_._1)
+    assert(ranges.size >= 2, "expected a multi-file clustered layout")
+    // tight + disjoint: each file's max is below the next file's min,
+    // so a point predicate prunes to exactly one file via footer stats
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping file ranges: $ranges")
+    }
+    assert(ranges.head._1 == 0L && ranges.last._2 == 9999L)
+    assert(spark.read.parquet(out).count() == 10000)
+  }
+
   test("sink: multi-file with maxRecordsPerFile; gzip codec") {
     val out = Files.createTempDirectory("sink").toString + "/t"
     val df = spark.range(1000).toDF("id")
@@ -247,6 +286,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.partitionColumn.contains("id") && a.partitions.contains(8))
     assert(a.partitionBy == Seq("lang", "source") && a.multiFile)
     assert(a.maxRecordsPerFile.contains(1000L))
+    val s = Main.parseArgs(Seq("export", "-o", "x", "--table", "t",
+      "--sort-by", "ts", "--sort-by", "id", "--sort-files", "16"), Map.empty)
+    assert(s.sortBy == Seq("ts", "id") && s.sortFiles.contains(16) && s.multiFile)
     // pair rule, like ssl cert+key
     val e = intercept[IllegalArgumentException](parseArgs(
       Seq("export", "-o", "x", "--table", "t", "--partitions", "8"), Map.empty))

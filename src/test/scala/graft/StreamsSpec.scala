@@ -169,6 +169,31 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("toParquet: checkpointed file sink resumes exactly-once across restarts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ssink").toString
+    val out = s"$base/data"
+    val ckpt = s"$base/ckpt"
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("id", "v")
+    val q1 = Streams.toParquet(df, out, ckpt)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: committed batch 0 must not be
+    // rewritten, new data lands in a new batch — exactly-once overall
+    val q2 = Streams.toParquet(df, out, ckpt)
+    try {
+      in.addData((3L, "c"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("runningUserStats: keyed state accumulates across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
