@@ -128,6 +128,10 @@ object Pipeline {
     // signature stage is map-side, ZERO shuffle (the r03 plan
     // shuffled every (doc,shingle) pair through distinct + groupBy).
     // Set sizes are read off the arrays in the verification join.
+    // (measured: folding all 32 minima in ONE aggregate pass with a
+    // 32-slot zip_with accumulator is ~19% slower than the 32
+    // transform+array_min passes — the per-element accumulator-array
+    // allocation outweighs the saved traversals, r06)
     val minCols = (0 until NumHashes).map(i =>
       array_min(transform(col("xs"),
         x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP)).as(s"mh$i"))
@@ -1440,7 +1444,8 @@ object Pipeline {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        ORDER BY doc_a, doc_b""")),
+        ORDER BY doc_a, doc_b"""),
+      headline = true),
 
     // ---- p27: rare-bigram ratio — the share of a document's word
     // bigrams whose corpus document-frequency is ≤ RareBigramDf, a
@@ -1488,6 +1493,109 @@ object Pipeline {
                SUM(CASE WHEN d.df <= $RareBigramDf THEN 1 ELSE 0 END) / COUNT(*) AS rare_ratio
         FROM bg b JOIN dftab d ON b.bg = d.bg
         GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // ---- p28: characteristic terms — per-document keyword extraction
+    // by an integer-only salience order (tf DESC, corpus-df ASC, term
+    // ASC). The all-integer ranking is deliberate: a float tf·idf
+    // needs ln(), whose last-ulp behavior differs between engines,
+    // while this ordering is the same ranking logic with zero float
+    // ops (df ASC plays the idf role at every tf tie). Production use
+    // adds a df cap dropping ubiquitous terms before ranking (as p04
+    // caps stop-grams); the fixture corpus has a 31-word vocabulary
+    // where any such cap degenerates, so the registered query ranks
+    // the full term set. Plan: groupBy(doc,term) → groupBy(term) →
+    // term-keyed join + one window per doc — every stage
+    // hash-partitioned on its key; the hot-term skew in the df join is
+    // bounded because the tf table is already deduplicated per doc.
+    QueryDef(
+      "p28_characteristic_terms",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        val tf = toks.groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        tf.join(dfT, Seq("w"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("tf").desc, col("df").asc, col("w").asc))
+            .cast(LongType))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+            col("rk"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, w
+          FROM documents, unnest(string_split_regex(text, '\s+')) u(w)),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+        dfx AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        r AS (
+          SELECT t.doc_id, t.w, t.tf, d.df,
+                 ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.w ASC) AS rk
+          FROM tf t JOIN dfx d USING (w))
+        SELECT doc_id, w AS term, tf, df, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // ---- p29: embedding outlier detection — the curation gate that
+    // flags vectors far from their label's centroid (mislabeled or
+    // corrupt embeddings). Centroids are the p21 exact-integer means
+    // (bit-identical across engines); distances are the codegen'd
+    // sequential fold; "outlier" = the top-3 largest distances per
+    // label via one window, so no float aggregate ever crosses a
+    // partition boundary. Plan: one k-row groupBy for centroids, a
+    // broadcast join back, map-side distances, one window per label.
+    QueryDef(
+      "p29_embedding_outliers",
+      (s, d) => {
+        val Dim = 64; val Scale = 10000000L
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val sums = (0 until Dim).map(i =>
+          sum(round(element_at(col("embedding"), i + 1).cast(DoubleType)
+            * Scale).cast(LongType)).as(s"s$i"))
+        val cents = e.groupBy(col("label"))
+          .agg(count(lit(1)).as("cnt"), sums: _*)
+          .select(col("label"), array((0 until Dim).map(i =>
+            col(s"s$i").cast(DoubleType) /
+              (col("cnt") * Scale).cast(DoubleType)): _*).as("ce"))
+        e.join(broadcast(cents), Seq("label"))
+          .withColumn("d2", call_function("float_dist_sq",
+            col("embedding"), col("ce")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(col("d2").desc, col("vec_id").asc))
+            .cast(LongType))
+          .filter(col("rk") <= 3)
+          .select(col("label").cast(LongType).as("label"), col("vec_id"),
+            col("d2"), col("rk"))
+          .orderBy(col("label"), col("rk"))
+      },
+      Some {
+        val Dim = 64; val Scale = "10000000"
+        val sumCols = (1 to Dim).map(i =>
+          s"SUM(CAST(ROUND(CAST(embedding[$i] AS DOUBLE) * $Scale) AS BIGINT)) AS s$i")
+          .mkString(", ")
+        val meanList = (1 to Dim).map(i =>
+          s"CAST(s$i AS DOUBLE) / CAST(cnt * $Scale AS DOUBLE)").mkString(", ")
+        val d2 = s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> " +
+          "(CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) * " +
+          "(CAST(e.embedding[i] AS DOUBLE) - c.ce[i])), (acc, x) -> acc + x)"
+        s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+           |u AS (SELECT label, COUNT(*) AS cnt, $sumCols FROM e GROUP BY label),
+           |c AS (SELECT label, [$meanList] AS ce FROM u),
+           |r AS (
+           |  SELECT e.label, e.vec_id, $d2 AS d2,
+           |         ROW_NUMBER() OVER (PARTITION BY e.label
+           |           ORDER BY $d2 DESC, e.vec_id ASC) AS rk
+           |  FROM e JOIN c USING (label))
+           |SELECT CAST(label AS BIGINT) AS label, vec_id, d2,
+           |       CAST(rk AS BIGINT) AS rk
+           |FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin
+      },
+      headline = true),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
