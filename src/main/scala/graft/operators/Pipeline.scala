@@ -289,6 +289,21 @@ object Pipeline {
     labels.select(col("node"), col("lbl").as("component"))
   }
 
+  /** Oracle-side twin of [[connectedComponents]] over the `verified`
+    * pair CTE: ground-truth min-reachable via a recursive CTE, ending
+    * in `comp(node, component)`. Shared by p25 and p30 (the splicing
+    * query must open with WITH RECURSIVE). */
+  private val ComponentsSql: String = """
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)"""
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- p01: exact deduplication via content hash — one shuffle on the
@@ -1371,10 +1386,12 @@ object Pipeline {
     // the loop converges in graph-diameter rounds (near-dup components
     // are shallow — dup chains, not long paths). The driver-side loop
     // runs ONE count() per round purely as the convergence test; all
-    // label state stays distributed, persisted per round and unpersisted
-    // the round after. At 100 TB this is the standard DataFrame CC shape
-    // (hash-to-min); the oracle computes ground-truth min-reachable via
-    // a recursive CTE, so the gate proves the propagation converged.
+    // label state stays distributed, localCheckpoint'ed per round (see
+    // [[connectedComponents]] — lineage truncation, not caching, is
+    // what keeps the loop viable). At 100 TB this is the standard
+    // DataFrame CC shape (hash-to-min); the oracle computes
+    // ground-truth min-reachable via a recursive CTE, so the gate
+    // proves the propagation converged.
     QueryDef(
       "p25_dedup_components",
       (s, d) => {
@@ -1387,18 +1404,35 @@ object Pipeline {
       },
       Some(s"""
         WITH RECURSIVE $NeardupPairsSql,
-        edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM verified
-          UNION ALL
-          SELECT doc_b, doc_a FROM verified),
-        reach(node, lbl) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
-        comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+        $ComponentsSql
         SELECT node AS doc_id, component,
                CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS csize
         FROM comp ORDER BY doc_id""")),
+
+    // ---- p30: near-dup collapse — the end-to-end dedup deliverable
+    // p01/p02/p25 build toward: keep exactly ONE representative (the
+    // min doc_id) per near-dup component and pass every unpaired doc
+    // through. One left-anti join of the corpus against the (tiny)
+    // non-representative node set; at 100 TB the anti-join side is
+    // the component table, which is bounded by the number of
+    // near-duplicate docs, not the corpus.
+    QueryDef(
+      "p30_collapse_neardups",
+      (s, d) => {
+        val pairs = neardupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val drop = connectedComponents(pairs)
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        T.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+          .join(drop, Seq("doc_id"), "left_anti")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $NeardupPairsSql,
+        $ComponentsSql
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        ORDER BY doc_id""")),
 
     // ---- p26: SimHash near-dup pairing by Hamming distance ≤ 3 over
     // p03's 48-bit fingerprints — the O(n) alternative to shingle-set

@@ -205,24 +205,13 @@ final class JdbcReader(
       .collect()(0)
     if (b.isNullAt(0) || b.isNullAt(1)) // empty relation / all-NULL column
       return base(spark).option("dbtable", rel).load()
-    def intBound(t: String, up: Boolean): String = {
-      val m = if (up) java.math.RoundingMode.CEILING else java.math.RoundingMode.FLOOR
-      val bi = new java.math.BigDecimal(t).setScale(0, m).toBigInteger
-      // Spark parses numeric bounds with `.toLong`; finite float8/numeric
-      // values can exceed Long range (1e30 → '1e+30'). Clamping is safe:
-      // JDBC bounds only set the partition STRIDE — rows below the lower
-      // bound land in the first slice and rows at/above the upper bound
-      // in the last, so no row is dropped.
-      bi.max(java.math.BigInteger.valueOf(Long.MinValue))
-        .min(java.math.BigInteger.valueOf(Long.MaxValue)).toString
-    }
     val (lo, hi) =
       if (numericBounds)
         // PG float/numeric MIN/MAX can be 'NaN'/'Infinity' (NaN sorts
         // greatest); no finite stride exists then — fall back to the
         // single-cursor scan rather than die in the bound parse
-        try (intBound(b.getString(0), up = false),
-          intBound(b.getString(1), up = true))
+        try (JdbcReader.intBound(b.getString(0), up = false),
+          JdbcReader.intBound(b.getString(1), up = true))
         catch { case _: NumberFormatException =>
           System.err.println(s"warning: partition column '$col' has " +
             s"non-finite bounds (${b.getString(0)}, ${b.getString(1)}); " +
@@ -264,6 +253,22 @@ final class JdbcReader(
 }
 
 object JdbcReader {
+  /** Integer bound for Spark's JDBC range partitioner from a PG
+    * `::text` MIN/MAX probe value: floor/ceil fractional bounds to an
+    * integer string, and clamp to the Long domain — Spark parses
+    * numeric bounds with `.toLong`, and finite float8/numeric values
+    * can exceed it (1e30 arrives as '1e+30'). Clamping is safe: JDBC
+    * bounds only set the partition STRIDE — rows below the lower bound
+    * land in the first slice and rows at/above the upper bound in the
+    * last, so no row is dropped. Throws NumberFormatException on
+    * NaN/Infinity (callers fall back to an unpartitioned scan). */
+  private[sources] def intBound(t: String, up: Boolean): String = {
+    val m = if (up) java.math.RoundingMode.CEILING else java.math.RoundingMode.FLOOR
+    val bi = new java.math.BigDecimal(t).setScale(0, m).toBigInteger
+    bi.max(java.math.BigInteger.valueOf(Long.MinValue))
+      .min(java.math.BigInteger.valueOf(Long.MaxValue)).toString
+  }
+
   /** Env-var resolution order matching the reference
     * (postgres_cloner.rs:202-273): explicit arg, then DATABASE_URL,
     * then POSTGRES_URL. */
