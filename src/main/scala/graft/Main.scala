@@ -44,6 +44,7 @@ object Main {
       partitionBy: Seq[String] = Nil,
       sortBy: Seq[String] = Nil,
       sortFiles: Option[Int] = None,
+      logicalAnnotations: Boolean = true,
       settings: PgSettings = PgSettings())
 
   /** Successful-exit output (--version/--help), distinct from a parse
@@ -98,6 +99,9 @@ object Main {
        |                              partitioned, sorted files with tight min/max stats
        |      --sort-files <N>        File count for --sort-by layout (default: one, or
        |                              the shuffle parallelism with --multi-file)
+       |      --no-logical-annotations  Keep Spark's native parquet types: skip the
+       |                              post-write JSON/ENUM/TIME footer annotations and
+       |                              the uuid/interval FLBA(16)/FLBA(12) transcode
        |      --quiet                 Only errors are written to stderr
        |      --numeric-handling / --decimal-precision / --decimal-scale
        |      --enum-handling / --interval-handling / --macaddr-handling
@@ -161,6 +165,8 @@ object Main {
           a = a.copy(sortBy = a.sortBy :+ take(flag))
         case "--sort-files" =>
           a = a.copy(sortFiles = Some(take(flag).toInt), multiFile = true)
+        case "--no-logical-annotations" =>
+          a = a.copy(logicalAnnotations = false)
         case "--quiet" => a = a.copy(quiet = true)
         case "--numeric-handling" =>
           a = a.copy(settings = a.settings.copy(numericHandling = take(flag)))
@@ -306,7 +312,7 @@ object Main {
     // JDBC export, resolve each column's pg type — pg_catalog for
     // --table, statement-describe for --query — and apply the recipes.
     // Parquet-dir reads are already typed and pass through.
-    val df = reader match {
+    val (df, colKinds) = reader match {
       case j: graft.sources.JdbcReader =>
         val catalog = graft.sources.PgSchema.PgCatalog.load(spark, j)
         a.table match {
@@ -322,15 +328,22 @@ object Main {
             if (kinds.isEmpty && !a.quiet)
               System.err.println(s"warning: table '$t' (oid $oid) has no " +
                 "columns in the pg_catalog introspection; exporting without type conversions")
-            graft.sources.PgSchema.convertScan(raw,
-              kinds.map(_.toMap).getOrElse(Map.empty), a.settings)
+            val kindMap = kinds.map(_.toMap).getOrElse(Map.empty)
+            (graft.sources.PgSchema.convertScan(raw, kindMap, a.settings),
+              kindMap)
           case None =>
             // positional, not by-name: a query's output may repeat labels
-            val byPos = j.describeQuery(a.query.get)
+            val described = j.describeQuery(a.query.get)
+            val byPos = described
               .map { case (_, tn) => Some(catalog.resolveName(tn)) }
-            graft.sources.PgSchema.convertScanPositional(raw, byPos, a.settings)
+            // post-write rewrites are by-name: only labels occurring once
+            val unique = described.groupBy(_._1).filter(_._2.size == 1).keySet
+            (graft.sources.PgSchema.convertScanPositional(raw, byPos, a.settings),
+              described.collect { case (c, tn) if unique(c) =>
+                c -> catalog.resolveName(tn) }.toMap)
         }
-      case _ => raw
+      case _ =>
+        (raw, Map.empty[String, graft.sources.PgSchema.PgKind])
     }
     val stats = ParquetSink.write(df, a.outputFile,
       ParquetSink.SinkOptions(
@@ -342,6 +355,31 @@ object Main {
         sortBy = a.sortBy,
         sortFiles = a.sortFiles,
         quiet = a.quiet))
+    // Reference-parity parquet types Spark's writer can't emit, applied
+    // post-write. Hive-partition columns never appear inside the files.
+    // 1) uuid/raw-interval → fixed-width FLBA with annotation (full
+    //    value re-encode); 2) JSON/ENUM/TIME logical annotations
+    //    (footer-only rewrite, data bytes untouched).
+    if (a.logicalAnnotations) {
+      val dataKinds = colKinds.filter { case (c, _) => !a.partitionBy.contains(c) }
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val txcTargets = dataKinds.flatMap { case (c, k) =>
+        graft.sources.PgSchema.transcodeFor(k, a.settings).map(c -> _) }
+      if (txcTargets.nonEmpty)
+        graft.sources.ParquetTranscode.rewritePath(a.outputFile,
+          txcTargets.map { case (c, k) =>
+            c -> graft.sources.ParquetTranscode.Targets(k) }, hconf)
+      val annTargets = dataKinds.flatMap { case (c, k) =>
+        graft.sources.PgSchema.annotationFor(k, a.settings).map(c -> _) }
+      if (annTargets.nonEmpty)
+        graft.sources.ParquetAnnotations.rewritePath(a.outputFile,
+          annTargets.map { case (c, k) =>
+            c -> graft.sources.ParquetAnnotations.Annotations(k) }, hconf)
+      if (!a.quiet && (txcTargets.nonEmpty || annTargets.nonEmpty))
+        System.err.println("reference-parity parquet types: " +
+          (txcTargets ++ annTargets).toSeq.sorted
+            .map { case (c, k) => s"$c=$k" }.mkString(", "))
+    }
     if (!a.quiet)
       System.err.println(s"exported ${stats.rows} rows to ${a.outputFile}")
     stats

@@ -193,6 +193,35 @@ object PgSchema {
     case k => k
   }
 
+  /** Key into [[ParquetAnnotations.Annotations]] for the logical type
+    * the reference stamps on this column's parquet type, when the
+    * Spark-written PHYSICAL type admits a footer-only re-annotation
+    * (`cli/src/postgres_cloner.rs:560-607`): json/jsonb text → JSON,
+    * enum-as-text → ENUM, time-of-day micros → TIME(µs). Kinds whose
+    * reference annotation needs a different physical type (uuid
+    * FLBA(16), interval FLBA(12), halfvec FLBA(2), unsigned ints) stay
+    * documented deviations; nested occurrences are left untouched. */
+  def annotationFor(kind: PgKind, s: PgSettings): Option[String] =
+    baseKind(kind) match {
+      case PgSimple("json") | PgSimple("jsonb") => Some("json")
+      case _: PgEnum if s.enumHandling != "int" => Some("enum")
+      case PgSimple("time") => Some("time-micros")
+      case _ => None
+    }
+
+  /** Key into [[ParquetTranscode.Targets]] for columns whose reference
+    * parquet form needs a fixed-width PHYSICAL type Spark can't write:
+    * uuid → FLBA(16)+UUID (postgres_cloner.rs:552-558), raw interval →
+    * FLBA(12)+INTERVAL (:570-584). Applied as a post-write value
+    * re-encode; struct-mode interval needs no transcode. */
+  def transcodeFor(kind: PgKind, s: PgSettings): Option[String] =
+    baseKind(kind) match {
+      case PgSimple("uuid") => Some("uuid")
+      case PgSimple("interval") if s.intervalHandling == "interval" =>
+        Some("interval")
+      case _ => None
+    }
+
   // ---- catalog model (what IntrospectionSql returns)
 
   final case class PgTypeRow(

@@ -312,4 +312,32 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(out(1).getShort(1) == 0)   // '' is the zero byte
     assert(out(2).isNullAt(1))
   }
+
+  test("annotationFor: json/enum/time annotate; mismatched physicals and nesting don't") {
+    val s = PgSettings()
+    assert(annotationFor(PgSimple("json"), s).contains("json"))
+    assert(annotationFor(PgSimple("jsonb"), s).contains("json"))
+    assert(annotationFor(PgDomain(PgSimple("jsonb")), s).contains("json"))
+    assert(annotationFor(PgEnum("mood", Seq("sad", "ok")), s).contains("enum"))
+    // enum-as-int lands as INT32 — no ENUM annotation applies
+    assert(annotationFor(PgEnum("mood", Seq("sad")),
+      s.copy(enumHandling = "int")).isEmpty)
+    assert(annotationFor(PgSimple("time"), s).contains("time-micros"))
+    // physical-type mismatches stay deviations
+    assert(annotationFor(PgSimple("uuid"), s).isEmpty)
+    assert(annotationFor(PgSimple("interval"), s).isEmpty)
+    // nested json (array element) is not a top-level rewrite target
+    assert(annotationFor(PgArray(PgSimple("json")), s).isEmpty)
+  }
+
+  test("transcodeFor: uuid always, interval only in bytes mode, nothing else") {
+    val s = PgSettings()
+    assert(transcodeFor(PgSimple("uuid"), s).contains("uuid"))
+    assert(transcodeFor(PgDomain(PgSimple("uuid")), s).contains("uuid"))
+    assert(transcodeFor(PgSimple("interval"), s).contains("interval"))
+    assert(transcodeFor(PgSimple("interval"),
+      s.copy(intervalHandling = "struct")).isEmpty)
+    assert(transcodeFor(PgSimple("bytea"), s).isEmpty)
+    assert(transcodeFor(PgArray(PgSimple("uuid")), s).isEmpty)
+  }
 }

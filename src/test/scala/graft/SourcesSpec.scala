@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.types._
-import graft.sources.{ParquetSink, PostgresDialect}
+import graft.sources.{ParquetAnnotations, ParquetSink, PostgresDialect}
 import java.nio.file.Files
 
 /** Reader seam, writer options round-trip, dialect mappings, CLI parse. */
@@ -95,6 +95,86 @@ class SourcesSpec extends AnyFunSuite {
     assert(colLines.size == 2, s"expected 2 column chunks, got:\n${report.mkString("\n")}")
     assert(colLines.forall(_.contains("values=500")))
     assert(colLines.forall(_.contains("encodings=")))
+  }
+
+  test("annotations: JSON/ENUM/TIME logical types stamped without touching data") {
+    val dir = Files.createTempDirectory("ann").toString
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"a":1}""", "ok", 3723000000L),
+      (2L, """{"b":[2,3]}""", "bad", 82800000000L))
+      .toDF("id", "payload", "status", "t_us")
+    ParquetSink.write(df, s"$dir/t", ParquetSink.SinkOptions())
+    val n = ParquetAnnotations.rewritePath(s"$dir/t", Map(
+      "payload" -> ParquetAnnotations.Annotations("json"),
+      "status" -> ParquetAnnotations.Annotations("enum"),
+      "t_us" -> ParquetAnnotations.Annotations("time-micros")))
+    assert(n == 1)
+    // footer carries the annotations…
+    val f = ParquetSink.partFiles(s"$dir/t").head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      f, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val schema = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    def annOf(c: String) = Option(schema.getType(Seq(c): _*)
+      .asPrimitiveType.getLogicalTypeAnnotation).map(_.toString).getOrElse("none")
+    assert(annOf("payload") == "JSON")
+    assert(annOf("status") == "ENUM")
+    assert(annOf("t_us").startsWith("TIME"))
+    assert(annOf("id") == "none")
+    // …and the data bytes are untouched: Spark reads identical rows
+    val back = spark.read.parquet(s"$dir/t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(back == Seq(
+      (1L, """{"a":1}""", "ok", 3723000000L),
+      (2L, """{"b":[2,3]}""", "bad", 82800000000L)))
+    // unknown column / wrong physical type are rejected loudly
+    intercept[IllegalArgumentException](ParquetAnnotations.rewritePath(s"$dir/t",
+      Map("nope" -> ParquetAnnotations.Annotations("json"))))
+    intercept[IllegalArgumentException](ParquetAnnotations.rewritePath(s"$dir/t",
+      Map("id" -> ParquetAnnotations.Annotations("json"))))
+  }
+
+  test("transcode: uuid/interval binary → FLBA(16)/FLBA(12) with annotations") {
+    val dir = Files.createTempDirectory("txc").toString
+    import spark.implicits._
+    import graft.sources.ParquetTranscode
+    def b(n: Int, seed: Int) = Array.tabulate(n)(i => (seed + i).toByte)
+    val df = Seq(
+      (1L, b(16, 10), b(12, 40), Seq("x", "y"), "keep"),
+      (2L, b(16, 20), b(12, 50), Seq.empty[String], "also"),
+      (3L, null.asInstanceOf[Array[Byte]], null.asInstanceOf[Array[Byte]],
+        null.asInstanceOf[Seq[String]], null.asInstanceOf[String]))
+      .toDF("id", "u", "iv", "tags", "note")
+    ParquetSink.write(df, s"$dir/t", ParquetSink.SinkOptions())
+    ParquetTranscode.rewritePath(s"$dir/t", Map(
+      "u" -> ParquetTranscode.Targets("uuid"),
+      "iv" -> ParquetTranscode.Targets("interval")))
+    val f = ParquetSink.partFiles(s"$dir/t").head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      f, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val schema = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    val u = schema.getType(Seq("u"): _*).asPrimitiveType
+    assert(u.getPrimitiveTypeName.toString == "FIXED_LEN_BYTE_ARRAY")
+    assert(u.getTypeLength == 16 && u.getLogicalTypeAnnotation.toString == "UUID")
+    val iv = schema.getType(Seq("iv"): _*).asPrimitiveType
+    assert(iv.getTypeLength == 12 &&
+      iv.getLogicalTypeAnnotation.toString.startsWith("INTERVAL"))
+    // values survive byte-for-byte, nulls and the untouched columns too
+    val back = spark.read.parquet(s"$dir/t").orderBy("id").collect()
+    assert(back(0).getAs[Array[Byte]]("u").toSeq == b(16, 10).toSeq)
+    assert(back(0).getAs[Array[Byte]]("iv").toSeq == b(12, 40).toSeq)
+    assert(back(0).getSeq[String](back(0).fieldIndex("tags")).toList == List("x", "y"))
+    assert(back(1).getSeq[String](back(1).fieldIndex("tags")).toList == Nil)
+    assert(back(2).isNullAt(back(2).fieldIndex("u")))
+    assert(back(2).isNullAt(back(2).fieldIndex("tags")))
+    // wrong-width values are refused, not corrupted
+    val df2 = Seq((1L, b(15, 0))).toDF("id", "u")
+    ParquetSink.write(df2, s"$dir/bad", ParquetSink.SinkOptions())
+    intercept[IllegalArgumentException](ParquetTranscode.rewritePath(
+      s"$dir/bad", Map("u" -> ParquetTranscode.Targets("uuid"))))
   }
 
   test("sink: sort-by layout — files cover disjoint, ordered key ranges") {
