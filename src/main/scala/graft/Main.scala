@@ -365,20 +365,24 @@ object Main {
       val hconf = spark.sparkContext.hadoopConfiguration
       val txcTargets = dataKinds.flatMap { case (c, k) =>
         graft.sources.PgSchema.transcodeFor(k, a.settings).map(c -> _) }
-      if (txcTargets.nonEmpty)
+      val f16Leaves = dataKinds.flatMap { case (c, k) =>
+        graft.sources.PgSchema.float16LeafFor(c, k, a.settings) }.toSet
+      if (txcTargets.nonEmpty || f16Leaves.nonEmpty)
         graft.sources.ParquetTranscode.rewritePath(a.outputFile,
           txcTargets.map { case (c, k) =>
-            c -> graft.sources.ParquetTranscode.Targets(k) }, hconf)
+            c -> graft.sources.ParquetTranscode.Targets(k) },
+          f16Leaves, hconf)
       val annTargets = dataKinds.flatMap { case (c, k) =>
         graft.sources.PgSchema.annotationFor(k, a.settings).map(c -> _) }
       if (annTargets.nonEmpty)
         graft.sources.ParquetAnnotations.rewritePath(a.outputFile,
           annTargets.map { case (c, k) =>
             c -> graft.sources.ParquetAnnotations.Annotations(k) }, hconf)
-      if (!a.quiet && (txcTargets.nonEmpty || annTargets.nonEmpty))
+      if (!a.quiet &&
+          (txcTargets.nonEmpty || annTargets.nonEmpty || f16Leaves.nonEmpty))
         System.err.println("reference-parity parquet types: " +
-          (txcTargets ++ annTargets).toSeq.sorted
-            .map { case (c, k) => s"$c=$k" }.mkString(", "))
+          ((txcTargets ++ annTargets).toSeq.sorted.map { case (c, k) => s"$c=$k" }
+            ++ f16Leaves.toSeq.sorted.map(p => s"$p=float16")).mkString(", "))
     }
     if (!a.quiet)
       System.err.println(s"exported ${stats.rows} rows to ${a.outputFile}")

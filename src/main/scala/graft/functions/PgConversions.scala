@@ -582,10 +582,11 @@ object PgConversions {
       split(regexp_replace(c, "^\\[|\\]$", ""), ","),
       e => e.cast(FloatType))
 
-  /** IEEE 754 half-precision round-trip: float → f16 (round to nearest
-    * even, overflow → ±inf) → float. Java 17 has no Float.float16ToFloat
-    * (added in 19), so the bit algorithm is spelled out. */
-  private[graft] def roundToFloat16(f: Float): Float = {
+  /** IEEE 754 half-precision bit pattern of a float (round to nearest
+    * even, overflow → ±inf). Java 17 has no Float.floatToFloat16
+    * (added in 19), so the bit algorithm is spelled out. Also feeds
+    * [[graft.sources.ParquetTranscode]]'s FLBA(2) storage mode. */
+  private[graft] def f16Bits(f: Float): Int = {
     val bits = java.lang.Float.floatToIntBits(f)
     val sign = (bits >>> 16) & 0x8000
     val absBits = bits & 0x7fffffff
@@ -607,6 +608,12 @@ object PgConversions {
         val base = sign | exp | m
         if (rem > 0x1000 || (rem == 0x1000 && (m & 1) == 1)) base + 1 else base
       }
+    half
+  }
+
+  /** Half-precision round-trip: float → f16 bits → float. */
+  private[graft] def roundToFloat16(f: Float): Float = {
+    val half = f16Bits(f)
     // back to float32
     val s = (half & 0x8000) << 16
     val e = (half >>> 10) & 0x1f

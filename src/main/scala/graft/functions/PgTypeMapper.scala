@@ -75,14 +75,13 @@ object PgTypeMapper {
       case other => unsupported(s"interval-handling '$other'")
     }
     case "vector" => vectorFromText(c)
-    // T33: values pass through f16 precision in both handlings; the
-    // reference's 'float16' mode additionally stores FLBA(2), which
-    // Spark's parquet writer cannot emit — reject explicitly rather than
-    // silently writing FLOAT (postgres_cloner.rs:660-666).
+    // T33: values pass through f16 precision in both handlings
+    // (postgres_cloner.rs:660-666); 'float16' additionally stores
+    // FLBA(2)+FLOAT16, which Spark's writer can't emit — the export
+    // path transcodes the written file's float leaves post-write
+    // ([[graft.sources.ParquetTranscode]], PgSchema.float16LeafFor).
     case "halfvec" => s.float16Handling match {
-      case "float32" => halfvecFromText(c)
-      case "float16" => unsupported(
-        "float16-handling 'float16' (Spark's parquet writer has no FLOAT16/FLBA(2) physical type; use 'float32')")
+      case "float32" | "float16" => halfvecFromText(c)
       case other => unsupported(s"float16-handling '$other'")
     }
     case "sparsevec" => sparsevecFromText(c)

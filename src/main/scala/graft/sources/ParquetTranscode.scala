@@ -17,13 +17,16 @@ import scala.jdk.CollectionConverters._
   * footer-only rewrite).
   *
   * The reference stores uuid as FIXED_LEN_BYTE_ARRAY(16) + UUID
-  * (`cli/src/postgres_cloner.rs:552-558`) and raw interval as
-  * FIXED_LEN_BYTE_ARRAY(12) + INTERVAL (`:570-584`); Spark's writer
-  * can only produce variable-length BINARY for those values. Since
-  * every value is the same fixed byte width, the conversion is a 1:1
-  * value re-encode: this utility rewrites a file through the parquet
-  * Group API under a schema whose target columns are FLBA(len) with
-  * the right annotation, copying every other column unchanged.
+  * (`cli/src/postgres_cloner.rs:552-558`), raw interval as
+  * FIXED_LEN_BYTE_ARRAY(12) + INTERVAL (`:570-584`), and halfvec in
+  * float16 mode as list<FLBA(2) + FLOAT16> (`:660-666`); Spark's
+  * writer can only produce variable-length BINARY / 4-byte FLOAT for
+  * those values. Each is a 1:1 value re-encode: this utility rewrites
+  * a file through the parquet Group API under a schema whose target
+  * columns are FLBA with the right annotation — scalar BINARY columns
+  * keep their exact bytes, f16 leaves (addressed by dotted path, e.g.
+  * `emb.list.element`) convert FLOAT → half-precision bits — copying
+  * every other column unchanged.
   *
   * Unlike [[ParquetAnnotations.rewrite]] this re-encodes all pages
   * (it must — FLBA pages lay values out without per-value lengths),
@@ -40,40 +43,68 @@ object ParquetTranscode {
     "interval" -> (12,
       LogicalTypeAnnotation.IntervalLogicalTypeAnnotation.getInstance()))
 
-  private def retype(t: Type,
-      targets: Map[String, (Int, LogicalTypeAnnotation)]): Type = t match {
-    case p: PrimitiveType if targets.contains(p.getName) =>
-      val (len, ann) = targets(p.getName)
+  private def retype(t: Type, path: String,
+      targets: Map[String, (Int, LogicalTypeAnnotation)],
+      f16Leaves: Set[String]): Type = t match {
+    case p: PrimitiveType if targets.contains(path) =>
+      val (len, ann) = targets(path)
       if (p.getPrimitiveTypeName != BINARY)
         throw new IllegalArgumentException(
-          s"column '${p.getName}' is ${p.getPrimitiveTypeName}, expected BINARY")
+          s"column '$path' is ${p.getPrimitiveTypeName}, expected BINARY")
       org.apache.parquet.schema.Types
         .primitive(FIXED_LEN_BYTE_ARRAY, p.getRepetition)
         .length(len).as(ann).named(p.getName)
+    case p: PrimitiveType if f16Leaves.contains(path) =>
+      if (p.getPrimitiveTypeName != FLOAT)
+        throw new IllegalArgumentException(
+          s"float16 leaf '$path' is ${p.getPrimitiveTypeName}, expected FLOAT")
+      org.apache.parquet.schema.Types
+        .primitive(FIXED_LEN_BYTE_ARRAY, p.getRepetition)
+        .length(2).as(LogicalTypeAnnotation.float16Type()).named(p.getName)
+    case g: GroupType =>
+      // rebuild preserving repetition + logical annotation (LIST)
+      val b = org.apache.parquet.schema.Types.buildGroup(g.getRepetition)
+      Option(g.getLogicalTypeAnnotation).foreach(b.as)
+      g.getFields.asScala
+        .foreach(f => b.addField(retype(f, s"$path.${f.getName}", targets, f16Leaves)))
+      b.named(g.getName)
     case other => other
   }
 
+  /** f16 bits of a float as the FLBA(2) little-endian bytes the FLOAT16
+    * annotation prescribes. */
+  private def f16le(f: Float): org.apache.parquet.io.api.Binary = {
+    val bits = graft.functions.PgConversions.f16Bits(f)
+    org.apache.parquet.io.api.Binary.fromConstantByteArray(
+      Array((bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte))
+  }
+
   /** Deep record copy between structurally identical schemas (only
-    * physical widths of target leaves differ); Binary values carry
-    * over as-is, so FLBA targets receive the exact stored bytes. */
-  private def copy(g: Group, from: GroupType, to: GroupType,
-      targets: Map[String, (Int, LogicalTypeAnnotation)]): Group = {
+    * target leaves change width); Binary values carry over as-is, so
+    * FLBA targets receive the exact stored bytes, and f16 leaves
+    * convert FLOAT → 2-byte half-precision. */
+  private def copy(g: Group, from: GroupType, to: GroupType, path: String,
+      targets: Map[String, (Int, LogicalTypeAnnotation)],
+      f16Leaves: Set[String]): Group = {
     val out = new SimpleGroup(to)
     from.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
       val n = g.getFieldRepetitionCount(i)
+      val fPath = s"$path.${f.getName}".stripPrefix(".")
       (0 until n).foreach { j =>
         f match {
           case p: PrimitiveType => p.getPrimitiveTypeName match {
             case INT32 => out.add(i, g.getInteger(i, j))
             case INT64 => out.add(i, g.getLong(i, j))
-            case FLOAT => out.add(i, g.getFloat(i, j))
+            case FLOAT =>
+              if (f16Leaves.contains(fPath)) out.add(i, f16le(g.getFloat(i, j)))
+              else out.add(i, g.getFloat(i, j))
             case DOUBLE => out.add(i, g.getDouble(i, j))
             case BOOLEAN => out.add(i, g.getBoolean(i, j))
             case BINARY | FIXED_LEN_BYTE_ARRAY =>
               val b = g.getBinary(i, j)
-              targets.get(p.getName).foreach { case (len, _) =>
+              targets.get(fPath).foreach { case (len, _) =>
                 if (b.length != len) throw new IllegalArgumentException(
-                  s"column '${p.getName}': value of ${b.length} bytes, " +
+                  s"column '$fPath': value of ${b.length} bytes, " +
                     s"expected exactly $len — refusing to transcode")
               }
               out.add(i, b)
@@ -83,7 +114,7 @@ object ParquetTranscode {
           }
           case gt: GroupType =>
             out.add(i, copy(g.getGroup(i, j).asInstanceOf[Group], gt,
-              to.getType(i).asGroupType(), targets))
+              to.getType(i).asGroupType(), fPath, targets, f16Leaves))
         }
       }
     }
@@ -92,6 +123,7 @@ object ParquetTranscode {
 
   def rewrite(in: String, out: String,
       targets: Map[String, (Int, LogicalTypeAnnotation)],
+      f16Leaves: Set[String] = Set.empty,
       conf: Configuration = new Configuration()): Unit = {
     val inPath = new org.apache.hadoop.fs.Path(in)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(inPath, conf))
@@ -102,11 +134,14 @@ object ParquetTranscode {
           .map(_.getColumns.get(0).getCodec)
           .getOrElse(CompressionCodecName.ZSTD))
       finally r.close()
-    val missing = targets.keySet -- schema.getFields.asScala.map(_.getName).toSet
+    val allPaths = schema.getPaths.asScala.map(_.mkString(".")).toSet ++
+      schema.getFields.asScala.map(_.getName)
+    val missing = (targets.keySet ++ f16Leaves) -- allPaths
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"columns not in schema: ${missing.toSeq.sorted.mkString(", ")}")
     val newSchema = new MessageType(schema.getName,
-      schema.getFields.asScala.map(retype(_, targets)).asJava)
+      schema.getFields.asScala
+        .map(f => retype(f, f.getName, targets, f16Leaves)).asJava)
     val reader = ParquetReader.builder(new GroupReadSupport(), inPath)
       .withConf(conf).build()
     val writer = ExampleParquetWriter
@@ -114,13 +149,19 @@ object ParquetTranscode {
       .withType(newSchema)
       .withConf(conf)
       .withCompressionCodec(codec)
-      .withExtraMetaData(kv)
+      // FLBA stands in for BINARY transparently, but an f16 leaf changes
+      // the Spark-visible type — drop Spark's embedded schema JSON then,
+      // so readers infer FloatType from the parquet FLOAT16 annotation
+      // instead of trusting a stale `float` physical expectation
+      .withExtraMetaData(
+        if (f16Leaves.isEmpty) kv
+        else (kv.asScala - "org.apache.spark.sql.parquet.row.metadata").asJava)
       .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
       .build()
     try {
       var g = reader.read()
       while (g != null) {
-        writer.write(copy(g, schema, newSchema, targets))
+        writer.write(copy(g, schema, newSchema, "", targets, f16Leaves))
         g = reader.read()
       }
     } finally { reader.close(); writer.close() }
@@ -129,13 +170,14 @@ object ParquetTranscode {
   /** In-place variant over every part file of a sink output path. */
   def rewritePath(path: String,
       targets: Map[String, (Int, LogicalTypeAnnotation)],
+      f16Leaves: Set[String] = Set.empty,
       conf: Configuration = new Configuration()): Int = {
     val parts = ParquetSink.partFiles(path, conf)
     parts.foreach { p =>
       val tmp = new org.apache.hadoop.fs.Path(
         p.getParent, s".${p.getName}.transcoding")
       val fs = p.getFileSystem(conf)
-      rewrite(p.toString, tmp.toString, targets, conf)
+      rewrite(p.toString, tmp.toString, targets, f16Leaves, conf)
       if (!fs.delete(p, false) || !fs.rename(tmp, p))
         throw new java.io.IOException(s"failed to replace $p with transcoded copy")
     }

@@ -222,6 +222,17 @@ object PgSchema {
       case _ => None
     }
 
+  /** Dotted parquet leaf path (relative to column `name`) that must
+    * transcode FLOAT → FLBA(2)+FLOAT16 — halfvec columns under
+    * `--float16-handling float16` (postgres_cloner.rs:660-666). The
+    * `.list.element` segments are Spark's 3-level list encoding. */
+  def float16LeafFor(name: String, kind: PgKind, s: PgSettings): Option[String] =
+    baseKind(kind) match {
+      case PgSimple("halfvec") if s.float16Handling == "float16" =>
+        Some(s"$name.list.element")
+      case _ => None
+    }
+
   // ---- catalog model (what IntrospectionSql returns)
 
   final case class PgTypeRow(

@@ -224,7 +224,10 @@ class PgSchemaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       recipe(PgSimple("jsonb"), col("v"), dflt.copy(jsonHandling = "nope")))
     intercept[IllegalArgumentException](
-      recipe(PgSimple("halfvec"), col("v"), dflt.copy(float16Handling = "float16")))
+      recipe(PgSimple("halfvec"), col("v"), dflt.copy(float16Handling = "nope")))
+    // float16 storage mode is accepted (values identical to float32
+    // mode; the FLBA(2) storage lands via the post-write transcode)
+    recipe(PgSimple("halfvec"), col("v"), dflt.copy(float16Handling = "float16"))
   }
 
   test("recipe: dims mode drops lower_bound; money text form parses") {
@@ -339,5 +342,9 @@ class PgSchemaSpec extends AnyFunSuite {
       s.copy(intervalHandling = "struct")).isEmpty)
     assert(transcodeFor(PgSimple("bytea"), s).isEmpty)
     assert(transcodeFor(PgArray(PgSimple("uuid")), s).isEmpty)
+    // halfvec f16 storage is a leaf-path transcode, not a scalar one
+    assert(float16LeafFor("emb", PgSimple("halfvec"), s).isEmpty)
+    assert(float16LeafFor("emb", PgSimple("halfvec"),
+      s.copy(float16Handling = "float16")).contains("emb.list.element"))
   }
 }

@@ -177,6 +177,52 @@ class SourcesSpec extends AnyFunSuite {
       s"$dir/bad", Map("u" -> ParquetTranscode.Targets("uuid"))))
   }
 
+  test("transcode: halfvec float16 mode — list<float> → list<FLBA(2)+FLOAT16>") {
+    val dir = Files.createTempDirectory("f16").toString
+    import spark.implicits._
+    import graft.sources.ParquetTranscode
+    // values already f16-rounded (as halfvecFromText guarantees)
+    val df = Seq(
+      (1L, Seq(1.0f, -2.5f, 0.0f)),
+      (2L, Seq(65504.0f)),            // f16 max finite
+      (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "emb")
+    ParquetSink.write(df, s"$dir/t", ParquetSink.SinkOptions())
+    ParquetTranscode.rewritePath(s"$dir/t", Map.empty,
+      f16Leaves = Set("emb.list.element"))
+    val f = ParquetSink.partFiles(s"$dir/t").head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      f, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val schema = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    val leaf = schema.getType(Seq("emb", "list", "element"): _*).asPrimitiveType
+    assert(leaf.getPrimitiveTypeName.toString == "FIXED_LEN_BYTE_ARRAY")
+    assert(leaf.getTypeLength == 2)
+    assert(leaf.getLogicalTypeAnnotation.toString == "FLOAT16")
+    // Spark itself cannot read FLOAT16 parquet (the very reason this
+    // storage mode needs a post-write transcode) — verify the stored
+    // half-precision bytes through the parquet Group API instead,
+    // exactly as f16-aware readers (pyarrow, duckdb) consume them.
+    def f16(f: Float): List[Byte] = {
+      val bits = graft.functions.PgConversions.f16Bits(f)
+      List((bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte)
+    }
+    val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+      new org.apache.parquet.hadoop.example.GroupReadSupport(), f).build()
+    try {
+      val rows = Iterator.continually(reader.read()).takeWhile(_ != null).toList
+      assert(rows.size == 3)
+      def elems(g: org.apache.parquet.example.data.Group): List[List[Byte]] = {
+        val lst = g.getGroup("emb", 0)
+        (0 until lst.getFieldRepetitionCount(0)).toList.map(i =>
+          lst.getGroup(0, i).getBinary(0, 0).getBytes.toList)
+      }
+      assert(elems(rows(0)) == List(f16(1.0f), f16(-2.5f), f16(0.0f)))
+      assert(elems(rows(1)) == List(f16(65504.0f)))
+      assert(rows(2).getFieldRepetitionCount("emb") == 0) // NULL list survives
+    } finally reader.close()
+  }
+
   test("sink: sort-by layout — files cover disjoint, ordered key ranges") {
     val out = Files.createTempDirectory("sorted").toString + "/t"
     import spark.implicits._
