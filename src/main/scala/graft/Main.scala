@@ -367,22 +367,25 @@ object Main {
         graft.sources.PgSchema.transcodeFor(k, a.settings).map(c -> _) }
       val f16Leaves = dataKinds.flatMap { case (c, k) =>
         graft.sources.PgSchema.float16LeafFor(c, k, a.settings) }.toSet
-      if (txcTargets.nonEmpty || f16Leaves.nonEmpty)
+      val uint32Cols = dataKinds.collect { case (c, k)
+        if graft.sources.PgSchema.uint32For(k) => c }.toSet
+      if (txcTargets.nonEmpty || f16Leaves.nonEmpty || uint32Cols.nonEmpty)
         graft.sources.ParquetTranscode.rewritePath(a.outputFile,
           txcTargets.map { case (c, k) =>
             c -> graft.sources.ParquetTranscode.Targets(k) },
-          f16Leaves, hconf)
+          f16Leaves, uint32Cols, hconf)
       val annTargets = dataKinds.flatMap { case (c, k) =>
         graft.sources.PgSchema.annotationFor(k, a.settings).map(c -> _) }
       if (annTargets.nonEmpty)
         graft.sources.ParquetAnnotations.rewritePath(a.outputFile,
           annTargets.map { case (c, k) =>
             c -> graft.sources.ParquetAnnotations.Annotations(k) }, hconf)
-      if (!a.quiet &&
-          (txcTargets.nonEmpty || annTargets.nonEmpty || f16Leaves.nonEmpty))
+      if (!a.quiet && (txcTargets.nonEmpty || annTargets.nonEmpty ||
+          f16Leaves.nonEmpty || uint32Cols.nonEmpty))
         System.err.println("reference-parity parquet types: " +
           ((txcTargets ++ annTargets).toSeq.sorted.map { case (c, k) => s"$c=$k" }
-            ++ f16Leaves.toSeq.sorted.map(p => s"$p=float16")).mkString(", "))
+            ++ f16Leaves.toSeq.sorted.map(p => s"$p=float16")
+            ++ uint32Cols.toSeq.sorted.map(c => s"$c=uint32")).mkString(", "))
     }
     if (!a.quiet)
       System.err.println(s"exported ${stats.rows} rows to ${a.outputFile}")

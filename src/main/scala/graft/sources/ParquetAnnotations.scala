@@ -34,7 +34,9 @@ object ParquetAnnotations {
     "enum" -> LogicalTypeAnnotation.enumType(),
     // pg time is wall-clock time-of-day: not UTC-adjusted
     "time-micros" -> LogicalTypeAnnotation.timeType(false,
-      LogicalTypeAnnotation.TimeUnit.MICROS))
+      LogicalTypeAnnotation.TimeUnit.MICROS),
+    // "char" u8 rides its INT32 physical unchanged (values are 0..255)
+    "uint8" -> LogicalTypeAnnotation.intType(8, false))
 
   private def annotated(t: Type, ann: Map[String, LogicalTypeAnnotation]): Type =
     t match {
@@ -47,6 +49,8 @@ object ParquetAnnotations {
             PrimitiveType.PrimitiveTypeName.BINARY) => true
           case (_: LogicalTypeAnnotation.TimeLogicalTypeAnnotation,
             PrimitiveType.PrimitiveTypeName.INT64) => true
+          case (i: LogicalTypeAnnotation.IntLogicalTypeAnnotation,
+            PrimitiveType.PrimitiveTypeName.INT32) => i.getBitWidth <= 32
           case _ => false
         }
         if (!ok) throw new IllegalArgumentException(

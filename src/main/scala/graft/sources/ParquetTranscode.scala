@@ -45,7 +45,7 @@ object ParquetTranscode {
 
   private def retype(t: Type, path: String,
       targets: Map[String, (Int, LogicalTypeAnnotation)],
-      f16Leaves: Set[String]): Type = t match {
+      f16Leaves: Set[String], uint32Cols: Set[String]): Type = t match {
     case p: PrimitiveType if targets.contains(path) =>
       val (len, ann) = targets(path)
       if (p.getPrimitiveTypeName != BINARY)
@@ -61,12 +61,20 @@ object ParquetTranscode {
       org.apache.parquet.schema.Types
         .primitive(FIXED_LEN_BYTE_ARRAY, p.getRepetition)
         .length(2).as(LogicalTypeAnnotation.float16Type()).named(p.getName)
+    case p: PrimitiveType if uint32Cols.contains(path) =>
+      if (p.getPrimitiveTypeName != INT64)
+        throw new IllegalArgumentException(
+          s"uint32 column '$path' is ${p.getPrimitiveTypeName}, expected INT64")
+      org.apache.parquet.schema.Types
+        .primitive(INT32, p.getRepetition)
+        .as(LogicalTypeAnnotation.intType(32, false)).named(p.getName)
     case g: GroupType =>
       // rebuild preserving repetition + logical annotation (LIST)
       val b = org.apache.parquet.schema.Types.buildGroup(g.getRepetition)
       Option(g.getLogicalTypeAnnotation).foreach(b.as)
       g.getFields.asScala
-        .foreach(f => b.addField(retype(f, s"$path.${f.getName}", targets, f16Leaves)))
+        .foreach(f => b.addField(
+          retype(f, s"$path.${f.getName}", targets, f16Leaves, uint32Cols)))
       b.named(g.getName)
     case other => other
   }
@@ -85,7 +93,7 @@ object ParquetTranscode {
     * convert FLOAT → 2-byte half-precision. */
   private def copy(g: Group, from: GroupType, to: GroupType, path: String,
       targets: Map[String, (Int, LogicalTypeAnnotation)],
-      f16Leaves: Set[String]): Group = {
+      f16Leaves: Set[String], uint32Cols: Set[String]): Group = {
     val out = new SimpleGroup(to)
     from.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
       val n = g.getFieldRepetitionCount(i)
@@ -94,7 +102,13 @@ object ParquetTranscode {
         f match {
           case p: PrimitiveType => p.getPrimitiveTypeName match {
             case INT32 => out.add(i, g.getInteger(i, j))
-            case INT64 => out.add(i, g.getLong(i, j))
+            case INT64 =>
+              if (uint32Cols.contains(fPath)) {
+                val v = g.getLong(i, j)
+                if (v < 0 || v > 0xffffffffL) throw new IllegalArgumentException(
+                  s"column '$fPath': value $v outside the u32 range — refusing to transcode")
+                out.add(i, v.toInt) // u32 bit pattern in the int32 slot
+              } else out.add(i, g.getLong(i, j))
             case FLOAT =>
               if (f16Leaves.contains(fPath)) out.add(i, f16le(g.getFloat(i, j)))
               else out.add(i, g.getFloat(i, j))
@@ -114,7 +128,7 @@ object ParquetTranscode {
           }
           case gt: GroupType =>
             out.add(i, copy(g.getGroup(i, j).asInstanceOf[Group], gt,
-              to.getType(i).asGroupType(), fPath, targets, f16Leaves))
+              to.getType(i).asGroupType(), fPath, targets, f16Leaves, uint32Cols))
         }
       }
     }
@@ -124,6 +138,7 @@ object ParquetTranscode {
   def rewrite(in: String, out: String,
       targets: Map[String, (Int, LogicalTypeAnnotation)],
       f16Leaves: Set[String] = Set.empty,
+      uint32Cols: Set[String] = Set.empty,
       conf: Configuration = new Configuration()): Unit = {
     val inPath = new org.apache.hadoop.fs.Path(in)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(inPath, conf))
@@ -136,12 +151,12 @@ object ParquetTranscode {
       finally r.close()
     val allPaths = schema.getPaths.asScala.map(_.mkString(".")).toSet ++
       schema.getFields.asScala.map(_.getName)
-    val missing = (targets.keySet ++ f16Leaves) -- allPaths
+    val missing = (targets.keySet ++ f16Leaves ++ uint32Cols) -- allPaths
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"columns not in schema: ${missing.toSeq.sorted.mkString(", ")}")
     val newSchema = new MessageType(schema.getName,
       schema.getFields.asScala
-        .map(f => retype(f, f.getName, targets, f16Leaves)).asJava)
+        .map(f => retype(f, f.getName, targets, f16Leaves, uint32Cols)).asJava)
     val reader = ParquetReader.builder(new GroupReadSupport(), inPath)
       .withConf(conf).build()
     val writer = ExampleParquetWriter
@@ -149,10 +164,13 @@ object ParquetTranscode {
       .withType(newSchema)
       .withConf(conf)
       .withCompressionCodec(codec)
-      // FLBA stands in for BINARY transparently, but an f16 leaf changes
-      // the Spark-visible type — drop Spark's embedded schema JSON then,
-      // so readers infer FloatType from the parquet FLOAT16 annotation
-      // instead of trusting a stale `float` physical expectation
+      // FLBA stands in for BINARY transparently and UINT_32 reads into
+      // the LongType the embedded Spark schema claims, but an f16 leaf
+      // changes the Spark-visible physical — drop Spark's schema JSON
+      // then, so readers infer from the parquet FLOAT16 annotation
+      // instead of trusting a stale `float` expectation. (Keeping the
+      // JSON otherwise matters: schema INFERENCE rejects the legacy
+      // INTERVAL annotation outright.)
       .withExtraMetaData(
         if (f16Leaves.isEmpty) kv
         else (kv.asScala - "org.apache.spark.sql.parquet.row.metadata").asJava)
@@ -161,7 +179,7 @@ object ParquetTranscode {
     try {
       var g = reader.read()
       while (g != null) {
-        writer.write(copy(g, schema, newSchema, "", targets, f16Leaves))
+        writer.write(copy(g, schema, newSchema, "", targets, f16Leaves, uint32Cols))
         g = reader.read()
       }
     } finally { reader.close(); writer.close() }
@@ -171,13 +189,14 @@ object ParquetTranscode {
   def rewritePath(path: String,
       targets: Map[String, (Int, LogicalTypeAnnotation)],
       f16Leaves: Set[String] = Set.empty,
+      uint32Cols: Set[String] = Set.empty,
       conf: Configuration = new Configuration()): Int = {
     val parts = ParquetSink.partFiles(path, conf)
     parts.foreach { p =>
       val tmp = new org.apache.hadoop.fs.Path(
         p.getParent, s".${p.getName}.transcoding")
       val fs = p.getFileSystem(conf)
-      rewrite(p.toString, tmp.toString, targets, f16Leaves, conf)
+      rewrite(p.toString, tmp.toString, targets, f16Leaves, uint32Cols, conf)
       if (!fs.delete(p, false) || !fs.rename(tmp, p))
         throw new java.io.IOException(s"failed to replace $p with transcoded copy")
     }

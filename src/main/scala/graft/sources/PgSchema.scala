@@ -206,6 +206,9 @@ object PgSchema {
       case PgSimple("json") | PgSimple("jsonb") => Some("json")
       case _: PgEnum if s.enumHandling != "int" => Some("enum")
       case PgSimple("time") => Some("time-micros")
+      // "char" u8 rides the INT32 physical its ShortType transfer
+      // produced; the reference annotates UInt8 (postgres_cloner.rs:449)
+      case PgSimple("char") | PgSimple("\"char\"") => Some("uint8")
       case _ => None
     }
 
@@ -232,6 +235,13 @@ object PgSchema {
         Some(s"$name.list.element")
       case _ => None
     }
+
+  /** oid is u32 in pg; the reference stores it INT32 + UInt32
+    * (postgres_cloner.rs:448). The scan widens to LongType so every
+    * value survives Spark; the post-write transcode narrows back to
+    * the u32 bit pattern in INT32. */
+  def uint32For(kind: PgKind): Boolean =
+    baseKind(kind) == PgSimple("oid")
 
   // ---- catalog model (what IntrospectionSql returns)
 

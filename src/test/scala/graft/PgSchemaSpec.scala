@@ -331,6 +331,9 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(annotationFor(PgSimple("interval"), s).isEmpty)
     // nested json (array element) is not a top-level rewrite target
     assert(annotationFor(PgArray(PgSimple("json")), s).isEmpty)
+    // "char" u8 annotates its INT32 physical footer-only
+    assert(annotationFor(PgSimple("\"char\""), s).contains("uint8"))
+    assert(annotationFor(PgSimple("char"), s).contains("uint8"))
   }
 
   test("transcodeFor: uuid always, interval only in bytes mode, nothing else") {
@@ -346,5 +349,9 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(float16LeafFor("emb", PgSimple("halfvec"), s).isEmpty)
     assert(float16LeafFor("emb", PgSimple("halfvec"),
       s.copy(float16Handling = "float16")).contains("emb.list.element"))
+    // oid narrows back to u32-in-INT32
+    assert(uint32For(PgSimple("oid")))
+    assert(uint32For(PgDomain(PgSimple("oid"))))
+    assert(!uint32For(PgSimple("int8")))
   }
 }

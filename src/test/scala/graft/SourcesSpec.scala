@@ -142,15 +142,16 @@ class SourcesSpec extends AnyFunSuite {
     import graft.sources.ParquetTranscode
     def b(n: Int, seed: Int) = Array.tabulate(n)(i => (seed + i).toByte)
     val df = Seq(
-      (1L, b(16, 10), b(12, 40), Seq("x", "y"), "keep"),
-      (2L, b(16, 20), b(12, 50), Seq.empty[String], "also"),
+      (1L, b(16, 10), b(12, 40), Seq("x", "y"), "keep", 4294967295L),
+      (2L, b(16, 20), b(12, 50), Seq.empty[String], "also", 0L),
       (3L, null.asInstanceOf[Array[Byte]], null.asInstanceOf[Array[Byte]],
-        null.asInstanceOf[Seq[String]], null.asInstanceOf[String]))
-      .toDF("id", "u", "iv", "tags", "note")
+        null.asInstanceOf[Seq[String]], null.asInstanceOf[String], 77L))
+      .toDF("id", "u", "iv", "tags", "note", "o")
     ParquetSink.write(df, s"$dir/t", ParquetSink.SinkOptions())
     ParquetTranscode.rewritePath(s"$dir/t", Map(
       "u" -> ParquetTranscode.Targets("uuid"),
-      "iv" -> ParquetTranscode.Targets("interval")))
+      "iv" -> ParquetTranscode.Targets("interval")),
+      uint32Cols = Set("o"))
     val f = ParquetSink.partFiles(s"$dir/t").head
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       f, spark.sparkContext.hadoopConfiguration)
@@ -162,10 +163,16 @@ class SourcesSpec extends AnyFunSuite {
     val iv = schema.getType(Seq("iv"): _*).asPrimitiveType
     assert(iv.getTypeLength == 12 &&
       iv.getLogicalTypeAnnotation.toString.startsWith("INTERVAL"))
+    val o = schema.getType(Seq("o"): _*).asPrimitiveType
+    assert(o.getPrimitiveTypeName.toString == "INT32")
+    assert(o.getLogicalTypeAnnotation.toString == "INTEGER(32,false)")
     // values survive byte-for-byte, nulls and the untouched columns too
     val back = spark.read.parquet(s"$dir/t").orderBy("id").collect()
     assert(back(0).getAs[Array[Byte]]("u").toSeq == b(16, 10).toSeq)
     assert(back(0).getAs[Array[Byte]]("iv").toSeq == b(12, 40).toSeq)
+    // Spark reads UINT_32 back as LongType with the full u32 range
+    assert(back(0).getAs[Long]("o") == 4294967295L)
+    assert(back(1).getAs[Long]("o") == 0L && back(2).getAs[Long]("o") == 77L)
     assert(back(0).getSeq[String](back(0).fieldIndex("tags")).toList == List("x", "y"))
     assert(back(1).getSeq[String](back(1).fieldIndex("tags")).toList == Nil)
     assert(back(2).isNullAt(back(2).fieldIndex("u")))
@@ -175,6 +182,11 @@ class SourcesSpec extends AnyFunSuite {
     ParquetSink.write(df2, s"$dir/bad", ParquetSink.SinkOptions())
     intercept[IllegalArgumentException](ParquetTranscode.rewritePath(
       s"$dir/bad", Map("u" -> ParquetTranscode.Targets("uuid"))))
+    // out-of-u32-range values are refused too
+    val df3 = Seq((1L, -5L)).toDF("id", "o")
+    ParquetSink.write(df3, s"$dir/bad2", ParquetSink.SinkOptions())
+    intercept[IllegalArgumentException](ParquetTranscode.rewritePath(
+      s"$dir/bad2", Map.empty, uint32Cols = Set("o")))
   }
 
   test("transcode: halfvec float16 mode — list<float> → list<FLBA(2)+FLOAT16>") {
