@@ -1631,6 +1631,50 @@ object Pipeline {
       },
       headline = true),
 
+    // ---- p31: leakage-safe train/val/test split — the assignment is
+    // hashed from the near-dup COMPONENT representative, not the doc,
+    // so a near-duplicate pair can never straddle train and test (the
+    // classic eval-leakage bug a doc-hash split ships silently).
+    // Singletons are their own component. RNG-free md5 split (like
+    // p15/p24) at 80/10/10; one broadcast join against the component
+    // table (bounded by the near-dup set), map-side hashing for the
+    // corpus.
+    QueryDef(
+      "p31_leakage_safe_split",
+      (s, d) => {
+        val pairs = neardupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val comp = connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("component"))
+        val assigned = T.documents(s, d).select(col("doc_id"), col("lang"))
+          .join(broadcast(comp), Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .withColumn("bucket",
+            conv(substring(md5(concat(lit("split:"),
+              col("component").cast(StringType))), 1, 8), 16, 10)
+              .cast(LongType) % 10)
+        assigned
+          .select(col("doc_id"), col("component"),
+            when(col("bucket") < 8, lit("train"))
+              .when(col("bucket") === 8, lit("val"))
+              .otherwise(lit("test")).as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $NeardupPairsSql,
+        $ComponentsSql,
+        assigned AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS component,
+                 CAST('0x' || substr(md5('split:' ||
+                   CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 10 AS bucket
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        SELECT doc_id, component,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned ORDER BY doc_id""")),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio
@@ -1662,6 +1706,26 @@ object Pipeline {
                CAST(octet_length(encode(text)) AS BIGINT) AS meta_n_bytes,
                substr(hex(encode(text)), 1, 16) AS head_hex,
                CAST(octet_length(encode(text)) // 100 AS BIGINT) AS n_frames
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- m02: multimodal frame sampling through the REAL typed path —
+    // Dataset[MediaRecord] → mapPartitions (codec-init-per-partition
+    // shape) → Dataset[FrameSample] — so the driver gate covers the
+    // mapPartitions plumbing itself, not just m01's column projection.
+    // One "frame" per stride bytes of payload; a real decoder swaps in
+    // for the stub with no plumbing change (operators.Multimodal).
+    QueryDef(
+      "m02_multimodal_frames",
+      (s, d) => {
+        Multimodal.sampleFrames(Multimodal.fromDocuments(s, d), stride = 100)
+          .toDF()
+          .orderBy(col("doc_id"), col("frame_no"))
+      },
+      Some("""
+        SELECT doc_id, CAST(i AS INT) AS frame_no,
+               CAST(i * 100 AS BIGINT) AS "offset"
+        FROM documents,
+             unnest(range(0, octet_length(encode(text)) // 100)) t(i)
+        ORDER BY doc_id, frame_no"""))
   )
 }
