@@ -36,6 +36,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { _ =>
+      val n = 30
+      val edges = Seq.fill(22)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // union-find with min-id roots: the final root IS the component min
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = nodes.map(x => x -> find(x.toInt).toLong).toMap
+      assert(cc(edges) == expected)
+    }
+  }
+
   test("connectedComponents: merging bridge joins two clusters under one min") {
     // two triangles joined by a bridge — every node must land on the
     // global min 1, including nodes whose direct neighbors never see it

@@ -286,6 +286,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(names == names.sorted.reverse) // file row order = query order
   }
 
+  test("export: --sort-by clustered layout end-to-end through runExport") {
+    val out = java.nio.file.Files.createTempDirectory("exp").toString + "/li"
+    val stats = Main.runExport(spark, Main.Args(
+      outputFile = out,
+      table = Some("lineitem"),
+      connection = Some(s"dir:${TestSpark.sfDir}"),
+      multiFile = true, sortBy = Seq("l_orderkey"), sortFiles = Some(3),
+      quiet = true), Map.empty)
+    assert(stats.rows > 0 && stats.files >= 2)
+    val ranges = ParquetSink.partFiles(out)
+      .flatMap(f => ParquetSink.columnRange(f, "l_orderkey"))
+      .map { case (lo, hi) => (lo.asInstanceOf[Long], hi.asInstanceOf[Long]) }
+      .sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping clustered ranges: $ranges")
+    }
+  }
+
   // ---- CLI arg surface (O3/O22 error-message parity)
   test("cli: exactly one of table/query; env-var connection resolution") {
     import Main.parseArgs
