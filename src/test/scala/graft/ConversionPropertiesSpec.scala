@@ -22,6 +22,15 @@ class ConversionPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("f16 bit pattern is stable under rounding (FLBA(2) storage invariant)") {
+    // ParquetTranscode stores f16Bits of values already rounded through
+    // roundToFloat16 — the bits must be identical to hashing the raw
+    // float, or the float32 and float16 storage modes would disagree
+    check(Prop.forAll(Gen.chooseNum(-70000f, 70000f)) { f =>
+      f16Bits(roundToFloat16(f)) == f16Bits(f)
+    })
+  }
+
   test("f16 rounding error is within half an f16 ULP for normal values") {
     check(Prop.forAll(Gen.chooseNum(6.2e-5f, 65000f)) { f =>
       val r = roundToFloat16(f)
