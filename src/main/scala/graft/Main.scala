@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{JdbcReader, JsonlDirReader, ParquetDirReader, ParquetSink, Reader}
+import graft.sources.{CsvDirReader, JdbcReader, JsonlDirReader, ParquetDirReader, ParquetSink, Reader}
 import graft.functions.PgConversions.PgSettings
 
 /** CLI shell mirroring the reference's argument surface
@@ -267,6 +267,8 @@ object Main {
       new ParquetDirReader(conn.stripPrefix("dir:"), Tables.names)
     else if (conn.startsWith("jsonl:"))
       new JsonlDirReader(conn.stripPrefix("jsonl:"))
+    else if (conn.startsWith("csv:"))
+      new CsvDirReader(conn.stripPrefix("csv:"))
     else if (conn.startsWith("jdbc:"))
       new JdbcReader(conn,
         // credentials embedded in the connection string take precedence
@@ -281,7 +283,7 @@ object Main {
         tlsOptions = JdbcReader.tlsProperties(a.sslmode, a.sslRootCerts,
           a.sslClientCert, a.sslClientKey))
     else throw new IllegalArgumentException(
-      s"unsupported connection '$conn' (expected jdbc:postgresql://..., dir:/path or jsonl:/path)")
+      s"unsupported connection '$conn' (expected jdbc:postgresql://..., dir:/path, jsonl:/path or csv:/path)")
   }
 
   /** The export pipeline: read (table or query) → single ordered

@@ -847,6 +847,38 @@ object Relational {
       Some("""
         SELECT l_linestatus, quantile_cont(l_quantity, 0.9) AS p90_exact,
                true AS approx_close
-        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- q38: correlated EXISTS / NOT EXISTS — Catalyst's subquery
+    // DECORRELATION surface (RewritePredicateSubquery turns these into
+    // a left-semi and a left-anti join on o_custkey; q05/q06 build the
+    // same joins by hand, this proves the declarative spelling lands on
+    // the identical physical plan).
+    QueryDef(
+      "q38_exists_subquery",
+      (s, d) => {
+        T.customer(s, d).createOrReplaceTempView("customer_v")
+        T.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c_custkey, c_name
+          FROM customer_v c
+          WHERE EXISTS (SELECT 1 FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 200000)
+            AND NOT EXISTS (SELECT 1 FROM orders_v o2
+                            WHERE o2.o_custkey = c.c_custkey
+                              AND o2.o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey"""))
   )
 }

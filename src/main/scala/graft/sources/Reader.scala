@@ -132,6 +132,45 @@ final class JsonlDirReader(
   }
 }
 
+/** CSV-directory reader (beyond-reference): one `<dir>/<name>.csv[.gz]`
+  * per table — the other raw ingest format crawl/export dumps arrive
+  * in. Header row expected; schema inferred by default (an extra pass —
+  * at 100 TB pass `schema` so the scan is single-pass). Same
+  * splittability note as JSONL: .gz shards parallelize per FILE, so
+  * prefer many shards. */
+final class CsvDirReader(
+    dir: String,
+    schema: Option[org.apache.spark.sql.types.StructType] = None) extends Reader {
+
+  private def read(spark: SparkSession, path: String): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = {
+    val plain = s"$dir/$name.csv"
+    val gz = s"$plain.gz"
+    (DirListing.exists(spark, plain), DirListing.exists(spark, gz)) match {
+      case (true, true) => throw new IllegalArgumentException(
+        s"both $name.csv and $name.csv.gz exist in $dir — ambiguous; remove one")
+      case (_, true) => read(spark, gz)
+      case _ => read(spark, plain)
+    }
+  }
+
+  def query(spark: SparkSession, sql: String): DataFrame = {
+    val entries = DirListing.list(spark, dir, Seq(".csv", ".csv.gz"))
+    val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"ambiguous csv tables in $dir (both .csv and .csv.gz): " +
+        dups.mkString(", "))
+    entries
+      .filter { case (t, _) => DirListing.mentions(sql, t) }
+      .foreach { case (t, p) => read(spark, p).createOrReplaceTempView(t) }
+    spark.sql(sql)
+  }
+}
+
 /** JDBC reader for a live PostgreSQL (O1–O3).
   *
   * Connection options mirror the reference's surface

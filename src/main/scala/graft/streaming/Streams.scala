@@ -126,6 +126,17 @@ object Streams {
       .withColumn("text", PiiScrub.redact(col("text")))
   }
 
+  /** Stream-static enrichment: join the unbounded stream against a
+    * bounded dimension table (source metadata, license registry,
+    * per-domain quality priors). Spark broadcasts the static side into
+    * every micro-batch — no stream state, no watermark, and the static
+    * side re-resolves per batch so a refreshed dim table is picked up
+    * by simply swapping the underlying files. Left join: an event with
+    * an unknown key passes through with nulls rather than silently
+    * dropping (the enrichment must never lose corpus rows). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Checkpointed parquet ingestion — the landing end of the stream:
     * append-mode file sink whose commit log (under `checkpoint`) gives
     * exactly-once file output across restarts. A batch committed before

@@ -52,6 +52,28 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   // ---- PostgresDialect (O4)
+  test("CsvDirReader: header csv → table/query scans; gz and ambiguity rules") {
+    val dir = Files.createTempDirectory("csvdir").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/people.csv"),
+      "id,name\n1,ada\n2,grace\n3,edsger\n".getBytes)
+    val gzPath = s"$dir/pets.csv.gz"
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gzPath))
+    gz.write("id,animal\n1,cat\n2,dog\n".getBytes); gz.close()
+    val r = new graft.sources.CsvDirReader(dir)
+    assert(r.table(spark, "people").count() == 3)
+    assert(r.table(spark, "pets").count() == 2) // .gz branch
+    val joined = r.query(spark,
+      "SELECT p.name, q.animal FROM people p JOIN pets q ON p.id = q.id ORDER BY p.id")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(joined == Seq(("ada", "cat"), ("grace", "dog")))
+    // both plain and gz present → ambiguous
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/pets.csv"),
+      "id,animal\n9,ant\n".getBytes)
+    intercept[IllegalArgumentException](r.table(spark, "pets"))
+    intercept[IllegalArgumentException](r.query(spark, "SELECT * FROM pets"))
+  }
+
   test("dialect maps pg type names per §2.3") {
     def m(tn: String, sqlType: Int = java.sql.Types.OTHER) =
       PostgresDialect.getCatalystType(sqlType, tn, 0, new MetadataBuilder)

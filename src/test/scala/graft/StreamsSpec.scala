@@ -194,6 +194,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("enrich: stream-static broadcast join keeps unknown keys with nulls") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq(("web", 0.9), ("books", 0.99)).toDF("source", "quality")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.enrich(in.toDF().toDF("doc_id", "source"), dim, "source")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "web"), (2L, "books"), (3L, "unknown"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .collect().map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+      assert(rows == Seq((1L, Some(0.9)), (2L, Some(0.99)), (3L, None)))
+    } finally q.stop()
+  }
+
   test("runningUserStats: keyed state accumulates across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
