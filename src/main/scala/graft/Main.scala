@@ -215,6 +215,13 @@ object Main {
         "Options --partition-column and --partitions must both be specified.")
     if (a.partitions.exists(_ < 1))
       throw new IllegalArgumentException("--partitions must be at least 1")
+    // --sort-files only shapes a --sort-by layout; alone it would be
+    // silently dropped — reject like the other half-specified pairs
+    if (a.sortFiles.isDefined && a.sortBy.isEmpty)
+      throw new IllegalArgumentException(
+        "--sort-files requires --sort-by <C>")
+    if (a.sortFiles.exists(_ < 1))
+      throw new IllegalArgumentException("--sort-files must be at least 1")
     // pgjdbc treats fetchsize 0 as fetch-ALL (whole result buffered in
     // memory) — reject it here rather than OOM on the tables the knob
     // exists for
@@ -362,26 +369,33 @@ object Main {
     // 1) uuid/raw-interval → fixed-width FLBA with annotation (full
     //    value re-encode); 2) JSON/ENUM/TIME logical annotations
     //    (footer-only rewrite, data bytes untouched).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var rewrote = false
     if (a.logicalAnnotations) {
       val dataKinds = colKinds.filter { case (c, _) => !a.partitionBy.contains(c) }
-      val hconf = spark.sparkContext.hadoopConfiguration
       val txcTargets = dataKinds.flatMap { case (c, k) =>
         graft.sources.PgSchema.transcodeFor(k, a.settings).map(c -> _) }
       val f16Leaves = dataKinds.flatMap { case (c, k) =>
         graft.sources.PgSchema.float16LeafFor(c, k, a.settings) }.toSet
       val uint32Cols = dataKinds.collect { case (c, k)
         if graft.sources.PgSchema.uint32For(k) => c }.toSet
-      if (txcTargets.nonEmpty || f16Leaves.nonEmpty || uint32Cols.nonEmpty)
+      val annTargets = dataKinds.flatMap { case (c, k) =>
+        graft.sources.PgSchema.annotationFor(k, a.settings).map(c -> _) }
+      val annMap = annTargets.map { case (c, k) =>
+        c -> graft.sources.ParquetAnnotations.Annotations(k) }
+      if (txcTargets.nonEmpty || f16Leaves.nonEmpty || uint32Cols.nonEmpty) {
+        // one full rewrite carries the footer annotations too — a file
+        // needing both is never copied twice
         graft.sources.ParquetTranscode.rewritePath(a.outputFile,
           txcTargets.map { case (c, k) =>
             c -> graft.sources.ParquetTranscode.Targets(k) },
-          f16Leaves, uint32Cols, hconf)
-      val annTargets = dataKinds.flatMap { case (c, k) =>
-        graft.sources.PgSchema.annotationFor(k, a.settings).map(c -> _) }
-      if (annTargets.nonEmpty)
-        graft.sources.ParquetAnnotations.rewritePath(a.outputFile,
-          annTargets.map { case (c, k) =>
-            c -> graft.sources.ParquetAnnotations.Annotations(k) }, hconf)
+          f16Leaves, uint32Cols, annMap, hconf)
+        rewrote = true
+      } else if (annMap.nonEmpty) {
+        // annotations alone: the cheap footer-only splice
+        graft.sources.ParquetAnnotations.rewritePath(a.outputFile, annMap, hconf)
+        rewrote = true
+      }
       if (!a.quiet && (txcTargets.nonEmpty || annTargets.nonEmpty ||
           f16Leaves.nonEmpty || uint32Cols.nonEmpty))
         System.err.println("reference-parity parquet types: " +
@@ -389,9 +403,17 @@ object Main {
             ++ f16Leaves.toSeq.sorted.map(p => s"$p=float16")
             ++ uint32Cols.toSeq.sorted.map(c => s"$c=uint32")).mkString(", "))
     }
+    // post-write rewrites change file sizes (FLBA widths, re-encoded
+    // pages) — re-read the footers so the returned stats match disk
+    val finalStats = if (!rewrote) stats else {
+      val parts = ParquetSink.partFiles(a.outputFile, hconf)
+      ParquetSink.WriteStats(
+        parts.map(ParquetSink.rowCount(_, hconf)).sum,
+        parts.map(ParquetSink.fileLength(_, hconf)).sum, parts.length)
+    }
     if (!a.quiet)
-      System.err.println(s"exported ${stats.rows} rows to ${a.outputFile}")
-    stats
+      System.err.println(s"exported ${finalStats.rows} rows to ${a.outputFile}")
+    finalStats
   }
 
   def main(argv: Array[String]): Unit = {

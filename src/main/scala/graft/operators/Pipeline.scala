@@ -118,10 +118,7 @@ object Pipeline {
     // duplicate hashes but costs an extra string-array materialization
     // — net slower on this corpus, so hash-then-distinct stays)
     val xs = docs
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
-          i => hash32(array_join(slice(col("ws"), i, lit(5)), " "))))
-          .as("xs"))
+      .select(col("doc_id"), shingleHashes(col("ws")).as("xs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // All 32 minima are pure per-row array folds: the whole
@@ -270,7 +267,7 @@ object Pipeline {
     * appear in a pair are returned (isolated nodes are their own
     * component trivially). */
   private[graft] def connectedComponents(
-      pairsDf: DataFrame, maxIter: Int = 20): DataFrame = {
+      pairsDf: DataFrame, maxIter: Int = 50): DataFrame = {
     val Seq(a, b) = pairsDf.columns.take(2).toSeq.map(col)
     val half = pairsDf.select(a.as("src"), b.as("dst"))
     val edges = half
@@ -295,6 +292,13 @@ object Pipeline {
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
+    // Returning non-converged labels would SILENTLY split components —
+    // p31 would then hash the halves into different train/test buckets,
+    // the exact leakage it exists to prevent. Fail loudly instead.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still decreasing) — the pair graph has " +
+        s"diameter > $maxIter; raise maxIter")
     labels.select(col("node"), col("lbl").as("component"))
   }
 

@@ -38,7 +38,7 @@ object ParquetAnnotations {
     // "char" u8 rides its INT32 physical unchanged (values are 0..255)
     "uint8" -> LogicalTypeAnnotation.intType(8, false))
 
-  private def annotated(t: Type, ann: Map[String, LogicalTypeAnnotation]): Type =
+  private[sources] def annotated(t: Type, ann: Map[String, LogicalTypeAnnotation]): Type =
     t match {
       case p: PrimitiveType if ann.contains(p.getName) =>
         val a = ann(p.getName)
@@ -80,28 +80,29 @@ object ParquetAnnotations {
       s"columns not in schema: ${missing.toSeq.sorted.mkString(", ")}")
     val newSchema = new MessageType(schema.getName,
       schema.getFields.asScala.map(annotated(_, ann)).asJava)
+    val outPath = new org.apache.hadoop.fs.Path(out)
     val w = new ParquetFileWriter(
-      HadoopOutputFile.fromPath(new org.apache.hadoop.fs.Path(out), conf),
+      HadoopOutputFile.fromPath(outPath, conf),
       newSchema, ParquetFileWriter.Mode.OVERWRITE,
       128L * 1024 * 1024 /* row-group size, unused for appended groups */,
       0 /* max padding */)
-    w.start()
-    w.appendFile(inFile)
-    w.end(kv)
+    try {
+      w.start()
+      w.appendFile(inFile)
+      w.end(kv)
+    } catch { case e: Throwable =>
+      // a failed splice leaves a half-written temp — remove it so the
+      // caller's replace protocol never sees a plausible-looking stub
+      try outPath.getFileSystem(conf).delete(outPath, false)
+      catch { case _: Throwable => }
+      throw e
+    }
   }
 
   /** In-place variant over every part file of a sink output path. */
   def rewritePath(path: String, ann: Map[String, LogicalTypeAnnotation],
-      conf: Configuration = new Configuration()): Int = {
-    val parts = ParquetSink.partFiles(path, conf)
-    parts.foreach { p =>
-      val tmp = new org.apache.hadoop.fs.Path(
-        p.getParent, s".${p.getName}.annotating")
-      val fs = p.getFileSystem(conf)
-      rewrite(p.toString, tmp.toString, ann, conf)
-      if (!fs.delete(p, false) || !fs.rename(tmp, p))
-        throw new java.io.IOException(s"failed to replace $p with annotated copy")
+      conf: Configuration = new Configuration()): Int =
+    ParquetSink.replacePartFiles(path, "annotating", conf) {
+      (p, tmp) => rewrite(p.toString, tmp.toString, ann, conf)
     }
-    parts.length
-  }
 }

@@ -165,6 +165,32 @@ object ParquetSink {
     walk(root).sortBy(_.toString)
   }
 
+  /** Replace every part file under `path` with a rewritten copy, safely:
+    * rewrite into a `.tmp`, move the ORIGINAL aside as `.bak`, move the
+    * `.tmp` into place, then drop the backup — so the committed data
+    * survives every failure point (a delete-before-rename protocol
+    * loses the only copy when the rename fails). Shared by the
+    * annotation and transcode post-write passes. */
+  def replacePartFiles(path: String, suffix: String,
+      conf: org.apache.hadoop.conf.Configuration)(
+      rewriteOne: (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) => Unit): Int = {
+    val parts = partFiles(path, conf)
+    parts.foreach { p =>
+      val fs = p.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.$suffix")
+      val bak = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.bak")
+      rewriteOne(p, tmp)
+      if (!fs.rename(p, bak))
+        throw new java.io.IOException(s"failed to move $p aside for replacement")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(bak, p) // restore the original before reporting
+        throw new java.io.IOException(s"failed to move rewritten copy into $p")
+      }
+      fs.delete(bak, false)
+    }
+    parts.length
+  }
+
   def fileLength(p: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration = hadoopConf): Long =
     p.getFileSystem(conf).getFileStatus(p).getLen

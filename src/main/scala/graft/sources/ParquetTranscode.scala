@@ -45,7 +45,13 @@ object ParquetTranscode {
 
   private def retype(t: Type, path: String,
       targets: Map[String, (Int, LogicalTypeAnnotation)],
-      f16Leaves: Set[String], uint32Cols: Set[String]): Type = t match {
+      f16Leaves: Set[String], uint32Cols: Set[String],
+      annotations: Map[String, LogicalTypeAnnotation]): Type = t match {
+    // footer-only annotations fold into the transcode pass so a file
+    // needing both is rewritten ONCE, not re-copied a second time just
+    // to change its footer
+    case p: PrimitiveType if annotations.contains(path) =>
+      ParquetAnnotations.annotated(p, Map(p.getName -> annotations(path)))
     case p: PrimitiveType if targets.contains(path) =>
       val (len, ann) = targets(path)
       if (p.getPrimitiveTypeName != BINARY)
@@ -74,7 +80,8 @@ object ParquetTranscode {
       Option(g.getLogicalTypeAnnotation).foreach(b.as)
       g.getFields.asScala
         .foreach(f => b.addField(
-          retype(f, s"$path.${f.getName}", targets, f16Leaves, uint32Cols)))
+          retype(f, s"$path.${f.getName}", targets, f16Leaves, uint32Cols,
+            annotations)))
       b.named(g.getName)
     case other => other
   }
@@ -139,6 +146,7 @@ object ParquetTranscode {
       targets: Map[String, (Int, LogicalTypeAnnotation)],
       f16Leaves: Set[String] = Set.empty,
       uint32Cols: Set[String] = Set.empty,
+      annotations: Map[String, LogicalTypeAnnotation] = Map.empty,
       conf: Configuration = new Configuration()): Unit = {
     val inPath = new org.apache.hadoop.fs.Path(in)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(inPath, conf))
@@ -151,12 +159,14 @@ object ParquetTranscode {
       finally r.close()
     val allPaths = schema.getPaths.asScala.map(_.mkString(".")).toSet ++
       schema.getFields.asScala.map(_.getName)
-    val missing = (targets.keySet ++ f16Leaves ++ uint32Cols) -- allPaths
+    val missing = (targets.keySet ++ f16Leaves ++ uint32Cols ++
+      annotations.keySet) -- allPaths
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"columns not in schema: ${missing.toSeq.sorted.mkString(", ")}")
     val newSchema = new MessageType(schema.getName,
       schema.getFields.asScala
-        .map(f => retype(f, f.getName, targets, f16Leaves, uint32Cols)).asJava)
+        .map(f => retype(f, f.getName, targets, f16Leaves, uint32Cols,
+          annotations)).asJava)
     val reader = ParquetReader.builder(new GroupReadSupport(), inPath)
       .withConf(conf).build()
     val writer = ExampleParquetWriter
@@ -190,16 +200,10 @@ object ParquetTranscode {
       targets: Map[String, (Int, LogicalTypeAnnotation)],
       f16Leaves: Set[String] = Set.empty,
       uint32Cols: Set[String] = Set.empty,
-      conf: Configuration = new Configuration()): Int = {
-    val parts = ParquetSink.partFiles(path, conf)
-    parts.foreach { p =>
-      val tmp = new org.apache.hadoop.fs.Path(
-        p.getParent, s".${p.getName}.transcoding")
-      val fs = p.getFileSystem(conf)
-      rewrite(p.toString, tmp.toString, targets, f16Leaves, uint32Cols, conf)
-      if (!fs.delete(p, false) || !fs.rename(tmp, p))
-        throw new java.io.IOException(s"failed to replace $p with transcoded copy")
+      annotations: Map[String, LogicalTypeAnnotation] = Map.empty,
+      conf: Configuration = new Configuration()): Int =
+    ParquetSink.replacePartFiles(path, "transcoding", conf) { (p, tmp) =>
+      rewrite(p.toString, tmp.toString, targets, f16Leaves, uint32Cols,
+        annotations, conf)
     }
-    parts.length
-  }
 }

@@ -90,15 +90,17 @@ final class ParquetDirReader(dir: String, tableNames: Seq[String]) extends Reade
   * `<dir>/<name>.jsonl[.gz]` per table — the raw-crawl ingest format a
   * training-data pipeline starts from before anything is columnar.
   * Schema is inferred from the data by default (an extra read pass);
-  * at 100 TB pass `schema` explicitly so the scan is single-pass, and
-  * note .gz files are not splittable — prefer many shard files (the
-  * usual crawl layout), which parallelize per file. */
+  * at 100 TB pass `schemas` (keyed BY TABLE — one schema cannot fit a
+  * multi-table query) so each scan is single-pass. Note .gz files are
+  * not splittable — prefer many shard files (the usual crawl layout),
+  * which parallelize per file. */
 final class JsonlDirReader(
     dir: String,
-    schema: Option[org.apache.spark.sql.types.StructType] = None) extends Reader {
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+  extends Reader {
 
-  private def read(spark: SparkSession, path: String): DataFrame =
-    schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
+  private def read(spark: SparkSession, name: String, path: String): DataFrame =
+    schemas.get(name).fold(spark.read)(s => spark.read.schema(s)).json(path)
 
   def table(spark: SparkSession, name: String): DataFrame = {
     val plain = s"$dir/$name.jsonl"
@@ -107,8 +109,8 @@ final class JsonlDirReader(
       case (true, true) => throw new IllegalArgumentException(
         s"both $name.jsonl and $name.jsonl.gz exist in $dir — " +
           "ambiguous; remove one")
-      case (_, true) => read(spark, gz)
-      case _ => read(spark, plain)
+      case (_, true) => read(spark, name, gz)
+      case _ => read(spark, name, plain)
     }
   }
 
@@ -127,7 +129,7 @@ final class JsonlDirReader(
         dups.mkString(", "))
     entries
       .filter { case (t, _) => DirListing.mentions(sql, t) }
-      .foreach { case (t, p) => read(spark, p).createOrReplaceTempView(t) }
+      .foreach { case (t, p) => read(spark, t, p).createOrReplaceTempView(t) }
     spark.sql(sql)
   }
 }
@@ -135,16 +137,18 @@ final class JsonlDirReader(
 /** CSV-directory reader (beyond-reference): one `<dir>/<name>.csv[.gz]`
   * per table — the other raw ingest format crawl/export dumps arrive
   * in. Header row expected; schema inferred by default (an extra pass —
-  * at 100 TB pass `schema` so the scan is single-pass). Same
-  * splittability note as JSONL: .gz shards parallelize per FILE, so
-  * prefer many shards. */
+  * at 100 TB pass `schemas`, keyed by table, so each scan is
+  * single-pass). Same splittability note as JSONL: .gz shards
+  * parallelize per FILE, so prefer many shards. */
 final class CsvDirReader(
     dir: String,
-    schema: Option[org.apache.spark.sql.types.StructType] = None) extends Reader {
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+  extends Reader {
 
-  private def read(spark: SparkSession, path: String): DataFrame = {
+  private def read(spark: SparkSession, name: String, path: String): DataFrame = {
     val r = spark.read.option("header", "true")
-    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+    schemas.get(name).fold(r.option("inferSchema", "true"))(s => r.schema(s))
+      .csv(path)
   }
 
   def table(spark: SparkSession, name: String): DataFrame = {
@@ -153,8 +157,8 @@ final class CsvDirReader(
     (DirListing.exists(spark, plain), DirListing.exists(spark, gz)) match {
       case (true, true) => throw new IllegalArgumentException(
         s"both $name.csv and $name.csv.gz exist in $dir — ambiguous; remove one")
-      case (_, true) => read(spark, gz)
-      case _ => read(spark, plain)
+      case (_, true) => read(spark, name, gz)
+      case _ => read(spark, name, plain)
     }
   }
 
@@ -166,7 +170,7 @@ final class CsvDirReader(
         dups.mkString(", "))
     entries
       .filter { case (t, _) => DirListing.mentions(sql, t) }
-      .foreach { case (t, p) => read(spark, p).createOrReplaceTempView(t) }
+      .foreach { case (t, p) => read(spark, t, p).createOrReplaceTempView(t) }
     spark.sql(sql)
   }
 }
@@ -258,8 +262,10 @@ final class JdbcReader(
           return base(spark).option("dbtable", rel).load()
         }
       else (b.getString(0), b.getString(1))
-    // clamping (or a constant column) can collapse the stride entirely —
-    // Spark requires lowerBound < upperBound, so scan unpartitioned then
+    // clamping (or a constant column) can collapse the stride entirely;
+    // Spark handles lo == hi itself (single whole-table partition), but
+    // an explicit unpartitioned scan states the intent and skips the
+    // pointless partitioning options
     if (numericBounds && lo.toLong >= hi.toLong)
       return base(spark).option("dbtable", rel).load()
     val df = base(spark).option("dbtable", scanRel)

@@ -173,7 +173,9 @@ class SourcesSpec extends AnyFunSuite {
     ParquetTranscode.rewritePath(s"$dir/t", Map(
       "u" -> ParquetTranscode.Targets("uuid"),
       "iv" -> ParquetTranscode.Targets("interval")),
-      uint32Cols = Set("o"))
+      uint32Cols = Set("o"),
+      // footer annotations fold into the same single rewrite pass
+      annotations = Map("note" -> ParquetAnnotations.Annotations("enum")))
     val f = ParquetSink.partFiles(s"$dir/t").head
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       f, spark.sparkContext.hadoopConfiguration)
@@ -188,6 +190,8 @@ class SourcesSpec extends AnyFunSuite {
     val o = schema.getType(Seq("o"): _*).asPrimitiveType
     assert(o.getPrimitiveTypeName.toString == "INT32")
     assert(o.getLogicalTypeAnnotation.toString == "INTEGER(32,false)")
+    assert(schema.getType(Seq("note"): _*).asPrimitiveType
+      .getLogicalTypeAnnotation.toString == "ENUM")
     // values survive byte-for-byte, nulls and the untouched columns too
     val back = spark.read.parquet(s"$dir/t").orderBy("id").collect()
     assert(back(0).getAs[Array[Byte]]("u").toSeq == b(16, 10).toSeq)
