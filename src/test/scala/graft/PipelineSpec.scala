@@ -29,6 +29,16 @@ class PipelineSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 40L -> 40L, 41L -> 40L))
   }
 
+  test("connectedComponents: refuses to return non-converged labels") {
+    import spark.implicits._
+    // a 6-node path needs 5 rounds; a 2-round budget must throw, not
+    // silently return split components
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException](
+      operators.Pipeline.connectedComponents(chain, maxIter = 2))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponents: empty pair list yields an empty result") {
     import spark.implicits._
     val out = operators.Pipeline.connectedComponents(
