@@ -212,6 +212,33 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupDocuments + toParquet: dedup STATE survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val in = MemoryStream[(Long, String, Timestamp)]
+    def dedup = Streams.dedupDocuments(
+      in.toDF().toDF("doc_id", "text", "ts")).select("doc_id", "content_hash")
+    val q1 = Streams.toParquet(dedup, s"$base/data", s"$base/ckpt")
+    try {
+      in.addData((1L, "same text", ts("2024-01-01 10:00:00")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: the content-hash state store must be
+    // recovered, so the same text arriving within the watermark is
+    // dropped by the NEW query instance
+    val q2 = Streams.toParquet(dedup, s"$base/data", s"$base/ckpt")
+    try {
+      in.addData(
+        (2L, "same text", ts("2024-01-01 10:05:00")),
+        (3L, "different text", ts("2024-01-01 10:06:00")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = spark.read.parquet(s"$base/data")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L)) // doc 2 deduped against pre-restart state
+  }
+
   test("runningUserStats: keyed state accumulates across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
