@@ -61,13 +61,19 @@ object Pipeline {
     array_distinct(transform(sequence(lit(1), size(ws) - 4),
       i => hash32(array_join(slice(ws, i, lit(5)), " "))))
 
+  /** All-n minhash minima in ONE codegen'd pass over the shingle array
+    * (the [[graft.plans.MinhashSignature]] expression — same universal
+    * hashes as hashA/hashB, bit-identical integer arithmetic). */
+  private def minhashSig(xs: Column, n: Int): Column =
+    call_function("minhash_sig", xs, lit(n))
+
   /** Band-0 minhash signature over a shingle-hash array — the LSH
     * bucket key shared by p19 and p23. */
-  private def bandSignature(xs: Column): Column =
+  private def bandSignature(xs: Column): Column = {
+    val sig = minhashSig(xs, BandRows)
     concat_ws(",", (0 until BandRows).map(i =>
-      array_min(transform(xs,
-        x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP))
-        .cast(StringType)): _*)
+      element_at(sig, i + 1).cast(StringType)): _*)
+  }
 
   /** p04 stop-gram cap: a trigram shared by more than this many docs in
     * a lang block carries no dedup signal and would quadratically blow
@@ -121,22 +127,22 @@ object Pipeline {
       .select(col("doc_id"), shingleHashes(col("ws")).as("xs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // All 32 minima are pure per-row array folds: the whole
-    // signature stage is map-side, ZERO shuffle (the r03 plan
-    // shuffled every (doc,shingle) pair through distinct + groupBy).
-    // Set sizes are read off the arrays in the verification join.
-    // (measured: folding all 32 minima in ONE aggregate pass with a
-    // 32-slot zip_with accumulator is ~19% slower than the 32
-    // transform+array_min passes — the per-element accumulator-array
-    // allocation outweighs the saved traversals, r06)
-    val minCols = (0 until NumHashes).map(i =>
-      array_min(transform(col("xs"),
-        x => (lit(hashA(i)) * x + lit(hashB(i))) % MinhashP)).as(s"mh$i"))
-    val mh = xs.select(col("doc_id") +: minCols: _*)
+    // All 32 minima in ONE codegen'd pass: the whole signature stage
+    // is map-side, ZERO shuffle (the r03 plan shuffled every
+    // (doc,shingle) pair through distinct + groupBy). Set sizes are
+    // read off the arrays in the verification join.
+    // (history: 32 separate transform+array_min columns = 32
+    // interpreted traversals + 32 intermediate arrays per doc; a
+    // 32-slot zip_with accumulator was ~19% slower still; the native
+    // MinhashSignature expression does one traversal with a primitive
+    // long[] accumulator inside whole-stage codegen)
+    val mh = xs.select(col("doc_id"),
+      minhashSig(col("xs"), NumHashes).as("mh"))
 
     val sigCols = (0 until NumHashes / BandRows).map(b =>
       concat_ws(",", (0 until BandRows).map(r =>
-        col(s"mh${b * BandRows + r}").cast(StringType)): _*).as(s"sig$b"))
+        element_at(col("mh"), b * BandRows + r + 1).cast(StringType)): _*)
+        .as(s"sig$b"))
     val stackExpr = (0 until NumHashes / BandRows)
       .map(b => s"$b, sig$b").mkString(", ")
     val bands = mh.select(col("doc_id") +: sigCols: _*)

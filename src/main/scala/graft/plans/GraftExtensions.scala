@@ -21,5 +21,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDistSq].getName, "float_dist_sq"),
       (children: Seq[Expression]) =>
         FloatDistSq(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinhashSignature(children(0), children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig: numHashes must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig: numHashes must be a foldable int literal")
+        })))
   }
 }
