@@ -217,27 +217,22 @@ object Pipeline {
   /** 48-bit SimHash fingerprint per document (p03's plan, factored out
     * so p26's Hamming-distance pairing runs over the identical
     * fingerprints). Entirely map-side: one md5 per token builds the
-    * per-row hash array, then 48 bit-vote folds and the bit assembly
-    * run inside the row — ZERO shuffle. The r05 shape exploded every
-    * (doc, token) pair through a groupBy carrying 48 conditional sums;
-    * measured dead-even at sf0.1 local[32] (2.26 s vs 2.27 s, r06)
-    * where shuffles are nearly free, but at cluster scale the explode
-    * shuffles ~tokens-per-doc × corpus rows over the network while
-    * this shape ships nothing — the fold is the 100 TB plan. Vote sums
-    * are order-free integers, so the fingerprints are bit-identical to
-    * the exploded spelling and the oracle is unchanged. */
-  private def simhashFp(s: SparkSession, d: String): DataFrame = {
-    val fp = (0 until 48).map { b =>
-      val vote = aggregate(col("ts"), lit(0),
-        (acc, t) => acc +
-          when(t.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * per-row hash array, then the codegen'd
+    * [[graft.plans.SimhashFingerprint]] expression folds all 48 bit
+    * votes in ONE traversal — ZERO shuffle. History: the r05 shape
+    * exploded every (doc, token) pair through a groupBy carrying 48
+    * conditional sums (dead-even at sf0.1 local[32] where shuffles are
+    * nearly free, but shipping ~tokens-per-doc × corpus rows at
+    * cluster scale); 48 per-row `aggregate` folds removed the shuffle
+    * but paid 48 interpreted traversals per doc. Vote sums are
+    * order-free integers, so the fingerprints are bit-identical under
+    * every spelling and the oracle is unchanged. */
+  private def simhashFp(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"),
         transform(words(col("text")), w => hash48(w)).as("ts"))
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+      .select(col("doc_id"),
+        call_function("simhash_fp", col("ts"), lit(48)).as("simhash"))
 
   /** Oracle-side twin of [[simhashFp]] as a CTE chain ending in
     * `fp(doc_id, simhash)`. */
@@ -361,7 +356,7 @@ object Pipeline {
       headline = true),
 
     // ---- p03: SimHash fingerprints — 48-bit weighted-bit-vote hash,
-    // one shuffle (48 conditional sums in a single groupBy). The
+    // fully map-side (one codegen'd pass per doc, see simhashFp). The
     // fingerprint builder is shared with p26, which pairs documents by
     // Hamming distance over these fingerprints.
     QueryDef(

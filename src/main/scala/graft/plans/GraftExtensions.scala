@@ -34,5 +34,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             "minhash_sig: numHashes must be a foldable int literal")
         })))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimhashFingerprint].getName, "simhash_fp"),
+      (children: Seq[Expression]) =>
+        SimhashFingerprint(children(0), children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"simhash_fp: numBits must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "simhash_fp: numBits must be a foldable int literal")
+        })))
   }
 }
