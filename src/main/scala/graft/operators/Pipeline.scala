@@ -24,14 +24,17 @@ import org.apache.spark.sql.types._
   */
 object Pipeline {
 
-  /** 32-bit integer identity of a shingle: md5-prefix parse. Identical
-    * formula on the oracle side: CAST('0x' || substr(md5(s),1,8) AS BIGINT). */
+  /** 32-bit integer identity of a shingle: md5-prefix parse via the
+    * codegen'd [[graft.plans.Md5PrefixLong]] (value-identical to
+    * `conv(substring(md5(c),1,8),16,10)` but skips the hex string +
+    * base-16 parse). Identical formula on the oracle side:
+    * CAST('0x' || substr(md5(s),1,8) AS BIGINT). */
   private def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+    call_function("md5_prefix_long", c, lit(4))
 
   /** 48-bit token hash (fits exactly in double/BIGINT on both engines). */
   private def hash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+    call_function("md5_prefix_long", c, lit(6))
 
   private def words(c: Column): Column = split(c, "\\s+")
 
@@ -58,8 +61,7 @@ object Pipeline {
     * shingle artifact — one definition so the cluster keys can never
     * de-synchronize between operators). */
   private def shingleHashes(ws: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(ws) - 4),
-      i => hash32(array_join(slice(ws, i, lit(5)), " "))))
+    call_function("kgram_hashes", ws, lit(5), lit(4))
 
   /** All-n minhash minima in ONE codegen'd pass over the shingle array
     * (the [[graft.plans.MinhashSignature]] expression — same universal
@@ -230,7 +232,7 @@ object Pipeline {
   private def simhashFp(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"),
-        transform(words(col("text")), w => hash48(w)).as("ts"))
+        call_function("md5_prefix_array", words(col("text")), lit(6)).as("ts"))
       .select(col("doc_id"),
         call_function("simhash_fp", col("ts"), lit(48)).as("simhash"))
 
@@ -758,20 +760,23 @@ object Pipeline {
 
     // ---- p12: document fingerprinting — min-of-rolling-window hashes
     // (winnowing-style, window = word 3-grams) + distinct-gram count;
-    // a compact per-doc sketch for shard-local dedup indexes.
+    // a compact per-doc sketch for shard-local dedup indexes. Entirely
+    // map-side: kgram_hashes emits the distinct 3-gram hash SET per row
+    // in one codegen'd pass, so the sketch is array_min + size — no
+    // explode, no groupBy, ZERO shuffle (history: the r05 shape exploded
+    // every (doc, gram) pair through a groupBy(doc_id); min and
+    // count-distinct over the multiset equal min and size over the set).
     QueryDef(
       "p12_fingerprint",
       (s, d) => {
-        val grams = T.documents(s, d)
+        T.documents(s, d)
           .select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= 3)
-          .select(col("doc_id"), explode(
-            transform(sequence(lit(1), size(col("ws")) - 2),
-              i => array_join(slice(col("ws"), i, lit(3)), " "))).as("g"))
-          .select(col("doc_id"), hash32(col("g")).as("h"))
-        grams.groupBy(col("doc_id"))
-          .agg(min(col("h")).as("fingerprint"),
-            countDistinct(col("h")).as("n_distinct_grams"))
+          .select(col("doc_id"),
+            call_function("kgram_hashes", col("ws"), lit(3), lit(4)).as("kh"))
+          .select(col("doc_id"),
+            array_min(col("kh")).as("fingerprint"),
+            size(col("kh")).cast(LongType).as("n_distinct_grams"))
           .orderBy(col("doc_id"))
       },
       Some("""
@@ -838,8 +843,8 @@ object Pipeline {
     QueryDef(
       "p15_stratified_sample",
       (s, d) => {
-        val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
-          .cast(LongType) % 100
+        val bucket = call_function("md5_prefix_long",
+          col("doc_id").cast(StringType), lit(2)) % 100
         T.documents(s, d)
           .withColumn("bucket", bucket)
           .filter(
@@ -876,8 +881,7 @@ object Pipeline {
           .select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= 5)
         val grams = docs.select(col("doc_id"),
-          explode(array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
-            i => array_join(slice(col("ws"), i, lit(5)), " ")))).as("g"))
+          explode(call_function("kgram_strings", col("ws"), lit(5))).as("g"))
         val ev = grams.filter(col("doc_id") % 97 === 0)
           .select(col("doc_id").as("eval_doc"), col("g"))
         val tr = grams.filter(col("doc_id") % 97 =!= 0)
@@ -1663,9 +1667,9 @@ object Pipeline {
           .join(broadcast(comp), Seq("doc_id"), "left")
           .withColumn("component", coalesce(col("component"), col("doc_id")))
           .withColumn("bucket",
-            conv(substring(md5(concat(lit("split:"),
-              col("component").cast(StringType))), 1, 8), 16, 10)
-              .cast(LongType) % 10)
+            call_function("md5_prefix_long",
+              concat(lit("split:"), col("component").cast(StringType)),
+              lit(4)) % 10)
         assigned
           .select(col("doc_id"), col("component"),
             when(col("bucket") < 8, lit("train"))

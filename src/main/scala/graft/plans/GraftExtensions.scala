@@ -47,5 +47,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             "simhash_fp: numBits must be a foldable int literal")
         })))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix_long"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),
+      (children: Seq[Expression]) =>
+        Md5PrefixLong(children(0),
+          TextHashes.litInt(children(1), "md5_prefix_long: nBytes"))))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix_array"),
+      new ExpressionInfo(classOf[Md5PrefixArray].getName, "md5_prefix_array"),
+      (children: Seq[Expression]) =>
+        Md5PrefixArray(children(0),
+          TextHashes.litInt(children(1), "md5_prefix_array: nBytes"))))
+    ext.injectFunction((
+      new FunctionIdentifier("kgram_hashes"),
+      new ExpressionInfo(classOf[KgramHashes].getName, "kgram_hashes"),
+      (children: Seq[Expression]) =>
+        KgramHashes(children(0),
+          TextHashes.litInt(children(1), "kgram_hashes: k"),
+          TextHashes.litInt(children(2), "kgram_hashes: nBytes"))))
+    ext.injectFunction((
+      new FunctionIdentifier("kgram_strings"),
+      new ExpressionInfo(classOf[KgramStrings].getName, "kgram_strings"),
+      (children: Seq[Expression]) =>
+        KgramStrings(children(0),
+          TextHashes.litInt(children(1), "kgram_strings: k"))))
   }
 }

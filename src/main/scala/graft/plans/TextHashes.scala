@@ -1,0 +1,272 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text-hashing kernels for the dedup/curation pipeline.
+  *
+  * Every document-pipeline hash in this engine is an md5 *prefix* parsed
+  * as an unsigned integer — the one hash both Spark and DuckDB compute
+  * bit-identically, so the driver's oracle gate can check the operators
+  * end-to-end (`CAST('0x' || substr(md5(s), 1, 2n) AS BIGINT)` on the
+  * DuckDB side). The Column spelling of that formula,
+  * `conv(substring(md5(c), 1, 2n), 16, 10).cast(LongType)`, pays for a
+  * 32-char hex string, a substring copy, and a base-16 string parse per
+  * value on top of the digest itself — and the array variants
+  * (per-token hashes, k-gram shingles) sit inside `transform(...)`
+  * higher-order functions, which are CodegenFallback: interpreted
+  * per-row with an intermediate Catalyst array per step.
+  *
+  * These expressions compute the identical values natively inside
+  * whole-stage codegen: the digest is updated incrementally (no joined
+  * k-gram string is ever materialized), the prefix is folded big-endian
+  * straight off the digest bytes (no hex/`conv` round-trip), and the
+  * k-gram kernels emit their whole output array in ONE traversal.
+  * Value-compatibility with the Column spelling (and therefore with the
+  * DuckDB oracles) is property-tested in TextHashesSpec.
+  */
+object TextHashes {
+  /** Reusable per-thread digest: `MessageDigest.getInstance` per call
+    * costs a provider lookup + allocation; executor threads are few. */
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** First `nBytes` (≤ 7) of the md5 digest folded big-endian —
+    * identical to parsing the first 2·nBytes hex chars as unsigned. */
+  private def fold(digest: Array[Byte], nBytes: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < nBytes) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    v
+  }
+
+  def hashOne(s: UTF8String, nBytes: Int): Long = {
+    val d = md.get()
+    d.reset()
+    fold(d.digest(s.getBytes), nBytes)
+  }
+
+  /** Per-element md5-prefix of a string array (the per-token hash
+    * stage of SimHash): null elements stay null, mirroring
+    * `transform(arr, w => conv(substring(md5(w), …)))`. */
+  def hashArray(arr: ArrayData, nBytes: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    val d = md.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        d.reset()
+        out(i) = fold(d.digest(arr.getUTF8String(i).getBytes), nBytes)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val Space = Array[Byte](' ')
+
+  /** Digest of words[i..i+k-1] joined by a single space, WITHOUT
+    * materializing the joined string: the digest is updated part by
+    * part. Byte-equivalent to md5 of `array_join(slice(ws,i+1,k)," ")`
+    * because UTF-8 concatenation is byte concatenation. */
+  private def gramDigest(d: MessageDigest, arr: ArrayData, i: Int, k: Int): Array[Byte] = {
+    d.reset()
+    var j = 0
+    while (j < k) {
+      if (j > 0) d.update(Space)
+      d.update(arr.getUTF8String(i + j).getBytes)
+      j += 1
+    }
+    d.digest()
+  }
+
+  /** Distinct k-gram md5-prefix hashes of a words array in one pass —
+    * value- and ORDER-identical (first occurrence wins) to
+    * `array_distinct(transform(sequence(1, size-k+1),
+    *   i => conv(substring(md5(array_join(slice(ws,i,k)," ")),1,2n),16,10)))`
+    * for arrays with ≥ k elements; shorter arrays yield an empty array
+    * (callers filter `size(ws) >= k`). Null words are not supported
+    * (split() never produces them). */
+  def kgramHashes(arr: ArrayData, k: Int, nBytes: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val d = md.get()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    while (i <= n - k) {
+      val h = fold(gramDigest(d, arr, i, k), nBytes)
+      if (seen.add(h)) out.add(h)
+      i += 1
+    }
+    val res = new Array[Long](out.size)
+    var j = 0
+    while (j < res.length) { res(j) = out.get(j); j += 1 }
+    new GenericArrayData(res)
+  }
+
+  /** Distinct k-gram STRINGS of a words array in one pass — value- and
+    * order-identical to `array_distinct(transform(sequence(1, size-k+1),
+    * i => array_join(slice(ws,i,k)," ")))` for arrays with ≥ k
+    * elements; shorter arrays yield an empty array. Used where the gram
+    * itself is the join key (decontamination). */
+  def kgramStrings(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i <= n - k) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += arr.getUTF8String(i + j).numBytes(); j += 1 }
+      val bytes = new Array[Byte](len)
+      var pos = 0
+      j = 0
+      while (j < k) {
+        if (j > 0) { bytes(pos) = ' '; pos += 1 }
+        val w = arr.getUTF8String(i + j)
+        w.writeTo(java.nio.ByteBuffer.wrap(bytes, pos, w.numBytes()))
+        pos += w.numBytes()
+        j += 1
+      }
+      val g = UTF8String.fromBytes(bytes)
+      if (seen.add(g)) out.add(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Shared literal-int extraction for the function builders. */
+  private[plans] def litInt(e: Expression, what: String): Int = e match {
+    case f if f.foldable => f.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a foldable int literal")
+  }
+}
+
+/** `md5_prefix_long(str, nBytes)` — scalar md5-prefix hash. */
+case class Md5PrefixLong(child: Expression, nBytes: Int)
+    extends UnaryExpression {
+  require(nBytes >= 1 && nBytes <= 7, s"nBytes must be in [1,7], got $nBytes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix_long requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix_long"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.hashOne(input.asInstanceOf[UTF8String], nBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.hashOne($s, $nBytes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
+    copy(child = newChild)
+}
+
+/** `md5_prefix_array(arr, nBytes)` — per-element md5-prefix hash of a
+  * string array in one codegen'd pass (replaces an interpreted
+  * `transform`). */
+case class Md5PrefixArray(child: Expression, nBytes: Int)
+    extends UnaryExpression {
+  require(nBytes >= 1 && nBytes <= 7, s"nBytes must be in [1,7], got $nBytes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix_array requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "md5_prefix_array"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.hashArray(input.asInstanceOf[ArrayData], nBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.hashArray($arr, $nBytes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixArray =
+    copy(child = newChild)
+}
+
+/** `kgram_hashes(ws, k, nBytes)` — distinct k-gram md5-prefix hashes in
+  * one codegen'd pass (the shingle artifact of the LSH dedup family). */
+case class KgramHashes(child: Expression, k: Int, nBytes: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(nBytes >= 1 && nBytes <= 7, s"nBytes must be in [1,7], got $nBytes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kgram_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.kgramHashes(input.asInstanceOf[ArrayData], k, nBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.kgramHashes($arr, $k, $nBytes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): KgramHashes =
+    copy(child = newChild)
+}
+
+/** `kgram_strings(ws, k)` — distinct k-gram strings in one codegen'd
+  * pass (where the gram itself is the join key). */
+case class KgramStrings(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kgram_strings requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "kgram_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.kgramStrings(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.kgramStrings($arr, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): KgramStrings =
+    copy(child = newChild)
+}

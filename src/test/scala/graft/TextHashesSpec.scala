@@ -1,0 +1,167 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The codegen'd md5-prefix text-hash kernels (plans.TextHashes) must be
+  * VALUE-IDENTICAL to the Column spellings they replace — that identity
+  * is what keeps every DuckDB oracle (which computes
+  * `CAST('0x' || substr(md5(s), 1, 2n) AS BIGINT)`) valid after the
+  * swap, so it is property-tested here over adversarial strings
+  * (unicode, empties, embedded quotes/backslashes). Each scalacheck
+  * trial ships a BATCH of rows through one DataFrame so the property
+  * runs exercise whole-stage codegen without paying per-row job setup.
+  */
+class TextHashesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def check(p: Prop, trials: Int = 12): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(trials), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val wordGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("", "a", "naïve", "日本語", "x\\y", "\"q\"", "tab\tchar"))
+  private val wsGen: Gen[List[String]] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, wordGen))
+  // duplicate-heavy arrays so distinctness and first-occurrence order are
+  // genuinely exercised by the k-gram kernels
+  private val dupGen: Gen[List[String]] = Gen.chooseNum(5, 15).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf("a", "b", "日", "d")))
+  private val batchGen: Gen[List[List[String]]] =
+    Gen.listOfN(6, Gen.oneOf(wsGen, dupGen))
+
+  test("md5_prefix_long: matches conv(substring(md5)) at widths 2/4/6") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(12, wordGen)) { ss =>
+      val df = ss.toDF("s")
+      Seq(2, 4, 6).forall { nBytes =>
+        val got = df.select(
+          call_function("md5_prefix_long", col("s"), lit(nBytes))).collect()
+        val want = df.select(
+          conv(substring(md5(col("s")), 1, 2 * nBytes), 16, 10)
+            .cast(LongType)).collect()
+        got.map(_.getLong(0)).toSeq == want.map(_.getLong(0)).toSeq
+      }
+    })
+  }
+
+  test("md5_prefix_array: matches per-element transform; nulls stay null") {
+    import spark.implicits._
+    check(Prop.forAll(batchGen) { batch =>
+      val df = batch.toDF("ws")
+      val got = df.select(
+        call_function("md5_prefix_array", col("ws"), lit(6))).collect()
+      val want = df.select(
+        transform(col("ws"),
+          w => conv(substring(md5(w), 1, 12), 16, 10).cast(LongType)))
+        .collect()
+      got.map(_.getSeq[Long](0)).toSeq == want.map(_.getSeq[Long](0)).toSeq
+    })
+    // null element and null array propagate like the transform spelling
+    val df = Seq(Some(Seq(Some("a"), None)), None).toDF("ws")
+    val rows = df.select(
+      call_function("md5_prefix_array", col("ws"), lit(6))).collect()
+    val s0 = rows(0).getSeq[Any](0)
+    assert(s0.length == 2 && s0(0) != null && s0(1) == null)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("kgram_hashes: matches array_distinct(transform(...)) incl. order") {
+    import spark.implicits._
+    check(Prop.forAll(batchGen) { batch =>
+      val df = batch.filter(_.size >= 5).toDF("ws")
+      val got = df.select(
+        call_function("kgram_hashes", col("ws"), lit(5), lit(4))).collect()
+      val want = df.select(
+        array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
+          i => conv(substring(md5(array_join(slice(col("ws"), i, lit(5)), " ")),
+            1, 8), 16, 10).cast(LongType)))).collect()
+      got.map(_.getSeq[Long](0)).toSeq == want.map(_.getSeq[Long](0)).toSeq
+    })
+  }
+
+  test("kgram_strings: matches array_distinct(transform(array_join)) incl. order") {
+    import spark.implicits._
+    check(Prop.forAll(batchGen) { batch =>
+      val df = batch.filter(_.size >= 5).toDF("ws")
+      val got = df.select(
+        call_function("kgram_strings", col("ws"), lit(5))).collect()
+      val want = df.select(
+        array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
+          i => array_join(slice(col("ws"), i, lit(5)), " ")))).collect()
+      got.map(_.getSeq[String](0)).toSeq == want.map(_.getSeq[String](0)).toSeq
+    })
+  }
+
+  test("kgram kernels: arrays shorter than k yield empty; null yields null") {
+    import spark.implicits._
+    val df = Seq(Some(Seq("a", "b")), None).toDF("ws")
+    val h = df.select(call_function("kgram_hashes", col("ws"), lit(5), lit(4)),
+      call_function("kgram_strings", col("ws"), lit(5))).collect()
+    assert(h(0).getSeq[Long](0).isEmpty && h(0).getSeq[String](1).isEmpty)
+    assert(h(1).isNullAt(0) && h(1).isNullAt(1))
+  }
+
+  test("interpreted eval agrees with codegen for all four kernels") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    // the DataFrame path above exercises codegen (whole-stage);
+    // here the same inputs run through interpreted eval()
+    val words = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "the", "quick", "brown", "fox")
+    val ws: Array[Any] = words.map(UTF8String.fromString).toArray
+    val arr = new GenericArrayData(ws)
+    val sRef = BoundReference(0, StringType, nullable = true)
+    val aRef = BoundReference(0, ArrayType(StringType), nullable = true)
+
+    val one = graft.plans.Md5PrefixLong(sRef, 6)
+      .eval(InternalRow(UTF8String.fromString("quick"))).asInstanceOf[Long]
+    val oneDf = Seq("quick").toDF("s")
+      .select(call_function("md5_prefix_long", col("s"), lit(6)))
+      .collect()(0).getLong(0)
+    assert(one == oneDf)
+
+    val harr = graft.plans.Md5PrefixArray(aRef, 6)
+      .eval(InternalRow(arr)).asInstanceOf[GenericArrayData]
+    val harrDf = Seq(words).toDF("ws")
+      .select(call_function("md5_prefix_array", col("ws"), lit(6)))
+      .collect()(0).getSeq[Long](0)
+    assert(harr.toArray[Any](LongType).map(_.asInstanceOf[Long]).toSeq == harrDf)
+
+    val kh = graft.plans.KgramHashes(aRef, 5, 4)
+      .eval(InternalRow(arr)).asInstanceOf[GenericArrayData]
+    val khDf = Seq(words).toDF("ws")
+      .select(call_function("kgram_hashes", col("ws"), lit(5), lit(4)))
+      .collect()(0).getSeq[Long](0)
+    assert(kh.toLongArray().toSeq == khDf)
+
+    val ks = graft.plans.KgramStrings(aRef, 5)
+      .eval(InternalRow(arr)).asInstanceOf[GenericArrayData]
+    val ksDf = Seq(words).toDF("ws")
+      .select(call_function("kgram_strings", col("ws"), lit(5)))
+      .collect()(0).getSeq[String](0)
+    assert(ks.toArray[Any](StringType).map(_.toString).toSeq == ksDf)
+  }
+
+  test("type mismatches are rejected with the kernel name") {
+    import spark.implicits._
+    val e1 = intercept[Exception] {
+      Seq(1).toDF("s")
+        .select(call_function("md5_prefix_long", col("s"), lit(4))).collect()
+    }
+    assert(e1.getMessage.contains("md5_prefix_long"))
+    val e2 = intercept[Exception] {
+      Seq(Seq(1L)).toDF("ws")
+        .select(call_function("kgram_hashes", col("ws"), lit(5), lit(4))).collect()
+    }
+    assert(e2.getMessage.contains("kgram_hashes"))
+  }
+}
