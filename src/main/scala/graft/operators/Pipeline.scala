@@ -381,11 +381,13 @@ object Pipeline {
     QueryDef(
       "p04_ngram_jaccard",
       (s, d) => {
+        // per-doc distinct trigram set is built MAP-SIDE by the
+        // codegen'd chargram_strings kernel, so no corpus-wide
+        // .distinct() shuffle is needed (lang is doc-determined, so
+        // distinct-per-doc equals distinct over (doc_id, lang, tri))
         val tri0 = T.documents(s, d)
           .select(col("doc_id"), col("lang"), explode(
-            transform(sequence(lit(1), length(col("text")) - 2),
-              i => substr(col("text"), i, lit(3)))).as("tri"))
-          .distinct()
+            call_function("chargram_strings", col("text"), lit(3))).as("tri"))
         val tri = tri0
           .withColumn("df", count(lit(1))
             .over(Window.partitionBy(col("lang"), col("tri"))))

@@ -67,6 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           TextHashes.litInt(children(1), "kgram_hashes: k"),
           TextHashes.litInt(children(2), "kgram_hashes: nBytes"))))
     ext.injectFunction((
+      new FunctionIdentifier("chargram_strings"),
+      new ExpressionInfo(classOf[ChargramStrings].getName, "chargram_strings"),
+      (children: Seq[Expression]) =>
+        ChargramStrings(children(0),
+          TextHashes.litInt(children(1), "chargram_strings: k"))))
+    ext.injectFunction((
       new FunctionIdentifier("kgram_strings"),
       new ExpressionInfo(classOf[KgramStrings].getName, "kgram_strings"),
       (children: Seq[Expression]) =>

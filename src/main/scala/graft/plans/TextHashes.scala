@@ -146,6 +146,44 @@ object TextHashes {
     new GenericArrayData(out.toArray)
   }
 
+  /** Distinct character k-grams of a string in one pass — value- and
+    * order-identical (first occurrence wins) to
+    * `array_distinct(transform(sequence(1, char_length(s)-k+1),
+    *   i => substr(s, i, k)))` for strings with ≥ k characters; shorter
+    * strings yield an empty array. Positions count CODE POINTS (like
+    * `substr`/`length` on both engines); the char→byte boundary table
+    * is computed once per row, so each gram is a plain byte slice. */
+  def chargramStrings(s: UTF8String, k: Int): ArrayData = {
+    val nChars = s.numChars()
+    if (nChars < k) return new GenericArrayData(Array.empty[Any])
+    val bytes = s.getBytes
+    // offsets(c) = byte index where character c starts; offsets(nChars) = end
+    val offsets = new Array[Int](nChars + 1)
+    var b = 0
+    var c = 0
+    while (c < nChars) {
+      offsets(c) = b
+      val first = bytes(b)
+      b += (if ((first & 0x80) == 0) 1
+            else if ((first & 0xe0) == 0xc0) 2
+            else if ((first & 0xf0) == 0xe0) 3
+            else 4)
+      c += 1
+    }
+    offsets(nChars) = bytes.length
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i <= nChars - k) {
+      val from = offsets(i)
+      val g = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, from, offsets(i + k)))
+      if (seen.add(g)) out.add(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Shared literal-int extraction for the function builders. */
   private[plans] def litInt(e: Expression, what: String): Int = e match {
     case f if f.foldable => f.eval() match {
@@ -240,6 +278,35 @@ case class KgramHashes(child: Expression, k: Int, nBytes: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): KgramHashes =
+    copy(child = newChild)
+}
+
+/** `chargram_strings(s, k)` — distinct character k-grams of a string in
+  * one codegen'd pass (the per-document trigram set of character-n-gram
+  * similarity operators). */
+case class ChargramStrings(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"chargram_strings requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "chargram_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.chargramStrings(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.chargramStrings($s, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ChargramStrings =
     copy(child = newChild)
 }
 

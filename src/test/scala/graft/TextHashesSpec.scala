@@ -97,6 +97,24 @@ class TextHashesSpec extends AnyFunSuite {
     })
   }
 
+  test("chargram_strings: matches array_distinct(transform(substr)) incl. order") {
+    import spark.implicits._
+    val textGen = Gen.oneOf(
+      Gen.listOfN(20, Gen.oneOf("a", "b", "ø", "日", " ")).map(_.mkString),
+      Gen.alphaNumStr.map(_.take(30)),
+      Gen.oneOf("", "ab", "日本語です、とても良い", "aaaaaaa"))
+    check(Prop.forAll(Gen.listOfN(8, textGen)) { ts =>
+      val df = ts.toDF("t")
+      val got = df.select(
+        call_function("chargram_strings", col("t"), lit(3))).collect()
+      val want = df.select(when(length(col("t")) >= 3,
+        array_distinct(transform(sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3)))))
+        .otherwise(array().cast("array<string>"))).collect()
+      got.map(_.getSeq[String](0)).toSeq == want.map(_.getSeq[String](0)).toSeq
+    })
+  }
+
   test("kgram kernels: arrays shorter than k yield empty; null yields null") {
     import spark.implicits._
     val df = Seq(Some(Seq("a", "b")), None).toDF("ws")
