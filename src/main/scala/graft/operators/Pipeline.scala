@@ -60,7 +60,7 @@ object Pipeline {
   /** Distinct word-5-gram hash set of a words array (the p02/p19/p23
     * shingle artifact — one definition so the cluster keys can never
     * de-synchronize between operators). */
-  private def shingleHashes(ws: Column): Column =
+  private[graft] def shingleHashes(ws: Column): Column =
     call_function("kgram_hashes", ws, lit(5), lit(4))
 
   /** All-n minhash minima in ONE codegen'd pass over the shingle array
@@ -70,8 +70,8 @@ object Pipeline {
     call_function("minhash_sig", xs, lit(n))
 
   /** Band-0 minhash signature over a shingle-hash array — the LSH
-    * bucket key shared by p19 and p23. */
-  private def bandSignature(xs: Column): Column = {
+    * bucket key shared by p19, p23 and the streaming near-dup gate. */
+  private[graft] def bandSignature(xs: Column): Column = {
     val sig = minhashSig(xs, BandRows)
     concat_ws(",", (0 until BandRows).map(i =>
       element_at(sig, i + 1).cast(StringType)): _*)
@@ -86,6 +86,10 @@ object Pipeline {
   /** p27 rarity bound: a bigram is "rare" when it appears in at most
     * this many distinct documents. */
   private val RareBigramDf = 2
+
+  /** p32 passage length in words: long enough that a shared passage
+    * means copied text, not a common collocation. */
+  private val PassageLen = 10
 
   /** p06 sign-random-projection LSH: 8 bands × 4 hyperplane-sign bits
     * bucket each label block so candidate pairing is bounded per
@@ -1694,6 +1698,52 @@ object Pipeline {
                     WHEN bucket = 8 THEN 'val'
                     ELSE 'test' END AS split
         FROM assigned ORDER BY doc_id""")),
+
+    // ---- p32: repeated-passage detection — per-document share of word
+    // 10-gram passages that also occur in ANOTHER document (the exact-
+    // substring dedup signal of Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better", at passage granularity: boilerplate
+    // headers, license blocks and templated text score high; original
+    // prose scores 0). Passages are 48-bit kgram_hashes built map-side
+    // (distinct per doc, so document frequency = distinct-doc count with
+    // a plain COUNT); the plan is one explode + groupBy(passage-hash) df
+    // table + one hash join back + one groupBy(doc) — the same two-pass
+    // corpus-statistic shape as p27, linear at any scale, with all-
+    // integer counts so the final ratio is one exact division.
+    QueryDef(
+      "p32_passage_dedup",
+      (s, d) => {
+        val passages = T.documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= PassageLen)
+          .select(col("doc_id"),
+            explode(call_function("kgram_hashes",
+              col("ws"), lit(PassageLen), lit(6))).as("h"))
+        val dfTab = passages.groupBy(col("h"))
+          .agg(count(lit(1)).as("df"))
+        passages.join(dfTab, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_passages"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_passages"), col("n_shared"),
+            (col("n_shared") / col("n_passages")).as("shared_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+          WHERE len(string_split_regex(text, '\\s+')) >= $PassageLen),
+        p AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+${PassageLen - 1}], ' ')), 1, 12) AS BIGINT) AS h
+          FROM w, unnest(range(1, len(ws) - ${PassageLen - 2})) t(i)),
+        dftab AS (SELECT h, COUNT(*) AS df FROM p GROUP BY h)
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_passages,
+               CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) / COUNT(*) AS shared_ratio
+        FROM p JOIN dftab d ON p.h = d.h
+        GROUP BY p.doc_id ORDER BY p.doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -106,6 +106,31 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dup admission — the incremental twin of the batch
+    * p23 band-signature anti-join: a document whose band-0 MinHash LSH
+    * signature (the p19/p23 bucket key, built from the same codegen'd
+    * shingle + minhash kernels) was already admitted within the
+    * watermark horizon is dropped, so boilerplate re-posts and
+    * lightly-edited copies are rejected at ingest with NO pairwise
+    * work and no batch re-scan. The signature is computed entirely
+    * map-side (state is one fixed-width string per admitted bucket);
+    * documents too short to shingle (< 5 words) key on their exact
+    * content hash instead, so they still dedup exactly rather than all
+    * colliding into one "short" bucket. Same recall caveat as p23: one
+    * band is a high-precision/lower-recall sketch — the batch p02
+    * verification pass remains the exactness story.
+    */
+  def neardupGate(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.Pipeline
+    val ws = split(col("text"), "\\s+")
+    docs
+      .withColumn("band_sig",
+        when(size(ws) >= 5, Pipeline.bandSignature(Pipeline.shingleHashes(ws)))
+          .otherwise(concat(lit("short:"), md5(col("text")))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("band_sig")
+  }
+
   /** Ingest-time scrub + quality gate — the stage that runs in-line
     * with the stream BEFORE any stateful operator: drop documents
     * shorter than `minChars` (measured on the RAW text, so survival

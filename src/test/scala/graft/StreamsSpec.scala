@@ -124,6 +124,45 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("neardupGate: near-duplicates share a band bucket and are dropped") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // 40-word documents; docB edits ONE word of docA (same band-0
+    // signature with overwhelming probability at 4 rows/band), docC is
+    // unrelated text; the short docs exercise the exact-hash fallback
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w37", "edited")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    // precondition of the scenario, asserted so a kernel change that
+    // splits the bucket fails loudly here instead of silently passing
+    val sigs = Seq(base, nearDup, other).toDF("text")
+      .select(graft.operators.Pipeline.bandSignature(
+        graft.operators.Pipeline.shingleHashes(split(col("text"), "\\s+"))))
+      .collect().map(_.getString(0))
+    assert(sigs(0) == sigs(1) && sigs(0) != sigs(2))
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.neardupGate(df, watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, base),
+        (ts("2024-01-01 10:01:00"), 2L, "tiny"),
+        (ts("2024-01-01 10:02:00"), 3L, other))
+      q.processAllAvailable()
+      in.addData(
+        (ts("2024-01-01 10:10:00"), 4L, nearDup), // near-dup of 1 → dropped
+        (ts("2024-01-01 10:11:00"), 5L, "tiny"),  // exact short dup → dropped
+        (ts("2024-01-01 10:12:00"), 6L, "tiny2")) // distinct short → kept
+      q.processAllAvailable()
+      val kept = spark.table("neardup_gate").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 2L, 3L, 6L))
+    } finally q.stop()
+  }
+
   test("scrubAndGate: stateless scrub gives identical batch and stream results") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
