@@ -1472,27 +1472,30 @@ object Pipeline {
     QueryDef(
       "p26_simhash_neardup",
       (s, d) => {
+        // each (doc, chunk) row carries the full 48-bit fingerprint
+        // through the ONE bucket shuffle, so candidate pairs emerge with
+        // both fingerprints in hand — no join back to the fingerprint
+        // table (and no persist): Hamming verification is a map-side
+        // xor+bit_count on the bucket output. A pair colliding in
+        // several chunks dedups on (da, db) alone because the hamming
+        // value is determined by the pair.
         val fp = simhashFp(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val chunkExpr = (0 until 4)
           .map(c => s"$c, CAST((simhash >> ${12 * c}) & 4095 AS BIGINT)")
           .mkString(", ")
-        val chunks = fp.select(col("doc_id"),
+        val chunks = fp.select(col("doc_id"), col("simhash"),
           expr(s"stack(4, $chunkExpr) AS (ck, cv)"))
-        val pairs = chunks.groupBy(col("ck"), col("cv"))
-          .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
-          .filter(size(col("docs")) > 1)
-          .select(explode(col("docs")).as("da"), col("docs"))
-          .select(col("da"), explode(col("docs")).as("db"))
-          .filter(col("da") < col("db"))
+        chunks.groupBy(col("ck"), col("cv"))
+          .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash"))))
+            .as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(col("ds")).as("a"), col("ds"))
+          .select(col("a"), explode(col("ds")).as("b"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+              .cast(IntegerType).as("hamming"))
           .distinct()
-        pairs
-          .join(fp.select(col("doc_id").as("da"), col("simhash").as("ha")),
-            Seq("da"))
-          .join(fp.select(col("doc_id").as("db"), col("simhash").as("hb")),
-            Seq("db"))
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            bit_count(expr("ha ^ hb")).cast(IntegerType).as("hamming"))
           .filter(col("hamming") <= 3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
