@@ -109,12 +109,16 @@ object Pipeline {
     if (Integer.parseInt(hex, 16) % 2 == 0) 1 else -1
   }
 
-  /** Verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) — the p02
-    * MinHash-LSH plan, factored out so p25's component clustering runs
-    * over the IDENTICAL pair graph (one definition, two consumers). */
-  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("ws"))
+  /** Verified near-dup pairs over ANY corpus: MinHash-LSH candidate
+    * generation + exact-Jaccard verification (the p02 plan) as a
+    * reusable library operator — `idCol`/`textCol` name the caller's
+    * columns, output is (doc_a, doc_b, jaccard) with `jaccard >=
+    * jaccardMin`. The p02/p25/p30/p31 QueryDefs all run THIS function,
+    * so the fixture gate certifies the same code a library user calls. */
+  def minhashNeardupPairs(corpus: DataFrame, idCol: String, textCol: String,
+      jaccardMin: Double = 0.5): DataFrame = {
+    val docs = corpus
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 5)
     // Per-doc distinct shingle-hash ARRAY, built map-side with
     // higher-order functions — no explode, no (doc,shingle) shuffle.
@@ -178,8 +182,12 @@ object Pipeline {
         size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= jaccardMin)
   }
+
+  /** The fixture-corpus instantiation shared by p02/p25/p30/p31. */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame =
+    minhashNeardupPairs(T.documents(s, d), "doc_id", "text")
 
   /** Oracle-side twin of [[neardupPairs]] as a CTE chain ending in
     * `verified(doc_a, doc_b, jaccard)` — p02 and p25 splice it into
@@ -233,12 +241,99 @@ object Pipeline {
     * but paid 48 interpreted traversals per doc. Vote sums are
     * order-free integers, so the fingerprints are bit-identical under
     * every spelling and the oracle is unchanged. */
-  private def simhashFp(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .select(col("doc_id"),
-        call_function("md5_prefix_array", words(col("text")), lit(6)).as("ts"))
+  def simhashFingerprints(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        call_function("md5_prefix_array", words(col(textCol)), lit(6)).as("ts"))
       .select(col("doc_id"),
         call_function("simhash_fp", col("ts"), lit(48)).as("simhash"))
+
+  /** The fixture-corpus instantiation shared by p03/p26. */
+  private def simhashFp(s: SparkSession, d: String): DataFrame =
+    simhashFingerprints(T.documents(s, d), "doc_id", "text")
+
+  /** SimHash near-dup pairs over ANY corpus by Hamming distance ≤
+    * `maxHamming` (must be ≤ 3: the 4-chunk pigeonhole guarantees
+    * exact recall only up to 3 differing bits of the 48) — the p26
+    * plan as a reusable operator: one bucket shuffle, fingerprints
+    * carried through it, map-side xor verification. */
+  def simhashNeardupPairs(corpus: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0,3] for 4-chunk pigeonhole recall, got $maxHamming")
+    val fp = simhashFingerprints(corpus, idCol, textCol)
+    val chunkExpr = (0 until 4)
+      .map(c => s"$c, CAST((simhash >> ${12 * c}) & 4095 AS BIGINT)")
+      .mkString(", ")
+    fp.select(col("doc_id"), col("simhash"),
+        expr(s"stack(4, $chunkExpr) AS (ck, cv)"))
+      .groupBy(col("ck"), col("cv"))
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast(IntegerType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Per-(train, eval) shared distinct word-k-gram counts over ANY two
+    * corpora — the p16 decontamination core as a reusable operator.
+    * The eval side is broadcast (benchmarks are small by contract);
+    * output is (train_doc, eval_doc, n_shared_kgrams). */
+  def sharedKgramCounts(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, k: Int = 5): DataFrame = {
+    def grams(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col(outId),
+        explode(call_function("kgram_strings", col("ws"), lit(k))).as("g"))
+    grams(train, "train_doc")
+      .join(broadcast(grams(evalSet, "eval_doc")), "g")
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as(s"n_shared_${k}grams"))
+  }
+
+  /** Per-document repeated-passage share over ANY corpus — the p32
+    * core as a reusable operator: the fraction of a doc's distinct
+    * word-`passageLen`-gram passages that also occur in ANOTHER
+    * document. Output: (doc_id, n_passages, n_shared, shared_ratio). */
+  def passageShareStats(corpus: DataFrame, idCol: String, textCol: String,
+      passageLen: Int = PassageLen): DataFrame = {
+    val passages = corpus
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= passageLen)
+      .select(col("doc_id"),
+        explode(call_function("kgram_hashes",
+          col("ws"), lit(passageLen), lit(6))).as("h"))
+    val dfTab = passages.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+    passages.join(dfTab, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_passages"), col("n_shared"),
+        (col("n_shared") / col("n_passages")).as("shared_ratio"))
+  }
+
+  /** Near-dup collapse of ANY corpus: keep ONE representative (minimum
+    * id) per connected near-dup component and every unpaired row — the
+    * p30 plan as a reusable operator, preserving ALL caller columns.
+    * `pairs` is any (first col, second col) = (id, id) pair table, e.g.
+    * [[minhashNeardupPairs]] or [[simhashNeardupPairs]] output. */
+  def collapseNeardups(corpus: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(
+      pairs.select(pairs.columns(0), pairs.columns(1)))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
 
   /** Oracle-side twin of [[simhashFp]] as a CTE chain ending in
     * `fp(doc_id, simhash)`. */
@@ -883,18 +978,11 @@ object Pipeline {
     QueryDef(
       "p16_decontaminate",
       (s, d) => {
-        val docs = T.documents(s, d)
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 5)
-        val grams = docs.select(col("doc_id"),
-          explode(call_function("kgram_strings", col("ws"), lit(5))).as("g"))
-        val ev = grams.filter(col("doc_id") % 97 === 0)
-          .select(col("doc_id").as("eval_doc"), col("g"))
-        val tr = grams.filter(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id").as("train_doc"), col("g"))
-        tr.join(broadcast(ev), "g")
-          .groupBy(col("train_doc"), col("eval_doc"))
-          .agg(count(lit(1)).as("n_shared_5grams"))
+        val all = T.documents(s, d)
+        sharedKgramCounts(
+          train = all.filter(col("doc_id") % 97 =!= 0),
+          evalSet = all.filter(col("doc_id") % 97 === 0),
+          idCol = "doc_id", textCol = "text", k = 5)
           .orderBy(col("train_doc"), col("eval_doc"))
       },
       Some("""
@@ -1442,15 +1530,11 @@ object Pipeline {
     // near-duplicate docs, not the corpus.
     QueryDef(
       "p30_collapse_neardups",
-      (s, d) => {
-        val pairs = neardupPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val drop = connectedComponents(pairs)
-          .filter(col("node") =!= col("component"))
-          .select(col("node").as("doc_id"))
-        T.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
-          .join(drop, Seq("doc_id"), "left_anti")
-          .orderBy(col("doc_id"))
-      },
+      (s, d) =>
+        collapseNeardups(
+          T.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+          "doc_id", neardupPairs(s, d).select(col("doc_a"), col("doc_b")))
+          .orderBy(col("doc_id")),
       Some(s"""
         WITH RECURSIVE $NeardupPairsSql,
         $ComponentsSql
@@ -1471,34 +1555,9 @@ object Pipeline {
     // pigeonhole recall is exact, not just plausible.
     QueryDef(
       "p26_simhash_neardup",
-      (s, d) => {
-        // each (doc, chunk) row carries the full 48-bit fingerprint
-        // through the ONE bucket shuffle, so candidate pairs emerge with
-        // both fingerprints in hand — no join back to the fingerprint
-        // table (and no persist): Hamming verification is a map-side
-        // xor+bit_count on the bucket output. A pair colliding in
-        // several chunks dedups on (da, db) alone because the hamming
-        // value is determined by the pair.
-        val fp = simhashFp(s, d)
-        val chunkExpr = (0 until 4)
-          .map(c => s"$c, CAST((simhash >> ${12 * c}) & 4095 AS BIGINT)")
-          .mkString(", ")
-        val chunks = fp.select(col("doc_id"), col("simhash"),
-          expr(s"stack(4, $chunkExpr) AS (ck, cv)"))
-        chunks.groupBy(col("ck"), col("cv"))
-          .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash"))))
-            .as("ds"))
-          .filter(size(col("ds")) > 1)
-          .select(explode(col("ds")).as("a"), col("ds"))
-          .select(col("a"), explode(col("ds")).as("b"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-              .cast(IntegerType).as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) =>
+        simhashNeardupPairs(T.documents(s, d), "doc_id", "text")
+          .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
         WITH $SimhashFpSql
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1715,23 +1774,9 @@ object Pipeline {
     // integer counts so the final ratio is one exact division.
     QueryDef(
       "p32_passage_dedup",
-      (s, d) => {
-        val passages = T.documents(s, d)
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .filter(size(col("ws")) >= PassageLen)
-          .select(col("doc_id"),
-            explode(call_function("kgram_hashes",
-              col("ws"), lit(PassageLen), lit(6))).as("h"))
-        val dfTab = passages.groupBy(col("h"))
-          .agg(count(lit(1)).as("df"))
-        passages.join(dfTab, Seq("h"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_passages"),
-            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
-          .select(col("doc_id"), col("n_passages"), col("n_shared"),
-            (col("n_shared") / col("n_passages")).as("shared_ratio"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) =>
+        passageShareStats(T.documents(s, d), "doc_id", "text")
+          .orderBy(col("doc_id")),
       Some(s"""
         WITH w AS (
           SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+/** The dedup/curation operators as a LIBRARY: callers bring their own
+  * DataFrame and column names, not the fixture tables. These tests run
+  * every public text operator over a corpus with alien column names
+  * ("post_key"/"body") so fixture-name coupling can never creep back
+  * in, and assert the semantics on a corpus small enough to verify by
+  * inspection. The fixture QueryDefs delegate to the SAME functions,
+  * so the DuckDB oracle gate certifies the code paths exercised here.
+  */
+class TextApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // 60-word documents: B edits one word of A (near-dup), C reverses the
+  // vocabulary (unrelated), D shares a 10-word passage with C but is
+  // otherwise distinct, E/F are exact duplicates of each other
+  private def mk(words: Seq[String]) = words.mkString(" ")
+  private lazy val corpus = {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"w$i")
+    val b = a.updated(41, "edited")
+    val c = (1 to 60).map(i => s"v$i")
+    val d = (1 to 50).map(i => s"u$i") ++ c.slice(20, 30)
+    val e = (1 to 60).map(i => s"x$i")
+    Seq(
+      (10L, mk(a)), (11L, mk(b)), (12L, mk(c)),
+      (13L, mk(d)), (14L, mk(e)), (15L, mk(e)))
+      .toDF("post_key", "body")
+  }
+
+  test("minhashNeardupPairs finds the edited near-dup and the exact dup only") {
+    val pairs = Pipeline.minhashNeardupPairs(corpus, "post_key", "body")
+      .orderBy("doc_a", "doc_b").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 11L), (14L, 15L)))
+    val j = pairs.map(_.getDouble(2))
+    // 1-word edit breaks 5 of 56 shingles per side: 51/61 exactly
+    assert(j(0) == 51.0 / 61 && j(0) < 1.0)
+    assert(j(1) == 1.0)               // exact duplicate
+  }
+
+  test("simhashNeardupPairs agrees on the exact dup; maxHamming bounds checked") {
+    val pairs = Pipeline.simhashNeardupPairs(corpus, "post_key", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 14L && b == 15L && h == 0 })
+    assert(pairs.forall(_._3 <= 3))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.simhashNeardupPairs(corpus, "post_key", "body", maxHamming = 7)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
+  test("collapseNeardups keeps min-id representatives and all caller columns") {
+    val pairs = Pipeline.minhashNeardupPairs(corpus, "post_key", "body")
+      .select(col("doc_a"), col("doc_b"))
+    val kept = Pipeline.collapseNeardups(
+      corpus.withColumn("extra", col("post_key") * 2), "post_key", pairs)
+    assert(kept.columns.toSeq == Seq("post_key", "body", "extra"))
+    // 11 collapses into representative 10, 15 into 14; 12/13 unpaired
+    assert(kept.select("post_key").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 12L, 13L, 14L))
+  }
+
+  test("sharedKgramCounts flags the copied passage between C and D") {
+    val shared = Pipeline.sharedKgramCounts(
+      train = corpus.filter(col("post_key") === 13L),
+      evalSet = corpus.filter(col("post_key") === 12L),
+      idCol = "post_key", textCol = "body", k = 5)
+      .collect()
+    // the copied block v21..v30 contributes its distinct 5-grams:
+    // positions 51..56 of doc D = 6 grams fully inside the copied block
+    assert(shared.length == 1)
+    val r = shared(0)
+    assert(r.getLong(r.fieldIndex("train_doc")) == 13L)
+    assert(r.getLong(r.fieldIndex("eval_doc")) == 12L)
+    assert(r.getLong(r.fieldIndex("n_shared_5grams")) == 6L)
+  }
+
+  test("passageShareStats: verbatim copies score 1.0, one copied block scores 1/51") {
+    val stats = Pipeline.passageShareStats(corpus, "post_key", "body")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(stats(14L) == 1.0 && stats(15L) == 1.0) // verbatim copies
+    // the copied v21..v30 block is EXACTLY one 10-gram of each doc's 51
+    assert(stats(12L) == 1.0 / 51 && stats(13L) == 1.0 / 51)
+    // the 1-word edit breaks 10 of A/B's 51 passages, shares the rest
+    assert(stats(10L) == 41.0 / 51 && stats(11L) == 41.0 / 51)
+  }
+}
