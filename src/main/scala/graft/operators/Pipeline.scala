@@ -253,6 +253,96 @@ object Pipeline {
   private def simhashFp(s: SparkSession, d: String): DataFrame =
     simhashFingerprints(T.documents(s, d), "doc_id", "text")
 
+  /** Exact k-nearest-neighbors by cosine over ANY embedding corpus —
+    * the p05 plan as a reusable operator: the query set is broadcast
+    * (callers keep it small; that is the brute-force contract), per-
+    * vector norms are computed once per side, dot products are the
+    * codegen'd sequential fold, and the only shuffle is the per-query
+    * top-k window. A query vector never matches itself. Output:
+    * (q_id, vec_id, cos_sim, rk) with rk in 1..k. */
+  def knnBruteCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val e = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+      .withColumn("qn2", dot(col("qe"), col("qe")))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("qe"), col("embedding")), col("qn2"), col("n2"))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Distributed Lloyd's k-means over ANY embedding corpus — the p21
+    * plan as a reusable operator. Each iteration is the canonical
+    * scalable shape: the k×dim centroid table collapses to ONE
+    * broadcast row holding a k-struct array, assignment is a per-row
+    * argmin fold inside the scan (zero shuffle; ties to the lowest
+    * cluster id), and the update is ONE k-row groupBy carrying `dim`
+    * partial-aggregated sums. Cross-engine determinism: elements are
+    * scaled to exact integers (round(x·1e7)), summed exactly
+    * (order-free), and the mean is one integer/integer double division
+    * — centroids are bit-identical in Spark and DuckDB. Long sums hold
+    * while cluster_size × 1e7·max|x| < 2^63 (~9e11 members at unit
+    * norm); past that, widen the sums to DecimalType(38,0). Seeds are
+    * the k smallest-id vectors (TakeOrdered, no global sort). Output:
+    * (vec_id, cluster, d2, n_members). */
+  def kmeansCluster(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int = 2): DataFrame = {
+    val Scale = 10000000L
+    val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val init = e.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .cast(IntegerType).as("cl"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
+    // native codegen'd left-to-right fold — bit-identical to the
+    // aggregate(zip_with(...)) HOF spelling and the oracle's
+    // list_reduce, but inside whole-stage codegen (see FloatDistSq)
+    def dist2(q: Column, c: Column): Column =
+      call_function("float_dist_sq", q, c)
+    def assign(cents: DataFrame): DataFrame = {
+      val cArr = cents
+        .agg(sort_array(collect_list(struct(col("cl"), col("ce")))).as("cs"))
+      e.crossJoin(broadcast(cArr))
+        .withColumn("best", aggregate(col("cs"),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cl")),
+          (acc, c) => {
+            val d = dist2(col("embedding"), c.getField("ce"))
+            // strict < keeps the first minimum; cs is sorted by cl,
+            // so ties resolve to the lowest cluster id
+            when(d < acc.getField("d2"),
+              struct(d.as("d2"), c.getField("cl").as("cl")))
+              .otherwise(acc)
+          }))
+        .select(col("vec_id"), col("embedding"),
+          col("best.cl").as("cl"), col("best.d2").as("d2"))
+    }
+    def update(asg: DataFrame): DataFrame = {
+      val sums = (0 until dim).map(i =>
+        sum(round(element_at(col("embedding"), i + 1).cast(DoubleType)
+          * Scale).cast(LongType)).as(s"s$i"))
+      asg.groupBy(col("cl"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("cl"), array((0 until dim).map(i =>
+          col(s"s$i").cast(DoubleType) /
+            (col("cnt") * Scale).cast(DoubleType)): _*).as("ce"))
+    }
+    var cents = init
+    var it = 0
+    while (it < iters) { cents = update(assign(cents)); it += 1 }
+    assign(cents)
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cl"))))
+      .select(col("vec_id"), col("cl").as("cluster"),
+        col("d2"), col("n_members"))
+  }
+
   /** SimHash near-dup pairs over ANY corpus by Hamming distance ≤
     * `maxHamming` (must be ≤ 3: the 4-chunk pigeonhole guarantees
     * exact recall only up to 3 differing bits of the 48) — the p26
@@ -534,18 +624,8 @@ object Pipeline {
       "p05_embedding_knn",
       (s, d) => {
         val e = T.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            dot(col("embedding"), col("embedding")).as("n2"))
-        val q = e.filter(col("vec_id") <= 4)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
-        val scored = e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            cosine(dot(col("qe"), col("embedding")), col("qn2"), col("n2")).as("cos_sim"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        scored.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
+        knnBruteCosine(e, e.filter(col("vec_id") <= 4), "vec_id", "embedding",
+          k = 3)
           .orderBy(col("q_id"), col("rk"))
       },
       Some("""
@@ -1220,62 +1300,10 @@ object Pipeline {
     // and order-freedom carry over; only the agg width changes).
     QueryDef(
       "p21_kmeans_cluster",
-      (s, d) => {
-        val K = 4; val Dim = 64; val Scale = 10000000L
-        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        // seed from the K SMALLEST vec_ids, not `vec_id < K` — ids with
-        // gaps or a non-zero base would silently shrink the cluster
-        // count (ADVICE r05). orderBy+limit is TakeOrdered (no global
-        // sort); the row_number window then ranks only those K rows.
-        val init = e.orderBy(col("vec_id")).limit(K)
-          .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
-            .cast(IntegerType).as("cl"),
-            transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
-        // native codegen'd left-to-right fold — bit-identical to the
-        // aggregate(zip_with(...)) HOF spelling and the oracle's
-        // list_reduce, but inside whole-stage codegen (see FloatDistSq)
-        def dist2(q: Column, c: Column): Column =
-          call_function("float_dist_sq", q, c)
-        // assignment is a pure per-row fold over the k centroids — the
-        // centroid table collapses to ONE broadcast row holding a
-        // k-struct array, so the argmin runs inside the scan with zero
-        // shuffle (the windowed crossJoin alternative shuffles the full
-        // corpus per iteration; at 100 TB that difference is the plan)
-        def assign(cents: DataFrame): DataFrame = {
-          val cArr = cents
-            .agg(sort_array(collect_list(struct(col("cl"), col("ce")))).as("cs"))
-          e.crossJoin(broadcast(cArr))
-            .withColumn("best", aggregate(col("cs"),
-              struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cl")),
-              (acc, c) => {
-                val d = dist2(col("embedding"), c.getField("ce"))
-                // strict < keeps the first minimum; cs is sorted by cl,
-                // so ties resolve to the lowest cluster id
-                when(d < acc.getField("d2"),
-                  struct(d.as("d2"), c.getField("cl").as("cl")))
-                  .otherwise(acc)
-              }))
-            .select(col("vec_id"), col("embedding"),
-              col("best.cl").as("cl"), col("best.d2").as("d2"))
-        }
-        def update(asg: DataFrame): DataFrame = {
-          val sums = (0 until Dim).map(i =>
-            sum(round(element_at(col("embedding"), i + 1).cast(DoubleType)
-              * Scale).cast(LongType)).as(s"s$i"))
-          asg.groupBy(col("cl"))
-            .agg(count(lit(1)).as("cnt"), sums: _*)
-            .select(col("cl"), array((0 until Dim).map(i =>
-              col(s"s$i").cast(DoubleType) /
-                (col("cnt") * Scale).cast(DoubleType)): _*).as("ce"))
-        }
-        val c2 = update(assign(update(assign(init))))
-        assign(c2)
-          .withColumn("n_members",
-            count(lit(1)).over(Window.partitionBy(col("cl"))))
-          .select(col("vec_id"), col("cl").as("cluster"),
-            col("d2"), col("n_members"))
-          .orderBy(col("vec_id"))
-      },
+      (s, d) =>
+        kmeansCluster(T.embeddings(s, d), "vec_id", "embedding",
+          k = 4, dim = 64, iters = 2)
+          .orderBy(col("vec_id")),
       Some {
         val K = 4; val Dim = 64; val Scale = "10000000"
         def d2sql(q: String, c: String) =

@@ -80,6 +80,35 @@ class TextApiSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n_shared_5grams")) == 6L)
   }
 
+  test("knnBruteCosine: alien column names, known neighbor order") {
+    import spark.implicits._
+    // unit-ish 2-d vectors at known angles: 0°, 30°, 60°, 90°
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val vecs = Seq((1L, v(0)), (2L, v(30)), (3L, v(60)), (4L, v(90)))
+      .toDF("pk", "vec")
+    val res = Pipeline.knnBruteCosine(
+      vecs, vecs.filter(col("pk") === 1L), "pk", "vec", k = 2)
+      .orderBy("rk").collect()
+    assert(res.map(_.getLong(res.head.fieldIndex("vec_id"))).toSeq ==
+      Seq(2L, 3L)) // 30° beats 60°; 90° (orthogonal) excluded by k=2
+    assert(res.forall(_.getLong(0) == 1L))
+  }
+
+  test("kmeansCluster: alien column names, two well-separated clusters") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Array(0.1f, 0.0f)), (3L, Array(0.0f, 0.2f)), (5L, Array(0.2f, 0.1f)),
+      (2L, Array(9.9f, 10.0f)), (4L, Array(10.0f, 9.8f)), (6L, Array(10.1f, 10.0f)))
+      .toDF("pk", "vec")
+    val asg = Pipeline.kmeansCluster(pts, "pk", "vec", k = 2, dim = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // seeds are ids 1 and 2 (the two smallest), one in each blob
+    assert(asg(1L) == asg(3L) && asg(3L) == asg(5L))
+    assert(asg(2L) == asg(4L) && asg(4L) == asg(6L))
+    assert(asg(1L) != asg(2L))
+  }
+
   test("passageShareStats: verbatim copies score 1.0, one copied block scores 1/51") {
     val stats = Pipeline.passageShareStats(corpus, "post_key", "body")
       .orderBy("doc_id").collect()
