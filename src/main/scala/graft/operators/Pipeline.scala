@@ -279,6 +279,79 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** Sequence packing over ANY corpus — the p22 plan as a reusable
+    * operator: concatenate-and-chunk the token stream into fixed
+    * context windows where documents may straddle chunk boundaries.
+    * `tokenCount` is any integer Column over the caller's row (a real
+    * tokenizer count column, or an expression like
+    * `size(split(col("text"), "\\s+"))`). The global token offset is a
+    * TWO-PHASE prefix sum: per-shard running sums compute in parallel
+    * windows (`shardCol` is the shard key), and the tiny per-shard
+    * totals table carries the base offsets via broadcast — a single
+    * global orderBy window would drag the whole corpus through ONE
+    * partition; this shape never does. Output: (doc_id, <shardCol>,
+    * tok, tok_offset, first_chunk, last_chunk, n_chunks). */
+  def packSequences(corpus: DataFrame, idCol: String, shardCol: String,
+      tokenCount: Column, contextLen: Int): DataFrame = {
+    val toks = corpus.select(col(idCol).as("doc_id"), col(shardCol),
+      tokenCount.as("tok"))
+    val wIntra = Window.partitionBy(col(shardCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = toks.withColumn("run", sum(col("tok")).over(wIntra))
+    val wBase = Window.orderBy(col(shardCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = toks.groupBy(col(shardCol)).agg(sum(col("tok")).as("total"))
+      .withColumn("cum", sum(col("total")).over(wBase))
+      .select(col(shardCol).as("b_shard"), (col("cum") - col("total")).as("base"))
+    intra.join(broadcast(bases), col(shardCol) === col("b_shard"))
+      .select(col("doc_id"), col(shardCol), col("tok"),
+        (col("base") + col("run") - col("tok")).as("tok_offset"))
+      .withColumn("first_chunk", floor(col("tok_offset") / contextLen))
+      .withColumn("last_chunk",
+        floor((col("tok_offset") + col("tok") - 1) / contextLen))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+  }
+
+  /** IVF approximate nearest-neighbor over ANY embedding corpus that
+    * carries a cluster assignment column (e.g. [[kmeansCluster]]
+    * output, or any coarse partitioning) — the p07 plan as a reusable
+    * operator. The quantizer is one medoid per cluster (the minimum-id
+    * member — swap in trained centroids by pre-clustering with
+    * [[kmeansCluster]]); each query probes its best medoid and
+    * searches ONLY that cluster's members, so the scan covers ~1/k of
+    * the corpus and the medoid table broadcasts. Output:
+    * (q_id, probe_label, vec_id, cos_sim, rk). */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, k: Int): DataFrame = {
+    val e = corpus
+      .select(col(idCol).as("vec_id"), col(clusterCol).as("label"),
+        col(vecCol).as("embedding"))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+    val wMed = Window.partitionBy(col("label")).orderBy(col("vec_id").asc)
+    val medoids = e.withColumn("mrk", row_number().over(wMed))
+      .filter(col("mrk") === 1)
+      .select(col("label").as("m_label"), col("embedding").as("me"),
+        col("n2").as("mn2"))
+    val wAssign = Window.partitionBy(col("q_id"))
+      .orderBy(col("m_cos").desc, col("m_label").asc)
+    val assigned = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+      .withColumn("qn2", dot(col("qe"), col("qe")))
+      .crossJoin(broadcast(medoids))
+      .withColumn("m_cos", cosine(dot(col("qe"), col("me")), col("qn2"), col("mn2")))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("q_id"), col("qe"), col("qn2"), col("m_label").as("probe_label"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(assigned), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("probe_label"), col("vec_id"),
+        cosine(dot(col("qe"), col("embedding")), col("qn2"), col("n2")).as("cos_sim"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+  }
+
   /** Distributed Lloyd's k-means over ANY embedding corpus — the p21
     * plan as a reusable operator. Each iteration is the canonical
     * scalable shape: the k×dim centroid table collapses to ONE
@@ -750,29 +823,8 @@ object Pipeline {
       "p07_ann_ivf",
       (s, d) => {
         val e = T.embeddings(s, d)
-          .select(col("vec_id"), col("label"), col("embedding"),
-            dot(col("embedding"), col("embedding")).as("n2"))
-        val wMed = Window.partitionBy(col("label")).orderBy(col("vec_id").asc)
-        val medoids = e.withColumn("mrk", row_number().over(wMed))
-          .filter(col("mrk") === 1)
-          .select(col("label").as("m_label"), col("embedding").as("me"), col("n2").as("mn2"))
-        val wAssign = Window.partitionBy(col("q_id"))
-          .orderBy(col("m_cos").desc, col("m_label").asc)
-        val assigned = e.filter(col("vec_id") <= 4)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
-          .crossJoin(broadcast(medoids))
-          .withColumn("m_cos", cosine(dot(col("qe"), col("me")), col("qn2"), col("mn2")))
-          .withColumn("ark", row_number().over(wAssign))
-          .filter(col("ark") === 1)
-          .select(col("q_id"), col("qe"), col("qn2"), col("m_label").as("probe_label"))
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        e.join(broadcast(assigned), col("label") === col("probe_label"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("probe_label"), col("vec_id"),
-            cosine(dot(col("qe"), col("embedding")), col("qn2"), col("n2")).as("cos_sim"))
-          .withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") <= 3)
+        ivfSearch(e, e.filter(col("vec_id") <= 4), "vec_id", "embedding",
+          clusterCol = "label", k = 3)
           .orderBy(col("q_id"), col("rk"))
       },
       Some("""
@@ -1476,26 +1528,10 @@ object Pipeline {
     // oracle matches exactly.
     QueryDef(
       "p22_sequence_packing",
-      (s, d) => {
-        val L = 512
-        val toks = T.documents(s, d).select(col("doc_id"), col("source"),
-          size(words(col("text"))).cast(LongType).as("tok"))
-        val wIntra = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val intra = toks.withColumn("run", sum(col("tok")).over(wIntra))
-        val wBase = Window.orderBy(col("source"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val bases = toks.groupBy(col("source")).agg(sum(col("tok")).as("total"))
-          .withColumn("cum", sum(col("total")).over(wBase))
-          .select(col("source").as("b_source"), (col("cum") - col("total")).as("base"))
-        intra.join(broadcast(bases), col("source") === col("b_source"))
-          .select(col("doc_id"), col("source"), col("tok"),
-            (col("base") + col("run") - col("tok")).as("tok_offset"))
-          .withColumn("first_chunk", floor(col("tok_offset") / L))
-          .withColumn("last_chunk", floor((col("tok_offset") + col("tok") - 1) / L))
-          .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
-          .orderBy(col("doc_id"))
-      },
+      (s, d) =>
+        packSequences(T.documents(s, d), "doc_id", "source",
+          size(words(col("text"))).cast(LongType), contextLen = 512)
+          .orderBy(col("doc_id")),
       Some("""
         WITH t AS (
           SELECT doc_id, source,

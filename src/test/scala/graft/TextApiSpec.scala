@@ -109,6 +109,41 @@ class TextApiSpec extends AnyFunSuite {
     assert(asg(1L) != asg(2L))
   }
 
+  test("ivfSearch: probes the best cluster only; alien column names") {
+    import spark.implicits._
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // cluster 7 around 0°, cluster 9 around 90°; query at 80° must
+    // probe cluster 9 and NEVER see cluster 7's members
+    val pts = Seq(
+      (1L, 7, v(0)), (2L, 7, v(10)), (3L, 7, v(20)),
+      (4L, 9, v(90)), (5L, 9, v(80)), (6L, 9, v(70)))
+      .toDF("pk", "grp", "vec")
+    val res = Pipeline.ivfSearch(
+      pts, Seq((5L, v(80))).toDF("pk", "vec"), "pk", "vec", "grp", k = 5)
+      .collect()
+    assert(res.forall(_.getInt(res.head.fieldIndex("probe_label")) == 9))
+    // k=5 asked, but only the probed cluster's OTHER members return
+    assert(res.map(_.getLong(res.head.fieldIndex("vec_id"))).sorted.toSeq ==
+      Seq(4L, 6L))
+  }
+
+  test("packSequences: offsets are a gapless global prefix sum; alien columns") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "sA", 100L), (2L, "sA", 200L), (3L, "sB", 300L), (4L, "sB", 50L))
+      .toDF("rid", "shard", "ntok")
+    val out = Pipeline.packSequences(rows, "rid", "shard", col("ntok"),
+      contextLen = 128).orderBy("tok_offset").collect()
+    val offs = out.map(r => (r.getLong(0), r.getLong(r.fieldIndex("tok_offset")),
+      r.getLong(r.fieldIndex("n_chunks"))))
+    // shard sA packs first (base 0), then sB at base 300
+    assert(offs.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, 0L), (2L, 100L), (3L, 300L), (4L, 600L)))
+    // doc 2 spans tokens 100..299 → chunks 0..2 of 128 → 3 chunks
+    assert(offs.find(_._1 == 2L).get._3 == 3L)
+  }
+
   test("passageShareStats: verbatim copies score 1.0, one copied block scores 1/51") {
     val stats = Pipeline.passageShareStats(corpus, "post_key", "body")
       .orderBy("doc_id").collect()
