@@ -279,6 +279,46 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** Exact deduplication of ANY corpus: keep the minimum-id row per
+    * content hash, preserving all caller columns — the p01 digest-
+    * groupBy plan reshaped to return the deduped corpus itself (p01's
+    * QueryDef is the per-hash REPORT; this is the dedup operator). One
+    * shuffle on the 128-bit digest; no text comparison. */
+  def exactDedup(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+
+  /** Incremental admission of an incoming shard against an EXISTING
+    * corpus — the p23 plan as a reusable operator: drop incoming rows
+    * whose exact content hash OR near-dup band signature already
+    * exists in the corpus (no pairwise work; the corpus side reduces
+    * to its distinct key sets). Returns admitted rows with all caller
+    * columns plus `content_hash` and `band_sig` (NULL when the text is
+    * too short to shingle — such rows dedup exactly only). */
+  def admitAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def keyed(df: DataFrame): DataFrame = df
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("__ws", words(col(textCol)))
+      .withColumn("band_sig",
+        when(size(col("__ws")) >= 5, bandSignature(shingleHashes(col("__ws")))))
+      .drop("__ws")
+    val c = keyed(corpus)
+    // no broadcast hint: AQE broadcasts the distinct key sets while
+    // they fit and falls back to the shuffle anti-join beyond
+    keyed(incoming)
+      .join(c.select(col("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .join(c.select(col("band_sig")).distinct()
+        .filter(col("band_sig").isNotNull), Seq("band_sig"), "left_anti")
+      // anti-joins pull their keys to the front; restore caller order
+      .select(incoming.columns.map(col).toSeq
+        :+ col("content_hash") :+ col("band_sig"): _*)
+  }
+
   /** Sequence packing over ANY corpus — the p22 plan as a reusable
     * operator: concatenate-and-chunk the token stream into fixed
     * context windows where documents may straddle chunk boundaries.
@@ -1465,27 +1505,13 @@ object Pipeline {
     QueryDef(
       "p23_incremental_dedup",
       (s, d) => {
-        // exact admission needs only the content hash — docs too short
-        // to shingle (<5 words) still dedup exactly and carry sig=NULL,
-        // which an anti-join never matches (kept, near-dup-unknown)
-        def withSig(df: DataFrame): DataFrame =
-          df.select(col("doc_id"), md5(col("text")).as("h"),
-            words(col("text")).as("ws"))
-            .select(col("doc_id"), col("h"),
-              when(size(col("ws")) >= 5, shingleHashes(col("ws"))).as("xs"))
-            .select(col("doc_id"), col("h"),
-              when(col("xs").isNotNull, bandSignature(col("xs"))).as("sig"))
         val all = T.documents(s, d)
-        val corpus = withSig(all.filter(col("doc_id") < 250))
-        val incoming = withSig(all.filter(col("doc_id") >= 250))
-        // no broadcast hint: AQE broadcasts the distinct key sets while
-        // they fit and falls back to the shuffle anti-join beyond —
-        // forcing broadcast would OOM exactly at the scale that matters
-        incoming
-          .join(corpus.select(col("h")).distinct(), Seq("h"), "left_anti")
-          .join(corpus.select(col("sig")).distinct()
-            .filter(col("sig").isNotNull), Seq("sig"), "left_anti")
-          .select(col("doc_id"), col("h"), col("sig"))
+        admitAgainstCorpus(
+          corpus = all.filter(col("doc_id") < 250),
+          incoming = all.filter(col("doc_id") >= 250),
+          idCol = "doc_id", textCol = "text")
+          .select(col("doc_id"), col("content_hash").as("h"),
+            col("band_sig").as("sig"))
           .orderBy(col("doc_id"))
       },
       Some(s"""

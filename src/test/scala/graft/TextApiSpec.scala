@@ -80,6 +80,50 @@ class TextApiSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n_shared_5grams")) == 6L)
   }
 
+  test("exactDedup keeps the min-id row per content and all caller columns") {
+    import spark.implicits._
+    val df = Seq((5L, "same text", "a"), (3L, "same text", "b"),
+      (7L, "other", "c")).toDF("post_key", "body", "tag")
+    val kept = Pipeline.exactDedup(df, "post_key", "body")
+    assert(kept.columns.toSeq == Seq("post_key", "body", "tag"))
+    assert(kept.collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq ==
+      Seq((3L, "b"), (7L, "c")))
+  }
+
+  test("admitAgainstCorpus drops exact and near-dup re-posts, admits fresh docs") {
+    import spark.implicits._
+    val aWords = (1 to 60).map(i => s"w$i")
+    val a = mk(aWords)
+    // a 1-word edit only keeps the band-0 signature when none of the 5
+    // broken shingles held a band minimum — pick the first position
+    // that does (one must: 12 edit sites cover 60 shingle slots and
+    // only 4 minima exist), so the test never depends on hash luck
+    def sigOf(text: String): String = {
+      import spark.implicits._
+      Seq(text).toDF("body").select(graft.operators.Pipeline.bandSignature(
+        graft.operators.Pipeline.shingleHashes(split(col("body"), "\\s+"))))
+        .collect()(0).getString(0)
+    }
+    val aEdit = (0 until 60 by 5).iterator
+      .map(p => mk(aWords.updated(p, "edited")))
+      .find(t => sigOf(t) == sigOf(a))
+      .getOrElse(fail("no signature-preserving edit position found"))
+    val fresh = mk((1 to 60).map(i => s"z$i"))
+    val corpus = Seq((1L, a), (2L, "tiny")).toDF("post_key", "body")
+    val incoming = Seq(
+      (10L, a),      // exact dup → dropped
+      (11L, aEdit),  // near-dup (same band-0 signature) → dropped
+      (12L, fresh),  // new content → admitted
+      (13L, "tiny"), // exact short dup → dropped
+      (14L, "tiny2") // new short doc (sig NULL) → admitted
+    ).toDF("post_key", "body")
+    val admitted = Pipeline.admitAgainstCorpus(corpus, incoming,
+      "post_key", "body")
+    assert(admitted.select("post_key").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(12L, 14L))
+    assert(admitted.columns.take(2).toSeq == Seq("post_key", "body"))
+  }
+
   test("knnBruteCosine: alien column names, known neighbor order") {
     import spark.implicits._
     // unit-ish 2-d vectors at known angles: 0°, 30°, 60°, 90°
