@@ -279,6 +279,106 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** LSH-bucket cluster representative selection over ANY corpus — the
+    * p19 keep-best plan as a reusable operator: docs sharing a band-0
+    * MinHash signature form a cluster; keep the member with the
+    * highest `score` (id tie-break). One map-side signature + one
+    * window over the bucket key — no pairwise work. Only clusters with
+    * >1 member are returned (singletons need no selection). Output:
+    * (band_sig, n_members, keep_id, keep_score). */
+  def clusterRepresentatives(corpus: DataFrame, idCol: String,
+      textCol: String, score: Column): DataFrame = {
+    val clustered = corpus
+      .select(col(idCol).as("keep_id"), score.as("keep_score"),
+        words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("keep_id"), col("keep_score"),
+        bandSignature(shingleHashes(col("ws"))).as("band_sig"))
+    val byScore = Window.partitionBy(col("band_sig"))
+      .orderBy(col("keep_score").desc, col("keep_id").asc)
+    clustered
+      .withColumn("rk", row_number().over(byScore))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("band_sig"))))
+      .filter(col("rk") === 1 && col("n_members") > 1)
+      .select(col("band_sig"), col("n_members"), col("keep_id"),
+        col("keep_score"))
+  }
+
+  /** Deterministic hash-bucket sampling of ANY corpus: keep a row when
+    * `md5(id) % 100 < pct`, where `pct` is any integer Column over the
+    * row (a constant, or per-stratum via `when(...)`) — the p15 plan as
+    * a reusable operator. No RNG: membership is a pure function of the
+    * id, so reruns, retries, and the oracle agree exactly. Caller
+    * columns pass through untouched. */
+  def hashSample(corpus: DataFrame, idCol: String, pct: Column): DataFrame =
+    corpus.filter(
+      call_function("md5_prefix_long", col(idCol).cast(StringType), lit(2))
+        % 100 < pct)
+
+  /** Rebalance ANY corpus to a TARGET stratum mix — the p24 plan as a
+    * reusable operator. `weights` maps stratum value → integer weight;
+    * the max total honoring the mix is T = min_s floor(n_s·W/w_s), and
+    * each stratum keeps its floor(T·w_s/W) hash-first rows (md5 rank,
+    * no RNG). A target stratum absent from the corpus drives T to 0
+    * (empty sample) rather than shipping a sample that violates the
+    * mix; corpus strata not in `weights` are dropped. Output: caller
+    * columns (id and stratum first) plus the per-stratum hash rank. */
+  def rebalanceToMix(corpus: DataFrame, idCol: String, stratumCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val W = weights.map(_._2).sum
+    val wDf = weights.toDF(stratumCol, "__w")
+    val docs = corpus.join(broadcast(wDf), Seq(stratumCol))
+    val caps = wDf.join(
+        docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n")),
+        Seq(stratumCol), "left")
+      .select(floor(coalesce(col("__n"), lit(0L)) * W / col("__w")).as("__cap"))
+    val t = caps.agg(min(col("__cap")).as("__t"))
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(md5(concat(col(stratumCol), lit(":"),
+            col(idCol).cast(StringType))), col(idCol))))
+      .crossJoin(broadcast(t))
+      .filter(col("rk") <= floor(col("__t") * col("__w") / W))
+      .select(Seq(col(idCol), col(stratumCol))
+        ++ corpus.columns.filterNot(c => c == idCol || c == stratumCol).map(col)
+        :+ col("rk").cast(LongType).as("rk"): _*)
+  }
+
+  /** Per-label centroid outliers over ANY embedding corpus — the p29
+    * curation gate as a reusable operator: flag the `topK` vectors
+    * farthest from their label's centroid (mislabeled or corrupt
+    * embeddings). Centroids are exact integer-scaled means (bit-
+    * identical across engines, see [[kmeansCluster]]); distances are
+    * the codegen'd sequential fold; one k-row groupBy + broadcast join
+    * + one window per label. Output: (label, vec_id, d2, rk). */
+  def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, topK: Int, dim: Int): DataFrame = {
+    val Scale = 10000000L
+    val e = vecs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      col(vecCol).as("embedding"))
+    val sums = (0 until dim).map(i =>
+      sum(round(element_at(col("embedding"), i + 1).cast(DoubleType)
+        * Scale).cast(LongType)).as(s"s$i"))
+    val cents = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+      .select(col("label"), array((0 until dim).map(i =>
+        col(s"s$i").cast(DoubleType) /
+          (col("cnt") * Scale).cast(DoubleType)): _*).as("ce"))
+    e.join(broadcast(cents), Seq("label"))
+      .withColumn("d2", call_function("float_dist_sq",
+        col("embedding"), col("ce")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("d2").desc, col("vec_id").asc))
+        .cast(LongType))
+      .filter(col("rk") <= topK)
+      .select(col("label"), col("vec_id"), col("d2"), col("rk"))
+  }
+
   /** Exact deduplication of ANY corpus: keep the minimum-id row per
     * content hash, preserving all caller columns — the p01 digest-
     * groupBy plan reshaped to return the deduped corpus itself (p01's
@@ -1115,18 +1215,12 @@ object Pipeline {
     // function of doc_id, so reruns and the oracle agree exactly).
     QueryDef(
       "p15_stratified_sample",
-      (s, d) => {
-        val bucket = call_function("md5_prefix_long",
-          col("doc_id").cast(StringType), lit(2)) % 100
-        T.documents(s, d)
-          .withColumn("bucket", bucket)
-          .filter(
-            (col("lang") === "en" && col("bucket") < 10) ||
-            (col("lang") =!= "en" && col("bucket") < 50))
+      (s, d) =>
+        hashSample(T.documents(s, d), "doc_id",
+          pct = when(col("lang") === "en", 10).otherwise(50))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
-          .orderBy(col("lang"))
-      },
+          .orderBy(col("lang")),
       Some("""
         WITH b AS (
           SELECT lang, n_chars,
@@ -1268,25 +1362,12 @@ object Pipeline {
     // graph job; the bucket proxy is the shard-local policy).
     QueryDef(
       "p19_cluster_representative",
-      (s, d) => {
-        val docs = T.documents(s, d)
-          .select(col("doc_id"), col("n_chars"), words(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 5)
-        val xs = docs.select(col("doc_id"), col("n_chars"),
-          shingleHashes(col("ws")).as("xs"))
-        val clustered = xs.select(col("doc_id"), col("n_chars"),
-          bandSignature(col("xs")).as("sig"))
-        val byLen = Window.partitionBy(col("sig"))
-          .orderBy(col("n_chars").desc, col("doc_id").asc)
-        clustered
-          .withColumn("rk", row_number().over(byLen))
-          .withColumn("n_members",
-            count(lit(1)).over(Window.partitionBy(col("sig"))))
-          .filter(col("rk") === 1 && col("n_members") > 1)
-          .select(col("sig"), col("n_members"),
-            col("doc_id").as("keep_doc_id"), col("n_chars").as("kept_chars"))
-          .orderBy(col("keep_doc_id"))
-      },
+      (s, d) =>
+        clusterRepresentatives(T.documents(s, d), "doc_id", "text",
+          score = col("n_chars"))
+          .select(col("band_sig").as("sig"), col("n_members"),
+            col("keep_id").as("keep_doc_id"), col("keep_score").as("kept_chars"))
+          .orderBy(col("keep_doc_id")),
       Some(s"""
         WITH w AS (
           SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS ws
@@ -1447,31 +1528,13 @@ object Pipeline {
     // languages) — the single corpus shuffle any stratified pass needs.
     QueryDef(
       "p24_rebalance_sample",
-      (s, d) => {
-        import s.implicits._
-        val weights = Seq("en" -> 40L, "de" -> 15L, "fr" -> 15L,
-          "es" -> 15L, "zh" -> 15L)
-        val W = weights.map(_._2).sum
-        val wDf = weights.toDF("lang", "w")
-        val docs = T.documents(s, d).select(col("doc_id"), col("lang"))
-          .join(broadcast(wDf), Seq("lang"))
-        // T minimizes over EVERY target language — one absent from the
-        // corpus must drive T to 0 (empty sample), not silently fall
-        // out of the min and ship a sample violating the target mix
-        val caps = wDf.join(
-            docs.groupBy(col("lang")).agg(count(lit(1)).as("n")),
-            Seq("lang"), "left")
-          .select(floor(coalesce(col("n"), lit(0L)) * W / col("w")).as("cap_t"))
-        val t = caps.agg(min(col("cap_t")).as("t"))
-        val ranked = docs
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("lang"))
-              .orderBy(md5(concat(col("lang"), lit(":"), col("doc_id"))), col("doc_id"))))
-        ranked.crossJoin(broadcast(t))
-          .filter(col("rk") <= floor(col("t") * col("w") / W))
-          .select(col("doc_id"), col("lang"), col("rk").cast(LongType).as("rk"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) =>
+        rebalanceToMix(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          weights = Seq("en" -> 40L, "de" -> 15L, "fr" -> 15L,
+            "es" -> 15L, "zh" -> 15L))
+          .orderBy(col("doc_id")),
       Some("""
         WITH w(lang, w) AS (VALUES
           ('en', 40), ('de', 15), ('fr', 15), ('es', 15), ('zh', 15)),
@@ -1759,30 +1822,12 @@ object Pipeline {
     // broadcast join back, map-side distances, one window per label.
     QueryDef(
       "p29_embedding_outliers",
-      (s, d) => {
-        val Dim = 64; val Scale = 10000000L
-        val e = T.embeddings(s, d)
-          .select(col("vec_id"), col("label"), col("embedding"))
-        val sums = (0 until Dim).map(i =>
-          sum(round(element_at(col("embedding"), i + 1).cast(DoubleType)
-            * Scale).cast(LongType)).as(s"s$i"))
-        val cents = e.groupBy(col("label"))
-          .agg(count(lit(1)).as("cnt"), sums: _*)
-          .select(col("label"), array((0 until Dim).map(i =>
-            col(s"s$i").cast(DoubleType) /
-              (col("cnt") * Scale).cast(DoubleType)): _*).as("ce"))
-        e.join(broadcast(cents), Seq("label"))
-          .withColumn("d2", call_function("float_dist_sq",
-            col("embedding"), col("ce")))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("label"))
-              .orderBy(col("d2").desc, col("vec_id").asc))
-            .cast(LongType))
-          .filter(col("rk") <= 3)
+      (s, d) =>
+        centroidOutliers(T.embeddings(s, d), "vec_id", "embedding",
+          labelCol = "label", topK = 3, dim = 64)
           .select(col("label").cast(LongType).as("label"), col("vec_id"),
             col("d2"), col("rk"))
-          .orderBy(col("label"), col("rk"))
-      },
+          .orderBy(col("label"), col("rk")),
       Some {
         val Dim = 64; val Scale = "10000000"
         val sumCols = (1 to Dim).map(i =>

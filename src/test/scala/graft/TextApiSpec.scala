@@ -124,6 +124,64 @@ class TextApiSpec extends AnyFunSuite {
     assert(admitted.columns.take(2).toSeq == Seq("post_key", "body"))
   }
 
+  test("clusterRepresentatives keeps the highest-score bucket member") {
+    import spark.implicits._
+    val a = mk((1 to 60).map(i => s"w$i"))
+    val other = mk((1 to 60).map(i => s"v$i"))
+    // two exact copies (same bucket trivially) with different scores,
+    // plus a singleton that must NOT be reported
+    val df = Seq((1L, a, 10L), (2L, a, 99L), (3L, other, 5L))
+      .toDF("post_key", "body", "quality")
+    val reps = Pipeline.clusterRepresentatives(df, "post_key", "body",
+      score = col("quality")).collect()
+    assert(reps.length == 1)
+    assert(reps(0).getLong(reps(0).fieldIndex("keep_id")) == 2L)
+    assert(reps(0).getLong(reps(0).fieldIndex("n_members")) == 2L)
+  }
+
+  test("hashSample is a deterministic pure function of the id") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("post_key", "grp")
+    val pct = when(col("grp") === "a", 25).otherwise(75)
+    val s1 = Pipeline.hashSample(df, "post_key", pct)
+      .select("post_key").collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Pipeline.hashSample(df, "post_key", pct)
+      .select("post_key").collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 400)
+    // strata draw at visibly different rates on 200 rows each
+    val byGrp = s1.groupBy(_ % 2 == 0).view.mapValues(_.size).toMap
+    assert(byGrp(false) > byGrp(true)) // 75% of "b" > 25% of "a"
+  }
+
+  test("rebalanceToMix honors the target mix; a missing stratum empties it") {
+    import spark.implicits._
+    val df = ((1L to 300L).map(i => (i, "en")) ++ (301L to 400L).map(i => (i, "de")))
+      .toDF("post_key", "stratum")
+    val out = Pipeline.rebalanceToMix(df, "post_key", "stratum",
+      weights = Seq("en" -> 3L, "de" -> 1L))
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(floor(300·4/3), floor(100·4/1)) = 400 → en 300, de 100
+    assert(out == Map("en" -> 300L, "de" -> 100L))
+    val empty = Pipeline.rebalanceToMix(df, "post_key", "stratum",
+      weights = Seq("en" -> 3L, "de" -> 1L, "zz" -> 1L))
+    assert(empty.count() == 0) // absent target stratum drives T to 0
+  }
+
+  test("centroidOutliers flags the farthest vector per label") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 5, Array(0.0f, 0.0f)), (2L, 5, Array(0.1f, 0.0f)),
+      (3L, 5, Array(8.0f, 8.0f)), // the outlier in label 5
+      (4L, 6, Array(1.0f, 1.0f)), (5L, 6, Array(1.1f, 1.0f)))
+      .toDF("pk", "lab", "vec")
+    val top = Pipeline.centroidOutliers(df, "pk", "vec", "lab",
+      topK = 1, dim = 2).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(top(5) == 3L)
+  }
+
   test("knnBruteCosine: alien column names, known neighbor order") {
     import spark.implicits._
     // unit-ish 2-d vectors at known angles: 0°, 30°, 60°, 90°
