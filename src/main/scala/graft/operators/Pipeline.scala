@@ -279,6 +279,76 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** Stopword-marker language ID over ANY corpus — the p09 heuristic
+    * as a reusable operator: per-language marker-word votes with a
+    * fixed deterministic tie-break chain. Returns all caller columns
+    * plus `predicted_lang` ("und" when no marker hits). The marker
+    * lists carry the signal on real corpora; swap in larger lists via
+    * the `markers` parameter without touching the plan (per-row
+    * map-side filters, embarrassingly parallel). */
+  def langIdPredict(corpus: DataFrame, textCol: String,
+      markers: Seq[(String, Seq[String])] = Seq(
+        "en" -> Seq("the", "a", "of", "and", "is"),
+        "de" -> Seq("der", "die", "das", "und", "ist"),
+        "fr" -> Seq("le", "la", "les", "et", "est"),
+        "es" -> Seq("el", "los", "las", "y", "es"))): DataFrame = {
+    val ws = words(col(textCol))
+    val scores = markers.map { case (l, m) =>
+      l -> size(filter(ws, w => w.isin(m.map(lit(_)): _*))).cast(LongType)
+    }
+    val total = scores.map(_._2).reduce(_ + _)
+    // deterministic argmax: earlier markers win ties in list order
+    val predicted = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (l, s)) =>
+        val rest = scores.dropWhile(_._1 != l).drop(1).map(_._2)
+        val beatsRest = rest match {
+          case Nil => lit(true)
+          case one :: Nil => s >= one
+          case many => s >= greatest(many: _*)
+        }
+        when(total > 0 && beatsRest, l).otherwise(acc)
+    }
+    corpus.withColumn("predicted_lang", predicted)
+  }
+
+  /** Heuristic document quality score over ANY corpus — the p10 gate
+    * as a reusable operator: length, stopword ratio, punctuation
+    * ratio and token diversity combined in a fixed-order double
+    * formula (per-row, embarrassingly parallel). `lenCol` lets callers
+    * supply a precomputed length column; it defaults to
+    * `length(textCol)`. Returns caller columns + (quality, keep). */
+  def qualityScore(corpus: DataFrame, textCol: String,
+      lenCol: Column = null, keepMin: Double = 0.5): DataFrame = {
+    val len = Option(lenCol).getOrElse(length(col(textCol)))
+    val ws = words(col(textCol))
+    val nWords = size(ws).cast(DoubleType)
+    val stopRatio =
+      size(filter(ws, w => w.isin("the", "a", "of", "and", "is")))
+        .cast(DoubleType) / nWords
+    val punctRatio =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "[.,!?;:]", "")))
+        .cast(DoubleType) / length(col(textCol)).cast(DoubleType)
+    val diversity = size(array_distinct(ws)).cast(DoubleType) / nWords
+    val q = least(len.cast(DoubleType) / 500.0, lit(1.0)) * 0.4 +
+      stopRatio * 0.2 + (lit(1.0) - punctRatio) * 0.2 + diversity * 0.2
+    corpus.withColumn("quality", q).withColumn("keep", q >= keepMin)
+  }
+
+  /** Winnowing-style fingerprints over ANY corpus — the p12 sketch as
+    * a reusable operator, entirely map-side (the distinct k-gram hash
+    * set is one codegen'd pass; the sketch is array_min + size).
+    * Output: (doc_id, fingerprint, n_distinct_grams). */
+  def winnowFingerprints(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        call_function("kgram_hashes", col("ws"), lit(k), lit(4)).as("kh"))
+      .select(col("doc_id"),
+        array_min(col("kh")).as("fingerprint"),
+        size(col("kh")).cast(LongType).as("n_distinct_grams"))
+
   /** LSH-bucket cluster representative selection over ANY corpus — the
     * p19 keep-best plan as a reusable operator: docs sharing a band-0
     * MinHash signature form a cluster; keep the member with the
@@ -1023,30 +1093,13 @@ object Pipeline {
     // marker lists carry the signal; here they exercise the operator.
     QueryDef(
       "p09_lang_id",
-      (s, d) => {
-        val markers = Map(
-          "en" -> Seq("the", "a", "of", "and", "is"),
-          "de" -> Seq("der", "die", "das", "und", "ist"),
-          "fr" -> Seq("le", "la", "les", "et", "est"),
-          "es" -> Seq("el", "los", "las", "y", "es"))
-        def score(m: Seq[String]): Column =
-          size(filter(words(col("text")), w => w.isin(m.map(lit(_)): _*)))
-            .cast(LongType)
-        val scored = T.documents(s, d)
+      (s, d) =>
+        langIdPredict(T.documents(s, d).select(col("doc_id"), col("lang"),
+          col("text")), "text")
           .select(col("doc_id"), col("lang"),
-            score(markers("en")).as("s_en"), score(markers("de")).as("s_de"),
-            score(markers("fr")).as("s_fr"), score(markers("es")).as("s_es"))
-        scored
-          .withColumn("predicted",
-            when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0, "und")
-              .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
-              .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
-              .when(col("s_fr") >= col("s_es"), "fr")
-              .otherwise("es"))
-          .select(col("doc_id"), col("lang"), col("predicted"),
-            (col("predicted") === col("lang")).as("agrees"))
-          .orderBy(col("doc_id"))
-      },
+            col("predicted_lang").as("predicted"),
+            (col("predicted_lang") === col("lang")).as("agrees"))
+          .orderBy(col("doc_id")),
       Some("""
         WITH scored AS (
           SELECT doc_id, lang,
@@ -1073,24 +1126,10 @@ object Pipeline {
     // double formula (deterministic; per-row, embarrassingly parallel).
     QueryDef(
       "p10_quality_score",
-      (s, d) => {
-        val ws = words(col("text"))
-        val nWords = size(ws).cast(DoubleType)
-        val stopRatio =
-          size(filter(ws, w => w.isin("the", "a", "of", "and", "is")))
-            .cast(DoubleType) / nWords
-        val punctRatio =
-          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-            .cast(DoubleType) / length(col("text")).cast(DoubleType)
-        val diversity =
-          size(array_distinct(ws)).cast(DoubleType) / nWords
-        val lenScore = least(col("n_chars").cast(DoubleType) / 500.0, lit(1.0))
-        val q = lenScore * 0.4 + stopRatio * 0.2 + (lit(1.0) - punctRatio) * 0.2 +
-          diversity * 0.2
-        T.documents(s, d)
-          .select(col("doc_id"), q.as("quality"), (q >= 0.5).as("keep"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) =>
+        qualityScore(T.documents(s, d), "text", lenCol = col("n_chars"))
+          .select(col("doc_id"), col("quality"), col("keep"))
+          .orderBy(col("doc_id")),
       Some("""
         SELECT doc_id,
           least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
@@ -1141,17 +1180,9 @@ object Pipeline {
     // count-distinct over the multiset equal min and size over the set).
     QueryDef(
       "p12_fingerprint",
-      (s, d) => {
-        T.documents(s, d)
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("doc_id"),
-            call_function("kgram_hashes", col("ws"), lit(3), lit(4)).as("kh"))
-          .select(col("doc_id"),
-            array_min(col("kh")).as("fingerprint"),
-            size(col("kh")).cast(LongType).as("n_distinct_grams"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) =>
+        winnowFingerprints(T.documents(s, d), "doc_id", "text")
+          .orderBy(col("doc_id")),
       Some("""
         WITH w AS (
           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents

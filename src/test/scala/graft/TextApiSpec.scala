@@ -124,6 +124,41 @@ class TextApiSpec extends AnyFunSuite {
     assert(admitted.columns.take(2).toSeq == Seq("post_key", "body"))
   }
 
+  test("langIdPredict votes markers with deterministic ties; und on none") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat of the house is here"),     // en markers
+      (2L, "der hund und die katze ist da"),    // de markers
+      (3L, "xyzzy plugh quux"),                 // no markers → und
+      (4L, "the le")                            // 1 en vs 1 fr: en wins tie
+    ).toDF("post_key", "body")
+    val out = Pipeline.langIdPredict(df, "body")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "en"))
+  }
+
+  test("qualityScore composes the four signals; keep honors the threshold") {
+    import spark.implicits._
+    val good = ("the quality of and is " * 20).trim   // long, stopwordy, no punct
+    val bad = "!!! ??? ;;;"
+    val df = Seq((1L, good), (2L, bad)).toDF("post_key", "body")
+    val out = Pipeline.qualityScore(df, "body")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(r.fieldIndex("quality")), r.getBoolean(r.fieldIndex("keep"))))
+      .toMap
+    assert(out(1L)._1 > out(2L)._1 && out(1L)._2 && !out(2L)._2)
+  }
+
+  test("winnowFingerprints: identical texts share a fingerprint, others differ") {
+    import spark.implicits._
+    val a = mk((1 to 30).map(i => s"w$i"))
+    val df = Seq((1L, a), (2L, a), (3L, mk((1 to 30).map(i => s"v$i"))))
+      .toDF("post_key", "body")
+    val fps = Pipeline.winnowFingerprints(df, "post_key", "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+
   test("clusterRepresentatives keeps the highest-score bucket member") {
     import spark.implicits._
     val a = mk((1 to 60).map(i => s"w$i"))
