@@ -1959,6 +1959,35 @@ object Pipeline {
         FROM p JOIN dftab d ON p.h = d.h
         GROUP BY p.doc_id ORDER BY p.doc_id""")),
 
+    // ---- p33: dedup report — the component-size histogram every
+    // dedup pass ships with its output (how much mass is duplicated,
+    // and in what cluster shapes): components from the p25 graph,
+    // grouped by size. docs_removed = what p30's collapse would drop.
+    // Two tiny aggs on top of the component table; the oracle derives
+    // the identical histogram from the recursive-CTE ground truth.
+    QueryDef(
+      "p33_dedup_report",
+      (s, d) => {
+        val comp = connectedComponents(
+          neardupPairs(s, d).select(col("doc_a"), col("doc_b")))
+        comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+          .groupBy(col("csize"))
+          .agg(count(lit(1)).as("n_components"),
+            sum(col("csize")).as("n_docs"))
+          .withColumn("docs_removed", col("n_docs") - col("n_components"))
+          .orderBy(col("csize"))
+      },
+      Some(s"""
+        WITH RECURSIVE $NeardupPairsSql,
+        $ComponentsSql,
+        sizes AS (
+          SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+          FROM comp GROUP BY component)
+        SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(SUM(csize) AS BIGINT) AS n_docs,
+               CAST(SUM(csize) - COUNT(*) AS BIGINT) AS docs_removed
+        FROM sizes GROUP BY csize ORDER BY csize""")),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio

@@ -879,6 +879,38 @@ object Relational {
           AND NOT EXISTS (SELECT 1 FROM orders o2
                           WHERE o2.o_custkey = c.c_custkey
                             AND o2.o_orderstatus = 'F')
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ---- q39: first_value / last_value / nth_value window navigation —
+    // the frame-edge accessors (the rank/lag families are q28/q35; this
+    // completes the navigation-function surface). last_value reads the
+    // FULL partition frame (the default running frame is the classic
+    // silent-wrong-answer); nth_value(_, 2) is NULL for 1-order
+    // customers, exercising frame-edge null semantics.
+    QueryDef(
+      "q39_window_navigation",
+      (s, d) => {
+        val full = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            first(col("o_totalprice")).over(full).as("first_price"),
+            last(col("o_totalprice")).over(full).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+          .filter(col("o_custkey") % 100 === 0)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               FIRST_VALUE(o_totalprice) OVER w AS first_price,
+               LAST_VALUE(o_totalprice) OVER w AS last_price,
+               NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        QUALIFY o_custkey % 100 = 0
+        ORDER BY o_orderkey"""))
   )
 }
