@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{CsvDirReader, JdbcReader, JsonlDirReader, ParquetDirReader, ParquetSink, Reader}
+import graft.sources.{CsvDirReader, JdbcReader, JsonlDirReader, OrcDirReader, ParquetDirReader, ParquetSink, Reader}
 import graft.functions.PgConversions.PgSettings
 
 /** CLI shell mirroring the reference's argument surface
@@ -276,6 +276,8 @@ object Main {
       new JsonlDirReader(conn.stripPrefix("jsonl:"))
     else if (conn.startsWith("csv:"))
       new CsvDirReader(conn.stripPrefix("csv:"))
+    else if (conn.startsWith("orc:"))
+      new OrcDirReader(conn.stripPrefix("orc:"), Tables.names)
     else if (conn.startsWith("jdbc:"))
       new JdbcReader(conn,
         // credentials embedded in the connection string take precedence
@@ -290,7 +292,8 @@ object Main {
         tlsOptions = JdbcReader.tlsProperties(a.sslmode, a.sslRootCerts,
           a.sslClientCert, a.sslClientKey))
     else throw new IllegalArgumentException(
-      s"unsupported connection '$conn' (expected jdbc:postgresql://..., dir:/path, jsonl:/path or csv:/path)")
+      s"unsupported connection '$conn' (expected jdbc:postgresql://..., " +
+        "dir:/path, jsonl:/path, csv:/path or orc:/path)")
   }
 
   /** The export pipeline: read (table or query) → single ordered

@@ -86,6 +86,25 @@ final class ParquetDirReader(dir: String, tableNames: Seq[String]) extends Reade
   }
 }
 
+/** ORC-directory reader (beyond-reference): one `<dir>/<name>.orc` per
+  * table — the other self-describing columnar lake format; Spark ships
+  * native ORC support, so this mirrors [[ParquetDirReader]] exactly
+  * (schema travels with the files, predicate pushdown and column
+  * pruning reach the ORC scan the same way). */
+final class OrcDirReader(dir: String, tableNames: Seq[String]) extends Reader {
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.read.orc(s"$dir/$name.orc")
+
+  def query(spark: SparkSession, sql: String): DataFrame = {
+    val present = DirListing.list(spark, dir, Seq(".orc")).toMap
+    (tableNames.filter(present.contains) ++
+      (present.keySet -- tableNames).toSeq.sorted)
+      .filter(t => DirListing.mentions(sql, t))
+      .foreach(t => spark.read.orc(present(t)).createOrReplaceTempView(t))
+    spark.sql(sql)
+  }
+}
+
 /** JSONL-directory reader (beyond-reference): one
   * `<dir>/<name>.jsonl[.gz]` per table — the raw-crawl ingest format a
   * training-data pipeline starts from before anything is columnar.

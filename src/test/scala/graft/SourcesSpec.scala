@@ -74,6 +74,23 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](r.query(spark, "SELECT * FROM pets"))
   }
 
+  test("OrcDirReader: native ORC table/query scans round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orcdir").toString
+    Seq((1L, "ada"), (2L, "grace"), (3L, "edsger")).toDF("id", "name")
+      .coalesce(1).write.orc(s"$dir/people.orc")
+    Seq((1L, "cat"), (2L, "dog")).toDF("id", "animal")
+      .coalesce(1).write.orc(s"$dir/pets.orc")
+    val r = new graft.sources.OrcDirReader(dir, Seq("people"))
+    assert(r.table(spark, "people").count() == 3)
+    // discovered extras (pets is not in tableNames) register too, and
+    // unmentioned tables are never touched
+    val joined = r.query(spark,
+      "SELECT p.name, q.animal FROM people p JOIN pets q ON p.id = q.id ORDER BY p.id")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(joined == Seq(("ada", "cat"), ("grace", "dog")))
+  }
+
   test("dialect maps pg type names per §2.3") {
     def m(tn: String, sqlType: Int = java.sql.Types.OTHER) =
       PostgresDialect.getCatalystType(sqlType, tn, 0, new MetadataBuilder)
