@@ -87,6 +87,17 @@ object Pipeline {
     * this many distinct documents. */
   private val RareBigramDf = 2
 
+  /** LSH bucket-size cap for the pair generators (p02/p26): the pair
+    * explode is quadratic in bucket size, so one page duplicated 10^6
+    * times would emit 10^12 pairs — the same scale-killer p04's
+    * stop-gram cap bounds. A bucket larger than this is a mass-
+    * duplicate class; pairwise output for it carries no information
+    * per pair (run [[exactDedup]] first — the standard pipeline order
+    * — and such buckets collapse before LSH ever sees them). Above
+    * every fixture bucket size, so the driver-gated results stay
+    * EXACT. */
+  private val LshBucketCap = 1000
+
   /** p32 passage length in words: long enough that a shared passage
     * means copied text, not a common collocation. */
   private val PassageLen = 10
@@ -114,7 +125,11 @@ object Pipeline {
     * reusable library operator — `idCol`/`textCol` name the caller's
     * columns, output is (doc_a, doc_b, jaccard) with `jaccard >=
     * jaccardMin`. The p02/p25/p30/p31 QueryDefs all run THIS function,
-    * so the fixture gate certifies the same code a library user calls. */
+    * so the fixture gate certifies the same code a library user calls.
+    * Buckets larger than [[LshBucketCap]] are dropped (mass-duplicate
+    * classes; pair output is quadratic in bucket size) — run
+    * [[exactDedup]] first, the standard pipeline order, and such
+    * buckets collapse before LSH ever sees them. */
   def minhashNeardupPairs(corpus: DataFrame, idCol: String, textCol: String,
       jaccardMin: Double = 0.5): DataFrame = {
     val docs = corpus
@@ -163,7 +178,7 @@ object Pipeline {
     // doc, grouped by (band, sig) — the LSH bucketing itself.
     val buckets = bands.groupBy(col("band"), col("sig"))
       .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) > 1)
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= LshBucketCap)
     val pairs = buckets
       .select(explode(col("docs")).as("da"), col("docs"))
       .select(col("da"), explode(col("docs")).as("db"))
@@ -211,7 +226,9 @@ object Pipeline {
       FROM mh GROUP BY doc_id, i // $BandRows),
     buckets AS (
       SELECT band, sig, list_sort(list(DISTINCT doc_id)) AS docs
-      FROM sig GROUP BY band, sig HAVING COUNT(DISTINCT doc_id) > 1),
+      FROM sig GROUP BY band, sig
+      HAVING COUNT(DISTINCT doc_id) > 1
+         AND COUNT(DISTINCT doc_id) <= $LshBucketCap),
     pairs AS (
       SELECT DISTINCT ta.da, tb.db
       FROM buckets, unnest(docs) ta(da), unnest(docs) tb(db) WHERE ta.da < tb.db),
@@ -630,7 +647,9 @@ object Pipeline {
     * `maxHamming` (must be ≤ 3: the 4-chunk pigeonhole guarantees
     * exact recall only up to 3 differing bits of the 48) — the p26
     * plan as a reusable operator: one bucket shuffle, fingerprints
-    * carried through it, map-side xor verification. */
+    * carried through it, map-side xor verification. Buckets larger
+    * than [[LshBucketCap]] are dropped (see [[minhashNeardupPairs]]);
+    * the pigeonhole recall guarantee holds below the cap. */
   def simhashNeardupPairs(corpus: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -644,7 +663,7 @@ object Pipeline {
       .groupBy(col("ck"), col("cv"))
       .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash"))))
         .as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= LshBucketCap)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
