@@ -982,10 +982,13 @@ object Pipeline {
         val bands = e.select(Seq(col("vec_id"), col("label")) ++ bitCols: _*)
           .select(col("vec_id"), col("label"),
             expr(s"stack($SrpBands, $sigExpr) AS (band, sig)"))
-        // the ONLY pairing shuffle: bucket collisions within the block
+        // the ONLY pairing shuffle: bucket collisions within the block;
+        // buckets beyond LshBucketCap are mass-duplicate embedding
+        // classes (pair output quadratic in bucket size — same bound
+        // as p02/p26), exact at fixture scale
         val buckets = bands.groupBy(col("label"), col("band"), col("sig"))
           .agg(array_sort(collect_set(col("vec_id"))).as("vs"))
-          .filter(size(col("vs")) > 1)
+          .filter(size(col("vs")) > 1 && size(col("vs")) <= LshBucketCap)
         val pairs = buckets
           .select(explode(col("vs")).as("va"), col("vs"))
           .select(col("va"), explode(col("vs")).as("vb"))
@@ -1025,9 +1028,12 @@ object Pipeline {
                    s"concat(${(0 until SrpRows).map(r => s"b${b * SrpRows + r}").mkString(", ")})")
                    .mkString("[", ", ", "]")}[CAST(t.band AS INT) + 1] AS sig
           FROM bits, unnest(range(0, $SrpBands)) t(band)),
+        bands_c AS (
+          SELECT * FROM bands
+          QUALIFY COUNT(*) OVER (PARTITION BY label, band, sig) <= $LshBucketCap),
         pairs AS (
           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-          FROM bands a JOIN bands b
+          FROM bands_c a JOIN bands_c b
             ON a.label = b.label AND a.band = b.band AND a.sig = b.sig
            AND a.vec_id < b.vec_id)
         SELECT p.va AS vec_a, p.vb AS vec_b, a.label AS label,
