@@ -124,6 +124,39 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full ingest chain: scrub → neardupGate → exactly-once parquet sink") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("chain-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chain-ckpt").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val chained = Streams.neardupGate(
+      Streams.scrubAndGate(in.toDF().toDF("ts", "doc_id", "text"), minChars = 20))
+    val q = Streams.toParquet(chained, outDir, ckpt)
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, base + " mail me a@b.com"),
+        // 2 scrubs to EXACTLY doc 1's text (different address, same
+        // <EMAIL> replacement) — the classic near-dup the raw-text
+        // gate would miss; the chain order makes it an exact bucket hit
+        (ts("2024-01-01 10:01:00"), 2L, base + " mail me c@d.com"),
+        (ts("2024-01-01 10:02:00"), 3L, "short")) // gated by length
+      q.processAllAvailable()
+      in.addData(
+        (ts("2024-01-01 10:10:00"), 4L, base + " mail me a@b.com")) // exact dup of 1 post-scrub
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(outDir)
+    val ids = landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 3 gated on raw length; 2 and 4 scrub to doc 1's exact text →
+    // same shingle set → same band signature → dropped by the gate
+    assert(ids == Seq(1L))
+    // scrub ran before the sink: no raw email survives in landed text
+    assert(landed.filter(col("text").contains("a@b.com")).count() == 0)
+    assert(landed.filter(col("text").contains("<EMAIL>")).count() >= 1)
+  }
+
   test("neardupGate: near-duplicates share a band bucket and are dropped") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
