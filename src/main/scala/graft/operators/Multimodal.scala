@@ -77,6 +77,33 @@ object Multimodal {
     }
   }
 
+  /** Overlapping analysis windows (audio-style): fixed `width`-byte
+    * windows every `hop` bytes — hop < width means consecutive windows
+    * overlap, the standard STFT/feature-extraction layout. The final
+    * partial window is emitted iff at least `width/2` bytes remain
+    * (half-window rule), so short tails are neither dropped entirely
+    * nor padded silently. Same mapPartitions shape as [[sampleFrames]]:
+    * a real windowed decoder initializes per partition and streams. */
+  final case class WindowSample(
+      doc_id: Long, window_no: Int, offset: Long, length: Long)
+
+  def sampleWindows(records: Dataset[MediaRecord], width: Int,
+      hop: Int): Dataset[WindowSample] = {
+    require(width >= 1 && hop >= 1, s"width/hop must be >= 1, got $width/$hop")
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.payload.length
+        Iterator.from(0)
+          .map(i => (i, i.toLong * hop))
+          .takeWhile { case (_, off) => off < n && n - off >= width / 2 }
+          .map { case (i, off) =>
+            WindowSample(r.doc_id, i, off, math.min(width.toLong, n - off))
+          }
+      }
+    }
+  }
+
   /** Documents → MediaRecords (text bytes standing in for payloads). */
   def fromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._

@@ -2046,6 +2046,28 @@ object Pipeline {
                CAST(octet_length(encode(text)) // 100 AS BIGINT) AS n_frames
         FROM documents ORDER BY doc_id""")),
 
+    // ---- m03: overlapping analysis windows (audio-style STFT layout)
+    // through the typed mapPartitions path — 200-byte windows every 100
+    // bytes (50% overlap), final partial window kept iff ≥ half a
+    // window remains. The oracle derives the identical emission rule
+    // arithmetically.
+    QueryDef(
+      "m03_multimodal_windows",
+      (s, d) =>
+        Multimodal.sampleWindows(Multimodal.fromDocuments(s, d),
+          width = 200, hop = 100)
+          .toDF()
+          .orderBy(col("doc_id"), col("window_no")),
+      Some("""
+        WITH m AS (
+          SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        SELECT doc_id, CAST(i AS INT) AS window_no,
+               CAST(i * 100 AS BIGINT) AS "offset",
+               CAST(least(200, n - i * 100) AS BIGINT) AS length
+        FROM m, unnest(range(0, n // 100 + 1)) t(i)
+        WHERE i * 100 < n AND n - i * 100 >= 100
+        ORDER BY doc_id, window_no""")),
+
     // ---- m02: multimodal frame sampling through the REAL typed path —
     // Dataset[MediaRecord] → mapPartitions (codec-init-per-partition
     // shape) → Dataset[FrameSample] — so the driver gate covers the

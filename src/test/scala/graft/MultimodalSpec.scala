@@ -28,6 +28,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.offset).toSeq == Seq(0L, 256L, 512L))
   }
 
+  test("sampleWindows: overlap layout and the half-window tail rule") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio/raw", Array.fill[Byte](450)(7)),
+      Multimodal.MediaRecord(2L, "audio/raw", Array.fill[Byte](99)(7)),
+      Multimodal.MediaRecord(3L, "audio/raw", Array.empty[Byte])).toDS()
+    val w = Multimodal.sampleWindows(recs, width = 200, hop = 100)
+      .collect().groupBy(_.doc_id)
+    // 450 bytes: offsets 0,100,200 full; 300 → 150 left (≥100, kept);
+    // 400 → 50 left (<100, dropped by the half-window rule)
+    assert(w(1L).map(s => (s.offset, s.length)).sortBy(_._1).toSeq ==
+      Seq((0L, 200L), (100L, 200L), (200L, 200L), (300L, 150L)))
+    // 99 bytes: single partial window would be 99 < 100 → nothing
+    assert(!w.contains(2L) && !w.contains(3L))
+  }
+
   test("fromDocuments: real table → typed records, features match m01") {
     val feats = Multimodal.extractFeatures(
       Multimodal.fromDocuments(spark, TestSpark.sfDir))
