@@ -366,6 +366,27 @@ object Pipeline {
         array_min(col("kh")).as("fingerprint"),
         size(col("kh")).cast(LongType).as("n_distinct_grams"))
 
+  /** Per-document repetition signals over ANY corpus — the p17
+    * boilerplate gate (Gopher duplicate-chunk family) as a reusable
+    * operator: non-overlapping `chunkWords`-word chunks, counted and
+    * deduped as per-row array folds (entirely map-side, no shuffle).
+    * Rows shorter than one chunk are dropped. Returns caller columns +
+    * (n_chunks, n_distinct_chunks, dup_chunk_ratio). */
+  def repetitionSignals(corpus: DataFrame, textCol: String,
+      chunkWords: Int = 3): DataFrame = {
+    val ws = words(col(textCol))
+    val chunks = transform(
+      sequence(lit(0), (size(ws) / chunkWords).cast(IntegerType) - 1),
+      i => array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " "))
+    corpus
+      .filter(size(ws) >= chunkWords)
+      .withColumn("n_chunks", size(chunks))
+      .withColumn("n_distinct_chunks", size(array_distinct(chunks)))
+      .withColumn("dup_chunk_ratio",
+        (col("n_chunks") - col("n_distinct_chunks")).cast(DoubleType) /
+          col("n_chunks"))
+  }
+
   /** LSH-bucket cluster representative selection over ANY corpus — the
     * p19 keep-best plan as a reusable operator: docs sharing a band-0
     * MinHash signature form a cluster; keep the member with the
@@ -1331,24 +1352,18 @@ object Pipeline {
     // nondeterminism).
     QueryDef(
       "p17_repetition",
-      (s, d) => {
-        val chunks = transform(
-          sequence(lit(0), (size(col("ws")) / 3).cast(IntegerType) - 1),
-          i => array_join(slice(col("ws"), i * 3 + 1, lit(3)), " "))
-        T.documents(s, d)
-          .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("lang"),
-            size(chunks).as("n"),
-            size(array_distinct(chunks)).as("nd"))
+      (s, d) =>
+        repetitionSignals(
+          T.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+          "text")
           .groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n_docs"),
-            sum(when(col("nd") < col("n"), 1L).otherwise(0L)).as("n_repetitive"),
-            ((sum(col("n")) - sum(col("nd"))).cast(DoubleType) /
-              sum(col("n"))).as("dup_chunk_ratio"))
-          .orderBy(col("lang"))
-      },
+            sum(when(col("n_distinct_chunks") < col("n_chunks"), 1L)
+              .otherwise(0L)).as("n_repetitive"),
+            ((sum(col("n_chunks")) - sum(col("n_distinct_chunks")))
+              .cast(DoubleType) / sum(col("n_chunks"))).as("dup_chunk_ratio"))
+          .orderBy(col("lang")),
       Some("""
         WITH w AS (
           SELECT doc_id, lang, string_split_regex(text, '\s+') AS ws FROM documents

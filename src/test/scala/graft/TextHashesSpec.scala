@@ -100,9 +100,12 @@ class TextHashesSpec extends AnyFunSuite {
   test("chargram_strings: matches array_distinct(transform(substr)) incl. order") {
     import spark.implicits._
     val textGen = Gen.oneOf(
-      Gen.listOfN(20, Gen.oneOf("a", "b", "ø", "日", " ")).map(_.mkString),
+      // 1/2/3/4-byte UTF-8 (🎄 is a 4-byte surrogate pair — exercises
+      // the chargram boundary table's 4-byte branch AND Spark's
+      // code-point length semantics agreeing with it)
+      Gen.listOfN(20, Gen.oneOf("a", "b", "ø", "日", "🎄", " ")).map(_.mkString),
       Gen.alphaNumStr.map(_.take(30)),
-      Gen.oneOf("", "ab", "日本語です、とても良い", "aaaaaaa"))
+      Gen.oneOf("", "ab", "日本語です、とても良い", "a🎄b🎄c🎄d", "aaaaaaa"))
     check(Prop.forAll(Gen.listOfN(8, textGen)) { ts =>
       val df = ts.toDF("t")
       val got = df.select(
