@@ -350,6 +350,12 @@ object Main {
               .map { case (_, tn) => Some(catalog.resolveName(tn)) }
             // post-write rewrites are by-name: only labels occurring once
             val unique = described.groupBy(_._1).filter(_._2.size == 1).keySet
+            val dups = described.map(_._1).diff(unique.toSeq).distinct
+            if (dups.nonEmpty && !a.quiet)
+              System.err.println("warning: duplicate output labels " +
+                dups.sorted.mkString("'", "', '", "'") + " are excluded " +
+                "from reference-parity post-write rewrites (uuid/interval/" +
+                "uint/logical annotations) — alias them uniquely to restore parity")
             (graft.sources.PgSchema.convertScanPositional(raw, byPos, a.settings),
               described.collect { case (c, tn) if unique(c) =>
                 c -> catalog.resolveName(tn) }.toMap)

@@ -17,13 +17,15 @@ object ParquetInfo {
     * exists, so remote paths see spark.hadoop.* credentials. */
   def describe(path: String,
       conf: org.apache.hadoop.conf.Configuration =
-        org.apache.spark.sql.SparkSession.getActiveSession
-          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-          .map(_.sparkContext.hadoopConfiguration)
-          .getOrElse(new org.apache.hadoop.conf.Configuration())): Seq[String] = {
-    val target = new java.io.File(path)
+        graft.sources.ParquetSink.hadoopConf): Seq[String] = {
+    // single-file detection through the Hadoop FileSystem, NOT
+    // java.io.File — a remote URI (s3a://, hdfs://) is never a local
+    // file, and the part-* directory filter would then drop a remote
+    // single file and report nothing (r06 review)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
     val files =
-      if (target.isFile) Seq(new org.apache.hadoop.fs.Path(path))
+      if (fs.getFileStatus(p).isFile) Seq(p)
       else graft.sources.ParquetSink.partFiles(path, conf)
     files.flatMap { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)

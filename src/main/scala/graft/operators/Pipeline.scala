@@ -807,6 +807,10 @@ object Pipeline {
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
+    // the final labels are localCheckpoint'ed (materialized), so the
+    // edge cache is no longer referenced — release it here rather than
+    // leaking one cached table per library call (r06 review)
+    edges.unpersist()
     // Returning non-converged labels would SILENTLY split components —
     // p31 would then hash the halves into different train/test buckets,
     // the exact leakage it exists to prevent. Fail loudly instead.

@@ -25,28 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
       (children: Seq[Expression]) =>
-        MinhashSignature(children(0), children(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"minhash_sig: numHashes must be an int literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "minhash_sig: numHashes must be a foldable int literal")
-        })))
+        MinhashSignature(children(0),
+          TextHashes.litInt(children(1), "minhash_sig: numHashes"))))
     ext.injectFunction((
       new FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimhashFingerprint].getName, "simhash_fp"),
       (children: Seq[Expression]) =>
-        SimhashFingerprint(children(0), children(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"simhash_fp: numBits must be an int literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "simhash_fp: numBits must be a foldable int literal")
-        })))
+        SimhashFingerprint(children(0),
+          TextHashes.litInt(children(1), "simhash_fp: numBits"))))
     ext.injectFunction((
       new FunctionIdentifier("md5_prefix_long"),
       new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),

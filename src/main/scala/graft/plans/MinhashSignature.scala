@@ -28,6 +28,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinhashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
+  require(numHashes >= 1 && numHashes <= 64,
+    s"minhash_sig: numHashes must be in [1, 64], got $numHashes")
+
   private val P = MinhashSignature.P
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -64,19 +67,28 @@ object MinhashSignature {
   final val P = 4294967311L
 
   /** One-pass n-minima kernel, shared by interpreted eval and codegen.
-    * a_i = 2i+1, b_i = 99991i+7 — the family in Pipeline.hashA/hashB;
-    * x fits in 32 bits so a_i*x+b_i never overflows a long (n ≤ 64). */
+    * a_i = 2i+1, b_i = 99991i+7 — the family in Pipeline.hashA/hashB.
+    * Inputs must fit in 32 bits so a_i*x+b_i never overflows a long
+    * (n ≤ 64) — ENFORCED, not assumed: a wider value would silently
+    * produce negative "minima". Null elements are skipped (the HOF
+    * spelling maps them to null and array_min ignores nulls). */
   def signature(xs: ArrayData, n: Int): Array[Long] = {
     val sig = Array.fill(n)(Long.MaxValue)
     val len = xs.numElements()
     var j = 0
     while (j < len) {
-      val x = xs.getLong(j)
-      var i = 0
-      while (i < n) {
-        val h = ((2L * i + 1) * x + (99991L * i + 7)) % P
-        if (h < sig(i)) sig(i) = h
-        i += 1
+      if (!xs.isNullAt(j)) {
+        val x = xs.getLong(j)
+        if ((x >>> 32) != 0L) throw new IllegalArgumentException(
+          s"minhash_sig: element $x exceeds 32 bits — use a <= 4-byte hash " +
+            "(e.g. md5_prefix_long(s, 4)) so the universal-hash arithmetic " +
+            "cannot overflow")
+        var i = 0
+        while (i < n) {
+          val h = ((2L * i + 1) * x + (99991L * i + 7)) % P
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
       }
       j += 1
     }

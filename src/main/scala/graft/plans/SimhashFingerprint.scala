@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * token array per document (higher-order functions are
   * CodegenFallback); this expression makes ONE traversal with a
   * primitive int[] vote accumulator inside whole-stage codegen.
-  * Null elements are not expected (hash arrays are built non-null); a
+  * Null ELEMENTS are skipped (they carry no vote — the pipeline never
+  * produces them, but the function is registered session-wide); a
   * null input array yields null.
   */
 case class SimhashFingerprint(child: Expression, numBits: Int)
@@ -57,11 +58,13 @@ object SimhashFingerprint {
     val len = ts.numElements()
     var j = 0
     while (j < len) {
-      val t = ts.getLong(j)
-      var b = 0
-      while (b < numBits) {
-        if (((t >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (!ts.isNullAt(j)) {
+        val t = ts.getLong(j)
+        var b = 0
+        while (b < numBits) {
+          if (((t >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       j += 1
     }

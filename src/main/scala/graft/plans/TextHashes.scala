@@ -77,13 +77,19 @@ object TextHashes {
   /** Digest of words[i..i+k-1] joined by a single space, WITHOUT
     * materializing the joined string: the digest is updated part by
     * part. Byte-equivalent to md5 of `array_join(slice(ws,i+1,k)," ")`
-    * because UTF-8 concatenation is byte concatenation. */
+    * because UTF-8 concatenation is byte concatenation — including
+    * array_join's null handling (null elements are skipped, no
+    * separator is emitted for them). */
   private def gramDigest(d: MessageDigest, arr: ArrayData, i: Int, k: Int): Array[Byte] = {
     d.reset()
     var j = 0
+    var first = true
     while (j < k) {
-      if (j > 0) d.update(Space)
-      d.update(arr.getUTF8String(i + j).getBytes)
+      if (!arr.isNullAt(i + j)) {
+        if (!first) d.update(Space)
+        d.update(arr.getUTF8String(i + j).getBytes)
+        first = false
+      }
       j += 1
     }
     d.digest()
@@ -94,8 +100,8 @@ object TextHashes {
     * `array_distinct(transform(sequence(1, size-k+1),
     *   i => conv(substring(md5(array_join(slice(ws,i,k)," ")),1,2n),16,10)))`
     * for arrays with ≥ k elements; shorter arrays yield an empty array
-    * (callers filter `size(ws) >= k`). Null words are not supported
-    * (split() never produces them). */
+    * (callers filter `size(ws) >= k`). Null words follow array_join
+    * semantics: skipped, with no separator emitted for them. */
   def kgramHashes(arr: ArrayData, k: Int, nBytes: Int): ArrayData = {
     val n = arr.numElements()
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
@@ -126,17 +132,30 @@ object TextHashes {
     val out = new java.util.ArrayList[UTF8String]()
     var i = 0
     while (i <= n - k) {
-      var len = k - 1
+      // array_join semantics: null elements are skipped, separators
+      // only between the elements actually joined
+      var len = 0
+      var parts = 0
       var j = 0
-      while (j < k) { len += arr.getUTF8String(i + j).numBytes(); j += 1 }
+      while (j < k) {
+        if (!arr.isNullAt(i + j)) {
+          len += arr.getUTF8String(i + j).numBytes(); parts += 1
+        }
+        j += 1
+      }
+      len += math.max(parts - 1, 0)
       val bytes = new Array[Byte](len)
       var pos = 0
+      var first = true
       j = 0
       while (j < k) {
-        if (j > 0) { bytes(pos) = ' '; pos += 1 }
-        val w = arr.getUTF8String(i + j)
-        w.writeTo(java.nio.ByteBuffer.wrap(bytes, pos, w.numBytes()))
-        pos += w.numBytes()
+        if (!arr.isNullAt(i + j)) {
+          if (!first) { bytes(pos) = ' '; pos += 1 }
+          val w = arr.getUTF8String(i + j)
+          w.writeTo(java.nio.ByteBuffer.wrap(bytes, pos, w.numBytes()))
+          pos += w.numBytes()
+          first = false
+        }
         j += 1
       }
       val g = UTF8String.fromBytes(bytes)

@@ -138,7 +138,7 @@ object ParquetSink {
     * is passed: the active session's (so `spark.hadoop.*` settings —
     * s3a/hdfs credentials — apply to remote paths), falling back to a
     * bare Configuration only when no session exists at all. */
-  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+  private[graft] def hadoopConf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)

@@ -192,7 +192,19 @@ object ParquetTranscode {
         writer.write(copy(g, schema, newSchema, "", targets, f16Leaves, uint32Cols))
         g = reader.read()
       }
-    } finally { reader.close(); writer.close() }
+    } catch { case e: Throwable =>
+      // a failed transcode leaves a half-written temp — remove it so
+      // the caller's replace protocol never sees a plausible-looking
+      // stub (same contract as ParquetAnnotations.rewrite; r06 review)
+      try { reader.close(); writer.close() } catch { case _: Throwable => }
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      try outPath.getFileSystem(conf).delete(outPath, false)
+      catch { case _: Throwable => }
+      throw e
+    } finally {
+      try reader.close() catch { case _: Throwable => }
+      try writer.close() catch { case _: Throwable => }
+    }
   }
 
   /** In-place variant over every part file of a sink output path. */

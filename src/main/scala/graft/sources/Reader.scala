@@ -64,45 +64,47 @@ private[sources] object DirListing {
       .matcher(sql).find()
 }
 
-/** Parquet-directory reader: one `<dir>/<name>.parquet` per table —
-  * the driver's testdata layout. At 100 TB these would be partitioned
-  * directories; `spark.read.parquet` handles both identically. */
-final class ParquetDirReader(dir: String, tableNames: Seq[String]) extends Reader {
-  def table(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+/** Shared shape for self-describing columnar directory layouts (one
+  * `<dir>/<name><ext>` per table): `table` is a direct scan; `query`
+  * registers views for every entry actually present (known
+  * `tableNames` first, then discovered extras) that the SQL text
+  * mentions — a directory holding only some tables must not fail
+  * registering absent names, and tables the query never references
+  * are not touched at all. */
+private[sources] abstract class ColumnarDirReader(
+    dir: String, tableNames: Seq[String], ext: String) extends Reader {
+  protected def read(spark: SparkSession, path: String): DataFrame
 
-  /** Views for a query scan: every `*.parquet` entry actually present
-    * (known `tableNames` first, then discovered extras) that the SQL
-    * text mentions — a directory holding only some tables must not
-    * fail registering absent names, and tables the query never
-    * references are not touched at all. */
+  def table(spark: SparkSession, name: String): DataFrame =
+    read(spark, s"$dir/$name$ext")
+
   def query(spark: SparkSession, sql: String): DataFrame = {
-    val present = DirListing.list(spark, dir, Seq(".parquet")).toMap
+    val present = DirListing.list(spark, dir, Seq(ext)).toMap
     (tableNames.filter(present.contains) ++
       (present.keySet -- tableNames).toSeq.sorted)
       .filter(t => DirListing.mentions(sql, t))
-      .foreach(t => spark.read.parquet(present(t)).createOrReplaceTempView(t))
+      .foreach(t => read(spark, present(t)).createOrReplaceTempView(t))
     spark.sql(sql)
   }
 }
 
-/** ORC-directory reader (beyond-reference): one `<dir>/<name>.orc` per
-  * table — the other self-describing columnar lake format; Spark ships
-  * native ORC support, so this mirrors [[ParquetDirReader]] exactly
-  * (schema travels with the files, predicate pushdown and column
-  * pruning reach the ORC scan the same way). */
-final class OrcDirReader(dir: String, tableNames: Seq[String]) extends Reader {
-  def table(spark: SparkSession, name: String): DataFrame =
-    spark.read.orc(s"$dir/$name.orc")
+/** Parquet-directory reader: one `<dir>/<name>.parquet` per table —
+  * the driver's testdata layout. At 100 TB these would be partitioned
+  * directories; `spark.read.parquet` handles both identically. */
+final class ParquetDirReader(dir: String, tableNames: Seq[String])
+    extends ColumnarDirReader(dir, tableNames, ".parquet") {
+  protected def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
 
-  def query(spark: SparkSession, sql: String): DataFrame = {
-    val present = DirListing.list(spark, dir, Seq(".orc")).toMap
-    (tableNames.filter(present.contains) ++
-      (present.keySet -- tableNames).toSeq.sorted)
-      .filter(t => DirListing.mentions(sql, t))
-      .foreach(t => spark.read.orc(present(t)).createOrReplaceTempView(t))
-    spark.sql(sql)
-  }
+/** ORC-directory reader (beyond-reference): the other self-describing
+  * columnar lake format; Spark ships native ORC support, so schema
+  * travels with the files and predicate pushdown / column pruning
+  * reach the ORC scan the same way as parquet. */
+final class OrcDirReader(dir: String, tableNames: Seq[String])
+    extends ColumnarDirReader(dir, tableNames, ".orc") {
+  protected def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
 
 /** JSONL-directory reader (beyond-reference): one

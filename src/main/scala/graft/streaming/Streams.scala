@@ -102,7 +102,9 @@ object Streams {
     */
   def dedupDocuments(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("content_hash", md5(col("text")))
+      // null text hashes as empty text — see [[neardupGate]] for why a
+      // null key must not reach dropDuplicates
+      .withColumn("content_hash", md5(coalesce(col("text"), lit(""))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
@@ -122,11 +124,18 @@ object Streams {
     */
   def neardupGate(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
     import graft.operators.Pipeline
-    val ws = split(col("text"), "\\s+")
+    // null text is hashed as empty text (explicitly, not via a null
+    // key): dropDuplicates treats null keys as EQUAL, so without the
+    // coalesce every null-text row after the first would silently
+    // vanish as a "near-dup" of an unrelated row (r06 review). With
+    // it, null-text and empty-text rows dedup among themselves —
+    // deterministic and stated, same contract as dedupDocuments.
+    val text = coalesce(col("text"), lit(""))
+    val ws = split(text, "\\s+")
     docs
       .withColumn("band_sig",
         when(size(ws) >= 5, Pipeline.bandSignature(Pipeline.shingleHashes(ws)))
-          .otherwise(concat(lit("short:"), md5(col("text")))))
+          .otherwise(concat(lit("short:"), md5(text))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("band_sig")
   }

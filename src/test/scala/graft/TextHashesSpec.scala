@@ -127,6 +127,57 @@ class TextHashesSpec extends AnyFunSuite {
     assert(h(1).isNullAt(0) && h(1).isNullAt(1))
   }
 
+  test("null elements: kgram kernels follow array_join skip; sig kernels skip votes") {
+    import spark.implicits._
+    // the kernels are registered session-wide, so null elements must be
+    // well-defined even though the pipeline never produces them
+    val ws = Seq(Some(Seq(Some("a"), None, Some("b"), Some("c"), Some("d"), Some("e"))))
+      .toDF("ws")
+    val got = ws.select(
+      call_function("kgram_strings", col("ws"), lit(5))).collect()(0).getSeq[String](0)
+    val want = ws.select(
+      array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
+        i => array_join(slice(col("ws"), i, lit(5)), " ")))).collect()(0).getSeq[String](0)
+    assert(got == want) // "a b c d" (null skipped, no double separator)
+    val gotH = ws.select(
+      call_function("kgram_hashes", col("ws"), lit(5), lit(4))).collect()(0).getSeq[Long](0)
+    val wantH = ws.select(
+      array_distinct(transform(sequence(lit(1), size(col("ws")) - 4),
+        i => conv(substring(md5(array_join(slice(col("ws"), i, lit(5)), " ")),
+          1, 8), 16, 10).cast(LongType)))).collect()(0).getSeq[Long](0)
+    assert(gotH == wantH)
+
+    // minhash_sig: null elements skipped like array_min over a
+    // null-mapped transform; simhash_fp: null tokens cast no vote
+    val xs = Seq(Seq(Some(17L), None, Some(99999L))).toDF("xs")
+    val sigNull = xs.select(call_function("minhash_sig", col("xs"), lit(4)))
+      .collect()(0).getSeq[Long](0)
+    val sigDense = Seq(Seq(17L, 99999L)).toDF("xs")
+      .select(call_function("minhash_sig", col("xs"), lit(4)))
+      .collect()(0).getSeq[Long](0)
+    assert(sigNull == sigDense)
+    val fpNull = xs.select(call_function("simhash_fp", col("xs"), lit(48)))
+      .collect()(0).getLong(0)
+    val fpDense = Seq(Seq(17L, 99999L)).toDF("xs")
+      .select(call_function("simhash_fp", col("xs"), lit(48)))
+      .collect()(0).getLong(0)
+    assert(fpNull == fpDense)
+  }
+
+  test("minhash_sig rejects out-of-range n and >32-bit elements with guidance") {
+    import spark.implicits._
+    val e1 = intercept[Exception] {
+      Seq(Seq(1L)).toDF("xs")
+        .select(call_function("minhash_sig", col("xs"), lit(0))).collect()
+    }
+    assert(e1.getMessage.contains("[1, 64]"))
+    val e2 = intercept[Exception] {
+      Seq(Seq(1L << 40)).toDF("xs")
+        .select(call_function("minhash_sig", col("xs"), lit(4))).collect()
+    }
+    assert(e2.getMessage.contains("32 bits"))
+  }
+
   test("interpreted eval agrees with codegen for all four kernels") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
