@@ -366,6 +366,55 @@ object Pipeline {
         array_min(col("kh")).as("fingerprint"),
         size(col("kh")).cast(LongType).as("n_distinct_grams"))
 
+  /** Per-row token counts over ANY corpus — the p11 tokenizers as a
+    * reusable operator: whitespace tokens and the BPE-ish regex
+    * (letter runs | digit runs | single symbol). Map-side, caller
+    * columns preserved; returns + (ws_tokens, bpe_tokens). */
+  def tokenCounts(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .withColumn("ws_tokens",
+        size(words(col(textCol))).cast(LongType))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col(textCol),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast(LongType))
+
+  /** Global top-k vocabulary over ANY corpus — the p14 term count as a
+    * reusable operator: exact term and document frequencies, top-k by
+    * tf with a deterministic word tiebreak. One groupBy(word) shuffle;
+    * orderBy+limit plans as TakeOrdered (no full sort). */
+  def vocabTopK(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 100): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("w").asc)
+      .limit(k)
+
+  /** Temperature-scaled source-mixing weights over ANY corpus — the
+    * p18 Pile/LLaMA recipe as a reusable operator: weight ∝
+    * sqrt(stratum tokens) (temperature fixed at 1/2: sqrt is
+    * IEEE-exactly-rounded in every engine, a general pow is not — see
+    * the p18 QueryDef for the exactness chain), plus the token budget
+    * a `budgetTokens` mix draws from each stratum. `tokenCount` is
+    * any integer Column over the row. */
+  def sourceMixingWeights(corpus: DataFrame, stratumCol: String,
+      tokenCount: Column, budgetTokens: Long = 1000000L): DataFrame = {
+    val per = corpus
+      .select(col(stratumCol), tokenCount.as("toks"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      .withColumn("raw_w",
+        floor(sqrt(col("tokens")) * lit(1000000.0)).cast(LongType))
+    val total = per.agg(sum(col("raw_w")).as("total_w"))
+    per.crossJoin(broadcast(total))
+      .select(col(stratumCol), col("n_docs"), col("tokens"),
+        (col("raw_w").cast(DoubleType) / col("total_w").cast(DoubleType))
+          .as("mix_weight"),
+        floor(col("raw_w").cast(DoubleType) / col("total_w").cast(DoubleType)
+          * lit(budgetTokens)).cast(LongType).as("token_budget"))
+  }
+
   /** Per-document repetition signals over ANY corpus — the p17
     * boilerplate gate (Gopher duplicate-chunk family) as a reusable
     * operator: non-overlapping `chunkWords`-word chunks, counted and
@@ -1204,15 +1253,11 @@ object Pipeline {
     QueryDef(
       "p11_token_count",
       (s, d) =>
-        T.documents(s, d)
-          .select(col("lang"),
-            size(words(col("text"))).cast(LongType).as("ws_toks"),
-            size(regexp_extract_all(col("text"),
-              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast(LongType).as("bpe_toks"))
+        tokenCounts(T.documents(s, d), "text")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(col("ws_toks")).as("total_ws_tokens"),
-            sum(col("bpe_toks")).as("total_bpe_tokens"))
+            sum(col("ws_tokens")).as("total_ws_tokens"),
+            sum(col("bpe_tokens")).as("total_bpe_tokens"))
           .orderBy(col("lang")),
       Some("""
         SELECT lang, COUNT(*) AS n_docs,
@@ -1277,14 +1322,7 @@ object Pipeline {
     // term-count; TakeOrdered handles the top-k without a full sort.
     QueryDef(
       "p14_vocab_topk",
-      (s, d) => {
-        val toks = T.documents(s, d)
-          .select(col("doc_id"), explode(words(col("text"))).as("w"))
-        toks.groupBy(col("w"))
-          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-          .orderBy(col("tf").desc, col("w").asc)
-          .limit(100)
-      },
+      (s, d) => vocabTopK(T.documents(s, d), "doc_id", "text", k = 100),
       Some("""
         SELECT w, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         FROM documents, unnest(string_split_regex(text, '\s+')) t(w)
@@ -1397,23 +1435,10 @@ object Pipeline {
     // total broadcasts.
     QueryDef(
       "p18_source_mixing",
-      (s, d) => {
-        val per = T.documents(s, d)
-          .select(col("source"),
-            size(words(col("text"))).cast(LongType).as("toks"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
-          .withColumn("raw_w",
-            floor(sqrt(col("tokens")) * lit(1000000.0)).cast(LongType))
-        val total = per.agg(sum(col("raw_w")).as("total_w"))
-        per.crossJoin(broadcast(total))
-          .select(col("source"), col("n_docs"), col("tokens"),
-            (col("raw_w").cast(DoubleType) / col("total_w").cast(DoubleType))
-              .as("mix_weight"),
-            floor(col("raw_w").cast(DoubleType) / col("total_w").cast(DoubleType)
-              * lit(1000000L)).cast(LongType).as("token_budget"))
-          .orderBy(col("source"))
-      },
+      (s, d) =>
+        sourceMixingWeights(T.documents(s, d), "source",
+          tokenCount = size(words(col("text"))).cast(LongType))
+          .orderBy(col("source")),
       Some("""
         WITH per AS (
           SELECT source, COUNT(*) AS n_docs,
