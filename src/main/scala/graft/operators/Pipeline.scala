@@ -749,12 +749,19 @@ object Pipeline {
     * The eval side is broadcast (benchmarks are small by contract);
     * output is (train_doc, eval_doc, n_shared_kgrams). */
   def sharedKgramCounts(train: DataFrame, evalSet: DataFrame, idCol: String,
-      textCol: String, k: Int = 5): DataFrame = {
+      textCol: String, k: Int = 5, hashKeys: Boolean = false): DataFrame = {
+    // hashKeys = the production contract: join on 48-bit gram hashes
+    // instead of gram strings, cutting broadcast bytes (the registered
+    // p16 keeps string keys so the oracle is byte-exact; 48-bit
+    // collisions are ~0 at benchmark-suite scale but nonzero, hence
+    // opt-in)
     def grams(df: DataFrame, outId: String) = df
       .select(col(idCol).as(outId), words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col(outId),
-        explode(call_function("kgram_strings", col("ws"), lit(k))).as("g"))
+        explode(
+          if (hashKeys) call_function("kgram_hashes", col("ws"), lit(k), lit(6))
+          else call_function("kgram_strings", col("ws"), lit(k))).as("g"))
     grams(train, "train_doc")
       .join(broadcast(grams(evalSet, "eval_doc")), "g")
       .groupBy(col("train_doc"), col("eval_doc"))

@@ -217,6 +217,39 @@ class TextApiSpec extends AnyFunSuite {
     assert(top(5) == 3L)
   }
 
+  test("tokenCounts / vocabTopK / sourceMixingWeights on alien schemas") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "srcA", "ab12 cd!"),
+      (2L, "srcA", "x y"),
+      (3L, "srcB", "x x x"))
+      .toDF("post_key", "origin", "body")
+    val tc = Pipeline.tokenCounts(df, "body").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("ws_tokens")), r.getLong(r.fieldIndex("bpe_tokens"))))
+      .toMap
+    assert(tc(1L) == (2L, 4L)) // ws: [ab12][cd!]; bpe: [ab][12][cd][!]
+    val vocab = Pipeline.vocabTopK(df, "post_key", "body", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(vocab.head == ("x", 4L, 2L)) // tf 4 across docs 2 and 3
+    val mix = Pipeline.sourceMixingWeights(df, "origin",
+      size(split(col("body"), "\\s+")).cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("tokens"))).toMap
+    assert(mix == Map("srcA" -> 5L, "srcB" -> 3L))
+  }
+
+  test("sharedKgramCounts hashKeys variant matches the string-key counts") {
+    import spark.implicits._
+    val a = mk((1 to 30).map(i => s"w$i"))
+    val b = mk((1 to 20).map(i => s"w$i") ++ (1 to 10).map(i => s"z$i"))
+    val tr = Seq((1L, b)).toDF("post_key", "body")
+    val ev = Seq((9L, a)).toDF("post_key", "body")
+    def counts(hash: Boolean) =
+      Pipeline.sharedKgramCounts(tr, ev, "post_key", "body", 5, hashKeys = hash)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(counts(false) == counts(true) && counts(false) == Seq((1L, 9L, 16L)))
+  }
+
   test("knnBruteCosine: alien column names, known neighbor order") {
     import spark.implicits._
     // unit-ish 2-d vectors at known angles: 0°, 30°, 60°, 90°
