@@ -46,17 +46,19 @@ object Bench {
     // round-over-round comparisons. Failed runs are EXCLUDED from the
     // median and reported in a "failures" key (ADVICE r04: a silent
     // time-to-failure skewed the median with no marker in the JSON).
+    def timedRun(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { qmap(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); false }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
+      spark.catalog.clearCache()
+      if (ok) Some(elapsed) else None
+    }
+
     val results = names.map { name =>
-      val times = (1 to 3).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { qmap(name)(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e"); false }
-        val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
-        spark.catalog.clearCache()
-        if (ok) Some(elapsed) else None
-      }
+      val times = (1 to 3).flatMap(_ => timedRun(name))
       // even counts (a partially-failed query) average the two middle
       // values — upper-middle alone would report the SLOWER of 2 runs as
       // the "median" (ADVICE r05). Such a query appears in BOTH `queries`
@@ -67,13 +69,35 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
-      (name, median, times.size < 3)
+      (name, median, times, times.size < 3)
     }
     val good = results.filter(_._2 >= 0)
-    val qs = good.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failures = results.filter(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val qs = good.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // all three raw per-run times, not just the median: a regression
+    // that is really shared-machine noise shows as one outlier run;
+    // a real one shows in all three (VERDICT r06 asked for this to
+    // separate the two without a bisect)
+    val runs = good.map { case (k, _, ts, _) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val headFailed = results.filter(_._4).map(_._1)
     val total = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+
+    // full-suite sweep (default run only): ONE timed pass over every
+    // registered query not already medianed above, so non-headline
+    // regressions are visible round-over-round — single-shot times,
+    // comparable as deltas, cheap enough to run every round. Explicit
+    // `all` arg instead medians-of-3 the whole suite.
+    val fullSingles =
+      if (args.nonEmpty) Nil
+      else qmap.keys.toSeq.sorted.filterNot(names.contains)
+        .map(n => (n, timedRun(n)))
+    val fullGood = fullSingles.collect { case (n, Some(t)) => (n, t) }
+    val fullJson = fullGood.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullTotal = total + fullGood.map(_._2).sum
+    val failures = (headFailed ++ fullSingles.collect { case (n, None) => n })
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full":$fullJson,"full_total":$fullTotal,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

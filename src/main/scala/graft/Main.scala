@@ -52,6 +52,26 @@ object Main {
     * reference's clap behavior (py-tests/test_cli.py:18-41). */
   final case class CliExit(text: String) extends RuntimeException(text)
 
+  /** O20 CLI surface: `graft parquet-info <file> [sampleRows]` — the
+    * reference ships the diagnostic as a HIDDEN subcommand of the same
+    * binary (cli/src/main.rs:330-333 → parquetinfo.rs:36-70), so it is
+    * deliberately absent from [[HelpText]] here too. */
+  final case class InfoArgs(path: String, sampleRows: Int = 20)
+
+  private[graft] def parseInfoArgs(argv: Seq[String]): InfoArgs = argv match {
+    case Seq(p) => InfoArgs(p)
+    case Seq(p, n) =>
+      val rows =
+        try n.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"invalid sample row count '$n'") }
+      if (rows < 0)
+        throw new IllegalArgumentException("sample row count must be >= 0")
+      InfoArgs(p, rows)
+    case _ => throw new IllegalArgumentException(
+      "usage: parquet-info <file-or-dir> [sampleRows]")
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -426,6 +446,16 @@ object Main {
   }
 
   def main(argv: Array[String]): Unit = {
+    if (argv.headOption.contains("parquet-info")) {
+      val ia =
+        try parseInfoArgs(argv.toSeq.tail)
+        catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
+        }
+      ParquetInfo.run(ia.path, ia.sampleRows)
+      return
+    }
     val a =
       try parseArgs(argv.toSeq, sys.env)
       catch {

@@ -46,11 +46,10 @@ object ParquetInfo {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val path = args.headOption.getOrElse(
-      sys.error("usage: ParquetInfo <file-or-dir> [sampleRows]"))
-    val sample = args.lift(1).map(_.toInt).getOrElse(20)
-
+  /** Full report: footer describe + optional value sample. Shared by
+    * this object's main and the `graft parquet-info` CLI subcommand
+    * ([[Main]]; reference surface `cli/src/main.rs:330-333`). */
+  def run(path: String, sample: Int): Unit = {
     describe(path).foreach(println)
 
     if (sample > 0) {
@@ -64,5 +63,11 @@ object ParquetInfo {
         df.show(sample, truncate = false)
       } finally spark.stop()
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse(
+      sys.error("usage: ParquetInfo <file-or-dir> [sampleRows]"))
+    run(path, args.lift(1).map(_.toInt).getOrElse(20))
   }
 }

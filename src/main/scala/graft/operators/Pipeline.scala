@@ -275,18 +275,25 @@ object Pipeline {
     * (callers keep it small; that is the brute-force contract), per-
     * vector norms are computed once per side, dot products are the
     * codegen'd sequential fold, and the only shuffle is the per-query
-    * top-k window. A query vector never matches itself. Output:
-    * (q_id, vec_id, cos_sim, rk) with rk in 1..k. */
+    * top-k window. Output: (q_id, vec_id, cos_sim, rk) with rk in 1..k.
+    *
+    * `excludeSelf` (default true) drops corpus rows whose id equals the
+    * query id — the self-query shape where `queries` IS a slice of
+    * `corpus` and ids share one space. When the query set is a SEPARATE
+    * table whose ids may coincidentally collide with corpus ids, pass
+    * `excludeSelf = false`, or legitimate neighbors are silently
+    * excluded (id equality would not mean "same vector" there). */
   def knnBruteCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
     val e = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("n2", dot(col("embedding"), col("embedding")))
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("qe"))
       .withColumn("qn2", dot(col("qe"), col("qe")))
-    val scored = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
+    val cross = e.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) cross.filter(col("vec_id") =!= col("q_id"))
+                  else cross)
       .select(col("q_id"), col("vec_id"),
         cosine(dot(col("qe"), col("embedding")), col("qn2"), col("n2"))
           .as("cos_sim"))
@@ -827,26 +834,35 @@ object Pipeline {
     * Iterative min-label propagation (hash-to-min): each round joins
     * labels across edges and keeps the per-node minimum; labels only
     * decrease, so the fixpoint is exactly min-reachable and arrives in
-    * graph-diameter rounds. Each round's label table is
-    * `localCheckpoint`ed — an iterative join plan grows EXPONENTIALLY in
-    * lineage (next references labels twice via the self-join), so
-    * without per-round truncation even a 9-node chain OOMs the driver
-    * building plan strings. The checkpoint doubles as the convergence
-    * probe's materialization (ONE count() per round); on a real cluster
-    * swap `localCheckpoint` for `checkpoint` against a reliable dir so
-    * the truncated lineage survives executor loss. Only nodes that
-    * appear in a pair are returned (isolated nodes are their own
-    * component trivially). */
+    * graph-diameter rounds. Each round's label table is checkpointed —
+    * an iterative join plan grows EXPONENTIALLY in lineage (next
+    * references labels twice via the self-join), so without per-round
+    * truncation even a 9-node chain OOMs the driver building plan
+    * strings. The checkpoint doubles as the convergence probe's
+    * materialization (ONE count() per round). The strategy is
+    * injectable: `checkpointDir = None` (default) uses
+    * `localCheckpoint` — fast, but blocks live on executors, so a lost
+    * executor fails the job; pass a reliable dir (HDFS/S3 on a
+    * cluster) for `checkpoint`, whose truncated lineage survives
+    * executor loss — the right choice for long dedup graphs at 100 TB.
+    * Only nodes that appear in a pair are returned (isolated nodes are
+    * their own component trivially). */
   private[graft] def connectedComponents(
-      pairsDf: DataFrame, maxIter: Int = 50): DataFrame = {
+      pairsDf: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairsDf.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val Seq(a, b) = pairsDf.columns.take(2).toSeq.map(col)
     val half = pairsDf.select(a.as("src"), b.as("dst"))
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -854,11 +870,10 @@ object Pipeline {
         .join(labels.select(col("node").as("dst"), col("lbl").as("nl")),
           Seq("dst"))
         .groupBy(col("src")).agg(min(col("nl")).as("nbr"))
-      val next = labels
+      val next = ckpt(labels
         .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl")))
       changed = next.filter(col("lbl") < col("old")).count()
       labels = next.select(col("node"), col("lbl"))
       iter += 1
@@ -1810,19 +1825,30 @@ object Pipeline {
     // Hamming 3 differs in at most 3 chunks, so it MUST agree on at
     // least one → groupBy (chunk-index, chunk-value) finds every such
     // pair with one shuffle of 4 rows/doc, never an all-pairs join.
-    // Verification is one xor+bit_count per candidate. The oracle is
-    // the BRUTE-FORCE all-pairs scan, so the driver gate proves the
-    // pigeonhole recall is exact, not just plausible.
+    // Verification is one xor+bit_count per candidate. The oracle
+    // replays the SAME pigeonhole candidate generation (chunk buckets
+    // capped at LshBucketCap, mirroring the Spark side as p02/p06 do)
+    // then brute-force verifies by xor — so the gate proves both the
+    // recall of the block trick AND that the cap semantics agree.
     QueryDef(
       "p26_simhash_neardup",
       (s, d) =>
         simhashNeardupPairs(T.documents(s, d), "doc_id", "text")
           .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
-        WITH $SimhashFpSql
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        WITH $SimhashFpSql,
+        chunks AS (
+          SELECT f.doc_id, f.simhash, t.ck,
+                 (f.simhash >> CAST(12 * t.ck AS INT)) & 4095 AS cv
+          FROM fp f, range(0, 4) AS t(ck)),
+        ok AS (
+          SELECT ck, cv FROM chunks GROUP BY ck, cv
+          HAVING COUNT(DISTINCT doc_id) <= $LshBucketCap)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        FROM chunks a
+        JOIN chunks b ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+        JOIN ok ON ok.ck = a.ck AND ok.cv = a.cv
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY doc_a, doc_b"""),
       headline = true),

@@ -186,6 +186,16 @@ object ParquetTranscode {
         else (kv.asScala - "org.apache.spark.sql.parquet.row.metadata").asJava)
       .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
       .build()
+    // a failed transcode (including a failed writer.close(), which is
+    // what writes the footer) must remove the half-written temp so the
+    // caller's replace protocol never installs a truncated stub over
+    // the good file (same contract as ParquetAnnotations.rewrite)
+    def deleteTemp(): Unit = {
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      try outPath.getFileSystem(conf).delete(outPath, false)
+      catch { case _: Throwable => }
+    }
+    var copyFailed = false
     try {
       var g = reader.read()
       while (g != null) {
@@ -193,17 +203,16 @@ object ParquetTranscode {
         g = reader.read()
       }
     } catch { case e: Throwable =>
-      // a failed transcode leaves a half-written temp — remove it so
-      // the caller's replace protocol never sees a plausible-looking
-      // stub (same contract as ParquetAnnotations.rewrite; r06 review)
+      copyFailed = true
       try { reader.close(); writer.close() } catch { case _: Throwable => }
-      val outPath = new org.apache.hadoop.fs.Path(out)
-      try outPath.getFileSystem(conf).delete(outPath, false)
-      catch { case _: Throwable => }
+      deleteTemp()
       throw e
-    } finally {
+    } finally if (!copyFailed) {
       try reader.close() catch { case _: Throwable => }
-      try writer.close() catch { case _: Throwable => }
+      // close failures here are NOT swallowed: the footer write is part
+      // of success, and silently reporting a truncated file as done
+      // would let replacePartFiles overwrite a valid part with garbage
+      try writer.close() catch { case e: Throwable => deleteTemp(); throw e }
     }
   }
 

@@ -102,9 +102,14 @@ object Streams {
     */
   def dedupDocuments(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
-      // null text hashes as empty text — see [[neardupGate]] for why a
-      // null key must not reach dropDuplicates
-      .withColumn("content_hash", md5(coalesce(col("text"), lit(""))))
+      // null text keys on an explicit sentinel so null-text rows dedup
+      // among THEMSELVES, distinct from empty text — matching the batch
+      // twin ([[graft.operators.Pipeline.exactDedup]]/p01, where a null
+      // md5 partition key groups nulls together, away from md5("")).
+      // dropDuplicates would treat a raw null key the same way, but the
+      // sentinel states the contract instead of leaning on null-equality.
+      .withColumn("content_hash",
+        coalesce(md5(col("text")), lit("null:")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
@@ -124,18 +129,19 @@ object Streams {
     */
   def neardupGate(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
     import graft.operators.Pipeline
-    // null text is hashed as empty text (explicitly, not via a null
-    // key): dropDuplicates treats null keys as EQUAL, so without the
-    // coalesce every null-text row after the first would silently
-    // vanish as a "near-dup" of an unrelated row (r06 review). With
-    // it, null-text and empty-text rows dedup among themselves —
-    // deterministic and stated, same contract as dedupDocuments.
-    val text = coalesce(col("text"), lit(""))
-    val ws = split(text, "\\s+")
+    // null text keys on an explicit sentinel (same contract as
+    // [[dedupDocuments]]): null-text rows dedup among themselves,
+    // distinct from empty text, matching the batch p01/p23 twins.
+    // Without it the null rows' band_sig would itself be null — which
+    // dropDuplicates also groups together (null keys compare equal),
+    // but the sentinel makes the grouping a stated contract rather
+    // than an artifact of null-equality semantics.
+    val ws = split(col("text"), "\\s+")
     docs
       .withColumn("band_sig",
-        when(size(ws) >= 5, Pipeline.bandSignature(Pipeline.shingleHashes(ws)))
-          .otherwise(concat(lit("short:"), md5(text))))
+        when(col("text").isNull, lit("null:"))
+          .when(size(ws) >= 5, Pipeline.bandSignature(Pipeline.shingleHashes(ws)))
+          .otherwise(concat(lit("short:"), md5(col("text")))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("band_sig")
   }

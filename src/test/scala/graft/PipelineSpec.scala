@@ -39,6 +39,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponents: raising maxIter converges a graph that first threw") {
+    import spark.implicits._
+    // a 60-edge path has diameter 60 > the default 50-round budget:
+    // the default must throw, and the SAME input must converge when
+    // maxIter is raised — proving the failure is a budget, not a bug
+    val longChain = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException](
+      operators.Pipeline.connectedComponents(longChain))
+    assert(e.getMessage.contains("raise maxIter"))
+    val got = operators.Pipeline.connectedComponents(longChain, maxIter = 65)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 60L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents: reliable-checkpoint strategy gives the same answer") {
+    import spark.implicits._
+    // the cluster-mode path: checkpoint(dir) instead of localCheckpoint
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a", "b")
+    val got = operators.Pipeline
+      .connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    // reliable checkpoints are NOT auto-cleaned by design; the caller
+    // owns the dir lifecycle — just verify something was written
+    assert(new java.io.File(dir).exists())
+  }
+
   test("connectedComponents: empty pair list yields an empty result") {
     import spark.implicits._
     val out = operators.Pipeline.connectedComponents(

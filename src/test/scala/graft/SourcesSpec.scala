@@ -136,6 +136,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(colLines.forall(_.contains("encodings=")))
   }
 
+  test("parquet-info: CLI subcommand parse + describe on a written file") {
+    // the subcommand surface: `graft parquet-info <file> [sampleRows]`
+    // (reference: hidden subcommand, cli/src/main.rs:330-333)
+    import Main.{parseInfoArgs, InfoArgs}
+    assert(parseInfoArgs(Seq("/tmp/f.parquet")) == InfoArgs("/tmp/f.parquet", 20))
+    assert(parseInfoArgs(Seq("/tmp/f.parquet", "0")) == InfoArgs("/tmp/f.parquet", 0))
+    intercept[IllegalArgumentException](parseInfoArgs(Nil))
+    intercept[IllegalArgumentException](parseInfoArgs(Seq("f", "abc")))
+    intercept[IllegalArgumentException](parseInfoArgs(Seq("f", "-1")))
+    intercept[IllegalArgumentException](parseInfoArgs(Seq("f", "5", "extra")))
+    // and the describe it dispatches to, on a real fixture
+    val out = Files.createTempDirectory("pcli").toString + "/t"
+    import spark.implicits._
+    ParquetSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), out,
+      ParquetSink.SinkOptions(compression = "snappy"))
+    val report = ParquetInfo.describe(parseInfoArgs(Seq(out)).path)
+    assert(report.exists(_.startsWith("file: ")))
+    assert(report.exists(l => l.contains("row group 0") && l.contains("2 rows")))
+  }
+
   test("annotations: JSON/ENUM/TIME logical types stamped without touching data") {
     val dir = Files.createTempDirectory("ann").toString
     import spark.implicits._

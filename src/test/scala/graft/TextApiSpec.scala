@@ -235,7 +235,7 @@ class TextApiSpec extends AnyFunSuite {
     val mix = Pipeline.sourceMixingWeights(df, "origin",
       size(split(col("body"), "\\s+")).cast("long")).collect()
       .map(r => r.getString(0) -> r.getLong(r.fieldIndex("tokens"))).toMap
-    assert(mix == Map("srcA" -> 5L, "srcB" -> 3L))
+    assert(mix == Map("srcA" -> 4L, "srcB" -> 3L)) // srcA: 2 ("ab12 cd!") + 2 ("x y")
   }
 
   test("sharedKgramCounts hashKeys variant matches the string-key counts") {
