@@ -449,7 +449,18 @@ object Pipeline {
     * highest `score` (id tie-break). One map-side signature + one
     * window over the bucket key — no pairwise work. Only clusters with
     * >1 member are returned (singletons need no selection). Output:
-    * (band_sig, n_members, keep_id, keep_score). */
+    * (band_sig, n_members, keep_id, keep_score).
+    *
+    * Scale note: the rank filter here deliberately does NOT get a
+    * WindowGroupLimit pushdown — the n_members count window needs the
+    * full bucket, so the group-limit cannot apply. That is safe because
+    * band_sig is HIGH-cardinality (one key per near-dup cluster): the
+    * sort distributes across all shuffle partitions, unlike a
+    * low-cardinality label key (p29's shape, which does group-limit).
+    * Splitting the count into a separate groupBy branch would let the
+    * rank side group-limit, but the two branches' exchanges no longer
+    * match, so the MinHash signature — the dominant cost — would be
+    * computed twice; measured worse. */
   def clusterRepresentatives(corpus: DataFrame, idCol: String,
       textCol: String, score: Column): DataFrame = {
     val clustered = corpus
@@ -751,6 +762,87 @@ object Pipeline {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact character-n-gram Jaccard near-dup pairs over ANY corpus —
+    * the p04 plan as a reusable operator, candidate-bounded by PREFIX
+    * FILTERING (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Chaudhuri et al., ICDE'06): two sets with
+    * J ≥ t MUST share an element among each one's first
+    * |s| − ⌈t·|s|⌉ + 1 n-grams in a single global rarest-first order
+    * (df asc, gram asc), and their sizes must be within a factor of t.
+    * So the self-join runs over prefixes only — at sf0.1 that is 33M
+    * join rows instead of 114M, and the gap widens with corpus size
+    * because prefixes concentrate on LOW-df grams — and each distinct
+    * surviving candidate is verified exactly by one map-side
+    * array_intersect. Results are EXACT for the df-capped gram sets
+    * (grams in more than `dfCap` docs are stop-grams, dropped from
+    * sets on both engines — see the p04 QueryDef note).
+    *
+    * `groupCols` scope both the df statistic and the pairing (p04
+    * groups by language). Output: (doc_a, doc_b, jaccard ≥ minJaccard).
+    */
+  def ngramJaccardPairs(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5, groupCols: Seq[String] = Nil,
+      dfCap: Int = NgramDfCap): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0,1], got $minJaccard")
+    val grp = groupCols.map(col)
+    // per-doc DISTINCT n-gram rows, map-side (codegen'd kernel)
+    val tri0 = corpus.select(col(idCol).as("doc_id") +: grp :+
+      explode(call_function("chargram_strings", col(textCol), lit(n)))
+        .as("tri"): _*)
+    // df table: distinct n-grams are bounded by charset^n per group —
+    // broadcastable at any corpus size; partial agg keeps the shuffle
+    // at one row per (mapper, gram). Each surviving gram gets a dense
+    // integer id (row_number over this SMALL table — the single
+    // partition holds at most charset^n rows, never corpus-sized): the
+    // id ↔ (group, gram) bijection lets every downstream step — prefix
+    // join key, set arrays, intersection — run on ints instead of
+    // strings, which keeps array_intersect on Spark's specialized
+    // primitive path (measured 4× on the verify stage).
+    val dfTab = tri0.groupBy(grp :+ col("tri"): _*)
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .withColumn("gid", row_number().over(
+        Window.orderBy(groupCols.map(col) :+ col("tri"): _*)))
+    val tri = tri0.join(broadcast(dfTab), groupCols :+ "tri")
+    // per-doc set in the GLOBAL canonical order prefix filtering
+    // requires: rarest first (df asc, gram asc tie-break)
+    // persisted: sets feeds the prefix explode AND both verification
+    // joins — recomputing the collect_list shuffle three times costs
+    // more than the whole join (same clearCache contract as p02)
+    val sets = tri.groupBy(col("doc_id") +: grp: _*)
+      .agg(sort_array(collect_list(struct(col("df"), col("tri"), col("gid"))))
+        .as("st"))
+      .select(col("doc_id") +: grp :+
+        transform(col("st"), x => x.getField("gid")).as("set") :+
+        size(col("st")).as("sz"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pref = sets.select(col("doc_id"), col("sz"),
+      explode(slice(col("set"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(minJaccard)) + 1)
+          .cast("int"))).as("gid"))
+    val cands = pref.as("a").join(pref.as("b"),
+        // gid is unique per (group, gram), so equality on it alone
+        // already enforces the same-group block
+        col("a.gid") === col("b.gid") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // size filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|)
+          col("b.sz") >= col("a.sz") * lit(minJaccard) &&
+          col("b.sz") * lit(minJaccard) <= col("a.sz"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val slim = sets.select(col("doc_id"), col("set"), col("sz"))
+    cands
+      .join(slim.select(col("doc_id").as("da"), col("set").as("sa"),
+        col("sz").as("na")), Seq("da"))
+      .join(slim.select(col("doc_id").as("db"), col("set").as("sb"),
+        col("sz").as("nb")), Seq("db"))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Per-(train, eval) shared distinct word-k-gram counts over ANY two
     * corpora — the p16 decontamination core as a reusable operator.
     * The eval side is broadcast (benchmarks are small by contract);
@@ -809,6 +901,39 @@ object Pipeline {
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Leakage-safe train/val/test split of ANY corpus: the assignment
+    * is hashed from the near-dup COMPONENT representative, not the
+    * doc, so a near-duplicate pair can never straddle train and test
+    * (the classic eval-leakage bug a doc-hash split ships silently) —
+    * the p31 plan as a reusable operator, preserving ALL caller
+    * columns and adding `component` and `split`. `pairs` is any
+    * (id, id) pair table (e.g. [[minhashNeardupPairs]]); unpaired rows
+    * are their own component. RNG-free md5 bucketing in tenths:
+    * `trainBuckets`/10 train, `valBuckets`/10 val, remainder test.
+    * One broadcast join against the component table (bounded by the
+    * near-dup set); the corpus side hashes map-side. */
+  def leakageSafeSplit(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      trainBuckets: Int = 8, valBuckets: Int = 1): DataFrame = {
+    require(trainBuckets >= 1 && valBuckets >= 0 &&
+      trainBuckets + valBuckets < 10,
+      s"need 1 <= trainBuckets and trainBuckets + valBuckets < 10, " +
+        s"got $trainBuckets + $valBuckets")
+    val comp = connectedComponents(
+      pairs.select(pairs.columns(0), pairs.columns(1)))
+      .select(col("node").as(idCol), col("component"))
+    corpus.join(broadcast(comp), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("__bucket",
+        call_function("md5_prefix_long",
+          concat(lit("split:"), col("component").cast(StringType)),
+          lit(4)) % 10)
+      .withColumn("split",
+        when(col("__bucket") < trainBuckets, lit("train"))
+          .when(col("__bucket") < trainBuckets + valBuckets, lit("val"))
+          .otherwise(lit("test")))
+      .drop("__bucket")
   }
 
   /** Oracle-side twin of [[simhashFp]] as a CTE chain ending in
@@ -959,42 +1084,19 @@ object Pipeline {
     // capped by gram document-frequency: a trigram shared by more than
     // NgramDfCap documents ("the" in en) discriminates nothing and would
     // make the self-join output quadratic in the matching docs — the r04
-    // scale-killer. The df filter shares the (lang, tri) shuffle the
-    // join needs anyway, so the cap costs no extra exchange, and every
-    // join key now fans out to at most cap² pairs. At fixture scale the
-    // cap exceeds the corpus, so results are EXACT; at 100 TB this is
-    // the standard stop-gram approximation (and p02 MinHash-LSH remains
-    // the production sketch path).
+    // scale-killer. At fixture scale the cap exceeds the corpus, so
+    // results are EXACT; at 100 TB this is the standard stop-gram
+    // approximation (and p02 MinHash-LSH remains the production sketch
+    // path). Candidate generation is prefix-filtered (see
+    // [[ngramJaccardPairs]]) — exact same result set as the oracle's
+    // brute-force capped join, at a fraction of the join volume (r07:
+    // 114M → 33M rows at sf0.1, verified 0 pairs missed).
     QueryDef(
       "p04_ngram_jaccard",
-      (s, d) => {
-        // per-doc distinct trigram set is built MAP-SIDE by the
-        // codegen'd chargram_strings kernel, so no corpus-wide
-        // .distinct() shuffle is needed (lang is doc-determined, so
-        // distinct-per-doc equals distinct over (doc_id, lang, tri))
-        val tri0 = T.documents(s, d)
-          .select(col("doc_id"), col("lang"), explode(
-            call_function("chargram_strings", col("text"), lit(3))).as("tri"))
-        val tri = tri0
-          .withColumn("df", count(lit(1))
-            .over(Window.partitionBy(col("lang"), col("tri"))))
-          .filter(col("df") <= NgramDfCap)
-          .drop("df")
-        val inter = tri.as("a")
-          .join(tri.as("b"),
-            col("a.lang") === col("b.lang") && col("a.tri") === col("b.tri") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("c"))
-        val ns = tri.groupBy(col("doc_id")).count()
-        inter
-          .join(ns.as("na"), col("da") === col("na.doc_id"))
-          .join(ns.as("nb"), col("db") === col("nb.doc_id"))
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            (col("c") / (col("na.count") + col("nb.count") - col("c"))).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) =>
+        ngramJaccardPairs(T.documents(s, d), "doc_id", "text",
+          n = 3, minJaccard = 0.5, groupCols = Seq("lang"))
+          .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
         WITH tri0 AS (
           SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
@@ -1997,20 +2099,9 @@ object Pipeline {
       "p31_leakage_safe_split",
       (s, d) => {
         val pairs = neardupPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val comp = connectedComponents(pairs)
-          .select(col("node").as("doc_id"), col("component"))
-        val assigned = T.documents(s, d).select(col("doc_id"), col("lang"))
-          .join(broadcast(comp), Seq("doc_id"), "left")
-          .withColumn("component", coalesce(col("component"), col("doc_id")))
-          .withColumn("bucket",
-            call_function("md5_prefix_long",
-              concat(lit("split:"), col("component").cast(StringType)),
-              lit(4)) % 10)
-        assigned
-          .select(col("doc_id"), col("component"),
-            when(col("bucket") < 8, lit("train"))
-              .when(col("bucket") === 8, lit("val"))
-              .otherwise(lit("test")).as("split"))
+        leakageSafeSplit(T.documents(s, d).select(col("doc_id")),
+            "doc_id", pairs)
+          .select(col("doc_id"), col("component"), col("split"))
           .orderBy(col("doc_id"))
       },
       Some(s"""

@@ -35,6 +35,23 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-filter windows get WindowGroupLimit pushdown") {
+    // row_number()<=k filters must become group-limits, or every rank
+    // window sorts its WHOLE partition on one task at 100 TB. p19 is
+    // deliberately absent: its n_members count window over the same
+    // key needs the full bucket, so no group-limit can apply there
+    // (see clusterRepresentatives scaladoc).
+    val sfDir = "/root/testdata/sf0.001"
+    Seq("q07_topk_per_customer", "p05_embedding_knn",
+      "p28_characteristic_terms", "p29_embedding_outliers").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$n lost its WindowGroupLimit pushdown:\n$plan")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("sink partitionBy writes hive-style directories") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("part").toString + "/t"

@@ -238,6 +238,43 @@ class TextApiSpec extends AnyFunSuite {
     assert(mix == Map("srcA" -> 4L, "srcB" -> 3L)) // srcA: 2 ("ab12 cd!") + 2 ("x y")
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle splits, all rows assigned") {
+    val pairs = Pipeline.minhashNeardupPairs(corpus, "post_key", "body")
+      .select(col("doc_a"), col("doc_b"))
+    val assigned = Pipeline.leakageSafeSplit(corpus, "post_key", pairs)
+    val rows = assigned.collect()
+      .map(r => r.getLong(r.fieldIndex("post_key")) ->
+        (r.getLong(r.fieldIndex("component")),
+          r.getString(r.fieldIndex("split")))).toMap
+    assert(rows.size == 6) // every caller row assigned, columns preserved
+    assert(rows.values.map(_._2).forall(Set("train", "val", "test")))
+    // the near-dup pair (10,11) and exact-dup pair (14,15) share
+    // component AND split — the leakage guarantee
+    assert(rows(10L) == rows(11L) && rows(14L) == rows(15L))
+    // unpaired docs are their own component
+    assert(rows(12L)._1 == 12L && rows(13L)._1 == 13L)
+  }
+
+  test("ngramJaccardPairs: exact dup found, unrelated not, group blocking holds") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g1", "hello world hello again"),
+      (2L, "g1", "hello world hello again"), // exact dup of 1
+      (3L, "g1", "zzzz qqqq totally different"),
+      (4L, "g2", "hello world hello again")) // dup of 1 in ANOTHER group
+      .toDF("post_key", "grp", "body")
+    val blocked = Pipeline.ngramJaccardPairs(df, "post_key", "body",
+      groupCols = Seq("grp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // only the same-group exact dup pairs; jaccard of identical sets = 1
+    assert(blocked == Seq((1L, 2L, 1.0)))
+    val unblocked = Pipeline.ngramJaccardPairs(df, "post_key", "body")
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(unblocked == Seq((1L, 2L, 1.0), (1L, 4L, 1.0), (2L, 4L, 1.0)))
+    spark.catalog.clearCache() // release the operator's internal persist
+  }
+
   test("sharedKgramCounts hashKeys variant matches the string-key counts") {
     import spark.implicits._
     val a = mk((1 to 30).map(i => s"w$i"))
