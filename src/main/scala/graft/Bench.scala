@@ -24,8 +24,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `all` medians-of-3 the whole suite; named args time just those;
+    // no args = headline medians + a single-shot full sweep (below)
     val names =
-      if (args.nonEmpty) args.toSeq
+      if (args.sameElements(Array("all"))) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
       else if (SparkEntry.headline.nonEmpty) SparkEntry.headline
       else SparkEntry.queries.keys.toSeq.sorted
     val qmap = SparkEntry.queries
