@@ -275,6 +275,48 @@ class TextApiSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the operator's internal persist
   }
 
+  test("ngramJaccardPairs matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    // the prefix-filter length |s| - ceil(t*|s|) + 1 is exactly where an
+    // off-by-one silently LOSES pairs while every fixture still passes
+    // (fixtures have jaccard far from t) — so sweep thresholds and caps
+    // against plain-Scala ground truth on adversarially small alphabets
+    // (heavy gram sharing, sets of every parity)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd "
+    def randDoc(len: Int) =
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 2).foreach { _ =>
+      val base = Seq.fill(12)(randDoc(8 + rnd.nextInt(25)))
+      val docs = (base ++ base.take(4) ++ // exact dups
+        base.take(4).map(d => d.updated(rnd.nextInt(d.length), 'a'))) // edits
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("post_key", "body")
+      for (t <- Seq(0.3, 0.5, 0.9); cap <- Seq(1000, 6)) {
+        val got = Pipeline.ngramJaccardPairs(df, "post_key", "body",
+            n = 3, minJaccard = t, dfCap = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        spark.catalog.clearCache()
+        val sets = docs.map { case (id, s) =>
+          id -> s.sliding(3).filter(_.length == 3).toSet
+        }
+        val dfc = sets.flatMap(_._2.toSeq).groupBy(identity)
+          .map { case (g, xs) => g -> xs.size }
+        val kept = sets.map { case (id, s) =>
+          id -> s.filter(g => dfc(g) <= cap) }
+        val expect = (for {
+          (a, sa) <- kept; (b, sb) <- kept if a < b
+          c = (sa & sb).size
+          u = sa.size + sb.size - c
+          if u > 0 && c.toDouble / u >= t
+        } yield (a, b, c.toDouble / u)).toSet
+        assert(got == expect, s"t=$t cap=$cap: " +
+          s"missing=${expect -- got} extra=${got -- expect}")
+      }
+    }
+  }
+
   test("sharedKgramCounts hashKeys variant matches the string-key counts") {
     import spark.implicits._
     val a = mk((1 to 30).map(i => s"w$i"))
