@@ -33,9 +33,15 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     val qmap = SparkEntry.queries
 
-    // warm EVERY query once so file-listing/codegen/JIT costs don't land
-    // inside any timed run (ADVICE r01: head-only warm-up skewed q03+)
-    names.foreach { n =>
+    // warm EVERY query that will be timed — including the full-sweep
+    // set on a default run — so file-listing/codegen/JIT costs don't
+    // land inside any timed number (ADVICE r01: head-only warm-up
+    // skewed q03+; r07 review: an unwarmed sweep re-imports the same
+    // skew into the `full` deltas)
+    val sweepNames =
+      if (args.nonEmpty) Nil
+      else qmap.keys.toSeq.sorted.filterNot(names.contains)
+    (names ++ sweepNames).foreach { n =>
       try qmap(n)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $n failed: $e") }
       // drop intra-query persists (p02) between runs: each timed run
@@ -85,15 +91,12 @@ object Bench {
     val headFailed = results.filter(_._4).map(_._1)
     val total = good.map(_._2).sum
 
-    // full-suite sweep (default run only): ONE timed pass over every
-    // registered query not already medianed above, so non-headline
-    // regressions are visible round-over-round — single-shot times,
-    // comparable as deltas, cheap enough to run every round. Explicit
-    // `all` arg instead medians-of-3 the whole suite.
-    val fullSingles =
-      if (args.nonEmpty) Nil
-      else qmap.keys.toSeq.sorted.filterNot(names.contains)
-        .map(n => (n, timedRun(n)))
+    // full-suite sweep (default run only): ONE timed (pre-warmed) pass
+    // over every registered query not already medianed above, so
+    // non-headline regressions are visible round-over-round —
+    // single-shot times, comparable as deltas, cheap enough to run
+    // every round. Explicit `all` arg instead medians-of-3 everything.
+    val fullSingles = sweepNames.map(n => (n, timedRun(n)))
     val fullGood = fullSingles.collect { case (n, Some(t)) => (n, t) }
     val fullJson = fullGood.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -447,13 +447,15 @@ object Main {
 
   def main(argv: Array[String]): Unit = {
     if (argv.headOption.contains("parquet-info")) {
-      val ia =
-        try parseInfoArgs(argv.toSeq.tail)
-        catch {
-          case e: IllegalArgumentException =>
-            System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
-        }
-      ParquetInfo.run(ia.path, ia.sampleRows)
+      try {
+        val ia = parseInfoArgs(argv.toSeq.tail)
+        ParquetInfo.run(ia.path, ia.sampleRows)
+      } catch {
+        // same error contract as arg failures: a missing/corrupt file
+        // prints one message and exits 2, not a raw Hadoop stack trace
+        case e: Exception =>
+          System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
+      }
       return
     }
     val a =

@@ -792,24 +792,43 @@ object Pipeline {
         .as("tri"): _*)
     // df table: distinct n-grams are bounded by charset^n per group —
     // broadcastable at any corpus size; partial agg keeps the shuffle
-    // at one row per (mapper, gram). Each surviving gram gets a dense
-    // integer id (row_number over this SMALL table — the single
-    // partition holds at most charset^n rows, never corpus-sized): the
-    // id ↔ (group, gram) bijection lets every downstream step — prefix
-    // join key, set arrays, intersection — run on ints instead of
-    // strings, which keeps array_intersect on Spark's specialized
-    // primitive path (measured 4× on the verify stage).
+    // at one row per (mapper, gram). Each surviving gram gets a UNIQUE
+    // deterministic integer id: the id ↔ (group, gram) bijection lets
+    // every downstream step — prefix join key, set arrays, intersection
+    // — run on longs instead of strings, which keeps array_intersect on
+    // Spark's specialized primitive path (measured 4× on the verify
+    // stage). Ids are rank-within-hash-bucket composed with the bucket
+    // index — unique and deterministic like a global row_number, but
+    // the window sorts 4096 DISTRIBUTED partitions instead of funneling
+    // the whole gram table through one task (a large-charset corpus —
+    // CJK trigrams — can have 1e8+ distinct grams; a partition-less
+    // window would serialize, and ids must NOT come from a content hash
+    // because a hash collision would silently merge two grams and break
+    // the exactness contract).
+    val GidBuckets = 4096
     val dfTab = tri0.groupBy(grp :+ col("tri"): _*)
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
-      .withColumn("gid", row_number().over(
-        Window.orderBy(groupCols.map(col) :+ col("tri"): _*)))
-    val tri = tri0.join(broadcast(dfTab), groupCols :+ "tri")
+      .withColumn("__b", pmod(hash(grp :+ col("tri"): _*), lit(GidBuckets)))
+      .withColumn("gid",
+        row_number().over(Window.partitionBy(col("__b"))
+          .orderBy(groupCols.map(col) :+ col("tri"): _*))
+          .cast("long") * GidBuckets + col("__b"))
+      .drop("__b")
+    // no forced broadcast: at fixture scale AQE converts this join to a
+    // broadcast anyway, and at large-charset scale the gram table can
+    // exceed the broadcast limit — let the planner pick per run
+    val tri = tri0.join(dfTab, groupCols :+ "tri")
     // per-doc set in the GLOBAL canonical order prefix filtering
     // requires: rarest first (df asc, gram asc tie-break)
     // persisted: sets feeds the prefix explode AND both verification
     // joins — recomputing the collect_list shuffle three times costs
-    // more than the whole join (same clearCache contract as p02)
+    // more than the whole join (same clearCache contract as p02).
+    // tri0 itself is deliberately NOT persisted although two branches
+    // scan it: materializing the exploded gram rows costs ~n× the
+    // corpus bytes on disk, while the second pass is one more linear
+    // scan + the codegen'd kernel — the cheaper side at 100 TB (same
+    // two-pass shape as the p27/p32 corpus statistics).
     val sets = tri.groupBy(col("doc_id") +: grp: _*)
       .agg(sort_array(collect_list(struct(col("df"), col("tri"), col("gid"))))
         .as("st"))
@@ -817,18 +836,26 @@ object Pipeline {
         transform(col("st"), x => x.getField("gid")).as("set") :+
         size(col("st")).as("sz"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ⌈t·|s|⌉ with an epsilon guard: IEEE rounding can land t·|s| a hair
+    // ABOVE the true rational product (100 × 0.07 = 7.000000000000001),
+    // and ceil would then shorten the prefix / tighten the size filter
+    // enough to LOSE an exactly-at-threshold pair. Relaxing by 1e-9
+    // only ever lengthens prefixes and widens the candidate set — the
+    // exact jaccard filter at the end still decides membership, so
+    // correctness is one-sided by construction.
+    def ceilT(sz: Column): Column = ceil(sz * lit(minJaccard) - lit(1e-9))
     val pref = sets.select(col("doc_id"), col("sz"),
       explode(slice(col("set"), lit(1),
-        (col("sz") - ceil(col("sz") * lit(minJaccard)) + 1)
-          .cast("int"))).as("gid"))
+        (col("sz") - ceilT(col("sz")) + 1).cast("int"))).as("gid"))
     val cands = pref.as("a").join(pref.as("b"),
         // gid is unique per (group, gram), so equality on it alone
         // already enforces the same-group block
         col("a.gid") === col("b.gid") &&
           col("a.doc_id") < col("b.doc_id") &&
           // size filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|)
-          col("b.sz") >= col("a.sz") * lit(minJaccard) &&
-          col("b.sz") * lit(minJaccard) <= col("a.sz"))
+          // (epsilon-relaxed like the prefix — see ceilT)
+          col("b.sz") >= col("a.sz") * lit(minJaccard) - lit(1e-9) &&
+          col("b.sz") * lit(minJaccard) - lit(1e-9) <= col("a.sz"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val slim = sets.select(col("doc_id"), col("set"), col("sz"))
@@ -920,6 +947,12 @@ object Pipeline {
       trainBuckets + valBuckets < 10,
       s"need 1 <= trainBuckets and trainBuckets + valBuckets < 10, " +
         s"got $trainBuckets + $valBuckets")
+    // fail fast instead of an ambiguous-reference AnalysisException
+    // (component) or a silent caller-column overwrite (split)
+    val taken = corpus.columns.toSet.intersect(Set("component", "split"))
+    require(taken.isEmpty,
+      s"corpus already has column(s) ${taken.mkString(", ")} — rename " +
+        "them before calling leakageSafeSplit, which adds both")
     val comp = connectedComponents(
       pairs.select(pairs.columns(0), pairs.columns(1)))
       .select(col("node").as(idCol), col("component"))
@@ -975,12 +1008,22 @@ object Pipeline {
   private[graft] def connectedComponents(
       pairsDf: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
+    // NOTE: setting a checkpointDir mutates the SparkContext-wide
+    // checkpoint location for the duration of this call; a previously
+    // set dir is restored on return (Spark offers no per-Dataset dir
+    // and no way to UNSET one, so with no prior dir ours remains).
+    // Reliable checkpoint files are NOT auto-deleted — the caller owns
+    // the dir lifecycle. Concurrent calls with different dirs in one
+    // context would race on the global setting; serialize those.
+    val sc = pairsDf.sparkSession.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        pairsDf.sparkSession.sparkContext.setCheckpointDir(dir)
+        sc.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    try {
     val Seq(a, b) = pairsDf.columns.take(2).toSeq.map(col)
     val half = pairsDf.select(a.as("src"), b.as("dst"))
     val edges = half
@@ -1015,6 +1058,14 @@ object Pipeline {
         s"($changed labels still decreasing) — the pair graph has " +
         s"diameter > $maxIter; raise maxIter")
     labels.select(col("node"), col("lbl").as("component"))
+    } finally if (checkpointDir.isDefined) {
+      // restore the caller's context-wide checkpoint location (the
+      // returned labels are already materialized, so they don't need
+      // it). Spark's public API cannot UNSET the dir, so when the
+      // caller had none set, ours stays — harmless (unused unless
+      // something later checkpoints) and stated in the NOTE above.
+      prevCkptDir.foreach(sc.setCheckpointDir)
+    }
   }
 
   /** Oracle-side twin of [[connectedComponents]] over the `verified`
@@ -1930,8 +1981,11 @@ object Pipeline {
     // Verification is one xor+bit_count per candidate. The oracle
     // replays the SAME pigeonhole candidate generation (chunk buckets
     // capped at LshBucketCap, mirroring the Spark side as p02/p06 do)
-    // then brute-force verifies by xor — so the gate proves both the
-    // recall of the block trick AND that the cap semantics agree.
+    // then verifies by xor — so the gate proves the two ENGINES agree,
+    // cap semantics included, but no longer proves recall against
+    // brute force by itself (a chunking mistake mirrored on both sides
+    // would pass). The recall proof lives in TextApiSpec's randomized
+    // simhashNeardupPairs-vs-brute-force test instead.
     QueryDef(
       "p26_simhash_neardup",
       (s, d) =>

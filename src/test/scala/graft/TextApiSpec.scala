@@ -275,6 +275,34 @@ class TextApiSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the operator's internal persist
   }
 
+  test("simhashNeardupPairs: brute-force pairing recall on random corpora") {
+    // the p26 oracle now mirrors the pigeonhole candidate generation
+    // (cap semantics), so the RECALL proof — every hamming≤3 pair is
+    // found, none invented — lives here: pair via the operator, then
+    // brute-force all pairs from the same fingerprints in plain Scala
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 40).map(i => s"w$i")
+    def doc() = Seq.fill(12 + rnd.nextInt(20))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = Seq.fill(25)(doc())
+    val docs = (base ++ base.take(6) ++ // exact dups → hamming-0 pairs
+      base.take(6).map(_ + " w1"))      // light edits → small hammings
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("post_key", "body")
+    val fps = Pipeline.simhashFingerprints(df, "post_key", "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expect.exists(_._3 == 0), "fixture must contain exact-dup pairs")
+    val got = Pipeline.simhashNeardupPairs(df, "post_key", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
   test("ngramJaccardPairs matches a brute-force reference on random corpora") {
     import spark.implicits._
     // the prefix-filter length |s| - ceil(t*|s|) + 1 is exactly where an
