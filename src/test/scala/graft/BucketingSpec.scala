@@ -52,6 +52,40 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("q02 scan pushes its filters and prunes to the projected columns") {
+    // at 100 TB a scan that reads all 16 lineitem columns for a
+    // 4-column projection, or evaluates the quantity/discount filters
+    // post-scan, is the difference between minutes and hours
+    val df = SparkEntry.queries("q02_filter_project")(
+      spark, "/root/testdata/sf0.001")
+    // scan metadata (PushedFilters/ReadSchema) truncates at 100 chars
+    // by default — widen it or the assertion reads an elided list
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val scan =
+      try df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert(scan.contains("GreaterThanOrEqual(l_quantity,45.0)") &&
+      scan.contains("GreaterThan(l_discount,0.08)"),
+      s"filters not pushed to the parquet scan:\n$scan")
+    Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      .foreach(c => assert(scan.contains(c), s"$c missing from ReadSchema"))
+    assert(!scan.contains("l_comment"),
+      s"scan reads unprojected columns:\n$scan")
+  }
+
+  test("p16 decontamination broadcasts the eval side, never shuffles it") {
+    // the benchmark/eval corpus is small by contract; the TRAINING side
+    // must stream map-side against a broadcast — a shuffle of the train
+    // grams would be corpus-sized
+    val df = SparkEntry.queries("p16_decontaminate")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"p16 lost its broadcast join:\n$plan")
+  }
+
   test("sink partitionBy writes hive-style directories") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("part").toString + "/t"
