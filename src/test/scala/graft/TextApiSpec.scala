@@ -303,6 +303,41 @@ class TextApiSpec extends AnyFunSuite {
       s"missing=${expect -- got} extra=${got -- expect}")
   }
 
+  test("minhashNeardupPairs: sound jaccards and guaranteed exact-dup recall") {
+    // LSH recall is probabilistic for mid-similarity pairs, but two
+    // properties are DETERMINISTIC and pin the whole pipeline: every
+    // reported jaccard must equal the true shingle-set Jaccard (the
+    // verification join is exact), and identical texts — identical
+    // signatures in every band — must always pair
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 50).map(i => s"w$i")
+    def doc() = Seq.fill(8 + rnd.nextInt(30))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = Seq.fill(20)(doc())
+    val docs = (base ++ base.take(5))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("post_key", "body")
+    val truth = docs.map { case (id, s) =>
+      id -> s.split("\\s+").toSeq.sliding(5).map(_.mkString(" ")).toSet
+    }.toMap
+    def trueJ(a: Long, b: Long): Double = {
+      val (sa, sb) = (truth(a), truth(b))
+      (sa & sb).size.toDouble / (sa | sb).size
+    }
+    val got = Pipeline.minhashNeardupPairs(df, "post_key", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    spark.catalog.clearCache()
+    got.foreach { case (a, b, j) =>
+      assert(math.abs(j - trueJ(a, b)) < 1e-12 && j >= 0.5, s"($a,$b,$j)")
+    }
+    val pairsFound = got.map(p => (p._1, p._2)).toSet
+    (0 until 5).foreach { i =>
+      assert(pairsFound.contains((i.toLong, (20 + i).toLong)),
+        s"exact dup ($i,${20 + i}) missed")
+    }
+  }
+
   test("ngramJaccardPairs matches a brute-force reference on random corpora") {
     import spark.implicits._
     // the prefix-filter length |s| - ceil(t*|s|) + 1 is exactly where an
