@@ -86,6 +86,22 @@ class BucketingSpec extends AnyFunSuite {
       s"p16 lost its broadcast join:\n$plan")
   }
 
+  test("no registered query plans a CartesianProduct") {
+    // crossJoins in this repo are all crossJoin(broadcast(...)) —
+    // BroadcastNestedLoopJoin over a small side, by contract. A plain
+    // CartesianProduct (both sides shuffled, |a|×|b| rows) would mean
+    // someone dropped a broadcast or a join condition; at 100 TB that
+    // is a job that never finishes, so pin it structurally for EVERY
+    // registered query.
+    val sfDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("sink partitionBy writes hive-style directories") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("part").toString + "/t"
