@@ -3,21 +3,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-audit utility: print the formatted physical plan of named
-  * registered queries (all of them with no names given) against a
-  * testdata dir — the `.explain("formatted")` loop the build brief
-  * prescribes after each operator lands.
+  * registered queries — the `.explain("formatted")` loop the build
+  * brief prescribes after each operator lands.
   *
-  * Usage: runMain graft.Explain [sfDir] [queryName ...]
+  * Usage: `runMain graft.Explain [sfDir] [queryName ...]`
+  *  - an absolute first arg selects the data dir; otherwise
+  *    `SPARK_GRAFT_SF_DIR` (default sf0.001). Plans are
+  *    scale-dependent through AQE thresholds, so audit at the scale
+  *    you care about.
+  *  - with no names: the headline set, else every registered query.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val (sfDir, named) = args.toSeq match {
+      case d +: rest if d.startsWith("/") => (d, rest)
+      case rest =>
+        (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+          rest)
+    }
+    val names =
+      if (named.nonEmpty) named
+      else if (SparkEntry.headline.nonEmpty) SparkEntry.headline
       else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .appName("graft-explain")
-      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,7 +38,7 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      println(s"===== $n")
+      println(s"===== $n =====")
       SparkEntry.queries.get(n) match {
         case Some(fn) =>
           try fn(spark, sfDir).explain("formatted")
@@ -34,7 +46,14 @@ object Explain {
             System.err.println(s"[explain] $n failed: ${e.getMessage}") }
         case None => System.err.println(s"[explain] unknown query '$n'")
       }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
+}
+
+/** Back-compat alias — earlier round notes reference
+  * `runMain graft.ExplainTool`; both entries drive the same audit. */
+object ExplainTool {
+  def main(args: Array[String]): Unit = Explain.main(args)
 }
