@@ -839,11 +839,15 @@ object Pipeline {
     // ⌈t·|s|⌉ with an epsilon guard: IEEE rounding can land t·|s| a hair
     // ABOVE the true rational product (100 × 0.07 = 7.000000000000001),
     // and ceil would then shorten the prefix / tighten the size filter
-    // enough to LOSE an exactly-at-threshold pair. Relaxing by 1e-9
-    // only ever lengthens prefixes and widens the candidate set — the
-    // exact jaccard filter at the end still decides membership, so
-    // correctness is one-sided by construction.
-    def ceilT(sz: Column): Column = ceil(sz * lit(minJaccard) - lit(1e-9))
+    // enough to LOSE an exactly-at-threshold pair. The epsilon is
+    // RELATIVE (1e-9 of the product, floored at 1e-9 absolute) so it
+    // dominates the ~2⁻⁵² relative rounding error at ANY set size;
+    // relaxation only ever lengthens prefixes and widens the candidate
+    // set — the exact jaccard filter at the end still decides
+    // membership, so correctness is one-sided by construction.
+    def relaxed(product: Column): Column =
+      product - greatest(product * lit(1e-9), lit(1e-9))
+    def ceilT(sz: Column): Column = ceil(relaxed(sz * lit(minJaccard)))
     val pref = sets.select(col("doc_id"), col("sz"),
       explode(slice(col("set"), lit(1),
         (col("sz") - ceilT(col("sz")) + 1).cast("int"))).as("gid"))
@@ -853,9 +857,9 @@ object Pipeline {
         col("a.gid") === col("b.gid") &&
           col("a.doc_id") < col("b.doc_id") &&
           // size filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|)
-          // (epsilon-relaxed like the prefix — see ceilT)
-          col("b.sz") >= col("a.sz") * lit(minJaccard) - lit(1e-9) &&
-          col("b.sz") * lit(minJaccard) - lit(1e-9) <= col("a.sz"))
+          // (epsilon-relaxed like the prefix — see relaxed())
+          col("b.sz") >= relaxed(col("a.sz") * lit(minJaccard)) &&
+          relaxed(col("b.sz") * lit(minJaccard)) <= col("a.sz"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val slim = sets.select(col("doc_id"), col("set"), col("sz"))
@@ -1165,7 +1169,11 @@ object Pipeline {
                i.c / (na.n + nb.n - i.c) AS jaccard
         FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
         WHERE i.c / (na.n + nb.n - i.c) >= 0.5
-        ORDER BY doc_a, doc_b""")),
+        ORDER BY doc_a, doc_b"""),
+      // headline since r07: the one historically quadratic operator —
+      // keep its median-of-3 visible round-over-round, not just the
+      // single-shot sweep number
+      headline = true),
 
     // ---- p05: brute-force cosine top-k over embeddings — the ANN
     // baseline. Query side (k rows) is broadcast; per-vector norms are
