@@ -632,12 +632,16 @@ object Pipeline {
     * output, or any coarse partitioning) — the p07 plan as a reusable
     * operator. The quantizer is one medoid per cluster (the minimum-id
     * member — swap in trained centroids by pre-clustering with
-    * [[kmeansCluster]]); each query probes its best medoid and
-    * searches ONLY that cluster's members, so the scan covers ~1/k of
-    * the corpus and the medoid table broadcasts. Output:
+    * [[kmeansCluster]]); each query probes its `nprobe` best medoids
+    * (default 1) and searches ONLY those clusters' members, so the
+    * scan covers ~nprobe/n_clusters of the corpus and the medoid table
+    * broadcasts. Raising nprobe is the standard IVF recall knob —
+    * nprobe = n_clusters degenerates to [[knnBruteCosine]]. Output:
     * (q_id, probe_label, vec_id, cos_sim, rk). */
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, clusterCol: String, k: Int): DataFrame = {
+      vecCol: String, clusterCol: String, k: Int,
+      nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val e = corpus
       .select(col(idCol).as("vec_id"), col(clusterCol).as("label"),
         col(vecCol).as("embedding"))
@@ -649,18 +653,24 @@ object Pipeline {
         col("n2").as("mn2"))
     val wAssign = Window.partitionBy(col("q_id"))
       .orderBy(col("m_cos").desc, col("m_label").asc)
+    // `nprobe` best medoids per query — the standard IVF recall/cost
+    // knob: the scan covers ~nprobe/k_clusters of the corpus. Clusters
+    // are disjoint, so probing more never duplicates a candidate.
     val assigned = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("qe"))
       .withColumn("qn2", dot(col("qe"), col("qe")))
       .crossJoin(broadcast(medoids))
       .withColumn("m_cos", cosine(dot(col("qe"), col("me")), col("qn2"), col("mn2")))
       .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") === 1)
+      .filter(col("ark") <= nprobe)
       .select(col("q_id"), col("qe"), col("qn2"), col("m_label").as("probe_label"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    e.join(broadcast(assigned), col("label") === col("probe_label"))
-      .filter(col("vec_id") =!= col("q_id"))
+    val scanned = e.join(broadcast(assigned), col("label") === col("probe_label"))
+    // same shared-id-space contract as [[knnBruteCosine]]: disable when
+    // query ids live in a different id space than corpus ids
+    (if (excludeSelf) scanned.filter(col("vec_id") =!= col("q_id"))
+     else scanned)
       .select(col("q_id"), col("probe_label"), col("vec_id"),
         cosine(dot(col("qe"), col("embedding")), col("qn2"), col("n2")).as("cos_sim"))
       .withColumn("rk", row_number().over(wTop))

@@ -438,6 +438,21 @@ class TextApiSpec extends AnyFunSuite {
     // k=5 asked, but only the probed cluster's OTHER members return
     assert(res.map(_.getLong(res.head.fieldIndex("vec_id"))).sorted.toSeq ==
       Seq(4L, 6L))
+    // nprobe=2 widens the scan to the second-best cluster: the recall
+    // knob recovers cluster 7's members, ranked below cluster 9's
+    val res2 = Pipeline.ivfSearch(
+      pts, Seq((5L, v(80))).toDF("pk", "vec"), "pk", "vec", "grp",
+      k = 5, nprobe = 2)
+      .orderBy("rk").collect()
+    assert(res2.map(_.getLong(res2.head.fieldIndex("vec_id"))).toSeq ==
+      Seq(4L, 6L, 3L, 2L, 1L)) // 90°,70° then 20°,10°,0° by cos to 80°
+    // nprobe = n_clusters must agree with brute force exactly
+    val brute = Pipeline.knnBruteCosine(
+      pts.select(col("pk"), col("vec")), Seq((5L, v(80))).toDF("pk", "vec"),
+      "pk", "vec", k = 5)
+      .orderBy("rk").collect().map(_.getLong(1))
+    assert(res2.map(_.getLong(res2.head.fieldIndex("vec_id"))).toSeq ==
+      brute.toSeq)
   }
 
   test("packSequences: offsets are a gapless global prefix sum; alien columns") {
