@@ -25,27 +25,16 @@ object Curation {
 
   private def ws(c: Column): Column = split(c, "\\s+")
 
-  /** Quality score shared with p10 (fixed-order double formula). */
-  def qualityScore(text: Column, nChars: Column): Column = {
-    val w = ws(text)
-    val nWords = size(w).cast(DoubleType)
-    val stopRatio = size(filter(w, x =>
-      x.isin("the", "a", "of", "and", "is"))).cast(DoubleType) / nWords
-    val punctRatio = (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
-      .cast(DoubleType) / length(text).cast(DoubleType)
-    val diversity = size(array_distinct(w)).cast(DoubleType) / nWords
-    least(nChars.cast(DoubleType) / 500.0, lit(1.0)) * 0.4 +
-      stopRatio * 0.2 + (lit(1.0) - punctRatio) * 0.2 + diversity * 0.2
-  }
+  /** Quality score — delegates to the ONE copy of the p10 formula
+    * ([[Pipeline.qualityExpr]]), so p10 and p13 can't drift apart. */
+  def qualityScore(text: Column, nChars: Column): Column =
+    Pipeline.qualityExpr(text, nChars)
 
-  /** documents → curated corpus rows (kept docs + token accounting). */
-  def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dedupW = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-    docs
-      .withColumn("content_hash", md5(col("text")))
-      .withColumn("dup_rank", row_number().over(dedupW))
-      .filter(col("dup_rank") === 1) // keep min doc_id per content
+  /** documents → curated corpus rows (kept docs + token accounting).
+    * The dedup stage IS [[Pipeline.exactDedup]] (the p01 operator) —
+    * same min-id-per-content-hash window, not a re-implementation. */
+  def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame =
+    Pipeline.exactDedup(docs, "doc_id", "text")
       .filter(col("lang").isin(cfg.langs.map(l => l: Any): _*))
       .filter(col("n_chars") >= cfg.minChars)
       .withColumn("quality", qualityScore(col("text"), col("n_chars")))
@@ -54,5 +43,4 @@ object Curation {
       .filter(col("n_tokens") <= cfg.maxTokens)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("n_tokens"), col("quality"))
-  }
 }

@@ -36,21 +36,31 @@ object Multimodal {
       height: Int,
       n_frames: Int)   // stubbed frame-sample count
 
+  /** Null-safe payload view: a NULL binary cell (e.g. a null-text
+    * document through [[fromDocuments]]) decodes like an empty payload
+    * instead of NPE-ing inside an executor task — the same null-text
+    * tolerance contract the scrub/dedup stages state explicitly. */
+  private def bytes(r: MediaRecord): Array[Byte] =
+    if (r.payload == null) Array.emptyByteArray else r.payload
+
   /** Deterministic fake decode: derives "dimensions" and a "frame
     * count" from the payload bytes. A real implementation would parse
     * the container format here; the signature and batch shape are what
-    * matter. */
+    * matter. n_frames uses the same `n_bytes / 100` rule as the m01
+    * QueryDef twin and as [[sampleFrames]] at the default stride, so
+    * joining features against frame rows never sees a count mismatch. */
   private[operators] def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.payload.length
-    val head = r.payload.take(8).map(b => f"${b & 0xff}%02X").mkString
+    val p = bytes(r)
+    val n = p.length
+    val head = p.take(8).map(b => f"${b & 0xff}%02X").mkString
     MediaFeatures(
       doc_id = r.doc_id,
       mime = r.mime,
       n_bytes = n.toLong,
       head_hex = head,
-      width = 16 + (if (n == 0) 0 else (r.payload(0) & 0x7f)),
-      height = 16 + (if (n < 2) 0 else (r.payload(1) & 0x7f)),
-      n_frames = n / 100 + 1)
+      width = 16 + (if (n == 0) 0 else (p(0) & 0x7f)),
+      height = 16 + (if (n < 2) 0 else (p(1) & 0x7f)),
+      n_frames = n / 100)
   }
 
   /** The decode/feature-extract stage: one decoder "session" per
@@ -68,10 +78,11 @@ object Multimodal {
   final case class FrameSample(doc_id: Long, frame_no: Int, offset: Long)
 
   def sampleFrames(records: Dataset[MediaRecord], stride: Int): Dataset[FrameSample] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.flatMap { r =>
-        (0 until (r.payload.length / stride)).iterator
+        (0 until (bytes(r).length / stride)).iterator
           .map(i => FrameSample(r.doc_id, i, i.toLong * stride))
       }
     }
@@ -93,7 +104,7 @@ object Multimodal {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.flatMap { r =>
-        val n = r.payload.length
+        val n = bytes(r).length
         Iterator.from(0)
           .map(i => (i, i.toLong * hop))
           .takeWhile { case (_, off) => off < n && n - off >= width / 2 }

@@ -341,20 +341,28 @@ object Pipeline {
     * formula (per-row, embarrassingly parallel). `lenCol` lets callers
     * supply a precomputed length column; it defaults to
     * `length(textCol)`. Returns caller columns + (quality, keep). */
-  def qualityScore(corpus: DataFrame, textCol: String,
-      lenCol: Column = null, keepMin: Double = 0.5): DataFrame = {
-    val len = Option(lenCol).getOrElse(length(col(textCol)))
-    val ws = words(col(textCol))
+  /** The p10 quality formula as a bare Column — the SINGLE copy of the
+    * fixed-order double arithmetic, shared by [[qualityScore]] and
+    * [[Curation.curate]] so the two gated twins (p10, p13) can never
+    * drift apart on a formula tweak. */
+  def qualityExpr(text: Column, len: Column): Column = {
+    val ws = words(text)
     val nWords = size(ws).cast(DoubleType)
     val stopRatio =
       size(filter(ws, w => w.isin("the", "a", "of", "and", "is")))
         .cast(DoubleType) / nWords
     val punctRatio =
-      (length(col(textCol)) - length(regexp_replace(col(textCol), "[.,!?;:]", "")))
-        .cast(DoubleType) / length(col(textCol)).cast(DoubleType)
+      (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+        .cast(DoubleType) / length(text).cast(DoubleType)
     val diversity = size(array_distinct(ws)).cast(DoubleType) / nWords
-    val q = least(len.cast(DoubleType) / 500.0, lit(1.0)) * 0.4 +
+    least(len.cast(DoubleType) / 500.0, lit(1.0)) * 0.4 +
       stopRatio * 0.2 + (lit(1.0) - punctRatio) * 0.2 + diversity * 0.2
+  }
+
+  def qualityScore(corpus: DataFrame, textCol: String,
+      lenCol: Column = null, keepMin: Double = 0.5): DataFrame = {
+    val q = qualityExpr(col(textCol),
+      Option(lenCol).getOrElse(length(col(textCol))))
     corpus.withColumn("quality", q).withColumn("keep", q >= keepMin)
   }
 
@@ -1736,18 +1744,24 @@ object Pipeline {
           FROM documents),
         red AS (
           SELECT doc_id, t,
-                 regexp_replace(regexp_replace(regexp_replace(t,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
-                   '10\.0\.[0-9]{1,3}\.1', '<IP>', 'g') AS r
-          FROM inj)
+                 regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          FROM inj),
+        red2 AS (
+          SELECT doc_id, t, t1,
+                 regexp_replace(t1, '\+1-555-[0-9]{4,}', '<PHONE>', 'g') AS t2
+          FROM red),
+        red3 AS (
+          SELECT doc_id, t, t1, t2,
+                 regexp_replace(t2, '10\.0\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS r
+          FROM red2)
         SELECT doc_id,
                CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-               CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
-               CAST(len(regexp_extract_all(t, '10\.0\.[0-9]{1,3}\.1')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t1, '\+1-555-[0-9]{4,}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(t2, '10\.0\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
                md5(r) AS redacted_hash,
                CAST(length(r) AS BIGINT) AS redacted_len
-        FROM red ORDER BY doc_id""")),
+        FROM red3 ORDER BY doc_id""")),
 
     // ---- p21: distributed k-means over the embedding corpus — the
     // real Lloyd's iterations p07's IVF stubs out with medoids. Each

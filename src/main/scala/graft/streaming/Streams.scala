@@ -47,38 +47,68 @@ object Streams {
 
   // ---- custom keyed state: KeyValueGroupedDataset.mapGroupsWithState
 
-  final case class UserEvent(user_id: Long, event_type: String)
+  final case class UserEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
   final case class UserStats(user_id: Long, n_events: Long, n_purchases: Long)
 
   /** Running per-user counters — the mapGroupsWithState shape for
     * semantics window functions can't express incrementally. State is
-    * one small struct per user. */
-  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    * one small struct per user, EVICTED once the watermark passes the
+    * user's last event + `idleTimeout` (EventTimeTimeout — the
+    * watermark-driven idiom; ProcessingTimeTimeout would make
+    * `processAllAvailable` block forever in tests): without eviction
+    * the store would hold one entry per user_id ever seen and grow
+    * monotonically — the unbounded-state trap the module doc warns
+    * about. A user reappearing after eviction restarts from zero;
+    * widen idleTimeout (or snapshot-join a batch table) where lifetime
+    * totals matter. */
+  def runningUserStats(events: Dataset[UserEvent],
+      idleTimeout: String = "24 hours",
+      watermark: String = "10 minutes"): Dataset[UserStats] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserStats, UserStats](
+        GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0L))
-          val next = batch.foldLeft(prev) { (acc, e) =>
-            acc.copy(
-              n_events = acc.n_events + 1,
-              n_purchases = acc.n_purchases + (if (e.event_type == "purchase") 1 else 0))
+          if (state.hasTimedOut) {
+            // idle horizon passed: re-emit the final stats and drop the
+            // state entry (Update-mode sinks already hold this value)
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0L))
+            var maxTs = 0L
+            val next = batch.foldLeft(prev) { (acc, e) =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              acc.copy(
+                n_events = acc.n_events + 1,
+                n_purchases = acc.n_purchases + (if (e.event_type == "purchase") 1 else 0))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(maxTs, idleTimeout)
+            next
           }
-          state.update(next)
-          next
       }
   }
 
   /** Expected output mode for [[runningUserStats]] sinks. */
   val runningStatsOutputMode: OutputMode = OutputMode.Update()
 
-  /** Stream-stream interval join: attribute each purchase to a click by
-    * the same user within the preceding `horizon`. Both sides carry
-    * watermarks and the join condition bounds event time on both ends,
-    * so Spark can evict buffered rows once the watermark passes —
-    * without the time bound, stream-stream join state grows forever.
-    */
+  /** Stream-stream LAST-TOUCH attribution: each purchase is attributed
+    * to the LATEST click by the same user within the preceding
+    * `horizon`. The interval join emits every qualifying (purchase,
+    * click) pair with bounded state (both sides watermarked, both ends
+    * of the event-time range constrained — without the bound,
+    * stream-stream join state grows forever); the chained append-mode
+    * max-aggregation then collapses the pairs to ONE row per purchase
+    * once the watermark passes, so a downstream `sum(amount)` counts
+    * each purchase exactly once even when several clicks qualify.
+    * Purchases are identified by (user_id, purchase_ts, amount) — two
+    * byte-identical purchases in the same instant would merge; carry a
+    * purchase id column through if that can happen. */
   def attributePurchases(clicks: DataFrame, purchases: DataFrame,
       horizon: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
@@ -90,8 +120,10 @@ object Streams {
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
-      .select(col("p_user").as("user_id"), col("purchase_ts"),
-        col("click_ts"), col("amount"))
+      .groupBy(col("p_user").as("user_id"), col("purchase_ts"), col("amount"))
+      .agg(max(col("click_ts")).as("click_ts"))
+      .select(col("user_id"), col("purchase_ts"), col("click_ts"),
+        col("amount"))
   }
 
   /** Streaming exact dedup — the incremental twin of the batch p01

@@ -12,12 +12,25 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     val ds = Seq(
       MediaRecord(1L, "image/png", Array.tabulate(250)(_.toByte)),
-      MediaRecord(2L, "audio/wav", Array.empty[Byte])).toDS()
+      MediaRecord(2L, "audio/wav", Array.empty[Byte]),
+      MediaRecord(3L, "audio/wav", null)).toDS()
     val out = Multimodal.extractFeatures(ds).collect().sortBy(_.doc_id)
-    assert(out(0).n_bytes == 250 && out(0).n_frames == 3)
+    // n_frames = n_bytes/100, the SAME rule as m01 and sampleFrames'
+    // default stride (a +1 here once disagreed with both twins)
+    assert(out(0).n_bytes == 250 && out(0).n_frames == 2)
     assert(out(0).head_hex == "0001020304050607")
     assert(out(0).width == 16 + 0 && out(0).height == 16 + 1)
-    assert(out(1).n_bytes == 0 && out(1).n_frames == 1 && out(1).head_hex == "")
+    assert(out(1).n_bytes == 0 && out(1).n_frames == 0 && out(1).head_hex == "")
+    // a NULL payload (null-text document) decodes like an empty one
+    assert(out(2).n_bytes == 0 && out(2).n_frames == 0 && out(2).head_hex == "")
+  }
+
+  test("sampleFrames/sampleWindows: null payloads yield no rows; bad stride rejected") {
+    import spark.implicits._
+    val ds = Seq(MediaRecord(1L, "video/mp4", null)).toDS()
+    assert(Multimodal.sampleFrames(ds, 100).collect().isEmpty)
+    assert(Multimodal.sampleWindows(ds, 200, 100).collect().isEmpty)
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(ds, 0))
   }
 
   test("sampleFrames: one row per stride") {
@@ -48,9 +61,11 @@ class MultimodalSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(
       Multimodal.fromDocuments(spark, TestSpark.sfDir))
     val viaSql = SparkEntry.queries("m01_multimodal_meta")(spark, TestSpark.sfDir)
-    val a = feats.collect().map(f => f.doc_id -> (f.n_bytes, f.head_hex)).toMap
+    val a = feats.collect()
+      .map(f => f.doc_id -> (f.n_bytes, f.head_hex, f.n_frames.toLong)).toMap
     val b = viaSql.collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3), r.getLong(4)))
+      .toMap
     assert(a == b)
   }
 }

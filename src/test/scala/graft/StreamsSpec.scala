@@ -311,22 +311,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 3L)) // doc 2 deduped against pre-restart state
   }
 
-  test("runningUserStats: keyed state accumulates across batches") {
+  test("runningUserStats: keyed state accumulates across batches, idle state evicts") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val in = MemoryStream[UserEvent]
-    val q = Streams.runningUserStats(in.toDS())
+    val q = Streams.runningUserStats(in.toDS(), idleTimeout = "30 minutes",
+        watermark = "0 seconds")
       .writeStream.format("memory").queryName("stats")
       .outputMode(Streams.runningStatsOutputMode).start()
     try {
-      in.addData(UserEvent(1, "click"), UserEvent(1, "purchase"))
+      in.addData(
+        UserEvent(1, "click", ts("2024-01-01 10:00:00")),
+        UserEvent(1, "purchase", ts("2024-01-01 10:01:00")))
       q.processAllAvailable()
-      in.addData(UserEvent(1, "click"), UserEvent(2, "click"))
+      in.addData(
+        UserEvent(1, "click", ts("2024-01-01 10:02:00")),
+        UserEvent(2, "click", ts("2024-01-01 10:02:00")))
       q.processAllAvailable()
       val last = spark.table("stats")
         .groupBy("user_id").agg(max("n_events").as("n"), max("n_purchases").as("p"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
       assert(last == Seq((1L, 3L, 1L), (2L, 1L, 0L)))
+      // push the watermark past every idle horizon (sentinel user), then
+      // send user 1 again: its state was EVICTED, so counters restart —
+      // the bounded-state contract, not an accumulation bug
+      in.addData(UserEvent(9, "click", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      in.addData(UserEvent(1, "click", ts("2024-01-01 12:00:30")))
+      q.processAllAvailable()
+      val user1 = spark.table("stats").filter(col("user_id") === 1L)
+        .agg(max("n_events")).head.getLong(0)
+      assert(user1 == 3L) // the re-start emits n_events=1, max stays 3
+      val restarted = spark.table("stats")
+        .filter(col("user_id") === 1L && col("n_events") === 1L)
+      assert(restarted.count() >= 1L) // fresh state entry after eviction
     } finally q.stop()
   }
 }

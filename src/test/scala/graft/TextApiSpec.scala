@@ -238,6 +238,23 @@ class TextApiSpec extends AnyFunSuite {
     assert(mix == Map("srcA" -> 4L, "srcB" -> 3L)) // srcA: 2 ("ab12 cd!") + 2 ("x y")
   }
 
+  test("PiiScrub: overlaps counted once, whole tokens consumed (no stray digits)") {
+    import spark.implicits._
+    import graft.operators.PiiScrub
+    val df = Seq(
+      (1L, "reach +1-555-1234@mail.example.com now"), // phone-shaped email local part
+      (2L, "srv 10.0.42.12 down, call +1-555-12345")) // longer ip/digit runs
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        PiiScrub.redact(col("text")).as("r"),
+        PiiScrub.counts(col("text")).reduce(_ + _).as("n_pii"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // one redaction, one count — NOT email + phone double-counted
+    assert(out(1L) == ("reach <EMAIL> now", 1L))
+    // patterns consume the whole token: no '<IP>2' / '<PHONE>5' leftovers
+    assert(out(2L) == ("srv <IP> down, call <PHONE>", 2L))
+  }
+
   test("leakageSafeSplit: near-dup pairs never straddle splits, all rows assigned") {
     val pairs = Pipeline.minhashNeardupPairs(corpus, "post_key", "body")
       .select(col("doc_a"), col("doc_b"))
