@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 
@@ -51,23 +51,41 @@ object ParquetSink {
         s"unsupported compression '$name' (supported: ${Codecs.keys.toSeq.sorted.mkString(", ")}; lzo is not available in parquet-mr)"))
 
   /** O18 parity: rows/bytes/rate from executor output metrics, printed
-    * at most every 300 ms, plus a final summary line. */
-  private[sources] final class Progress(quiet: Boolean) extends SparkListener {
+    * at most every 300 ms, plus a final summary line.
+    *
+    * Scoped to THIS write's jobs (matched by job-group id via
+    * onJobStart→stageIds): a context-wide listener would add every
+    * concurrent write's tasks to the meter. Failed tasks carry null
+    * taskMetrics and non-successful attempts (retries, losers of
+    * speculative races) are skipped, so the live numbers track
+    * committed work. The meter remains advisory — final WriteStats
+    * come from the parquet footers. */
+  private[sources] final class Progress(quiet: Boolean, jobGroup: String)
+      extends SparkListener {
     val rows = new AtomicLong(0)
     val bytes = new AtomicLong(0)
+    private val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     private val lastPrint = new AtomicLong(0)
     private val t0 = System.nanoTime()
+    override def onJobStart(js: SparkListenerJobStart): Unit =
+      if (js.properties != null &&
+          jobGroup == js.properties.getProperty("spark.jobGroup.id"))
+        js.stageIds.foreach(id => myStages.add(id))
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-      val om = te.taskMetrics.outputMetrics
-      if (om != null) {
-        val r = rows.addAndGet(om.recordsWritten)
-        val b = bytes.addAndGet(om.bytesWritten)
-        val now = System.currentTimeMillis()
-        val last = lastPrint.get()
-        if (!quiet && now - last >= 300 && lastPrint.compareAndSet(last, now)) {
-          val secs = (System.nanoTime() - t0) / 1e9
-          System.err.println(
-        f"[sink] $r rows, ${b / 1048576.0}%.1f MiB, ${r / math.max(secs, 1e-9)}%.0f rows/s")
+      val tm = te.taskMetrics // null for failed tasks
+      if (tm != null && myStages.contains(te.stageId) &&
+          te.taskInfo != null && te.taskInfo.successful) {
+        val om = tm.outputMetrics
+        if (om != null) {
+          val r = rows.addAndGet(om.recordsWritten)
+          val b = bytes.addAndGet(om.bytesWritten)
+          val now = System.currentTimeMillis()
+          val last = lastPrint.get()
+          if (!quiet && now - last >= 300 && lastPrint.compareAndSet(last, now)) {
+            val secs = (System.nanoTime() - t0) / 1e9
+            System.err.println(
+          f"[sink] $r rows, ${b / 1048576.0}%.1f MiB, ${r / math.max(secs, 1e-9)}%.0f rows/s")
+          }
         }
       }
     }
@@ -76,8 +94,11 @@ object ParquetSink {
   def write(df: DataFrame, path: String, opts: SinkOptions = SinkOptions()): WriteStats = {
     val spark = df.sparkSession
     val codec = codecFor(opts.compression)
-    val listener = new Progress(opts.quiet)
+    val jobGroup = s"graft-sink-${java.util.UUID.randomUUID()}"
+    val listener = new Progress(opts.quiet, jobGroup)
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(jobGroup, s"graft sink: $path",
+      interruptOnCancel = false)
     try {
       // Clustered layout (beyond-reference): range-partition + sort by
       // the cluster columns so every parquet file (and row group inside
@@ -119,7 +140,10 @@ object ParquetSink {
       if (highRatio) w = w.option("parquet.page.size", 4 * 1024 * 1024)
       opts.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n))
       w.parquet(path)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
     // final stats from the files themselves (the listener is a live
     // meter; footers are the ground truth) — through the SESSION's
     // hadoop conf so spark.hadoop.* credentials reach remote paths
@@ -174,6 +198,7 @@ object ParquetSink {
   def replacePartFiles(path: String, suffix: String,
       conf: org.apache.hadoop.conf.Configuration)(
       rewriteOne: (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) => Unit): Int = {
+    recoverReplaceArtifacts(path, suffix, conf)
     val parts = partFiles(path, conf)
     parts.foreach { p =>
       val fs = p.getFileSystem(conf)
@@ -189,6 +214,35 @@ object ParquetSink {
       fs.delete(bak, false)
     }
     parts.length
+  }
+
+  /** Crash recovery for [[replacePartFiles]]: a prior run that died
+    * mid-protocol leaves artifacts that would otherwise make the NEXT
+    * run fail on a healthy directory (rename refuses an existing
+    * `.bak` destination; a stale `.tmp` breaks the rewriter's CREATE).
+    * A `.bak` whose original is MISSING marks a crash between the two
+    * renames — the backup IS the committed data, restore it. A `.bak`
+    * whose original exists means the crash was after commit — drop it.
+    * Stale `.tmp`/suffix files are always garbage. */
+  private def recoverReplaceArtifacts(path: String, suffix: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    def walk(d: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath)
+        else if (name.startsWith(".") && name.endsWith(".bak")) {
+          val orig = new org.apache.hadoop.fs.Path(
+            st.getPath.getParent, name.stripPrefix(".").stripSuffix(".bak"))
+          if (!fs.exists(orig)) fs.rename(st.getPath, orig)
+          else fs.delete(st.getPath, false)
+        }
+        else if (name.startsWith(".") && name.endsWith(s".$suffix"))
+          fs.delete(st.getPath, false)
+      }
+    walk(root)
   }
 
   def fileLength(p: org.apache.hadoop.fs.Path,
@@ -231,6 +285,10 @@ object ParquetSink {
   def fileCodec(p: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration = hadoopConf): String = {
     val b = footer(p, conf).getBlocks
+    // a 0-row file has no row groups, hence no column chunks and no
+    // codec to report — fail with the reason, not an index error
+    if (b.isEmpty) throw new IllegalArgumentException(
+      s"$p has no row groups (empty file) — no codec to report")
     b.get(0).getColumns.get(0).getCodec.toString.toLowerCase
   }
 }

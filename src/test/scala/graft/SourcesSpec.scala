@@ -298,6 +298,34 @@ class SourcesSpec extends AnyFunSuite {
     } finally reader.close()
   }
 
+  test("replacePartFiles: recovers the artifacts of a crashed prior pass") {
+    import org.apache.hadoop.fs.Path
+    val out = Files.createTempDirectory("replc").toString + "/t"
+    import spark.implicits._
+    ParquetSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), out,
+      ParquetSink.SinkOptions(compression = "snappy"))
+    val conf = ParquetSink.hadoopConf
+    val p = ParquetSink.partFiles(out, conf).head
+    val fs = p.getFileSystem(conf)
+    // crash shape 1: died between rename(p, bak) and rename(tmp, p) —
+    // the .bak IS the committed copy and the part file is gone
+    val bak = new Path(p.getParent, s".${p.getName}.bak")
+    assert(fs.rename(p, bak))
+    // crash shape 2: a stale rewrite temp from the dead pass
+    val tmp = new Path(p.getParent, s".${p.getName}.rewr")
+    val os = fs.create(tmp); os.write(1); os.close()
+    // the next pass must first restore the original, drop the garbage,
+    // then replace normally instead of failing on a healthy directory
+    val n = ParquetSink.replacePartFiles(out, "rewr", conf) { (src, dst) =>
+      val in = fs.open(src)
+      val o = fs.create(dst)
+      org.apache.hadoop.io.IOUtils.copyBytes(in, o, 65536, true)
+    }
+    assert(n == 1)
+    assert(!fs.exists(bak) && !fs.exists(tmp))
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("sink: sort-by layout — files cover disjoint, ordered key ranges") {
     val out = Files.createTempDirectory("sorted").toString + "/t"
     import spark.implicits._

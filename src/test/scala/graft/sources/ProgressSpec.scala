@@ -9,20 +9,27 @@ import java.nio.file.Files
 class ProgressSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
 
-  test("listener accumulates rows and bytes from a real write") {
-    val listener = new ParquetSink.Progress(quiet = true)
-    spark.sparkContext.addSparkListener(listener)
-    val out = Files.createTempDirectory("progress").toString + "/t"
+  test("listener accumulates its own job group's writes and ONLY those") {
+    val sc = spark.sparkContext
+    val listener = new ParquetSink.Progress(quiet = true, jobGroup = "prog-test")
+    sc.addSparkListener(listener)
+    val dir = Files.createTempDirectory("progress").toString
     try {
-      val stats = ParquetSink.write(spark.range(10000).toDF("id"), out)
+      // a write under the listener's group: counted
+      sc.setJobGroup("prog-test", "progress spec", interruptOnCancel = false)
+      spark.range(10000).toDF("id").write.parquet(s"$dir/mine")
+      // a concurrent-session write under ANOTHER group: ignored (the
+      // pre-r07 context-wide meter summed every job on the context)
+      sc.setJobGroup("someone-else", "other job", interruptOnCancel = false)
+      spark.range(5000).toDF("id").write.parquet(s"$dir/theirs")
+      sc.clearJobGroup()
       // listener events are delivered asynchronously; poll briefly
       val deadline = System.nanoTime() + 30e9.toLong
       while (listener.rows.get() < 10000 && System.nanoTime() < deadline)
         Thread.sleep(50)
-      assert(listener.rows.get() == 10000)
-      assert(listener.rows.get() == stats.rows)   // meter agrees with footers
+      assert(listener.rows.get() == 10000) // not 15000
       assert(listener.bytes.get() > 0)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally sc.removeSparkListener(listener)
   }
 
   test("final summary line prints when not quiet") {
