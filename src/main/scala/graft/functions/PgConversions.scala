@@ -206,9 +206,16 @@ object PgConversions {
   def pgTimestampTz(c: Column): Column = c.cast(TimestampType)
 
   /** T18 time: 'HH:MM:SS[.ffffff]' → micros since midnight as Long
-    * (Spark has no TimeType; SURVEY §2.3 T18 documents LongType). */
+    * (Spark has no TimeType; SURVEY §2.3 T18 documents LongType).
+    * PG's time domain includes the legal upper-bound value '24:00:00'
+    * (src/include/datatype/timestamp.h allowed range), which is NOT a
+    * valid timestamp hour — special-cased to 86400000000 instead of
+    * letting the ANSI to_timestamp throw mid-export. */
   def pgTimeMicros(c: Column): Column =
-    unix_micros(to_timestamp(concat(lit("1970-01-01 "), c)))
+    when(c.startsWith("24:"),
+      lit(86400000000L) + unix_micros(to_timestamp(
+        concat(lit("1970-01-01 00:"), substring(c, 4, 16)))))
+      .otherwise(unix_micros(to_timestamp(concat(lit("1970-01-01 "), c))))
 
   // ----------------------------------------------------------------- T19: uuid
 
@@ -248,10 +255,24 @@ object PgConversions {
 
   /** Parse PG's postgres-style interval text
     * ('1 year 2 mons 3 days 04:05:06.000001', negatives allowed per
-    * part) into (months, days, microseconds). */
+    * part) into (months, days, microseconds). Text in any OTHER
+    * IntervalStyle (iso_8601 'P1Y2M3DT4H5M6S', sql_standard
+    * '+1-2 +3 +4:05:06') errors with the offending value — the T35/O22
+    * policy the range/composite/array parsers follow — instead of
+    * silently exporting zeros or a partial value; the hint names the
+    * session setting that fixes it. */
   private[graft] def parseInterval(s: String): PgIntervalParts = {
+    // sql_standard's year-month lead ('+1-2 +3 +4:05:06') would slip
+    // through on its HMS tail alone and silently DROP the months —
+    // reject the style outright rather than return a partial value
+    if (s.trim.matches("""[+-]?\d+-\d+([ \t].*)?"""))
+      throw new IllegalArgumentException(
+        s"cannot parse interval value '$s' (sql_standard IntervalStyle " +
+          "output is not supported; set IntervalStyle to 'postgres')")
     var months = 0; var days = 0; var micros = 0L
+    var matched = false
     intervalYmd.findAllMatchIn(s).foreach { m =>
+      matched = true
       val n = m.group(1).toLong
       m.group(2) match {
         case "year" => months += (n * 12).toInt
@@ -260,12 +281,17 @@ object PgConversions {
       }
     }
     intervalHms.findFirstMatchIn(s).foreach { m =>
+      matched = true
       val sign = if (m.group(1) == "-") -1L else 1L
       val frac = Option(m.group(5))
         .map(f => (f.drop(1).padTo(6, '0')).toLong).getOrElse(0L)
       micros = sign * ((m.group(2).toLong * 3600L +
         m.group(3).toLong * 60L + m.group(4).toLong) * 1000000L + frac)
     }
+    if (!matched) throw new IllegalArgumentException(
+      s"cannot parse interval value '$s' (expected postgres-style " +
+        "output like '1 year 2 mons 3 days 04:05:06'; is the session's " +
+        "IntervalStyle set to something other than 'postgres'?)")
     PgIntervalParts(months, days, micros)
   }
 
@@ -439,6 +465,14 @@ object PgConversions {
     // bounds by design (dims mode keeps them via parseMultidim)
     val body = if (s.startsWith("[")) s.substring(s.indexOf('=') + 1) else s
     require(body.startsWith("{") && body.endsWith("}"), "missing braces")
+    // a multidim VALUE in a plain-handled column ('{{1,2},{3,4}}' —
+    // int[] and int[][] share one pg type oid, so any row may nest):
+    // flatten to the row-major element list, which is exactly what the
+    // reference's Plain mode writes (the wire element stream, dims
+    // dropped). An unquoted '{' right after the opening brace can only
+    // mean nesting — PG quotes scalar elements containing braces.
+    if (body.length > 1 && body.charAt(1) == '{')
+      return parseMultidim(s).data
     val inner = body.substring(1, body.length - 1)
     if (inner.isEmpty) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer[Option[String]]()
@@ -595,11 +629,15 @@ object PgConversions {
       else if (absBits >= 0x477ff000) sign | 0x7c00 // overflows f16 → inf
       else if (absBits < 0x33000000) sign // underflow → ±0
       else if (absBits < 0x38800000) { // subnormal f16
+        // target integer is round(|v| / 2^-24) = mant × 2^(E-126),
+        // i.e. mant >>> (126 - E) — an extra +1 on the shift halves
+        // every subnormal output (caught r07; fixtures only sampled
+        // 2^-24 itself, where the rounding masks the bug)
         val shift = 126 - (absBits >>> 23)
         val mant = (absBits & 0x7fffff) | 0x800000
-        val m = mant >>> (shift + 1)
-        val rem = mant & ((1 << (shift + 1)) - 1)
-        val mid = 1 << shift
+        val m = mant >>> shift
+        val rem = mant & ((1 << shift) - 1)
+        val mid = 1 << (shift - 1)
         sign | (if (rem > mid || (rem == mid && (m & 1) == 1)) m + 1 else m)
       } else {
         val exp = ((absBits >>> 23) - 112) << 10

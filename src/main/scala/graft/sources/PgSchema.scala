@@ -203,8 +203,16 @@ object PgSchema {
     * documented deviations; nested occurrences are left untouched. */
   def annotationFor(kind: PgKind, s: PgSettings): Option[String] =
     baseKind(kind) match {
-      case PgSimple("json") | PgSimple("jsonb") => Some("json")
-      case _: PgEnum if s.enumHandling != "int" => Some("enum")
+      // the JSON annotation is OPT-IN, exactly like the reference:
+      // json_handling Text (the default — "DuckDB doesn't load JSON
+      // converted type", postgres_cloner.rs:125) writes plain UTF8,
+      // TextMarkedAsJson stamps LogicalType::Json (:604-607)
+      case PgSimple("json") | PgSimple("jsonb")
+          if s.jsonHandling == "text-marked-json" => Some("json")
+      // enum 'text' stamps ENUM; 'plain-text' exists precisely to
+      // suppress it (String only, postgres_cloner.rs:450); 'int' is
+      // an INT32 physical — nothing to annotate
+      case _: PgEnum if s.enumHandling == "text" => Some("enum")
       case PgSimple("time") => Some("time-micros")
       // "char" u8 rides the INT32 physical its ShortType transfer
       // produced; the reference annotates UInt8 (postgres_cloner.rs:449)

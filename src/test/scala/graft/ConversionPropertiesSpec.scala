@@ -100,6 +100,30 @@ class ConversionPropertiesSpec extends AnyFunSuite {
     assert(parsePgArray1D("{\"\"}") == Seq(Some("")))
   }
 
+  test("array grammar: plain handling flattens a multidim VALUE row-major") {
+    // int[] and int[][] share one pg type oid, so a plain-handled
+    // column can hold nested values — flattened like the reference's
+    // Plain mode (wire element stream, dims dropped), never tokenized
+    // into brace garbage
+    assert(parsePgArray1D("{{1,2},{3,4}}") ==
+      Seq(Some("1"), Some("2"), Some("3"), Some("4")))
+    assert(parsePgArray1D("{{a,\"b}\"},{NULL,d}}") ==
+      Seq(Some("a"), Some("b}"), None, Some("d")))
+    // a QUOTED scalar starting with '{' is not nesting
+    assert(parsePgArray1D("{\"{x}\",y}") == Seq(Some("{x}"), Some("y")))
+  }
+
+  test("pgTimeMicros: PG's legal 24:00:00 upper bound converts, not crashes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq("24:00:00", "23:59:59.999999", "00:00:00", "16:05:06.5")
+      .toDF("t")
+      .select(graft.functions.PgConversions.pgTimeMicros(col("t")).as("us"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(86400000000L, 86399999999L, 0L, 57906500000L))
+  }
+
   test("array grammar: explicit 1-D bounds prefix; malformed input is labeled") {
     // PG decorates non-default lower bounds: plain handling parses the
     // data and discards the bounds (dims mode keeps them)

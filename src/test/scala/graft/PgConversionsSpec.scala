@@ -22,6 +22,19 @@ class PgConversionsSpec extends AnyFunSuite {
   }
 
   // ---- interval bytes (datatypes/interval.rs:27-44)
+  test("interval: non-postgres IntervalStyle text errors, never silent zeros") {
+    // iso_8601 matches neither grammar — must throw, not export zeros
+    val e1 = intercept[IllegalArgumentException](parseInterval("P1Y2M3DT4H5M6S"))
+    assert(e1.getMessage.contains("IntervalStyle"))
+    // sql_standard would PARTIALLY match via its HMS tail, dropping the
+    // year-month lead — must also throw, not export a plausible value
+    val e2 = intercept[IllegalArgumentException](parseInterval("+1-2 +3 +4:05:06"))
+    assert(e2.getMessage.contains("sql_standard"))
+    intercept[IllegalArgumentException](parseInterval("gibberish"))
+    // postgres-style zero interval still parses (prints as bare HMS)
+    assert(parseInterval("00:00:00") == PgIntervalParts(0, 0, 0L))
+  }
+
   test("interval bytes: 40h folds one day into the day field, µs truncated") {
     val b = intervalBytes(PgIntervalParts(14, 1, 144306000001L))
     val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -36,6 +49,15 @@ class PgConversionsSpec extends AnyFunSuite {
     assert(roundToFloat16(1.0001f) == 1.0f)
     assert(roundToFloat16(10001f) == 10000f)
     assert(roundToFloat16(6.0e-8f) == 5.9604645e-8f) // 2^-24 subnormal
+    // the full subnormal band [2^-24, 2^-14) — numpy float16 ground
+    // truth; a shift off-by-one here halves every value yet passes the
+    // single 2^-24 probe above (r07 review)
+    assert(roundToFloat16(3.0517578e-5f) == 3.0517578e-5f) // 2^-15, 0x0200
+    assert(roundToFloat16(2.0e-5f) == 2.002716e-5f)        // 0x0150
+    assert(roundToFloat16(5.2e-5f) == 5.197525e-5f)        // 0x0368
+    assert(roundToFloat16(6.1e-5f) == 6.097555e-5f)        // 0x03ff max subnormal
+    assert(roundToFloat16(6.2e-5f) == 6.198883e-5f)        // 0x0410 first normal
+    assert(roundToFloat16(2.9e-8f) == 0.0f)                // below 2^-25 → 0
     assert(roundToFloat16(1.5f) == 1.5f)             // exactly representable
     assert(roundToFloat16(-2.5f) == -2.5f)
     assert(roundToFloat16(1e6f).isPosInfinity)       // overflows f16

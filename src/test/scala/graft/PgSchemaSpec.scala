@@ -318,13 +318,21 @@ class PgSchemaSpec extends AnyFunSuite {
 
   test("annotationFor: json/enum/time annotate; mismatched physicals and nesting don't") {
     val s = PgSettings()
-    assert(annotationFor(PgSimple("json"), s).contains("json"))
-    assert(annotationFor(PgSimple("jsonb"), s).contains("json"))
-    assert(annotationFor(PgDomain(PgSimple("jsonb")), s).contains("json"))
+    // JSON annotation is opt-in (reference default json_handling=Text
+    // writes plain UTF8, postgres_cloner.rs:125); the default must NOT
+    // stamp it or --json-handling text is a dead option
+    assert(annotationFor(PgSimple("json"), s).isEmpty)
+    val marked = s.copy(jsonHandling = "text-marked-json")
+    assert(annotationFor(PgSimple("json"), marked).contains("json"))
+    assert(annotationFor(PgSimple("jsonb"), marked).contains("json"))
+    assert(annotationFor(PgDomain(PgSimple("jsonb")), marked).contains("json"))
     assert(annotationFor(PgEnum("mood", Seq("sad", "ok")), s).contains("enum"))
-    // enum-as-int lands as INT32 — no ENUM annotation applies
+    // enum-as-int lands as INT32 — no ENUM annotation applies; and
+    // plain-text exists precisely to SUPPRESS the ENUM annotation
     assert(annotationFor(PgEnum("mood", Seq("sad")),
       s.copy(enumHandling = "int")).isEmpty)
+    assert(annotationFor(PgEnum("mood", Seq("sad")),
+      s.copy(enumHandling = "plain-text")).isEmpty)
     assert(annotationFor(PgSimple("time"), s).contains("time-micros"))
     // physical-type mismatches stay deviations
     assert(annotationFor(PgSimple("uuid"), s).isEmpty)
