@@ -107,46 +107,37 @@ final class OrcDirReader(dir: String, tableNames: Seq[String])
     spark.read.orc(path)
 }
 
-/** JSONL-directory reader (beyond-reference): one
-  * `<dir>/<name>.jsonl[.gz]` per table — the raw-crawl ingest format a
-  * training-data pipeline starts from before anything is columnar.
-  * Schema is inferred from the data by default (an extra read pass);
-  * at 100 TB pass `schemas` (keyed BY TABLE — one schema cannot fit a
-  * multi-table query) so each scan is single-pass. Note .gz files are
-  * not splittable — prefer many shard files (the usual crawl layout),
-  * which parallelize per file. */
-final class JsonlDirReader(
-    dir: String,
-    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+/** Shared shape of the text-format dir readers (jsonl/csv): one
+  * `<dir>/<name>.<ext>[.gz]` per table, plain-vs-gz ambiguity rejected,
+  * and lazy per-query view registration. Only tables the SQL text
+  * mentions are registered: schema inference runs a full read at
+  * DataFrame-creation time, so eagerly registering a 50-table crawl
+  * directory would scan all of it for a one-table query. Note .gz
+  * files are not splittable — prefer many shard files (the usual crawl
+  * layout), which parallelize per FILE. */
+sealed abstract class TextDirReader(dir: String, ext: String)
   extends Reader {
 
-  private def read(spark: SparkSession, name: String, path: String): DataFrame =
-    schemas.get(name).fold(spark.read)(s => spark.read.schema(s)).json(path)
+  /** Format-specific load of one table's file. */
+  protected def read(spark: SparkSession, name: String, path: String): DataFrame
 
   def table(spark: SparkSession, name: String): DataFrame = {
-    val plain = s"$dir/$name.jsonl"
+    val plain = s"$dir/$name.$ext"
     val gz = s"$plain.gz"
     (DirListing.exists(spark, plain), DirListing.exists(spark, gz)) match {
       case (true, true) => throw new IllegalArgumentException(
-        s"both $name.jsonl and $name.jsonl.gz exist in $dir — " +
+        s"both $name.$ext and $name.$ext.gz exist in $dir — " +
           "ambiguous; remove one")
       case (_, true) => read(spark, name, gz)
       case _ => read(spark, name, plain)
     }
   }
 
-  /** Tables are discovered from the directory (one view per
-    * `*.jsonl[.gz]` file), unlike the parquet reader's fixed testdata
-    * names — crawl dumps carry arbitrary table sets. Only tables the
-    * SQL text mentions are registered: `spark.read.json` runs schema
-    * inference (a full read) at DataFrame-creation time, so eagerly
-    * registering a 50-table crawl directory would scan all of it for
-    * a one-table query. */
   def query(spark: SparkSession, sql: String): DataFrame = {
-    val entries = DirListing.list(spark, dir, Seq(".jsonl", ".jsonl.gz"))
+    val entries = DirListing.list(spark, dir, Seq(s".$ext", s".$ext.gz"))
     val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
     if (dups.nonEmpty) throw new IllegalArgumentException(
-      s"ambiguous jsonl tables in $dir (both .jsonl and .jsonl.gz): " +
+      s"ambiguous $ext tables in $dir (both .$ext and .$ext.gz): " +
         dups.mkString(", "))
     entries
       .filter { case (t, _) => DirListing.mentions(sql, t) }
@@ -155,44 +146,35 @@ final class JsonlDirReader(
   }
 }
 
+/** JSONL-directory reader (beyond-reference): one
+  * `<dir>/<name>.jsonl[.gz]` per table — the raw-crawl ingest format a
+  * training-data pipeline starts from before anything is columnar.
+  * Schema is inferred from the data by default (an extra read pass);
+  * at 100 TB pass `schemas` (keyed BY TABLE — one schema cannot fit a
+  * multi-table query) so each scan is single-pass. */
+final class JsonlDirReader(
+    dir: String,
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+  extends TextDirReader(dir, "jsonl") {
+
+  protected def read(spark: SparkSession, name: String, path: String): DataFrame =
+    schemas.get(name).fold(spark.read)(s => spark.read.schema(s)).json(path)
+}
+
 /** CSV-directory reader (beyond-reference): one `<dir>/<name>.csv[.gz]`
   * per table — the other raw ingest format crawl/export dumps arrive
   * in. Header row expected; schema inferred by default (an extra pass —
   * at 100 TB pass `schemas`, keyed by table, so each scan is
-  * single-pass). Same splittability note as JSONL: .gz shards
-  * parallelize per FILE, so prefer many shards. */
+  * single-pass). */
 final class CsvDirReader(
     dir: String,
     schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
-  extends Reader {
+  extends TextDirReader(dir, "csv") {
 
-  private def read(spark: SparkSession, name: String, path: String): DataFrame = {
+  protected def read(spark: SparkSession, name: String, path: String): DataFrame = {
     val r = spark.read.option("header", "true")
     schemas.get(name).fold(r.option("inferSchema", "true"))(s => r.schema(s))
       .csv(path)
-  }
-
-  def table(spark: SparkSession, name: String): DataFrame = {
-    val plain = s"$dir/$name.csv"
-    val gz = s"$plain.gz"
-    (DirListing.exists(spark, plain), DirListing.exists(spark, gz)) match {
-      case (true, true) => throw new IllegalArgumentException(
-        s"both $name.csv and $name.csv.gz exist in $dir — ambiguous; remove one")
-      case (_, true) => read(spark, name, gz)
-      case _ => read(spark, name, plain)
-    }
-  }
-
-  def query(spark: SparkSession, sql: String): DataFrame = {
-    val entries = DirListing.list(spark, dir, Seq(".csv", ".csv.gz"))
-    val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
-    if (dups.nonEmpty) throw new IllegalArgumentException(
-      s"ambiguous csv tables in $dir (both .csv and .csv.gz): " +
-        dups.mkString(", "))
-    entries
-      .filter { case (t, _) => DirListing.mentions(sql, t) }
-      .foreach { case (t, p) => read(spark, t, p).createOrReplaceTempView(t) }
-    spark.sql(sql)
   }
 }
 
