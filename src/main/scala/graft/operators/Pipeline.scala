@@ -1034,9 +1034,13 @@ object Pipeline {
     // checkpoint location for the duration of this call; a previously
     // set dir is restored on return (Spark offers no per-Dataset dir
     // and no way to UNSET one, so with no prior dir ours remains).
-    // Reliable checkpoint files are NOT auto-deleted — the caller owns
-    // the dir lifecycle. Concurrent calls with different dirs in one
-    // context would race on the global setting; serialize those.
+    // On SUCCESS every intermediate round's checkpoint files are
+    // deleted — only the FINAL labels' files survive (the returned
+    // DataFrame reads them), so the caller-owned lifecycle is one rdd
+    // directory per call; on failure everything is left for forensics.
+    // Concurrent calls with different dirs in one context would race
+    // on the global setting (and on the cleanup's dir listing);
+    // serialize those.
     val sc = pairsDf.sparkSession.sparkContext
     val prevCkptDir = sc.getCheckpointDir
     val ckpt: DataFrame => DataFrame = checkpointDir match {
@@ -1079,6 +1083,23 @@ object Pipeline {
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still decreasing) — the pair graph has " +
         s"diameter > $maxIter; raise maxIter")
+    // Reliable-checkpoint cleanup: our setCheckpointDir call created a
+    // fresh per-call UUID subdirectory, so every rdd-N under it belongs
+    // to THIS call; rdd ids are monotone, so the final labels' files
+    // are the highest-numbered dir — keep that one (the returned
+    // DataFrame reads it) and drop the per-round intermediates, which
+    // are otherwise an unbounded leak proportional to graph diameter.
+    if (checkpointDir.isDefined) sc.getCheckpointDir.foreach { d =>
+      val root = new org.apache.hadoop.fs.Path(d)
+      val fs = root.getFileSystem(sc.hadoopConfiguration)
+      val rddDirs = fs.listStatus(root)
+        .filter(_.getPath.getName.startsWith("rdd-"))
+      if (rddDirs.length > 1) {
+        val keep = rddDirs.map(_.getPath.getName.stripPrefix("rdd-").toInt).max
+        rddDirs.filter(_.getPath.getName != s"rdd-$keep")
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+    }
     labels.select(col("node"), col("lbl").as("component"))
     } finally if (checkpointDir.isDefined) {
       // restore the caller's context-wide checkpoint location (the

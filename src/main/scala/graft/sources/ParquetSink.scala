@@ -96,8 +96,16 @@ object ParquetSink {
     val codec = codecFor(opts.compression)
     val jobGroup = s"graft-sink-${java.util.UUID.randomUUID()}"
     val listener = new Progress(opts.quiet, jobGroup)
-    spark.sparkContext.addSparkListener(listener)
-    spark.sparkContext.setJobGroup(jobGroup, s"graft sink: $path",
+    val sc = spark.sparkContext
+    // save the caller's thread-local job group so it can be RESTORED
+    // after the write — clearing it instead would silently break a
+    // caller's own job-group-based cancellation (and drop its
+    // interruptOnCancel/description) after any sink write
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    sc.addSparkListener(listener)
+    sc.setJobGroup(jobGroup, s"graft sink: $path",
       interruptOnCancel = false)
     try {
       // Clustered layout (beyond-reference): range-partition + sort by
@@ -141,8 +149,11 @@ object ParquetSink {
       opts.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n))
       w.parquet(path)
     } finally {
-      spark.sparkContext.clearJobGroup()
-      spark.sparkContext.removeSparkListener(listener)
+      if (prevGroup != null)
+        sc.setJobGroup(prevGroup, prevDesc,
+          java.lang.Boolean.parseBoolean(prevInterrupt))
+      else sc.clearJobGroup()
+      sc.removeSparkListener(listener)
     }
     // final stats from the files themselves (the listener is a live
     // meter; footers are the ground truth) — through the SESSION's
@@ -236,7 +247,16 @@ object ParquetSink {
         else if (name.startsWith(".") && name.endsWith(".bak")) {
           val orig = new org.apache.hadoop.fs.Path(
             st.getPath.getParent, name.stripPrefix(".").stripSuffix(".bak"))
-          if (!fs.exists(orig)) fs.rename(st.getPath, orig)
+          if (!fs.exists(orig)) {
+            // the backup IS the committed data here — a failed restore
+            // would leave it hidden in a dot-file (invisible to
+            // spark.read.parquet) and the replace pass would proceed
+            // with the part silently absent; fail loudly instead,
+            // matching replacePartFiles' own rename checks
+            if (!fs.rename(st.getPath, orig))
+              throw new java.io.IOException(
+                s"failed to restore committed part ${st.getPath} to $orig")
+          }
           else fs.delete(st.getPath, false)
         }
         else if (name.startsWith(".") && name.endsWith(s".$suffix"))

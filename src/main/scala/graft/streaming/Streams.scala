@@ -106,24 +106,30 @@ object Streams {
     * max-aggregation then collapses the pairs to ONE row per purchase
     * once the watermark passes, so a downstream `sum(amount)` counts
     * each purchase exactly once even when several clicks qualify.
-    * Purchases are identified by (user_id, purchase_ts, amount) — two
-    * byte-identical purchases in the same instant would merge; carry a
-    * purchase id column through if that can happen. */
+    * Purchases are identified by (user_id, purchase_ts, amount) by
+    * default — two byte-identical purchases in the same instant would
+    * merge into ONE attributed row, undercounting a downstream
+    * `sum(amount)`, which replayed/at-least-once sources make easy to
+    * hit. Pass `purchaseIdCol` naming a unique purchase id column to
+    * include it in the identity (and the output) instead. */
   def attributePurchases(clicks: DataFrame, purchases: DataFrame,
-      horizon: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+      horizon: String = "30 minutes", watermark: String = "1 hour",
+      purchaseIdCol: Option[String] = None): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val idCols = purchaseIdCol.toSeq.map(col)
     val p = purchases.withWatermark("ts", watermark)
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("amount"))
+      .select(col("user_id").as("p_user") +: col("ts").as("purchase_ts") +:
+        col("amount") +: idCols: _*)
     p.join(c,
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
-      .groupBy(col("p_user").as("user_id"), col("purchase_ts"), col("amount"))
+      .groupBy(col("p_user").as("user_id") +: col("purchase_ts") +:
+        col("amount") +: idCols: _*)
       .agg(max(col("click_ts")).as("click_ts"))
-      .select(col("user_id"), col("purchase_ts"), col("click_ts"),
-        col("amount"))
+      .select(col("user_id") +: col("purchase_ts") +: col("click_ts") +:
+        col("amount") +: idCols: _*)
   }
 
   /** Streaming exact dedup — the incremental twin of the batch p01

@@ -58,13 +58,19 @@ class PipelineSpec extends AnyFunSuite {
     // the cluster-mode path: checkpoint(dir) instead of localCheckpoint
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a", "b")
-    val got = operators.Pipeline
+    val out = operators.Pipeline
       .connectedComponents(pairs, checkpointDir = Some(dir))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the collect reads the FINAL round's checkpoint files — proving
+    // the success-path cleanup kept the one directory the returned
+    // DataFrame still needs
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
-    // reliable checkpoints are NOT auto-cleaned by design; the caller
-    // owns the dir lifecycle — just verify something was written
-    assert(new java.io.File(dir).exists())
+    // on success the intermediates are deleted: exactly ONE rdd-N dir
+    // (the final labels') survives under the per-call UUID subdir
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("rdd-"))
+      .toArray
+    assert(rddDirs.length == 1, s"expected 1 surviving rdd dir, got ${rddDirs.length}")
   }
 
   test("connectedComponents: empty pair list yields an empty result") {

@@ -102,6 +102,35 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributePurchases: purchaseIdCol keeps identical same-instant purchases distinct") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double, String)]
+    val q = Streams.attributePurchases(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "amount", "purchase_id"),
+      horizon = "30 minutes", purchaseIdCol = Some("purchase_id"))
+      .writeStream.format("memory").queryName("attrib_id")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")))
+      // two byte-identical purchases in the same instant — an
+      // at-least-once replay shape that merges without the id column
+      purchases.addData(
+        (1L, ts("2024-01-01 10:20:00"), 9.99, "A"),
+        (1L, ts("2024-01-01 10:20:00"), 9.99, "B"))
+      q.processAllAvailable()
+      clicks.addData((8L, ts("2024-01-02 00:00:00")))
+      purchases.addData((9L, ts("2024-01-02 00:00:00"), 0.0, "Z"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_id")
+        .select("purchase_id", "amount").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+      assert(rows == Seq(("A", 9.99), ("B", 9.99)))
+    } finally q.stop()
+  }
+
   test("dedupDocuments: in-watermark duplicates dropped, firsts kept") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
