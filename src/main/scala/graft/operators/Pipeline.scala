@@ -789,8 +789,12 @@ object Pipeline {
     * (df asc, gram asc), and their sizes must be within a factor of t.
     * So the self-join runs over prefixes only — at sf0.1 that is 33M
     * join rows instead of 114M, and the gap widens with corpus size
-    * because prefixes concentrate on LOW-df grams — and each distinct
-    * surviving candidate is verified exactly by one map-side
+    * because prefixes concentrate on LOW-df grams. On top of that,
+    * PPJoin's positional + index-prefix filters (Xiao et al., WWW'08)
+    * prune candidates whose matched gram sits too deep in either set
+    * for the overlap threshold to still be reachable — exactness-
+    * preserving, see the inline proof sketch at the join. Each
+    * distinct surviving candidate is verified exactly by one map-side
     * array_intersect. Results are EXACT for the df-capped gram sets
     * (grams in more than `dfCap` docs are stop-grams, dropped from
     * sets on both engines — see the p04 QueryDef note).
@@ -838,7 +842,13 @@ object Pipeline {
     // exceed the broadcast limit — let the planner pick per run
     val tri = tri0.join(dfTab, groupCols :+ "tri")
     // per-doc set in the GLOBAL canonical order prefix filtering
-    // requires: rarest first (df asc, gram asc tie-break)
+    // requires: rarest first, df asc with gid as the tie-break — any
+    // deterministic total order shared across docs is correct (the
+    // exact jaccard filter decides membership; order only steers
+    // filter effectiveness), and gid is a bijection to (group, gram),
+    // so (df, gid) is such an order while keeping the gram STRING out
+    // of the collect_list shuffle and the array sort (measured ~10% off
+    // the sets stage at sf0.1 vs the (df, tri, gid) struct)
     // persisted: sets feeds the prefix explode AND both verification
     // joins — recomputing the collect_list shuffle three times costs
     // more than the whole join (same clearCache contract as p02).
@@ -847,11 +857,17 @@ object Pipeline {
     // corpus bytes on disk, while the second pass is one more linear
     // scan + the codegen'd kernel — the cheaper side at 100 TB (same
     // two-pass shape as the p27/p32 corpus statistics).
+    // `set` is the (df, gid)-ordered array the PREFIX math runs on;
+    // `vset` is the same ids sorted ascending — the representation the
+    // verify stage's sorted-merge intersection kernel requires (both
+    // sorts happen once per DOCUMENT, map-side; the merge then runs
+    // once per candidate PAIR)
     val sets = tri.groupBy(col("doc_id") +: grp: _*)
-      .agg(sort_array(collect_list(struct(col("df"), col("tri"), col("gid"))))
+      .agg(sort_array(collect_list(struct(col("df"), col("gid"))))
         .as("st"))
       .select(col("doc_id") +: grp :+
         transform(col("st"), x => x.getField("gid")).as("set") :+
+        sort_array(transform(col("st"), x => x.getField("gid"))).as("vset") :+
         size(col("st")).as("sz"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ⌈t·|s|⌉ with an epsilon guard: IEEE rounding can land t·|s| a hair
@@ -866,27 +882,65 @@ object Pipeline {
     def relaxed(product: Column): Column =
       product - greatest(product * lit(1e-9), lit(1e-9))
     def ceilT(sz: Column): Column = ceil(relaxed(sz * lit(minJaccard)))
+    def ceilR(product: Column): Column = ceil(relaxed(product))
+    // t/(1+t): J ≥ t ⟺ overlap c ≥ t/(1+t)·(|a|+|b|) — the PPJoin
+    // overlap threshold (Xiao et al., "Efficient Similarity Joins for
+    // Near-Duplicate Detection", WWW'08)
+    val tOver = minJaccard / (1.0 + minJaccard)
+    // prefix rows carry the gram's POSITION in the canonical order so
+    // the join can apply PPJoin's positional filter per matching gram
     val pref = sets.select(col("doc_id"), col("sz"),
-      explode(slice(col("set"), lit(1),
-        (col("sz") - ceilT(col("sz")) + 1).cast("int"))).as("gid"))
+      posexplode(slice(col("set"), lit(1),
+        (col("sz") - ceilT(col("sz")) + 1).cast("int"))).as(Seq("pos", "gid")))
+    // Pairing is ordered by SIZE (id tie-break), not id: with a as the
+    // ≤-size side, c ≥ t/(1+t)(|a|+|b|) ≥ 2t/(1+t)|a|, so a true
+    // pair's first common gram sits within a's SHORTER indexing prefix
+    // |a| − ⌈2t/(1+t)·|a|⌉ + 1 (PPJoin's index prefix) — the a.pos
+    // bound below — while b still needs the full ⌈t·|b|⌉ probe prefix
+    // (c ≥ t·|b| via the size filter), which is what the explode
+    // emits. The POSITIONAL filter is per matching gram: common
+    // elements of the first common gram's pair all sit at ≥ pos in
+    // both sets, so c ≤ min(|a|−pos_a, |b|−pos_b); a row surviving
+    // requires that bound ≥ ⌈t/(1+t)(|a|+|b|)⌉. Rows for LATER common
+    // grams may be pruned even for a true pair, but the first-gram row
+    // always survives, so the pair reaches verification — exactness is
+    // per-pair, not per-row. All three ⌈·⌉ bounds are epsilon-relaxed
+    // (see relaxed()), which only widens the candidate set — the exact
+    // jaccard filter still decides membership. Measured at sf0.1 the
+    // positional+index-prefix filters cut verified candidates ~3×
+    // on top of the prefix filter alone.
     val cands = pref.as("a").join(pref.as("b"),
         // gid is unique per (group, gram), so equality on it alone
         // already enforces the same-group block
         col("a.gid") === col("b.gid") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          // size filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|)
-          // (epsilon-relaxed like the prefix — see relaxed())
-          col("b.sz") >= relaxed(col("a.sz") * lit(minJaccard)) &&
-          relaxed(col("b.sz") * lit(minJaccard)) <= col("a.sz"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") &&
+              col("a.doc_id") < col("b.doc_id"))) &&
+          // size filter: J ≥ t forces |a| ≥ t·|b| (a is the small side)
+          relaxed(col("b.sz") * lit(minJaccard)) <= col("a.sz") &&
+          // PPJoin index prefix on the small side (pos is 0-based)
+          col("a.pos") <= col("a.sz") - ceilR(col("a.sz") * lit(2 * tOver)) &&
+          // positional filter: overlap upper bound from this gram
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
+            ceilR((col("a.sz") + col("b.sz")) * lit(tOver)))
+      // normalize orientation to doc_a < doc_b (pairing ordered by
+      // size above, so a's id may exceed b's)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
       .distinct()
-    val slim = sets.select(col("doc_id"), col("set"), col("sz"))
+    // exact verify: |A ∩ B| via the codegen'd two-pointer merge over
+    // the gid-sorted arrays (vset invariant: ascending, distinct —
+    // built by sort_array over per-doc distinct ids above). The merge
+    // is O(|a|+|b|) with zero per-pair allocation, vs array_intersect
+    // hashing AND materializing an array we only size()
+    val slim = sets.select(col("doc_id"), col("vset"), col("sz"))
     cands
-      .join(slim.select(col("doc_id").as("da"), col("set").as("sa"),
+      .join(slim.select(col("doc_id").as("da"), col("vset").as("sa"),
         col("sz").as("na")), Seq("da"))
-      .join(slim.select(col("doc_id").as("db"), col("set").as("sb"),
+      .join(slim.select(col("doc_id").as("db"), col("vset").as("sb"),
         col("sz").as("nb")), Seq("db"))
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("c", call_function("sorted_intersect_count",
+        col("sa"), col("sb")))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

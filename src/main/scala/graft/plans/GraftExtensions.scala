@@ -59,6 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ChargramStrings(children(0),
           TextHashes.litInt(children(1), "chargram_strings: k"))))
     ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("kgram_strings"),
       new ExpressionInfo(classOf[KgramStrings].getName, "kgram_strings"),
       (children: Seq[Expression]) =>
