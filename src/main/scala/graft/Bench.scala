@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":…,"value":…,"queries":{…}} for the
-  * driver's BENCH_r{N}.json. Each query is forced with a count() action
-  * (full plan execution, no result materialization on the driver).
+  * prints the results as JSON for the driver's BENCH_r{N}.json — a
+  * full line (headline medians + raw runs + best-of-2 full sweep),
+  * also persisted to BENCH_full.json, followed by a compact
+  * headline-only line printed LAST so a tail-truncated capture still
+  * ends in parseable medians. Each query is forced with a count()
+  * action (full plan execution, no result materialization on the
+  * driver).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -91,19 +95,41 @@ object Bench {
     val headFailed = results.filter(_._4).map(_._1)
     val total = good.map(_._2).sum
 
-    // full-suite sweep (default run only): ONE timed (pre-warmed) pass
-    // over every registered query not already medianed above, so
-    // non-headline regressions are visible round-over-round —
-    // single-shot times, comparable as deltas, cheap enough to run
-    // every round. Explicit `all` arg instead medians-of-3 everything.
-    val fullSingles = sweepNames.map(n => (n, timedRun(n)))
-    val fullGood = fullSingles.collect { case (n, Some(t)) => (n, t) }
+    // full-suite sweep (default run only): BEST-OF-2 timed (pre-warmed)
+    // passes over every registered query not already medianed above, so
+    // non-headline regressions are visible round-over-round. Two full
+    // passes (not back-to-back per query) because single-shot numbers
+    // on this machine have spiked 20-60× in contiguous load windows
+    // (r7: q11/q12/q13 read 9-21 s, re-measured at 0.3 s) — the min of
+    // two time-separated samples bounds a transient to whichever pass
+    // it hit. Explicit `all` arg instead medians-of-3 everything.
+    val sweepPass1 = sweepNames.map(n => n -> timedRun(n)).toMap
+    val sweepPass2 = sweepNames.map(n => n -> timedRun(n)).toMap
+    val fullSingles = sweepNames.map { n =>
+      val ts = Seq(sweepPass1(n), sweepPass2(n)).flatten
+      (n, ts.minOption, ts.size < 2)
+    }
+    val fullGood = fullSingles.collect { case (n, Some(t), _) => (n, t) }
     val fullJson = fullGood.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullTotal = total + fullGood.map(_._2).sum
-    val failures = (headFailed ++ fullSingles.collect { case (n, None) => n })
+    val failures = (headFailed ++
+      fullSingles.collect { case (n, _, true) => n })
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full":$fullJson,"full_total":$fullTotal,"failures":$failures,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full":$fullJson,"full_total":$fullTotal,"failures":$failures,"sf":"$sfDir"}"""
+    // The driver's artifact capture keeps only a fixed-size TAIL of
+    // stdout; in r7 the full line outgrew it and the headline maps were
+    // truncated away (parsed: null). Defend both ways: persist the full
+    // line to a file the round snapshot picks up, and print a compact
+    // headline-only line LAST so the tail always ends with parseable
+    // headline medians + runs.
+    try {
+      val out = java.nio.file.Paths.get("BENCH_full.json")
+      java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_full.json: $e") }
+    println(fullLine)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full_total":$fullTotal,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
