@@ -998,9 +998,22 @@ object Pipeline {
     * `pairs` is any (first col, second col) = (id, id) pair table, e.g.
     * [[minhashNeardupPairs]] or [[simhashNeardupPairs]] output. */
   def collapseNeardups(corpus: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
-    val drop = connectedComponents(
-      pairs.select(pairs.columns(0), pairs.columns(1)))
+      pairs: DataFrame): DataFrame =
+    collapseByComponents(corpus, idCol, connectedComponents(
+      pairs.select(pairs.columns(0), pairs.columns(1))))
+
+  /** [[collapseNeardups]] from a PRECOMPUTED component table — the
+    * (node, component) output of [[connectedComponents]]. Collapse,
+    * split and report each need the same pair graph; at 100 TB the
+    * graph (minhash signatures + bucket shuffle + label propagation)
+    * is far more expensive than any of the three consumers, so a
+    * pipeline that ships all of them should run [[connectedComponents]]
+    * ONCE and fan out from the result instead of letting each consumer
+    * re-derive it (the pairs-taking signatures stay as conveniences
+    * for single-consumer calls). */
+  def collapseByComponents(corpus: DataFrame, idCol: String,
+      components: DataFrame): DataFrame = {
+    val drop = components
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     corpus.join(drop, Seq(idCol), "left_anti")
@@ -1018,6 +1031,16 @@ object Pipeline {
     * One broadcast join against the component table (bounded by the
     * near-dup set); the corpus side hashes map-side. */
   def leakageSafeSplit(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      trainBuckets: Int = 8, valBuckets: Int = 1): DataFrame =
+    splitByComponents(corpus, idCol, connectedComponents(
+      pairs.select(pairs.columns(0), pairs.columns(1))),
+      trainBuckets, valBuckets)
+
+  /** [[leakageSafeSplit]] from a PRECOMPUTED component table — the
+    * (node, component) output of [[connectedComponents]]; see
+    * [[collapseByComponents]] for why sharing one pass matters. */
+  def splitByComponents(corpus: DataFrame, idCol: String,
+      components: DataFrame,
       trainBuckets: Int = 8, valBuckets: Int = 1): DataFrame = {
     require(trainBuckets >= 1 && valBuckets >= 0 &&
       trainBuckets + valBuckets < 10,
@@ -1029,9 +1052,7 @@ object Pipeline {
     require(taken.isEmpty,
       s"corpus already has column(s) ${taken.mkString(", ")} — rename " +
         "them before calling leakageSafeSplit, which adds both")
-    val comp = connectedComponents(
-      pairs.select(pairs.columns(0), pairs.columns(1)))
-      .select(col("node").as(idCol), col("component"))
+    val comp = components.select(col("node").as(idCol), col("component"))
     corpus.join(broadcast(comp), Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
       .withColumn("__bucket",
@@ -1080,8 +1101,10 @@ object Pipeline {
     * cluster) for `checkpoint`, whose truncated lineage survives
     * executor loss — the right choice for long dedup graphs at 100 TB.
     * Only nodes that appear in a pair are returned (isolated nodes are
-    * their own component trivially). */
-  private[graft] def connectedComponents(
+    * their own component trivially). Public because its output is the
+    * fan-out point for [[collapseByComponents]], [[splitByComponents]]
+    * and [[dedupReport]] — one graph pass, many consumers. */
+  def connectedComponents(
       pairsDf: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     // NOTE: setting a checkpointDir mutates the SparkContext-wide
@@ -1164,6 +1187,20 @@ object Pipeline {
       prevCkptDir.foreach(sc.setCheckpointDir)
     }
   }
+
+  /** Dedup report from a PRECOMPUTED component table (the
+    * (node, component) output of [[connectedComponents]]) — the
+    * component-size histogram every dedup pass ships with its output:
+    * (csize, n_components, n_docs, docs_removed), where docs_removed
+    * is what [[collapseByComponents]] would drop. Two tiny aggs on a
+    * table bounded by the near-dup doc count — the p33 plan as a
+    * reusable operator. */
+  def dedupReport(components: DataFrame): DataFrame =
+    components.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("csize")).as("n_docs"))
+      .withColumn("docs_removed", col("n_docs") - col("n_components"))
 
   /** Oracle-side twin of [[connectedComponents]] over the `verified`
     * pair CTE: ground-truth min-reachable via a recursive CTE, ending
@@ -2321,16 +2358,10 @@ object Pipeline {
     // the identical histogram from the recursive-CTE ground truth.
     QueryDef(
       "p33_dedup_report",
-      (s, d) => {
-        val comp = connectedComponents(
-          neardupPairs(s, d).select(col("doc_a"), col("doc_b")))
-        comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
-          .groupBy(col("csize"))
-          .agg(count(lit(1)).as("n_components"),
-            sum(col("csize")).as("n_docs"))
-          .withColumn("docs_removed", col("n_docs") - col("n_components"))
-          .orderBy(col("csize"))
-      },
+      (s, d) =>
+        dedupReport(connectedComponents(
+          neardupPairs(s, d).select(col("doc_a"), col("doc_b"))))
+          .orderBy(col("csize")),
       Some(s"""
         WITH RECURSIVE $NeardupPairsSql,
         $ComponentsSql,

@@ -272,6 +272,27 @@ class TextApiSpec extends AnyFunSuite {
     assert(rows(12L)._1 == 12L && rows(13L)._1 == 13L)
   }
 
+  test("one connectedComponents pass feeds collapse, split and report identically") {
+    // the shared-graph contract: a pipeline shipping all three dedup
+    // consumers runs the expensive pair graph + CC ONCE and fans out —
+    // each ByComponents result must equal its recompute-from-pairs twin
+    val pairs = Pipeline.minhashNeardupPairs(corpus, "post_key", "body")
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Pipeline.connectedComponents(pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(Pipeline.collapseByComponents(corpus, "post_key", comp)) ==
+        rows(Pipeline.collapseNeardups(corpus, "post_key", pairs)))
+      assert(rows(Pipeline.splitByComponents(corpus, "post_key", comp)) ==
+        rows(Pipeline.leakageSafeSplit(corpus, "post_key", pairs)))
+      assert(rows(Pipeline.dedupReport(comp)) ==
+        // {10,11} and {14,15}: two 2-components → one histogram row
+        Set(Seq(2L, 2L, 4L, 2L)))
+    } finally comp.unpersist()
+  }
+
   test("ngramJaccardPairs: exact dup found, unrelated not, group blocking holds") {
     import spark.implicits._
     val df = Seq(
