@@ -104,6 +104,96 @@ class LivePgSpec extends AnyFunSuite {
     }
   }
 
+  test("live: enum / range / composite / array columns export with the exotic recipes") {
+    // the t10/t11/t13/t14-shaped conversions against a REAL server —
+    // the reference CI exercises exactly these end-to-end
+    // (py-tests/test_custom_types.py, test_arrays.py)
+    withLive { (url, conn) =>
+      exec(conn,
+        "DROP SCHEMA IF EXISTS graft_live3 CASCADE",
+        "CREATE SCHEMA graft_live3",
+        "CREATE TYPE graft_live3.weekday AS ENUM ('monday','tuesday','wednesday')",
+        "CREATE TYPE graft_live3.res AS (pdbid text, model int4, chain text)",
+        """CREATE TABLE graft_live3.exotic (
+          |  id int8 PRIMARY KEY, wd graft_live3.weekday, r int4range,
+          |  c graft_live3.res, ta text[])""".stripMargin,
+        """INSERT INTO graft_live3.exotic VALUES
+          |  (1, 'monday', '[1,5)', ROW('1ehz', 1, 'A'), ARRAY['a','b']),
+          |  (2, NULL, 'empty', '(,,)', ARRAY[]::text[]),
+          |  (3, 'wednesday', '(,10]', NULL,
+          |   ARRAY[NULL, 'x,y', '']::text[])""".stripMargin)
+      val out = java.nio.file.Files.createTempDirectory("livepg").toString + "/exotic"
+      val stats = Main.runExport(spark,
+        Main.Args(outputFile = out, table = Some("graft_live3.exotic"),
+          connection = Some(url), quiet = true),
+        env = Map.empty)
+      assert(stats.rows == 3)
+      val back = spark.read.parquet(out).orderBy("id").collect()
+      // T25 enum → text identity
+      assert(back(0).getAs[String]("wd") == "monday")
+      assert(back(1).isNullAt(back(1).fieldIndex("wd")))
+      // T27 range → struct: [1,5) bounds; 'empty' → all-NULL bounds +
+      // is_empty; '(,10]' → NULL lower, inclusive upper
+      val r1 = back(0).getStruct(back(0).fieldIndex("r"))
+      assert(r1.getAs[Int]("lower") == 1 && r1.getAs[Int]("upper") == 5)
+      assert(r1.getAs[Boolean]("lower_inclusive") &&
+        !r1.getAs[Boolean]("upper_inclusive") && !r1.getAs[Boolean]("is_empty"))
+      val r2 = back(1).getStruct(back(1).fieldIndex("r"))
+      assert(r2.isNullAt(r2.fieldIndex("lower")) && r2.getAs[Boolean]("is_empty"))
+      val r3 = back(2).getStruct(back(2).fieldIndex("r"))
+      assert(r3.isNullAt(r3.fieldIndex("lower")) &&
+        r3.getAs[Int]("upper") == 10 && r3.getAs[Boolean]("upper_inclusive"))
+      // T28 composite → struct: all-NULL-fields record '(,,)' must stay
+      // a NON-NULL struct, distinct from SQL NULL (row 3)
+      val c1 = back(0).getStruct(back(0).fieldIndex("c"))
+      assert(c1.getAs[String]("pdbid") == "1ehz" && c1.getAs[Int]("model") == 1)
+      val c2 = back(1).getStruct(back(1).fieldIndex("c"))
+      assert(c2 != null && c2.isNullAt(c2.fieldIndex("pdbid")))
+      assert(back(2).isNullAt(back(2).fieldIndex("c")))
+      // T30 1-D array: empty ≠ NULL; NULL element and embedded comma
+      // survive the array grammar
+      assert(back(0).getSeq[String](back(0).fieldIndex("ta")) == Seq("a", "b"))
+      assert(back(1).getSeq[String](back(1).fieldIndex("ta")).isEmpty)
+      assert(back(2).getSeq[String](back(2).fieldIndex("ta")) ==
+        Seq(null, "x,y", ""))
+      exec(conn, "DROP SCHEMA graft_live3 CASCADE")
+    }
+  }
+
+  test("live: pgvector vector and sparsevec export (cancels without the extension)") {
+    withLive { (url, conn) =>
+      try exec(conn, "CREATE EXTENSION IF NOT EXISTS vector")
+      catch { case e: Throwable =>
+        cancel(s"pgvector extension not installable on this server ($e)") }
+      exec(conn,
+        "DROP TABLE IF EXISTS graft_live_vec",
+        """CREATE TABLE graft_live_vec (
+          |  id int8 PRIMARY KEY, v vector(3), s sparsevec(10))""".stripMargin,
+        """INSERT INTO graft_live_vec VALUES
+          |  (1, '[1,2,3]', '{1:-1.0,5:5.25}/10'),
+          |  (2, NULL, '{}/10'),
+          |  (3, '[0.5,-0.25,3.75]', NULL)""".stripMargin)
+      val out = java.nio.file.Files.createTempDirectory("livepg").toString + "/vec"
+      val stats = Main.runExport(spark,
+        Main.Args(outputFile = out, table = Some("graft_live_vec"),
+          connection = Some(url), quiet = true),
+        env = Map.empty)
+      assert(stats.rows == 3)
+      val back = spark.read.parquet(out).orderBy("id").collect()
+      // T32 vector → array<float>
+      assert(back(0).getSeq[Float](back(0).fieldIndex("v")) == Seq(1f, 2f, 3f))
+      assert(back(1).isNullAt(back(1).fieldIndex("v")))
+      assert(back(2).getSeq[Float](back(2).fieldIndex("v")) ==
+        Seq(0.5f, -0.25f, 3.75f))
+      // T34 sparsevec → map (1-based indices); empty map ≠ NULL
+      assert(back(0).getMap[Int, Float](back(0).fieldIndex("s")) ==
+        Map(1 -> -1.0f, 5 -> 5.25f))
+      assert(back(1).getMap[Int, Float](back(1).fieldIndex("s")).isEmpty)
+      assert(back(2).isNullAt(back(2).fieldIndex("s")))
+      exec(conn, "DROP TABLE graft_live_vec")
+    }
+  }
+
   test("live: tablePartitioned range scan returns every row exactly once") {
     withLive { (url, conn) =>
       exec(conn,
