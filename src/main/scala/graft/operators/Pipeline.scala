@@ -638,27 +638,42 @@ object Pipeline {
   /** IVF approximate nearest-neighbor over ANY embedding corpus that
     * carries a cluster assignment column (e.g. [[kmeansCluster]]
     * output, or any coarse partitioning) — the p07 plan as a reusable
-    * operator. The quantizer is one medoid per cluster (the minimum-id
-    * member — swap in trained centroids by pre-clustering with
-    * [[kmeansCluster]]); each query probes its `nprobe` best medoids
-    * (default 1) and searches ONLY those clusters' members, so the
-    * scan covers ~nprobe/n_clusters of the corpus and the medoid table
-    * broadcasts. Raising nprobe is the standard IVF recall knob —
+    * operator. The quantizer selecting which clusters a query probes
+    * is, in preference order: the TRAINED centroid table when
+    * `centroids` is given ((cluster, vector) columns by position —
+    * [[kmeansFit]]'s output shape; the production path, see the
+    * example there), else one medoid per cluster (the minimum-id
+    * member — a zero-training placeholder). Each query probes its
+    * `nprobe` best quantizer entries (default 1) and searches ONLY
+    * those clusters' members, so the scan covers ~nprobe/n_clusters of
+    * the corpus and the quantizer table broadcasts. Raising nprobe is
+    * the standard IVF recall knob — recall@k is monotone in nprobe
+    * (candidate sets are nested; property-tested in TextApiSpec) and
     * nprobe = n_clusters degenerates to [[knnBruteCosine]]. Output:
     * (q_id, probe_label, vec_id, cos_sim, rk). */
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, k: Int,
-      nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+      nprobe: Int = 1, excludeSelf: Boolean = true,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val e = corpus
       .select(col(idCol).as("vec_id"), col(clusterCol).as("label"),
         col(vecCol).as("embedding"))
       .withColumn("n2", dot(col("embedding"), col("embedding")))
     val wMed = Window.partitionBy(col("label")).orderBy(col("vec_id").asc)
-    val medoids = e.withColumn("mrk", row_number().over(wMed))
-      .filter(col("mrk") === 1)
-      .select(col("label").as("m_label"), col("embedding").as("me"),
-        col("n2").as("mn2"))
+    val medoids = centroids match {
+      case Some(c) =>
+        // trained quantizer: cast to float so the probe scoring runs
+        // the same codegen'd float kernels as the member scan
+        c.select(col(c.columns(0)).as("m_label"),
+          transform(col(c.columns(1)), x => x.cast(FloatType)).as("me"))
+          .withColumn("mn2", dot(col("me"), col("me")))
+      case None =>
+        e.withColumn("mrk", row_number().over(wMed))
+          .filter(col("mrk") === 1)
+          .select(col("label").as("m_label"), col("embedding").as("me"),
+            col("n2").as("mn2"))
+    }
     val wAssign = Window.partitionBy(col("q_id"))
       .orderBy(col("m_cos").desc, col("m_label").asc)
     // `nprobe` best medoids per query — the standard IVF recall/cost
@@ -701,34 +716,35 @@ object Pipeline {
     * (vec_id, cluster, d2, n_members). */
   def kmeansCluster(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, iters: Int = 2): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    kmeansAssign(e, kmeansFit(corpus, idCol, vecCol, k, dim, iters))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cl"))))
+      .select(col("vec_id"), col("cl").as("cluster"),
+        col("d2"), col("n_members"))
+  }
+
+  /** The TRAINED quantizer behind [[kmeansCluster]]: Lloyd's
+    * iterations only, returning the final centroid table
+    * (cl int, ce array&lt;double&gt;) — the shape [[ivfSearch]] accepts
+    * as `centroids` for trained-quantizer probe selection:
+    * {{{
+    * val cents  = kmeansFit(corpus, "id", "vec", k = 256, dim = 64)
+    * val member = kmeansCluster(corpus, "id", "vec", k = 256, dim = 64)
+    * val hits   = ivfSearch(corpus.join(member.select("vec_id", "cluster"),
+    *   corpus("id") === member("vec_id")), queries, "id", "vec",
+    *   "cluster", k = 10, nprobe = 8, centroids = Some(cents))
+    * }}}
+    * Same determinism contract as [[kmeansCluster]] (integer-scaled
+    * exact sums, ties to the lowest cluster id). */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int = 2): DataFrame = {
     val Scale = 10000000L
     val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val init = e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
         .cast(IntegerType).as("cl"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
-    // native codegen'd left-to-right fold — bit-identical to the
-    // aggregate(zip_with(...)) HOF spelling and the oracle's
-    // list_reduce, but inside whole-stage codegen (see FloatDistSq)
-    def dist2(q: Column, c: Column): Column =
-      call_function("float_dist_sq", q, c)
-    def assign(cents: DataFrame): DataFrame = {
-      val cArr = cents
-        .agg(sort_array(collect_list(struct(col("cl"), col("ce")))).as("cs"))
-      e.crossJoin(broadcast(cArr))
-        .withColumn("best", aggregate(col("cs"),
-          struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cl")),
-          (acc, c) => {
-            val d = dist2(col("embedding"), c.getField("ce"))
-            // strict < keeps the first minimum; cs is sorted by cl,
-            // so ties resolve to the lowest cluster id
-            when(d < acc.getField("d2"),
-              struct(d.as("d2"), c.getField("cl").as("cl")))
-              .otherwise(acc)
-          }))
-        .select(col("vec_id"), col("embedding"),
-          col("best.cl").as("cl"), col("best.d2").as("d2"))
-    }
     def update(asg: DataFrame): DataFrame = {
       val sums = (0 until dim).map(i =>
         sum(round(element_at(col("embedding"), i + 1).cast(DoubleType)
@@ -741,12 +757,33 @@ object Pipeline {
     }
     var cents = init
     var it = 0
-    while (it < iters) { cents = update(assign(cents)); it += 1 }
-    assign(cents)
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(col("cl"))))
-      .select(col("vec_id"), col("cl").as("cluster"),
-        col("d2"), col("n_members"))
+    while (it < iters) { cents = update(kmeansAssign(e, cents)); it += 1 }
+    cents
+  }
+
+  /** One Lloyd's assignment pass: argmin distance against a broadcast
+    * centroid row. `e` = (vec_id, embedding); `cents` = (cl, ce). */
+  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    // native codegen'd left-to-right fold — bit-identical to the
+    // aggregate(zip_with(...)) HOF spelling and the oracle's
+    // list_reduce, but inside whole-stage codegen (see FloatDistSq)
+    def dist2(q: Column, c: Column): Column =
+      call_function("float_dist_sq", q, c)
+    val cArr = cents
+      .agg(sort_array(collect_list(struct(col("cl"), col("ce")))).as("cs"))
+    e.crossJoin(broadcast(cArr))
+      .withColumn("best", aggregate(col("cs"),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cl")),
+        (acc, c) => {
+          val d = dist2(col("embedding"), c.getField("ce"))
+          // strict < keeps the first minimum; cs is sorted by cl,
+          // so ties resolve to the lowest cluster id
+          when(d < acc.getField("d2"),
+            struct(d.as("d2"), c.getField("cl").as("cl")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cl").as("cl"), col("best.d2").as("d2"))
   }
 
   /** SimHash near-dup pairs over ANY corpus by Hamming distance ≤

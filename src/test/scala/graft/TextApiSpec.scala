@@ -493,6 +493,45 @@ class TextApiSpec extends AnyFunSuite {
       brute.toSeq)
   }
 
+  test("ivfSearch: trained-centroid quantizer; recall@k monotone in nprobe") {
+    import spark.implicits._
+    // random corpus, kmeansFit centroids as the trained quantizer —
+    // recall@k against brute force must be non-decreasing in nprobe
+    // (candidate sets are nested supersets: an exact top-k member that
+    // enters the candidate set can never leave the reported top-k),
+    // and probing every cluster must reach recall 1.0
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val kClusters = 4
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("pk", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Pipeline.kmeansFit(vecs, "pk", "vec", kClusters, dim)
+    val member = Pipeline.kmeansCluster(vecs, "pk", "vec", kClusters, dim)
+      .select(col("vec_id").as("pk"), col("cluster"))
+    val corpus = vecs.join(member, "pk")
+    val queries = vecs.filter(col("pk") % 12 === 0)
+    val topK = 5
+    val brute = Pipeline.knnBruteCosine(vecs, queries, "pk", "vec", topK)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = Seq(1, 2, 4).map { nprobe =>
+      val got = Pipeline.ivfSearch(corpus, queries, "pk", "vec", "cluster",
+        topK, nprobe = nprobe, centroids = Some(cents))
+        .select(col("q_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val hits = brute.toSeq.map { case (q, t) =>
+        t.intersect(got.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    assert(recalls == recalls.sorted,
+      s"recall not monotone in nprobe: $recalls")
+    assert(recalls.last == 1.0,
+      s"nprobe = n_clusters must equal brute force, got ${recalls.last}")
+    vecs.unpersist()
+  }
+
   test("packSequences: offsets are a gapless global prefix sum; alien columns") {
     import spark.implicits._
     val rows = Seq(
