@@ -224,11 +224,13 @@ object Streams {
     * Readers must use the sink's `_spark_metadata` log (plain
     * `spark.read.parquet` on the directory does) so half-written files
     * from an in-flight batch are invisible. */
-  def toParquet(df: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream.format("parquet")
+  def toParquet(df: DataFrame, path: String, checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 }

@@ -186,6 +186,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(landed.filter(col("text").contains("<EMAIL>")).count() >= 1)
   }
 
+  test("StreamDemo: JSONL file source → curated parquet, incremental across invocations") {
+    val inDir = java.nio.file.Files.createTempDirectory("demo-in")
+    val outDir = java.nio.file.Files.createTempDirectory("demo-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("demo-ckpt").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def writeJsonl(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    writeJsonl("batch1.jsonl", Seq(
+      s"""{"ts":"2024-01-01T10:00:00Z","doc_id":1,"text":"$base mail a@b.com","source":"web"}""",
+      s"""{"ts":"2024-01-01T10:01:00Z","doc_id":2,"text":"$base mail c@d.com","source":"web"}""",
+      """{"ts":"2024-01-01T10:02:00Z","doc_id":3,"text":"short","source":"web"}"""))
+    // first invocation drains what exists and exits (AvailableNow)
+    val q1 = streaming.StreamDemo.run(spark, inDir.toString, outDir, ckpt,
+      minChars = 20)
+    q1.awaitTermination()
+    // second invocation resumes from the checkpoint: only the NEW file
+    // is read, the neardupGate STATE STORE is restored with the source
+    // offsets — so doc 4 (scrubs to doc 1's exact text, a cross-
+    // invocation duplicate within the watermark) is still dropped —
+    // and fresh-vocabulary doc 5 lands
+    val fresh = (1 to 40).map(i => s"z$i").mkString(" ")
+    writeJsonl("batch2.jsonl", Seq(
+      s"""{"ts":"2024-01-01T10:10:00Z","doc_id":4,"text":"$base mail e@f.com","source":"web"}""",
+      s"""{"ts":"2024-01-01T10:11:00Z","doc_id":5,"text":"$fresh","source":"web"}"""))
+    val q2 = streaming.StreamDemo.run(spark, inDir.toString, outDir, ckpt,
+      minChars = 20)
+    q2.awaitTermination()
+    val landed = spark.read.parquet(outDir)
+    val ids = landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 1 admitted; 2 scrubs to 1's exact text → same bucket → dropped;
+    // 3 length-gated; 4 dropped by RESTORED state on invocation two;
+    // 5 lands
+    assert(ids == Seq(1L, 5L))
+    // the PII scrub ran before the sink
+    assert(landed.filter(col("text").contains("a@b.com")).count() == 0)
+    assert(landed.filter(col("text").contains("<EMAIL>")).count() == 1)
+  }
+
   test("neardupGate: near-duplicates share a band bucket and are dropped") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
