@@ -1148,19 +1148,43 @@ object Pipeline {
     // checkpoint location for the duration of this call; a previously
     // set dir is restored on return (Spark offers no per-Dataset dir
     // and no way to UNSET one, so with no prior dir ours remains).
-    // On SUCCESS every intermediate round's checkpoint files are
-    // deleted — only the FINAL labels' files survive (the returned
-    // DataFrame reads them), so the caller-owned lifecycle is one rdd
-    // directory per call; on failure everything is left for forensics.
+    // Intermediate rounds' checkpoint files are deleted INCREMENTALLY:
+    // once round k is materialized its lineage no longer reads round
+    // k−1's files, so they are removed right then — disk stays bounded
+    // at ~2 rounds' worth of labels instead of growing with graph
+    // diameter (50 rounds × 100 TB-scale label tables). Ownership is
+    // tracked by diffing the rdd-N listing around OUR OWN checkpoint
+    // call, never by rdd-id guessing, so the final labels' files (which
+    // the returned DataFrame reads) are structurally un-deletable and a
+    // concurrent foreign df.checkpoint() in the same context is at risk
+    // only inside our materialization window — the global-setting race
+    // already documented below. On failure the last round's files (and
+    // the in-flight round's partial files) remain for forensics; the
+    // caller-owned lifecycle on success is ONE rdd directory per call.
     // Concurrent calls with different dirs in one context would race
-    // on the global setting (and on the cleanup's dir listing);
+    // on the global setting (and on the cleanup's listing-diff);
     // serialize those.
     val sc = pairsDf.sparkSession.sparkContext
     val prevCkptDir = sc.getCheckpointDir
+    var lastRoundDirs: Seq[org.apache.hadoop.fs.Path] = Nil
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         sc.setCheckpointDir(dir)
-        df => df.checkpoint()
+        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        val fs = root.getFileSystem(sc.hadoopConfiguration)
+        def rddDirs(): Set[String] =
+          if (!fs.exists(root)) Set.empty[String]
+          else fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith("rdd-")).toSet
+        df => {
+          val before = rddDirs()
+          val out = df.checkpoint() // eager: materialized on return
+          val mine = (rddDirs() -- before).toSeq.sorted
+            .map(n => new org.apache.hadoop.fs.Path(root, n))
+          lastRoundDirs.foreach(p => fs.delete(p, true))
+          lastRoundDirs = mine
+          out
+        }
       case None => df => df.localCheckpoint()
     }
     try {
@@ -1197,23 +1221,8 @@ object Pipeline {
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still decreasing) — the pair graph has " +
         s"diameter > $maxIter; raise maxIter")
-    // Reliable-checkpoint cleanup: our setCheckpointDir call created a
-    // fresh per-call UUID subdirectory, so every rdd-N under it belongs
-    // to THIS call; rdd ids are monotone, so the final labels' files
-    // are the highest-numbered dir — keep that one (the returned
-    // DataFrame reads it) and drop the per-round intermediates, which
-    // are otherwise an unbounded leak proportional to graph diameter.
-    if (checkpointDir.isDefined) sc.getCheckpointDir.foreach { d =>
-      val root = new org.apache.hadoop.fs.Path(d)
-      val fs = root.getFileSystem(sc.hadoopConfiguration)
-      val rddDirs = fs.listStatus(root)
-        .filter(_.getPath.getName.startsWith("rdd-"))
-      if (rddDirs.length > 1) {
-        val keep = rddDirs.map(_.getPath.getName.stripPrefix("rdd-").toInt).max
-        rddDirs.filter(_.getPath.getName != s"rdd-$keep")
-          .foreach(s => fs.delete(s.getPath, true))
-      }
-    }
+    // (intermediate checkpoint cleanup happens inside ckpt() above —
+    // by the time we return, only the final labels' rdd dir remains)
     labels.select(col("node"), col("lbl").as("component"))
     } finally if (checkpointDir.isDefined) {
       // restore the caller's context-wide checkpoint location (the

@@ -21,10 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * per-document DISTINCT gram ids — the merge advances both cursors
   * on a match, so equal runs of length one are the contract.
   *
-  * Elements must be non-null and sorted ascending; both are true by
-  * construction for the gram-id arrays (built by sort_array over
-  * distinct ids). Violating the sort order silently undercounts — the
-  * caller owns the invariant (stated at the one call site).
+  * Elements must be sorted ascending with nulls FIRST —
+  * `sort_array`'s ascending default, and true by construction for the
+  * gram-id arrays (built by sort_array over distinct non-null ids).
+  * Null elements follow array_intersect's set semantics: a null on
+  * both sides counts as one match (the leading null runs are skipped,
+  * contributing 1 iff both sides had one), so the function stays a
+  * drop-in for `size(array_intersect(a, b))` even though it is also
+  * registered session-wide as SQL `sorted_intersect_count`. Violating
+  * the sort order silently undercounts — the caller owns the
+  * invariant (stated at the one call site).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,6 +55,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
+    // leading null runs (nulls sort first): null matches null, once
+    while (i < nx && x.isNullAt(i)) i += 1
+    while (j < ny && y.isNullAt(j)) j += 1
+    if (i > 0 && j > 0) c += 1
     while (i < nx && j < ny) {
       val xv = x.getLong(i)
       val yv = y.getLong(j)
@@ -72,6 +82,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $nx && $a.isNullAt($i)) { $i++; }
+         |while ($j < $ny && $b.isNullAt($j)) { $j++; }
+         |if ($i > 0 && $j > 0) { $c++; }
          |while ($i < $nx && $j < $ny) {
          |  final long $xv = $a.getLong($i);
          |  final long $yv = $b.getLong($j);

@@ -65,11 +65,12 @@ class PipelineSpec extends AnyFunSuite {
     // DataFrame still needs
     val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
-    // on success the intermediates are deleted: exactly ONE rdd-N dir
-    // (the final labels') survives under the per-call UUID subdir
-    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .filter(p => p.getFileName.toString.startsWith("rdd-"))
-      .toArray
+    // intermediates are deleted round-by-round as each checkpoint
+    // materializes: exactly ONE rdd-N dir (the final labels') survives
+    // under the per-call UUID subdir
+    val rddDirs = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+      _.filter(p => p.getFileName.toString.startsWith("rdd-")).toArray)
     assert(rddDirs.length == 1, s"expected 1 surviving rdd dir, got ${rddDirs.length}")
   }
 

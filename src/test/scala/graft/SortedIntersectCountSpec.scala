@@ -38,6 +38,33 @@ class SortedIntersectCountSpec extends AnyFunSuite {
     assert(expr.eval(null) == 2)
   }
 
+  test("sorted_intersect_count: null ELEMENTS follow array_intersect set semantics") {
+    import spark.implicits._
+    // nulls-first sorted arrays (sort_array's ascending default): a
+    // null on both sides counts once, a one-sided null not at all —
+    // exactly size(array_intersect). Exercises both codegen and the
+    // interpreted path via the DataFrame plan + direct eval.
+    val rows = Seq(
+      (Seq[Option[Long]](None, Some(1L), Some(3L)), Seq[Option[Long]](None, Some(3L))),
+      (Seq[Option[Long]](None, None, Some(2L)), Seq[Option[Long]](None, Some(2L))),
+      (Seq[Option[Long]](None, Some(4L)), Seq[Option[Long]](Some(4L), Some(9L))),
+      (Seq[Option[Long]](None), Seq[Option[Long]](None)),
+      (Seq[Option[Long]](None), Seq[Option[Long]](Some(7L))))
+    val got = rows.toDF("a", "b").select(
+      call_function("sorted_intersect_count", col("a"), col("b")).as("c"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    val expr = graft.plans.SortedIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[java.lang.Long](null, 1L, 5L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[java.lang.Long](null, 5L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true)))
+    assert(expr.eval(null) == 2)
+  }
+
   test("sorted_intersect_count: null propagates, type mismatch rejected") {
     import spark.implicits._
     val df = Seq((Some(Array(1L)), Option.empty[Array[Long]]))
