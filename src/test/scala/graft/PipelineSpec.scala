@@ -41,16 +41,31 @@ class PipelineSpec extends AnyFunSuite {
 
   test("connectedComponents: raising maxIter converges a graph that first threw") {
     import spark.implicits._
-    // a 60-edge path has diameter 60 > the default 50-round budget:
-    // the default must throw, and the SAME input must converge when
-    // maxIter is raised — proving the failure is a budget, not a bug
+    // a 60-edge path cannot converge in 3 plain rounds (labels move at
+    // most 3 hops before pointer-jumping even starts): maxIter=3 must
+    // throw, and the SAME input must converge when maxIter is raised —
+    // proving the failure is a budget, not a bug
     val longChain = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException](
-      operators.Pipeline.connectedComponents(longChain))
+      operators.Pipeline.connectedComponents(longChain, maxIter = 3))
     assert(e.getMessage.contains("raise maxIter"))
-    val got = operators.Pipeline.connectedComponents(longChain, maxIter = 65)
+    val got = operators.Pipeline.connectedComponents(longChain, maxIter = 20)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 60L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents: pointer-jumping converges a deep chain in the default budget") {
+    import spark.implicits._
+    // a 120-edge path has diameter 120 — plain min-propagation would
+    // need 120 rounds and blow the default maxIter=50; the shortcut
+    // step (lbl ← lbl(lbl) from round 4 on) contracts chains
+    // geometrically, so the DEFAULT budget must now suffice. This is
+    // the 100 TB story: round count scales with log(diameter), not
+    // diameter, so no corpus shape needs a hand-tuned budget
+    val deepChain = (0L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = operators.Pipeline.connectedComponents(deepChain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 120L).map(_ -> 0L).toMap)
   }
 
   test("connectedComponents: reliable-checkpoint strategy gives the same answer") {
