@@ -1252,9 +1252,10 @@ object Pipeline {
     // the exact leakage it exists to prevent. Fail loudly instead.
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still decreasing) — with pointer-jumping " +
-        s"that needs a graph of diameter well beyond 2^${maxIter - 3}; " +
-        "raise maxIter")
+        s"($changed labels still decreasing)" +
+        (if (maxIter > 4) s" — with pointer-jumping that needs a graph " +
+          s"of diameter well beyond 2^${maxIter - 3}" else "") +
+        "; raise maxIter")
     // (intermediate checkpoint cleanup happens inside ckpt() above —
     // by the time we return, only the final labels' rdd dir remains)
     labels.select(col("node"), col("lbl").as("component"))
