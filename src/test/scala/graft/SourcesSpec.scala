@@ -120,6 +120,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1000)
   }
 
+  test("sink: write restores the caller's job group instead of clearing it") {
+    // a caller using job-group-based cancellation must keep its group
+    // (and description/interruptOnCancel) across a sink write — the
+    // sink's own scoped group is transient
+    val sc = spark.sparkContext
+    sc.setJobGroup("caller-group", "caller-desc", interruptOnCancel = true)
+    try {
+      val out = Files.createTempDirectory("sinkjg").toString + "/t"
+      ParquetSink.write(spark.range(10).toDF("id"), out,
+        ParquetSink.SinkOptions(quiet = true))
+      assert(sc.getLocalProperty("spark.jobGroup.id") == "caller-group")
+      assert(sc.getLocalProperty("spark.job.description") == "caller-desc")
+      assert(sc.getLocalProperty("spark.job.interruptOnCancel") == "true")
+    } finally sc.clearJobGroup()
+    // and with NO caller group, the write leaves none behind
+    val out2 = Files.createTempDirectory("sinkjg2").toString + "/t"
+    ParquetSink.write(spark.range(10).toDF("id"), out2,
+      ParquetSink.SinkOptions(quiet = true))
+    assert(sc.getLocalProperty("spark.jobGroup.id") == null)
+  }
+
   test("parquet-info: report carries schema, row-group stats, codec, encodings") {
     val out = Files.createTempDirectory("pinfo").toString + "/t"
     import spark.implicits._
