@@ -89,6 +89,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(rddDirs.length == 1, s"expected 1 surviving rdd dir, got ${rddDirs.length}")
   }
 
+  test("connectedComponents: deep chain under reliable checkpointing cleans up and converges") {
+    import spark.implicits._
+    // pointer-jumping × incremental cleanup together: jump rounds read
+    // round k−1's checkpoint files during round k's materialization,
+    // and the cleanup deletes them right after — a deep chain (many
+    // rounds past the jump threshold) would surface any ordering bug
+    // as a FileNotFoundException here, and a cleanup-ownership bug as
+    // leftover rdd dirs
+    val dir = java.nio.file.Files.createTempDirectory("cc-deep-ckpt").toString
+    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = operators.Pipeline
+      .connectedComponents(chain, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 80L).map(_ -> 0L).toMap)
+    val rddDirs = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+      _.filter(p => p.getFileName.toString.startsWith("rdd-")).toArray)
+    assert(rddDirs.length == 1, s"expected 1 surviving rdd dir, got ${rddDirs.length}")
+  }
+
   test("connectedComponents: empty pair list yields an empty result") {
     import spark.implicits._
     val out = operators.Pipeline.connectedComponents(
