@@ -202,7 +202,11 @@ object Relational {
 
     // ---- q08: running-total window. The running sum is decimal-exact so
     // Spark's incremental accumulation and DuckDB's segment-tree
-    // accumulation agree bit-for-bit after the final cast to double.
+    // accumulation agree bit-for-bit — and the final decimal→double cast
+    // goes through the SAME DECIMAL(27,4) re-scale as QueryDef.dsum
+    // (half-up ROUND on the SQL side), because a direct (38,10)→double
+    // cast is only exactly rounded while the unscaled value fits 2^53
+    // (running quantities pass that around SF 30; see the dsum scaladoc).
     QueryDef(
       "q08_running_total",
       (s, d) => {
@@ -213,15 +217,17 @@ object Relational {
           .filter(col("l_suppkey") <= 10)
           .select(
             col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-            sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("running_qty"))
+            sum(dec(col("l_quantity"))).over(w)
+              .cast(DecimalType(27, 4)).cast(DoubleType).as("running_qty"))
           .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
       },
       Some("""
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) OVER (
+               CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))) OVER (
                  PARTITION BY l_suppkey
                  ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                 AS DECIMAL(27,4)) AS DOUBLE) AS running_qty
         FROM lineitem
         WHERE l_suppkey <= 10
         ORDER BY l_suppkey, l_orderkey, l_linenumber""")),

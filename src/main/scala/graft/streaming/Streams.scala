@@ -21,13 +21,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
 
   /** Sessionization (the streaming twin of q30): native session windows
-    * merge events separated by < gap; the watermark closes sessions and
-    * evicts their state. */
+    * merge events, the watermark closes sessions and evicts their
+    * state. Spark's session_window is half-open — an event at EXACTLY
+    * last_event + gap starts a new session — while the batch twin's
+    * `ts - lag(ts) > gap` keeps it in the old one; one microsecond
+    * (Spark's timestamp resolution) is added to the gap so the merge
+    * condition becomes `gap' ≤ gap`, restoring exact batch≡stream
+    * session boundaries on any corpus, exact-gap pairs included. */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gap 1 microsecond"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
@@ -50,6 +55,13 @@ object Streams {
   final case class UserEvent(user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
   final case class UserStats(user_id: Long, n_events: Long, n_purchases: Long)
+  /** [[runningUserStats]] state: the running stats plus the MAX event
+    * time seen, so a late-but-admissible older event cannot REWIND the
+    * idle deadline (the timeout must track the newest event ever seen,
+    * not the newest in the current micro-batch). An implementation
+    * detail of the state store, not API — public only because Spark's
+    * encoder codegen must reach the constructor and accessors. */
+  final case class UserState(stats: UserStats, maxTs: Long)
 
   /** Running per-user counters — the mapGroupsWithState shape for
     * semantics window functions can't express incrementally. State is
@@ -69,25 +81,29 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserStats, UserStats](
+      .mapGroupsWithState[UserState, UserStats](
         GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
           if (state.hasTimedOut) {
             // idle horizon passed: re-emit the final stats and drop the
             // state entry (Update-mode sinks already hold this value)
-            val last = state.get
+            val last = state.get.stats
             state.remove()
             last
           } else {
-            val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0L))
-            var maxTs = 0L
-            val next = batch.foldLeft(prev) { (acc, e) =>
+            val prev = state.getOption.getOrElse(
+              UserState(UserStats(uid, 0L, 0L), 0L))
+            // deadline = max event time EVER seen + idleTimeout: a late
+            // batch (older than a prior one, admitted by the watermark)
+            // must not move the eviction deadline backwards
+            var maxTs = prev.maxTs
+            val next = batch.foldLeft(prev.stats) { (acc, e) =>
               maxTs = math.max(maxTs, e.ts.getTime)
               acc.copy(
                 n_events = acc.n_events + 1,
                 n_purchases = acc.n_purchases + (if (e.event_type == "purchase") 1 else 0))
             }
-            state.update(next)
+            state.update(UserState(next, maxTs))
             state.setTimeoutTimestamp(maxTs, idleTimeout)
             next
           }
@@ -150,6 +166,10 @@ object Streams {
         coalesce(md5(col("text")), lit("null:")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+      // return exactly the caller's columns, like the batch twin
+      // (exactDedup drops its helper too) — a sink downstream should
+      // not land a derived md5 column
+      .drop("content_hash")
 
   /** Streaming NEAR-dup admission — the incremental twin of the batch
     * p23 band-signature anti-join: a document whose band-0 MinHash LSH
@@ -182,6 +202,8 @@ object Streams {
           .otherwise(concat(lit("short:"), md5(col("text")))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("band_sig")
+      // same caller-columns contract as [[dedupDocuments]]
+      .drop("band_sig")
   }
 
   /** Ingest-time scrub + quality gate — the stage that runs in-line

@@ -24,7 +24,11 @@ class StreamsSpec extends AnyFunSuite {
     try {
       in.addData(
         (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
-        (1L, ts("2024-01-01 12:00:00")), (2L, ts("2024-01-01 10:05:00")))
+        (1L, ts("2024-01-01 12:00:00")), (2L, ts("2024-01-01 10:05:00")),
+        // user 3: a gap of EXACTLY 30 minutes — the batch twin's strict
+        // `gap > 30 min` keeps these in ONE session, and sessionize's
+        // +1µs gap widening must agree (plain session_window would split)
+        (3L, ts("2024-01-01 10:00:00")), (3L, ts("2024-01-01 10:30:00")))
       q.processAllAvailable()
       // advance the watermark far enough to close all sessions
       in.addData((9L, ts("2024-01-02 00:00:00")))
@@ -32,7 +36,7 @@ class StreamsSpec extends AnyFunSuite {
       val rows = spark.table("sess")
         .select("user_id", "n_events").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-      assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+      assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)))
     } finally q.stop()
   }
 
@@ -60,8 +64,9 @@ class StreamsSpec extends AnyFunSuite {
 
   test("sessionize agrees with the batch window-function sessionization (q30)") {
     // unified API: the same transform runs in batch mode over the real
-    // events table; session_window(gap) and the q30 lag-based flags
-    // define identical sessions (no exact-30-minute gaps in the data)
+    // events table; session_window(gap + 1µs) and the q30 lag-based
+    // flags define identical sessions — including at exact-gap pairs
+    // (see the +1µs note on sessionize; pinned by user 3 above)
     val viaStream = Streams.sessionize(
       Tables.events(spark, TestSpark.sfDir).select(col("user_id"), col("ts")))
       .groupBy(col("user_id")).count()
@@ -358,7 +363,7 @@ class StreamsSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("sdedup").toString
     val in = MemoryStream[(Long, String, Timestamp)]
     def dedup = Streams.dedupDocuments(
-      in.toDF().toDF("doc_id", "text", "ts")).select("doc_id", "content_hash")
+      in.toDF().toDF("doc_id", "text", "ts")).select("doc_id")
     val q1 = Streams.toParquet(dedup, s"$base/data", s"$base/ckpt")
     try {
       in.addData((1L, "same text", ts("2024-01-01 10:00:00")))
@@ -413,6 +418,30 @@ class StreamsSpec extends AnyFunSuite {
       val restarted = spark.table("stats")
         .filter(col("user_id") === 1L && col("n_events") === 1L)
       assert(restarted.count() >= 1L) // fresh state entry after eviction
+    } finally q.stop()
+  }
+
+  test("runningUserStats: a late-but-admissible older event still accumulates") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // a generous watermark admits an event OLDER than the user's prior
+    // max — the state must fold it in (and, per the UserState.maxTs
+    // contract, must NOT rewind the idle deadline to the older time)
+    val in = MemoryStream[UserEvent]
+    val q = Streams.runningUserStats(in.toDS(), idleTimeout = "30 minutes",
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("latestats")
+      .outputMode(Streams.runningStatsOutputMode).start()
+    try {
+      in.addData(UserEvent(1, "click", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      in.addData(UserEvent(2, "click", ts("2024-01-01 10:25:00")))
+      q.processAllAvailable() // watermark now 09:55
+      in.addData(UserEvent(1, "purchase", ts("2024-01-01 09:58:00"))) // late
+      q.processAllAvailable()
+      val user1 = spark.table("latestats").filter(col("user_id") === 1L)
+        .agg(max("n_events"), max("n_purchases")).head
+      assert((user1.getLong(0), user1.getLong(1)) == ((2L, 1L)))
     } finally q.stop()
   }
 }
