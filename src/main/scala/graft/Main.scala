@@ -383,16 +383,16 @@ object Main {
       case _ =>
         (raw, Map.empty[String, graft.sources.PgSchema.PgKind])
     }
-    val stats = ParquetSink.write(df, a.outputFile,
-      ParquetSink.SinkOptions(
-        compression = a.compression,
-        compressionLevel = a.compressionLevel,
-        singleFile = !a.multiFile,
-        maxRecordsPerFile = a.maxRecordsPerFile,
-        partitionBy = a.partitionBy,
-        sortBy = a.sortBy,
-        sortFiles = a.sortFiles,
-        quiet = a.quiet))
+    val sinkOpts = ParquetSink.SinkOptions(
+      compression = a.compression,
+      compressionLevel = a.compressionLevel,
+      singleFile = !a.multiFile,
+      maxRecordsPerFile = a.maxRecordsPerFile,
+      partitionBy = a.partitionBy,
+      sortBy = a.sortBy,
+      sortFiles = a.sortFiles,
+      quiet = a.quiet)
+    val stats = ParquetSink.write(df, a.outputFile, sinkOpts)
     // Reference-parity parquet types Spark's writer can't emit, applied
     // post-write. Hive-partition columns never appear inside the files.
     // 1) uuid/raw-interval → fixed-width FLBA with annotation (full
@@ -418,7 +418,11 @@ object Main {
         graft.sources.ParquetTranscode.rewritePath(a.outputFile,
           txcTargets.map { case (c, k) =>
             c -> graft.sources.ParquetTranscode.Targets(k) },
-          f16Leaves, uint32Cols, annMap, hconf)
+          f16Leaves, uint32Cols, annMap, hconf,
+          // repeat the sink's writer tuning — the re-encode would
+          // otherwise fall back to parquet-mr defaults
+          rowGroupBytes = Some(sinkOpts.rowGroupBytes),
+          compressionLevel = sinkOpts.compressionLevel)
         rewrote = true
       } else if (annMap.nonEmpty) {
         // annotations alone: the cheap footer-only splice

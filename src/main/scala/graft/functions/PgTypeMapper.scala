@@ -63,7 +63,10 @@ object PgTypeMapper {
       case "int64" => macaddrInt64(c)
       case other => unsupported(s"macaddr-handling '$other'")
     }
-    case "inet" => c
+    // cidr/macaddr8/timetz pass through as their canonical pg text form
+    // (beyond reference — it TODO-lists all three as unsupported,
+    // postgres_cloner.rs:655)
+    case "inet" | "cidr" | "macaddr8" | "timetz" => c
     case "bit" | "varbit" => pgBits(c)
     case "date" => pgDate(c)
     case "time" => pgTimeMicros(c)

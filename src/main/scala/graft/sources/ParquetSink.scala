@@ -149,10 +149,13 @@ object ParquetSink {
       opts.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n))
       w.parquet(path)
     } finally {
-      if (prevGroup != null)
-        sc.setJobGroup(prevGroup, prevDesc,
-          java.lang.Boolean.parseBoolean(prevInterrupt))
-      else sc.clearJobGroup()
+      // restore the three saved properties individually (null removes):
+      // setJobGroup/clearJobGroup set all three as a unit and cannot
+      // represent a caller that had, say, a job DESCRIPTION but no group
+      // — clearJobGroup would silently wipe it
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
       sc.removeSparkListener(listener)
     }
     // final stats from the files themselves (the listener is a live

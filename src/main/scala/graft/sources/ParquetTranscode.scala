@@ -147,7 +147,9 @@ object ParquetTranscode {
       f16Leaves: Set[String] = Set.empty,
       uint32Cols: Set[String] = Set.empty,
       annotations: Map[String, LogicalTypeAnnotation] = Map.empty,
-      conf: Configuration = new Configuration()): Unit = {
+      conf: Configuration = new Configuration(),
+      rowGroupBytes: Option[Long] = None,
+      compressionLevel: Option[Int] = None): Unit = {
     val inPath = new org.apache.hadoop.fs.Path(in)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(inPath, conf))
     val (schema, kv, codec) =
@@ -169,10 +171,24 @@ object ParquetTranscode {
           annotations)).asJava)
     val reader = ParquetReader.builder(new GroupReadSupport(), inPath)
       .withConf(conf).build()
-    val writer = ExampleParquetWriter
+    // re-encoding all pages means the SINK's writer tuning must be
+    // re-applied here, or the shipped file silently loses the requested
+    // compression ratio and row-group layout: the zstd level rides the
+    // writer conf (the same key the sink sets as a DataFrameWriter
+    // option), row-group size is a builder knob, and high-ratio codecs
+    // get the sink's 4 MiB pages (main.rs:267-276 heuristic)
+    val wconf = new Configuration(conf)
+    compressionLevel.foreach { lvl =>
+      if (codec == CompressionCodecName.ZSTD)
+        wconf.setInt("parquet.compression.codec.zstd.level", lvl)
+    }
+    val highRatio = codec == CompressionCodecName.GZIP ||
+      codec == CompressionCodecName.BROTLI ||
+      (codec == CompressionCodecName.ZSTD && compressionLevel.exists(_ > 2))
+    var wb = ExampleParquetWriter
       .builder(HadoopOutputFile.fromPath(new org.apache.hadoop.fs.Path(out), conf))
       .withType(newSchema)
-      .withConf(conf)
+      .withConf(wconf)
       .withCompressionCodec(codec)
       // FLBA stands in for BINARY transparently and UINT_32 reads into
       // the LongType the embedded Spark schema claims, but an f16 leaf
@@ -185,7 +201,9 @@ object ParquetTranscode {
         if (f16Leaves.isEmpty) kv
         else (kv.asScala - "org.apache.spark.sql.parquet.row.metadata").asJava)
       .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
-      .build()
+    rowGroupBytes.foreach(n => wb = wb.withRowGroupSize(n))
+    if (highRatio) wb = wb.withPageSize(4 * 1024 * 1024)
+    val writer = wb.build()
     // a failed transcode (including a failed writer.close(), which is
     // what writes the footer) must remove the half-written temp so the
     // caller's replace protocol never installs a truncated stub over
@@ -216,15 +234,19 @@ object ParquetTranscode {
     }
   }
 
-  /** In-place variant over every part file of a sink output path. */
+  /** In-place variant over every part file of a sink output path.
+    * `rowGroupBytes`/`compressionLevel` should repeat the sink options
+    * the files were written with, so the re-encode preserves them. */
   def rewritePath(path: String,
       targets: Map[String, (Int, LogicalTypeAnnotation)],
       f16Leaves: Set[String] = Set.empty,
       uint32Cols: Set[String] = Set.empty,
       annotations: Map[String, LogicalTypeAnnotation] = Map.empty,
-      conf: Configuration = new Configuration()): Int =
+      conf: Configuration = new Configuration(),
+      rowGroupBytes: Option[Long] = None,
+      compressionLevel: Option[Int] = None): Int =
     ParquetSink.replacePartFiles(path, "transcoding", conf) { (p, tmp) =>
       rewrite(p.toString, tmp.toString, targets, f16Leaves, uint32Cols,
-        annotations, conf)
+        annotations, conf, rowGroupBytes, compressionLevel)
     }
 }

@@ -87,8 +87,13 @@ object PgSchema {
       case "int64" => LongType
       case _ => StringType
     }
+    // timetz/cidr/macaddr8 keep their canonical pg text form (beyond
+    // reference, which TODO-lists all three as unsupported —
+    // postgres_cloner.rs:655; timetz has no Spark type that carries
+    // the offset, and the network types are plain text anyway)
     case "name" | "text" | "xml" | "bpchar" | "varchar" | "citext" |
-         "json" | "jsonb" | "inet" | "bit" | "varbit" => StringType
+         "json" | "jsonb" | "inet" | "cidr" | "macaddr8" | "timetz" |
+         "bit" | "varbit" => StringType
     case "date" => DateType
     case "time" => LongType
     case "timestamp" => TimestampNTZType
@@ -255,7 +260,8 @@ object PgSchema {
 
   final case class PgTypeRow(
       oid: Long, name: String, typtype: String,
-      elemOid: Long, baseOid: Long, relOid: Long, rangeSubtypeOid: Long)
+      elemOid: Long, baseOid: Long, relOid: Long, rangeSubtypeOid: Long,
+      nspname: String = "public")
   final case class PgEnumRow(enumTypeOid: Long, sortOrder: Double, label: String)
   final case class PgAttributeRow(relOid: Long, num: Int, name: String, typeOid: Long)
   final case class PgClassRow(oid: Long, relname: String, nspname: String = "public")
@@ -290,10 +296,36 @@ object PgSchema {
       * a query's output columns). Names absent from the catalog resolve
       * as simple types — extension scalars like vector need no catalog
       * recursion, and truly unknown names hit the T35 policy at
-      * conversion time. */
-    def resolveName(typeName: String): PgKind =
-      types.find(_.name == typeName)
-        .map(t => resolve(t.oid)).getOrElse(PgSimple(typeName))
+      * conversion time.
+      *
+      * The same NAME can exist in several schemas (multi-tenant
+      * databases routinely define `tenant_a.status` and
+      * `tenant_b.status`); picking an arbitrary row would silently
+      * convert with the wrong labels/shape, so disambiguation mirrors
+      * [[tableKinds]]: `pg_catalog` wins (built-ins lead every
+      * search_path), then a unique `public` row, otherwise error — the
+      * caller can qualify the name (`schema.type`) or cast the column
+      * to `::text`. */
+    def resolveName(typeName: String): PgKind = {
+      val (schema, bare) = parseQualifiedName(typeName)
+      val matches = schema match {
+        case Some(ns) => types.filter(t => t.nspname == ns && t.name == bare)
+        case None =>
+          val all = types.filter(_.name == bare)
+          if (all.size <= 1) all
+          else all.filter(_.nspname == "pg_catalog") match {
+            case Seq(builtin) => Seq(builtin)
+            case _ =>
+              val pub = all.filter(_.nspname == "public")
+              if (pub.size == 1) pub
+              else throw new IllegalArgumentException(
+                s"type '$bare' exists in multiple schemas (" +
+                  all.map(_.nspname).sorted.mkString(", ") +
+                  "); qualify it as schema.type or cast the column to ::text")
+          }
+      }
+      matches.headOption.map(t => resolve(t.oid)).getOrElse(PgSimple(bare))
+    }
 
     /** Column kinds for a relation OID — the live-path resolution: the
       * oid comes from a server-side `'t'::regclass` probe
@@ -368,8 +400,10 @@ object PgSchema {
       // typtype is itself the 1-byte "char" type, which the dialect
       // transfers numerically — cast to text so resolve() sees 'e'/'d'/…
       """SELECT t.oid, t.typname, t.typtype::text, t.typelem, t.typbasetype,
-        |       t.typrelid, COALESCE(r.rngsubtype, 0) AS rngsubtype
-        |FROM pg_type t LEFT JOIN pg_range r ON r.rngtypid = t.oid""".stripMargin,
+        |       t.typrelid, COALESCE(r.rngsubtype, 0) AS rngsubtype, n.nspname
+        |FROM pg_type t
+        |JOIN pg_namespace n ON n.oid = t.typnamespace
+        |LEFT JOIN pg_range r ON r.rngtypid = t.oid""".stripMargin,
       "SELECT enumtypid, enumsortorder, enumlabel FROM pg_enum",
       """SELECT attrelid, attnum, attname, atttypid FROM pg_attribute
         |WHERE attnum > 0 AND NOT attisdropped""".stripMargin,
@@ -394,7 +428,8 @@ object PgSchema {
       PgCatalog(
         reader.query(spark, tq).collect().toSeq.map(r => PgTypeRow(
           nl(r.get(0)), r.getString(1), r.getString(2),
-          nl(r.get(3)), nl(r.get(4)), nl(r.get(5)), nl(r.get(6)))),
+          nl(r.get(3)), nl(r.get(4)), nl(r.get(5)), nl(r.get(6)),
+          r.getString(7))),
         reader.query(spark, eq).collect().toSeq.map(r =>
           PgEnumRow(nl(r.get(0)), nd(r.get(1)), r.getString(2))),
         reader.query(spark, aq).collect().toSeq.map(r =>

@@ -55,7 +55,8 @@ object PostgresDialect extends JdbcDialect {
     case "timestamptz" => Some(TimestampType)
     case "timestamp" => Some(TimestampNTZType)
     case "date" => Some(DateType)
-    // T18: no TimeType in Spark → micros Long downstream; transfer text
+    // T18: no TimeType in Spark → time becomes micros Long downstream;
+    // timetz stays text (no Spark type carries the offset)
     case "time" | "timetz" => Some(StringType)
     // T32-T34: pgvector family arrives as its text form
     case "vector" | "halfvec" | "sparsevec" => Some(StringType)

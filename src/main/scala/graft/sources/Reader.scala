@@ -134,13 +134,17 @@ sealed abstract class TextDirReader(dir: String, ext: String)
   }
 
   def query(spark: SparkSession, sql: String): DataFrame = {
+    // ambiguity (both .ext and .ext.gz) is checked AFTER the mentions
+    // filter: tables the query never references are not touched at all
+    // (the class contract above), so an unrelated ambiguous pair in the
+    // same directory must not fail this query
     val entries = DirListing.list(spark, dir, Seq(s".$ext", s".$ext.gz"))
+      .filter { case (t, _) => DirListing.mentions(sql, t) }
     val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
     if (dups.nonEmpty) throw new IllegalArgumentException(
       s"ambiguous $ext tables in $dir (both .$ext and .$ext.gz): " +
         dups.mkString(", "))
     entries
-      .filter { case (t, _) => DirListing.mentions(sql, t) }
       .foreach { case (t, p) => read(spark, t, p).createOrReplaceTempView(t) }
     spark.sql(sql)
   }
@@ -231,8 +235,11 @@ final class JdbcReader(
     * load), and fractional bounds are floor/ceil-ed to integer strings. */
   def tablePartitioned(
       spark: SparkSession, rel: String, col: String, n: Int): DataFrame = {
-    if (n <= 1) return base(spark).option("dbtable", rel).load()
-    val schema = base(spark).option("dbtable", rel).load().schema // metadata only
+    // the single-cursor scan every bail-out path returns — one
+    // definition so the fallback cannot diverge between return sites
+    def unpartitioned = base(spark).option("dbtable", rel).load()
+    if (n <= 1) return unpartitioned
+    val schema = unpartitioned.schema // metadata only
     val field = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
       throw new IllegalArgumentException(
         s"partition column '$col' is not in the scan (columns: ${schema.fieldNames.mkString(", ")})"))
@@ -242,15 +249,18 @@ final class JdbcReader(
       case DateType | TimestampType | TimestampNTZType => (rel, col, col, false, false)
       case _ => // text-shaped transfer (numeric/money via the dialect):
         // stride on a float8 shadow of the column, computed server-side
-        // ($rel may itself be an aliased subquery, so SELECT *, not t.*)
-        (s"(SELECT *, ($col)::float8 AS __graft_part FROM $rel) __graft_p",
-          "__graft_part", s"($col)::float8", true, true)
+        // ($rel may itself be an aliased subquery, so SELECT *, not t.*).
+        // Via ::numeric, which is a no-op for numeric but required for
+        // money — PG has no direct money→float8 cast ("cannot cast type
+        // money to double precision")
+        (s"(SELECT *, ($col)::numeric::float8 AS __graft_part FROM $rel) __graft_p",
+          "__graft_part", s"($col)::numeric::float8", true, true)
     }
     val b = query(spark,
       s"SELECT MIN($probeCol)::text AS lo, MAX($probeCol)::text AS hi FROM $rel")
       .collect()(0)
     if (b.isNullAt(0) || b.isNullAt(1)) // empty relation / all-NULL column
-      return base(spark).option("dbtable", rel).load()
+      return unpartitioned
     val (lo, hi) =
       if (numericBounds)
         // PG float/numeric MIN/MAX can be 'NaN'/'Infinity' (NaN sorts
@@ -262,15 +272,27 @@ final class JdbcReader(
           System.err.println(s"warning: partition column '$col' has " +
             s"non-finite bounds (${b.getString(0)}, ${b.getString(1)}); " +
             "scanning unpartitioned")
-          return base(spark).option("dbtable", rel).load()
+          return unpartitioned
         }
-      else (b.getString(0), b.getString(1))
+      else {
+        // same non-finite hazard for date/timestamp columns: PG MIN/MAX
+        // can be 'infinity'/'-infinity' (bitemporal valid_to is commonly
+        // 'infinity'), which Spark's bound parser cannot parse
+        if (Seq(b.getString(0), b.getString(1))
+            .exists(v => v == "infinity" || v == "-infinity")) {
+          System.err.println(s"warning: partition column '$col' has " +
+            s"non-finite bounds (${b.getString(0)}, ${b.getString(1)}); " +
+            "scanning unpartitioned")
+          return unpartitioned
+        }
+        (b.getString(0), b.getString(1))
+      }
     // clamping (or a constant column) can collapse the stride entirely;
     // Spark handles lo == hi itself (single whole-table partition), but
     // an explicit unpartitioned scan states the intent and skips the
     // pointless partitioning options
     if (numericBounds && lo.toLong >= hi.toLong)
-      return base(spark).option("dbtable", rel).load()
+      return unpartitioned
     val df = base(spark).option("dbtable", scanRel)
       .option("partitionColumn", scanCol)
       .option("numPartitions", n)

@@ -207,4 +207,36 @@ class LivePgSpec extends AnyFunSuite {
       exec(conn, "DROP TABLE graft_live_part")
     }
   }
+
+  test("live: tablePartitioned handles money columns and infinity timestamps") {
+    withLive { (url, conn) =>
+      val reader = new JdbcReader(url)
+      // money strides through its ::numeric::float8 shadow key — PG has
+      // no direct money→float8 cast, so the plain ::float8 form would
+      // fail the server-side probe outright
+      exec(conn,
+        "DROP TABLE IF EXISTS graft_live_money",
+        """CREATE TABLE graft_live_money AS
+          |SELECT g AS id, (g * 1.5)::numeric::money AS amount
+          |FROM generate_series(1, 100) g""".stripMargin)
+      val m = reader.tablePartitioned(spark, "graft_live_money", "amount", 4)
+      assert(m.count() == 100)
+      assert(!m.columns.contains("__graft_part")) // shadow key dropped
+      // 'infinity'::timestamptz bounds (bitemporal valid_to) have no
+      // finite stride — the scan must fall back, not die in Spark's
+      // bound parser
+      exec(conn,
+        "DROP TABLE IF EXISTS graft_live_inf",
+        """CREATE TABLE graft_live_inf AS
+          |SELECT g AS id,
+          |  CASE WHEN g = 1 THEN 'infinity'::timestamptz
+          |       ELSE now() END AS valid_to
+          |FROM generate_series(1, 50) g""".stripMargin)
+      val inf = reader.tablePartitioned(spark, "graft_live_inf", "valid_to", 4)
+      assert(inf.count() == 50)
+      exec(conn,
+        "DROP TABLE graft_live_money",
+        "DROP TABLE graft_live_inf")
+    }
+  }
 }

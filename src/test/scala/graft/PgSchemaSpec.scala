@@ -149,6 +149,52 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(catalog.resolveName("vector") == PgSimple("vector"))
   }
 
+  test("resolveName: same-named types across schemas refuse to guess") {
+    // multi-tenant catalogs routinely define the same enum name per
+    // schema; an arbitrary pick would silently convert with the wrong
+    // labels, so disambiguation mirrors tableKinds
+    val multi = PgCatalog(
+      types = Seq(
+        PgTypeRow(23, "int4", "b", 0, 0, 0, 0, "pg_catalog"),
+        // a user schema shadowing a built-in name: the built-in wins
+        // (pg_catalog leads every search_path)
+        PgTypeRow(70001, "int4", "e", 0, 0, 0, 0, "tenant_a"),
+        PgTypeRow(70002, "status", "e", 0, 0, 0, 0, "tenant_a"),
+        PgTypeRow(70003, "status", "e", 0, 0, 0, 0, "tenant_b"),
+        PgTypeRow(70004, "level", "e", 0, 0, 0, 0, "public"),
+        PgTypeRow(70005, "level", "e", 0, 0, 0, 0, "tenant_a")),
+      enums = Seq(
+        PgEnumRow(70002, 1.0, "a_one"), PgEnumRow(70003, 1.0, "b_one"),
+        PgEnumRow(70004, 1.0, "pub_one"), PgEnumRow(70005, 1.0, "ten_one")),
+      attrs = Nil)
+    assert(multi.resolveName("int4") == PgSimple("int4"))
+    assert(multi.resolveName("level") == PgEnum("level", Seq("pub_one")))
+    val e = intercept[IllegalArgumentException](multi.resolveName("status"))
+    assert(e.getMessage.contains("tenant_a") && e.getMessage.contains("tenant_b"))
+    // a qualified name picks the exact schema; unknown names still fall
+    // back to simple (extension scalars)
+    assert(multi.resolveName("tenant_b.status") == PgEnum("status", Seq("b_one")))
+    assert(multi.resolveName("halfvec") == PgSimple("halfvec"))
+  }
+
+  test("timetz/cidr/macaddr8 transfer as canonical pg text (beyond-reference)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    assert(simpleType("timetz", dflt) == StringType)
+    assert(simpleType("cidr", dflt) == StringType)
+    assert(simpleType("macaddr8", dflt) == StringType)
+    val df = Seq(("12:34:56.789+02", "10.1.0.0/16", "08:00:2b:01:02:03:04:05"))
+      .toDF("t", "c", "m")
+    val out = df.select(
+      graft.functions.PgTypeMapper.convert("timetz", col("t"), dflt).as("t"),
+      graft.functions.PgTypeMapper.convert("cidr", col("c"), dflt).as("c"),
+      graft.functions.PgTypeMapper.convert("macaddr8", col("m"), dflt).as("m"))
+      .collect()(0)
+    assert(out.getString(0) == "12:34:56.789+02")
+    assert(out.getString(1) == "10.1.0.0/16")
+    assert(out.getString(2) == "08:00:2b:01:02:03:04:05")
+  }
+
   test("convertScan: dialect-typed columns pass, text transfers convert") {
     val spark = TestSpark.spark
     import spark.implicits._

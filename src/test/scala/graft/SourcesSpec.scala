@@ -72,6 +72,10 @@ class SourcesSpec extends AnyFunSuite {
       "id,animal\n9,ant\n".getBytes)
     intercept[IllegalArgumentException](r.table(spark, "pets"))
     intercept[IllegalArgumentException](r.query(spark, "SELECT * FROM pets"))
+    // …but a query that never mentions the ambiguous pair is untouched
+    // by it (the "tables the query never references" contract)
+    assert(r.query(spark, "SELECT count(*) AS c FROM people")
+      .collect()(0).getLong(0) == 3)
   }
 
   test("OrcDirReader: native ORC table/query scans round-trip") {
@@ -139,6 +143,16 @@ class SourcesSpec extends AnyFunSuite {
     ParquetSink.write(spark.range(10).toDF("id"), out2,
       ParquetSink.SinkOptions(quiet = true))
     assert(sc.getLocalProperty("spark.jobGroup.id") == null)
+    // a job DESCRIPTION set without any group must also survive —
+    // clearJobGroup would wipe it as a unit with the group
+    sc.setJobDescription("desc-only")
+    try {
+      val out3 = Files.createTempDirectory("sinkjg3").toString + "/t"
+      ParquetSink.write(spark.range(10).toDF("id"), out3,
+        ParquetSink.SinkOptions(quiet = true))
+      assert(sc.getLocalProperty("spark.job.description") == "desc-only")
+      assert(sc.getLocalProperty("spark.jobGroup.id") == null)
+    } finally sc.setJobDescription(null)
   }
 
   test("parquet-info: report carries schema, row-group stats, codec, encodings") {
@@ -271,6 +285,30 @@ class SourcesSpec extends AnyFunSuite {
     ParquetSink.write(df3, s"$dir/bad2", ParquetSink.SinkOptions())
     intercept[IllegalArgumentException](ParquetTranscode.rewritePath(
       s"$dir/bad2", Map.empty, uint32Cols = Set("o")))
+  }
+
+  test("transcode: re-encode honors the sink's row-group size and codec") {
+    // the rewrite re-encodes every page, so the sink's writer tuning
+    // must be threaded through or the shipped file silently reverts to
+    // parquet-mr defaults (128 MiB groups, default zstd level)
+    val dir = Files.createTempDirectory("txctune").toString
+    import graft.sources.ParquetTranscode
+    val hconf = spark.sparkContext.hadoopConfiguration
+    ParquetSink.write(spark.range(200000).toDF("id"), s"$dir/t",
+      ParquetSink.SinkOptions(compression = "zstd", compressionLevel = Some(9)))
+    def blocks(p: org.apache.hadoop.fs.Path): Int = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.size finally r.close()
+    }
+    val f = ParquetSink.partFiles(s"$dir/t").head
+    assert(blocks(f) == 1) // fits one default-size group before the rewrite
+    ParquetTranscode.rewritePath(s"$dir/t", Map.empty, conf = hconf,
+      rowGroupBytes = Some(64 * 1024), compressionLevel = Some(9))
+    val f2 = ParquetSink.partFiles(s"$dir/t").head
+    assert(blocks(f2) > 1) // the requested (small) group size took effect
+    assert(ParquetSink.fileCodec(f2) == "zstd") // codec preserved
+    assert(spark.read.parquet(s"$dir/t").count() == 200000)
   }
 
   test("transcode: halfvec float16 mode — list<float> → list<FLBA(2)+FLOAT16>") {
