@@ -108,8 +108,21 @@ object PgConversions {
   def pgCharByte(c: Column): Column = c.cast(ShortType)
 
   /** T11 from the TEXT form a JDBC scan delivers — the character itself,
-    * not its code ('' is the zero byte): code point → ShortType. */
-  def pgCharFromText(c: Column): Column = ascii(c).cast(ShortType)
+    * not its code ('' is the zero byte): code point → ShortType.
+    * PG 14+ prints bytes ≥ 0x80 as a 3-digit octal escape (`\310`) —
+    * decoded back to the byte value, NOT ascii('\\')=92. A code point
+    * above 255 means the byte was already destroyed in transit (pre-14
+    * servers deliver high bytes as U+FFFD through a UTF-8 client
+    * encoding) — error with the offending value (O22) rather than let
+    * the ANSI Short overflow produce an opaque failure. */
+  def pgCharFromText(c: Column): Column =
+    when(c.isNull, lit(null).cast(ShortType)) // NULL passes through, never raises
+      .when(c.rlike("^\\\\[0-7]{3}$"),
+        conv(substring(c, 2, 3), 8, 10).cast(ShortType))
+      .when(ascii(c) <= 255, ascii(c).cast(ShortType))
+      .otherwise(raise_error(concat(
+        lit("\"char\" text form is not a single byte: '"), c,
+        lit("' (pre-PG14 high-byte transfer?) — cast to ::int2 server-side"))))
 
   // ----------------------------------------------------------------- T6: floats
 
@@ -146,8 +159,15 @@ object PgConversions {
       .unscaledValue().toByteArray
 
   def numericToBigDecimalBytes(c: Column, precision: Int, scale: Int): Column = {
+    // ±Infinity (legal numeric values since PG 14) and values whose
+    // unscaled form exceeds the requested precision go to NULL — the
+    // same decision try_cast makes for the p≤38 decimal path (T7
+    // overflow policy); only NaN-like specials were filtered before,
+    // so an Infinity or an over-wide value crashed the task instead
     val u = udf((s: String) =>
-      Option(s).filter(_ != "NaN").map(bigDecimalBytes(_, scale)))
+      Option(s).filter(v => v != "NaN" && v != "Infinity" && v != "-Infinity")
+        .map(bigDecimalBytes(_, scale))
+        .filter(b => new java.math.BigInteger(b).abs.toString.length <= precision))
     u(c)
   }
 
@@ -166,9 +186,13 @@ object PgConversions {
 
   /** T10 money: raw int64 cents → Decimal(18,2)
     * (postgres_cloner.rs:596, datatypes/money.rs:6-26). Integer/100 at
-    * scale 2 is exact — no rounding can occur. */
+    * scale 2 is exact — no rounding can occur. The intermediate holds
+    * any Long (19 digits need (20,0), not (20,2)); values beyond the
+    * (18,2) target — PG money reaches ±92,233,720,368,547,758.07 — go
+    * to NULL via try_cast like the T7 numeric overflow policy, instead
+    * of an ANSI overflow killing the export. */
   def moneyToDecimal(cents: Column): Column =
-    (cents.cast(DecimalType(20, 2)) / lit(100)).cast(DecimalType(18, 2))
+    (cents.cast(DecimalType(20, 0)) / lit(100)).try_cast(DecimalType(18, 2))
 
   /** T10 on the text transfer: `$1,234.56` / `-$0.42` (C-locale
     * lc_monetary output, what a JDBC scan delivers) → Decimal(18,2).
@@ -177,7 +201,9 @@ object PgConversions {
     * stripped; locales that swap `.`/`,` roles are out of scope
     * (documented — the reference never sees the text form at all). */
   def moneyFromText(c: Column): Column =
-    regexp_replace(c, "[^0-9.-]", "").cast(DecimalType(18, 2))
+    // try_cast: beyond-(18,2) magnitudes → NULL (T7 overflow policy),
+    // matching moneyToDecimal
+    regexp_replace(c, "[^0-9.-]", "").try_cast(DecimalType(18, 2))
 
   // ------------------------------------------------------- T12–T14: bytes/text
 
@@ -193,17 +219,31 @@ object PgConversions {
 
   // ------------------------------------------------------ T15–T18: date & time
 
-  /** T17 date: 'yyyy-mm-dd' → DateType (postgres_cloner.rs:612-613). */
-  def pgDate(c: Column): Column = c.cast(DateType)
+  /** PG-legal temporal values no Spark temporal type can represent —
+    * `infinity`/`-infinity` (common as a bitemporal `valid_to`, and
+    * printed as an explicit range bound by `daterange(x,'infinity')`)
+    * and BC-era text (`0001-01-01 BC`) — become NULL, the same decision
+    * the T7 numeric path makes for NaN. Everything ELSE keeps the
+    * ANSI-throwing cast: genuinely malformed text must error with the
+    * offending value (O22), not silently null out. */
+  private def temporalFromText(c: Column, target: org.apache.spark.sql.types.DataType): Column =
+    when(c === "infinity" || c === "-infinity" || c.endsWith(" BC"),
+      lit(null).cast(target))
+      .otherwise(c.cast(target))
+
+  /** T17 date: 'yyyy-mm-dd' → DateType (postgres_cloner.rs:612-613);
+    * infinity/BC → NULL. */
+  def pgDate(c: Column): Column = temporalFromText(c, DateType)
 
   /** T16 timestamp (no tz) → TimestampNTZType micros
-    * (postgres_cloner.rs:610-611). */
-  def pgTimestamp(c: Column): Column = c.cast(TimestampNTZType)
+    * (postgres_cloner.rs:610-611); infinity/BC → NULL. */
+  def pgTimestamp(c: Column): Column = temporalFromText(c, TimestampNTZType)
 
   /** T15 timestamptz → TimestampType (UTC-adjusted micros,
     * postgres_cloner.rs:608-609). Sessions pin spark.sql.session.timeZone
-    * =UTC so the text form is interpreted exactly like PG's UTC wire form. */
-  def pgTimestampTz(c: Column): Column = c.cast(TimestampType)
+    * =UTC so the text form is interpreted exactly like PG's UTC wire
+    * form; infinity/BC → NULL. */
+  def pgTimestampTz(c: Column): Column = temporalFromText(c, TimestampType)
 
   /** T18 time: 'HH:MM:SS[.ffffff]' → micros since midnight as Long
     * (Spark has no TimeType; SURVEY §2.3 T18 documents LongType).
@@ -685,6 +725,12 @@ object PgConversions {
     val emptyMap = map_from_arrays(
       array().cast(ArrayType(IntegerType)), array().cast(ArrayType(FloatType)))
     when(c.isNull, lit(null))
+      // shape check FIRST: regexp_extract's no-match result is also ''
+      // — without it any brace-less garbage would silently export as an
+      // empty map instead of erroring with the value (T35/O22 policy)
+      .when(!c.rlike("^\\{.*\\}/[0-9]+$"), raise_error(concat(
+        lit("malformed sparsevec text: '"), c,
+        lit("' (expected '{i:v,...}/dims')"))))
       .when(entries === "", emptyMap)
       .otherwise(
         transform_values(

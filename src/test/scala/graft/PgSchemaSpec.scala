@@ -177,6 +177,56 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(multi.resolveName("halfvec") == PgSimple("halfvec"))
   }
 
+  test("conversion edges: temporal specials, char octal, money overflow, sparsevec shape") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.functions.PgConversions._
+    // PG-legal temporal values with no Spark representation → NULL;
+    // ordinary values still parse; garbage still errors (ANSI cast)
+    val d = Seq("2020-01-02", "infinity", "-infinity", "0001-01-01 BC")
+      .toDF("v").select(pgDate(col("v")).as("d")).collect()
+    assert(d(0).getDate(0).toString == "2020-01-02")
+    assert(d(1).isNullAt(0) && d(2).isNullAt(0) && d(3).isNullAt(0))
+    intercept[Exception](Seq("not-a-date").toDF("v")
+      .select(pgDate(col("v"))).collect())
+    val ts = Seq("infinity", "2024-01-02 03:04:05+00").toDF("v")
+      .select(pgTimestampTz(col("v")).as("t")).collect()
+    assert(ts(0).isNullAt(0) && !ts(1).isNullAt(0))
+    // "char" text form: PG 14+ octal escape for high bytes decodes to
+    // the byte value (not ascii('\\') = 92); plain chars keep their code
+    val ch = Seq("A", "\\310", "").toDF("v")
+      .select(pgCharFromText(col("v")).as("c")).collect()
+    assert(ch(0).getShort(0) == 65)
+    assert(ch(1).getShort(0) == 200)
+    assert(ch(2).getShort(0) == 0) // '' is the zero byte
+    // money beyond Decimal(18,2) → NULL (T7 overflow policy), both forms
+    val m = Seq("$1,234.56", "$92,233,720,368,547,758.07").toDF("v")
+      .select(moneyFromText(col("v")).as("m")).collect()
+    assert(m(0).getDecimal(0).toString == "1234.56" && m(1).isNullAt(0))
+    val mc = Seq(12345L, Long.MaxValue).toDF("v")
+      .select(moneyToDecimal(col("v")).as("m")).collect()
+    assert(mc(0).getDecimal(0).toString == "123.45" && mc(1).isNullAt(0))
+    // p>38 numeric: ±Infinity (PG 14+) and over-precision values → NULL
+    // like the p≤38 try_cast path, instead of a task-killing exception
+    val nb = Seq("Infinity", "-Infinity", "123.45", "12345678901.0").toDF("v")
+      .select(graft.functions.PgConversions
+        .numericToBigDecimalBytes(col("v"), precision = 10, scale = 2).as("b"))
+      .collect()
+    assert(nb(0).isNullAt(0) && nb(1).isNullAt(0))
+    assert(nb(2).getAs[Array[Byte]](0) != null) // 12345 unscaled: 5 ≤ 10 digits
+    assert(nb(3).isNullAt(0))                   // 13 unscaled digits > 10
+    // sparsevec: brace-less garbage errors with the value instead of
+    // silently exporting an empty map; the genuine '{}/n' stays empty
+    val sv = Seq("{}/10", "{1:2.5}/10").toDF("v")
+      .select(sparsevecFromText(col("v")).as("s")).collect()
+    assert(sv(0).getMap[Int, Float](0).isEmpty)
+    assert(sv(1).getMap[Int, Float](0) == Map(1 -> 2.5f))
+    val err = intercept[Exception](Seq("garbage").toDF("v")
+      .select(sparsevecFromText(col("v"))).collect())
+    assert(err.getMessage.contains("sparsevec") ||
+      Option(err.getCause).exists(_.getMessage.contains("sparsevec")))
+  }
+
   test("timetz/cidr/macaddr8 transfer as canonical pg text (beyond-reference)") {
     val spark = TestSpark.spark
     import spark.implicits._
