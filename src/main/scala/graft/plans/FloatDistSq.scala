@@ -29,11 +29,18 @@ case class FloatDistSq(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dist_sq"
+  // mismatched lengths yield NULL (below), so the result is nullable
+  // even over non-null inputs
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // length mismatch → NULL, matching the zip_with spelling (its
+    // null-padding makes the HOF sum NULL) — a wrong-dimension vector
+    // must not produce a plausible partial distance
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -51,13 +58,17 @@ case class FloatDistSq(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $d = (double)$a.getFloat($i) - $b.getDouble($i);
-         |  $acc += $d * $d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $d = (double)$a.getFloat($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

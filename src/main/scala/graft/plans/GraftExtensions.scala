@@ -10,65 +10,69 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * SparkSessionExtensions mechanism — no internal registries touched).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Builder with an arity gate: a SQL call with the wrong argument
+    * count gets "`name` expects N arguments, got M" at analysis time,
+    * not a raw IndexOutOfBoundsException from `children(i)` (and extra
+    * arguments are rejected, not silently ignored). */
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${children.length}")
+      f(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
-      (children: Seq[Expression]) =>
-        FloatDotProduct(children(0), children(1))))
+      arity("float_dot", 2)(c => FloatDotProduct(c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("float_dist_sq"),
       new ExpressionInfo(classOf[FloatDistSq].getName, "float_dist_sq"),
-      (children: Seq[Expression]) =>
-        FloatDistSq(children(0), children(1))))
+      arity("float_dist_sq", 2)(c => FloatDistSq(c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
-      (children: Seq[Expression]) =>
-        MinhashSignature(children(0),
-          TextHashes.litInt(children(1), "minhash_sig: numHashes"))))
+      arity("minhash_sig", 2)(c => MinhashSignature(c(0),
+        TextHashes.litInt(c(1), "minhash_sig: numHashes")))))
     ext.injectFunction((
       new FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimhashFingerprint].getName, "simhash_fp"),
-      (children: Seq[Expression]) =>
-        SimhashFingerprint(children(0),
-          TextHashes.litInt(children(1), "simhash_fp: numBits"))))
+      arity("simhash_fp", 2)(c => SimhashFingerprint(c(0),
+        TextHashes.litInt(c(1), "simhash_fp: numBits")))))
     ext.injectFunction((
       new FunctionIdentifier("md5_prefix_long"),
       new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),
-      (children: Seq[Expression]) =>
-        Md5PrefixLong(children(0),
-          TextHashes.litInt(children(1), "md5_prefix_long: nBytes"))))
+      arity("md5_prefix_long", 2)(c => Md5PrefixLong(c(0),
+        TextHashes.litInt(c(1), "md5_prefix_long: nBytes")))))
     ext.injectFunction((
       new FunctionIdentifier("md5_prefix_array"),
       new ExpressionInfo(classOf[Md5PrefixArray].getName, "md5_prefix_array"),
-      (children: Seq[Expression]) =>
-        Md5PrefixArray(children(0),
-          TextHashes.litInt(children(1), "md5_prefix_array: nBytes"))))
+      arity("md5_prefix_array", 2)(c => Md5PrefixArray(c(0),
+        TextHashes.litInt(c(1), "md5_prefix_array: nBytes")))))
     ext.injectFunction((
       new FunctionIdentifier("kgram_hashes"),
       new ExpressionInfo(classOf[KgramHashes].getName, "kgram_hashes"),
-      (children: Seq[Expression]) =>
-        KgramHashes(children(0),
-          TextHashes.litInt(children(1), "kgram_hashes: k"),
-          TextHashes.litInt(children(2), "kgram_hashes: nBytes"))))
+      arity("kgram_hashes", 3)(c => KgramHashes(c(0),
+        TextHashes.litInt(c(1), "kgram_hashes: k"),
+        TextHashes.litInt(c(2), "kgram_hashes: nBytes")))))
     ext.injectFunction((
       new FunctionIdentifier("chargram_strings"),
       new ExpressionInfo(classOf[ChargramStrings].getName, "chargram_strings"),
-      (children: Seq[Expression]) =>
-        ChargramStrings(children(0),
-          TextHashes.litInt(children(1), "chargram_strings: k"))))
+      arity("chargram_strings", 2)(c => ChargramStrings(c(0),
+        TextHashes.litInt(c(1), "chargram_strings: k")))))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
-      (children: Seq[Expression]) =>
-        SortedIntersectCount(children(0), children(1))))
+      arity("sorted_intersect_count", 2)(c =>
+        SortedIntersectCount(c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("kgram_strings"),
       new ExpressionInfo(classOf[KgramStrings].getName, "kgram_strings"),
-      (children: Seq[Expression]) =>
-        KgramStrings(children(0),
-          TextHashes.litInt(children(1), "kgram_strings: k"))))
+      arity("kgram_strings", 2)(c => KgramStrings(c(0),
+        TextHashes.litInt(c(1), "kgram_strings: k")))))
   }
 }

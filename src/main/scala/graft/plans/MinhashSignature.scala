@@ -31,8 +31,6 @@ case class MinhashSignature(child: Expression, numHashes: Int)
   require(numHashes >= 1 && numHashes <= 64,
     s"minhash_sig: numHashes must be in [1, 64], got $numHashes")
 
-  private val P = MinhashSignature.P
-
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -176,17 +176,18 @@ object TextHashes {
     val nChars = s.numChars()
     if (nChars < k) return new GenericArrayData(Array.empty[Any])
     val bytes = s.getBytes
-    // offsets(c) = byte index where character c starts; offsets(nChars) = end
+    // offsets(c) = byte index where character c starts; offsets(nChars) = end.
+    // The advance MUST be UTF8String's own table: numChars() counts an
+    // invalid lead byte (bare continuation, overlong lead) as ONE char,
+    // and a hand-rolled table that disagrees walks past the array on
+    // malformed input — parquet/JSONL string columns are not validated
+    // UTF-8, so one corrupt document must not kill the job
     val offsets = new Array[Int](nChars + 1)
     var b = 0
     var c = 0
     while (c < nChars) {
       offsets(c) = b
-      val first = bytes(b)
-      b += (if ((first & 0x80) == 0) 1
-            else if ((first & 0xe0) == 0xc0) 2
-            else if ((first & 0xf0) == 0xe0) 3
-            else 4)
+      b += UTF8String.numBytesForFirstByte(bytes(b))
       c += 1
     }
     offsets(nChars) = bytes.length

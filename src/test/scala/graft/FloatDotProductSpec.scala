@@ -51,6 +51,39 @@ class FloatDotProductSpec extends AnyFunSuite {
     }
   }
 
+  test("float_dot/float_dist_sq: length mismatch yields NULL like the HOF spelling") {
+    import spark.implicits._
+    // zip_with null-pads the shorter side, so the HOF sum is NULL on
+    // mismatched dimensions — the native kernels must agree (a truncated
+    // partial product would silently mis-rank a corrupt embedding)
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f)),        // mismatch → NULL
+      (Array(1f, 2f), Array(3f, 4f)))            // match → value
+      .toDF("a", "b")
+    val dot = df.select(call_function("float_dot", col("a"), col("b")).as("d"))
+      .collect()
+    assert(dot(0).isNullAt(0))
+    assert(dot(1).getDouble(0) == 11.0)
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x).as("d")).collect()
+    assert(hof(0).isNullAt(0)) // the spelling the kernel claims identity with
+    val dist = Seq((Array(1f, 2f, 3f), Array(0.5, 2.0)))
+      .toDF("a", "b")
+      .select(call_function("float_dist_sq", col("a"), col("b")).as("d"))
+      .collect()
+    assert(dist(0).isNullAt(0))
+    // interpreted eval agrees with the codegen path
+    val e = graft.plans.FloatDotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1f, 2f, 3f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(4f, 5f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null) == null)
+  }
+
   test("float_dot: null array propagates, type mismatch rejected") {
     import spark.implicits._
     val df = Seq((Some(Array(1f)), Option.empty[Array[Float]]))

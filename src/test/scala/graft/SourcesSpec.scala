@@ -486,6 +486,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(dirReader.table(spark, "nation").count() == 25)
   }
 
+  test("cli: half-specified discrete pair, bad knob values fail at parse time") {
+    import Main.parseArgs
+    // --dbname (or --port) without --host used to be silently ignored,
+    // letting the export fall through to DATABASE_URL and target a
+    // different database than the user named
+    val half = intercept[IllegalArgumentException](
+      parseArgs(Seq("export", "-o", "x", "--table", "a", "--dbname", "mydb"), Map.empty))
+    assert(half.getMessage.contains("--host and --dbname"))
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("export", "-o", "x", "--table", "a", "--port", "5433"), Map.empty))
+    // Spark reads maxRecordsPerFile 0/negative as NO limit — reject
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("export", "-o", "x", "--table", "a",
+        "--max-records-per-file", "0"), Map.empty))
+    // decimal target must be constructible; fail before Spark startup
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("export", "-o", "x", "--table", "a",
+        "--decimal-precision", "0"), Map.empty))
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("export", "-o", "x", "--table", "a",
+        "--decimal-precision", "10", "--decimal-scale", "11"), Map.empty))
+  }
+
+  test("cli: libpq-form postgres:// URLs translate to the pgjdbc form") {
+    import Main.libpqToJdbc
+    // the standard DATABASE_URL shape the reference connects with
+    assert(libpqToJdbc("postgres://u:p@h:5433/db?sslmode=require") ==
+      "jdbc:postgresql://h:5433/db?user=u&password=p&sslmode=require")
+    assert(libpqToJdbc("postgresql://h/db") == "jdbc:postgresql://h/db")
+    assert(libpqToJdbc("postgres://u@h") == "jdbc:postgresql://h?user=u")
+    // percent-encoding carries through raw (both sides URL-decode)
+    assert(libpqToJdbc("postgres://u:p%40ss@h/db") ==
+      "jdbc:postgresql://h/db?user=u&password=p%40ss")
+    // readerFor accepts the env fallback in libpq form (the reference's
+    // own DATABASE_URL shape) instead of rejecting it as unsupported
+    val r = Main.readerFor(
+      Main.Args(outputFile = "x", table = Some("t")),
+      Map("DATABASE_URL" -> "postgres://u:p@h/db"))
+    assert(r.isInstanceOf[graft.sources.JdbcReader])
+  }
+
   // ---- O3 TLS/password surface (cli/src/main.rs:104-120,
   // postgres_cloner.rs:136-292)
   test("cli: sslmode/cert args → pgjdbc property map") {

@@ -118,6 +118,25 @@ class TextHashesSpec extends AnyFunSuite {
     })
   }
 
+  test("chargram_strings: invalid UTF-8 walks numChars-consistently, no crash") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // parquet/JSONL string columns are not validated UTF-8; the byte
+    // walk must use UTF8String's own advance table (invalid lead bytes
+    // count as ONE char in numChars) or it reads past the array
+    val cont = UTF8String.fromBytes(Array.fill(5)(0xBF.toByte)) // bare continuations
+    val g1 = graft.plans.TextHashes.chargramStrings(cont, 3)
+    assert(g1.numElements() == 1) // 3 identical windows of 0xBF×3 → 1 distinct
+    // a truncated multi-byte lead at the end of the buffer
+    val trunc = UTF8String.fromBytes("ab".getBytes("UTF-8") :+ 0xE2.toByte)
+    val g2 = graft.plans.TextHashes.chargramStrings(trunc, 2)
+    assert(g2.numElements() == trunc.numChars() - 1)
+    // overlong/stray leads mixed with ASCII
+    val mixed = UTF8String.fromBytes(
+      Array[Byte]('x'.toByte, 0xFF.toByte, 'y'.toByte, 0x80.toByte, 'z'.toByte))
+    val g3 = graft.plans.TextHashes.chargramStrings(mixed, 2)
+    assert(g3.numElements() > 0) // walks the full buffer without throwing
+  }
+
   test("kgram kernels: arrays shorter than k yield empty; null yields null") {
     import spark.implicits._
     val df = Seq(Some(Seq("a", "b")), None).toDF("ws")
