@@ -24,18 +24,6 @@ import org.apache.spark.sql.types._
   */
 object Pipeline {
 
-  /** 32-bit integer identity of a shingle: md5-prefix parse via the
-    * codegen'd [[graft.plans.Md5PrefixLong]] (value-identical to
-    * `conv(substring(md5(c),1,8),16,10)` but skips the hex string +
-    * base-16 parse). Identical formula on the oracle side:
-    * CAST('0x' || substr(md5(s),1,8) AS BIGINT). */
-  private def hash32(c: Column): Column =
-    call_function("md5_prefix_long", c, lit(4))
-
-  /** 48-bit token hash (fits exactly in double/BIGINT on both engines). */
-  private def hash48(c: Column): Column =
-    call_function("md5_prefix_long", c, lit(6))
-
   private def words(c: Column): Column = split(c, "\\s+")
 
   /** Sequential (left-to-right) double dot product of two float arrays —
@@ -48,6 +36,18 @@ object Pipeline {
 
   private def cosine(dotAb: Column, n2a: Column, n2b: Column): Column =
     dotAb / (sqrt(n2a) * sqrt(n2b))
+
+  /** Integer-scaling factor for exact centroid sums — the SINGLE copy
+    * shared by [[kmeansFit]]/[[kmeansCluster]]/[[centroidOutliers]] and
+    * spliced into the p21/p29 oracle SQL: the determinism contract
+    * (bit-identical means across engines) requires every copy to agree,
+    * so there is exactly one. */
+  private val IntScale = 10000000L
+
+  /** Default exact-Jaccard admission threshold for the minhash pair
+    * graph — spliced into [[NeardupPairsSql]] so the oracle twin can
+    * never drift from the function default. */
+  private val DefaultJaccardMin = 0.5
 
   /** MinHash params: 32 universal-hash functions h_i(x)=(a_i x+b_i) mod p
     * over the 32-bit shingle ids; 8 bands × 4 rows. */
@@ -131,7 +131,7 @@ object Pipeline {
     * [[exactDedup]] first, the standard pipeline order, and such
     * buckets collapse before LSH ever sees them. */
   def minhashNeardupPairs(corpus: DataFrame, idCol: String, textCol: String,
-      jaccardMin: Double = 0.5): DataFrame = {
+      jaccardMin: Double = DefaultJaccardMin): DataFrame = {
     val docs = corpus
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 5)
@@ -243,7 +243,7 @@ object Pipeline {
       SELECT i.da AS doc_a, i.db AS doc_b,
              i.c / (na.n + nb.n - i.c) AS jaccard
       FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
-      WHERE i.c / (na.n + nb.n - i.c) >= 0.5)"""
+      WHERE i.c / (na.n + nb.n - i.c) >= $DefaultJaccardMin)"""
 
   /** 48-bit SimHash fingerprint per document (p03's plan, factored out
     * so p26's Hamming-distance pairing runs over the identical
@@ -509,6 +509,14 @@ object Pipeline {
     * columns (id and stratum first) plus the per-stratum hash rank. */
   def rebalanceToMix(corpus: DataFrame, idCol: String, stratumCol: String,
       weights: Seq[(String, Long)]): DataFrame = {
+    // a duplicate stratum key would silently duplicate every matching
+    // corpus row through the weights join (and inflate W); non-positive
+    // weights divide by zero or demand negative caps
+    require(weights.nonEmpty, "weights must not be empty")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate stratum keys in weights: ${weights.map(_._1).diff(weights.map(_._1).distinct).distinct.mkString(", ")}")
+    require(weights.forall(_._2 > 0),
+      s"weights must be positive, got ${weights.filter(_._2 <= 0).mkString(", ")}")
     val spark = corpus.sparkSession
     import spark.implicits._
     val W = weights.map(_._2).sum
@@ -540,7 +548,7 @@ object Pipeline {
     * + one window per label. Output: (label, vec_id, d2, rk). */
   def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, topK: Int, dim: Int): DataFrame = {
-    val Scale = 10000000L
+    val Scale = IntScale
     val e = vecs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
       col(vecCol).as("embedding"))
     val sums = (0 until dim).map(i =>
@@ -566,12 +574,17 @@ object Pipeline {
     * content hash, preserving all caller columns — the p01 digest-
     * groupBy plan reshaped to return the deduped corpus itself (p01's
     * QueryDef is the per-hash REPORT; this is the dedup operator). One
-    * shuffle on the 128-bit digest; no text comparison. */
+    * shuffle on the 128-bit digest; no text comparison.
+    *
+    * NULL text never matches anything: md5(NULL) is NULL and the window
+    * groups NULLs together, which would silently collapse every distinct
+    * ingest-failure row into one — kept instead, the same decision
+    * [[admitAgainstCorpus]] makes for a NULL content hash. */
   def exactDedup(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus
       .withColumn("__rk", row_number().over(
         Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))))
-      .filter(col("__rk") === 1)
+      .filter(col("__rk") === 1 || col(textCol).isNull)
       .drop("__rk")
 
   /** Incremental admission of an incoming shard against an EXISTING
@@ -583,6 +596,15 @@ object Pipeline {
     * too short to shingle — such rows dedup exactly only). */
   def admitAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // fail fast instead of duplicate output columns (withColumn would
+    // silently overwrite, then the final select lists the name twice
+    // and every downstream col() throws ambiguous-reference) — this
+    // includes re-admitting this function's OWN output; drop the two
+    // added columns before feeding it back
+    val taken = incoming.columns.toSet.intersect(Set("content_hash", "band_sig"))
+    require(taken.isEmpty,
+      s"incoming already has column(s) ${taken.mkString(", ")} — drop or " +
+        "rename them before calling admitAgainstCorpus, which adds both")
     def keyed(df: DataFrame): DataFrame = df
       .withColumn("content_hash", md5(col(textCol)))
       .withColumn("__ws", words(col(textCol)))
@@ -739,7 +761,7 @@ object Pipeline {
     * exact sums, ties to the lowest cluster id). */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, iters: Int = 2): DataFrame = {
-    val Scale = 10000000L
+    val Scale = IntScale
     val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val init = e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
@@ -1262,10 +1284,16 @@ object Pipeline {
     } finally if (checkpointDir.isDefined) {
       // restore the caller's context-wide checkpoint location (the
       // returned labels are already materialized, so they don't need
-      // it). Spark's public API cannot UNSET the dir, so when the
-      // caller had none set, ours stays — harmless (unused unless
-      // something later checkpoints) and stated in the NOTE above.
-      prevCkptDir.foreach(sc.setCheckpointDir)
+      // it). getCheckpointDir reports the <dir>/<uuid> SUBDIR that the
+      // caller's own setCheckpointDir created — setting it back
+      // verbatim would nest a fresh uuid one level deeper per call, so
+      // restore the caller's original argument (the uuid dir's parent;
+      // a new uuid beside the old one is the best Spark's API can do).
+      // The API cannot UNSET the dir, so when the caller had none set,
+      // ours stays — harmless (unused unless something later
+      // checkpoints) and stated in the NOTE above.
+      prevCkptDir.foreach(d => sc.setCheckpointDir(
+        new org.apache.hadoop.fs.Path(d).getParent.toString))
     }
   }
 
@@ -1602,12 +1630,15 @@ object Pipeline {
             CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('el','los','las','y','es'))) AS BIGINT) AS s_es
           FROM documents)
         SELECT doc_id, lang,
-               CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+               -- COALESCE: NULL text makes every score NULL, which
+               -- would skip all WHENs and fall to ELSE 'es'; the Spark
+               -- operator's when-chain falls back to 'und' instead
+               CASE WHEN COALESCE(s_en + s_de + s_fr + s_es, 0) = 0 THEN 'und'
                     WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
                     WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
                     WHEN s_fr >= s_es THEN 'fr'
                     ELSE 'es' END AS predicted,
-               CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+               CASE WHEN COALESCE(s_en + s_de + s_fr + s_es, 0) = 0 THEN 'und'
                     WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
                     WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
                     WHEN s_fr >= s_es THEN 'fr'
@@ -1705,7 +1736,10 @@ object Pipeline {
                  + CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
                    / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 0.2 AS quality
           FROM dedup
-          WHERE dup_rank = 1 AND lang IN ('en','de','fr','es') AND n_chars >= 100)
+          -- NULL text never matches anything (mirrors exactDedup's
+          -- keep-all-NULL-text contract)
+          WHERE (dup_rank = 1 OR text IS NULL)
+            AND lang IN ('en','de','fr','es') AND n_chars >= 100)
         SELECT doc_id, lang, source, n_chars, n_tokens, quality
         FROM scored WHERE quality >= 0.5 AND n_tokens <= 10000
         ORDER BY doc_id""")),
@@ -1978,7 +2012,7 @@ object Pipeline {
           k = 4, dim = 64, iters = 2)
           .orderBy(col("vec_id")),
       Some {
-        val K = 4; val Dim = 64; val Scale = "10000000"
+        val K = 4; val Dim = 64; val Scale = IntScale.toString
         def d2sql(q: String, c: String) =
           s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> " +
             s"(CAST($q[i] AS DOUBLE) - $c[i]) * (CAST($q[i] AS DOUBLE) - $c[i])), " +
@@ -2343,7 +2377,7 @@ object Pipeline {
             col("d2"), col("rk"))
           .orderBy(col("label"), col("rk")),
       Some {
-        val Dim = 64; val Scale = "10000000"
+        val Dim = 64; val Scale = IntScale.toString
         val sumCols = (1 to Dim).map(i =>
           s"SUM(CAST(ROUND(CAST(embedding[$i] AS DOUBLE) * $Scale) AS BIGINT)) AS s$i")
           .mkString(", ")

@@ -89,6 +89,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rddDirs.length == 1, s"expected 1 surviving rdd dir, got ${rddDirs.length}")
   }
 
+  test("connectedComponents: restores the caller's checkpoint LOCATION, not its uuid subdir") {
+    import spark.implicits._
+    // getCheckpointDir reports the <dir>/<uuid> subdir setCheckpointDir
+    // created; restoring that value verbatim would nest a fresh uuid one
+    // level deeper per call — the restore must land back under the
+    // caller's ORIGINAL argument
+    val sc = spark.sparkContext
+    val callerDir = java.nio.file.Files.createTempDirectory("cc-caller").toString
+    val ccDir = java.nio.file.Files.createTempDirectory("cc-own").toString
+    sc.setCheckpointDir(callerDir)
+    try {
+      val pairs = Seq((1L, 2L)).toDF("a", "b")
+      operators.Pipeline
+        .connectedComponents(pairs, checkpointDir = Some(ccDir)).collect()
+      val restored = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      assert(restored.getParent.toUri.getPath ==
+        new java.io.File(callerDir).getAbsolutePath,
+        s"checkpoint dir restored to $restored, expected a uuid dir " +
+          s"directly under $callerDir")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("connectedComponents: deep chain under reliable checkpointing cleans up and converges") {
     import spark.implicits._
     // pointer-jumping × incremental cleanup together: jump rounds read

@@ -90,6 +90,45 @@ class TextApiSpec extends AnyFunSuite {
       Seq((3L, "b"), (7L, "c")))
   }
 
+  test("exactDedup keeps every NULL-text row; admit/rebalance guard their inputs") {
+    import spark.implicits._
+    // NULL text never matches anything — md5(NULL) is NULL and the
+    // dedup window groups NULLs, which would silently collapse distinct
+    // ingest-failure rows; admitAgainstCorpus already treats a NULL
+    // content hash as never-matching, so the batch operator must too
+    val df = Seq((1L, Some("same"), "a"), (2L, Some("same"), "b"),
+      (3L, None, "c"), (4L, None, "d"), (5L, None, "e"))
+      .toDF("post_key", "body", "tag")
+    val kept = Pipeline.exactDedup(df, "post_key", "body")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L)) // dup collapsed, ALL null-text kept
+    // admitAgainstCorpus fails fast when incoming already carries its
+    // output columns (duplicate names would poison downstream col())
+    val clash = Seq((1L, "x")).toDF("post_key", "body")
+      .withColumn("content_hash", lit("h"))
+    val e = intercept[IllegalArgumentException](
+      Pipeline.admitAgainstCorpus(df, clash, "post_key", "body"))
+    assert(e.getMessage.contains("content_hash"))
+    // …and its own output re-admits cleanly once those are dropped
+    val corpus = Seq((1L, "alpha")).toDF("post_key", "body")
+    val once = Pipeline.admitAgainstCorpus(corpus,
+      Seq((2L, "beta")).toDF("post_key", "body"), "post_key", "body")
+    val again = Pipeline.admitAgainstCorpus(corpus,
+      once.drop("content_hash", "band_sig"), "post_key", "body")
+    assert(again.select("post_key").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // rebalanceToMix rejects duplicate stratum keys and non-positive
+    // weights instead of silently duplicating corpus rows via the join
+    val strat = Seq((1L, "en"), (2L, "de")).toDF("post_key", "stratum")
+    val dup = intercept[IllegalArgumentException](
+      Pipeline.rebalanceToMix(strat, "post_key", "stratum",
+        Seq("en" -> 4L, "en" -> 1L)))
+    assert(dup.getMessage.contains("duplicate"))
+    intercept[IllegalArgumentException](
+      Pipeline.rebalanceToMix(strat, "post_key", "stratum", Seq("en" -> 0L)))
+    intercept[IllegalArgumentException](
+      Pipeline.rebalanceToMix(strat, "post_key", "stratum", Nil))
+  }
+
   test("admitAgainstCorpus drops exact and near-dup re-posts, admits fresh docs") {
     import spark.implicits._
     val aWords = (1 to 60).map(i => s"w$i")
