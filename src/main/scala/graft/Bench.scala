@@ -116,7 +116,10 @@ object Bench {
     val failures = (headFailed ++
       fullSingles.collect { case (n, _, true) => n })
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full":$fullJson,"full_total":$fullTotal,"failures":$failures,"sf":"$sfDir"}"""
+    // sfDir comes from an env var — escape it (a quote or backslash in
+    // the path would make both JSON lines unparseable and zero the round)
+    val sfJson = Verify.jsonEscape(sfDir)
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full":$fullJson,"full_total":$fullTotal,"failures":$failures,"sf":$sfJson}"""
     // The driver's artifact capture keeps only a fixed-size TAIL of
     // stdout; in r7 the full line outgrew it and the headline maps were
     // truncated away (parsed: null). Defend both ways: persist the full
@@ -129,7 +132,7 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_full.json: $e") }
     println(fullLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full_total":$fullTotal,"failures":$failures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full_total":$fullTotal,"failures":$failures,"sf":$sfJson}""")
     spark.stop()
   }
 }

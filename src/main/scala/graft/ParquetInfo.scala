@@ -26,7 +26,19 @@ object ParquetInfo {
     val fs = p.getFileSystem(conf)
     val files =
       if (fs.getFileStatus(p).isFile) Seq(p)
-      else graft.sources.ParquetSink.partFiles(path, conf)
+      else {
+        // ANY *.parquet under the directory — not just Spark's part-*
+        // naming: a lake directory of ordinarily-named files
+        // (events.parquet, orders.parquet) must not silently report
+        // nothing, indistinguishable from an empty dataset
+        def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+          fs.listStatus(d).toSeq.flatMap {
+            case st if st.isDirectory => walk(st.getPath)
+            case st if st.getPath.getName.endsWith(".parquet") => Seq(st.getPath)
+            case _ => Seq.empty
+          }
+        walk(p).sortBy(_.toString)
+      }
     files.flatMap { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -50,24 +62,44 @@ object ParquetInfo {
     * this object's main and the `graft parquet-info` CLI subcommand
     * ([[Main]]; reference surface `cli/src/main.rs:330-333`). */
   def run(path: String, sample: Int): Unit = {
-    describe(path).foreach(println)
+    val lines = describe(path)
+    lines.foreach(println)
+    if (lines.isEmpty)
+      System.err.println(s"no parquet files found under $path")
 
-    if (sample > 0) {
+    if (sample > 0 && lines.nonEmpty) {
+      // stop the session only if WE created it: getOrCreate returns a
+      // caller's pre-existing session (its configs win), and stopping
+      // that would kill every subsequent operation the caller runs
+      val preexisting = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession).isDefined
       val spark = SparkSession.builder().master("local[2]")
         .appName("graft-parquet-info")
+        .config("spark.sql.session.timeZone", "UTC")
+        // TIMESTAMP(NANOS) files (the events table) read as Long —
+        // same flag every other entrypoint sets (Tables.events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       try {
         val df = spark.read.parquet(path)
         df.printSchema()
         df.show(sample, truncate = false)
-      } finally spark.stop()
+      } finally if (!preexisting) spark.stop()
     }
   }
 
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse(
       sys.error("usage: ParquetInfo <file-or-dir> [sampleRows]"))
-    run(path, args.lift(1).map(_.toInt).getOrElse(20))
+    // same contract as the CLI subcommand's parse (Main.parseInfoArgs):
+    // a clear message, not a raw NumberFormatException; negatives rejected
+    val sample = args.lift(1).map { s =>
+      val n = try s.toInt catch { case _: NumberFormatException =>
+        sys.error(s"invalid sample row count '$s'") }
+      if (n < 0) sys.error(s"invalid sample row count '$s'")
+      n
+    }.getOrElse(20)
+    run(path, sample)
   }
 }

@@ -169,6 +169,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(colLines.size == 2, s"expected 2 column chunks, got:\n${report.mkString("\n")}")
     assert(colLines.forall(_.contains("values=500")))
     assert(colLines.forall(_.contains("encodings=")))
+    // a directory of ordinarily-named files (the testdata layout:
+    // events.parquet, orders.parquet — not Spark's part-*) must report
+    // them all, not silently print nothing
+    val lake = Files.createTempDirectory("pinfodir").toString
+    Seq((1L, "x")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$lake/events.parquet")
+    Seq((2L, "y")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$lake/orders.parquet")
+    val lakeReport = ParquetInfo.describe(lake)
+    assert(lakeReport.count(_.startsWith("file: ")) == 2,
+      s"expected both lake files reported:\n${lakeReport.mkString("\n")}")
   }
 
   test("parquet-info: CLI subcommand parse + describe on a written file") {
