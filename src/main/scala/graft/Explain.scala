@@ -8,9 +8,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: `runMain graft.Explain [sfDir] [queryName ...]`
   *  - an absolute first arg selects the data dir; otherwise
-  *    `SPARK_GRAFT_SF_DIR` (default sf0.001). Plans are
-  *    scale-dependent through AQE thresholds, so audit at the scale
-  *    you care about.
+  *    `SPARK_GRAFT_SF_DIR` (default sf0.01 — the driver's correctness
+  *    scale, and what the pre-consolidation ExplainTool defaulted to).
+  *    Plans are scale-dependent through AQE thresholds, so audit at
+  *    the scale you care about.
   *  - with no names: the headline set, else every registered query.
   */
 object Explain {
@@ -18,7 +19,7 @@ object Explain {
     val (sfDir, named) = args.toSeq match {
       case d +: rest if d.startsWith("/") => (d, rest)
       case rest =>
-        (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
           rest)
     }
     val names =
@@ -37,9 +38,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val qmap = SparkEntry.queries // rebuildable def — hoist like Bench does
     names.foreach { n =>
       println(s"===== $n =====")
-      SparkEntry.queries.get(n) match {
+      qmap.get(n) match {
         case Some(fn) =>
           try fn(spark, sfDir).explain("formatted")
           catch { case e: Throwable =>

@@ -73,13 +73,15 @@ object QueryDef {
     * a SQL NULL): elements containing `, [ ] { } " \`, equal to "NULL",
     * or empty are PG-style quoted with `\"`/`\\` escapes; SQL NULL stays
     * the bare NULL token. Oracle literals use the same quoting. */
-  def canonElem(e: Column): Column = {
+  def canonElem(e: Column): Column = canonElem(e, "[,\\[\\]{}\"\\\\]")
+
+  private def canonElem(e: Column, trigger: String): Column = {
     val s = e.cast(StringType)
     val quoted = concat(lit("\""),
       regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
       lit("\""))
     when(e.isNull, lit("NULL"))
-      .when(s === "NULL" || s === "" || s.rlike("[,\\[\\]{}\"\\\\]"), quoted)
+      .when(s === "NULL" || s === "" || s.rlike(trigger), quoted)
       .otherwise(s)
   }
 
@@ -93,11 +95,19 @@ object QueryDef {
         array_join(transform(c, e => coalesce(enc(e), lit("NULL"))), ","),
         lit("]")))
 
-  /** Map → "{k:v,…}" sorted by key (NULL map → NULL ≠ "{}"). */
-  def canonMap(c: Column): Column =
+  /** Map → "{k:v,…}" sorted by key (NULL map → NULL ≠ "{}"). BOTH key
+    * and value encode through [[canonElem]] with ':' added to the
+    * quote-trigger class — the old bare-cast key (and ':'-less value
+    * trigger) let distinct maps collide: map("k:a"→"b") and
+    * map("k"→"a:b") both rendered "{k:a:b}". Keys/values without
+    * special characters encode exactly as before, so oracle twins'
+    * plain `k || ':' || v` aggregation stays valid for such data. */
+  def canonMap(c: Column): Column = {
+    val mapTrigger = "[,:\\[\\]{}\"\\\\]"
     when(c.isNull, lit(null).cast(StringType))
       .otherwise(concat(lit("{"),
         array_join(transform(sort_array(map_entries(c)),
-          e => concat(e.getField("key").cast(StringType), lit(":"),
-            canonElem(e.getField("value")))), ","), lit("}")))
+          e => concat(canonElem(e.getField("key"), mapTrigger), lit(":"),
+            canonElem(e.getField("value"), mapTrigger))), ","), lit("}")))
+  }
 }

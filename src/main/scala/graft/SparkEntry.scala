@@ -9,10 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Every registered query across all operator suites. */
-  def all: Seq[QueryDef] =
-    operators.Relational.queries ++ operators.Types.queries ++
+  /** Every registered query across all operator suites. A duplicate
+    * name would silently shadow one implementation through the toMap
+    * below — Verify would then report full coverage while never
+    * exercising the shadowed query — so it fails fast instead. */
+  def all: Seq[QueryDef] = {
+    val qs = operators.Relational.queries ++ operators.Types.queries ++
       operators.Pipeline.queries
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names across suites: ${dups.toSeq.sorted.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

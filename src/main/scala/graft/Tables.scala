@@ -41,9 +41,12 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      // `div` = integral division: ns → µs floor without a double round-trip
-      // (epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range).
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Integral FLOOR division (DuckDB's ns→µs cast floors: −1 ns →
+      // −1 µs, verified) — bare `div` truncates toward zero, which
+      // would shift pre-1970 sub-µs timestamps +1 µs off the oracle.
+      // Subtracting pmod makes the dividend exactly divisible, all in
+      // int64 (epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range).
+      raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -31,7 +31,11 @@ object StreamDemo {
 
   /** The input contract: explicit schema (a streaming file source
     * cannot infer one) — extra JSON fields are ignored, missing ones
-    * read as null (and a null text is length-gated out). */
+    * read as null. A null text is length-gated out; a null/unparseable
+    * ts is gated out EXPLICITLY below — the event-time dedup gate needs
+    * a watermarkable timestamp, and letting nulls reach it would drop
+    * (or nondeterministically expire) such rows deep inside Spark's
+    * watermark machinery with no trace. */
   val InputSchema: StructType = StructType(Seq(
     StructField("ts", TimestampType),
     StructField("doc_id", LongType),
@@ -43,9 +47,14 @@ object StreamDemo {
   def run(spark: SparkSession, inDir: String, outDir: String,
       ckptDir: String, follow: Boolean = false,
       minChars: Int = 50): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
     val raw: DataFrame = spark.readStream
       .schema(InputSchema)
       .json(inDir)
+      // rows without a parseable event time cannot pass the watermarked
+      // near-dup gate; drop them HERE, as a stated contract, instead of
+      // silently inside the watermark predicate
+      .filter(col("ts").isNotNull)
     val curated = Streams.neardupGate(
       Streams.scrubAndGate(raw, minChars = minChars))
     Streams.toParquet(curated, outDir, ckptDir,

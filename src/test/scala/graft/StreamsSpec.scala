@@ -199,10 +199,14 @@ class StreamsSpec extends AnyFunSuite {
     def writeJsonl(name: String, lines: Seq[String]): Unit =
       java.nio.file.Files.write(inDir.resolve(name),
         lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val noTs = (1 to 40).map(i => s"q$i").mkString(" ")
     writeJsonl("batch1.jsonl", Seq(
       s"""{"ts":"2024-01-01T10:00:00Z","doc_id":1,"text":"$base mail a@b.com","source":"web"}""",
       s"""{"ts":"2024-01-01T10:01:00Z","doc_id":2,"text":"$base mail c@d.com","source":"web"}""",
-      """{"ts":"2024-01-01T10:02:00Z","doc_id":3,"text":"short","source":"web"}"""))
+      """{"ts":"2024-01-01T10:02:00Z","doc_id":3,"text":"short","source":"web"}""",
+      // no ts: dropped by the EXPLICIT event-time gate (the watermarked
+      // dedup can't place it), not lost inside watermark machinery
+      s"""{"doc_id":6,"text":"$noTs","source":"web"}"""))
     // first invocation drains what exists and exits (AvailableNow)
     val q1 = streaming.StreamDemo.run(spark, inDir.toString, outDir, ckpt,
       minChars = 20)
@@ -223,7 +227,7 @@ class StreamsSpec extends AnyFunSuite {
     val ids = landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     // 1 admitted; 2 scrubs to 1's exact text → same bucket → dropped;
     // 3 length-gated; 4 dropped by RESTORED state on invocation two;
-    // 5 lands
+    // 5 lands; 6 (no ts) gated by the explicit event-time filter
     assert(ids == Seq(1L, 5L))
     // the PII scrub ran before the sink
     assert(landed.filter(col("text").contains("a@b.com")).count() == 0)

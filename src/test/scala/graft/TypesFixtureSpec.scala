@@ -169,4 +169,35 @@ class TypesFixtureSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(2))                        // NULL list
     assert(rows(2).getSeq[Any](2).last == null)        // [struct, NULL]
   }
+
+  test("canonMap is injective on ':'-bearing keys/values; plain maps unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the bare-cast key (and a ':'-less value trigger) let distinct
+    // maps collide: map("k:a"->"b") and map("k"->"a:b") both rendered
+    // "{k:a:b}" — a false-pass class in the driver comparator
+    def enc(m: Map[String, String]): String =
+      Seq(1).toDF("i").select(QueryDef.canonMap(
+        typedLit(m)).as("s")).collect()(0).getString(0)
+    assert(enc(Map("k:a" -> "b")) != enc(Map("k" -> "a:b")))
+    assert(enc(Map("k:a" -> "b")) == "{\"k:a\":b}")
+    assert(enc(Map("k" -> "a:b")) == "{k:\"a:b\"}")
+    // keys/values without special characters keep the old encoding (the
+    // gated q36/t17 oracles rely on plain k:v aggregation)
+    assert(enc(Map("O" -> "7", "F" -> "2")) == "{F:2,O:7}")
+  }
+
+  test("events ts: ns→µs uses FLOOR division like DuckDB, not toward-zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a pre-1970 nanosecond timestamp: -1 ns must land at -1 µs
+    // (1969-12-31T23:59:59.999999), where `div` truncation gives 0
+    val dir = java.nio.file.Files.createTempDirectory("evfloor").toString
+    Seq((-1L, 1L), (1999L, 2L), (-1999L, 3L))
+      .toDF("ts", "user_id").write.parquet(s"$dir/events.parquet")
+    val out = Tables.events(spark, dir).orderBy("user_id")
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(-1L, 1L, -2L),
+      s"expected floor semantics (DuckDB ns→µs cast: -1ns → -1µs), got $out")
+  }
 }
