@@ -68,24 +68,30 @@ object ParquetInfo {
       System.err.println(s"no parquet files found under $path")
 
     if (sample > 0 && lines.nonEmpty) {
-      // stop the session only if WE created it: getOrCreate returns a
-      // caller's pre-existing session (its configs win), and stopping
-      // that would kill every subsequent operation the caller runs
-      val preexisting = SparkSession.getActiveSession
-        .orElse(SparkSession.getDefaultSession).isDefined
-      val spark = SparkSession.builder().master("local[2]")
-        .appName("graft-parquet-info")
-        .config("spark.sql.session.timeZone", "UTC")
-        // TIMESTAMP(NANOS) files (the events table) read as Long —
-        // same flag every other entrypoint sets (Tables.events)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false").getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
+      // with a pre-existing session: use an ISOLATED child session
+      // (newSession shares the context but not the SQL conf), never
+      // stopped — getOrCreate would instead apply this tool's runtime
+      // confs (UTC zone, nanosAsLong) onto the caller's session and
+      // leave them there, and stopping it would kill the caller's
+      // context. Standalone: build and stop our own.
+      val existing = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+      val spark = existing.map(_.newSession()).getOrElse {
+        val s = SparkSession.builder().master("local[2]")
+          .appName("graft-parquet-info")
+          .config("spark.ui.enabled", "false").getOrCreate()
+        s.sparkContext.setLogLevel("ERROR")
+        s
+      }
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP(NANOS) files (the events table) read as Long —
+      // same flag every other entrypoint sets (Tables.events)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       try {
         val df = spark.read.parquet(path)
         df.printSchema()
         df.show(sample, truncate = false)
-      } finally if (!preexisting) spark.stop()
+      } finally if (existing.isEmpty) spark.stop()
     }
   }
 

@@ -200,10 +200,17 @@ object PgConversions {
     * [[moneyToDecimal]]. Currency symbol and group separators are
     * stripped; locales that swap `.`/`,` roles are out of scope
     * (documented — the reference never sees the text form at all). */
-  def moneyFromText(c: Column): Column =
-    // try_cast: beyond-(18,2) magnitudes → NULL (T7 overflow policy),
-    // matching moneyToDecimal
-    regexp_replace(c, "[^0-9.-]", "").try_cast(DecimalType(18, 2))
+  def moneyFromText(c: Column): Column = {
+    // shape-check first so ONLY the legal-but-overflowing case goes to
+    // NULL (T7 overflow policy, matching moneyToDecimal) — genuinely
+    // malformed text ('12.34.56', 'N/A') must still error with the
+    // offending value (O22), which a bare try_cast would silently null
+    val stripped = regexp_replace(c, "[^0-9.-]", "")
+    when(c.isNull, lit(null).cast(DecimalType(18, 2)))
+      .when(!stripped.rlike("^-?[0-9]+(\\.[0-9]+)?$"),
+        raise_error(concat(lit("malformed money text: '"), c, lit("'"))))
+      .otherwise(stripped.try_cast(DecimalType(18, 2)))
+  }
 
   // ------------------------------------------------------- T12–T14: bytes/text
 

@@ -579,12 +579,17 @@ object Pipeline {
     * NULL text never matches anything: md5(NULL) is NULL and the window
     * groups NULLs together, which would silently collapse every distinct
     * ingest-failure row into one — kept instead, the same decision
-    * [[admitAgainstCorpus]] makes for a NULL content hash. */
+    * [[admitAgainstCorpus]] makes for a NULL content hash. NULL-text
+    * rows get a per-row synthetic key ("n:" + id — disjoint from
+    * 32-hex-char digests) so a corpus with millions of them never
+    * funnels through one window partition. */
   def exactDedup(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus
       .withColumn("__rk", row_number().over(
-        Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))))
-      .filter(col("__rk") === 1 || col(textCol).isNull)
+        Window.partitionBy(coalesce(md5(col(textCol)),
+            concat(lit("n:"), col(idCol).cast(StringType))))
+          .orderBy(col(idCol))))
+      .filter(col("__rk") === 1)
       .drop("__rk")
 
   /** Incremental admission of an incoming shard against an EXISTING

@@ -277,9 +277,11 @@ final class JdbcReader(
       else {
         // same non-finite hazard for date/timestamp columns: PG MIN/MAX
         // can be 'infinity'/'-infinity' (bitemporal valid_to is commonly
-        // 'infinity'), which Spark's bound parser cannot parse
+        // 'infinity') or BC-era text ('0001-01-01 BC' from historical
+        // data) — Spark's bound parser dies on all of them
         if (Seq(b.getString(0), b.getString(1))
-            .exists(v => v == "infinity" || v == "-infinity")) {
+            .exists(v => v == "infinity" || v == "-infinity" ||
+              v.endsWith(" BC"))) {
           System.err.println(s"warning: partition column '$col' has " +
             s"non-finite bounds (${b.getString(0)}, ${b.getString(1)}); " +
             "scanning unpartitioned")

@@ -203,6 +203,12 @@ class PgSchemaSpec extends AnyFunSuite {
     val m = Seq("$1,234.56", "$92,233,720,368,547,758.07").toDF("v")
       .select(moneyFromText(col("v")).as("m")).collect()
     assert(m(0).getDecimal(0).toString == "1234.56" && m(1).isNullAt(0))
+    // …but malformed money text still ERRORS with the value (O22) —
+    // only the legal-overflow case may go to NULL
+    val malformed = intercept[Exception](Seq("12.34.56").toDF("v")
+      .select(moneyFromText(col("v"))).collect())
+    assert(malformed.getMessage.contains("money") ||
+      Option(malformed.getCause).exists(_.getMessage.contains("money")))
     val mc = Seq(12345L, Long.MaxValue).toDF("v")
       .select(moneyToDecimal(col("v")).as("m")).collect()
     assert(mc(0).getDecimal(0).toString == "123.45" && mc(1).isNullAt(0))

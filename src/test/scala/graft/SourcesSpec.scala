@@ -526,10 +526,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(libpqToJdbc("postgres://u:p@h:5433/db?sslmode=require") ==
       "jdbc:postgresql://h:5433/db?user=u&password=p&sslmode=require")
     assert(libpqToJdbc("postgresql://h/db") == "jdbc:postgresql://h/db")
-    assert(libpqToJdbc("postgres://u@h") == "jdbc:postgresql://h?user=u")
+    // path-less: pgjdbc's parseURL requires the trailing '/'
+    assert(libpqToJdbc("postgres://u@h") == "jdbc:postgresql://h/?user=u")
     // percent-encoding carries through raw (both sides URL-decode)
     assert(libpqToJdbc("postgres://u:p%40ss@h/db") ==
       "jdbc:postgresql://h/db?user=u&password=p%40ss")
+    // query-active characters legal raw in userinfo are encoded — a
+    // password with '&' must not shear into a stray parameter, and a
+    // raw '+' must not URL-decode to a space on the pgjdbc side
+    assert(libpqToJdbc("postgres://u:p&w@h/db") ==
+      "jdbc:postgresql://h/db?user=u&password=p%26w")
+    assert(libpqToJdbc("postgres://u:a+b@h/db") ==
+      "jdbc:postgresql://h/db?user=u&password=a%2Bb")
+    // unparseable URLs fail in the one-line-error class, not with a
+    // raw URISyntaxException stack trace
+    val badUri = intercept[IllegalArgumentException](
+      libpqToJdbc("postgres://h/my db"))
+    assert(badUri.getMessage.contains("cannot parse"))
     // readerFor accepts the env fallback in libpq form (the reference's
     // own DATABASE_URL shape) instead of rejecting it as unsupported
     val r = Main.readerFor(
