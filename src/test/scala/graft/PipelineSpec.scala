@@ -11,8 +11,14 @@ class PipelineSpec extends AnyFunSuite {
 
   private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    operators.Pipeline.connectedComponents(pairs.toDF("a", "b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = operators.Pipeline.connectedComponents(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // toMap would mask a duplicate-node regression (keeping whichever
+    // row collects last) — every node must appear exactly once
+    assert(rows.length == rows.map(_._1).distinct.length,
+      s"connectedComponents emitted duplicate node rows: ${rows.length} rows, " +
+        s"${rows.map(_._1).distinct.length} distinct nodes")
+    rows.toMap
   }
 
   test("connectedComponents: a chain propagates the min across its full diameter") {
@@ -72,21 +78,27 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     // the cluster-mode path: checkpoint(dir) instead of localCheckpoint
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
-    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a", "b")
-    val out = operators.Pipeline
-      .connectedComponents(pairs, checkpointDir = Some(dir))
-    // the collect reads the FINAL round's checkpoint files — proving
-    // the success-path cleanup kept the one directory the returned
-    // DataFrame still needs
-    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
-    // intermediates are deleted round-by-round as each checkpoint
-    // materializes: exactly ONE rdd-N dir (the final labels') survives
-    // under the per-call UUID subdir
-    val rddDirs = scala.util.Using.resource(
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
-      _.filter(p => p.getFileName.toString.startsWith("rdd-")).toArray)
-    assert(rddDirs.length == 1, s"expected 1 surviving rdd dir, got ${rddDirs.length}")
+    try {
+      val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a", "b")
+      val out = operators.Pipeline
+        .connectedComponents(pairs, checkpointDir = Some(dir))
+      // the collect reads the FINAL round's checkpoint files — proving
+      // the success-path cleanup kept the one directory the returned
+      // DataFrame still needs
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+      // intermediates are deleted round-by-round as each checkpoint
+      // materializes: exactly ONE rdd-N dir (the final labels') survives
+      // under the per-call UUID subdir
+      val rddDirs = scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+        _.filter(p => p.getFileName.toString.startsWith("rdd-")).toArray)
+      assert(rddDirs.length == 1, s"expected 1 surviving rdd dir, got ${rddDirs.length}")
+    } finally
+      // the operator documents that with no PRIOR dir, its own stays
+      // set; unset it so later suites relying on "no checkpoint dir
+      // configured" semantics aren't silently checkpointing here
+      spark.sparkContext.setCheckpointDir(null)
   }
 
   test("connectedComponents: restores the caller's checkpoint LOCATION, not its uuid subdir") {
@@ -120,15 +132,17 @@ class PipelineSpec extends AnyFunSuite {
     // as a FileNotFoundException here, and a cleanup-ownership bug as
     // leftover rdd dirs
     val dir = java.nio.file.Files.createTempDirectory("cc-deep-ckpt").toString
-    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = operators.Pipeline
-      .connectedComponents(chain, checkpointDir = Some(dir))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == (0L to 80L).map(_ -> 0L).toMap)
-    val rddDirs = scala.util.Using.resource(
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
-      _.filter(p => p.getFileName.toString.startsWith("rdd-")).toArray)
-    assert(rddDirs.length == 1, s"expected 1 surviving rdd dir, got ${rddDirs.length}")
+    try {
+      val chain = (0L until 80L).map(i => (i, i + 1)).toDF("a", "b")
+      val got = operators.Pipeline
+        .connectedComponents(chain, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L to 80L).map(_ -> 0L).toMap)
+      val rddDirs = scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+        _.filter(p => p.getFileName.toString.startsWith("rdd-")).toArray)
+      assert(rddDirs.length == 1, s"expected 1 surviving rdd dir, got ${rddDirs.length}")
+    } finally spark.sparkContext.setCheckpointDir(null) // see the sibling test
   }
 
   test("connectedComponents: empty pair list yields an empty result") {

@@ -320,15 +320,17 @@ class TextApiSpec extends AnyFunSuite {
     val comp = Pipeline.connectedComponents(pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // sorted Seq, not toSet: a duplicate-row regression (e.g. joining
+      // a non-distinct component table) must FAIL, not vanish in the set
       def rows(df: org.apache.spark.sql.DataFrame) =
-        df.collect().map(_.toSeq).toSet
+        df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
       assert(rows(Pipeline.collapseByComponents(corpus, "post_key", comp)) ==
         rows(Pipeline.collapseNeardups(corpus, "post_key", pairs)))
       assert(rows(Pipeline.splitByComponents(corpus, "post_key", comp)) ==
         rows(Pipeline.leakageSafeSplit(corpus, "post_key", pairs)))
       assert(rows(Pipeline.dedupReport(comp)) ==
         // {10,11} and {14,15}: two 2-components → one histogram row
-        Set(Seq(2L, 2L, 4L, 2L)))
+        Seq(Seq("2", "2", "4", "2")))
     } finally comp.unpersist()
   }
 
@@ -546,29 +548,30 @@ class TextApiSpec extends AnyFunSuite {
       (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
       .toDF("pk", "vec")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = Pipeline.kmeansFit(vecs, "pk", "vec", kClusters, dim)
-    val member = Pipeline.kmeansCluster(vecs, "pk", "vec", kClusters, dim)
-      .select(col("vec_id").as("pk"), col("cluster"))
-    val corpus = vecs.join(member, "pk")
-    val queries = vecs.filter(col("pk") % 12 === 0)
-    val topK = 5
-    val brute = Pipeline.knnBruteCosine(vecs, queries, "pk", "vec", topK)
-      .select(col("q_id"), col("vec_id")).collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val recalls = Seq(1, 2, 4).map { nprobe =>
-      val got = Pipeline.ivfSearch(corpus, queries, "pk", "vec", "cluster",
-        topK, nprobe = nprobe, centroids = Some(cents))
+    try {
+      val cents = Pipeline.kmeansFit(vecs, "pk", "vec", kClusters, dim)
+      val member = Pipeline.kmeansCluster(vecs, "pk", "vec", kClusters, dim)
+        .select(col("vec_id").as("pk"), col("cluster"))
+      val corpus = vecs.join(member, "pk")
+      val queries = vecs.filter(col("pk") % 12 === 0)
+      val topK = 5
+      val brute = Pipeline.knnBruteCosine(vecs, queries, "pk", "vec", topK)
         .select(col("q_id"), col("vec_id")).collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      val hits = brute.toSeq.map { case (q, t) =>
-        t.intersect(got.getOrElse(q, Set.empty)).size }.sum
-      hits.toDouble / brute.values.map(_.size).sum
-    }
-    assert(recalls == recalls.sorted,
-      s"recall not monotone in nprobe: $recalls")
-    assert(recalls.last == 1.0,
-      s"nprobe = n_clusters must equal brute force, got ${recalls.last}")
-    vecs.unpersist()
+      val recalls = Seq(1, 2, 4).map { nprobe =>
+        val got = Pipeline.ivfSearch(corpus, queries, "pk", "vec", "cluster",
+          topK, nprobe = nprobe, centroids = Some(cents))
+          .select(col("q_id"), col("vec_id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val hits = brute.toSeq.map { case (q, t) =>
+          t.intersect(got.getOrElse(q, Set.empty)).size }.sum
+        hits.toDouble / brute.values.map(_.size).sum
+      }
+      assert(recalls == recalls.sorted,
+        s"recall not monotone in nprobe: $recalls")
+      assert(recalls.last == 1.0,
+        s"nprobe = n_clusters must equal brute force, got ${recalls.last}")
+    } finally vecs.unpersist() // exception-safe: a failed assert must not leak the cache
   }
 
   test("packSequences: offsets are a gapless global prefix sum; alien columns") {
