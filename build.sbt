@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." banner after a run: the driver's
+// bench capture parses the LAST stdout line, and the banner was
+// displacing graft.Bench's compact JSON line (BENCH_r08 "parsed":null).
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, which the unused-key
+// lint can't see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -70,19 +70,43 @@ object Bench {
       if (ok) Some(elapsed) else None
     }
 
-    val results = names.map { name =>
-      val times = (1 to 3).flatMap(_ => timedRun(name))
-      // even counts (a partially-failed query) average the two middle
-      // values — upper-middle alone would report the SLOWER of 2 runs as
-      // the "median" (ADVICE r05). Such a query appears in BOTH `queries`
-      // (its median over successful runs) and `failures` (a marker that
-      // not all 3 runs succeeded) by design.
-      val median = if (times.isEmpty) -1.0 else {
-        val s = times.sorted
-        if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    val firstPass = names.map(name => name -> (1 to 3).flatMap(_ => timedRun(name)))
+
+    // Adaptive outlier re-measurement (VERDICT r08): a headline median
+    // landing >3× its committed quiet-window value (BENCH_full.json in
+    // the working dir, same sf) means the machine is likely in an
+    // ambient-load window — the r07/r08 driver artifacts both shipped
+    // 8-30×-inflated medians that cost the judge a manual re-run. Take
+    // up to 2 extra runs per such query, TIME-SEPARATED (each extra
+    // pass visits every inflated query once before the next pass
+    // starts, so a contiguous load spike can't hit all samples), then
+    // re-median over all successful runs, and carry the names in an
+    // "inflated" key so the artifact flags itself even when the extra
+    // runs don't fully recover quiet numbers.
+    val history = loadHistory(sfDir)
+    val inflated = firstPass.collect {
+      case (n, ts) if ts.nonEmpty &&
+        history.get(n).exists(h => isInflated(median(ts), h)) => n
+    }
+    val extra = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to 2).foreach { _ =>
+      inflated.foreach { n =>
+        timedRun(n).foreach(t => extra(n) = extra(n) :+ t)
       }
-      (name, median, times, times.size < 3)
+    }
+
+    val results = names.map { name =>
+      val first = firstPass.find(_._1 == name).get._2
+      val times = first ++ extra(name)
+      // `median` averages the two middle values on even counts —
+      // upper-middle alone would report the SLOWER of 2 runs as the
+      // "median" (ADVICE r05). A query with 1-2 of its 3 base runs
+      // failed keeps its median over the successful runs in `queries`
+      // and is listed in `partial`; `failures` is reserved for queries
+      // with NO successful run at all (ADVICE r08: one list meaning
+      // both things was ambiguous for the driver).
+      (name, median(times), times, first.size < 3)
     }
     val good = results.filter(_._2 >= 0)
     val qs = good.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -92,7 +116,8 @@ object Bench {
     // separate the two without a bisect)
     val runs = good.map { case (k, _, ts, _) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
-    val headFailed = results.filter(_._4).map(_._1)
+    val headNoTime = results.filter(_._3.isEmpty).map(_._1)
+    val headPartial = results.filter(r => r._3.nonEmpty && r._4).map(_._1)
     val total = good.map(_._2).sum
 
     // full-suite sweep (default run only): BEST-OF-2 timed (pre-warmed)
@@ -113,26 +138,82 @@ object Bench {
     val fullJson = fullGood.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullTotal = total + fullGood.map(_._2).sum
-    val failures = (headFailed ++
-      fullSingles.collect { case (n, _, true) => n })
+    // `failures` = no successful run at all (the time in `queries`/
+    // `full` is absent); `partial` = timed, but not every attempted run
+    // succeeded — distinct keys so a driver treating `failures` as
+    // missing-result stays right (ADVICE r08)
+    val failures = (headNoTime ++
+      fullSingles.collect { case (n, None, _) => n })
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val partial = (headPartial ++
+      fullSingles.collect { case (n, Some(_), true) => n })
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val inflatedJson = inflated.map("\"" + _ + "\"").mkString("[", ",", "]")
     // sfDir comes from an env var — escape it (a quote or backslash in
     // the path would make both JSON lines unparseable and zero the round)
     val sfJson = Verify.jsonEscape(sfDir)
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full":$fullJson,"full_total":$fullTotal,"failures":$failures,"sf":$sfJson}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full":$fullJson,"full_total":$fullTotal,"failures":$failures,"partial":$partial,"inflated":$inflatedJson,"sf":$sfJson}"""
     // The driver's artifact capture keeps only a fixed-size TAIL of
     // stdout; in r7 the full line outgrew it and the headline maps were
     // truncated away (parsed: null). Defend both ways: persist the full
     // line to a file the round snapshot picks up, and print a compact
     // headline-only line LAST so the tail always ends with parseable
     // headline medians + runs.
-    try {
+    // Default (full) runs only: a named-subset run would overwrite the
+    // quiet-window history with a partial map, blinding loadHistory's
+    // outlier detection for every query it dropped.
+    if (args.isEmpty) try {
       val out = java.nio.file.Paths.get("BENCH_full.json")
       java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_full.json: $e") }
     println(fullLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full_total":$fullTotal,"failures":$failures,"sf":$sfJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full_total":$fullTotal,"failures":$failures,"partial":$partial,"inflated":$inflatedJson,"sf":$sfJson}""")
     spark.stop()
+  }
+
+  /** Median over successful run times; -1 when none succeeded. Even
+    * counts average the two middle values (ADVICE r05). */
+  def median(ts: Seq[Double]): Double =
+    if (ts.isEmpty) -1.0
+    else {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+  /** The outlier trigger: >3× the committed quiet-window median. 3× is
+    * far above this machine's routine ±30-50% noise but far below the
+    * 8-30× load-window inflation the r07/r08 driver artifacts carried. */
+  def isInflated(measured: Double, quiet: Double): Boolean =
+    quiet > 0 && measured > 3 * quiet
+
+  /** Headline medians from the committed quiet-window BENCH_full.json,
+    * or empty when the file is missing, unparseable, or was captured at
+    * a DIFFERENT sf (a local sf0.001 artifact must not make every sf0.1
+    * median look 100× inflated). The file is this program's own output
+    * (see the write below) — a two-regex parse of that fixed shape, not
+    * a general JSON parser. */
+  def loadHistory(sfDir: String, path: String = "BENCH_full.json")
+      : Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else parseHistory(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not read $path: $e"); Map.empty }
+
+  private[graft] def parseHistory(json: String, sfDir: String)
+      : Map[String, Double] = {
+    val sfOk = "\"sf\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(json)
+      .exists(m => m.group(1) == Verify.jsonEscape(sfDir).stripPrefix("\"").stripSuffix("\""))
+    if (!sfOk) Map.empty
+    else "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(json) match {
+      case Some(m) =>
+        "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      case None => Map.empty
+    }
   }
 }

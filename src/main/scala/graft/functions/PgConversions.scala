@@ -119,7 +119,10 @@ object PgConversions {
     when(c.isNull, lit(null).cast(ShortType)) // NULL passes through, never raises
       .when(c.rlike("^\\\\[0-7]{3}$"),
         conv(substring(c, 2, 3), 8, 10).cast(ShortType))
-      .when(ascii(c) <= 255, ascii(c).cast(ShortType))
+      // the ascii branch must also pin length ≤ 1 ('' is the zero
+      // byte): ascii('ab') would silently yield the FIRST char's code,
+      // passing multi-char garbage the docstring promises errors on
+      .when(length(c) <= 1 && ascii(c) <= 255, ascii(c).cast(ShortType))
       .otherwise(raise_error(concat(
         lit("\"char\" text form is not a single byte: '"), c,
         lit("' (pre-PG14 high-byte transfer?) — cast to ::int2 server-side"))))

@@ -27,7 +27,11 @@ object Streams {
     * `ts - lag(ts) > gap` keeps it in the old one; one microsecond
     * (Spark's timestamp resolution) is added to the gap so the merge
     * condition becomes `gap' ≤ gap`, restoring exact batch≡stream
-    * session boundaries on any corpus, exact-gap pairs included. */
+    * session boundaries on any corpus, exact-gap pairs included. The
+    * widened gap would also shift the reported `session_end` (always
+    * last_event + gap') one microsecond past the batch twin's
+    * `last_event + gap` bound, so the select subtracts it back —
+    * start AND end now match the batch boundaries exactly. */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =
     events
@@ -36,7 +40,8 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
+        (col("session_window.end") - expr("INTERVAL 1 MICROSECOND"))
+          .as("session_end"),
         col("n_events"))
 
   /** Tumbling-window event counts with late-data handling: rows later
@@ -154,7 +159,12 @@ object Streams {
     * evicted (without the watermark bound, dedup state would grow with
     * the corpus — unbounded at 100 TB/day ingest).
     */
-  def dedupDocuments(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+  def dedupDocuments(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    // fail fast instead of silently overwriting (then dropping) a
+    // caller column of the same name — the admitAgainstCorpus contract
+    require(!docs.columns.contains("content_hash"),
+      "docs already has column content_hash — drop or rename it before " +
+        "calling dedupDocuments, which derives (and then drops) its own")
     docs
       // null text keys on an explicit sentinel so null-text rows dedup
       // among THEMSELVES, distinct from empty text — matching the batch
@@ -170,6 +180,7 @@ object Streams {
       // (exactDedup drops its helper too) — a sink downstream should
       // not land a derived md5 column
       .drop("content_hash")
+  }
 
   /** Streaming NEAR-dup admission — the incremental twin of the batch
     * p23 band-signature anti-join: a document whose band-0 MinHash LSH
@@ -187,6 +198,11 @@ object Streams {
     */
   def neardupGate(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
     import graft.operators.Pipeline
+    // same fail-fast contract as [[dedupDocuments]]/admitAgainstCorpus:
+    // never silently overwrite-then-drop a caller's column
+    require(!docs.columns.contains("band_sig"),
+      "docs already has column band_sig — drop or rename it before " +
+        "calling neardupGate, which derives (and then drops) its own")
     // null text keys on an explicit sentinel (same contract as
     // [[dedupDocuments]]): null-text rows dedup among themselves,
     // distinct from empty text, matching the batch p01/p23 twins.

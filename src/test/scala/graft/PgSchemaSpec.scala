@@ -199,6 +199,12 @@ class PgSchemaSpec extends AnyFunSuite {
     assert(ch(0).getShort(0) == 65)
     assert(ch(1).getShort(0) == 200)
     assert(ch(2).getShort(0) == 0) // '' is the zero byte
+    // multi-character text is NOT a single byte: it must error (O22),
+    // not silently take the first char's code (ADVICE r08)
+    val chBad = intercept[Exception](Seq("ab").toDF("v")
+      .select(pgCharFromText(col("v"))).collect())
+    assert(chBad.getMessage.contains("single byte") ||
+      Option(chBad.getCause).exists(_.getMessage.contains("single byte")))
     // money beyond Decimal(18,2) → NULL (T7 overflow policy), both forms
     val m = Seq("$1,234.56", "$92,233,720,368,547,758.07").toDF("v")
       .select(moneyFromText(col("v")).as("m")).collect()

@@ -37,7 +37,27 @@ class StreamsSpec extends AnyFunSuite {
         .select("user_id", "n_events").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)))
+      // boundary pin (ADVICE r08): the +1µs gap widening must NOT leak
+      // into the reported end — user 3's session is [10:00, last event
+      // 10:30 + 30 min gap = 11:00] exactly, the batch twin's bound,
+      // not 11:00:00.000001
+      val u3 = spark.table("sess").filter(col("user_id") === 3L)
+        .select("session_start", "session_end").collect().head
+      assert(u3.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(u3.getTimestamp(1) == ts("2024-01-01 11:00:00"))
     } finally q.stop()
+  }
+
+  test("dedupDocuments/neardupGate refuse a caller column colliding with their derived key") {
+    import spark.implicits._
+    val withHash = Seq(("a", ts("2024-01-01 10:00:00"), "x"))
+      .toDF("text", "ts", "content_hash")
+    val e1 = intercept[IllegalArgumentException](Streams.dedupDocuments(withHash))
+    assert(e1.getMessage.contains("content_hash"))
+    val withSig = Seq(("a", ts("2024-01-01 10:00:00"), "x"))
+      .toDF("text", "ts", "band_sig")
+    val e2 = intercept[IllegalArgumentException](Streams.neardupGate(withSig))
+    assert(e2.getMessage.contains("band_sig"))
   }
 
   test("eventCounts: tumbling window with watermark") {
