@@ -767,13 +767,16 @@ object Pipeline {
     * (order-free), and the mean is one integer/integer double division
     * — centroids are bit-identical in Spark and DuckDB. Long sums hold
     * while cluster_size × 1e7·max|x| < 2^63 (~9e11 members at unit
-    * norm); past that, widen the sums to DecimalType(38,0). Seeds are
-    * the k smallest-id vectors (TakeOrdered, no global sort). Output:
-    * (vec_id, cluster, d2, n_members). */
+    * norm); past that, widen the sums to DecimalType(38,0). Default
+    * seeds are the k smallest-id vectors (TakeOrdered, no global
+    * sort); pass seeding = "kmeans++" for the deterministic
+    * D²-weighted spread ([[kmeansPlusPlusSeeds]]) real corpora want.
+    * Output: (vec_id, cluster, d2, n_members). */
   def kmeansCluster(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, iters: Int = 2): DataFrame = {
+      k: Int, dim: Int, iters: Int = 2,
+      seeding: String = "min-id"): DataFrame = {
     val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    kmeansAssign(e, kmeansFit(corpus, idCol, vecCol, k, dim, iters))
+    kmeansAssign(e, kmeansFit(corpus, idCol, vecCol, k, dim, iters, seeding))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("cl"))))
       .select(col("vec_id"), col("cl").as("cluster"),
@@ -794,13 +797,27 @@ object Pipeline {
     * Same determinism contract as [[kmeansCluster]] (integer-scaled
     * exact sums, ties to the lowest cluster id). */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, iters: Int = 2): DataFrame = {
+      k: Int, dim: Int, iters: Int = 2,
+      seeding: String = "min-id"): DataFrame = {
     val Scale = IntScale
     val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val init = e.orderBy(col("vec_id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
-        .cast(IntegerType).as("cl"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
+    val init = seeding match {
+      case "min-id" =>
+        e.orderBy(col("vec_id")).limit(k)
+          .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+            .cast(IntegerType).as("cl"),
+            transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
+      // the spread seeding real corpora want (see [[kmeansPlusPlusSeeds]]):
+      // min-id stays the DEFAULT only because it is the frozen contract
+      // of the p21 oracle and of any caller relying on reproducible
+      // seeds across library versions — new trained-quantizer fits
+      // should pass "kmeans++"
+      case "kmeans++" =>
+        kmeansPlusPlusSeeds(corpus, idCol, vecCol, k, dim)
+          .select(col("cl"), col("ce"))
+      case other => throw new IllegalArgumentException(
+        s"seeding must be 'min-id' or 'kmeans++', got '$other'")
+    }
     def update(asg: DataFrame): DataFrame = {
       val sums = (0 until dim).map(i =>
         sum(round(element_at(col("embedding"), i + 1).cast(DoubleType)
@@ -815,6 +832,110 @@ object Pipeline {
     var it = 0
     while (it < iters) { cents = update(kmeansAssign(e, cents)); it += 1 }
     cents
+  }
+
+  /** Deterministic k-means++ seed selection (Arthur & Vassilvitskii,
+    * SODA'07): after an initial anchor, each next seed is drawn
+    * D²-WEIGHTED — probability proportional to the squared distance to
+    * the nearest already-chosen seed — which is what gives k-means++
+    * its O(log k)-competitive SSE guarantee and, practically, spreads
+    * seeds across the data's real clusters where min-id seeding can
+    * land every seed in one blob. The draw is RNG-FREE like p15's
+    * membership hashing, so fits are reproducible across runs AND
+    * engines: d² is integer-scaled EXACTLY like the centroid sums
+    * (`round(d2·1e7)` — cross-engine-stable on the same grounds), each
+    * point owns the half-open interval `(cum−w, cum]` of the integer
+    * prefix-sum over a fixed total order, and round j picks the unique
+    * interval containing `md5("kmppt:j") mod total` — exact integer
+    * arithmetic end to end, no transcendentals whose libm rounding
+    * could flip an argmax between engines.
+    *
+    * Scale shape (100 TB): the prefix sum is TWO-PHASE — points are
+    * hash-bucketed (`buckets` keys; the bucket id is part of the fixed
+    * total order (b, id), so any bucket count gives a valid order), a
+    * `groupBy(b)` computes per-bucket sums, a window over the
+    * `buckets`-row bucket table (the only single-partition step —
+    * bounded by the parameter, not the data) turns them into bucket
+    * offsets, and the within-bucket cumulative sum runs partitioned by
+    * bucket. Each of the k−1 rounds updates d² incrementally against
+    * ONLY the newest seed (`d² ← min(d², dist²(x, c_new))` — Lloyd's
+    * standard trick, one narrow map per round, localCheckpoint'ed so
+    * round j's plan never re-derives rounds 1..j−1) and collects
+    * exactly one (id, vector) row to the driver — k·dim doubles total,
+    * bounded by parameters like the IVF medoid collect, never by data.
+    *
+    * Output: (cl int — selection order, vec_id — the seed row's id,
+    * ce array&lt;double&gt;) — drop `vec_id` and it is [[kmeansFit]]'s
+    * centroid shape. Duplicate points of an already-chosen seed have
+    * d² = 0 (an empty interval) and can never be re-picked; if the
+    * corpus runs out of distinct points (total mass 0) the seed list
+    * is returned SHORT — [[kmeansAssign]] handles any centroid count.
+    * Driver-gated by p35 against a DuckDB replay of the same integer
+    * selection. */
+  def kmeansPlusPlusSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, buckets: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = corpus.sparkSession
+    val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    def dist2(q: Column, c: Column): Column =
+      call_function("float_dist_sq", q, c)
+    def seedLit(s: Seq[Double]): Column = array(s.map(lit(_)): _*)
+    def collectSeed(df: DataFrame): Array[org.apache.spark.sql.Row] = df
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
+      .collect()
+    // anchor seed = the smallest id: k-means++ leaves the first seed
+    // uniform-random; any fixed choice keeps the D² structure of the
+    // remaining draws (and min-id matches the legacy seeding's anchor)
+    val first = collectSeed(e.orderBy(col("vec_id")).limit(1))
+    require(first.nonEmpty, "kmeansPlusPlusSeeds: empty corpus")
+    var seeds = Vector((first(0).get(0), first(0).getSeq[Double](1)))
+    var state = e
+      .withColumn("d2", dist2(col("embedding"), seedLit(seeds.head._2)))
+      .localCheckpoint()
+    var j = 1
+    var exhausted = false
+    while (j < k && !exhausted) {
+      val w = state
+        .withColumn("w", round(col("d2") * IntScale).cast(LongType))
+        .withColumn("b", call_function("md5_prefix_long",
+          concat(lit("kmppb:"), col("vec_id").cast(StringType)), lit(4))
+          % buckets)
+      val bSums = w.groupBy(col("b")).agg(sum(col("w")).as("bw"))
+      val offs = bSums.select(col("b"),
+        coalesce(sum(col("bw")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+      // total mass + this round's hashed threshold, in-plan (1 row);
+      // the tot > 0 filter runs BEFORE pmod so an exhausted corpus
+      // yields an empty frame instead of an ANSI divide-by-zero
+      val tRow = bSums.agg(sum(col("bw")).as("tot"))
+        .filter(col("tot") > 0)
+        .select(pmod(call_function("md5_prefix_long",
+          lit(s"kmppt:$j"), lit(7)), col("tot")).as("t"))
+      val picked = w.join(offs, Seq("b"))
+        .withColumn("cum", col("off") + sum(col("w")).over(
+          Window.partitionBy(col("b")).orderBy(col("vec_id"))))
+        .crossJoin(broadcast(tRow))
+        .filter(col("cum") > col("t") && col("cum") - col("w") <= col("t"))
+      val rows = collectSeed(picked)
+      if (rows.isEmpty) exhausted = true
+      else {
+        seeds = seeds :+ ((rows(0).get(0), rows(0).getSeq[Double](1)))
+        state = state.withColumn("d2",
+          least(col("d2"), dist2(col("embedding"), seedLit(seeds.last._2))))
+          .localCheckpoint()
+      }
+      j += 1
+    }
+    val idType = e.schema("vec_id").dataType
+    val schema = StructType(Seq(
+      StructField("cl", IntegerType, nullable = false),
+      StructField("vec_id", idType),
+      StructField("ce", ArrayType(DoubleType))))
+    val out = seeds.zipWithIndex.map { case ((id, ce), i) =>
+      org.apache.spark.sql.Row(i, id, ce) }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
 
   /** One Lloyd's assignment pass: argmin distance against a broadcast
@@ -2591,6 +2712,65 @@ object Pipeline {
                CAST(SUM(csize) - COUNT(*) AS BIGINT), NULL
         FROM sizes GROUP BY csize
         ORDER BY section, k""")),
+
+    // ---- p35: deterministic k-means++ seeding — the cross-engine gate
+    // for [[kmeansPlusPlusSeeds]]' D²-weighted draw. The selection is
+    // where determinism is hardest (a single flipped comparison changes
+    // every later seed), so the oracle replays the EXACT integer
+    // machinery per round: d² to the nearest chosen seed (the proven
+    // float-fold), round(d²·1e7) integer weights, the two-phase
+    // (bucket, id)-ordered prefix sum, and the md5 threshold pick —
+    // four seeds means three sequential picks, generated below as one
+    // CTE chain. Output is the selection order and the chosen row ids.
+    QueryDef(
+      "p35_kmeanspp_seeds",
+      (s, d) =>
+        kmeansPlusPlusSeeds(T.embeddings(s, d), "vec_id", "embedding",
+          k = 4, dim = 64)
+          .select(col("cl"), col("vec_id"))
+          .orderBy(col("cl")),
+      Some {
+        val K = 4; val Dim = 64; val Scale = IntScale.toString
+        def d2sql(q: String, c: String) =
+          s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> " +
+            s"(CAST($q[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
+            s"(CAST($q[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))), " +
+            "(acc, x) -> acc + x)"
+        def pick(j: Int): String = {
+          val prev = if (j == 1) "d0" else s"d${j - 1}"
+          s"""w$j AS (
+             |  SELECT vec_id, emb, d2, CAST(ROUND(d2 * $Scale) AS BIGINT) AS w,
+             |         CAST('0x' || substr(md5('kmppb:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 4096 AS b
+             |  FROM $prev),
+             |bs$j AS (SELECT b, SUM(w) AS bw FROM w$j GROUP BY b),
+             |off$j AS (
+             |  SELECT b, COALESCE(SUM(bw) OVER (ORDER BY b
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             |  FROM bs$j),
+             |t$j AS (
+             |  SELECT CAST('0x' || substr(md5('kmppt:$j'), 1, 14) AS BIGINT) % SUM(w) AS t
+             |  FROM w$j),
+             |cum$j AS (
+             |  SELECT w$j.vec_id, w$j.emb, w$j.w,
+             |         off$j.off + SUM(w$j.w) OVER (PARTITION BY w$j.b ORDER BY w$j.vec_id) AS cum
+             |  FROM w$j JOIN off$j ON w$j.b = off$j.b),
+             |p$j AS (
+             |  SELECT c.vec_id, c.emb FROM cum$j c, t$j
+             |  WHERE c.cum > t$j.t AND c.cum - c.w <= t$j.t),
+             |d$j AS (
+             |  SELECT d.vec_id, d.emb, LEAST(d.d2, ${d2sql("d.emb", "p.emb")}) AS d2
+             |  FROM $prev d CROSS JOIN p$j p)""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+           |s0 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
+           |d0 AS (
+           |  SELECT e.vec_id, e.emb, ${d2sql("e.emb", "s.emb")} AS d2
+           |  FROM e CROSS JOIN s0 s),
+           |${(1 until K).map(pick).mkString(",\n")}
+           |SELECT CAST(0 AS INT) AS cl, vec_id FROM s0
+           |${(1 until K).map(j => s"UNION ALL SELECT $j, vec_id FROM p$j").mkString("\n")}
+           |ORDER BY cl""".stripMargin
+      }),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

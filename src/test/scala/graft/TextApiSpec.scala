@@ -534,6 +534,61 @@ class TextApiSpec extends AnyFunSuite {
       brute.toSeq)
   }
 
+  test("kmeansPlusPlusSeeds: spread + SSE beats min-id seeding on clustered corpora") {
+    // the degenerate case the D²-weighted seeding exists for: 4 tight,
+    // well-separated blobs with the k SMALLEST ids all in blob 0, so
+    // min-id seeding starts every centroid inside one blob. The draw
+    // is hash-deterministic, so once green this stays green.
+    import spark.implicits._
+    val dim = 8
+    for (seed <- Seq(7, 13, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val centers = (0 until 4).map { b =>
+        Array.tabulate(dim)(i =>
+          (if (i == b) 60.0 + rnd.nextDouble() * 10 else rnd.nextDouble() * 5))
+      }
+      val pts = (for {
+        b <- 0 until 4; i <- 0 until 30
+      } yield ((b * 30 + i).toLong,
+        centers(b).map(c => (c + rnd.nextGaussian() * 0.5).toFloat)))
+        .toDF("pk", "vec")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val seeds = Pipeline.kmeansPlusPlusSeeds(pts, "pk", "vec",
+          k = 4, dim = dim)
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        assert(seeds.map(_._1).toSeq == Seq(0, 1, 2, 3))
+        // one seed per blob: D² mass concentrates on unseeded blobs
+        assert(seeds.map(_._2 / 30).toSet.size == 4,
+          s"rnd=$seed seeds not spread across blobs: ${seeds.toSeq}")
+        def sse(seeding: String): Double =
+          Pipeline.kmeansCluster(pts, "pk", "vec", k = 4, dim = dim,
+            iters = 2, seeding = seeding)
+            .agg(sum(col("d2"))).collect()(0).getDouble(0)
+        val (pp, minId) = (sse("kmeans++"), sse("min-id"))
+        assert(pp <= minId,
+          s"rnd=$seed kmeans++ SSE $pp worse than min-id $minId")
+        // determinism across invocations (RNG-free draw)
+        val again = Pipeline.kmeansPlusPlusSeeds(pts, "pk", "vec",
+          k = 4, dim = dim)
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        assert(again.toSeq == seeds.toSeq)
+      } finally pts.unpersist()
+    }
+  }
+
+  test("kmeansPlusPlusSeeds: duplicate-exhausted corpus returns a short seed list") {
+    import spark.implicits._
+    // two distinct points among three rows: after both are chosen all
+    // remaining D² mass is 0 — the third draw has no interval to hit,
+    // so the list comes back short instead of looping or throwing
+    val pts = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f)),
+      (3L, Array(5f, 5f))).toDF("pk", "vec")
+    val seeds = Pipeline.kmeansPlusPlusSeeds(pts, "pk", "vec", k = 3, dim = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(seeds == Seq(1L, 3L))
+  }
+
   test("ivfSearch: trained-centroid quantizer; recall@k monotone in nprobe") {
     import spark.implicits._
     // random corpus, kmeansFit centroids as the trained quantizer —
