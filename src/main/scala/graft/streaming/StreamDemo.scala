@@ -10,7 +10,8 @@ import org.apache.spark.sql.types._
   * [[Streams]] transforms wired into something you can actually run:
   *
   * {{{
-  * sbt "runMain graft.streaming.StreamDemo <inDir> <outDir> <ckptDir> [--follow]"
+  * sbt "runMain graft.streaming.StreamDemo <inDir> <outDir> <ckptDir> \
+  *      [--follow] [--max-files-per-trigger=N] [--max-bytes-per-trigger=SIZE]"
   * }}}
   *
   * Input files are JSONL rows of
@@ -43,13 +44,30 @@ object StreamDemo {
     StructField("source", StringType)))
 
   /** Build and start the query; separated from main so tests drive it
-    * against temp dirs on the shared session. */
+    * against temp dirs on the shared session.
+    *
+    * Backpressure: `maxFilesPerTrigger`/`maxBytesPerTrigger` bound each
+    * micro-batch on the FILE SOURCE (rate limits are source options,
+    * not sink ones). Without a bound, the first run against a full
+    * landing zone — at 100 TB, the whole history — drains everything
+    * in ONE micro-batch, whose shuffle/state footprint scales with the
+    * backlog instead of the arrival rate. `Trigger.AvailableNow`
+    * honors these limits: it still drains the full backlog and exits,
+    * but as a SEQUENCE of bounded batches, each committed to the
+    * checkpoint — so a crash mid-drain resumes from the last bounded
+    * batch rather than replaying the entire zone. */
   def run(spark: SparkSession, inDir: String, outDir: String,
       ckptDir: String, follow: Boolean = false,
-      minChars: Int = 50): StreamingQuery = {
+      minChars: Int = 50,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[String] = None): StreamingQuery = {
     import org.apache.spark.sql.functions.col
-    val raw: DataFrame = spark.readStream
-      .schema(InputSchema)
+    val reader0 = spark.readStream.schema(InputSchema)
+    val reader1 = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val reader = maxBytesPerTrigger.fold(reader1)(b =>
+      reader1.option("maxBytesPerTrigger", b))
+    val raw: DataFrame = reader
       .json(inDir)
       // rows without a parseable event time cannot pass the watermarked
       // near-dup gate; drop them HERE, as a stated contract, instead of
@@ -63,12 +81,21 @@ object StreamDemo {
 
   def main(args: Array[String]): Unit = {
     val (flags, dirs) = args.partition(_.startsWith("--"))
-    if (dirs.length != 3 || flags.exists(_ != "--follow")) {
+    val MaxFiles = "--max-files-per-trigger=(\\d+)".r
+    val MaxBytes = "--max-bytes-per-trigger=(\\S+)".r
+    val known = flags.forall {
+      case "--follow" | MaxFiles(_) | MaxBytes(_) => true
+      case _ => false
+    }
+    if (dirs.length != 3 || !known) {
       System.err.println(
-        "usage: StreamDemo <inDir> <outDir> <checkpointDir> [--follow]")
+        "usage: StreamDemo <inDir> <outDir> <checkpointDir> [--follow] " +
+          "[--max-files-per-trigger=N] [--max-bytes-per-trigger=SIZE]")
       sys.exit(2)
     }
     val follow = flags.contains("--follow")
+    val maxFiles = flags.collectFirst { case MaxFiles(n) => n.toInt }
+    val maxBytes = flags.collectFirst { case MaxBytes(b) => b }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-stream-demo")
@@ -79,7 +106,8 @@ object StreamDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = run(spark, dirs(0), dirs(1), dirs(2), follow)
+    val q = run(spark, dirs(0), dirs(1), dirs(2), follow,
+      maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
     q.awaitTermination()
     spark.stop()
   }

@@ -254,6 +254,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(landed.filter(col("text").contains("<EMAIL>")).count() == 1)
   }
 
+  test("StreamDemo: maxFilesPerTrigger drains a backlog over multiple bounded micro-batches") {
+    // the 100 TB first-run shape: a landing zone with a BACKLOG must
+    // not drain in one unbounded micro-batch. AvailableNow + the rate
+    // limit still drains everything and exits, but as a sequence of
+    // bounded, individually-committed batches — same final contents,
+    // more than one entry in the checkpoint's offsets log.
+    val inDir = java.nio.file.Files.createTempDirectory("bp-in")
+    val outDir = java.nio.file.Files.createTempDirectory("bp-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bp-ckpt").toString
+    def vocab(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    (1 to 3).foreach { f =>
+      java.nio.file.Files.write(inDir.resolve(s"f$f.jsonl"),
+        (s"""{"ts":"2024-01-01T10:0$f:00Z","doc_id":$f,"text":"${vocab(s"f${f}w")}","source":"web"}""" + "\n")
+          .getBytes("UTF-8"))
+    }
+    val q = streaming.StreamDemo.run(spark, inDir.toString, outDir, ckpt,
+      minChars = 20, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val ids = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L)) // distinct vocab: nothing deduped
+    // one committed offsets entry per bounded batch: 3 files at
+    // maxFilesPerTrigger=1 → 3 micro-batches (not 1 unbounded drain)
+    val offsets = new java.io.File(ckpt, "offsets").list()
+      .filterNot(_.startsWith(".")).toSeq
+    assert(offsets.size == 3, s"expected 3 bounded batches, got $offsets")
+  }
+
   test("neardupGate: near-duplicates share a band bucket and are dropped") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
