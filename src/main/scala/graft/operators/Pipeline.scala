@@ -1345,17 +1345,24 @@ object Pipeline {
     // k−1's files, so they are removed right then — disk stays bounded
     // at ~2 rounds' worth of labels instead of growing with graph
     // diameter (50 rounds × 100 TB-scale label tables). Ownership is
-    // tracked by diffing the rdd-N listing around OUR OWN checkpoint
-    // call, never by rdd-id guessing, so the final labels' files (which
-    // the returned DataFrame reads) are structurally un-deletable and a
-    // concurrent foreign df.checkpoint() in the same context is at risk
-    // only inside our materialization window — the global-setting race
-    // already documented below. On failure the last round's files (and
+    // POSITIVE: the checkpointed Dataset's own plan (its LogicalRDD)
+    // reports the exact rdd directory its files landed in
+    // (getCheckpointFile), so only files THIS call wrote are ever
+    // deleted — a concurrent foreign df.checkpoint() into the same
+    // (context-global) location is invisible to the cleanup (r08
+    // ADVICE closed the prior listing-diff's mis-attribution window).
+    // The final labels' files (which the returned DataFrame reads)
+    // are structurally un-deletable (they are never in lastRoundDirs
+    // when a delete runs). A foreign checkpoint taken while this call
+    // holds the global dir lands under OUR uuid root and simply stays
+    // there — never deleted, merely mislocated, the caller-visible
+    // remnant of Spark's context-global setting.
+    // On failure the last round's files (and
     // the in-flight round's partial files) remain for forensics; the
     // caller-owned lifecycle on success is ONE rdd directory per call.
-    // Concurrent calls with different dirs in one context would race
-    // on the global setting (and on the cleanup's listing-diff);
-    // serialize those.
+    // Concurrent calls with different dirs in one context still race
+    // on the global dir SETTING (their files interleave across the two
+    // uuid roots); the cleanup itself no longer mis-attributes.
     val sc = pairsDf.sparkSession.sparkContext
     val prevCkptDir = sc.getCheckpointDir
     var lastRoundDirs: Seq[org.apache.hadoop.fs.Path] = Nil
@@ -1364,15 +1371,18 @@ object Pipeline {
         sc.setCheckpointDir(dir)
         val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
         val fs = root.getFileSystem(sc.hadoopConfiguration)
-        def rddDirs(): Set[String] =
-          if (!fs.exists(root)) Set.empty[String]
-          else fs.listStatus(root).map(_.getPath.getName)
-            .filter(_.startsWith("rdd-")).toSet
         df => {
-          val before = rddDirs()
           val out = df.checkpoint() // eager: materialized on return
-          val mine = (rddDirs() -- before).toSeq.sorted
-            .map(n => new org.apache.hadoop.fs.Path(root, n))
+          // positive ownership: the checkpointed plan's LogicalRDD
+          // carries the rdd whose getCheckpointFile IS the directory
+          // this call's files landed in. If a future Spark changes the
+          // plan shape the collect finds nothing and we simply skip
+          // deletion (disk grows for the run, nothing foreign is ever
+          // touched) — fail-safe in the direction that loses no data.
+          val mine = out.queryExecution.logical.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }.flatMap(_.getCheckpointFile)
+            .map(new org.apache.hadoop.fs.Path(_))
           lastRoundDirs.foreach(p => fs.delete(p, true))
           lastRoundDirs = mine
           out

@@ -101,6 +101,41 @@ class PipelineSpec extends AnyFunSuite {
       spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("connectedComponents: a concurrent foreign checkpoint is never deleted") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // ownership is POSITIVE (the checkpointed plan reports its own rdd
+    // directory), so a foreign df.checkpoint() racing CC's rounds —
+    // which lands inside CC's uuid root, the context-global dir — can
+    // never be attributed to a CC round and deleted. The overlap is
+    // timing-dependent, but the assertion is timing-INDEPENDENT under
+    // the fix (foreign files survive any interleaving); the prior
+    // listing-diff cleanup failed this test whenever a foreign
+    // checkpoint landed inside a round's diff window.
+    val dir = java.nio.file.Files.createTempDirectory("cc-race").toString
+    try {
+      // a chain deep enough for several checkpointed rounds
+      val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+      val cc = Future(operators.Pipeline
+        .connectedComponents(pairs, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      var foreign = Vector.empty[org.apache.spark.sql.DataFrame]
+      while (!cc.isCompleted) {
+        // throws until CC's thread sets the context checkpoint dir
+        try foreign = foreign :+ spark.range(100).toDF("n").checkpoint()
+        catch { case _: org.apache.spark.SparkException => () }
+        Thread.sleep(20)
+      }
+      val got = Await.result(cc, 120.seconds)
+      assert(got == (0L to 60L).map(_ -> 0L).toMap)
+      assert(foreign.nonEmpty, "no foreign checkpoint overlapped the CC run")
+      foreign.foreach(f => assert(f.count() == 100L,
+        "a foreign checkpoint lost its files to CC's cleanup"))
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("connectedComponents: restores the caller's checkpoint LOCATION, not its uuid subdir") {
     import spark.implicits._
     // getCheckpointDir reports the <dir>/<uuid> subdir setCheckpointDir
