@@ -459,6 +459,70 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccardPairs: adversarial thresholds, tiny and boundary-size sets") {
+    import spark.implicits._
+    // n = 1 makes a doc's gram set exactly its distinct characters, so
+    // set sizes and overlaps can be CONSTRUCTED instead of sampled. The
+    // ceil/epsilon guards (relaxed()) are sharpest where t*|s| is an
+    // integer in rational arithmetic but IEEE lands a hair above it
+    // (100 * 0.07 == 7.000000000000001, 100 * 0.99 == 99.00000000000001)
+    // and where sets are tiny or equal-size, making the index-prefix
+    // and positional bounds touch their ceilings exactly.
+    def ch(i: Int): Char = ('一' + i).toChar
+    def doc(ids: Seq[Int]): String = ids.map(ch).mkString
+    def check(docs: Seq[(Long, String)], t: Double, cap: Int): Unit = {
+      val got = Pipeline.ngramJaccardPairs(docs.toDF("post_key", "body"),
+          "post_key", "body", n = 1, minJaccard = t, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      spark.catalog.clearCache()
+      val sets = docs.map { case (id, s) => id -> s.toSeq.toSet }
+      val dfc = sets.flatMap(_._2.toSeq).groupBy(identity)
+        .map { case (g, xs) => g -> xs.size }
+      val kept = sets.map { case (id, s) => id -> s.filter(g => dfc(g) <= cap) }
+      val expect = (for {
+        (a, sa) <- kept; (b, sb) <- kept if a < b
+        c = (sa & sb).size
+        u = sa.size + sb.size - c
+        if u > 0 && c.toDouble / u >= t
+      } yield (a, b, c.toDouble / u)).toSet
+      assert(got == expect,
+        s"t=$t cap=$cap: missing=${expect -- got} extra=${got -- expect}")
+    }
+    // (1) tiny sets: every non-empty subset of a 6-char pool — all
+    // sizes 1..6, every overlap/parity combination, equal-size pairs
+    // at J exactly = t (e.g. {0,1,2} vs {0,1,3} = 2/4 at t = 0.5),
+    // plus an exact duplicate of the full pool and a singleton
+    val pool = 0 until 6
+    val tiny = (1 until 64).map { m =>
+      m.toLong -> doc(pool.filter(i => (m & (1 << i)) != 0))
+    } ++ Seq(100L -> doc(pool), 101L -> doc(Seq(0)))
+    // (2) |s| = 100 ladder at the t = 0.07 integer boundary: ladder
+    // doc k shares exactly 2k chars with every later ladder doc (the
+    // remainder is unique), so J(j,k) = 2j/(200-2j) sweeps across the
+    // threshold; doc 250 is a 7-subset of the shared block, hitting
+    // J = 7/100 EXACTLY against the k = 12 doc at t = 0.07
+    val ladder = (0 to 12).map { k =>
+      (200L + k) -> doc((0 until 2 * k) ++
+        (1000 + 100 * k until 1000 + 100 * k + (100 - 2 * k)))
+    } :+ (250L -> doc(0 until 7))
+    // (3) near-identical large sets at the t = 0.99 boundary:
+    // J(300,301) = J(300,302)... brute force decides; 199/201 ≈ .99005
+    // straddles .99 against 198/202 ≈ .9802, and 303 duplicates 300
+    val big = Seq(
+      300L -> doc(0 until 200),
+      301L -> doc((0 until 199) :+ 5000),
+      302L -> doc((1 until 200) :+ 5001),
+      303L -> doc(0 until 200),
+      304L -> doc(0 until 199))
+    for (t <- Seq(0.07, 0.5, 0.99)) {
+      check(tiny, t, 1000)
+      check(tiny, t, 33) // char 0 has df 34, chars 1..5 df 33: cap splits
+      check(ladder, t, 1000)
+      check(big, t, 1000)
+    }
+  }
+
   test("sharedKgramCounts hashKeys variant matches the string-key counts") {
     import spark.implicits._
     val a = mk((1 to 30).map(i => s"w$i"))
