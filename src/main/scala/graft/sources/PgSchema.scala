@@ -394,19 +394,25 @@ object PgSchema {
   }
 
   object PgCatalog {
-    /** The three introspection queries a live run executes through
-      * [[Reader.query]] (pg_catalog is plain SQL — server-side, tiny). */
+    /** The introspection queries a live run executes through
+      * [[Reader.query]] (pg_catalog is plain SQL — server-side, tiny).
+      * Deliberately written in the portable SQL subset (CAST instead
+      * of `::`, `= FALSE` instead of a bare boolean) so the SAME
+      * strings also run against an embedded engine holding canned
+      * catalog tables — JdbcLiveDerbySpec executes this plumbing live
+      * without a PG server. */
     val IntrospectionSql: Seq[String] = Seq(
       // typtype is itself the 1-byte "char" type, which the dialect
       // transfers numerically — cast to text so resolve() sees 'e'/'d'/…
-      """SELECT t.oid, t.typname, t.typtype::text, t.typelem, t.typbasetype,
-        |       t.typrelid, COALESCE(r.rngsubtype, 0) AS rngsubtype, n.nspname
+      """SELECT t.oid, t.typname, CAST(t.typtype AS varchar(8)) AS typtype,
+        |       t.typelem, t.typbasetype, t.typrelid,
+        |       COALESCE(r.rngsubtype, 0) AS rngsubtype, n.nspname
         |FROM pg_type t
         |JOIN pg_namespace n ON n.oid = t.typnamespace
         |LEFT JOIN pg_range r ON r.rngtypid = t.oid""".stripMargin,
       "SELECT enumtypid, enumsortorder, enumlabel FROM pg_enum",
       """SELECT attrelid, attnum, attname, atttypid FROM pg_attribute
-        |WHERE attnum > 0 AND NOT attisdropped""".stripMargin,
+        |WHERE attnum > 0 AND attisdropped = FALSE""".stripMargin,
       """SELECT c.oid, c.relname, n.nspname
         |FROM pg_class c JOIN pg_namespace n ON n.oid = c.relnamespace
         |WHERE c.relkind IN ('r','v','m','p','f')""".stripMargin)
@@ -434,6 +440,17 @@ object PgSchema {
           PgEnumRow(nl(r.get(0)), nd(r.get(1)), r.getString(2))),
         reader.query(spark, aq).collect().toSeq.map(r =>
           PgAttributeRow(nl(r.get(0)), nl(r.get(1)).toInt, r.getString(2), nl(r.get(3)))))
+    }
+
+    /** The 4th introspection query, for callers that resolve relations
+      * client-side by NAME ([[PgCatalog.tableKinds]]). Separate from
+      * [[load]] because the live `--table` path resolves the relation
+      * oid server-side via regclass instead — fetching every
+      * relation's row there would be pure overhead. */
+    def loadClasses(spark: SparkSession, reader: Reader): Seq[PgClassRow] = {
+      def nl(v: Any): Long = v.asInstanceOf[Number].longValue
+      reader.query(spark, IntrospectionSql(3)).collect().toSeq.map(r =>
+        PgClassRow(nl(r.get(0)), r.getString(1), r.getString(2)))
     }
   }
 }
