@@ -815,8 +815,13 @@ object Pipeline {
       case "kmeans++" =>
         kmeansPlusPlusSeeds(corpus, idCol, vecCol, k, dim)
           .select(col("cl"), col("ce"))
+      // the O(rounds)-pass seeding for IVF-scale k — see
+      // [[kmeansParallelSeeds]]; k-means++ proper is k−1 passes
+      case "kmeans||" =>
+        kmeansParallelSeeds(corpus, idCol, vecCol, k, dim)
+          .select(col("cl"), col("ce"))
       case other => throw new IllegalArgumentException(
-        s"seeding must be 'min-id' or 'kmeans++', got '$other'")
+        s"seeding must be 'min-id', 'kmeans++', or 'kmeans||', got '$other'")
     }
     def update(asg: DataFrame): DataFrame = {
       val sums = (0 until dim).map(i =>
@@ -936,6 +941,158 @@ object Pipeline {
     val out = seeds.zipWithIndex.map { case ((id, ce), i) =>
       org.apache.spark.sql.Row(i, id, ce) }
     spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+
+  /** Scalable k-means‖ seeding (Bahmani et al., "Scalable k-means++",
+    * VLDB'12) — the 100 TB path [[kmeansPlusPlusSeeds]] is not:
+    * k-means++ proper is k−1 SEQUENTIAL corpus passes (each draw
+    * depends on the previous seed), which at IVF-scale k (hundreds of
+    * centroids) means hundreds of full scans. k-means‖ replaces them
+    * with `rounds` passes (≈5 suffices per the paper): each round
+    * Bernoulli-samples every point INDEPENDENTLY with probability
+    * min(1, l·d²/Σd²) — expected ≤ `oversample` = l candidates per
+    * round, in ONE map over the corpus — then the ≤ l·rounds+1
+    * collected candidates are weighted by how many corpus points each
+    * one is nearest to (one more pass) and reduced to k seeds by
+    * weighted k-means++ ON THE DRIVER, where the candidate set is
+    * tiny. Total: 2·rounds+2 corpus passes, independent of k.
+    *
+    * Determinism: RNG-free like [[kmeansPlusPlusSeeds]] — the
+    * Bernoulli draw compares a per-(point, round) md5 56-bit uniform
+    * against l·w/Σw over the integer-scaled d² weights, candidates are
+    * collected in vec_id order, and the driver-side weighted k-means++
+    * replays the same integer-interval pick (BigInt-exact mass
+    * arithmetic) with md5 round thresholds — the same corpus always
+    * yields the same seeds. The anchor seed is the min-id point, as in
+    * [[kmeansPlusPlusSeeds]].
+    *
+    * Output: (cl int — selection order, vec_id, ce array&lt;double&gt;),
+    * the [[kmeansFit]] centroid shape with `vec_id` extra; SHORT when
+    * the corpus has fewer than k distinct points. Driver memory is
+    * bounded by the candidate count (≈ l·rounds vectors), a parameter
+    * — never by the data. */
+  def kmeansParallelSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, rounds: Int = 5, oversample: Double = -1)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(oversample == -1 || oversample > 0,
+      s"oversample must be positive (or -1 for the 2k default), got $oversample")
+    val l = if (oversample > 0) oversample else 2.0 * k
+    val spark = corpus.sparkSession
+    val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    def dist2(q: Column, c: Column): Column =
+      call_function("float_dist_sq", q, c)
+    def seedLit(s: Seq[Double]): Column = array(s.map(lit(_)): _*)
+    def asCand(df: DataFrame) = df
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
+    val first = asCand(e.orderBy(col("vec_id")).limit(1)).collect()
+    require(first.nonEmpty, "kmeansParallelSeeds: empty corpus")
+    var cands = Vector((first(0).get(0), first(0).getSeq[Double](1)))
+    var state = e
+      .withColumn("d2", dist2(col("embedding"), seedLit(cands.head._2)))
+      .localCheckpoint()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val w = state
+        .withColumn("w", round(col("d2") * IntScale).cast(LongType))
+      val totRow = w.agg(sum(col("w"))).collect()(0)
+      val tot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      if (tot == 0L) exhausted = true // every point duplicates a candidate
+      else {
+        // Bernoulli(min(1, l·w/tot)) per point: u56/2^56 < l·w/tot.
+        // IEEE double division/multiplication are correctly rounded, so
+        // the comparison is reproducible; candidates collect in vec_id
+        // order so the driver-side ordering is too.
+        val sampled = asCand(w.filter(
+            call_function("md5_prefix_long",
+              concat(lit(s"kmpar:$r:"), col("vec_id").cast(StringType)),
+              lit(7)).cast(DoubleType) / lit(math.pow(2.0, 56)) <
+              lit(l) * col("w").cast(DoubleType) / lit(tot.toDouble))
+            .orderBy(col("vec_id")))
+          .collect()
+        if (sampled.nonEmpty) {
+          val newC = sampled.map(row =>
+            (row.get(0), row.getSeq[Double](1))).toVector
+          cands = cands ++ newC
+          // incremental d² against ONLY this round's candidates, as a
+          // broadcast fold over one collected array column — the
+          // expression tree stays O(1) regardless of sample size (a
+          // per-candidate least() chain would grow with l and fall out
+          // of codegen at IVF-scale oversampling)
+          val newLits = array(newC.map(c => seedLit(c._2)): _*)
+          state = state
+            .withColumn("d2", aggregate(newLits, col("d2"),
+              (acc, c) => least(acc, dist2(col("embedding"), c))))
+            .localCheckpoint()
+        }
+        r += 1
+      }
+    }
+    // weight candidates by nearest-point counts (ties → lowest index,
+    // [[kmeansAssign]]'s contract), then reduce to k on the driver
+    val idType = e.schema("vec_id").dataType
+    val candSchema = StructType(Seq(
+      StructField("cl", IntegerType, nullable = false),
+      StructField("vec_id", idType),
+      StructField("ce", ArrayType(DoubleType))))
+    val candRows = cands.zipWithIndex.map { case ((id, ce), i) =>
+      org.apache.spark.sql.Row(i, id, ce) }
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), candSchema)
+    val wt = kmeansAssign(e, candDf.select(col("cl"), col("ce")))
+      .groupBy(col("cl")).agg(count(lit(1)).as("wt"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    // driver-side weighted k-means++ over the candidate set: exact
+    // BigInt mass intervals in candidate order, md5 pick per round —
+    // the in-memory twin of the distributed draw in
+    // [[kmeansPlusPlusSeeds]]
+    def d2d(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        val d = a(i) - b(i); s += d * d; i += 1
+      }
+      s
+    }
+    def md5Mod(s: String, mod: BigInt): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      BigInt(1, d.take(7)).mod(mod)
+    }
+    val candVecs = cands.map(_._2)
+    val minD2 = Array.tabulate(cands.size)(i => d2d(candVecs(i), candVecs.head))
+    var picked = Vector(0)
+    var j = 1
+    var dry = false
+    while (j < k && !dry) {
+      val mass = minD2.zipWithIndex.map { case (d2v, i) =>
+        BigInt(wt.getOrElse(i, 0L)) *
+          BigInt(math.round(d2v * IntScale)) }
+      val total = mass.sum
+      if (total <= 0) dry = true
+      else {
+        val t = md5Mod(s"kmfin:$j", total)
+        var cum = BigInt(0); var pick = -1; var i = 0
+        while (pick < 0 && i < mass.length) {
+          cum += mass(i)
+          if (cum > t) pick = i
+          i += 1
+        }
+        picked = picked :+ pick
+        var m = 0
+        while (m < minD2.length) {
+          val d = d2d(candVecs(m), candVecs(pick))
+          if (d < minD2(m)) minD2(m) = d
+          m += 1
+        }
+      }
+      j += 1
+    }
+    val out = picked.zipWithIndex.map { case (ci, i) =>
+      org.apache.spark.sql.Row(i, cands(ci)._1, cands(ci)._2) }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), candSchema)
   }
 
   /** One Lloyd's assignment pass: argmin distance against a broadcast

@@ -641,6 +641,60 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansParallelSeeds: spread, SSE parity, determinism, short return") {
+    import spark.implicits._
+    // same adversarial corpus as the kmeans++ test: 4 tight blobs with
+    // the k smallest ids all in blob 0. k-means|| must ALSO spread its
+    // seeds (one per blob) and never lose to min-id seeding — while
+    // taking O(rounds) corpus passes instead of k-1.
+    val dim = 8
+    for (seed <- Seq(7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val centers = (0 until 4).map { b =>
+        Array.tabulate(dim)(i =>
+          (if (i == b) 60.0 + rnd.nextDouble() * 10 else rnd.nextDouble() * 5))
+      }
+      val pts = (for {
+        b <- 0 until 4; i <- 0 until 30
+      } yield ((b * 30 + i).toLong,
+        centers(b).map(c => (c + rnd.nextGaussian() * 0.5).toFloat)))
+        .toDF("pk", "vec")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val seeds = Pipeline.kmeansParallelSeeds(pts, "pk", "vec",
+          k = 4, dim = dim, rounds = 3)
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        assert(seeds.map(_._1).toSeq == Seq(0, 1, 2, 3))
+        assert(seeds.map(_._2 / 30).toSet.size == 4,
+          s"rnd=$seed seeds not spread across blobs: ${seeds.toSeq}")
+        def sse(seeding: String): Double =
+          Pipeline.kmeansCluster(pts, "pk", "vec", k = 4, dim = dim,
+            iters = 2, seeding = seeding)
+            .agg(sum(col("d2"))).collect()(0).getDouble(0)
+        assert(sse("kmeans||") <= sse("min-id"),
+          s"rnd=$seed kmeans|| SSE worse than min-id")
+        // determinism across invocations (hash-based draw, ordered
+        // candidate collect, BigInt driver reduction)
+        val again = Pipeline.kmeansParallelSeeds(pts, "pk", "vec",
+          k = 4, dim = dim, rounds = 3)
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        assert(again.toSeq == seeds.toSeq)
+      } finally pts.unpersist()
+    }
+  }
+
+  test("kmeansParallelSeeds: duplicate-exhausted corpus returns a short seed list") {
+    import spark.implicits._
+    // two distinct points among three rows: the candidate pool can
+    // cover both, but the third driver-side pick has zero D² mass
+    // everywhere — short return, same contract as kmeansPlusPlusSeeds
+    val pts = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f)),
+      (3L, Array(5f, 5f))).toDF("pk", "vec")
+    val seeds = Pipeline.kmeansParallelSeeds(pts, "pk", "vec", k = 3, dim = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(seeds == Seq(1L, 3L))
+  }
+
   test("kmeansPlusPlusSeeds: duplicate-exhausted corpus returns a short seed list") {
     import spark.implicits._
     // two distinct points among three rows: after both are chosen all
