@@ -744,6 +744,22 @@ class TextApiSpec extends AnyFunSuite {
         s"recall not monotone in nprobe: $recalls")
       assert(recalls.last == 1.0,
         s"nprobe = n_clusters must equal brute force, got ${recalls.last}")
+
+      // the full production training path: kmeans||-seeded fit feeding
+      // the trained-quantizer IVF — probing every cluster must still
+      // be exhaustive regardless of how the quantizer was seeded
+      val cents2 = Pipeline.kmeansFit(vecs, "pk", "vec", kClusters, dim,
+        seeding = "kmeans||")
+      val member2 = Pipeline.kmeansCluster(vecs, "pk", "vec", kClusters, dim,
+        seeding = "kmeans||")
+        .select(col("vec_id").as("pk"), col("cluster"))
+      val got2 = Pipeline.ivfSearch(vecs.join(member2, "pk"), queries,
+        "pk", "vec", "cluster", topK, nprobe = kClusters,
+        centroids = Some(cents2))
+        .select(col("q_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      assert(got2 == brute,
+        "kmeans||-trained IVF at nprobe = n_clusters must equal brute force")
     } finally vecs.unpersist() // exception-safe: a failed assert must not leak the cache
   }
 
