@@ -2939,6 +2939,102 @@ object Pipeline {
            |ORDER BY cl""".stripMargin
       }),
 
+    // ---- p36: k-means‖ seeding — the cross-engine gate for
+    // [[kmeansParallelSeeds]]. Three independently-failable stages are
+    // each replayed exactly: (1) the per-round Bernoulli sample
+    // (md5 56-bit uniform vs l·w/Σw — IEEE division/multiplication are
+    // correctly rounded, so the comparison is engine-stable), (2) the
+    // nearest-candidate weighting (strict-< first-minimum ≡ ORDER BY
+    // (d², cl) rank 1), and (3) the driver-side weighted k-means++
+    // reduction (BigInt mass intervals ≡ exact BIGINT/HUGEINT window
+    // sums, md5 thresholds). k = 3, rounds = 2 keeps the CTE chain
+    // readable while touching every stage at least twice.
+    QueryDef(
+      "p36_kmeanspar_seeds",
+      (s, d) =>
+        kmeansParallelSeeds(T.embeddings(s, d), "vec_id", "embedding",
+          k = 3, dim = 64, rounds = 2)
+          .select(col("cl"), col("vec_id"))
+          .orderBy(col("cl")),
+      Some {
+        val K = 3; val Rounds = 2; val Dim = 64; val Scale = IntScale.toString
+        val L = "6.0" // oversample default 2k, exactly representable
+        def d2sql(q: String, c: String) =
+          s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> " +
+            s"(CAST($q[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
+            s"(CAST($q[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))), " +
+            "(acc, x) -> acc + x)"
+        // one distributed sampling round: integer weights, one 56-bit
+        // uniform per (point, round), incremental d² via the
+        // min-over-new-candidates (≡ the Spark side's least() fold)
+        def rnd(r: Int): String =
+          s"""w$r AS (
+             |  SELECT vec_id, emb, d2, CAST(ROUND(d2 * $Scale) AS BIGINT) AS w
+             |  FROM dr${r - 1}),
+             |s$r AS (
+             |  SELECT w$r.vec_id, w$r.emb FROM w$r,
+             |       (SELECT CAST(SUM(w) AS DOUBLE) AS tot FROM w$r) t
+             |  WHERE CAST(CAST('0x' || substr(md5('kmpar:$r:' || CAST(vec_id AS VARCHAR)), 1, 14) AS BIGINT) AS DOUBLE)
+             |          / 72057594037927936.0
+             |        < $L * CAST(w AS DOUBLE) / t.tot),
+             |n$r AS (
+             |  SELECT w$r.vec_id, MIN(${d2sql(s"w$r.emb", "s.emb")}) AS nd
+             |  FROM w$r, s$r s GROUP BY w$r.vec_id),
+             |dr$r AS (
+             |  SELECT w$r.vec_id, w$r.emb, LEAST(w$r.d2, COALESCE(n$r.nd, w$r.d2)) AS d2
+             |  FROM w$r LEFT JOIN n$r ON w$r.vec_id = n$r.vec_id)""".stripMargin
+        // one driver-side weighted pick: mass = wt · round(d²·scale)
+        // in candidate (cl) order, md5-threshold interval containment
+        def fin(j: Int): String = {
+          val m = if (j == 1)
+            s"""m1 AS (
+               |  SELECT c.cl, c.vec_id, c.emb, ${d2sql("c.emb", "a.emb")} AS md
+               |  FROM cands c, (SELECT emb FROM cands WHERE cl = 0) a)""".stripMargin
+          else
+            s"""m$j AS (
+               |  SELECT g${j - 1}.cl, g${j - 1}.vec_id, g${j - 1}.emb,
+               |         LEAST(g${j - 1}.md, ${d2sql(s"g${j - 1}.emb", "p.emb")}) AS md
+               |  FROM g${j - 1}, p${j - 1} p)""".stripMargin
+          s"""$m,
+             |g$j AS (
+             |  SELECT m$j.cl, m$j.vec_id, m$j.emb, m$j.md,
+             |         COALESCE(w.wt, 0) * CAST(ROUND(m$j.md * $Scale) AS BIGINT) AS mass
+             |  FROM m$j LEFT JOIN wtab w ON m$j.cl = w.cl),
+             |c$j AS (
+             |  SELECT cl, vec_id, emb, mass, SUM(mass) OVER (ORDER BY cl) AS cum
+             |  FROM g$j),
+             |t${j}s AS (
+             |  SELECT CAST('0x' || substr(md5('kmfin:$j'), 1, 14) AS BIGINT) % SUM(mass) AS t
+             |  FROM g$j),
+             |p$j AS (
+             |  SELECT cl, vec_id, emb FROM c$j, t${j}s
+             |  WHERE cum > t AND cum - mass <= t)""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+           |s0 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
+           |dr0 AS (
+           |  SELECT e.vec_id, e.emb, ${d2sql("e.emb", "s.emb")} AS d2
+           |  FROM e CROSS JOIN s0 s),
+           |${(1 to Rounds).map(rnd).mkString(",\n")},
+           |cands AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, vec_id) - 1 AS INT) AS cl,
+           |         vec_id, emb
+           |  FROM (SELECT 0 AS rnd, vec_id, emb FROM s0
+           |${(1 to Rounds).map(r => s"        UNION ALL SELECT $r, vec_id, emb FROM s$r").mkString("\n")}) u),
+           |asg AS (
+           |  SELECT e.vec_id, c.cl,
+           |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${d2sql("e.emb", "c.emb")}, c.cl) AS rk
+           |  FROM e, cands c),
+           |wtab AS (
+           |  SELECT cl, CAST(COUNT(*) AS BIGINT) AS wt
+           |  FROM asg WHERE rk = 1 GROUP BY cl),
+           |${(1 until K).map(fin).mkString(",\n")}
+           |SELECT CAST(0 AS INT) AS cl, vec_id FROM s0
+           |${(1 until K).map(j => s"UNION ALL SELECT $j, vec_id FROM p$j").mkString("\n")}
+           |ORDER BY cl""".stripMargin
+      }),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio
