@@ -8,10 +8,24 @@ import org.apache.spark.sql.types._
   * (p20 in [[Pipeline]]) and the streaming ingest gate
   * ([[graft.streaming.Streams.scrubAndGate]]). Pure map-side Columns —
   * no state, no shuffle — so the identical transform serves `read` and
-  * `readStream`. The patterns are the portable common ground of Java
-  * regex (Spark) and RE2 (the DuckDB oracle): character classes and
-  * bounded repetition only, no lookaround. */
+  * `readStream`. All patterns stay in the portable common ground of
+  * Java regex (Spark) and RE2 (the DuckDB oracle): character classes,
+  * bounded repetition, and ASCII word boundaries only — no lookaround.
+  *
+  * Two packs ship: [[FixturePatterns]] (the frozen p20 oracle contract
+  * — shapes scoped to the synthetic corpus) and [[DefaultPatterns]]
+  * (a production starting point: general emails, international/US
+  * phones, any IPv4, SSN- and payment-card-shaped digit groups).
+  * Callers with their own compliance surface pass their own pack —
+  * every entry point takes `Seq[PiiPattern]`.
+  */
 object PiiScrub {
+
+  /** One chained redaction pass: `re` replaced by `tag`. Order in the
+    * pack matters — each pass sees the previous passes' output — so
+    * packs list the most specific shapes first (an email whose local
+    * part looks like a phone must be consumed by the email pass). */
+  final case class PiiPattern(name: String, re: String, tag: String)
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   // open-ended digit runs: a bounded {4} would match the PREFIX of a
@@ -21,23 +35,49 @@ object PiiScrub {
   val PhoneRe = "\\+1-555-[0-9]{4,}"
   val IpRe = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
-  /** Chained redaction: emails, then phones, then IPv4s. */
-  def redact(text: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(
-      text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+  /** The p20/fixture pack — FROZEN: the p20 oracle and the streaming
+    * gate's batch≡stream equivalence are pinned to these shapes. */
+  val FixturePatterns: Seq[PiiPattern] = Seq(
+    PiiPattern("email", EmailRe, "<EMAIL>"),
+    PiiPattern("phone", PhoneRe, "<PHONE>"),
+    PiiPattern("ip", IpRe, "<IP>"))
+
+  /** A production starting point. Most specific first; digit-group
+    * shapes are word-bounded so they never fire inside longer runs
+    * (a 20-digit id must not lose its middle 16 to the card pass).
+    * Recall/precision of PII regexes is a policy decision — treat this
+    * pack as a base to extend, not a compliance guarantee. */
+  val DefaultPatterns: Seq[PiiPattern] = Seq(
+    PiiPattern("email", EmailRe, "<EMAIL>"),
+    // 13–19 digit payment-card run, optionally 4-4-4-4 grouped
+    PiiPattern("card",
+      "\\b[0-9]{4}([- ][0-9]{4}){3}\\b|\\b[0-9]{13,19}\\b", "<CARD>"),
+    PiiPattern("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    PiiPattern("ip", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    // +country international form, then separator-grouped local forms
+    PiiPattern("phone",
+      "\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{2,6}" +
+        "|\\([0-9]{3}\\)[- ]?[0-9]{3}[- ][0-9]{4}" +
+        "|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"))
+
+  /** Chained redaction over a pattern pack (default: the frozen
+    * fixture pack — the p20/batch≡stream contract). */
+  def redact(text: Column,
+      patterns: Seq[PiiPattern] = FixturePatterns): Column =
+    patterns.foldLeft(text)((t, p) => regexp_replace(t, p.re, p.tag))
 
   /** Per-category match counts over the SAME chained passes as
     * [[redact]]: each category is counted on the text with the prior
-    * categories already replaced, so the three counts sum to exactly
-    * the number of replacements redact performs. (Independent raw-text
+    * categories already replaced, so the counts sum to exactly the
+    * number of replacements redact performs. (Independent raw-text
     * counts would double-count overlaps — a phone-shaped local part
-    * inside an email matches both patterns but is redacted once.) */
-  def counts(text: Column): Seq[Column] = {
-    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
-    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
-    Seq(
-      regexp_count(text, lit(EmailRe)).cast(LongType).as("n_emails"),
-      regexp_count(afterEmail, lit(PhoneRe)).cast(LongType).as("n_phones"),
-      regexp_count(afterPhone, lit(IpRe)).cast(LongType).as("n_ips"))
+    * inside an email matches both patterns but is redacted once.)
+    * Output columns are named `n_<name>s` per pack entry. */
+  def counts(text: Column,
+      patterns: Seq[PiiPattern] = FixturePatterns): Seq[Column] = {
+    val staged = patterns.scanLeft(text)((t, p) =>
+      regexp_replace(t, p.re, p.tag))
+    patterns.zip(staged).map { case (p, pre) =>
+      regexp_count(pre, lit(p.re)).cast(LongType).as(s"n_${p.name}s") }
   }
 }

@@ -276,10 +276,13 @@ class StreamsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L)) // distinct vocab: nothing deduped
     // one committed offsets entry per bounded batch: 3 files at
-    // maxFilesPerTrigger=1 → 3 micro-batches (not 1 unbounded drain)
+    // maxFilesPerTrigger=1 → at LEAST 3 micro-batches (not 1 unbounded
+    // drain). ≥, not ==: a watermarked AvailableNow drain may commit
+    // one extra no-new-data batch to advance the watermark and expire
+    // state (observed intermittently as a 4th offsets entry).
     val offsets = new java.io.File(ckpt, "offsets").list()
       .filterNot(_.startsWith(".")).toSeq
-    assert(offsets.size == 3, s"expected 3 bounded batches, got $offsets")
+    assert(offsets.size >= 3, s"expected >= 3 bounded batches, got $offsets")
   }
 
   test("neardupGate: near-duplicates share a band bucket and are dropped") {

@@ -294,6 +294,32 @@ class TextApiSpec extends AnyFunSuite {
     assert(out(2L) == ("srv <IP> down, call <PHONE>", 2L))
   }
 
+  test("PiiScrub: production pack redacts general shapes; packs are caller-supplied") {
+    import spark.implicits._
+    import graft.operators.PiiScrub
+    val df = Seq(
+      (1L, "card 4111-1111-1111-1111 and ssn 078-05-1120"),
+      (2L, "call (212) 555-0187 or +44 20 7946 0958"),
+      (3L, "host 192.168.7.19, id 123456789012345678901 stays"), // 21 digits: NOT a card
+      (4L, "mail a.b+c@sub.example.org, raw 4111111111111111"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        PiiScrub.redact(col("text"), PiiScrub.DefaultPatterns).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "card <CARD> and ssn <SSN>")
+    assert(out(2L) == "call <PHONE> or <PHONE>")
+    // word-bounded: the 21-digit id must NOT lose 16 digits to the card pass
+    assert(out(3L) == "host <IP>, id 123456789012345678901 stays")
+    assert(out(4L) == "mail <EMAIL>, raw <CARD>")
+    // counts columns follow the pack's names and sum to the redactions
+    val c = df.filter(col("id") === 1L)
+      .select(PiiScrub.counts(col("text"), PiiScrub.DefaultPatterns): _*)
+      .collect()(0)
+    assert(c.schema.fieldNames.toSeq ==
+      Seq("n_emails", "n_cards", "n_ssns", "n_ips", "n_phones"))
+    assert((0 until 5).map(c.getLong).sum == 2L)
+  }
+
   test("leakageSafeSplit: near-dup pairs never straddle splits, all rows assigned") {
     val pairs = Pipeline.minhashNeardupPairs(corpus, "post_key", "body")
       .select(col("doc_a"), col("doc_b"))
