@@ -233,13 +233,19 @@ object Streams {
     * `dedupDocuments(scrubAndGate(docs))` dedups on the scrubbed text.
     * Entirely stateless map-side expressions: no watermark, no state
     * store, and bit-identical between batch and streaming execution
-    * (asserted batch≡stream in StreamsSpec). */
-  def scrubAndGate(docs: DataFrame, minChars: Int = 50): DataFrame = {
+    * (asserted batch≡stream in StreamsSpec). `patterns` swaps in a
+    * caller compliance pack ([[graft.operators.PiiScrub.DefaultPatterns]]
+    * is the production starting point); the default stays the frozen
+    * fixture pack the batch≡stream assertion pins. */
+  def scrubAndGate(docs: DataFrame, minChars: Int = 50,
+      patterns: Seq[graft.operators.PiiScrub.PiiPattern] =
+        graft.operators.PiiScrub.FixturePatterns): DataFrame = {
     import graft.operators.PiiScrub
     docs
       .filter(length(col("text")) >= minChars)
-      .withColumn("n_pii", PiiScrub.counts(col("text")).reduce(_ + _))
-      .withColumn("text", PiiScrub.redact(col("text")))
+      .withColumn("n_pii",
+        PiiScrub.counts(col("text"), patterns).reduce(_ + _))
+      .withColumn("text", PiiScrub.redact(col("text"), patterns))
   }
 
   /** Stream-static enrichment: join the unbounded stream against a
