@@ -707,6 +707,30 @@ object Pipeline {
     * (candidate sets are nested; property-tested in TextApiSpec) and
     * nprobe = n_clusters degenerates to [[knnBruteCosine]]. Output:
     * (q_id, probe_label, vec_id, cos_sim, rk). */
+  /** Build an IVF index in ONE quantizer training: fit centroids
+    * ([[kmeansFit]], k-means‖-seeded by default — the IVF-scale-k
+    * shape), assign every corpus vector with one broadcast pass, and
+    * return (assignments (vec_id, cluster), centroids (cl, ce)) —
+    * exactly what [[ivfSearch]]'s `clusterCol` + `centroids` inputs
+    * want. Composing kmeansFit + kmeansCluster by hand trains the
+    * quantizer twice (kmeansCluster re-fits internally); this is the
+    * single-fit spelling:
+    * {{{
+    * val (member, cents) = ivfIndex(vecs, "id", "vec", k = 256, dim = 64)
+    * val hits = ivfSearch(vecs.join(member, vecs("id") === member("vec_id")),
+    *   queries, "id", "vec", "cluster", k = 10, nprobe = 8,
+    *   centroids = Some(cents))
+    * }}} */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int = 2, seeding: String = "kmeans||")
+      : (DataFrame, DataFrame) = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val cents = kmeansFit(corpus, idCol, vecCol, k, dim, iters, seeding)
+    val member = kmeansAssign(e, cents)
+      .select(col("vec_id"), col("cl").as("cluster"))
+    (member, cents)
+  }
+
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, k: Int,
       nprobe: Int = 1, excludeSelf: Boolean = true,

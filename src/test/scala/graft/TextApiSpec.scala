@@ -709,6 +709,35 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansParallelSeeds: edge parameters stay valid and deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val pts = (0L until 40L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat() * 10f))).toDF("pk", "vec")
+    // rounds = 1 with a sub-1 oversample: the candidate pool may be
+    // tiny (possibly anchor-only), but output stays well-formed —
+    // selection-ordered cl, seeds drawn from the corpus, never more
+    // than k, and reproducible
+    val s1 = Pipeline.kmeansParallelSeeds(pts, "pk", "vec", k = 3, dim = 4,
+      rounds = 1, oversample = 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(s1.nonEmpty && s1.length <= 3)
+    assert(s1.map(_._1) == s1.indices)
+    assert(s1.map(_._2).forall(id => id >= 0 && id < 40))
+    val s2 = Pipeline.kmeansParallelSeeds(pts, "pk", "vec", k = 3, dim = 4,
+      rounds = 1, oversample = 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(s1 == s2)
+    // invalid parameters fail fast
+    intercept[IllegalArgumentException] {
+      Pipeline.kmeansParallelSeeds(pts, "pk", "vec", k = 3, dim = 4, rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.kmeansParallelSeeds(pts, "pk", "vec", k = 3, dim = 4,
+        oversample = -2)
+    }
+  }
+
   test("kmeansParallelSeeds: duplicate-exhausted corpus returns a short seed list") {
     import spark.implicits._
     // two distinct points among three rows: the candidate pool can
@@ -771,14 +800,13 @@ class TextApiSpec extends AnyFunSuite {
       assert(recalls.last == 1.0,
         s"nprobe = n_clusters must equal brute force, got ${recalls.last}")
 
-      // the full production training path: kmeans||-seeded fit feeding
-      // the trained-quantizer IVF — probing every cluster must still
-      // be exhaustive regardless of how the quantizer was seeded
-      val cents2 = Pipeline.kmeansFit(vecs, "pk", "vec", kClusters, dim,
-        seeding = "kmeans||")
-      val member2 = Pipeline.kmeansCluster(vecs, "pk", "vec", kClusters, dim,
-        seeding = "kmeans||")
-        .select(col("vec_id").as("pk"), col("cluster"))
+      // the full production training path: ivfIndex (one kmeans||-
+      // seeded fit + one assignment pass) feeding the trained-quantizer
+      // IVF — probing every cluster must still be exhaustive
+      // regardless of how the quantizer was seeded
+      val (member2raw, cents2) = Pipeline.ivfIndex(vecs, "pk", "vec",
+        kClusters, dim)
+      val member2 = member2raw.select(col("vec_id").as("pk"), col("cluster"))
       val got2 = Pipeline.ivfSearch(vecs.join(member2, "pk"), queries,
         "pk", "vec", "cluster", topK, nprobe = kClusters,
         centroids = Some(cents2))
