@@ -863,6 +863,21 @@ object Pipeline {
     cents
   }
 
+  /** Free a superseded per-round `localCheckpoint`'s executor blocks.
+    * The succeeding round's EAGER localCheckpoint has already
+    * materialized an independent copy, so the old blocks are dead
+    * weight — without the release they survive until the DataFrame is
+    * GC'd, holding one corpus-sized copy PER ROUND on the executors.
+    * Plan-shape-tolerant like the connectedComponents cleanup: if a
+    * future Spark stops exposing the LogicalRDD, the collect finds
+    * nothing and we skip the release (memory grows for the call,
+    * correctness unchanged). blocking = false: no job waits on the
+    * removal. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+
   /** Deterministic k-means++ seed selection (Arthur & Vassilvitskii,
     * SODA'07): after an initial anchor, each next seed is drawn
     * D²-WEIGHTED — probability proportional to the squared distance to
@@ -919,6 +934,9 @@ object Pipeline {
     // remaining draws (and min-id matches the legacy seeding's anchor)
     val first = collectSeed(e.orderBy(col("vec_id")).limit(1))
     require(first.nonEmpty, "kmeansPlusPlusSeeds: empty corpus")
+    // free superseded rounds as we go: without the release, every
+    // round's corpus-sized checkpoint blocks survive until GC — k−1
+    // live copies at 100 TB instead of ~2
     var seeds = Vector((first(0).get(0), first(0).getSeq[Double](1)))
     var state = e
       .withColumn("d2", dist2(col("embedding"), seedLit(seeds.head._2)))
@@ -951,12 +969,15 @@ object Pipeline {
       if (rows.isEmpty) exhausted = true
       else {
         seeds = seeds :+ ((rows(0).get(0), rows(0).getSeq[Double](1)))
-        state = state.withColumn("d2",
+        val next = state.withColumn("d2",
           least(col("d2"), dist2(col("embedding"), seedLit(seeds.last._2))))
           .localCheckpoint()
+        releaseLocalCheckpoint(state)
+        state = next
       }
       j += 1
     }
+    releaseLocalCheckpoint(state) // nothing reads state past the loop
     val idType = e.schema("vec_id").dataType
     val schema = StructType(Seq(
       StructField("cl", IntegerType, nullable = false),
@@ -1047,14 +1068,17 @@ object Pipeline {
           // per-candidate least() chain would grow with l and fall out
           // of codegen at IVF-scale oversampling)
           val newLits = array(newC.map(c => seedLit(c._2)): _*)
-          state = state
+          val next = state
             .withColumn("d2", aggregate(newLits, col("d2"),
               (acc, c) => least(acc, dist2(col("embedding"), c))))
             .localCheckpoint()
+          releaseLocalCheckpoint(state) // free the superseded round
+          state = next
         }
         r += 1
       }
     }
+    releaseLocalCheckpoint(state) // weighting reads e, not state
     // weight candidates by nearest-point counts (ties → lowest index,
     // [[kmeansAssign]]'s contract), then reduce to k on the driver
     val idType = e.schema("vec_id").dataType
