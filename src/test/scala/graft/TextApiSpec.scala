@@ -709,6 +709,28 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("seeding releases its per-round checkpoints: no persistent RDDs leak") {
+    import spark.implicits._
+    // both seeding loops localCheckpoint corpus-sized state per round;
+    // the superseded rounds must be unpersisted as the loop advances
+    // (at 100 TB, k-1 live copies vs ~2) — pin it via the context's
+    // persistent-RDD registry so a Spark upgrade that changes the plan
+    // shape (and silently skips the release) fails here
+    val rnd = new scala.util.Random(5)
+    val pts = (0L until 60L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat() * 10f))).toDF("pk", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pts.count()
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      Pipeline.kmeansPlusPlusSeeds(pts, "pk", "vec", k = 4, dim = 4).collect()
+      Pipeline.kmeansParallelSeeds(pts, "pk", "vec", k = 4, dim = 4,
+        rounds = 2).collect()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"seeding leaked persistent RDDs: $leaked")
+    } finally pts.unpersist()
+  }
+
   test("kmeansParallelSeeds: edge parameters stay valid and deterministic") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
