@@ -239,6 +239,29 @@ class PgSchemaSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("sparsevec")))
   }
 
+  test("sparsevec parse round-trips random maps exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.functions.PgConversions._
+    // randomized T34 guard: arbitrary entry counts (incl. the empty
+    // '{}/d' map), arbitrary 1-based indices, full-precision float
+    // text (Float.toString round-trips through cast exactly) — the
+    // fixture pins only hand-picked shapes
+    val rnd = new scala.util.Random(17)
+    val cases = (1 to 60).map { _ =>
+      val dims = 10 + rnd.nextInt(90)
+      val idx = rnd.shuffle((1 to dims).toList).take(rnd.nextInt(8)).sorted
+      val m = idx.map(i => i -> (rnd.nextFloat() * 200f - 100f)).toMap
+      val text = "{" + idx.map(i => s"$i:${m(i)}").mkString(",") + s"}/$dims"
+      (text, m)
+    }
+    val parsed = cases.map(_._1).toDF("v")
+      .select(sparsevecFromText(col("v")).as("s")).collect()
+    cases.zip(parsed).foreach { case ((text, m), row) =>
+      assert(row.getMap[Int, Float](0) == m, text)
+    }
+  }
+
   test("timetz/cidr/macaddr8 transfer as canonical pg text (beyond-reference)") {
     val spark = TestSpark.spark
     import spark.implicits._
