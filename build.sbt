@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through WITHOUT sbt's "[info] " logger
+// prefix, so the driver's bench capture can JSON-parse the compact
+// line graft.Bench prints last (BENCH_r09 "parsed":null root cause).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // No "[success] Total time: ..." banner after a run: the driver's
 // bench capture parses the LAST stdout line, and the banner was
 // displacing graft.Bench's compact JSON line (BENCH_r08 "parsed":null).
