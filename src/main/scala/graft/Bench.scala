@@ -130,9 +130,24 @@ object Bench {
     // it hit. Explicit `all` arg instead medians-of-3 everything.
     val sweepPass1 = sweepNames.map(n => n -> timedRun(n)).toMap
     val sweepPass2 = sweepNames.map(n => n -> timedRun(n)).toMap
-    val fullSingles = sweepNames.map { n =>
-      val ts = Seq(sweepPass1(n), sweepPass2(n)).flatten
-      (n, ts.minOption, ts.size < 2)
+    // sweep-side outlier guard (VERDICT r09): best-of-2 alone had no
+    // inflation marker, so a load spike spanning BOTH passes shipped
+    // inflated full-map numbers with nothing flagging them. Same
+    // quiet-window history + 3× trigger as the headline medians
+    // (loadHistory now reads the committed artifact's `full` map too),
+    // one extra time-separated run per flagged query, and the names
+    // ride the same `inflated` key so the artifact self-certifies.
+    val sweepBase = sweepNames.map(n =>
+      n -> Seq(sweepPass1(n), sweepPass2(n)).flatten)
+    val sweepInflated = sweepBase.collect {
+      case (n, ts) if ts.nonEmpty &&
+        history.get(n).exists(h => isInflated(ts.min, h)) => n
+    }
+    val sweepExtra = sweepInflated.map(n => n -> timedRun(n)).toMap
+    val fullSingles = sweepBase.map { case (n, ts) =>
+      // `partial` tracks the BASE passes only: the extra run is a
+      // re-measurement, not a third sample every query receives
+      (n, (ts ++ sweepExtra.getOrElse(n, None)).minOption, ts.size < 2)
     }
     val fullGood = fullSingles.collect { case (n, Some(t), _) => (n, t) }
     val fullJson = fullGood.map { case (k, v) => "\"" + k + "\":" + v }
@@ -148,7 +163,8 @@ object Bench {
     val partial = (headPartial ++
       fullSingles.collect { case (n, Some(_), true) => n })
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val inflatedJson = inflated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val inflatedJson = (inflated ++ sweepInflated)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // sfDir comes from an env var — escape it (a quote or backslash in
     // the path would make both JSON lines unparseable and zero the round)
     val sfJson = Verify.jsonEscape(sfDir)
@@ -188,12 +204,14 @@ object Bench {
   def isInflated(measured: Double, quiet: Double): Boolean =
     quiet > 0 && measured > 3 * quiet
 
-  /** Headline medians from the committed quiet-window BENCH_full.json,
-    * or empty when the file is missing, unparseable, or was captured at
-    * a DIFFERENT sf (a local sf0.001 artifact must not make every sf0.1
-    * median look 100× inflated). The file is this program's own output
-    * (see the write below) — a two-regex parse of that fixed shape, not
-    * a general JSON parser. */
+  /** Quiet-window history from the committed BENCH_full.json — the
+    * headline `queries` medians AND the `full` sweep singles, so the
+    * outlier guard covers every registered query — or empty when the
+    * file is missing, unparseable, or was captured at a DIFFERENT sf
+    * (a local sf0.001 artifact must not make every sf0.1 median look
+    * 100× inflated). The file is this program's own output (see the
+    * write below) — a fixed-shape regex parse, not a general JSON
+    * parser. */
   def loadHistory(sfDir: String, path: String = "BENCH_full.json")
       : Map[String, Double] =
     try {
@@ -209,11 +227,17 @@ object Bench {
     val sfOk = "\"sf\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(json)
       .exists(m => m.group(1) == Verify.jsonEscape(sfDir).stripPrefix("\"").stripSuffix("\""))
     if (!sfOk) Map.empty
-    else "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(json) match {
-      case Some(m) =>
-        "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(m.group(1))
-          .map(g => g.group(1) -> g.group(2).toDouble).toMap
-      case None => Map.empty
+    else {
+      def mapOf(key: String): Map[String, Double] =
+        ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(json) match {
+          case Some(m) =>
+            "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(m.group(1))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          case None => Map.empty
+        }
+      // headline medians win on (unexpected) key overlap: a median of
+      // 3 is the stronger quiet-window estimate than a best-of-2
+      mapOf("full") ++ mapOf("queries")
     }
   }
 }

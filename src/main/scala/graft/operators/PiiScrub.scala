@@ -54,10 +54,14 @@ object PiiScrub {
       "\\b[0-9]{4}([- ][0-9]{4}){3}\\b|\\b[0-9]{13,19}\\b", "<CARD>"),
     PiiPattern("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
     PiiPattern("ip", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
-    // +country international form, then separator-grouped local forms
+    // +country international form, then separator-grouped local forms.
+    // Every alternative ends at \b so a match can never stop mid-run
+    // inside a longer digit string ('+' + 20 digits must survive whole,
+    // not leave stray trailing digits) — the same word-bounding the
+    // card/ssn shapes carry. \b is ASCII-portable (Java regex + RE2).
     PiiPattern("phone",
-      "\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{2,6}" +
-        "|\\([0-9]{3}\\)[- ]?[0-9]{3}[- ][0-9]{4}" +
+      "\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{2,6}\\b" +
+        "|\\([0-9]{3}\\)[- ]?[0-9]{3}[- ][0-9]{4}\\b" +
         "|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"))
 
   /** Chained redaction over a pattern pack (default: the frozen

@@ -221,17 +221,49 @@ object Pipeline {
     * SHARED path, the amortized cost a suite user actually pays,
     * while p02's standalone timing still prices the graph build
     * itself. Keyed by (spark application, data dir) so a fresh
-    * session never reads another context's dead blocks; entries live
-    * for the JVM (a handful of label tables bounded by the near-dup
-    * doc count — the demo-harness scope; library callers manage their
-    * own components frame lifecycle explicitly). */
+    * session never reads another context's dead blocks.
+    *
+    * Lifecycle: each live entry pins a label-table-sized
+    * localCheckpoint on the executors, so the memo is CAPPED at
+    * [[ComponentsMemoCap]] entries — inserting beyond the cap evicts
+    * the OLDEST entry and unpersists its blocks (insertion-order
+    * LinkedHashMap; a long-lived session cycling over many data dirs
+    * holds at most cap label tables, not one per dir ever touched).
+    * [[releaseSharedComponents]] drops one entry on demand — the
+    * explicit hand the library API offers callers done with a dir. */
+  private val ComponentsMemoCap = 4
   private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def sharedComponents(s: SparkSession, d: String): DataFrame =
-    componentsMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:$d",
-      _ => connectedComponents(
-        neardupPairs(s, d).select(col("doc_a"), col("doc_b"))))
+    new java.util.LinkedHashMap[String, DataFrame]()
+  private def memoKey(s: SparkSession, d: String): String =
+    s"${s.sparkContext.applicationId}:$d"
+  private[graft] def sharedComponents(s: SparkSession, d: String): DataFrame =
+    componentsMemo.synchronized {
+      Option(componentsMemo.get(memoKey(s, d))).getOrElse {
+        val built = connectedComponents(
+          neardupPairs(s, d).select(col("doc_a"), col("doc_b")))
+        componentsMemo.put(memoKey(s, d), built)
+        if (componentsMemo.size > ComponentsMemoCap) {
+          val it = componentsMemo.entrySet().iterator()
+          releaseLocalCheckpoint(it.next().getValue)
+          it.remove()
+        }
+        built
+      }
+    }
+
+  /** Release the memoized shared-components entry for (spark,
+    * dataDir): unpersists the label table's localCheckpoint blocks and
+    * drops the memo entry — the next [[sharedComponents]] call for the
+    * dir rebuilds from scratch. No-op when nothing is memoized. A
+    * released DataFrame must not be reused by callers still holding
+    * it: its lineage was truncated by the checkpoint, so the freed
+    * blocks are unrecoverable (the same contract as Spark's own
+    * unpersist-after-localCheckpoint). */
+  def releaseSharedComponents(s: SparkSession, d: String): Unit =
+    componentsMemo.synchronized {
+      Option(componentsMemo.remove(memoKey(s, d)))
+        .foreach(releaseLocalCheckpoint)
+    }
 
   /** Oracle-side twin of [[neardupPairs]] as a CTE chain ending in
     * `verified(doc_a, doc_b, jaccard)` — p02 and p25 splice it into
@@ -691,22 +723,6 @@ object Pipeline {
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
   }
 
-  /** IVF approximate nearest-neighbor over ANY embedding corpus that
-    * carries a cluster assignment column (e.g. [[kmeansCluster]]
-    * output, or any coarse partitioning) — the p07 plan as a reusable
-    * operator. The quantizer selecting which clusters a query probes
-    * is, in preference order: the TRAINED centroid table when
-    * `centroids` is given ((cluster, vector) columns by position —
-    * [[kmeansFit]]'s output shape; the production path, see the
-    * example there), else one medoid per cluster (the minimum-id
-    * member — a zero-training placeholder). Each query probes its
-    * `nprobe` best quantizer entries (default 1) and searches ONLY
-    * those clusters' members, so the scan covers ~nprobe/n_clusters of
-    * the corpus and the quantizer table broadcasts. Raising nprobe is
-    * the standard IVF recall knob — recall@k is monotone in nprobe
-    * (candidate sets are nested; property-tested in TextApiSpec) and
-    * nprobe = n_clusters degenerates to [[knnBruteCosine]]. Output:
-    * (q_id, probe_label, vec_id, cos_sim, rk). */
   /** Build an IVF index in ONE quantizer training: fit centroids
     * ([[kmeansFit]], k-means‖-seeded by default — the IVF-scale-k
     * shape), assign every corpus vector with one broadcast pass, and
@@ -731,6 +747,22 @@ object Pipeline {
     (member, cents)
   }
 
+  /** IVF approximate nearest-neighbor over ANY embedding corpus that
+    * carries a cluster assignment column (e.g. [[kmeansCluster]]
+    * output, or any coarse partitioning) — the p07 plan as a reusable
+    * operator. The quantizer selecting which clusters a query probes
+    * is, in preference order: the TRAINED centroid table when
+    * `centroids` is given ((cluster, vector) columns by position —
+    * [[kmeansFit]]'s output shape; the production path, see the
+    * example there), else one medoid per cluster (the minimum-id
+    * member — a zero-training placeholder). Each query probes its
+    * `nprobe` best quantizer entries (default 1) and searches ONLY
+    * those clusters' members, so the scan covers ~nprobe/n_clusters of
+    * the corpus and the quantizer table broadcasts. Raising nprobe is
+    * the standard IVF recall knob — recall@k is monotone in nprobe
+    * (candidate sets are nested; property-tested in TextApiSpec) and
+    * nprobe = n_clusters degenerates to [[knnBruteCosine]]. Output:
+    * (q_id, probe_label, vec_id, cos_sim, rk). */
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, k: Int,
       nprobe: Int = 1, excludeSelf: Boolean = true,
@@ -1592,7 +1624,19 @@ object Pipeline {
           lastRoundDirs = mine
           out
         }
-      case None => df => df.localCheckpoint()
+      case None =>
+        // same round-by-round cleanup as the reliable path: once round
+        // j+1's EAGER localCheckpoint has materialized, round j's
+        // blocks are dead weight — without the release every round
+        // pins a label-table-sized copy on the executors until the JVM
+        // exits (the final round's blocks stay: they ARE the result)
+        var lastLocal: Option[DataFrame] = None
+        df => {
+          val out = df.localCheckpoint()
+          lastLocal.foreach(releaseLocalCheckpoint)
+          lastLocal = Some(out)
+          out
+        }
     }
     try {
     val Seq(a, b) = pairsDf.columns.take(2).toSeq.map(col)
@@ -1695,6 +1739,183 @@ object Pipeline {
       UNION
       SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
     comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)"""
+
+  // ---- k-means oracle-SQL builders — ONE copy of each replayed
+  // fragment, shared by the seeding gates (p35/p36), the fit gates
+  // (p21/p38) and the trained-IVF gate (p37), so the integer selection
+  // / exact-sum machinery can never drift between gates. Every builder
+  // emits WITH-clause bodies over an `e(vec_id, emb)` opening CTE.
+  // State-carrying CTEs are AS MATERIALIZED: DuckDB inlines plain CTEs
+  // per reference, so a round chain whose every stage reads its
+  // predecessor ~3× would expand to 3^rounds parquet scans — at the
+  // p37 depth (5 seeding rounds + Lloyd's + probe replay) that
+  // exhausted the process fd limit ("Too many open files").
+  // MATERIALIZED pins each stage to one evaluation; results are
+  // unchanged (verified bit-exact against the unmaterialized p36).
+
+  /** Sequential squared-distance fold as DuckDB SQL — the oracle twin
+    * of [[graft.plans.FloatDistSq]]'s left-to-right double fold. Both
+    * sides are cast per element (identity when already DOUBLE). */
+  private def kmD2Sql(dim: Int, q: String, c: String): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> " +
+      s"(CAST($q[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
+      s"(CAST($q[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+
+  /** Sequential dot-product fold — the [[graft.plans.FloatDotProduct]]
+    * twin (per-element double casts, left-to-right accumulation). */
+  private def kmDotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  /** k-means++ D²-weighted seed selection ([[kmeansPlusPlusSeeds]]'
+    * integer machinery) as a WITH body: opens `e`, anchors `s0` (min
+    * id), and emits pick CTEs `p1..p{k-1}`, each carrying the chosen
+    * (vec_id, emb). Replays, per round: d² to the nearest chosen seed,
+    * round(d²·scale) integer weights, the two-phase (bucket, id)-
+    * ordered prefix sum, and the md5 threshold pick. */
+  private def kmppChainSql(k: Int, dim: Int): String = {
+    val Scale = IntScale.toString
+    def pick(j: Int): String = {
+      val prev = if (j == 1) "d0" else s"d${j - 1}"
+      s"""w$j AS MATERIALIZED (
+         |  SELECT vec_id, emb, d2, CAST(ROUND(d2 * $Scale) AS BIGINT) AS w,
+         |         CAST('0x' || substr(md5('kmppb:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 4096 AS b
+         |  FROM $prev),
+         |bs$j AS (SELECT b, SUM(w) AS bw FROM w$j GROUP BY b),
+         |off$j AS (
+         |  SELECT b, COALESCE(SUM(bw) OVER (ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM bs$j),
+         |t$j AS (
+         |  SELECT CAST('0x' || substr(md5('kmppt:$j'), 1, 14) AS BIGINT) % SUM(w) AS t
+         |  FROM w$j),
+         |cum$j AS (
+         |  SELECT w$j.vec_id, w$j.emb, w$j.w,
+         |         off$j.off + SUM(w$j.w) OVER (PARTITION BY w$j.b ORDER BY w$j.vec_id) AS cum
+         |  FROM w$j JOIN off$j ON w$j.b = off$j.b),
+         |p$j AS (
+         |  SELECT c.vec_id, c.emb FROM cum$j c, t$j
+         |  WHERE c.cum > t$j.t AND c.cum - c.w <= t$j.t),
+         |d$j AS MATERIALIZED (
+         |  SELECT d.vec_id, d.emb, LEAST(d.d2, ${kmD2Sql(dim, "d.emb", "p.emb")}) AS d2
+         |  FROM $prev d CROSS JOIN p$j p)""".stripMargin
+    }
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding AS emb FROM embeddings),
+       |s0 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
+       |d0 AS (
+       |  SELECT e.vec_id, e.emb, ${kmD2Sql(dim, "e.emb", "s.emb")} AS d2
+       |  FROM e CROSS JOIN s0 s),
+       |${(1 until k).map(pick).mkString(",\n")}""".stripMargin
+  }
+
+  /** k-means‖ seeding ([[kmeansParallelSeeds]]) as a WITH body: opens
+    * `e`, runs `rounds` Bernoulli sampling rounds (md5 56-bit uniform
+    * vs l·w/Σw), weights candidates by nearest-point counts, and
+    * replays the driver-side weighted k-means++ reduction — emitting
+    * `s0` (the anchor) and pick CTEs `p1..p{k-1}` with (cl, vec_id,
+    * emb). Oversample l = 2k, the Spark default. */
+  private def kmparChainSql(k: Int, rounds: Int, dim: Int): String = {
+    val Scale = IntScale.toString
+    val L = s"${2.0 * k}" // oversample default 2k, exactly representable
+    def rnd(r: Int): String =
+      s"""w$r AS MATERIALIZED (
+         |  SELECT vec_id, emb, d2, CAST(ROUND(d2 * $Scale) AS BIGINT) AS w
+         |  FROM dr${r - 1}),
+         |s$r AS MATERIALIZED (
+         |  SELECT w$r.vec_id, w$r.emb FROM w$r,
+         |       (SELECT CAST(SUM(w) AS DOUBLE) AS tot FROM w$r) t
+         |  WHERE CAST(CAST('0x' || substr(md5('kmpar:$r:' || CAST(vec_id AS VARCHAR)), 1, 14) AS BIGINT) AS DOUBLE)
+         |          / 72057594037927936.0
+         |        < $L * CAST(w AS DOUBLE) / t.tot),
+         |n$r AS (
+         |  SELECT w$r.vec_id, MIN(${kmD2Sql(dim, s"w$r.emb", "s.emb")}) AS nd
+         |  FROM w$r, s$r s GROUP BY w$r.vec_id),
+         |dr$r AS MATERIALIZED (
+         |  SELECT w$r.vec_id, w$r.emb, LEAST(w$r.d2, COALESCE(n$r.nd, w$r.d2)) AS d2
+         |  FROM w$r LEFT JOIN n$r ON w$r.vec_id = n$r.vec_id)""".stripMargin
+    def fin(j: Int): String = {
+      val m = if (j == 1)
+        s"""m1 AS (
+           |  SELECT c.cl, c.vec_id, c.emb, ${kmD2Sql(dim, "c.emb", "a.emb")} AS md
+           |  FROM cands c, (SELECT emb FROM cands WHERE cl = 0) a)""".stripMargin
+      else
+        s"""m$j AS (
+           |  SELECT g${j - 1}.cl, g${j - 1}.vec_id, g${j - 1}.emb,
+           |         LEAST(g${j - 1}.md, ${kmD2Sql(dim, s"g${j - 1}.emb", "p.emb")}) AS md
+           |  FROM g${j - 1}, p${j - 1} p)""".stripMargin
+      s"""$m,
+         |g$j AS MATERIALIZED (
+         |  SELECT m$j.cl, m$j.vec_id, m$j.emb, m$j.md,
+         |         COALESCE(w.wt, 0) * CAST(ROUND(m$j.md * $Scale) AS BIGINT) AS mass
+         |  FROM m$j LEFT JOIN wtab w ON m$j.cl = w.cl),
+         |c$j AS (
+         |  SELECT cl, vec_id, emb, mass, SUM(mass) OVER (ORDER BY cl) AS cum
+         |  FROM g$j),
+         |t${j}s AS (
+         |  SELECT CAST('0x' || substr(md5('kmfin:$j'), 1, 14) AS BIGINT) % SUM(mass) AS t
+         |  FROM g$j),
+         |p$j AS MATERIALIZED (
+         |  SELECT cl, vec_id, emb FROM c$j, t${j}s
+         |  WHERE cum > t AND cum - mass <= t)""".stripMargin
+    }
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding AS emb FROM embeddings),
+       |s0 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
+       |dr0 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.emb, ${kmD2Sql(dim, "e.emb", "s.emb")} AS d2
+       |  FROM e CROSS JOIN s0 s),
+       |${(1 to rounds).map(rnd).mkString(",\n")},
+       |cands AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, vec_id) - 1 AS INT) AS cl,
+       |         vec_id, emb
+       |  FROM (SELECT 0 AS rnd, vec_id, emb FROM s0
+       |${(1 to rounds).map(r => s"        UNION ALL SELECT $r, vec_id, emb FROM s$r").mkString("\n")}) u),
+       |asg AS (
+       |  SELECT e.vec_id, c.cl,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${kmD2Sql(dim, "e.emb", "c.emb")}, c.cl) AS rk
+       |  FROM e, cands c),
+       |wtab AS MATERIALIZED (
+       |  SELECT cl, CAST(COUNT(*) AS BIGINT) AS wt
+       |  FROM asg WHERE rk = 1 GROUP BY cl),
+       |${(1 until k).map(fin).mkString(",\n")}""".stripMargin
+  }
+
+  /** Seed rows (`s0` + `p1..p{k-1}`) folded into [[kmeansFit]]'s
+    * centroid shape `(cl int, ce array<double>)` as CTE `c0`. */
+  private def kmSeedCentroidsSql(k: Int): String =
+    s"""c0 AS MATERIALIZED (
+       |  SELECT CAST(scl AS INT) AS cl,
+       |         list_transform(emb, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM (SELECT 0 AS scl, emb FROM s0
+       |${(1 until k).map(j => s"        UNION ALL SELECT $j, emb FROM p$j").mkString("\n")}) seeds)""".stripMargin
+
+  /** One Lloyd's assignment CTE ([[kmeansAssign]]'s twin): argmin of
+    * `src`(vec_id, emb) against `cents`(cl, ce), ties to the lowest
+    * cl, emitting (vec_id, emb, cl, d2). */
+  private def kmAssignSql(name: String, cents: String, dim: Int,
+      src: String = "e"): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT s.vec_id, s.emb, c.cl, ${kmD2Sql(dim, "s.emb", "c.ce")} AS d2
+       |  FROM $src s CROSS JOIN $cents c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |    ORDER BY ${kmD2Sql(dim, "s.emb", "c.ce")} ASC, c.cl ASC) = 1)""".stripMargin
+
+  /** One Lloyd's centroid update ([[kmeansFit]]'s exact integer-sum
+    * update): `from`(cl, emb) → `cname`(cl, ce) via `uname`. */
+  private def kmUpdateSql(uname: String, cname: String, from: String,
+      dim: Int): String = {
+    val Scale = IntScale.toString
+    val sumCols = (1 to dim).map(i =>
+      s"SUM(CAST(ROUND(CAST(emb[$i] AS DOUBLE) * $Scale) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val meanList = (1 to dim).map(i =>
+      s"CAST(s$i AS DOUBLE) / CAST(cnt * $Scale AS DOUBLE)").mkString(", ")
+    s"""$uname AS (
+       |  SELECT cl, COUNT(*) AS cnt, $sumCols FROM $from GROUP BY cl),
+       |$cname AS MATERIALIZED (
+       |  SELECT cl, [$meanList] AS ce FROM $uname)""".stripMargin
+  }
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -2382,38 +2603,17 @@ object Pipeline {
           k = 4, dim = 64, iters = 2)
           .orderBy(col("vec_id")),
       Some {
-        val K = 4; val Dim = 64; val Scale = IntScale.toString
-        def d2sql(q: String, c: String) =
-          s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> " +
-            s"(CAST($q[i] AS DOUBLE) - $c[i]) * (CAST($q[i] AS DOUBLE) - $c[i])), " +
-            "(acc, x) -> acc + x)"
-        val sumCols = (1 to Dim).map(i =>
-          s"SUM(CAST(ROUND(CAST(embedding[$i] AS DOUBLE) * $Scale) AS BIGINT)) AS s$i")
-          .mkString(", ")
-        val meanList = (1 to Dim).map(i =>
-          s"CAST(s$i AS DOUBLE) / CAST(cnt * $Scale AS DOUBLE)").mkString(", ")
-        def assignSql(name: String, cents: String) =
-          s"""$name AS (
-             |  SELECT e.vec_id, e.embedding, c.cl, ${d2sql("e.embedding", "c.ce")} AS d2
-             |  FROM e CROSS JOIN $cents c
-             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             |    ORDER BY ${d2sql("e.embedding", "c.ce")} ASC, c.cl ASC) = 1)"""
-            .stripMargin
-        def updateSql(uname: String, cname: String, from: String) =
-          s"""$uname AS (
-             |  SELECT cl, COUNT(*) AS cnt, $sumCols FROM $from GROUP BY cl),
-             |$cname AS (
-             |  SELECT cl, [$meanList] AS ce FROM $uname)""".stripMargin
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        val K = 4; val Dim = 64
+        s"""WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
            |c0 AS (
            |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
-           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+           |         list_transform(emb, x -> CAST(x AS DOUBLE)) AS ce
            |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $K),
-           |${assignSql("a1", "c0")},
-           |${updateSql("u1", "c1", "a1")},
-           |${assignSql("a2", "c1")},
-           |${updateSql("u2", "c2", "a2")},
-           |${assignSql("a3", "c2")}
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "c1", "a1", Dim)},
+           |${kmAssignSql("a2", "c1", Dim)},
+           |${kmUpdateSql("u2", "c2", "a2", Dim)},
+           |${kmAssignSql("a3", "c2", Dim)}
            |SELECT vec_id, cl AS cluster, d2,
            |       COUNT(*) OVER (PARTITION BY cl) AS n_members
            |FROM a3 ORDER BY vec_id""".stripMargin
@@ -2945,43 +3145,8 @@ object Pipeline {
           .select(col("cl"), col("vec_id"))
           .orderBy(col("cl")),
       Some {
-        val K = 4; val Dim = 64; val Scale = IntScale.toString
-        def d2sql(q: String, c: String) =
-          s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> " +
-            s"(CAST($q[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
-            s"(CAST($q[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))), " +
-            "(acc, x) -> acc + x)"
-        def pick(j: Int): String = {
-          val prev = if (j == 1) "d0" else s"d${j - 1}"
-          s"""w$j AS (
-             |  SELECT vec_id, emb, d2, CAST(ROUND(d2 * $Scale) AS BIGINT) AS w,
-             |         CAST('0x' || substr(md5('kmppb:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 4096 AS b
-             |  FROM $prev),
-             |bs$j AS (SELECT b, SUM(w) AS bw FROM w$j GROUP BY b),
-             |off$j AS (
-             |  SELECT b, COALESCE(SUM(bw) OVER (ORDER BY b
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-             |  FROM bs$j),
-             |t$j AS (
-             |  SELECT CAST('0x' || substr(md5('kmppt:$j'), 1, 14) AS BIGINT) % SUM(w) AS t
-             |  FROM w$j),
-             |cum$j AS (
-             |  SELECT w$j.vec_id, w$j.emb, w$j.w,
-             |         off$j.off + SUM(w$j.w) OVER (PARTITION BY w$j.b ORDER BY w$j.vec_id) AS cum
-             |  FROM w$j JOIN off$j ON w$j.b = off$j.b),
-             |p$j AS (
-             |  SELECT c.vec_id, c.emb FROM cum$j c, t$j
-             |  WHERE c.cum > t$j.t AND c.cum - c.w <= t$j.t),
-             |d$j AS (
-             |  SELECT d.vec_id, d.emb, LEAST(d.d2, ${d2sql("d.emb", "p.emb")}) AS d2
-             |  FROM $prev d CROSS JOIN p$j p)""".stripMargin
-        }
-        s"""WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
-           |s0 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
-           |d0 AS (
-           |  SELECT e.vec_id, e.emb, ${d2sql("e.emb", "s.emb")} AS d2
-           |  FROM e CROSS JOIN s0 s),
-           |${(1 until K).map(pick).mkString(",\n")}
+        val K = 4
+        s"""WITH ${kmppChainSql(K, 64)}
            |SELECT CAST(0 AS INT) AS cl, vec_id FROM s0
            |${(1 until K).map(j => s"UNION ALL SELECT $j, vec_id FROM p$j").mkString("\n")}
            |ORDER BY cl""".stripMargin
@@ -3005,82 +3170,92 @@ object Pipeline {
           .select(col("cl"), col("vec_id"))
           .orderBy(col("cl")),
       Some {
-        val K = 3; val Rounds = 2; val Dim = 64; val Scale = IntScale.toString
-        val L = "6.0" // oversample default 2k, exactly representable
-        def d2sql(q: String, c: String) =
-          s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> " +
-            s"(CAST($q[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
-            s"(CAST($q[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))), " +
-            "(acc, x) -> acc + x)"
-        // one distributed sampling round: integer weights, one 56-bit
-        // uniform per (point, round), incremental d² via the
-        // min-over-new-candidates (≡ the Spark side's least() fold)
-        def rnd(r: Int): String =
-          s"""w$r AS (
-             |  SELECT vec_id, emb, d2, CAST(ROUND(d2 * $Scale) AS BIGINT) AS w
-             |  FROM dr${r - 1}),
-             |s$r AS (
-             |  SELECT w$r.vec_id, w$r.emb FROM w$r,
-             |       (SELECT CAST(SUM(w) AS DOUBLE) AS tot FROM w$r) t
-             |  WHERE CAST(CAST('0x' || substr(md5('kmpar:$r:' || CAST(vec_id AS VARCHAR)), 1, 14) AS BIGINT) AS DOUBLE)
-             |          / 72057594037927936.0
-             |        < $L * CAST(w AS DOUBLE) / t.tot),
-             |n$r AS (
-             |  SELECT w$r.vec_id, MIN(${d2sql(s"w$r.emb", "s.emb")}) AS nd
-             |  FROM w$r, s$r s GROUP BY w$r.vec_id),
-             |dr$r AS (
-             |  SELECT w$r.vec_id, w$r.emb, LEAST(w$r.d2, COALESCE(n$r.nd, w$r.d2)) AS d2
-             |  FROM w$r LEFT JOIN n$r ON w$r.vec_id = n$r.vec_id)""".stripMargin
-        // one driver-side weighted pick: mass = wt · round(d²·scale)
-        // in candidate (cl) order, md5-threshold interval containment
-        def fin(j: Int): String = {
-          val m = if (j == 1)
-            s"""m1 AS (
-               |  SELECT c.cl, c.vec_id, c.emb, ${d2sql("c.emb", "a.emb")} AS md
-               |  FROM cands c, (SELECT emb FROM cands WHERE cl = 0) a)""".stripMargin
-          else
-            s"""m$j AS (
-               |  SELECT g${j - 1}.cl, g${j - 1}.vec_id, g${j - 1}.emb,
-               |         LEAST(g${j - 1}.md, ${d2sql(s"g${j - 1}.emb", "p.emb")}) AS md
-               |  FROM g${j - 1}, p${j - 1} p)""".stripMargin
-          s"""$m,
-             |g$j AS (
-             |  SELECT m$j.cl, m$j.vec_id, m$j.emb, m$j.md,
-             |         COALESCE(w.wt, 0) * CAST(ROUND(m$j.md * $Scale) AS BIGINT) AS mass
-             |  FROM m$j LEFT JOIN wtab w ON m$j.cl = w.cl),
-             |c$j AS (
-             |  SELECT cl, vec_id, emb, mass, SUM(mass) OVER (ORDER BY cl) AS cum
-             |  FROM g$j),
-             |t${j}s AS (
-             |  SELECT CAST('0x' || substr(md5('kmfin:$j'), 1, 14) AS BIGINT) % SUM(mass) AS t
-             |  FROM g$j),
-             |p$j AS (
-             |  SELECT cl, vec_id, emb FROM c$j, t${j}s
-             |  WHERE cum > t AND cum - mass <= t)""".stripMargin
-        }
-        s"""WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
-           |s0 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
-           |dr0 AS (
-           |  SELECT e.vec_id, e.emb, ${d2sql("e.emb", "s.emb")} AS d2
-           |  FROM e CROSS JOIN s0 s),
-           |${(1 to Rounds).map(rnd).mkString(",\n")},
-           |cands AS (
-           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, vec_id) - 1 AS INT) AS cl,
-           |         vec_id, emb
-           |  FROM (SELECT 0 AS rnd, vec_id, emb FROM s0
-           |${(1 to Rounds).map(r => s"        UNION ALL SELECT $r, vec_id, emb FROM s$r").mkString("\n")}) u),
-           |asg AS (
-           |  SELECT e.vec_id, c.cl,
-           |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |           ORDER BY ${d2sql("e.emb", "c.emb")}, c.cl) AS rk
-           |  FROM e, cands c),
-           |wtab AS (
-           |  SELECT cl, CAST(COUNT(*) AS BIGINT) AS wt
-           |  FROM asg WHERE rk = 1 GROUP BY cl),
-           |${(1 until K).map(fin).mkString(",\n")}
+        val K = 3
+        s"""WITH ${kmparChainSql(K, rounds = 2, dim = 64)}
            |SELECT CAST(0 AS INT) AS cl, vec_id FROM s0
            |${(1 until K).map(j => s"UNION ALL SELECT $j, vec_id FROM p$j").mkString("\n")}
            |ORDER BY cl""".stripMargin
+      }),
+
+    // ---- p37: the trained-IVF path END-TO-END — [[ivfIndex]]
+    // (k-means‖ seeding → one Lloyd's round → broadcast assignment)
+    // composed with [[ivfSearch]] over its membership and TRAINED
+    // centroids, in one driver-gated query: the library's flagship ANN
+    // entry point (p07 searches precomputed labels with medoid
+    // quantizers; this gates fit→assign→search as one plan). nprobe=2
+    // exercises the multi-probe recall knob. The oracle replays the
+    // whole chain: the p36 seeding CTEs (shared builder, rounds = 5 =
+    // the ivfIndex default), the p21 Lloyd's update, the assignment,
+    // and the float-cast centroid probe scoring.
+    QueryDef(
+      "p37_ivf_trained",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val (member, cents) = ivfIndex(e, "vec_id", "embedding",
+          k = 3, dim = 64, iters = 1)
+        ivfSearch(
+          e.select(col("vec_id"), col("embedding")).join(member, Seq("vec_id")),
+          e.filter(col("vec_id") <= 4),
+          "vec_id", "embedding", "cluster", k = 3, nprobe = 2,
+          centroids = Some(cents))
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some {
+        val K = 3; val Dim = 64
+        s"""WITH ${kmparChainSql(K, rounds = 5, dim = Dim)},
+           |${kmSeedCentroidsSql(K)},
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "cf", "a1", Dim)},
+           |${kmAssignSql("mem", "cf", Dim)},
+           |eq AS MATERIALIZED (
+           |  SELECT vec_id, emb, ${kmDotSql("emb", "emb")} AS n2 FROM e),
+           |med AS (
+           |  SELECT cl AS m_label, list_transform(ce, x -> CAST(x AS FLOAT)) AS me
+           |  FROM cf),
+           |med2 AS MATERIALIZED (
+           |  SELECT m_label, me, ${kmDotSql("me", "me")} AS mn2 FROM med),
+           |assigned AS MATERIALIZED (
+           |  SELECT q.vec_id AS q_id, q.emb AS qe, q.n2 AS qn2,
+           |         m.m_label AS probe_label
+           |  FROM eq q, med2 m WHERE q.vec_id <= 4
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |    ${kmDotSql("q.emb", "m.me")} / (sqrt(q.n2) * sqrt(m.mn2)) DESC,
+           |    m.m_label ASC) <= 2),
+           |scored AS (
+           |  SELECT a.q_id, a.probe_label, c.vec_id,
+           |         ${kmDotSql("a.qe", "c.emb")} / (sqrt(a.qn2) * sqrt(c.n2)) AS cos_sim
+           |  FROM assigned a
+           |  JOIN mem m ON m.cl = a.probe_label
+           |  JOIN eq c ON c.vec_id = m.vec_id AND c.vec_id <> a.q_id)
+           |SELECT q_id, probe_label, vec_id, cos_sim,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |         ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rk
+           |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
+      }),
+
+    // ---- p38: k-means++-seeded clustering — closes the seam between
+    // [[kmeansPlusPlusSeeds]] (p35 gates the seed SELECTION alone) and
+    // [[kmeansFit]]'s Lloyd's machinery: one fit at k = 3 with ONE
+    // Lloyd's update, then assignment, so the driver certifies the
+    // seeding COMPOSED with update/assign — not just the pieces. The
+    // oracle chains the shared p35 seed replay into the shared p21
+    // Lloyd's replay.
+    QueryDef(
+      "p38_kmeanspp_fit",
+      (s, d) =>
+        kmeansCluster(T.embeddings(s, d), "vec_id", "embedding",
+          k = 3, dim = 64, iters = 1, seeding = "kmeans++")
+          .orderBy(col("vec_id")),
+      Some {
+        val K = 3; val Dim = 64
+        s"""WITH ${kmppChainSql(K, Dim)},
+           |${kmSeedCentroidsSql(K)},
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "cf", "a1", Dim)},
+           |${kmAssignSql("a2", "cf", Dim)}
+           |SELECT vec_id, cl AS cluster, d2,
+           |       COUNT(*) OVER (PARTITION BY cl) AS n_members
+           |FROM a2 ORDER BY vec_id""".stripMargin
       }),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +

@@ -55,7 +55,10 @@ object StreamDemo {
     * honors these limits: it still drains the full backlog and exits,
     * but as a SEQUENCE of bounded batches, each committed to the
     * checkpoint — so a crash mid-drain resumes from the last bounded
-    * batch rather than replaying the entire zone. */
+    * batch rather than replaying the entire zone. `maxBytesPerTrigger`
+    * is a decimal BYTE count ("10000000", no size suffix — Spark's
+    * FileStreamOptions rejects "10m") and a SOFT cap: every batch
+    * admits at least one file. */
   def run(spark: SparkSession, inDir: String, outDir: String,
       ckptDir: String, follow: Boolean = false,
       minChars: Int = 50,

@@ -29,7 +29,13 @@ class BenchSpec extends AnyFunSuite {
   test("parseHistory: reads its own output shape, gated on matching sf") {
     val json = """{"metric":"total","value":7.99,"unit":"sec","queries":{"q01":0.5,"p04":3.878001153},"runs":{"q01":[0.5]},"full":{"q09":0.2},"full_total":8.1,"failures":[],"sf":"/root/testdata/sf0.1"}"""
     val h = Bench.parseHistory(json, "/root/testdata/sf0.1")
-    assert(h == Map("q01" -> 0.5, "p04" -> 3.878001153))
+    // BOTH maps feed the outlier guard: headline medians (`queries`)
+    // and the best-of-2 sweep singles (`full`) — so sweep entries are
+    // re-measured under load windows too, not just the headline set
+    assert(h == Map("q01" -> 0.5, "p04" -> 3.878001153, "q09" -> 0.2))
+    // a key in both maps takes the headline median (stronger estimate)
+    val dup = """{"queries":{"q01":0.5},"full":{"q01":9.9},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseHistory(dup, "/root/testdata/sf0.1") == Map("q01" -> 0.5))
     // a DIFFERENT sf must yield no history (an sf0.001 artifact would
     // make every sf0.1 median look 100x inflated)
     assert(Bench.parseHistory(json, "/root/testdata/sf0.001").isEmpty)
@@ -37,5 +43,10 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseHistory("not json", "/root/testdata/sf0.1").isEmpty)
     assert(Bench.parseHistory("""{"sf":"/root/testdata/sf0.1"}""",
       "/root/testdata/sf0.1").isEmpty)
+    // a full-map-only artifact still yields history (sweep guard alive
+    // even if the queries map were ever empty)
+    assert(Bench.parseHistory(
+      """{"full":{"q09":0.2},"sf":"/root/testdata/sf0.1"}""",
+      "/root/testdata/sf0.1") == Map("q09" -> 0.2))
   }
 }

@@ -180,6 +180,66 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sparkContext.setCheckpointDir(null) // see the sibling test
   }
 
+  test("connectedComponents: superseded local-checkpoint rounds are released") {
+    import spark.implicits._
+    // the localCheckpoint path must free round j's blocks once round
+    // j+1 materializes (the 100 TB concern: one label-table copy per
+    // round pinned until JVM exit); only the FINAL labels' blocks —
+    // the result — may survive the call
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = operators.Pipeline.connectedComponents(chain)
+    assert(out.collect().length == 41)
+    val extra = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // a 40-edge chain runs many rounds; exactly one (the final labels')
+    // localCheckpoint RDD may remain
+    assert(extra.size <= 1,
+      s"superseded CC rounds leaked persistent RDDs: $extra")
+  }
+
+  test("sharedComponents memo: release frees blocks; a 5th dir evicts the 1st") {
+    import spark.implicits._
+    val P = operators.Pipeline
+    // five tiny corpora, each its own data dir (the memo key)
+    def writeDir(tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"memo-$tag").toString
+      val text = s"alpha bravo charlie delta echo foxtrot golf hotel $tag"
+      Seq((1L, text), (2L, text), (3L, text + " india"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val dirs = (1 to 5).map(i => writeDir(s"d$i"))
+    def persisted() = spark.sparkContext.getPersistentRDDs.keySet
+    spark.catalog.clearCache() // isolate from other suites' leftovers
+    val before = persisted()
+    try {
+      // build one entry, then release it: its checkpoint blocks go away
+      P.sharedComponents(spark, dirs(0)).count()
+      spark.catalog.clearCache() // drop the minhash build's session cache
+      assert((persisted() -- before).nonEmpty,
+        "a memoized components entry should pin a persisted RDD")
+      P.releaseSharedComponents(spark, dirs(0))
+      assert((persisted() -- before).isEmpty,
+        s"release left blocks pinned: ${persisted() -- before}")
+      // refill: entry 1 first, then four more — the 5th insertion must
+      // evict entry 1 and free ITS blocks specifically
+      P.sharedComponents(spark, dirs(0)).count()
+      spark.catalog.clearCache()
+      val firstRdds = persisted() -- before
+      dirs.drop(1).foreach { d =>
+        P.sharedComponents(spark, d).count(); spark.catalog.clearCache()
+      }
+      assert(firstRdds.forall(id => !persisted().contains(id)),
+        "the 5th entry must evict the 1st entry's blocks")
+      // live entries stay memoized: the same frame comes back
+      assert(P.sharedComponents(spark, dirs(4)) eq
+        P.sharedComponents(spark, dirs(4)))
+      // an evicted dir transparently rebuilds
+      assert(P.sharedComponents(spark, dirs(0)).count() > 0)
+    } finally dirs.foreach(d => P.releaseSharedComponents(spark, d))
+  }
+
   test("connectedComponents: empty pair list yields an empty result") {
     import spark.implicits._
     val out = operators.Pipeline.connectedComponents(

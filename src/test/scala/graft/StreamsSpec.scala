@@ -285,6 +285,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(offsets.size >= 3, s"expected >= 3 bounded batches, got $offsets")
   }
 
+  test("StreamDemo: maxBytesPerTrigger drains a backlog over multiple bounded micro-batches") {
+    // the bytes-denominated twin of the files test: the knob callers
+    // reach for when file sizes vary (a landing zone mixing 100 MB and
+    // 100 KB drops). maxBytesPerTrigger is a SOFT cap — each batch
+    // admits at least one file, then stops once the cap is exceeded —
+    // so a cap below every file's size forces one file per batch.
+    val inDir = java.nio.file.Files.createTempDirectory("bpb-in")
+    val outDir = java.nio.file.Files.createTempDirectory("bpb-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bpb-ckpt").toString
+    def vocab(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    (1 to 3).foreach { f =>
+      java.nio.file.Files.write(inDir.resolve(s"f$f.jsonl"),
+        (s"""{"ts":"2024-01-01T10:0$f:00Z","doc_id":$f,"text":"${vocab(s"f${f}w")}","source":"web"}""" + "\n")
+          .getBytes("UTF-8"))
+    }
+    val q = streaming.StreamDemo.run(spark, inDir.toString, outDir, ckpt,
+      minChars = 20, maxBytesPerTrigger = Some("1"))
+    q.awaitTermination()
+    val ids = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L)) // distinct vocab: nothing deduped
+    // same committed-offsets contract as the files test: ≥ 3 bounded
+    // batches (a watermark-advance batch may add a 4th entry)
+    val offsets = new java.io.File(ckpt, "offsets").list()
+      .filterNot(_.startsWith(".")).toSeq
+    assert(offsets.size >= 3, s"expected >= 3 bounded batches, got $offsets")
+  }
+
   test("neardupGate: near-duplicates share a band bucket and are dropped") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -320,6 +320,39 @@ class TextApiSpec extends AnyFunSuite {
     assert((0 until 5).map(c.getLong).sum == 2L)
   }
 
+  test("PiiScrub: production pack precision corpus — non-PII shapes survive unredacted") {
+    import spark.implicits._
+    import graft.operators.PiiScrub
+    // Regression fence for DefaultPatterns edits: every row here pins
+    // PRECISION (what must NOT be redacted), the complement of the
+    // recall cases above. A pack change that starts firing on any of
+    // these shapes is a behavior change, not a refactor.
+    val keep = Seq(
+      "+12345678901234567890",   // '+' + 20-digit run: too long for card,
+                                 // phone must not consume a prefix (\b)
+      "id 123456789012345678901",// bare 21-digit run (card is 13-19, word-bounded)
+      "v1.2.3 released",         // 3-component version: not IPv4-shaped
+      "isbn 978-0-306-40615-7",  // ISBN-13: no 3-2-4 / 3-3-4 digit grouping
+      "build 2024.01.15",        // 2-dot date-ish: not IPv4-shaped
+      "+1 2",                    // too few digits for any phone alternative
+      "order 12-34-5678")        // 2-2-4 grouping: not SSN's 3-2-4
+    val out = keep.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        PiiScrub.redact(col("text"), PiiScrub.DefaultPatterns).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    keep.zipWithIndex.foreach { case (t, i) =>
+      assert(out(i.toLong) == t, s"precision corpus row $i was altered") }
+    // Known, documented limit (no lookaround in the portable subset):
+    // a 4-component dotted quad is shape-identical to IPv4, so the
+    // leading quad of a 5-component run IS redacted — pinned here so
+    // the limitation is a conscious contract, not a surprise.
+    val quad = Seq((0L, "chain 1.2.3.4.5")).toDF("id", "text")
+      .select(PiiScrub.redact(col("text"), PiiScrub.DefaultPatterns).as("r"))
+      .collect()(0).getString(0)
+    assert(quad == "chain <IP>.5")
+  }
+
   test("leakageSafeSplit: near-dup pairs never straddle splits, all rows assigned") {
     val pairs = Pipeline.minhashNeardupPairs(corpus, "post_key", "body")
       .select(col("doc_a"), col("doc_b"))
