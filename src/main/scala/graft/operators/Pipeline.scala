@@ -1246,7 +1246,11 @@ object Pipeline {
     * for the overlap threshold to still be reachable — exactness-
     * preserving, see the inline proof sketch at the join. Each
     * distinct surviving candidate is verified exactly by one map-side
-    * array_intersect. Results are EXACT for the df-capped gram sets
+    * THRESHOLDED sorted-merge intersection
+    * ([[graft.plans.SortedIntersectAtLeast]] — PPJoin's suffix
+    * pruning applied at the merge: below-threshold pairs bail early
+    * instead of scanning both arrays to the end). Results are EXACT
+    * for the df-capped gram sets
     * (grams in more than `dfCap` docs are stop-grams, dropped from
     * sets on both engines — see the p04 QueryDef note).
     *
@@ -1375,7 +1379,16 @@ object Pipeline {
           least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
             ceilR((col("a.sz") + col("b.sz")) * lit(tOver)))
       // normalize orientation to doc_a < doc_b (pairing ordered by
-      // size above, so a's id may exceed b's)
+      // size above, so a's id may exceed b's).
+      // (A count-based suffix bound — groupBy pair, m matches + tail
+      // positions vs the overlap threshold — was measured here and
+      // pruned NOTHING at t = 0.5: the probe prefix is ~|s|/2 long, so
+      // the tail term |s|−1−pos alone always reaches the ~(|sa|+|sb|)/3
+      // overlap threshold; the bound only bites at high thresholds.
+      // PPJoin's full suffix filter works by RECURSING into the suffix
+      // with binary search — per-pair array access the join rows don't
+      // carry. The early-exit bound lives in the verify merge instead,
+      // see sorted_intersect_atleast below.)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
       .distinct()
@@ -1383,15 +1396,25 @@ object Pipeline {
     // the gid-sorted arrays (vset invariant: ascending, distinct —
     // built by sort_array over per-doc distinct ids above). The merge
     // is O(|a|+|b|) with zero per-pair allocation, vs array_intersect
-    // hashing AND materializing an array we only size()
+    // hashing AND materializing an array we only size(). The merge is
+    // THRESHOLDED (sorted_intersect_atleast — PPJoin's suffix pruning
+    // at the merge level): it bails with -1 as soon as matches-so-far
+    // + min(remaining) proves the pair cannot reach the overlap
+    // threshold ⌈t/(1+t)(|a|+|b|)⌉ — most candidates are far below
+    // threshold, so most merges stop early. Exactness: -1 only when
+    // overlap < the (epsilon-relaxed, hence one-sided) threshold,
+    // which implies jaccard < t; -1 renders jaccard negative and the
+    // final exact filter drops it — the admitted pair set and their
+    // jaccard values are identical to the unthresholded merge.
     val slim = sets.select(col("doc_id"), col("vset"), col("sz"))
     cands
       .join(slim.select(col("doc_id").as("da"), col("vset").as("sa"),
         col("sz").as("na")), Seq("da"))
       .join(slim.select(col("doc_id").as("db"), col("vset").as("sb"),
         col("sz").as("nb")), Seq("db"))
-      .withColumn("c", call_function("sorted_intersect_count",
-        col("sa"), col("sb")))
+      .withColumn("c", call_function("sorted_intersect_atleast",
+        col("sa"), col("sb"),
+        ceilR((col("na") + col("nb")) * lit(tOver)).cast("int")))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

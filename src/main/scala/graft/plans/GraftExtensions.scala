@@ -70,6 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_count", 2)(c =>
         SortedIntersectCount(c(0), c(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_atleast"),
+      new ExpressionInfo(classOf[SortedIntersectAtLeast].getName,
+        "sorted_intersect_atleast"),
+      arity("sorted_intersect_atleast", 3)(c =>
+        SortedIntersectAtLeast(c(0), c(1), c(2)))))
+    ext.injectFunction((
       new FunctionIdentifier("kgram_strings"),
       new ExpressionInfo(classOf[KgramStrings].getName, "kgram_strings"),
       arity("kgram_strings", 2)(c => KgramStrings(c(0),

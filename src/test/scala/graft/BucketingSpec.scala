@@ -75,17 +75,18 @@ class BucketingSpec extends AnyFunSuite {
       s"scan reads unprojected columns:\n$scan")
   }
 
-  test("p04's verify stage runs the sorted-merge kernel, not array_intersect") {
+  test("p04's verify stage runs the thresholded sorted-merge kernel, not array_intersect") {
     // the hottest expression of the suite's most expensive operator:
-    // the candidate-pair overlap count must be the codegen'd two-pointer
-    // merge (zero allocation) — a regression back to
-    // size(array_intersect) re-introduces per-pair hash sets + result
-    // arrays on ~dfCap²-bounded candidates
+    // the candidate-pair overlap count must be the codegen'd THRESHOLDED
+    // two-pointer merge (zero allocation, early exit for below-threshold
+    // pairs) — a regression to sorted_intersect_count loses the early
+    // exit, and size(array_intersect) re-introduces per-pair hash sets
+    // + result arrays on ~dfCap²-bounded candidates
     val df = SparkEntry.queries("p04_ngram_jaccard")(
       spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("sorted_intersect_count"),
-      s"p04 verify lost the sorted_intersect_count kernel:\n$plan")
+    assert(plan.contains("sorted_intersect_atleast"),
+      s"p04 verify lost the sorted_intersect_atleast kernel:\n$plan")
     assert(!plan.contains("array_intersect"),
       s"p04 verify fell back to array_intersect:\n$plan")
     spark.catalog.clearCache()
