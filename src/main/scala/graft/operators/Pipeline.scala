@@ -812,6 +812,31 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** Recall@k of an APPROXIMATE top-k result against an EXACT one —
+    * the standard ANN tuning metric (how many of the true k nearest
+    * neighbors the index returned), computed per query: join the two
+    * (q, id) result sets and count hits. Feed it [[ivfSearch]] output
+    * as `approx` and [[knnBruteCosine]] output (over a sampled query
+    * set — recall evaluation never needs every query) as `exact` to
+    * pick `nprobe`: recall@k is monotone in nprobe, so the smallest
+    * nprobe reaching the recall target is the cheapest correct
+    * setting. Scale shape: both inputs are top-k tables — k rows per
+    * evaluated query, bounded by parameters — so the join and the
+    * per-query agg are small regardless of corpus size. Output:
+    * (q_id, n_exact, n_hits, recall), one row per query present in
+    * `exact`. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+      qCol: String = "q_id", idCol: String = "vec_id"): DataFrame =
+    exact.select(col(qCol).as("q_id"), col(idCol).as("vec_id"))
+      .join(approx.select(col(qCol).as("q_id"), col(idCol).as("vec_id"))
+        .withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("q_id"), col("n_exact"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
+          .as("recall"))
+
   /** Distributed Lloyd's k-means over ANY embedding corpus — the p21
     * plan as a reusable operator. Each iteration is the canonical
     * scalable shape: the k×dim centroid table collapses to ONE
@@ -3280,6 +3305,68 @@ object Pipeline {
            |       COUNT(*) OVER (PARTITION BY cl) AS n_members
            |FROM a2 ORDER BY vec_id""".stripMargin
       }),
+
+    // ---- p39: ANN recall evaluation — [[recallAtK]] of the p07 IVF
+    // search against the p05 exact brute-force top-k, per query: the
+    // metric an operator tunes nprobe with (recall@k is monotone in
+    // nprobe; pick the smallest nprobe meeting the target). The oracle
+    // composes the proven p05 and p07 CTE chains and replays the
+    // hit-count join.
+    QueryDef(
+      "p39_ann_recall",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val queries = e.filter(col("vec_id") <= 4)
+        recallAtK(
+          ivfSearch(e, queries, "vec_id", "embedding",
+            clusterCol = "label", k = 3),
+          knnBruteCosine(e, queries, "vec_id", "embedding", k = 3))
+          .orderBy(col("q_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 list_reduce(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) AS n2
+          FROM embeddings),
+        exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                       (acc, x) -> acc + x) / (sqrt(q.n2) * sqrt(c.n2)) DESC,
+                     c.vec_id ASC) AS rk
+            FROM e q, e c WHERE q.vec_id <= 4 AND c.vec_id <> q.vec_id) t
+          WHERE rk <= 3),
+        medoids AS (
+          SELECT label AS m_label, embedding AS me, n2 AS mn2
+          FROM e QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id ASC) = 1),
+        assigned AS (
+          SELECT q.vec_id AS q_id, q.embedding AS qe, q.n2 AS qn2, m.m_label AS probe_label
+          FROM e q, medoids m WHERE q.vec_id <= 4
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(q.embedding) + 1),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(m.me[i] AS DOUBLE)),
+              (acc, x) -> acc + x) / (sqrt(q.n2) * sqrt(m.mn2)) DESC, m.m_label ASC) = 1),
+        approx AS (
+          SELECT q_id, vec_id FROM (
+            SELECT a.q_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.q_id ORDER BY
+                     list_reduce(list_transform(range(1, len(a.qe) + 1),
+                       i -> CAST(a.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                       (acc, x) -> acc + x) / (sqrt(a.qn2) * sqrt(c.n2)) DESC,
+                     c.vec_id ASC) AS rk
+            FROM assigned a JOIN e c ON c.label = a.probe_label AND c.vec_id <> a.q_id) t
+          WHERE rk <= 3)
+        SELECT ex.q_id, COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM exact ex LEFT JOIN approx ap
+          ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+        GROUP BY ex.q_id ORDER BY ex.q_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

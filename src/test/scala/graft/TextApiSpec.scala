@@ -872,6 +872,28 @@ class TextApiSpec extends AnyFunSuite {
     } finally vecs.unpersist() // exception-safe: a failed assert must not leak the cache
   }
 
+  test("recallAtK: per-query hit counting, identity recall 1.0, alien columns") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("q_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L),
+      (2L, 77L), (2L, 78L), (2L, 79L)).toDF("q_id", "vec_id")
+    val got = Pipeline.recallAtK(approx, exact).orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 3L, 2L, 2.0 / 3), (2L, 3L, 0L, 0.0)))
+    // identity: a result set scored against itself is exactly 1.0
+    val self = Pipeline.recallAtK(exact, exact).select("recall").collect()
+    assert(self.nonEmpty && self.forall(_.getDouble(0) == 1.0))
+    // approx-only (q, id) rows are ignored: recall counts exact rows
+    val extra = approx.union(Seq((3L, 1L)).toDF("q_id", "vec_id"))
+    assert(Pipeline.recallAtK(extra, exact).count() == 2)
+    // alien column names normalize to the documented output shape
+    val alien = Pipeline.recallAtK(
+      approx.toDF("qq", "ii"), exact.toDF("qq", "ii"),
+      qCol = "qq", idCol = "ii")
+    assert(alien.columns.toSeq == Seq("q_id", "n_exact", "n_hits", "recall"))
+  }
+
   test("packSequences: offsets are a gapless global prefix sum; alien columns") {
     import spark.implicits._
     val rows = Seq(
