@@ -837,6 +837,118 @@ object Pipeline {
         (col("n_hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
           .as("recall"))
 
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 §II):
+    * the vector space splits into `m` contiguous subspaces of dim/m
+    * dimensions, each trained as its OWN small k-means codebook of
+    * `ksub` centroids — so a vector compresses to m small codes
+    * (m bytes at ksub ≤ 256) while distances remain computable from
+    * per-subspace lookup tables ([[pqSearch]]). Training reuses
+    * [[kmeansFit]] verbatim over the sliced corpus, inheriting its
+    * determinism contract (min-id seeds, integer-exact centroid sums,
+    * ties to the lowest code) — m bounded passes over the corpus
+    * (m is a small parameter, 4–16). Output: (j, code, ce) with
+    * |ce| = dim/m. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int = 1): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim must divide into m subspaces, got dim=$dim m=$m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansFit(
+        corpus.select(col(idCol),
+          slice(col(vecCol), j * sub + 1, sub).as("__sub")),
+        idCol, "__sub", ksub, sub, iters)
+        .select(lit(j).as("j"), col("cl").as("code"), col("ce"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ encoding: each vector's m subspace codes (the compressed
+    * representation [[pqSearch]] scans — m ints per vector instead of
+    * dim floats). One broadcast of the full codebook, one map pass:
+    * per subspace an argmin fold over its ksub centroids, ties to the
+    * lowest code — the [[kmeansFit]] assignment contract per
+    * subspace. Output: (vec_id, codes array&lt;int&gt; of length m). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim must divide into m subspaces, got dim=$dim m=$m")
+    val sub = dim / m
+    val cb = codebooks
+      .groupBy(col("j"))
+      .agg(sort_array(collect_list(struct(col("code"), col("ce")))).as("cs"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cs")))).as("js"))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), array((0 until m).map { j =>
+        aggregate(element_at(col("js"), j + 1).getField("cs"),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")),
+          (acc, c) => {
+            val d = call_function("float_dist_sq",
+              slice(col("embedding"), j * sub + 1, sub), c.getField("ce"))
+            when(d < acc.getField("d2"),
+              struct(d.as("d2"), c.getField("code").as("code")))
+              .otherwise(acc)
+          }).getField("code")
+      }: _*).as("codes"))
+  }
+
+  /** PQ asymmetric-distance search (ADC, Jégou TPAMI'11 §III): score
+    * the CODES table against each query via per-subspace lookup
+    * tables. Per query, ONE m×ksub distance table is built against
+    * the broadcast codebook (dim multiplications per cell, parameter-
+    * bounded); the corpus scan then costs m array lookups + m−1
+    * additions per vector — it never touches the original vectors,
+    * which is the PQ scale story: the scanned table is m ints per
+    * vector (~m bytes at ksub ≤ 256) instead of dim floats, an
+    * (4·dim)/m-fold bandwidth cut, and the approximate distance
+    * d̂(q,v) = Σ_j d²(q_j, c_{j,code_j(v)}) needs no sqrt for ranking.
+    * Additions run in fixed subspace order (left-associated), so
+    * adist is bit-reproducible cross-engine. Output: (q_id, vec_id,
+    * adist, rk ≤ k) ranked by ascending adist, ties to the lowest
+    * vec_id. `excludeSelf` as in [[knnBruteCosine]].
+    *
+    * The codebook must be COMPLETE — every (j, code) for code <
+    * ksub — because the lookup index is arithmetic (j·ksub + code);
+    * validated eagerly (the codebook is parameter-sized), throwing on
+    * a codebook whose empty clusters dropped codes (retrain with more
+    * iters or smaller ksub). */
+  def pqSearch(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, m: Int, ksub: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim must divide into m subspaces, got dim=$dim m=$m")
+    val sub = dim / m
+    val present = codebooks.select(col("j"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val missing = (for {
+      j <- 0 until m; c <- 0 until ksub
+    } yield (j, c)).filterNot(present)
+    require(missing.isEmpty,
+      s"pqSearch needs a complete m×ksub codebook; missing (j, code): " +
+        s"${missing.take(8).mkString(", ")}")
+    val flat = codebooks
+      .agg(sort_array(collect_list(struct(col("j"), col("code"), col("ce"))))
+        .as("fl"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+      .crossJoin(broadcast(flat))
+      .select(col("q_id"),
+        transform(col("fl"), c =>
+          call_function("float_dist_sq",
+            slice(col("qe"), c.getField("j") * sub + 1, lit(sub)),
+            c.getField("ce"))).as("dtab"))
+    val adist = (0 until m).map(j =>
+      element_at(col("dtab"), lit(j * ksub) + element_at(col("codes"), j + 1) + 1))
+      .reduceLeft(_ + _)
+    val scanned = codes.crossJoin(broadcast(q))
+    (if (excludeSelf) scanned.filter(col("vec_id") =!= col("q_id"))
+     else scanned)
+      .select(col("q_id"), col("vec_id"), adist.as("adist"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+  }
+
   /** Distributed Lloyd's k-means over ANY embedding corpus — the p21
     * plan as a reusable operator. Each iteration is the canonical
     * scalable shape: the k×dim centroid table collapses to ONE
@@ -3367,6 +3479,92 @@ object Pipeline {
         FROM exact ex LEFT JOIN approx ap
           ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
         GROUP BY ex.q_id ORDER BY ex.q_id""")),
+
+    // ---- p40: product quantization end-to-end — [[pqTrain]] (m
+    // per-subspace k-means codebooks) → [[pqEncode]] (m codes per
+    // vector) → [[pqSearch]] (ADC: per-query lookup tables over the
+    // codes scan). The oracle replays every stage: per-subspace min-id
+    // seeds + one integer-exact Lloyd's update, argmin code
+    // assignment, the m×ksub distance table, and the fixed-order
+    // 4-term adist sum (left-associated in both engines, so the
+    // doubles are bit-identical).
+    QueryDef(
+      "p40_pq_adc",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
+          ksub = 4, iters = 1)
+        pqSearch(
+          pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4),
+          e.filter(col("vec_id") <= 4), books,
+          "vec_id", "embedding", k = 3, dim = 64, m = 4, ksub = 4)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some {
+        val M = 4; val Sub = 16; val Ksub = 4; val Scale = IntScale.toString
+        // squared distance of e's subspace-j slice (off = j·Sub) vs a
+        // Sub-length centroid — the float_dist_sq fold over a slice
+        def d2sub(q: String, off: Int, c: String) =
+          s"list_reduce(list_transform(range(1, ${Sub + 1}), i -> " +
+            s"(CAST($q[${off} + i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
+            s"(CAST($q[${off} + i] AS DOUBLE) - CAST($c[i] AS DOUBLE))), " +
+            "(acc, x) -> acc + x)"
+        // one subspace's chain: min-id seeds → assign → integer-exact
+        // update → final code assignment (the kmeansFit iters=1 replay
+        // over the slice)
+        def space(j: Int): String = {
+          val off = j * Sub
+          val sumCols = (1 to Sub).map(i =>
+            s"SUM(CAST(ROUND(CAST(emb[${off + i}] AS DOUBLE) * $Scale) AS BIGINT)) AS s$i")
+            .mkString(", ")
+          val meanList = (1 to Sub).map(i =>
+            s"CAST(s$i AS DOUBLE) / CAST(cnt * $Scale AS DOUBLE)").mkString(", ")
+          s"""c0_$j AS (
+             |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             |         list_transform(range(1, ${Sub + 1}), i -> CAST(emb[${off} + i] AS DOUBLE)) AS ce
+             |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $Ksub),
+             |a_$j AS MATERIALIZED (
+             |  SELECT s.vec_id, s.emb, c.code
+             |  FROM e s CROSS JOIN c0_$j c
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             |    ORDER BY ${d2sub("s.emb", off, "c.ce")} ASC, c.code ASC) = 1),
+             |u_$j AS (
+             |  SELECT code, COUNT(*) AS cnt, $sumCols FROM a_$j GROUP BY code),
+             |cf_$j AS MATERIALIZED (
+             |  SELECT code, [$meanList] AS ce FROM u_$j),
+             |code_$j AS MATERIALIZED (
+             |  SELECT s.vec_id, c.code
+             |  FROM e s CROSS JOIN cf_$j c
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             |    ORDER BY ${d2sub("s.emb", off, "c.ce")} ASC, c.code ASC) = 1)"""
+            .stripMargin
+        }
+        // per-query ADC distance cells for subspace j, then the
+        // fixed-order 4-term sum over each corpus vector's codes
+        def dt(j: Int): String =
+          s"""dt_$j AS MATERIALIZED (
+             |  SELECT q.vec_id AS q_id, c.code, ${d2sub("q.emb", j * Sub, "c.ce")} AS d2
+             |  FROM e q CROSS JOIN cf_$j c WHERE q.vec_id <= 4)""".stripMargin
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding AS emb FROM embeddings),
+           |${(0 until M).map(space).mkString(",\n")},
+           |${(0 until M).map(dt).mkString(",\n")},
+           |scored AS (
+           |  SELECT d0.q_id, v0.vec_id,
+           |         d0.d2 + d1.d2 + d2_.d2 + d3.d2 AS adist
+           |  FROM code_0 v0
+           |  JOIN code_1 v1 ON v1.vec_id = v0.vec_id
+           |  JOIN code_2 v2 ON v2.vec_id = v0.vec_id
+           |  JOIN code_3 v3 ON v3.vec_id = v0.vec_id
+           |  JOIN dt_0 d0 ON d0.code = v0.code
+           |  JOIN dt_1 d1 ON d1.q_id = d0.q_id AND d1.code = v1.code
+           |  JOIN dt_2 d2_ ON d2_.q_id = d0.q_id AND d2_.code = v2.code
+           |  JOIN dt_3 d3 ON d3.q_id = d0.q_id AND d3.code = v3.code
+           |  WHERE v0.vec_id <> d0.q_id)
+           |SELECT q_id, vec_id, adist,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
+           |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
+      }),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

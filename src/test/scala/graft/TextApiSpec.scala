@@ -872,6 +872,54 @@ class TextApiSpec extends AnyFunSuite {
     } finally vecs.unpersist() // exception-safe: a failed assert must not leak the cache
   }
 
+  test("pq: m=1 ksub=n degenerates to exact euclidean ranking; complete-codebook gate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    val n = 30
+    val data = (0L until n).map(i =>
+      i -> Array.fill(dim)(rnd.nextFloat() * 2f - 1f)).toMap
+    val vecs = data.toSeq.sortBy(_._1).toDF("pk", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one subspace with a code per vector: codes are the identity and
+      // ADC distance = exact squared euclidean (up to the 1e-7 centroid
+      // quantization of the integer-exact update — far below the
+      // inter-vector gaps of a random corpus), so the ranking must
+      // EQUAL brute force
+      val books = Pipeline.pqTrain(vecs, "pk", "vec", dim, m = 1,
+        ksub = n, iters = 1)
+      val codes = Pipeline.pqEncode(vecs, "pk", "vec", books, dim, m = 1)
+      val queries = vecs.filter(col("pk") < 3)
+      def run() = Pipeline.pqSearch(codes, queries, books, "pk", "vec",
+        k = 4, dim, m = 1, ksub = n)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      val got = run()
+      def d2(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) {
+          val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+        }
+        s
+      }
+      val expected = (0L until 3L).flatMap { q =>
+        (0L until n).filter(_ != q)
+          .sortBy(v => (d2(data(q), data(v)), v))
+          .take(4).zipWithIndex.map { case (v, i) => (q, i + 1, v) }
+      }
+      assert(got.sortBy(t => (t._1, t._2)).toSeq == expected,
+        "PQ at m=1, ksub=n must reproduce the exact euclidean top-k")
+      assert(run().toSeq == got.toSeq, "pqSearch must be deterministic")
+      // an INCOMPLETE codebook (a dropped (j, code) cell would silently
+      // misalign the arithmetic lookup index) is rejected eagerly
+      val holed = books.filter(!(col("j") === 0 && col("code") === 0))
+      val e = intercept[IllegalArgumentException](
+        Pipeline.pqSearch(codes, queries, holed, "pk", "vec",
+          k = 4, dim, m = 1, ksub = n))
+      assert(e.getMessage.contains("complete"))
+    } finally vecs.unpersist()
+  }
+
   test("recallAtK: per-query hit counting, identity recall 1.0, alien columns") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
