@@ -919,14 +919,7 @@ object Pipeline {
     require(m >= 1 && dim % m == 0,
       s"dim must divide into m subspaces, got dim=$dim m=$m")
     val sub = dim / m
-    val present = codebooks.select(col("j"), col("code")).collect()
-      .map(r => (r.getInt(0), r.getInt(1))).toSet
-    val missing = (for {
-      j <- 0 until m; c <- 0 until ksub
-    } yield (j, c)).filterNot(present)
-    require(missing.isEmpty,
-      s"pqSearch needs a complete m×ksub codebook; missing (j, code): " +
-        s"${missing.take(8).mkString(", ")}")
+    validateCodebook(codebooks, m, ksub)
     val flat = codebooks
       .agg(sort_array(collect_list(struct(col("j"), col("code"), col("ce"))))
         .as("fl"))
@@ -947,6 +940,79 @@ object Pipeline {
       .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("adist").asc, col("vec_id").asc)))
       .filter(col("rk") <= k)
+  }
+
+  /** IVF + PQ composed (the FAISS-style IVFPQ shape, Jégou TPAMI'11
+    * §V): each query probes its `nprobe` best coarse clusters against
+    * the broadcast TRAINED centroid table ([[ivfIndex]] output), then
+    * ADC-scores ONLY those clusters' members from the CODES table —
+    * so the scan covers ~nprobe/n_clusters of the corpus AND touches
+    * m ints per member instead of dim floats: the two scale levers
+    * multiply. Inputs are the other operators' outputs verbatim:
+    * `member`/`centroids` from [[ivfIndex]], `codes` from
+    * [[pqEncode]], `codebooks` from [[pqTrain]]. Probe selection uses
+    * squared euclidean distance to the coarse centroid (ascending —
+    * the metric ADC ranks by), ties to the lowest cluster. Output:
+    * (q_id, probe_label, vec_id, adist, rk ≤ k), ties to the lowest
+    * vec_id. nprobe = n_clusters degenerates to [[pqSearch]] over the
+    * whole corpus (property-tested in TextApiSpec). */
+  def ivfpqSearch(member: DataFrame, codes: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, m: Int, ksub: Int,
+      nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(m >= 1 && dim % m == 0,
+      s"dim must divide into m subspaces, got dim=$dim m=$m")
+    val sub = dim / m
+    validateCodebook(codebooks, m, ksub)
+    val cents = centroids.select(col(centroids.columns(0)).as("m_label"),
+      transform(col(centroids.columns(1)), x => x.cast(DoubleType)).as("me"))
+    val flat = codebooks
+      .agg(sort_array(collect_list(struct(col("j"), col("code"), col("ce"))))
+        .as("fl"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("m_d2").asc, col("m_label").asc)
+    // nprobe best coarse cells per query, each carrying the query's
+    // ADC lookup table (built once per query, duplicated nprobe times
+    // in the broadcast — both parameter-bounded)
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("m_d2", call_function("float_dist_sq", col("qe"), col("me")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
+      .crossJoin(broadcast(flat))
+      .select(col("q_id"), col("m_label").as("probe_label"),
+        transform(col("fl"), c =>
+          call_function("float_dist_sq",
+            slice(col("qe"), c.getField("j") * sub + 1, lit(sub)),
+            c.getField("ce"))).as("dtab"))
+    val adist = (0 until m).map(j =>
+      element_at(col("dtab"), lit(j * ksub) + element_at(col("codes"), j + 1) + 1))
+      .reduceLeft(_ + _)
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val scanned = codes
+      .join(member.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .join(broadcast(probes), col("cluster") === col("probe_label"))
+    (if (excludeSelf) scanned.filter(col("vec_id") =!= col("q_id"))
+     else scanned)
+      .select(col("q_id"), col("probe_label"), col("vec_id"),
+        adist.as("adist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+  }
+
+  /** The complete-codebook gate shared by [[pqSearch]]/[[ivfpqSearch]]
+    * (the arithmetic lookup index j·ksub + code needs every cell). */
+  private def validateCodebook(codebooks: DataFrame, m: Int, ksub: Int): Unit = {
+    val present = codebooks.select(col("j"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val missing = (for {
+      j <- 0 until m; c <- 0 until ksub
+    } yield (j, c)).filterNot(present)
+    require(missing.isEmpty,
+      s"need a complete m×ksub codebook; missing (j, code): " +
+        s"${missing.take(8).mkString(", ")}")
   }
 
   /** Distributed Lloyd's k-means over ANY embedding corpus — the p21
@@ -2040,6 +2106,55 @@ object Pipeline {
        |  FROM asg WHERE rk = 1 GROUP BY cl),
        |${(1 until k).map(fin).mkString(",\n")}""".stripMargin
   }
+
+  /** Squared distance of `q`'s subspace slice (1-based offset `off`)
+    * against a `len`-length centroid — the float_dist_sq-over-a-slice
+    * fold the PQ gates replay. */
+  private def pqD2SubSql(len: Int, q: String, off: Int, c: String): String =
+    s"list_reduce(list_transform(range(1, ${len + 1}), i -> " +
+      s"(CAST($q[$off + i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
+      s"(CAST($q[$off + i] AS DOUBLE) - CAST($c[i] AS DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+
+  /** One PQ subspace's full training chain ([[pqTrain]] at iters = 1 +
+    * [[pqEncode]]'s assignment, shared by p40/p41): min-id seeds →
+    * assign → integer-exact update → final code assignment, emitting
+    * `cf_j` (the codebook) and `code_j` (vec_id → code). */
+  private def pqSpaceSql(j: Int, sub: Int, ksub: Int): String = {
+    val off = j * sub
+    val Scale = IntScale.toString
+    val sumCols = (1 to sub).map(i =>
+      s"SUM(CAST(ROUND(CAST(emb[${off + i}] AS DOUBLE) * $Scale) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val meanList = (1 to sub).map(i =>
+      s"CAST(s$i AS DOUBLE) / CAST(cnt * $Scale AS DOUBLE)").mkString(", ")
+    s"""c0_$j AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+       |         list_transform(range(1, ${sub + 1}), i -> CAST(emb[$off + i] AS DOUBLE)) AS ce
+       |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $ksub),
+       |a_$j AS MATERIALIZED (
+       |  SELECT s.vec_id, s.emb, c.code
+       |  FROM e s CROSS JOIN c0_$j c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |    ORDER BY ${pqD2SubSql(sub, "s.emb", off, "c.ce")} ASC, c.code ASC) = 1),
+       |u_$j AS (
+       |  SELECT code, COUNT(*) AS cnt, $sumCols FROM a_$j GROUP BY code),
+       |cf_$j AS MATERIALIZED (
+       |  SELECT code, [$meanList] AS ce FROM u_$j),
+       |code_$j AS MATERIALIZED (
+       |  SELECT s.vec_id, c.code
+       |  FROM e s CROSS JOIN cf_$j c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |    ORDER BY ${pqD2SubSql(sub, "s.emb", off, "c.ce")} ASC, c.code ASC) = 1)"""
+      .stripMargin
+  }
+
+  /** The per-query ADC distance cells for subspace `j` (queries =
+    * vec_id ≤ 4, the fixture query slice). */
+  private def pqDtSql(j: Int, sub: Int): String =
+    s"""dt_$j AS MATERIALIZED (
+       |  SELECT q.vec_id AS q_id, c.code, ${pqD2SubSql(sub, "q.emb", j * sub, "c.ce")} AS d2
+       |  FROM e q CROSS JOIN cf_$j c WHERE q.vec_id <= 4)""".stripMargin
 
   /** Seed rows (`s0` + `p1..p{k-1}`) folded into [[kmeansFit]]'s
     * centroid shape `(cl int, ce array<double>)` as CTE `c0`. */
@@ -3501,53 +3616,10 @@ object Pipeline {
           .orderBy(col("q_id"), col("rk"))
       },
       Some {
-        val M = 4; val Sub = 16; val Ksub = 4; val Scale = IntScale.toString
-        // squared distance of e's subspace-j slice (off = j·Sub) vs a
-        // Sub-length centroid — the float_dist_sq fold over a slice
-        def d2sub(q: String, off: Int, c: String) =
-          s"list_reduce(list_transform(range(1, ${Sub + 1}), i -> " +
-            s"(CAST($q[${off} + i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
-            s"(CAST($q[${off} + i] AS DOUBLE) - CAST($c[i] AS DOUBLE))), " +
-            "(acc, x) -> acc + x)"
-        // one subspace's chain: min-id seeds → assign → integer-exact
-        // update → final code assignment (the kmeansFit iters=1 replay
-        // over the slice)
-        def space(j: Int): String = {
-          val off = j * Sub
-          val sumCols = (1 to Sub).map(i =>
-            s"SUM(CAST(ROUND(CAST(emb[${off + i}] AS DOUBLE) * $Scale) AS BIGINT)) AS s$i")
-            .mkString(", ")
-          val meanList = (1 to Sub).map(i =>
-            s"CAST(s$i AS DOUBLE) / CAST(cnt * $Scale AS DOUBLE)").mkString(", ")
-          s"""c0_$j AS (
-             |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
-             |         list_transform(range(1, ${Sub + 1}), i -> CAST(emb[${off} + i] AS DOUBLE)) AS ce
-             |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $Ksub),
-             |a_$j AS MATERIALIZED (
-             |  SELECT s.vec_id, s.emb, c.code
-             |  FROM e s CROSS JOIN c0_$j c
-             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
-             |    ORDER BY ${d2sub("s.emb", off, "c.ce")} ASC, c.code ASC) = 1),
-             |u_$j AS (
-             |  SELECT code, COUNT(*) AS cnt, $sumCols FROM a_$j GROUP BY code),
-             |cf_$j AS MATERIALIZED (
-             |  SELECT code, [$meanList] AS ce FROM u_$j),
-             |code_$j AS MATERIALIZED (
-             |  SELECT s.vec_id, c.code
-             |  FROM e s CROSS JOIN cf_$j c
-             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
-             |    ORDER BY ${d2sub("s.emb", off, "c.ce")} ASC, c.code ASC) = 1)"""
-            .stripMargin
-        }
-        // per-query ADC distance cells for subspace j, then the
-        // fixed-order 4-term sum over each corpus vector's codes
-        def dt(j: Int): String =
-          s"""dt_$j AS MATERIALIZED (
-             |  SELECT q.vec_id AS q_id, c.code, ${d2sub("q.emb", j * Sub, "c.ce")} AS d2
-             |  FROM e q CROSS JOIN cf_$j c WHERE q.vec_id <= 4)""".stripMargin
+        val M = 4; val Sub = 16; val Ksub = 4
         s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding AS emb FROM embeddings),
-           |${(0 until M).map(space).mkString(",\n")},
-           |${(0 until M).map(dt).mkString(",\n")},
+           |${(0 until M).map(pqSpaceSql(_, Sub, Ksub)).mkString(",\n")},
+           |${(0 until M).map(pqDtSql(_, Sub)).mkString(",\n")},
            |scored AS (
            |  SELECT d0.q_id, v0.vec_id,
            |         d0.d2 + d1.d2 + d2_.d2 + d3.d2 AS adist
@@ -3561,6 +3633,62 @@ object Pipeline {
            |  JOIN dt_3 d3 ON d3.q_id = d0.q_id AND d3.code = v3.code
            |  WHERE v0.vec_id <> d0.q_id)
            |SELECT q_id, vec_id, adist,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
+           |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
+      }),
+
+    // ---- p41: IVF + PQ composed (the FAISS-style IVFPQ shape) — the
+    // flagship scale path end-to-end in ONE gated plan: k-means‖-
+    // seeded coarse quantizer (p37's chain), per-subspace PQ training
+    // + encoding (p40's chains), then the multi-probe ADC scan that
+    // touches only the probed clusters' CODES. Both scale levers
+    // (cluster pruning × m-byte codes) are live in the gated query.
+    QueryDef(
+      "p41_ivfpq",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val (member, cents) = ivfIndex(e, "vec_id", "embedding",
+          k = 3, dim = 64, iters = 1)
+        val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
+          ksub = 4, iters = 1)
+        val codes = pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4)
+        ivfpqSearch(member, codes, e.filter(col("vec_id") <= 4),
+          cents, books, "vec_id", "embedding",
+          k = 3, dim = 64, m = 4, ksub = 4, nprobe = 2)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some {
+        val M = 4; val Sub = 16; val Ksub = 4; val Dim = 64
+        s"""WITH ${kmparChainSql(3, rounds = 5, dim = Dim)},
+           |${kmSeedCentroidsSql(3)},
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "cf", "a1", Dim)},
+           |${kmAssignSql("mem", "cf", Dim)},
+           |${(0 until M).map(pqSpaceSql(_, Sub, Ksub)).mkString(",\n")},
+           |${(0 until M).map(pqDtSql(_, Sub)).mkString(",\n")},
+           |probes AS MATERIALIZED (
+           |  SELECT q_id, m_label AS probe_label FROM (
+           |    SELECT q.vec_id AS q_id, c.cl AS m_label,
+           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${kmD2Sql(Dim, "q.emb", "c.ce")} ASC, c.cl ASC) AS prk
+           |    FROM e q CROSS JOIN cf c WHERE q.vec_id <= 4) t
+           |  WHERE prk <= 2),
+           |scored AS (
+           |  SELECT p.q_id, p.probe_label, v0.vec_id,
+           |         d0.d2 + d1.d2 + d2_.d2 + d3.d2 AS adist
+           |  FROM probes p
+           |  JOIN mem mm ON mm.cl = p.probe_label
+           |  JOIN code_0 v0 ON v0.vec_id = mm.vec_id
+           |  JOIN code_1 v1 ON v1.vec_id = v0.vec_id
+           |  JOIN code_2 v2 ON v2.vec_id = v0.vec_id
+           |  JOIN code_3 v3 ON v3.vec_id = v0.vec_id
+           |  JOIN dt_0 d0 ON d0.q_id = p.q_id AND d0.code = v0.code
+           |  JOIN dt_1 d1 ON d1.q_id = p.q_id AND d1.code = v1.code
+           |  JOIN dt_2 d2_ ON d2_.q_id = p.q_id AND d2_.code = v2.code
+           |  JOIN dt_3 d3 ON d3.q_id = p.q_id AND d3.code = v3.code
+           |  WHERE v0.vec_id <> p.q_id)
+           |SELECT q_id, probe_label, vec_id, adist,
            |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
            |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
            |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin

@@ -920,6 +920,50 @@ class TextApiSpec extends AnyFunSuite {
     } finally vecs.unpersist()
   }
 
+  test("ivfpqSearch: probing every cluster equals full-corpus pqSearch; recall monotone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 8
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toDF("pk", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kClusters = 3
+      val (member, cents) = Pipeline.ivfIndex(vecs, "pk", "vec", kClusters, dim)
+      val books = Pipeline.pqTrain(vecs, "pk", "vec", dim, m = 2, ksub = 4)
+      val codes = Pipeline.pqEncode(vecs, "pk", "vec", books, dim, m = 2)
+      val queries = vecs.filter(col("pk") < 3)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("q_id"), col("vec_id"), col("adist"), col("rk"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val full = rows(Pipeline.pqSearch(codes, queries, books,
+        "pk", "vec", k = 5, dim, m = 2, ksub = 4))
+      // nprobe = n_clusters scans every member — identical result set,
+      // bit-identical adist (same lookup tables, same fixed-order sum)
+      val exhaustive = rows(Pipeline.ivfpqSearch(member, codes, queries,
+        cents, books, "pk", "vec", k = 5, dim, m = 2, ksub = 4,
+        nprobe = kClusters))
+      assert(exhaustive == full,
+        "IVFPQ at nprobe = n_clusters must equal full-corpus ADC")
+      // recall vs the exhaustive set is monotone in nprobe
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("q_id"), col("vec_id"))
+      val recalls = Seq(1, 2, 3).map { np =>
+        val approx = Pipeline.ivfpqSearch(member, codes, queries, cents,
+          books, "pk", "vec", k = 5, dim, m = 2, ksub = 4, nprobe = np)
+        Pipeline.recallAtK(ids(approx),
+          ids(Pipeline.pqSearch(codes, queries, books,
+            "pk", "vec", k = 5, dim, m = 2, ksub = 4)))
+          .agg(org.apache.spark.sql.functions.avg(col("recall")))
+          .collect()(0).getDouble(0)
+      }
+      assert(recalls == recalls.sorted,
+        s"IVFPQ recall not monotone in nprobe: $recalls")
+      assert(recalls.last == 1.0)
+    } finally vecs.unpersist()
+  }
+
   test("recallAtK: per-query hit counting, identity recall 1.0, alien columns") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
