@@ -738,10 +738,11 @@ object Pipeline {
     *   centroids = Some(cents))
     * }}} */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, iters: Int = 2, seeding: String = "kmeans||")
-      : (DataFrame, DataFrame) = {
+      k: Int, dim: Int, iters: Int = 2, seeding: String = "kmeans||",
+      seedRounds: Int = 5): (DataFrame, DataFrame) = {
     val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val cents = kmeansFit(corpus, idCol, vecCol, k, dim, iters, seeding)
+    val cents = kmeansFit(corpus, idCol, vecCol, k, dim, iters, seeding,
+      seedRounds)
     val member = kmeansAssign(e, cents)
       .select(col("vec_id"), col("cl").as("cluster"))
     (member, cents)
@@ -1057,7 +1058,11 @@ object Pipeline {
     * exact sums, ties to the lowest cluster id). */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, iters: Int = 2,
-      seeding: String = "min-id"): DataFrame = {
+      seeding: String = "min-id",
+      // kmeans|| sampling rounds (each is two driver-synchronized
+      // corpus passes — ≈5 suffices per the paper; fewer trades seed
+      // spread for latency). Ignored by the other seedings.
+      seedRounds: Int = 5): DataFrame = {
     val Scale = IntScale
     val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val init = seeding match {
@@ -1077,7 +1082,7 @@ object Pipeline {
       // the O(rounds)-pass seeding for IVF-scale k — see
       // [[kmeansParallelSeeds]]; k-means++ proper is k−1 passes
       case "kmeans||" =>
-        kmeansParallelSeeds(corpus, idCol, vecCol, k, dim)
+        kmeansParallelSeeds(corpus, idCol, vecCol, k, dim, seedRounds)
           .select(col("cl"), col("ce"))
       case other => throw new IllegalArgumentException(
         s"seeding must be 'min-id', 'kmeans++', or 'kmeans||', got '$other'")
@@ -3459,15 +3464,16 @@ object Pipeline {
     // entry point (p07 searches precomputed labels with medoid
     // quantizers; this gates fit→assign→search as one plan). nprobe=2
     // exercises the multi-probe recall knob. The oracle replays the
-    // whole chain: the p36 seeding CTEs (shared builder, rounds = 5 =
-    // the ivfIndex default), the p21 Lloyd's update, the assignment,
+    // whole chain: the p36 seeding CTEs (shared builder, seedRounds = 2 —
+    // each round is two driver-synchronized corpus passes, and p36
+    // gates the round machinery itself), the p21 Lloyd's update, the assignment,
     // and the float-cast centroid probe scoring.
     QueryDef(
       "p37_ivf_trained",
       (s, d) => {
         val e = T.embeddings(s, d)
         val (member, cents) = ivfIndex(e, "vec_id", "embedding",
-          k = 3, dim = 64, iters = 1)
+          k = 3, dim = 64, iters = 1, seedRounds = 2)
         ivfSearch(
           e.select(col("vec_id"), col("embedding")).join(member, Seq("vec_id")),
           e.filter(col("vec_id") <= 4),
@@ -3477,7 +3483,7 @@ object Pipeline {
       },
       Some {
         val K = 3; val Dim = 64
-        s"""WITH ${kmparChainSql(K, rounds = 5, dim = Dim)},
+        s"""WITH ${kmparChainSql(K, rounds = 2, dim = Dim)},
            |${kmSeedCentroidsSql(K)},
            |${kmAssignSql("a1", "c0", Dim)},
            |${kmUpdateSql("u1", "cf", "a1", Dim)},
@@ -3649,7 +3655,7 @@ object Pipeline {
       (s, d) => {
         val e = T.embeddings(s, d)
         val (member, cents) = ivfIndex(e, "vec_id", "embedding",
-          k = 3, dim = 64, iters = 1)
+          k = 3, dim = 64, iters = 1, seedRounds = 2)
         val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
           ksub = 4, iters = 1)
         val codes = pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4)
@@ -3660,7 +3666,7 @@ object Pipeline {
       },
       Some {
         val M = 4; val Sub = 16; val Ksub = 4; val Dim = 64
-        s"""WITH ${kmparChainSql(3, rounds = 5, dim = Dim)},
+        s"""WITH ${kmparChainSql(3, rounds = 2, dim = Dim)},
            |${kmSeedCentroidsSql(3)},
            |${kmAssignSql("a1", "c0", Dim)},
            |${kmUpdateSql("u1", "cf", "a1", Dim)},
