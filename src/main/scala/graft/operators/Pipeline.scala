@@ -943,6 +943,30 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** Residual of each vector against its assigned coarse centroid —
+    * the encoding input for IVFADC with residuals (Jégou TPAMI'11
+    * §V.A: quantizing r(v) = v − c(cluster(v)) instead of v itself
+    * concentrates the PQ codebooks on the WITHIN-cell distribution,
+    * which is what the per-cell probe actually scans, and recovers
+    * most of the accuracy raw-vector codes lose to coarse cell
+    * spread). `member`/`centroids` are [[ivfIndex]] outputs; feed the
+    * result to [[pqTrain]]/[[pqEncode]] and search with
+    * `ivfpqSearch(..., residual = true)`. Elementwise arithmetic is
+    * (double)v_i − c_i cast back to float (correctly-rounded in both
+    * engines — the p42 oracle replays it). Output: (vec_id,
+    * residual array&lt;float&gt;). */
+  def pqResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+      member: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col(centroids.columns(0)).as("__cl"),
+      transform(col(centroids.columns(1)), x => x.cast(DoubleType)).as("__ce"))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .join(member.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .join(broadcast(cents), col("cluster") === col("__cl"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("__ce"),
+          (a, b) => (a.cast(DoubleType) - b).cast(FloatType)).as("residual"))
+  }
+
   /** IVF + PQ composed (the FAISS-style IVFPQ shape, Jégou TPAMI'11
     * §V): each query probes its `nprobe` best coarse clusters against
     * the broadcast TRAINED centroid table ([[ivfIndex]] output), then
@@ -960,7 +984,11 @@ object Pipeline {
   def ivfpqSearch(member: DataFrame, codes: DataFrame, queries: DataFrame,
       centroids: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int, m: Int, ksub: Int,
-      nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+      nprobe: Int = 1, excludeSelf: Boolean = true,
+      // true when `codes` came from [[pqResiduals]]-encoded vectors:
+      // each probe's lookup table is then built on q − c(probe) so
+      // both sides of the ADC sit in the same residual frame
+      residual: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(m >= 1 && dim % m == 0,
       s"dim must divide into m subspaces, got dim=$dim m=$m")
@@ -974,18 +1002,22 @@ object Pipeline {
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("m_d2").asc, col("m_label").asc)
     // nprobe best coarse cells per query, each carrying the query's
-    // ADC lookup table (built once per query, duplicated nprobe times
-    // in the broadcast — both parameter-bounded)
+    // ADC lookup table (built per (query, probe) — parameter-bounded)
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
       .crossJoin(broadcast(cents))
       .withColumn("m_d2", call_function("float_dist_sq", col("qe"), col("me")))
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= nprobe)
+      .withColumn("qv",
+        if (residual)
+          zip_with(col("qe"), col("me"),
+            (a, b) => (a.cast(DoubleType) - b).cast(FloatType))
+        else col("qe"))
       .crossJoin(broadcast(flat))
       .select(col("q_id"), col("m_label").as("probe_label"),
         transform(col("fl"), c =>
           call_function("float_dist_sq",
-            slice(col("qe"), c.getField("j") * sub + 1, lit(sub)),
+            slice(col("qv"), c.getField("j") * sub + 1, lit(sub)),
             c.getField("ce"))).as("dtab"))
     val adist = (0 until m).map(j =>
       element_at(col("dtab"), lit(j * ksub) + element_at(col("codes"), j + 1) + 1))
@@ -2125,7 +2157,8 @@ object Pipeline {
     * [[pqEncode]]'s assignment, shared by p40/p41): min-id seeds →
     * assign → integer-exact update → final code assignment, emitting
     * `cf_j` (the codebook) and `code_j` (vec_id → code). */
-  private def pqSpaceSql(j: Int, sub: Int, ksub: Int): String = {
+  private def pqSpaceSql(j: Int, sub: Int, ksub: Int,
+      src: String = "e"): String = {
     val off = j * sub
     val Scale = IntScale.toString
     val sumCols = (1 to sub).map(i =>
@@ -2136,10 +2169,10 @@ object Pipeline {
     s"""c0_$j AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
        |         list_transform(range(1, ${sub + 1}), i -> CAST(emb[$off + i] AS DOUBLE)) AS ce
-       |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $ksub),
+       |  FROM $src QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $ksub),
        |a_$j AS MATERIALIZED (
        |  SELECT s.vec_id, s.emb, c.code
-       |  FROM e s CROSS JOIN c0_$j c
+       |  FROM $src s CROSS JOIN c0_$j c
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
        |    ORDER BY ${pqD2SubSql(sub, "s.emb", off, "c.ce")} ASC, c.code ASC) = 1),
        |u_$j AS (
@@ -2148,7 +2181,7 @@ object Pipeline {
        |  SELECT code, [$meanList] AS ce FROM u_$j),
        |code_$j AS MATERIALIZED (
        |  SELECT s.vec_id, c.code
-       |  FROM e s CROSS JOIN cf_$j c
+       |  FROM $src s CROSS JOIN cf_$j c
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
        |    ORDER BY ${pqD2SubSql(sub, "s.emb", off, "c.ce")} ASC, c.code ASC) = 1)"""
       .stripMargin
@@ -3693,6 +3726,78 @@ object Pipeline {
            |  JOIN dt_1 d1 ON d1.q_id = p.q_id AND d1.code = v1.code
            |  JOIN dt_2 d2_ ON d2_.q_id = p.q_id AND d2_.code = v2.code
            |  JOIN dt_3 d3 ON d3.q_id = p.q_id AND d3.code = v3.code
+           |  WHERE v0.vec_id <> p.q_id)
+           |SELECT q_id, probe_label, vec_id, adist,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
+           |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
+      }),
+
+    // ---- p42: IVFADC with RESIDUAL encoding — the faithful Jégou §V
+    // formulation: PQ codebooks train on r(v) = v − c(cluster(v)), so
+    // codes describe the within-cell distribution the probe actually
+    // scans, and each probe's lookup table is built on q − c(probe).
+    // The oracle replays the residual construction (double subtract,
+    // float round-trip), the per-subspace training over residuals,
+    // and the per-(query, probe) distance tables.
+    QueryDef(
+      "p42_ivfpq_residual",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val (member, cents) = ivfIndex(e, "vec_id", "embedding",
+          k = 3, dim = 64, iters = 1, seedRounds = 2)
+        val resid = pqResiduals(e, "vec_id", "embedding", member, cents)
+        val books = pqTrain(resid, "vec_id", "residual", dim = 64, m = 4,
+          ksub = 4, iters = 1)
+        val codes = pqEncode(resid, "vec_id", "residual", books,
+          dim = 64, m = 4)
+        ivfpqSearch(member, codes, e.filter(col("vec_id") <= 4),
+          cents, books, "vec_id", "embedding",
+          k = 3, dim = 64, m = 4, ksub = 4, nprobe = 2, residual = true)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some {
+        val M = 4; val Sub = 16; val Ksub = 4; val Dim = 64
+        def dtr(j: Int): String =
+          s"""dtr_$j AS MATERIALIZED (
+             |  SELECT p.q_id, p.probe_label, c.code,
+             |         ${pqD2SubSql(Sub, "p.qr", j * Sub, "c.ce")} AS d2
+             |  FROM probes p CROSS JOIN cf_$j c)""".stripMargin
+        s"""WITH ${kmparChainSql(3, rounds = 2, dim = Dim)},
+           |${kmSeedCentroidsSql(3)},
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "cf", "a1", Dim)},
+           |${kmAssignSql("mem", "cf", Dim)},
+           |rs AS MATERIALIZED (
+           |  SELECT mm.vec_id, mm.cl,
+           |         list_transform(range(1, ${Dim + 1}),
+           |           i -> CAST(CAST(mm.emb[i] AS DOUBLE) - c.ce[i] AS FLOAT)) AS emb
+           |  FROM mem mm JOIN cf c ON c.cl = mm.cl),
+           |${(0 until M).map(pqSpaceSql(_, Sub, Ksub, src = "rs")).mkString(",\n")},
+           |probes AS MATERIALIZED (
+           |  SELECT q_id, m_label AS probe_label,
+           |         list_transform(range(1, ${Dim + 1}),
+           |           i -> CAST(CAST(qe[i] AS DOUBLE) - pce[i] AS FLOAT)) AS qr
+           |  FROM (
+           |    SELECT q.vec_id AS q_id, c.cl AS m_label, q.emb AS qe, c.ce AS pce,
+           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${kmD2Sql(Dim, "q.emb", "c.ce")} ASC, c.cl ASC) AS prk
+           |    FROM e q CROSS JOIN cf c WHERE q.vec_id <= 4) t
+           |  WHERE prk <= 2),
+           |${(0 until M).map(dtr).mkString(",\n")},
+           |scored AS (
+           |  SELECT p.q_id, p.probe_label, v0.vec_id,
+           |         d0.d2 + d1.d2 + d2_.d2 + d3.d2 AS adist
+           |  FROM probes p
+           |  JOIN mem mm ON mm.cl = p.probe_label
+           |  JOIN code_0 v0 ON v0.vec_id = mm.vec_id
+           |  JOIN code_1 v1 ON v1.vec_id = v0.vec_id
+           |  JOIN code_2 v2 ON v2.vec_id = v0.vec_id
+           |  JOIN code_3 v3 ON v3.vec_id = v0.vec_id
+           |  JOIN dtr_0 d0 ON d0.q_id = p.q_id AND d0.probe_label = p.probe_label AND d0.code = v0.code
+           |  JOIN dtr_1 d1 ON d1.q_id = p.q_id AND d1.probe_label = p.probe_label AND d1.code = v1.code
+           |  JOIN dtr_2 d2_ ON d2_.q_id = p.q_id AND d2_.probe_label = p.probe_label AND d2_.code = v2.code
+           |  JOIN dtr_3 d3 ON d3.q_id = p.q_id AND d3.probe_label = p.probe_label AND d3.code = v3.code
            |  WHERE v0.vec_id <> p.q_id)
            |SELECT q_id, probe_label, vec_id, adist,
            |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id

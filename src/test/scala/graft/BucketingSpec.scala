@@ -92,6 +92,25 @@ class BucketingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("p41 IVFPQ: every join broadcasts — no shuffle join, no cartesian") {
+    // the flagship ANN composition's scale contract: the corpus-sized
+    // side (codes ⋈ membership) streams against BROADCAST probe/
+    // codebook/centroid tables (all parameter-bounded), so the only
+    // corpus-wide work is one scan + the per-query top-k window. A
+    // SortMergeJoin or CartesianProduct here means a parameter table
+    // stopped broadcasting and the scan went shuffle-shaped.
+    val df = SparkEntry.queries("p41_ivfpq")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"IVFPQ plan grew a cartesian product:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"IVFPQ shuffles a join at fixture scale:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"IVFPQ lost its broadcast joins:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("p16 decontamination broadcasts the eval side, never shuffles it") {
     // the benchmark/eval corpus is small by contract; the TRAINING side
     // must stream map-side against a broadcast — a shuffle of the train

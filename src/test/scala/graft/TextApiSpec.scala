@@ -964,6 +964,54 @@ class TextApiSpec extends AnyFunSuite {
     } finally vecs.unpersist()
   }
 
+  test("ivfpqSearch residual mode: m=1 ksub=n reproduces exact euclidean ranking") {
+    import spark.implicits._
+    // residual IVFADC with a code per vector: v encodes as r(v) =
+    // v − c(cluster(v)) exactly (up to float rounding + 1e-7 centroid
+    // quantization), each probe's table is built on q − c(probe), and
+    // a vector is scanned only under its OWN cluster's probe — so
+    // adist = d²((q−c) , (v−c)) ≈ d²(q, v) and, probing every
+    // cluster, the ranking must equal brute-force euclidean on a
+    // random corpus (error ≪ inter-vector gaps)
+    val rnd = new scala.util.Random(31)
+    val dim = 8
+    val n = 40
+    val data = (0L until n).map(i =>
+      i -> Array.fill(dim)(rnd.nextFloat() * 2f - 1f)).toMap
+    val vecs = data.toSeq.sortBy(_._1).toDF("pk", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kClusters = 3
+      val (member, cents) = Pipeline.ivfIndex(vecs, "pk", "vec",
+        kClusters, dim, seedRounds = 2)
+      val resid = Pipeline.pqResiduals(vecs, "pk", "vec", member, cents)
+      val books = Pipeline.pqTrain(resid, "vec_id", "residual", dim,
+        m = 1, ksub = n, iters = 1)
+      val codes = Pipeline.pqEncode(resid, "vec_id", "residual", books,
+        dim, m = 1)
+      val queries = vecs.filter(col("pk") < 3)
+      val got = Pipeline.ivfpqSearch(member, codes, queries, cents, books,
+        "pk", "vec", k = 4, dim, m = 1, ksub = n, nprobe = kClusters,
+        residual = true)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(r.fieldIndex("rk")), r.getLong(r.fieldIndex("vec_id"))))
+      def d2(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) {
+          val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+        }
+        s
+      }
+      val expected = (0L until 3L).flatMap { q =>
+        (0L until n).filter(_ != q)
+          .sortBy(v => (d2(data(q), data(v)), v))
+          .take(4).zipWithIndex.map { case (v, i) => (q, i + 1, v) }
+      }
+      assert(got.sortBy(t => (t._1, t._2)).toSeq == expected,
+        "residual IVFADC at m=1, ksub=n, nprobe=all must match brute euclidean")
+    } finally vecs.unpersist()
+  }
+
   test("recallAtK: per-query hit counting, identity recall 1.0, alien columns") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
