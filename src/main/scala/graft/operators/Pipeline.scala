@@ -813,6 +813,40 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** Overlapping word-window chunking — the context-preparation step
+    * every RAG / long-document pipeline runs before embedding or
+    * packing: chunk c covers words [c·stride, c·stride + chunkWords)
+    * with stride = chunkWords − overlapWords, the final chunk keeps
+    * the (possibly shorter) tail, and a doc shorter than one chunk
+    * yields exactly one. Chunk count is closed-form integer
+    * arithmetic (1 + max(0, ⌈(n − chunkWords)/stride⌉), floor
+    * division — engine-exact), so the op is one map-side explode: no
+    * shuffle, no state, linear in corpus size. Chunk text re-joins
+    * the split words with single spaces (the tokenization this
+    * library's dedup/stats ops use — original inter-word whitespace
+    * is not preserved). Output: (doc_id, chunk_no, start_word,
+    * n_chunk_words, chunk_text). */
+  def chunkText(corpus: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 512, overlapWords: Int = 64): DataFrame = {
+    require(chunkWords >= 1 && overlapWords >= 0 && overlapWords < chunkWords,
+      s"need 0 <= overlapWords < chunkWords, got $overlapWords / $chunkWords")
+    val stride = chunkWords - overlapWords
+    corpus
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("chunk_no", explode(sequence(lit(0),
+        greatest(lit(0), floor((col("n") - chunkWords + (stride - 1))
+          .cast(DoubleType) / stride).cast(IntegerType)))))
+      .select(col("doc_id"), col("chunk_no"),
+        (col("chunk_no").cast(LongType) * stride).as("start_word"),
+        least(lit(chunkWords).cast(LongType),
+          col("n") - col("chunk_no").cast(LongType) * stride)
+          .as("n_chunk_words"),
+        array_join(slice(col("ws"),
+          col("chunk_no") * stride + 1, lit(chunkWords)), " ")
+          .as("chunk_text"))
+  }
+
   /** Recall@k of an APPROXIMATE top-k result against an EXACT one —
     * the standard ANN tuning metric (how many of the true k nearest
     * neighbors the index returned), computed per query: join the two
@@ -3804,6 +3838,32 @@ object Pipeline {
            |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
            |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
       }),
+
+    // ---- p43: overlapping text chunking — [[chunkText]] at 20-word
+    // chunks / 5-word overlap (stride 15) over the fixture corpus, so
+    // most docs emit several chunks and the tail-chunk rule is
+    // exercised. The oracle replays the closed-form chunk count
+    // (floor-division; the n < chunkWords branch is masked identically
+    // by greatest(0, ·) in both engines), the slice windows, and the
+    // single-space re-join.
+    QueryDef(
+      "p43_chunk_text",
+      (s, d) =>
+        chunkText(T.documents(s, d), "doc_id", "text",
+          chunkWords = 20, overlapWords = 5)
+          .orderBy(col("doc_id"), col("chunk_no")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+        c AS (
+          SELECT doc_id, ws, n, CAST(i AS INT) AS chunk_no
+          FROM n, unnest(range(0, 1 + greatest(0, (n - 20 + 14) // 15))) t(i))
+        SELECT doc_id, chunk_no,
+               CAST(chunk_no AS BIGINT) * 15 AS start_word,
+               CAST(least(20, n - chunk_no * 15) AS BIGINT) AS n_chunk_words,
+               array_to_string(ws[chunk_no * 15 + 1 : chunk_no * 15 + 20], ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_no""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -1012,6 +1012,40 @@ class TextApiSpec extends AnyFunSuite {
     } finally vecs.unpersist()
   }
 
+  test("chunkText: tail rule, exact-boundary, short doc, overlap invariant") {
+    import spark.implicits._
+    def wordsOf(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, wordsOf(10)),  // one chunk exactly (n == chunkWords)
+      (2L, wordsOf(3)),   // shorter than a chunk: still one chunk
+      (3L, wordsOf(11)),  // one word past the boundary: 2 chunks
+      (4L, wordsOf(25))). // 3 chunks, short tail
+      toDF("doc_id", "text")
+    val got = operators.Pipeline.chunkText(docs, "doc_id", "text",
+      chunkWords = 10, overlapWords = 4)
+      .orderBy("doc_id", "chunk_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    assert(byDoc(1L).map(t => (t._2, t._3, t._4)) == Seq((0, 0L, 10L)))
+    assert(byDoc(2L) == Seq((2L, 0, 0L, 3L, "w1 w2 w3")))
+    // stride 6: doc 3 chunks cover [0,10) and [6,11) — 5-word tail
+    assert(byDoc(3L).map(t => (t._2, t._3, t._4)) ==
+      Seq((0, 0L, 10L), (1, 6L, 5L)))
+    assert(byDoc(4L).map(t => (t._2, t._3, t._4)) ==
+      Seq((0, 0L, 10L), (1, 6L, 10L), (2, 12L, 10L), (3, 18L, 7L)))
+    // overlap invariant: consecutive chunks share exactly overlapWords
+    // words (except a tail shorter than the overlap)
+    byDoc(4L).sliding(2).foreach { case Seq(a, b) =>
+      val aw = a._5.split(" ").toSeq
+      val bw = b._5.split(" ").toSeq
+      assert(aw.takeRight(4) == bw.take(4))
+    }
+    // every word appears in at least one chunk, in order
+    val doc4 = byDoc(4L).flatMap(_._5.split(" ")).distinct
+    assert(doc4 == (1 to 25).map(i => s"w$i"))
+  }
+
   test("recallAtK: per-query hit counting, identity recall 1.0, alien columns") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
