@@ -813,6 +813,45 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** Deterministic EXACT-COUNT stratified split: within each stratum,
+    * rows rank by the RNG-free md5 order [[rebalanceToMix]] uses (the
+    * same `md5(stratum:id)` formula, so related curation steps draw
+    * from one consistent shuffle of each stratum) and the first
+    * ⌊trainFrac·n⌋ go to `train`, the next ⌊valFrac·n⌋ to `val`, the
+    * rest to `test` — per-stratum proportions exact to integer
+    * rounding, where hash-BUCKET assignment (e.g.
+    * [[splitByComponents]]' component hashing) deviates by O(√n) per
+    * stratum. Use THIS when strata are small enough for that
+    * deviation to matter and rows are independent; use the
+    * component-hashed split when near-dup leakage across splits is
+    * the concern — exactness here is per-ROW, so near-dup pairs can
+    * straddle splits. Plan shape: one tiny per-stratum count agg
+    * (broadcast back), one rank window partitioned by stratum — the
+    * single corpus shuffle any stratified pass needs. Fraction
+    * thresholds are IEEE double products floored (correctly rounded,
+    * engine-identical). Output: caller's columns + (rk, split). */
+  def stratifiedSplit(corpus: DataFrame, idCol: String, stratumCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      s"need trainFrac, valFrac >= 0 with sum <= 1, got $trainFrac + $valFrac")
+    val counts = corpus.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+    corpus
+      .join(broadcast(counts), Seq(stratumCol))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(md5(concat(col(stratumCol), lit(":"),
+            col(idCol).cast(StringType))), col(idCol))))
+      .withColumn("split",
+        when(col("rk") <= floor(lit(trainFrac) * col("__n")), "train")
+          .when(col("rk") <= floor(lit(trainFrac) * col("__n"))
+            + floor(lit(valFrac) * col("__n")), "val")
+          .otherwise("test"))
+      .select(Seq(col(idCol), col(stratumCol))
+        ++ corpus.columns.filterNot(c => c == idCol || c == stratumCol).map(col)
+        ++ Seq(col("rk").cast(LongType).as("rk"), col("split")): _*)
+  }
+
   /** Overlapping word-window chunking — the context-preparation step
     * every RAG / long-document pipeline runs before embedding or
     * packing: chunk c covers words [c·stride, c·stride + chunkWords)
@@ -3864,6 +3903,34 @@ object Pipeline {
                CAST(least(20, n - chunk_no * 15) AS BIGINT) AS n_chunk_words,
                array_to_string(ws[chunk_no * 15 + 1 : chunk_no * 15 + 20], ' ') AS chunk_text
         FROM c ORDER BY doc_id, chunk_no""")),
+
+    // ---- p44: exact-count stratified split — [[stratifiedSplit]] by
+    // language at 80/10/10. The oracle replays the md5 rank order and
+    // the double-product floor thresholds (CAST(0.8 AS DOUBLE): a bare
+    // 0.8 literal is DECIMAL in DuckDB and its exact product can
+    // disagree with the IEEE double floor at some n).
+    QueryDef(
+      "p44_stratified_split",
+      (s, d) =>
+        stratifiedSplit(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", trainFrac = 0.8, valFrac = 0.1)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH docs AS (SELECT doc_id, lang FROM documents),
+        n AS (SELECT lang, COUNT(*) AS n FROM docs GROUP BY lang),
+        ranked AS (
+          SELECT d.doc_id, d.lang,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang
+                   ORDER BY md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+          FROM docs d)
+        SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk,
+               CASE WHEN r.rk <= FLOOR(CAST(0.8 AS DOUBLE) * n.n) THEN 'train'
+                    WHEN r.rk <= FLOOR(CAST(0.8 AS DOUBLE) * n.n)
+                                 + FLOOR(CAST(0.1 AS DOUBLE) * n.n) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM ranked r JOIN n ON n.lang = r.lang
+        ORDER BY doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -1046,6 +1046,29 @@ class TextApiSpec extends AnyFunSuite {
     assert(doc4 == (1 to 25).map(i => s"w$i"))
   }
 
+  test("stratifiedSplit: exact per-stratum counts, deterministic, fraction gate") {
+    import spark.implicits._
+    // 20 rows in stratum A, 7 in B: exact counts are 16/2/2 and 5/0/2
+    val rows = ((1L to 20L).map(i => (i, "A")) ++
+      (21L to 27L).map(i => (i, "B"))).toDF("id", "s")
+    val got = operators.Pipeline.stratifiedSplit(rows, "id", "s",
+      trainFrac = 0.8, valFrac = 0.1)
+    val counts = got.groupBy("s", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(("A", "train") -> 16L, ("A", "val") -> 2L,
+      ("A", "test") -> 2L, ("B", "train") -> 5L, ("B", "test") -> 2L))
+    // deterministic: the same call yields the same assignment
+    val a = got.orderBy("id").collect().map(_.toSeq)
+    val b = operators.Pipeline.stratifiedSplit(rows, "id", "s",
+      trainFrac = 0.8, valFrac = 0.1).orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // caller columns survive; rk is the within-stratum md5 rank
+    assert(got.columns.toSeq == Seq("id", "s", "rk", "split"))
+    // invalid fractions are rejected
+    intercept[IllegalArgumentException](
+      operators.Pipeline.stratifiedSplit(rows, "id", "s", 0.8, 0.3))
+  }
+
   test("recallAtK: per-query hit counting, identity recall 1.0, alien columns") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
