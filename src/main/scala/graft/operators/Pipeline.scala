@@ -3578,8 +3578,14 @@ object Pipeline {
       "p37_ivf_trained",
       (s, d) => {
         val e = T.embeddings(s, d)
-        val (member, cents) = ivfIndex(e, "vec_id", "embedding",
+        // materialize the trained index ONCE and fan out — without
+        // this, the search side re-derives the whole seeding + Lloyd's
+        // chain per consumer (the production pattern: index artifacts
+        // are built once, then served)
+        val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
           k = 3, dim = 64, iters = 1, seedRounds = 2)
+        val member = member0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ivfSearch(
           e.select(col("vec_id"), col("embedding")).join(member, Seq("vec_id")),
           e.filter(col("vec_id") <= 4),
@@ -3719,8 +3725,10 @@ object Pipeline {
       "p40_pq_adc",
       (s, d) => {
         val e = T.embeddings(s, d)
+        // one materialization of the codebooks: encode AND search read
+        // them, and their lineage is four corpus-pass k-means fits
         val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
-          ksub = 4, iters = 1)
+          ksub = 4, iters = 1).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pqSearch(
           pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4),
           e.filter(col("vec_id") <= 4), books,
@@ -3760,10 +3768,13 @@ object Pipeline {
       "p41_ivfpq",
       (s, d) => {
         val e = T.embeddings(s, d)
-        val (member, cents) = ivfIndex(e, "vec_id", "embedding",
+        // index artifacts materialize once and fan out (see p37/p40)
+        val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
           k = 3, dim = 64, iters = 1, seedRounds = 2)
+        val member = member0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
-          ksub = 4, iters = 1)
+          ksub = 4, iters = 1).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val codes = pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4)
         ivfpqSearch(member, codes, e.filter(col("vec_id") <= 4),
           cents, books, "vec_id", "embedding",
@@ -3817,11 +3828,16 @@ object Pipeline {
       "p42_ivfpq_residual",
       (s, d) => {
         val e = T.embeddings(s, d)
-        val (member, cents) = ivfIndex(e, "vec_id", "embedding",
+        // the residual frame feeds FOUR codebook fits + the encode —
+        // materialize it (and the index artifacts) once; without the
+        // persists this gate re-derived the coarse chain ~8x
+        val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
           k = 3, dim = 64, iters = 1, seedRounds = 2)
-        val resid = pqResiduals(e, "vec_id", "embedding", member, cents)
+        val member = member0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val resid = pqResiduals(e, "vec_id", "embedding", member, cents).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val books = pqTrain(resid, "vec_id", "residual", dim = 64, m = 4,
-          ksub = 4, iters = 1)
+          ksub = 4, iters = 1).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val codes = pqEncode(resid, "vec_id", "residual", books,
           dim = 64, m = 4)
         ivfpqSearch(member, codes, e.filter(col("vec_id") <= 4),
