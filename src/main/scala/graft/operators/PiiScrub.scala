@@ -55,14 +55,18 @@ object PiiScrub {
     PiiPattern("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
     PiiPattern("ip", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
     // +country international form, then separator-grouped local forms.
-    // Every alternative ends at \b so a match can never stop mid-run
-    // inside a longer digit string ('+' + 20 digits must survive whole,
-    // not leave stray trailing digits) — the same word-bounding the
-    // card/ssn shapes carry. \b is ASCII-portable (Java regex + RE2).
+    // Every alternative ends at (x\d{1,6})?\b: the \b means a match can
+    // never stop mid-run inside a longer digit string ('+' + 20 digits
+    // must survive whole, not leave stray trailing digits — the same
+    // word-bounding the card/ssn shapes carry), and the optional
+    // x-extension keeps '555-123-4567x89' redactable — a bare \b after
+    // the digits would fail at the digit/'x' boundary and LEAK the
+    // whole number (no lookaround in the portable Java∩RE2 subset, so
+    // the extension must be consumed, not asserted past).
     PiiPattern("phone",
-      "\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{2,6}\\b" +
-        "|\\([0-9]{3}\\)[- ]?[0-9]{3}[- ][0-9]{4}\\b" +
-        "|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"))
+      "\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{2,6}(x[0-9]{1,6})?\\b" +
+        "|\\([0-9]{3}\\)[- ]?[0-9]{3}[- ][0-9]{4}(x[0-9]{1,6})?\\b" +
+        "|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}(x[0-9]{1,6})?\\b", "<PHONE>"))
 
   /** Chained redaction over a pattern pack (default: the frozen
     * fixture pack — the p20/batch≡stream contract). */

@@ -230,7 +230,17 @@ object Pipeline {
     * LinkedHashMap; a long-lived session cycling over many data dirs
     * holds at most cap label tables, not one per dir ever touched).
     * [[releaseSharedComponents]] drops one entry on demand — the
-    * explicit hand the library API offers callers done with a dir. */
+    * explicit hand the library API offers callers done with a dir.
+    *
+    * EVICTION HAZARD: an evicted entry's blocks are unpersisted and
+    * its lineage was truncated by the checkpoint, so a caller still
+    * holding the frame LAZILY (no action run yet) fails with a
+    * missing-checkpoint-block error when its action finally fires.
+    * Consumers must run their action before the session touches `cap`
+    * more data dirs — every registered QueryDef does (the frame is
+    * consumed within its own query); library callers wanting a
+    * longer-lived graph own their components frame explicitly via
+    * [[connectedComponents]] instead of this demo-scoped memo. */
   private val ComponentsMemoCap = 4
   private val componentsMemo =
     new java.util.LinkedHashMap[String, DataFrame]()
@@ -568,6 +578,17 @@ object Pipeline {
     * (empty sample) rather than shipping a sample that violates the
     * mix; corpus strata not in `weights` are dropped. Output: caller
     * columns (id and stratum first) plus the per-stratum hash rank. */
+  /** The shared per-stratum RNG-free order: rank within each stratum
+    * by md5(stratum:id), id tie-break. [[rebalanceToMix]] and
+    * [[stratifiedSplit]] BOTH rank through this one definition — the
+    * documented contract that related curation steps draw from one
+    * consistent shuffle of each stratum (review r10: two verbatim
+    * copies of the formula could drift apart). */
+  private def stratumMd5Rank(stratumCol: String, idCol: String): Column =
+    row_number().over(Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(col(stratumCol), lit(":"),
+        col(idCol).cast(StringType))), col(idCol)))
+
   def rebalanceToMix(corpus: DataFrame, idCol: String, stratumCol: String,
       weights: Seq[(String, Long)]): DataFrame = {
     // a duplicate stratum key would silently duplicate every matching
@@ -589,10 +610,7 @@ object Pipeline {
       .select(floor(coalesce(col("__n"), lit(0L)) * W / col("__w")).as("__cap"))
     val t = caps.agg(min(col("__cap")).as("__t"))
     docs
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(stratumCol))
-          .orderBy(md5(concat(col(stratumCol), lit(":"),
-            col(idCol).cast(StringType))), col(idCol))))
+      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
       .crossJoin(broadcast(t))
       .filter(col("rk") <= floor(col("__t") * col("__w") / W))
       .select(Seq(col(idCol), col(stratumCol))
@@ -838,10 +856,7 @@ object Pipeline {
       .agg(count(lit(1)).as("__n"))
     corpus
       .join(broadcast(counts), Seq(stratumCol))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(stratumCol))
-          .orderBy(md5(concat(col(stratumCol), lit(":"),
-            col(idCol).cast(StringType))), col(idCol))))
+      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
       .withColumn("split",
         when(col("rk") <= floor(lit(trainFrac) * col("__n")), "train")
           .when(col("rk") <= floor(lit(trainFrac) * col("__n"))
@@ -863,15 +878,19 @@ object Pipeline {
     * shuffle, no state, linear in corpus size. Chunk text re-joins
     * the split words with single spaces (the tokenization this
     * library's dedup/stats ops use — original inter-word whitespace
-    * is not preserved). Output: (doc_id, chunk_no, start_word,
-    * n_chunk_words, chunk_text). */
+    * is not preserved). Leading/trailing whitespace would split into
+    * EMPTY tokens (Spark's split keeps them) that inflate the word
+    * count and shift every chunk boundary — they are removed before
+    * counting (the oracle filters identically). Output: (doc_id,
+    * chunk_no, start_word, n_chunk_words, chunk_text). */
   def chunkText(corpus: DataFrame, idCol: String, textCol: String,
       chunkWords: Int = 512, overlapWords: Int = 64): DataFrame = {
     require(chunkWords >= 1 && overlapWords >= 0 && overlapWords < chunkWords,
       s"need 0 <= overlapWords < chunkWords, got $overlapWords / $chunkWords")
     val stride = chunkWords - overlapWords
     corpus
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("ws"))
       .withColumn("n", size(col("ws")))
       .withColumn("chunk_no", explode(sequence(lit(0),
         greatest(lit(0), floor((col("n") - chunkWords + (stride - 1))
@@ -993,10 +1012,7 @@ object Pipeline {
     require(m >= 1 && dim % m == 0,
       s"dim must divide into m subspaces, got dim=$dim m=$m")
     val sub = dim / m
-    validateCodebook(codebooks, m, ksub)
-    val flat = codebooks
-      .agg(sort_array(collect_list(struct(col("j"), col("code"), col("ce"))))
-        .as("fl"))
+    val flat = collectCodebookFlat(codebooks, m, ksub)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
       .crossJoin(broadcast(flat))
       .select(col("q_id"),
@@ -1066,32 +1082,42 @@ object Pipeline {
     require(m >= 1 && dim % m == 0,
       s"dim must divide into m subspaces, got dim=$dim m=$m")
     val sub = dim / m
-    validateCodebook(codebooks, m, ksub)
     val cents = centroids.select(col(centroids.columns(0)).as("m_label"),
       transform(col(centroids.columns(1)), x => x.cast(DoubleType)).as("me"))
-    val flat = codebooks
-      .agg(sort_array(collect_list(struct(col("j"), col("code"), col("ce"))))
-        .as("fl"))
+    val flat = collectCodebookFlat(codebooks, m, ksub)
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("m_d2").asc, col("m_label").asc)
-    // nprobe best coarse cells per query, each carrying the query's
-    // ADC lookup table (built per (query, probe) — parameter-bounded)
-    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+    def dtabOver(qv: Column): Column =
+      transform(col("fl"), c =>
+        call_function("float_dist_sq",
+          slice(qv, c.getField("j") * sub + 1, lit(sub)),
+          c.getField("ce")))
+    // nprobe best coarse cells per query (parameter-bounded)
+    val sel = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
       .crossJoin(broadcast(cents))
       .withColumn("m_d2", call_function("float_dist_sq", col("qe"), col("me")))
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= nprobe)
-      .withColumn("qv",
-        if (residual)
-          zip_with(col("qe"), col("me"),
-            (a, b) => (a.cast(DoubleType) - b).cast(FloatType))
-        else col("qe"))
-      .crossJoin(broadcast(flat))
-      .select(col("q_id"), col("m_label").as("probe_label"),
-        transform(col("fl"), c =>
-          call_function("float_dist_sq",
-            slice(col("qv"), c.getField("j") * sub + 1, lit(sub)),
-            c.getField("ce"))).as("dtab"))
+    // the ADC lookup table: per (query, probe) in residual mode (qv =
+    // q − c(probe) differs per probe), but ONCE PER QUERY otherwise —
+    // the raw-vector table depends only on q, and building it per
+    // probe would cost nprobe× the distance computations and carry
+    // nprobe identical copies in the broadcast (review r10)
+    val probes =
+      if (residual)
+        sel
+          .withColumn("qv", zip_with(col("qe"), col("me"),
+            (a, b) => (a.cast(DoubleType) - b).cast(FloatType)))
+          .crossJoin(broadcast(flat))
+          .select(col("q_id"), col("m_label").as("probe_label"),
+            dtabOver(col("qv")).as("dtab"))
+      else {
+        val qtab = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+          .crossJoin(broadcast(flat))
+          .select(col("q_id"), dtabOver(col("qe")).as("dtab"))
+        sel.select(col("q_id"), col("m_label").as("probe_label"))
+          .join(qtab, Seq("q_id"))
+      }
     val adist = (0 until m).map(j =>
       element_at(col("dtab"), lit(j * ksub) + element_at(col("codes"), j + 1) + 1))
       .reduceLeft(_ + _)
@@ -1108,17 +1134,38 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
-  /** The complete-codebook gate shared by [[pqSearch]]/[[ivfpqSearch]]
-    * (the arithmetic lookup index j·ksub + code needs every cell). */
-  private def validateCodebook(codebooks: DataFrame, m: Int, ksub: Int): Unit = {
-    val present = codebooks.select(col("j"), col("code")).collect()
-      .map(r => (r.getInt(0), r.getInt(1))).toSet
+  /** Collect + validate the parameter-sized codebook ONCE and return
+    * the one-row `(fl array<struct<j,code,ce>>)` lookup frame as a
+    * LOCAL relation — shared by [[pqSearch]]/[[ivfpqSearch]]. The
+    * completeness gate exists because the ADC lookup index is
+    * arithmetic (j·ksub + code): a dropped empty-cluster code would
+    * silently misalign every distance. Building `fl` from the
+    * collected rows (not from the codebooks frame) matters when the
+    * caller did not persist the codebooks: their lineage is m corpus-
+    * pass k-means fits, and the old validate-then-re-aggregate shape
+    * evaluated it twice (review r10). */
+  private def collectCodebookFlat(codebooks: DataFrame, m: Int, ksub: Int)
+      : DataFrame = {
+    val rows = codebooks
+      .select(col("j").cast(IntegerType), col("code").cast(IntegerType),
+        transform(col("ce"), x => x.cast(DoubleType)).as("ce"))
+      .collect()
+    val present = rows.map(r => (r.getInt(0), r.getInt(1))).toSet
     val missing = (for {
       j <- 0 until m; c <- 0 until ksub
     } yield (j, c)).filterNot(present)
     require(missing.isEmpty,
       s"need a complete m×ksub codebook; missing (j, code): " +
         s"${missing.take(8).mkString(", ")}")
+    val schema = StructType(Seq(
+      StructField("j", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("ce", ArrayType(DoubleType))))
+    codebooks.sparkSession
+      .createDataFrame(java.util.Arrays.asList(
+        rows.sortBy(r => (r.getInt(0), r.getInt(1))): _*), schema)
+      .agg(sort_array(collect_list(struct(col("j"), col("code"), col("ce"))))
+        .as("fl"))
   }
 
   /** Distributed Lloyd's k-means over ANY embedding corpus — the p21
@@ -3909,7 +3956,8 @@ object Pipeline {
           .orderBy(col("doc_id"), col("chunk_no")),
       Some("""
         WITH w AS (
-          SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS ws FROM documents),
         n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
         c AS (
           SELECT doc_id, ws, n, CAST(i AS INT) AS chunk_no

@@ -308,6 +308,14 @@ class TextApiSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "card <CARD> and ssn <SSN>")
     assert(out(2L) == "call <PHONE> or <PHONE>")
+    // extension-suffixed numbers redact WITH the extension consumed: a
+    // bare \b after the digits would fail at the digit/'x' boundary
+    // and leak the entire number (the code-review r10 regression)
+    val ext = Seq((10L, "call (212) 555-0187x42 or 555-123-4567x9 or +44 20 7946 0958x123"))
+      .toDF("id", "text")
+      .select(PiiScrub.redact(col("text"), PiiScrub.DefaultPatterns))
+      .collect()(0).getString(0)
+    assert(ext == "call <PHONE> or <PHONE> or <PHONE>")
     // word-bounded: the 21-digit id must NOT lose 16 digits to the card pass
     assert(out(3L) == "host <IP>, id 123456789012345678901 stays")
     assert(out(4L) == "mail <EMAIL>, raw <CARD>")
@@ -1016,10 +1024,12 @@ class TextApiSpec extends AnyFunSuite {
     import spark.implicits._
     def wordsOf(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq(
-      (1L, wordsOf(10)),  // one chunk exactly (n == chunkWords)
-      (2L, wordsOf(3)),   // shorter than a chunk: still one chunk
-      (3L, wordsOf(11)),  // one word past the boundary: 2 chunks
-      (4L, wordsOf(25))). // 3 chunks, short tail
+      (1L, wordsOf(10) + "\n"),  // one chunk exactly — the trailing
+                                 // newline's empty token must NOT
+                                 // count as an 11th word (r10 review)
+      (2L, " " + wordsOf(3)),    // short doc, leading whitespace
+      (3L, wordsOf(11)),         // one word past the boundary: 2 chunks
+      (4L, wordsOf(25))).        // 4 chunks, short tail
       toDF("doc_id", "text")
     val got = operators.Pipeline.chunkText(docs, "doc_id", "text",
       chunkWords = 10, overlapWords = 4)
