@@ -437,6 +437,70 @@ object Pipeline {
     corpus.withColumn("quality", q).withColumn("keep", q >= keepMin)
   }
 
+  /** The Gopher/MassiveWeb quality-rule pack (Rae et al., "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", arXiv:2112.11446, Appendix A1.1) — the de-facto standard
+    * pretraining document filter, as one per-row map pass (no shuffle,
+    * embarrassingly parallel). Emitted per document: the raw signals
+    * (word count, mean word length, symbol-to-word ratio over '#' and
+    * '...', bullet-started and ellipsis-ended line ratios, the share
+    * of words containing an ASCII letter, how many of Gopher's eight
+    * stop words appear) and a `pass` verdict over the published
+    * thresholds (all parameterized; defaults are the paper's).
+    * Complements [[qualityScore]] (a scalar score to rank by) with
+    * hard accept/reject rules to filter by. Word tokens are
+    * whitespace-split with empty tokens removed ([[chunkText]]'s
+    * convention); lines split on '\n'. All ratios are int/int double
+    * divisions — engine-exact, so the whole pack is driver-gated. */
+  def gopherQualitySignals(corpus: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.1,
+      maxEllipsisLineRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val GopherStopwords =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val ws = array_remove(words(col(textCol)), "")
+    val nW = size(ws)
+    val nWd = nW.cast(DoubleType)
+    val meanLen = when(nW > 0,
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+        .cast(DoubleType) / nWd)
+    val symbolRatio = when(nW > 0,
+      (regexp_count(col(textCol), lit("#")) +
+        regexp_count(col(textCol), lit("\\.\\.\\."))).cast(DoubleType) / nWd)
+    val lines = split(col(textCol), "\n")
+    val nL = size(lines).cast(DoubleType)
+    val bulletRatio =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast(DoubleType) / nL
+    val ellipsisRatio =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+        .cast(DoubleType) / nL
+    val alphaRatio = when(nW > 0,
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / nWd)
+    val lowered = transform(ws, w => lower(w))
+    val nStop = GopherStopwords
+      .map(w => when(array_contains(lowered, w), 1).otherwise(0))
+      .reduce(_ + _)
+    corpus
+      .withColumn("n_words", nW.cast(LongType))
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("bullet_ratio", bulletRatio)
+      .withColumn("ellipsis_ratio", ellipsisRatio)
+      .withColumn("alpha_ratio", alphaRatio)
+      .withColumn("n_stopwords", nStop.cast(LongType))
+      .withColumn("pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_ratio") <= maxBulletRatio &&
+          col("ellipsis_ratio") <= maxEllipsisLineRatio &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("n_stopwords") >= minStopwords)
+  }
+
   /** Winnowing-style fingerprints over ANY corpus — the p12 sketch as
     * a reusable operator, entirely map-side (the distinct k-gram hash
     * set is one codegen'd pass; the sketch is array_min + size).
@@ -3995,6 +4059,65 @@ object Pipeline {
                     ELSE 'test' END AS split
         FROM ranked r JOIN n ON n.lang = r.lang
         ORDER BY doc_id""")),
+
+    // ---- p45: the Gopher quality-rule pack — [[gopherQualitySignals]]
+    // at minWords = 20 / minStopwords = 1 (the fixture's ~45-word
+    // synthetic docs then split 367/133 pass/fail, so the threshold
+    // conjunction flips BOTH ways in the gated output; the other
+    // thresholds are the paper's). The oracle recomputes every signal
+    // from the same token/line definitions and replays the
+    // conjunction.
+    QueryDef(
+      "p45_gopher_rules",
+      (s, d) =>
+        gopherQualitySignals(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", minWords = 20, minStopwords = 1)
+          .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+            col("symbol_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
+            col("alpha_ratio"), col("n_stopwords"), col("pass"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+                 string_split(text, chr(10)) AS ls
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_words,
+            CASE WHEN len(ws) > 0 THEN
+              CAST(list_reduce(list_transform(ws, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
+                / len(ws) END AS mean_word_len,
+            CASE WHEN len(ws) > 0 THEN
+              CAST(len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+                / len(ws) END AS symbol_ratio,
+            CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE)
+              / len(ls) AS bullet_ratio,
+            CAST(len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+              / len(ls) AS ellipsis_ratio,
+            CASE WHEN len(ws) > 0 THEN
+              CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / len(ws) END AS alpha_ratio,
+            CAST((CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'the') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'be') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'to') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'of') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'and') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'that') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'have') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_stopwords
+          FROM w)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+               ellipsis_ratio, alpha_ratio, n_stopwords,
+               (n_words >= 20 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.1
+                AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+                AND n_stopwords >= 1) AS pass
+        FROM sig ORDER BY doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

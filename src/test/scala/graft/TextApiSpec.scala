@@ -1079,6 +1079,32 @@ class TextApiSpec extends AnyFunSuite {
       operators.Pipeline.stratifiedSplit(rows, "id", "s", 0.8, 0.3))
   }
 
+  test("gopherQualitySignals: each rule fires on its own violation shape") {
+    import spark.implicits._
+    val goodBody = ("the be to of and that have with " +
+      (1 to 42).map(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (1L, goodBody),                                    // passes everything
+      (2L, "the of " + (1 to 8).map(i => s"w$i").mkString(" ")), // too few words
+      (3L, goodBody + "\n- a\n- b\n- c\n- d\n- e\n- f"), // bullet lines
+      (4L, goodBody + " ##### ### ## # #### ## # ###"),  // symbol ratio
+      (5L, ("the of " + (1 to 48).map(_ => "12345").mkString(" "))), // no alpha words
+      (6L, (1 to 50).map(i => s"word$i").mkString(" "))) // zero stop words
+      .toDF("doc_id", "text")
+    val got = operators.Pipeline.gopherQualitySignals(docs, "doc_id", "text")
+      .select("doc_id", "pass", "n_words", "bullet_ratio", "symbol_ratio",
+        "alpha_ratio", "n_stopwords")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false))
+    // ellipsis-ended lines: > 30% of lines trip the rule
+    val ell = Seq((7L, goodBody + "\nso...\nmore...\nyes...\nend"))
+      .toDF("doc_id", "text")
+    val e = operators.Pipeline.gopherQualitySignals(ell, "doc_id", "text")
+      .select("pass", "ellipsis_ratio").collect()(0)
+    assert(!e.getBoolean(0) && e.getDouble(1) == 3.0 / 5.0)
+  }
+
   test("recallAtK: per-query hit counting, identity recall 1.0, alien columns") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
