@@ -240,6 +240,29 @@ class PipelineSpec extends AnyFunSuite {
     } finally dirs.foreach(d => P.releaseSharedComponents(spark, d))
   }
 
+  test("sharedComponents memo: concurrent same-dir calls build once, share one frame") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("memo-conc").toString
+    val text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      // the memo is the demo-harness dedup graph: racing consumers
+      // (Verify's queries share one session) must get the SAME
+      // materialized frame, never a duplicate graph build
+      val frames = Await.result(
+        Future.sequence((1 to 4).map(_ =>
+          Future(operators.Pipeline.sharedComponents(spark, dir)))),
+        120.seconds)
+      assert(frames.forall(_ eq frames.head),
+        "concurrent sharedComponents calls returned distinct frames")
+      assert(frames.head.count() == 2)
+    } finally operators.Pipeline.releaseSharedComponents(spark, dir)
+  }
+
   test("connectedComponents: empty pair list yields an empty result") {
     import spark.implicits._
     val out = operators.Pipeline.connectedComponents(
