@@ -969,6 +969,40 @@ object Pipeline {
           .as("chunk_text"))
   }
 
+  /** Sparse dot-product top-k retrieval — the inverted-index shape
+    * behind BM25 / learned-sparse (SPLADE-style) retrieval, where
+    * vectors live as POSTING rows (id, term, weight) instead of dense
+    * arrays: score(q, d) = Σ over shared terms of q_t·d_t, computed
+    * by ONE equi-join on term with the query postings broadcast
+    * (queries are small by the retrieval contract) and a per-(q, d)
+    * aggregation. At 100 TB this is the classical scatter-gather:
+    * corpus postings stream map-side against the broadcast query
+    * terms — only matching rows reach the score shuffle, which is
+    * bounded by Σ_t df(t)·|q_t| like any inverted-index scan; cap
+    * stop-term df upstream exactly as a search engine prunes its
+    * posting lists. Per-term products are exact doubles; the score
+    * SUM runs through the decimal accumulator ([[QueryDef.dsum]]) so
+    * it is order-free and engine-exact. Output: (q_id, doc_id, score,
+    * rk ≤ k), ties to the lowest doc_id; `excludeSelf` as in
+    * [[knnBruteCosine]]. */
+  def sparseTopK(postings: DataFrame, queries: DataFrame,
+      idCol: String = "doc_id", termCol: String = "term",
+      weightCol: String = "weight", k: Int = 10,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = postings.select(col(idCol).as("doc_id"), col(termCol).as("term"),
+      col(weightCol).cast(DoubleType).as("w"))
+    val q = queries.select(col(idCol).as("q_id"), col(termCol).as("term"),
+      col(weightCol).cast(DoubleType).as("qw"))
+    val joined = c.join(broadcast(q), Seq("term"))
+    (if (excludeSelf) joined.filter(col("doc_id") =!= col("q_id"))
+     else joined)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(graft.QueryDef.dsum(col("w") * col("qw")).as("score"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rk") <= k)
+  }
+
   /** Recall@k of an APPROXIMATE top-k result against an EXACT one —
     * the standard ANN tuning metric (how many of the true k nearest
     * neighbors the index returned), computed per query: join the two
@@ -4118,6 +4152,41 @@ object Pipeline {
                 AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
                 AND n_stopwords >= 1) AS pass
         FROM sig ORDER BY doc_id""")),
+
+    // ---- p46: sparse top-k retrieval — [[sparseTopK]] over term-
+    // frequency postings built from the fixture corpus (term = word,
+    // weight = tf), queried by the first five documents' own postings:
+    // the inverted-index scatter-gather plan, scored engine-exactly
+    // through the decimal accumulator. The oracle builds the identical
+    // postings and replays the join + dsum + rank.
+    QueryDef(
+      "p46_sparse_topk",
+      (s, d) => {
+        val tf = T.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_remove(words(col("text")), "")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast(DoubleType).as("weight"))
+        sparseTopK(tf, tf.filter(col("doc_id") <= 4), k = 3)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""
+        WITH tf AS (
+          SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS weight
+          FROM (SELECT doc_id, unnest(list_filter(
+                  string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+                FROM documents)
+          GROUP BY doc_id, w),
+        scored AS (
+          SELECT q.doc_id AS q_id, c.doc_id,
+                 ${graft.QueryDef.dsumSql("c.weight * q.weight")} AS score
+          FROM tf c JOIN tf q ON q.term = c.term
+          WHERE q.doc_id <= 4 AND c.doc_id <> q.doc_id
+          GROUP BY q.doc_id, c.doc_id)
+        SELECT q_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, doc_id ASC) AS INT) AS rk
+        FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

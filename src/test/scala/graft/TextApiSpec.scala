@@ -1105,6 +1105,32 @@ class TextApiSpec extends AnyFunSuite {
     assert(!e.getBoolean(0) && e.getDouble(1) == 3.0 / 5.0)
   }
 
+  test("sparseTopK: shared-term scoring, ranking, self-exclusion, alien columns") {
+    import spark.implicits._
+    // postings: doc 1 {a:2, b:1}, doc 2 {a:1, c:3}, doc 3 {b:4},
+    // doc 4 {z:9} (no overlap with the query)
+    val post = Seq(
+      (1L, "a", 2.0), (1L, "b", 1.0),
+      (2L, "a", 1.0), (2L, "c", 3.0),
+      (3L, "b", 4.0), (4L, "z", 9.0)).toDF("doc_id", "term", "weight")
+    val q = post.filter(col("doc_id") === 1L)
+    val got = Pipeline.sparseTopK(post, q, k = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // scores vs doc 1: doc 2 = 2·1 = 2 (term a), doc 3 = 1·4 = 4
+    // (term b), doc 4 absent (no shared term), self excluded
+    assert(got.toSeq == Seq((3L, 4.0, 1), (2L, 2.0, 2)))
+    // excludeSelf = false ranks the query doc itself first (2·2+1·1=5)
+    val self = Pipeline.sparseTopK(post, q, k = 1, excludeSelf = false)
+      .collect()(0)
+    assert(self.getLong(1) == 1L && self.getDouble(2) == 5.0)
+    // alien column names
+    val alien = Pipeline.sparseTopK(
+      post.toDF("d", "t", "x"), q.toDF("d", "t", "x"),
+      idCol = "d", termCol = "t", weightCol = "x", k = 2)
+    assert(alien.columns.toSeq == Seq("q_id", "doc_id", "score", "rk"))
+  }
+
   test("recallAtK: per-query hit counting, identity recall 1.0, alien columns") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
