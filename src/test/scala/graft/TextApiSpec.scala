@@ -1131,6 +1131,82 @@ class TextApiSpec extends AnyFunSuite {
     assert(alien.columns.toSeq == Seq("q_id", "doc_id", "score", "rk"))
   }
 
+  test("chunkText: randomized invariants — coverage, bounds, overlap, count formula") {
+    import spark.implicits._
+    // one Spark pass over a batch of random docs (seeded), invariants
+    // checked per doc in Scala — stronger than the fixed shapes above
+    val rnd = new scala.util.Random(17)
+    val chunkW = 12; val overlap = 5; val stride = chunkW - overlap
+    val docs = (0L until 120L).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      val pad = if (rnd.nextBoolean()) "  " else ""
+      (i, pad + (1 to n).map(k => s"t${i}_$k").mkString(" ") +
+        (if (rnd.nextBoolean()) "\n" else ""))
+    }
+    val byDoc = operators.Pipeline.chunkText(docs.toDF("doc_id", "text"),
+      "doc_id", "text", chunkW, overlap)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      val wordsSeq = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val n = wordsSeq.length
+      val chunks = byDoc(id)
+      // count formula
+      val expected = 1 + math.max(0,
+        math.ceil((n - chunkW).toDouble / stride).toInt)
+      assert(chunks.length == expected, s"doc $id: chunk count")
+      chunks.foreach { case (_, c, start, len, body) =>
+        assert(start == c.toLong * stride)
+        assert(len >= 1 && len <= chunkW)
+        // chunk text is exactly the claimed word window
+        assert(body.split(" ").toSeq ==
+          wordsSeq.slice(start.toInt, start.toInt + len.toInt),
+          s"doc $id chunk $c window")
+      }
+      // full coverage in order: stitching non-overlap prefixes + the
+      // final chunk reconstructs the word sequence exactly
+      val stitched = chunks.dropRight(1).flatMap { case (_, _, st, _, b) =>
+        b.split(" ").take(stride) } ++
+        chunks.last._5.split(" ")
+      assert(stitched == wordsSeq, s"doc $id: coverage")
+    }
+  }
+
+  test("stratifiedSplit: randomized invariants — exact floors, rank permutation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val strata = ('a' to 'f').map(_.toString)
+    val rows = strata.flatMap { s =>
+      val n = 1 + rnd.nextInt(60)
+      (1 to n).map(i => (s"$s$i", s))
+    }
+    val (ft, fv) = (0.7, 0.15)
+    val got = operators.Pipeline.stratifiedSplit(
+      rows.toDF("id", "strat"), "id", "strat", ft, fv)
+      .collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(2), r.getString(3)))
+    got.groupBy(_._1).foreach { case (s, g) =>
+      val n = rows.count(_._2 == s)
+      assert(g.length == n, s"stratum $s: row count")
+      // rk is a permutation of 1..n
+      assert(g.map(_._3).sorted.toSeq == (1L to n).toSeq, s"stratum $s: rk")
+      // exact floor counts per split
+      val bySplit = g.groupBy(_._4).view.mapValues(_.length).toMap
+      val (tN, vN) = (math.floor(ft * n).toLong, math.floor(fv * n).toLong)
+      assert(bySplit.getOrElse("train", 0) == tN, s"stratum $s: train")
+      assert(bySplit.getOrElse("val", 0) == vN, s"stratum $s: val")
+      assert(bySplit.getOrElse("test", 0) == n - tN - vN, s"stratum $s: test")
+      // split boundaries follow the rank order (train = lowest ranks)
+      g.sortBy(_._3).map(_._4).foldLeft("train") { (prev, cur) =>
+        assert(Seq("train", "val", "test").indexOf(cur) >=
+          Seq("train", "val", "test").indexOf(prev), s"stratum $s: order")
+        cur
+      }
+    }
+  }
+
   test("recallAtK: per-query hit counting, identity recall 1.0, alien columns") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
