@@ -49,4 +49,42 @@ class BenchSpec extends AnyFunSuite {
       """{"full":{"q09":0.2},"sf":"/root/testdata/sf0.1"}""",
       "/root/testdata/sf0.1") == Map("q09" -> 0.2))
   }
+
+  test("mergeHistory: a loaded re-run cannot raise any committed key") {
+    val history = Map("q01" -> 0.5, "p04" -> 3.0, "q09" -> 0.2, "q10" -> 0.4)
+    // capture under ~1.5x ambient load, plus one genuine improvement
+    // (p04) and one brand-new query (p47); q10 failed this run
+    val head = Seq("q01" -> 0.75, "p04" -> 2.6)
+    val full = Seq("q09" -> 0.31, "p47" -> 1.1)
+    val (mq, mf) = Bench.mergeHistory(history, head, full)
+    // loaded keys keep their committed quiet-window minimum…
+    assert(mq.toMap == Map("q01" -> 0.5, "p04" -> 2.6)) // …improvements land
+    // sweep keys min-merge too; new keys enter at capture; the key that
+    // failed this run is carried forward, not forgotten
+    assert(mf.toMap == Map("q09" -> 0.2, "p47" -> 1.1, "q10" -> 0.4))
+    // the ratchet property itself: no merged value exceeds its history
+    (mq ++ mf).foreach { case (k, v) =>
+      history.get(k).foreach(h => assert(v <= h, s"$k ratcheted: $v > $h")) }
+    // no history at all (first run / sf mismatch) → capture passes through
+    val (eq, ef) = Bench.mergeHistory(Map.empty, head, full)
+    assert(eq == head && ef == full)
+    // a non-positive history value must not lock the key at an
+    // invalid floor
+    val (zq, _) = Bench.mergeHistory(Map("q01" -> -1.0), Seq("q01" -> 0.3), Nil)
+    assert(zq.toMap == Map("q01" -> 0.3))
+  }
+
+  test("loadFactor: median measured/history ratio; None without history") {
+    // the r10 shape: a uniformly ~1.25x-loaded capture self-reports it
+    val history = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)
+    val lf = Bench.loadFactor(history,
+      Seq("a" -> 1.25, "b" -> 2.5, "c" -> 5.0, "new" -> 9.9))
+    assert(lf.contains(1.25))
+    // robust to a single true regression among quiet keys
+    val lf2 = Bench.loadFactor(history,
+      Seq("a" -> 1.0, "b" -> 2.0, "c" -> 40.0))
+    assert(lf2.contains(1.0))
+    assert(Bench.loadFactor(Map.empty, Seq("a" -> 1.0)).isEmpty)
+    assert(Bench.loadFactor(Map("a" -> 0.0), Seq("a" -> 1.0)).isEmpty)
+  }
 }
