@@ -55,18 +55,23 @@ object PiiScrub {
     PiiPattern("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
     PiiPattern("ip", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
     // +country international form, then separator-grouped local forms.
-    // Every alternative ends at (x\d{1,6})?\b: the \b means a match can
+    // Every alternative ends at (x\d+)?\b: the \b means a match can
     // never stop mid-run inside a longer digit string ('+' + 20 digits
     // must survive whole, not leave stray trailing digits — the same
     // word-bounding the card/ssn shapes carry), and the optional
     // x-extension keeps '555-123-4567x89' redactable — a bare \b after
     // the digits would fail at the digit/'x' boundary and LEAK the
     // whole number (no lookaround in the portable Java∩RE2 subset, so
-    // the extension must be consumed, not asserted past).
+    // the extension must be consumed, not asserted past). The extension
+    // digits are OPEN-ENDED: a bounded {1,6} couldn't consume a 7+
+    // digit extension, the \b then failed mid-run, and the ENTIRE
+    // number leaked unredacted (ADVICE r10). Residual by design: a run
+    // interrupted by any other word char ('4567x12ab') is not
+    // phone-shaped and survives whole, like any word-bounded pattern.
     PiiPattern("phone",
-      "\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{2,6}(x[0-9]{1,6})?\\b" +
-        "|\\([0-9]{3}\\)[- ]?[0-9]{3}[- ][0-9]{4}(x[0-9]{1,6})?\\b" +
-        "|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}(x[0-9]{1,6})?\\b", "<PHONE>"))
+      "\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{2,6}(x[0-9]+)?\\b" +
+        "|\\([0-9]{3}\\)[- ]?[0-9]{3}[- ][0-9]{4}(x[0-9]+)?\\b" +
+        "|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}(x[0-9]+)?\\b", "<PHONE>"))
 
   /** Chained redaction over a pattern pack (default: the frozen
     * fixture pack — the p20/batch≡stream contract). */

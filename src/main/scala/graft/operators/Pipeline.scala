@@ -236,11 +236,17 @@ object Pipeline {
     * its lineage was truncated by the checkpoint, so a caller still
     * holding the frame LAZILY (no action run yet) fails with a
     * missing-checkpoint-block error when its action finally fires.
-    * Consumers must run their action before the session touches `cap`
-    * more data dirs — every registered QueryDef does (the frame is
-    * consumed within its own query); library callers wanting a
-    * longer-lived graph own their components frame explicitly via
-    * [[connectedComponents]] instead of this demo-scoped memo. */
+    * The same applies to a CONCURRENT thread mid-action on an older
+    * entry (Verify's queries share one session): cap eviction
+    * unpersists with blocking=true AFTER the new build completes, so
+    * the block drop at least waits for the remove to finish rather
+    * than racing the in-flight job's block fetches — a narrower
+    * window, not a guarantee (ADVICE r10). Consumers must run their
+    * action before the session touches `cap` more data dirs — every
+    * registered QueryDef does (the frame is consumed within its own
+    * query); library callers wanting a longer-lived graph own their
+    * components frame explicitly via [[connectedComponents]] instead
+    * of this demo-scoped memo. */
   private val ComponentsMemoCap = 4
   private val componentsMemo =
     new java.util.LinkedHashMap[String, DataFrame]()
@@ -254,7 +260,7 @@ object Pipeline {
         componentsMemo.put(memoKey(s, d), built)
         if (componentsMemo.size > ComponentsMemoCap) {
           val it = componentsMemo.entrySet().iterator()
-          releaseLocalCheckpoint(it.next().getValue)
+          releaseLocalCheckpoint(it.next().getValue, blocking = true)
           it.remove()
         }
         built
@@ -272,7 +278,7 @@ object Pipeline {
   def releaseSharedComponents(s: SparkSession, d: String): Unit =
     componentsMemo.synchronized {
       Option(componentsMemo.remove(memoKey(s, d)))
-        .foreach(releaseLocalCheckpoint)
+        .foreach(releaseLocalCheckpoint(_))
     }
 
   /** Oracle-side twin of [[neardupPairs]] as a CTE chain ending in
@@ -490,7 +496,12 @@ object Pipeline {
       .withColumn("ellipsis_ratio", ellipsisRatio)
       .withColumn("alpha_ratio", alphaRatio)
       .withColumn("n_stopwords", nStop.cast(LongType))
-      .withColumn("pass",
+      // coalesce(false): with minWords = 0 an empty/whitespace-only doc
+      // has NULL ratios, every >= conjunct that remains is true, and the
+      // AND evaluates to NULL — filter(!pass) would then silently drop
+      // the doc from the reject set (ADVICE r10). A doc with no words
+      // fails the pack, it doesn't abstain.
+      .withColumn("pass", coalesce(
         col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= minMeanWordLen &&
           col("mean_word_len") <= maxMeanWordLen &&
@@ -498,7 +509,8 @@ object Pipeline {
           col("bullet_ratio") <= maxBulletRatio &&
           col("ellipsis_ratio") <= maxEllipsisLineRatio &&
           col("alpha_ratio") >= minAlphaRatio &&
-          col("n_stopwords") >= minStopwords)
+          col("n_stopwords") >= minStopwords,
+        lit(false)))
   }
 
   /** Winnowing-style fingerprints over ANY corpus — the p12 sketch as
@@ -1013,13 +1025,19 @@ object Pipeline {
     * nprobe reaching the recall target is the cheapest correct
     * setting. Scale shape: both inputs are top-k tables — k rows per
     * evaluated query, bounded by parameters — so the join and the
-    * per-query agg are small regardless of corpus size. Output:
+    * per-query agg are small regardless of corpus size. Both sides are
+    * deduplicated on (q, id) first: top-k tables are unique by
+    * construction, but an arbitrary caller's duplicate (q, id) rows
+    * would otherwise fan out the join and inflate n_exact AND n_hits,
+    * corrupting the recall ratio (ADVICE r10). Output:
     * (q_id, n_exact, n_hits, recall), one row per query present in
     * `exact`. */
   def recallAtK(approx: DataFrame, exact: DataFrame,
       qCol: String = "q_id", idCol: String = "vec_id"): DataFrame =
     exact.select(col(qCol).as("q_id"), col(idCol).as("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
       .join(approx.select(col(qCol).as("q_id"), col(idCol).as("vec_id"))
+        .dropDuplicates("q_id", "vec_id")
         .withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_exact"),
@@ -1363,10 +1381,11 @@ object Pipeline {
     * nothing and we skip the release (memory grows for the call,
     * correctness unchanged). blocking = false: no job waits on the
     * removal. */
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+  private def releaseLocalCheckpoint(df: DataFrame,
+      blocking: Boolean = false): Unit =
     df.queryExecution.logical.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(false))
+    }.foreach(_.unpersist(blocking))
 
   /** Deterministic k-means++ seed selection (Arthur & Vassilvitskii,
     * SODA'07): after an initial anchor, each next seed is drawn
@@ -2114,7 +2133,7 @@ object Pipeline {
         var lastLocal: Option[DataFrame] = None
         df => {
           val out = df.localCheckpoint()
-          lastLocal.foreach(releaseLocalCheckpoint)
+          lastLocal.foreach(releaseLocalCheckpoint(_))
           lastLocal = Some(out)
           out
         }

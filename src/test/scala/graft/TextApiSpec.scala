@@ -316,6 +316,14 @@ class TextApiSpec extends AnyFunSuite {
       .select(PiiScrub.redact(col("text"), PiiScrub.DefaultPatterns))
       .collect()(0).getString(0)
     assert(ext == "call <PHONE> or <PHONE> or <PHONE>")
+    // extensions of ANY length: a bounded x-quantifier couldn't consume
+    // a 7+-digit extension, the trailing \b then failed mid-run, and
+    // the ENTIRE number leaked unredacted (ADVICE r10)
+    val longExt = Seq((11L, "dial 555-123-4567x1234567 or (212) 555-0187x99999999999"))
+      .toDF("id", "text")
+      .select(PiiScrub.redact(col("text"), PiiScrub.DefaultPatterns))
+      .collect()(0).getString(0)
+    assert(longExt == "dial <PHONE> or <PHONE>")
     // word-bounded: the 21-digit id must NOT lose 16 digits to the card pass
     assert(out(3L) == "host <IP>, id 123456789012345678901 stays")
     assert(out(4L) == "mail <EMAIL>, raw <CARD>")
@@ -1103,6 +1111,15 @@ class TextApiSpec extends AnyFunSuite {
     val e = operators.Pipeline.gopherQualitySignals(ell, "doc_id", "text")
       .select("pass", "ellipsis_ratio").collect()(0)
     assert(!e.getBoolean(0) && e.getDouble(1) == 3.0 / 5.0)
+    // empty/whitespace-only docs with minWords = 0: the ratios are NULL
+    // and pass must be FALSE, not NULL — a NULL verdict escapes both
+    // filter(pass) and filter(!pass), silently vanishing the doc from
+    // the reject set (ADVICE r10)
+    val empty = Seq((8L, ""), (9L, "   \n  ")).toDF("doc_id", "text")
+    val ev = operators.Pipeline.gopherQualitySignals(
+        empty, "doc_id", "text", minWords = 0)
+      .select("doc_id", "pass").collect()
+    assert(ev.forall(r => !r.isNullAt(1) && !r.getBoolean(1)))
   }
 
   test("sparseTopK: shared-term scoring, ranking, self-exclusion, alien columns") {
@@ -1222,6 +1239,13 @@ class TextApiSpec extends AnyFunSuite {
     // approx-only (q, id) rows are ignored: recall counts exact rows
     val extra = approx.union(Seq((3L, 1L)).toDF("q_id", "vec_id"))
     assert(Pipeline.recallAtK(extra, exact).count() == 2)
+    // duplicate (q, id) rows on either side must not fan out the join
+    // and inflate n_exact/n_hits (ADVICE r10): a doubled approx table
+    // scores identically to the original
+    val dupped = Pipeline.recallAtK(approx.union(approx), exact.union(exact))
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(dupped.toSeq == got.toSeq)
     // alien column names normalize to the documented output shape
     val alien = Pipeline.recallAtK(
       approx.toDF("qq", "ii"), exact.toDF("qq", "ii"),
