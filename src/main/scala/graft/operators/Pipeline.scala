@@ -1921,6 +1921,46 @@ object Pipeline {
       .agg(count(lit(1)).as(s"n_shared_${k}grams"))
   }
 
+  /** N-gram eval-set decontamination over ANY corpus — the production
+    * recipe (GPT-3, Brown et al. 2020, Appendix C; Gopher/MassiveText
+    * train–test overlap): flag every corpus document sharing ANY word
+    * n-gram (default n = 13) with the eval set, so contaminated docs
+    * can be dropped before training rather than silently inflating
+    * eval scores. Complements [[sharedKgramCounts]] (which reports
+    * per-(train, eval-doc) overlap COUNTS through an explode + join):
+    * this is the boolean bulk-filter form, and its shape is the one a
+    * 100 TB pass wants — the eval side is benchmark-suite-sized by
+    * contract, so its distinct n-gram hashes collapse to ONE row
+    * (`sort_array(collect_set(h))`) that broadcasts to every executor,
+    * and the corpus side is a single map pass: `kgram_hashes` (one
+    * codegen'd traversal per doc) probed into the broadcast array by
+    * [[graft.plans.AnyInSorted]] (binary search per gram — O(g log m)
+    * per doc, no per-row set build, no explode, and the corpus never
+    * shuffles or joins on anything data-sized). 48-bit hashes
+    * (`nBytes = 6`): eval suites fit ~10⁶ grams, where the collision
+    * odds against any one document's grams are ~10⁻⁸ — and a collision
+    * only ever over-flags one doc (false positive), never leaks
+    * contamination through.
+    *
+    * Output: every corpus row + a boolean `flagCol`. Docs shorter than
+    * n words carry no n-gram and are never flagged; an empty eval set
+    * flags nothing. `evalTextCol` defaults to `textCol` for same-schema
+    * corpora. */
+  def ngramDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, n: Int = 13, nBytes: Int = 6,
+      evalTextCol: String = "", flagCol: String = "contaminated"): DataFrame = {
+    val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
+    val evalHashes = evalSet
+      .select(explode(call_function("kgram_hashes",
+        words(col(evCol)), lit(n), lit(nBytes))).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("__eval_ngram_hashes"))
+    corpus.crossJoin(broadcast(evalHashes))
+      .withColumn(flagCol, call_function("any_in_sorted",
+        call_function("kgram_hashes", words(col(textCol)), lit(n), lit(nBytes)),
+        col("__eval_ngram_hashes")))
+      .drop("__eval_ngram_hashes")
+  }
+
   /** Per-document repeated-passage share over ANY corpus — the p32
     * core as a reusable operator: the fraction of a doc's distinct
     * word-`passageLen`-gram passages that also occur in ANOTHER
@@ -4206,6 +4246,42 @@ object Pipeline {
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                  ORDER BY score DESC, doc_id ASC) AS INT) AS rk
         FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""")),
+
+    // ---- p47: n-gram eval-set decontamination — [[ngramDecontaminate]]
+    // with the production 13-gram recipe (GPT-3 App. C): every tenth
+    // doc_id stands in for the benchmark suite, the rest is the
+    // training corpus, and each training doc is flagged iff it shares
+    // any distinct word-13-gram with the suite. The eval side collapses
+    // to ONE sorted 48-bit-hash array that broadcasts; the corpus side
+    // is a single map pass (kgram_hashes → any_in_sorted binary
+    // search) — no explode, no join, no shuffle. The oracle replays the
+    // identical gram hashing and membership in DuckDB.
+    QueryDef(
+      "p47_ngram_decontaminate",
+      (s, d) => {
+        val all = T.documents(s, d)
+        ngramDecontaminate(
+          corpus = all.filter(col("doc_id") % 10 =!= 0),
+          evalSet = all.filter(col("doc_id") % 10 === 0),
+          textCol = "text", n = 13)
+          .select(col("doc_id"), col("lang"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, string_split_regex(text, '\s+') AS ws
+          FROM documents),
+        w AS (SELECT * FROM d WHERE len(ws) >= 13),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+12], ' ')), 1, 12) AS BIGINT) AS h
+          FROM w, unnest(range(1, len(ws) - 11)) t(i)),
+        ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+        hit AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (h)
+                WHERE doc_id % 10 <> 0)
+        SELECT d.doc_id, d.lang,
+               (d.doc_id IN (SELECT doc_id FROM hit)) AS contaminated
+        FROM d WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -76,6 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_atleast", 3)(c =>
         SortedIntersectAtLeast(c(0), c(1), c(2)))))
     ext.injectFunction((
+      new FunctionIdentifier("any_in_sorted"),
+      new ExpressionInfo(classOf[AnyInSorted].getName, "any_in_sorted"),
+      arity("any_in_sorted", 2)(c => AnyInSorted(c(0), c(1)))))
+    ext.injectFunction((
       new FunctionIdentifier("kgram_strings"),
       new ExpressionInfo(classOf[KgramStrings].getName, "kgram_strings"),
       arity("kgram_strings", 2)(c => KgramStrings(c(0),

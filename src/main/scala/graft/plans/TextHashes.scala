@@ -3,10 +3,10 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd text-hashing kernels for the dedup/curation pipeline.
@@ -204,6 +204,36 @@ object TextHashes {
     new GenericArrayData(out.toArray)
   }
 
+  /** True iff any non-null element of `arr` occurs in `set`, an
+    * ASCENDING null-free long array — binary search per element, so a
+    * doc with g grams probes a broadcast eval set of m hashes in
+    * O(g log m) instead of the O(g + m) a per-row merge (or Spark's
+    * `arrays_overlap`, which rebuilds a hash set from the smaller side
+    * EVERY row) would pay. m is eval-suite-sized (easily 10⁵–10⁶ at
+    * production scale) while g is one document — the log matters. */
+  def anyInSorted(arr: ArrayData, set: ArrayData): Boolean = {
+    val n = arr.numElements()
+    val m = set.numElements()
+    if (n == 0 || m == 0) return false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getLong(i)
+        var lo = 0
+        var hi = m - 1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val sv = set.getLong(mid)
+          if (sv == v) return true
+          else if (sv < v) lo = mid + 1
+          else hi = mid - 1
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Shared literal-int extraction for the function builders. */
   private[plans] def litInt(e: Expression, what: String): Int = e match {
     case f if f.foldable => f.eval() match {
@@ -328,6 +358,43 @@ case class ChargramStrings(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ChargramStrings =
     copy(child = newChild)
+}
+
+/** `any_in_sorted(hashes, sorted_set)` — true iff any non-null element
+  * of `hashes` occurs in `sorted_set`, which must be an ASCENDING,
+  * null-free, distinct long array (e.g. `sort_array(collect_set(h))`
+  * over a bounded side — the violation mode is silent false negatives,
+  * so the contract sits on the producer). The membership kernel of
+  * broadcast-set decontamination: the set arrives as a one-row
+  * broadcast column, each corpus row probes it by binary search —
+  * O(g log m) per doc, no per-row set build, no shuffle. */
+case class AnyInSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "any_in_sorted requires (array<bigint>, array<bigint>), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "any_in_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.anyInSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.anyInSorted($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AnyInSorted =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `kgram_strings(ws, k)` — distinct k-gram strings in one codegen'd

@@ -54,6 +54,50 @@ class TextApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  test("ngramDecontaminate flags docs sharing an n-gram with the eval set; alien columns") {
+    import spark.implicits._
+    // eval suite = doc 10; doc 11 is its one-word edit, so long runs of
+    // 13 consecutive words survive the edit and 11 is contaminated;
+    // 12–15 share no 13-gram with 10
+    val evalSet = corpus.filter(col("post_key") === 10L)
+    val train = corpus.filter(col("post_key") =!= 10L)
+    val got = Pipeline.ngramDecontaminate(train, evalSet, textCol = "body")
+    // all caller columns survive, flag appended
+    assert(got.columns.toSeq == Seq("post_key", "body", "contaminated"))
+    val flags = got.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(flags == Map(11L -> true, 12L -> false, 13L -> false,
+      14L -> false, 15L -> false))
+    // smaller n: doc 13 embeds a 10-word passage of doc 12 → 8-grams
+    // inside the passage hit; the passage carries no 13-gram, so the
+    // default n leaves 13 clean (asserted above)
+    val got8 = Pipeline.ngramDecontaminate(
+      train.filter(!col("post_key").isin(11L, 12L)),
+      corpus.filter(col("post_key") === 12L), textCol = "body", n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(got8 == Map(13L -> true, 14L -> false, 15L -> false))
+    // eval side with a DIFFERENT text column name; custom flag name
+    val alienEval = evalSet.toDF("k", "contents")
+    val gotAlien = Pipeline.ngramDecontaminate(train, alienEval,
+      textCol = "body", evalTextCol = "contents", flagCol = "dirty")
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("dirty"))).toMap
+    assert(gotAlien == flags)
+    // docs shorter than n words carry no n-gram and are never flagged;
+    // an empty eval set flags nothing
+    val shorts = Seq((1L, "only five words right here"), (2L, mk((1 to 60).map(i => s"w$i"))))
+      .toDF("post_key", "body")
+    val gotShort = Pipeline.ngramDecontaminate(shorts, evalSet, textCol = "body")
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(gotShort == Map(1L -> false, 2L -> true)) // doc 2 IS doc 10's text
+    val emptyEval = Pipeline.ngramDecontaminate(
+      train, evalSet.filter(col("post_key") === -1L), textCol = "body")
+      .collect().map(_.getBoolean(2))
+    assert(emptyEval.forall(_ == false))
+  }
+
   test("collapseNeardups keeps min-id representatives and all caller columns") {
     val pairs = Pipeline.minhashNeardupPairs(corpus, "post_key", "body")
       .select(col("doc_a"), col("doc_b"))

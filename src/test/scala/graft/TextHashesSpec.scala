@@ -242,6 +242,43 @@ class TextHashesSpec extends AnyFunSuite {
     assert(ks.toArray[Any](StringType).map(_.toString).toSeq == ksDf)
   }
 
+  test("any_in_sorted: matches arrays_overlap on sorted sets; eval ≡ codegen") {
+    import spark.implicits._
+    // membership oracle: for a sorted, distinct, null-free set side and
+    // a null-free probe side, any_in_sorted is exactly arrays_overlap
+    val setGen = Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 50L))).map(_.distinct.sorted)
+    val probeGen = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 50L)))
+    check(Prop.forAll(Gen.listOfN(8, Gen.zip(probeGen, setGen))) { batch =>
+      val df = batch.toDF("probe", "sset")
+      val got = df.select(
+        call_function("any_in_sorted", col("probe"), col("sset"))).collect()
+      val want = df.select(
+        coalesce(arrays_overlap(col("probe"), col("sset")), lit(false)))
+        .collect()
+      got.map(_.getBoolean(0)).toSeq == want.map(_.getBoolean(0)).toSeq
+    })
+    // interpreted eval on the same shapes codegen answered above
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.ArrayType
+    val lRef = BoundReference(0, ArrayType(LongType), nullable = true)
+    val rRef = BoundReference(1, ArrayType(LongType), nullable = true)
+    val expr = graft.plans.AnyInSorted(lRef, rRef)
+    def ga(xs: Any*) = new GenericArrayData(xs.toArray)
+    assert(expr.eval(InternalRow(ga(7L, 3L), ga(1L, 3L, 9L))) == true)
+    assert(expr.eval(InternalRow(ga(7L, 4L), ga(1L, 3L, 9L))) == false)
+    // empties and null probe ELEMENTS are misses, never matches
+    assert(expr.eval(InternalRow(ga(), ga(1L))) == false)
+    assert(expr.eval(InternalRow(ga(1L), ga())) == false)
+    assert(expr.eval(InternalRow(ga(null, 9L), ga(1L, 3L, 9L))) == true)
+    assert(expr.eval(InternalRow(ga(null), ga(1L))) == false)
+    // null INPUT arrays are null, like every null-intolerant expression
+    assert(expr.eval(InternalRow(null, ga(1L))) == null)
+  }
+
   test("type mismatches are rejected with the kernel name") {
     import spark.implicits._
     val e1 = intercept[Exception] {
