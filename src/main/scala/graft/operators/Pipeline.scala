@@ -281,6 +281,73 @@ object Pipeline {
         .foreach(releaseLocalCheckpoint(_))
     }
 
+  /** The coarse-quantizer + product-quantizer index artifacts the
+    * p37/p40/p41 ANN gates share, built ONCE per (app, dataDir) at the
+    * fixture parameters and memoized — the [[sharedComponents]]
+    * pattern applied to index training. The three gates price the same
+    * k-means‖-seeded coarse fit and the same four per-subspace
+    * codebook fits; standalone they retrained the overlapping chain
+    * per gate (~16 s of the r10 sweep). Memoizing mirrors production:
+    * an ANN index is TRAINED once and SERVED many times — the serving
+    * queries (probe selection, ADC scan) are what each gate times, and
+    * p42 (residual IVFADC) deliberately stays standalone so one gate
+    * still prices a full training chain end-to-end.
+    *
+    * Artifacts: `member` (vec_id, cluster — corpus-sized label table),
+    * `cents` (k centroid rows), `books` (m×ksub codebook rows), `codes`
+    * (vec_id + m codes — corpus-sized). All four are eagerly
+    * localCheckpoint'ed: materialized once, lineage truncated, blocks
+    * surviving `spark.catalog.clearCache()` (which drops only
+    * CacheManager entries). Same cap/eviction/release lifecycle and
+    * EVICTION HAZARD contract as [[sharedComponents]] (see there);
+    * [[releaseSharedIvfPq]] is the explicit hand. Demo-harness scope:
+    * parameters are the fixture suite's (k=3, dim=64, m=4, ksub=4) —
+    * library callers own their artifacts via [[ivfIndex]]/[[pqTrain]]/
+    * [[pqEncode]] directly. */
+  final case class IvfPqArtifacts(member: DataFrame, cents: DataFrame,
+      books: DataFrame, codes: DataFrame) {
+    private[Pipeline] def frames: Seq[DataFrame] =
+      Seq(member, cents, books, codes)
+  }
+
+  private val IvfPqMemoCap = 2
+  private val ivfPqMemo =
+    new java.util.LinkedHashMap[String, IvfPqArtifacts]()
+
+  private[graft] def sharedIvfPq(s: SparkSession, d: String): IvfPqArtifacts =
+    ivfPqMemo.synchronized {
+      Option(ivfPqMemo.get(memoKey(s, d))).getOrElse {
+        val e = T.embeddings(s, d)
+        val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
+          k = 3, dim = 64, iters = 1, seedRounds = 2)
+        val member = member0.localCheckpoint()
+        val cents = cents0.localCheckpoint()
+        val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
+          ksub = 4, iters = 1).localCheckpoint()
+        val codes = pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4)
+          .localCheckpoint()
+        val built = IvfPqArtifacts(member, cents, books, codes)
+        ivfPqMemo.put(memoKey(s, d), built)
+        if (ivfPqMemo.size > IvfPqMemoCap) {
+          val it = ivfPqMemo.entrySet().iterator()
+          it.next().getValue.frames
+            .foreach(releaseLocalCheckpoint(_, blocking = true))
+          it.remove()
+        }
+        built
+      }
+    }
+
+  /** Release the memoized [[sharedIvfPq]] artifacts for (spark,
+    * dataDir) — same contract as [[releaseSharedComponents]]: blocks
+    * are freed, released frames must not be reused, the next call
+    * retrains. No-op when nothing is memoized. */
+  def releaseSharedIvfPq(s: SparkSession, d: String): Unit =
+    ivfPqMemo.synchronized {
+      Option(ivfPqMemo.remove(memoKey(s, d)))
+        .foreach(_.frames.foreach(releaseLocalCheckpoint(_)))
+    }
+
   /** Oracle-side twin of [[neardupPairs]] as a CTE chain ending in
     * `verified(doc_a, doc_b, jaccard)` — p02 and p25 splice it into
     * their oracle SQL so both engines derive the same pair graph. */
@@ -3782,19 +3849,16 @@ object Pipeline {
       "p37_ivf_trained",
       (s, d) => {
         val e = T.embeddings(s, d)
-        // materialize the trained index ONCE and fan out — without
-        // this, the search side re-derives the whole seeding + Lloyd's
-        // chain per consumer (the production pattern: index artifacts
-        // are built once, then served)
-        val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
-          k = 3, dim = 64, iters = 1, seedRounds = 2)
-        val member = member0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the trained index comes from the shared memo: built once per
+        // (app, dataDir), served to p37/p40/p41 (the production
+        // pattern — index artifacts are trained once, then served;
+        // p42 still prices a full standalone training chain)
+        val art = sharedIvfPq(s, d)
         ivfSearch(
-          e.select(col("vec_id"), col("embedding")).join(member, Seq("vec_id")),
+          e.select(col("vec_id"), col("embedding")).join(art.member, Seq("vec_id")),
           e.filter(col("vec_id") <= 4),
           "vec_id", "embedding", "cluster", k = 3, nprobe = 2,
-          centroids = Some(cents))
+          centroids = Some(art.cents))
           .orderBy(col("q_id"), col("rk"))
       },
       Some {
@@ -3929,13 +3993,13 @@ object Pipeline {
       "p40_pq_adc",
       (s, d) => {
         val e = T.embeddings(s, d)
-        // one materialization of the codebooks: encode AND search read
-        // them, and their lineage is four corpus-pass k-means fits
-        val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
-          ksub = 4, iters = 1).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // codebooks + codes come from the shared memo (trained once,
+        // served — see sharedIvfPq); the ADC scan is what this gate
+        // exercises
+        val art = sharedIvfPq(s, d)
         pqSearch(
-          pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4),
-          e.filter(col("vec_id") <= 4), books,
+          art.codes,
+          e.filter(col("vec_id") <= 4), art.books,
           "vec_id", "embedding", k = 3, dim = 64, m = 4, ksub = 4)
           .orderBy(col("q_id"), col("rk"))
       },
@@ -3972,16 +4036,12 @@ object Pipeline {
       "p41_ivfpq",
       (s, d) => {
         val e = T.embeddings(s, d)
-        // index artifacts materialize once and fan out (see p37/p40)
-        val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
-          k = 3, dim = 64, iters = 1, seedRounds = 2)
-        val member = member0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
-          ksub = 4, iters = 1).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val codes = pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4)
-        ivfpqSearch(member, codes, e.filter(col("vec_id") <= 4),
-          cents, books, "vec_id", "embedding",
+        // the full artifact set (coarse index + codebooks + codes)
+        // comes from the shared memo; this gate times the composed
+        // probe-pruned ADC scan
+        val art = sharedIvfPq(s, d)
+        ivfpqSearch(art.member, art.codes, e.filter(col("vec_id") <= 4),
+          art.cents, art.books, "vec_id", "embedding",
           k = 3, dim = 64, m = 4, ksub = 4, nprobe = 2)
           .orderBy(col("q_id"), col("rk"))
       },
@@ -4032,9 +4092,13 @@ object Pipeline {
       "p42_ivfpq_residual",
       (s, d) => {
         val e = T.embeddings(s, d)
-        // the residual frame feeds FOUR codebook fits + the encode —
-        // materialize it (and the index artifacts) once; without the
-        // persists this gate re-derived the coarse chain ~8x
+        // DELIBERATELY standalone (no sharedIvfPq): p42 is the one ANN
+        // gate still pricing a full training chain end-to-end, so the
+        // index build cost stays visible in the sweep while p37/p40/
+        // p41 time the serving path. The residual frame feeds FOUR
+        // codebook fits + the encode — materialize it (and the index
+        // artifacts) once; without the persists this gate re-derived
+        // the coarse chain ~8x
         val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
           k = 3, dim = 64, iters = 1, seedRounds = 2)
         val member = member0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

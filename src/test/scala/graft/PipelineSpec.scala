@@ -263,6 +263,40 @@ class PipelineSpec extends AnyFunSuite {
     } finally operators.Pipeline.releaseSharedComponents(spark, dir)
   }
 
+  test("sharedIvfPq memo: builds once, artifact shapes; release frees blocks") {
+    import spark.implicits._
+    val P = operators.Pipeline
+    val dir = java.nio.file.Files.createTempDirectory("memo-ivfpq").toString
+    // 12 deterministic 64-dim vectors in 3 crude blobs so k = 3 trains
+    val vecs = (0 until 12).map { i =>
+      (i.toLong,
+        Array.tabulate(64)(j => (100f * (i % 3)) + i * 0.5f + j * 0.01f),
+        i % 3)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def persisted() = spark.sparkContext.getPersistentRDDs.keySet
+    spark.catalog.clearCache()
+    val before = persisted()
+    try {
+      val art = P.sharedIvfPq(spark, dir)
+      // fixture-parameter artifact shapes: corpus-sized labels + codes,
+      // k centroid rows, m×ksub codebook rows
+      assert(art.member.count() == 12 && art.codes.count() == 12)
+      assert(art.cents.count() == 3 && art.books.count() == 16)
+      spark.catalog.clearCache() // memo blocks are NOT CacheManager's
+      assert((persisted() -- before).nonEmpty,
+        "memoized index artifacts should pin persisted RDDs")
+      // served, not retrained: the same artifact set comes back
+      assert(P.sharedIvfPq(spark, dir) eq art)
+      P.releaseSharedIvfPq(spark, dir)
+      assert((persisted() -- before).isEmpty,
+        s"release left blocks pinned: ${persisted() -- before}")
+      // a released dir transparently rebuilds
+      assert(P.sharedIvfPq(spark, dir).cents.count() == 3)
+    } finally P.releaseSharedIvfPq(spark, dir)
+  }
+
   test("connectedComponents: empty pair list yields an empty result") {
     import spark.implicits._
     val out = operators.Pipeline.connectedComponents(
