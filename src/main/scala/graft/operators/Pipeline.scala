@@ -1059,7 +1059,9 @@ object Pipeline {
     * terms — only matching rows reach the score shuffle, which is
     * bounded by Σ_t df(t)·|q_t| like any inverted-index scan; cap
     * stop-term df upstream exactly as a search engine prunes its
-    * posting lists. Per-term products are exact doubles; the score
+    * posting lists — [[capPostingsByDf]] is that operator, composed as
+    * `sparseTopK(capPostingsByDf(postings, maxDf), …)` (the p46 gate
+    * runs exactly this chain). Per-term products are exact doubles; the score
     * SUM runs through the decimal accumulator ([[QueryDef.dsum]]) so
     * it is order-free and engine-exact. Output: (q_id, doc_id, score,
     * rk ≤ k), ties to the lowest doc_id; `excludeSelf` as in
@@ -1080,6 +1082,33 @@ object Pipeline {
       .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("doc_id").asc)))
       .filter(col("rk") <= k)
+  }
+
+  /** Drop every posting of terms appearing in MORE than `maxDf`
+    * documents — the stop-term pruning a search engine applies to its
+    * posting lists, as the upstream companion to [[sparseTopK]] (whose
+    * score shuffle is bounded by Σ_t df(t)·|q_t|: one runaway stop
+    * term — "the" in 10¹⁰ docs — otherwise dominates the whole scan).
+    * Semantics: capping only REMOVES terms; scores over the surviving
+    * terms are unchanged (the dot product is a sum over terms), which
+    * is exactly the idf intuition — a term in more than maxDf docs
+    * carries ~zero ranking signal at its scan cost. Scale shape: one
+    * partial-agg count per term (the shuffle is one row per distinct
+    * term, not per posting), and the over-cap set is Zipf-HEAD-sized
+    * (a handful of stop terms), so it broadcasts into a map-side
+    * anti-join — the posting lists themselves never shuffle. Input
+    * contract matches [[sparseTopK]]: one row per (id, term). All
+    * caller columns survive. */
+  def capPostingsByDf(postings: DataFrame, maxDf: Long,
+      termCol: String = "term"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val over = postings.groupBy(col(termCol))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col(termCol))
+    postings.join(broadcast(over), Seq(termCol), "left_anti")
+      // the using-column join fronts the key; restore caller order
+      .select(postings.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Recall@k of an APPROXIMATE top-k result against an EXACT one —
@@ -1933,6 +1962,14 @@ object Pipeline {
       // with binary search — per-pair array access the join rows don't
       // carry. The early-exit bound lives in the verify merge instead,
       // see sorted_intersect_atleast below.)
+      // (Length-BAND join keys — (gid, ⌊log_{1/t}|s|⌋) with the probe
+      // side exploded to its two compatible bands, so size-incompatible
+      // pairs never form — were measured at sf0.1 (r11) and NOT
+      // adopted: the gid join matches only ~454k row pairs and the size
+      // predicate kills just 24% of them, so banding would pay ~1.5×
+      // prefix-row shuffle to skip a one-comparison filter on ~110k
+      // rows. The join's cost is the PREFIX ROW volume, not the
+      // matched-pair volume, and banding grows the former.)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
       .distinct()
@@ -4276,12 +4313,17 @@ object Pipeline {
                 AND n_stopwords >= 1) AS pass
         FROM sig ORDER BY doc_id""")),
 
-    // ---- p46: sparse top-k retrieval — [[sparseTopK]] over term-
-    // frequency postings built from the fixture corpus (term = word,
-    // weight = tf), queried by the first five documents' own postings:
-    // the inverted-index scatter-gather plan, scored engine-exactly
-    // through the decimal accumulator. The oracle builds the identical
-    // postings and replays the join + dsum + rank.
+    // ---- p46: sparse top-k retrieval — [[capPostingsByDf]] →
+    // [[sparseTopK]] over term-frequency postings built from the
+    // fixture corpus (term = word, weight = tf), queried by the first
+    // five documents' own postings: the production inverted-index
+    // chain — stop-term posting lists pruned first (maxDf = 395 drops
+    // the corpus's 4 most ubiquitous terms at sf0.01), then the
+    // scatter-gather join, scored engine-exactly through the decimal
+    // accumulator. The oracle builds the identical postings, replays
+    // the df cap, and then the join + dsum + rank over the SURVIVING
+    // terms — certifying both that over-cap terms drop and that
+    // surviving-term scores are untouched by the cap.
     QueryDef(
       "p46_sparse_topk",
       (s, d) => {
@@ -4290,7 +4332,8 @@ object Pipeline {
             explode(array_remove(words(col("text")), "")).as("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).cast(DoubleType).as("weight"))
-        sparseTopK(tf, tf.filter(col("doc_id") <= 4), k = 3)
+        val capped = capPostingsByDf(tf, maxDf = 395)
+        sparseTopK(capped, capped.filter(col("doc_id") <= 4), k = 3)
           .orderBy(col("q_id"), col("rk"))
       },
       Some(s"""
@@ -4300,10 +4343,13 @@ object Pipeline {
                   string_split_regex(text, '\\s+'), x -> x <> '')) AS w
                 FROM documents)
           GROUP BY doc_id, w),
+        over AS (SELECT term FROM tf GROUP BY term HAVING COUNT(*) > 395),
+        ctf AS (SELECT * FROM tf
+                WHERE term NOT IN (SELECT term FROM over)),
         scored AS (
           SELECT q.doc_id AS q_id, c.doc_id,
                  ${graft.QueryDef.dsumSql("c.weight * q.weight")} AS score
-          FROM tf c JOIN tf q ON q.term = c.term
+          FROM ctf c JOIN ctf q ON q.term = c.term
           WHERE q.doc_id <= 4 AND c.doc_id <> q.doc_id
           GROUP BY q.doc_id, c.doc_id)
         SELECT q_id, doc_id, score,

@@ -1192,6 +1192,36 @@ class TextApiSpec extends AnyFunSuite {
     assert(alien.columns.toSeq == Seq("q_id", "doc_id", "score", "rk"))
   }
 
+  test("capPostingsByDf: over-cap terms drop; surviving-term scores unchanged") {
+    import spark.implicits._
+    // term 's' is a stop term in 4 docs; 'a'/'b'/'c' are in <= 2 docs
+    val post = Seq(
+      (1L, "s", 9.0), (2L, "s", 9.0), (3L, "s", 9.0), (4L, "s", 9.0),
+      (1L, "a", 2.0), (1L, "b", 1.0),
+      (2L, "a", 1.0), (2L, "c", 3.0),
+      (3L, "b", 4.0)).toDF("doc_id", "term", "weight")
+    val capped = Pipeline.capPostingsByDf(post, maxDf = 2)
+    // the stop term's postings are gone, everything else intact
+    assert(capped.columns.toSeq == post.columns.toSeq)
+    assert(capped.filter(col("term") === "s").count() == 0)
+    assert(capped.count() == 5)
+    // a term at EXACTLY the cap survives (cap is inclusive)
+    assert(Pipeline.capPostingsByDf(post, maxDf = 4)
+      .filter(col("term") === "s").count() == 4)
+    // composed with sparseTopK: scores over surviving terms are the
+    // SAME as scoring the uncapped postings with the stop term absent
+    // from the query — capping removes terms, it never rescales
+    val q = capped.filter(col("doc_id") === 1L)
+    val got = Pipeline.sparseTopK(capped, q, k = 3)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val want = Pipeline.sparseTopK(post, q.filter(col("term") =!= "s"), k = 3)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // alien term column name
+    assert(Pipeline.capPostingsByDf(post.toDF("d", "t", "x"), 2,
+      termCol = "t").count() == 5)
+  }
+
   test("chunkText: randomized invariants — coverage, bounds, overlap, count formula") {
     import spark.implicits._
     // one Spark pass over a batch of random docs (seeded), invariants
