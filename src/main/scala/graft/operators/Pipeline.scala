@@ -1024,8 +1024,19 @@ object Pipeline {
     * is not preserved). Leading/trailing whitespace would split into
     * EMPTY tokens (Spark's split keeps them) that inflate the word
     * count and shift every chunk boundary — they are removed before
-    * counting (the oracle filters identically). Output: (doc_id,
-    * chunk_no, start_word, n_chunk_words, chunk_text). */
+    * counting (the oracle filters identically). Each chunk also
+    * carries its span in the ORIGINAL document — what a RAG pipeline
+    * cites sources with: `start_char`/`end_char` are 1-based INCLUSIVE
+    * code-point positions of the chunk's first and last word
+    * characters, so `substring(text, start_char,
+    * end_char - start_char + 1)` recovers the original passage
+    * (whitespace inside and all) and re-tokenizes to exactly the
+    * chunk's words. Offsets come from the codegen'd
+    * [[graft.plans.WordSpans]] kernel — one extra map-side pass over
+    * the text, still zero shuffle. A zero-word doc's single empty
+    * chunk has NULL offsets (there is no span to cite). Output:
+    * (doc_id, chunk_no, start_word, n_chunk_words, chunk_text,
+    * start_char, end_char). */
   def chunkText(corpus: DataFrame, idCol: String, textCol: String,
       chunkWords: Int = 512, overlapWords: Int = 64): DataFrame = {
     require(chunkWords >= 1 && overlapWords >= 0 && overlapWords < chunkWords,
@@ -1033,19 +1044,30 @@ object Pipeline {
     val stride = chunkWords - overlapWords
     corpus
       .select(col(idCol).as("doc_id"),
-        array_remove(words(col(textCol)), "").as("ws"))
+        array_remove(words(col(textCol)), "").as("ws"),
+        call_function("word_spans", col(textCol)).as("spans"))
       .withColumn("n", size(col("ws")))
       .withColumn("chunk_no", explode(sequence(lit(0),
         greatest(lit(0), floor((col("n") - chunkWords + (stride - 1))
           .cast(DoubleType) / stride).cast(IntegerType)))))
+      .withColumn("n_chunk_words",
+        least(lit(chunkWords).cast(LongType),
+          col("n") - col("chunk_no").cast(LongType) * stride))
       .select(col("doc_id"), col("chunk_no"),
         (col("chunk_no").cast(LongType) * stride).as("start_word"),
-        least(lit(chunkWords).cast(LongType),
-          col("n") - col("chunk_no").cast(LongType) * stride)
-          .as("n_chunk_words"),
+        col("n_chunk_words"),
         array_join(slice(col("ws"),
           col("chunk_no") * stride + 1, lit(chunkWords)), " ")
-          .as("chunk_text"))
+          .as("chunk_text"),
+        // spans pack (start << 32) | end as 0-based [start, end);
+        // `get` is 0-based and null-safe (a 0-word chunk's index -1
+        // yields NULL, not an error). +1 converts to the 1-based
+        // inclusive convention substring() cites with.
+        (shiftright(get(col("spans"), col("chunk_no") * stride), 32) + 1)
+          .as("start_char"),
+        get(col("spans"),
+          (col("chunk_no") * stride + col("n_chunk_words") - 1).cast("int"))
+          .bitwiseAND(lit(0xFFFFFFFFL)).as("end_char"))
   }
 
   /** Sparse dot-product top-k retrieval — the inverted-index shape
@@ -4204,8 +4226,12 @@ object Pipeline {
     // most docs emit several chunks and the tail-chunk rule is
     // exercised. The oracle replays the closed-form chunk count
     // (floor-division; the n < chunkWords branch is masked identically
-    // by greatest(0, ·) in both engines), the slice windows, and the
-    // single-space re-join.
+    // by greatest(0, ·) in both engines), the slice windows, the
+    // single-space re-join, AND the original-document char spans: the
+    // word_spans kernel's offsets are recomputed in DuckDB by per-char
+    // classification (a word START is a non-ws char at position 1 or
+    // after a ws char; a word END mirrors it), so both engines must
+    // agree on every chunk's citable (start_char, end_char).
     QueryDef(
       "p43_chunk_text",
       (s, d) =>
@@ -4214,16 +4240,27 @@ object Pipeline {
           .orderBy(col("doc_id"), col("chunk_no")),
       Some("""
         WITH w AS (
-          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
-                                     x -> x <> '') AS ws FROM documents),
-        n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+          SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS ws FROM documents),
+        n AS (SELECT doc_id, text, ws, len(ws) AS n FROM w),
+        sp AS MATERIALIZED (
+          SELECT doc_id, ws, n,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = 1 OR substr(text, i - 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS starts,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = len(text) OR substr(text, i + 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS ends
+          FROM n),
         c AS (
-          SELECT doc_id, ws, n, CAST(i AS INT) AS chunk_no
-          FROM n, unnest(range(0, 1 + greatest(0, (n - 20 + 14) // 15))) t(i))
+          SELECT doc_id, ws, n, starts, ends, CAST(i AS INT) AS chunk_no
+          FROM sp, unnest(range(0, 1 + greatest(0, (n - 20 + 14) // 15))) t(i))
         SELECT doc_id, chunk_no,
                CAST(chunk_no AS BIGINT) * 15 AS start_word,
                CAST(least(20, n - chunk_no * 15) AS BIGINT) AS n_chunk_words,
-               array_to_string(ws[chunk_no * 15 + 1 : chunk_no * 15 + 20], ' ') AS chunk_text
+               array_to_string(ws[chunk_no * 15 + 1 : chunk_no * 15 + 20], ' ') AS chunk_text,
+               starts[chunk_no * 15 + 1] AS start_char,
+               ends[chunk_no * 15 + least(20, n - chunk_no * 15)] AS end_char
         FROM c ORDER BY doc_id, chunk_no""")),
 
     // ---- p44: exact-count stratified split — [[stratifiedSplit]] by

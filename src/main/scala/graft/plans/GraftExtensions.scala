@@ -76,6 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_atleast", 3)(c =>
         SortedIntersectAtLeast(c(0), c(1), c(2)))))
     ext.injectFunction((
+      new FunctionIdentifier("word_spans"),
+      new ExpressionInfo(classOf[WordSpans].getName, "word_spans"),
+      arity("word_spans", 1)(c => WordSpans(c(0)))))
+    ext.injectFunction((
       new FunctionIdentifier("any_in_sorted"),
       new ExpressionInfo(classOf[AnyInSorted].getName, "any_in_sorted"),
       arity("any_in_sorted", 2)(c => AnyInSorted(c(0), c(1)))))

@@ -204,6 +204,45 @@ object TextHashes {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-token [start, end) CODE-POINT offsets into the ORIGINAL
+    * string, packed (start << 32) | end, for exactly the tokens
+    * `array_remove(split(s, "\\s+"), "")` yields (maximal runs of
+    * non-whitespace; whitespace = Java regex \s = ASCII
+    * space/tab/LF/VT/FF/CR — split compiles WITHOUT
+    * UNICODE_CHARACTER_CLASS, so U+00A0 etc. are token bytes, not
+    * separators). One pass over the bytes; the char counter advances
+    * by UTF8String's own lead-byte table (the chargramStrings rule:
+    * malformed lead bytes count one char, never walk past the array).
+    * Code-point offsets are the unit `substring`/`length` use on both
+    * engines, so a caller can cite `substring(s, start+1, end-start)`
+    * verbatim. */
+  def wordSpans(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var b = 0
+    var c = 0
+    var start = -1
+    while (b < bytes.length) {
+      val lead = bytes(b)
+      val w = UTF8String.numBytesForFirstByte(lead)
+      val isWs = w == 1 && (lead == ' ' || lead == '\t' || lead == '\n' ||
+        lead == 0x0B || lead == '\f' || lead == '\r')
+      if (isWs) {
+        if (start >= 0) {
+          out.add((start.toLong << 32) | c.toLong)
+          start = -1
+        }
+      } else if (start < 0) start = c
+      b += w
+      c += 1
+    }
+    if (start >= 0) out.add((start.toLong << 32) | c.toLong)
+    val res = new Array[Long](out.size)
+    var j = 0
+    while (j < res.length) { res(j) = out.get(j); j += 1 }
+    new GenericArrayData(res)
+  }
+
   /** True iff any non-null element of `arr` occurs in `set`, an
     * ASCENDING null-free long array — binary search per element, so a
     * doc with g grams probes a broadcast eval set of m hashes in
@@ -357,6 +396,35 @@ case class ChargramStrings(child: Expression, k: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): ChargramStrings =
+    copy(child = newChild)
+}
+
+/** `word_spans(s)` — packed (start << 32) | end code-point spans of the
+  * whitespace tokens of `s` (see [[TextHashes.wordSpans]]): the
+  * original-document offsets a chunking/citation operator needs,
+  * computed in the same single codegen'd pass the other text kernels
+  * use. Aligned 1:1 with `array_remove(split(s, "\\s+"), "")`. */
+case class WordSpans(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_spans requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_spans"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.wordSpans(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.wordSpans($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordSpans =
     copy(child = newChild)
 }
 

@@ -1228,17 +1228,21 @@ class TextApiSpec extends AnyFunSuite {
     // checked per doc in Scala — stronger than the fixed shapes above
     val rnd = new scala.util.Random(17)
     val chunkW = 12; val overlap = 5; val stride = chunkW - overlap
+    // words joined by RANDOM whitespace runs so the char-span columns
+    // are exercised against genuinely irregular original documents
+    val seps = Seq(" ", "  ", "\t", " \n ", "   ")
     val docs = (0L until 120L).map { i =>
       val n = 1 + rnd.nextInt(60)
       val pad = if (rnd.nextBoolean()) "  " else ""
-      (i, pad + (1 to n).map(k => s"t${i}_$k").mkString(" ") +
-        (if (rnd.nextBoolean()) "\n" else ""))
+      val body = (1 to n).map(k => s"t${i}_$k")
+        .reduce((a, b) => a + seps(rnd.nextInt(seps.size)) + b)
+      (i, pad + body + (if (rnd.nextBoolean()) "\n" else ""))
     }
     val byDoc = operators.Pipeline.chunkText(docs.toDF("doc_id", "text"),
       "doc_id", "text", chunkW, overlap)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
-        r.getString(4)))
+        r.getString(4), r.getLong(5), r.getLong(6)))
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
     docs.foreach { case (id, text) =>
       val wordsSeq = text.split("\\s+").filter(_.nonEmpty).toSeq
@@ -1248,17 +1252,34 @@ class TextApiSpec extends AnyFunSuite {
       val expected = 1 + math.max(0,
         math.ceil((n - chunkW).toDouble / stride).toInt)
       assert(chunks.length == expected, s"doc $id: chunk count")
-      chunks.foreach { case (_, c, start, len, body) =>
+      chunks.foreach { case (_, c, start, len, body, sc, ec) =>
         assert(start == c.toLong * stride)
         assert(len >= 1 && len <= chunkW)
         // chunk text is exactly the claimed word window
         assert(body.split(" ").toSeq ==
           wordsSeq.slice(start.toInt, start.toInt + len.toInt),
           s"doc $id chunk $c window")
+        // the char span cites the ORIGINAL document: substring at the
+        // 1-based inclusive span re-tokenizes to the chunk's words
+        // (these docs are ASCII, so java substring == code points)
+        val cited = text.substring(sc.toInt - 1, ec.toInt)
+        assert(cited.split("\\s+").filter(_.nonEmpty).toSeq ==
+          body.split(" ").toSeq, s"doc $id chunk $c span")
+        // and the span is tight: no whitespace at either edge
+        assert(!cited.head.isWhitespace && !cited.last.isWhitespace,
+          s"doc $id chunk $c span edges")
+      }
+      // consecutive chunks overlap in chars exactly when they overlap
+      // in words: chunk c+1 starts stride words in, so its start_char
+      // is strictly inside (or after) chunk c's span for overlap > 0
+      chunks.sliding(2).foreach {
+        case Seq((_, _, _, _, _, _, ec1), (_, _, _, len2, _, sc2, _)) =>
+          if (len2 > overlap) assert(sc2 <= ec1, s"doc $id: overlap chars")
+        case _ =>
       }
       // full coverage in order: stitching non-overlap prefixes + the
       // final chunk reconstructs the word sequence exactly
-      val stitched = chunks.dropRight(1).flatMap { case (_, _, st, _, b) =>
+      val stitched = chunks.dropRight(1).flatMap { case (_, _, st, _, b, _, _) =>
         b.split(" ").take(stride) } ++
         chunks.last._5.split(" ")
       assert(stitched == wordsSeq, s"doc $id: coverage")

@@ -242,6 +242,41 @@ class TextHashesSpec extends AnyFunSuite {
     assert(ks.toArray[Any](StringType).map(_.toString).toSeq == ksDf)
   }
 
+  test("word_spans: substr over each span recovers exactly the split tokens") {
+    import spark.implicits._
+    // the oracle is Spark's own substring + split: for every span,
+    // substr(s, start+1, end-start) must yield the corresponding token
+    // of array_remove(split(s, \s+), "") — over adversarial strings
+    // (unicode words, tabs INSIDE generated words, empty words that
+    // merge separator runs, leading/trailing whitespace)
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ", "\r\n", "")
+    val docGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 8)
+      ws <- Gen.listOfN(n, wordGen)
+      seps <- Gen.listOfN(n + 1, sepGen)
+    } yield seps.head + ws.zip(seps.tail).map { case (w, s) => w + s }.mkString
+    check(Prop.forAll(Gen.listOfN(10, docGen)) { ss =>
+      val df = ss.toDF("s")
+      val rows = df.select(
+        transform(call_function("word_spans", col("s")), sp =>
+          substr(col("s"), shiftright(sp, 32) + 1,
+            sp.bitwiseAND(lit(0xFFFFFFFFL)) - shiftright(sp, 32))).as("toks"),
+        array_remove(split(col("s"), "\\s+"), "").as("want")).collect()
+      rows.forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    })
+    // U+00A0 (no-break space) is NOT a separator — split's \s is ASCII
+    val nb = Seq("a\u00A0b c").toDF("s").select(
+      transform(call_function("word_spans", col("s")), sp =>
+        substr(col("s"), shiftright(sp, 32) + 1,
+          sp.bitwiseAND(lit(0xFFFFFFFFL)) - shiftright(sp, 32))))
+      .collect()(0).getSeq[String](0)
+    assert(nb == Seq("a\u00A0b", "c"))
+    // empty / all-whitespace strings span nothing
+    assert(Seq("", " \t\n ").toDF("s")
+      .select(size(call_function("word_spans", col("s")))).collect()
+      .forall(_.getInt(0) == 0))
+  }
+
   test("any_in_sorted: matches arrays_overlap on sorted sets; eval ≡ codegen") {
     import spark.implicits._
     // membership oracle: for a sorted, distinct, null-free set side and
