@@ -241,30 +241,76 @@ object Pipeline {
     * unpersists with blocking=true AFTER the new build completes, so
     * the block drop at least waits for the remove to finish rather
     * than racing the in-flight job's block fetches — a narrower
-    * window, not a guarantee (ADVICE r10). Consumers must run their
-    * action before the session touches `cap` more data dirs — every
-    * registered QueryDef does (the frame is consumed within its own
-    * query); library callers wanting a longer-lived graph own their
-    * components frame explicitly via [[connectedComponents]] instead
-    * of this demo-scoped memo. */
+    * window, not a guarantee (ADVICE r10). The STRUCTURAL fix is
+    * [[pinSharedComponents]]: a pinned entry is never a cap-eviction
+    * victim, so a lazy or long-lived holder that pins survives any
+    * amount of cap pressure and fires its action cleanly; `close()`
+    * the handle when done. Unpinned [[sharedComponents]] callers keep
+    * the convention: run the action before the session touches `cap`
+    * more data dirs — every registered QueryDef does (the frame is
+    * consumed within its own query). Library callers wanting a
+    * longer-lived graph either pin, or own their components frame
+    * explicitly via [[connectedComponents]]. */
   private val ComponentsMemoCap = 4
+  private final class MemoEntry(val df: DataFrame) { var pins: Int = 0 }
   private val componentsMemo =
-    new java.util.LinkedHashMap[String, DataFrame]()
+    new java.util.LinkedHashMap[String, MemoEntry]()
   private def memoKey(s: SparkSession, d: String): String =
     s"${s.sparkContext.applicationId}:$d"
-  private[graft] def sharedComponents(s: SparkSession, d: String): DataFrame =
-    componentsMemo.synchronized {
-      Option(componentsMemo.get(memoKey(s, d))).getOrElse {
-        val built = connectedComponents(
-          neardupPairs(s, d).select(col("doc_a"), col("doc_b")))
-        componentsMemo.put(memoKey(s, d), built)
-        if (componentsMemo.size > ComponentsMemoCap) {
-          val it = componentsMemo.entrySet().iterator()
-          releaseLocalCheckpoint(it.next().getValue, blocking = true)
-          it.remove()
+
+  private def componentsEntry(s: SparkSession, d: String): MemoEntry =
+    Option(componentsMemo.get(memoKey(s, d))).getOrElse {
+      val built = new MemoEntry(connectedComponents(
+        neardupPairs(s, d).select(col("doc_a"), col("doc_b"))))
+      componentsMemo.put(memoKey(s, d), built)
+      if (componentsMemo.size > ComponentsMemoCap) {
+        // evict the OLDEST entry with no pins; when every other entry
+        // is pinned the memo temporarily exceeds the cap rather than
+        // yanking blocks from under a live handle (close() restores
+        // eviction eligibility)
+        val it = componentsMemo.entrySet().iterator()
+        var done = false
+        while (!done && it.hasNext) {
+          val e = it.next()
+          if (e.getValue.pins == 0 && (e.getValue ne built)) {
+            releaseLocalCheckpoint(e.getValue.df, blocking = true)
+            it.remove()
+            done = true
+          }
         }
-        built
       }
+      built
+    }
+
+  private[graft] def sharedComponents(s: SparkSession, d: String): DataFrame =
+    componentsMemo.synchronized { componentsEntry(s, d).df }
+
+  /** A pin on a memoized shared-components entry: while any handle on
+    * the entry is open, cap eviction skips it, so the held `df` stays
+    * backed by live blocks no matter how many other data dirs the
+    * session touches — the structural answer to the memo's eviction
+    * hazard for lazy/long-lived holders. `close()` is idempotent;
+    * [[releaseSharedComponents]] remains the owner's explicit override
+    * (it releases even pinned entries — an open handle's frame must
+    * not be used after that, like any released frame). */
+  final class SharedComponentsHandle private[Pipeline] (
+      val df: DataFrame, key: String) extends AutoCloseable {
+    private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    override def close(): Unit =
+      if (closed.compareAndSet(false, true)) componentsMemo.synchronized {
+        Option(componentsMemo.get(key))
+          .foreach(e => e.pins = math.max(0, e.pins - 1))
+      }
+  }
+
+  /** [[sharedComponents]], PINNED: builds/fetches the memo entry and
+    * returns a handle whose frame is exempt from cap eviction until
+    * `close()`. */
+  def pinSharedComponents(s: SparkSession, d: String): SharedComponentsHandle =
+    componentsMemo.synchronized {
+      val e = componentsEntry(s, d)
+      e.pins += 1
+      new SharedComponentsHandle(e.df, memoKey(s, d))
     }
 
   /** Release the memoized shared-components entry for (spark,
@@ -278,7 +324,7 @@ object Pipeline {
   def releaseSharedComponents(s: SparkSession, d: String): Unit =
     componentsMemo.synchronized {
       Option(componentsMemo.remove(memoKey(s, d)))
-        .foreach(releaseLocalCheckpoint(_))
+        .foreach(e => releaseLocalCheckpoint(e.df))
     }
 
   /** The coarse-quantizer + product-quantizer index artifacts the

@@ -240,6 +240,46 @@ class PipelineSpec extends AnyFunSuite {
     } finally dirs.foreach(d => P.releaseSharedComponents(spark, d))
   }
 
+  test("pinSharedComponents: a lazily-held pinned frame survives cap pressure") {
+    import spark.implicits._
+    val P = operators.Pipeline
+    def writeDir(tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"pin-$tag").toString
+      val text = s"alpha bravo charlie delta echo foxtrot golf hotel $tag"
+      Seq((1L, text), (2L, text), (3L, text + " india"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val dirs = (1 to 6).map(i => writeDir(s"d$i"))
+    try {
+      // pin dir 0 and hold the frame LAZILY — no action yet
+      val handle = P.pinSharedComponents(spark, dirs(0))
+      spark.catalog.clearCache()
+      // five more dirs blow well past the cap of 4: without the pin,
+      // dir 0 would be the first eviction victim and the lazy frame's
+      // blocks would be gone
+      dirs.drop(1).foreach { d =>
+        P.sharedComponents(spark, d).count(); spark.catalog.clearCache()
+      }
+      // the pinned frame still fires its action cleanly (all three
+      // docs of the fixture are mutual near-dups → 3 labeled nodes)
+      assert(handle.df.count() == 3)
+      // still memoized (not rebuilt): same frame instance comes back
+      assert(P.sharedComponents(spark, dirs(0)) eq handle.df)
+      // close() restores eviction eligibility: the NEXT over-cap
+      // insertion may now evict dir 0 (close is idempotent)
+      handle.close(); handle.close()
+      val extra = writeDir("d7")
+      try {
+        P.sharedComponents(spark, extra).count()
+        // dir 0 was the oldest unpinned entry → evicted → a fresh call
+        // rebuilds a NEW frame rather than returning the old instance
+        assert(!(P.sharedComponents(spark, dirs(0)) eq handle.df))
+      } finally P.releaseSharedComponents(spark, extra)
+    } finally dirs.foreach(d => P.releaseSharedComponents(spark, d))
+  }
+
   test("sharedComponents memo: concurrent same-dir calls build once, share one frame") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
