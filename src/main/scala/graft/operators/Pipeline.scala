@@ -626,6 +626,53 @@ object Pipeline {
         lit(false)))
   }
 
+  /** The C4 line-level cleaning pack (Raffel et al., "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", JMLR 2020, §2.2 — the heuristics that built C4 from
+    * Common Crawl), complementing [[gopherQualitySignals]] (whole-doc
+    * accept/reject rules) with the LINE-granular web-page cleaning
+    * production crawl pipelines run first. Per the paper: a line is
+    * RETAINED only if it (a) ends in a terminal punctuation mark,
+    * (b) has at least `minLineWords` words, and (c) contains none of
+    * `lineBanned` (the paper drops lines with the word "javascript");
+    * the PAGE is kept only if the cleaned text still has at least
+    * `minSentences` sentences (counted as terminal punctuation marks in
+    * the cleaned text — the paper counts on the page; cleaned is the
+    * stricter, boilerplate-free reading) and the ORIGINAL page contains
+    * none of `pageBanned` (the paper: "lorem ipsum" placeholder text
+    * and the curly brace of leaked code; its dirty-word list is a
+    * caller-supplied policy here, appended to `pageBanned`). One
+    * map-side pass — the line split, per-line tests, and sentence
+    * count are per-row array folds; no shuffle, embarrassingly
+    * parallel at any corpus size. Lines are trimmed before testing and
+    * emitted trimmed (C4 re-joins cleaned lines). Output: every caller
+    * column + (cleaned_text, n_lines, n_kept_lines, n_sentences,
+    * keep). */
+  def c4CleanLines(corpus: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minSentences: Int = 3,
+      lineBanned: Seq[String] = Seq("javascript"),
+      pageBanned: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(minLineWords >= 0 && minSentences >= 0,
+      s"thresholds must be >= 0, got $minLineWords / $minSentences")
+    def noneOf(t: Column, banned: Seq[String]): Column =
+      banned.map(b => !contains(lower(t), lit(b.toLowerCase)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    val kept = filter(lines, t =>
+      t.rlike("[.!?\"”]$") &&
+        size(array_remove(split(t, "\\s+"), "")) >= minLineWords &&
+        noneOf(t, lineBanned))
+    corpus
+      .withColumn("cleaned_text", array_join(kept, "\n"))
+      .withColumn("n_lines", size(lines).cast(LongType))
+      .withColumn("n_kept_lines", size(kept).cast(LongType))
+      .withColumn("n_sentences",
+        regexp_count(col("cleaned_text"), lit("[.!?]")).cast(LongType))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences &&
+          noneOf(col(textCol), pageBanned))
+  }
+
   /** Winnowing-style fingerprints over ANY corpus — the p12 sketch as
     * a reusable operator, entirely map-side (the distinct k-gram hash
     * set is one codegen'd pass; the sketch is array_min + size).
@@ -4475,6 +4522,83 @@ object Pipeline {
         SELECT d.doc_id, d.lang,
                (d.doc_id IN (SELECT doc_id FROM hit)) AS contaminated
         FROM d WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""")),
+
+    // ---- p48: C4 line-level cleaning — [[c4CleanLines]] (Raffel'20
+    // §2.2). The fixture corpus is punctuation-free word soup, so the
+    // gate first lays each doc out as a deterministic PAGE both
+    // engines construct identically: 8-word lines, line i suffixed
+    // '.' / '' / '?' by i mod 3 (so the terminal-punctuation rule
+    // genuinely splits lines), a "javascript" line appended on every
+    // 41st doc (line ban) and a "lorem ipsum" line on every 37th
+    // (page ban). The operator then runs UNMODIFIED on the page and
+    // the oracle replays both the construction and every rule:
+    // punctuation/word-count/line-ban retention, cleaned-text
+    // sentence count, and the page verdict.
+    QueryDef(
+      "p48_c4_clean",
+      (s, d) => {
+        val ws = array_remove(words(col("text")), "")
+        val nl = greatest(ceil(size(ws) / lit(8.0)).cast(IntegerType), lit(1))
+        val lines = transform(sequence(lit(0), nl - 1), i =>
+          concat(array_join(slice(ws, i * 8 + 1, lit(8)), " "),
+            when(i % 3 === 0, ".").when(i % 3 === 1, "").otherwise("?")))
+        val page = concat(array_join(lines, "\n"),
+          when(col("doc_id") % 41 === 0,
+            "\nthe page mentions javascript in this long line.").otherwise(""),
+          when(col("doc_id") % 37 === 0,
+            "\nlorem ipsum dolor sit amet padding line.").otherwise(""))
+        c4CleanLines(
+          T.documents(s, d).select(col("doc_id"), page.as("page")),
+          "doc_id", "page")
+          .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+            col("n_sentences"), col("keep"), col("cleaned_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS ws FROM documents),
+        pg AS MATERIALIZED (
+          SELECT doc_id,
+                 array_to_string(list_transform(range(0,
+                     greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)), i ->
+                   array_to_string(ws[i*8+1 : i*8+8], ' ') ||
+                   CASE WHEN i % 3 = 0 THEN '.'
+                        WHEN i % 3 = 1 THEN '' ELSE '?' END), chr(10)) ||
+                 CASE WHEN doc_id % 41 = 0
+                      THEN chr(10) || 'the page mentions javascript in this long line.'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 37 = 0
+                      THEN chr(10) || 'lorem ipsum dolor sit amet padding line.'
+                      ELSE '' END AS page
+          FROM w),
+        ln AS MATERIALIZED (
+          SELECT doc_id, page,
+                 list_transform(string_split(page, chr(10)), l -> trim(l)) AS lines
+          FROM pg),
+        cl AS MATERIALIZED (
+          SELECT doc_id, page, lines,
+                 list_filter(lines, t ->
+                   regexp_matches(t, '[.!?"”]$')
+                   AND len(list_filter(string_split_regex(t, '\s+'),
+                                       x -> x <> '')) >= 5
+                   AND NOT contains(lower(t), 'javascript')) AS kept
+          FROM ln),
+        sig AS (
+          SELECT doc_id,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                 CAST(len(regexp_extract_all(array_to_string(kept, chr(10)),
+                   '[.!?]')) AS BIGINT) AS n_sentences,
+                 array_to_string(kept, chr(10)) AS cleaned_text,
+                 page
+          FROM cl)
+        SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+               (n_sentences >= 3
+                AND NOT contains(lower(page), 'lorem ipsum')
+                AND NOT contains(lower(page), '{')) AS keep,
+               cleaned_text
+        FROM sig ORDER BY doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -54,6 +54,51 @@ class TextApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  test("c4CleanLines: each C4 rule fires; page verdicts; alien columns") {
+    import spark.implicits._
+    val good = "This is a perfectly reasonable sentence of prose."
+    val pages = Seq(
+      // kept page: three punctuated >=5-word lines survive
+      (1L, s"$good\n$good\nAnother fine sentence closes the page!"),
+      // line rules: no terminal punct / too few words / javascript ban
+      (2L, s"$good\nthis line has no terminal punctuation\nToo few words.\n" +
+        s"Please enable javascript to view this content.\n$good\n$good"),
+      // page bans: lorem ipsum; curly brace (code leak)
+      (3L, s"$good\n$good\nLorem Ipsum dolor sit amet for padding."),
+      (4L, s"$good\n$good\nfunction f() { return 1; } is leaked code."),
+      // too few sentences after cleaning
+      (5L, s"$good\nno punct here so it drops"))
+      .toDF("page_id", "content")
+    val got = operators.Pipeline.c4CleanLines(pages, "page_id", "content")
+      .collect().map(r => r.getLong(0) -> (
+        r.getLong(r.fieldIndex("n_lines")),
+        r.getLong(r.fieldIndex("n_kept_lines")),
+        r.getLong(r.fieldIndex("n_sentences")),
+        r.getBoolean(r.fieldIndex("keep")),
+        r.getString(r.fieldIndex("cleaned_text")))).toMap
+    assert(got(1L) == (3L, 3L, 3L, true,
+      s"$good\n$good\nAnother fine sentence closes the page!"))
+    // page 2: of 6 lines, the unpunctuated, the short, and the
+    // javascript line drop — 3 survive, page keeps
+    assert(got(2L)._1 == 6L && got(2L)._2 == 3L && got(2L)._4 == true)
+    assert(!got(2L)._5.toLowerCase.contains("javascript"))
+    // lorem ipsum and '{' reject the PAGE even with enough sentences
+    assert(got(3L)._3 >= 3L && got(3L)._4 == false)
+    assert(got(4L)._4 == false)
+    // a cleaned page below minSentences is rejected
+    assert(got(5L) == (2L, 1L, 1L, false, good))
+    // thresholds and ban lists are caller policy
+    val strict = operators.Pipeline.c4CleanLines(pages, "page_id", "content",
+      minLineWords = 9, minSentences = 1, pageBanned = Seq("reasonable"))
+      .collect().map(r => r.getLong(0) ->
+        r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(strict(1L) == false) // 'reasonable' now page-banned
+    // caller columns + order preserved, signals appended
+    assert(operators.Pipeline.c4CleanLines(pages, "page_id", "content")
+      .columns.toSeq == Seq("page_id", "content", "cleaned_text",
+        "n_lines", "n_kept_lines", "n_sentences", "keep"))
+  }
+
   test("ngramDecontaminate flags docs sharing an n-gram with the eval set; alien columns") {
     import spark.implicits._
     // eval suite = doc 10; doc 11 is its one-word edit, so long runs of
