@@ -2180,6 +2180,67 @@ object Pipeline {
       .drop("__eval_ngram_hashes")
   }
 
+  /** DSIR-style importance scores (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw-corpus document by how much more likely its hashed
+    * n-gram bag is under a TARGET corpus's n-gram distribution than
+    * under the raw corpus's own — the log importance ratio
+    * Σ_grams (log p_target(bucket) − log p_raw(bucket)) over
+    * `buckets` feature-hash buckets, with add-`alpha` smoothing. The
+    * standard way to select web-scale data that "looks like" a small
+    * high-quality target (Wikipedia, textbooks) without training a
+    * model. Features are all word 1..`maxGram`-grams (the paper's
+    * unigram+bigram bag), COUNTED not deduplicated
+    * ([[graft.plans.KgramHashesAll]]).
+    *
+    * Scale shape: the two bucket profiles are `buckets`-bounded
+    * partial-agg shuffles (one row per (mapper, bucket)); the log-ratio
+    * table is ≤ `buckets` rows and BROADCASTS into the scoring join,
+    * so the raw corpus streams map-side and the only data-sized
+    * shuffle is the per-doc partial-agg score sum. Engine-exactness:
+    * each bucket's log-ratio is quantized to 1e-9 (two ln's differing
+    * by an ULP between engines/libms must not change selection — the
+    * same reproducibility stance as the RNG-free md5 sampling) and the
+    * per-doc sum runs through the decimal accumulator
+    * ([[graft.QueryDef.dsum]], order-free). Output: (doc_id, n_grams,
+    * `scoreCol`), one row per raw doc with ≥ 1 word; select by
+    * `filter(col(scoreCol) > τ)` or rank for top-fraction selection.
+    * `targetTextCol` defaults to `textCol`. */
+  def dsirImportanceScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 8192, maxGram: Int = 2,
+      alpha: Double = 1.0, nBytes: Int = 6, targetTextCol: String = "",
+      scoreCol: String = "dsir_logratio"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(maxGram >= 1, s"maxGram must be >= 1, got $maxGram")
+    require(alpha > 0, s"alpha must be > 0 (smoothing), got $alpha")
+    val tCol = if (targetTextCol.isEmpty) textCol else targetTextCol
+    def bucketRows(df: DataFrame, c: String, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(flatten(array((1 to maxGram).map(k =>
+          call_function("kgram_hashes_all",
+            array_remove(words(col(c)), ""), lit(k), lit(nBytes))): _*)))
+        .as("h"): _*)
+        .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+        .drop("h")
+    val tB = bucketRows(target, tCol, Nil)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rB = bucketRows(raw, textCol, Nil)
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val prof = tB.join(rB, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = prof.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val llr = prof.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
+          log((col("cr") + alpha) / (col("tr") + alpha * buckets)), 9)
+          .as("llr"))
+    bucketRows(raw, textCol, Seq(col(idCol).as("doc_id")))
+      .join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        graft.QueryDef.dsum(col("llr")).as(scoreCol))
+  }
+
   /** Per-document repeated-passage share over ANY corpus — the p32
     * core as a reusable operator: the fraction of a doc's distinct
     * word-`passageLen`-gram passages that also occur in ANOTHER
@@ -4599,6 +4660,51 @@ object Pipeline {
                 AND NOT contains(lower(page), '{')) AS keep,
                cleaned_text
         FROM sig ORDER BY doc_id""")),
+
+    // ---- p49: DSIR importance scores — [[dsirImportanceScores]] with
+    // every fifth doc_id as the quality TARGET and the rest as the raw
+    // pool: the hashed unigram+bigram importance-resampling recipe
+    // (Xie NeurIPS'23). The oracle replays the whole chain — the
+    // non-distinct gram hashing, the mod-8192 feature buckets, both
+    // smoothed profiles, the 1e-9-quantized log ratios, and the
+    // decimal-exact per-doc sum.
+    QueryDef(
+      "p49_dsir_scores",
+      (s, d) => {
+        val all = T.documents(s, d)
+        dsirImportanceScores(
+          raw = all.filter(col("doc_id") % 5 =!= 0),
+          target = all.filter(col("doc_id") % 5 === 0),
+          idCol = "doc_id", textCol = "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '') AS ws FROM documents),
+        g AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) % 8192 AS b
+          FROM w, unnest(range(1, len(ws) + 1)) t(i)
+          UNION ALL
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+1], ' ')), 1, 12) AS BIGINT) % 8192 AS b
+          FROM w, unnest(range(1, len(ws))) t(i)),
+        tb AS (SELECT b, COUNT(*) AS ct FROM g WHERE doc_id % 5 = 0 GROUP BY b),
+        rb AS (SELECT b, COUNT(*) AS cr FROM g WHERE doc_id % 5 <> 0 GROUP BY b),
+        prof AS (
+          SELECT coalesce(tb.b, rb.b) AS b, coalesce(ct, 0) AS ct,
+                 coalesce(cr, 0) AS cr
+          FROM tb FULL OUTER JOIN rb ON tb.b = rb.b),
+        tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM prof),
+        llr AS MATERIALIZED (
+          SELECT b, round(ln((ct + 1.0) / (tt + 1.0 * 8192)) -
+                          ln((cr + 1.0) / (tr + 1.0 * 8192)), 9) AS llr
+          FROM prof CROSS JOIN tot)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               ${graft.QueryDef.dsumSql("llr")} AS dsir_logratio
+        FROM g JOIN llr USING (b) WHERE doc_id % 5 <> 0
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -76,6 +76,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_atleast", 3)(c =>
         SortedIntersectAtLeast(c(0), c(1), c(2)))))
     ext.injectFunction((
+      new FunctionIdentifier("kgram_hashes_all"),
+      new ExpressionInfo(classOf[KgramHashesAll].getName, "kgram_hashes_all"),
+      arity("kgram_hashes_all", 3)(c => KgramHashesAll(c(0),
+        TextHashes.litInt(c(1), "kgram_hashes_all: k"),
+        TextHashes.litInt(c(2), "kgram_hashes_all: nBytes")))))
+    ext.injectFunction((
       new FunctionIdentifier("word_spans"),
       new ExpressionInfo(classOf[WordSpans].getName, "word_spans"),
       arity("word_spans", 1)(c => WordSpans(c(0)))))

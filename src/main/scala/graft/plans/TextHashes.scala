@@ -120,6 +120,27 @@ object TextHashes {
     new GenericArrayData(res)
   }
 
+  /** ALL k-gram md5-prefix hashes of a words array in ORDER, one per
+    * window position (n−k+1 of them) — the NON-distinct sibling of
+    * [[kgramHashes]] for bag-of-ngrams features (importance weighting
+    * needs COUNTS; the dedup kernels deliberately drop repeats).
+    * Value-identical to `transform(sequence(1, size-k+1),
+    * i => conv(substring(md5(array_join(slice(ws,i,k)," ")),1,2n),16,10))`
+    * for arrays with ≥ k elements; shorter arrays yield an empty
+    * array. Null words follow array_join semantics. */
+  def kgramHashesAll(arr: ArrayData, k: Int, nBytes: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val d = md.get()
+    val res = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      res(i) = fold(gramDigest(d, arr, i, k), nBytes)
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
   /** Distinct k-gram STRINGS of a words array in one pass — value- and
     * order-identical to `array_distinct(transform(sequence(1, size-k+1),
     * i => array_join(slice(ws,i,k)," ")))` for arrays with ≥ k
@@ -396,6 +417,36 @@ case class ChargramStrings(child: Expression, k: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): ChargramStrings =
+    copy(child = newChild)
+}
+
+/** `kgram_hashes_all(ws, k, nBytes)` — ALL k-gram md5-prefix hashes in
+  * window order, repeats kept (the bag-of-ngrams feature kernel —
+  * importance weighting counts occurrences; `kgram_hashes` dedups). */
+case class KgramHashesAll(child: Expression, k: Int, nBytes: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(nBytes >= 1 && nBytes <= 7, s"nBytes must be in [1,7], got $nBytes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kgram_hashes_all requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_hashes_all"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.kgramHashesAll(input.asInstanceOf[ArrayData], k, nBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.kgramHashesAll($arr, $k, $nBytes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): KgramHashesAll =
     copy(child = newChild)
 }
 

@@ -54,6 +54,43 @@ class TextApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  test("dsirImportanceScores: target-like docs score higher; alien columns") {
+    import spark.implicits._
+    // target distribution: prose about cats; raw pool: one cat-like
+    // doc, one dog doc, one mixed — the cat doc must win the ratio
+    val target = Seq(
+      (100L, "the cat sat on the mat and the cat purred"),
+      (101L, "a cat chases the red dot and the cat naps"))
+      .toDF("post_key", "body")
+    val raw = Seq(
+      (1L, "the cat sat on the mat and the cat napped"),
+      (2L, "stock markets rallied as bond yields fell sharply today"),
+      (3L, "the dog and the cat shared the warm mat"))
+      .toDF("post_key", "body")
+    val got = Pipeline.dsirImportanceScores(raw, target, "post_key", "body")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // n_grams = unigrams + bigrams = n + (n-1)
+    assert(got(1L)._1 == 10 + 9)
+    // ordering: cat-prose > mixed > finance
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2,
+      s"importance order violated: $got")
+    // out-of-domain text scores NEGATIVE (less likely under target)
+    assert(got(2L)._2 < 0)
+    // alien columns on both sides + custom score column
+    val alien = Pipeline.dsirImportanceScores(
+      raw.toDF("k", "txt"), target.toDF("k2", "contents"),
+      idCol = "k", textCol = "txt", targetTextCol = "contents",
+      scoreCol = "w")
+    assert(alien.columns.toSeq == Seq("doc_id", "n_grams", "w"))
+    assert(alien.count() == 3)
+    // a zero-word raw doc carries no grams and is absent, documented
+    val withEmpty = raw.union(Seq((9L, "  ")).toDF("post_key", "body"))
+    assert(Pipeline.dsirImportanceScores(withEmpty, target, "post_key", "body")
+      .count() == 3)
+  }
+
   test("c4CleanLines: each C4 rule fires; page verdicts; alien columns") {
     import spark.implicits._
     val good = "This is a perfectly reasonable sentence of prose."

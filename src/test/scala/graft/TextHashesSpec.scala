@@ -84,6 +84,28 @@ class TextHashesSpec extends AnyFunSuite {
     })
   }
 
+  test("kgram_hashes_all: matches transform(...) with repeats kept, in order") {
+    import spark.implicits._
+    check(Prop.forAll(batchGen) { batch =>
+      val df = batch.filter(_.size >= 2).toDF("ws")
+      Seq(1, 2).forall { k =>
+        val got = df.select(
+          call_function("kgram_hashes_all", col("ws"), lit(k), lit(6))).collect()
+        val want = df.select(
+          transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+            i => conv(substring(md5(array_join(slice(col("ws"), i, lit(k)), " ")),
+              1, 12), 16, 10).cast(LongType))).collect()
+        got.map(_.getSeq[Long](0)).toSeq == want.map(_.getSeq[Long](0)).toSeq
+      }
+    })
+    // the dedup sibling drops repeats; this kernel must keep them
+    val rep = Seq(Seq("a", "b", "a", "b")).toDF("ws")
+    assert(rep.select(call_function("kgram_hashes_all", col("ws"), lit(2), lit(6)))
+      .collect()(0).getSeq[Long](0).length == 3)
+    assert(rep.select(call_function("kgram_hashes", col("ws"), lit(2), lit(6)))
+      .collect()(0).getSeq[Long](0).length == 2)
+  }
+
   test("kgram_strings: matches array_distinct(transform(array_join)) incl. order") {
     import spark.implicits._
     check(Prop.forAll(batchGen) { batch =>
