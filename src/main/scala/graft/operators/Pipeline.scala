@@ -1383,6 +1383,84 @@ object Pipeline {
           (a, b) => (a.cast(DoubleType) - b).cast(FloatType)).as("residual"))
   }
 
+  /** Per-dimension [min, max] bounds for 8-bit SCALAR quantization
+    * (FAISS's SQ8 / "uniform" scalar quantizer) — the simplest rung of
+    * the compression ladder: 4× smaller than floats with far less
+    * training than PQ (one bounds pass — no codebooks, no k-means).
+    * One posexplode + per-dimension min/max agg: a `dim`-bounded
+    * partial-agg shuffle (one row per (mapper, dimension)), any corpus
+    * size. Output: (pos, mn, mx), `dim` rows — [[sqEncode]]/
+    * [[sqSearch]]'s `bounds` input. */
+  def sqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    corpus.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Bounds table → one-row (mns, mxs) position-ordered arrays: the
+    * broadcastable form the per-row encode/decode lambdas index. */
+  private def sqBoundsRow(bounds: DataFrame): DataFrame =
+    bounds.agg(
+      transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+        x => x.getField("mn")).as("__mns"),
+      transform(sort_array(collect_list(struct(col("pos"), col("mx")))),
+        x => x.getField("mx")).as("__mxs"))
+
+  /** SQ8 encode: each dimension maps to an 8-bit level
+    * round((x − mn)/(mx − mn) · 255), clamped to [0, 255] (new vectors
+    * may exceed the training bounds); a degenerate dimension
+    * (mx = mn) encodes 0. All arithmetic is explicit-double with one
+    * HALF-UP round — both engines replay it bit-exactly. The bounds
+    * collapse to one broadcast row, so encoding is a single map pass.
+    * Output: (vec_id, codes array<int>). */
+  def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      bounds: DataFrame, dim: Int): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .crossJoin(broadcast(sqBoundsRow(bounds)))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(dim)), i => {
+          val x = element_at(col("embedding"), i).cast(DoubleType)
+          val mn = element_at(col("__mns"), i).cast(DoubleType)
+          val mx = element_at(col("__mxs"), i).cast(DoubleType)
+          when(mx > mn,
+            least(lit(255), greatest(lit(0),
+              round((x - mn) / (mx - mn) * 255).cast(IntegerType))))
+            .otherwise(0)
+        }).as("codes"))
+
+  /** SQ8 asymmetric search: queries keep full floats, the corpus scan
+    * reads CODES and reconstructs each dimension on the fly as a
+    * double (mn + code/255 · (mx − mn) — the stored-at-rest
+    * compression is the point; decode is register arithmetic, exactly
+    * FAISS's SQ scan), scoring squared-L2 via the codegen'd
+    * sequential-fold kernel. Brute over the codes table — compose with
+    * an IVF membership filter upstream to prune the scan, as
+    * [[ivfpqSearch]] does for PQ. Query side broadcasts (retrieval
+    * contract). Output: (q_id, vec_id, adist, rk ≤ k). */
+  def sqSearch(codes: DataFrame, queries: DataFrame, bounds: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+    val dec = codes
+      .crossJoin(broadcast(sqBoundsRow(bounds)))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(dim)), i => {
+          val mn = element_at(col("__mns"), i).cast(DoubleType)
+          val mx = element_at(col("__mxs"), i).cast(DoubleType)
+          mn + element_at(col("codes"), i).cast(DoubleType) / 255.0 *
+            (mx - mn)
+        }).as("dv"))
+    val joined = dec.crossJoin(broadcast(q))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id"))
+     else joined)
+      .select(col("q_id"), col("vec_id"),
+        call_function("float_dist_sq", col("qe"), col("dv")).as("adist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+  }
+
   /** IVF + PQ composed (the FAISS-style IVFPQ shape, Jégou TPAMI'11
     * §V): each query probes its `nprobe` best coarse clusters against
     * the broadcast TRAINED centroid table ([[ivfIndex]] output), then
@@ -4705,6 +4783,58 @@ object Pipeline {
                ${graft.QueryDef.dsumSql("llr")} AS dsir_logratio
         FROM g JOIN llr USING (b) WHERE doc_id % 5 <> 0
         GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- p50: SQ8 scalar quantization end-to-end — [[sqTrain]] (per-
+    // dimension bounds) → [[sqEncode]] (8-bit levels) → [[sqSearch]]
+    // (asymmetric decode-in-the-scan L2): the simplest rung of the
+    // compression ladder next to the PQ gates (4× smaller vectors, no
+    // codebook training). The oracle replays the bounds agg, the
+    // clamped HALF-UP level assignment, the float-rounded decode, and
+    // the sequential-fold distance — bit-exact across engines.
+    QueryDef(
+      "p50_sq8_adc",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        // bounds feed encode AND search; 64 rows — materialize once
+        val bounds = sqTrain(e, "vec_id", "embedding", dim = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sqSearch(
+          sqEncode(e, "vec_id", "embedding", bounds, dim = 64),
+          e.filter(col("vec_id") <= 4), bounds,
+          "vec_id", "embedding", k = 3, dim = 64)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some {
+        val Dim = 64
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding AS emb FROM embeddings),
+           |b AS MATERIALIZED (
+           |  SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
+           |  FROM e, unnest(range(1, ${Dim + 1})) t(i) GROUP BY i),
+           |ba AS (SELECT array_agg(mn ORDER BY pos) AS mns,
+           |              array_agg(mx ORDER BY pos) AS mxs FROM b),
+           |codes AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i ->
+           |    CASE WHEN CAST(mxs[i] AS DOUBLE) > CAST(mns[i] AS DOUBLE)
+           |      THEN least(255, greatest(0, CAST(round(
+           |        (CAST(emb[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) /
+           |        (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) * 255) AS INT)))
+           |      ELSE 0 END) AS codes
+           |  FROM e CROSS JOIN ba),
+           |dec AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i ->
+           |    CAST(mns[i] AS DOUBLE) + CAST(codes[i] AS DOUBLE) / 255.0 *
+           |      (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE))) AS dv
+           |  FROM codes CROSS JOIN ba),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id,
+           |         ${kmD2Sql(Dim, "q.emb", "c.dv")} AS adist
+           |  FROM e q CROSS JOIN dec c
+           |  WHERE q.vec_id <= 4 AND c.vec_id <> q.vec_id)
+           |SELECT q_id, vec_id, adist,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
+           |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
+      }),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -54,6 +54,44 @@ class TextApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  test("sqTrain/sqEncode/sqSearch: bounds, code range, reconstruction, ranking") {
+    import spark.implicits._
+    val dim = 4
+    // vecs on a line so true neighbor order is unambiguous; one
+    // constant dimension exercises the degenerate mx = mn branch
+    val vecs = (0 until 6).map { i =>
+      (i.toLong, Array(i.toFloat, 10f * i, -i.toFloat, 7f))
+    }.toDF("vec_id", "embedding")
+    val bounds = Pipeline.sqTrain(vecs, "vec_id", "embedding", dim)
+    val bRows = bounds.orderBy("pos").collect()
+      .map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
+    assert(bRows.toSeq == Seq((0, 0f, 5f), (1, 0f, 50f), (2, -5f, 0f), (3, 7f, 7f)))
+    val codes = Pipeline.sqEncode(vecs, "vec_id", "embedding", bounds, dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // extremes hit 0/255; the constant dim encodes 0; codes in range
+    assert(codes(0L) == Seq(0, 0, 255, 0))
+    assert(codes(5L) == Seq(255, 255, 0, 0))
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // vec 1 dim 0: (1-0)/5*255 = 51 exactly
+    assert(codes(1L)(0) == 51)
+    // search: quantization at 8 bits preserves the line's neighbor
+    // order — query 0's nearest are 1 then 2
+    val hits = Pipeline.sqSearch(
+      Pipeline.sqEncode(vecs, "vec_id", "embedding", bounds, dim),
+      vecs.filter(col("vec_id") === 0L), bounds,
+      "vec_id", "embedding", k = 2, dim)
+      .orderBy("rk").collect().map(r => r.getLong(1))
+    assert(hits.toSeq == Seq(1L, 2L))
+    // adist of the self-match (excludeSelf=false) is the pure
+    // reconstruction error — small but nonzero at 8 bits
+    val self = Pipeline.sqSearch(
+      Pipeline.sqEncode(vecs, "vec_id", "embedding", bounds, dim),
+      vecs.filter(col("vec_id") === 3L), bounds,
+      "vec_id", "embedding", k = 1, dim, excludeSelf = false)
+      .collect()(0)
+    assert(self.getLong(1) == 3L && self.getDouble(2) < 0.01)
+  }
+
   test("dsirImportanceScores: target-like docs score higher; alien columns") {
     import spark.implicits._
     // target distribution: prose about cats; raw pool: one cat-like
