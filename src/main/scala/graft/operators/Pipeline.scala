@@ -2306,11 +2306,18 @@ object Pipeline {
     val prof = tB.join(rB, Seq("b"), "full_outer")
       .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
-    val totals = prof.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    val llr = prof.crossJoin(broadcast(totals))
-      .select(col("b"),
-        round(log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
-          log((col("cr") + alpha) / (col("tr") + alpha * buckets)), 9)
+    // totals AND the per-bucket rows in ONE aggregation over the
+    // bounded profile (collect_list of ≤ `buckets` structs into a
+    // single row, then explode back): deriving totals from `prof` as a
+    // separate branch made Catalyst recompute the whole
+    // profile-join subtree — two extra corpus gram passes at scale
+    val llr = prof
+      .agg(collect_list(struct(col("b"), col("ct"), col("cr"))).as("ps"),
+        sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+      .select(explode(col("ps")).as("p"), col("tt"), col("tr"))
+      .select(col("p.b").as("b"),
+        round(log((col("p.ct") + alpha) / (col("tt") + alpha * buckets)) -
+          log((col("p.cr") + alpha) / (col("tr") + alpha * buckets)), 9)
           .as("llr"))
     bucketRows(raw, textCol, Seq(col(idCol).as("doc_id")))
       .join(broadcast(llr), Seq("b"))
