@@ -397,6 +397,45 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("quality packs are stream-composable: c4 + gopher identical on batch and stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.Pipeline
+    // the C4 and Gopher packs are pure map-side Columns (no state, no
+    // shuffle), so the SAME calls must run unchanged on readStream —
+    // the contract that lets the batch curation recipes serve as the
+    // streaming ingest filter chain
+    val good = "This is a perfectly reasonable sentence of prose."
+    val rows = Seq(
+      (1L, s"$good\n$good\nAnother fine sentence closes the page!"),
+      (2L, s"$good\nno punctuation on this line\nToo few words."),
+      (3L, s"$good\n$good\nlorem ipsum dolor sit amet for padding."))
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.gopherQualitySignals(
+        Pipeline.c4CleanLines(df, "doc_id", "text")
+          .select(col("doc_id"), col("cleaned_text"), col("keep").as("c4_keep")),
+        "doc_id", "cleaned_text", minWords = 0)
+        .select("doc_id", "c4_keep", "n_words", "pass")
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = chain(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qpacks")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = shape(spark.table("qpacks"))
+      val batch = shape(chain(rows.toDF("doc_id", "text")))
+      assert(stream == batch)
+      // and the verdicts are the interesting ones: 1 passes C4, 3 is
+      // page-banned; gopher's word-count signal runs on CLEANED text
+      assert(stream.map(s => s._1 -> s._2).toMap ==
+        Map(1L -> true, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
+
   test("toParquet: checkpointed file sink resumes exactly-once across restarts") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
