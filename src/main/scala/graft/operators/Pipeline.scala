@@ -263,20 +263,19 @@ object Pipeline {
       val built = new MemoEntry(connectedComponents(
         neardupPairs(s, d).select(col("doc_a"), col("doc_b"))))
       componentsMemo.put(memoKey(s, d), built)
-      if (componentsMemo.size > ComponentsMemoCap) {
-        // evict the OLDEST entry with no pins; when every other entry
-        // is pinned the memo temporarily exceeds the cap rather than
-        // yanking blocks from under a live handle (close() restores
-        // eviction eligibility)
-        val it = componentsMemo.entrySet().iterator()
-        var done = false
-        while (!done && it.hasNext) {
-          val e = it.next()
-          if (e.getValue.pins == 0 && (e.getValue ne built)) {
-            releaseLocalCheckpoint(e.getValue.df, blocking = true)
-            it.remove()
-            done = true
-          }
+      // evict OLDEST-first entries with no pins until back AT the cap;
+      // when the remaining entries are all pinned the memo temporarily
+      // exceeds the cap rather than yanking blocks from under a live
+      // handle — and because eviction keeps draining WHILE over cap,
+      // the excess is reclaimed by later insertions once handles close
+      // (a single-eviction pass would have left a permanent overhang:
+      // review r11)
+      val it = componentsMemo.entrySet().iterator()
+      while (componentsMemo.size > ComponentsMemoCap && it.hasNext) {
+        val e = it.next()
+        if (e.getValue.pins == 0 && (e.getValue ne built)) {
+          releaseLocalCheckpoint(e.getValue.df, blocking = true)
+          it.remove()
         }
       }
       built
@@ -294,11 +293,16 @@ object Pipeline {
     * (it releases even pinned entries — an open handle's frame must
     * not be used after that, like any released frame). */
   final class SharedComponentsHandle private[Pipeline] (
-      val df: DataFrame, key: String) extends AutoCloseable {
+      private val entry: MemoEntry, key: String) extends AutoCloseable {
+    def df: DataFrame = entry.df
     private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
     override def close(): Unit =
       if (closed.compareAndSet(false, true)) componentsMemo.synchronized {
-        Option(componentsMemo.get(key))
+        // decrement ONLY if this handle's own entry still occupies the
+        // key: after an explicit release + rebuild, a stale handle's
+        // close must not steal the fresh entry's pin and expose a
+        // still-open handle to eviction (review r11)
+        Option(componentsMemo.get(key)).filter(_ eq entry)
           .foreach(e => e.pins = math.max(0, e.pins - 1))
       }
   }
@@ -310,7 +314,7 @@ object Pipeline {
     componentsMemo.synchronized {
       val e = componentsEntry(s, d)
       e.pins += 1
-      new SharedComponentsHandle(e.df, memoKey(s, d))
+      new SharedComponentsHandle(e, memoKey(s, d))
     }
 
   /** Release the memoized shared-components entry for (spark,
@@ -668,9 +672,15 @@ object Pipeline {
       .withColumn("n_kept_lines", size(kept).cast(LongType))
       .withColumn("n_sentences",
         regexp_count(col("cleaned_text"), lit("[.!?]")).cast(LongType))
-      .withColumn("keep",
+      // coalesce(false): a NULL page propagates NULL through every
+      // signal and the verdict must still be a decision — a NULL keep
+      // escapes both filter(keep) and filter(!keep) (the gopher
+      // NULL-verdict lesson, review r11); signal columns stay NULL
+      // like gopher's ratios
+      .withColumn("keep", coalesce(
         col("n_sentences") >= minSentences &&
-          noneOf(col(textCol), pageBanned))
+          noneOf(col(textCol), pageBanned),
+        lit(false)))
   }
 
   /** Winnowing-style fingerprints over ANY corpus — the p12 sketch as
@@ -1393,18 +1403,37 @@ object Pipeline {
     * [[sqSearch]]'s `bounds` input. */
   def sqTrain(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int): DataFrame =
-    corpus.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+    corpus.select(
+        posexplode(sqLenChecked(col(vecCol), dim, "vector")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
 
   /** Bounds table → one-row (mns, mxs) position-ordered arrays: the
-    * broadcastable form the per-row encode/decode lambdas index. */
-  private def sqBoundsRow(bounds: DataFrame): DataFrame =
+    * broadcastable form the per-row encode/decode lambdas index. The
+    * arrays are dimension-CHECKED here (once, on the single row): a
+    * bounds table trained at a different dim would otherwise feed
+    * out-of-range element_at lookups whose NULLs silently poison every
+    * code and distance downstream (review r11). */
+  private def sqBoundsRow(bounds: DataFrame, dim: Int): DataFrame = {
+    def checked(c: Column) = when(size(c) === dim, c)
+      .otherwise(raise_error(concat(
+        lit("sq: bounds cover "), size(c).cast(StringType),
+        lit(s" dimensions, expected $dim — train and encode/search must" +
+          " use the same dim"))))
     bounds.agg(
-      transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
-        x => x.getField("mn")).as("__mns"),
-      transform(sort_array(collect_list(struct(col("pos"), col("mx")))),
-        x => x.getField("mx")).as("__mxs"))
+      checked(transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+        x => x.getField("mn"))).as("__mns"),
+      checked(transform(sort_array(collect_list(struct(col("pos"), col("mx")))),
+        x => x.getField("mx"))).as("__mxs"))
+  }
+
+  /** Per-row vector/codes length guard for the SQ lambdas — same
+    * rationale as the bounds check; one size comparison per row. */
+  private def sqLenChecked(c: Column, dim: Int, what: String): Column =
+    when(size(c) === dim, c)
+      .otherwise(raise_error(concat(
+        lit(s"sq: $what has "), size(c).cast(StringType),
+        lit(s" dimensions, expected $dim"))))
 
   /** SQ8 encode: each dimension maps to an 8-bit level
     * round((x − mn)/(mx − mn) · 255), clamped to [0, 255] (new vectors
@@ -1415,8 +1444,9 @@ object Pipeline {
     * Output: (vec_id, codes array<int>). */
   def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       bounds: DataFrame, dim: Int): DataFrame =
-    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-      .crossJoin(broadcast(sqBoundsRow(bounds)))
+    corpus.select(col(idCol).as("vec_id"),
+        sqLenChecked(col(vecCol), dim, "vector").as("embedding"))
+      .crossJoin(broadcast(sqBoundsRow(bounds, dim)))
       .select(col("vec_id"),
         transform(sequence(lit(1), lit(dim)), i => {
           val x = element_at(col("embedding"), i).cast(DoubleType)
@@ -1442,7 +1472,8 @@ object Pipeline {
       excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
     val dec = codes
-      .crossJoin(broadcast(sqBoundsRow(bounds)))
+      .withColumn("codes", sqLenChecked(col("codes"), dim, "codes row"))
+      .crossJoin(broadcast(sqBoundsRow(bounds, dim)))
       .select(col("vec_id"),
         transform(sequence(lit(1), lit(dim)), i => {
           val mn = element_at(col("__mns"), i).cast(DoubleType)
@@ -2252,9 +2283,13 @@ object Pipeline {
         words(col(evCol)), lit(n), lit(nBytes))).as("h"))
       .agg(sort_array(collect_set(col("h"))).as("__eval_ngram_hashes"))
     corpus.crossJoin(broadcast(evalHashes))
-      .withColumn(flagCol, call_function("any_in_sorted",
+      // coalesce(false): a NULL text has no n-grams and is NOT
+      // contaminated — a NULL flag would escape both filter(flag) and
+      // filter(!flag), silently losing the doc from the clean AND the
+      // contaminated sets (the gopher NULL-verdict lesson, review r11)
+      .withColumn(flagCol, coalesce(call_function("any_in_sorted",
         call_function("kgram_hashes", words(col(textCol)), lit(n), lit(nBytes)),
-        col("__eval_ngram_hashes")))
+        col("__eval_ngram_hashes")), lit(false)))
       .drop("__eval_ngram_hashes")
   }
 

@@ -280,6 +280,41 @@ class PipelineSpec extends AnyFunSuite {
     } finally dirs.foreach(d => P.releaseSharedComponents(spark, d))
   }
 
+  test("pin handles: stale close steals no pins; over-cap overhang drains") {
+    import spark.implicits._
+    val P = operators.Pipeline
+    def writeDir(tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"pin2-$tag").toString
+      val text = s"alpha bravo charlie delta echo foxtrot golf hotel $tag"
+      Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val dirs = (1 to 8).map(i => writeDir(s"d$i"))
+    try {
+      // STALE-HANDLE rule: after an explicit release + rebuild, the old
+      // handle's close must not strip the NEW handle's pin
+      val h1 = P.pinSharedComponents(spark, dirs(0))
+      P.releaseSharedComponents(spark, dirs(0)) // owner override
+      val h2 = P.pinSharedComponents(spark, dirs(0))
+      h1.close() // stale: must be a no-op on h2's entry
+      dirs.slice(1, 6).foreach(d =>
+        P.sharedComponents(spark, d).count()) // cap pressure (cap 4)
+      assert(h2.df.count() == 2, "stale close exposed a live pin to eviction")
+      assert(P.sharedComponents(spark, dirs(0)) eq h2.df)
+      h2.close()
+      // OVERHANG rule: pin past the cap, close everything, and the
+      // excess must drain on later insertions instead of persisting
+      val handles = dirs.take(6).map(d => P.pinSharedComponents(spark, d))
+      handles.foreach(_.close()) // memo now (possibly) above cap, all unpinned
+      P.sharedComponents(spark, dirs(6)).count() // drains down to the cap
+      // the OLDEST entries are gone: dir 0 rebuilds as a new frame…
+      assert(!(P.sharedComponents(spark, dirs(0)) eq handles(0).df))
+      // …while the newest pinned-then-closed entry is still memoized
+      assert(P.sharedComponents(spark, dirs(5)) eq handles(5).df)
+    } finally dirs.foreach(d => P.releaseSharedComponents(spark, d))
+  }
+
   test("sharedComponents memo: concurrent same-dir calls build once, share one frame") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}

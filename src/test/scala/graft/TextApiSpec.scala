@@ -90,6 +90,18 @@ class TextApiSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 1, dim, excludeSelf = false)
       .collect()(0)
     assert(self.getLong(1) == 3L && self.getDouble(2) < 0.01)
+    // a dim mismatch fails LOUDLY with the sq message, not with NULL
+    // codes silently poisoning every distance (review r11)
+    val e1 = intercept[Exception] {
+      Pipeline.sqEncode(vecs, "vec_id", "embedding", bounds, dim = 8).count()
+    }
+    assert(e1.getMessage.contains("sq:") ||
+      Option(e1.getCause).exists(_.getMessage.contains("sq:")))
+    val e2 = intercept[Exception] {
+      Pipeline.sqTrain(vecs, "vec_id", "embedding", dim = 8).count()
+    }
+    assert(e2.getMessage.contains("sq:") ||
+      Option(e2.getCause).exists(_.getMessage.contains("sq:")))
   }
 
   test("dsirImportanceScores: target-like docs score higher; alien columns") {
@@ -172,6 +184,13 @@ class TextApiSpec extends AnyFunSuite {
     assert(operators.Pipeline.c4CleanLines(pages, "page_id", "content")
       .columns.toSeq == Seq("page_id", "content", "cleaned_text",
         "n_lines", "n_kept_lines", "n_sentences", "keep"))
+    // a NULL page gets keep = FALSE, never NULL (the gopher
+    // NULL-verdict lesson — review r11); signal columns stay NULL
+    val nullPage = operators.Pipeline.c4CleanLines(
+      Seq((9L, Option.empty[String])).toDF("page_id", "content"),
+      "page_id", "content").collect()(0)
+    val keepIdx = nullPage.fieldIndex("keep")
+    assert(!nullPage.isNullAt(keepIdx) && !nullPage.getBoolean(keepIdx))
   }
 
   test("ngramDecontaminate flags docs sharing an n-gram with the eval set; alien columns") {
@@ -216,6 +235,13 @@ class TextApiSpec extends AnyFunSuite {
       train, evalSet.filter(col("post_key") === -1L), textCol = "body")
       .collect().map(_.getBoolean(2))
     assert(emptyEval.forall(_ == false))
+    // a NULL text is NOT contaminated — and the flag must be FALSE,
+    // not NULL, or the doc escapes both filter(flag) and filter(!flag)
+    // (review r11)
+    val withNull = Seq((50L, Option.empty[String])).toDF("post_key", "body")
+    val nullRow = Pipeline.ngramDecontaminate(withNull, evalSet, textCol = "body")
+      .collect()(0)
+    assert(!nullRow.isNullAt(2) && !nullRow.getBoolean(2))
   }
 
   test("collapseNeardups keeps min-id representatives and all caller columns") {
