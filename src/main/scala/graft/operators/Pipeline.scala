@@ -398,6 +398,39 @@ object Pipeline {
         .foreach(_.frames.foreach(releaseLocalCheckpoint(_)))
     }
 
+  /** Oracle-side twin of the p49 DSIR chain as a CTE body ending in
+    * `scores(doc_id, n_grams, dsir_logratio)` — p49 selects from it
+    * directly and p51 layers the Gumbel-top-k draw on top, so both
+    * gates replay the identical profile/llr/score derivation. */
+  private lazy val DsirChainSql: String = s"""
+    w AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) % 8192 AS b
+      FROM w, unnest(range(1, len(ws) + 1)) t(i)
+      UNION ALL
+      SELECT doc_id,
+             CAST('0x' || substr(md5(array_to_string(ws[i:i+1], ' ')), 1, 12) AS BIGINT) % 8192 AS b
+      FROM w, unnest(range(1, len(ws))) t(i)),
+    tb AS (SELECT b, COUNT(*) AS ct FROM g WHERE doc_id % 5 = 0 GROUP BY b),
+    rb AS (SELECT b, COUNT(*) AS cr FROM g WHERE doc_id % 5 <> 0 GROUP BY b),
+    prof AS (
+      SELECT coalesce(tb.b, rb.b) AS b, coalesce(ct, 0) AS ct,
+             coalesce(cr, 0) AS cr
+      FROM tb FULL OUTER JOIN rb ON tb.b = rb.b),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM prof),
+    llr AS MATERIALIZED (
+      SELECT b, round(ln((ct + 1.0) / (tt + 1.0 * 8192)) -
+                      ln((cr + 1.0) / (tr + 1.0 * 8192)), 9) AS llr
+      FROM prof CROSS JOIN tot),
+    scores AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             ${graft.QueryDef.dsumSql("llr")} AS dsir_logratio
+      FROM g JOIN llr USING (b) WHERE doc_id % 5 <> 0
+      GROUP BY doc_id)"""
+
   /** Oracle-side twin of [[neardupPairs]] as a CTE chain ending in
     * `verified(doc_a, doc_b, jaccard)` — p02 and p25 splice it into
     * their oracle SQL so both engines derive the same pair graph. */
@@ -1266,6 +1299,37 @@ object Pipeline {
       .select(col("q_id"), col("n_exact"), col("n_hits"),
         (col("n_hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
           .as("recall"))
+
+  /** Gumbel-top-k importance RESAMPLING — the selection step DSIR runs
+    * on [[dsirImportanceScores]] output (Xie NeurIPS'23 §2: sample k
+    * documents WITHOUT replacement with probability ∝ exp(score/T)
+    * by ranking score/T + Gumbel noise and keeping the top k — the
+    * Gumbel-max trick makes one ranking pass equal sequential
+    * weighted draws). The "noise" here is RNG-FREE like every sampler
+    * in this library: u = (md5₄₈(id) + 0.5)/2⁴⁸ ∈ (0,1), g =
+    * −ln(−ln(u)), so the same corpus + seed column always selects the
+    * same k docs, across reruns AND engines. `temperature` → ∞
+    * degenerates to uniform sampling; → 0 to deterministic top-k by
+    * score. The Gumbel term is quantized to 1e-9 (the ln-ULP
+    * reproducibility stance of [[dsirImportanceScores]]).
+    *
+    * Scale shape: the key is one map-side expression; selection is
+    * `orderBy(key).limit(k)` — Spark's TakeOrdered keeps k rows per
+    * partition and merges k on the driver, no full sort, no shuffle
+    * of the corpus. Output: the top-k rows of `scored` + the
+    * `gumbel_key` column, ties broken by `idCol` ascending. */
+  def resampleByImportance(scored: DataFrame, idCol: String,
+      scoreCol: String, k: Int, temperature: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val u = (conv(substring(md5(col(idCol).cast(StringType)), 1, 12), 16, 10)
+      .cast(DoubleType) + 0.5) / lit(math.pow(2, 48))
+    val key = col(scoreCol).cast(DoubleType) / temperature +
+      round(-log(-log(u)), 9)
+    scored.withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
 
   /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 §II):
@@ -4799,32 +4863,39 @@ object Pipeline {
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH w AS (
-          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-                                     x -> x <> '') AS ws FROM documents),
-        g AS MATERIALIZED (
-          SELECT doc_id,
-                 CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) % 8192 AS b
-          FROM w, unnest(range(1, len(ws) + 1)) t(i)
-          UNION ALL
-          SELECT doc_id,
-                 CAST('0x' || substr(md5(array_to_string(ws[i:i+1], ' ')), 1, 12) AS BIGINT) % 8192 AS b
-          FROM w, unnest(range(1, len(ws))) t(i)),
-        tb AS (SELECT b, COUNT(*) AS ct FROM g WHERE doc_id % 5 = 0 GROUP BY b),
-        rb AS (SELECT b, COUNT(*) AS cr FROM g WHERE doc_id % 5 <> 0 GROUP BY b),
-        prof AS (
-          SELECT coalesce(tb.b, rb.b) AS b, coalesce(ct, 0) AS ct,
-                 coalesce(cr, 0) AS cr
-          FROM tb FULL OUTER JOIN rb ON tb.b = rb.b),
-        tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM prof),
-        llr AS MATERIALIZED (
-          SELECT b, round(ln((ct + 1.0) / (tt + 1.0 * 8192)) -
-                          ln((cr + 1.0) / (tr + 1.0 * 8192)), 9) AS llr
-          FROM prof CROSS JOIN tot)
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-               ${graft.QueryDef.dsumSql("llr")} AS dsir_logratio
-        FROM g JOIN llr USING (b) WHERE doc_id % 5 <> 0
-        GROUP BY doc_id ORDER BY doc_id""")),
+        WITH $DsirChainSql
+        SELECT doc_id, n_grams, dsir_logratio
+        FROM scores ORDER BY doc_id""")),
+
+    // ---- p51: DSIR importance RESAMPLING — [[resampleByImportance]]
+    // composed on the p49 scores: the Gumbel-top-k draw that actually
+    // selects the k training docs, with the RNG-free md5 Gumbel term.
+    // The oracle replays the p49 chain (shared CTE body) plus the
+    // uniform, the quantized Gumbel key, and the top-k rank.
+    QueryDef(
+      "p51_dsir_resample",
+      (s, d) => {
+        val all = T.documents(s, d)
+        resampleByImportance(
+          dsirImportanceScores(
+            raw = all.filter(col("doc_id") % 5 =!= 0),
+            target = all.filter(col("doc_id") % 5 === 0),
+            idCol = "doc_id", textCol = "text"),
+          "doc_id", "dsir_logratio", k = 50)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $DsirChainSql,
+        keyed AS (
+          SELECT doc_id, n_grams, dsir_logratio,
+                 dsir_logratio / 1.0 + round(-ln(-ln(
+                   (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 0.5)
+                     / 281474976710656.0)), 9) AS gumbel_key
+          FROM scores)
+        SELECT doc_id, n_grams, dsir_logratio, gumbel_key
+        FROM keyed
+        QUALIFY ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id ASC) <= 50
+        ORDER BY doc_id""")),
 
     // ---- p50: SQ8 scalar quantization end-to-end — [[sqTrain]] (per-
     // dimension bounds) → [[sqEncode]] (8-bit levels) → [[sqSearch]]

@@ -141,6 +141,35 @@ class TextApiSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("resampleByImportance: deterministic Gumbel draw; temperature limits") {
+    import spark.implicits._
+    val scored = (1 to 100).map(i => (i.toLong, i / 10.0)).toDF("doc_id", "s")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sel = Pipeline.resampleByImportance(scored, "doc_id", "s", k = 10)
+    assert(sel.count() == 10)
+    assert(sel.columns.contains("gumbel_key"))
+    // RNG-free: the same inputs select the same documents, every run
+    assert(ids(sel) ==
+      ids(Pipeline.resampleByImportance(scored, "doc_id", "s", k = 10)))
+    // T -> 0: score dominates the key — exactly the top k by score
+    assert(ids(Pipeline.resampleByImportance(
+      scored, "doc_id", "s", k = 10, temperature = 1e-9)) ==
+      (91L to 100L).toSet)
+    // T -> inf: score is irrelevant — identical draw to constant scores
+    val flat = scored.withColumn("s", lit(0.0))
+    assert(ids(Pipeline.resampleByImportance(
+      scored, "doc_id", "s", k = 10, temperature = 1e12)) ==
+      ids(Pipeline.resampleByImportance(flat, "doc_id", "s", k = 10)))
+    // at T = 1 the draw is score-TILTED but not score-sorted: high
+    // scorers are favored, yet at least one sub-top-10 doc makes it in
+    val t1 = ids(Pipeline.resampleByImportance(scored, "doc_id", "s", k = 10))
+    assert(t1.exists(_ <= 90L) && t1.count(_ > 50L) > 5)
+    // k >= n keeps everything
+    assert(Pipeline.resampleByImportance(scored, "doc_id", "s", k = 200)
+      .count() == 100)
+  }
+
   test("c4CleanLines: each C4 rule fires; page verdicts; alien columns") {
     import spark.implicits._
     val good = "This is a perfectly reasonable sentence of prose."
