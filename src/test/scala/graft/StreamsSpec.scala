@@ -436,6 +436,32 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ngramDecontaminate composes stream-static: live docs vs a static eval set") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.Pipeline
+    // the eval side is a STATIC frame that collapses to one broadcast
+    // row, so decontamination slots straight into an ingest stream —
+    // each arriving doc is flagged against the fixed benchmark suite
+    val evalSet = Seq((100L, (1 to 20).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = Pipeline.ngramDecontaminate(
+        in.toDF().toDF("doc_id", "text"), evalSet, textCol = "text")
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, (1 to 20).map(i => s"e$i").mkString(" ")),  // verbatim eval doc
+        (2L, (1 to 20).map(i => s"x$i").mkString(" ")),  // disjoint
+        (3L, "short doc"))                                // < n words
+      q.processAllAvailable()
+      val got = spark.table("decon").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
+
   test("toParquet: checkpointed file sink resumes exactly-once across restarts") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
