@@ -716,6 +716,50 @@ object Pipeline {
         lit(false)))
   }
 
+  /** GLOBAL paragraph-level dedup (the CCNet recipe — Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", LREC 2020 §3: deduplicate paragraphs ACROSS the
+    * whole corpus, which removes boilerplate — cookie banners,
+    * navigation, legal footers — that per-document filters can't see
+    * because it looks fine inside any single page). Every line (split
+    * on `sep`) is kept only at its FIRST global occurrence (ordered by
+    * doc id, then line position — deterministic, rerun-stable);
+    * whitespace-only lines are structure, not content, and are never
+    * deduplicated. Scale shape: one shuffle keyed by paragraph content
+    * (ccnet's hash-partitioned paragraph pass; the window's
+    * partitionBy(line) — swap in a content hash upstream to cut
+    * shuffle bytes at the cost of exactness-vs-collisions) and one
+    * doc-keyed rebuild shuffle. Output: (doc_id, n_lines,
+    * n_kept_lines, text_deduped), one row per input doc — a doc whose
+    * every content line occurred earlier elsewhere keeps only its
+    * whitespace lines (n_kept_lines counts what survived); join back
+    * to the corpus by id for the full-column frame. */
+  def dedupParagraphsGlobal(corpus: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val base = corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val lines = base.select(col("doc_id"),
+      posexplode(split(col("__t"), sepRe)).as(Seq("line_no", "line")))
+    val keptContent = lines.filter(trim(col("line")) =!= "")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("line"))
+          .orderBy(col("doc_id"), col("line_no"))))
+      .filter(col("rk") === 1).drop("rk")
+    val kept = keptContent.unionByName(
+      lines.filter(trim(col("line")) === ""))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept_lines"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("line_no"), col("line")))),
+          x => x.getField("line")), sep).as("text_deduped"))
+    base.select(col("doc_id"),
+        size(split(col("__t"), sepRe)).cast(LongType).as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** Winnowing-style fingerprints over ANY corpus — the p12 sketch as
     * a reusable operator, entirely map-side (the distinct k-gram hash
     * set is one codegen'd pass; the sketch is array_min + size).
@@ -4948,6 +4992,66 @@ object Pipeline {
            |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
            |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
       }),
+
+    // ---- p52: global paragraph dedup — [[dedupParagraphsGlobal]]
+    // (CCNet boilerplate removal). Pages are the p48-style synthesized
+    // layout (8-word '.'-suffixed lines) with the SAME cookie-banner
+    // boilerplate line appended to EVERY page: exactly the shape the
+    // operator exists for — the banner survives only in the lowest
+    // doc_id, and naturally-shared aligned chunks between near-dup
+    // fixture docs dedup too. The oracle replays the layout, the
+    // first-occurrence window, the whitespace-line exemption, and the
+    // per-doc rebuild.
+    QueryDef(
+      "p52_paragraph_dedup",
+      (s, d) => {
+        val ws = array_remove(words(col("text")), "")
+        val nl = greatest(ceil(size(ws) / lit(8.0)).cast(IntegerType), lit(1))
+        val lines = transform(sequence(lit(0), nl - 1), i =>
+          concat(array_join(slice(ws, i * 8 + 1, lit(8)), " "), lit(".")))
+        val page = concat(array_join(lines, "\n"),
+          lit("\naccept cookies to continue reading this website today."))
+        dedupParagraphsGlobal(
+          T.documents(s, d).select(col("doc_id"), page.as("page")),
+          "doc_id", "page")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS ws FROM documents),
+        pg AS MATERIALIZED (
+          SELECT doc_id,
+                 array_to_string(list_transform(range(0,
+                     greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)), i ->
+                   array_to_string(ws[i*8+1 : i*8+8], ' ') || '.'), chr(10)) ||
+                 chr(10) || 'accept cookies to continue reading this website today.' AS page
+          FROM w),
+        l AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) - 1 AS line_no, lines[i] AS line
+          FROM (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg),
+               unnest(range(1, len(lines) + 1)) t(i)),
+        ne AS (
+          SELECT doc_id, line_no, line,
+                 ROW_NUMBER() OVER (PARTITION BY line
+                   ORDER BY doc_id, line_no) AS rk
+          FROM l WHERE trim(line) <> ''),
+        kept AS (
+          SELECT doc_id, line_no, line FROM ne WHERE rk = 1
+          UNION ALL
+          SELECT doc_id, line_no, line FROM l WHERE trim(line) = ''),
+        reb AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
+                 array_to_string(array_agg(line ORDER BY line_no), chr(10)) AS text_deduped
+          FROM kept GROUP BY doc_id),
+        base AS (
+          SELECT doc_id,
+                 CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines
+          FROM pg)
+        SELECT base.doc_id, base.n_lines,
+               coalesce(n_kept_lines, 0) AS n_kept_lines,
+               coalesce(text_deduped, '') AS text_deduped
+        FROM base LEFT JOIN reb USING (doc_id) ORDER BY base.doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -141,6 +141,39 @@ class TextApiSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("dedupParagraphsGlobal: boilerplate collapses to first occurrence; blanks exempt") {
+    import spark.implicits._
+    val banner = "accept all cookies to continue"
+    val pages = Seq(
+      (1L, s"unique first paragraph\n$banner\n\nclosing thoughts one"),
+      (2L, s"$banner\nfresh second-page prose\n\nclosing thoughts one"),
+      (3L, s"$banner"),          // nothing but boilerplate
+      (4L, "   \n "))            // whitespace-only lines: structure, kept
+      .toDF("page_id", "content")
+    val got = operators.Pipeline.dedupParagraphsGlobal(pages, "page_id", "content")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // page 1 owns the banner AND 'closing thoughts one' (first by id)
+    assert(got(1L) == (4L, 4L,
+      s"unique first paragraph\n$banner\n\nclosing thoughts one"))
+    // page 2 loses both shared lines but keeps its blank separator
+    assert(got(2L) == (4L, 2L, "fresh second-page prose\n"))
+    // a pure-boilerplate page keeps NOTHING — n_kept_lines 0, empty text
+    assert(got(3L) == (1L, 0L, ""))
+    // whitespace-only lines are never deduplicated across docs
+    assert(got(4L) == (2L, 2L, "   \n "))
+    // deterministic: first occurrence is by (doc id, line position),
+    // so rerunning yields the identical assignment
+    val again = operators.Pipeline.dedupParagraphsGlobal(pages, "page_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again == got.view.mapValues(_._3).toMap)
+    // alien separator
+    val piped = Seq((1L, "a|b|a"), (2L, "b|c")).toDF("k", "t")
+    val ps = operators.Pipeline.dedupParagraphsGlobal(piped, "k", "t", sep = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(ps == Map(1L -> "a|b", 2L -> "c"))
+  }
+
   test("resampleByImportance: deterministic Gumbel draw; temperature limits") {
     import spark.implicits._
     val scored = (1 to 100).map(i => (i.toLong, i / 10.0)).toDF("doc_id", "s")
