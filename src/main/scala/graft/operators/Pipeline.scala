@@ -1344,6 +1344,85 @@ object Pipeline {
         (col("n_hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
           .as("recall"))
 
+  /** Distributed BPE vocabulary training (Sennrich, Haddow & Birch,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016 §3.2) — learn `numMerges` byte-pair merges from a corpus:
+    * start from characters (+ the '</w>' end-of-word marker), then
+    * repeatedly merge the globally most frequent adjacent symbol pair.
+    * The piece of the tokenizer story that is genuinely DISTRIBUTED:
+    * the corpus is scanned ONCE (word counting — classic BPE trains on
+    * the word-frequency dictionary, not the raw text), and every merge
+    * round then runs on the dictionary: one explode of adjacent pairs
+    * weighted by word count, one pair-keyed partial-agg shuffle, and a
+    * single-ROW driver collect of the winning pair (the kmeans++
+    * pattern — parameter-bounded at numMerges rows total). The merge
+    * applies map-side as a left-to-right greedy fold (after a merge
+    * the tail symbol becomes l+r ≠ l, so `last == l && x == r` is
+    * exactly the non-overlapping scan — 'a a a' → ['aa','a']); each
+    * round's dictionary is localCheckpoint'ed and the superseded
+    * round's blocks released (the Lloyd's-round lineage discipline).
+    * Ties break deterministically (count desc, then pair lexicographic
+    * asc), so training is reproducible across runs and engines.
+    * Training stops early when no pair reaches `minPairCount` (merging
+    * singletons memorizes noise). Not SQL-expressible in the portable
+    * oracle subset (iterative state); BpeSpec gates it against a
+    * sequential reference implementation instead. Output: (merge_no,
+    * left, right, pair_count) — the ordered merge list a tokenizer
+    * runtime applies. */
+  def bpeTrain(corpus: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val spark = corpus.sparkSession
+    val eow = "</w>"
+    var dict = corpus
+      .select(explode(array_remove(words(col(textCol)), "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))),
+        array(lit(eow))).as("syms"))
+      .localCheckpoint()
+    val merges = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var round = 1
+    while (!done && round <= numMerges) {
+      val best = dict
+        // a fully-merged word (one symbol) has no adjacent pairs — and
+        // sequence(1, 0) would DESCEND into invalid indices
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, pc) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((round, l, r, pc))
+        val merged = concat(lit(l), lit(r))
+        val next = dict.select(col("cnt"),
+          aggregate(col("syms"),
+            array().cast(ArrayType(StringType, containsNull = false)),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === l && x === r,
+              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint()
+        releaseLocalCheckpoint(dict)
+        dict = next
+        round += 1
+      }
+    }
+    releaseLocalCheckpoint(dict)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_no", "left", "right", "pair_count")
+  }
+
   /** Gumbel-top-k importance RESAMPLING — the selection step DSIR runs
     * on [[dsirImportanceScores]] output (Xie NeurIPS'23 §2: sample k
     * documents WITHOUT replacement with probability ∝ exp(score/T)

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+/** [[Pipeline.bpeTrain]] against a SEQUENTIAL reference implementation
+  * of Sennrich'16 BPE — the oracle role DuckDB plays for the other
+  * operators (the iterative merge loop is not SQL-expressible in the
+  * portable subset, so the reference lives here instead): both sides
+  * must produce the IDENTICAL ordered merge list, including the
+  * deterministic (count desc, pair asc) tie-break, over adversarial
+  * random corpora.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Textbook sequential BPE on the word-frequency dictionary. */
+  private def referenceBpe(words: Seq[String], numMerges: Int,
+      minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    val counts = words.groupBy(identity).view.mapValues(_.size.toLong)
+    var dict: Map[Vector[String], Long] = counts.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ "</w>") -> c
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val out = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (!done && round <= numMerges) {
+      val pairCounts = collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) =>
+            pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      val best = pairCounts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minPairCount =>
+          out += ((round, l, r, c))
+          dict = dict.map { case (syms, cnt) =>
+            val merged = collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                merged += (l + r); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toVector -> cnt
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          round += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  private def sparkBpe(words: Seq[String], numMerges: Int,
+      minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    Pipeline.bpeTrain(words.map(w => Tuple1(w)).toDF("text"),
+      "text", numMerges, minPairCount)
+      .orderBy("merge_no").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("bpeTrain: classic example — frequent pairs merge in order") {
+    // the Sennrich paper's flavor: 'low' x5, 'lower' x2, 'newest' x6,
+    // 'widest' x3 — 'es'/'est'/'est</w>' chains dominate early merges
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val got = sparkBpe(corpus, 8, minPairCount = 2)
+    val want = referenceBpe(corpus, 8, minPairCount = 2)
+    assert(got == want)
+    // the famous first merges: (e,s) at 9, then (es,t) at 9
+    assert(got(0)._2 == "e" && got(0)._3 == "s" && got(0)._4 == 9L)
+    assert(got(1)._2 == "es" && got(1)._3 == "t" && got(1)._4 == 9L)
+    // merged symbols feed later rounds (multi-char pairs appear)
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
+  }
+
+  test("bpeTrain: overlapping-run greedy semantics — 'aaaa' merges left-to-right") {
+    // pair (a,a) over runs: 'aaaa' -> [aa, aa, </w>], 'aaa' -> [aa, a, </w>]
+    val corpus = Seq.fill(4)("aaaa") ++ Seq.fill(3)("aaa")
+    val got = sparkBpe(corpus, 3, minPairCount = 2)
+    val want = referenceBpe(corpus, 3, minPairCount = 2)
+    assert(got == want)
+    // first merge is (a,a); its count uses the NON-OVERLAPPING scan:
+    // 'aaaa' has 3 adjacent (a,a) pairs per word — counting, not
+    // merging; 4*3 + 3*2 = 18
+    assert(got(0) == (1, "a", "a", 18L))
+  }
+
+  test("bpeTrain: property — merge lists identical to the reference on random corpora") {
+    val wordGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "é")).map(_.mkString))
+    val corpusGen = Gen.chooseNum(3, 25).flatMap(n => Gen.listOfN(n, wordGen))
+    val p = Prop.forAll(corpusGen) { words =>
+      sparkBpe(words, numMerges = 6, minPairCount = 2) ==
+        referenceBpe(words, numMerges = 6, minPairCount = 2)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("bpeTrain: minPairCount stops training before memorizing singletons") {
+    val corpus = Seq("ab", "ab", "xy") // (a,b) twice; everything else once
+    val got = sparkBpe(corpus, 10, minPairCount = 2)
+    assert(got == referenceBpe(corpus, 10, minPairCount = 2))
+    // only pairs reaching the floor were learned, and training STOPPED
+    assert(got.nonEmpty && got.forall(_._4 >= 2L))
+    assert(got.size < 10)
+    // degenerate corpus: nothing reaches the floor, empty merge list
+    assert(sparkBpe(Seq("q"), 5, minPairCount = 2).isEmpty)
+  }
+
+  test("bpeTrain: leaves no persistent RDDs behind (round checkpoints released)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    sparkBpe(Seq.fill(4)("abc") ++ Seq.fill(2)("abd"), 4, minPairCount = 2)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"bpeTrain leaked persisted RDDs: $leaked")
+  }
+}
