@@ -1423,6 +1423,28 @@ object Pipeline {
     merges.toSeq.toDF("merge_no", "left", "right", "pair_count")
   }
 
+  /** Apply a learned BPE merge list to a corpus — the tokenizer
+    * runtime over [[bpeTrain]]'s output: every whitespace word splits
+    * into its BPE symbols (code points + '</w>' merged by the best-
+    * ranked-pair loop, [[graft.plans.BpeSegment]]), flattened per doc.
+    * The merge table is driver-collected ONCE (numMerges-bounded, the
+    * centroid-table pattern) and baked into the codegen'd expression's
+    * rank map — per row there is no parsing, no join, no shuffle: the
+    * whole tokenization is one map pass. Output: every caller column +
+    * `bpe_tokens` (array<string>) and `n_bpe_tokens`. */
+  def bpeSegment(corpus: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val encoded = merges.orderBy(col(merges.columns(0)))
+      .select(col(merges.columns(1)), col(merges.columns(2)))
+      .collect().map(r => r.getString(0) + " " + r.getString(1))
+      .mkString("\n")
+    corpus
+      .withColumn("bpe_tokens",
+        flatten(transform(array_remove(words(col(textCol)), ""),
+          w => call_function("bpe_segment", w, lit(encoded)))))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast(LongType))
+  }
+
   /** Gumbel-top-k importance RESAMPLING — the selection step DSIR runs
     * on [[dsirImportanceScores]] output (Xie NeurIPS'23 §2: sample k
     * documents WITHOUT replacement with probability ∝ exp(score/T)

@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `bpe_segment(word, mergesEncoded)` — tokenize ONE word with a
+  * learned BPE merge list ([[graft.operators.Pipeline.bpeTrain]]
+  * output): start from code points (+ '</w>'), repeatedly merge every
+  * occurrence of the best-ranked adjacent pair until none applies —
+  * the standard tokenizer-runtime algorithm, equivalent to applying
+  * the merges in training order (a merge can never create an
+  * occurrence of an EARLIER-trained pair, because earlier pairs are
+  * defined over symbols that existed before the later merge's output
+  * symbol did).
+  *
+  * The merge list arrives ENCODED in a foldable string ("l r" lines —
+  * symbols never contain whitespace, they come from whitespace-split
+  * words), so the rank table is built ONCE per expression instance and
+  * shared by every row via a codegen reference object — no per-row
+  * parsing, no per-row hashing of the merge table. The encoded list is
+  * `numMerges`-bounded (driver-collected like centroid tables — a
+  * 32k-merge vocabulary is ~300 KB). */
+case class BpeSegment(child: Expression, mergesEncoded: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_segment requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segment"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    mergesEncoded.split("\n").foreach { line =>
+      if (line.nonEmpty) { m.put(line, Integer.valueOf(i)); i += 1 }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeSegment.segment(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val mapRef = ctx.addReferenceObj("bpeRanks", ranks,
+        "java.util.HashMap<String, Integer>")
+      val cls = BpeSegment.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.segment($s, $mapRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegment =
+    copy(child = newChild)
+}
+
+object BpeSegment {
+  /** One word → its BPE symbols. Greedy: find the best (lowest) rank
+    * among adjacent pairs, merge ALL its occurrences left-to-right,
+    * repeat. Code-point splitting matches the trainer's
+    * `substr(w, i, 1)` start symbols. */
+  def segment(word: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = word.toString
+    val syms = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      syms.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    syms.add("</w>")
+    var done = false
+    while (!done && syms.size > 1) {
+      // best-ranked adjacent pair present in the word
+      var bestRank = Int.MaxValue
+      var bestL: String = null
+      var bestR: String = null
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue()
+          bestL = syms.get(j)
+          bestR = syms.get(j + 1)
+        }
+        j += 1
+      }
+      if (bestL == null) done = true
+      else {
+        // merge every occurrence, left-to-right non-overlapping
+        val out = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k + 1 < syms.size && syms.get(k) == bestL &&
+            syms.get(k + 1) == bestR) {
+            out.add(bestL + bestR); k += 2
+          } else { out.add(syms.get(k)); k += 1 }
+        }
+        syms.clear()
+        syms.addAll(out)
+      }
+    }
+    val res = new Array[Any](syms.size)
+    var m = 0
+    while (m < res.length) { res(m) = UTF8String.fromString(syms.get(m)); m += 1 }
+    new GenericArrayData(res)
+  }
+}

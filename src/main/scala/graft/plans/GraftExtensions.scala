@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_atleast", 3)(c =>
         SortedIntersectAtLeast(c(0), c(1), c(2)))))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_segment"),
+      new ExpressionInfo(classOf[BpeSegment].getName, "bpe_segment"),
+      arity("bpe_segment", 2)(c => BpeSegment(c(0),
+        TextHashes.litString(c(1), "bpe_segment: merges")))))
+    ext.injectFunction((
       new FunctionIdentifier("kgram_hashes_all"),
       new ExpressionInfo(classOf[KgramHashesAll].getName, "kgram_hashes_all"),
       arity("kgram_hashes_all", 3)(c => KgramHashesAll(c(0),

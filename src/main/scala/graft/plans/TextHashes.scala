@@ -294,6 +294,17 @@ object TextHashes {
     false
   }
 
+  /** Shared literal-string extraction for the function builders. */
+  private[plans] def litString(e: Expression, what: String): String = e match {
+    case f if f.foldable => f.eval() match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a foldable string literal")
+  }
+
   /** Shared literal-int extraction for the function builders. */
   private[plans] def litInt(e: Expression, what: String): Int = e match {
     case f if f.foldable => f.eval() match {

@@ -117,6 +117,85 @@ class BpeSpec extends AnyFunSuite {
     assert(sparkBpe(Seq("q"), 5, minPairCount = 2).isEmpty)
   }
 
+  /** Textbook application: each merge in TRAINING ORDER, one greedy
+    * left-to-right pass — the semantics bpe_segment's best-rank loop
+    * must reproduce. */
+  private def referenceSegment(word: String,
+      merges: Seq[(String, String)]): Vector[String] = {
+    var syms = {
+      val b = collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp)); i += Character.charCount(cp)
+      }
+      (b += "</w>").toVector
+    }
+    merges.foreach { case (l, r) =>
+      val out = collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toVector
+    }
+    syms
+  }
+
+  test("bpeSegment: matches in-order reference application; words reassemble") {
+    import spark.implicits._
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++ Seq("éclair")
+    val mergesDf = Pipeline.bpeTrain(
+      corpus.map(Tuple1(_)).toDF("text"), "text", 10, minPairCount = 2)
+    val merges = mergesDf.orderBy("merge_no").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docs = Seq((1L, "low lower widest"), (2L, "newest unseen éclair"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.bpeSegment(docs, "doc_id", "text", mergesDf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](r.fieldIndex("bpe_tokens")),
+          r.getLong(r.fieldIndex("n_bpe_tokens")))).toMap
+    val want = Map(
+      1L -> Seq("low", "lower", "widest").flatMap(referenceSegment(_, merges)),
+      2L -> Seq("newest", "unseen", "éclair").flatMap(referenceSegment(_, merges)))
+    assert(got.view.mapValues(_._1).toMap == want)
+    assert(got.forall { case (k, (ts, n)) => n == ts.length })
+    // lossless: stripping '</w>' and joining reassembles the text's words
+    got.foreach { case (k, (ts, _)) =>
+      val rebuilt = ts.mkString("").split("</w>").toSeq
+      val original = docs.filter(col("doc_id") === k)
+        .collect()(0).getString(1).split("\\s+").toSeq
+      assert(rebuilt == original, s"doc $k does not reassemble")
+    }
+    // an empty merge list degrades to pure code-point splitting
+    val none = Pipeline.bpeSegment(docs, "doc_id", "text",
+      mergesDf.limit(0)).collect()(0).getSeq[String](2)
+    assert(none.take(4) == Seq("l", "o", "w", "</w>"))
+  }
+
+  test("bpeSegment: segmenting the training corpus reproduces the trained dictionary") {
+    import spark.implicits._
+    // the closure invariant: tokenize the words BPE was trained on with
+    // the full merge list, and you get exactly the trainer's final
+    // symbol sequences (reference trainer replayed word by word)
+    val words = Seq.fill(4)("abab") ++ Seq.fill(3)("abc") ++ Seq.fill(2)("cab")
+    val mergesDf = Pipeline.bpeTrain(
+      words.map(Tuple1(_)).toDF("text"), "text", 5, minPairCount = 2)
+    val merges = mergesDf.orderBy("merge_no").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = Pipeline.bpeSegment(
+      words.distinct.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text"),
+      "doc_id", "text", mergesDf)
+      .collect().map(r => r.getString(1) -> r.getSeq[String](2)).toMap
+    words.distinct.foreach { w =>
+      assert(seg(w) == referenceSegment(w, merges), s"word $w diverges")
+    }
+  }
+
   test("bpeTrain: leaves no persistent RDDs behind (round checkpoints released)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     sparkBpe(Seq.fill(4)("abc") ++ Seq.fill(2)("abd"), 4, minPairCount = 2)
