@@ -5154,6 +5154,56 @@ object Pipeline {
                coalesce(text_deduped, '') AS text_deduped
         FROM base LEFT JOIN reb USING (doc_id) ORDER BY base.doc_id""")),
 
+    // ---- p53: BPE pair statistics — the distributed CORE of
+    // [[bpeTrain]]'s merge rounds (word-frequency dictionary → symbol
+    // pairs weighted by word count → global ranking) as one gated
+    // plan: the top-10 first-round merge candidates over the fixture
+    // corpus, ties broken (count desc, pair asc) exactly as training
+    // breaks them. The iterative loop itself is spec-gated against a
+    // sequential reference (BpeSpec); this pins the aggregation that
+    // every round runs cross-engine.
+    QueryDef(
+      "p53_bpe_pair_stats",
+      (s, d) => {
+        val dict = T.documents(s, d)
+          .select(explode(array_remove(words(col("text")), "")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"), concat(
+            transform(sequence(lit(1), length(col("w"))),
+              i => col("w").substr(i, lit(1))),
+            array(lit("</w>"))).as("syms"))
+        dict.filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+          .limit(10)
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("pair_count").desc, col("left").asc, col("right").asc)))
+      },
+      Some("""
+        WITH d AS (
+          SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS w FROM documents)
+          GROUP BY w),
+        sy AS (
+          SELECT cnt, list_append(list_transform(range(1, length(w) + 1),
+                   i -> substr(w, i, 1)), '</w>') AS syms
+          FROM d),
+        pr AS (
+          SELECT syms[i] AS "left", syms[i + 1] AS "right", SUM(cnt) AS pair_count
+          FROM sy, unnest(range(1, len(syms))) t(i)
+          GROUP BY 1, 2)
+        SELECT "left", "right", CAST(pair_count AS BIGINT) AS pair_count,
+               CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC,
+                 "left" ASC, "right" ASC) AS INT) AS rk
+        FROM pr
+        ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 10""")),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio
