@@ -753,7 +753,10 @@ object Pipeline {
           sort_array(collect_list(struct(col("line_no"), col("line")))),
           x => x.getField("line")), sep).as("text_deduped"))
     base.select(col("doc_id"),
-        size(split(col("__t"), sepRe)).cast(LongType).as("n_lines"))
+        // a NULL text has ZERO lines — size(split(NULL)) is NULL and
+        // would break downstream ratios (review r11)
+        coalesce(size(split(col("__t"), sepRe)).cast(LongType), lit(0L))
+          .as("n_lines"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
@@ -1374,29 +1377,12 @@ object Pipeline {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     val spark = corpus.sparkSession
-    val eow = "</w>"
-    var dict = corpus
-      .select(explode(array_remove(words(col(textCol)), "")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), concat(
-        transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))),
-        array(lit(eow))).as("syms"))
-      .localCheckpoint()
+    var dict = bpeInitDict(corpus, textCol).localCheckpoint()
     val merges = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     var round = 1
     while (!done && round <= numMerges) {
-      val best = dict
-        // a fully-merged word (one symbol) has no adjacent pairs — and
-        // sequence(1, 0) would DESCEND into invalid indices
-        .filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(col("syms")) - 1),
-          i => struct(element_at(col("syms"), i).as("l"),
-            element_at(col("syms"), i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l"), col("p.r"))
-        .agg(sum(col("cnt")).as("pc"))
+      val best = bpePairCounts(dict)
         .orderBy(col("pc").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
@@ -1423,6 +1409,32 @@ object Pipeline {
     merges.toSeq.toDF("merge_no", "left", "right", "pair_count")
   }
 
+  /** The BPE word-frequency dictionary: one corpus scan → (cnt, syms)
+    * with syms = code points + '</w>'. Shared by [[bpeTrain]]'s loop
+    * and the p53 gate so the gated aggregation IS the trained one. */
+  private def bpeInitDict(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(array_remove(words(col(textCol)), "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))),
+        array(lit("</w>"))).as("syms"))
+
+  /** Adjacent-pair counts over a (cnt, syms) dictionary — the
+    * aggregation every [[bpeTrain]] round runs. Output: (l, r, pc). */
+  private def bpePairCounts(dict: DataFrame): DataFrame =
+    dict
+      // a fully-merged word (one symbol) has no adjacent pairs — and
+      // sequence(1, 0) would DESCEND into invalid indices
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+          element_at(col("syms"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l"), col("p.r"))
+      .agg(sum(col("cnt")).as("pc"))
+
   /** Apply a learned BPE merge list to a corpus — the tokenizer
     * runtime over [[bpeTrain]]'s output: every whitespace word splits
     * into its BPE symbols (code points + '</w>' merged by the best-
@@ -1431,8 +1443,9 @@ object Pipeline {
     * centroid-table pattern) and baked into the codegen'd expression's
     * rank map — per row there is no parsing, no join, no shuffle: the
     * whole tokenization is one map pass. Output: every caller column +
-    * `bpe_tokens` (array<string>) and `n_bpe_tokens`. */
-  def bpeSegment(corpus: DataFrame, idCol: String, textCol: String,
+    * `bpe_tokens` (array<string>) and `n_bpe_tokens` (no id column is
+    * needed — all caller columns pass through untouched). */
+  def bpeSegment(corpus: DataFrame, textCol: String,
       merges: DataFrame): DataFrame = {
     val encoded = merges.orderBy(col(merges.columns(0)))
       .select(col(merges.columns(1)), col(merges.columns(2)))
@@ -4952,7 +4965,7 @@ object Pipeline {
           SELECT doc_id,
                  array_to_string(list_transform(range(0,
                      greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)), i ->
-                   array_to_string(ws[i*8+1 : i*8+8], ' ') ||
+                   coalesce(array_to_string(ws[i*8+1 : i*8+8], ' '), '') ||
                    CASE WHEN i % 3 = 0 THEN '.'
                         WHEN i % 3 = 1 THEN '' ELSE '?' END), chr(10)) ||
                  CASE WHEN doc_id % 41 = 0
@@ -5125,7 +5138,7 @@ object Pipeline {
           SELECT doc_id,
                  array_to_string(list_transform(range(0,
                      greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)), i ->
-                   array_to_string(ws[i*8+1 : i*8+8], ' ') || '.'), chr(10)) ||
+                   coalesce(array_to_string(ws[i*8+1 : i*8+8], ' '), '') || '.'), chr(10)) ||
                  chr(10) || 'accept cookies to continue reading this website today.' AS page
           FROM w),
         l AS MATERIALIZED (
@@ -5165,20 +5178,11 @@ object Pipeline {
     QueryDef(
       "p53_bpe_pair_stats",
       (s, d) => {
-        val dict = T.documents(s, d)
-          .select(explode(array_remove(words(col("text")), "")).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-          .select(col("cnt"), concat(
-            transform(sequence(lit(1), length(col("w"))),
-              i => col("w").substr(i, lit(1))),
-            array(lit("</w>"))).as("syms"))
-        dict.filter(size(col("syms")) >= 2)
-          .select(col("cnt"), explode(transform(
-            sequence(lit(1), size(col("syms")) - 1),
-            i => struct(element_at(col("syms"), i).as("l"),
-              element_at(col("syms"), i + 1).as("r")))).as("p"))
-          .groupBy(col("p.l").as("left"), col("p.r").as("right"))
-          .agg(sum(col("cnt")).as("pair_count"))
+        // the SAME helpers the bpeTrain loop runs — the gate pins the
+        // trained aggregation itself, not a hand-copied twin
+        bpePairCounts(bpeInitDict(T.documents(s, d), "text"))
+          .select(col("l").as("left"), col("r").as("right"),
+            col("pc").as("pair_count"))
           .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
           .limit(10)
           .withColumn("rk", row_number().over(Window.orderBy(

@@ -19,9 +19,21 @@ class BpeSpec extends AnyFunSuite {
   /** Textbook sequential BPE on the word-frequency dictionary. */
   private def referenceBpe(words: Seq[String], numMerges: Int,
       minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    // CODE-POINT split, like the trainer's substr(w, i, 1) and the
+    // segmenter's codePointAt walk — a UTF-16 code-unit split would
+    // shear astral chars into surrogates and diverge (review r11)
+    def cps(w: String): Vector[String] = {
+      val b = collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp)); i += Character.charCount(cp)
+      }
+      b.toVector
+    }
     val counts = words.groupBy(identity).view.mapValues(_.size.toLong)
     var dict: Map[Vector[String], Long] = counts.map { case (w, c) =>
-      (w.map(_.toString).toVector :+ "</w>") -> c
+      (cps(w) :+ "</w>") -> c
     }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     val out = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var round = 1
@@ -95,8 +107,11 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("bpeTrain: property — merge lists identical to the reference on random corpora") {
+    // includes an ASTRAL char (𝄞, U+1D11E — two UTF-16 code units) so
+    // the code-point contract is genuinely exercised
     val wordGen = Gen.chooseNum(1, 6).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "é")).map(_.mkString))
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "é", "𝄞"))
+        .map(_.mkString))
     val corpusGen = Gen.chooseNum(3, 25).flatMap(n => Gen.listOfN(n, wordGen))
     val p = Prop.forAll(corpusGen) { words =>
       sparkBpe(words, numMerges = 6, minPairCount = 2) ==
@@ -154,7 +169,7 @@ class BpeSpec extends AnyFunSuite {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val docs = Seq((1L, "low lower widest"), (2L, "newest unseen éclair"))
       .toDF("doc_id", "text")
-    val got = Pipeline.bpeSegment(docs, "doc_id", "text", mergesDf)
+    val got = Pipeline.bpeSegment(docs, "text", mergesDf)
       .collect().map(r => r.getLong(0) ->
         (r.getSeq[String](r.fieldIndex("bpe_tokens")),
           r.getLong(r.fieldIndex("n_bpe_tokens")))).toMap
@@ -171,7 +186,7 @@ class BpeSpec extends AnyFunSuite {
       assert(rebuilt == original, s"doc $k does not reassemble")
     }
     // an empty merge list degrades to pure code-point splitting
-    val none = Pipeline.bpeSegment(docs, "doc_id", "text",
+    val none = Pipeline.bpeSegment(docs, "text",
       mergesDf.limit(0)).collect()(0).getSeq[String](2)
     assert(none.take(4) == Seq("l", "o", "w", "</w>"))
   }
@@ -189,7 +204,7 @@ class BpeSpec extends AnyFunSuite {
     val seg = Pipeline.bpeSegment(
       words.distinct.zipWithIndex.map { case (w, i) => (i.toLong, w) }
         .toDF("doc_id", "text"),
-      "doc_id", "text", mergesDf)
+      "text", mergesDf)
       .collect().map(r => r.getString(1) -> r.getSeq[String](2)).toMap
     words.distinct.foreach { w =>
       assert(seg(w) == referenceSegment(w, merges), s"word $w diverges")
