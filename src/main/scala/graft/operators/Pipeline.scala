@@ -740,11 +740,19 @@ object Pipeline {
     val base = corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     val lines = base.select(col("doc_id"),
       posexplode(split(col("__t"), sepRe)).as(Seq("line_no", "line")))
+    // first occurrence via min(struct(doc_id, line_no)) AGGREGATION,
+    // not a row_number window: boilerplate is by definition a
+    // maximally HOT key (the same cookie banner on every page —
+    // billions of identical lines at 100 TB), and a window partitioned
+    // by line funnels every copy into one task, while the aggregate
+    // combines duplicates map-side (partial agg) so the shuffle
+    // carries one row per (mapper, line). Identical semantics: the
+    // lexicographic struct minimum IS the (doc_id, line_no)-first row.
     val keptContent = lines.filter(trim(col("line")) =!= "")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("line"))
-          .orderBy(col("doc_id"), col("line_no"))))
-      .filter(col("rk") === 1).drop("rk")
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"),
+        col("f.line_no").as("line_no"), col("line"))
     val kept = keptContent.unionByName(
       lines.filter(trim(col("line")) === ""))
     val rebuilt = kept.groupBy(col("doc_id"))
