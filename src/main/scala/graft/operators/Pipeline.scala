@@ -2202,6 +2202,23 @@ object Pipeline {
     spark.createDataFrame(java.util.Arrays.asList(out: _*), candSchema)
   }
 
+  /** Assign ANY vectors to a TRAINED centroid table — the SERVING side
+    * of [[ivfIndex]]: training assigns the corpus once, but arriving
+    * vectors (a notebook batch, a `readStream`) need the same argmin
+    * pass without refitting. Pure map-side — the k-row centroid table
+    * collapses to one broadcast row and each vector folds an argmin
+    * over it (codegen'd distance kernel, ties to the lowest cluster),
+    * so the SAME call runs unchanged on a stream (stream-static
+    * broadcast; StreamsSpec drives it). `centroids` is positional
+    * (cluster, vector) — [[kmeansFit]]/[[ivfIndex]] output. Output:
+    * (vec_id, embedding, cl, d2). */
+  def assignToCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    kmeansAssign(
+      vecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      centroids.select(col(centroids.columns(0)).as("cl"),
+        col(centroids.columns(1)).as("ce")))
+
   /** One Lloyd's assignment pass: argmin distance against a broadcast
     * centroid row. `e` = (vec_id, embedding); `cents` = (cl, ce). */
   private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {

@@ -211,6 +211,37 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeSegment composes with packSequences: real token counts drive packing") {
+    import spark.implicits._
+    // the end-to-end pretraining-prep chain: learn a vocab, tokenize,
+    // pack into context windows by the REAL bpe token counts
+    val corpus = Seq.fill(6)("aa bb aa") ++ Seq.fill(4)("aa cc")
+    val mergesDf = Pipeline.bpeTrain(
+      corpus.map(Tuple1(_)).toDF("text"), "text", 4, minPairCount = 2)
+    val docs = Seq(
+      (1L, "s0", "aa bb aa"), (2L, "s0", "aa cc"),
+      (3L, "s1", "aa bb aa aa bb aa"), (4L, "s1", "cc"))
+      .toDF("doc_id", "shard", "text")
+    val toks = Pipeline.bpeSegment(docs, "text", mergesDf)
+    val packed = Pipeline.packSequences(toks, "doc_id", "shard",
+      col("n_bpe_tokens"), contextLen = 8)
+    val rows = packed.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("tok_offset")),
+          r.getLong(r.fieldIndex("tok"))))
+      .toMap
+    // every doc packed; offsets are a gapless prefix sum of the real
+    // BPE counts in (shard, doc) order
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    val inOrder = packed.orderBy("tok_offset").collect()
+      .map(r => (r.getLong(r.fieldIndex("tok_offset")),
+        r.getLong(r.fieldIndex("tok"))))
+    inOrder.sliding(2).foreach {
+      case Array((o1, n1), (o2, _)) => assert(o2 == o1 + n1, "offset gap")
+      case _ =>
+    }
+  }
+
   test("bpeTrain: leaves no persistent RDDs behind (round checkpoints released)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     sparkBpe(Seq.fill(4)("abc") ++ Seq.fill(2)("abd"), 4, minPairCount = 2)

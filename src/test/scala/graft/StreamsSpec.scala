@@ -462,6 +462,48 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("assignToCentroids serves a trained index to a live vector stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.Pipeline
+    // train once on a static corpus, then assign ARRIVING vectors with
+    // the identical map-side pass — the online half of an ANN index
+    val train = (0 until 9).map { i =>
+      (i.toLong, Array.tabulate(8)(j => 100f * (i % 3) + j * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val (_, cents) = Pipeline.ivfIndex(train, "vec_id", "embedding",
+      k = 3, dim = 8, iters = 1, seedRounds = 2)
+    val centsRows = cents.collect() // force training before the stream
+    assert(centsRows.length == 3)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Pipeline.assignToCentroids(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+      .select("vec_id", "cl")
+      .writeStream.format("memory").queryName("assign")
+      .outputMode("append").start()
+    try {
+      val arriving = (100 until 106).map { i =>
+        (i.toLong, Array.tabulate(8)(j => 100f * (i % 3) + j * 0.1f))
+      }
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("assign").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // batch and stream assignments are identical (same code path)
+      val batch = Pipeline.assignToCentroids(
+        arriving.toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(streamed == batch && streamed.size == 6)
+      // and vectors landing on a training blob share its cluster
+      // (training vec `b` sits exactly on blob b = id % 3)
+      val trainCl = Pipeline.assignToCentroids(train, "vec_id", "embedding",
+        cents).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      arriving.foreach { case (id, _) =>
+        assert(streamed(id) == trainCl(id % 3), s"vec $id landed off its blob")
+      }
+    } finally q.stop()
+  }
+
   test("toParquet: checkpointed file sink resumes exactly-once across restarts") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
