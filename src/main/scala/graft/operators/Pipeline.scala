@@ -1689,35 +1689,32 @@ object Pipeline {
         }).as("codes"))
 
   /** SQ8 asymmetric search: queries keep full floats, the corpus scan
-    * reads CODES and reconstructs each dimension on the fly as a
-    * double (mn + code/255 · (mx − mn) — the stored-at-rest
-    * compression is the point; decode is register arithmetic, exactly
-    * FAISS's SQ scan), scoring squared-L2 via the codegen'd
-    * sequential-fold kernel. Brute over the codes table — compose with
-    * an IVF membership filter upstream to prune the scan, as
-    * [[ivfpqSearch]] does for PQ. Query side broadcasts (retrieval
-    * contract). Output: (q_id, vec_id, adist, rk ≤ k). */
+    * reads CODES and reconstructs each dimension INSIDE the distance
+    * loop (mn + code/255 · (mx − mn) — the stored-at-rest compression
+    * is the point; decode is register arithmetic, exactly FAISS's SQ
+    * scan) via the fused [[graft.plans.SqAdist]] kernel: one codegen'd
+    * pass per (vector, query), no intermediate decoded array, no
+    * interpreted HOF in the hot loop — bit-identical to decode-then-
+    * [[graft.plans.FloatDistSq]] (property-pinned in TextApiSpec).
+    * Brute over the codes table — compose with an IVF membership
+    * filter upstream to prune the scan, as [[ivfpqSearch]] does for
+    * PQ. Query side broadcasts (retrieval contract). Output: (q_id,
+    * vec_id, adist, rk ≤ k). */
   def sqSearch(codes: DataFrame, queries: DataFrame, bounds: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
-    val dec = codes
+    val joined = codes
       .withColumn("codes", sqLenChecked(col("codes"), dim, "codes row"))
       .crossJoin(broadcast(sqBoundsRow(bounds, dim)))
-      .select(col("vec_id"),
-        transform(sequence(lit(1), lit(dim)), i => {
-          val mn = element_at(col("__mns"), i).cast(DoubleType)
-          val mx = element_at(col("__mxs"), i).cast(DoubleType)
-          mn + element_at(col("codes"), i).cast(DoubleType) / 255.0 *
-            (mx - mn)
-        }).as("dv"))
-    val joined = dec.crossJoin(broadcast(q))
+      .crossJoin(broadcast(q))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id"))
      else joined)
       .select(col("q_id"), col("vec_id"),
-        call_function("float_dist_sq", col("qe"), col("dv")).as("adist"))
+        call_function("sq_adist", col("qe"), col("codes"),
+          col("__mns"), col("__mxs")).as("adist"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
   }

@@ -76,6 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_atleast", 3)(c =>
         SortedIntersectAtLeast(c(0), c(1), c(2)))))
     ext.injectFunction((
+      new FunctionIdentifier("sq_adist"),
+      new ExpressionInfo(classOf[SqAdist].getName, "sq_adist"),
+      arity("sq_adist", 4)(c => SqAdist(c(0), c(1), c(2), c(3)))))
+    ext.injectFunction((
       new FunctionIdentifier("bpe_segment"),
       new ExpressionInfo(classOf[BpeSegment].getName, "bpe_segment"),
       arity("bpe_segment", 2)(c => BpeSegment(c(0),

@@ -90,6 +90,27 @@ class TextApiSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 1, dim, excludeSelf = false)
       .collect()(0)
     assert(self.getLong(1) == 3L && self.getDouble(2) < 0.01)
+    // the fused sq_adist kernel is BIT-IDENTICAL to the two-step
+    // spelling (decode to array<double>, then float_dist_sq) — the
+    // identity that keeps the p50 oracle valid after the fusion
+    val bArr = bounds.orderBy("pos")
+      .agg(collect_list(col("mn")).as("mns"), collect_list(col("mx")).as("mxs"))
+    val pairs = Pipeline.sqEncode(vecs, "vec_id", "embedding", bounds, dim)
+      .crossJoin(broadcast(bArr))
+      .crossJoin(broadcast(vecs.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"))))
+    val fusedVsTwoStep = pairs.select(
+      call_function("sq_adist", col("qe"), col("codes"),
+        col("mns"), col("mxs")).as("fused"),
+      call_function("float_dist_sq", col("qe"),
+        transform(sequence(lit(1), lit(dim)), i => {
+          val mn = element_at(col("mns"), i).cast("double")
+          val mx = element_at(col("mxs"), i).cast("double")
+          mn + element_at(col("codes"), i).cast("double") / 255.0 * (mx - mn)
+        })).as("twostep"))
+      .collect()
+    assert(fusedVsTwoStep.nonEmpty &&
+      fusedVsTwoStep.forall(r => r.getDouble(0) == r.getDouble(1)))
     // a dim mismatch fails LOUDLY with the sq message, not with NULL
     // codes silently poisoning every distance (review r11)
     val e1 = intercept[Exception] {
