@@ -325,6 +325,25 @@ class TextApiSpec extends AnyFunSuite {
     val nullRow = Pipeline.ngramDecontaminate(withNull, evalSet, textCol = "body")
       .collect()(0)
     assert(!nullRow.isNullAt(2) && !nullRow.getBoolean(2))
+    // cross-operator consistency: the hash-membership flag agrees with
+    // the explode-join COUNT operator at the same n — a doc is flagged
+    // iff sharedKgramCounts reports >= 1 shared distinct n-gram for it
+    // (randomized corpora; two independent code paths, one contract)
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("sun", "moon", "tide", "rock", "fern", "mist")
+    val randDocs = (0L until 40L).map { i =>
+      (i, (0 until 4 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("post_key", "body")
+    val ev = randDocs.filter(col("post_key") % 7 === 0)
+    val tr = randDocs.filter(col("post_key") % 7 =!= 0)
+    val flagged = Pipeline.ngramDecontaminate(tr, ev, "body", n = 4)
+      .filter(col("contaminated")).select("post_key").collect()
+      .map(_.getLong(0)).toSet
+    val counted = Pipeline.sharedKgramCounts(tr, ev, "post_key", "body", k = 4)
+      .select("train_doc").collect().map(_.getLong(0)).toSet
+    assert(flagged == counted,
+      s"membership flag and count operator disagree: $flagged vs $counted")
   }
 
   test("collapseNeardups keeps min-id representatives and all caller columns") {
