@@ -1719,6 +1719,49 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** IVF + SQ8 composed (the FAISS IVF-SQ shape — in practice the most
+    * deployed compressed index: probe pruning × 4× scalar compression
+    * without PQ's codebook training): each query probes its `nprobe`
+    * best coarse cells exactly as [[ivfpqSearch]] does, then scans
+    * ONLY those cells' members from the SQ codes table with the fused
+    * decode-in-the-loop kernel ([[graft.plans.SqAdist]]) — the scan
+    * covers ~nprobe/n_clusters of the corpus at a quarter of the
+    * bytes per row. Inputs verbatim from the other operators:
+    * `member`/`centroids` from [[ivfIndex]], `codes` from
+    * [[sqEncode]], `bounds` from [[sqTrain]]. nprobe = n_clusters
+    * degenerates to [[sqSearch]] over the whole corpus. Output:
+    * (q_id, probe_label, vec_id, adist, rk ≤ k). */
+  def ivfSqSearch(member: DataFrame, codes: DataFrame, queries: DataFrame,
+      centroids: DataFrame, bounds: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = centroids.select(col(centroids.columns(0)).as("m_label"),
+      transform(col(centroids.columns(1)), x => x.cast(DoubleType)).as("me"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("m_d2").asc, col("m_label").asc)
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("m_d2", call_function("float_dist_sq", col("qe"), col("me")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
+      .select(col("q_id"), col("qe"), col("m_label").as("probe_label"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val scanned = codes
+      .withColumn("codes", sqLenChecked(col("codes"), dim, "codes row"))
+      .crossJoin(broadcast(sqBoundsRow(bounds, dim)))
+      .join(member.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .join(broadcast(probes), col("cluster") === col("probe_label"))
+    (if (excludeSelf) scanned.filter(col("vec_id") =!= col("q_id"))
+     else scanned)
+      .select(col("q_id"), col("probe_label"), col("vec_id"),
+        call_function("sq_adist", col("qe"), col("codes"),
+          col("__mns"), col("__mxs")).as("adist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+  }
+
   /** IVF + PQ composed (the FAISS-style IVFPQ shape, Jégou TPAMI'11
     * §V): each query probes its `nprobe` best coarse clusters against
     * the broadcast TRAINED centroid table ([[ivfIndex]] output), then
@@ -5229,6 +5272,71 @@ object Pipeline {
                  "left" ASC, "right" ASC) AS INT) AS rk
         FROM pr
         ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 10""")),
+
+    // ---- p54: IVF + SQ8 composed — [[ivfSqSearch]] over the shared
+    // coarse index (p37/p41's memoized artifacts) and a standalone SQ8
+    // bounds/encode chain: probe pruning × scalar compression, the
+    // most deployed compressed-index layout. The oracle replays the
+    // coarse chain (p37's CTEs), the SQ chain (p50's CTEs), the probe
+    // selection, and the decode-distance scan over probed cells only.
+    QueryDef(
+      "p54_ivfsq",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val art = sharedIvfPq(s, d)
+        val bounds = sqTrain(e, "vec_id", "embedding", dim = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ivfSqSearch(art.member,
+          sqEncode(e, "vec_id", "embedding", bounds, dim = 64),
+          e.filter(col("vec_id") <= 4), art.cents, bounds,
+          "vec_id", "embedding", k = 3, dim = 64, nprobe = 2)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some {
+        val Dim = 64
+        s"""WITH ${kmparChainSql(3, rounds = 2, dim = Dim)},
+           |${kmSeedCentroidsSql(3)},
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "cf", "a1", Dim)},
+           |${kmAssignSql("mem", "cf", Dim)},
+           |b AS MATERIALIZED (
+           |  SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
+           |  FROM e, unnest(range(1, ${Dim + 1})) t(i) GROUP BY i),
+           |ba AS (SELECT array_agg(mn ORDER BY pos) AS mns,
+           |              array_agg(mx ORDER BY pos) AS mxs FROM b),
+           |sqc AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i ->
+           |    CASE WHEN CAST(mxs[i] AS DOUBLE) > CAST(mns[i] AS DOUBLE)
+           |      THEN least(255, greatest(0, CAST(round(
+           |        (CAST(emb[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) /
+           |        (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) * 255) AS INT)))
+           |      ELSE 0 END) AS codes
+           |  FROM e CROSS JOIN ba),
+           |dec AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i ->
+           |    CAST(mns[i] AS DOUBLE) + CAST(codes[i] AS DOUBLE) / 255.0 *
+           |      (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE))) AS dv
+           |  FROM sqc CROSS JOIN ba),
+           |probes AS MATERIALIZED (
+           |  SELECT q_id, m_label AS probe_label FROM (
+           |    SELECT q.vec_id AS q_id, c.cl AS m_label,
+           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${kmD2Sql(Dim, "q.emb", "c.ce")} ASC, c.cl ASC) AS prk
+           |    FROM e q CROSS JOIN cf c WHERE q.vec_id <= 4) t
+           |  WHERE prk <= 2),
+           |scored AS (
+           |  SELECT p.q_id, p.probe_label, dv.vec_id,
+           |         ${kmD2Sql(Dim, "q.emb", "dv.dv")} AS adist
+           |  FROM probes p
+           |  JOIN e q ON q.vec_id = p.q_id
+           |  JOIN mem mm ON mm.cl = p.probe_label
+           |  JOIN dec dv ON dv.vec_id = mm.vec_id
+           |  WHERE dv.vec_id <> p.q_id)
+           |SELECT q_id, probe_label, vec_id, adist,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
+           |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
+      }),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -111,6 +111,28 @@ class TextApiSpec extends AnyFunSuite {
       .collect()
     assert(fusedVsTwoStep.nonEmpty &&
       fusedVsTwoStep.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // IVF composition: probing EVERY cell degenerates to the brute
+    // sq scan — identical hits and adists (the ivfpqSearch property,
+    // for the SQ rung)
+    val (member, cents) = Pipeline.ivfIndex(vecs, "vec_id", "embedding",
+      k = 2, dim = dim, iters = 1, seedRounds = 2)
+    val codesDf = Pipeline.sqEncode(vecs, "vec_id", "embedding", bounds, dim)
+    val qs = vecs.filter(col("vec_id") <= 1L)
+    val ivfAll = Pipeline.ivfSqSearch(member, codesDf, qs, cents, bounds,
+      "vec_id", "embedding", k = 3, dim = dim, nprobe = 2)
+      .select("q_id", "vec_id", "adist", "rk").orderBy("q_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val brute = Pipeline.sqSearch(codesDf, qs, bounds,
+      "vec_id", "embedding", k = 3, dim = dim)
+      .orderBy("q_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(ivfAll.toSeq == brute.toSeq)
+    // and with nprobe = 1 the scan touches only the probed cell's
+    // members — every hit shares the query's best cluster
+    val one = Pipeline.ivfSqSearch(member, codesDf, qs, cents, bounds,
+      "vec_id", "embedding", k = 3, dim = dim, nprobe = 1)
+      .select("q_id", "probe_label").distinct().collect()
+    assert(one.nonEmpty && one.map(_.getInt(1)).distinct.length <= 2)
     // a dim mismatch fails LOUDLY with the sq message, not with NULL
     // codes silently poisoning every distance (review r11)
     val e1 = intercept[Exception] {
