@@ -725,11 +725,12 @@ object Pipeline {
     * on `sep`) is kept only at its FIRST global occurrence (ordered by
     * doc id, then line position — deterministic, rerun-stable);
     * whitespace-only lines are structure, not content, and are never
-    * deduplicated. Scale shape: one shuffle keyed by paragraph content
-    * (ccnet's hash-partitioned paragraph pass; the window's
-    * partitionBy(line) — swap in a content hash upstream to cut
-    * shuffle bytes at the cost of exactness-vs-collisions) and one
-    * doc-keyed rebuild shuffle. Output: (doc_id, n_lines,
+    * deduplicated. Scale shape: one PARTIAL-AGG shuffle keyed by
+    * paragraph content (hot boilerplate keys combine map-side — see
+    * the first-occurrence aggregate below; swap in a content hash
+    * upstream to cut shuffle bytes at the cost of
+    * exactness-vs-collisions) and one doc-keyed rebuild shuffle.
+    * Output: (doc_id, n_lines,
     * n_kept_lines, text_deduped), one row per input doc — a doc whose
     * every content line occurred earlier elsewhere keeps only its
     * whitespace lines (n_kept_lines counts what survived); join back
@@ -1703,7 +1704,11 @@ object Pipeline {
   def sqSearch(codes: DataFrame, queries: DataFrame, bounds: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+    // query vectors are length-checked too: a wrong-dim query would
+    // otherwise NULL every distance, and NULLS FIRST under ascending
+    // rank silently returns k arbitrary vectors (review r11)
+    val q = queries.select(col(idCol).as("q_id"),
+      sqLenChecked(col(vecCol), dim, "query vector").as("qe"))
     val joined = codes
       .withColumn("codes", sqLenChecked(col("codes"), dim, "codes row"))
       .crossJoin(broadcast(sqBoundsRow(bounds, dim)))
@@ -1736,23 +1741,22 @@ object Pipeline {
       idCol: String, vecCol: String, k: Int, dim: Int,
       nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cents = centroids.select(col(centroids.columns(0)).as("m_label"),
-      transform(col(centroids.columns(1)), x => x.cast(DoubleType)).as("me"))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("m_d2").asc, col("m_label").asc)
-    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
-      .crossJoin(broadcast(cents))
-      .withColumn("m_d2", call_function("float_dist_sq", col("qe"), col("me")))
-      .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= nprobe)
+    // query vectors length-checked: a wrong-dim query NULLs every
+    // distance and NULLS FIRST would silently return arbitrary
+    // vectors (review r11)
+    val probes = probeCells(queries, centroids, idCol, vecCol, nprobe,
+        qe => sqLenChecked(qe, dim, "query vector"))
       .select(col("q_id"), col("qe"), col("m_label").as("probe_label"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     val scanned = codes
       .withColumn("codes", sqLenChecked(col("codes"), dim, "codes row"))
-      .crossJoin(broadcast(sqBoundsRow(bounds, dim)))
       .join(member.select(col("vec_id"), col("cluster")), Seq("vec_id"))
       .join(broadcast(probes), col("cluster") === col("probe_label"))
+      // bounds attach AFTER the probe pruning: the 2×dim-float arrays
+      // would otherwise ride every corpus row through the member join
+      // instead of only the ~nprobe/n_clusters survivors (review r11)
+      .crossJoin(broadcast(sqBoundsRow(bounds, dim)))
     (if (excludeSelf) scanned.filter(col("vec_id") =!= col("q_id"))
      else scanned)
       .select(col("q_id"), col("probe_label"), col("vec_id"),
@@ -1788,22 +1792,14 @@ object Pipeline {
     require(m >= 1 && dim % m == 0,
       s"dim must divide into m subspaces, got dim=$dim m=$m")
     val sub = dim / m
-    val cents = centroids.select(col(centroids.columns(0)).as("m_label"),
-      transform(col(centroids.columns(1)), x => x.cast(DoubleType)).as("me"))
     val flat = collectCodebookFlat(codebooks, m, ksub)
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("m_d2").asc, col("m_label").asc)
     def dtabOver(qv: Column): Column =
       transform(col("fl"), c =>
         call_function("float_dist_sq",
           slice(qv, c.getField("j") * sub + 1, lit(sub)),
           c.getField("ce")))
     // nprobe best coarse cells per query (parameter-bounded)
-    val sel = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
-      .crossJoin(broadcast(cents))
-      .withColumn("m_d2", call_function("float_dist_sq", col("qe"), col("me")))
-      .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= nprobe)
+    val sel = probeCells(queries, centroids, idCol, vecCol, nprobe)
     // the ADC lookup table: per (query, probe) in residual mode (qv =
     // q − c(probe) differs per probe), but ONCE PER QUERY otherwise —
     // the raw-vector table depends only on q, and building it per
@@ -1838,6 +1834,27 @@ object Pipeline {
         adist.as("adist"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
+  }
+
+  /** The nprobe best coarse cells per query — the probe-selection
+    * block [[ivfpqSearch]] and [[ivfSqSearch]] share: positional
+    * (cluster, vector) centroids cast to double, broadcast against the
+    * query side, squared-euclidean ranking with ties to the lowest
+    * cluster. `qCheck` lets a caller wrap the query vector in a
+    * validation column. Output keeps (q_id, qe, me, m_label) for the
+    * residual path. */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int,
+      qCheck: Column => Column = identity): DataFrame = {
+    val cents = centroids.select(col(centroids.columns(0)).as("m_label"),
+      transform(col(centroids.columns(1)), x => x.cast(DoubleType)).as("me"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("m_d2").asc, col("m_label").asc)
+    queries.select(col(idCol).as("q_id"), qCheck(col(vecCol)).as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("m_d2", call_function("float_dist_sq", col("qe"), col("me")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
   }
 
   /** Collect + validate the parameter-sized codebook ONCE and return
@@ -2267,8 +2284,17 @@ object Pipeline {
     // list_reduce, but inside whole-stage codegen (see FloatDistSq)
     def dist2(q: Column, c: Column): Column =
       call_function("float_dist_sq", q, c)
+    // empty-centroid guard on the one broadcast row: an empty table
+    // (an upstream filter gone wrong) would otherwise assign EVERY
+    // vector the fold's sentinel (cl = -1, d2 = MaxValue) and no error
+    // ever surfaces — downstream treats -1 as a real cluster
+    // (review r11)
     val cArr = cents
       .agg(sort_array(collect_list(struct(col("cl"), col("ce")))).as("cs"))
+      .select(when(size(col("cs")) > 0, col("cs"))
+        .otherwise(raise_error(lit(
+          "assignToCentroids: empty centroid table — nothing to assign to")))
+        .as("cs"))
     e.crossJoin(broadcast(cArr))
       .withColumn("best", aggregate(col("cs"),
         struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cl")),

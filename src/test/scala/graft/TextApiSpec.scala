@@ -127,12 +127,45 @@ class TextApiSpec extends AnyFunSuite {
       .orderBy("q_id", "rk")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(ivfAll.toSeq == brute.toSeq)
-    // and with nprobe = 1 the scan touches only the probed cell's
-    // members — every hit shares the query's best cluster
+    // and with nprobe = 1 every hit is a MEMBER of the query's argmin
+    // cell, with the probe_label matching an independent argmin over
+    // the trained centroids (a vacuous <=-count assertion could not
+    // catch a broken probe selection — review r11)
+    val centRows = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val memberOf = member.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def argminCell(qe: Array[Float]): Int = centRows.minBy { case (cl, ce) =>
+      (qe.zip(ce).map { case (a, b) => val d = a.toDouble - b; d * d }.sum, cl)
+    }._1
+    val qVecs = qs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     val one = Pipeline.ivfSqSearch(member, codesDf, qs, cents, bounds,
       "vec_id", "embedding", k = 3, dim = dim, nprobe = 1)
-      .select("q_id", "probe_label").distinct().collect()
-    assert(one.nonEmpty && one.map(_.getInt(1)).distinct.length <= 2)
+      .select("q_id", "probe_label", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(one.nonEmpty)
+    one.foreach { case (qId, probe, hit) =>
+      assert(probe == argminCell(qVecs(qId)), s"q$qId probed a non-argmin cell")
+      assert(memberOf(hit) == probe, s"hit $hit outside the probed cell")
+    }
+    // wrong-dim QUERY vectors fail loudly, not via NULLS-FIRST ranking
+    val badQ = Seq((9L, Array.fill(2)(1.0f))).toDF("vec_id", "embedding")
+    val eq = intercept[Exception] {
+      Pipeline.sqSearch(codesDf, badQ, bounds, "vec_id", "embedding",
+        k = 1, dim).count()
+    }
+    assert(eq.getMessage.contains("sq:") ||
+      Option(eq.getCause).exists(_.getMessage.contains("sq:")))
+    // an EMPTY centroid table fails loudly in assignToCentroids —
+    // when the assignment is actually READ (a bare count() prunes the
+    // cl column and with it the guard; every real consumer reads cl)
+    val ec = intercept[Exception] {
+      Pipeline.assignToCentroids(vecs, "vec_id", "embedding",
+        cents.limit(0)).select("cl").collect()
+    }
+    assert(ec.getMessage.contains("empty centroid") ||
+      Option(ec.getCause).exists(_.getMessage.contains("empty centroid")))
     // a dim mismatch fails LOUDLY with the sq message, not with NULL
     // codes silently poisoning every distance (review r11)
     val e1 = intercept[Exception] {
