@@ -1734,19 +1734,31 @@ object Pipeline {
     * bytes per row. Inputs verbatim from the other operators:
     * `member`/`centroids` from [[ivfIndex]], `codes` from
     * [[sqEncode]], `bounds` from [[sqTrain]]. nprobe = n_clusters
-    * degenerates to [[sqSearch]] over the whole corpus. Output:
+    * degenerates to [[sqSearch]] over the whole corpus.
+    * `residual = true` is FAISS's IVF-SQ DEFAULT (by_residual): codes
+    * and bounds were trained on r(v) = v − c(cluster(v)) (feed
+    * [[pqResiduals]] output to [[sqTrain]]/[[sqEncode]]), and each
+    * probe's query side becomes q − c(probe) (same double-subtract →
+    * float round-trip as [[ivfpqSearch]]'s residual path) so both ADC
+    * sides sit in the probed cell's residual frame. Output:
     * (q_id, probe_label, vec_id, adist, rk ≤ k). */
   def ivfSqSearch(member: DataFrame, codes: DataFrame, queries: DataFrame,
       centroids: DataFrame, bounds: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
-      nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+      nprobe: Int = 1, excludeSelf: Boolean = true,
+      residual: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // query vectors length-checked: a wrong-dim query NULLs every
     // distance and NULLS FIRST would silently return arbitrary
     // vectors (review r11)
-    val probes = probeCells(queries, centroids, idCol, vecCol, nprobe,
-        qe => sqLenChecked(qe, dim, "query vector"))
-      .select(col("q_id"), col("qe"), col("m_label").as("probe_label"))
+    val sel = probeCells(queries, centroids, idCol, vecCol, nprobe,
+      qe => sqLenChecked(qe, dim, "query vector"))
+    val probes =
+      (if (residual)
+        sel.withColumn("qe", zip_with(col("qe"), col("me"),
+          (a, b) => (a.cast(DoubleType) - b).cast(FloatType)))
+      else sel)
+        .select(col("q_id"), col("qe"), col("m_label").as("probe_label"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     val scanned = codes
@@ -5355,6 +5367,84 @@ object Pipeline {
            |         ${kmD2Sql(Dim, "q.emb", "dv.dv")} AS adist
            |  FROM probes p
            |  JOIN e q ON q.vec_id = p.q_id
+           |  JOIN mem mm ON mm.cl = p.probe_label
+           |  JOIN dec dv ON dv.vec_id = mm.vec_id
+           |  WHERE dv.vec_id <> p.q_id)
+           |SELECT q_id, probe_label, vec_id, adist,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
+           |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
+      }),
+
+    // ---- p55: IVF-SQ8 with RESIDUAL encoding — FAISS's by_residual
+    // default for IndexIVFScalarQuantizer: bounds and codes train on
+    // r(v) = v − c(cluster(v)) (the within-cell distribution the probe
+    // actually scans — tighter bounds → finer 8-bit levels), and each
+    // probe's query side becomes q − c(probe). The oracle replays the
+    // coarse chain, the residual frame (p42's construction), the
+    // residual bounds/encode/decode, the per-probe query residuals,
+    // and the pruned decode-distance scan.
+    QueryDef(
+      "p55_ivfsq_residual",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val art = sharedIvfPq(s, d)
+        val resid = pqResiduals(e, "vec_id", "embedding",
+          art.member, art.cents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bounds = sqTrain(resid, "vec_id", "residual", dim = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ivfSqSearch(art.member,
+          sqEncode(resid, "vec_id", "residual", bounds, dim = 64),
+          e.filter(col("vec_id") <= 4), art.cents, bounds,
+          "vec_id", "embedding", k = 3, dim = 64, nprobe = 2,
+          residual = true)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some {
+        val Dim = 64
+        s"""WITH ${kmparChainSql(3, rounds = 2, dim = Dim)},
+           |${kmSeedCentroidsSql(3)},
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "cf", "a1", Dim)},
+           |${kmAssignSql("mem", "cf", Dim)},
+           |rs AS MATERIALIZED (
+           |  SELECT mm.vec_id, mm.cl,
+           |         list_transform(range(1, ${Dim + 1}),
+           |           i -> CAST(CAST(mm.emb[i] AS DOUBLE) - c.ce[i] AS FLOAT)) AS emb
+           |  FROM mem mm JOIN cf c ON c.cl = mm.cl),
+           |b AS MATERIALIZED (
+           |  SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
+           |  FROM rs, unnest(range(1, ${Dim + 1})) t(i) GROUP BY i),
+           |ba AS (SELECT array_agg(mn ORDER BY pos) AS mns,
+           |              array_agg(mx ORDER BY pos) AS mxs FROM b),
+           |sqc AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i ->
+           |    CASE WHEN CAST(mxs[i] AS DOUBLE) > CAST(mns[i] AS DOUBLE)
+           |      THEN least(255, greatest(0, CAST(round(
+           |        (CAST(emb[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) /
+           |        (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) * 255) AS INT)))
+           |      ELSE 0 END) AS codes
+           |  FROM rs CROSS JOIN ba),
+           |dec AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i ->
+           |    CAST(mns[i] AS DOUBLE) + CAST(codes[i] AS DOUBLE) / 255.0 *
+           |      (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE))) AS dv
+           |  FROM sqc CROSS JOIN ba),
+           |probes AS MATERIALIZED (
+           |  SELECT q_id, m_label AS probe_label,
+           |         list_transform(range(1, ${Dim + 1}),
+           |           i -> CAST(CAST(qe[i] AS DOUBLE) - pce[i] AS FLOAT)) AS qr
+           |  FROM (
+           |    SELECT q.vec_id AS q_id, c.cl AS m_label, q.emb AS qe, c.ce AS pce,
+           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${kmD2Sql(Dim, "q.emb", "c.ce")} ASC, c.cl ASC) AS prk
+           |    FROM e q CROSS JOIN cf c WHERE q.vec_id <= 4) t
+           |  WHERE prk <= 2),
+           |scored AS (
+           |  SELECT p.q_id, p.probe_label, dv.vec_id,
+           |         ${kmD2Sql(Dim, "p.qr", "dv.dv")} AS adist
+           |  FROM probes p
            |  JOIN mem mm ON mm.cl = p.probe_label
            |  JOIN dec dv ON dv.vec_id = mm.vec_id
            |  WHERE dv.vec_id <> p.q_id)
