@@ -211,6 +211,31 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeSegment: property — random unseen words match the reference applier") {
+    import spark.implicits._
+    // train once on a fixed corpus, then segment RANDOM words (mostly
+    // unseen, incl. astral chars) — the best-rank loop must equal the
+    // in-order reference application on every one
+    val corpus = Seq.fill(6)("abab") ++ Seq.fill(4)("abba") ++ Seq.fill(3)("ca")
+    val mergesDf = Pipeline.bpeTrain(
+      corpus.map(Tuple1(_)).toDF("text"), "text", 6, minPairCount = 2)
+    val merges = mergesDf.orderBy("merge_no").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val wordGen = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "𝄞")).map(_.mkString))
+    val p = Prop.forAll(Gen.listOfN(10, wordGen)) { ws =>
+      val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val got = Pipeline.bpeSegment(docs, "text", mergesDf)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+      ws.zipWithIndex.forall { case (w, i) =>
+        got(i.toLong) == referenceSegment(w, merges)
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("bpeSegment composes with packSequences: real token counts drive packing") {
     import spark.implicits._
     // the end-to-end pretraining-prep chain: learn a vocab, tokenize,

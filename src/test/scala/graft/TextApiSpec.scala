@@ -250,6 +250,53 @@ class TextApiSpec extends AnyFunSuite {
     assert(ps == Map(1L -> "a|b", 2L -> "c"))
   }
 
+  test("dedupParagraphsGlobal: randomized invariants — uniqueness, ownership, order") {
+    import spark.implicits._
+    // random corpora from a small line vocabulary so cross-doc
+    // duplicates are dense; invariants checked in Scala per run
+    val rnd = new scala.util.Random(31)
+    val lineVocab = Vector("the quick brown fox", "cookie banner here",
+      "all rights reserved", "fresh unique prose", "menu home about", "")
+    val docs = (0L until 30L).map { i =>
+      (i, (0 until 1 + rnd.nextInt(6))
+        .map(_ => lineVocab(rnd.nextInt(lineVocab.size))).mkString("\n"))
+    }
+    val out = operators.Pipeline.dedupParagraphsGlobal(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // every input doc present, n_lines matches the raw split
+    assert(out.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      assert(out(id)._1 == text.split("\n", -1).length, s"doc $id n_lines")
+    }
+    val keptByDoc = out.view.mapValues(_._3.split("\n", -1).toSeq
+      .filter(_.trim.nonEmpty)).toMap
+    // 1. each distinct CONTENT line survives exactly once corpus-wide
+    val allKept = keptByDoc.values.flatten.toSeq
+    assert(allKept.distinct.size == allKept.size, "a content line survived twice")
+    // 2. the surviving set is exactly the corpus's distinct content lines
+    val want = docs.flatMap(_._2.split("\n", -1)).filter(_.trim.nonEmpty).distinct
+    assert(allKept.toSet == want.toSet, "kept lines != distinct corpus lines")
+    // 3. ownership: each line's keeper is the (doc_id, position)-first
+    val firstOwner = docs.flatMap { case (id, t) =>
+      t.split("\n", -1).zipWithIndex.filter(_._1.trim.nonEmpty)
+        .map { case (l, p) => (l, (id, p)) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    keptByDoc.foreach { case (id, ls) =>
+      ls.foreach(l => assert(firstOwner(l)._1 == id, s"line '$l' kept off-owner"))
+    }
+    // 4. per doc, kept lines appear in original relative order
+    docs.foreach { case (id, t) =>
+      val orig = t.split("\n", -1).toSeq
+      val kept = keptByDoc(id)
+      val idxs = kept.foldLeft(Seq.empty[Int]) { (acc, l) =>
+        acc :+ orig.indexWhere(_ == l, acc.lastOption.map(_ + 1).getOrElse(0))
+      }
+      assert(idxs.forall(_ >= 0) && idxs == idxs.sorted, s"doc $id order")
+    }
+  }
+
   test("resampleByImportance: deterministic Gumbel draw; temperature limits") {
     import spark.implicits._
     val scored = (1 to 100).map(i => (i.toLong, i / 10.0)).toDF("doc_id", "s")
