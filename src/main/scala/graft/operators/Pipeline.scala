@@ -361,41 +361,75 @@ object Pipeline {
   }
 
   private val IvfPqMemoCap = 2
+  private final class IvfPqEntry(val art: IvfPqArtifacts) { var pins: Int = 0 }
   private val ivfPqMemo =
-    new java.util.LinkedHashMap[String, IvfPqArtifacts]()
+    new java.util.LinkedHashMap[String, IvfPqEntry]()
 
-  private[graft] def sharedIvfPq(s: SparkSession, d: String): IvfPqArtifacts =
-    ivfPqMemo.synchronized {
-      Option(ivfPqMemo.get(memoKey(s, d))).getOrElse {
-        val e = T.embeddings(s, d)
-        val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
-          k = 3, dim = 64, iters = 1, seedRounds = 2)
-        val member = member0.localCheckpoint()
-        val cents = cents0.localCheckpoint()
-        val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
-          ksub = 4, iters = 1).localCheckpoint()
-        val codes = pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4)
-          .localCheckpoint()
-        val built = IvfPqArtifacts(member, cents, books, codes)
-        ivfPqMemo.put(memoKey(s, d), built)
-        if (ivfPqMemo.size > IvfPqMemoCap) {
-          val it = ivfPqMemo.entrySet().iterator()
-          it.next().getValue.frames
+  private def ivfPqEntry(s: SparkSession, d: String): IvfPqEntry =
+    Option(ivfPqMemo.get(memoKey(s, d))).getOrElse {
+      val e = T.embeddings(s, d)
+      val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
+        k = 3, dim = 64, iters = 1, seedRounds = 2)
+      val member = member0.localCheckpoint()
+      val cents = cents0.localCheckpoint()
+      val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
+        ksub = 4, iters = 1).localCheckpoint()
+      val codes = pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4)
+        .localCheckpoint()
+      val built = new IvfPqEntry(IvfPqArtifacts(member, cents, books, codes))
+      ivfPqMemo.put(memoKey(s, d), built)
+      // same drain-while-over-cap, skip-pinned eviction as
+      // [[componentsEntry]] (and the same temporary overhang when all
+      // other entries are pinned)
+      val it = ivfPqMemo.entrySet().iterator()
+      while (ivfPqMemo.size > IvfPqMemoCap && it.hasNext) {
+        val en = it.next()
+        if (en.getValue.pins == 0 && (en.getValue ne built)) {
+          en.getValue.art.frames
             .foreach(releaseLocalCheckpoint(_, blocking = true))
           it.remove()
         }
-        built
       }
+      built
+    }
+
+  private[graft] def sharedIvfPq(s: SparkSession, d: String): IvfPqArtifacts =
+    ivfPqMemo.synchronized { ivfPqEntry(s, d).art }
+
+  /** A pin on memoized [[sharedIvfPq]] artifacts — the
+    * [[SharedComponentsHandle]] contract applied to the index memo:
+    * while open, cap eviction skips the entry; `close()` is
+    * idempotent and entry-identity-checked (a stale handle never
+    * steals a rebuilt entry's pin). */
+  final class SharedIvfPqHandle private[Pipeline] (
+      private val entry: IvfPqEntry, key: String) extends AutoCloseable {
+    def art: IvfPqArtifacts = entry.art
+    private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    override def close(): Unit =
+      if (closed.compareAndSet(false, true)) ivfPqMemo.synchronized {
+        Option(ivfPqMemo.get(key)).filter(_ eq entry)
+          .foreach(e => e.pins = math.max(0, e.pins - 1))
+      }
+  }
+
+  /** [[sharedIvfPq]], PINNED: the entry is exempt from cap eviction
+    * until `close()` — for lazy or long-lived artifact holders. */
+  def pinSharedIvfPq(s: SparkSession, d: String): SharedIvfPqHandle =
+    ivfPqMemo.synchronized {
+      val e = ivfPqEntry(s, d)
+      e.pins += 1
+      new SharedIvfPqHandle(e, memoKey(s, d))
     }
 
   /** Release the memoized [[sharedIvfPq]] artifacts for (spark,
     * dataDir) — same contract as [[releaseSharedComponents]]: blocks
     * are freed, released frames must not be reused, the next call
-    * retrains. No-op when nothing is memoized. */
+    * retrains (the owner's override — it releases even pinned
+    * entries). No-op when nothing is memoized. */
   def releaseSharedIvfPq(s: SparkSession, d: String): Unit =
     ivfPqMemo.synchronized {
       Option(ivfPqMemo.remove(memoKey(s, d)))
-        .foreach(_.frames.foreach(releaseLocalCheckpoint(_)))
+        .foreach(_.art.frames.foreach(releaseLocalCheckpoint(_)))
     }
 
   /** Oracle-side twin of the p49 DSIR chain as a CTE body ending in

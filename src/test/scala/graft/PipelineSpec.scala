@@ -315,6 +315,36 @@ class PipelineSpec extends AnyFunSuite {
     } finally dirs.foreach(d => P.releaseSharedComponents(spark, d))
   }
 
+  test("pinSharedIvfPq: pinned index artifacts survive cap pressure; stale close no-ops") {
+    import spark.implicits._
+    val P = operators.Pipeline
+    def writeDir(tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"pinivf-$tag").toString
+      (0 until 12).map { i =>
+        (i.toLong, Array.tabulate(64)(j => 100f * (i % 3) + i * 0.5f + j * 0.01f),
+          i % 3)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val dirs = (1 to 4).map(i => writeDir(s"d$i"))
+    try {
+      val h = P.pinSharedIvfPq(spark, dirs(0))
+      // three more dirs exceed the cap of 2: the pinned entry survives
+      dirs.drop(1).foreach(d => P.sharedIvfPq(spark, d).cents.count())
+      assert(h.art.cents.count() == 3 && h.art.codes.count() == 12)
+      assert(P.sharedIvfPq(spark, dirs(0)).member eq h.art.member)
+      // stale-close safety: release + rebuild, then the OLD handle's
+      // close must not strip the new pin
+      P.releaseSharedIvfPq(spark, dirs(0))
+      val h2 = P.pinSharedIvfPq(spark, dirs(0))
+      h.close(); h.close() // stale + idempotent
+      dirs.drop(1).foreach(d => P.sharedIvfPq(spark, d).cents.count())
+      assert(h2.art.books.count() == 16, "stale close exposed the new pin")
+      h2.close()
+    } finally dirs.foreach(d => P.releaseSharedIvfPq(spark, d))
+  }
+
   test("sharedComponents memo: concurrent same-dir calls build once, share one frame") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
