@@ -1786,7 +1786,8 @@ object Pipeline {
     // distance and NULLS FIRST would silently return arbitrary
     // vectors (review r11)
     val sel = probeCells(queries, centroids, idCol, vecCol, nprobe,
-      qe => sqLenChecked(qe, dim, "query vector"))
+      qe => sqLenChecked(qe, dim, "query vector"),
+      ce => sqLenChecked(ce, dim, "centroid vector"))
     val probes =
       (if (residual)
         sel.withColumn("qe", zip_with(col("qe"), col("me"),
@@ -1844,8 +1845,10 @@ object Pipeline {
         call_function("float_dist_sq",
           slice(qv, c.getField("j") * sub + 1, lit(sub)),
           c.getField("ce")))
-    // nprobe best coarse cells per query (parameter-bounded)
-    val sel = probeCells(queries, centroids, idCol, vecCol, nprobe)
+    // nprobe best coarse cells per query (parameter-bounded); centroid
+    // dims validated like the query side (review r11)
+    val sel = probeCells(queries, centroids, idCol, vecCol, nprobe,
+      cCheck = ce => sqLenChecked(ce, dim, "centroid vector"))
     // the ADC lookup table: per (query, probe) in residual mode (qv =
     // q − c(probe) differs per probe), but ONCE PER QUERY otherwise —
     // the raw-vector table depends only on q, and building it per
@@ -1888,12 +1891,17 @@ object Pipeline {
     * query side, squared-euclidean ranking with ties to the lowest
     * cluster. `qCheck` lets a caller wrap the query vector in a
     * validation column. Output keeps (q_id, qe, me, m_label) for the
-    * residual path. */
+    * residual path. `cCheck` validates the centroid vectors the same
+    * way — a wrong-dim centroid table otherwise NULLs every probe
+    * distance and the NULLS-FIRST rank silently picks arbitrary cells
+    * (review r11). */
   private def probeCells(queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nprobe: Int,
-      qCheck: Column => Column = identity): DataFrame = {
+      qCheck: Column => Column = identity,
+      cCheck: Column => Column = identity): DataFrame = {
     val cents = centroids.select(col(centroids.columns(0)).as("m_label"),
-      transform(col(centroids.columns(1)), x => x.cast(DoubleType)).as("me"))
+      transform(cCheck(col(centroids.columns(1))),
+        x => x.cast(DoubleType)).as("me"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("m_d2").asc, col("m_label").asc)
     queries.select(col(idCol).as("q_id"), qCheck(col(vecCol)).as("qe"))
