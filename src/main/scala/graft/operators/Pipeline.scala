@@ -252,37 +252,111 @@ object Pipeline {
     * longer-lived graph either pin, or own their components frame
     * explicitly via [[connectedComponents]]. */
   private val ComponentsMemoCap = 4
-  private final class MemoEntry(val df: DataFrame) { var pins: Int = 0 }
-  private val componentsMemo =
-    new java.util.LinkedHashMap[String, MemoEntry]()
+  private sealed trait PinnedEntry { var pins: Int = 0 }
+  private final class MemoEntry(val df: DataFrame) extends PinnedEntry
+
+  /** Keyed get-or-build memo with pin-aware cap eviction — the shared
+    * machinery behind [[sharedComponents]] and [[sharedIvfPq]]. The
+    * BUILD runs OUTSIDE the map lock (per-key FutureTask in
+    * `inflight`): an index training chain takes multiple Spark jobs,
+    * and holding the global lock for its duration would block every
+    * concurrent caller for ANY key — including trivial `close()`
+    * calls (ADVICE r11). Concurrent callers of the SAME key wait on
+    * the builder's task (no double build); callers of other keys, and
+    * pin/unpin/release, proceed immediately. Eviction victims are
+    * collected under the lock but their blocking unpersist also runs
+    * outside it. */
+  private final class KeyedMemo[E <: PinnedEntry](cap: Int,
+      releaseEntry: E => Unit) {
+    private val entries = new java.util.LinkedHashMap[String, E]()
+    private val inflight =
+      new java.util.HashMap[String, java.util.concurrent.FutureTask[E]]()
+
+    private def await(task: java.util.concurrent.FutureTask[E]): E =
+      try task.get()
+      catch { case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause }
+
+    /** Fetch or build the entry for `key`; with `pin = true` the pin
+      * count is incremented ATOMICALLY with the hit/insert (a pin
+      * taken after the call could race a concurrent insert's cap
+      * eviction and land on a dead entry). */
+    def getOrBuild(key: String, pin: Boolean)(build: => E): E = {
+      while (true) {
+        var task: java.util.concurrent.FutureTask[E] = null
+        var mine = false
+        this.synchronized {
+          val hit = entries.get(key)
+          if (hit != null) { if (pin) hit.pins += 1; return hit }
+          task = inflight.get(key)
+          if (task == null) {
+            task = new java.util.concurrent.FutureTask[E](() => build)
+            inflight.put(key, task)
+            mine = true
+          }
+        }
+        if (mine) {
+          val built =
+            try { task.run(); await(task) }
+            finally this.synchronized { inflight.remove(key) }
+          val victims = this.synchronized {
+            entries.put(key, built)
+            if (pin) built.pins += 1
+            // evict OLDEST-first entries with no pins until back AT
+            // the cap; when the remaining entries are all pinned the
+            // memo temporarily exceeds the cap rather than yanking
+            // blocks from under a live handle — and because eviction
+            // keeps draining WHILE over cap, the excess is reclaimed
+            // by later insertions once handles close (review r11)
+            val out = List.newBuilder[E]
+            val it = entries.entrySet().iterator()
+            while (entries.size > cap && it.hasNext) {
+              val en = it.next()
+              if (en.getValue.pins == 0 && (en.getValue ne built)) {
+                out += en.getValue
+                it.remove()
+              }
+            }
+            out.result()
+          }
+          victims.foreach(releaseEntry)
+          return built
+        }
+        // another thread is building this key: wait on its task, then
+        // loop — the re-check handles the (narrow) window where the
+        // fresh entry is evicted before this waiter reaches it
+        await(task)
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    /** Decrement `entry`'s pin count IF it still occupies `key`: after
+      * an explicit release + rebuild, a stale handle's close must not
+      * steal the fresh entry's pin and expose a still-open handle to
+      * eviction (review r11). */
+    def unpin(key: String, entry: E): Unit = this.synchronized {
+      Option(entries.get(key)).filter(_ eq entry)
+        .foreach(e => e.pins = math.max(0, e.pins - 1))
+    }
+
+    /** Remove `key`'s entry (pinned or not — the owner's override) and
+      * release its blocks OUTSIDE the lock. No-op when absent. */
+    def removeAndRelease(key: String): Unit =
+      this.synchronized { Option(entries.remove(key)) }.foreach(releaseEntry)
+  }
+
+  private val componentsMemo = new KeyedMemo[MemoEntry](ComponentsMemoCap,
+    e => releaseLocalCheckpoint(e.df, blocking = true))
   private def memoKey(s: SparkSession, d: String): String =
     s"${s.sparkContext.applicationId}:$d"
 
-  private def componentsEntry(s: SparkSession, d: String): MemoEntry =
-    Option(componentsMemo.get(memoKey(s, d))).getOrElse {
-      val built = new MemoEntry(connectedComponents(
-        neardupPairs(s, d).select(col("doc_a"), col("doc_b"))))
-      componentsMemo.put(memoKey(s, d), built)
-      // evict OLDEST-first entries with no pins until back AT the cap;
-      // when the remaining entries are all pinned the memo temporarily
-      // exceeds the cap rather than yanking blocks from under a live
-      // handle — and because eviction keeps draining WHILE over cap,
-      // the excess is reclaimed by later insertions once handles close
-      // (a single-eviction pass would have left a permanent overhang:
-      // review r11)
-      val it = componentsMemo.entrySet().iterator()
-      while (componentsMemo.size > ComponentsMemoCap && it.hasNext) {
-        val e = it.next()
-        if (e.getValue.pins == 0 && (e.getValue ne built)) {
-          releaseLocalCheckpoint(e.getValue.df, blocking = true)
-          it.remove()
-        }
-      }
-      built
-    }
+  private def buildComponentsEntry(s: SparkSession, d: String): MemoEntry =
+    new MemoEntry(connectedComponents(
+      neardupPairs(s, d).select(col("doc_a"), col("doc_b"))))
 
   private[graft] def sharedComponents(s: SparkSession, d: String): DataFrame =
-    componentsMemo.synchronized { componentsEntry(s, d).df }
+    componentsMemo.getOrBuild(memoKey(s, d), pin = false)(
+      buildComponentsEntry(s, d)).df
 
   /** A pin on a memoized shared-components entry: while any handle on
     * the entry is open, cap eviction skips it, so the held `df` stays
@@ -297,25 +371,18 @@ object Pipeline {
     def df: DataFrame = entry.df
     private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
     override def close(): Unit =
-      if (closed.compareAndSet(false, true)) componentsMemo.synchronized {
-        // decrement ONLY if this handle's own entry still occupies the
-        // key: after an explicit release + rebuild, a stale handle's
-        // close must not steal the fresh entry's pin and expose a
-        // still-open handle to eviction (review r11)
-        Option(componentsMemo.get(key)).filter(_ eq entry)
-          .foreach(e => e.pins = math.max(0, e.pins - 1))
-      }
+      if (closed.compareAndSet(false, true)) componentsMemo.unpin(key, entry)
   }
 
   /** [[sharedComponents]], PINNED: builds/fetches the memo entry and
     * returns a handle whose frame is exempt from cap eviction until
-    * `close()`. */
-  def pinSharedComponents(s: SparkSession, d: String): SharedComponentsHandle =
-    componentsMemo.synchronized {
-      val e = componentsEntry(s, d)
-      e.pins += 1
-      new SharedComponentsHandle(e, memoKey(s, d))
-    }
+    * `close()`. The pin is taken atomically with the hit/insert. */
+  def pinSharedComponents(s: SparkSession, d: String): SharedComponentsHandle = {
+    val key = memoKey(s, d)
+    new SharedComponentsHandle(
+      componentsMemo.getOrBuild(key, pin = true)(buildComponentsEntry(s, d)),
+      key)
+  }
 
   /** Release the memoized shared-components entry for (spark,
     * dataDir): unpersists the label table's localCheckpoint blocks and
@@ -326,10 +393,7 @@ object Pipeline {
     * blocks are unrecoverable (the same contract as Spark's own
     * unpersist-after-localCheckpoint). */
   def releaseSharedComponents(s: SparkSession, d: String): Unit =
-    componentsMemo.synchronized {
-      Option(componentsMemo.remove(memoKey(s, d)))
-        .foreach(e => releaseLocalCheckpoint(e.df))
-    }
+    componentsMemo.removeAndRelease(memoKey(s, d))
 
   /** The coarse-quantizer + product-quantizer index artifacts the
     * p37/p40/p41 ANN gates share, built ONCE per (app, dataDir) at the
@@ -355,46 +419,53 @@ object Pipeline {
     * library callers own their artifacts via [[ivfIndex]]/[[pqTrain]]/
     * [[pqEncode]] directly. */
   final case class IvfPqArtifacts(member: DataFrame, cents: DataFrame,
-      books: DataFrame, codes: DataFrame) {
+      books: DataFrame, codes: DataFrame,
+      sqBounds: DataFrame, sqCodes: DataFrame,
+      sqBoundsResid: DataFrame, sqCodesResid: DataFrame) {
     private[Pipeline] def frames: Seq[DataFrame] =
-      Seq(member, cents, books, codes)
+      Seq(member, cents, books, codes,
+        sqBounds, sqCodes, sqBoundsResid, sqCodesResid)
   }
 
   private val IvfPqMemoCap = 2
-  private final class IvfPqEntry(val art: IvfPqArtifacts) { var pins: Int = 0 }
-  private val ivfPqMemo =
-    new java.util.LinkedHashMap[String, IvfPqEntry]()
+  private final class IvfPqEntry(val art: IvfPqArtifacts) extends PinnedEntry
+  private val ivfPqMemo = new KeyedMemo[IvfPqEntry](IvfPqMemoCap,
+    e => e.art.frames.foreach(releaseLocalCheckpoint(_, blocking = true)))
 
-  private def ivfPqEntry(s: SparkSession, d: String): IvfPqEntry =
-    Option(ivfPqMemo.get(memoKey(s, d))).getOrElse {
-      val e = T.embeddings(s, d)
-      val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
-        k = 3, dim = 64, iters = 1, seedRounds = 2)
-      val member = member0.localCheckpoint()
-      val cents = cents0.localCheckpoint()
-      val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
-        ksub = 4, iters = 1).localCheckpoint()
-      val codes = pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4)
-        .localCheckpoint()
-      val built = new IvfPqEntry(IvfPqArtifacts(member, cents, books, codes))
-      ivfPqMemo.put(memoKey(s, d), built)
-      // same drain-while-over-cap, skip-pinned eviction as
-      // [[componentsEntry]] (and the same temporary overhang when all
-      // other entries are pinned)
-      val it = ivfPqMemo.entrySet().iterator()
-      while (ivfPqMemo.size > IvfPqMemoCap && it.hasNext) {
-        val en = it.next()
-        if (en.getValue.pins == 0 && (en.getValue ne built)) {
-          en.getValue.art.frames
-            .foreach(releaseLocalCheckpoint(_, blocking = true))
-          it.remove()
-        }
-      }
-      built
-    }
+  private def buildIvfPqEntry(s: SparkSession, d: String): IvfPqEntry = {
+    val e = T.embeddings(s, d)
+    val (member0, cents0) = ivfIndex(e, "vec_id", "embedding",
+      k = 3, dim = 64, iters = 1, seedRounds = 2)
+    val member = member0.localCheckpoint()
+    val cents = cents0.localCheckpoint()
+    val books = pqTrain(e, "vec_id", "embedding", dim = 64, m = 4,
+      ksub = 4, iters = 1).localCheckpoint()
+    val codes = pqEncode(e, "vec_id", "embedding", books, dim = 64, m = 4)
+      .localCheckpoint()
+    // the SQ rungs of the same index family (p50/p54/p55's layouts):
+    // bounds are dim-bounded, codes corpus-sized; the residual pair
+    // trains on r(v) = v − c(cluster(v)) against the checkpointed
+    // coarse artifacts (FAISS by_residual). The residual frame itself
+    // is a build intermediate — checkpointed so bounds + codes don't
+    // recompute it, released once both consumers are materialized.
+    val sqBounds = sqTrain(e, "vec_id", "embedding", dim = 64)
+      .localCheckpoint()
+    val sqCodes = sqEncode(e, "vec_id", "embedding", sqBounds, dim = 64)
+      .localCheckpoint()
+    val resid = pqResiduals(e, "vec_id", "embedding", member, cents)
+      .localCheckpoint()
+    val sqBoundsResid = sqTrain(resid, "vec_id", "residual", dim = 64)
+      .localCheckpoint()
+    val sqCodesResid = sqEncode(resid, "vec_id", "residual", sqBoundsResid,
+      dim = 64).localCheckpoint()
+    releaseLocalCheckpoint(resid)
+    new IvfPqEntry(IvfPqArtifacts(member, cents, books, codes,
+      sqBounds, sqCodes, sqBoundsResid, sqCodesResid))
+  }
 
   private[graft] def sharedIvfPq(s: SparkSession, d: String): IvfPqArtifacts =
-    ivfPqMemo.synchronized { ivfPqEntry(s, d).art }
+    ivfPqMemo.getOrBuild(memoKey(s, d), pin = false)(
+      buildIvfPqEntry(s, d)).art
 
   /** A pin on memoized [[sharedIvfPq]] artifacts — the
     * [[SharedComponentsHandle]] contract applied to the index memo:
@@ -406,20 +477,17 @@ object Pipeline {
     def art: IvfPqArtifacts = entry.art
     private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
     override def close(): Unit =
-      if (closed.compareAndSet(false, true)) ivfPqMemo.synchronized {
-        Option(ivfPqMemo.get(key)).filter(_ eq entry)
-          .foreach(e => e.pins = math.max(0, e.pins - 1))
-      }
+      if (closed.compareAndSet(false, true)) ivfPqMemo.unpin(key, entry)
   }
 
   /** [[sharedIvfPq]], PINNED: the entry is exempt from cap eviction
-    * until `close()` — for lazy or long-lived artifact holders. */
-  def pinSharedIvfPq(s: SparkSession, d: String): SharedIvfPqHandle =
-    ivfPqMemo.synchronized {
-      val e = ivfPqEntry(s, d)
-      e.pins += 1
-      new SharedIvfPqHandle(e, memoKey(s, d))
-    }
+    * until `close()` — for lazy or long-lived artifact holders. The
+    * pin is taken atomically with the hit/insert. */
+  def pinSharedIvfPq(s: SparkSession, d: String): SharedIvfPqHandle = {
+    val key = memoKey(s, d)
+    new SharedIvfPqHandle(
+      ivfPqMemo.getOrBuild(key, pin = true)(buildIvfPqEntry(s, d)), key)
+  }
 
   /** Release the memoized [[sharedIvfPq]] artifacts for (spark,
     * dataDir) — same contract as [[releaseSharedComponents]]: blocks
@@ -427,10 +495,7 @@ object Pipeline {
     * retrains (the owner's override — it releases even pinned
     * entries). No-op when nothing is memoized. */
   def releaseSharedIvfPq(s: SparkSession, d: String): Unit =
-    ivfPqMemo.synchronized {
-      Option(ivfPqMemo.remove(memoKey(s, d)))
-        .foreach(_.art.frames.foreach(releaseLocalCheckpoint(_)))
-    }
+    ivfPqMemo.removeAndRelease(memoKey(s, d))
 
   /** Oracle-side twin of the p49 DSIR chain as a CTE body ending in
     * `scores(doc_id, n_grams, dsir_logratio)` — p49 selects from it
@@ -1669,7 +1734,7 @@ object Pipeline {
   def sqTrain(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int): DataFrame =
     corpus.select(
-        posexplode(sqLenChecked(col(vecCol), dim, "vector")).as(Seq("pos", "x")))
+        posexplode(dimChecked(col(vecCol), dim, "sq: vector")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
 
@@ -1694,10 +1759,10 @@ object Pipeline {
 
   /** Per-row vector/codes length guard for the SQ lambdas — same
     * rationale as the bounds check; one size comparison per row. */
-  private def sqLenChecked(c: Column, dim: Int, what: String): Column =
+  private def dimChecked(c: Column, dim: Int, what: String): Column =
     when(size(c) === dim, c)
       .otherwise(raise_error(concat(
-        lit(s"sq: $what has "), size(c).cast(StringType),
+        lit(s"$what has "), size(c).cast(StringType),
         lit(s" dimensions, expected $dim"))))
 
   /** SQ8 encode: each dimension maps to an 8-bit level
@@ -1710,7 +1775,7 @@ object Pipeline {
   def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       bounds: DataFrame, dim: Int): DataFrame =
     corpus.select(col(idCol).as("vec_id"),
-        sqLenChecked(col(vecCol), dim, "vector").as("embedding"))
+        dimChecked(col(vecCol), dim, "sq: vector").as("embedding"))
       .crossJoin(broadcast(sqBoundsRow(bounds, dim)))
       .select(col("vec_id"),
         transform(sequence(lit(1), lit(dim)), i => {
@@ -1742,9 +1807,9 @@ object Pipeline {
     // otherwise NULL every distance, and NULLS FIRST under ascending
     // rank silently returns k arbitrary vectors (review r11)
     val q = queries.select(col(idCol).as("q_id"),
-      sqLenChecked(col(vecCol), dim, "query vector").as("qe"))
+      dimChecked(col(vecCol), dim, "sq: query vector").as("qe"))
     val joined = codes
-      .withColumn("codes", sqLenChecked(col("codes"), dim, "codes row"))
+      .withColumn("codes", dimChecked(col("codes"), dim, "sq: codes row"))
       .crossJoin(broadcast(sqBoundsRow(bounds, dim)))
       .crossJoin(broadcast(q))
     val wTop = Window.partitionBy(col("q_id"))
@@ -1786,8 +1851,8 @@ object Pipeline {
     // distance and NULLS FIRST would silently return arbitrary
     // vectors (review r11)
     val sel = probeCells(queries, centroids, idCol, vecCol, nprobe,
-      qe => sqLenChecked(qe, dim, "query vector"),
-      ce => sqLenChecked(ce, dim, "centroid vector"))
+      qe => dimChecked(qe, dim, "sq: query vector"),
+      ce => dimChecked(ce, dim, "ivf: centroid vector"))
     val probes =
       (if (residual)
         sel.withColumn("qe", zip_with(col("qe"), col("me"),
@@ -1797,7 +1862,7 @@ object Pipeline {
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     val scanned = codes
-      .withColumn("codes", sqLenChecked(col("codes"), dim, "codes row"))
+      .withColumn("codes", dimChecked(col("codes"), dim, "sq: codes row"))
       .join(member.select(col("vec_id"), col("cluster")), Seq("vec_id"))
       .join(broadcast(probes), col("cluster") === col("probe_label"))
       // bounds attach AFTER the probe pruning: the 2×dim-float arrays
@@ -1848,7 +1913,7 @@ object Pipeline {
     // nprobe best coarse cells per query (parameter-bounded); centroid
     // dims validated like the query side (review r11)
     val sel = probeCells(queries, centroids, idCol, vecCol, nprobe,
-      cCheck = ce => sqLenChecked(ce, dim, "centroid vector"))
+      cCheck = ce => dimChecked(ce, dim, "ivf: centroid vector"))
     // the ADC lookup table: per (query, probe) in residual mode (qv =
     // q − c(probe) differs per probe), but ONCE PER QUERY otherwise —
     // the raw-vector table depends only on q, and building it per
@@ -2645,9 +2710,13 @@ object Pipeline {
       textCol: String, n: Int = 13, nBytes: Int = 6,
       evalTextCol: String = "", flagCol: String = "contaminated"): DataFrame = {
     val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
+    // empty tokens are removed BEFORE gram formation: leading/trailing
+    // whitespace otherwise injects "" as a word, so a boundary gram
+    // carries only n-1 real words and a shared (n-1)-word run at doc
+    // start could flag as n-gram contamination (ADVICE r11)
     val evalHashes = evalSet
       .select(explode(call_function("kgram_hashes",
-        words(col(evCol)), lit(n), lit(nBytes))).as("h"))
+        array_remove(words(col(evCol)), ""), lit(n), lit(nBytes))).as("h"))
       .agg(sort_array(collect_set(col("h"))).as("__eval_ngram_hashes"))
     corpus.crossJoin(broadcast(evalHashes))
       // coalesce(false): a NULL text has no n-grams and is NOT
@@ -2655,7 +2724,8 @@ object Pipeline {
       // filter(!flag), silently losing the doc from the clean AND the
       // contaminated sets (the gopher NULL-verdict lesson, review r11)
       .withColumn(flagCol, coalesce(call_function("any_in_sorted",
-        call_function("kgram_hashes", words(col(textCol)), lit(n), lit(nBytes)),
+        call_function("kgram_hashes",
+          array_remove(words(col(textCol)), ""), lit(n), lit(nBytes)),
         col("__eval_ngram_hashes")), lit(false)))
       .drop("__eval_ngram_hashes")
   }
@@ -5057,7 +5127,8 @@ object Pipeline {
       },
       Some("""
         WITH d AS (
-          SELECT doc_id, lang, string_split_regex(text, '\s+') AS ws
+          SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS ws
           FROM documents),
         w AS (SELECT * FROM d WHERE len(ws) >= 13),
         g AS (
@@ -5353,22 +5424,22 @@ object Pipeline {
         FROM pr
         ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 10""")),
 
-    // ---- p54: IVF + SQ8 composed — [[ivfSqSearch]] over the shared
-    // coarse index (p37/p41's memoized artifacts) and a standalone SQ8
-    // bounds/encode chain: probe pruning × scalar compression, the
-    // most deployed compressed-index layout. The oracle replays the
-    // coarse chain (p37's CTEs), the SQ chain (p50's CTEs), the probe
-    // selection, and the decode-distance scan over probed cells only.
+    // ---- p54: IVF + SQ8 composed — [[ivfSqSearch]] entirely over the
+    // shared memoized artifacts (coarse index + SQ bounds/codes now
+    // both live in [[sharedIvfPq]] — r11 retrained the SQ chain per
+    // gate): probe pruning × scalar compression, the most deployed
+    // compressed-index layout; the gate times the SERVING scan, p50
+    // still prices a standalone SQ train/encode chain. The oracle
+    // replays the coarse chain (p37's CTEs), the SQ chain (p50's
+    // CTEs), the probe selection, and the decode-distance scan over
+    // probed cells only.
     QueryDef(
       "p54_ivfsq",
       (s, d) => {
         val e = T.embeddings(s, d)
         val art = sharedIvfPq(s, d)
-        val bounds = sqTrain(e, "vec_id", "embedding", dim = 64)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ivfSqSearch(art.member,
-          sqEncode(e, "vec_id", "embedding", bounds, dim = 64),
-          e.filter(col("vec_id") <= 4), art.cents, bounds,
+        ivfSqSearch(art.member, art.sqCodes,
+          e.filter(col("vec_id") <= 4), art.cents, art.sqBounds,
           "vec_id", "embedding", k = 3, dim = 64, nprobe = 2)
           .orderBy(col("q_id"), col("rk"))
       },
@@ -5431,14 +5502,8 @@ object Pipeline {
       (s, d) => {
         val e = T.embeddings(s, d)
         val art = sharedIvfPq(s, d)
-        val resid = pqResiduals(e, "vec_id", "embedding",
-          art.member, art.cents)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bounds = sqTrain(resid, "vec_id", "residual", dim = 64)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ivfSqSearch(art.member,
-          sqEncode(resid, "vec_id", "residual", bounds, dim = 64),
-          e.filter(col("vec_id") <= 4), art.cents, bounds,
+        ivfSqSearch(art.member, art.sqCodesResid,
+          e.filter(col("vec_id") <= 4), art.cents, art.sqBoundsResid,
           "vec_id", "embedding", k = 3, dim = 64, nprobe = 2,
           residual = true)
           .orderBy(col("q_id"), col("rk"))

@@ -40,7 +40,12 @@ case class BpeSegment(child: Expression, mergesEncoded: String)
     val m = new java.util.HashMap[String, Integer]()
     var i = 0
     mergesEncoded.split("\n").foreach { line =>
-      if (line.nonEmpty) { m.put(line, Integer.valueOf(i)); i += 1 }
+      // first occurrence wins: trained merge lists never duplicate,
+      // but a HAND-BUILT table with a repeated "l r" line must keep
+      // the FIRST (lowest) rank like standard tokenizer runtimes —
+      // put() would silently take the last (ADVICE r11). The dup line
+      // still consumes its rank slot so later lines keep their index.
+      if (line.nonEmpty) { m.putIfAbsent(line, Integer.valueOf(i)); i += 1 }
     }
     m
   }
