@@ -99,6 +99,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AnyInSorted].getName, "any_in_sorted"),
       arity("any_in_sorted", 2)(c => AnyInSorted(c(0), c(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("positions_in_sorted"),
+      new ExpressionInfo(classOf[PositionsInSorted].getName,
+        "positions_in_sorted"),
+      arity("positions_in_sorted", 2)(c => PositionsInSorted(c(0), c(1)))))
+    ext.injectFunction((
       new FunctionIdentifier("kgram_strings"),
       new ExpressionInfo(classOf[KgramStrings].getName, "kgram_strings"),
       arity("kgram_strings", 2)(c => KgramStrings(c(0),

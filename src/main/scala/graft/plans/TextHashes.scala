@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd text-hashing kernels for the dedup/curation pipeline.
@@ -294,6 +294,42 @@ object TextHashes {
     false
   }
 
+  /** 0-based positions of the elements of `arr` that occur in `set`,
+    * an ASCENDING null-free distinct long array (the [[anyInSorted]]
+    * producer contract) — the span-granular sibling of
+    * [[anyInSorted]]: redaction-style decontamination needs WHERE the
+    * contaminated grams sit, not just whether any exists. Binary
+    * search per element (O(g log m) per doc against a broadcast
+    * eval-suite set); null elements never match. */
+  def positionsInSorted(arr: ArrayData, set: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = set.numElements()
+    if (n == 0 || m == 0) return new GenericArrayData(Array.emptyIntArray)
+    val out = new java.util.ArrayList[java.lang.Integer]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getLong(i)
+        var lo = 0
+        var hi = m - 1
+        var found = false
+        while (!found && lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val sv = set.getLong(mid)
+          if (sv == v) found = true
+          else if (sv < v) lo = mid + 1
+          else hi = mid - 1
+        }
+        if (found) out.add(i)
+      }
+      i += 1
+    }
+    val res = new Array[Int](out.size)
+    var j = 0
+    while (j < res.length) { res(j) = out.get(j); j += 1 }
+    new GenericArrayData(res)
+  }
+
   /** Shared literal-string extraction for the function builders. */
   private[plans] def litString(e: Expression, what: String): String = e match {
     case f if f.foldable => f.eval() match {
@@ -524,6 +560,42 @@ case class AnyInSorted(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): AnyInSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `positions_in_sorted(hashes, sorted_set)` — 0-based positions of
+  * the elements of `hashes` present in `sorted_set` (ASCENDING,
+  * null-free, distinct — the [[AnyInSorted]] producer contract). The
+  * excision kernel of span-granular decontamination: each matched
+  * position marks a word window to cut, computed map-side against the
+  * one-row broadcast eval set — no explode, no join, no shuffle. */
+case class PositionsInSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "positions_in_sorted requires (array<bigint>, array<bigint>), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "positions_in_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.positionsInSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.positionsInSorted($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PositionsInSorted =
     copy(left = newLeft, right = newRight)
 }
 
