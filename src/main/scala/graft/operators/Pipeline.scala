@@ -871,6 +871,145 @@ object Pipeline {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  // ---- word-span excision machinery, shared by [[dedupSubstringsGlobal]]
+  // and [[decontaminateSpans]]: both flag gram START positions and must
+  // cut the word windows those grams cover out of the ORIGINAL text. ----
+
+  /** Merged maximal cut intervals from flagged gram start positions:
+    * position p flags the word window [p, p+L); windows whose starts
+    * are ≤ L apart overlap or touch, and merge. `ps` must be ASCENDING
+    * and distinct (`sort_array(collect_set(...))`, or the
+    * [[graft.plans.PositionsInSorted]] kernel's naturally-ordered
+    * output); NULL/empty → no cuts. Output: disjoint ascending
+    * array<struct<cs, ce>> of [cs, ce) word intervals. Pure array
+    * expressions over one row's (doc-bounded) positions — map-side, no
+    * shuffle, no UDF. */
+  private def cutIntervals(ps0: Column, L: Int): Column = {
+    val ps = coalesce(ps0, array().cast("array<int>"))
+    // a cut STARTS at p when no flagged position sits within L before
+    // it, and ENDS at p+L when none sits within L after. The i==0 /
+    // i==last guards make the neighbor probe dead, but ANSI mode still
+    // evaluates both disjuncts — try_element_at yields NULL there
+    // (absorbed by the true disjunct) instead of throwing.
+    val starts = filter(ps, (p, i) =>
+      (i === 0) || (p - try_element_at(ps, i) > L))
+    val ends = filter(ps, (p, i) =>
+      (i === size(ps) - 1) || (try_element_at(ps, i + 2) - p > L))
+    zip_with(starts, ends, (s, e) => struct(s.as("cs"), (e + L).as("ce")))
+  }
+
+  /** [[cutIntervals]] as the oracle/report encoding "cs-ce,cs-ce,…"
+    * ('' when no cuts) — word-domain, engine-neutral. */
+  private def cutSpansText(cuts: Column): Column =
+    array_join(transform(cuts, c => concat_ws("-",
+      c.getField("cs").cast(StringType),
+      c.getField("ce").cast(StringType))), ",")
+
+  /** Total words removed by the (disjoint) cut intervals. */
+  private def cutWordCount(cuts: Column): Column =
+    coalesce(aggregate(cuts, lit(0L), (acc, c) =>
+      acc + (c.getField("ce") - c.getField("cs")).cast(LongType)), lit(0L))
+
+  /** Rebuild a document with the cut word intervals excised: each
+    * maximal KEPT run of words becomes one segment sliced from the
+    * ORIGINAL text via the [[graft.plans.WordSpans]] char offsets
+    * (interior whitespace preserved verbatim), and segments re-join
+    * with a single space. Returns the excised text for docs WITH cuts;
+    * callers branch the no-cut case themselves so clean documents stay
+    * byte-identical. */
+  private def exciseSegments(text: Column, spans: Column, nWords: Column,
+      cuts: Column): Column = {
+    // kept runs = the complement of the cuts in [0, nWords)
+    val ks = concat(array(lit(0)), transform(cuts, _.getField("ce")))
+    val ke = concat(transform(cuts, _.getField("cs")),
+      array(nWords.cast(IntegerType)))
+    val runs = filter(
+      zip_with(ks, ke, (a, b) => struct(a.as("a"), b.as("b"))),
+      r => r.getField("a") < r.getField("b"))
+    array_join(transform(runs, r => {
+      // spans pack (start << 32) | end, 0-based code points;
+      // element_at is 1-based, so word w lives at element w+1 and a
+      // run [a, b) spans word a's start to word b-1's end — both
+      // indices in [1, nWords] by construction, never out of bounds.
+      val cs = shiftright(element_at(spans, r.getField("a") + 1), 32)
+      val ce = element_at(spans, r.getField("b")).bitwiseAND(lit(0xFFFFFFFFL))
+      text.substr((cs + 1).cast(IntegerType), (ce - cs).cast(IntegerType))
+    }), " ")
+  }
+
+  /** GLOBAL exact substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — the ExactSubstr
+    * recipe, re-expressed relationally): any word sequence of
+    * ≥ `minLen` tokens occurring more than once ACROSS the corpus
+    * (other documents or the same one) survives only at its FIRST
+    * occurrence (ordered by doc id, then word position); every later
+    * occurrence's window is excised from its document and the rest of
+    * the page is kept. Complements [[dedupParagraphsGlobal]] (which
+    * only catches separator-ALIGNED repeats) and the minhash family
+    * (whole-doc similarity): this is the modality that removes a
+    * quoted license block or syndicated paragraph mid-page regardless
+    * of line breaks.
+    *
+    * Where the paper builds a corpus-wide suffix array, the
+    * shuffle-native equivalent is positioned `minLen`-gram hashes: a
+    * repeated run of W ≥ minLen words repeats all W−minLen+1 of its
+    * grams, so cutting every non-first duplicated gram window excises
+    * exactly the repeated run (the windows merge — [[cutIntervals]]);
+    * conversely any duplicated gram IS a ≥ minLen-token duplicated
+    * substring. Scale shape: the gram table is one posexplode (~one
+    * row per corpus word — the same budget the suffix array pays);
+    * duplicated grams + their first holder come from ONE partial
+    * aggregation keyed by gram hash (`count` + `min(struct)` both
+    * combine map-side, so a boilerplate gram with billions of copies
+    * ships one row per mapper — the p52 lesson); the dup-gram table is
+    * data-sized (NOT broadcastable), so flagging is a shuffle join on
+    * the hash with AQE handling Zipf-head skew; the per-doc rebuild is
+    * one doc-keyed aggregation bounded by doc length. 48-bit default
+    * hashes: a collision can only over-cut one window (false
+    * positive), never preserve a duplicate.
+    *
+    * Self-overlap caveat (documented, deliberate): in periodic text
+    * ("x x x …") later occurrences overlap the first one's window, and
+    * their cuts may clip it — the guarantee is "no ≥ minLen-token
+    * substring occurs twice in the kept segments", not "the first copy
+    * survives intact" (the paper's byte-range cuts behave the same).
+    *
+    * Output, one row per input doc: (doc_id, n_words, n_cut_words,
+    * cut_spans "cs-ce,…" in the word domain, text_deduped). Clean docs
+    * pass through byte-identical (NULL text → ''); a fully-duplicated
+    * doc keeps ''. Join back to the corpus by id for full-column
+    * frames. */
+  def dedupSubstringsGlobal(corpus: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, nBytes: Int = 6): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val L = minLen
+    val base = corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__ws", array_remove(words(col("__t")), ""))
+      .withColumn("__n", coalesce(size(col("__ws")), lit(0)))
+    val grams = base.filter(col("__n") >= L)
+      .select(col("doc_id"), posexplode(call_function("kgram_hashes_all",
+        col("__ws"), lit(L), lit(nBytes))).as(Seq("pos", "h")))
+    val firsts = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+      .select(col("h"), col("__first"))
+    val flagged = grams.join(firsts, Seq("h"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__ps"))
+    base.join(flagged, Seq("doc_id"), "left")
+      .withColumn("__cuts", cutIntervals(col("__ps"), L))
+      .withColumn("__spans", call_function("word_spans", col("__t")))
+      .select(col("doc_id"),
+        col("__n").cast(LongType).as("n_words"),
+        cutWordCount(col("__cuts")).as("n_cut_words"),
+        cutSpansText(col("__cuts")).as("cut_spans"),
+        when(size(col("__cuts")) === 0, coalesce(col("__t"), lit("")))
+          .otherwise(exciseSegments(col("__t"), col("__spans"), col("__n"),
+            col("__cuts"))).as("text_deduped"))
+  }
+
   /** Winnowing-style fingerprints over ANY corpus — the p12 sketch as
     * a reusable operator, entirely map-side (the distinct k-gram hash
     * set is one codegen'd pass; the sketch is array_min + size).
@@ -2728,6 +2867,57 @@ object Pipeline {
           array_remove(words(col(textCol)), ""), lit(n), lit(nBytes)),
         col("__eval_ngram_hashes")), lit(false)))
       .drop("__eval_ngram_hashes")
+  }
+
+  /** SPAN-granular eval-set decontamination — the excise-the-span
+    * variant of [[ngramDecontaminate]]: instead of flagging (and
+    * typically dropping) every document sharing a word n-gram with the
+    * eval set, cut just the contaminated windows out of the text and
+    * KEEP the document — the recipe for high-value corpora where
+    * whole-doc drops are too lossy (a 50k-word book is not discarded
+    * for quoting one benchmark question). Same dataflow as the boolean
+    * form, and the same 100 TB shape: the eval side collapses to ONE
+    * sorted 48-bit-hash row that broadcasts, and the corpus side is a
+    * single map pass — positioned gram hashes
+    * ([[graft.plans.KgramHashesAll]], one codegen'd traversal) probed
+    * by binary search into the broadcast array by the
+    * [[graft.plans.PositionsInSorted]] kernel (O(g log m) per doc, no
+    * explode, no join, no shuffle), then window merge + excision via
+    * the [[graft.plans.WordSpans]] char offsets ([[cutIntervals]] /
+    * [[exciseSegments]] — also map-side). The corpus never shuffles at
+    * all: the operator is embarrassingly parallel.
+    *
+    * Output: every corpus row + (n_flagged_grams, cut_spans
+    * "cs-ce,…" in the word domain, `cleanCol`). Clean documents pass
+    * through BYTE-IDENTICAL (NULL stays NULL); contaminated ones
+    * re-join their kept segments with single spaces (interior
+    * whitespace of each segment preserved verbatim). Docs shorter than
+    * n words carry no n-gram and are never cut; an empty eval set cuts
+    * nothing. `evalTextCol` defaults to `textCol`. A 48-bit collision
+    * can only over-cut one window, never leak contamination. */
+  def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, n: Int = 13, nBytes: Int = 6,
+      evalTextCol: String = "", cleanCol: String = "text_clean"): DataFrame = {
+    val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
+    val evalHashes = evalSet
+      .select(explode(call_function("kgram_hashes",
+        array_remove(words(col(evCol)), ""), lit(n), lit(nBytes))).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("__eval_ngram_hashes"))
+    corpus.crossJoin(broadcast(evalHashes))
+      .withColumn("__ws", array_remove(words(col(textCol)), ""))
+      .withColumn("__ps", call_function("positions_in_sorted",
+        call_function("kgram_hashes_all", col("__ws"), lit(n), lit(nBytes)),
+        col("__eval_ngram_hashes")))
+      .withColumn("__cuts", cutIntervals(col("__ps"), n))
+      .withColumn("__spans", call_function("word_spans", col(textCol)))
+      .withColumn("n_flagged_grams",
+        coalesce(size(col("__ps")), lit(0)).cast(LongType))
+      .withColumn("cut_spans", cutSpansText(col("__cuts")))
+      .withColumn(cleanCol,
+        when(size(col("__cuts")) === 0, col(textCol))
+          .otherwise(exciseSegments(col(textCol), col("__spans"),
+            coalesce(size(col("__ws")), lit(0)), col("__cuts"))))
+      .drop("__eval_ngram_hashes", "__ws", "__ps", "__cuts", "__spans")
   }
 
   /** DSIR-style importance scores (Xie et al., "Data Selection for
@@ -5560,6 +5750,192 @@ object Pipeline {
            |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
            |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
       }),
+
+    // ---- p56: GLOBAL exact substring dedup — [[dedupSubstringsGlobal]]
+    // (Lee et al. 2022 ExactSubstr) at minLen = 10 over the fixture
+    // corpus (where ~10% of docs share aligned near-dup runs, so both
+    // the cut and the byte-identical-passthrough branches carry rows).
+    // The oracle replays the positioned 48-bit gram hashes, the global
+    // first-occurrence rule (ROW_NUMBER over h ≡ min(struct)), the
+    // gaps-and-islands window merge (≡ cutIntervals), the kept-run
+    // complement, and the word_spans char-offset excision (the p43
+    // per-char classification).
+    QueryDef(
+      "p56_substring_dedup",
+      (s, d) =>
+        dedupSubstringsGlobal(T.documents(s, d), "doc_id", "text",
+          minLen = 10)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS ws
+          FROM documents),
+        nn AS MATERIALIZED (SELECT doc_id, text, ws, len(ws) AS n FROM d),
+        g AS MATERIALIZED (
+          SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+9], ' ')), 1, 12) AS BIGINT) AS h
+          FROM nn, unnest(range(1, n - 8)) t(i)
+          WHERE n >= 10),
+        f AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
+                 COUNT(*) OVER (PARTITION BY h) AS cnt
+          FROM g),
+        flg AS MATERIALIZED (SELECT doc_id, pos FROM f WHERE cnt >= 2 AND rk > 1),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+                      THEN 0 ELSE 1 END AS brk
+          FROM flg),
+        grp AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM isl),
+        cuts AS MATERIALIZED (
+          SELECT doc_id, CAST(MIN(pos) AS INT) AS cs,
+                 CAST(MAX(pos) + 10 AS INT) AS ce
+          FROM grp GROUP BY doc_id, gid),
+        runs AS MATERIALIZED (
+          SELECT doc_id, a, b FROM (
+            SELECT doc_id,
+                   COALESCE(LAG(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) AS a,
+                   cs AS b
+            FROM cuts) WHERE a < b
+          UNION ALL
+          SELECT c.doc_id, MAX(c.ce) AS a, MIN(nn.n) AS b
+          FROM cuts c JOIN nn ON nn.doc_id = c.doc_id
+          GROUP BY c.doc_id HAVING MAX(c.ce) < MIN(nn.n)),
+        sp AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = 1 OR substr(text, i - 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS starts,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = len(text) OR substr(text, i + 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS ends
+          FROM nn),
+        segs AS (
+          SELECT r.doc_id, r.a,
+                 substr(n2.text, CAST(sp.starts[r.a + 1] AS INT),
+                        CAST(sp.ends[r.b] - sp.starts[r.a + 1] + 1 AS INT)) AS seg
+          FROM runs r
+          JOIN nn n2 ON n2.doc_id = r.doc_id
+          JOIN sp ON sp.doc_id = r.doc_id),
+        reb AS (
+          SELECT doc_id, array_to_string(array_agg(seg ORDER BY a), ' ') AS txt
+          FROM segs GROUP BY doc_id),
+        ca AS (
+          SELECT doc_id, CAST(SUM(ce - cs) AS BIGINT) AS n_cut_words,
+                 array_to_string(array_agg(CAST(cs AS VARCHAR) || '-' || CAST(ce AS VARCHAR)
+                   ORDER BY cs), ',') AS cut_spans
+          FROM cuts GROUP BY doc_id)
+        SELECT nn.doc_id,
+               CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_words,
+               COALESCE(ca.n_cut_words, 0) AS n_cut_words,
+               COALESCE(ca.cut_spans, '') AS cut_spans,
+               CASE WHEN ca.doc_id IS NULL THEN COALESCE(nn.text, '')
+                    ELSE COALESCE(reb.txt, '') END AS text_deduped
+        FROM nn
+        LEFT JOIN ca ON ca.doc_id = nn.doc_id
+        LEFT JOIN reb ON reb.doc_id = nn.doc_id
+        ORDER BY nn.doc_id""")),
+
+    // ---- p57: span-granular decontamination — [[decontaminateSpans]]
+    // at n = 8 with the p47 carve-out (every tenth doc_id is the eval
+    // suite, the rest is the corpus): contaminated docs keep their
+    // clean words, clean docs pass through byte-identical. The oracle
+    // replays the positioned grams, the eval-hash membership (≡ the
+    // positions_in_sorted probe), and the same merge/complement/
+    // excision chain as p56.
+    QueryDef(
+      "p57_decontaminate_spans",
+      (s, d) => {
+        val all = T.documents(s, d)
+        decontaminateSpans(
+          corpus = all.filter(col("doc_id") % 10 =!= 0),
+          evalSet = all.filter(col("doc_id") % 10 === 0),
+          textCol = "text", n = 8)
+          .select(col("doc_id"), col("lang"), col("n_flagged_grams"),
+            col("cut_spans"), col("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, text, list_filter(string_split_regex(text, '\s+'),
+                                                 x -> x <> '') AS ws
+          FROM documents),
+        nn AS MATERIALIZED (SELECT doc_id, lang, text, ws, len(ws) AS n FROM d),
+        g AS MATERIALIZED (
+          SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 12) AS BIGINT) AS h
+          FROM nn, unnest(range(1, n - 6)) t(i)
+          WHERE n >= 8),
+        ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+        flg AS MATERIALIZED (
+          SELECT g.doc_id, g.pos FROM g JOIN ev ON ev.h = g.h
+          WHERE g.doc_id % 10 <> 0),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM flg),
+        grp AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM isl),
+        cuts AS MATERIALIZED (
+          SELECT doc_id, CAST(MIN(pos) AS INT) AS cs,
+                 CAST(MAX(pos) + 8 AS INT) AS ce
+          FROM grp GROUP BY doc_id, gid),
+        runs AS MATERIALIZED (
+          SELECT doc_id, a, b FROM (
+            SELECT doc_id,
+                   COALESCE(LAG(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) AS a,
+                   cs AS b
+            FROM cuts) WHERE a < b
+          UNION ALL
+          SELECT c.doc_id, MAX(c.ce) AS a, MIN(nn.n) AS b
+          FROM cuts c JOIN nn ON nn.doc_id = c.doc_id
+          GROUP BY c.doc_id HAVING MAX(c.ce) < MIN(nn.n)),
+        sp AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = 1 OR substr(text, i - 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS starts,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = len(text) OR substr(text, i + 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS ends
+          FROM nn),
+        segs AS (
+          SELECT r.doc_id, r.a,
+                 substr(n2.text, CAST(sp.starts[r.a + 1] AS INT),
+                        CAST(sp.ends[r.b] - sp.starts[r.a + 1] + 1 AS INT)) AS seg
+          FROM runs r
+          JOIN nn n2 ON n2.doc_id = r.doc_id
+          JOIN sp ON sp.doc_id = r.doc_id),
+        reb AS (
+          SELECT doc_id, array_to_string(array_agg(seg ORDER BY a), ' ') AS txt
+          FROM segs GROUP BY doc_id),
+        fc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_grams
+          FROM flg GROUP BY doc_id),
+        ca AS (
+          SELECT doc_id,
+                 array_to_string(array_agg(CAST(cs AS VARCHAR) || '-' || CAST(ce AS VARCHAR)
+                   ORDER BY cs), ',') AS cut_spans
+          FROM cuts GROUP BY doc_id)
+        SELECT nn.doc_id, nn.lang,
+               COALESCE(fc.n_flagged_grams, 0) AS n_flagged_grams,
+               COALESCE(ca.cut_spans, '') AS cut_spans,
+               CASE WHEN ca.doc_id IS NULL THEN nn.text
+                    ELSE COALESCE(reb.txt, '') END AS text_clean
+        FROM nn
+        LEFT JOIN fc ON fc.doc_id = nn.doc_id
+        LEFT JOIN ca ON ca.doc_id = nn.doc_id
+        LEFT JOIN reb ON reb.doc_id = nn.doc_id
+        WHERE nn.doc_id % 10 <> 0
+        ORDER BY nn.doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -74,6 +74,34 @@ class BenchSpec extends AnyFunSuite {
     assert(zq.toMap == Map("q01" -> 0.3))
   }
 
+  test("loadHistory: a driver overwrite of BENCH_full.json cannot raise committed history") {
+    // the r12 failure mode, now structurally closed: the driver
+    // clobbers BENCH_full.json at round end, so the canonical history
+    // lives in tools/bench_history.json (driver never writes tools/)
+    // and loadHistory takes the per-key MIN across both files
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-hist")
+    def write(name: String, queries: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p,
+        s"""{"metric":"total","value":1,"unit":"sec","queries":$queries,"sf":"/root/testdata/sf0.1"}"""
+          .getBytes("UTF-8"))
+      p.toString
+    }
+    val hist = write("bench_history.json", """{"q01":0.5,"q02":0.4}""")
+    // the driver's overwrite: q01 inflated 10x, q02 gone, q03 new+lower
+    val full = write("BENCH_full.json", """{"q01":5.0,"q03":0.3}""")
+    val h = Bench.loadHistory("/root/testdata/sf0.1", Seq(hist, full))
+    // committed keys hold their minimum; the clobber cannot raise them
+    assert(h == Map("q01" -> 0.5, "q02" -> 0.4, "q03" -> 0.3))
+    // mirror-only history (fresh checkout before the first merged run)
+    // still feeds the guard; a missing file contributes nothing
+    val missing = dir.resolve("absent.json").toString
+    assert(Bench.loadHistory("/root/testdata/sf0.1", Seq(missing, full)) ==
+      Map("q01" -> 5.0, "q03" -> 0.3))
+    // sf gate still applies per file
+    assert(Bench.loadHistory("/root/testdata/sf0.001", Seq(hist, full)).isEmpty)
+  }
+
   test("loadFactor: median measured/history ratio; None without history") {
     // the r10 shape: a uniformly ~1.25x-loaded capture self-reports it
     val history = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)

@@ -297,6 +297,157 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSubstringsGlobal: repeated runs survive only at first occurrence") {
+    // at minLen = 10 the fixture has four duplicated-substring shapes:
+    // B repeats A except one word, D quotes a 10-word passage of C
+    // mid-page, F repeats E wholesale, and A/C/E are first occurrences
+    val out = Pipeline.dedupSubstringsGlobal(corpus, "post_key", "body",
+        minLen = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)))
+    val byId = out.map(t => t._1 -> t).toMap
+    val a = (1 to 60).map(i => s"w$i")
+    // first occurrences and unrelated docs pass through byte-identical
+    Seq(10L, 12L, 14L).foreach { id =>
+      val (_, n, cut, spans, txt) = byId(id)
+      assert(n == 60 && cut == 0 && spans == "")
+      assert(txt == corpus.filter(col("post_key") === id)
+        .collect()(0).getString(1))
+    }
+    // B: every window avoiding the edited word 41 is a repeat of A —
+    // flagged {0..31} ∪ {42..50} merges to [0,41) + [42,60), keeping
+    // exactly the edited word
+    assert(byId(11L) == ((11L, 60L, 59L, "0-41,42-60", "edited")))
+    // D: its quoted 10-word passage of C is one duplicated window at
+    // position 50 — excised, the original 50 words kept
+    assert(byId(13L) == ((13L, 60L, 10L, "50-60",
+      (1 to 50).map(i => s"u$i").mkString(" "))))
+    // F: a wholesale repeat of E — every window flagged, nothing kept
+    assert(byId(15L) == ((15L, 60L, 60L, "0-60", "")))
+    assert(out.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L, 14L, 15L))
+    assert(a.nonEmpty) // fixture guard: A really is the w-vocabulary
+  }
+
+  test("dedupSubstringsGlobal: randomized invariant — no duplicated L-gram survives") {
+    import spark.implicits._
+    val L = 3
+    val rnd = new scala.util.Random(421)
+    (1 to 3).foreach { trial =>
+      // two-letter vocabulary → massive duplication, every branch hot
+      val docs = (0 until 10).map { i =>
+        val n = 5 + rnd.nextInt(12)
+        (i.toLong,
+          (0 until n).map(_ => if (rnd.nextBoolean()) "a" else "b")
+            .mkString(" "))
+      }
+      val out = Pipeline.dedupSubstringsGlobal(
+          docs.toDF("post_key", "body"), "post_key", "body", minLen = L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getString(4)))
+        .sortBy(_._1)
+      val gramCount = scala.collection.mutable.Map.empty[String, Int]
+      out.foreach { case (id, nWords, nCut, spans, deduped) =>
+        val ws = docs.find(_._1 == id).get._2.split("\\s+").filter(_.nonEmpty)
+        assert(nWords == ws.length, s"trial $trial doc $id n_words")
+        val cuts =
+          if (spans.isEmpty) Seq.empty[(Int, Int)]
+          else spans.split(",").toSeq.map { s =>
+            val Array(x, y) = s.split("-"); (x.toInt, y.toInt) }
+        assert(nCut == cuts.map(c => c._2 - c._1).sum)
+        // cuts are in-bounds, ascending, strictly disjoint (merged)
+        cuts.foreach { case (s, e) => assert(0 <= s && s < e && e <= nWords) }
+        cuts.sliding(2).foreach {
+          case Seq((_, e1), (s2, _)) => assert(s2 > e1)
+          case _ => ()
+        }
+        val keptRuns = ((0 +: cuts.map(_._2)) zip (cuts.map(_._1) :+ ws.length))
+          .filter(r => r._1 < r._2)
+        // clean docs byte-identical; cut docs = kept slices re-joined
+        if (cuts.isEmpty) assert(deduped == docs.find(_._1 == id).get._2)
+        else assert(deduped ==
+          keptRuns.map(r => ws.slice(r._1, r._2).mkString(" ")).mkString(" "))
+        keptRuns.foreach { r =>
+          ws.slice(r._1, r._2).sliding(L).filter(_.length == L).foreach { g =>
+            val k = g.mkString(" ")
+            gramCount(k) = gramCount.getOrElse(k, 0) + 1
+          }
+        }
+      }
+      // THE ExactSubstr guarantee: across the whole cleaned corpus, no
+      // ≥L-word substring (gram of a kept run) occurs twice
+      val dups = gramCount.filter(_._2 > 1)
+      assert(dups.isEmpty, s"trial $trial: duplicated grams survived: $dups")
+    }
+  }
+
+  test("decontaminateSpans: contaminated windows excised, clean docs byte-identical") {
+    import spark.implicits._
+    // the eval "benchmark" is exactly C's 10-word passage v21..v30 —
+    // contaminates C itself (position 20) and D's quote (position 50)
+    val evalSet = Seq((1L, (21 to 30).map(i => s"v$i").mkString(" ")))
+      .toDF("q", "prompt")
+    val out = Pipeline.decontaminateSpans(corpus, evalSet,
+        textCol = "body", n = 10, evalTextCol = "prompt")
+      .orderBy("post_key").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L, 13L, 14L, 15L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_flagged_grams"), r.getAs[String]("cut_spans"),
+        r.getAs[String]("text_clean"))).toMap
+    val orig = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // clean docs: byte-identical passthrough, zero flags
+    Seq(10L, 11L, 14L, 15L).foreach { id =>
+      assert(byId(id) == ((0L, "", orig(id))), s"doc $id not untouched")
+    }
+    // C: the passage sits at words [20, 30) — cut, surroundings kept
+    assert(byId(12L) == ((1L, "20-30",
+      ((1 to 20) ++ (31 to 60)).map(i => s"v$i").mkString(" "))))
+    // D: the quote sits at words [50, 60) — cut, the original 50 kept
+    assert(byId(13L) == ((1L, "50-60",
+      (1 to 50).map(i => s"u$i").mkString(" "))))
+    // caller columns survive alongside the three new ones
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("post_key", "body", "n_flagged_grams", "cut_spans", "text_clean"))
+  }
+
+  test("decontaminateSpans: n-gram straddling a cut seam cannot survive re-probe") {
+    import spark.implicits._
+    // excising [p, p+n) windows can create NEW adjacencies at seams;
+    // the guarantee is that no EVAL n-gram survives in the kept
+    // segments — re-probing the cleaned text per segment finds nothing
+    val rnd = new scala.util.Random(77)
+    val docs = (0 until 8).map { i =>
+      val n = 6 + rnd.nextInt(15)
+      (i.toLong,
+        (0 until n).map(_ => "s" + rnd.nextInt(3)).mkString(" "))
+    }
+    val corpusDf = docs.toDF("post_key", "body")
+    val evalDf = docs.take(2).toDF("post_key", "body")
+    val n = 4
+    val out = Pipeline.decontaminateSpans(corpusDf, evalDf, "body", n = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("cut_spans"))).sortBy(_._1)
+    val evalGrams = docs.take(2).flatMap(_._2.split(" ").sliding(n)
+      .filter(_.length == n).map(_.mkString(" "))).toSet
+    out.foreach { case (id, body, spans) =>
+      val ws = docs.find(_._1 == id).get._2.split(" ")
+      val cuts =
+        if (spans.isEmpty) Seq.empty[(Int, Int)]
+        else spans.split(",").toSeq.map { s =>
+          val Array(x, y) = s.split("-"); (x.toInt, y.toInt) }
+      val keptRuns = ((0 +: cuts.map(_._2)) zip (cuts.map(_._1) :+ ws.length))
+        .filter(r => r._1 < r._2)
+      keptRuns.foreach { r =>
+        ws.slice(r._1, r._2).sliding(n).filter(_.length == n).foreach { g =>
+          assert(!evalGrams.contains(g.mkString(" ")),
+            s"doc $id: eval gram '${g.mkString(" ")}' survived")
+        }
+      }
+    }
+  }
+
   test("resampleByImportance: deterministic Gumbel draw; temperature limits") {
     import spark.implicits._
     val scored = (1 to 100).map(i => (i.toLong, i / 10.0)).toDF("doc_id", "s")

@@ -336,6 +336,53 @@ class TextHashesSpec extends AnyFunSuite {
     assert(expr.eval(InternalRow(null, ga(1L))) == null)
   }
 
+  test("positions_in_sorted: matches the filter/transform spelling; eval ≡ codegen") {
+    import spark.implicits._
+    // positional oracle: the Column spelling keeps each probe INDEX
+    // whose element is in the set — exactly the kernel's contract —
+    // with null probe elements never matching (when() with no
+    // otherwise leaves them null; the filter drops them)
+    val setGen = Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 50L))).map(_.distinct.sorted)
+    val probeGen = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 50L)))
+    check(Prop.forAll(Gen.listOfN(8, Gen.zip(probeGen, setGen))) { batch =>
+      val df = batch.toDF("probe", "sset")
+      val got = df.select(
+        call_function("positions_in_sorted", col("probe"), col("sset")))
+        .collect()
+      val want = df.select(
+        filter(transform(col("probe"), (x, i) =>
+          when(array_contains(col("sset"), x), i)), e => e.isNotNull)
+          .cast("array<int>"))
+        .collect()
+      got.map(_.getSeq[Int](0)).toSeq == want.map(_.getSeq[Int](0)).toSeq
+    })
+    // interpreted eval on the same shapes codegen answered above
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.ArrayType
+    val lRef = BoundReference(0, ArrayType(LongType), nullable = true)
+    val rRef = BoundReference(1, ArrayType(LongType), nullable = true)
+    val expr = graft.plans.PositionsInSorted(lRef, rRef)
+    def ga(xs: Any*) = new GenericArrayData(xs.toArray)
+    def positions(v: Any): Seq[Int] =
+      v.asInstanceOf[GenericArrayData].toIntArray().toSeq
+    assert(positions(expr.eval(InternalRow(ga(7L, 3L, 9L), ga(1L, 3L, 9L))))
+      == Seq(1, 2))
+    assert(positions(expr.eval(InternalRow(ga(7L, 4L), ga(1L, 3L, 9L)))).isEmpty)
+    // repeats in the probe report EVERY matching position
+    assert(positions(expr.eval(InternalRow(ga(3L, 3L), ga(1L, 3L)))) == Seq(0, 1))
+    // empties and null probe ELEMENTS are misses, never matches
+    assert(positions(expr.eval(InternalRow(ga(), ga(1L)))).isEmpty)
+    assert(positions(expr.eval(InternalRow(ga(1L), ga()))).isEmpty)
+    assert(positions(expr.eval(InternalRow(ga(null, 9L), ga(1L, 3L, 9L))))
+      == Seq(1))
+    // null INPUT arrays are null, like every null-intolerant expression
+    assert(expr.eval(InternalRow(null, ga(1L))) == null)
+  }
+
   test("type mismatches are rejected with the kernel name") {
     import spark.implicits._
     val e1 = intercept[Exception] {
