@@ -252,8 +252,8 @@ object Pipeline {
     * longer-lived graph either pin, or own their components frame
     * explicitly via [[connectedComponents]]. */
   private val ComponentsMemoCap = 4
-  private sealed trait PinnedEntry { var pins: Int = 0 }
-  private final class MemoEntry(val df: DataFrame) extends PinnedEntry
+  private[graft] sealed trait PinnedEntry { var pins: Int = 0 }
+  private[graft] final class MemoEntry(val df: DataFrame) extends PinnedEntry
 
   /** Keyed get-or-build memo with pin-aware cap eviction — the shared
     * machinery behind [[sharedComponents]] and [[sharedIvfPq]]. The
@@ -266,7 +266,7 @@ object Pipeline {
     * pin/unpin/release, proceed immediately. Eviction victims are
     * collected under the lock but their blocking unpersist also runs
     * outside it. */
-  private final class KeyedMemo[E <: PinnedEntry](cap: Int,
+  private[graft] final class KeyedMemo[E <: PinnedEntry](cap: Int,
       releaseEntry: E => Unit) {
     private val entries = new java.util.LinkedHashMap[String, E]()
     private val inflight =
@@ -1010,6 +1010,75 @@ object Pipeline {
             col("__cuts"))).as("text_deduped"))
   }
 
+  /** Boilerplate report for the PARAGRAPH dedup layer — what
+    * [[dedupParagraphsGlobal]] would remove and from where, ranked:
+    * the top-`k` duplicated lines by copy count, with the bytes the
+    * dedup saves per line ((copies − 1) × UTF-8 line bytes — every
+    * copy beyond the first occurrence is excised). The inspection
+    * companion to the excision operator: curation engineers eyeball
+    * exactly this table (hottest cookie banners / nav footers) before
+    * turning the dedup loose. Scale shape: the same one partial-agg
+    * shuffle keyed by line content as the dedup itself (hot
+    * boilerplate combines map-side; countDistinct adds the standard
+    * two-phase expansion), then orderBy+limit plans as TakeOrdered —
+    * no full sort. Blank lines are structure, never reported. Output:
+    * (rk, line, n_copies, n_docs, bytes_removed), rk 1..k by
+    * (n_copies desc, line asc). */
+  def dedupParagraphsReport(corpus: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n", k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    corpus.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), sepRe)).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_copies") >= 2)
+      .withColumn("bytes_removed",
+        (col("n_copies") - 1) * octet_length(col("line")).cast(LongType))
+      .orderBy(col("n_copies").desc, col("line").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("n_copies").desc, col("line").asc)))
+      .select(col("rk"), col("line"), col("n_copies"), col("n_docs"),
+        col("bytes_removed"))
+  }
+
+  /** Boilerplate report for the SUBSTRING dedup layer — the hottest
+    * duplicated ≥ `minLen`-word runs [[dedupSubstringsGlobal]] would
+    * excise, ranked by how many DOCUMENTS contain them (the gram sets
+    * are distinct-per-doc — [[graft.plans.KgramStrings]] — so the
+    * report ranks CROSS-document boilerplate, the thing an engineer
+    * inspects; within-doc repetition is the repetition-stats
+    * operator's job and is still excised by the dedup itself).
+    * bytes_removed is the per-gram floor ((n_docs − 1) × UTF-8 gram
+    * bytes): overlapping grams of one long shared run each report
+    * their own window, so the TOTAL is not the sum — the ranking, not
+    * the sum, is the product here. Same shapes as the paragraph
+    * report: one partial-agg shuffle on the gram, TakeOrdered top-k.
+    * Output: (rk, gram, n_docs, bytes_removed). */
+  def dedupSubstringsReport(corpus: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 50, k: Int = 20): DataFrame = {
+    require(minLen >= 1 && k >= 1, s"need minLen/k >= 1, got $minLen/$k")
+    corpus.select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("ws"))
+      .filter(size(col("ws")) >= minLen)
+      .select(col("doc_id"),
+        explode(call_function("kgram_strings", col("ws"), lit(minLen)))
+          .as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("bytes_removed",
+        (col("n_docs") - 1) * octet_length(col("gram")).cast(LongType))
+      .orderBy(col("n_docs").desc, col("gram").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("n_docs").desc, col("gram").asc)))
+      .select(col("rk"), col("gram"), col("n_docs"), col("bytes_removed"))
+  }
+
   /** Winnowing-style fingerprints over ANY corpus — the p12 sketch as
     * a reusable operator, entirely map-side (the distinct k-gram hash
     * set is one codegen'd pass; the sketch is array_min + size).
@@ -1466,11 +1535,26 @@ object Pipeline {
     * the text, still zero shuffle. A zero-word doc's single empty
     * chunk has NULL offsets (there is no span to cite). Output:
     * (doc_id, chunk_no, start_word, n_chunk_words, chunk_text,
-    * start_char, end_char). */
+    * start_char, end_char).
+    *
+    * `respectSentences = true` snaps every non-final chunk's end to
+    * just after the LAST sentence-final word in its window (the C4
+    * terminal-punctuation rule — [[graft.plans.SentenceChunkSpans]]),
+    * so retrieval contexts stop at sentence boundaries instead of
+    * mid-clause; when no sentence ends in-window the fixed window is
+    * kept. The layout becomes data-dependent (chunks may be shorter
+    * than `chunkWords`; `overlapWords` then overlaps backwards from
+    * the SNAPPED end), but the operator stays one map-side pass —
+    * the sequential per-doc walk runs inside the codegen'd kernel —
+    * and the same columns, tail-chunk rule, char-span citations and
+    * one-chunk floor for short docs apply. */
   def chunkText(corpus: DataFrame, idCol: String, textCol: String,
-      chunkWords: Int = 512, overlapWords: Int = 64): DataFrame = {
+      chunkWords: Int = 512, overlapWords: Int = 64,
+      respectSentences: Boolean = false): DataFrame = {
     require(chunkWords >= 1 && overlapWords >= 0 && overlapWords < chunkWords,
       s"need 0 <= overlapWords < chunkWords, got $overlapWords / $chunkWords")
+    if (respectSentences) return chunkTextSentences(corpus, idCol, textCol,
+      chunkWords, overlapWords)
     val stride = chunkWords - overlapWords
     corpus
       .select(col(idCol).as("doc_id"),
@@ -1499,6 +1583,34 @@ object Pipeline {
           (col("chunk_no") * stride + col("n_chunk_words") - 1).cast("int"))
           .bitwiseAND(lit(0xFFFFFFFFL)).as("end_char"))
   }
+
+  /** [[chunkText]]'s sentence-snapping path: the chunk layout comes
+    * from the codegen'd [[graft.plans.SentenceChunkSpans]] walk (one
+    * packed (start, end) word span per chunk), posexploded into rows;
+    * everything downstream — single-space re-join, word_spans char
+    * citations, the empty-doc NULL-offset rule — mirrors the
+    * fixed-window path. Still zero shuffle. */
+  private def chunkTextSentences(corpus: DataFrame, idCol: String,
+      textCol: String, chunkWords: Int, overlapWords: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("ws"),
+        call_function("word_spans", col(textCol)).as("spans"))
+      .select(col("doc_id"), col("ws"), col("spans"),
+        posexplode(call_function("sentence_chunk_spans", col("ws"),
+          lit(chunkWords), lit(overlapWords))).as(Seq("chunk_no", "se")))
+      .withColumn("start_word", shiftright(col("se"), 32))
+      .withColumn("n_chunk_words",
+        col("se").bitwiseAND(lit(0xFFFFFFFFL)) - col("start_word"))
+      .select(col("doc_id"), col("chunk_no"), col("start_word"),
+        col("n_chunk_words"),
+        array_join(slice(col("ws"), (col("start_word") + 1).cast("int"),
+          col("n_chunk_words").cast("int")), " ").as("chunk_text"),
+        (shiftright(get(col("spans"), col("start_word").cast("int")), 32) + 1)
+          .as("start_char"),
+        get(col("spans"),
+          (col("start_word") + col("n_chunk_words") - 1).cast("int"))
+          .bitwiseAND(lit(0xFFFFFFFFL)).as("end_char"))
 
   /** Sparse dot-product top-k retrieval — the inverted-index shape
     * behind BM25 / learned-sparse (SPLADE-style) retrieval, where
@@ -1620,11 +1732,33 @@ object Pipeline {
     * left, right, pair_count) — the ordered merge list a tokenizer
     * runtime applies. */
   def bpeTrain(corpus: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2): DataFrame = {
+      minPairCount: Long = 2, localDictMax: Long = 1000000L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     val spark = corpus.sparkSession
     var dict = bpeInitDict(corpus, textCol).localCheckpoint()
+    // Driver-local fast path: the corpus was already collapsed to its
+    // word-frequency dictionary (the ONE genuinely distributed pass),
+    // and classic BPE training only ever reads that dictionary — so
+    // when it fits in driver memory (vocabulary-bounded, NOT corpus-
+    // bounded; even web-scale corpora are below ~10⁷ distinct words
+    // after the usual pre-tokenization), running the merge loop
+    // in-process with INCREMENTAL pair-count maintenance replaces
+    // numMerges sequential Spark jobs (a 32k-merge vocabulary = 32k
+    // scheduler round-trips, wall-clock-hostile at any corpus size)
+    // with one collect + an in-memory loop. Above `localDictMax`
+    // dictionary rows the distributed loop below takes over unchanged.
+    // Both paths produce the IDENTICAL ordered merge list — same
+    // greedy non-overlapping merge scan, same (count desc, pair
+    // UTF-8-binary asc) tie-break — pinned by a BpeSpec property.
+    if (dict.count() <= localDictMax) {
+      val rows = dict.collect().map(r =>
+        (r.getSeq[String](1).toArray, r.getLong(0)))
+      releaseLocalCheckpoint(dict)
+      import spark.implicits._
+      return bpeTrainLocal(rows, numMerges, minPairCount)
+        .toDF("merge_no", "left", "right", "pair_count")
+    }
     val merges = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     var round = 1
@@ -1654,6 +1788,95 @@ object Pipeline {
     releaseLocalCheckpoint(dict)
     import spark.implicits._
     merges.toSeq.toDF("merge_no", "left", "right", "pair_count")
+  }
+
+  /** UTF-8-binary string ordering — what Spark's `asc` on StringType
+    * compares (UTF8String bytes, unsigned). The local BPE tie-break
+    * must use THIS, not Java's UTF-16 compareTo, or the two training
+    * paths could diverge on supplementary-plane ties. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** In-memory BPE merge loop over a collected word-frequency
+    * dictionary — [[bpeTrain]]'s fast path. Pair counts are maintained
+    * INCREMENTALLY (the Sennrich reference implementation's trick):
+    * each merge touches only the words that contain the winning pair
+    * (tracked in an inverted index), subtracting their old adjacent
+    * pairs and adding the new ones, so a round costs
+    * O(Σ affected word lengths) + one O(#live pairs) scan for the
+    * maximum — not a full dictionary pass per merge. The greedy
+    * non-overlapping left-to-right merge scan is the same fold the
+    * distributed round applies ('a a a' + (a,a) → ['aa','a']). */
+  private def bpeTrainLocal(dict0: Array[(Array[String], Long)],
+      numMerges: Int, minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    val words = dict0.map(w =>
+      collection.mutable.ArrayBuffer.from[String](w._1))
+    val cnts = dict0.map(_._2)
+    val stats = collection.mutable.HashMap.empty[(String, String), Long]
+    val index = collection.mutable.HashMap
+      .empty[(String, String), collection.mutable.Set[Int]]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val w = words(wi)
+      var i = 0
+      while (i < w.length - 1) {
+        val p = (w(i), w(i + 1))
+        val nv = stats.getOrElse(p, 0L) + sign * cnts(wi)
+        if (nv == 0L) stats.remove(p) else stats(p) = nv
+        if (sign > 0)
+          index.getOrElseUpdate(p, collection.mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
+    val merges =
+      collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (!done && round <= numMerges) {
+      // linear max scan with the distributed tie-break:
+      // count desc, then (l, r) UTF-8-binary ascending
+      var bl: String = null
+      var br: String = null
+      var bc = 0L
+      stats.foreach { case ((l, r), c) =>
+        if (bl == null || c > bc || (c == bc &&
+            (utf8Lt(l, bl) || (l == bl && utf8Lt(r, br))))) {
+          bl = l; br = r; bc = c
+        }
+      }
+      if (bl == null || bc < minPairCount) done = true
+      else {
+        merges += ((round, bl, br, bc))
+        // stale index entries (words that lost the pair to an earlier
+        // merge) are harmless: the re-derive below is a no-op for them
+        val affected = index.remove((bl, br)).map(_.toArray)
+          .getOrElse(Array.emptyIntArray)
+        affected.foreach { wi =>
+          addPairs(wi, -1L)
+          val w = words(wi)
+          val out = collection.mutable.ArrayBuffer.empty[String]
+          w.foreach { x =>
+            if (out.nonEmpty && out.last == bl && x == br)
+              out(out.length - 1) = bl + br
+            else out += x
+          }
+          words(wi) = out
+          addPairs(wi, 1L)
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
   }
 
   /** The BPE word-frequency dictionary: one corpus scan → (cnt, syms)
@@ -1693,16 +1916,77 @@ object Pipeline {
     * `bpe_tokens` (array<string>) and `n_bpe_tokens` (no id column is
     * needed — all caller columns pass through untouched). */
   def bpeSegment(corpus: DataFrame, textCol: String,
-      merges: DataFrame): DataFrame = {
-    val encoded = merges.orderBy(col(merges.columns(0)))
-      .select(col(merges.columns(1)), col(merges.columns(2)))
-      .collect().map(r => r.getString(0) + " " + r.getString(1))
-      .mkString("\n")
+      merges: DataFrame): DataFrame =
     corpus
       .withColumn("bpe_tokens",
         flatten(transform(array_remove(words(col(textCol)), ""),
-          w => call_function("bpe_segment", w, lit(encoded)))))
+          w => call_function("bpe_segment", w, lit(encodeMerges(merges))))))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast(LongType))
+
+  /** The "l r"-lines encoding [[graft.plans.BpeSegment]] bakes its
+    * rank table from — ONE driver collect of the numMerges-bounded
+    * table, shared by [[bpeSegment]] and [[bpeEncodeIds]]. */
+  private def encodeMerges(merges: DataFrame): String =
+    merges.orderBy(col(merges.columns(0)))
+      .select(col(merges.columns(1)), col(merges.columns(2)))
+      .collect().map(r => r.getString(0) + " " + r.getString(1))
+      .mkString("\n")
+
+  /** The token-id vocabulary of a trained BPE model — (id, symbol),
+    * the SentencePiece/HF vocab-file layout: base symbols first
+    * ('</w>' + every distinct code point of the training corpus's
+    * words, UTF-8-binary ascending), then the merge outputs in rank
+    * order, ids = 0..V−1. Deterministic given (corpus, merges), so
+    * train-once/serve-many pipelines can rebuild it bit-identically.
+    * Scale shape: the base alphabet comes from one distinct-character
+    * aggregation (alphabet-bounded — a few thousand rows even for CJK
+    * corpora) and the merge table is numMerges-bounded, so both
+    * collects are parameter-sized, the kmeans-centroid pattern. The
+    * pathological collision (a merge output spelling exactly "</w>"
+    * or another entry) keeps the FIRST id, like the runtime's
+    * first-wins rank table. */
+  def bpeVocab(corpus: DataFrame, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus
+      .select(explode(array_remove(words(col(textCol)), "")).as("w"))
+      .select(explode(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("sym"))
+      .distinct()
+      .orderBy(col("sym").asc) // Spark asc = UTF-8 binary order
+      .collect().map(_.getString(0))
+    val mergeSyms = merges.orderBy(col(merges.columns(0)))
+      .collect().map(r => r.getString(1) + r.getString(2))
+    val all = ((("</w>" +: base.toSeq).sortWith(utf8Lt)) ++ mergeSyms).distinct
+    import spark.implicits._
+    all.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "symbol")
+  }
+
+  /** BPE tokenization to integer TOKEN IDS — what sequence packing,
+    * length bucketing and every downstream training pipeline actually
+    * consume (symbol strings are a debugging view; models eat ids).
+    * Same single map pass as [[bpeSegment]] — the codegen'd
+    * [[graft.plans.BpeEncodeIds]] expression segments each
+    * whitespace word with the baked rank table and maps symbols
+    * through the baked vocab-id table in one traversal; no per-row
+    * parsing, no join, no shuffle. Symbols outside `vocab` (an
+    * alphabet character never seen at training time) encode as -1,
+    * the UNK sentinel — filter or remap downstream; ids are otherwise
+    * exactly the `vocab` ids, so `bpeVocab`'s (id, symbol) table
+    * round-trips ids back to [[bpeSegment]]'s symbols (pinned in
+    * BpeSpec). Output: every caller column + `bpe_ids` (array<int>)
+    * and `n_bpe_tokens`. */
+  def bpeEncodeIds(corpus: DataFrame, textCol: String, merges: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val encodedVocab = vocab.orderBy(col(vocab.columns(0)))
+      .select(col(vocab.columns(1)))
+      .collect().map(_.getString(0)).mkString("\n")
+    corpus
+      .withColumn("bpe_ids",
+        flatten(transform(array_remove(words(col(textCol)), ""),
+          w => call_function("bpe_encode_ids", w,
+            lit(encodeMerges(merges)), lit(encodedVocab)))))
+      .withColumn("n_bpe_tokens", size(col("bpe_ids")).cast(LongType))
   }
 
   /** Gumbel-top-k importance RESAMPLING — the selection step DSIR runs
@@ -5936,6 +6220,78 @@ object Pipeline {
         LEFT JOIN reb ON reb.doc_id = nn.doc_id
         WHERE nn.doc_id % 10 <> 0
         ORDER BY nn.doc_id""")),
+
+    // ---- p58: paragraph-dedup boilerplate report —
+    // [[dedupParagraphsReport]] over the p52 page layout (8-word
+    // '.'-lines + the same cookie banner on EVERY page): the banner
+    // tops the table at n_copies = corpus size, naturally-shared
+    // near-dup lines fill the tail. The oracle replays the layout,
+    // the duplicate filter, the bytes accounting and the
+    // (copies desc, line asc) top-k cut.
+    QueryDef(
+      "p58_paragraph_dedup_report",
+      (s, d) => {
+        val ws = array_remove(words(col("text")), "")
+        val nl = greatest(ceil(size(ws) / lit(8.0)).cast(IntegerType), lit(1))
+        val lines = transform(sequence(lit(0), nl - 1), i =>
+          concat(array_join(slice(ws, i * 8 + 1, lit(8)), " "), lit(".")))
+        val page = concat(array_join(lines, "\n"),
+          lit("\naccept cookies to continue reading this website today."))
+        dedupParagraphsReport(
+          T.documents(s, d).select(col("doc_id"), page.as("page")),
+          "doc_id", "page", k = 15)
+          .orderBy(col("rk"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS ws FROM documents),
+        pg AS MATERIALIZED (
+          SELECT doc_id,
+                 array_to_string(list_transform(range(0,
+                     greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)), i ->
+                   coalesce(array_to_string(ws[i*8+1 : i*8+8], ' '), '') || '.'), chr(10)) ||
+                 chr(10) || 'accept cookies to continue reading this website today.' AS page
+          FROM w),
+        l AS (
+          SELECT doc_id, unnest(string_split(page, chr(10))) AS line FROM pg),
+        c AS (
+          SELECT line, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM l WHERE trim(line) <> '' GROUP BY line
+          HAVING COUNT(*) >= 2)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_copies DESC, line ASC) AS INT) AS rk,
+               line, n_copies, n_docs,
+               CAST((n_copies - 1) * strlen(line) AS BIGINT) AS bytes_removed
+        FROM c ORDER BY n_copies DESC, line ASC LIMIT 15""")),
+
+    // ---- p59: substring-dedup boilerplate report —
+    // [[dedupSubstringsReport]] at minLen = 10 over the raw fixture
+    // corpus: the hottest cross-document duplicated 10-word runs (the
+    // p56 cut targets), ranked by document frequency. The oracle
+    // replays the distinct-per-doc gram sets, the df filter and the
+    // top-k cut.
+    QueryDef(
+      "p59_substring_dedup_report",
+      (s, d) =>
+        dedupSubstringsReport(T.documents(s, d), "doc_id", "text",
+          minLen = 10, k = 15)
+          .orderBy(col("rk")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS ws FROM documents),
+        nn AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 10),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+9], ' ') AS gram
+          FROM nn, unnest(range(1, n - 8)) t(i)),
+        c AS (
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM g GROUP BY gram HAVING COUNT(*) >= 2)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, gram ASC) AS INT) AS rk,
+               gram, n_docs,
+               CAST((n_docs - 1) * strlen(gram) AS BIGINT) AS bytes_removed
+        FROM c ORDER BY n_docs DESC, gram ASC LIMIT 15""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

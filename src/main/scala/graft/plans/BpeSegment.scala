@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `bpe_segment(word, mergesEncoded)` — tokenize ONE word with a
@@ -36,19 +36,8 @@ case class BpeSegment(child: Expression, mergesEncoded: String)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_segment"
 
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    var i = 0
-    mergesEncoded.split("\n").foreach { line =>
-      // first occurrence wins: trained merge lists never duplicate,
-      // but a HAND-BUILT table with a repeated "l r" line must keep
-      // the FIRST (lowest) rank like standard tokenizer runtimes —
-      // put() would silently take the last (ADVICE r11). The dup line
-      // still consumes its rank slot so later lines keep their index.
-      if (line.nonEmpty) { m.putIfAbsent(line, Integer.valueOf(i)); i += 1 }
-    }
-    m
-  }
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] =
+    BpeSegment.buildTable(mergesEncoded)
 
   override def nullSafeEval(input: Any): Any =
     BpeSegment.segment(input.asInstanceOf[UTF8String], ranks)
@@ -65,7 +54,89 @@ case class BpeSegment(child: Expression, mergesEncoded: String)
     copy(child = newChild)
 }
 
+/** `bpe_encode_ids(word, mergesEncoded, vocabEncoded)` — tokenize ONE
+  * word like [[BpeSegment]] (same baked rank table, same greedy
+  * best-ranked-pair loop), then map each output symbol to its integer
+  * id through a second baked table: the vocabulary arrives as a
+  * foldable "\n"-joined symbol list whose LINE INDEX is the id (the
+  * SentencePiece/HF vocab-file convention —
+  * [[graft.operators.Pipeline.bpeVocab]] builds it as sorted base
+  * symbols followed by merge outputs in rank order). Symbols absent
+  * from the vocabulary encode as -1 (the UNK sentinel; an id can never
+  * legitimately be negative) so out-of-alphabet input surfaces loudly
+  * instead of shifting every downstream id. Both tables are built once
+  * per expression instance and shared across rows via codegen
+  * reference objects — per row there is no parsing, no join, no
+  * shuffle. */
+case class BpeEncodeIds(child: Expression, mergesEncoded: String,
+    vocabEncoded: String) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] =
+    BpeSegment.buildTable(mergesEncoded)
+  @transient private lazy val ids: java.util.HashMap[String, Integer] =
+    BpeSegment.buildTable(vocabEncoded)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeSegment.encodeIds(input.asInstanceOf[UTF8String], ranks, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+        "java.util.HashMap<String, Integer>")
+      val idsRef = ctx.addReferenceObj("bpeVocabIds", ids,
+        "java.util.HashMap<String, Integer>")
+      val cls = BpeSegment.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.encodeIds($s, $ranksRef, $idsRef);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+}
+
 object BpeSegment {
+  /** Line → line-index table shared by the merge-rank and vocab-id
+    * maps. First occurrence wins: trained merge lists and built
+    * vocabularies never duplicate, but a HAND-BUILT table with a
+    * repeated line must keep the FIRST (lowest) index like standard
+    * tokenizer runtimes — put() would silently take the last (ADVICE
+    * r11). The dup line still consumes its slot so later lines keep
+    * their index. */
+  private[plans] def buildTable(encoded: String)
+      : java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    encoded.split("\n").foreach { line =>
+      if (line.nonEmpty) { m.putIfAbsent(line, Integer.valueOf(i)); i += 1 }
+    }
+    m
+  }
+
+  /** [[segment]] + symbol→id mapping in one pass; unknown → -1. */
+  def encodeIds(word: UTF8String, ranks: java.util.HashMap[String, Integer],
+      ids: java.util.HashMap[String, Integer]): ArrayData = {
+    val syms = segment(word, ranks)
+    val n = syms.numElements()
+    val res = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val id = ids.get(syms.getUTF8String(i).toString)
+      res(i) = if (id == null) -1 else id.intValue()
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
   /** One word → its BPE symbols. Greedy: find the best (lowest) rank
     * among adjacent pairs, merge ALL its occurrences left-to-right,
     * repeat. Code-point splitting matches the trainer's

@@ -85,6 +85,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("bpe_segment", 2)(c => BpeSegment(c(0),
         TextHashes.litString(c(1), "bpe_segment: merges")))))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_encode_ids"),
+      new ExpressionInfo(classOf[BpeEncodeIds].getName, "bpe_encode_ids"),
+      arity("bpe_encode_ids", 3)(c => BpeEncodeIds(c(0),
+        TextHashes.litString(c(1), "bpe_encode_ids: merges"),
+        TextHashes.litString(c(2), "bpe_encode_ids: vocab")))))
+    ext.injectFunction((
       new FunctionIdentifier("kgram_hashes_all"),
       new ExpressionInfo(classOf[KgramHashesAll].getName, "kgram_hashes_all"),
       arity("kgram_hashes_all", 3)(c => KgramHashesAll(c(0),
@@ -103,6 +109,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PositionsInSorted].getName,
         "positions_in_sorted"),
       arity("positions_in_sorted", 2)(c => PositionsInSorted(c(0), c(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("sentence_chunk_spans"),
+      new ExpressionInfo(classOf[SentenceChunkSpans].getName,
+        "sentence_chunk_spans"),
+      arity("sentence_chunk_spans", 3)(c => SentenceChunkSpans(c(0),
+        TextHashes.litInt(c(1), "sentence_chunk_spans: chunkWords"),
+        TextHashes.litInt(c(2), "sentence_chunk_spans: overlapWords")))))
     ext.injectFunction((
       new FunctionIdentifier("kgram_strings"),
       new ExpressionInfo(classOf[KgramStrings].getName, "kgram_strings"),

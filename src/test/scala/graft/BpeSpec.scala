@@ -267,6 +267,87 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain: local fast path and distributed loop — identical merge lists") {
+    import spark.implicits._
+    // localDictMax = 0 forces the distributed per-round loop;
+    // Long.MaxValue forces the driver-local incremental trainer — the
+    // two must agree merge for merge, including counts and the
+    // (count desc, pair UTF-8 asc) tie-break, astral chars included
+    val wordGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "é", "𝄞")).map(_.mkString))
+    val corpusGen = Gen.chooseNum(3, 25).flatMap(n => Gen.listOfN(n, wordGen))
+    val p = Prop.forAll(corpusGen) { words =>
+      val df = words.map(Tuple1(_)).toDF("text")
+      def run(localMax: Long) = Pipeline.bpeTrain(df, "text", 6,
+          minPairCount = 2, localDictMax = localMax)
+        .orderBy("merge_no").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      run(0L) == run(Long.MaxValue)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("bpeVocab/bpeEncodeIds: ids round-trip to symbols; OOV encodes -1") {
+    import spark.implicits._
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .map(Tuple1(_)).toDF("text")
+    val mergesDf = Pipeline.bpeTrain(corpus, "text", 8, minPairCount = 2)
+    val vocab = Pipeline.bpeVocab(corpus, "text", mergesDf)
+    val v = vocab.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // ids are dense 0..V-1 over distinct symbols
+    assert(v.keySet == (0 until v.size).toSet)
+    assert(v.values.toSeq.distinct.size == v.size)
+    // layout: base alphabet first, then merge outputs in rank order
+    val mergeSyms = mergesDf.orderBy("merge_no").collect()
+      .map(r => r.getString(1) + r.getString(2)).toSeq
+    assert(v.toSeq.sortBy(_._1).map(_._2).takeRight(mergeSyms.size)
+      == mergeSyms)
+    assert(v.values.exists(_ == "</w>"))
+    val docs = Seq((1L, "low newest"), (2L, "zz")).toDF("doc_id", "text")
+    val enc = Pipeline.bpeEncodeIds(docs, "text", mergesDf, vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](r.fieldIndex("bpe_ids")),
+          r.getLong(r.fieldIndex("n_bpe_tokens")))).toMap
+    val seg = Pipeline.bpeSegment(docs, "text", mergesDf)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](r.fieldIndex("bpe_tokens"))).toMap
+    // round-trip: ids map back to exactly bpeSegment's symbol stream
+    assert(enc(1L)._1.map(v) == seg(1L))
+    assert(enc(1L)._1.forall(_ >= 0))
+    assert(enc.forall { case (k, (ids, n)) => n == ids.length })
+    // 'z' was never in the training alphabet: its symbols encode -1,
+    // the word marker still resolves
+    assert(enc(2L)._1.count(_ == -1) ==
+      seg(2L).count(s => s.nonEmpty && s.forall(_ == 'z')))
+    assert(enc(2L)._1.last == v.find(_._2 == "</w>").get._1)
+  }
+
+  test("bpeEncodeIds composes with packSequences on real id counts") {
+    import spark.implicits._
+    val corpus = (Seq.fill(6)("aa bb aa") ++ Seq.fill(4)("aa cc"))
+      .map(Tuple1(_)).toDF("text")
+    val mergesDf = Pipeline.bpeTrain(corpus, "text", 4, minPairCount = 2)
+    val vocab = Pipeline.bpeVocab(corpus, "text", mergesDf)
+    val docs = Seq(
+      (1L, "s0", "aa bb aa"), (2L, "s0", "aa cc"),
+      (3L, "s1", "aa bb aa aa bb aa"), (4L, "s1", "cc"))
+      .toDF("doc_id", "shard", "text")
+    val toks = Pipeline.bpeEncodeIds(docs, "text", mergesDf, vocab)
+    val packed = Pipeline.packSequences(toks, "doc_id", "shard",
+      col("n_bpe_tokens"), contextLen = 8)
+    val inOrder = packed.orderBy("tok_offset").collect()
+      .map(r => (r.getLong(r.fieldIndex("tok_offset")),
+        r.getLong(r.fieldIndex("tok"))))
+    assert(inOrder.length == 4)
+    inOrder.sliding(2).foreach {
+      case Array((o1, n1), (o2, _)) => assert(o2 == o1 + n1, "offset gap")
+      case _ =>
+    }
+  }
+
   test("bpeTrain: leaves no persistent RDDs behind (round checkpoints released)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     sparkBpe(Seq.fill(4)("abc") ++ Seq.fill(2)("abd"), 4, minPairCount = 2)

@@ -368,6 +368,56 @@ class PipelineSpec extends AnyFunSuite {
     } finally operators.Pipeline.releaseSharedComponents(spark, dir)
   }
 
+  test("KeyedMemo: other keys and release proceed while a build is parked") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val P = operators.Pipeline
+    // the build-outside-lock CONTRACT (ADVICE r11): a long index build
+    // for one key must not serialize the whole memo — other-key
+    // callers, unpin and removeAndRelease all complete while the first
+    // key's builder is parked on a latch
+    val memo = new P.KeyedMemo[P.MemoEntry](cap = 4, _ => ())
+    val buildStarted = new java.util.concurrent.CountDownLatch(1)
+    val releaseBuild = new java.util.concurrent.CountDownLatch(1)
+    val aDone = new java.util.concurrent.atomic.AtomicReference[P.MemoEntry]
+    val builder = new Thread(() => {
+      val e = memo.getOrBuild("A", pin = false) {
+        buildStarted.countDown()
+        releaseBuild.await()
+        new P.MemoEntry(null)
+      }
+      aDone.set(e)
+    })
+    builder.start()
+    try {
+      assert(buildStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // with A's build parked: a DIFFERENT key builds and returns…
+      val b = Await.result(
+        Future(memo.getOrBuild("B", pin = true)(new P.MemoEntry(null))),
+        10.seconds)
+      // …and the maintenance calls a close() makes don't block either
+      Await.result(Future {
+        memo.unpin("B", b)
+        memo.removeAndRelease("B")
+      }, 10.seconds)
+      assert(aDone.get() == null, "A's build should still be parked")
+      // a same-key waiter shares A's single in-flight build: its own
+      // thunk must never run
+      val waiter = Future(memo.getOrBuild("A", pin = false) {
+        fail("same-key waiter ran a second build")
+      })
+      releaseBuild.countDown()
+      val w = Await.result(waiter, 30.seconds)
+      builder.join(30000)
+      assert(aDone.get() != null && (w eq aDone.get()),
+        "waiter must share the builder's entry")
+    } finally {
+      releaseBuild.countDown()
+      builder.join(30000)
+    }
+  }
+
   test("sharedIvfPq memo: builds once, artifact shapes; release frees blocks") {
     import spark.implicits._
     val P = operators.Pipeline

@@ -448,6 +448,104 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup reports: hottest lines and grams, bytes accounting; alien columns") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\ncookie banner\nunique one"),
+      (2L, "gamma delta\ncookie banner\n  \nunique two"),
+      (3L, "cookie banner\nalpha beta"),
+      (4L, "solo line")).toDF("post_key", "body")
+    val rep = Pipeline.dedupParagraphsReport(docs, "post_key", "body", k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // the banner is hottest (3 copies over 3 docs), the shared opener
+    // follows; the whitespace-only line is structure, never reported
+    assert(rep == Seq(
+      (1, "cookie banner", 3L, 3L, 2L * "cookie banner".length),
+      (2, "alpha beta", 2L, 2L, 1L * "alpha beta".length)))
+    // substring layer over the main fixture: B repeats 41 of A's
+    // 10-gram windows, F repeats all 51 of E's, D quotes one of C's —
+    // every duplicated gram sits in exactly 2 docs
+    val sub = Pipeline.dedupSubstringsReport(corpus, "post_key", "body",
+        minLen = 10, k = 100)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(sub.length == 41 + 51 + 1)
+    assert(sub.forall(_._3 == 2L))
+    assert(sub.exists(_._2 == (21 to 30).map(i => s"v$i").mkString(" ")))
+    assert(sub.forall(g => g._4 == g._2.getBytes("UTF-8").length.toLong))
+    // ties rank by gram ascending; rk is dense 1..n
+    assert(sub.map(_._1) == (1 to sub.length))
+    assert(sub.map(_._2) == sub.map(_._2).sorted)
+  }
+
+  test("chunkText respectSentences: ends snap to sentence boundaries in-window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // '.' and the multi-byte '”' both exercise the terminal test;
+    // doc 0 is empty (the one-empty-chunk floor)
+    val docs = (0 until 12).map { i =>
+      val n = if (i == 0) 0 else 1 + rnd.nextInt(40)
+      (i.toLong, (0 until n).map { _ =>
+        val w = "w" + rnd.nextInt(50)
+        rnd.nextInt(8) match {
+          case 0 => w + "."
+          case 1 => w + "”"
+          case _ => w
+        }
+      }.mkString(" "))
+    }
+    val cw = 8
+    val ov = 2
+    def isEnd(w: String): Boolean =
+      w.endsWith(".") || w.endsWith("!") || w.endsWith("?") ||
+        w.endsWith("\"") || w.endsWith("”")
+    val out = Pipeline.chunkText(docs.toDF("post_key", "body"), "post_key",
+        "body", chunkWords = cw, overlapWords = ov, respectSentences = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getString(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    docs.foreach { case (id, text) =>
+      val ws = text.split("\\s+").filter(_.nonEmpty)
+      val chunks = out.filter(_._1 == id).sortBy(_._2)
+      assert(chunks.nonEmpty, s"doc $id emitted no chunks")
+      if (ws.isEmpty) {
+        assert(chunks.length == 1 && chunks(0)._4 == 0 &&
+          chunks(0)._5 == "" && chunks(0)._6 == -1L)
+      } else {
+        chunks.zipWithIndex.foreach {
+          case ((_, _, s, ncw, ctext, sc, ec), k) =>
+            val e = s + ncw
+            assert(ncw >= 1 && e <= ws.length)
+            // THE boundary property: a non-final chunk ends at the
+            // LAST sentence boundary in its full window, or at the
+            // fixed window end when none exists
+            if (k < chunks.length - 1) {
+              val window = (s.toInt until (s.toInt + cw))
+              val ends = window.filter(j => isEnd(ws(j)))
+              if (ends.nonEmpty) assert(e == ends.max + 1,
+                s"doc $id chunk $k: end $e vs last boundary ${ends.max + 1}")
+              else assert(e == s + cw)
+            } else assert(e == ws.length && ws.length - s <= cw)
+            // chunk text + citation span recover the same words
+            assert(ctext == ws.slice(s.toInt, e.toInt).mkString(" "))
+            val cited = text.substring(sc.toInt - 1, ec.toInt)
+            assert(cited.split("\\s+").filter(_.nonEmpty).toSeq ==
+              ws.slice(s.toInt, e.toInt).toSeq, s"doc $id chunk $k citation")
+        }
+        // layout: starts advance as max(s+1, e-overlap); full coverage
+        chunks.sliding(2).foreach {
+          case Array((_, _, s1, n1, _, _, _), (_, _, s2, _, _, _, _)) =>
+            assert(s2 == math.max(s1 + 1, s1 + n1 - ov))
+          case _ => ()
+        }
+        assert(chunks.head._3 == 0 && chunks.map(c => c._3 + c._4).max
+          == ws.length)
+      }
+    }
+  }
+
   test("resampleByImportance: deterministic Gumbel draw; temperature limits") {
     import spark.implicits._
     val scored = (1 to 100).map(i => (i.toLong, i / 10.0)).toDF("doc_id", "s")
