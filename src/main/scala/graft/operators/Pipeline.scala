@@ -6293,6 +6293,78 @@ object Pipeline {
                CAST((n_docs - 1) * strlen(gram) AS BIGINT) AS bytes_removed
         FROM c ORDER BY n_docs DESC, gram ASC LIMIT 15""")),
 
+    // ---- p60: sentence-boundary-aware chunking — [[chunkText]] with
+    // respectSentences = true at 20-word chunks / 5-word overlap. The
+    // fixture corpus is punctuation-free, so every 7th word gets a '.'
+    // suffix (both engines synthesize the page identically); the
+    // oracle then replays the SEQUENTIAL snap walk with a recursive
+    // CTE — next start = max(s+1, e−overlap), end = last in-window
+    // sentence boundary + 1, fixed window when none, whole tail when
+    // it fits — plus the slice re-join and the per-char word-span
+    // citations (the p43 classification).
+    QueryDef(
+      "p60_sentence_chunks",
+      (s, d) => {
+        val ws0 = array_remove(words(col("text")), "")
+        val wsP = transform(ws0, (x, i) =>
+          when((i + 1) % 7 === 0, concat(x, lit("."))).otherwise(x))
+        chunkText(
+          T.documents(s, d).select(col("doc_id"),
+            array_join(wsP, " ").as("page")),
+          "doc_id", "page", chunkWords = 20, overlapWords = 5,
+          respectSentences = true)
+          .orderBy(col("doc_id"), col("chunk_no"))
+      },
+      Some("""
+        WITH RECURSIVE
+        w AS (
+          SELECT doc_id, list_transform(
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                   (x, i) -> CASE WHEN i % 7 = 0 THEN x || '.' ELSE x END) AS ws
+          FROM documents),
+        pgx AS MATERIALIZED (
+          SELECT doc_id, ws, array_to_string(ws, ' ') AS page FROM w),
+        nn AS MATERIALIZED (
+          SELECT doc_id, ws, page, len(ws) AS n,
+                 list_filter(range(0, len(ws)), j ->
+                   ws[j + 1][-1] IN ('.', '!', '?', '"', '”')) AS sends
+          FROM pgx),
+        walk(doc_id, chunk_no, s, e) AS (
+          SELECT doc_id, 0, 0,
+                 CASE WHEN n <= 20 THEN n
+                      ELSE coalesce(list_max(list_filter(sends, j ->
+                             j >= 0 AND j < 20)) + 1, 20) END
+          FROM nn
+          UNION ALL
+          SELECT k.doc_id, k.chunk_no + 1,
+                 greatest(k.s + 1, k.e - 5),
+                 CASE WHEN nn.n - greatest(k.s + 1, k.e - 5) <= 20 THEN nn.n
+                      ELSE coalesce(list_max(list_filter(nn.sends, j ->
+                             j >= greatest(k.s + 1, k.e - 5) AND
+                             j < greatest(k.s + 1, k.e - 5) + 20)) + 1,
+                           greatest(k.s + 1, k.e - 5) + 20) END
+          FROM walk k JOIN nn ON nn.doc_id = k.doc_id
+          WHERE k.e < nn.n),
+        sp AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(range(1, len(page) + 1), i ->
+                   substr(page, i, 1) <> ' '
+                   AND (i = 1 OR substr(page, i - 1, 1) = ' ')) AS cstarts,
+                 list_filter(range(1, len(page) + 1), i ->
+                   substr(page, i, 1) <> ' '
+                   AND (i = len(page) OR substr(page, i + 1, 1) = ' ')) AS cends
+          FROM pgx)
+        SELECT k.doc_id, CAST(k.chunk_no AS INT) AS chunk_no,
+               CAST(k.s AS BIGINT) AS start_word,
+               CAST(k.e - k.s AS BIGINT) AS n_chunk_words,
+               coalesce(array_to_string(nn.ws[k.s + 1 : k.e], ' '), '') AS chunk_text,
+               sp.cstarts[k.s + 1] AS start_char,
+               sp.cends[k.e] AS end_char
+        FROM walk k
+        JOIN nn ON nn.doc_id = k.doc_id
+        JOIN sp ON sp.doc_id = k.doc_id
+        ORDER BY k.doc_id, k.chunk_no""")),
+
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic
     // byte-level functions (the real decode is stubbed — image/audio
