@@ -30,6 +30,49 @@ object Curation {
   def qualityScore(text: Column, nChars: Column): Column =
     Pipeline.qualityExpr(text, nChars)
 
+  /** End-to-end TEXT-cleaning chain — the full pre-training scrub a
+    * crawl corpus runs before tokenization, composed from the SAME
+    * operators the individual gates certify (never re-implemented):
+    * C4 line cleaning ([[Pipeline.c4CleanLines]], dropping failed
+    * pages) → global paragraph dedup
+    * ([[Pipeline.dedupParagraphsGlobal]], boilerplate lines) → exact
+    * substring dedup ([[Pipeline.dedupSubstringsGlobal]], Lee'22
+    * repeated runs) → optional span-granular eval decontamination
+    * ([[Pipeline.decontaminateSpans]]). Each stage feeds the previous
+    * stage's cleaned text, so later (more expensive) stages see less
+    * data; the chain is scan → map-side line pass → two content-keyed
+    * partial-agg shuffles → map-side broadcast probe. Output, one row
+    * per SURVIVING page: (doc_id, n_lines, n_kept_lines, n_words,
+    * n_cut_words, n_flagged_grams, text_clean). `evalTextCol` names
+    * the eval frame's text column (defaults to `textCol`). */
+  def cleanText(docs: DataFrame, idCol: String, textCol: String,
+      evalSet: Option[DataFrame] = None, substringMinLen: Int = 50,
+      decontaminateN: Int = 13, evalTextCol: String = ""): DataFrame = {
+    val c4 = Pipeline.c4CleanLines(docs, idCol, textCol)
+      .filter(col("keep"))
+      .select(col(idCol).as("doc_id"), col("cleaned_text"))
+    val par = Pipeline.dedupParagraphsGlobal(c4, "doc_id", "cleaned_text")
+    val sub = Pipeline.dedupSubstringsGlobal(
+        par.select(col("doc_id"), col("text_deduped")),
+        "doc_id", "text_deduped", minLen = substringMinLen)
+      .select(col("doc_id"), col("n_words"), col("n_cut_words"),
+        col("text_deduped"))
+    val joined = par.select(col("doc_id"), col("n_lines"),
+        col("n_kept_lines"))
+      .join(sub, Seq("doc_id"))
+    val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
+    (evalSet match {
+      case Some(es) =>
+        Pipeline.decontaminateSpans(joined, es, "text_deduped",
+          n = decontaminateN, evalTextCol = evCol)
+      case None =>
+        joined.withColumn("n_flagged_grams", lit(0L))
+          .withColumn("text_clean", col("text_deduped"))
+    }).select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+      col("n_words"), col("n_cut_words"), col("n_flagged_grams"),
+      col("text_clean"))
+  }
+
   /** documents → curated corpus rows (kept docs + token accounting).
     * The dedup stage IS [[Pipeline.exactDedup]] (the p01 operator) —
     * same min-id-per-content-hash window, not a re-implementation. */

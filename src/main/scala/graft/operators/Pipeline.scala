@@ -944,7 +944,10 @@ object Pipeline {
     * (other documents or the same one) survives only at its FIRST
     * occurrence (ordered by doc id, then word position); every later
     * occurrence's window is excised from its document and the rest of
-    * the page is kept. Complements [[dedupParagraphsGlobal]] (which
+    * the page is kept (`keepFirst = false` excises EVERY occurrence
+    * instead — the stricter drop-all-copies policy for pipelines that
+    * treat the duplicate itself as a low-quality signal).
+    * Complements [[dedupParagraphsGlobal]] (which
     * only catches separator-ALIGNED repeats) and the minhash family
     * (whole-doc similarity): this is the modality that removes a
     * quoted license block or syndicated paragraph mid-page regardless
@@ -980,7 +983,8 @@ object Pipeline {
     * doc keeps ''. Join back to the corpus by id for full-column
     * frames. */
   def dedupSubstringsGlobal(corpus: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 50, nBytes: Int = 6): DataFrame = {
+      minLen: Int = 50, nBytes: Int = 6, keepFirst: Boolean = true)
+      : DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val L = minLen
     val base = corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
@@ -994,8 +998,15 @@ object Pipeline {
         min(struct(col("doc_id"), col("pos"))).as("__first"))
       .filter(col("__cnt") >= 2)
       .select(col("h"), col("__first"))
-    val flagged = grams.join(firsts, Seq("h"))
-      .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
+    // keepFirst = false is the paper's drop-ALL-copies policy (no
+    // occurrence of a duplicated substring survives — stricter, used
+    // when the duplicate itself signals low quality): the
+    // first-occurrence exemption filter is simply skipped
+    val dupOccurrences = grams.join(firsts, Seq("h"))
+    val flagged = (if (keepFirst)
+        dupOccurrences.filter(
+          struct(col("doc_id"), col("pos")) =!= col("__first"))
+      else dupOccurrences)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("__ps"))
     base.join(flagged, Seq("doc_id"), "left")

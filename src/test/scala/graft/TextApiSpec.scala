@@ -327,6 +327,60 @@ class TextApiSpec extends AnyFunSuite {
     assert(byId(15L) == ((15L, 60L, 60L, "0-60", "")))
     assert(out.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L, 14L, 15L))
     assert(a.nonEmpty) // fixture guard: A really is the w-vocabulary
+    // keepFirst = false (drop-all-copies): the FIRST holders lose
+    // their copies too — A keeps only its unshared word, C loses the
+    // passage D quoted, both exact dups empty out
+    val strict = Pipeline.dedupSubstringsGlobal(corpus, "post_key", "body",
+        minLen = 10, keepFirst = false)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toMap
+    assert(strict(10L) == "w42" && strict(11L) == "edited")
+    assert(strict(12L) ==
+      ((1 to 20) ++ (31 to 60)).map(i => s"v$i").mkString(" "))
+    assert(strict(13L) == (1 to 50).map(i => s"u$i").mkString(" "))
+    assert(strict(14L) == "" && strict(15L) == "")
+  }
+
+  test("Curation.cleanText: the composed scrub chains all four layers") {
+    import spark.implicits._
+    val banner = "accept all cookies to continue reading."
+    val l1 = "alpha beta gamma delta epsilon zeta eta."
+    val l2 = "one two three four five six seven eight."
+    val l3 = "red orange yellow green blue indigo violet."
+    val l4 = "cats dogs birds fish mice foxes wolves."
+    val l5 = "north south east west up down sideways."
+    val l6 = "iron copper silver gold tin lead zinc."
+    val s1 = "p q r s t u v w x y."
+    val m1 = "m n o aa bb cc dd ee ff gg."
+    val m2 = "hh ii jj kk ll mm nn oo pp."
+    val t1 = "zz yy p q r s t u v w."
+    val u5a = "stone brick slate marble chalk flint basalt."
+    val u5b = "oak ash elm birch pine cedar willow."
+    val docs = Seq(
+      (1L, Seq(l1, banner, l2, l3).mkString("\n")),
+      (2L, Seq(banner, l4, l5, l6).mkString("\n")),
+      (3L, "short line\nno punct here\nanother bad line"),
+      (4L, Seq(s1, m1, m2).mkString("\n")),
+      (5L, Seq(t1, u5a, u5b).mkString("\n")))
+      .toDF("post_key", "body")
+    val evalSet = Seq(Tuple1("red orange yellow green blue")).toDF("prompt")
+    val out = operators.Curation.cleanText(docs, "post_key", "body",
+        evalSet = Some(evalSet), substringMinLen = 7, decontaminateN = 5,
+        evalTextCol = "prompt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("n_flagged_grams")),
+          r.getString(r.fieldIndex("text_clean")))).toMap
+    // doc 3 (no terminal punctuation anywhere) fails the C4 page gate
+    assert(out.keySet == Set(1L, 2L, 4L, 5L))
+    // doc 2: the banner line deduped away (first occurrence is doc 1)
+    assert(out(2L) == ((0L, Seq(l4, l5, l6).mkString("\n"))))
+    // doc 4: first holder of the shared 7-word run — untouched
+    assert(out(4L) == ((0L, Seq(s1, m1, m2).mkString("\n"))))
+    // doc 5: the quoted run excised mid-line, the rest of the page kept
+    assert(out(5L) == ((0L,
+      "zz yy " + "w.\n" + u5a + "\n" + u5b)))
+    // doc 1: the eval 5-gram excised span-granularly, not the doc
+    assert(out(1L) == ((1L,
+      Seq(l1, banner, l2).mkString("\n") + " " + "indigo violet.")))
   }
 
   test("dedupSubstringsGlobal: randomized invariant — no duplicated L-gram survives") {
