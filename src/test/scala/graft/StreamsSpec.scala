@@ -462,6 +462,47 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateSpans composes stream-static: spans excised on arrival") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.Pipeline
+    // same one-broadcast-row shape as the boolean gate, so the
+    // span-excising variant also slots into an ingest stream: each
+    // arriving doc loses just its contaminated windows, clean docs
+    // pass byte-identical
+    val evalSet = Seq((100L, (1 to 8).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, ((1 to 8).map(i => s"e$i") ++ (1 to 5).map(i => s"k$i"))
+        .mkString(" ")),                                 // leads with the eval gram
+      (2L, (1 to 12).map(i => s"x$i").mkString(" ")),    // disjoint
+      (3L, "short doc"))                                 // < n words
+    val in = MemoryStream[(Long, String)]
+    val q = Pipeline.decontaminateSpans(
+        in.toDF().toDF("doc_id", "text"), evalSet, textCol = "text", n = 8)
+      .writeStream.format("memory").queryName("deconspan")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("deconspan").collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_flagged_grams"),
+          r.getAs[String]("cut_spans"), r.getAs[String]("text_clean")))
+        .toMap
+      assert(got(1L) == ((1L, "0-8", (1 to 5).map(i => s"k$i")
+        .mkString(" "))))
+      assert(got(2L) == ((0L, "", docs(1)._2)))
+      assert(got(3L) == ((0L, "", "short doc")))
+      // bit-identical to the batch path (same code, both executions)
+      val batch = Pipeline.decontaminateSpans(
+          docs.toDF("doc_id", "text"), evalSet, textCol = "text", n = 8)
+        .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_flagged_grams"),
+          r.getAs[String]("cut_spans"), r.getAs[String]("text_clean")))
+        .toMap
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("assignToCentroids serves a trained index to a live vector stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
