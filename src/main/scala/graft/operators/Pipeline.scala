@@ -263,14 +263,28 @@ object Pipeline {
     * concurrent caller for ANY key — including trivial `close()`
     * calls (ADVICE r11). Concurrent callers of the SAME key wait on
     * the builder's task (no double build); callers of other keys, and
-    * pin/unpin/release, proceed immediately. Eviction victims are
-    * collected under the lock but their blocking unpersist also runs
-    * outside it. */
+    * pin/unpin/release, proceed immediately. The builder's INSERT and
+    * its inflight-marker removal happen in one synchronized block
+    * (ADVICE r12: a gap between them let a concurrent caller become a
+    * second owner and leak the overwritten entry's blocks), and a
+    * per-key generation bumped by [[removeAndRelease]] makes a build
+    * that raced a release discard its result and rebuild rather than
+    * resurrect pre-release artifacts. Eviction victims are collected
+    * under the lock but their blocking unpersist also runs outside
+    * it. */
   private[graft] final class KeyedMemo[E <: PinnedEntry](cap: Int,
       releaseEntry: E => Unit) {
     private val entries = new java.util.LinkedHashMap[String, E]()
     private val inflight =
       new java.util.HashMap[String, java.util.concurrent.FutureTask[E]]()
+    // per-key epoch, bumped by removeAndRelease: a build that raced a
+    // release is DISCARDED instead of inserted (ADVICE r12 — the old
+    // insert-anyway resurrected pre-release artifacts, breaking the
+    // "release then call retrains" contract)
+    private val generations = new java.util.HashMap[String, java.lang.Long]()
+
+    private def generation(key: String): Long =
+      generations.getOrDefault(key, 0L)
 
     private def await(task: java.util.concurrent.FutureTask[E]): E =
       try task.get()
@@ -285,6 +299,7 @@ object Pipeline {
       while (true) {
         var task: java.util.concurrent.FutureTask[E] = null
         var mine = false
+        var genAtStart = 0L
         this.synchronized {
           val hit = entries.get(key)
           if (hit != null) { if (pin) hit.pins += 1; return hit }
@@ -293,39 +308,61 @@ object Pipeline {
             task = new java.util.concurrent.FutureTask[E](() => build)
             inflight.put(key, task)
             mine = true
+            genAtStart = generation(key)
           }
         }
         if (mine) {
-          val built =
-            try { task.run(); await(task) }
-            finally this.synchronized { inflight.remove(key) }
+          var built: E = null.asInstanceOf[E]
+          try { task.run(); built = await(task) }
+          finally if (built == null)
+            // failed build: drop the inflight marker so the next
+            // caller retries; the exception propagates below
+            this.synchronized { inflight.remove(key) }
+          // insert, inflight removal, pin and eviction scan in ONE
+          // synchronized block (ADVICE r12 medium): with the removal
+          // in a separate earlier block, a concurrent caller landing
+          // in the gap saw neither entry nor inflight task, became a
+          // second owner, and the second entries.put silently leaked
+          // the overwritten entry's checkpoint blocks
+          var stale = false
           val victims = this.synchronized {
-            entries.put(key, built)
-            if (pin) built.pins += 1
-            // evict OLDEST-first entries with no pins until back AT
-            // the cap; when the remaining entries are all pinned the
-            // memo temporarily exceeds the cap rather than yanking
-            // blocks from under a live handle — and because eviction
-            // keeps draining WHILE over cap, the excess is reclaimed
-            // by later insertions once handles close (review r11)
-            val out = List.newBuilder[E]
-            val it = entries.entrySet().iterator()
-            while (entries.size > cap && it.hasNext) {
-              val en = it.next()
-              if (en.getValue.pins == 0 && (en.getValue ne built)) {
-                out += en.getValue
-                it.remove()
+            inflight.remove(key)
+            if (generation(key) != genAtStart) { stale = true; Nil }
+            else {
+              val prev = entries.put(key, built)
+              if (pin) built.pins += 1
+              val out = List.newBuilder[E]
+              // defensive: structurally impossible now, but an
+              // overwritten entry must never leak its blocks
+              if (prev != null && (prev ne built)) out += prev
+              // evict OLDEST-first entries with no pins until back AT
+              // the cap; when the remaining entries are all pinned the
+              // memo temporarily exceeds the cap rather than yanking
+              // blocks from under a live handle — and because eviction
+              // keeps draining WHILE over cap, the excess is reclaimed
+              // by later insertions once handles close (review r11)
+              val it = entries.entrySet().iterator()
+              while (entries.size > cap && it.hasNext) {
+                val en = it.next()
+                if (en.getValue.pins == 0 && (en.getValue ne built)) {
+                  out += en.getValue
+                  it.remove()
+                }
               }
+              out.result()
             }
-            out.result()
           }
           victims.foreach(releaseEntry)
-          return built
-        }
-        // another thread is building this key: wait on its task, then
-        // loop — the re-check handles the (narrow) window where the
-        // fresh entry is evicted before this waiter reaches it
-        await(task)
+          if (stale) releaseEntry(built)
+          // stale → loop: rebuild under the new generation, so this
+          // caller too observes the release (fresh artifacts)
+          else return built
+        } else
+          // another thread is building this key: wait on its task,
+          // then loop — the re-check handles the (narrow) window where
+          // the fresh entry is evicted or released before this waiter
+          // reaches it
+          await(task)
       }
       throw new IllegalStateException("unreachable")
     }
@@ -340,9 +377,15 @@ object Pipeline {
     }
 
     /** Remove `key`'s entry (pinned or not — the owner's override) and
-      * release its blocks OUTSIDE the lock. No-op when absent. */
+      * release its blocks OUTSIDE the lock. Also bumps the key's
+      * generation so an IN-FLIGHT build of the key discards its result
+      * and rebuilds instead of inserting pre-release artifacts (ADVICE
+      * r12). No-op on the map when absent — the bump still applies. */
     def removeAndRelease(key: String): Unit =
-      this.synchronized { Option(entries.remove(key)) }.foreach(releaseEntry)
+      this.synchronized {
+        generations.merge(key, 1L, (a, b) => a + b)
+        Option(entries.remove(key))
+      }.foreach(releaseEntry)
   }
 
   private val componentsMemo = new KeyedMemo[MemoEntry](ComponentsMemoCap,
@@ -3102,8 +3145,13 @@ object Pipeline {
     // p16 keeps string keys so the oracle is byte-exact; 48-bit
     // collisions are ~0 at benchmark-suite scale but nonzero, hence
     // opt-in)
+    // empty tokens are removed BEFORE gram formation, like p47 (ADVICE
+    // r12): leading/trailing whitespace otherwise injects "" as a
+    // word, and a boundary gram carrying only k-1 real words would
+    // inflate the per-pair overlap counts
     def grams(df: DataFrame, outId: String) = df
-      .select(col(idCol).as(outId), words(col(textCol)).as("ws"))
+      .select(col(idCol).as(outId),
+        array_remove(words(col(textCol)), "").as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col(outId),
         explode(
@@ -4303,8 +4351,10 @@ object Pipeline {
       },
       Some("""
         WITH w AS (
-          SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents
-          WHERE len(string_split_regex(text, '\s+')) >= 5),
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS ws FROM documents
+          WHERE len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) >= 5),
         g AS (
           SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g5
           FROM w, unnest(range(1, len(ws) - 3)) t(i)),

@@ -418,6 +418,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("KeyedMemo: a release during a build discards the stale result and rebuilds") {
+    val P = operators.Pipeline
+    // the generation contract (ADVICE r12): removeAndRelease landing
+    // while a build is in flight must not be resurrected by that
+    // build's insert — the builder discards its result (released, so
+    // no block leak) and rebuilds under the new generation
+    val released = new java.util.concurrent.ConcurrentLinkedQueue[P.MemoEntry]()
+    val memo = new P.KeyedMemo[P.MemoEntry](cap = 4, e => released.add(e))
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val firstStarted = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val made = new java.util.concurrent.ConcurrentLinkedQueue[P.MemoEntry]()
+    val result = new java.util.concurrent.atomic.AtomicReference[P.MemoEntry]
+    val builder = new Thread(() => result.set(memo.getOrBuild("A",
+        pin = false) {
+      if (builds.incrementAndGet() == 1) { firstStarted.countDown(); gate.await() }
+      val e = new P.MemoEntry(null); made.add(e); e
+    }))
+    builder.start()
+    try {
+      assert(firstStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      memo.removeAndRelease("A") // bumps the generation mid-build
+      gate.countDown()
+      builder.join(30000)
+      assert(builds.get() == 2, "raced build must rebuild, not resurrect")
+      val all = made.toArray(Array.empty[P.MemoEntry]).toSeq
+      assert(all.size == 2 && (result.get() eq all(1)))
+      // the stale first entry was released, never inserted
+      assert(released.toArray(Array.empty[P.MemoEntry]).toSeq == Seq(all(0)))
+      // and the fresh entry is what the memo serves from now on
+      assert(memo.getOrBuild("A", pin = false) {
+        fail("should be memoized")
+      } eq all(1))
+    } finally { gate.countDown(); builder.join(30000) }
+  }
+
   test("sharedIvfPq memo: builds once, artifact shapes; release frees blocks") {
     import spark.implicits._
     val P = operators.Pipeline

@@ -387,13 +387,21 @@ class TextApiSpec extends AnyFunSuite {
     import spark.implicits._
     val L = 3
     val rnd = new scala.util.Random(421)
+    // tiny vocabulary → massive duplication, every branch hot; the
+    // multi-byte and ASTRAL entries (2 UTF-16 units) prove the char
+    // spans the excision slices with are code-point-correct, not
+    // byte- or UTF-16-unit-based
+    val vocab = Vector("a", "b", "é", "日本", "𝄞")
     (1 to 3).foreach { trial =>
-      // two-letter vocabulary → massive duplication, every branch hot
       val docs = (0 until 10).map { i =>
         val n = 5 + rnd.nextInt(12)
         (i.toLong,
-          (0 until n).map(_ => if (rnd.nextBoolean()) "a" else "b")
-            .mkString(" "))
+          // 80% a/b keeps duplication dense; 20% unicode keeps the
+          // offset math honest
+          (0 until n).map { _ =>
+            val w = rnd.nextInt(10)
+            vocab(if (w < 8) w % 2 else 2 + rnd.nextInt(3))
+          }.mkString(" "))
       }
       val out = Pipeline.dedupSubstringsGlobal(
           docs.toDF("post_key", "body"), "post_key", "body", minLen = L)
