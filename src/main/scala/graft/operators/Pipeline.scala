@@ -1010,9 +1010,14 @@ object Pipeline {
     * ships one row per mapper — the p52 lesson); the dup-gram table is
     * data-sized (NOT broadcastable), so flagging is a shuffle join on
     * the hash with AQE handling Zipf-head skew; the per-doc rebuild is
-    * one doc-keyed aggregation bounded by doc length. 48-bit default
-    * hashes: a collision can only over-cut one window (false
-    * positive), never preserve a duplicate.
+    * one doc-keyed aggregation bounded by doc length. Gram hashing is
+    * the O(n) ROLLING kernel ([[graft.plans.KgramRollHashesAll]]):
+    * each word is md5'd once and windows combine by a polynomial hash
+    * mod 2⁶¹−1 slid in O(1) — the per-window-digest alternative
+    * re-hashes every word minLen times, and at the default minLen = 50
+    * that 50× redundant digest work dominates the whole pass at
+    * corpus scale. A 61-bit collision can only over-cut one window
+    * (false positive), never preserve a duplicate.
     *
     * Self-overlap caveat (documented, deliberate): in periodic text
     * ("x x x …") later occurrences overlap the first one's window, and
@@ -1026,16 +1031,15 @@ object Pipeline {
     * doc keeps ''. Join back to the corpus by id for full-column
     * frames. */
   def dedupSubstringsGlobal(corpus: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 50, nBytes: Int = 6, keepFirst: Boolean = true)
-      : DataFrame = {
+      minLen: Int = 50, keepFirst: Boolean = true): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val L = minLen
     val base = corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .withColumn("__ws", array_remove(words(col("__t")), ""))
       .withColumn("__n", coalesce(size(col("__ws")), lit(0)))
     val grams = base.filter(col("__n") >= L)
-      .select(col("doc_id"), posexplode(call_function("kgram_hashes_all",
-        col("__ws"), lit(L), lit(nBytes))).as(Seq("pos", "h")))
+      .select(col("doc_id"), posexplode(call_function("kgram_roll_hashes_all",
+        col("__ws"), lit(L))).as(Seq("pos", "h")))
     val firsts = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col("doc_id"), col("pos"))).as("__first"))
@@ -6100,28 +6104,47 @@ object Pipeline {
     // (Lee et al. 2022 ExactSubstr) at minLen = 10 over the fixture
     // corpus (where ~10% of docs share aligned near-dup runs, so both
     // the cut and the byte-identical-passthrough branches carry rows).
-    // The oracle replays the positioned 48-bit gram hashes, the global
-    // first-occurrence rule (ROW_NUMBER over h ≡ min(struct)), the
-    // gaps-and-islands window merge (≡ cutIntervals), the kept-run
-    // complement, and the word_spans char-offset excision (the p43
-    // per-char classification).
+    // The oracle replays the positioned ROLLING gram hashes (per-word
+    // 48-bit md5 prefixes × spliced B-power literals, summed mod
+    // 2⁶¹−1 in HUGEINT — bit-identical to the O(n) sliding kernel),
+    // the global first-occurrence rule (ROW_NUMBER over h ≡
+    // min(struct)), the gaps-and-islands window merge (≡
+    // cutIntervals), the kept-run complement, and the word_spans
+    // char-offset excision (the p43 per-char classification).
     QueryDef(
       "p56_substring_dedup",
       (s, d) =>
         dedupSubstringsGlobal(T.documents(s, d), "doc_id", "text",
           minLen = 10)
           .orderBy(col("doc_id")),
-      Some("""
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 9)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
         WITH d AS (
           SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'),
                                            x -> x <> '') AS ws
           FROM documents),
         nn AS MATERIALIZED (SELECT doc_id, text, ws, len(ws) AS n FROM d),
-        g AS MATERIALIZED (
-          SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-                 CAST('0x' || substr(md5(array_to_string(ws[i:i+9], ' ')), 1, 12) AS BIGINT) AS h
-          FROM nn, unnest(range(1, n - 8)) t(i)
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) AS HUGEINT) AS h
+          FROM nn, unnest(range(1, n + 1)) t(i)
           WHERE n >= 10),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT w0.doc_id, CAST(w0.i - 1 AS INT) AS pos,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 9
+          JOIN pw ON pw.e = 9 - (w2.i - w0.i)
+          JOIN nn ON nn.doc_id = w0.doc_id
+          WHERE w0.i <= nn.n - 9
+          GROUP BY w0.doc_id, w0.i),
         f AS (
           SELECT doc_id, pos,
                  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
@@ -6184,7 +6207,8 @@ object Pipeline {
         FROM nn
         LEFT JOIN ca ON ca.doc_id = nn.doc_id
         LEFT JOIN reb ON reb.doc_id = nn.doc_id
-        ORDER BY nn.doc_id""")),
+        ORDER BY nn.doc_id"""
+      }),
 
     // ---- p57: span-granular decontamination — [[decontaminateSpans]]
     // at n = 8 with the p47 carve-out (every tenth doc_id is the eval

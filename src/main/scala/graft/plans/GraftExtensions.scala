@@ -97,6 +97,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextHashes.litInt(c(1), "kgram_hashes_all: k"),
         TextHashes.litInt(c(2), "kgram_hashes_all: nBytes")))))
     ext.injectFunction((
+      new FunctionIdentifier("kgram_roll_hashes_all"),
+      new ExpressionInfo(classOf[KgramRollHashesAll].getName,
+        "kgram_roll_hashes_all"),
+      arity("kgram_roll_hashes_all", 2)(c => KgramRollHashesAll(c(0),
+        TextHashes.litInt(c(1), "kgram_roll_hashes_all: k")))))
+    ext.injectFunction((
       new FunctionIdentifier("word_spans"),
       new ExpressionInfo(classOf[WordSpans].getName, "word_spans"),
       arity("word_spans", 1)(c => WordSpans(c(0)))))

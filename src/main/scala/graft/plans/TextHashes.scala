@@ -141,6 +141,73 @@ object TextHashes {
     new GenericArrayData(res)
   }
 
+  /** 2⁶¹ − 1, the Mersenne prime the rolling-hash kernels reduce by:
+    * big enough that collisions are rarer than the 48-bit md5 prefixes
+    * (61 vs 48 bits), small enough that a 128-bit product folds to a
+    * residue with two shifts and an add. */
+  val MersenneP: Long = (1L << 61) - 1
+
+  /** Rolling-hash base (any value < P works; fixed so the DuckDB
+    * oracle twins can splice the same powers). */
+  val RollBase: Long = 1000003L
+
+  /** a·b mod (2⁶¹−1) for a, b < 2⁶¹ — Mersenne folding of the 128-bit
+    * product: x mod (2ᵏ−1) = (x >> k) + (x & (2ᵏ−1)), applied once
+    * plus a bounded correction. */
+  private def mulMod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = ((hi << 3) + (lo >>> 61)) + (lo & MersenneP)
+    while (r >= MersenneP) r -= MersenneP
+    r
+  }
+
+  /** ALL k-gram ROLLING hashes of a words array in window order — the
+    * O(n) sibling of [[kgramHashesAll]] for large k: that kernel
+    * re-digests every word k times (each window md5s its full joined
+    * text, ~k× redundant digest work — at the substring-dedup default
+    * k = 50 the digest pass dominates the whole operator), while this
+    * one md5s each word ONCE (the same 48-bit prefix convention as
+    * every other kernel) and combines windows by a polynomial rolling
+    * hash mod 2⁶¹−1: H(p) = Σⱼ h(w[p+j])·B^(k-1-j) mod P, slid in
+    * O(1) per position. Exactly replayable in DuckDB with HUGEINT
+    * arithmetic (per-word md5 prefix × spliced B-power literals,
+    * summed mod P — the p56 oracle does). Values are NOT comparable
+    * to [[kgramHashesAll]] output — callers pick one convention per
+    * operator. Null words hash as 0 (producer contract is the
+    * null-free `array_remove(split(..), '')` output). Arrays shorter
+    * than k yield an empty array. */
+  def kgramRollHashesAll(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val d = md.get()
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        d.reset()
+        wh(i) = fold(d.digest(arr.getUTF8String(i).getBytes), 6)
+      }
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (mulMod61(h, RollBase) + wh(j)) % MersenneP; j += 1 }
+    val res = new Array[Long](n - k + 1)
+    res(0) = h
+    var bk1 = 1L
+    j = 0
+    while (j < k - 1) { bk1 = mulMod61(bk1, RollBase); j += 1 }
+    var p = 1
+    while (p <= n - k) {
+      val dropped = (h - mulMod61(wh(p - 1), bk1) + MersenneP) % MersenneP
+      h = (mulMod61(dropped, RollBase) + wh(p + k - 1)) % MersenneP
+      res(p) = h
+      p += 1
+    }
+    new GenericArrayData(res)
+  }
+
   /** Distinct k-gram STRINGS of a words array in one pass — value- and
     * order-identical to `array_distinct(transform(sequence(1, size-k+1),
     * i => array_join(slice(ws,i,k)," ")))` for arrays with ≥ k
@@ -494,6 +561,38 @@ case class KgramHashesAll(child: Expression, k: Int, nBytes: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): KgramHashesAll =
+    copy(child = newChild)
+}
+
+/** `kgram_roll_hashes_all(ws, k)` — ALL k-gram ROLLING hashes in
+  * window order (see [[TextHashes.kgramRollHashesAll]]): each word
+  * md5'd once, windows combined by a polynomial hash mod 2⁶¹−1 slid
+  * in O(1) — the O(n) positioned-gram kernel for LARGE k, where
+  * [[KgramHashesAll]]'s per-window digests are ~k× redundant. */
+case class KgramRollHashesAll(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kgram_roll_hashes_all requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_roll_hashes_all"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.kgramRollHashesAll(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.kgramRollHashesAll($arr, $k);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KgramRollHashesAll =
     copy(child = newChild)
 }
 

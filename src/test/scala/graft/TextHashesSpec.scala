@@ -106,6 +106,58 @@ class TextHashesSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0).length == 2)
   }
 
+  test("kgram_roll_hashes_all: matches the BigInt polynomial reference") {
+    import spark.implicits._
+    import graft.plans.TextHashes
+    // the O(1)-slide Mersenne arithmetic against a direct BigInt
+    // evaluation of H(p) = Σ md5_48(w[p+j])·B^(k-1-j) mod (2^61-1) —
+    // any mulMod61/fold defect shows immediately
+    val P = BigInt(TextHashes.MersenneP)
+    val B = BigInt(TextHashes.RollBase)
+    def wordHash(s: String): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 6).foldLeft(BigInt(0))((a, i) => (a << 8) | BigInt(d(i) & 0xff))
+    }
+    check(Prop.forAll(batchGen) { batch =>
+      Seq(1, 3, 5).forall { k =>
+        val got = batch.toDF("ws")
+          .select(call_function("kgram_roll_hashes_all", col("ws"), lit(k)))
+          .collect().map(_.getSeq[Long](0)).toSeq
+        val want = batch.map { ws =>
+          if (ws.size < k) Seq.empty[Long]
+          else (0 to ws.size - k).map { p =>
+            (0 until k).map(j =>
+              wordHash(ws(p + j)) * B.modPow(BigInt(k - 1 - j), P) % P)
+              .sum % P
+          }.map(_.toLong)
+        }
+        got == want
+      }
+    })
+    // interpreted eval ≡ the same reference on one concrete shape
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val ref = BoundReference(0, ArrayType(StringType), nullable = true)
+    val expr = graft.plans.KgramRollHashesAll(ref, 2)
+    val ws = Seq("a", "b", "a")
+    val out = expr.eval(InternalRow(new GenericArrayData(
+        ws.map(UTF8String.fromString).toArray)))
+      .asInstanceOf[GenericArrayData].toLongArray().toSeq
+    val exp = (0 to 1).map { p =>
+      ((wordHash(ws(p)) * B + wordHash(ws(p + 1))) % P).toLong
+    }
+    assert(out == exp)
+    // identical windows roll to identical hashes; short arrays empty
+    assert(out.toSet.size == 2) // "a b" vs "b a" differ (order matters)
+    assert(expr.eval(InternalRow(new GenericArrayData(
+      Array[Any](UTF8String.fromString("x")))))
+      .asInstanceOf[GenericArrayData].numElements() == 0)
+  }
+
   test("kgram_strings: matches array_distinct(transform(array_join)) incl. order") {
     import spark.implicits._
     check(Prop.forAll(batchGen) { batch =>
