@@ -3178,31 +3178,35 @@ object Pipeline {
     * 100 TB pass wants — the eval side is benchmark-suite-sized by
     * contract, so its distinct n-gram hashes collapse to ONE row
     * (`sort_array(collect_set(h))`) that broadcasts to every executor,
-    * and the corpus side is a single map pass: `kgram_hashes` (one
-    * codegen'd traversal per doc) probed into the broadcast array by
-    * [[graft.plans.AnyInSorted]] (binary search per gram — O(g log m)
-    * per doc, no per-row set build, no explode, and the corpus never
-    * shuffles or joins on anything data-sized). 48-bit hashes
-    * (`nBytes = 6`): eval suites fit ~10⁶ grams, where the collision
-    * odds against any one document's grams are ~10⁻⁸ — and a collision
-    * only ever over-flags one doc (false positive), never leaks
-    * contamination through.
+    * and the corpus side is a single map pass: positioned ROLLING
+    * gram hashes ([[graft.plans.KgramRollHashesAll]] — each word
+    * md5'd ONCE, windows combined mod 2⁶¹−1 in O(1) per slide; the
+    * per-window-digest kernel re-hashes every word n times, ~n×
+    * redundant digest work on a full-corpus pass) probed into the
+    * broadcast array by [[graft.plans.AnyInSorted]] (binary search
+    * per gram — O(g log m) per doc, no per-row set build, no explode,
+    * and the corpus never shuffles or joins on anything data-sized).
+    * 61-bit hashes: eval suites fit ~10⁶ grams, where the collision
+    * odds against any one document's grams are ~10⁻¹² — and a
+    * collision only ever over-flags one doc (false positive), never
+    * leaks contamination through.
     *
     * Output: every corpus row + a boolean `flagCol`. Docs shorter than
     * n words carry no n-gram and are never flagged; an empty eval set
     * flags nothing. `evalTextCol` defaults to `textCol` for same-schema
     * corpora. */
   def ngramDecontaminate(corpus: DataFrame, evalSet: DataFrame,
-      textCol: String, n: Int = 13, nBytes: Int = 6,
+      textCol: String, n: Int = 13,
       evalTextCol: String = "", flagCol: String = "contaminated"): DataFrame = {
     val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
     // empty tokens are removed BEFORE gram formation: leading/trailing
     // whitespace otherwise injects "" as a word, so a boundary gram
     // carries only n-1 real words and a shared (n-1)-word run at doc
-    // start could flag as n-gram contamination (ADVICE r11)
+    // start could flag as n-gram contamination (ADVICE r11). The
+    // rolling kernel keeps repeats; collect_set dedups the eval side.
     val evalHashes = evalSet
-      .select(explode(call_function("kgram_hashes",
-        array_remove(words(col(evCol)), ""), lit(n), lit(nBytes))).as("h"))
+      .select(explode(call_function("kgram_roll_hashes_all",
+        array_remove(words(col(evCol)), ""), lit(n))).as("h"))
       .agg(sort_array(collect_set(col("h"))).as("__eval_ngram_hashes"))
     corpus.crossJoin(broadcast(evalHashes))
       // coalesce(false): a NULL text has no n-grams and is NOT
@@ -3210,8 +3214,8 @@ object Pipeline {
       // filter(!flag), silently losing the doc from the clean AND the
       // contaminated sets (the gopher NULL-verdict lesson, review r11)
       .withColumn(flagCol, coalesce(call_function("any_in_sorted",
-        call_function("kgram_hashes",
-          array_remove(words(col(textCol)), ""), lit(n), lit(nBytes)),
+        call_function("kgram_roll_hashes_all",
+          array_remove(words(col(textCol)), ""), lit(n)),
         col("__eval_ngram_hashes")), lit(false)))
       .drop("__eval_ngram_hashes")
   }
@@ -3224,9 +3228,10 @@ object Pipeline {
     * whole-doc drops are too lossy (a 50k-word book is not discarded
     * for quoting one benchmark question). Same dataflow as the boolean
     * form, and the same 100 TB shape: the eval side collapses to ONE
-    * sorted 48-bit-hash row that broadcasts, and the corpus side is a
-    * single map pass — positioned gram hashes
-    * ([[graft.plans.KgramHashesAll]], one codegen'd traversal) probed
+    * sorted rolling-hash row that broadcasts, and the corpus side is a
+    * single map pass — positioned ROLLING gram hashes
+    * ([[graft.plans.KgramRollHashesAll]], each word md5'd once,
+    * windows slid in O(1)) probed
     * by binary search into the broadcast array by the
     * [[graft.plans.PositionsInSorted]] kernel (O(g log m) per doc, no
     * explode, no join, no shuffle), then window merge + excision via
@@ -3240,20 +3245,20 @@ object Pipeline {
     * re-join their kept segments with single spaces (interior
     * whitespace of each segment preserved verbatim). Docs shorter than
     * n words carry no n-gram and are never cut; an empty eval set cuts
-    * nothing. `evalTextCol` defaults to `textCol`. A 48-bit collision
+    * nothing. `evalTextCol` defaults to `textCol`. A 61-bit collision
     * can only over-cut one window, never leak contamination. */
   def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
-      textCol: String, n: Int = 13, nBytes: Int = 6,
+      textCol: String, n: Int = 13,
       evalTextCol: String = "", cleanCol: String = "text_clean"): DataFrame = {
     val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
     val evalHashes = evalSet
-      .select(explode(call_function("kgram_hashes",
-        array_remove(words(col(evCol)), ""), lit(n), lit(nBytes))).as("h"))
+      .select(explode(call_function("kgram_roll_hashes_all",
+        array_remove(words(col(evCol)), ""), lit(n))).as("h"))
       .agg(sort_array(collect_set(col("h"))).as("__eval_ngram_hashes"))
     corpus.crossJoin(broadcast(evalHashes))
       .withColumn("__ws", array_remove(words(col(textCol)), ""))
       .withColumn("__ps", call_function("positions_in_sorted",
-        call_function("kgram_hashes_all", col("__ws"), lit(n), lit(nBytes)),
+        call_function("kgram_roll_hashes_all", col("__ws"), lit(n)),
         col("__eval_ngram_hashes")))
       .withColumn("__cuts", cutIntervals(col("__ps"), n))
       .withColumn("__spans", call_function("word_spans", col(textCol)))
@@ -5649,10 +5654,12 @@ object Pipeline {
     // doc_id stands in for the benchmark suite, the rest is the
     // training corpus, and each training doc is flagged iff it shares
     // any distinct word-13-gram with the suite. The eval side collapses
-    // to ONE sorted 48-bit-hash array that broadcasts; the corpus side
-    // is a single map pass (kgram_hashes → any_in_sorted binary
-    // search) — no explode, no join, no shuffle. The oracle replays the
-    // identical gram hashing and membership in DuckDB.
+    // to ONE sorted rolling-hash array that broadcasts; the corpus
+    // side is a single map pass (kgram_roll_hashes_all →
+    // any_in_sorted binary search) — no explode, no join, no shuffle.
+    // The oracle replays the rolling arithmetic (per-word md5 prefixes
+    // × spliced B-power literals, summed mod 2⁶¹−1 in HUGEINT) and
+    // the membership in DuckDB.
     QueryDef(
       "p47_ngram_decontaminate",
       (s, d) => {
@@ -5664,22 +5671,39 @@ object Pipeline {
           .select(col("doc_id"), col("lang"), col("contaminated"))
           .orderBy(col("doc_id"))
       },
-      Some("""
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 12)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
         WITH d AS (
           SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'),
                                            x -> x <> '') AS ws
           FROM documents),
-        w AS (SELECT * FROM d WHERE len(ws) >= 13),
-        g AS (
-          SELECT DISTINCT doc_id,
-                 CAST('0x' || substr(md5(array_to_string(ws[i:i+12], ' ')), 1, 12) AS BIGINT) AS h
-          FROM w, unnest(range(1, len(ws) - 11)) t(i)),
+        w AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 13),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) AS HUGEINT) AS h
+          FROM w, unnest(range(1, n + 1)) t(i)),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT DISTINCT w0.doc_id,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 12
+          JOIN pw ON pw.e = 12 - (w2.i - w0.i)
+          WHERE w0.i <= w0.n - 12
+          GROUP BY w0.doc_id, w0.i),
         ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
         hit AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (h)
                 WHERE doc_id % 10 <> 0)
         SELECT d.doc_id, d.lang,
                (d.doc_id IN (SELECT doc_id FROM hit)) AS contaminated
-        FROM d WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""")),
+        FROM d WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id"""
+      }),
 
     // ---- p48: C4 line-level cleaning — [[c4CleanLines]] (Raffel'20
     // §2.2). The fixture corpus is punctuation-free word soup, so the
@@ -6214,7 +6238,8 @@ object Pipeline {
     // at n = 8 with the p47 carve-out (every tenth doc_id is the eval
     // suite, the rest is the corpus): contaminated docs keep their
     // clean words, clean docs pass through byte-identical. The oracle
-    // replays the positioned grams, the eval-hash membership (≡ the
+    // replays the positioned ROLLING grams (the p47/p56 HUGEINT
+    // arithmetic), the eval-hash membership (≡ the
     // positions_in_sorted probe), and the same merge/complement/
     // excision chain as p56.
     QueryDef(
@@ -6229,17 +6254,33 @@ object Pipeline {
             col("cut_spans"), col("text_clean"))
           .orderBy(col("doc_id"))
       },
-      Some("""
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 7)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
         WITH d AS (
           SELECT doc_id, lang, text, list_filter(string_split_regex(text, '\s+'),
                                                  x -> x <> '') AS ws
           FROM documents),
         nn AS MATERIALIZED (SELECT doc_id, lang, text, ws, len(ws) AS n FROM d),
-        g AS MATERIALIZED (
-          SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-                 CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 12) AS BIGINT) AS h
-          FROM nn, unnest(range(1, n - 6)) t(i)
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) AS HUGEINT) AS h
+          FROM nn, unnest(range(1, n + 1)) t(i)
           WHERE n >= 8),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT w0.doc_id, CAST(w0.i - 1 AS INT) AS pos,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 7
+          JOIN pw ON pw.e = 7 - (w2.i - w0.i)
+          WHERE w0.i <= w0.n - 7
+          GROUP BY w0.doc_id, w0.i),
         ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
         flg AS MATERIALIZED (
           SELECT g.doc_id, g.pos FROM g JOIN ev ON ev.h = g.h
@@ -6304,7 +6345,8 @@ object Pipeline {
         LEFT JOIN ca ON ca.doc_id = nn.doc_id
         LEFT JOIN reb ON reb.doc_id = nn.doc_id
         WHERE nn.doc_id % 10 <> 0
-        ORDER BY nn.doc_id""")),
+        ORDER BY nn.doc_id"""
+      }),
 
     // ---- p58: paragraph-dedup boilerplate report —
     // [[dedupParagraphsReport]] over the p52 page layout (8-word
