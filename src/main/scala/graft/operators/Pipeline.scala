@@ -3272,6 +3272,54 @@ object Pipeline {
       .drop("__eval_ngram_hashes", "__ws", "__ps", "__cuts", "__spans")
   }
 
+  /** [[decontaminateSpans]] for a DATA-SIZED exclusion corpus — same
+    * semantics (cut every word window sharing an n-gram with
+    * `reference`, keep the doc, clean docs byte-identical), different
+    * physical strategy: the broadcast form collapses the eval side to
+    * one row, which is right for benchmark suites but impossible when
+    * the exclusion set is itself a corpus — the Lee et al. §6.2 /
+    * GPT-3 App. C case of scrubbing a new crawl against the PREVIOUS
+    * model's full training set. Here both sides emit positioned
+    * rolling gram hashes and meet in a SHUFFLE join on the hash
+    * (left_semi — the reference side needs no distinct pass, the semi
+    * join dedups; AQE handles Zipf-head skew), then the per-doc
+    * excision tail is identical. Pick by reference size: broadcast
+    * below executor-memory scale, this above. The two
+    * implementations are pinned equal on identical inputs in
+    * TextApiSpec. Output: (doc_id, n_words, n_cut_words, cut_spans,
+    * text_clean), one row per corpus doc. `refTextCol` defaults to
+    * `textCol`. */
+  def decontaminateSpansAgainstCorpus(corpus: DataFrame,
+      reference: DataFrame, idCol: String, textCol: String, n: Int = 13,
+      refTextCol: String = ""): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val rCol = if (refTextCol.isEmpty) textCol else refTextCol
+    val base = corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__ws", array_remove(words(col("__t")), ""))
+      .withColumn("__n", coalesce(size(col("__ws")), lit(0)))
+    val corpusGrams = base.filter(col("__n") >= n)
+      .select(col("doc_id"), posexplode(call_function("kgram_roll_hashes_all",
+        col("__ws"), lit(n))).as(Seq("pos", "h")))
+    val refGrams = reference
+      .select(array_remove(words(col(rCol)), "").as("__rws"))
+      .filter(size(col("__rws")) >= n)
+      .select(explode(call_function("kgram_roll_hashes_all",
+        col("__rws"), lit(n))).as("h"))
+    val flagged = corpusGrams.join(refGrams, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__ps"))
+    base.join(flagged, Seq("doc_id"), "left")
+      .withColumn("__cuts", cutIntervals(col("__ps"), n))
+      .withColumn("__spans", call_function("word_spans", col("__t")))
+      .select(col("doc_id"),
+        col("__n").cast(LongType).as("n_words"),
+        cutWordCount(col("__cuts")).as("n_cut_words"),
+        cutSpansText(col("__cuts")).as("cut_spans"),
+        when(size(col("__cuts")) === 0, col("__t"))
+          .otherwise(exciseSegments(col("__t"), col("__spans"), col("__n"),
+            col("__cuts"))).as("text_clean"))
+  }
+
   /** DSIR-style importance scores (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every raw-corpus document by how much more likely its hashed
@@ -6342,6 +6390,113 @@ object Pipeline {
                     ELSE COALESCE(reb.txt, '') END AS text_clean
         FROM nn
         LEFT JOIN fc ON fc.doc_id = nn.doc_id
+        LEFT JOIN ca ON ca.doc_id = nn.doc_id
+        LEFT JOIN reb ON reb.doc_id = nn.doc_id
+        WHERE nn.doc_id % 10 <> 0
+        ORDER BY nn.doc_id"""
+      }),
+
+    // ---- p61: span decontamination against a DATA-SIZED corpus —
+    // [[decontaminateSpansAgainstCorpus]] with the p57 carve-out and
+    // n = 8: identical SEMANTICS to p57 (the oracle is the same
+    // replay, projected to this operator's columns) through the
+    // shuffle-join strategy instead of the broadcast probe — the gate
+    // certifies that the scale path computes the same cuts.
+    QueryDef(
+      "p61_decontaminate_join",
+      (s, d) => {
+        val all = T.documents(s, d)
+        decontaminateSpansAgainstCorpus(
+          corpus = all.filter(col("doc_id") % 10 =!= 0),
+          reference = all.filter(col("doc_id") % 10 === 0),
+          idCol = "doc_id", textCol = "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 7)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
+        WITH d AS (
+          SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS ws
+          FROM documents),
+        nn AS MATERIALIZED (SELECT doc_id, text, ws, len(ws) AS n FROM d),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) AS HUGEINT) AS h
+          FROM nn, unnest(range(1, n + 1)) t(i)
+          WHERE n >= 8),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT w0.doc_id, CAST(w0.i - 1 AS INT) AS pos,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 7
+          JOIN pw ON pw.e = 7 - (w2.i - w0.i)
+          WHERE w0.i <= w0.n - 7
+          GROUP BY w0.doc_id, w0.i),
+        ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+        flg AS MATERIALIZED (
+          SELECT g.doc_id, g.pos FROM g JOIN ev ON ev.h = g.h
+          WHERE g.doc_id % 10 <> 0),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM flg),
+        grp AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM isl),
+        cuts AS MATERIALIZED (
+          SELECT doc_id, CAST(MIN(pos) AS INT) AS cs,
+                 CAST(MAX(pos) + 8 AS INT) AS ce
+          FROM grp GROUP BY doc_id, gid),
+        runs AS MATERIALIZED (
+          SELECT doc_id, a, b FROM (
+            SELECT doc_id,
+                   COALESCE(LAG(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) AS a,
+                   cs AS b
+            FROM cuts) WHERE a < b
+          UNION ALL
+          SELECT c.doc_id, MAX(c.ce) AS a, MIN(nn.n) AS b
+          FROM cuts c JOIN nn ON nn.doc_id = c.doc_id
+          GROUP BY c.doc_id HAVING MAX(c.ce) < MIN(nn.n)),
+        sp AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = 1 OR substr(text, i - 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS starts,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = len(text) OR substr(text, i + 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS ends
+          FROM nn),
+        segs AS (
+          SELECT r.doc_id, r.a,
+                 substr(n2.text, CAST(sp.starts[r.a + 1] AS INT),
+                        CAST(sp.ends[r.b] - sp.starts[r.a + 1] + 1 AS INT)) AS seg
+          FROM runs r
+          JOIN nn n2 ON n2.doc_id = r.doc_id
+          JOIN sp ON sp.doc_id = r.doc_id),
+        reb AS (
+          SELECT doc_id, array_to_string(array_agg(seg ORDER BY a), ' ') AS txt
+          FROM segs GROUP BY doc_id),
+        ca AS (
+          SELECT doc_id, CAST(SUM(ce - cs) AS BIGINT) AS n_cut_words,
+                 array_to_string(array_agg(CAST(cs AS VARCHAR) || '-' || CAST(ce AS VARCHAR)
+                   ORDER BY cs), ',') AS cut_spans
+          FROM cuts GROUP BY doc_id)
+        SELECT nn.doc_id,
+               CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_words,
+               COALESCE(ca.n_cut_words, 0) AS n_cut_words,
+               COALESCE(ca.cut_spans, '') AS cut_spans,
+               CASE WHEN ca.doc_id IS NULL THEN nn.text
+                    ELSE COALESCE(reb.txt, '') END AS text_clean
+        FROM nn
         LEFT JOIN ca ON ca.doc_id = nn.doc_id
         LEFT JOIN reb ON reb.doc_id = nn.doc_id
         WHERE nn.doc_id % 10 <> 0

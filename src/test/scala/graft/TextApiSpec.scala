@@ -473,6 +473,37 @@ class TextApiSpec extends AnyFunSuite {
       Seq("post_key", "body", "n_flagged_grams", "cut_spans", "text_clean"))
   }
 
+  test("decontaminateSpansAgainstCorpus ≡ decontaminateSpans on identical inputs") {
+    import spark.implicits._
+    // the broadcast probe and the shuffle-join strategy are the SAME
+    // operator at two reference scales — differential-test them equal
+    // on random corpora (cuts, counters and cleaned text all match)
+    val rnd = new scala.util.Random(1234)
+    (1 to 3).foreach { trial =>
+      val mk = (id: Long, n: Int) =>
+        (id, (0 until n).map(_ => "t" + rnd.nextInt(4)).mkString(" "))
+      val corpusDf = (0 until 12).map(i => mk(i.toLong, 6 + rnd.nextInt(14)))
+        .toDF("post_key", "body")
+      val refDf = (100 until 104).map(i => mk(i.toLong, 6 + rnd.nextInt(14)))
+        .toDF("post_key", "body")
+      val n = 4
+      val viaBroadcast = Pipeline.decontaminateSpans(
+          corpusDf, refDf, textCol = "body", n = n)
+        .select(col("post_key").as("doc_id"), col("cut_spans"),
+          col("text_clean"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      val viaJoin = Pipeline.decontaminateSpansAgainstCorpus(
+          corpusDf, refDf, "post_key", "body", n = n)
+        .select(col("doc_id"), col("cut_spans"), col("text_clean"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      assert(viaBroadcast == viaJoin, s"trial $trial strategies diverge")
+      // the fixture vocabulary is tiny enough that some trial cuts
+      assert(viaJoin.nonEmpty)
+    }
+  }
+
   test("decontaminateSpans: n-gram straddling a cut seam cannot survive re-probe") {
     import spark.implicits._
     // excising [p, p+n) windows can create NEW adjacencies at seams;
