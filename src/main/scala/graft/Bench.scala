@@ -213,10 +213,16 @@ object Bench {
       // BENCH_full.json the driver-compatible mirror. loadHistory
       // min-merges the two, so even if the driver clobbers the mirror
       // with a load-inflated capture, no committed key can ever rise
-      // (pinned in BenchSpec).
+      // (pinned in BenchSpec). Writes are INDEPENDENT per path (own
+      // try + parent mkdir): a missing tools/ dir must not also lose
+      // the mirror write that would have succeeded.
       Seq(HistoryPath, "BENCH_full.json").foreach { path =>
-        java.nio.file.Files.write(java.nio.file.Paths.get(path),
-          (histLine + "\n").getBytes("UTF-8"))
+        try {
+          val p = java.nio.file.Paths.get(path)
+          Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.write(p, (histLine + "\n").getBytes("UTF-8"))
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] could not write $path: $e") }
       }
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench history: $e") }
@@ -310,7 +316,9 @@ object Bench {
       } catch { case e: Exception =>
         System.err.println(s"[bench] could not read $path: $e")
         Map.empty[String, Double] }
-    }.reduce { (a, b) =>
+      // foldLeft, not reduce: history problems (including a caller
+      // passing zero paths) must degrade to no-history, never throw
+    }.foldLeft(Map.empty[String, Double]) { (a, b) =>
       (a.keySet ++ b.keySet).flatMap { k =>
         val vs = (a.get(k) ++ b.get(k)).filter(_ > 0)
         if (vs.isEmpty) None else Some(k -> vs.min)

@@ -51,7 +51,17 @@ object Curation {
     val c4 = Pipeline.c4CleanLines(docs, idCol, textCol)
       .filter(col("keep"))
       .select(col(idCol).as("doc_id"), col("cleaned_text"))
-    val par = Pipeline.dedupParagraphsGlobal(c4, "doc_id", "cleaned_text")
+    // localCheckpoint: `par` feeds BOTH the substring stage (which
+    // itself instantiates its input twice — gram table + rebuild base)
+    // and the line-counter join below; without materialization
+    // Catalyst re-executes the scan + C4 pass + the paragraph dedup's
+    // two shuffles up to three times. The blocks live until the
+    // session ends (the returned frame reads them) — callers doing
+    // repeated one-shot cleans at scale should write the result out
+    // and drop the lineage anyway.
+    val par = Pipeline
+      .dedupParagraphsGlobal(c4, "doc_id", "cleaned_text")
+      .localCheckpoint()
     val sub = Pipeline.dedupSubstringsGlobal(
         par.select(col("doc_id"), col("text_deduped")),
         "doc_id", "text_deduped", minLen = substringMinLen)

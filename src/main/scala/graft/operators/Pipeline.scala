@@ -315,9 +315,13 @@ object Pipeline {
           var built: E = null.asInstanceOf[E]
           try { task.run(); built = await(task) }
           finally if (built == null)
-            // failed build: drop the inflight marker so the next
-            // caller retries; the exception propagates below
-            this.synchronized { inflight.remove(key) }
+            // failed build: drop the inflight marker (and any bump it
+            // attracted — nothing was inserted, so there is nothing
+            // stale to guard) so the next caller retries; the
+            // exception propagates below
+            this.synchronized {
+              inflight.remove(key); generations.remove(key)
+            }
           // insert, inflight removal, pin and eviction scan in ONE
           // synchronized block (ADVICE r12 medium): with the removal
           // in a separate earlier block, a concurrent caller landing
@@ -327,7 +331,12 @@ object Pipeline {
           var stale = false
           val victims = this.synchronized {
             inflight.remove(key)
-            if (generation(key) != genAtStart) { stale = true; Nil }
+            val raced = generation(key) != genAtStart
+            // the bump has served its purpose once the build it
+            // guarded completes — drop the entry so generations stays
+            // bounded by IN-FLIGHT keys, not every key ever released
+            generations.remove(key)
+            if (raced) { stale = true; Nil }
             else {
               val prev = entries.put(key, built)
               if (pin) built.pins += 1
@@ -383,7 +392,12 @@ object Pipeline {
       * r12). No-op on the map when absent — the bump still applies. */
     def removeAndRelease(key: String): Unit =
       this.synchronized {
-        generations.merge(key, 1L, (a, b) => a + b)
+        // the bump only matters to a build currently in flight (its
+        // owner compares against the generation captured at start);
+        // bumping unconditionally would grow the map by one entry per
+        // key ever released
+        if (inflight.containsKey(key))
+          generations.merge(key, 1L, (a, b) => a + b)
         Option(entries.remove(key))
       }.foreach(releaseEntry)
   }
@@ -930,10 +944,12 @@ object Pipeline {
   private def cutIntervals(ps0: Column, L: Int): Column = {
     val ps = coalesce(ps0, array().cast("array<int>"))
     // a cut STARTS at p when no flagged position sits within L before
-    // it, and ENDS at p+L when none sits within L after. The i==0 /
-    // i==last guards make the neighbor probe dead, but ANSI mode still
-    // evaluates both disjuncts — try_element_at yields NULL there
-    // (absorbed by the true disjunct) instead of throwing.
+    // it, and ENDS at p+L when none sits within L after. Spark's Or
+    // short-circuits (interpreted and codegen), so the i==0 / i==last
+    // guards keep the neighbor probe from ever seeing index 0;
+    // try_element_at additionally turns the one reachable
+    // out-of-bounds probe (i+2 past the end on the last element) into
+    // NULL, absorbed by the true disjunct.
     val starts = filter(ps, (p, i) =>
       (i === 0) || (p - try_element_at(ps, i) > L))
     val ends = filter(ps, (p, i) =>
@@ -1654,12 +1670,20 @@ object Pipeline {
       .select(col(idCol).as("doc_id"),
         array_remove(words(col(textCol)), "").as("ws"),
         call_function("word_spans", col(textCol)).as("spans"))
+      // a NULL text must still emit its one empty chunk, not VANISH
+      // (posexplode of the null-intolerant kernel's NULL emits zero
+      // rows — the gopher NULL-verdict lesson): the kernel walks a
+      // coalesced empty array; ws/spans stay NULL so chunk_text and
+      // offsets are NULL exactly like the fixed-window path
       .select(col("doc_id"), col("ws"), col("spans"),
-        posexplode(call_function("sentence_chunk_spans", col("ws"),
+        posexplode(call_function("sentence_chunk_spans",
+          coalesce(col("ws"), array().cast("array<string>")),
           lit(chunkWords), lit(overlapWords))).as(Seq("chunk_no", "se")))
       .withColumn("start_word", shiftright(col("se"), 32))
       .withColumn("n_chunk_words",
-        col("se").bitwiseAND(lit(0xFFFFFFFFL)) - col("start_word"))
+        when(col("ws").isNull, lit(null).cast(LongType))
+          .otherwise(col("se").bitwiseAND(lit(0xFFFFFFFFL))
+            - col("start_word")))
       .select(col("doc_id"), col("chunk_no"), col("start_word"),
         col("n_chunk_words"),
         array_join(slice(col("ws"), (col("start_word") + 1).cast("int"),
@@ -2011,7 +2035,9 @@ object Pipeline {
       .select(explode(transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1)))).as("sym"))
       .distinct()
-      .orderBy(col("sym").asc) // Spark asc = UTF-8 binary order
+      // no cluster-side orderBy: the driver sortWith below is the one
+      // ordering that matters, and a global sort on the alphabet-sized
+      // frame would just add a single-partition exchange
       .collect().map(_.getString(0))
     val mergeSyms = merges.orderBy(col(merges.columns(0)))
       .collect().map(r => r.getString(1) + r.getString(2))

@@ -100,6 +100,8 @@ class BenchSpec extends AnyFunSuite {
       Map("q01" -> 5.0, "q03" -> 0.3))
     // sf gate still applies per file
     assert(Bench.loadHistory("/root/testdata/sf0.001", Seq(hist, full)).isEmpty)
+    // degenerate inputs degrade to no-history, never throw
+    assert(Bench.loadHistory("/root/testdata/sf0.1", Seq.empty).isEmpty)
   }
 
   test("loadFactor: median measured/history ratio; None without history") {

@@ -593,8 +593,18 @@ class TextApiSpec extends AnyFunSuite {
     def isEnd(w: String): Boolean =
       w.endsWith(".") || w.endsWith("!") || w.endsWith("?") ||
         w.endsWith("\"") || w.endsWith("”")
-    val out = Pipeline.chunkText(docs.toDF("post_key", "body"), "post_key",
-        "body", chunkWords = cw, overlapWords = ov, respectSentences = true)
+    val frame = Pipeline.chunkText(
+      (docs :+ ((99L, null.asInstanceOf[String]))).toDF("post_key", "body"),
+      "post_key", "body", chunkWords = cw, overlapWords = ov,
+      respectSentences = true)
+    // a NULL-text doc must not VANISH: one chunk, NULL text/offsets —
+    // the fixed-window path's shape
+    val nullRows = frame.filter(col("doc_id") === 99L).collect()
+    assert(nullRows.length == 1)
+    assert(nullRows(0).getInt(1) == 0 &&
+      nullRows(0).isNullAt(4) && nullRows(0).isNullAt(5) &&
+      nullRows(0).isNullAt(6))
+    val out = frame.filter(col("doc_id") =!= 99L)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getLong(3), r.getString(4),
         if (r.isNullAt(5)) -1L else r.getLong(5),
