@@ -3414,6 +3414,129 @@ object Pipeline {
         graft.QueryDef.dsum(col("llr")).as(scoreCol))
   }
 
+  /** Hashed bag-of-ngrams features as a standalone TABLE — the
+    * fastText/DSIR feature map (all word 1..`maxGram`-grams, COUNTED
+    * — [[graft.plans.KgramHashesAll]] — and feature-hashed into
+    * `buckets`), shared by [[trainQualityClassifier]] /
+    * [[classifierScore]] and definition-identical to
+    * [[dsirImportanceScores]]' buckets so the two selection signals
+    * can never drift. Output: (doc_id, b, cnt, doc_grams), one row
+    * per (doc, occupied bucket). Scale shape: the count is a
+    * partial-agg shuffle on (doc, b); the per-doc totals join is one
+    * doc-keyed shuffle more — iterative consumers checkpoint the
+    * result once ([[trainQualityClassifier]] does). */
+  def hashedNgramFeatures(corpus: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 8192, maxGram: Int = 2, nBytes: Int = 6): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(maxGram >= 1, s"maxGram must be >= 1, got $maxGram")
+    val rows = corpus.select(col(idCol).as("doc_id"),
+        explode(flatten(array((1 to maxGram).map(k =>
+          call_function("kgram_hashes_all",
+            array_remove(words(col(textCol)), ""), lit(k), lit(nBytes))): _*)))
+          .as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = rows.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("doc_grams"))
+    rows.join(totals, Seq("doc_id"))
+  }
+
+  /** Linear text-classifier scores over [[hashedNgramFeatures]]
+    * output: score(doc) = w_bias + Σ_b w_b · (cnt_b / doc_grams) —
+    * term-frequency features times a broadcast weight vector, the
+    * decimal accumulator ([[graft.QueryDef.dsum]]) keeping the sum
+    * order-free and engine-exact. `weights` is (b, w) with the
+    * INTERCEPT at index `buckets` (what [[trainQualityClassifier]]
+    * emits); buckets absent from `weights` contribute 0 rather than
+    * dropping the doc. One broadcast join + one doc-keyed partial
+    * agg — the whole corpus scores in a single pass, the CCNet/GPT-3
+    * "score the crawl with the quality classifier" step. Output:
+    * (doc_id, n_feats, score). */
+  def classifierScore(features: DataFrame, weights: DataFrame,
+      buckets: Int): DataFrame = {
+    val wMain = weights.select(col("b"), col("w")).filter(col("b") < buckets)
+    val bias = weights.filter(col("b") === buckets)
+      .agg(coalesce(sum(col("w")), lit(0.0)).as("__bias"))
+    features.join(broadcast(wMain), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        graft.QueryDef.dsum(coalesce(col("w"), lit(0.0)) *
+          (col("cnt").cast(DoubleType) / col("doc_grams"))).as("__dot"))
+      .crossJoin(broadcast(bias))
+      .select(col("doc_id"), col("n_feats"),
+        (col("__dot") + col("__bias")).as("score"))
+  }
+
+  /** Trained data-quality classifier — the CCNet (Wenzek'20 §4) /
+    * GPT-3 (Brown'20 App. A) recipe this library was missing between
+    * its heuristic packs and DSIR: fit a cheap LINEAR model on
+    * curated-vs-crawl labels over hashed n-gram features, then score
+    * the whole crawl with [[classifierScore]] and keep the high end.
+    * The model is logistic regression trained by full-batch gradient
+    * descent: per iteration, one broadcast-weights join + doc-keyed
+    * partial agg computes every document's margin z and residual
+    * σ(z) − y, and one bucket-keyed partial agg reduces the gradient
+    * to ≤ buckets+1 rows collected on the driver (the
+    * kmeans/Lloyd's-round pattern — every collect parameter-bounded,
+    * the corpus-sized features frame localCheckpoint'ed ONCE and
+    * re-read per round). Deterministic: features are md5-derived, the
+    * per-doc sums run through the decimal accumulator (order-free),
+    * σ is quantized to 1e-9, and the weight updates are driver-side
+    * double arithmetic — two runs on the same inputs produce
+    * bit-identical weight tables (spec-pinned). Output: (b, w) with
+    * the intercept at index `buckets`, ready for
+    * [[classifierScore]]. */
+  def trainQualityClassifier(pos: DataFrame, neg: DataFrame,
+      textCol: String, buckets: Int = 8192, maxGram: Int = 2,
+      iters: Int = 20, lr: Double = 1.0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"lr must be > 0, got $lr")
+    val spark = pos.sparkSession
+    import spark.implicits._
+    // monotonically_increasing_id is nondeterministic across plan
+    // re-executions — checkpoint BEFORE anything derives from the
+    // ids, so every consumer sees the one materialized assignment
+    val docs = pos.select(col(textCol).as("__t")).withColumn("__y", lit(1.0))
+      .unionByName(
+        neg.select(col(textCol).as("__t")).withColumn("__y", lit(0.0)))
+      .withColumn("__doc", monotonically_increasing_id())
+      .localCheckpoint()
+    val nDocs = docs.count().toDouble
+    require(nDocs > 0, "need at least one labeled document")
+    val feats = hashedNgramFeatures(docs, "__doc", "__t", buckets, maxGram)
+      .join(docs.select(col("__doc").as("doc_id"), col("__y")), Seq("doc_id"))
+      .select(col("doc_id"), col("__y"),
+        col("b").cast(IntegerType).as("b"),
+        (col("cnt").cast(DoubleType) / col("doc_grams")).as("fv"))
+      // the intercept rides as one constant feature per doc
+      .unionByName(docs.select(col("__doc").as("doc_id"), col("__y"),
+        lit(buckets).as("b"), lit(1.0).as("fv")))
+      .localCheckpoint()
+    releaseLocalCheckpoint(docs)
+    val w = Array.fill(buckets + 1)(0.0)
+    (1 to iters).foreach { _ =>
+      val wDf = broadcast(w.toIndexedSeq.zipWithIndex
+        .map { case (v, b) => (b, v) }.toDF("b", "w"))
+      val resid = feats.join(wDf, Seq("b"), "left")
+        .groupBy(col("doc_id"), col("__y"))
+        .agg(graft.QueryDef.dsum(
+          coalesce(col("w"), lit(0.0)) * col("fv")).as("z"))
+        .select(col("doc_id"),
+          (round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9) - col("__y"))
+            .as("r"))
+      val grad = feats.join(resid, Seq("doc_id"))
+        .groupBy(col("b"))
+        .agg(graft.QueryDef.dsum(col("r") * col("fv")).as("g"))
+        .collect()
+      grad.foreach { row =>
+        w(row.getInt(0)) -= lr * row.getDouble(1) / nDocs
+      }
+    }
+    releaseLocalCheckpoint(feats)
+    w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "w")
+  }
+
   /** Per-document repeated-passage share over ANY corpus — the p32
     * core as a reusable operator: the fraction of a doc's distinct
     * word-`passageLen`-gram passages that also occur in ANOTHER
@@ -6672,6 +6795,50 @@ object Pipeline {
         JOIN nn ON nn.doc_id = k.doc_id
         JOIN sp ON sp.doc_id = k.doc_id
         ORDER BY k.doc_id, k.chunk_no""")),
+
+    // ---- p62: linear quality-classifier scoring —
+    // [[classifierScore]] over [[hashedNgramFeatures]] (512 buckets,
+    // 1..2-grams) with a deterministic dyadic-rational weight table
+    // (w_b = (b mod 7 − 3)/4, intercept 1/4): every per-row product
+    // is IEEE-exact in both engines and the sum runs through the
+    // decimal accumulator, so the gate certifies the scoring pass
+    // bit-for-bit. Training itself is iterative (not
+    // SQL-expressible in the portable subset) and is spec-gated for
+    // determinism + separation in TextApiSpec, the bpeTrain stance.
+    QueryDef(
+      "p62_classifier_score",
+      (s, d) => {
+        import s.implicits._
+        val weights = (0 to 512).map(b =>
+          (b, if (b == 512) 0.25 else ((b % 7) - 3).toDouble / 4))
+          .toDF("b", "w")
+        classifierScore(
+          hashedNgramFeatures(T.documents(s, d), "doc_id", "text",
+            buckets = 512, maxGram = 2),
+          weights, buckets = 512)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '') AS ws
+          FROM documents),
+        g AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) % 512 AS b
+          FROM w, unnest(range(1, len(ws) + 1)) t(i)
+          UNION ALL
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+1], ' ')), 1, 12) AS BIGINT) % 512 AS b
+          FROM w, unnest(range(1, len(ws))) t(i)),
+        f AS (SELECT doc_id, b, COUNT(*) AS cnt FROM g GROUP BY doc_id, b),
+        tt AS (SELECT doc_id, SUM(cnt) AS doc_grams FROM f GROUP BY doc_id)
+        SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               ${graft.QueryDef.dsumSql(
+                 "((b % 7) - 3) / 4.0 * (CAST(cnt AS DOUBLE) / doc_grams)")}
+                 + 0.25 AS score
+        FROM f JOIN tt ON tt.doc_id = f.doc_id
+        GROUP BY f.doc_id ORDER BY f.doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

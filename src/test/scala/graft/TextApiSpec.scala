@@ -180,6 +180,40 @@ class TextApiSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("sq:")))
   }
 
+  test("trainQualityClassifier: separates curated from crawl; deterministic; alien columns") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def doc(vocab: Seq[String], n: Int) =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val goodV = (1 to 8).map(i => s"fine$i")
+    val badV = (1 to 8).map(i => s"spam$i")
+    val pos = (0 until 20).map(_ => Tuple1(doc(goodV, 12 + rnd.nextInt(8))))
+      .toDF("content")
+    val neg = (0 until 20).map(_ => Tuple1(doc(badV, 12 + rnd.nextInt(8))))
+      .toDF("content")
+    val buckets = 256
+    def train() = Pipeline.trainQualityClassifier(pos, neg, "content",
+        buckets = buckets, maxGram = 2, iters = 30, lr = 2.0)
+      .orderBy("b").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val wts = train()
+    // bit-identical weights on a re-run (md5 features, decimal sums,
+    // quantized sigmoid, driver-side updates — nothing RNG-dependent)
+    assert(wts == train())
+    assert(wts.size == buckets + 1) // intercept rides at index `buckets`
+    // held-out docs from each vocabulary separate cleanly by score
+    val held = Seq((1L, doc(goodV, 15)), (2L, doc(badV, 15)),
+      (3L, doc(goodV, 10)), (4L, doc(badV, 10))).toDF("post_key", "body")
+    val scores = Pipeline.classifierScore(
+        Pipeline.hashedNgramFeatures(held, "post_key", "body",
+          buckets = buckets, maxGram = 2),
+        wts.toDF("b", "w"), buckets = buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.size == 4)
+    assert(Seq(1L, 3L).map(scores).min > Seq(2L, 4L).map(scores).max,
+      s"curated held-out docs must outscore crawl ones: $scores")
+  }
+
   test("dsirImportanceScores: target-like docs score higher; alien columns") {
     import spark.implicits._
     // target distribution: prose about cats; raw pool: one cat-like
