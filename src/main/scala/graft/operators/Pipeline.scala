@@ -1121,35 +1121,49 @@ object Pipeline {
 
   /** Boilerplate report for the SUBSTRING dedup layer — the hottest
     * duplicated ≥ `minLen`-word runs [[dedupSubstringsGlobal]] would
-    * excise, ranked by how many DOCUMENTS contain them (the gram sets
-    * are distinct-per-doc — [[graft.plans.KgramStrings]] — so the
-    * report ranks CROSS-document boilerplate, the thing an engineer
-    * inspects; within-doc repetition is the repetition-stats
-    * operator's job and is still excised by the dedup itself).
+    * excise, ranked by how many DOCUMENTS contain them (cross-document
+    * boilerplate, the thing an engineer inspects; within-doc
+    * repetition is the repetition-stats operator's job and is still
+    * excised by the dedup itself). The ranking runs entirely on
+    * ROLLING HASHES — one positioned-gram pass (the p56 kernel), one
+    * partial-agg shuffle keyed by hash carrying (distinct-doc count,
+    * first occurrence), TakeOrdered top-k with the HASH as the
+    * deterministic tiebreak — and only the k WINNERS fetch their gram
+    * text, by broadcasting the k (doc, pos) first occurrences back
+    * onto the corpus and slicing. The string-keyed alternative ships
+    * every minLen-word gram text through the shuffle (~minLen× corpus
+    * bytes at the default 50) just to discard all but k rows.
     * bytes_removed is the per-gram floor ((n_docs − 1) × UTF-8 gram
     * bytes): overlapping grams of one long shared run each report
     * their own window, so the TOTAL is not the sum — the ranking, not
-    * the sum, is the product here. Same shapes as the paragraph
-    * report: one partial-agg shuffle on the gram, TakeOrdered top-k.
-    * Output: (rk, gram, n_docs, bytes_removed). */
+    * the sum, is the product here. Output: (rk, gram, n_docs,
+    * bytes_removed), rk by (n_docs desc, hash asc). */
   def dedupSubstringsReport(corpus: DataFrame, idCol: String,
       textCol: String, minLen: Int = 50, k: Int = 20): DataFrame = {
     require(minLen >= 1 && k >= 1, s"need minLen/k >= 1, got $minLen/$k")
-    corpus.select(col(idCol).as("doc_id"),
+    val base = corpus.select(col(idCol).as("doc_id"),
         array_remove(words(col(textCol)), "").as("ws"))
       .filter(size(col("ws")) >= minLen)
-      .select(col("doc_id"),
-        explode(call_function("kgram_strings", col("ws"), lit(minLen)))
-          .as("gram"))
-      .groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val top = base
+      .select(col("doc_id"), posexplode(call_function(
+        "kgram_roll_hashes_all", col("ws"), lit(minLen)))
+        .as(Seq("pos", "h")))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
       .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("h").asc)
+      .limit(k)
+      .select(col("h"), col("n_docs"),
+        col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+    base.join(broadcast(top), Seq("doc_id"))
+      .select(col("h"), col("n_docs"),
+        array_join(slice(col("ws"), col("pos") + 1, lit(minLen)), " ")
+          .as("gram"))
       .withColumn("bytes_removed",
         (col("n_docs") - 1) * octet_length(col("gram")).cast(LongType))
-      .orderBy(col("n_docs").desc, col("gram").asc)
-      .limit(k)
       .withColumn("rk", row_number().over(Window.orderBy(
-        col("n_docs").desc, col("gram").asc)))
+        col("n_docs").desc, col("h").asc)))
       .select(col("rk"), col("gram"), col("n_docs"), col("bytes_removed"))
   }
 
@@ -6699,30 +6713,65 @@ object Pipeline {
     // ---- p59: substring-dedup boilerplate report —
     // [[dedupSubstringsReport]] at minLen = 10 over the raw fixture
     // corpus: the hottest cross-document duplicated 10-word runs (the
-    // p56 cut targets), ranked by document frequency. The oracle
-    // replays the distinct-per-doc gram sets, the df filter and the
-    // top-k cut.
+    // p56 cut targets), ranked by document frequency with the ROLLING
+    // HASH as tiebreak (the scale path never shuffles gram strings —
+    // only the k winners fetch text from their first occurrence). The
+    // oracle replays the rolling arithmetic, the distinct-doc counts,
+    // the (df desc, hash asc) top-k cut and the first-occurrence
+    // slice.
     QueryDef(
       "p59_substring_dedup_report",
       (s, d) =>
         dedupSubstringsReport(T.documents(s, d), "doc_id", "text",
           minLen = 10, k = 15)
           .orderBy(col("rk")),
-      Some("""
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 9)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
         WITH d AS (
           SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '') AS ws FROM documents),
-        nn AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 10),
-        g AS (
-          SELECT DISTINCT doc_id, array_to_string(ws[i:i+9], ' ') AS gram
-          FROM nn, unnest(range(1, n - 8)) t(i)),
+        nn AS MATERIALIZED (
+          SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 10),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) AS HUGEINT) AS h
+          FROM nn, unnest(range(1, n + 1)) t(i)),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT w0.doc_id, CAST(w0.i - 1 AS INT) AS pos,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 9
+          JOIN pw ON pw.e = 9 - (w2.i - w0.i)
+          WHERE w0.i <= w0.n - 9
+          GROUP BY w0.doc_id, w0.i),
         c AS (
-          SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
-          FROM g GROUP BY gram HAVING COUNT(*) >= 2)
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, gram ASC) AS INT) AS rk,
+          SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        firstocc AS (
+          SELECT h, doc_id, pos FROM (
+            SELECT h, doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM g) WHERE rn = 1),
+        top AS (
+          SELECT c.h, c.n_docs, f.doc_id, f.pos
+          FROM c JOIN firstocc f ON f.h = c.h
+          ORDER BY c.n_docs DESC, c.h ASC LIMIT 15),
+        fetched AS (
+          SELECT top.h, top.n_docs,
+                 array_to_string(nn.ws[top.pos + 1 : top.pos + 10], ' ') AS gram
+          FROM top JOIN nn ON nn.doc_id = top.doc_id)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, h ASC) AS INT) AS rk,
                gram, n_docs,
                CAST((n_docs - 1) * strlen(gram) AS BIGINT) AS bytes_removed
-        FROM c ORDER BY n_docs DESC, gram ASC LIMIT 15""")),
+        FROM fetched ORDER BY rk"""
+      }),
 
     // ---- p60: sentence-boundary-aware chunking — [[chunkText]] with
     // respectSentences = true at 20-word chunks / 5-word overlap. The
