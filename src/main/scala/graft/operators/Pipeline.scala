@@ -1252,6 +1252,27 @@ object Pipeline {
           col("n_chunks"))
   }
 
+  /** The Gopher CHARACTER-fraction repetition pack (Rae et al. 2021,
+    * Table A1 — the rows [[repetitionSignals]]' chunk ratios don't
+    * cover): per document, the fraction of word characters inside the
+    * single most frequent word-{2,3,4}-gram and inside all duplicated
+    * word-{5..10}-grams. Gopher drops a page when any fraction
+    * crosses its Table A1 threshold; this emits the raw signals so
+    * the thresholds stay caller policy. Entirely map-side — the nine
+    * signals come from ONE codegen'd pass per row
+    * ([[graft.plans.GopherRepetition]]: one word-hash pass + nine
+    * O(n) rolling scans, no gram strings, no shuffle). Every caller
+    * column survives; docs shorter than k words score 0 for that k. */
+  def gopherRepetitionSignals(corpus: DataFrame, textCol: String): DataFrame = {
+    val sigs = corpus.withColumn("__gr", call_function("gopher_repetition",
+      array_remove(words(col(textCol)), "")))
+    val named = (2 to 4).map(k =>
+      element_at(col("__gr"), k - 1).as(s"top_${k}gram_char_frac")) ++
+      (5 to 10).map(k =>
+        element_at(col("__gr"), k - 1).as(s"dup_${k}gram_char_frac"))
+    sigs.select(corpus.columns.map(col).toIndexedSeq ++ named: _*)
+  }
+
   /** LSH-bucket cluster representative selection over ANY corpus — the
     * p19 keep-best plan as a reusable operator: docs sharing a band-0
     * MinHash signature form a cluster; keep the member with the
@@ -6888,6 +6909,100 @@ object Pipeline {
                  + 0.25 AS score
         FROM f JOIN tt ON tt.doc_id = f.doc_id
         GROUP BY f.doc_id ORDER BY f.doc_id""")),
+
+    // ---- p63: Gopher character-fraction repetition signals —
+    // [[gopherRepetitionSignals]] over pages with the SAME 9-word
+    // banner appended twice (internal duplication, so the dup-k
+    // branches fire for k ≤ 9 and the zero branch for k = 10, while
+    // the word-soup body keeps the top-k winners doc-specific). The
+    // oracle replays all nine signals: per-k rolling gram hashes
+    // (shared power table), most-frequent/duplicated winner selection
+    // with the hash tiebreak, the once-per-word coverage union, and
+    // the exact char-fraction division.
+    QueryDef(
+      "p63_gopher_repetition",
+      (s, d) => {
+        val banner = "accept all cookies to continue reading this site today"
+        gopherRepetitionSignals(
+          T.documents(s, d).select(col("doc_id"),
+            concat_ws(" ", col("text"), lit(banner), lit(banner))
+              .as("page")),
+          "page")
+          .drop("page")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 9)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        val outCols = ((2 to 4).map(k =>
+          s"MAX(CASE WHEN k = $k THEN f END) AS top_${k}gram_char_frac") ++
+          (5 to 10).map(k =>
+            s"MAX(CASE WHEN k = $k THEN f END) AS dup_${k}gram_char_frac"))
+          .mkString(",\n               ")
+        raw"""
+        WITH d0 AS (
+          SELECT doc_id,
+                 concat_ws(' ', text,
+                   'accept all cookies to continue reading this site today',
+                   'accept all cookies to continue reading this site today') AS page
+          FROM documents),
+        w AS (
+          SELECT doc_id, list_filter(string_split_regex(page, '\s+'),
+                                     x -> x <> '') AS ws
+          FROM d0),
+        nn AS MATERIALIZED (
+          SELECT doc_id, ws, len(ws) AS n,
+                 COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS tot
+          FROM w),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) AS HUGEINT) AS h
+          FROM nn, unnest(range(1, n + 1)) t(i)),
+        ks(k) AS (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10)),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT w0.doc_id, ks.k, CAST(w0.i - 1 AS INT) AS pos,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          CROSS JOIN ks
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + ks.k - 1
+          JOIN pw ON pw.e = ks.k - 1 - (w2.i - w0.i)
+          WHERE w0.i + ks.k - 1 <= w0.n
+          GROUP BY w0.doc_id, ks.k, w0.i),
+        cnts AS MATERIALIZED (
+          SELECT doc_id, k, h, COUNT(*) AS c FROM g GROUP BY doc_id, k, h),
+        winners AS (
+          SELECT doc_id, k, h FROM (
+            SELECT doc_id, k, h,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, k
+                     ORDER BY c DESC, h ASC) AS rn
+            FROM cnts) WHERE rn = 1 AND k <= 4
+          UNION ALL
+          SELECT doc_id, k, h FROM cnts WHERE k >= 5 AND c >= 2),
+        occ AS (
+          SELECT g.doc_id, g.k, g.pos
+          FROM g JOIN winners x ON x.doc_id = g.doc_id AND x.k = g.k
+                              AND x.h = g.h),
+        cov AS (
+          SELECT DISTINCT doc_id, k, pos + j AS widx
+          FROM occ, unnest(range(0, k)) t(j)),
+        covch AS (
+          SELECT c.doc_id, c.k, SUM(len(nn.ws[c.widx + 1])) AS chars
+          FROM cov c JOIN nn ON nn.doc_id = c.doc_id
+          GROUP BY c.doc_id, c.k),
+        frac AS (
+          SELECT nn.doc_id, ks.k,
+                 CAST(COALESCE(cc.chars, 0) AS DOUBLE) / CAST(nn.tot AS DOUBLE) AS f
+          FROM nn CROSS JOIN ks
+          LEFT JOIN covch cc ON cc.doc_id = nn.doc_id AND cc.k = ks.k)
+        SELECT doc_id,
+               $outCols
+        FROM frac GROUP BY doc_id ORDER BY doc_id"""
+      }),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -116,6 +116,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "positions_in_sorted"),
       arity("positions_in_sorted", 2)(c => PositionsInSorted(c(0), c(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("gopher_repetition"),
+      new ExpressionInfo(classOf[GopherRepetition].getName,
+        "gopher_repetition"),
+      arity("gopher_repetition", 1)(c => GopherRepetition(c(0)))))
+    ext.injectFunction((
       new FunctionIdentifier("sentence_chunk_spans"),
       new ExpressionInfo(classOf[SentenceChunkSpans].getName,
         "sentence_chunk_spans"),

@@ -154,12 +154,56 @@ object TextHashes {
   /** a·b mod (2⁶¹−1) for a, b < 2⁶¹ — Mersenne folding of the 128-bit
     * product: x mod (2ᵏ−1) = (x >> k) + (x & (2ᵏ−1)), applied once
     * plus a bounded correction. */
-  private def mulMod61(a: Long, b: Long): Long = {
+  private[plans] def mulMod61(a: Long, b: Long): Long = {
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b
     var r = ((hi << 3) + (lo >>> 61)) + (lo & MersenneP)
     while (r >= MersenneP) r -= MersenneP
     r
+  }
+
+  /** Per-word 48-bit md5 prefixes of a words array — ONE digest per
+    * word (null words hash 0), the shared first pass of every rolling
+    * kernel. */
+  private[plans] def wordHashes48(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val d = md.get()
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        d.reset()
+        wh(i) = fold(d.digest(arr.getUTF8String(i).getBytes), 6)
+      }
+      i += 1
+    }
+    wh
+  }
+
+  /** All k-gram rolling hashes over precomputed word hashes — the
+    * O(1)-slide polynomial combination mod 2⁶¹−1 shared by
+    * [[kgramRollHashesAll]] and the Gopher repetition kernel (which
+    * rolls NINE gram lengths over one word-hash pass). Empty result
+    * for n < k. */
+  private[plans] def rollHashes(wh: Array[Long], k: Int): Array[Long] = {
+    val n = wh.length
+    if (n < k) return Array.emptyLongArray
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (mulMod61(h, RollBase) + wh(j)) % MersenneP; j += 1 }
+    val res = new Array[Long](n - k + 1)
+    res(0) = h
+    var bk1 = 1L
+    j = 0
+    while (j < k - 1) { bk1 = mulMod61(bk1, RollBase); j += 1 }
+    var p = 1
+    while (p <= n - k) {
+      val dropped = (h - mulMod61(wh(p - 1), bk1) + MersenneP) % MersenneP
+      h = (mulMod61(dropped, RollBase) + wh(p + k - 1)) % MersenneP
+      res(p) = h
+      p += 1
+    }
+    res
   }
 
   /** ALL k-gram ROLLING hashes of a words array in window order — the
@@ -178,34 +222,8 @@ object TextHashes {
     * null-free `array_remove(split(..), '')` output). Arrays shorter
     * than k yield an empty array. */
   def kgramRollHashesAll(arr: ArrayData, k: Int): ArrayData = {
-    val n = arr.numElements()
-    if (n < k) return new GenericArrayData(Array.emptyLongArray)
-    val d = md.get()
-    val wh = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        d.reset()
-        wh(i) = fold(d.digest(arr.getUTF8String(i).getBytes), 6)
-      }
-      i += 1
-    }
-    var h = 0L
-    var j = 0
-    while (j < k) { h = (mulMod61(h, RollBase) + wh(j)) % MersenneP; j += 1 }
-    val res = new Array[Long](n - k + 1)
-    res(0) = h
-    var bk1 = 1L
-    j = 0
-    while (j < k - 1) { bk1 = mulMod61(bk1, RollBase); j += 1 }
-    var p = 1
-    while (p <= n - k) {
-      val dropped = (h - mulMod61(wh(p - 1), bk1) + MersenneP) % MersenneP
-      h = (mulMod61(dropped, RollBase) + wh(p + k - 1)) % MersenneP
-      res(p) = h
-      p += 1
-    }
-    new GenericArrayData(res)
+    if (arr.numElements() < k) return new GenericArrayData(Array.emptyLongArray)
+    new GenericArrayData(rollHashes(wordHashes48(arr), k))
   }
 
   /** Distinct k-gram STRINGS of a words array in one pass — value- and

@@ -180,6 +180,36 @@ class TextApiSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("sq:")))
   }
 
+  test("gopherRepetitionSignals: dup fractions fire on spliced repeats; alien columns") {
+    import spark.implicits._
+    // exactness is certified by the p63 DuckDB gate; this pins the
+    // API shape and each signal's firing conditions
+    val splice = (1 to 10).map(i => s"rep$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $splice delta epsilon $splice zeta"),
+      (2L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      (3L, "tiny doc")).toDF("post_key", "body")
+    val out = Pipeline.gopherRepetitionSignals(docs, "body").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // caller columns survive; nine signal columns append after them
+    assert(out(1L).schema.fieldNames.toSeq ==
+      Seq("post_key", "body") ++
+        (2 to 4).map(k => s"top_${k}gram_char_frac") ++
+        (5 to 10).map(k => s"dup_${k}gram_char_frac"))
+    def sig(id: Long, k: Int): Double = out(id).getDouble(2 + (k - 2))
+    // doc 1 repeats a 10-word run verbatim: every dup_k fires, incl. 10
+    (5 to 10).foreach(k => assert(sig(1L, k) > 0.0, s"dup_$k silent"))
+    // doc 2 is all-distinct words: no duplicated k-gram anywhere, but
+    // SOME 2-gram is still the most frequent (covering 2 of 30 words)
+    (5 to 10).foreach(k => assert(sig(2L, k) == 0.0))
+    assert(sig(2L, 2) > 0.0 && sig(2L, 2) < 0.2)
+    // a 2-word doc: its single 2-gram covers everything; k > 2 all 0
+    assert(sig(3L, 2) == 1.0)
+    (3 to 10).foreach(k => assert(sig(3L, k) == 0.0))
+    out.values.foreach(r => (2 to 10).foreach(i =>
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)))
+  }
+
   test("trainQualityClassifier: separates curated from crawl; deterministic; alien columns") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
