@@ -1273,6 +1273,45 @@ object Pipeline {
     sigs.select(corpus.columns.map(col).toIndexedSeq ++ named: _*)
   }
 
+  /** The Gopher LINE-level duplicate signals (Rae'21 Table A1's other
+    * repetition half — WITHIN-document duplicate lines/paragraphs,
+    * complementing [[gopherRepetitionSignals]]' gram fractions and
+    * [[dedupParagraphsGlobal]]'s CROSS-corpus dedup): per document,
+    * the fraction of non-blank lines that are duplicates of another
+    * line in the same doc, and the fraction of line CHARACTERS inside
+    * lines occurring more than once (all occurrences count — the
+    * boilerplate-mass reading). `sep` picks the unit: "\n" for lines,
+    * "\n\n" for paragraphs — run twice for both signals. Map-side
+    * per-row array folds (the occurrence counts are an O(L²) nested
+    * scan over a doc's own lines — L is per-document and small), no
+    * shuffle. Output: every caller column + (n_lines, dup_line_frac,
+    * dup_line_char_frac); a doc with no non-blank lines scores 0s. */
+  def gopherLineSignals(corpus: DataFrame, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = filter(transform(split(col(textCol), sepRe), l => trim(l)),
+      l => l =!= "")
+    val counted = transform(lines, l =>
+      struct(l.as("l"), size(filter(lines, x => x === l)).as("c")))
+    corpus
+      .withColumn("__ls", counted)
+      .withColumn("n_lines",
+        coalesce(size(col("__ls")), lit(0)).cast(LongType))
+      .withColumn("dup_line_frac",
+        when(col("n_lines") === 0, lit(0.0)).otherwise(
+          (col("n_lines") - size(array_distinct(transform(col("__ls"),
+            _.getField("l"))))).cast(DoubleType) / col("n_lines")))
+      .withColumn("dup_line_char_frac",
+        when(col("n_lines") === 0, lit(0.0)).otherwise(
+          aggregate(col("__ls"), lit(0L), (acc, s) =>
+            acc + when(s.getField("c") >= 2,
+              length(s.getField("l")).cast(LongType)).otherwise(lit(0L)))
+            .cast(DoubleType) /
+          greatest(aggregate(col("__ls"), lit(0L), (acc, s) =>
+            acc + length(s.getField("l")).cast(LongType)), lit(1L))))
+      .drop("__ls")
+  }
+
   /** LSH-bucket cluster representative selection over ANY corpus — the
     * p19 keep-best plan as a reusable operator: docs sharing a band-0
     * MinHash signature form a cluster; keep the member with the
@@ -7003,6 +7042,61 @@ object Pipeline {
                $outCols
         FROM frac GROUP BY doc_id ORDER BY doc_id"""
       }),
+
+    // ---- p64: Gopher line-duplicate signals — [[gopherLineSignals]]
+    // over the p52-style synthesized pages with a short banner line
+    // appended TWICE (guaranteed within-doc duplication; word-soup
+    // body lines stay unique unless docs genuinely repeat them). The
+    // oracle replays the page layout, the non-blank trim, the per-doc
+    // line occurrence counts and both exact fractions.
+    QueryDef(
+      "p64_gopher_line_signals",
+      (s, d) => {
+        val ws = array_remove(words(col("text")), "")
+        val nl = greatest(ceil(size(ws) / lit(8.0)).cast(IntegerType), lit(1))
+        val lines = transform(sequence(lit(0), nl - 1), i =>
+          concat(array_join(slice(ws, i * 8 + 1, lit(8)), " "), lit(".")))
+        val page = concat(array_join(lines, "\n"),
+          lit("\naccept cookies now.\naccept cookies now."))
+        gopherLineSignals(
+          T.documents(s, d).select(col("doc_id"), page.as("page")), "page")
+          .drop("page")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS ws FROM documents),
+        pg AS MATERIALIZED (
+          SELECT doc_id,
+                 array_to_string(list_transform(range(0,
+                     greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)), i ->
+                   coalesce(array_to_string(ws[i*8+1 : i*8+8], ' '), '') || '.'), chr(10)) ||
+                 chr(10) || 'accept cookies now.' ||
+                 chr(10) || 'accept cookies now.' AS page
+          FROM w),
+        l AS (
+          SELECT doc_id, trim(x) AS line
+          FROM (SELECT doc_id, unnest(string_split(page, chr(10))) AS x
+                FROM pg)
+          WHERE trim(x) <> ''),
+        c AS (SELECT doc_id, line, COUNT(*) AS c
+              FROM l GROUP BY doc_id, line),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_lines,
+                 CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                   AS dup_line_frac,
+                 CAST(SUM(CASE WHEN c >= 2 THEN c * len(line) ELSE 0 END) AS DOUBLE)
+                   / CAST(greatest(SUM(c * len(line)), 1) AS DOUBLE)
+                   AS dup_line_char_frac
+          FROM c GROUP BY doc_id)
+        SELECT pg.doc_id,
+               COALESCE(agg.n_lines, 0) AS n_lines,
+               COALESCE(agg.dup_line_frac, 0.0) AS dup_line_frac,
+               COALESCE(agg.dup_line_char_frac, 0.0) AS dup_line_char_frac
+        FROM pg LEFT JOIN agg ON agg.doc_id = pg.doc_id
+        ORDER BY pg.doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

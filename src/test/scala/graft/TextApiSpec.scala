@@ -210,6 +210,32 @@ class TextApiSpec extends AnyFunSuite {
       assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)))
   }
 
+  test("gopherLineSignals: duplicate lines and chars counted exactly; alien columns") {
+    import spark.implicits._
+    val docs = Seq(
+      // "bb" twice + unique lines: 4 non-blank lines, 1 duplicate;
+      // duplicated chars = 2·2 of 2+2+3+4 = 4/11
+      (1L, "bb\nbb\nccc\ndddd"),
+      (2L, "one\ntwo\nthree"),           // no duplicates
+      (3L, "  \n\n \n"),                 // blank-only: all zeros
+      (4L, "x\n x \nx")                  // trim makes all three equal
+    ).toDF("post_key", "body")
+    val out = Pipeline.gopherLineSignals(docs, "body").collect()
+      .map(r => r.getLong(0) -> (r.getLong(r.fieldIndex("n_lines")),
+        r.getDouble(r.fieldIndex("dup_line_frac")),
+        r.getDouble(r.fieldIndex("dup_line_char_frac")))).toMap
+    assert(out(1L) == ((4L, 1.0 / 4, 4.0 / 11)))
+    assert(out(2L) == ((3L, 0.0, 0.0)))
+    assert(out(3L) == ((0L, 0.0, 0.0)))
+    assert(out(4L) == ((3L, 2.0 / 3, 1.0)))
+    // paragraph mode: same machinery over a different separator
+    val para = Pipeline.gopherLineSignals(
+      Seq((9L, "p1 text\n\np2\n\np1 text")).toDF("post_key", "body"),
+      "body", sep = "\n\n").collect()(0)
+    assert(para.getLong(para.fieldIndex("n_lines")) == 3 &&
+      para.getDouble(para.fieldIndex("dup_line_frac")) == 1.0 / 3)
+  }
+
   test("trainQualityClassifier: separates curated from crawl; deterministic; alien columns") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
