@@ -2618,6 +2618,67 @@ object Pipeline {
         col("d2"), col("n_members"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate REMOVAL over an embedding column —
+    * cluster with k-means, search for duplicates only WITHIN each
+    * cluster (cosine ≥ `tau`), and keep exactly one representative
+    * per duplicate group: the member FARTHEST from its centroid (the
+    * paper keeps the item with the lowest centroid similarity — for
+    * unit-norm embeddings max squared euclidean distance is the same
+    * ordering, and `d2` is already computed by the assignment pass),
+    * ties to the lowest id.
+    *
+    * 100 TB stance: the clustering IS the blocking — the only pairing
+    * work is a self-join shuffled on the cluster key, quadratic in
+    * CLUSTER size, never in corpus size; that is the paper's own
+    * contract (choose k ≈ n / desired-cluster-size — they run k=110k
+    * over 5B embeddings). Duplicate groups close under transitivity
+    * via [[connectedComponents]] (pointer-jumping, O(log d) rounds),
+    * and the final prune is one anti-join against the (dup-bounded)
+    * non-representative set, the [[collapseByComponents]] shape.
+    * Everything downstream of the fit reuses the ONE assignment pass
+    * (cluster id, d2 and the squared norm travel together through the
+    * self-join — no second scan, no re-assignment).
+    *
+    * Determinism: centroids are the integer-scaled exact means of
+    * [[kmeansFit]] (min-id seeding — the frozen p21 oracle contract),
+    * cosines are sequential double folds ([[graft.plans.FloatDotProduct]])
+    * over exact IEEE division, so the ≥ `tau` gate and the d2
+    * representative ordering are bit-identical across engines.
+    * Output: the SURVIVING rows (vec_id, cluster, d2). */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, tau: Double, iters: Int = 2): DataFrame = {
+    val assigned = kmeansAssign(
+      vecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      kmeansFit(vecs, idCol, vecCol, k, dim, iters))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+    // the ONLY pairing shuffle: both sides hash-partitioned on the
+    // cluster key; va < vb halves the work and orients every pair
+    val a = assigned.select(col("cl"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("n2").as("n2a"))
+    val b = assigned.select(col("cl"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("n2").as("n2b"))
+    val pairs = a.join(b, Seq("cl"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        cosine(dot(col("ea"), col("eb")), col("n2a"), col("n2b"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+    // duplicate groups are transitive closures WITHIN a cluster (pairs
+    // never cross clusters, so components cannot either)
+    val comps = connectedComponents(pairs.select(col("va"), col("vb")))
+    val drop = comps
+      .join(assigned.select(col("vec_id").as("node"), col("d2")), Seq("node"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("d2").desc, col("node").asc)))
+      .filter(col("__rk") > 1)
+      .select(col("node").as("vec_id"))
+    assigned.join(drop, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cl").as("cluster"), col("d2"))
+  }
+
   /** The TRAINED quantizer behind [[kmeansCluster]]: Lloyd's
     * iterations only, returning the final centroid table
     * (cl int, ce array&lt;double&gt;) — the shape [[ivfSearch]] accepts
@@ -3540,6 +3601,139 @@ object Pipeline {
       .crossJoin(broadcast(bias))
       .select(col("doc_id"), col("n_feats"),
         (col("__dot") + col("__bias")).as("score"))
+  }
+
+  /** CCNet-style n-gram language-model perplexity filtering (Wenzek
+    * et al. 2020 §4.3 — the head/middle/tail bucketing CCNet popularized
+    * and every web-scale corpus since runs some form of): train a
+    * per-language trigram LM on a REFERENCE corpus, score every corpus
+    * document by average token log-probability, and split each language
+    * into thirds (head = most reference-like). The LM is Stupid Backoff
+    * (Brants et al. 2007, "Large Language Models in Machine
+    * Translation" — the count-ratio backoff built FOR distributed
+    * settings: no discount normalization pass, so the model is just the
+    * raw n-gram count table): with α = `alpha`,
+    * S(w|w₋₂w₋₁) = c₃/c(w₋₂w₋₁) when the trigram is attested, else
+    * α·S(w|w₋₁); S(w|w₋₁) = c₂/c(w₋₁) when attested, else α·S(w);
+    * S(w) = (c₁+1)/(N+V) — add-one smoothed so out-of-vocabulary
+    * tokens score finitely (KenLM's <unk> role). Positions 0 and 1 use
+    * the longest context that EXISTS (no backoff penalty for context
+    * that cannot be had). Only languages present in the reference are
+    * scored (CCNet's per-language LMs; no LM → no score), and empty
+    * documents are not scored at all.
+    *
+    * 100 TB stance: the count table is the model — built by one
+    * partial-agg pass over the reference (hot grams combine map-side),
+    * prunable with `minCount` (CCNet ships PRUNED KenLM models for
+    * exactly this reason; pruning only drops rows whose longer-order
+    * branch would barely fire — a pruned gram backs off, it never
+    * divides by zero, because a surviving n-gram's prefix always
+    * survives too: prefix counts dominate). Scoring is two shuffles of
+    * token-scale data: every position melts map-side into its ≤5
+    * needed gram keys (the trigram, the two backoff grams, their two
+    * contexts — all substrings of the document), ONE gram-keyed join
+    * against the counts (many-to-one; AQE splits hot-gram skew), and
+    * one (doc, pos) regroup; the per-language (N, V) table is a
+    * broadcast. Nothing collects; the bucket split is one window per
+    * language partition.
+    *
+    * Determinism: every probability is an exact-integer-ratio IEEE
+    * division (+ the exact double α product), ln is quantized to 1e-9
+    * (the DSIR stance — ln's last ulp differs across engines), the
+    * per-doc sum runs through the decimal accumulator
+    * ([[graft.QueryDef.davg]], order-free), and the ntile order has a
+    * doc-id tiebreak — so scores, ppl and buckets replay bit-for-bit
+    * in the oracle. Output: (idCol, lang, n_tokens, logprob_avg, ppl,
+    * bucket). */
+  def lmPerplexity(reference: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      alpha: Double = 0.4, minCount: Long = 1L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    def toks(c: Column): Column = array_remove(words(c), "")
+    val ref = reference
+      .select(col(langCol).as("lang"), toks(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // orders 1..3 in ONE union-explode pass; tokens cannot contain
+    // whitespace, so gram strings of different orders never collide
+    // and one (lang, gram) table serves every order
+    val gramRows = (1 to 3).map { n =>
+      ref.select(col("lang"), explode(
+        when(size(col("ws")) >= n,
+          transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+            i => array_join(slice(col("ws"), i, lit(n)), " ")))
+          .otherwise(array().cast(ArrayType(StringType)))).as("g"))
+    }.reduce(_ unionAll _)
+    val counts = gramRows.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val stats = ref.select(col("lang"), explode(col("ws")).as("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("ntok"), countDistinct(col("w")).as("vsize"))
+    // map-side melt: each position emits its needed gram keys (null
+    // where the position has no such context), joined ONCE
+    val docs = corpus
+      .select(col(idCol), col(langCol).as("lang"),
+        toks(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val melted = docs
+      .select(col(idCol), col("lang"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 1), i => struct(
+          i.as("pos"),
+          element_at(col("ws"), i + 1).as("u"),
+          when(i >= 1, concat_ws(" ",
+            element_at(col("ws"), i))).as("c1"),
+          when(i >= 1, concat_ws(" ",
+            element_at(col("ws"), i),
+            element_at(col("ws"), i + 1))).as("b"),
+          when(i >= 2, concat_ws(" ",
+            element_at(col("ws"), i - 1),
+            element_at(col("ws"), i))).as("c2"),
+          when(i >= 2, concat_ws(" ",
+            element_at(col("ws"), i - 1),
+            element_at(col("ws"), i),
+            element_at(col("ws"), i + 1))).as("t")))).as("p"))
+      .select(col(idCol), col("lang"), col("p.pos").as("pos"),
+        explode(filter(array(
+          struct(lit("u").as("role"), col("p.u").as("g")),
+          struct(lit("c1").as("role"), col("p.c1").as("g")),
+          struct(lit("b").as("role"), col("p.b").as("g")),
+          struct(lit("c2").as("role"), col("p.c2").as("g")),
+          struct(lit("t").as("role"), col("p.t").as("g"))),
+          s => s.getField("g").isNotNull)).as("rg"))
+      .select(col(idCol), col("lang"), col("pos"),
+        col("rg.role").as("role"), col("rg.g").as("g"))
+    def cOf(role: String): Column =
+      coalesce(max(when(col("role") === role, col("cnt"))), lit(0L))
+        .as(role + "c")
+    val perPos = melted.join(counts, Seq("lang", "g"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col(idCol), col("lang"), col("pos"))
+      .agg(cOf("u"), cOf("c1"), cOf("b"), cOf("c2"), cOf("t"))
+      .join(broadcast(stats), Seq("lang"))
+    val uniP = (col("uc") + 1).cast(DoubleType) /
+      (col("ntok") + col("vsize")).cast(DoubleType)
+    val biP = col("bc").cast(DoubleType) / col("c1c").cast(DoubleType)
+    val triP = col("tc").cast(DoubleType) / col("c2c").cast(DoubleType)
+    val lp = round(
+      when(col("pos") === 0, log(uniP))
+        .when(col("pos") === 1 && col("bc") > 0, log(biP))
+        .when(col("pos") === 1, log(lit(alpha) * uniP))
+        .when(col("tc") > 0, log(triP))
+        .when(col("bc") > 0, log(lit(alpha) * biP))
+        .otherwise(log(lit(alpha) * lit(alpha) * uniP)), 9)
+    perPos.withColumn("__lp", lp)
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.QueryDef.davg(col("__lp")).as("logprob_avg"))
+      .withColumn("ppl", round(exp(-col("logprob_avg")), 6))
+      .withColumn("bucket",
+        when(ntile(3).over(Window.partitionBy(col("lang"))
+          .orderBy(col("logprob_avg").desc, col(idCol).asc)) === 1, "head")
+          .when(ntile(3).over(Window.partitionBy(col("lang"))
+            .orderBy(col("logprob_avg").desc, col(idCol).asc)) === 2,
+            "middle")
+          .otherwise("tail"))
   }
 
   /** Trained data-quality classifier — the CCNet (Wenzek'20 §4) /
@@ -7097,6 +7291,149 @@ object Pipeline {
                COALESCE(agg.dup_line_char_frac, 0.0) AS dup_line_char_frac
         FROM pg LEFT JOIN agg ON agg.doc_id = pg.doc_id
         ORDER BY pg.doc_id""")),
+
+    // ---- p65: CCNet perplexity filtering — [[lmPerplexity]] with the
+    // fixture's DSIR convention for the reference/corpus split
+    // (doc_id % 5 = 0 trains the per-language Stupid Backoff LM, the
+    // rest is scored and bucketed head/middle/tail per language). The
+    // oracle replays the full chain: the (lang, gram) count table over
+    // orders 1..3, per-language (N, V), the per-position 5-key melt as
+    // five LEFT JOINs, the identical backoff CASE with 1e-9-quantized
+    // ln, the decimal-accumulator doc mean, and the tie-broken ntile.
+    QueryDef(
+      "p65_lm_perplexity",
+      (s, d) => {
+        val all = T.documents(s, d)
+        lmPerplexity(
+          reference = all.filter(col("doc_id") % 5 === 0),
+          corpus = all.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", "lang")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT lang, ws FROM (
+            SELECT lang, list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '') AS ws
+            FROM documents WHERE doc_id % 5 = 0)
+          WHERE len(ws) > 0),
+        rg AS MATERIALIZED (
+          SELECT lang, ws[i] AS g, 1 AS o
+          FROM r, unnest(range(1, len(ws) + 1)) t(i)
+          UNION ALL
+          SELECT lang, array_to_string(ws[i:i+1], ' ') AS g, 2 AS o
+          FROM r, unnest(range(1, len(ws))) t(i)
+          UNION ALL
+          SELECT lang, array_to_string(ws[i:i+2], ' ') AS g, 3 AS o
+          FROM r, unnest(range(1, len(ws) - 1)) t(i)),
+        cnts AS MATERIALIZED (
+          SELECT lang, g, COUNT(*) AS cnt FROM rg GROUP BY lang, g),
+        st AS MATERIALIZED (
+          SELECT lang, COUNT(*) AS ntok, COUNT(DISTINCT g) AS vsize
+          FROM rg WHERE o = 1 GROUP BY lang),
+        dd AS (
+          SELECT doc_id, lang, ws FROM (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents WHERE doc_id % 5 <> 0)
+          WHERE len(ws) > 0),
+        pp AS MATERIALIZED (
+          SELECT doc_id, lang, i - 1 AS pos, ws[i] AS u,
+                 CASE WHEN i >= 2 THEN ws[i-1] END AS c1,
+                 CASE WHEN i >= 2 THEN ws[i-1] || ' ' || ws[i] END AS b,
+                 CASE WHEN i >= 3 THEN ws[i-2] || ' ' || ws[i-1] END AS c2,
+                 CASE WHEN i >= 3
+                   THEN ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i] END AS t
+          FROM dd, unnest(range(1, len(ws) + 1)) x(i)),
+        jj AS MATERIALIZED (
+          SELECT p.doc_id, p.lang, p.pos,
+                 COALESCE(cu.cnt, 0) AS uc, COALESCE(cc1.cnt, 0) AS c1c,
+                 COALESCE(cb.cnt, 0) AS bc, COALESCE(cc2.cnt, 0) AS c2c,
+                 COALESCE(ct.cnt, 0) AS tc, st.ntok, st.vsize
+          FROM pp p
+          JOIN st ON st.lang = p.lang
+          LEFT JOIN cnts cu  ON cu.lang = p.lang AND cu.g = p.u
+          LEFT JOIN cnts cc1 ON cc1.lang = p.lang AND cc1.g = p.c1
+          LEFT JOIN cnts cb  ON cb.lang = p.lang AND cb.g = p.b
+          LEFT JOIN cnts cc2 ON cc2.lang = p.lang AND cc2.g = p.c2
+          LEFT JOIN cnts ct  ON ct.lang = p.lang AND ct.g = p.t),
+        lpt AS MATERIALIZED (
+          SELECT doc_id, lang, round(CASE
+            WHEN pos = 0 THEN
+              ln(CAST(uc + 1 AS DOUBLE) / CAST(ntok + vsize AS DOUBLE))
+            WHEN pos = 1 AND bc > 0 THEN
+              ln(CAST(bc AS DOUBLE) / CAST(c1c AS DOUBLE))
+            WHEN pos = 1 THEN
+              ln(CAST(0.4 AS DOUBLE) *
+                 (CAST(uc + 1 AS DOUBLE) / CAST(ntok + vsize AS DOUBLE)))
+            WHEN tc > 0 THEN
+              ln(CAST(tc AS DOUBLE) / CAST(c2c AS DOUBLE))
+            WHEN bc > 0 THEN
+              ln(CAST(0.4 AS DOUBLE) *
+                 (CAST(bc AS DOUBLE) / CAST(c1c AS DOUBLE)))
+            ELSE
+              ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) *
+                 (CAST(uc + 1 AS DOUBLE) / CAST(ntok + vsize AS DOUBLE)))
+          END, 9) AS lp
+          FROM jj),
+        sc AS MATERIALIZED (
+          SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 ${graft.QueryDef.davgSql("lp")} AS logprob_avg
+          FROM lpt GROUP BY doc_id, lang)
+        SELECT doc_id, lang, n_tokens, logprob_avg,
+               round(exp(-logprob_avg), 6) AS ppl,
+               CASE ntile(3) OVER (PARTITION BY lang
+                   ORDER BY logprob_avg DESC, doc_id ASC)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+        FROM sc ORDER BY doc_id""")),
+
+    // ---- p66: SemDeDup — [[semDedup]] over the embeddings table
+    // (k = 4, the frozen p21 min-id/2-iter fit, τ = 0.35: the fixture's
+    // random embeddings top out at cos ≈ 0.51, so the production-scale
+    // τ ≈ 0.95 would fire on nothing — the gate needs the prune path
+    // to actually run). The oracle replays the p21 k-means chain, the
+    // within-cluster cosine self-join, the recursive-CTE transitive
+    // closure, and the farthest-from-centroid representative rule.
+    QueryDef(
+      "p66_semdedup",
+      (s, d) =>
+        semDedup(T.embeddings(s, d), "vec_id", "embedding",
+          k = 4, dim = 64, tau = 0.35)
+          .orderBy(col("vec_id")),
+      Some {
+        val Dim = 64
+        s"""WITH RECURSIVE e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+           |c0 AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+           |         list_transform(emb, x -> CAST(x AS DOUBLE)) AS ce
+           |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 4),
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "c1", "a1", Dim)},
+           |${kmAssignSql("a2", "c1", Dim)},
+           |${kmUpdateSql("u2", "c2", "a2", Dim)},
+           |${kmAssignSql("a3", "c2", Dim)},
+           |n AS MATERIALIZED (
+           |  SELECT vec_id, emb, cl, d2, ${kmDotSql("emb", "emb")} AS n2
+           |  FROM a3),
+           |pr AS MATERIALIZED (
+           |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+           |  FROM n x JOIN n y ON x.cl = y.cl AND x.vec_id < y.vec_id
+           |  WHERE ${kmDotSql("x.emb", "y.emb")} / (sqrt(x.n2) * sqrt(y.n2))
+           |        >= CAST(0.35 AS DOUBLE)),
+           |verified AS (SELECT doc_a, doc_b FROM pr),
+           |$ComponentsSql,
+           |reps AS (
+           |  SELECT comp.node, ROW_NUMBER() OVER (
+           |      PARTITION BY comp.component
+           |      ORDER BY n.d2 DESC, comp.node ASC) AS rk
+           |  FROM comp JOIN n ON n.vec_id = comp.node)
+           |SELECT n.vec_id, n.cl AS cluster, n.d2
+           |FROM n
+           |WHERE n.vec_id NOT IN (SELECT node FROM reps WHERE rk > 1)
+           |ORDER BY n.vec_id""".stripMargin
+      }),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

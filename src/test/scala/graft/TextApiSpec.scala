@@ -270,6 +270,61 @@ class TextApiSpec extends AnyFunSuite {
       s"curated held-out docs must outscore crawl ones: $scores")
   }
 
+  test("lmPerplexity: reference-like docs land in head, OOV in tail; " +
+      "unknown language and empty docs unscored; alien columns") {
+    import spark.implicits._
+    // reference LM for "tongue" aa only: repetitive in-domain prose
+    val refText = (1 to 10).flatMap(_ => Seq("the", "cat", "sat", "on",
+      "the", "mat")).mkString(" ")
+    val ref = Seq((100L, refText, "aa"), (101L, refText, "aa"))
+      .toDF("post_key", "body", "tongue")
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "aa"),      // in-LM → best logprob
+      (2L, "the cat sat zz purple mat", "aa"),   // partly OOV
+      (3L, "zz yy xx ww vv uu", "aa"),           // fully OOV → worst
+      (4L, "the cat sat on the mat", "bb"),      // no LM for bb → unscored
+      (5L, "   ", "aa"))                          // empty → unscored
+      .toDF("post_key", "body", "tongue")
+    val out = Pipeline.lmPerplexity(ref, docs, "post_key", "body", "tongue")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val (n1, lp1, ppl1, b1) = out(1L)
+    val (_, lp2, _, b2) = out(2L)
+    val (_, lp3, ppl3, b3) = out(3L)
+    assert(n1 == 6L)
+    assert(lp1 > lp2 && lp2 > lp3,
+      s"logprob must fall with OOV mass: $out")
+    assert(ppl1 < ppl3)
+    // 3 scored docs in lang aa → ntile thirds are exactly one doc each
+    assert((b1, b2, b3) == (("head", "middle", "tail")))
+    // scoring is deterministic on a re-run
+    val again = Pipeline.lmPerplexity(ref, docs, "post_key", "body", "tongue")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == Map(1L -> lp1, 2L -> lp2, 3L -> lp3))
+  }
+
+  test("semDedup: prunes same-direction groups to the farthest-from-centroid " +
+      "representative; orthogonal vectors survive; alien columns") {
+    import spark.implicits._
+    // one cluster (k = 1): vecs 0/1/4 are colinear (pairwise cos = 1,
+    // a transitive dup GROUP), 2 and 3 are orthogonal/opposed to them
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(2f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(-1f, 0f)), (4L, Array(4f, 0f)))
+      .toDF("post_key", "v")
+    val out = Pipeline.semDedup(vecs, "post_key", "v",
+      k = 1, dim = 2, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // centroid = mean (1.2, 0.2); of the {0,1,4} group only 4 (d2 = 7.88,
+    // the farthest) survives; 2 and 3 are unpaired and pass through
+    assert(out.map(_._1).toSet == Set(2L, 3L, 4L))
+    assert(out.forall(_._2 == 0))
+    val d2 = out.map(t => t._1 -> t._3).toMap
+    assert(math.abs(d2(4L) - 7.88) < 1e-9, s"d2: $d2")
+  }
+
   test("dsirImportanceScores: target-like docs score higher; alien columns") {
     import spark.implicits._
     // target distribution: prose about cats; raw pool: one cat-like
