@@ -2649,10 +2649,16 @@ object Pipeline {
     * Output: the SURVIVING rows (vec_id, cluster, d2). */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, tau: Double, iters: Int = 2): DataFrame = {
+    // materialized ONCE: the assignment feeds four plan arms (both
+    // pair sides, the representative's d2 join, the final anti-join) —
+    // without truncation each arm would re-run the whole fit+assign
+    // chain (same lineage stance as [[connectedComponents]]; swap for
+    // a reliable checkpoint dir on a real cluster)
     val assigned = kmeansAssign(
       vecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
       kmeansFit(vecs, idCol, vecCol, k, dim, iters))
       .withColumn("n2", dot(col("embedding"), col("embedding")))
+      .localCheckpoint()
     // the ONLY pairing shuffle: both sides hash-partitioned on the
     // cluster key; va < vb halves the work and orients every pair
     val a = assigned.select(col("cl"), col("vec_id").as("va"),
