@@ -1408,6 +1408,46 @@ object Pipeline {
         :+ col("rk").cast(LongType).as("rk"): _*)
   }
 
+  /** Temperature-smoothed stratified sampling (Conneau & Lample 2019
+    * §3.1 — the α-exponent language rebalancing mBERT/XLM/mT5 all
+    * train with): draw a `budget`-document sample whose per-stratum
+    * share follows q_l ∝ n_l^α. α = 1 is the natural (proportional)
+    * mix, α = 0 uniform across strata; in between, low-resource
+    * strata are up-sampled relative to their share — the published
+    * fix for high-resource languages drowning the tail. Per-stratum
+    * quota = min(n_l, floor(budget·s_l/S)) with s_l = n_l^α quantized
+    * to 1e-9 (pow's last ulp differs across engines — the ln stance)
+    * and S their decimal-exact sum; clamped mass is NOT redistributed
+    * (a deterministic one-pass contract — α < 1 clamps only strata it
+    * boosted past their supply). Selection inside a stratum is the
+    * md5-rank prefix: RNG-free and reproducible, like
+    * [[rebalanceToMix]], and docs admitted at a smaller budget stay
+    * admitted at a larger one (rank prefixes nest). Plan: one tiny
+    * per-stratum count agg → one-row broadcast → one rank window per
+    * stratum — the single corpus shuffle any stratified pass needs.
+    * Output: caller columns + rk. */
+  def temperatureSample(corpus: DataFrame, idCol: String,
+      stratumCol: String, budget: Long, alpha: Double): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val scores = corpus.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__s",
+        round(pow(col("__n").cast(DoubleType), lit(alpha)), 9))
+    val total = scores.agg(graft.QueryDef.dsum(col("__s")).as("__stot"))
+    val quotas = scores.crossJoin(broadcast(total))
+      .select(col(stratumCol),
+        least(col("__n"),
+          floor(lit(budget) * col("__s") / col("__stot"))).as("__q"))
+    corpus.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
+      .filter(col("rk") <= col("__q"))
+      .select(Seq(col(idCol), col(stratumCol))
+        ++ corpus.columns.filterNot(c => c == idCol || c == stratumCol)
+          .map(col)
+        :+ col("rk").cast(LongType).as("rk"): _*)
+  }
+
   /** Per-label centroid outliers over ANY embedding corpus — the p29
     * curation gate as a reusable operator: flag the `topK` vectors
     * farthest from their label's centroid (mislabeled or corrupt
@@ -7440,6 +7480,33 @@ object Pipeline {
            |WHERE n.vec_id NOT IN (SELECT node FROM reps WHERE rk > 1)
            |ORDER BY n.vec_id""".stripMargin
       }),
+
+    // ---- p67: temperature sampling — [[temperatureSample]] at
+    // α = 0.5 over the language strata (budget 200 of 500 docs). The
+    // oracle replays the quantized pow scores, the decimal-exact score
+    // sum, the floor/min quota, and the identical md5 rank prefix.
+    QueryDef(
+      "p67_temperature_sample",
+      (s, d) =>
+        temperatureSample(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", budget = 200L, alpha = 0.5)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        sc AS (SELECT lang, n,
+                      round(pow(CAST(n AS DOUBLE), 0.5), 9) AS s FROM n),
+        tot AS (SELECT ${graft.QueryDef.dsumSql("s")} AS st FROM sc),
+        q AS (SELECT lang, least(n, CAST(floor(200 * s / st) AS BIGINT)) AS q
+              FROM sc CROSS JOIN tot),
+        ranked AS (
+          SELECT d.doc_id, d.lang, q.q,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang
+                   ORDER BY md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id) AS rk
+          FROM documents d JOIN q ON q.lang = d.lang)
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= q ORDER BY doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

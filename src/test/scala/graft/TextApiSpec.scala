@@ -325,6 +325,36 @@ class TextApiSpec extends AnyFunSuite {
     assert(math.abs(d2(4L) - 7.88) < 1e-9, s"d2: $d2")
   }
 
+  test("temperatureSample: α interpolates natural → uniform; quotas clamp " +
+      "without redistribution; nested prefixes; alien columns") {
+    import spark.implicits._
+    // 90 docs of stratum A, 10 of B
+    val corpus = ((1 to 90).map(i => (i.toLong, "A")) ++
+      (91 to 100).map(i => (i.toLong, "B"))).toDF("post_key", "tongue")
+    def shares(alpha: Double, budget: Long = 50L) =
+      Pipeline.temperatureSample(corpus, "post_key", "tongue",
+        budget, alpha)
+        .groupBy("tongue").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α = 1: proportional quotas floor(50·0.9)=45 / floor(50·0.1)=5
+    assert(shares(1.0) == Map("A" -> 45L, "B" -> 5L))
+    // α = 0.5: s = (sqrt 90, sqrt 10) → B's quota floor(50/4) = 12 is
+    // boosted past its 10-doc supply and clamps to it
+    assert(shares(0.5) == Map("A" -> 37L, "B" -> 10L))
+    // α = 0: uniform 25/25, but B clamps to its 10 docs — no
+    // redistribution back to A
+    assert(shares(0.0) == Map("A" -> 25L, "B" -> 10L))
+    // rank prefixes nest: a smaller budget's sample is a subset
+    def ids(budget: Long) =
+      Pipeline.temperatureSample(corpus, "post_key", "tongue",
+        budget, 0.5).collect().map(_.getLong(0)).toSet
+    assert(ids(20L).subsetOf(ids(50L)))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.temperatureSample(corpus, "post_key", "tongue", 50L, 1.5)
+    }
+    assert(e.getMessage.contains("alpha"))
+  }
+
   test("dsirImportanceScores: target-like docs score higher; alien columns") {
     import spark.implicits._
     // target distribution: prose about cats; raw pool: one cat-like
