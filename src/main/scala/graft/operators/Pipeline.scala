@@ -7436,7 +7436,9 @@ object Pipeline {
         FROM sc ORDER BY doc_id""")),
 
     // ---- p66: SemDeDup — [[semDedup]] over the embeddings table
-    // (k = 4, the frozen p21 min-id/2-iter fit, τ = 0.35: the fixture's
+    // (k = 16 — the paper's own scale lever is MORE clusters, keeping
+    // within-cluster pair work linear-ish; min-id/2-iter fit as p21,
+    // τ = 0.35: the fixture's
     // random embeddings top out at cos ≈ 0.51, so the production-scale
     // τ ≈ 0.95 would fire on nothing — the gate needs the prune path
     // to actually run). The oracle replays the p21 k-means chain, the
@@ -7446,7 +7448,7 @@ object Pipeline {
       "p66_semdedup",
       (s, d) =>
         semDedup(T.embeddings(s, d), "vec_id", "embedding",
-          k = 4, dim = 64, tau = 0.35)
+          k = 16, dim = 64, tau = 0.35)
           .orderBy(col("vec_id")),
       Some {
         val Dim = 64
@@ -7454,7 +7456,7 @@ object Pipeline {
            |c0 AS (
            |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
            |         list_transform(emb, x -> CAST(x AS DOUBLE)) AS ce
-           |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 4),
+           |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
            |${kmAssignSql("a1", "c0", Dim)},
            |${kmUpdateSql("u1", "c1", "a1", Dim)},
            |${kmAssignSql("a2", "c1", Dim)},
