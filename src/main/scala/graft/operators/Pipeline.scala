@@ -686,6 +686,79 @@ object Pipeline {
       .filter(col("rk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (Karpukhin et al.
+    * 2020, "Dense Passage Retrieval", §3.2: the strongest training
+    * signal comes from the top-scoring NON-positives of each query):
+    * for every query vector, the `k` highest-cosine corpus vectors
+    * that are neither the query row itself nor among its labeled
+    * positives. `positives` is a two-column frame (query id, positive
+    * id) — column NAMES are free, the first is matched against query
+    * ids and the second against corpus ids.
+    *
+    * 100 TB stance: queries AND positives broadcast (per-query
+    * positive sets are small — that is the mining contract, same as
+    * [[knnBruteCosine]]'s query side); ONE corpus scan computes every
+    * query's scores map-side with a broadcast anti-join folding the
+    * exclusion into the same stage — zero pairing shuffle; the only
+    * shuffle is the per-query top-k window. For corpus-sized query
+    * sets, run the identical exclusion over [[ivfSearch]] candidates
+    * instead of the brute scan. Output (q_id, vec_id, cos_sim, rk)
+    * with rk in 1..k. */
+  def hardNegativeMine(corpus: DataFrame, queries: DataFrame,
+      positives: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val e = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+      .withColumn("qn2", dot(col("qe"), col("qe")))
+    val pc = positives.columns
+    require(pc.length == 2,
+      s"positives must have exactly (query id, positive id) columns, got ${pc.mkString(", ")}")
+    val pos = positives.select(col(pc(0)).as("q_id"), col(pc(1)).as("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(pos), Seq("q_id", "vec_id"), "left_anti")
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("qe"), col("embedding")), col("qn2"), col("n2"))
+          .as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+  }
+
+  /** Johnson–Lindenstrauss signed random projection (Achlioptas 2003,
+    * "Database-friendly random projections": ±1 entries preserve
+    * pairwise distances within (1±ε) for outDim = O(ln n / ε²), no
+    * Gaussians needed): y_j = (Σ_d w(j,d)·x_d) / √outDim with the
+    * SAME deterministic md5-derived ±1 family as the p06 SRP-LSH
+    * hyperplanes ([[srpWeight]]) — no RNG anywhere, so projections
+    * are reproducible across runs and replayable in the oracle.
+    *
+    * This is the standard precursor that makes high-dimensional
+    * corpus clustering affordable: project 768-dim encoder embeddings
+    * to 32–64 dims once, then run [[kmeansCluster]] / [[semDedup]] /
+    * [[knnBruteCosine]] in the reduced space at a fraction of the
+    * distance cost. Output elements are FLOAT so the projected column
+    * composes directly with every embedding operator in this library
+    * (they all take array&lt;float&gt;); each output dim is one
+    * codegen'd [[graft.plans.FloatDotProduct]] fold — entirely
+    * map-side, ZERO shuffle, embarrassingly parallel at any scale.
+    * The double→float round is IEEE RNE in both engines and √outDim
+    * is correctly-rounded in both, so projected values are
+    * bit-identical in Spark and DuckDB. */
+  def randomProject(corpus: DataFrame, vecCol: String, dim: Int,
+      outDim: Int, outCol: String = "projected"): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    corpus.withColumn(outCol, array((0 until outDim).map { j =>
+      val w = array((0 until dim).map(d => lit(srpWeight(j, d).toFloat)): _*)
+      (dot(col(vecCol), w) * inv).cast(FloatType)
+    }: _*))
+  }
+
   /** Stopword-marker language ID over ANY corpus — the p09 heuristic
     * as a reusable operator: per-language marker-word votes with a
     * fixed deterministic tie-break chain. Returns all caller columns
@@ -4397,6 +4470,19 @@ object Pipeline {
        |  SELECT cl, [$meanList] AS ce FROM $uname)""".stripMargin
   }
 
+  /** One [[randomProject]] output dimension as DuckDB SQL — the
+    * IDENTICAL arithmetic (sequential double fold over the same
+    * md5-derived ±1 weights, × 1/√outDim, rounded to FLOAT), shared by
+    * the p69/p70 oracles so they can never drift from the operator. */
+  private def jlProjSql(j: Int, dim: Int, outDim: Int,
+      emb: String = "embedding"): String = {
+    val w = (0 until dim).map(d => if (srpWeight(j, d) > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+    s"""CAST(list_reduce(list_transform(range(1, ${dim + 1}),
+       |  d -> CAST($emb[d] AS DOUBLE) * CAST($w[d] AS DOUBLE)),
+       |  (acc, x) -> acc + x) * (1.0 / sqrt(${outDim}.0)) AS FLOAT)""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- p01: exact deduplication via content hash — one shuffle on the
@@ -7509,6 +7595,95 @@ object Pipeline {
           FROM documents d JOIN q ON q.lang = d.lang)
         SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= q ORDER BY doc_id""")),
+
+    // ---- p68: hard-negative mining — [[hardNegativeMine]] with the
+    // label classes as the positive sets (queries = the 4 smallest-id
+    // vectors, positives = every same-label vector): the DPR recipe's
+    // "top non-positives" per query. The oracle expresses the
+    // anti-join as label inequality — the same set by construction.
+    QueryDef(
+      "p68_hard_negatives",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val q = e.filter(col("vec_id") <= 4)
+        val pos = q.select(col("vec_id").as("q_id"), col("label"))
+          .join(e.select(col("vec_id"), col("label")), Seq("label"))
+          .select(col("q_id"), col("vec_id"))
+        hardNegativeMine(e, q, pos, "vec_id", "embedding", k = 3)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 list_reduce(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) AS n2
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id,
+                 list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+          FROM e q, e c
+          WHERE q.vec_id <= 4 AND c.vec_id <> q.vec_id AND c.label <> q.label)
+        SELECT q_id, vec_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rk
+        FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""")),
+
+    // ---- p69: JL random projection — [[randomProject]] 64 → 4 dims,
+    // flattened to scalar per-dim columns for the driver's comparator.
+    // The oracle replays the identical ±1 weights, sequential fold,
+    // 1/√outDim scale and FLOAT round.
+    QueryDef(
+      "p69_random_projection",
+      (s, d) =>
+        randomProject(T.embeddings(s, d), "embedding", EmbDim, 4)
+          .select(col("vec_id") +: (0 until 4).map(j =>
+            element_at(col("projected"), j + 1).cast(DoubleType)
+              .as(s"proj_$j")): _*)
+          .orderBy(col("vec_id")),
+      Some(s"""
+        SELECT vec_id,
+               ${(0 until 4).map(j =>
+                 s"CAST(${jlProjSql(j, EmbDim, 4)} AS DOUBLE) AS proj_$j")
+                 .mkString(",\n               ")}
+        FROM embeddings ORDER BY vec_id""")),
+
+    // ---- p70: clustering in the projected space — the composition
+    // [[randomProject]] feeds ([[kmeansCluster]]) that IS the JL
+    // operator's production purpose: the full Lloyd's chain (min-id
+    // seeds, 2 iterations, final assignment) runs over 4-dim
+    // projections at 1/16th the distance cost of the raw 64-dim
+    // space. The oracle projects inside its first CTE with the shared
+    // [[jlProjSql]] arithmetic, then replays the p21 k-means chain at
+    // dim = 4 — bit-identical end-to-end.
+    QueryDef(
+      "p70_project_cluster",
+      (s, d) =>
+        kmeansCluster(
+          randomProject(T.embeddings(s, d), "embedding", EmbDim, 4, "pe"),
+          "vec_id", "pe", k = 8, dim = 4, iters = 2)
+          .orderBy(col("vec_id")),
+      Some {
+        val Dim = 4
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id,
+           |         [${(0 until Dim).map(j => jlProjSql(j, EmbDim, Dim))
+                        .mkString(",\n          ")}] AS emb
+           |  FROM embeddings),
+           |c0 AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+           |         list_transform(emb, x -> CAST(x AS DOUBLE)) AS ce
+           |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "c1", "a1", Dim)},
+           |${kmAssignSql("a2", "c1", Dim)},
+           |${kmUpdateSql("u2", "c2", "a2", Dim)},
+           |${kmAssignSql("a3", "c2", Dim)}
+           |SELECT vec_id, cl AS cluster, d2,
+           |       COUNT(*) OVER (PARTITION BY cl) AS n_members
+           |FROM a3 ORDER BY vec_id""".stripMargin
+      }),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

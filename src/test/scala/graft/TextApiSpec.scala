@@ -2255,4 +2255,54 @@ class TextApiSpec extends AnyFunSuite {
     // the 1-word edit breaks 10 of A/B's 51 passages, shares the rest
     assert(stats(10L) == 41.0 / 51 && stats(11L) == 41.0 / 51)
   }
+
+  test("hardNegativeMine: excludes self and labeled positives, ranks by " +
+      "cosine desc, honors k; positives column names are free") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(3f, 1f)),
+      (4L, Array(0f, 1f)), (5L, Array(-1f, 0f)))
+      .toDF("post_key", "v")
+    val queries = vecs.filter($"post_key" === 1L)
+    // alien column names on the positives relation: first = query id,
+    // second = positive id
+    val pos = Seq((1L, 2L)).toDF("qq", "pp")
+    val out = Pipeline.hardNegativeMine(vecs, queries, pos,
+      "post_key", "v", k = 2)
+      .orderBy("q_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // candidates: 3 (cos 3/√10), 4 (cos 0), 5 (cos −1); self 1 and
+    // positive 2 excluded; k = 2 keeps 3 then 4
+    assert(out.map(t => (t._1, t._2, t._4)).toSeq ==
+      Seq((1L, 3L, 1), (1L, 4L, 2)), out.mkString(", "))
+    assert(out(0)._3 == 3.0 / (math.sqrt(1.0) * math.sqrt(10.0)))
+    assert(out(1)._3 == 0.0)
+    // k beyond the surviving pool returns just the pool
+    val all = Pipeline.hardNegativeMine(vecs, queries, pos,
+      "post_key", "v", k = 10).collect()
+    assert(all.length == 3)
+  }
+
+  test("randomProject: deterministic ±1/√m projection — zero maps to " +
+      "zero, linear on exactly-representable inputs, float output") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(1f, 0f, 0f, 2f)), (2L, Array(2f, 0f, 0f, 4f)),
+      (3L, Array(0f, 0f, 0f, 0f)))
+      .toDF("post_key", "v")
+    def proj() = Pipeline.randomProject(vs, "v", dim = 4, outDim = 4)
+      .select($"post_key", $"projected").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val out = proj()
+    assert(out(1L).length == 4)
+    assert(out(3L).forall(_ == 0f))
+    // ±1 weights hit dims 1 and 4 only (zeros elsewhere): each y_j is
+    // (±1 ± 2)/√4 — small dyadic values, exact in float — so doubling
+    // the input doubles every coordinate exactly
+    assert(out(2L) == out(1L).map(x => x * 2))
+    assert(out(1L).forall(y => Set(0.5f, 1.5f).contains(math.abs(y))),
+      out(1L).mkString(", "))
+    // no RNG anywhere: a second invocation reproduces bit-identically
+    assert(proj() == out)
+  }
 }
