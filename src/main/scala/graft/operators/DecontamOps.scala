@@ -1,0 +1,335 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Benchmark decontamination: shared k-gram counts, boolean n-gram
+  * flagging, and span-granular excision against broadcast-sized and
+  * data-sized exclusion corpora.
+  *
+  * Split out of the pre-r15 7.8k-line Pipeline.scala; mixed into
+  * [[Pipeline]], which remains the single public entry point — no
+  * caller, gate, or oracle changed. */
+private[operators] trait DecontamOps { self: Pipeline.type =>
+
+
+  /** DecontamOps QueryDefs — registered through [[Pipeline.queries]];
+    * names, plans and oracle SQL unchanged by the r15 module split. */
+  private[operators] lazy val decontamQueries: Seq[QueryDef] = Seq(
+    // ---- p16: benchmark decontamination — flag training docs sharing
+    // any distinct word-5-gram with a held-out eval set (the GPT-3/PaLM
+    // n-gram-overlap recipe; the eval set here is a deterministic
+    // doc_id slice standing in for a benchmark suite). Scale shape:
+    // grams explode only ONCE per side, the eval side is tiny by
+    // construction (benchmarks are KBs against a 100 TB corpus) so it
+    // broadcasts, and the train side streams through a map-side hash
+    // join — no shuffle of the corpus. In production the join key would
+    // be a 64-bit gram hash instead of the string to cut broadcast
+    // bytes; the string key keeps the oracle byte-exact here.
+    QueryDef(
+      "p16_decontaminate",
+      (s, d) => {
+        val all = T.documents(s, d)
+        sharedKgramCounts(
+          train = all.filter(col("doc_id") % 97 =!= 0),
+          evalSet = all.filter(col("doc_id") % 97 === 0),
+          idCol = "doc_id", textCol = "text", k = 5)
+          .orderBy(col("train_doc"), col("eval_doc"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS ws FROM documents
+          WHERE len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) >= 5),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g5
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+        ev AS (SELECT doc_id AS eval_doc, g5 FROM g WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id AS train_doc, g5 FROM g WHERE doc_id % 97 <> 0)
+        SELECT train_doc, eval_doc, COUNT(*) AS n_shared_5grams
+        FROM tr JOIN ev ON tr.g5 = ev.g5
+        GROUP BY train_doc, eval_doc ORDER BY train_doc, eval_doc"""),
+      headline = true),
+
+    // ---- p47: n-gram eval-set decontamination — [[ngramDecontaminate]]
+    // with the production 13-gram recipe (GPT-3 App. C): every tenth
+    // doc_id stands in for the benchmark suite, the rest is the
+    // training corpus, and each training doc is flagged iff it shares
+    // any distinct word-13-gram with the suite. The eval side collapses
+    // to ONE sorted rolling-hash array that broadcasts; the corpus
+    // side is a single map pass (kgram_roll_hashes_all →
+    // any_in_sorted binary search) — no explode, no join, no shuffle.
+    // The oracle replays the rolling arithmetic (per-word md5 prefixes
+    // × spliced B-power literals, summed mod 2⁶¹−1 in HUGEINT) and
+    // the membership in DuckDB.
+    QueryDef(
+      "p47_ngram_decontaminate",
+      (s, d) => {
+        val all = T.documents(s, d)
+        ngramDecontaminate(
+          corpus = all.filter(col("doc_id") % 10 =!= 0),
+          evalSet = all.filter(col("doc_id") % 10 === 0),
+          textCol = "text", n = 13)
+          .select(col("doc_id"), col("lang"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 12)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
+        WITH d AS (
+          SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS ws
+          FROM documents),
+        w AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 13),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) AS HUGEINT) AS h
+          FROM w, unnest(range(1, n + 1)) t(i)),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT DISTINCT w0.doc_id,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 12
+          JOIN pw ON pw.e = 12 - (w2.i - w0.i)
+          WHERE w0.i <= w0.n - 12
+          GROUP BY w0.doc_id, w0.i),
+        ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+        hit AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (h)
+                WHERE doc_id % 10 <> 0)
+        SELECT d.doc_id, d.lang,
+               (d.doc_id IN (SELECT doc_id FROM hit)) AS contaminated
+        FROM d WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id"""
+      }),
+
+    // ---- p57: span-granular decontamination — [[decontaminateSpans]]
+    // at n = 8 with the p47 carve-out (every tenth doc_id is the eval
+    // suite, the rest is the corpus): contaminated docs keep their
+    // clean words, clean docs pass through byte-identical. The oracle
+    // replays the positioned ROLLING grams (the p47/p56 HUGEINT
+    // arithmetic), the eval-hash membership (≡ the
+    // positions_in_sorted probe), and the same merge/complement/
+    // excision chain as p56.
+    QueryDef(
+      "p57_decontaminate_spans",
+      (s, d) => {
+        val all = T.documents(s, d)
+        decontaminateSpans(
+          corpus = all.filter(col("doc_id") % 10 =!= 0),
+          evalSet = all.filter(col("doc_id") % 10 === 0),
+          textCol = "text", n = 8)
+          .select(col("doc_id"), col("lang"), col("n_flagged_grams"),
+            col("cut_spans"), col("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 7)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
+        WITH d AS (
+          SELECT doc_id, lang, text, list_filter(string_split_regex(text, '\s+'),
+                                                 x -> x <> '') AS ws
+          FROM documents),
+        nn AS MATERIALIZED (SELECT doc_id, lang, text, ws, len(ws) AS n FROM d),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) AS HUGEINT) AS h
+          FROM nn, unnest(range(1, n + 1)) t(i)
+          WHERE n >= 8),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT w0.doc_id, CAST(w0.i - 1 AS INT) AS pos,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 7
+          JOIN pw ON pw.e = 7 - (w2.i - w0.i)
+          WHERE w0.i <= w0.n - 7
+          GROUP BY w0.doc_id, w0.i),
+        ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+        flg AS MATERIALIZED (
+          SELECT g.doc_id, g.pos FROM g JOIN ev ON ev.h = g.h
+          WHERE g.doc_id % 10 <> 0),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM flg),
+        grp AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM isl),
+        cuts AS MATERIALIZED (
+          SELECT doc_id, CAST(MIN(pos) AS INT) AS cs,
+                 CAST(MAX(pos) + 8 AS INT) AS ce
+          FROM grp GROUP BY doc_id, gid),
+        runs AS MATERIALIZED (
+          SELECT doc_id, a, b FROM (
+            SELECT doc_id,
+                   COALESCE(LAG(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) AS a,
+                   cs AS b
+            FROM cuts) WHERE a < b
+          UNION ALL
+          SELECT c.doc_id, MAX(c.ce) AS a, MIN(nn.n) AS b
+          FROM cuts c JOIN nn ON nn.doc_id = c.doc_id
+          GROUP BY c.doc_id HAVING MAX(c.ce) < MIN(nn.n)),
+        sp AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = 1 OR substr(text, i - 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS starts,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = len(text) OR substr(text, i + 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS ends
+          FROM nn),
+        segs AS (
+          SELECT r.doc_id, r.a,
+                 substr(n2.text, CAST(sp.starts[r.a + 1] AS INT),
+                        CAST(sp.ends[r.b] - sp.starts[r.a + 1] + 1 AS INT)) AS seg
+          FROM runs r
+          JOIN nn n2 ON n2.doc_id = r.doc_id
+          JOIN sp ON sp.doc_id = r.doc_id),
+        reb AS (
+          SELECT doc_id, array_to_string(array_agg(seg ORDER BY a), ' ') AS txt
+          FROM segs GROUP BY doc_id),
+        fc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_grams
+          FROM flg GROUP BY doc_id),
+        ca AS (
+          SELECT doc_id,
+                 array_to_string(array_agg(CAST(cs AS VARCHAR) || '-' || CAST(ce AS VARCHAR)
+                   ORDER BY cs), ',') AS cut_spans
+          FROM cuts GROUP BY doc_id)
+        SELECT nn.doc_id, nn.lang,
+               COALESCE(fc.n_flagged_grams, 0) AS n_flagged_grams,
+               COALESCE(ca.cut_spans, '') AS cut_spans,
+               CASE WHEN ca.doc_id IS NULL THEN nn.text
+                    ELSE COALESCE(reb.txt, '') END AS text_clean
+        FROM nn
+        LEFT JOIN fc ON fc.doc_id = nn.doc_id
+        LEFT JOIN ca ON ca.doc_id = nn.doc_id
+        LEFT JOIN reb ON reb.doc_id = nn.doc_id
+        WHERE nn.doc_id % 10 <> 0
+        ORDER BY nn.doc_id"""
+      }),
+
+    // ---- p61: span decontamination against a DATA-SIZED corpus —
+    // [[decontaminateSpansAgainstCorpus]] with the p57 carve-out and
+    // n = 8: identical SEMANTICS to p57 (the oracle is the same
+    // replay, projected to this operator's columns) through the
+    // shuffle-join strategy instead of the broadcast probe — the gate
+    // certifies that the scale path computes the same cuts.
+    QueryDef(
+      "p61_decontaminate_join",
+      (s, d) => {
+        val all = T.documents(s, d)
+        decontaminateSpansAgainstCorpus(
+          corpus = all.filter(col("doc_id") % 10 =!= 0),
+          reference = all.filter(col("doc_id") % 10 === 0),
+          idCol = "doc_id", textCol = "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 7)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
+        WITH d AS (
+          SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS ws
+          FROM documents),
+        nn AS MATERIALIZED (SELECT doc_id, text, ws, len(ws) AS n FROM d),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) AS HUGEINT) AS h
+          FROM nn, unnest(range(1, n + 1)) t(i)
+          WHERE n >= 8),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT w0.doc_id, CAST(w0.i - 1 AS INT) AS pos,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 7
+          JOIN pw ON pw.e = 7 - (w2.i - w0.i)
+          WHERE w0.i <= w0.n - 7
+          GROUP BY w0.doc_id, w0.i),
+        ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+        flg AS MATERIALIZED (
+          SELECT g.doc_id, g.pos FROM g JOIN ev ON ev.h = g.h
+          WHERE g.doc_id % 10 <> 0),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM flg),
+        grp AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM isl),
+        cuts AS MATERIALIZED (
+          SELECT doc_id, CAST(MIN(pos) AS INT) AS cs,
+                 CAST(MAX(pos) + 8 AS INT) AS ce
+          FROM grp GROUP BY doc_id, gid),
+        runs AS MATERIALIZED (
+          SELECT doc_id, a, b FROM (
+            SELECT doc_id,
+                   COALESCE(LAG(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) AS a,
+                   cs AS b
+            FROM cuts) WHERE a < b
+          UNION ALL
+          SELECT c.doc_id, MAX(c.ce) AS a, MIN(nn.n) AS b
+          FROM cuts c JOIN nn ON nn.doc_id = c.doc_id
+          GROUP BY c.doc_id HAVING MAX(c.ce) < MIN(nn.n)),
+        sp AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = 1 OR substr(text, i - 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS starts,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = len(text) OR substr(text, i + 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS ends
+          FROM nn),
+        segs AS (
+          SELECT r.doc_id, r.a,
+                 substr(n2.text, CAST(sp.starts[r.a + 1] AS INT),
+                        CAST(sp.ends[r.b] - sp.starts[r.a + 1] + 1 AS INT)) AS seg
+          FROM runs r
+          JOIN nn n2 ON n2.doc_id = r.doc_id
+          JOIN sp ON sp.doc_id = r.doc_id),
+        reb AS (
+          SELECT doc_id, array_to_string(array_agg(seg ORDER BY a), ' ') AS txt
+          FROM segs GROUP BY doc_id),
+        ca AS (
+          SELECT doc_id, CAST(SUM(ce - cs) AS BIGINT) AS n_cut_words,
+                 array_to_string(array_agg(CAST(cs AS VARCHAR) || '-' || CAST(ce AS VARCHAR)
+                   ORDER BY cs), ',') AS cut_spans
+          FROM cuts GROUP BY doc_id)
+        SELECT nn.doc_id,
+               CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_words,
+               COALESCE(ca.n_cut_words, 0) AS n_cut_words,
+               COALESCE(ca.cut_spans, '') AS cut_spans,
+               CASE WHEN ca.doc_id IS NULL THEN nn.text
+                    ELSE COALESCE(reb.txt, '') END AS text_clean
+        FROM nn
+        LEFT JOIN ca ON ca.doc_id = nn.doc_id
+        LEFT JOIN reb ON reb.doc_id = nn.doc_id
+        WHERE nn.doc_id % 10 <> 0
+        ORDER BY nn.doc_id"""
+      })
+  )
+}

@@ -1,0 +1,1468 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Near-duplicate pair generation (MinHash-LSH / SimHash / n-gram
+  * Jaccard), the shared connected-components dedup graph, and the
+  * collapse / split / report consumers.
+  *
+  * Split out of the pre-r15 7.8k-line Pipeline.scala; mixed into
+  * [[Pipeline]], which remains the single public entry point — no
+  * caller, gate, or oracle changed. */
+private[operators] trait DedupOps { self: Pipeline.type =>
+
+  /** Verified near-dup pairs over ANY corpus: MinHash-LSH candidate
+    * generation + exact-Jaccard verification (the p02 plan) as a
+    * reusable library operator — `idCol`/`textCol` name the caller's
+    * columns, output is (doc_a, doc_b, jaccard) with `jaccard >=
+    * jaccardMin`. The p02/p25/p30/p31 QueryDefs all run THIS function,
+    * so the fixture gate certifies the same code a library user calls.
+    * Buckets larger than [[LshBucketCap]] are dropped (mass-duplicate
+    * classes; pair output is quadratic in bucket size) — run
+    * [[exactDedup]] first, the standard pipeline order, and such
+    * buckets collapse before LSH ever sees them. */
+  def minhashNeardupPairs(corpus: DataFrame, idCol: String, textCol: String,
+      jaccardMin: Double = DefaultJaccardMin): DataFrame = {
+    val docs = corpus
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 5)
+    // Per-doc distinct shingle-hash ARRAY, built map-side with
+    // higher-order functions — no explode, no (doc,shingle) shuffle.
+    // This is the expensive artifact (one md5 per 5-gram); it feeds
+    // the signature computation and both sides of the verification
+    // join, so materialize it once (spills past memory — at 100 TB
+    // you'd persist exactly this table). Session contract: the
+    // persist lives until `spark.catalog.clearCache()` — Verify and
+    // Bench call it after every query, so the cache is scoped to one
+    // execution; long-lived sessions embedding this operator should
+    // do the same once the result is materialized.
+    // (measured: distincting the 5-gram strings before the md5 saves
+    // duplicate hashes but costs an extra string-array materialization
+    // — net slower on this corpus, so hash-then-distinct stays)
+    val xs = docs
+      .select(col("doc_id"), shingleHashes(col("ws")).as("xs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // All 32 minima in ONE codegen'd pass: the whole signature stage
+    // is map-side, ZERO shuffle (the r03 plan shuffled every
+    // (doc,shingle) pair through distinct + groupBy). Set sizes are
+    // read off the arrays in the verification join.
+    // (history: 32 separate transform+array_min columns = 32
+    // interpreted traversals + 32 intermediate arrays per doc; a
+    // 32-slot zip_with accumulator was ~19% slower still; the native
+    // MinhashSignature expression does one traversal with a primitive
+    // long[] accumulator inside whole-stage codegen)
+    val mh = xs.select(col("doc_id"),
+      minhashSig(col("xs"), NumHashes).as("mh"))
+
+    val sigCols = (0 until NumHashes / BandRows).map(b =>
+      concat_ws(",", (0 until BandRows).map(r =>
+        element_at(col("mh"), b * BandRows + r + 1).cast(StringType)): _*)
+        .as(s"sig$b"))
+    val stackExpr = (0 until NumHashes / BandRows)
+      .map(b => s"$b, sig$b").mkString(", ")
+    val bands = mh.select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"),
+        expr(s"stack(${NumHashes / BandRows}, $stackExpr) AS (band, sig)"))
+
+    // The ONLY full shuffle in the pipeline: 8 signature rows per
+    // doc, grouped by (band, sig) — the LSH bucketing itself.
+    val buckets = bands.groupBy(col("band"), col("sig"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= LshBucketCap)
+    val pairs = buckets
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da") < col("db"))
+      .distinct()
+
+    // Exact-Jaccard verification: fetch the two shingle arrays and
+    // intersect in place — bounded by bucket collisions (pairs is
+    // tiny, so both joins broadcast it against the cached xs).
+    pairs
+      .join(xs.as("xa"), col("da") === col("xa.doc_id"))
+      .join(xs.as("xb"), col("db") === col("xb.doc_id"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        size(array_intersect(col("xa.xs"), col("xb.xs")))
+          .cast(DoubleType).as("c"),
+        size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+  }
+
+  /** The fixture-corpus instantiation shared by p02/p25/p30/p31. */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame =
+    minhashNeardupPairs(T.documents(s, d), "doc_id", "text")
+
+  /** Per-JVM memo of the dedup pair GRAPH pass (minhash pairs →
+    * [[connectedComponents]]) shared by the p25/p30/p31/p33/p34
+    * QueryDef closures — the registered demo harness for the
+    * components-sharing library API ([[collapseByComponents]] /
+    * [[splitByComponents]] / [[dedupReport]]): within one driver run
+    * (Verify, Bench, a notebook session) the graph is built ONCE and
+    * every consumer reads the same materialized label table, exactly
+    * how a production pipeline ships the suite (the graph build
+    * dominates all consumers at 100 TB — VERDICT r08 measured the
+    * four standalone rebuilds as the slowest sweep entries). The
+    * memoized frame is [[connectedComponents]]' localCheckpoint'ed
+    * output: already materialized, so reuse is a block read, and
+    * `spark.catalog.clearCache()` (the bench's inter-run hygiene)
+    * does not evict it — family bench numbers therefore measure the
+    * SHARED path, the amortized cost a suite user actually pays,
+    * while p02's standalone timing still prices the graph build
+    * itself. Keyed by (spark application, data dir) so a fresh
+    * session never reads another context's dead blocks.
+    *
+    * Lifecycle: each live entry pins a label-table-sized
+    * localCheckpoint on the executors, so the memo is CAPPED at
+    * [[ComponentsMemoCap]] entries — inserting beyond the cap evicts
+    * the OLDEST entry and unpersists its blocks (insertion-order
+    * LinkedHashMap; a long-lived session cycling over many data dirs
+    * holds at most cap label tables, not one per dir ever touched).
+    * [[releaseSharedComponents]] drops one entry on demand — the
+    * explicit hand the library API offers callers done with a dir.
+    *
+    * EVICTION HAZARD: an evicted entry's blocks are unpersisted and
+    * its lineage was truncated by the checkpoint, so a caller still
+    * holding the frame LAZILY (no action run yet) fails with a
+    * missing-checkpoint-block error when its action finally fires.
+    * The same applies to a CONCURRENT thread mid-action on an older
+    * entry (Verify's queries share one session): cap eviction
+    * unpersists with blocking=true AFTER the new build completes, so
+    * the block drop at least waits for the remove to finish rather
+    * than racing the in-flight job's block fetches — a narrower
+    * window, not a guarantee (ADVICE r10). The STRUCTURAL fix is
+    * [[pinSharedComponents]]: a pinned entry is never a cap-eviction
+    * victim, so a lazy or long-lived holder that pins survives any
+    * amount of cap pressure and fires its action cleanly; `close()`
+    * the handle when done. Unpinned [[sharedComponents]] callers keep
+    * the convention: run the action before the session touches `cap`
+    * more data dirs — every registered QueryDef does (the frame is
+    * consumed within its own query). Library callers wanting a
+    * longer-lived graph either pin, or own their components frame
+    * explicitly via [[connectedComponents]]. */
+  private val ComponentsMemoCap = 4
+
+  private val componentsMemo = new KeyedMemo[MemoEntry](ComponentsMemoCap,
+    e => releaseLocalCheckpoint(e.df, blocking = true))
+
+  private def buildComponentsEntry(s: SparkSession, d: String): MemoEntry =
+    new MemoEntry(connectedComponents(
+      neardupPairs(s, d).select(col("doc_a"), col("doc_b"))))
+
+  private[graft] def sharedComponents(s: SparkSession, d: String): DataFrame =
+    componentsMemo.getOrBuild(memoKey(s, d), pin = false)(
+      buildComponentsEntry(s, d)).df
+
+  /** A pin on a memoized shared-components entry: while any handle on
+    * the entry is open, cap eviction skips it, so the held `df` stays
+    * backed by live blocks no matter how many other data dirs the
+    * session touches — the structural answer to the memo's eviction
+    * hazard for lazy/long-lived holders. `close()` is idempotent;
+    * [[releaseSharedComponents]] remains the owner's explicit override
+    * (it releases even pinned entries — an open handle's frame must
+    * not be used after that, like any released frame). */
+  final class SharedComponentsHandle private[operators] (
+      private val entry: MemoEntry, key: String) extends AutoCloseable {
+    def df: DataFrame = entry.df
+    private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    override def close(): Unit =
+      if (closed.compareAndSet(false, true)) componentsMemo.unpin(key, entry)
+  }
+
+  /** [[sharedComponents]], PINNED: builds/fetches the memo entry and
+    * returns a handle whose frame is exempt from cap eviction until
+    * `close()`. The pin is taken atomically with the hit/insert. */
+  def pinSharedComponents(s: SparkSession, d: String): SharedComponentsHandle = {
+    val key = memoKey(s, d)
+    new SharedComponentsHandle(
+      componentsMemo.getOrBuild(key, pin = true)(buildComponentsEntry(s, d)),
+      key)
+  }
+
+  /** Release the memoized shared-components entry for (spark,
+    * dataDir): unpersists the label table's localCheckpoint blocks and
+    * drops the memo entry — the next [[sharedComponents]] call for the
+    * dir rebuilds from scratch. No-op when nothing is memoized. A
+    * released DataFrame must not be reused by callers still holding
+    * it: its lineage was truncated by the checkpoint, so the freed
+    * blocks are unrecoverable (the same contract as Spark's own
+    * unpersist-after-localCheckpoint). */
+  def releaseSharedComponents(s: SparkSession, d: String): Unit =
+    componentsMemo.removeAndRelease(memoKey(s, d))
+
+  /** Oracle-side twin of [[neardupPairs]] as a CTE chain ending in
+    * `verified(doc_a, doc_b, jaccard)` — p02 and p25 splice it into
+    * their oracle SQL so both engines derive the same pair graph. */
+  private val NeardupPairsSql: String = s"""
+    w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+      WHERE len(string_split_regex(text, '\\s+')) >= 5),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8) AS BIGINT) AS x
+      FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+    params AS (
+      SELECT i, 2*i + 1 AS a, 99991*i + 7 AS b FROM unnest(range(0, $NumHashes)) t(i)),
+    mh AS (
+      SELECT doc_id, i, MIN((a*x + b) % $MinhashP) AS mh
+      FROM sh, params GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id, i // $BandRows AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM mh GROUP BY doc_id, i // $BandRows),
+    buckets AS (
+      SELECT band, sig, list_sort(list(DISTINCT doc_id)) AS docs
+      FROM sig GROUP BY band, sig
+      HAVING COUNT(DISTINCT doc_id) > 1
+         AND COUNT(DISTINCT doc_id) <= $LshBucketCap),
+    pairs AS (
+      SELECT DISTINCT ta.da, tb.db
+      FROM buckets, unnest(docs) ta(da), unnest(docs) tb(db) WHERE ta.da < tb.db),
+    ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.da, p.db, COUNT(*) AS c
+      FROM pairs p
+      JOIN sh s1 ON s1.doc_id = p.da
+      JOIN sh s2 ON s2.doc_id = p.db AND s2.x = s1.x
+      GROUP BY p.da, p.db),
+    verified AS (
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             i.c / (na.n + nb.n - i.c) AS jaccard
+      FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
+      WHERE i.c / (na.n + nb.n - i.c) >= $DefaultJaccardMin)"""
+
+  /** 48-bit SimHash fingerprint per document (p03's plan, factored out
+    * so p26's Hamming-distance pairing runs over the identical
+    * fingerprints). Entirely map-side: one md5 per token builds the
+    * per-row hash array, then the codegen'd
+    * [[graft.plans.SimhashFingerprint]] expression folds all 48 bit
+    * votes in ONE traversal — ZERO shuffle. History: the r05 shape
+    * exploded every (doc, token) pair through a groupBy carrying 48
+    * conditional sums (dead-even at sf0.1 local[32] where shuffles are
+    * nearly free, but shipping ~tokens-per-doc × corpus rows at
+    * cluster scale); 48 per-row `aggregate` folds removed the shuffle
+    * but paid 48 interpreted traversals per doc. Vote sums are
+    * order-free integers, so the fingerprints are bit-identical under
+    * every spelling and the oracle is unchanged. */
+  def simhashFingerprints(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        call_function("md5_prefix_array", words(col(textCol)), lit(6)).as("ts"))
+      .select(col("doc_id"),
+        call_function("simhash_fp", col("ts"), lit(48)).as("simhash"))
+
+  /** The fixture-corpus instantiation shared by p03/p26. */
+  private def simhashFp(s: SparkSession, d: String): DataFrame =
+    simhashFingerprints(T.documents(s, d), "doc_id", "text")
+
+  /** LSH-bucket cluster representative selection over ANY corpus — the
+    * p19 keep-best plan as a reusable operator: docs sharing a band-0
+    * MinHash signature form a cluster; keep the member with the
+    * highest `score` (id tie-break). One map-side signature + one
+    * window over the bucket key — no pairwise work. Only clusters with
+    * >1 member are returned (singletons need no selection). Output:
+    * (band_sig, n_members, keep_id, keep_score).
+    *
+    * Scale note: the rank filter here deliberately does NOT get a
+    * WindowGroupLimit pushdown — the n_members count window needs the
+    * full bucket, so the group-limit cannot apply. That is safe because
+    * band_sig is HIGH-cardinality (one key per near-dup cluster): the
+    * sort distributes across all shuffle partitions, unlike a
+    * low-cardinality label key (p29's shape, which does group-limit).
+    * Splitting the count into a separate groupBy branch would let the
+    * rank side group-limit, but the two branches' exchanges no longer
+    * match, so the MinHash signature — the dominant cost — would be
+    * computed twice; measured worse. */
+  def clusterRepresentatives(corpus: DataFrame, idCol: String,
+      textCol: String, score: Column): DataFrame = {
+    val clustered = corpus
+      .select(col(idCol).as("keep_id"), score.as("keep_score"),
+        words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("keep_id"), col("keep_score"),
+        bandSignature(shingleHashes(col("ws"))).as("band_sig"))
+    val byScore = Window.partitionBy(col("band_sig"))
+      .orderBy(col("keep_score").desc, col("keep_id").asc)
+    clustered
+      .withColumn("rk", row_number().over(byScore))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("band_sig"))))
+      .filter(col("rk") === 1 && col("n_members") > 1)
+      .select(col("band_sig"), col("n_members"), col("keep_id"),
+        col("keep_score"))
+  }
+
+  /** Exact deduplication of ANY corpus: keep the minimum-id row per
+    * content hash, preserving all caller columns — the p01 digest-
+    * groupBy plan reshaped to return the deduped corpus itself (p01's
+    * QueryDef is the per-hash REPORT; this is the dedup operator). One
+    * shuffle on the 128-bit digest; no text comparison.
+    *
+    * NULL text never matches anything: md5(NULL) is NULL and the window
+    * groups NULLs together, which would silently collapse every distinct
+    * ingest-failure row into one — kept instead, the same decision
+    * [[admitAgainstCorpus]] makes for a NULL content hash. NULL-text
+    * rows get a per-row synthetic key ("n:" + id — disjoint from
+    * 32-hex-char digests) so a corpus with millions of them never
+    * funnels through one window partition. */
+  def exactDedup(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(coalesce(md5(col(textCol)),
+            concat(lit("n:"), col(idCol).cast(StringType))))
+          .orderBy(col(idCol))))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+
+  /** Incremental admission of an incoming shard against an EXISTING
+    * corpus — the p23 plan as a reusable operator: drop incoming rows
+    * whose exact content hash OR near-dup band signature already
+    * exists in the corpus (no pairwise work; the corpus side reduces
+    * to its distinct key sets). Returns admitted rows with all caller
+    * columns plus `content_hash` and `band_sig` (NULL when the text is
+    * too short to shingle — such rows dedup exactly only). */
+  def admitAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    // fail fast instead of duplicate output columns (withColumn would
+    // silently overwrite, then the final select lists the name twice
+    // and every downstream col() throws ambiguous-reference) — this
+    // includes re-admitting this function's OWN output; drop the two
+    // added columns before feeding it back
+    val taken = incoming.columns.toSet.intersect(Set("content_hash", "band_sig"))
+    require(taken.isEmpty,
+      s"incoming already has column(s) ${taken.mkString(", ")} — drop or " +
+        "rename them before calling admitAgainstCorpus, which adds both")
+    def keyed(df: DataFrame): DataFrame = df
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("__ws", words(col(textCol)))
+      .withColumn("band_sig",
+        when(size(col("__ws")) >= 5, bandSignature(shingleHashes(col("__ws")))))
+      .drop("__ws")
+    val c = keyed(corpus)
+    // no broadcast hint: AQE broadcasts the distinct key sets while
+    // they fit and falls back to the shuffle anti-join beyond
+    keyed(incoming)
+      .join(c.select(col("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .join(c.select(col("band_sig")).distinct()
+        .filter(col("band_sig").isNotNull), Seq("band_sig"), "left_anti")
+      // anti-joins pull their keys to the front; restore caller order
+      .select(incoming.columns.map(col).toSeq
+        :+ col("content_hash") :+ col("band_sig"): _*)
+  }
+
+  /** SimHash near-dup pairs over ANY corpus by Hamming distance ≤
+    * `maxHamming` (must be ≤ 3: the 4-chunk pigeonhole guarantees
+    * exact recall only up to 3 differing bits of the 48) — the p26
+    * plan as a reusable operator: one bucket shuffle, fingerprints
+    * carried through it, map-side xor verification. Buckets larger
+    * than [[LshBucketCap]] are dropped (see [[minhashNeardupPairs]]);
+    * the pigeonhole recall guarantee holds below the cap. */
+  def simhashNeardupPairs(corpus: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0,3] for 4-chunk pigeonhole recall, got $maxHamming")
+    val fp = simhashFingerprints(corpus, idCol, textCol)
+    val chunkExpr = (0 until 4)
+      .map(c => s"$c, CAST((simhash >> ${12 * c}) & 4095 AS BIGINT)")
+      .mkString(", ")
+    fp.select(col("doc_id"), col("simhash"),
+        expr(s"stack(4, $chunkExpr) AS (ck, cv)"))
+      .groupBy(col("ck"), col("cv"))
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= LshBucketCap)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast(IntegerType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact character-n-gram Jaccard near-dup pairs over ANY corpus —
+    * the p04 plan as a reusable operator, candidate-bounded by PREFIX
+    * FILTERING (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Chaudhuri et al., ICDE'06): two sets with
+    * J ≥ t MUST share an element among each one's first
+    * |s| − ⌈t·|s|⌉ + 1 n-grams in a single global rarest-first order
+    * (df asc, gram asc), and their sizes must be within a factor of t.
+    * So the self-join runs over prefixes only — at sf0.1 that is 33M
+    * join rows instead of 114M, and the gap widens with corpus size
+    * because prefixes concentrate on LOW-df grams. On top of that,
+    * PPJoin's positional + index-prefix filters (Xiao et al., WWW'08)
+    * prune candidates whose matched gram sits too deep in either set
+    * for the overlap threshold to still be reachable — exactness-
+    * preserving, see the inline proof sketch at the join. Each
+    * distinct surviving candidate is verified exactly by one map-side
+    * THRESHOLDED sorted-merge intersection
+    * ([[graft.plans.SortedIntersectAtLeast]] — PPJoin's suffix
+    * pruning applied at the merge: below-threshold pairs bail early
+    * instead of scanning both arrays to the end). Results are EXACT
+    * for the df-capped gram sets
+    * (grams in more than `dfCap` docs are stop-grams, dropped from
+    * sets on both engines — see the p04 QueryDef note).
+    *
+    * `groupCols` scope both the df statistic and the pairing (p04
+    * groups by language). Output: (doc_a, doc_b, jaccard ≥ minJaccard).
+    */
+  def ngramJaccardPairs(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5, groupCols: Seq[String] = Nil,
+      dfCap: Int = NgramDfCap): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0,1], got $minJaccard")
+    val grp = groupCols.map(col)
+    // per-doc DISTINCT n-gram rows, map-side (codegen'd kernel)
+    val tri0 = corpus.select(col(idCol).as("doc_id") +: grp :+
+      explode(call_function("chargram_strings", col(textCol), lit(n)))
+        .as("tri"): _*)
+    // df table: distinct n-grams are bounded by charset^n per group —
+    // broadcastable at any corpus size; partial agg keeps the shuffle
+    // at one row per (mapper, gram). Each surviving gram gets a UNIQUE
+    // deterministic integer id: the id ↔ (group, gram) bijection lets
+    // every downstream step — prefix join key, set arrays, intersection
+    // — run on longs instead of strings, which keeps array_intersect on
+    // Spark's specialized primitive path (measured 4× on the verify
+    // stage). Ids are rank-within-hash-bucket composed with the bucket
+    // index — unique and deterministic like a global row_number, but
+    // the window sorts 4096 DISTRIBUTED partitions instead of funneling
+    // the whole gram table through one task (a large-charset corpus —
+    // CJK trigrams — can have 1e8+ distinct grams; a partition-less
+    // window would serialize, and ids must NOT come from a content hash
+    // because a hash collision would silently merge two grams and break
+    // the exactness contract).
+    val GidBuckets = 4096
+    val dfTab = tri0.groupBy(grp :+ col("tri"): _*)
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .withColumn("__b", pmod(hash(grp :+ col("tri"): _*), lit(GidBuckets)))
+      .withColumn("gid",
+        row_number().over(Window.partitionBy(col("__b"))
+          .orderBy(groupCols.map(col) :+ col("tri"): _*))
+          .cast("long") * GidBuckets + col("__b"))
+      .drop("__b")
+    // no forced broadcast: at fixture scale AQE converts this join to a
+    // broadcast anyway, and at large-charset scale the gram table can
+    // exceed the broadcast limit — let the planner pick per run
+    val tri = tri0.join(dfTab, groupCols :+ "tri")
+    // per-doc set in the GLOBAL canonical order prefix filtering
+    // requires: rarest first, df asc with gid as the tie-break — any
+    // deterministic total order shared across docs is correct (the
+    // exact jaccard filter decides membership; order only steers
+    // filter effectiveness), and gid is a bijection to (group, gram),
+    // so (df, gid) is such an order while keeping the gram STRING out
+    // of the collect_list shuffle and the array sort (measured ~10% off
+    // the sets stage at sf0.1 vs the (df, tri, gid) struct)
+    // persisted: sets feeds the prefix explode AND both verification
+    // joins — recomputing the collect_list shuffle three times costs
+    // more than the whole join (same clearCache contract as p02).
+    // tri0 itself is deliberately NOT persisted although two branches
+    // scan it: materializing the exploded gram rows costs ~n× the
+    // corpus bytes on disk, while the second pass is one more linear
+    // scan + the codegen'd kernel — the cheaper side at 100 TB (same
+    // two-pass shape as the p27/p32 corpus statistics).
+    // `set` is the (df, gid)-ordered array the PREFIX math runs on;
+    // `vset` is the same ids sorted ascending — the representation the
+    // verify stage's sorted-merge intersection kernel requires (both
+    // sorts happen once per DOCUMENT, map-side; the merge then runs
+    // once per candidate PAIR)
+    val sets = tri.groupBy(col("doc_id") +: grp: _*)
+      .agg(sort_array(collect_list(struct(col("df"), col("gid"))))
+        .as("st"))
+      .select(col("doc_id") +: grp :+
+        transform(col("st"), x => x.getField("gid")).as("set") :+
+        sort_array(transform(col("st"), x => x.getField("gid"))).as("vset") :+
+        size(col("st")).as("sz"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ⌈t·|s|⌉ with an epsilon guard: IEEE rounding can land t·|s| a hair
+    // ABOVE the true rational product (100 × 0.07 = 7.000000000000001),
+    // and ceil would then shorten the prefix / tighten the size filter
+    // enough to LOSE an exactly-at-threshold pair. The epsilon is
+    // RELATIVE (1e-9 of the product, floored at 1e-9 absolute) so it
+    // dominates the ~2⁻⁵² relative rounding error at ANY set size;
+    // relaxation only ever lengthens prefixes and widens the candidate
+    // set — the exact jaccard filter at the end still decides
+    // membership, so correctness is one-sided by construction.
+    def relaxed(product: Column): Column =
+      product - greatest(product * lit(1e-9), lit(1e-9))
+    def ceilT(sz: Column): Column = ceil(relaxed(sz * lit(minJaccard)))
+    def ceilR(product: Column): Column = ceil(relaxed(product))
+    // t/(1+t): J ≥ t ⟺ overlap c ≥ t/(1+t)·(|a|+|b|) — the PPJoin
+    // overlap threshold (Xiao et al., "Efficient Similarity Joins for
+    // Near-Duplicate Detection", WWW'08)
+    val tOver = minJaccard / (1.0 + minJaccard)
+    // prefix rows carry the gram's POSITION in the canonical order so
+    // the join can apply PPJoin's positional filter per matching gram
+    val pref = sets.select(col("doc_id"), col("sz"),
+      posexplode(slice(col("set"), lit(1),
+        (col("sz") - ceilT(col("sz")) + 1).cast("int"))).as(Seq("pos", "gid")))
+    // Pairing is ordered by SIZE (id tie-break), not id: with a as the
+    // ≤-size side, c ≥ t/(1+t)(|a|+|b|) ≥ 2t/(1+t)|a|, so a true
+    // pair's first common gram sits within a's SHORTER indexing prefix
+    // |a| − ⌈2t/(1+t)·|a|⌉ + 1 (PPJoin's index prefix) — the a.pos
+    // bound below — while b still needs the full ⌈t·|b|⌉ probe prefix
+    // (c ≥ t·|b| via the size filter), which is what the explode
+    // emits. The POSITIONAL filter is per matching gram: common
+    // elements of the first common gram's pair all sit at ≥ pos in
+    // both sets, so c ≤ min(|a|−pos_a, |b|−pos_b); a row surviving
+    // requires that bound ≥ ⌈t/(1+t)(|a|+|b|)⌉. Rows for LATER common
+    // grams may be pruned even for a true pair, but the first-gram row
+    // always survives, so the pair reaches verification — exactness is
+    // per-pair, not per-row. All three ⌈·⌉ bounds are epsilon-relaxed
+    // (see relaxed()), which only widens the candidate set — the exact
+    // jaccard filter still decides membership. Measured at sf0.1 the
+    // positional+index-prefix filters cut verified candidates ~3×
+    // on top of the prefix filter alone.
+    val cands = pref.as("a").join(pref.as("b"),
+        // gid is unique per (group, gram), so equality on it alone
+        // already enforces the same-group block
+        col("a.gid") === col("b.gid") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") &&
+              col("a.doc_id") < col("b.doc_id"))) &&
+          // size filter: J ≥ t forces |a| ≥ t·|b| (a is the small side)
+          relaxed(col("b.sz") * lit(minJaccard)) <= col("a.sz") &&
+          // PPJoin index prefix on the small side (pos is 0-based)
+          col("a.pos") <= col("a.sz") - ceilR(col("a.sz") * lit(2 * tOver)) &&
+          // positional filter: overlap upper bound from this gram
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
+            ceilR((col("a.sz") + col("b.sz")) * lit(tOver)))
+      // normalize orientation to doc_a < doc_b (pairing ordered by
+      // size above, so a's id may exceed b's).
+      // (A count-based suffix bound — groupBy pair, m matches + tail
+      // positions vs the overlap threshold — was measured here and
+      // pruned NOTHING at t = 0.5: the probe prefix is ~|s|/2 long, so
+      // the tail term |s|−1−pos alone always reaches the ~(|sa|+|sb|)/3
+      // overlap threshold; the bound only bites at high thresholds.
+      // PPJoin's full suffix filter works by RECURSING into the suffix
+      // with binary search — per-pair array access the join rows don't
+      // carry. The early-exit bound lives in the verify merge instead,
+      // see sorted_intersect_atleast below.)
+      // (Length-BAND join keys — (gid, ⌊log_{1/t}|s|⌋) with the probe
+      // side exploded to its two compatible bands, so size-incompatible
+      // pairs never form — were measured at sf0.1 (r11) and NOT
+      // adopted: the gid join matches only ~454k row pairs and the size
+      // predicate kills just 24% of them, so banding would pay ~1.5×
+      // prefix-row shuffle to skip a one-comparison filter on ~110k
+      // rows. The join's cost is the PREFIX ROW volume, not the
+      // matched-pair volume, and banding grows the former.)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+    // exact verify: |A ∩ B| via the codegen'd two-pointer merge over
+    // the gid-sorted arrays (vset invariant: ascending, distinct —
+    // built by sort_array over per-doc distinct ids above). The merge
+    // is O(|a|+|b|) with zero per-pair allocation, vs array_intersect
+    // hashing AND materializing an array we only size(). The merge is
+    // THRESHOLDED (sorted_intersect_atleast — PPJoin's suffix pruning
+    // at the merge level): it bails with -1 as soon as matches-so-far
+    // + min(remaining) proves the pair cannot reach the overlap
+    // threshold ⌈t/(1+t)(|a|+|b|)⌉ — most candidates are far below
+    // threshold, so most merges stop early. Exactness: -1 only when
+    // overlap < the (epsilon-relaxed, hence one-sided) threshold,
+    // which implies jaccard < t; -1 renders jaccard negative and the
+    // final exact filter drops it — the admitted pair set and their
+    // jaccard values are identical to the unthresholded merge.
+    val slim = sets.select(col("doc_id"), col("vset"), col("sz"))
+    cands
+      .join(slim.select(col("doc_id").as("da"), col("vset").as("sa"),
+        col("sz").as("na")), Seq("da"))
+      .join(slim.select(col("doc_id").as("db"), col("vset").as("sb"),
+        col("sz").as("nb")), Seq("db"))
+      .withColumn("c", call_function("sorted_intersect_atleast",
+        col("sa"), col("sb"),
+        ceilR((col("na") + col("nb")) * lit(tOver)).cast("int")))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Per-(train, eval) shared distinct word-k-gram counts over ANY two
+    * corpora — the p16 decontamination core as a reusable operator.
+    * The eval side is broadcast (benchmarks are small by contract);
+    * output is (train_doc, eval_doc, n_shared_kgrams). */
+  def sharedKgramCounts(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, hashKeys: Boolean = false): DataFrame = {
+    // hashKeys = the production contract: join on 48-bit gram hashes
+    // instead of gram strings, cutting broadcast bytes (the registered
+    // p16 keeps string keys so the oracle is byte-exact; 48-bit
+    // collisions are ~0 at benchmark-suite scale but nonzero, hence
+    // opt-in)
+    // empty tokens are removed BEFORE gram formation, like p47 (ADVICE
+    // r12): leading/trailing whitespace otherwise injects "" as a
+    // word, and a boundary gram carrying only k-1 real words would
+    // inflate the per-pair overlap counts
+    def grams(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId),
+        array_remove(words(col(textCol)), "").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col(outId),
+        explode(
+          if (hashKeys) call_function("kgram_hashes", col("ws"), lit(k), lit(6))
+          else call_function("kgram_strings", col("ws"), lit(k))).as("g"))
+    grams(train, "train_doc")
+      .join(broadcast(grams(evalSet, "eval_doc")), "g")
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as(s"n_shared_${k}grams"))
+  }
+
+  /** N-gram eval-set decontamination over ANY corpus — the production
+    * recipe (GPT-3, Brown et al. 2020, Appendix C; Gopher/MassiveText
+    * train–test overlap): flag every corpus document sharing ANY word
+    * n-gram (default n = 13) with the eval set, so contaminated docs
+    * can be dropped before training rather than silently inflating
+    * eval scores. Complements [[sharedKgramCounts]] (which reports
+    * per-(train, eval-doc) overlap COUNTS through an explode + join):
+    * this is the boolean bulk-filter form, and its shape is the one a
+    * 100 TB pass wants — the eval side is benchmark-suite-sized by
+    * contract, so its distinct n-gram hashes collapse to ONE row
+    * (`sort_array(collect_set(h))`) that broadcasts to every executor,
+    * and the corpus side is a single map pass: positioned ROLLING
+    * gram hashes ([[graft.plans.KgramRollHashesAll]] — each word
+    * md5'd ONCE, windows combined mod 2⁶¹−1 in O(1) per slide; the
+    * per-window-digest kernel re-hashes every word n times, ~n×
+    * redundant digest work on a full-corpus pass) probed into the
+    * broadcast array by [[graft.plans.AnyInSorted]] (binary search
+    * per gram — O(g log m) per doc, no per-row set build, no explode,
+    * and the corpus never shuffles or joins on anything data-sized).
+    * 61-bit hashes: eval suites fit ~10⁶ grams, where the collision
+    * odds against any one document's grams are ~10⁻¹² — and a
+    * collision only ever over-flags one doc (false positive), never
+    * leaks contamination through.
+    *
+    * Output: every corpus row + a boolean `flagCol`. Docs shorter than
+    * n words carry no n-gram and are never flagged; an empty eval set
+    * flags nothing. `evalTextCol` defaults to `textCol` for same-schema
+    * corpora. */
+  def ngramDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, n: Int = 13,
+      evalTextCol: String = "", flagCol: String = "contaminated"): DataFrame = {
+    val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
+    // empty tokens are removed BEFORE gram formation: leading/trailing
+    // whitespace otherwise injects "" as a word, so a boundary gram
+    // carries only n-1 real words and a shared (n-1)-word run at doc
+    // start could flag as n-gram contamination (ADVICE r11). The
+    // rolling kernel keeps repeats; collect_set dedups the eval side.
+    val evalHashes = evalSet
+      .select(explode(call_function("kgram_roll_hashes_all",
+        array_remove(words(col(evCol)), ""), lit(n))).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("__eval_ngram_hashes"))
+    corpus.crossJoin(broadcast(evalHashes))
+      // coalesce(false): a NULL text has no n-grams and is NOT
+      // contaminated — a NULL flag would escape both filter(flag) and
+      // filter(!flag), silently losing the doc from the clean AND the
+      // contaminated sets (the gopher NULL-verdict lesson, review r11)
+      .withColumn(flagCol, coalesce(call_function("any_in_sorted",
+        call_function("kgram_roll_hashes_all",
+          array_remove(words(col(textCol)), ""), lit(n)),
+        col("__eval_ngram_hashes")), lit(false)))
+      .drop("__eval_ngram_hashes")
+  }
+
+  /** SPAN-granular eval-set decontamination — the excise-the-span
+    * variant of [[ngramDecontaminate]]: instead of flagging (and
+    * typically dropping) every document sharing a word n-gram with the
+    * eval set, cut just the contaminated windows out of the text and
+    * KEEP the document — the recipe for high-value corpora where
+    * whole-doc drops are too lossy (a 50k-word book is not discarded
+    * for quoting one benchmark question). Same dataflow as the boolean
+    * form, and the same 100 TB shape: the eval side collapses to ONE
+    * sorted rolling-hash row that broadcasts, and the corpus side is a
+    * single map pass — positioned ROLLING gram hashes
+    * ([[graft.plans.KgramRollHashesAll]], each word md5'd once,
+    * windows slid in O(1)) probed
+    * by binary search into the broadcast array by the
+    * [[graft.plans.PositionsInSorted]] kernel (O(g log m) per doc, no
+    * explode, no join, no shuffle), then window merge + excision via
+    * the [[graft.plans.WordSpans]] char offsets ([[cutIntervals]] /
+    * [[exciseSegments]] — also map-side). The corpus never shuffles at
+    * all: the operator is embarrassingly parallel.
+    *
+    * Output: every corpus row + (n_flagged_grams, cut_spans
+    * "cs-ce,…" in the word domain, `cleanCol`). Clean documents pass
+    * through BYTE-IDENTICAL (NULL stays NULL); contaminated ones
+    * re-join their kept segments with single spaces (interior
+    * whitespace of each segment preserved verbatim). Docs shorter than
+    * n words carry no n-gram and are never cut; an empty eval set cuts
+    * nothing. `evalTextCol` defaults to `textCol`. A 61-bit collision
+    * can only over-cut one window, never leak contamination. */
+  def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, n: Int = 13,
+      evalTextCol: String = "", cleanCol: String = "text_clean"): DataFrame = {
+    val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
+    val evalHashes = evalSet
+      .select(explode(call_function("kgram_roll_hashes_all",
+        array_remove(words(col(evCol)), ""), lit(n))).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("__eval_ngram_hashes"))
+    corpus.crossJoin(broadcast(evalHashes))
+      .withColumn("__ws", array_remove(words(col(textCol)), ""))
+      .withColumn("__ps", call_function("positions_in_sorted",
+        call_function("kgram_roll_hashes_all", col("__ws"), lit(n)),
+        col("__eval_ngram_hashes")))
+      .withColumn("__cuts", cutIntervals(col("__ps"), n))
+      .withColumn("__spans", call_function("word_spans", col(textCol)))
+      .withColumn("n_flagged_grams",
+        coalesce(size(col("__ps")), lit(0)).cast(LongType))
+      .withColumn("cut_spans", cutSpansText(col("__cuts")))
+      .withColumn(cleanCol,
+        when(size(col("__cuts")) === 0, col(textCol))
+          .otherwise(exciseSegments(col(textCol), col("__spans"),
+            coalesce(size(col("__ws")), lit(0)), col("__cuts"))))
+      .drop("__eval_ngram_hashes", "__ws", "__ps", "__cuts", "__spans")
+  }
+
+  /** [[decontaminateSpans]] for a DATA-SIZED exclusion corpus — same
+    * semantics (cut every word window sharing an n-gram with
+    * `reference`, keep the doc, clean docs byte-identical), different
+    * physical strategy: the broadcast form collapses the eval side to
+    * one row, which is right for benchmark suites but impossible when
+    * the exclusion set is itself a corpus — the Lee et al. §6.2 /
+    * GPT-3 App. C case of scrubbing a new crawl against the PREVIOUS
+    * model's full training set. Here both sides emit positioned
+    * rolling gram hashes and meet in a SHUFFLE join on the hash
+    * (left_semi — the reference side needs no distinct pass, the semi
+    * join dedups; AQE handles Zipf-head skew), then the per-doc
+    * excision tail is identical. Pick by reference size: broadcast
+    * below executor-memory scale, this above. The two
+    * implementations are pinned equal on identical inputs in
+    * TextApiSpec. Output: (doc_id, n_words, n_cut_words, cut_spans,
+    * text_clean), one row per corpus doc. `refTextCol` defaults to
+    * `textCol`. */
+  def decontaminateSpansAgainstCorpus(corpus: DataFrame,
+      reference: DataFrame, idCol: String, textCol: String, n: Int = 13,
+      refTextCol: String = ""): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val rCol = if (refTextCol.isEmpty) textCol else refTextCol
+    val base = corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__ws", array_remove(words(col("__t")), ""))
+      .withColumn("__n", coalesce(size(col("__ws")), lit(0)))
+    val corpusGrams = base.filter(col("__n") >= n)
+      .select(col("doc_id"), posexplode(call_function("kgram_roll_hashes_all",
+        col("__ws"), lit(n))).as(Seq("pos", "h")))
+    val refGrams = reference
+      .select(array_remove(words(col(rCol)), "").as("__rws"))
+      .filter(size(col("__rws")) >= n)
+      .select(explode(call_function("kgram_roll_hashes_all",
+        col("__rws"), lit(n))).as("h"))
+    val flagged = corpusGrams.join(refGrams, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__ps"))
+    base.join(flagged, Seq("doc_id"), "left")
+      .withColumn("__cuts", cutIntervals(col("__ps"), n))
+      .withColumn("__spans", call_function("word_spans", col("__t")))
+      .select(col("doc_id"),
+        col("__n").cast(LongType).as("n_words"),
+        cutWordCount(col("__cuts")).as("n_cut_words"),
+        cutSpansText(col("__cuts")).as("cut_spans"),
+        when(size(col("__cuts")) === 0, col("__t"))
+          .otherwise(exciseSegments(col("__t"), col("__spans"), col("__n"),
+            col("__cuts"))).as("text_clean"))
+  }
+
+  /** Near-dup collapse of ANY corpus: keep ONE representative (minimum
+    * id) per connected near-dup component and every unpaired row — the
+    * p30 plan as a reusable operator, preserving ALL caller columns.
+    * `pairs` is any (first col, second col) = (id, id) pair table, e.g.
+    * [[minhashNeardupPairs]] or [[simhashNeardupPairs]] output. */
+  def collapseNeardups(corpus: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    collapseByComponents(corpus, idCol, connectedComponents(
+      pairs.select(pairs.columns(0), pairs.columns(1))))
+
+  /** [[collapseNeardups]] from a PRECOMPUTED component table — the
+    * (node, component) output of [[connectedComponents]]. Collapse,
+    * split and report each need the same pair graph; at 100 TB the
+    * graph (minhash signatures + bucket shuffle + label propagation)
+    * is far more expensive than any of the three consumers, so a
+    * pipeline that ships all of them should run [[connectedComponents]]
+    * ONCE and fan out from the result instead of letting each consumer
+    * re-derive it (the pairs-taking signatures stay as conveniences
+    * for single-consumer calls). */
+  def collapseByComponents(corpus: DataFrame, idCol: String,
+      components: DataFrame): DataFrame = {
+    val drop = components
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Leakage-safe train/val/test split of ANY corpus: the assignment
+    * is hashed from the near-dup COMPONENT representative, not the
+    * doc, so a near-duplicate pair can never straddle train and test
+    * (the classic eval-leakage bug a doc-hash split ships silently) —
+    * the p31 plan as a reusable operator, preserving ALL caller
+    * columns and adding `component` and `split`. `pairs` is any
+    * (id, id) pair table (e.g. [[minhashNeardupPairs]]); unpaired rows
+    * are their own component. RNG-free md5 bucketing in tenths:
+    * `trainBuckets`/10 train, `valBuckets`/10 val, remainder test.
+    * One broadcast join against the component table (bounded by the
+    * near-dup set); the corpus side hashes map-side. */
+  def leakageSafeSplit(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      trainBuckets: Int = 8, valBuckets: Int = 1): DataFrame =
+    splitByComponents(corpus, idCol, connectedComponents(
+      pairs.select(pairs.columns(0), pairs.columns(1))),
+      trainBuckets, valBuckets)
+
+  /** [[leakageSafeSplit]] from a PRECOMPUTED component table — the
+    * (node, component) output of [[connectedComponents]]; see
+    * [[collapseByComponents]] for why sharing one pass matters. */
+  def splitByComponents(corpus: DataFrame, idCol: String,
+      components: DataFrame,
+      trainBuckets: Int = 8, valBuckets: Int = 1): DataFrame = {
+    require(trainBuckets >= 1 && valBuckets >= 0 &&
+      trainBuckets + valBuckets < 10,
+      s"need 1 <= trainBuckets and trainBuckets + valBuckets < 10, " +
+        s"got $trainBuckets + $valBuckets")
+    // fail fast instead of an ambiguous-reference AnalysisException
+    // (component) or a silent caller-column overwrite (split)
+    val taken = corpus.columns.toSet.intersect(Set("component", "split"))
+    require(taken.isEmpty,
+      s"corpus already has column(s) ${taken.mkString(", ")} — rename " +
+        "them before calling leakageSafeSplit, which adds both")
+    val comp = components.select(col("node").as(idCol), col("component"))
+    corpus.join(broadcast(comp), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("__bucket",
+        call_function("md5_prefix_long",
+          concat(lit("split:"), col("component").cast(StringType)),
+          lit(4)) % 10)
+      .withColumn("split",
+        when(col("__bucket") < trainBuckets, lit("train"))
+          .when(col("__bucket") < trainBuckets + valBuckets, lit("val"))
+          .otherwise(lit("test")))
+      .drop("__bucket")
+  }
+
+  /** Oracle-side twin of [[simhashFp]] as a CTE chain ending in
+    * `fp(doc_id, simhash)`. */
+  private val SimhashFpSql: String = """
+    toks AS (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS t
+      FROM documents, unnest(string_split_regex(text, '\s+')) u(w)),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (t >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM toks, unnest(range(0, 48)) bb(b)
+      GROUP BY doc_id, b),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id)"""
+
+  /** Connected components over an undirected pair list (first two
+    * columns = the two endpoint ids): returns (node, component) where
+    * component = the minimum node id reachable from `node`.
+    *
+    * Iterative min-label propagation with pointer-jumping: each round
+    * joins labels across edges and keeps the per-node minimum; labels
+    * only decrease, so the fixpoint is exactly min-reachable. From the
+    * 4th round on, a shortcut step also folds in the label's OWN label
+    * (`lbl ← min(lbl, lbl(lbl))`, the classic pointer-jumping /
+    * "shortcutting" step of parallel CC — cf. Shiloach–Vishkin and the
+    * two-phase algorithms in Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14), which contracts label chains
+    * geometrically: worst-case rounds drop from O(diameter) to
+    * O(log diameter) after the 3 plain warmup rounds. Shallow graphs —
+    * near-dup components are usually star-like, converging in ≤3
+    * rounds — never pay the extra join; a 100 TB dup-CHAIN no longer
+    * needs a diameter-sized round budget (a 120-hop path converges in
+    * ~12 rounds, inside the default maxIter=50 that plain propagation
+    * would blow). Correctness is unchanged: the shortcut only moves a
+    * label to another node id provably inside the same component, and
+    * convergence (no label decreased, shortcut included) still implies
+    * neighbor-min stability, which forces every label to the component
+    * minimum. Each round's label table is checkpointed —
+    * an iterative join plan grows EXPONENTIALLY in lineage (next
+    * references labels twice via the self-join), so without per-round
+    * truncation even a 9-node chain OOMs the driver building plan
+    * strings. The checkpoint doubles as the convergence probe's
+    * materialization (ONE count() per round). The strategy is
+    * injectable: `checkpointDir = None` (default) uses
+    * `localCheckpoint` — fast, but blocks live on executors, so a lost
+    * executor fails the job; pass a reliable dir (HDFS/S3 on a
+    * cluster) for `checkpoint`, whose truncated lineage survives
+    * executor loss — the right choice for long dedup graphs at 100 TB.
+    * Only nodes that appear in a pair are returned (isolated nodes are
+    * their own component trivially). Public because its output is the
+    * fan-out point for [[collapseByComponents]], [[splitByComponents]]
+    * and [[dedupReport]] — one graph pass, many consumers. */
+  def connectedComponents(
+      pairsDf: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // NOTE: setting a checkpointDir mutates the SparkContext-wide
+    // checkpoint location for the duration of this call; a previously
+    // set dir is restored on return (Spark offers no per-Dataset dir
+    // and no way to UNSET one, so with no prior dir ours remains).
+    // Intermediate rounds' checkpoint files are deleted INCREMENTALLY:
+    // once round k is materialized its lineage no longer reads round
+    // k−1's files, so they are removed right then — disk stays bounded
+    // at ~2 rounds' worth of labels instead of growing with graph
+    // diameter (50 rounds × 100 TB-scale label tables). Ownership is
+    // POSITIVE: the checkpointed Dataset's own plan (its LogicalRDD)
+    // reports the exact rdd directory its files landed in
+    // (getCheckpointFile), so only files THIS call wrote are ever
+    // deleted — a concurrent foreign df.checkpoint() into the same
+    // (context-global) location is invisible to the cleanup (r08
+    // ADVICE closed the prior listing-diff's mis-attribution window).
+    // The final labels' files (which the returned DataFrame reads)
+    // are structurally un-deletable (they are never in lastRoundDirs
+    // when a delete runs). A foreign checkpoint taken while this call
+    // holds the global dir lands under OUR uuid root and simply stays
+    // there — never deleted, merely mislocated, the caller-visible
+    // remnant of Spark's context-global setting.
+    // On failure the last round's files (and
+    // the in-flight round's partial files) remain for forensics; the
+    // caller-owned lifecycle on success is ONE rdd directory per call.
+    // Concurrent calls with different dirs in one context still race
+    // on the global dir SETTING (their files interleave across the two
+    // uuid roots); the cleanup itself no longer mis-attributes.
+    val sc = pairsDf.sparkSession.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
+    var lastRoundDirs: Seq[org.apache.hadoop.fs.Path] = Nil
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        sc.setCheckpointDir(dir)
+        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        val fs = root.getFileSystem(sc.hadoopConfiguration)
+        df => {
+          val out = df.checkpoint() // eager: materialized on return
+          // positive ownership: the checkpointed plan's LogicalRDD
+          // carries the rdd whose getCheckpointFile IS the directory
+          // this call's files landed in. If a future Spark changes the
+          // plan shape the collect finds nothing and we simply skip
+          // deletion (disk grows for the run, nothing foreign is ever
+          // touched) — fail-safe in the direction that loses no data.
+          val mine = out.queryExecution.logical.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }.flatMap(_.getCheckpointFile)
+            .map(new org.apache.hadoop.fs.Path(_))
+          lastRoundDirs.foreach(p => fs.delete(p, true))
+          lastRoundDirs = mine
+          out
+        }
+      case None =>
+        // same round-by-round cleanup as the reliable path: once round
+        // j+1's EAGER localCheckpoint has materialized, round j's
+        // blocks are dead weight — without the release every round
+        // pins a label-table-sized copy on the executors until the JVM
+        // exits (the final round's blocks stay: they ARE the result)
+        var lastLocal: Option[DataFrame] = None
+        df => {
+          val out = df.localCheckpoint()
+          lastLocal.foreach(releaseLocalCheckpoint(_))
+          lastLocal = Some(out)
+          out
+        }
+    }
+    try {
+    val Seq(a, b) = pairsDf.columns.take(2).toSeq.map(col)
+    val half = pairsDf.select(a.as("src"), b.as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
+    var changed = 1L
+    var iter = 0
+    // plain neighbor-min rounds before pointer-jumping kicks in: the
+    // common near-dup graph converges within these, paying zero extra;
+    // only graphs that are still moving after 3 rounds (deep chains)
+    // take on the shortcut join's cost — exactly the graphs where
+    // O(log d) instead of O(d) rounds pays for it many times over
+    val ShortcutFromRound = 3
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("lbl").as("nl")),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nl")).as("nbr"))
+      val stepped = labels
+        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+      val jumped =
+        if (iter < ShortcutFromRound) stepped
+        else stepped
+          // pointer jump: lbl ← min(lbl, lbl(lbl)). The invariant
+          // ℓ(v) ≤ v (labels start at self, only decrease) makes the
+          // jump monotone too; lbl(lbl) is read from the PREVIOUS
+          // round's table, which is materialized — no lineage blowup
+          .join(labels.select(col("lbl").as("ll"), col("node").as("lbl")),
+            Seq("lbl"), "left")
+          .select(col("node"), col("old"),
+            least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
+      val next = ckpt(jumped)
+      changed = next.filter(col("lbl") < col("old")).count()
+      labels = next.select(col("node"), col("lbl"))
+      iter += 1
+    }
+    // the final labels are localCheckpoint'ed (materialized), so the
+    // edge cache is no longer referenced — release it here rather than
+    // leaking one cached table per library call (r06 review)
+    edges.unpersist()
+    // Returning non-converged labels would SILENTLY split components —
+    // p31 would then hash the halves into different train/test buckets,
+    // the exact leakage it exists to prevent. Fail loudly instead.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still decreasing)" +
+        (if (maxIter > 4) s" — with pointer-jumping that needs a graph " +
+          s"of diameter well beyond 2^${maxIter - 3}" else "") +
+        "; raise maxIter")
+    // (intermediate checkpoint cleanup happens inside ckpt() above —
+    // by the time we return, only the final labels' rdd dir remains)
+    labels.select(col("node"), col("lbl").as("component"))
+    } finally if (checkpointDir.isDefined) {
+      // restore the caller's context-wide checkpoint location (the
+      // returned labels are already materialized, so they don't need
+      // it). getCheckpointDir reports the <dir>/<uuid> SUBDIR that the
+      // caller's own setCheckpointDir created — setting it back
+      // verbatim would nest a fresh uuid one level deeper per call, so
+      // restore the caller's original argument (the uuid dir's parent;
+      // a new uuid beside the old one is the best Spark's API can do).
+      // The API cannot UNSET the dir, so when the caller had none set,
+      // ours stays — harmless (unused unless something later
+      // checkpoints) and stated in the NOTE above.
+      prevCkptDir.foreach(d => sc.setCheckpointDir(
+        new org.apache.hadoop.fs.Path(d).getParent.toString))
+    }
+  }
+
+  /** Dedup report from a PRECOMPUTED component table (the
+    * (node, component) output of [[connectedComponents]]) — the
+    * component-size histogram every dedup pass ships with its output:
+    * (csize, n_components, n_docs, docs_removed), where docs_removed
+    * is what [[collapseByComponents]] would drop. Two tiny aggs on a
+    * table bounded by the near-dup doc count — the p33 plan as a
+    * reusable operator. */
+  def dedupReport(components: DataFrame): DataFrame =
+    components.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("csize")).as("n_docs"))
+      .withColumn("docs_removed", col("n_docs") - col("n_components"))
+
+  /** Oracle-side twin of [[connectedComponents]] over the `verified`
+    * pair CTE: ground-truth min-reachable via a recursive CTE, ending
+    * in `comp(node, component)`. Shared by p25 and p30 (the splicing
+    * query must open with WITH RECURSIVE). */
+  private[operators] val ComponentsSql: String = """
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)"""
+
+  /** DedupOps QueryDefs — registered through [[Pipeline.queries]];
+    * names, plans and oracle SQL unchanged by the r15 module split. */
+  private[operators] lazy val dedupQueries: Seq[QueryDef] = Seq(
+    // ---- p01: exact deduplication via content hash — one shuffle on the
+    // 128-bit digest; representative = min doc_id per group. At 100 TB
+    // the digest groupBy is the canonical exact-dedup plan (no text
+    // comparison, fixed-width keys).
+    QueryDef(
+      "p01_exact_dedup",
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(
+            min(col("doc_id")).as("keep_doc_id"),
+            count(lit(1)).as("n_copies"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("keep_doc_id")),
+      Some("""
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""),
+      headline = true),
+
+    // ---- p02: MinHash-LSH near-duplicate detection. Single shuffle
+    // computes all 32 min-hashes (no 32× row blowup); stack() emits the
+    // 8 banded signatures; near-dup candidates come from bucket
+    // collisions only (groupBy(band, sig)); exact word-5-gram Jaccard
+    // verifies candidates. The oracle recomputes the identical pipeline
+    // in SQL from the same hash formulas.
+    QueryDef(
+      "p02_minhash_lsh",
+      (s, d) => neardupPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH $NeardupPairsSql
+        SELECT doc_a, doc_b, jaccard FROM verified
+        ORDER BY doc_a, doc_b"""),
+      headline = true),
+
+    // ---- p03: SimHash fingerprints — 48-bit weighted-bit-vote hash,
+    // fully map-side (one codegen'd pass per doc, see simhashFp). The
+    // fingerprint builder is shared with p26, which pairs documents by
+    // Hamming distance over these fingerprints.
+    QueryDef(
+      "p03_simhash",
+      (s, d) => simhashFp(s, d).orderBy(col("doc_id")),
+      Some(s"""
+        WITH $SimhashFpSql
+        SELECT doc_id, simhash FROM fp ORDER BY doc_id""")),
+
+    // ---- p04: character-trigram Jaccard near-dup, blocked by lang AND
+    // capped by gram document-frequency: a trigram shared by more than
+    // NgramDfCap documents ("the" in en) discriminates nothing and would
+    // make the self-join output quadratic in the matching docs — the r04
+    // scale-killer. At fixture scale the cap exceeds the corpus, so
+    // results are EXACT; at 100 TB this is the standard stop-gram
+    // approximation (and p02 MinHash-LSH remains the production sketch
+    // path). Candidate generation is prefix-filtered (see
+    // [[ngramJaccardPairs]]) — exact same result set as the oracle's
+    // brute-force capped join, at a fraction of the join volume (r07:
+    // 114M → 33M rows at sf0.1, verified 0 pairs missed).
+    QueryDef(
+      "p04_ngram_jaccard",
+      (s, d) =>
+        ngramJaccardPairs(T.documents(s, d), "doc_id", "text",
+          n = 3, minJaccard = 0.5, groupCols = Seq("lang"))
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH tri0 AS (
+          SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
+          FROM documents, unnest(range(1, length(text) - 1)) t(i)),
+        tri AS (
+          SELECT doc_id, lang, tri FROM tri0
+          QUALIFY COUNT(*) OVER (PARTITION BY lang, tri) <= $NgramDfCap),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+          FROM tri a JOIN tri b
+            ON a.lang = b.lang AND a.tri = b.tri AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        ns AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id)
+        SELECT i.da AS doc_a, i.db AS doc_b,
+               i.c / (na.n + nb.n - i.c) AS jaccard
+        FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
+        WHERE i.c / (na.n + nb.n - i.c) >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      // headline since r07: the one historically quadratic operator —
+      // keep its median-of-3 visible round-over-round, not just the
+      // single-shot sweep number
+      headline = true),
+
+    // ---- p19: near-dup cluster representative selection — the
+    // keep-best half of a dedup pass: docs sharing an LSH bucket (the
+    // band-0 minhash signature, same formulas as p02) form a cluster;
+    // keep the longest member, doc_id tie-break. One map-side signature
+    // computation + one window over the bucket key — no pairwise work
+    // at all, which is what makes representative selection tractable at
+    // corpus scale (connected-components refinement is an offline
+    // graph job; the bucket proxy is the shard-local policy).
+    QueryDef(
+      "p19_cluster_representative",
+      (s, d) =>
+        clusterRepresentatives(T.documents(s, d), "doc_id", "text",
+          score = col("n_chars"))
+          .select(col("band_sig").as("sig"), col("n_members"),
+            col("keep_id").as("keep_doc_id"), col("keep_score").as("kept_chars"))
+          .orderBy(col("keep_doc_id")),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS ws
+          FROM documents WHERE len(string_split_regex(text, '\\s+')) >= 5),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8) AS BIGINT) AS x
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+        params AS (
+          SELECT i, 2*i + 1 AS a, 99991*i + 7 AS b FROM unnest(range(0, $BandRows)) t(i)),
+        mh AS (
+          SELECT doc_id, i, MIN((a*x + b) % $MinhashP) AS m
+          FROM sh CROSS JOIN params GROUP BY doc_id, i),
+        sig AS (
+          SELECT doc_id, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+          FROM mh GROUP BY doc_id),
+        c AS (
+          SELECT s.sig, s.doc_id, w.n_chars,
+                 COUNT(*) OVER (PARTITION BY s.sig) AS n_members,
+                 ROW_NUMBER() OVER (PARTITION BY s.sig
+                   ORDER BY w.n_chars DESC, s.doc_id ASC) AS rk
+          FROM sig s JOIN w ON w.doc_id = s.doc_id)
+        SELECT sig, CAST(n_members AS BIGINT) AS n_members,
+               keep_doc_id, kept_chars
+        FROM (SELECT sig, n_members, doc_id AS keep_doc_id,
+                     n_chars AS kept_chars, rk FROM c)
+        WHERE rk = 1 AND n_members > 1 ORDER BY keep_doc_id""")),
+
+    // ---- p23: incremental dedup — admit an incoming shard against an
+    // EXISTING corpus, the shape every continuously-ingesting pipeline
+    // runs (p01/p02 dedup a closed corpus; ingest never sees one).
+    // Two anti-joins: exact (content hash) then near-dup (band-0
+    // minhash signature, p19's formulas — docs whose bucket already
+    // exists in the corpus are dropped without any pairwise work). At
+    // scale the corpus side reduces to its distinct hash/signature
+    // sets — fixed-width keys, broadcastable for corpus sizes that fit
+    // and a plain shuffle anti-join beyond; nothing is ever quadratic.
+    // Fixture split: doc_id < 250 = corpus, >= 250 = incoming shard.
+    QueryDef(
+      "p23_incremental_dedup",
+      (s, d) => {
+        val all = T.documents(s, d)
+        admitAgainstCorpus(
+          corpus = all.filter(col("doc_id") < 250),
+          incoming = all.filter(col("doc_id") >= 250),
+          idCol = "doc_id", textCol = "text")
+          .select(col("doc_id"), col("content_hash").as("h"),
+            col("band_sig").as("sig"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, md5(text) AS h, string_split_regex(text, '\\s+') AS ws
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8) AS BIGINT) AS x
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)
+          WHERE len(ws) >= 5),
+        params AS (
+          SELECT i, 2*i + 1 AS a, 99991*i + 7 AS b FROM unnest(range(0, $BandRows)) t(i)),
+        mh AS (
+          SELECT doc_id, i, MIN((a*x + b) % $MinhashP) AS m
+          FROM sh CROSS JOIN params GROUP BY doc_id, i),
+        sig AS (
+          SELECT doc_id, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+          FROM mh GROUP BY doc_id),
+        ds AS (
+          SELECT w.doc_id, w.h, sig.sig
+          FROM w LEFT JOIN sig ON w.doc_id = sig.doc_id)
+        SELECT doc_id, h, sig FROM ds
+        WHERE doc_id >= 250
+          AND (h IS NULL OR h NOT IN
+               (SELECT h FROM ds WHERE doc_id < 250 AND h IS NOT NULL))
+          AND (sig IS NULL OR sig NOT IN
+               (SELECT sig FROM ds WHERE doc_id < 250 AND sig IS NOT NULL))
+        ORDER BY doc_id""")),
+
+    // ---- p25: connected components over the verified near-dup pair
+    // graph — p02 emits PAIRS, but collapsing duplicates needs CLUSTERS
+    // (a~b, b~c must keep one of {a,b,c}, not two). Component id = min
+    // reachable doc_id via iterative min-label propagation: each round
+    // is one join + one groupBy(min), and labels only ever decrease, so
+    // the loop converges in graph-diameter rounds (near-dup components
+    // are shallow — dup chains, not long paths). The driver-side loop
+    // runs ONE count() per round purely as the convergence test; all
+    // label state stays distributed, localCheckpoint'ed per round (see
+    // [[connectedComponents]] — lineage truncation, not caching, is
+    // what keeps the loop viable). At 100 TB this is the standard
+    // DataFrame CC shape (hash-to-min); the oracle computes
+    // ground-truth min-reachable via a recursive CTE, so the gate
+    // proves the propagation converged.
+    QueryDef(
+      "p25_dedup_components",
+      (s, d) => {
+        sharedComponents(s, d)
+          .withColumn("csize",
+            count(lit(1)).over(Window.partitionBy(col("component"))))
+          .select(col("node").as("doc_id"), col("component"), col("csize"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $NeardupPairsSql,
+        $ComponentsSql
+        SELECT node AS doc_id, component,
+               CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+        FROM comp ORDER BY doc_id""")),
+
+    // ---- p30: near-dup collapse — the end-to-end dedup deliverable
+    // p01/p02/p25 build toward: keep exactly ONE representative (the
+    // min doc_id) per near-dup component and pass every unpaired doc
+    // through. One left-anti join of the corpus against the (tiny)
+    // non-representative node set; at 100 TB the anti-join side is
+    // the component table, which is bounded by the number of
+    // near-duplicate docs, not the corpus.
+    QueryDef(
+      "p30_collapse_neardups",
+      (s, d) =>
+        collapseByComponents(
+          T.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+          "doc_id", sharedComponents(s, d))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH RECURSIVE $NeardupPairsSql,
+        $ComponentsSql
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        ORDER BY doc_id""")),
+
+    // ---- p26: SimHash near-dup pairing by Hamming distance ≤ 3 over
+    // p03's 48-bit fingerprints — the O(n) alternative to shingle-set
+    // LSH when fingerprints are already materialized. Candidate
+    // generation is the pigeonhole block trick (Manku et al., WWW'07
+    // shape): split 48 bits into 4 chunks of 12; any pair within
+    // Hamming 3 differs in at most 3 chunks, so it MUST agree on at
+    // least one → groupBy (chunk-index, chunk-value) finds every such
+    // pair with one shuffle of 4 rows/doc, never an all-pairs join.
+    // Verification is one xor+bit_count per candidate. The oracle
+    // replays the SAME pigeonhole candidate generation (chunk buckets
+    // capped at LshBucketCap, mirroring the Spark side as p02/p06 do)
+    // then verifies by xor — so the gate proves the two ENGINES agree,
+    // cap semantics included, but no longer proves recall against
+    // brute force by itself (a chunking mistake mirrored on both sides
+    // would pass). The recall proof lives in TextApiSpec's randomized
+    // simhashNeardupPairs-vs-brute-force test instead.
+    QueryDef(
+      "p26_simhash_neardup",
+      (s, d) =>
+        simhashNeardupPairs(T.documents(s, d), "doc_id", "text")
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH $SimhashFpSql,
+        chunks AS (
+          SELECT f.doc_id, f.simhash, t.ck,
+                 (f.simhash >> CAST(12 * t.ck AS INT)) & 4095 AS cv
+          FROM fp f, range(0, 4) AS t(ck)),
+        ok AS (
+          SELECT ck, cv FROM chunks GROUP BY ck, cv
+          HAVING COUNT(DISTINCT doc_id) <= $LshBucketCap)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM chunks a
+        JOIN chunks b ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+        JOIN ok ON ok.ck = a.ck AND ok.cv = a.cv
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b"""),
+      headline = true),
+
+    // ---- p31: leakage-safe train/val/test split — the assignment is
+    // hashed from the near-dup COMPONENT representative, not the doc,
+    // so a near-duplicate pair can never straddle train and test (the
+    // classic eval-leakage bug a doc-hash split ships silently).
+    // Singletons are their own component. RNG-free md5 split (like
+    // p15/p24) at 80/10/10; one broadcast join against the component
+    // table (bounded by the near-dup set), map-side hashing for the
+    // corpus.
+    QueryDef(
+      "p31_leakage_safe_split",
+      (s, d) => {
+        splitByComponents(T.documents(s, d).select(col("doc_id")),
+            "doc_id", sharedComponents(s, d))
+          .select(col("doc_id"), col("component"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $NeardupPairsSql,
+        $ComponentsSql,
+        assigned AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS component,
+                 CAST('0x' || substr(md5('split:' ||
+                   CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 10 AS bucket
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        SELECT doc_id, component,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned ORDER BY doc_id""")),
+
+    // ---- p33: dedup report — the component-size histogram every
+    // dedup pass ships with its output (how much mass is duplicated,
+    // and in what cluster shapes): components from the p25 graph,
+    // grouped by size. docs_removed = what p30's collapse would drop.
+    // Two tiny aggs on top of the component table; the oracle derives
+    // the identical histogram from the recursive-CTE ground truth.
+    QueryDef(
+      "p33_dedup_report",
+      (s, d) =>
+        dedupReport(sharedComponents(s, d))
+          .orderBy(col("csize")),
+      Some(s"""
+        WITH RECURSIVE $NeardupPairsSql,
+        $ComponentsSql,
+        sizes AS (
+          SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+          FROM comp GROUP BY component)
+        SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(SUM(csize) AS BIGINT) AS n_docs,
+               CAST(SUM(csize) - COUNT(*) AS BIGINT) AS docs_removed
+        FROM sizes GROUP BY csize ORDER BY csize""")),
+
+    // ---- p34: the dedup SUITE as one shared-graph pass — the shape a
+    // production pipeline actually ships: ONE minhash-pair + connected-
+    // components build ([[sharedComponents]]) fanning out to the three
+    // consumers ([[collapseByComponents]], [[splitByComponents]],
+    // [[dedupReport]]) plus the component table itself, unioned into a
+    // single sectioned result. p25/p30/p31/p33 gate each consumer in
+    // isolation; this entry gates the FAN-OUT — all four sections must
+    // agree with ONE oracle component table (`comp`, built once in the
+    // CTE below and read by every section), proving the sharing API
+    // returns the same answers as the standalone paths. At 100 TB the
+    // graph build dominates every consumer, so running it once instead
+    // of four times is most of the suite's cost — see the memo note on
+    // [[sharedComponents]].
+    // Sectioned layout (driver-scalar columns; k is the section's
+    // natural key): 'component' → (k=node, v1=component);
+    // 'collapse' → (k=kept doc_id); 'split' → (k=doc_id, v1=component,
+    // s=split); 'report' → (k=csize, v1=n_components, v2=docs_removed;
+    // n_docs = csize·n_components is derivable so it is not repeated).
+    QueryDef(
+      "p34_dedup_suite",
+      (s, d) => {
+        val comps = sharedComponents(s, d)
+        val corpus = T.documents(s, d).select(col("doc_id"))
+        val nullL = lit(null).cast(LongType)
+        val nullS = lit(null).cast(StringType)
+        val component = comps.select(
+          lit("component").as("section"), col("node").as("k"),
+          col("component").as("v1"), nullL.as("v2"), nullS.as("s"))
+        val collapse = collapseByComponents(corpus, "doc_id", comps)
+          .select(lit("collapse").as("section"), col("doc_id").as("k"),
+            nullL.as("v1"), nullL.as("v2"), nullS.as("s"))
+        val splits = splitByComponents(corpus, "doc_id", comps)
+          .select(lit("split").as("section"), col("doc_id").as("k"),
+            col("component").as("v1"), nullL.as("v2"), col("split").as("s"))
+        val report = dedupReport(comps)
+          .select(lit("report").as("section"), col("csize").as("k"),
+            col("n_components").as("v1"), col("docs_removed").as("v2"),
+            nullS.as("s"))
+        component.unionByName(collapse).unionByName(splits)
+          .unionByName(report)
+          .orderBy(col("section"), col("k"))
+      },
+      Some(s"""
+        WITH RECURSIVE $NeardupPairsSql,
+        $ComponentsSql,
+        sizes AS (
+          SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+          FROM comp GROUP BY component),
+        assigned AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS component,
+                 CAST('0x' || substr(md5('split:' ||
+                   CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 10 AS bucket
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        SELECT 'component' AS section, node AS k, component AS v1,
+               CAST(NULL AS BIGINT) AS v2, CAST(NULL AS VARCHAR) AS s
+        FROM comp
+        UNION ALL
+        SELECT 'collapse', doc_id, NULL, NULL, NULL FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        UNION ALL
+        SELECT 'split', doc_id, component, NULL,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END
+        FROM assigned
+        UNION ALL
+        SELECT 'report', csize, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(csize) - COUNT(*) AS BIGINT), NULL
+        FROM sizes GROUP BY csize
+        ORDER BY section, k"""))
+  )
+}

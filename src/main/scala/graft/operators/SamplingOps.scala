@@ -1,0 +1,510 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Sampling and mixing: deterministic hash sampling, stratified
+  * splits, temperature-scaled source mixing, and DSIR importance
+  * scoring / resampling.
+  *
+  * Split out of the pre-r15 7.8k-line Pipeline.scala; mixed into
+  * [[Pipeline]], which remains the single public entry point — no
+  * caller, gate, or oracle changed. */
+private[operators] trait SamplingOps { self: Pipeline.type =>
+
+  /** Oracle-side twin of the p49 DSIR chain as a CTE body ending in
+    * `scores(doc_id, n_grams, dsir_logratio)` — p49 selects from it
+    * directly and p51 layers the Gumbel-top-k draw on top, so both
+    * gates replay the identical profile/llr/score derivation. */
+  private lazy val DsirChainSql: String = s"""
+    w AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) % 8192 AS b
+      FROM w, unnest(range(1, len(ws) + 1)) t(i)
+      UNION ALL
+      SELECT doc_id,
+             CAST('0x' || substr(md5(array_to_string(ws[i:i+1], ' ')), 1, 12) AS BIGINT) % 8192 AS b
+      FROM w, unnest(range(1, len(ws))) t(i)),
+    tb AS (SELECT b, COUNT(*) AS ct FROM g WHERE doc_id % 5 = 0 GROUP BY b),
+    rb AS (SELECT b, COUNT(*) AS cr FROM g WHERE doc_id % 5 <> 0 GROUP BY b),
+    prof AS (
+      SELECT coalesce(tb.b, rb.b) AS b, coalesce(ct, 0) AS ct,
+             coalesce(cr, 0) AS cr
+      FROM tb FULL OUTER JOIN rb ON tb.b = rb.b),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM prof),
+    llr AS MATERIALIZED (
+      SELECT b, round(ln((ct + 1.0) / (tt + 1.0 * 8192)) -
+                      ln((cr + 1.0) / (tr + 1.0 * 8192)), 9) AS llr
+      FROM prof CROSS JOIN tot),
+    scores AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             ${graft.QueryDef.dsumSql("llr")} AS dsir_logratio
+      FROM g JOIN llr USING (b) WHERE doc_id % 5 <> 0
+      GROUP BY doc_id)"""
+
+  /** Temperature-scaled source-mixing weights over ANY corpus — the
+    * p18 Pile/LLaMA recipe as a reusable operator: weight ∝
+    * sqrt(stratum tokens) (temperature fixed at 1/2: sqrt is
+    * IEEE-exactly-rounded in every engine, a general pow is not — see
+    * the p18 QueryDef for the exactness chain), plus the token budget
+    * a `budgetTokens` mix draws from each stratum. `tokenCount` is
+    * any integer Column over the row. */
+  def sourceMixingWeights(corpus: DataFrame, stratumCol: String,
+      tokenCount: Column, budgetTokens: Long = 1000000L): DataFrame = {
+    val per = corpus
+      .select(col(stratumCol), tokenCount.as("toks"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      .withColumn("raw_w",
+        floor(sqrt(col("tokens")) * lit(1000000.0)).cast(LongType))
+    val total = per.agg(sum(col("raw_w")).as("total_w"))
+    per.crossJoin(broadcast(total))
+      .select(col(stratumCol), col("n_docs"), col("tokens"),
+        (col("raw_w").cast(DoubleType) / col("total_w").cast(DoubleType))
+          .as("mix_weight"),
+        floor(col("raw_w").cast(DoubleType) / col("total_w").cast(DoubleType)
+          * lit(budgetTokens)).cast(LongType).as("token_budget"))
+  }
+
+  /** Deterministic hash-bucket sampling of ANY corpus: keep a row when
+    * `md5(id) % 100 < pct`, where `pct` is any integer Column over the
+    * row (a constant, or per-stratum via `when(...)`) — the p15 plan as
+    * a reusable operator. No RNG: membership is a pure function of the
+    * id, so reruns, retries, and the oracle agree exactly. Caller
+    * columns pass through untouched. */
+  def hashSample(corpus: DataFrame, idCol: String, pct: Column): DataFrame =
+    corpus.filter(
+      call_function("md5_prefix_long", col(idCol).cast(StringType), lit(2))
+        % 100 < pct)
+
+  /** Rebalance ANY corpus to a TARGET stratum mix — the p24 plan as a
+    * reusable operator. `weights` maps stratum value → integer weight;
+    * the max total honoring the mix is T = min_s floor(n_s·W/w_s), and
+    * each stratum keeps its floor(T·w_s/W) hash-first rows (md5 rank,
+    * no RNG). A target stratum absent from the corpus drives T to 0
+    * (empty sample) rather than shipping a sample that violates the
+    * mix; corpus strata not in `weights` are dropped. Output: caller
+    * columns (id and stratum first) plus the per-stratum hash rank. */
+  /** The shared per-stratum RNG-free order: rank within each stratum
+    * by md5(stratum:id), id tie-break. [[rebalanceToMix]] and
+    * [[stratifiedSplit]] BOTH rank through this one definition — the
+    * documented contract that related curation steps draw from one
+    * consistent shuffle of each stratum (review r10: two verbatim
+    * copies of the formula could drift apart). */
+  private def stratumMd5Rank(stratumCol: String, idCol: String): Column =
+    row_number().over(Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(col(stratumCol), lit(":"),
+        col(idCol).cast(StringType))), col(idCol)))
+
+  def rebalanceToMix(corpus: DataFrame, idCol: String, stratumCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    // a duplicate stratum key would silently duplicate every matching
+    // corpus row through the weights join (and inflate W); non-positive
+    // weights divide by zero or demand negative caps
+    require(weights.nonEmpty, "weights must not be empty")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate stratum keys in weights: ${weights.map(_._1).diff(weights.map(_._1).distinct).distinct.mkString(", ")}")
+    require(weights.forall(_._2 > 0),
+      s"weights must be positive, got ${weights.filter(_._2 <= 0).mkString(", ")}")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val W = weights.map(_._2).sum
+    val wDf = weights.toDF(stratumCol, "__w")
+    val docs = corpus.join(broadcast(wDf), Seq(stratumCol))
+    val caps = wDf.join(
+        docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n")),
+        Seq(stratumCol), "left")
+      .select(floor(coalesce(col("__n"), lit(0L)) * W / col("__w")).as("__cap"))
+    val t = caps.agg(min(col("__cap")).as("__t"))
+    docs
+      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
+      .crossJoin(broadcast(t))
+      .filter(col("rk") <= floor(col("__t") * col("__w") / W))
+      .select(Seq(col(idCol), col(stratumCol))
+        ++ corpus.columns.filterNot(c => c == idCol || c == stratumCol).map(col)
+        :+ col("rk").cast(LongType).as("rk"): _*)
+  }
+
+  /** Temperature-smoothed stratified sampling (Conneau & Lample 2019
+    * §3.1 — the α-exponent language rebalancing mBERT/XLM/mT5 all
+    * train with): draw a `budget`-document sample whose per-stratum
+    * share follows q_l ∝ n_l^α. α = 1 is the natural (proportional)
+    * mix, α = 0 uniform across strata; in between, low-resource
+    * strata are up-sampled relative to their share — the published
+    * fix for high-resource languages drowning the tail. Per-stratum
+    * quota = min(n_l, floor(budget·s_l/S)) with s_l = n_l^α quantized
+    * to 1e-9 (pow's last ulp differs across engines — the ln stance)
+    * and S their decimal-exact sum; clamped mass is NOT redistributed
+    * (a deterministic one-pass contract — α < 1 clamps only strata it
+    * boosted past their supply). Selection inside a stratum is the
+    * md5-rank prefix: RNG-free and reproducible, like
+    * [[rebalanceToMix]], and docs admitted at a smaller budget stay
+    * admitted at a larger one (rank prefixes nest). Plan: one tiny
+    * per-stratum count agg → one-row broadcast → one rank window per
+    * stratum — the single corpus shuffle any stratified pass needs.
+    * Output: caller columns + rk. */
+  def temperatureSample(corpus: DataFrame, idCol: String,
+      stratumCol: String, budget: Long, alpha: Double): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val scores = corpus.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__s",
+        round(pow(col("__n").cast(DoubleType), lit(alpha)), 9))
+    val total = scores.agg(graft.QueryDef.dsum(col("__s")).as("__stot"))
+    val quotas = scores.crossJoin(broadcast(total))
+      .select(col(stratumCol),
+        least(col("__n"),
+          floor(lit(budget) * col("__s") / col("__stot"))).as("__q"))
+    corpus.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
+      .filter(col("rk") <= col("__q"))
+      .select(Seq(col(idCol), col(stratumCol))
+        ++ corpus.columns.filterNot(c => c == idCol || c == stratumCol)
+          .map(col)
+        :+ col("rk").cast(LongType).as("rk"): _*)
+  }
+
+  /** Deterministic EXACT-COUNT stratified split: within each stratum,
+    * rows rank by the RNG-free md5 order [[rebalanceToMix]] uses (the
+    * same `md5(stratum:id)` formula, so related curation steps draw
+    * from one consistent shuffle of each stratum) and the first
+    * ⌊trainFrac·n⌋ go to `train`, the next ⌊valFrac·n⌋ to `val`, the
+    * rest to `test` — per-stratum proportions exact to integer
+    * rounding, where hash-BUCKET assignment (e.g.
+    * [[splitByComponents]]' component hashing) deviates by O(√n) per
+    * stratum. Use THIS when strata are small enough for that
+    * deviation to matter and rows are independent; use the
+    * component-hashed split when near-dup leakage across splits is
+    * the concern — exactness here is per-ROW, so near-dup pairs can
+    * straddle splits. Plan shape: one tiny per-stratum count agg
+    * (broadcast back), one rank window partitioned by stratum — the
+    * single corpus shuffle any stratified pass needs. Fraction
+    * thresholds are IEEE double products floored (correctly rounded,
+    * engine-identical). Output: caller's columns + (rk, split). */
+  def stratifiedSplit(corpus: DataFrame, idCol: String, stratumCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      s"need trainFrac, valFrac >= 0 with sum <= 1, got $trainFrac + $valFrac")
+    val counts = corpus.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+    corpus
+      .join(broadcast(counts), Seq(stratumCol))
+      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
+      .withColumn("split",
+        when(col("rk") <= floor(lit(trainFrac) * col("__n")), "train")
+          .when(col("rk") <= floor(lit(trainFrac) * col("__n"))
+            + floor(lit(valFrac) * col("__n")), "val")
+          .otherwise("test"))
+      .select(Seq(col(idCol), col(stratumCol))
+        ++ corpus.columns.filterNot(c => c == idCol || c == stratumCol).map(col)
+        ++ Seq(col("rk").cast(LongType).as("rk"), col("split")): _*)
+  }
+
+  /** Gumbel-top-k importance RESAMPLING — the selection step DSIR runs
+    * on [[dsirImportanceScores]] output (Xie NeurIPS'23 §2: sample k
+    * documents WITHOUT replacement with probability ∝ exp(score/T)
+    * by ranking score/T + Gumbel noise and keeping the top k — the
+    * Gumbel-max trick makes one ranking pass equal sequential
+    * weighted draws). The "noise" here is RNG-FREE like every sampler
+    * in this library: u = (md5₄₈(id) + 0.5)/2⁴⁸ ∈ (0,1), g =
+    * −ln(−ln(u)), so the same corpus + seed column always selects the
+    * same k docs, across reruns AND engines. `temperature` → ∞
+    * degenerates to uniform sampling; → 0 to deterministic top-k by
+    * score. The Gumbel term is quantized to 1e-9 (the ln-ULP
+    * reproducibility stance of [[dsirImportanceScores]]).
+    *
+    * Scale shape: the key is one map-side expression; selection is
+    * `orderBy(key).limit(k)` — Spark's TakeOrdered keeps k rows per
+    * partition and merges k on the driver, no full sort, no shuffle
+    * of the corpus. Output: the top-k rows of `scored` + the
+    * `gumbel_key` column, ties broken by `idCol` ascending. */
+  def resampleByImportance(scored: DataFrame, idCol: String,
+      scoreCol: String, k: Int, temperature: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val u = (conv(substring(md5(col(idCol).cast(StringType)), 1, 12), 16, 10)
+      .cast(DoubleType) + 0.5) / lit(math.pow(2, 48))
+    val key = col(scoreCol).cast(DoubleType) / temperature +
+      round(-log(-log(u)), 9)
+    scored.withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** DSIR-style importance scores (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw-corpus document by how much more likely its hashed
+    * n-gram bag is under a TARGET corpus's n-gram distribution than
+    * under the raw corpus's own — the log importance ratio
+    * Σ_grams (log p_target(bucket) − log p_raw(bucket)) over
+    * `buckets` feature-hash buckets, with add-`alpha` smoothing. The
+    * standard way to select web-scale data that "looks like" a small
+    * high-quality target (Wikipedia, textbooks) without training a
+    * model. Features are all word 1..`maxGram`-grams (the paper's
+    * unigram+bigram bag), COUNTED not deduplicated
+    * ([[graft.plans.KgramHashesAll]]).
+    *
+    * Scale shape: the two bucket profiles are `buckets`-bounded
+    * partial-agg shuffles (one row per (mapper, bucket)); the log-ratio
+    * table is ≤ `buckets` rows and BROADCASTS into the scoring join,
+    * so the raw corpus streams map-side and the only data-sized
+    * shuffle is the per-doc partial-agg score sum. Engine-exactness:
+    * each bucket's log-ratio is quantized to 1e-9 (two ln's differing
+    * by an ULP between engines/libms must not change selection — the
+    * same reproducibility stance as the RNG-free md5 sampling) and the
+    * per-doc sum runs through the decimal accumulator
+    * ([[graft.QueryDef.dsum]], order-free). Output: (doc_id, n_grams,
+    * `scoreCol`), one row per raw doc with ≥ 1 word; select by
+    * `filter(col(scoreCol) > τ)` or rank for top-fraction selection.
+    * `targetTextCol` defaults to `textCol`. */
+  def dsirImportanceScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 8192, maxGram: Int = 2,
+      alpha: Double = 1.0, nBytes: Int = 6, targetTextCol: String = "",
+      scoreCol: String = "dsir_logratio"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(maxGram >= 1, s"maxGram must be >= 1, got $maxGram")
+    require(alpha > 0, s"alpha must be > 0 (smoothing), got $alpha")
+    val tCol = if (targetTextCol.isEmpty) textCol else targetTextCol
+    def bucketRows(df: DataFrame, c: String, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(flatten(array((1 to maxGram).map(k =>
+          call_function("kgram_hashes_all",
+            array_remove(words(col(c)), ""), lit(k), lit(nBytes))): _*)))
+        .as("h"): _*)
+        .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+        .drop("h")
+    val tB = bucketRows(target, tCol, Nil)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rB = bucketRows(raw, textCol, Nil)
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val prof = tB.join(rB, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    // totals AND the per-bucket rows in ONE aggregation over the
+    // bounded profile (collect_list of ≤ `buckets` structs into a
+    // single row, then explode back): deriving totals from `prof` as a
+    // separate branch made Catalyst recompute the whole
+    // profile-join subtree — two extra corpus gram passes at scale
+    val llr = prof
+      .agg(collect_list(struct(col("b"), col("ct"), col("cr"))).as("ps"),
+        sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+      .select(explode(col("ps")).as("p"), col("tt"), col("tr"))
+      .select(col("p.b").as("b"),
+        round(log((col("p.ct") + alpha) / (col("tt") + alpha * buckets)) -
+          log((col("p.cr") + alpha) / (col("tr") + alpha * buckets)), 9)
+          .as("llr"))
+    bucketRows(raw, textCol, Seq(col(idCol).as("doc_id")))
+      .join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        graft.QueryDef.dsum(col("llr")).as(scoreCol))
+  }
+
+  /** SamplingOps QueryDefs — registered through [[Pipeline.queries]];
+    * names, plans and oracle SQL unchanged by the r15 module split. */
+  private[operators] lazy val samplingQueries: Seq[QueryDef] = Seq(
+    // ---- p15: deterministic stratified sampling — hash-bucket
+    // subsampling per language stratum (10% en, 50% others), the
+    // reproducible corpus-downsampling op (no RNG: membership is a pure
+    // function of doc_id, so reruns and the oracle agree exactly).
+    QueryDef(
+      "p15_stratified_sample",
+      (s, d) =>
+        hashSample(T.documents(s, d), "doc_id",
+          pct = when(col("lang") === "en", 10).otherwise(50))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+          .orderBy(col("lang")),
+      Some("""
+        WITH b AS (
+          SELECT lang, n_chars,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bucket
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+        FROM b
+        WHERE (lang = 'en' AND bucket < 10) OR (lang <> 'en' AND bucket < 50)
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- p18: source-mixing weights — temperature-scaled sampling
+    // weights per corpus source (the Pile/LLaMA data-mixing recipe at
+    // temperature 1/2: weight ∝ sqrt(tokens)), plus the token budget a
+    // 1M-token mix would draw from each source. Token counts are exact
+    // integer sums; sqrt and the ×1e6 product are IEEE-exactly-rounded
+    // in both engines, so quantizing the weight to an INTEGER via floor
+    // makes the normalizing sum exact and order-independent (a decimal
+    // cast here would hit the Spark-HALF_UP-vs-DuckDB rounding split on
+    // midpoint reprs — QueryDef.dsum scaladoc). The per-source
+    // aggregate is one shuffle over a handful of groups; the scalar
+    // total broadcasts.
+    QueryDef(
+      "p18_source_mixing",
+      (s, d) =>
+        sourceMixingWeights(T.documents(s, d), "source",
+          tokenCount = size(words(col("text"))).cast(LongType))
+          .orderBy(col("source")),
+      Some("""
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        w AS (
+          SELECT *, CAST(FLOOR(sqrt(tokens) * 1000000) AS BIGINT) AS raw_w FROM per),
+        t AS (SELECT CAST(SUM(raw_w) AS BIGINT) AS total_w FROM w)
+        SELECT source, n_docs, tokens,
+               CAST(raw_w AS DOUBLE) / CAST(total_w AS DOUBLE) AS mix_weight,
+               CAST(FLOOR(CAST(raw_w AS DOUBLE) / CAST(total_w AS DOUBLE) * 1000000) AS BIGINT) AS token_budget
+        FROM w, t ORDER BY source""")),
+
+    // ---- p24: distribution rebalancing — subsample the corpus to a
+    // TARGET language mix (en 40%, de/fr/es/zh 15% each), the curation
+    // step that fixes source skew before training. The max total
+    // honoring the target is T = min_l floor(n_l·W/w_l) (integer-exact
+    // with integer weights w_l summing to W); each language keeps its
+    // floor(T·w_l/W) hash-first documents — selection is an md5 rank,
+    // so the sample is deterministic and reproducible with NO RNG, like
+    // p15. Plan shape: one tiny per-lang count agg, a scalar broadcast,
+    // and one rank window partitioned by lang (parallel across
+    // languages) — the single corpus shuffle any stratified pass needs.
+    QueryDef(
+      "p24_rebalance_sample",
+      (s, d) =>
+        rebalanceToMix(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          weights = Seq("en" -> 40L, "de" -> 15L, "fr" -> 15L,
+            "es" -> 15L, "zh" -> 15L))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH w(lang, w) AS (VALUES
+          ('en', 40), ('de', 15), ('fr', 15), ('es', 15), ('zh', 15)),
+        docs AS (
+          SELECT d.doc_id, d.lang, w.w FROM documents d JOIN w ON d.lang = w.lang),
+        t AS (
+          SELECT MIN(CAST(FLOOR(COALESCE(n, 0) * 100.0 / ww.w) AS BIGINT)) AS t
+          FROM w ww LEFT JOIN
+            (SELECT lang, COUNT(*) AS n FROM docs GROUP BY lang) c
+            ON ww.lang = c.lang),
+        ranked AS (
+          SELECT doc_id, lang, w,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM docs)
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        FROM ranked, t
+        WHERE rk <= CAST(FLOOR(t * w / 100.0) AS BIGINT)
+        ORDER BY doc_id""")),
+
+    // ---- p44: exact-count stratified split — [[stratifiedSplit]] by
+    // language at 80/10/10. The oracle replays the md5 rank order and
+    // the double-product floor thresholds (CAST(0.8 AS DOUBLE): a bare
+    // 0.8 literal is DECIMAL in DuckDB and its exact product can
+    // disagree with the IEEE double floor at some n).
+    QueryDef(
+      "p44_stratified_split",
+      (s, d) =>
+        stratifiedSplit(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", trainFrac = 0.8, valFrac = 0.1)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH docs AS (SELECT doc_id, lang FROM documents),
+        n AS (SELECT lang, COUNT(*) AS n FROM docs GROUP BY lang),
+        ranked AS (
+          SELECT d.doc_id, d.lang,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang
+                   ORDER BY md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+          FROM docs d)
+        SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk,
+               CASE WHEN r.rk <= FLOOR(CAST(0.8 AS DOUBLE) * n.n) THEN 'train'
+                    WHEN r.rk <= FLOOR(CAST(0.8 AS DOUBLE) * n.n)
+                                 + FLOOR(CAST(0.1 AS DOUBLE) * n.n) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM ranked r JOIN n ON n.lang = r.lang
+        ORDER BY doc_id""")),
+
+    // ---- p49: DSIR importance scores — [[dsirImportanceScores]] with
+    // every fifth doc_id as the quality TARGET and the rest as the raw
+    // pool: the hashed unigram+bigram importance-resampling recipe
+    // (Xie NeurIPS'23). The oracle replays the whole chain — the
+    // non-distinct gram hashing, the mod-8192 feature buckets, both
+    // smoothed profiles, the 1e-9-quantized log ratios, and the
+    // decimal-exact per-doc sum.
+    QueryDef(
+      "p49_dsir_scores",
+      (s, d) => {
+        val all = T.documents(s, d)
+        dsirImportanceScores(
+          raw = all.filter(col("doc_id") % 5 =!= 0),
+          target = all.filter(col("doc_id") % 5 === 0),
+          idCol = "doc_id", textCol = "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $DsirChainSql
+        SELECT doc_id, n_grams, dsir_logratio
+        FROM scores ORDER BY doc_id""")),
+
+    // ---- p51: DSIR importance RESAMPLING — [[resampleByImportance]]
+    // composed on the p49 scores: the Gumbel-top-k draw that actually
+    // selects the k training docs, with the RNG-free md5 Gumbel term.
+    // The oracle replays the p49 chain (shared CTE body) plus the
+    // uniform, the quantized Gumbel key, and the top-k rank.
+    QueryDef(
+      "p51_dsir_resample",
+      (s, d) => {
+        val all = T.documents(s, d)
+        resampleByImportance(
+          dsirImportanceScores(
+            raw = all.filter(col("doc_id") % 5 =!= 0),
+            target = all.filter(col("doc_id") % 5 === 0),
+            idCol = "doc_id", textCol = "text"),
+          "doc_id", "dsir_logratio", k = 50)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $DsirChainSql,
+        keyed AS (
+          SELECT doc_id, n_grams, dsir_logratio,
+                 dsir_logratio / 1.0 + round(-ln(-ln(
+                   (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 0.5)
+                     / 281474976710656.0)), 9) AS gumbel_key
+          FROM scores)
+        SELECT doc_id, n_grams, dsir_logratio, gumbel_key
+        FROM keyed
+        QUALIFY ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id ASC) <= 50
+        ORDER BY doc_id""")),
+
+    // ---- p67: temperature sampling — [[temperatureSample]] at
+    // α = 0.5 over the language strata (budget 200 of 500 docs). The
+    // oracle replays the quantized pow scores, the decimal-exact score
+    // sum, the floor/min quota, and the identical md5 rank prefix.
+    QueryDef(
+      "p67_temperature_sample",
+      (s, d) =>
+        temperatureSample(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", budget = 200L, alpha = 0.5)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        sc AS (SELECT lang, n,
+                      round(pow(CAST(n AS DOUBLE), 0.5), 9) AS s FROM n),
+        tot AS (SELECT ${graft.QueryDef.dsumSql("s")} AS st FROM sc),
+        q AS (SELECT lang, least(n, CAST(floor(200 * s / st) AS BIGINT)) AS q
+              FROM sc CROSS JOIN tot),
+        ranked AS (
+          SELECT d.doc_id, d.lang, q.q,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang
+                   ORDER BY md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id) AS rk
+          FROM documents d JOIN q ON q.lang = d.lang)
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= q ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,869 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Tokenization and text shaping: token counts, vocabulary, BPE
+  * (train / segment / encode), chunking, sequence packing, plus the
+  * composed curation / PII / multimodal gates.
+  *
+  * Split out of the pre-r15 7.8k-line Pipeline.scala; mixed into
+  * [[Pipeline]], which remains the single public entry point — no
+  * caller, gate, or oracle changed. */
+private[operators] trait TextOps { self: Pipeline.type =>
+
+  /** Per-row token counts over ANY corpus — the p11 tokenizers as a
+    * reusable operator: whitespace tokens and the BPE-ish regex
+    * (letter runs | digit runs | single symbol). Map-side, caller
+    * columns preserved; returns + (ws_tokens, bpe_tokens). */
+  def tokenCounts(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .withColumn("ws_tokens",
+        size(words(col(textCol))).cast(LongType))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col(textCol),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast(LongType))
+
+  /** Global top-k vocabulary over ANY corpus — the p14 term count as a
+    * reusable operator: exact term and document frequencies, top-k by
+    * tf with a deterministic word tiebreak. One groupBy(word) shuffle;
+    * orderBy+limit plans as TakeOrdered (no full sort). */
+  def vocabTopK(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 100): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("w").asc)
+      .limit(k)
+
+  /** Sequence packing over ANY corpus — the p22 plan as a reusable
+    * operator: concatenate-and-chunk the token stream into fixed
+    * context windows where documents may straddle chunk boundaries.
+    * `tokenCount` is any integer Column over the caller's row (a real
+    * tokenizer count column, or an expression like
+    * `size(split(col("text"), "\\s+"))`). The global token offset is a
+    * TWO-PHASE prefix sum: per-shard running sums compute in parallel
+    * windows (`shardCol` is the shard key), and the tiny per-shard
+    * totals table carries the base offsets via broadcast — a single
+    * global orderBy window would drag the whole corpus through ONE
+    * partition; this shape never does. Output: (doc_id, <shardCol>,
+    * tok, tok_offset, first_chunk, last_chunk, n_chunks). */
+  def packSequences(corpus: DataFrame, idCol: String, shardCol: String,
+      tokenCount: Column, contextLen: Int): DataFrame = {
+    val toks = corpus.select(col(idCol).as("doc_id"), col(shardCol),
+      tokenCount.as("tok"))
+    val wIntra = Window.partitionBy(col(shardCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = toks.withColumn("run", sum(col("tok")).over(wIntra))
+    val wBase = Window.orderBy(col(shardCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = toks.groupBy(col(shardCol)).agg(sum(col("tok")).as("total"))
+      .withColumn("cum", sum(col("total")).over(wBase))
+      .select(col(shardCol).as("b_shard"), (col("cum") - col("total")).as("base"))
+    intra.join(broadcast(bases), col(shardCol) === col("b_shard"))
+      .select(col("doc_id"), col(shardCol), col("tok"),
+        (col("base") + col("run") - col("tok")).as("tok_offset"))
+      .withColumn("first_chunk", floor(col("tok_offset") / contextLen))
+      .withColumn("last_chunk",
+        floor((col("tok_offset") + col("tok") - 1) / contextLen))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+  }
+
+  /** Overlapping word-window chunking — the context-preparation step
+    * every RAG / long-document pipeline runs before embedding or
+    * packing: chunk c covers words [c·stride, c·stride + chunkWords)
+    * with stride = chunkWords − overlapWords, the final chunk keeps
+    * the (possibly shorter) tail, and a doc shorter than one chunk
+    * yields exactly one. Chunk count is closed-form integer
+    * arithmetic (1 + max(0, ⌈(n − chunkWords)/stride⌉), floor
+    * division — engine-exact), so the op is one map-side explode: no
+    * shuffle, no state, linear in corpus size. Chunk text re-joins
+    * the split words with single spaces (the tokenization this
+    * library's dedup/stats ops use — original inter-word whitespace
+    * is not preserved). Leading/trailing whitespace would split into
+    * EMPTY tokens (Spark's split keeps them) that inflate the word
+    * count and shift every chunk boundary — they are removed before
+    * counting (the oracle filters identically). Each chunk also
+    * carries its span in the ORIGINAL document — what a RAG pipeline
+    * cites sources with: `start_char`/`end_char` are 1-based INCLUSIVE
+    * code-point positions of the chunk's first and last word
+    * characters, so `substring(text, start_char,
+    * end_char - start_char + 1)` recovers the original passage
+    * (whitespace inside and all) and re-tokenizes to exactly the
+    * chunk's words. Offsets come from the codegen'd
+    * [[graft.plans.WordSpans]] kernel — one extra map-side pass over
+    * the text, still zero shuffle. A zero-word doc's single empty
+    * chunk has NULL offsets (there is no span to cite). Output:
+    * (doc_id, chunk_no, start_word, n_chunk_words, chunk_text,
+    * start_char, end_char).
+    *
+    * `respectSentences = true` snaps every non-final chunk's end to
+    * just after the LAST sentence-final word in its window (the C4
+    * terminal-punctuation rule — [[graft.plans.SentenceChunkSpans]]),
+    * so retrieval contexts stop at sentence boundaries instead of
+    * mid-clause; when no sentence ends in-window the fixed window is
+    * kept. The layout becomes data-dependent (chunks may be shorter
+    * than `chunkWords`; `overlapWords` then overlaps backwards from
+    * the SNAPPED end), but the operator stays one map-side pass —
+    * the sequential per-doc walk runs inside the codegen'd kernel —
+    * and the same columns, tail-chunk rule, char-span citations and
+    * one-chunk floor for short docs apply. */
+  def chunkText(corpus: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 512, overlapWords: Int = 64,
+      respectSentences: Boolean = false): DataFrame = {
+    require(chunkWords >= 1 && overlapWords >= 0 && overlapWords < chunkWords,
+      s"need 0 <= overlapWords < chunkWords, got $overlapWords / $chunkWords")
+    if (respectSentences) return chunkTextSentences(corpus, idCol, textCol,
+      chunkWords, overlapWords)
+    val stride = chunkWords - overlapWords
+    corpus
+      .select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("ws"),
+        call_function("word_spans", col(textCol)).as("spans"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("chunk_no", explode(sequence(lit(0),
+        greatest(lit(0), floor((col("n") - chunkWords + (stride - 1))
+          .cast(DoubleType) / stride).cast(IntegerType)))))
+      .withColumn("n_chunk_words",
+        least(lit(chunkWords).cast(LongType),
+          col("n") - col("chunk_no").cast(LongType) * stride))
+      .select(col("doc_id"), col("chunk_no"),
+        (col("chunk_no").cast(LongType) * stride).as("start_word"),
+        col("n_chunk_words"),
+        array_join(slice(col("ws"),
+          col("chunk_no") * stride + 1, lit(chunkWords)), " ")
+          .as("chunk_text"),
+        // spans pack (start << 32) | end as 0-based [start, end);
+        // `get` is 0-based and null-safe (a 0-word chunk's index -1
+        // yields NULL, not an error). +1 converts to the 1-based
+        // inclusive convention substring() cites with.
+        (shiftright(get(col("spans"), col("chunk_no") * stride), 32) + 1)
+          .as("start_char"),
+        get(col("spans"),
+          (col("chunk_no") * stride + col("n_chunk_words") - 1).cast("int"))
+          .bitwiseAND(lit(0xFFFFFFFFL)).as("end_char"))
+  }
+
+  /** [[chunkText]]'s sentence-snapping path: the chunk layout comes
+    * from the codegen'd [[graft.plans.SentenceChunkSpans]] walk (one
+    * packed (start, end) word span per chunk), posexploded into rows;
+    * everything downstream — single-space re-join, word_spans char
+    * citations, the empty-doc NULL-offset rule — mirrors the
+    * fixed-window path. Still zero shuffle. */
+  private def chunkTextSentences(corpus: DataFrame, idCol: String,
+      textCol: String, chunkWords: Int, overlapWords: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("ws"),
+        call_function("word_spans", col(textCol)).as("spans"))
+      // a NULL text must still emit its one empty chunk, not VANISH
+      // (posexplode of the null-intolerant kernel's NULL emits zero
+      // rows — the gopher NULL-verdict lesson): the kernel walks a
+      // coalesced empty array; ws/spans stay NULL so chunk_text and
+      // offsets are NULL exactly like the fixed-window path
+      .select(col("doc_id"), col("ws"), col("spans"),
+        posexplode(call_function("sentence_chunk_spans",
+          coalesce(col("ws"), array().cast("array<string>")),
+          lit(chunkWords), lit(overlapWords))).as(Seq("chunk_no", "se")))
+      .withColumn("start_word", shiftright(col("se"), 32))
+      .withColumn("n_chunk_words",
+        when(col("ws").isNull, lit(null).cast(LongType))
+          .otherwise(col("se").bitwiseAND(lit(0xFFFFFFFFL))
+            - col("start_word")))
+      .select(col("doc_id"), col("chunk_no"), col("start_word"),
+        col("n_chunk_words"),
+        array_join(slice(col("ws"), (col("start_word") + 1).cast("int"),
+          col("n_chunk_words").cast("int")), " ").as("chunk_text"),
+        (shiftright(get(col("spans"), col("start_word").cast("int")), 32) + 1)
+          .as("start_char"),
+        get(col("spans"),
+          (col("start_word") + col("n_chunk_words") - 1).cast("int"))
+          .bitwiseAND(lit(0xFFFFFFFFL)).as("end_char"))
+
+  /** Distributed BPE vocabulary training (Sennrich, Haddow & Birch,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016 §3.2) — learn `numMerges` byte-pair merges from a corpus:
+    * start from characters (+ the '</w>' end-of-word marker), then
+    * repeatedly merge the globally most frequent adjacent symbol pair.
+    * The piece of the tokenizer story that is genuinely DISTRIBUTED:
+    * the corpus is scanned ONCE (word counting — classic BPE trains on
+    * the word-frequency dictionary, not the raw text), and every merge
+    * round then runs on the dictionary: one explode of adjacent pairs
+    * weighted by word count, one pair-keyed partial-agg shuffle, and a
+    * single-ROW driver collect of the winning pair (the kmeans++
+    * pattern — parameter-bounded at numMerges rows total). The merge
+    * applies map-side as a left-to-right greedy fold (after a merge
+    * the tail symbol becomes l+r ≠ l, so `last == l && x == r` is
+    * exactly the non-overlapping scan — 'a a a' → ['aa','a']); each
+    * round's dictionary is localCheckpoint'ed and the superseded
+    * round's blocks released (the Lloyd's-round lineage discipline).
+    * Ties break deterministically (count desc, then pair lexicographic
+    * asc), so training is reproducible across runs and engines.
+    * Training stops early when no pair reaches `minPairCount` (merging
+    * singletons memorizes noise). Not SQL-expressible in the portable
+    * oracle subset (iterative state); BpeSpec gates it against a
+    * sequential reference implementation instead. Output: (merge_no,
+    * left, right, pair_count) — the ordered merge list a tokenizer
+    * runtime applies. */
+  def bpeTrain(corpus: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2, localDictMax: Long = 1000000L): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val spark = corpus.sparkSession
+    var dict = bpeInitDict(corpus, textCol).localCheckpoint()
+    // Driver-local fast path: the corpus was already collapsed to its
+    // word-frequency dictionary (the ONE genuinely distributed pass),
+    // and classic BPE training only ever reads that dictionary — so
+    // when it fits in driver memory (vocabulary-bounded, NOT corpus-
+    // bounded; even web-scale corpora are below ~10⁷ distinct words
+    // after the usual pre-tokenization), running the merge loop
+    // in-process with INCREMENTAL pair-count maintenance replaces
+    // numMerges sequential Spark jobs (a 32k-merge vocabulary = 32k
+    // scheduler round-trips, wall-clock-hostile at any corpus size)
+    // with one collect + an in-memory loop. Above `localDictMax`
+    // dictionary rows the distributed loop below takes over unchanged.
+    // Both paths produce the IDENTICAL ordered merge list — same
+    // greedy non-overlapping merge scan, same (count desc, pair
+    // UTF-8-binary asc) tie-break — pinned by a BpeSpec property.
+    if (dict.count() <= localDictMax) {
+      val rows = dict.collect().map(r =>
+        (r.getSeq[String](1).toArray, r.getLong(0)))
+      releaseLocalCheckpoint(dict)
+      import spark.implicits._
+      return bpeTrainLocal(rows, numMerges, minPairCount)
+        .toDF("merge_no", "left", "right", "pair_count")
+    }
+    val merges = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var round = 1
+    while (!done && round <= numMerges) {
+      val best = bpePairCounts(dict)
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, pc) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((round, l, r, pc))
+        val merged = concat(lit(l), lit(r))
+        val next = dict.select(col("cnt"),
+          aggregate(col("syms"),
+            array().cast(ArrayType(StringType, containsNull = false)),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === l && x === r,
+              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint()
+        releaseLocalCheckpoint(dict)
+        dict = next
+        round += 1
+      }
+    }
+    releaseLocalCheckpoint(dict)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_no", "left", "right", "pair_count")
+  }
+
+  /** UTF-8-binary string ordering — what Spark's `asc` on StringType
+    * compares (UTF8String bytes, unsigned). The local BPE tie-break
+    * must use THIS, not Java's UTF-16 compareTo, or the two training
+    * paths could diverge on supplementary-plane ties. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** In-memory BPE merge loop over a collected word-frequency
+    * dictionary — [[bpeTrain]]'s fast path. Pair counts are maintained
+    * INCREMENTALLY (the Sennrich reference implementation's trick):
+    * each merge touches only the words that contain the winning pair
+    * (tracked in an inverted index), subtracting their old adjacent
+    * pairs and adding the new ones, so a round costs
+    * O(Σ affected word lengths) + one O(#live pairs) scan for the
+    * maximum — not a full dictionary pass per merge. The greedy
+    * non-overlapping left-to-right merge scan is the same fold the
+    * distributed round applies ('a a a' + (a,a) → ['aa','a']). */
+  private def bpeTrainLocal(dict0: Array[(Array[String], Long)],
+      numMerges: Int, minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    val words = dict0.map(w =>
+      collection.mutable.ArrayBuffer.from[String](w._1))
+    val cnts = dict0.map(_._2)
+    val stats = collection.mutable.HashMap.empty[(String, String), Long]
+    val index = collection.mutable.HashMap
+      .empty[(String, String), collection.mutable.Set[Int]]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val w = words(wi)
+      var i = 0
+      while (i < w.length - 1) {
+        val p = (w(i), w(i + 1))
+        val nv = stats.getOrElse(p, 0L) + sign * cnts(wi)
+        if (nv == 0L) stats.remove(p) else stats(p) = nv
+        if (sign > 0)
+          index.getOrElseUpdate(p, collection.mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
+    val merges =
+      collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (!done && round <= numMerges) {
+      // linear max scan with the distributed tie-break:
+      // count desc, then (l, r) UTF-8-binary ascending
+      var bl: String = null
+      var br: String = null
+      var bc = 0L
+      stats.foreach { case ((l, r), c) =>
+        if (bl == null || c > bc || (c == bc &&
+            (utf8Lt(l, bl) || (l == bl && utf8Lt(r, br))))) {
+          bl = l; br = r; bc = c
+        }
+      }
+      if (bl == null || bc < minPairCount) done = true
+      else {
+        merges += ((round, bl, br, bc))
+        // stale index entries (words that lost the pair to an earlier
+        // merge) are harmless: the re-derive below is a no-op for them
+        val affected = index.remove((bl, br)).map(_.toArray)
+          .getOrElse(Array.emptyIntArray)
+        affected.foreach { wi =>
+          addPairs(wi, -1L)
+          val w = words(wi)
+          val out = collection.mutable.ArrayBuffer.empty[String]
+          w.foreach { x =>
+            if (out.nonEmpty && out.last == bl && x == br)
+              out(out.length - 1) = bl + br
+            else out += x
+          }
+          words(wi) = out
+          addPairs(wi, 1L)
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The BPE word-frequency dictionary: one corpus scan → (cnt, syms)
+    * with syms = code points + '</w>'. Shared by [[bpeTrain]]'s loop
+    * and the p53 gate so the gated aggregation IS the trained one. */
+  private def bpeInitDict(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(array_remove(words(col(textCol)), "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))),
+        array(lit("</w>"))).as("syms"))
+
+  /** Adjacent-pair counts over a (cnt, syms) dictionary — the
+    * aggregation every [[bpeTrain]] round runs. Output: (l, r, pc). */
+  private def bpePairCounts(dict: DataFrame): DataFrame =
+    dict
+      // a fully-merged word (one symbol) has no adjacent pairs — and
+      // sequence(1, 0) would DESCEND into invalid indices
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+          element_at(col("syms"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l"), col("p.r"))
+      .agg(sum(col("cnt")).as("pc"))
+
+  /** Apply a learned BPE merge list to a corpus — the tokenizer
+    * runtime over [[bpeTrain]]'s output: every whitespace word splits
+    * into its BPE symbols (code points + '</w>' merged by the best-
+    * ranked-pair loop, [[graft.plans.BpeSegment]]), flattened per doc.
+    * The merge table is driver-collected ONCE (numMerges-bounded, the
+    * centroid-table pattern) and baked into the codegen'd expression's
+    * rank map — per row there is no parsing, no join, no shuffle: the
+    * whole tokenization is one map pass. Output: every caller column +
+    * `bpe_tokens` (array<string>) and `n_bpe_tokens` (no id column is
+    * needed — all caller columns pass through untouched). */
+  def bpeSegment(corpus: DataFrame, textCol: String,
+      merges: DataFrame): DataFrame =
+    corpus
+      .withColumn("bpe_tokens",
+        flatten(transform(array_remove(words(col(textCol)), ""),
+          w => call_function("bpe_segment", w, lit(encodeMerges(merges))))))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast(LongType))
+
+  /** The "l r"-lines encoding [[graft.plans.BpeSegment]] bakes its
+    * rank table from — ONE driver collect of the numMerges-bounded
+    * table, shared by [[bpeSegment]] and [[bpeEncodeIds]]. */
+  private def encodeMerges(merges: DataFrame): String =
+    merges.orderBy(col(merges.columns(0)))
+      .select(col(merges.columns(1)), col(merges.columns(2)))
+      .collect().map(r => r.getString(0) + " " + r.getString(1))
+      .mkString("\n")
+
+  /** The token-id vocabulary of a trained BPE model — (id, symbol),
+    * the SentencePiece/HF vocab-file layout: base symbols first
+    * ('</w>' + every distinct code point of the training corpus's
+    * words, UTF-8-binary ascending), then the merge outputs in rank
+    * order, ids = 0..V−1. Deterministic given (corpus, merges), so
+    * train-once/serve-many pipelines can rebuild it bit-identically.
+    * Scale shape: the base alphabet comes from one distinct-character
+    * aggregation (alphabet-bounded — a few thousand rows even for CJK
+    * corpora) and the merge table is numMerges-bounded, so both
+    * collects are parameter-sized, the kmeans-centroid pattern. The
+    * pathological collision (a merge output spelling exactly "</w>"
+    * or another entry) keeps the FIRST id, like the runtime's
+    * first-wins rank table. */
+  def bpeVocab(corpus: DataFrame, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus
+      .select(explode(array_remove(words(col(textCol)), "")).as("w"))
+      .select(explode(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("sym"))
+      .distinct()
+      // no cluster-side orderBy: the driver sortWith below is the one
+      // ordering that matters, and a global sort on the alphabet-sized
+      // frame would just add a single-partition exchange
+      .collect().map(_.getString(0))
+    val mergeSyms = merges.orderBy(col(merges.columns(0)))
+      .collect().map(r => r.getString(1) + r.getString(2))
+    val all = ((("</w>" +: base.toSeq).sortWith(utf8Lt)) ++ mergeSyms).distinct
+    import spark.implicits._
+    all.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "symbol")
+  }
+
+  /** BPE tokenization to integer TOKEN IDS — what sequence packing,
+    * length bucketing and every downstream training pipeline actually
+    * consume (symbol strings are a debugging view; models eat ids).
+    * Same single map pass as [[bpeSegment]] — the codegen'd
+    * [[graft.plans.BpeEncodeIds]] expression segments each
+    * whitespace word with the baked rank table and maps symbols
+    * through the baked vocab-id table in one traversal; no per-row
+    * parsing, no join, no shuffle. Symbols outside `vocab` (an
+    * alphabet character never seen at training time) encode as -1,
+    * the UNK sentinel — filter or remap downstream; ids are otherwise
+    * exactly the `vocab` ids, so `bpeVocab`'s (id, symbol) table
+    * round-trips ids back to [[bpeSegment]]'s symbols (pinned in
+    * BpeSpec). Output: every caller column + `bpe_ids` (array<int>)
+    * and `n_bpe_tokens`. */
+  def bpeEncodeIds(corpus: DataFrame, textCol: String, merges: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val encodedVocab = vocab.orderBy(col(vocab.columns(0)))
+      .select(col(vocab.columns(1)))
+      .collect().map(_.getString(0)).mkString("\n")
+    corpus
+      .withColumn("bpe_ids",
+        flatten(transform(array_remove(words(col(textCol)), ""),
+          w => call_function("bpe_encode_ids", w,
+            lit(encodeMerges(merges)), lit(encodedVocab)))))
+      .withColumn("n_bpe_tokens", size(col("bpe_ids")).cast(LongType))
+  }
+
+  /** TextOps QueryDefs — registered through [[Pipeline.queries]];
+    * names, plans and oracle SQL unchanged by the r15 module split. */
+  private[operators] lazy val textQueries: Seq[QueryDef] = Seq(
+    // ---- p11: token counting — whitespace tokens and a BPE-ish
+    // regex tokenizer (letter runs | digit runs | single symbol),
+    // aggregated per language.
+    QueryDef(
+      "p11_token_count",
+      (s, d) =>
+        tokenCounts(T.documents(s, d), "text")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).as("total_ws_tokens"),
+            sum(col("bpe_tokens")).as("total_bpe_tokens"))
+          .orderBy(col("lang")),
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- p13: the composed curation pipeline (operators.Curation) —
+    // dedup → lang gate → length gate → quality gate → token cap, the
+    // end-to-end corpus-prep job, oracle-checked as one query.
+    QueryDef(
+      "p13_curation_pipeline",
+      (s, d) =>
+        Curation.curate(T.documents(s, d)).orderBy(col("doc_id")),
+      Some("""
+        WITH dedup AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang, source, n_chars,
+                 CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+                 least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+                 + CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+                   / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 0.2
+                 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE)) * 0.2
+                 + CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+                   / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 0.2 AS quality
+          FROM dedup
+          -- NULL text never matches anything (mirrors exactDedup's
+          -- keep-all-NULL-text contract)
+          WHERE (dup_rank = 1 OR text IS NULL)
+            AND lang IN ('en','de','fr','es') AND n_chars >= 100)
+        SELECT doc_id, lang, source, n_chars, n_tokens, quality
+        FROM scored WHERE quality >= 0.5 AND n_tokens <= 10000
+        ORDER BY doc_id""")),
+
+    // ---- p14: corpus vocabulary — global word frequencies with exact
+    // doc-frequency, top-100 by count (deterministic tiebreak on the
+    // word). The groupBy(word) shuffle is the canonical distributed
+    // term-count; TakeOrdered handles the top-k without a full sort.
+    QueryDef(
+      "p14_vocab_topk",
+      (s, d) => vocabTopK(T.documents(s, d), "doc_id", "text", k = 100),
+      Some("""
+        SELECT w, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM documents, unnest(string_split_regex(text, '\s+')) t(w)
+        GROUP BY w ORDER BY tf DESC, w ASC LIMIT 100""")),
+
+    // ---- p20: PII detection + redaction — the scrub stage every
+    // training-data pipeline runs before anything else. Pure map-side
+    // regex work (counts on the raw text, chained replacements for the
+    // redacted form); the ONLY shuffle is the final presentation sort,
+    // so the plan is embarrassingly parallel at any corpus size. The
+    // synthetic corpus carries no digits at all, so PII-shaped tokens
+    // (emails, a NANP phone, an IPv4) are injected deterministically
+    // from doc_id on BOTH sides — the same synthesize-then-operate
+    // trick t21 uses — making counts and the redacted-text hash a real
+    // oracle rather than all-zeros.
+    QueryDef(
+      "p20_pii_scrub",
+      (s, d) => {
+        val id = col("doc_id")
+        // coalesce: Spark's concat propagates NULL, DuckDB's skips it —
+        // a NULL text row must not zero out the injected suffix
+        val injected = concat(coalesce(col("text"), lit("")),
+          when(id % 3 === 0, concat(
+            lit(" contact user"), id.cast(StringType),
+            lit("@mail.example.com or +1-555-"),
+            lpad((id % 10000).cast(StringType), 4, "0"),
+            lit(" from 10.0."), (id % 256).cast(StringType), lit(".1")))
+            .otherwise(lit("")),
+          when(id % 6 === 0, lit(" cc admin@corp.example.org"))
+            .otherwise(lit("")))
+        val redacted = PiiScrub.redact(injected)
+        T.documents(s, d)
+          .select(id +: PiiScrub.counts(injected) :+
+            md5(redacted).as("redacted_hash") :+
+            length(redacted).cast(LongType).as("redacted_len"): _*)
+          .orderBy(id)
+      },
+      Some("""
+        WITH inj AS (
+          SELECT doc_id,
+                 concat(text,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     concat(' contact user', CAST(doc_id AS VARCHAR),
+                       '@mail.example.com or +1-555-',
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                       ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1')
+                   ELSE '' END,
+                   CASE WHEN doc_id % 6 = 0 THEN ' cc admin@corp.example.org'
+                   ELSE '' END) AS t
+          FROM documents),
+        red AS (
+          SELECT doc_id, t,
+                 regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          FROM inj),
+        red2 AS (
+          SELECT doc_id, t, t1,
+                 regexp_replace(t1, '\+1-555-[0-9]{4,}', '<PHONE>', 'g') AS t2
+          FROM red),
+        red3 AS (
+          SELECT doc_id, t, t1, t2,
+                 regexp_replace(t2, '10\.0\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS r
+          FROM red2)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t1, '\+1-555-[0-9]{4,}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(t2, '10\.0\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+               md5(r) AS redacted_hash,
+               CAST(length(r) AS BIGINT) AS redacted_len
+        FROM red3 ORDER BY doc_id""")),
+
+    // ---- p22: sequence packing — concatenate-and-chunk the token
+    // stream into fixed context windows (L=512), the standard
+    // pre-training data prep where documents may straddle chunk
+    // boundaries. The global token offset is a TWO-PHASE prefix sum:
+    // per-source running sums compute in parallel windows (source is
+    // the shard key), and the tiny per-source totals table — one row
+    // per source — carries the base offsets via broadcast. A single
+    // global orderBy window would drag the whole corpus through ONE
+    // partition; this shape never does. All-integer arithmetic, so the
+    // oracle matches exactly.
+    QueryDef(
+      "p22_sequence_packing",
+      (s, d) =>
+        packSequences(T.documents(s, d), "doc_id", "source",
+          size(words(col("text"))).cast(LongType), contextLen = 512)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok
+          FROM documents),
+        r AS (
+          SELECT *, SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS run FROM t),
+        bb AS (
+          SELECT source AS b_source,
+                 CAST(SUM(total) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING)
+                   - total AS BIGINT) AS base
+          FROM (SELECT source, SUM(tok) AS total FROM t GROUP BY source)),
+        o AS (
+          SELECT doc_id, r.source, tok, base + run - tok AS tok_offset
+          FROM r JOIN bb ON r.source = bb.b_source)
+        SELECT doc_id, source, tok, CAST(tok_offset AS BIGINT) AS tok_offset,
+               CAST(FLOOR(tok_offset / 512) AS BIGINT) AS first_chunk,
+               CAST(FLOOR((tok_offset + tok - 1) / 512) AS BIGINT) AS last_chunk,
+               CAST(FLOOR((tok_offset + tok - 1) / 512) - FLOOR(tok_offset / 512) + 1 AS BIGINT) AS n_chunks
+        FROM o ORDER BY doc_id""")),
+
+    // ---- p43: overlapping text chunking — [[chunkText]] at 20-word
+    // chunks / 5-word overlap (stride 15) over the fixture corpus, so
+    // most docs emit several chunks and the tail-chunk rule is
+    // exercised. The oracle replays the closed-form chunk count
+    // (floor-division; the n < chunkWords branch is masked identically
+    // by greatest(0, ·) in both engines), the slice windows, the
+    // single-space re-join, AND the original-document char spans: the
+    // word_spans kernel's offsets are recomputed in DuckDB by per-char
+    // classification (a word START is a non-ws char at position 1 or
+    // after a ws char; a word END mirrors it), so both engines must
+    // agree on every chunk's citable (start_char, end_char).
+    QueryDef(
+      "p43_chunk_text",
+      (s, d) =>
+        chunkText(T.documents(s, d), "doc_id", "text",
+          chunkWords = 20, overlapWords = 5)
+          .orderBy(col("doc_id"), col("chunk_no")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS ws FROM documents),
+        n AS (SELECT doc_id, text, ws, len(ws) AS n FROM w),
+        sp AS MATERIALIZED (
+          SELECT doc_id, ws, n,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = 1 OR substr(text, i - 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS starts,
+                 list_filter(range(1, len(text) + 1), i ->
+                   substr(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+                   AND (i = len(text) OR substr(text, i + 1, 1) IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS ends
+          FROM n),
+        c AS (
+          SELECT doc_id, ws, n, starts, ends, CAST(i AS INT) AS chunk_no
+          FROM sp, unnest(range(0, 1 + greatest(0, (n - 20 + 14) // 15))) t(i))
+        SELECT doc_id, chunk_no,
+               CAST(chunk_no AS BIGINT) * 15 AS start_word,
+               CAST(least(20, n - chunk_no * 15) AS BIGINT) AS n_chunk_words,
+               array_to_string(ws[chunk_no * 15 + 1 : chunk_no * 15 + 20], ' ') AS chunk_text,
+               starts[chunk_no * 15 + 1] AS start_char,
+               ends[chunk_no * 15 + least(20, n - chunk_no * 15)] AS end_char
+        FROM c ORDER BY doc_id, chunk_no""")),
+
+    // ---- p53: BPE pair statistics — the distributed CORE of
+    // [[bpeTrain]]'s merge rounds (word-frequency dictionary → symbol
+    // pairs weighted by word count → global ranking) as one gated
+    // plan: the top-10 first-round merge candidates over the fixture
+    // corpus, ties broken (count desc, pair asc) exactly as training
+    // breaks them. The iterative loop itself is spec-gated against a
+    // sequential reference (BpeSpec); this pins the aggregation that
+    // every round runs cross-engine.
+    QueryDef(
+      "p53_bpe_pair_stats",
+      (s, d) => {
+        // the SAME helpers the bpeTrain loop runs — the gate pins the
+        // trained aggregation itself, not a hand-copied twin
+        bpePairCounts(bpeInitDict(T.documents(s, d), "text"))
+          .select(col("l").as("left"), col("r").as("right"),
+            col("pc").as("pair_count"))
+          .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+          .limit(10)
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("pair_count").desc, col("left").asc, col("right").asc)))
+      },
+      Some("""
+        WITH d AS (
+          SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS w FROM documents)
+          GROUP BY w),
+        sy AS (
+          SELECT cnt, list_append(list_transform(range(1, length(w) + 1),
+                   i -> substr(w, i, 1)), '</w>') AS syms
+          FROM d),
+        pr AS (
+          SELECT syms[i] AS "left", syms[i + 1] AS "right", SUM(cnt) AS pair_count
+          FROM sy, unnest(range(1, len(syms))) t(i)
+          GROUP BY 1, 2)
+        SELECT "left", "right", CAST(pair_count AS BIGINT) AS pair_count,
+               CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC,
+                 "left" ASC, "right" ASC) AS INT) AS rk
+        FROM pr
+        ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 10""")),
+
+    // ---- p60: sentence-boundary-aware chunking — [[chunkText]] with
+    // respectSentences = true at 20-word chunks / 5-word overlap. The
+    // fixture corpus is punctuation-free, so every 7th word gets a '.'
+    // suffix (both engines synthesize the page identically); the
+    // oracle then replays the SEQUENTIAL snap walk with a recursive
+    // CTE — next start = max(s+1, e−overlap), end = last in-window
+    // sentence boundary + 1, fixed window when none, whole tail when
+    // it fits — plus the slice re-join and the per-char word-span
+    // citations (the p43 classification).
+    QueryDef(
+      "p60_sentence_chunks",
+      (s, d) => {
+        val ws0 = array_remove(words(col("text")), "")
+        val wsP = transform(ws0, (x, i) =>
+          when((i + 1) % 7 === 0, concat(x, lit("."))).otherwise(x))
+        chunkText(
+          T.documents(s, d).select(col("doc_id"),
+            array_join(wsP, " ").as("page")),
+          "doc_id", "page", chunkWords = 20, overlapWords = 5,
+          respectSentences = true)
+          .orderBy(col("doc_id"), col("chunk_no"))
+      },
+      Some("""
+        WITH RECURSIVE
+        w AS (
+          SELECT doc_id, list_transform(
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                   (x, i) -> CASE WHEN i % 7 = 0 THEN x || '.' ELSE x END) AS ws
+          FROM documents),
+        pgx AS MATERIALIZED (
+          SELECT doc_id, ws, array_to_string(ws, ' ') AS page FROM w),
+        nn AS MATERIALIZED (
+          SELECT doc_id, ws, page, len(ws) AS n,
+                 list_filter(range(0, len(ws)), j ->
+                   ws[j + 1][-1] IN ('.', '!', '?', '"', '”')) AS sends
+          FROM pgx),
+        walk(doc_id, chunk_no, s, e) AS (
+          SELECT doc_id, 0, 0,
+                 CASE WHEN n <= 20 THEN n
+                      ELSE coalesce(list_max(list_filter(sends, j ->
+                             j >= 0 AND j < 20)) + 1, 20) END
+          FROM nn
+          UNION ALL
+          SELECT k.doc_id, k.chunk_no + 1,
+                 greatest(k.s + 1, k.e - 5),
+                 CASE WHEN nn.n - greatest(k.s + 1, k.e - 5) <= 20 THEN nn.n
+                      ELSE coalesce(list_max(list_filter(nn.sends, j ->
+                             j >= greatest(k.s + 1, k.e - 5) AND
+                             j < greatest(k.s + 1, k.e - 5) + 20)) + 1,
+                           greatest(k.s + 1, k.e - 5) + 20) END
+          FROM walk k JOIN nn ON nn.doc_id = k.doc_id
+          WHERE k.e < nn.n),
+        sp AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(range(1, len(page) + 1), i ->
+                   substr(page, i, 1) <> ' '
+                   AND (i = 1 OR substr(page, i - 1, 1) = ' ')) AS cstarts,
+                 list_filter(range(1, len(page) + 1), i ->
+                   substr(page, i, 1) <> ' '
+                   AND (i = len(page) OR substr(page, i + 1, 1) = ' ')) AS cends
+          FROM pgx)
+        SELECT k.doc_id, CAST(k.chunk_no AS INT) AS chunk_no,
+               CAST(k.s AS BIGINT) AS start_word,
+               CAST(k.e - k.s AS BIGINT) AS n_chunk_words,
+               coalesce(array_to_string(nn.ws[k.s + 1 : k.e], ' '), '') AS chunk_text,
+               sp.cstarts[k.s + 1] AS start_char,
+               sp.cends[k.e] AS end_char
+        FROM walk k
+        JOIN nn ON nn.doc_id = k.doc_id
+        JOIN sp ON sp.doc_id = k.doc_id
+        ORDER BY k.doc_id, k.chunk_no""")),
+
+    // ---- m01: multimodal column plumbing — opaque binary payload +
+    // typed metadata struct; "decode"/feature steps are deterministic
+    // byte-level functions (the real decode is stubbed — image/audio
+    // libs are not in scope; the schema/partitioning/batch shape is the
+    // real deliverable, see operators.Multimodal for the typed
+    // mapPartitions path).
+    QueryDef(
+      "m01_multimodal_meta",
+      (s, d) => {
+        val payload = encode(col("text"), "UTF-8")
+        // metadata struct is built, then flattened to scalar fields for
+        // the driver's comparator (struct cells crash it, r03 m01); the
+        // typed-struct path lives in operators.Multimodal + its spec.
+        val meta = struct(
+          lit("text/plain").as("mime"),
+          octet_length(payload).cast(LongType).as("n_bytes"))
+        T.documents(s, d)
+          .select(col("doc_id"),
+            meta.getField("mime").as("meta_mime"),
+            meta.getField("n_bytes").as("meta_n_bytes"),
+            substring(hex(payload), 1, 16).as("head_hex"),
+            (octet_length(payload).cast(LongType) / lit(100L)).cast(LongType)
+              .as("n_frames"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               'text/plain' AS meta_mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS meta_n_bytes,
+               substr(hex(encode(text)), 1, 16) AS head_hex,
+               CAST(octet_length(encode(text)) // 100 AS BIGINT) AS n_frames
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- m03: overlapping analysis windows (audio-style STFT layout)
+    // through the typed mapPartitions path — 200-byte windows every 100
+    // bytes (50% overlap), final partial window kept iff ≥ half a
+    // window remains. The oracle derives the identical emission rule
+    // arithmetically.
+    QueryDef(
+      "m03_multimodal_windows",
+      (s, d) =>
+        Multimodal.sampleWindows(Multimodal.fromDocuments(s, d),
+          width = 200, hop = 100)
+          .toDF()
+          .orderBy(col("doc_id"), col("window_no")),
+      Some("""
+        WITH m AS (
+          SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        SELECT doc_id, CAST(i AS INT) AS window_no,
+               CAST(i * 100 AS BIGINT) AS "offset",
+               CAST(least(200, n - i * 100) AS BIGINT) AS length
+        FROM m, unnest(range(0, n // 100 + 1)) t(i)
+        WHERE i * 100 < n AND n - i * 100 >= 100
+        ORDER BY doc_id, window_no""")),
+
+    // ---- m02: multimodal frame sampling through the REAL typed path —
+    // Dataset[MediaRecord] → mapPartitions (codec-init-per-partition
+    // shape) → Dataset[FrameSample] — so the driver gate covers the
+    // mapPartitions plumbing itself, not just m01's column projection.
+    // One "frame" per stride bytes of payload; a real decoder swaps in
+    // for the stub with no plumbing change (operators.Multimodal).
+    QueryDef(
+      "m02_multimodal_frames",
+      (s, d) => {
+        Multimodal.sampleFrames(Multimodal.fromDocuments(s, d), stride = 100)
+          .toDF()
+          .orderBy(col("doc_id"), col("frame_no"))
+      },
+      Some("""
+        SELECT doc_id, CAST(i AS INT) AS frame_no,
+               CAST(i * 100 AS BIGINT) AS "offset"
+        FROM documents,
+             unnest(range(0, octet_length(encode(text)) // 100)) t(i)
+        ORDER BY doc_id, frame_no"""))
+  )
+}
