@@ -105,20 +105,21 @@ private[operators] trait AnnOps { self: Pipeline.type =>
     * [[knnBruteCosine]] in the reduced space at a fraction of the
     * distance cost. Output elements are FLOAT so the projected column
     * composes directly with every embedding operator in this library
-    * (they all take array&lt;float&gt;); each output dim is one
-    * codegen'd [[graft.plans.FloatDotProduct]] fold — entirely
-    * map-side, ZERO shuffle, embarrassingly parallel at any scale.
-    * The double→float round is IEEE RNE in both engines and √outDim
-    * is correctly-rounded in both, so projected values are
-    * bit-identical in Spark and DuckDB. */
+    * (they all take array&lt;float&gt;); the whole projection is ONE
+    * codegen'd [[graft.plans.JlProject]] node whose ±1 weight table is
+    * built once and bound as a codegen reference object (the literal-
+    * array spelling inlined ~49k expression nodes at the documented
+    * 768→64 production scale — slow analysis + a codegen size-limit
+    * fallback risk, ADVICE r14) — entirely map-side, ZERO shuffle,
+    * embarrassingly parallel at any scale. The double→float round is
+    * IEEE RNE in both engines and √outDim is correctly-rounded in
+    * both, so projected values are bit-identical in Spark and DuckDB
+    * (JlProjectSpec pins kernel ≡ literal spelling ≡ oracle). */
   def randomProject(corpus: DataFrame, vecCol: String, dim: Int,
       outDim: Int, outCol: String = "projected"): DataFrame = {
     require(outDim > 0, s"outDim must be positive, got $outDim")
-    val inv = 1.0 / math.sqrt(outDim.toDouble)
-    corpus.withColumn(outCol, array((0 until outDim).map { j =>
-      val w = array((0 until dim).map(d => lit(srpWeight(j, d).toFloat)): _*)
-      (dot(col(vecCol), w) * inv).cast(FloatType)
-    }: _*))
+    corpus.withColumn(outCol,
+      call_function("jl_project", col(vecCol), lit(dim), lit(outDim)))
   }
 
   /** Per-label centroid outliers over ANY embedding corpus — the p29

@@ -47,7 +47,30 @@ object Curation {
     * the eval frame's text column (defaults to `textCol`). */
   def cleanText(docs: DataFrame, idCol: String, textCol: String,
       evalSet: Option[DataFrame] = None, substringMinLen: Int = 50,
-      decontaminateN: Int = 13, evalTextCol: String = ""): DataFrame = {
+      decontaminateN: Int = 13, evalTextCol: String = ""): DataFrame =
+    cleanTextManaged(docs, idCol, textCol, evalSet, substringMinLen,
+      decontaminateN, evalTextCol).frame
+
+  /** Handle over a [[cleanTextManaged]] result: `frame` is the cleaned
+    * corpus; `release()` drops the chain's localCheckpoint blocks from
+    * the block manager. Call it only AFTER the last action on `frame`
+    * (or any frame derived from it) — the lineage reads the blocks.
+    * Idempotent; the same discipline as Pipeline.bpeTrain's internal
+    * releaseLocalCheckpoint (ADVICE r14: without a release path,
+    * repeated one-shot cleans accumulate storage until the session
+    * dies). */
+  final class CleanTextHandle private[Curation] (val frame: DataFrame,
+      checkpointed: DataFrame) {
+    def release(): Unit =
+      Pipeline.releaseLocalCheckpoint(checkpointed, blocking = true)
+  }
+
+  /** [[cleanText]] with an explicit lifetime for the intermediate
+    * localCheckpoint — use this form when running MANY cleans in one
+    * session: materialize/write `handle.frame`, then `handle.release()`. */
+  def cleanTextManaged(docs: DataFrame, idCol: String, textCol: String,
+      evalSet: Option[DataFrame] = None, substringMinLen: Int = 50,
+      decontaminateN: Int = 13, evalTextCol: String = ""): CleanTextHandle = {
     val c4 = Pipeline.c4CleanLines(docs, idCol, textCol)
       .filter(col("keep"))
       .select(col(idCol).as("doc_id"), col("cleaned_text"))
@@ -55,10 +78,9 @@ object Curation {
     // itself instantiates its input twice — gram table + rebuild base)
     // and the line-counter join below; without materialization
     // Catalyst re-executes the scan + C4 pass + the paragraph dedup's
-    // two shuffles up to three times. The blocks live until the
-    // session ends (the returned frame reads them) — callers doing
-    // repeated one-shot cleans at scale should write the result out
-    // and drop the lineage anyway.
+    // two shuffles up to three times. Via plain [[cleanText]] the
+    // blocks live until the session ends (the returned frame reads
+    // them); [[cleanTextManaged]]'s handle releases them.
     val par = Pipeline
       .dedupParagraphsGlobal(c4, "doc_id", "cleaned_text")
       .localCheckpoint()
@@ -71,7 +93,7 @@ object Curation {
         col("n_kept_lines"))
       .join(sub, Seq("doc_id"))
     val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
-    (evalSet match {
+    val out = (evalSet match {
       case Some(es) =>
         Pipeline.decontaminateSpans(joined, es, "text_deduped",
           n = decontaminateN, evalTextCol = evCol)
@@ -81,6 +103,7 @@ object Curation {
     }).select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
       col("n_words"), col("n_cut_words"), col("n_flagged_grams"),
       col("text_clean"))
+    new CleanTextHandle(out, par)
   }
 
   /** documents → curated corpus rows (kept docs + token accounting).

@@ -586,187 +586,6 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Per-(train, eval) shared distinct word-k-gram counts over ANY two
-    * corpora — the p16 decontamination core as a reusable operator.
-    * The eval side is broadcast (benchmarks are small by contract);
-    * output is (train_doc, eval_doc, n_shared_kgrams). */
-  def sharedKgramCounts(train: DataFrame, evalSet: DataFrame, idCol: String,
-      textCol: String, k: Int = 5, hashKeys: Boolean = false): DataFrame = {
-    // hashKeys = the production contract: join on 48-bit gram hashes
-    // instead of gram strings, cutting broadcast bytes (the registered
-    // p16 keeps string keys so the oracle is byte-exact; 48-bit
-    // collisions are ~0 at benchmark-suite scale but nonzero, hence
-    // opt-in)
-    // empty tokens are removed BEFORE gram formation, like p47 (ADVICE
-    // r12): leading/trailing whitespace otherwise injects "" as a
-    // word, and a boundary gram carrying only k-1 real words would
-    // inflate the per-pair overlap counts
-    def grams(df: DataFrame, outId: String) = df
-      .select(col(idCol).as(outId),
-        array_remove(words(col(textCol)), "").as("ws"))
-      .filter(size(col("ws")) >= k)
-      .select(col(outId),
-        explode(
-          if (hashKeys) call_function("kgram_hashes", col("ws"), lit(k), lit(6))
-          else call_function("kgram_strings", col("ws"), lit(k))).as("g"))
-    grams(train, "train_doc")
-      .join(broadcast(grams(evalSet, "eval_doc")), "g")
-      .groupBy(col("train_doc"), col("eval_doc"))
-      .agg(count(lit(1)).as(s"n_shared_${k}grams"))
-  }
-
-  /** N-gram eval-set decontamination over ANY corpus — the production
-    * recipe (GPT-3, Brown et al. 2020, Appendix C; Gopher/MassiveText
-    * train–test overlap): flag every corpus document sharing ANY word
-    * n-gram (default n = 13) with the eval set, so contaminated docs
-    * can be dropped before training rather than silently inflating
-    * eval scores. Complements [[sharedKgramCounts]] (which reports
-    * per-(train, eval-doc) overlap COUNTS through an explode + join):
-    * this is the boolean bulk-filter form, and its shape is the one a
-    * 100 TB pass wants — the eval side is benchmark-suite-sized by
-    * contract, so its distinct n-gram hashes collapse to ONE row
-    * (`sort_array(collect_set(h))`) that broadcasts to every executor,
-    * and the corpus side is a single map pass: positioned ROLLING
-    * gram hashes ([[graft.plans.KgramRollHashesAll]] — each word
-    * md5'd ONCE, windows combined mod 2⁶¹−1 in O(1) per slide; the
-    * per-window-digest kernel re-hashes every word n times, ~n×
-    * redundant digest work on a full-corpus pass) probed into the
-    * broadcast array by [[graft.plans.AnyInSorted]] (binary search
-    * per gram — O(g log m) per doc, no per-row set build, no explode,
-    * and the corpus never shuffles or joins on anything data-sized).
-    * 61-bit hashes: eval suites fit ~10⁶ grams, where the collision
-    * odds against any one document's grams are ~10⁻¹² — and a
-    * collision only ever over-flags one doc (false positive), never
-    * leaks contamination through.
-    *
-    * Output: every corpus row + a boolean `flagCol`. Docs shorter than
-    * n words carry no n-gram and are never flagged; an empty eval set
-    * flags nothing. `evalTextCol` defaults to `textCol` for same-schema
-    * corpora. */
-  def ngramDecontaminate(corpus: DataFrame, evalSet: DataFrame,
-      textCol: String, n: Int = 13,
-      evalTextCol: String = "", flagCol: String = "contaminated"): DataFrame = {
-    val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
-    // empty tokens are removed BEFORE gram formation: leading/trailing
-    // whitespace otherwise injects "" as a word, so a boundary gram
-    // carries only n-1 real words and a shared (n-1)-word run at doc
-    // start could flag as n-gram contamination (ADVICE r11). The
-    // rolling kernel keeps repeats; collect_set dedups the eval side.
-    val evalHashes = evalSet
-      .select(explode(call_function("kgram_roll_hashes_all",
-        array_remove(words(col(evCol)), ""), lit(n))).as("h"))
-      .agg(sort_array(collect_set(col("h"))).as("__eval_ngram_hashes"))
-    corpus.crossJoin(broadcast(evalHashes))
-      // coalesce(false): a NULL text has no n-grams and is NOT
-      // contaminated — a NULL flag would escape both filter(flag) and
-      // filter(!flag), silently losing the doc from the clean AND the
-      // contaminated sets (the gopher NULL-verdict lesson, review r11)
-      .withColumn(flagCol, coalesce(call_function("any_in_sorted",
-        call_function("kgram_roll_hashes_all",
-          array_remove(words(col(textCol)), ""), lit(n)),
-        col("__eval_ngram_hashes")), lit(false)))
-      .drop("__eval_ngram_hashes")
-  }
-
-  /** SPAN-granular eval-set decontamination — the excise-the-span
-    * variant of [[ngramDecontaminate]]: instead of flagging (and
-    * typically dropping) every document sharing a word n-gram with the
-    * eval set, cut just the contaminated windows out of the text and
-    * KEEP the document — the recipe for high-value corpora where
-    * whole-doc drops are too lossy (a 50k-word book is not discarded
-    * for quoting one benchmark question). Same dataflow as the boolean
-    * form, and the same 100 TB shape: the eval side collapses to ONE
-    * sorted rolling-hash row that broadcasts, and the corpus side is a
-    * single map pass — positioned ROLLING gram hashes
-    * ([[graft.plans.KgramRollHashesAll]], each word md5'd once,
-    * windows slid in O(1)) probed
-    * by binary search into the broadcast array by the
-    * [[graft.plans.PositionsInSorted]] kernel (O(g log m) per doc, no
-    * explode, no join, no shuffle), then window merge + excision via
-    * the [[graft.plans.WordSpans]] char offsets ([[cutIntervals]] /
-    * [[exciseSegments]] — also map-side). The corpus never shuffles at
-    * all: the operator is embarrassingly parallel.
-    *
-    * Output: every corpus row + (n_flagged_grams, cut_spans
-    * "cs-ce,…" in the word domain, `cleanCol`). Clean documents pass
-    * through BYTE-IDENTICAL (NULL stays NULL); contaminated ones
-    * re-join their kept segments with single spaces (interior
-    * whitespace of each segment preserved verbatim). Docs shorter than
-    * n words carry no n-gram and are never cut; an empty eval set cuts
-    * nothing. `evalTextCol` defaults to `textCol`. A 61-bit collision
-    * can only over-cut one window, never leak contamination. */
-  def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
-      textCol: String, n: Int = 13,
-      evalTextCol: String = "", cleanCol: String = "text_clean"): DataFrame = {
-    val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
-    val evalHashes = evalSet
-      .select(explode(call_function("kgram_roll_hashes_all",
-        array_remove(words(col(evCol)), ""), lit(n))).as("h"))
-      .agg(sort_array(collect_set(col("h"))).as("__eval_ngram_hashes"))
-    corpus.crossJoin(broadcast(evalHashes))
-      .withColumn("__ws", array_remove(words(col(textCol)), ""))
-      .withColumn("__ps", call_function("positions_in_sorted",
-        call_function("kgram_roll_hashes_all", col("__ws"), lit(n)),
-        col("__eval_ngram_hashes")))
-      .withColumn("__cuts", cutIntervals(col("__ps"), n))
-      .withColumn("__spans", call_function("word_spans", col(textCol)))
-      .withColumn("n_flagged_grams",
-        coalesce(size(col("__ps")), lit(0)).cast(LongType))
-      .withColumn("cut_spans", cutSpansText(col("__cuts")))
-      .withColumn(cleanCol,
-        when(size(col("__cuts")) === 0, col(textCol))
-          .otherwise(exciseSegments(col(textCol), col("__spans"),
-            coalesce(size(col("__ws")), lit(0)), col("__cuts"))))
-      .drop("__eval_ngram_hashes", "__ws", "__ps", "__cuts", "__spans")
-  }
-
-  /** [[decontaminateSpans]] for a DATA-SIZED exclusion corpus — same
-    * semantics (cut every word window sharing an n-gram with
-    * `reference`, keep the doc, clean docs byte-identical), different
-    * physical strategy: the broadcast form collapses the eval side to
-    * one row, which is right for benchmark suites but impossible when
-    * the exclusion set is itself a corpus — the Lee et al. §6.2 /
-    * GPT-3 App. C case of scrubbing a new crawl against the PREVIOUS
-    * model's full training set. Here both sides emit positioned
-    * rolling gram hashes and meet in a SHUFFLE join on the hash
-    * (left_semi — the reference side needs no distinct pass, the semi
-    * join dedups; AQE handles Zipf-head skew), then the per-doc
-    * excision tail is identical. Pick by reference size: broadcast
-    * below executor-memory scale, this above. The two
-    * implementations are pinned equal on identical inputs in
-    * TextApiSpec. Output: (doc_id, n_words, n_cut_words, cut_spans,
-    * text_clean), one row per corpus doc. `refTextCol` defaults to
-    * `textCol`. */
-  def decontaminateSpansAgainstCorpus(corpus: DataFrame,
-      reference: DataFrame, idCol: String, textCol: String, n: Int = 13,
-      refTextCol: String = ""): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val rCol = if (refTextCol.isEmpty) textCol else refTextCol
-    val base = corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
-      .withColumn("__ws", array_remove(words(col("__t")), ""))
-      .withColumn("__n", coalesce(size(col("__ws")), lit(0)))
-    val corpusGrams = base.filter(col("__n") >= n)
-      .select(col("doc_id"), posexplode(call_function("kgram_roll_hashes_all",
-        col("__ws"), lit(n))).as(Seq("pos", "h")))
-    val refGrams = reference
-      .select(array_remove(words(col(rCol)), "").as("__rws"))
-      .filter(size(col("__rws")) >= n)
-      .select(explode(call_function("kgram_roll_hashes_all",
-        col("__rws"), lit(n))).as("h"))
-    val flagged = corpusGrams.join(refGrams, Seq("h"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("pos"))).as("__ps"))
-    base.join(flagged, Seq("doc_id"), "left")
-      .withColumn("__cuts", cutIntervals(col("__ps"), n))
-      .withColumn("__spans", call_function("word_spans", col("__t")))
-      .select(col("doc_id"),
-        col("__n").cast(LongType).as("n_words"),
-        cutWordCount(col("__cuts")).as("n_cut_words"),
-        cutSpansText(col("__cuts")).as("cut_spans"),
-        when(size(col("__cuts")) === 0, col("__t"))
-          .otherwise(exciseSegments(col("__t"), col("__spans"), col("__n"),
-            col("__cuts"))).as("text_clean"))
-  }
 
   /** Near-dup collapse of ANY corpus: keep ONE representative (minimum
     * id) per connected near-dup component and every unpaired row — the

@@ -252,35 +252,109 @@ private[operators] trait QualityOps { self: Pipeline.type =>
     * lines occurring more than once (all occurrences count — the
     * boilerplate-mass reading). `sep` picks the unit: "\n" for lines,
     * "\n\n" for paragraphs — run twice for both signals. Map-side
-    * per-row array folds (the occurrence counts are an O(L²) nested
-    * scan over a doc's own lines — L is per-document and small), no
-    * shuffle. Output: every caller column + (n_lines, dup_line_frac,
+    * per-row array folds over a SORTED copy of the doc's lines —
+    * a line occurs once iff it differs from both sorted neighbors —
+    * so the per-doc cost is O(L log L), not the nested-scan O(L²)
+    * that melted on book-length documents (ADVICE r14). No shuffle.
+    * Output: every caller column + (n_lines, dup_line_frac,
     * dup_line_char_frac); a doc with no non-blank lines scores 0s. */
   def gopherLineSignals(corpus: DataFrame, textCol: String,
       sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = filter(transform(split(col(textCol), sepRe), l => trim(l)),
       l => l =!= "")
-    val counted = transform(lines, l =>
-      struct(l.as("l"), size(filter(lines, x => x === l)).as("c")))
+    val srt = col("__srt")
+    val sz = size(srt)
+    val cur = (i: Column) => element_at(srt, i)
+    // chars inside lines occurring EXACTLY once: sorted-neighbor test
+    // (guards keep element_at off indices 0 / sz+1; CaseWhen evaluates
+    // branches lazily in both eval and codegen)
+    val onceChars = aggregate(sequence(lit(1), sz), lit(0L), (acc, i) =>
+      acc + when(
+        when(i === 1, lit(true)).otherwise(cur(i - 1) =!= cur(i)) &&
+        when(i === sz, lit(true)).otherwise(cur(i + 1) =!= cur(i)),
+        length(cur(i)).cast(LongType)).otherwise(lit(0L)))
+    val totalChars = aggregate(srt, lit(0L), (acc, l) =>
+      acc + length(l).cast(LongType))
     corpus
-      .withColumn("__ls", counted)
+      .withColumn("__srt", sort_array(lines))
       .withColumn("n_lines",
-        coalesce(size(col("__ls")), lit(0)).cast(LongType))
+        coalesce(size(col("__srt")), lit(0)).cast(LongType))
       .withColumn("dup_line_frac",
         when(col("n_lines") === 0, lit(0.0)).otherwise(
-          (col("n_lines") - size(array_distinct(transform(col("__ls"),
-            _.getField("l"))))).cast(DoubleType) / col("n_lines")))
+          (col("n_lines") - size(array_distinct(col("__srt"))))
+            .cast(DoubleType) / col("n_lines")))
       .withColumn("dup_line_char_frac",
         when(col("n_lines") === 0, lit(0.0)).otherwise(
-          aggregate(col("__ls"), lit(0L), (acc, s) =>
-            acc + when(s.getField("c") >= 2,
-              length(s.getField("l")).cast(LongType)).otherwise(lit(0L)))
-            .cast(DoubleType) /
-          greatest(aggregate(col("__ls"), lit(0L), (acc, s) =>
-            acc + length(s.getField("l")).cast(LongType)), lit(1L))))
-      .drop("__ls")
+          (totalChars - onceChars).cast(DoubleType) /
+            greatest(totalChars, lit(1L))))
+      .drop("__srt")
   }
+
+  /** C4 document-level badwords filter (Raffel et al. 2020 §2.2: drop
+    * any page containing a word from the blocklist — the "List of
+    * Dirty, Naughty, Obscene..." step every C4 reproduction runs,
+    * complementing [[c4CleanLines]]' LINE-level rules): flags each
+    * document whose whitespace tokens (lowercased when
+    * `caseInsensitive`) contain ANY blocklist word, whole-word only —
+    * "slowly" never matches "slow" because matching is on tokens, not
+    * substrings. The blocklist is config-sized (C4's is ~400 words) so
+    * it collapses to ONE sorted 48-bit-hash broadcast row; the corpus
+    * side is a single map pass (distinct word hashes via
+    * [[graft.plans.KgramHashes]] k=1, probed by the
+    * [[graft.plans.AnyInSorted]] binary search) — no explode, no join,
+    * no shuffle of the corpus; a 48-bit collision can only over-flag.
+    * Output: every caller column + `blocked`; NULL text is never
+    * blocked. Callers drop with `.filter(!col("blocked"))`. */
+  def badwordsFilter(corpus: DataFrame, textCol: String,
+      badwords: Seq[String], caseInsensitive: Boolean = true): DataFrame = {
+    require(badwords.nonEmpty, "need a non-empty blocklist")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val norm: Column => Column =
+      if (caseInsensitive) lower(_: Column) else identity
+    // blocklist → one sorted distinct-hash row, through the SAME word-
+    // hash kernel the corpus probe uses (never driver-side md5 — the
+    // two arithmetics could drift)
+    val bwRow = badwords.toDF("__w")
+      .select(call_function("kgram_hashes",
+        array(norm(col("__w"))), lit(1), lit(6)).as("__h"))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("__h")))))
+        .as("__bw"))
+    corpus
+      .crossJoin(broadcast(bwRow))
+      .withColumn("blocked", coalesce(
+        call_function("any_in_sorted",
+          call_function("kgram_hashes",
+            array_remove(words(norm(col(textCol))), ""), lit(1), lit(6)),
+          col("__bw")),
+        lit(false)))
+      .drop("__bw")
+  }
+
+  /** Canonical URL form for [[dedupByUrl]]: trim, lowercase, strip the
+    * `#fragment`, collapse trailing slashes. Deliberately conservative
+    * (no query-param reordering, no default-port logic) — the C4
+    * URL-dedup step needs a stable key, not full RFC 3986
+    * canonicalization; both regexes replay verbatim in the oracle. */
+  def urlNormalize(url: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(trim(url)), "#.*$", ""), "/+$", "")
+
+  /** URL-level exact dedup — C4 §2.2's "deduplicate by URL" step: keep
+    * ONE page (the minimum id) per [[urlNormalize]]d URL. The
+    * [[exactDedup]] plan shape on the URL key: one shuffle on the
+    * normalized-URL hash, nothing pairwise, NULL URLs never collapse
+    * with each other. Output: every caller column + `url_norm`. */
+  def dedupByUrl(corpus: DataFrame, idCol: String, urlCol: String): DataFrame =
+    corpus
+      .withColumn("url_norm", urlNormalize(col(urlCol)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(coalesce(col("url_norm"),
+            concat(lit("n:"), col(idCol).cast(StringType))))
+          .orderBy(col(idCol))))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
 
   /** Hashed bag-of-ngrams features as a standalone TABLE — the
     * fastText/DSIR feature map (all word 1..`maxGram`-grams, COUNTED
@@ -490,7 +564,22 @@ private[operators] trait QualityOps { self: Pipeline.type =>
     * [[classifierScore]]. */
   def trainQualityClassifier(pos: DataFrame, neg: DataFrame,
       textCol: String, buckets: Int = 8192, maxGram: Int = 2,
-      iters: Int = 20, lr: Double = 1.0): DataFrame = {
+      iters: Int = 20, lr: Double = 1.0): DataFrame =
+    trainLinearClassifier(pos, neg, textCol, buckets, iters, lr,
+      (df, id, t) => hashedNgramFeatures(df, id, t, buckets, maxGram))
+
+  /** The shared deterministic logistic-regression loop behind
+    * [[trainQualityClassifier]] (word-gram features) and
+    * [[trainLangIdClassifier]] (char-gram features): batch gradient
+    * descent where each iteration is two bounded Spark passes (one
+    * residual agg, one ≤`buckets+1`-row gradient collect) and the
+    * weight state lives driver-side — the same scale contract as the
+    * public wrapper documents. `featureFn(df, idCol, textCol)` must
+    * emit the [[hashedNgramFeatures]] shape (doc_id, b, cnt,
+    * doc_grams). */
+  private def trainLinearClassifier(pos: DataFrame, neg: DataFrame,
+      textCol: String, buckets: Int, iters: Int, lr: Double,
+      featureFn: (DataFrame, String, String) => DataFrame): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0, s"lr must be > 0, got $lr")
     val spark = pos.sparkSession
@@ -505,7 +594,7 @@ private[operators] trait QualityOps { self: Pipeline.type =>
       .localCheckpoint()
     val nDocs = docs.count().toDouble
     require(nDocs > 0, "need at least one labeled document")
-    val feats = hashedNgramFeatures(docs, "__doc", "__t", buckets, maxGram)
+    val feats = featureFn(docs, "__doc", "__t")
       .join(docs.select(col("__doc").as("doc_id"), col("__y")), Seq("doc_id"))
       .select(col("doc_id"), col("__y"),
         col("b").cast(IntegerType).as("b"),
@@ -536,6 +625,112 @@ private[operators] trait QualityOps { self: Pipeline.type =>
     }
     releaseLocalCheckpoint(feats)
     w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "w")
+  }
+
+  /** Hashed bag-of-CHAR-grams features — the fastText feature map
+    * (Joulin et al. 2017, "Bag of Tricks for Efficient Text
+    * Classification": character n-grams hashed into a fixed bucket
+    * space), emitting the SAME (doc_id, b, cnt, doc_grams) shape as
+    * [[hashedNgramFeatures]] so [[classifierScore]] and the shared
+    * trainer consume either interchangeably. Grams are the DISTINCT
+    * character k-grams for k in kMin..kMax (the codegen'd
+    * [[graft.plans.ChargramStrings]] pass — distinct-per-k unions to
+    * distinct overall since k-grams of different lengths never
+    * collide), hashed by 48-bit md5 prefix
+    * ([[graft.plans.Md5PrefixLong]] — the same oracle-replayable
+    * arithmetic every gram gate uses) and bucketed by pmod. Scale
+    * shape: one map-side explode bounded by document length, one
+    * (doc, b)-keyed partial-agg shuffle, one doc-keyed total. */
+  def hashedChargramFeatures(corpus: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096, kMin: Int = 1, kMax: Int = 3,
+      nBytes: Int = 6): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(kMin >= 1 && kMax >= kMin,
+      s"need 1 <= kMin <= kMax, got kMin=$kMin kMax=$kMax")
+    val rows = corpus.select(col(idCol).as("doc_id"),
+        explode(flatten(array((kMin to kMax).map(k =>
+          call_function("chargram_strings", col(textCol), lit(k))): _*)))
+          .as("g"))
+      .withColumn("b",
+        pmod(call_function("md5_prefix_long", col("g"), lit(nBytes)),
+          lit(buckets.toLong)))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = rows.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("doc_grams"))
+    rows.join(totals, Seq("doc_id"))
+  }
+
+  /** fastText-style language-ID training (Joulin'17 — the linear
+    * classifier over hashed char n-grams CCNet actually ships, vs
+    * [[langIdPredict]]'s marker-word heuristic): one-vs-rest logistic
+    * regression per language over [[hashedChargramFeatures]], via the
+    * same deterministic trainer as [[trainQualityClassifier]].
+    * `labeled` is the reference corpus with a ground-truth `langCol`
+    * (Wikipedia/Tatoeba in production). The language set is collected
+    * once (parameter-bounded — a langid model has tens of classes) and
+    * each class trains on the SAME feature table schema, so
+    * [[langIdScore]] can score all classes in one pass. Output:
+    * (lang, b, w) with the intercept at b = buckets — one weight row
+    * group per language, ordered by (lang, b). */
+  def trainLangIdClassifier(labeled: DataFrame, textCol: String,
+      langCol: String, buckets: Int = 4096, kMin: Int = 1, kMax: Int = 3,
+      iters: Int = 20, lr: Double = 1.0): DataFrame = {
+    val langs = labeled.select(col(langCol).cast(StringType).as("l"))
+      .filter(col("l").isNotNull).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(langs.length >= 2,
+      s"need at least two labeled languages, got ${langs.length}")
+    langs.map { l =>
+      trainLinearClassifier(
+        pos = labeled.filter(col(langCol) === l),
+        neg = labeled.filter(col(langCol) =!= l),
+        textCol, buckets, iters, lr,
+        (df, id, t) => hashedChargramFeatures(df, id, t, buckets, kMin, kMax))
+        .select(lit(l).as("lang"), col("b"), col("w"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Language-ID scoring + argmax over a [[trainLangIdClassifier]]
+    * weight table (or any (lang, b, w) table with intercepts at
+    * b = buckets): every document scores against every language in ONE
+    * corpus pass — features build once, the dense weight table
+    * broadcasts, the per-(doc, lang) dot products partial-aggregate
+    * through the decimal accumulator (order-free, engine-exact), and
+    * the winner is the highest score with ties to the lexicographically
+    * first language. Documents with no features (empty text) score
+    * bias-only, never drop. `margin` = winner score − runner-up score
+    * (NULL when the table has one language... which the trainer
+    * rejects). Scale shape: the feature shuffle carries gram-scale
+    * rows × |langs| into one (doc, lang) partial agg; the corpus
+    * itself never joins anything non-broadcast. Output: (doc_id,
+    * lang_pred, score, margin). */
+  def langIdScore(corpus: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int, kMin: Int = 1,
+      kMax: Int = 3): DataFrame = {
+    val feats = hashedChargramFeatures(
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+      "doc_id", "__t", buckets, kMin, kMax)
+    val wMain = weights.select(col("lang"), col("b"), col("w"))
+      .filter(col("b") < buckets)
+    val biases = weights.filter(col("b") === buckets)
+      .select(col("lang"), col("w").as("__bias"))
+    val dots = feats.join(broadcast(wMain), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(graft.QueryDef.dsum(col("w") *
+        (col("cnt").cast(DoubleType) / col("doc_grams"))).as("__dot"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    corpus.select(col(idCol).as("doc_id"))
+      .crossJoin(broadcast(biases))
+      .join(dots, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (coalesce(col("__dot"), lit(0.0)) + col("__bias")).as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("margin", col("score") - lead(col("score"), 1).over(w))
+      .filter(col("__rk") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"), col("score"),
+        col("margin"))
   }
 
   /** QualityOps QueryDefs — registered through [[Pipeline.queries]];
@@ -937,6 +1132,124 @@ private[operators] trait QualityOps { self: Pipeline.type =>
                  + 0.25 AS score
         FROM f JOIN tt ON tt.doc_id = f.doc_id
         GROUP BY f.doc_id ORDER BY f.doc_id""")),
+
+    // ---- p72: fastText-style language-ID scoring + argmax —
+    // [[langIdScore]] over [[hashedChargramFeatures]] (256 buckets,
+    // char 1..3-grams) with one deterministic dyadic-rational weight
+    // row group PER LANGUAGE (langs derived from the corpus itself,
+    // w = ((b·(li+2)) mod 9 − 4)/8, bias (li+1)/8): the gate certifies
+    // the whole serving path bit-for-bit — char-gram hashing,
+    // per-(doc, lang) decimal-accumulated dot products, bias-only
+    // fallback for featureless docs, argmax with the lang tiebreak,
+    // and the runner-up margin. Training (one-vs-rest over the same
+    // features via the shared trainer) is iterative and spec-gated in
+    // TextApiSpec — the p62/bpeTrain stance.
+    QueryDef(
+      "p72_langid_score",
+      (s, d) => {
+        import s.implicits._
+        val langs = T.documents(s, d)
+          .select(col("lang")).distinct()
+          .collect().map(_.getString(0)).sorted
+        val weights = langs.zipWithIndex.flatMap { case (l, li) =>
+          (0 to 256).map(b => (l, b,
+            if (b == 256) (li + 1).toDouble / 8
+            else ((b * (li + 2)) % 9 - 4).toDouble / 8))
+        }.toSeq.toDF("lang", "b", "w")
+        langIdScore(T.documents(s, d), "doc_id", "text", weights,
+          buckets = 256, kMin = 1, kMax = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH lx AS (
+          SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS INT) AS li
+          FROM (SELECT DISTINCT lang FROM documents)),
+        g AS MATERIALIZED (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), CAST(k AS INT)) AS gr
+          FROM documents, unnest([1, 2, 3]) kt(k),
+               unnest(range(1, len(text) - k + 2)) t(i)),
+        f AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(gr), 1, 12) AS BIGINT) % 256 AS b,
+                 COUNT(*) AS cnt
+          FROM g GROUP BY doc_id, b),
+        tt AS (SELECT doc_id, SUM(cnt) AS doc_grams FROM f GROUP BY doc_id),
+        sc AS (
+          SELECT f.doc_id, lx.lang, lx.li,
+                 ${graft.QueryDef.dsumSql(
+                   "(((b * (li + 2)) % 9) - 4) / 8.0 * (CAST(cnt AS DOUBLE) / doc_grams)")}
+                   AS dot
+          FROM f JOIN tt ON tt.doc_id = f.doc_id CROSS JOIN lx
+          GROUP BY f.doc_id, lx.lang, lx.li),
+        al AS (
+          SELECT d.doc_id, lx.lang,
+                 COALESCE(sc.dot, 0) + (lx.li + 1) / 8.0 AS score
+          FROM documents d CROSS JOIN lx
+          LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = lx.lang),
+        rk AS (
+          SELECT doc_id, lang, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, lang ASC) AS rk,
+                 score - LEAD(score, 1) OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, lang ASC) AS margin
+          FROM al)
+        SELECT doc_id, lang AS lang_pred, score, margin
+        FROM rk WHERE rk = 1 ORDER BY doc_id""")),
+
+    // ---- p73: C4 document-level blocklist + URL dedup —
+    // [[badwordsFilter]] (whole-word, case-insensitive, broadcast
+    // sorted-hash probe) composed with [[dedupByUrl]]
+    // ([[urlNormalize]] → keep min doc_id per canonical URL). The URL
+    // is synthesized deterministically from (source, doc_id) with
+    // case, trailing-slash and fragment noise so the normalization
+    // does real work; the oracle replays the 48-bit word-hash
+    // membership and both regexes verbatim.
+    QueryDef(
+      "p73_c4_blocklist",
+      (s, d) => {
+        val docs = T.documents(s, d).withColumn("url",
+          concat(lit("HTTPS://"), col("source"),
+            lit(".Example.com/page"), pmod(col("doc_id"), lit(50)),
+            when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0, lit("#ref")).otherwise(lit(""))))
+        dedupByUrl(
+          badwordsFilter(docs, "text", Seq("slow", "dup", "stale")),
+          "doc_id", "url")
+          .select(col("doc_id"), col("lang"), col("url_norm"),
+            col("blocked"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH d AS (
+          SELECT doc_id, lang, text,
+                 concat('HTTPS://', source, '.Example.com/page',
+                   CAST(doc_id % 50 AS VARCHAR),
+                   CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+                   CASE WHEN doc_id % 4 = 0 THEN '#ref' ELSE '' END) AS url
+          FROM documents),
+        bw AS (
+          SELECT DISTINCT CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h
+          FROM unnest(['slow', 'dup', 'stale']) t(w)),
+        blk AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS w
+            FROM d) z
+          JOIN bw ON bw.h = CAST('0x' || substr(md5(z.w), 1, 12) AS BIGINT)),
+        n AS (
+          SELECT doc_id, lang,
+                 regexp_replace(regexp_replace(lower(trim(url)), '#.*$$', ''),
+                                '/+$$', '') AS url_norm
+          FROM d),
+        k AS (
+          SELECT doc_id, lang, url_norm,
+                 ROW_NUMBER() OVER (PARTITION BY url_norm
+                   ORDER BY doc_id) AS rk
+          FROM n)
+        SELECT doc_id, lang, url_norm,
+               (doc_id IN (SELECT doc_id FROM blk)) AS blocked
+        FROM k WHERE rk = 1 ORDER BY doc_id""")),
 
     // ---- p63: Gopher character-fraction repetition signals —
     // [[gopherRepetitionSignals]] over pages with the SAME 9-word

@@ -472,6 +472,56 @@ private[operators] trait QuantOps { self: Pipeline.type =>
       .filter(col("rk") <= k)
   }
 
+  /** IVF-PQ search with an exact re-rank (refine) stage — the FAISS
+    * `IndexRefineFlat` serving shape (Jégou TPAMI'11 §V.C): the
+    * compressed-domain ADC scan ([[ivfpqSearch]]) picks a candidate
+    * pool of `k × cFactor` per query, then ONLY those candidates'
+    * raw vectors are fetched and re-scored with the exact codegen'd
+    * squared-euclidean fold, and the final top-k ranks on the exact
+    * distance. This recovers most of the recall the lossy PQ codes
+    * give up at the cost of `|Q| × k × cFactor` exact distances —
+    * per-query constant, never corpus-shaped.
+    *
+    * Scale shape: the candidate set is parameter-bounded, so the
+    * raw-vector fetch is `corpus ⋈ broadcast(candidates)` — ONE
+    * map-side pass over the corpus with no shuffle; the re-rank
+    * window partitions the tiny candidate frame only. The corpus
+    * never shuffles and nothing quadratic exists.
+    *
+    * `corpus` is the RAW vector table the codes were encoded from
+    * (`idCol`/`vecCol` name its columns); the other inputs are
+    * [[ivfpqSearch]]'s verbatim. Ties rank to the lowest vec_id at
+    * both stages. Output: (q_id, vec_id, adist, edist, rk ≤ k). */
+  def ivfPqSearchRefined(member: DataFrame, codes: DataFrame,
+      queries: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, m: Int, ksub: Int,
+      nprobe: Int = 1, cFactor: Int = 4, excludeSelf: Boolean = true,
+      residual: Boolean = false): DataFrame = {
+    require(cFactor >= 1, s"cFactor must be >= 1, got $cFactor")
+    val cand = ivfpqSearch(member, codes, queries, centroids, codebooks,
+      idCol, vecCol, k * cFactor, dim, m, ksub, nprobe, excludeSelf,
+      residual)
+      .select(col("q_id"), col("vec_id"), col("adist"))
+    // attach the query vector to each candidate (both sides are
+    // parameter-bounded: |Q| and |Q|·k·cFactor rows)
+    val qs = queries.select(col(idCol).as("q_id"),
+      dimChecked(col(vecCol), dim, "refine: query vector").as("qe"))
+    val cq = cand.join(broadcast(qs), Seq("q_id"))
+    // ONE corpus pass: broadcast the candidate set into the raw-vector
+    // scan (never the reverse — the corpus side is the 100 TB side)
+    val raw = corpus.select(col(idCol).as("vec_id"),
+      transform(dimChecked(col(vecCol), dim, "refine: corpus vector"),
+        x => x.cast(DoubleType)).as("ve"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("edist").asc, col("vec_id").asc)
+    raw.join(broadcast(cq), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("adist"),
+        call_function("float_dist_sq", col("qe"), col("ve")).as("edist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+  }
+
   /** The nprobe best coarse cells per query — the probe-selection
     * block [[ivfpqSearch]] and [[ivfSqSearch]] share: positional
     * (cluster, vector) centroids cast to double, broadcast against the
@@ -1443,6 +1493,71 @@ private[operators] trait QuantOps { self: Pipeline.type =>
            |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
            |         ORDER BY adist ASC, vec_id ASC) AS INT) AS rk
            |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
+      }),
+
+    // ---- p71: IVF-PQ with exact re-rank (FAISS IndexRefineFlat) —
+    // the ADC scan picks a 2×k candidate pool per query, the pool's
+    // RAW vectors (and only those) are re-scored with the exact
+    // squared-euclidean fold, and the final top-k ranks on the exact
+    // distance. The oracle replays p41's full ADC chain, widens the
+    // pool to crk ≤ 6, then recomputes the exact distances from the
+    // raw embeddings — bit-for-bit the same double fold.
+    QueryDef(
+      "p71_ivfpq_refine",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val art = sharedIvfPq(s, d)
+        ivfPqSearchRefined(art.member, art.codes,
+          e.filter(col("vec_id") <= 4), art.cents, art.books, e,
+          "vec_id", "embedding",
+          k = 3, dim = 64, m = 4, ksub = 4, nprobe = 2, cFactor = 2)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some {
+        val M = 4; val Sub = 16; val Ksub = 4; val Dim = 64
+        s"""WITH ${kmparChainSql(3, rounds = 2, dim = Dim)},
+           |${kmSeedCentroidsSql(3)},
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "cf", "a1", Dim)},
+           |${kmAssignSql("mem", "cf", Dim)},
+           |${(0 until M).map(pqSpaceSql(_, Sub, Ksub)).mkString(",\n")},
+           |${(0 until M).map(pqDtSql(_, Sub)).mkString(",\n")},
+           |probes AS MATERIALIZED (
+           |  SELECT q_id, m_label AS probe_label FROM (
+           |    SELECT q.vec_id AS q_id, c.cl AS m_label,
+           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${kmD2Sql(Dim, "q.emb", "c.ce")} ASC, c.cl ASC) AS prk
+           |    FROM e q CROSS JOIN cf c WHERE q.vec_id <= 4) t
+           |  WHERE prk <= 2),
+           |scored AS (
+           |  SELECT p.q_id, p.probe_label, v0.vec_id,
+           |         d0.d2 + d1.d2 + d2_.d2 + d3.d2 AS adist
+           |  FROM probes p
+           |  JOIN mem mm ON mm.cl = p.probe_label
+           |  JOIN code_0 v0 ON v0.vec_id = mm.vec_id
+           |  JOIN code_1 v1 ON v1.vec_id = v0.vec_id
+           |  JOIN code_2 v2 ON v2.vec_id = v0.vec_id
+           |  JOIN code_3 v3 ON v3.vec_id = v0.vec_id
+           |  JOIN dt_0 d0 ON d0.q_id = p.q_id AND d0.code = v0.code
+           |  JOIN dt_1 d1 ON d1.q_id = p.q_id AND d1.code = v1.code
+           |  JOIN dt_2 d2_ ON d2_.q_id = p.q_id AND d2_.code = v2.code
+           |  JOIN dt_3 d3 ON d3.q_id = p.q_id AND d3.code = v3.code
+           |  WHERE v0.vec_id <> p.q_id),
+           |cand AS (
+           |  SELECT q_id, vec_id, adist,
+           |         ROW_NUMBER() OVER (PARTITION BY q_id
+           |           ORDER BY adist ASC, vec_id ASC) AS crk
+           |  FROM scored QUALIFY crk <= 6),
+           |refined AS (
+           |  SELECT cd.q_id, cd.vec_id, cd.adist,
+           |         ${kmD2Sql(Dim, "q.emb", "v.emb")} AS edist
+           |  FROM cand cd
+           |  JOIN e q ON q.vec_id = cd.q_id
+           |  JOIN e v ON v.vec_id = cd.vec_id)
+           |SELECT q_id, vec_id, adist, edist,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |         ORDER BY edist ASC, vec_id ASC) AS INT) AS rk
+           |FROM refined QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin
       }),
 
     // ---- p42: IVFADC with RESIDUAL encoding — the faithful Jégou §V

@@ -128,6 +128,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextHashes.litInt(c(1), "sentence_chunk_spans: chunkWords"),
         TextHashes.litInt(c(2), "sentence_chunk_spans: overlapWords")))))
     ext.injectFunction((
+      new FunctionIdentifier("jl_project"),
+      new ExpressionInfo(classOf[JlProject].getName, "jl_project"),
+      arity("jl_project", 3)(c => JlProject(c(0),
+        TextHashes.litInt(c(1), "jl_project: dim"),
+        TextHashes.litInt(c(2), "jl_project: outDim")))))
+    ext.injectFunction((
       new FunctionIdentifier("kgram_strings"),
       new ExpressionInfo(classOf[KgramStrings].getName, "kgram_strings"),
       arity("kgram_strings", 2)(c => KgramStrings(c(0),

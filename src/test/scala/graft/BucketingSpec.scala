@@ -138,6 +138,61 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("randomProject and the gopher packs are shuffle-free single passes") {
+    // these operators' docs promise "entirely map-side, ZERO shuffle"
+    // (VERDICT r14 asked for the structural pin): a future refactor
+    // that sneaks in a groupBy/repartition fails here, not at 100 TB
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plans = Seq(
+      "randomProject" ->
+        operators.Pipeline.randomProject(embs, "embedding", dim = 64, outDim = 8),
+      "gopherRepetitionSignals" ->
+        operators.Pipeline.gopherRepetitionSignals(docs, "text"),
+      "gopherLineSignals" ->
+        operators.Pipeline.gopherLineSignals(docs, "text"),
+      "gopherQualitySignals" ->
+        operators.Pipeline.gopherQualitySignals(docs, "doc_id", "text"))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name must stay a shuffle-free map pass:\n$plan")
+    }
+  }
+
+  test("decontaminateSpans: shuffles only on the eval arm — the corpus never shuffles") {
+    // the docstring's scale contract (the eval set collapses to one
+    // broadcast row; the corpus side is a single map pass): assert no
+    // ShuffleExchange subtree contains the corpus PARQUET scan. AQE off
+    // so the executed plan is a real traversable tree (AdaptiveSparkPlan
+    // hides its input from TreeNode.collect).
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val corpus = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val evalSet = Seq(Tuple1("one two three four five six seven eight"))
+        .toDF("text")
+      val df = operators.Pipeline.decontaminateSpans(corpus, evalSet,
+        "text", n = 8)
+      val plan = df.queryExecution.executedPlan
+      val corpusScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(corpusScans.nonEmpty, s"expected a parquet corpus scan:\n$plan")
+      plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.foreach { s =>
+        val under = s.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(under.isEmpty,
+          s"a shuffle sits on the corpus arm of decontaminateSpans:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("sink partitionBy writes hive-style directories") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("part").toString + "/t"
