@@ -73,6 +73,67 @@ private[operators] trait TextOps { self: Pipeline.type =>
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
   }
 
+  /** TRAINING-READY sequence packing over real token-id arrays — the
+    * materializing companion of [[packSequences]] (which only lays out
+    * chunk indices): every document's ids (typically [[bpeEncodeIds]]'
+    * `bpe_ids`) get a `sepId` appended (the GPT-style end-of-document
+    * token), documents concatenate in deterministic (shard, id) order
+    * into one global token stream, and the stream slices into
+    * `contextLen`-token chunks — the exact layout [[packSequences]]
+    * predicts, now carrying the ids themselves. The final chunk may be
+    * short (no padding — pad policy belongs to the trainer).
+    *
+    * Scale shape: the offset machinery is [[packSequences]]' verbatim
+    * (one intra-shard running sum + a broadcast shard-base table); the
+    * repack itself is ONE token-scale shuffle keyed by chunk — each
+    * doc explodes into AT MOST ⌈tok/contextLen⌉+1 slice rows (array
+    * slices, never per-token rows), and chunks rebuild with an
+    * order-pinned sort_array concat (collect_list order is not
+    * deterministic on its own). Nothing is driver-side.
+    *
+    * Output: (chunk_id, n_segments, ids) — `n_segments` counts the
+    * document slices in the chunk (a doc spanning three chunks counts
+    * in each); `size(ids) == contextLen` for every chunk but the
+    * last. Unpacking: concatenate chunks by chunk_id and split on
+    * `sepId` (round-tripped in TextApiSpec). `sepId` should be outside
+    * the vocab id range — the ids themselves are opaque here. */
+  def packTokenIds(corpus: DataFrame, idCol: String, shardCol: String,
+      idsCol: String, contextLen: Int, sepId: Int): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    val L = lit(contextLen.toLong)
+    val toks = corpus.select(col(idCol).as("doc_id"),
+        col(shardCol).as("__shard"),
+        concat(col(idsCol), array(lit(sepId))).as("__ids"))
+      .withColumn("tok", size(col("__ids")).cast(LongType))
+    val wIntra = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = toks.withColumn("run", sum(col("tok")).over(wIntra))
+    // the shard-base table is shard-count-sized: its single-partition
+    // window is fine (same stance as packSequences)
+    val wBase = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = toks.groupBy(col("__shard")).agg(sum(col("tok")).as("total"))
+      .withColumn("cum", sum(col("total")).over(wBase))
+      .select(col("__shard").as("b_shard"),
+        (col("cum") - col("total")).as("base"))
+    val lo = greatest(col("chunk") * L, col("off"))
+    val hi = least((col("chunk") + 1) * L, col("off") + col("tok"))
+    intra.join(broadcast(bases), col("__shard") === col("b_shard"))
+      .select(col("__ids"), col("tok"),
+        (col("base") + col("run") - col("tok")).as("off"))
+      .withColumn("chunk", explode(sequence(floor(col("off") / L),
+        floor((col("off") + col("tok") - 1) / L))))
+      .select(col("chunk"), col("off"),
+        slice(col("__ids"), (lo - col("off") + 1).cast(IntegerType),
+          (hi - lo).cast(IntegerType)).as("piece"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_segments"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("off"), col("piece")))),
+          s => s.getField("piece"))).as("ids"))
+      .select(col("chunk").as("chunk_id"), col("n_segments"), col("ids"))
+  }
+
   /** Overlapping word-window chunking — the context-preparation step
     * every RAG / long-document pipeline runs before embedding or
     * packing: chunk c covers words [c·stride, c·stride + chunkWords)
@@ -635,6 +696,61 @@ private[operators] trait TextOps { self: Pipeline.type =>
                CAST(FLOOR((tok_offset + tok - 1) / 512) AS BIGINT) AS last_chunk,
                CAST(FLOOR((tok_offset + tok - 1) / 512) - FLOOR(tok_offset / 512) + 1 AS BIGINT) AS n_chunks
         FROM o ORDER BY doc_id""")),
+
+    // ---- p74: sequence packing on REAL id arrays — [[packTokenIds]]
+    // materializes the chunks p22 only lays out: deterministic 48-bit
+    // word ids (md5 mod 1000 — oracle-replayable; the true-BPE-id
+    // composition with [[bpeEncodeIds]] is round-tripped in
+    // TextApiSpec, the p62 stance on non-SQL-expressible training),
+    // a −1 separator after each doc, (source, doc_id) concat order,
+    // L=256 windows. The oracle replays the two-phase offsets, the
+    // per-chunk slice windows and the offset-ordered concat.
+    QueryDef(
+      "p74_pack_token_ids",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+          transform(array_remove(words(col("text")), ""), w =>
+            pmod(call_function("md5_prefix_long", w, lit(6)), lit(1000L))
+              .cast(IntegerType)).as("ids"))
+        packTokenIds(docs, "doc_id", "source", "ids",
+          contextLen = 256, sepId = -1)
+          .select(col("chunk_id"), col("n_segments"),
+            graft.QueryDef.canonArray(col("ids")).as("ids"))
+          .orderBy(col("chunk_id"))
+      },
+      Some(raw"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 list_transform(
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                   w -> CAST(CAST('0x' || substr(md5(w), 1, 12) AS BIGINT)
+                             % 1000 AS INT)) AS ids
+          FROM documents),
+        t AS (
+          SELECT doc_id, source, list_append(ids, -1) AS ids,
+                 CAST(len(ids) + 1 AS BIGINT) AS tok
+          FROM d),
+        r AS (
+          SELECT *, SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS run FROM t),
+        bb AS (
+          SELECT source AS b_source,
+                 CAST(SUM(total) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING)
+                   - total AS BIGINT) AS base
+          FROM (SELECT source, SUM(tok) AS total FROM t GROUP BY source)),
+        o AS (
+          SELECT doc_id, ids, tok, CAST(base + run - tok AS BIGINT) AS o2
+          FROM r JOIN bb ON r.source = bb.b_source),
+        p AS (
+          SELECT c AS chunk_id, o2,
+                 ids[CAST(GREATEST(c * 256, o2) - o2 + 1 AS INT) :
+                     CAST(LEAST((c + 1) * 256, o2 + tok) - o2 AS INT)] AS piece
+          FROM o, unnest(range(o2 // 256, (o2 + tok - 1) // 256 + 1)) u(c))
+        SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+               concat('[',
+                 array_to_string(flatten(list(piece ORDER BY o2)), ','),
+                 ']') AS ids
+        FROM p GROUP BY chunk_id ORDER BY chunk_id""")),
 
     // ---- p43: overlapping text chunking — [[chunkText]] at 20-word
     // chunks / 5-word overlap (stride 15) over the fixture corpus, so

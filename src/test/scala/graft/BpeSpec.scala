@@ -348,6 +348,49 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("packTokenIds: real BPE ids pack into training-ready chunks and round-trip") {
+    import spark.implicits._
+    val corpus = (Seq.fill(6)("aa bb aa") ++ Seq.fill(4)("aa cc"))
+      .map(Tuple1(_)).toDF("text")
+    val mergesDf = Pipeline.bpeTrain(corpus, "text", 4, minPairCount = 2)
+    val vocab = Pipeline.bpeVocab(corpus, "text", mergesDf)
+    val docs = Seq(
+      (1L, "s0", "aa bb aa"), (2L, "s0", "aa cc"),
+      (3L, "s1", "aa bb aa aa bb aa"), (4L, "s1", "cc"))
+      .toDF("doc_id", "shard", "text")
+    val toks = Pipeline.bpeEncodeIds(docs, "text", mergesDf, vocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sep = vocab.count().toInt // one past the dense id range
+      val L = 8
+      val packed = Pipeline.packTokenIds(toks, "doc_id", "shard",
+        "bpe_ids", contextLen = L, sepId = sep).orderBy("chunk_id").collect()
+      val ids = packed.map(_.getSeq[Int](2))
+      // chunk ids are contiguous from 0; every chunk but the last is
+      // exactly L tokens; the tail is non-empty
+      assert(packed.map(_.getLong(0)).toSeq ==
+        (0L until packed.length).toSeq)
+      assert(ids.dropRight(1).forall(_.length == L),
+        s"non-final chunks must be full: ${ids.map(_.length).toSeq}")
+      assert(ids.last.nonEmpty && ids.last.length <= L)
+      // the concatenated chunk stream IS the (shard, doc_id)-ordered
+      // concat of each doc's ids + separator — the unpack contract
+      val stream = ids.flatten.toSeq
+      val docIds = toks.orderBy("shard", "doc_id").collect()
+        .map(r => r.getSeq[Int](r.fieldIndex("bpe_ids")))
+      assert(stream == docIds.flatMap(_ :+ sep).toSeq)
+      // splitting on the separator recovers every document's id array
+      val recovered = stream.foldLeft(List(Vector.empty[Int])) {
+        case (acc, `sep`) => Vector.empty[Int] :: acc
+        case (cur :: rest, t) => (cur :+ t) :: rest
+        case (Nil, _) => fail("unreachable")
+      }.reverse.dropRight(1) // trailing separator opens one empty tail
+      assert(recovered.map(_.toSeq) == docIds.map(_.toSeq).toSeq)
+      // ids are real BPE ids: every non-separator token is in-vocab
+      assert(stream.filter(_ != sep).forall(t => t >= 0 && t < sep))
+    } finally toks.unpersist()
+  }
+
   test("bpeTrain: leaves no persistent RDDs behind (round checkpoints released)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     sparkBpe(Seq.fill(4)("abc") ++ Seq.fill(2)("abd"), 4, minPairCount = 2)
