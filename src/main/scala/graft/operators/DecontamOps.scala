@@ -131,9 +131,9 @@ private[operators] trait DecontamOps { self: Pipeline.type =>
     * re-join can, however, SYNTHESIZE a new n-gram ACROSS a seam
     * (last words of one kept segment + first words of the next) that
     * happens to match; one excision pass does not re-probe those.
-    * Callers needing the closed property should iterate the operator
-    * on its own output until `n_flagged_grams` is all-zero (each pass
-    * only shortens text, so it terminates). */
+    * Callers needing the closed property use
+    * [[decontaminateSpansClosed]], which iterates exactly that
+    * probe-and-cut to its fixed point. */
   def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
       textCol: String, n: Int = 13,
       evalTextCol: String = "", cleanCol: String = "text_clean"): DataFrame = {
@@ -157,6 +157,60 @@ private[operators] trait DecontamOps { self: Pipeline.type =>
           .otherwise(exciseSegments(col(textCol), col("__spans"),
             coalesce(size(col("__ws")), lit(0)), col("__cuts"))))
       .drop("__eval_ngram_hashes", "__ws", "__ps", "__cuts", "__spans")
+  }
+
+  /** [[decontaminateSpans]] iterated to a FIXED POINT — the closed
+    * guarantee the single-pass docstring disclaims: the seam re-join
+    * can synthesize a NEW n-gram across two kept segments that itself
+    * matches the eval set; this variant re-probes its own output
+    * until a pass flags nothing (each pass only shortens text, so it
+    * terminates — `maxPasses` is a safety valve, and hitting it
+    * raises rather than silently returning leaky text). Costs one
+    * broadcast-probe pass plus one cheap any-flagged action per
+    * round; real corpora close in 1–2 passes (a seam match needs the
+    * two segment ends to happen to abut into an eval gram). Per-pass
+    * outputs are localCheckpoint'd (the loop is iterative — without
+    * truncation pass k re-executes passes 1..k-1) and each pass
+    * releases its predecessor's blocks; the FINAL pass's blocks back
+    * the returned frame and live until the session ends — write the
+    * result out and drop the lineage for repeated one-shot runs (the
+    * [[Curation.cleanTextManaged]] stance). Output: every caller
+    * column + (n_flagged_grams = total across passes, n_passes,
+    * `cleanCol`). Per-pass `cut_spans` are not composable across
+    * passes (each pass's word positions refer to the previous pass's
+    * text) and are not emitted. */
+  def decontaminateSpansClosed(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, n: Int = 13, evalTextCol: String = "",
+      cleanCol: String = "text_clean", maxPasses: Int = 8): DataFrame = {
+    require(maxPasses >= 1, s"maxPasses must be >= 1, got $maxPasses")
+    val evCol = if (evalTextCol.isEmpty) textCol else evalTextCol
+    val keep = corpus.columns.toSeq
+    var cur = corpus.withColumn("__acc", lit(0L))
+      .withColumn("__cl", col(textCol))
+    var prev: DataFrame = null
+    var pass = 0
+    var dirty = true
+    while (dirty) {
+      if (pass >= maxPasses) throw new IllegalStateException(
+        s"decontaminateSpansClosed did not close in $maxPasses passes " +
+          "(raise maxPasses; each pass strictly shortens flagged docs)")
+      val out = decontaminateSpans(cur, evalSet, "__cl", n,
+          evalTextCol = evCol, cleanCol = "__cl2")
+        .withColumn("__acc", col("__acc") + col("n_flagged_grams"))
+        .withColumn("__dirty", col("n_flagged_grams") > 0)
+        .drop("n_flagged_grams", "cut_spans", "__cl")
+        .withColumnRenamed("__cl2", "__cl")
+        .localCheckpoint()
+      if (prev != null) releaseLocalCheckpoint(prev)
+      prev = out
+      pass += 1
+      dirty = !out.filter(col("__dirty")).isEmpty
+      cur = out
+    }
+    cur.select(keep.map(col) ++ Seq(
+      col("__acc").as("n_flagged_grams"),
+      lit(pass).as("n_passes"),
+      col("__cl").as(cleanCol)): _*)
   }
 
   /** [[decontaminateSpans]] for a DATA-SIZED exclusion corpus — same

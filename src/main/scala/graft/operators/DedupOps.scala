@@ -869,6 +869,102 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         sum(col("csize")).as("n_docs"))
       .withColumn("docs_removed", col("n_docs") - col("n_components"))
 
+  /** Composition report over the FULL dedup ladder — what each layer
+    * removes and how the layers overlap, the audit a production
+    * pipeline publishes alongside a curated corpus (and the question
+    * that sizes each layer's budget: which docs does the semantic
+    * layer catch that MinHash misses?). Layers over one corpus:
+    *
+    *  - `exact`     — non-first copies per content hash (the p01 rule)
+    *  - `near`      — non-representative members of `components`
+    *    (pass [[sharedComponents]] / [[connectedComponents]] output)
+    *  - `substring` — docs [[dedupSubstringsGlobal]] cuts at
+    *    `substringMinLen` (flag = any cut; words = words excised)
+    *  - `semantic`  — optional: the ids the semantic layer REMOVED
+    *    (e.g. corpus ids anti-joined against [[semDedup]] survivors),
+    *    first column = id, joined by the shared id space
+    *
+    * Output rows: ('corpus','corpus') totals; one diagonal row per
+    * layer with (n_docs flagged, n_words removed — whole-doc words
+    * for exact/near/semantic, excised words for substring); one row
+    * per layer PAIR (lexicographic, n_words NULL) counting docs both
+    * flag; ('any','any') = docs at least one layer flags. One
+    * aggregation over per-doc flags — every input is a frame the
+    * ladder already computed; nothing re-derives. */
+  def dedupLadderReport(corpus: DataFrame, idCol: String, textCol: String,
+      components: DataFrame, substringMinLen: Int = 20,
+      semanticRemoved: Option[DataFrame] = None): DataFrame = {
+    val base = corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("n_words",
+        size(array_remove(words(col("__t")), "")).cast(LongType))
+      .withColumn("f_exact", row_number().over(
+        Window.partitionBy(coalesce(md5(col("__t")),
+            concat(lit("n:"), col("doc_id").cast(StringType))))
+          .orderBy(col("doc_id"))) > 1)
+    val near = components.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"), lit(true).as("__fn"))
+    val sub = dedupSubstringsGlobal(corpus, idCol, textCol,
+        minLen = substringMinLen)
+      .select(col("doc_id"), col("n_cut_words"))
+    val sem = semanticRemoved match {
+      case Some(df) =>
+        df.select(col(df.columns(0)).as("doc_id"), lit(true).as("__fs"))
+      case None =>
+        base.select(col("doc_id")).limit(0).withColumn("__fs", lit(true))
+    }
+    val perDoc = base
+      .join(near, Seq("doc_id"), "left")
+      .join(sub, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("n_words"), col("f_exact"),
+        coalesce(col("__fn"), lit(false)).as("f_near"),
+        (coalesce(col("n_cut_words"), lit(0L)) > 0).as("f_sub"),
+        coalesce(col("n_cut_words"), lit(0L)).as("cut_words"),
+        coalesce(col("__fs"), lit(false)).as("f_sem"))
+    def d(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def ww(c: Column) = sum(when(c, col("n_words")).otherwise(0L))
+    val m = perDoc.agg(
+      count(lit(1)).as("n_total"), sum(col("n_words")).as("w_total"),
+      d(col("f_exact")).as("d_e"), ww(col("f_exact")).as("w_e"),
+      d(col("f_near")).as("d_n"), ww(col("f_near")).as("w_n"),
+      d(col("f_sub")).as("d_s"), sum(col("cut_words")).as("w_s"),
+      d(col("f_sem")).as("d_m"), ww(col("f_sem")).as("w_m"),
+      d(col("f_exact") && col("f_near")).as("d_en"),
+      d(col("f_exact") && col("f_sem")).as("d_em"),
+      d(col("f_exact") && col("f_sub")).as("d_es"),
+      d(col("f_near") && col("f_sem")).as("d_nm"),
+      d(col("f_near") && col("f_sub")).as("d_ns"),
+      d(col("f_sem") && col("f_sub")).as("d_ms"),
+      d(col("f_exact") || col("f_near") || col("f_sub") || col("f_sem"))
+        .as("d_any"))
+    val nullW = "CAST(NULL AS BIGINT)"
+    val rows =
+      if (semanticRemoved.isDefined) Seq(
+        "'corpus', 'corpus', n_total, w_total",
+        "'exact', 'exact', d_e, w_e",
+        "'near', 'near', d_n, w_n",
+        "'semantic', 'semantic', d_m, w_m",
+        "'substring', 'substring', d_s, w_s",
+        s"'exact', 'near', d_en, $nullW",
+        s"'exact', 'semantic', d_em, $nullW",
+        s"'exact', 'substring', d_es, $nullW",
+        s"'near', 'semantic', d_nm, $nullW",
+        s"'near', 'substring', d_ns, $nullW",
+        s"'semantic', 'substring', d_ms, $nullW",
+        s"'any', 'any', d_any, $nullW")
+      else Seq(
+        "'corpus', 'corpus', n_total, w_total",
+        "'exact', 'exact', d_e, w_e",
+        "'near', 'near', d_n, w_n",
+        "'substring', 'substring', d_s, w_s",
+        s"'exact', 'near', d_en, $nullW",
+        s"'exact', 'substring', d_es, $nullW",
+        s"'near', 'substring', d_ns, $nullW",
+        s"'any', 'any', d_any, $nullW")
+    m.selectExpr(s"stack(${rows.size}, ${rows.mkString(", ")}) " +
+      "AS (layer_a, layer_b, n_docs, n_words)")
+  }
+
   /** Oracle-side twin of [[connectedComponents]] over the `verified`
     * pair CTE: ground-truth min-reachable via a recursive CTE, ending
     * in `comp(node, component)`. Shared by p25 and p30 (the splicing
@@ -1282,6 +1378,110 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         SELECT 'report', csize, CAST(COUNT(*) AS BIGINT),
                CAST(SUM(csize) - COUNT(*) AS BIGINT), NULL
         FROM sizes GROUP BY csize
-        ORDER BY section, k"""))
+        ORDER BY section, k""")),
+
+    // ---- p75: the dedup-LADDER composition report —
+    // [[dedupLadderReport]] over exact (content hash), near (the p34
+    // shared component graph) and substring (Lee'22 at minLen=10, the
+    // p56 config) layers: per-layer docs/words removed plus every
+    // pairwise overlap — the audit that shows what each layer
+    // uniquely catches. The oracle recomputes all three flags (md5
+    // copy rank, the recursive component table, the p56 rolling-hash
+    // cut chain) and the one matrix aggregation. The semantic
+    // (SemDeDup) layer rides the same operator via its optional input
+    // — spec-gated in PipelineSpec (its k-means chain is p66's gate).
+    QueryDef(
+      "p75_dedup_ladder",
+      (s, d) =>
+        dedupLadderReport(T.documents(s, d), "doc_id", "text",
+          sharedComponents(s, d), substringMinLen = 10)
+          .orderBy(col("layer_a"), col("layer_b")),
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 9)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
+        WITH RECURSIVE $NeardupPairsSql,
+        $ComponentsSql,
+        d AS (
+          SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS ws
+          FROM documents),
+        nn AS MATERIALIZED (SELECT doc_id, text, ws, len(ws) AS n FROM d),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT) AS HUGEINT) AS h
+          FROM nn, unnest(range(1, n + 1)) t(i)
+          WHERE n >= 10),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT w0.doc_id, CAST(w0.i - 1 AS INT) AS pos,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 9
+          JOIN pw ON pw.e = 9 - (w2.i - w0.i)
+          JOIN nn ON nn.doc_id = w0.doc_id
+          WHERE w0.i <= nn.n - 9
+          GROUP BY w0.doc_id, w0.i),
+        f AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
+                 COUNT(*) OVER (PARTITION BY h) AS cnt
+          FROM g),
+        flg AS MATERIALIZED (SELECT doc_id, pos FROM f WHERE cnt >= 2 AND rk > 1),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+                      THEN 0 ELSE 1 END AS brk
+          FROM flg),
+        grp AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM isl),
+        cuts AS (
+          SELECT doc_id, CAST(MIN(pos) AS INT) AS cs,
+                 CAST(MAX(pos) + 10 AS INT) AS ce
+          FROM grp GROUP BY doc_id, gid),
+        ca AS (
+          SELECT doc_id, CAST(SUM(ce - cs) AS BIGINT) AS cw
+          FROM cuts GROUP BY doc_id),
+        pd AS (
+          SELECT nn.doc_id, CAST(nn.n AS BIGINT) AS n_words,
+                 (ROW_NUMBER() OVER (PARTITION BY md5(nn.text)
+                    ORDER BY nn.doc_id) > 1) AS f_e,
+                 (rm.node IS NOT NULL) AS f_n,
+                 COALESCE(ca.cw, 0) AS cw
+          FROM nn
+          LEFT JOIN (SELECT node FROM comp WHERE node <> component) rm
+            ON rm.node = nn.doc_id
+          LEFT JOIN ca ON ca.doc_id = nn.doc_id),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                 CAST(SUM(n_words) AS BIGINT) AS w_total,
+                 CAST(SUM(CASE WHEN f_e THEN 1 ELSE 0 END) AS BIGINT) AS d_e,
+                 CAST(SUM(CASE WHEN f_e THEN n_words ELSE 0 END) AS BIGINT) AS w_e,
+                 CAST(SUM(CASE WHEN f_n THEN 1 ELSE 0 END) AS BIGINT) AS d_n,
+                 CAST(SUM(CASE WHEN f_n THEN n_words ELSE 0 END) AS BIGINT) AS w_n,
+                 CAST(SUM(CASE WHEN cw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_s,
+                 CAST(SUM(cw) AS BIGINT) AS w_s,
+                 CAST(SUM(CASE WHEN f_e AND f_n THEN 1 ELSE 0 END) AS BIGINT) AS d_en,
+                 CAST(SUM(CASE WHEN f_e AND cw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_es,
+                 CAST(SUM(CASE WHEN f_n AND cw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_ns,
+                 CAST(SUM(CASE WHEN f_e OR f_n OR cw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_any
+          FROM pd)
+        SELECT 'corpus' AS layer_a, 'corpus' AS layer_b,
+               n_total AS n_docs, w_total AS n_words FROM m
+        UNION ALL SELECT 'exact', 'exact', d_e, w_e FROM m
+        UNION ALL SELECT 'near', 'near', d_n, w_n FROM m
+        UNION ALL SELECT 'substring', 'substring', d_s, w_s FROM m
+        UNION ALL SELECT 'exact', 'near', d_en, CAST(NULL AS BIGINT) FROM m
+        UNION ALL SELECT 'exact', 'substring', d_es, CAST(NULL AS BIGINT) FROM m
+        UNION ALL SELECT 'near', 'substring', d_ns, CAST(NULL AS BIGINT) FROM m
+        UNION ALL SELECT 'any', 'any', d_any, CAST(NULL AS BIGINT) FROM m
+        ORDER BY layer_a, layer_b"""
+      })
   )
 }

@@ -524,4 +524,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L))
     assert(got.keySet == Set(1L, 2L, 3L, 7L, 8L, 9L))
   }
+
+  test("dedupLadderReport: four-layer matrix with the semantic input; exact hand-computed counts") {
+    import spark.implicits._
+    // 12-word docs so the minLen=10 substring layer has room: doc2 is
+    // an exact copy of doc1 (also substring-cut in full, first copy
+    // wins); doc5 quotes doc3's 10-word run (cut [0,10)); doc4 unique;
+    // doc6 is 9 words (below minLen, never substring-flagged)
+    val a = (1 to 12).map(i => s"a$i").mkString(" ")
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, a),
+      (2L, a),
+      (3L, "c1 c2 " + run),
+      (4L, (1 to 11).map(i => s"d$i").mkString(" ")),
+      (5L, run + " e1 e2"),
+      (6L, (1 to 9).map(i => s"f$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // near-dup component graph: {1,2} and {3,5} → removed = {2, 5}
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L), (5L, 3L))
+      .toDF("node", "component")
+    // semantic layer: whatever semDedup dropped — ids {2, 6}
+    val semRemoved = Seq(2L, 6L).toDF("vec_id")
+    val out = operators.Pipeline.dedupLadderReport(docs, "doc_id", "text",
+        comps, substringMinLen = 10, semanticRemoved = Some(semRemoved))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val expected = Map(
+      ("corpus", "corpus") -> ((6L, 68L)),
+      ("exact", "exact") -> ((1L, 12L)),       // doc2
+      ("near", "near") -> ((2L, 24L)),         // docs 2, 5
+      ("semantic", "semantic") -> ((2L, 21L)), // docs 2, 6
+      ("substring", "substring") -> ((2L, 22L)), // doc2 cut 12 + doc5 cut 10
+      ("exact", "near") -> ((1L, -1L)),
+      ("exact", "semantic") -> ((1L, -1L)),
+      ("exact", "substring") -> ((1L, -1L)),
+      ("near", "semantic") -> ((1L, -1L)),
+      ("near", "substring") -> ((2L, -1L)),
+      ("semantic", "substring") -> ((1L, -1L)),
+      ("any", "any") -> ((3L, -1L)))           // docs 2, 5, 6
+    assert(out == expected, s"got $out")
+    // without the semantic input the matrix collapses to the 3-layer
+    // 8-row form with identical text-layer numbers
+    val noSem = operators.Pipeline.dedupLadderReport(docs, "doc_id",
+        "text", comps, substringMinLen = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(noSem.size == 8)
+    // without semantic, doc 6 is unflagged → any = {2, 5}
+    assert(noSem(("near", "near")) == 2L && noSem(("any", "any")) == 2L)
+  }
 }

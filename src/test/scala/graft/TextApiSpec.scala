@@ -270,6 +270,33 @@ class TextApiSpec extends AnyFunSuite {
       s"curated held-out docs must outscore crawl ones: $scores")
   }
 
+  test("decontaminateSpansClosed: cuts the cross-seam gram the single pass leaks") {
+    import spark.implicits._
+    // eval grams (n=2): (q1,q2), (q2,z), (z,a), (a,b). Doc "a q1 q2 b"
+    // cuts [1,3) in pass one, re-joining to "a b" — which IS an eval
+    // gram the single pass never re-probes (the documented per-kept-
+    // segment guarantee). The closed variant probes again and cuts it.
+    val evalSet = Seq(Tuple1("q1 q2 z a b")).toDF("text")
+    val docs = Seq((1L, "a q1 q2 b"), (2L, "clean words here"))
+      .toDF("doc_id", "text")
+    val single = Pipeline.decontaminateSpans(docs, evalSet, "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(r.fieldIndex("text_clean"))).toMap
+    assert(single(1L) == "a b", s"fixture lost its seam leak: $single")
+    val closed = Pipeline.decontaminateSpansClosed(docs, evalSet, "text",
+        n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(r.fieldIndex("text_clean")),
+          r.getLong(r.fieldIndex("n_flagged_grams")),
+          r.getInt(r.fieldIndex("n_passes"))))).toMap
+    assert(closed(1L)._1 == "", s"closed variant must cut the seam gram: $closed")
+    assert(closed(1L)._2 == 2L, s"one flag per pass expected: $closed")
+    // clean docs pass through byte-identical, same pass count column
+    assert(closed(2L)._1 == "clean words here")
+    // the final confirming pass (flags nothing) is counted
+    assert(closed(1L)._3 == 3)
+  }
+
   test("badwordsFilter: whole-word, case-insensitive, NULL-safe; dedupByUrl canonicalizes") {
     import spark.implicits._
     val docs = Seq(
