@@ -111,6 +111,23 @@ class BucketingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("p71 refine stage: candidate fetch is a broadcast against the raw scan") {
+    // the refine contract: the corpus-sized raw-vector side streams
+    // against the BROADCAST candidate set — a SortMergeJoin here means
+    // the candidate pool stopped broadcasting and the re-rank went
+    // corpus-shuffle-shaped
+    val df = SparkEntry.queries("p71_ivfpq_refine")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"refine shuffles a join at fixture scale:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"refine plan grew a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"refine lost its broadcast joins:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("p16 decontamination broadcasts the eval side, never shuffles it") {
     // the benchmark/eval corpus is small by contract; the TRAINING side
     // must stream map-side against a broadcast — a shuffle of the train
