@@ -708,24 +708,69 @@ private[operators] trait QualityOps { self: Pipeline.type =>
   def langIdScore(corpus: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int, kMin: Int = 1,
       kMax: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    // the weight table is parameter-bounded (|langs| × (buckets+1) —
+    // the langid contract): collect it ONCE and reshape into a single
+    // broadcast ROW of per-language dense arrays, so scoring is one
+    // element_at lookup per (feature, language) inside a doc-keyed
+    // partial agg — no per-(gram, lang) row fan-out, no (doc, lang)
+    // shuffle key (the first cut joined features × languages and the
+    // L-times-wider shuffle dominated the whole gate)
+    val wRows = weights
+      .select(col("lang").cast(StringType), col("b").cast(IntegerType),
+        col("w").cast(DoubleType))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val langs = wRows.map(_._1).distinct.sorted
+    require(langs.nonEmpty, "weights carry no languages")
+    val byLang = wRows.groupBy(_._1)
+    val dense = langs.map { l =>
+      val arr = Array.fill(buckets)(0.0)
+      var bias = 0.0
+      byLang(l).foreach { case (_, b, v) =>
+        if (b < buckets) arr(b) += v else if (b == buckets) bias += v
+      }
+      (arr.toSeq, bias)
+    }
+    val wSchema = StructType(langs.zipWithIndex.flatMap { case (_, i) =>
+      Seq(StructField(s"__w_$i", ArrayType(DoubleType), nullable = false),
+        StructField(s"__b_$i", DoubleType, nullable = false))
+    }.toArray)
+    val wRow = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(dense.flatMap {
+          case (arr, bias) => Seq(arr, bias)
+        })),
+      wSchema)
     val feats = hashedChargramFeatures(
       corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
       "doc_id", "__t", buckets, kMin, kMax)
-    val wMain = weights.select(col("lang"), col("b"), col("w"))
-      .filter(col("b") < buckets)
-    val biases = weights.filter(col("b") === buckets)
-      .select(col("lang"), col("w").as("__bias"))
-    val dots = feats.join(broadcast(wMain), Seq("b"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(graft.QueryDef.dsum(col("w") *
-        (col("cnt").cast(DoubleType) / col("doc_grams"))).as("__dot"))
+    val fv = col("cnt").cast(DoubleType) / col("doc_grams")
+    val dots = feats.crossJoin(broadcast(wRow))
+      .groupBy(col("doc_id"))
+      .agg(graft.QueryDef.dsum(
+          element_at(col(s"__w_0"), col("b").cast(IntegerType) + 1) * fv)
+          .as("__dot_0"),
+        langs.indices.drop(1).map(i => graft.QueryDef.dsum(
+          element_at(col(s"__w_$i"), col("b").cast(IntegerType) + 1) * fv)
+          .as(s"__dot_$i")): _*)
+    // featureless docs (empty text) score bias-only — right join keeps
+    // every corpus row; then melt the L score columns back to rows for
+    // the argmax (n_docs × L rows, trivially small next to the grams)
+    val biasSeq = dense.map(_._2)
+    val scored = corpus.select(col(idCol).as("doc_id"))
+      .join(dots, Seq("doc_id"), "left")
+      .select(col("doc_id") +: langs.indices.map(i =>
+        (coalesce(col(s"__dot_$i"), lit(0.0)) + lit(biasSeq(i)))
+          .as(s"__s_$i")): _*)
+    val melted = scored.select(col("doc_id"), explode(array(
+      langs.indices.map(i =>
+        struct(lit(langs(i)).as("lang"), col(s"__s_$i").as("score"))): _*))
+      .as("__ls"))
+      .select(col("doc_id"), col("__ls.lang").as("lang"),
+        col("__ls.score").as("score"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("lang").asc)
-    corpus.select(col(idCol).as("doc_id"))
-      .crossJoin(broadcast(biases))
-      .join(dots, Seq("doc_id", "lang"), "left")
-      .select(col("doc_id"), col("lang"),
-        (coalesce(col("__dot"), lit(0.0)) + col("__bias")).as("score"))
+    melted
       .withColumn("__rk", row_number().over(w))
       .withColumn("margin", col("score") - lead(col("score"), 1).over(w))
       .filter(col("__rk") === 1)
