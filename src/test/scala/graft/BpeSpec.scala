@@ -391,6 +391,45 @@ class BpeSpec extends AnyFunSuite {
     } finally toks.unpersist()
   }
 
+  test("packTokenIds property: stream conservation, full chunks, contiguous ids on random corpora") {
+    import spark.implicits._
+    // random doc/shard/id shapes — empty id arrays, docs longer than a
+    // chunk, uneven shards: (1) the concatenated chunk stream equals
+    // the (shard, doc)-ordered concat of docs + separators, (2) every
+    // non-final chunk is exactly L, (3) chunk ids are 0..n-1
+    val docGen = for {
+      shard <- Gen.oneOf("s0", "s1", "s2")
+      n <- Gen.chooseNum(0, 23)
+      ids <- Gen.listOfN(n, Gen.chooseNum(0, 99))
+    } yield (shard, ids)
+    val corpusGen = for {
+      nDocs <- Gen.chooseNum(1, 12)
+      docs <- Gen.listOfN(nDocs, docGen)
+      l <- Gen.chooseNum(1, 9)
+    } yield (docs, l)
+    val sep = -7
+    val p = Prop.forAll(corpusGen) { case (docs, l) =>
+      val df = docs.zipWithIndex.map { case ((sh, ids), i) =>
+        (i.toLong, sh, ids.toArray)
+      }.toDF("doc_id", "shard", "ids")
+      val packed = operators.Pipeline.packTokenIds(df, "doc_id", "shard",
+        "ids", contextLen = l, sepId = sep).orderBy("chunk_id").collect()
+      val chunks = packed.map(_.getSeq[Int](2))
+      val expected = docs.zipWithIndex
+        .map { case ((sh, ids), i) => (sh, i.toLong, ids) }
+        .sortBy { case (sh, i, _) => (sh, i) }
+        .flatMap { case (_, _, ids) => ids :+ sep }
+      val okStream = chunks.flatten.toSeq == expected
+      val okFull = chunks.dropRight(1).forall(_.length == l) &&
+        chunks.lastOption.forall(c => c.nonEmpty && c.length <= l)
+      val okIds = packed.map(_.getLong(0)).toSeq ==
+        (0L until packed.length).toSeq
+      okStream && okFull && okIds
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("bpeTrain: leaves no persistent RDDs behind (round checkpoints released)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     sparkBpe(Seq.fill(4)("abc") ++ Seq.fill(2)("abd"), 4, minPairCount = 2)
