@@ -47,9 +47,10 @@ object Curation {
     * the eval frame's text column (defaults to `textCol`). */
   def cleanText(docs: DataFrame, idCol: String, textCol: String,
       evalSet: Option[DataFrame] = None, substringMinLen: Int = 50,
-      decontaminateN: Int = 13, evalTextCol: String = ""): DataFrame =
+      decontaminateN: Int = 13, evalTextCol: String = "",
+      badwords: Seq[String] = Nil, urlCol: String = ""): DataFrame =
     cleanTextManaged(docs, idCol, textCol, evalSet, substringMinLen,
-      decontaminateN, evalTextCol).frame
+      decontaminateN, evalTextCol, badwords, urlCol).frame
 
   /** Handle over a [[cleanTextManaged]] result: `frame` is the cleaned
     * corpus; `release()` drops the chain's localCheckpoint blocks from
@@ -67,11 +68,27 @@ object Curation {
 
   /** [[cleanText]] with an explicit lifetime for the intermediate
     * localCheckpoint — use this form when running MANY cleans in one
-    * session: materialize/write `handle.frame`, then `handle.release()`. */
+    * session: materialize/write `handle.frame`, then `handle.release()`.
+    *
+    * The two optional pre-stages complete the C4 §2.2 reproduction
+    * (both map/one-shuffle shapes, both no-ops by default so the p13
+    * gate pins the unextended chain): `urlCol` non-empty → URL-level
+    * exact dedup FIRST ([[Pipeline.dedupByUrl]] — the cheapest
+    * removal, run before anything text-shaped); `badwords` non-empty →
+    * drop pages the blocklist flags ([[Pipeline.badwordsFilter]],
+    * whole-word case-insensitive) before line cleaning. */
   def cleanTextManaged(docs: DataFrame, idCol: String, textCol: String,
       evalSet: Option[DataFrame] = None, substringMinLen: Int = 50,
-      decontaminateN: Int = 13, evalTextCol: String = ""): CleanTextHandle = {
-    val c4 = Pipeline.c4CleanLines(docs, idCol, textCol)
+      decontaminateN: Int = 13, evalTextCol: String = "",
+      badwords: Seq[String] = Nil, urlCol: String = ""): CleanTextHandle = {
+    val afterUrl =
+      if (urlCol.isEmpty) docs
+      else Pipeline.dedupByUrl(docs, idCol, urlCol).drop("url_norm")
+    val afterBlock =
+      if (badwords.isEmpty) afterUrl
+      else Pipeline.badwordsFilter(afterUrl, textCol, badwords)
+        .filter(!col("blocked")).drop("blocked")
+    val c4 = Pipeline.c4CleanLines(afterBlock, idCol, textCol)
       .filter(col("keep"))
       .select(col(idCol).as("doc_id"), col("cleaned_text"))
     // localCheckpoint: `par` feeds BOTH the substring stage (which

@@ -270,6 +270,32 @@ class TextApiSpec extends AnyFunSuite {
       s"curated held-out docs must outscore crawl ones: $scores")
   }
 
+  test("cleanText: optional C4 blocklist + URL-dedup pre-stages compose; defaults untouched") {
+    import spark.implicits._
+    val l1 = "alpha beta gamma delta epsilon zeta eta."
+    val l2 = "one two three four five six seven eight."
+    val l3 = "red orange yellow green blue indigo violet."
+    val page = Seq(l1, l2, l3).mkString("\n")
+    val badPage = Seq("this slow page crawls badly today ok.",
+      l2, l3).mkString("\n")
+    val docs = Seq(
+      (1L, page, "https://a.example.com/x"),
+      (2L, page, "HTTPS://A.example.com/x/"),  // same canonical URL → dropped
+      (3L, badPage, "https://a.example.com/y"), // blocklist hit → dropped
+      (4L, Seq(l2, l3, l1).mkString("\n"), "https://a.example.com/z"))
+      .toDF("post_key", "body", "url")
+    val out = operators.Curation.cleanText(docs, "post_key", "body",
+        badwords = Seq("slow"), urlCol = "url")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(out == Set(1L, 4L),
+      s"URL-dup doc 2 and blocked doc 3 must be gone, got $out")
+    // with the stages off, the same docs all survive (pre-stages are
+    // genuinely optional — the p13 gate pins the unextended chain)
+    val plain = operators.Curation.cleanText(docs, "post_key", "body")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(plain == Set(1L, 2L, 3L, 4L))
+  }
+
   test("decontaminateSpansClosed: cuts the cross-seam gram the single pass leaks") {
     import spark.implicits._
     // eval grams (n=2): (q1,q2), (q2,z), (z,a), (a,b). Doc "a q1 q2 b"
