@@ -908,7 +908,10 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .select(col("doc_id"), col("n_cut_words"))
     val sem = semanticRemoved match {
       case Some(df) =>
+        // dropDuplicates: a repeated removed id would fan the per-doc
+        // row out through the left join and inflate EVERY count
         df.select(col(df.columns(0)).as("doc_id"), lit(true).as("__fs"))
+          .dropDuplicates("doc_id")
       case None =>
         base.select(col("doc_id")).limit(0).withColumn("__fs", lit(true))
     }

@@ -309,6 +309,15 @@ private[operators] trait QualityOps { self: Pipeline.type =>
   def badwordsFilter(corpus: DataFrame, textCol: String,
       badwords: Seq[String], caseInsensitive: Boolean = true): DataFrame = {
     require(badwords.nonEmpty, "need a non-empty blocklist")
+    // matching is per whitespace TOKEN: a multi-word phrase can never
+    // match a single token, so it would silently filter nothing —
+    // fail fast instead (phrase blocking = an n-gram probe, see
+    // ngramDecontaminate)
+    val phrases = badwords.filter(_.exists(_.isWhitespace))
+    require(phrases.isEmpty,
+      s"blocklist entries must be single tokens (matching is per word); " +
+        s"phrases: ${phrases.take(5).mkString(", ")} — use " +
+        "ngramDecontaminate for phrase blocking")
     val spark = corpus.sparkSession
     import spark.implicits._
     val norm: Column => Column =
@@ -727,7 +736,11 @@ private[operators] trait QualityOps { self: Pipeline.type =>
       val arr = Array.fill(buckets)(0.0)
       var bias = 0.0
       byLang(l).foreach { case (_, b, v) =>
-        if (b < buckets) arr(b) += v else if (b == buckets) bias += v
+        // out-of-range rows are ignored like the join formulation
+        // silently ignored them (b in [0, buckets) never matches a
+        // pmod bucket when negative or past the end)
+        if (b >= 0 && b < buckets) arr(b) += v
+        else if (b == buckets) bias += v
       }
       (arr.toSeq, bias)
     }

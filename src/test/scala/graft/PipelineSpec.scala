@@ -544,8 +544,10 @@ class PipelineSpec extends AnyFunSuite {
     // near-dup component graph: {1,2} and {3,5} → removed = {2, 5}
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L), (5L, 3L))
       .toDF("node", "component")
-    // semantic layer: whatever semDedup dropped — ids {2, 6}
-    val semRemoved = Seq(2L, 6L).toDF("vec_id")
+    // semantic layer: whatever semDedup dropped — ids {2, 6}; the
+    // repeated 6 pins the dedup guard (a duplicate removed id must not
+    // fan per-doc rows out through the join and inflate every count)
+    val semRemoved = Seq(2L, 6L, 6L).toDF("vec_id")
     val out = operators.Pipeline.dedupLadderReport(docs, "doc_id", "text",
         comps, substringMinLen = 10, semanticRemoved = Some(semRemoved))
       .collect().map(r => (r.getString(0), r.getString(1)) ->
