@@ -248,6 +248,18 @@ object Streams {
       .withColumn("text", PiiScrub.redact(col("text"), patterns))
   }
 
+  /** Blocklist gate for a document stream — [[graft.operators.Pipeline
+    * .badwordsFilter]] applied per micro-batch: the config-sized
+    * blocklist collapses to one sorted-hash broadcast row and each
+    * batch's docs probe it map-side (binary search), so the gate is
+    * STATELESS — no watermark, no state store — and composes freely
+    * with the dedup/scrub gates. Blocked documents are dropped;
+    * `textCol` names the stream's text column. */
+  def blocklistGate(docs: DataFrame, badwords: Seq[String],
+      textCol: String = "text"): DataFrame =
+    graft.operators.Pipeline.badwordsFilter(docs, textCol, badwords)
+      .filter(!col("blocked")).drop("blocked")
+
   /** Stream-static enrichment: join the unbounded stream against a
     * bounded dimension table (source metadata, license registry,
     * per-domain quality priors). Spark broadcasts the static side into

@@ -13,6 +13,31 @@ class StreamsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("blocklistGate: stateless per-batch whole-word blocking on a stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val gated = Streams.blocklistGate(
+      in.toDF().toDF("doc_id", "text"), Seq("slow", "bad"))
+    val q = gated.writeStream.format("memory")
+      .queryName("blocklist_gate").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "this page is SLOW today"),   // whole-word hit → dropped
+        (2L, "moving slowly along"),       // substring only → kept
+        (3L, "clean words here"))
+      q.processAllAvailable()
+      in.addData((4L, "another bad one"))  // gate keeps working batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("blocklist_gate")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(2L, 3L))
+    // the gate is stateless: no watermark column was required and the
+    // blocked flag never reaches the sink
+    assert(!spark.table("blocklist_gate").columns.contains("blocked"))
+  }
+
   test("sessionize: events within gap merge, beyond gap split") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
