@@ -358,6 +358,64 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         :+ col("content_hash") :+ col("band_sig"): _*)
   }
 
+  /** The set-bit positions of a Bloom filter over a reference corpus's
+    * exact text content, as ONE sorted-array row ready to broadcast —
+    * the build half of [[bloomDedup]] (Bloom, CACM 1970; the BFF shape
+    * Dolma runs for snapshot-over-snapshot dedup — Soldaini et al.
+    * 2024 §4.2: build a Bloom filter of everything already admitted,
+    * drop incoming docs the filter claims to have seen). Each non-NULL
+    * text sets its k [[doubleHashPositions]] bits of an `mBits`-wide
+    * table. Scale shape: the position fan-out is map-side (k rows per
+    * doc), the `.distinct()` partial-agg collapses repeats mapper-side
+    * and bounds the shuffle by `mBits` KEYS — so the one-row gather
+    * receives at most `mBits` rows, the filter's own memory budget, no
+    * matter how large the reference corpus is. (A production deploy
+    * would pack these positions into an `mBits/8`-byte bitset; the
+    * sorted-position array keeps the probe on the shared
+    * `sorted_intersect_count` / binary-search kernels and stays
+    * engine-replayable — same asymptotics, ~32× the broadcast bytes,
+    * which at the 2³⁰-bit filter a 100 TB snapshot wants is the
+    * difference between 128 MiB and 4 GiB: switch representation
+    * before switching algorithms.) */
+  def bloomBuildPositions(reference: DataFrame, textCol: String,
+      mBits: Int, k: Int): DataFrame =
+    reference
+      .filter(col(textCol).isNotNull)
+      .select(explode(doubleHashPositions(col(textCol), k, mBits)).as("__pos"))
+      .distinct()
+      .agg(sort_array(collect_list(col("__pos"))).as("__bloom"))
+
+  /** Bloom-filter membership dedup: flag every corpus doc whose exact
+    * text the `reference` Bloom filter CLAIMS to contain — true
+    * members always flag (no false negatives); a non-member can flag
+    * with probability ≈ (bits-set/m)^k (the filter's documented false-
+    * positive trade: at 100 TB the reference's exact key set is
+    * data-sized, but the filter is a fixed `mBits` budget that
+    * broadcasts). A doc is `in_bloom` when ALL of its k distinct
+    * [[doubleHashPositions]] are set; `bloom_hits` reports how many
+    * were (diagnostic — a near-miss scores k−1). NULL text never
+    * flags, matching [[exactDedup]]'s NULL stance. Plan: the reference
+    * collapses to ONE sorted-position row ([[bloomBuildPositions]]),
+    * the corpus crossJoin(broadcast)s it and probes map-side via the
+    * codegen'd sorted-merge intersect — the corpus itself never
+    * shuffles and never joins anything data-sized. Output: every
+    * caller column + (bloom_hits, in_bloom); drop flagged rows with
+    * `.filter(!col("in_bloom"))`. */
+  def bloomDedup(corpus: DataFrame, reference: DataFrame,
+      textCol: String, mBits: Int, k: Int): DataFrame = {
+    val bloomRow = bloomBuildPositions(reference, textCol, mBits, k)
+    corpus
+      .crossJoin(broadcast(bloomRow))
+      .withColumn("__pp", sort_array(array_distinct(
+        doubleHashPositions(col(textCol), k, mBits))))
+      .withColumn("bloom_hits", coalesce(
+        call_function("sorted_intersect_count", col("__pp"), col("__bloom"))
+          .cast(LongType), lit(0L)))
+      .withColumn("in_bloom", col(textCol).isNotNull &&
+        col("bloom_hits") === size(col("__pp")).cast(LongType))
+      .drop("__pp", "__bloom")
+  }
+
   /** SimHash near-dup pairs over ANY corpus by Hamming distance ≤
     * `maxHamming` (must be ≤ 3: the 4-chunk pigeonhole guarantees
     * exact recall only up to 3 differing bits of the 48) — the p26
@@ -1485,6 +1543,53 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         UNION ALL SELECT 'near', 'substring', d_ns, CAST(NULL AS BIGINT) FROM m
         UNION ALL SELECT 'any', 'any', d_any, CAST(NULL AS BIGINT) FROM m
         ORDER BY layer_a, layer_b"""
-      })
+      }),
+
+    // ---- p76: Bloom-filter membership dedup — [[bloomDedup]] with the
+    // doc_id ≡ 0 (mod 3) docs as the "prior snapshot" reference, m =
+    // 1024 bits, k = 3. m is sized so the fixture LOADS the filter
+    // (~500 of 1024 bits set): members must all flag, and a visible
+    // fraction of non-members false-positive — so the gate certifies
+    // genuine Bloom semantics (all-k-positions probe over the exact
+    // double-hashed bit positions), not a disguised exact-membership
+    // join. The oracle replays the md5 double-hashing, the distinct
+    // set-bit union and the all-positions probe verbatim.
+    QueryDef(
+      "p76_bloom_dedup",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        bloomDedup(docs.select(col("doc_id"), col("text")),
+            docs.filter(col("doc_id") % 3 === 0), "text",
+            mBits = 1024, k = 3)
+          .select(col("doc_id"), col("bloom_hits"), col("in_bloom"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS h1,
+                 2 * CAST('0x' || substr(md5(text), 13, 12) AS BIGINT) + 1 AS h2
+          FROM documents WHERE text IS NOT NULL),
+        bits AS (
+          SELECT DISTINCT (h1 + j * h2) % 1024 AS pos
+          FROM h, unnest(range(0, 3)) t(j)
+          WHERE doc_id % 3 = 0),
+        bloom AS (SELECT list_sort(list(pos)) AS bs FROM bits),
+        pp AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(list((h1 + j * h2) % 1024))) AS ps
+          FROM h, unnest(range(0, 3)) t(j) GROUP BY doc_id),
+        probe AS (
+          SELECT pp.doc_id,
+                 CAST(len(list_filter(ps, p -> list_contains(bs, p)))
+                   AS BIGINT) AS bloom_hits,
+                 len(list_filter(ps, p -> list_contains(bs, p))) = len(ps)
+                   AS in_bloom
+          FROM pp CROSS JOIN bloom)
+        SELECT d.doc_id,
+               COALESCE(p.bloom_hits, 0) AS bloom_hits,
+               COALESCE(p.in_bloom, FALSE) AS in_bloom
+        FROM documents d LEFT JOIN probe p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

@@ -117,6 +117,27 @@ private[operators] trait PipelineCore { self: Pipeline.type =>
     if (Integer.parseInt(hex, 16) % 2 == 0) 1 else -1
   }
 
+  /** The k double-hashed table positions of a string key in [0, m) —
+    * the Kirsch–Mitzenmacher scheme ("Less Hashing, Same Performance",
+    * Random Struct. Alg. 2008): two base hashes from one md5 (h1 = the
+    * first 48 bits, h2 = 2·(the next 48 bits)+1, forced odd so it is
+    * coprime with any power-of-two m), position j = (h1 + j·h2) mod m.
+    * One md5 per key serves any k — and the arithmetic stays exact in
+    * 64-bit (h1 + j·h2 < 2⁴⁸ + k·2⁴⁹, far under 2⁶³ for any sane k), so
+    * a DuckDB oracle replays it with the verbatim
+    * `('0x'||substr(md5(key),…))::BIGINT` formula. Shared by the Bloom
+    * membership gate ([[DedupOps.bloomDedup]]) and the Count-Min sketch
+    * ([[TextOps.cmsSketch]]) so the two probabilistic structures can
+    * never drift onto different hash families. NULL key → NULL. */
+  private[operators] def doubleHashPositions(key: Column, k: Int, m: Int): Column = {
+    require(k >= 1, s"need k >= 1 hash positions, got $k")
+    require(m >= 1, s"need a positive table size, got $m")
+    val h1 = conv(substring(md5(key), 1, 12), 16, 10).cast(LongType)
+    val h2 = conv(substring(md5(key), 13, 12), 16, 10).cast(LongType) * 2 + 1
+    transform(sequence(lit(0), lit(k - 1)),
+      j => pmod(h1 + j * h2, lit(m.toLong)))
+  }
+
   private[graft] trait PinnedEntry { var pins: Int = 0 }
 
   private[graft] final class MemoEntry(val df: DataFrame) extends PinnedEntry

@@ -97,10 +97,13 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * documented contract that related curation steps draw from one
     * consistent shuffle of each stratum (review r10: two verbatim
     * copies of the formula could drift apart). */
+  private def stratumMd5Order(stratumCol: String, idCol: String): Seq[Column] =
+    Seq(md5(concat(col(stratumCol), lit(":"),
+      col(idCol).cast(StringType))), col(idCol))
+
   private def stratumMd5Rank(stratumCol: String, idCol: String): Column =
     row_number().over(Window.partitionBy(col(stratumCol))
-      .orderBy(md5(concat(col(stratumCol), lit(":"),
-        col(idCol).cast(StringType))), col(idCol)))
+      .orderBy(stratumMd5Order(stratumCol, idCol): _*))
 
   def rebalanceToMix(corpus: DataFrame, idCol: String, stratumCol: String,
       weights: Seq[(String, Long)]): DataFrame = {
@@ -169,6 +172,74 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
         ++ corpus.columns.filterNot(c => c == idCol || c == stratumCol)
           .map(col)
         :+ col("rk").cast(LongType).as("rk"): _*)
+  }
+
+  /** UniMax budget allocation + selection (Chung et al., "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining", ICLR 2023): spread a total token
+    * `budget` as UNIFORMLY as possible across strata, subject to the
+    * per-stratum epoch cap — no stratum may contribute more than
+    * `epochs` passes over its own `n_l` tokens. The published fix for
+    * temperature sampling's failure modes at large budgets (α must be
+    * retuned per budget; tail languages silently over-epoch): capacity
+    * c_l = epochs·n_l, then exact integer waterfilling — strata whose
+    * capacity falls below the fair share are capped AT capacity and
+    * the remainder re-spreads over the rest, i.e. ascending by c_l a
+    * stratum is capped iff c_l·(remaining strata) + (capacities
+    * already paid) ≤ budget, and every uncapped stratum gets
+    * ⌊(budget − Σ capped c_l) / #uncapped⌋. All-integer (engine-exact;
+    * overflow needs c_l·L ≥ 2⁶³ — a yotta-token stratum). Selection
+    * materializes ONE epoch greedily: within each stratum docs take
+    * the shared RNG-free md5 order ([[rebalanceToMix]]'s formula, via
+    * the one [[stratumMd5Order]] definition — rank and running sum can
+    * never drift apart) and a doc is kept while the running token sum
+    * stays within the quota; a quota above n_l (epochs > 1 worth of
+    * repetition) keeps the whole stratum and reports the surplus in
+    * `quota` for the caller's epoch loop. NULL-stratum rows are
+    * dropped (the quota join is inner), like [[rebalanceToMix]]'s
+    * unknown strata. Plan shape: one per-stratum token-sum agg, the
+    * waterfilling windows run over L = |strata| rows (parameter-scale
+    * — the whole quota table broadcasts), then the single rank window
+    * any stratified pass needs. Output: (idCol, stratumCol, tokensCol,
+    * rk, quota). */
+  def unimaxSample(corpus: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, budget: Long, epochs: Int = 1): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val caps = corpus.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol).cast(LongType)).as("__n"))
+      .select(col(stratumCol), (col("__n") * epochs).as("__c"))
+    // the waterfilling windows are unpartitioned BY DESIGN: they run
+    // over one row per stratum (languages/domains — parameter-scale),
+    // never over the corpus
+    val byCap = Window.orderBy(col("__c"), col(stratumCol))
+    val pre = Window.orderBy(col("__c"), col(stratumCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.orderBy(col("__c"), col(stratumCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = caps
+      .withColumn("__i", row_number().over(byCap))
+      .withColumn("__L", count(lit(1)).over(all))
+      .withColumn("__pre", coalesce(sum(col("__c")).over(pre), lit(0L)))
+      .withColumn("__capped",
+        col("__c") * (col("__L") - col("__i") + 1) + col("__pre") <= budget)
+      .withColumn("__sc",
+        sum(when(col("__capped"), col("__c")).otherwise(0L)).over(all))
+      .withColumn("__u",
+        sum(when(col("__capped"), 0L).otherwise(1L)).over(all))
+      .select(col(stratumCol),
+        when(col("__capped"), col("__c"))
+          .otherwise(expr(s"($budget - __sc) div __u")).as("quota"))
+    val cum = Window.partitionBy(col(stratumCol))
+      .orderBy(stratumMd5Order(stratumCol, idCol): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    corpus.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
+      .withColumn("__cum", sum(col(tokensCol).cast(LongType)).over(cum))
+      .filter(col("__cum") <= col("quota"))
+      .select(Seq(col(idCol), col(stratumCol))
+        ++ corpus.columns.filterNot(c => c == idCol || c == stratumCol).map(col)
+        ++ Seq(col("rk").cast(LongType).as("rk"), col("quota")): _*)
   }
 
   /** Deterministic EXACT-COUNT stratified split: within each stratum,
@@ -505,6 +576,62 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
                             d.doc_id) AS rk
           FROM documents d JOIN q ON q.lang = d.lang)
         SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
-        FROM ranked WHERE rk <= q ORDER BY doc_id"""))
+        FROM ranked WHERE rk <= q ORDER BY doc_id""")),
+
+    // ---- p77: UniMax epoch-capped sampling — [[unimaxSample]] over
+    // the language strata at budget 40 000 word-tokens, epochs = 2.
+    // At sf0.01 that lands the interesting mixed outcome: the four
+    // small languages hit their 2-epoch capacity (quota = 2·n_l — the
+    // whole stratum admits, surplus reported for the epoch loop) and
+    // `en` alone is budget-limited (quota = budget − Σ capped < n_en),
+    // so its md5-ordered prefix cuts mid-stratum. The oracle replays
+    // the integer waterfilling windows, the capped condition, the
+    // integer division and the rank+running-sum admission verbatim.
+    QueryDef(
+      "p77_unimax_sample",
+      (s, d) =>
+        unimaxSample(
+          T.documents(s, d).select(col("doc_id"), col("lang"),
+            size(array_remove(words(col("text")), ""))
+              .cast(LongType).as("n_tok")),
+          "doc_id", "lang", "n_tok", budget = 40000L, epochs = 2)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT lang, 2 * SUM(n_tok) AS c FROM d GROUP BY lang),
+        r AS (
+          SELECT lang, c,
+                 ROW_NUMBER() OVER (ORDER BY c, lang) AS i,
+                 COUNT(*) OVER () AS L,
+                 COALESCE(SUM(c) OVER (ORDER BY c, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS pre
+          FROM c),
+        f AS (SELECT *, (c * (L - i + 1) + pre <= 40000) AS capped FROM r),
+        g AS (
+          SELECT *,
+                 SUM(CASE WHEN capped THEN c ELSE 0 END) OVER () AS sc,
+                 SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS u
+          FROM f),
+        q AS (
+          SELECT lang, CAST(CASE WHEN capped THEN c
+                   ELSE (40000 - sc) // u END AS BIGINT) AS quota
+          FROM g),
+        ranked AS (
+          SELECT d.doc_id, d.lang, d.n_tok, q.quota,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang
+                   ORDER BY md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id) AS rk,
+                 SUM(d.n_tok) OVER (PARTITION BY d.lang
+                   ORDER BY md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d JOIN q USING (lang))
+        SELECT doc_id, lang, n_tok, CAST(rk AS BIGINT) AS rk, quota
+        FROM ranked WHERE cum <= quota ORDER BY doc_id"""))
   )
 }

@@ -40,6 +40,77 @@ private[operators] trait TextOps { self: Pipeline.type =>
       .orderBy(col("tf").desc, col("w").asc)
       .limit(k)
 
+  /** Count-Min sketch of a corpus's whitespace-token frequencies, as
+    * ONE broadcast-ready row of `depth` dense count arrays (Cormode &
+    * Muthukrishnan, "An Improved Data Stream Summary: the Count-Min
+    * Sketch and its Applications", J. Algorithms 2005). Row j of the
+    * sketch counts every occurrence at column [[doubleHashPositions]]
+    * j of the token; estimates ([[cmsEstimate]]) take the min over
+    * rows and can only OVER-count (collisions add, never subtract).
+    * This is the scale-contract counterpart of [[vocabTopK]]'s exact
+    * counting: exact term frequency shuffles an UNBOUNDED key space
+    * (the vocabulary grows with the corpus — hapaxes dominate at
+    * 100 TB), while the sketch's partial agg collapses to at most
+    * depth×width cells PER MAPPER regardless of corpus size — a fixed
+    * shuffle and memory budget chosen up front, with the standard
+    * guarantee err ≤ (e/width)·N at probability 1 − e^−depth.
+    * Plan: occurrence fan-out map-side (depth rows per token via
+    * posexplode — the row index IS j), one (j, pos)-keyed partial-agg
+    * shuffle over ≤ depth·width keys, then a depth·width-bounded
+    * collapse into dense arrays so probes are O(1) element_at, never a
+    * map scan. NULL text contributes nothing. */
+  def cmsSketch(corpus: DataFrame, textCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 1, s"width must be >= 1, got $width")
+    val cells = corpus
+      .filter(col(textCol).isNotNull)
+      .select(explode(array_remove(words(col(textCol)), "")).as("__w"))
+      .select(posexplode(doubleHashPositions(col("__w"), depth, width))
+        .as(Seq("__j", "__pos")))
+      .groupBy(col("__j"), col("__pos"))
+      .agg(count(lit(1)).as("__c"))
+    cells
+      .groupBy(col("__j"))
+      .agg(map_from_entries(collect_list(
+        struct(col("__pos").cast(IntegerType), col("__c")))).as("__m"))
+      .select(col("__j"), transform(sequence(lit(0), lit(width - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__arr"))
+      .groupBy()
+      .agg(
+        first(when(col("__j") === 0, col("__arr")), ignoreNulls = true)
+          .as("__cms_0"),
+        (1 until depth).map(j =>
+          first(when(col("__j") === j, col("__arr")), ignoreNulls = true)
+            .as(s"__cms_$j")): _*)
+  }
+
+  /** Count-Min frequency estimates for a candidate item frame against
+    * a [[cmsSketch]] row: est(x) = min_j sketch[j][pos_j(x)] ≥ the
+    * true count, with the sketch's (e/width)·N error bound. The
+    * candidate side is whatever bounded set the caller cares about (a
+    * sample's distinct tokens, a blocklist, last snapshot's heavy
+    * hitters — the sketch itself deliberately cannot enumerate keys);
+    * the sketch row broadcasts and every probe is a map-side
+    * element_at chain, so candidates never shuffle and never join
+    * anything data-sized. Output: every caller column + `cms_est`
+    * (0 for items the corpus never hashed into non-zero cells; NULL
+    * items estimate 0). */
+  def cmsEstimate(items: DataFrame, itemCol: String,
+      sketch: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 1, s"width must be >= 1, got $width")
+    val pos = doubleHashPositions(col(itemCol), depth, width)
+    val probes = (0 until depth).map(j => coalesce(
+      element_at(col(s"__cms_$j"),
+        element_at(pos, j + 1).cast(IntegerType) + 1), lit(0L)))
+    val est = if (depth == 1) probes.head else least(probes: _*)
+    items
+      .crossJoin(broadcast(sketch))
+      .withColumn("cms_est", coalesce(est, lit(0L)))
+      .drop((0 until depth).map(j => s"__cms_$j"): _*)
+  }
+
   /** Sequence packing over ANY corpus — the p22 plan as a reusable
     * operator: concatenate-and-chunk the token stream into fixed
     * context windows where documents may straddle chunk boundaries.
@@ -980,6 +1051,69 @@ private[operators] trait TextOps { self: Pipeline.type =>
                CAST(i * 100 AS BIGINT) AS "offset"
         FROM documents,
              unnest(range(0, octet_length(encode(text)) // 100)) t(i)
-        ORDER BY doc_id, frame_no"""))
+        ORDER BY doc_id, frame_no""")),
+
+    // ---- p78: Count-Min sketch frequency estimates — [[cmsSketch]] /
+    // [[cmsEstimate]] at depth 3 × width 64 over the corpus's
+    // whitespace tokens, probed with the distinct tokens of the
+    // doc_id < 20 sample as candidates, against the EXACT term
+    // frequencies. width is sized BELOW the fixture vocabulary so
+    // cells genuinely collide: several candidates must overcount
+    // (overcount > 0) while none may ever undercount — certifying real
+    // sketch semantics (sum-on-collision, min-over-rows) rather than a
+    // disguised exact count. The oracle replays the double-hashed
+    // cells, the min-over-rows probe and the exact counts verbatim.
+    QueryDef(
+      "p78_cms_heavy_hitters",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val sketch = cmsSketch(docs, "text", depth = 3, width = 64)
+        val cand = docs
+          .filter(col("doc_id") < 20 && col("text").isNotNull)
+          .select(explode(array_remove(words(col("text")), "")).as("word"))
+          .distinct()
+        val exact = docs.filter(col("text").isNotNull)
+          .select(explode(array_remove(words(col("text")), "")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("exact_tf"))
+        cmsEstimate(cand, "word", sketch, depth = 3, width = 64)
+          .join(exact, Seq("word"), "left")
+          .select(col("word"), col("cms_est"),
+            coalesce(col("exact_tf"), lit(0L)).as("exact_tf"),
+            (col("cms_est") - coalesce(col("exact_tf"), lit(0L)))
+              .as("overcount"))
+          .orderBy(col("word"))
+      },
+      Some("""
+        WITH occ AS (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        hh AS (
+          SELECT w, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h1,
+                 2 * CAST('0x' || substr(md5(w), 13, 12) AS BIGINT) + 1 AS h2
+          FROM occ),
+        cells AS (
+          SELECT j, (h1 + j * h2) % 64 AS pos, COUNT(*) AS c
+          FROM hh, unnest(range(0, 3)) t(j) GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents WHERE text IS NOT NULL AND doc_id < 20),
+        ch AS (
+          SELECT w, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h1,
+                 2 * CAST('0x' || substr(md5(w), 13, 12) AS BIGINT) + 1 AS h2
+          FROM cand),
+        probe AS (
+          SELECT w, j, (h1 + j * h2) % 64 AS pos
+          FROM ch, unnest(range(0, 3)) t(j)),
+        est AS (
+          SELECT probe.w, MIN(COALESCE(cells.c, 0)) AS cms_est
+          FROM probe LEFT JOIN cells USING (j, pos) GROUP BY probe.w),
+        ex AS (SELECT w, COUNT(*) AS exact_tf FROM occ GROUP BY w)
+        SELECT est.w AS word, CAST(est.cms_est AS BIGINT) AS cms_est,
+               CAST(COALESCE(ex.exact_tf, 0) AS BIGINT) AS exact_tf,
+               CAST(est.cms_est - COALESCE(ex.exact_tf, 0) AS BIGINT)
+                 AS overcount
+        FROM est LEFT JOIN ex ON ex.w = est.w ORDER BY word"""))
   )
 }

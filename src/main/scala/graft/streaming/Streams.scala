@@ -260,6 +260,24 @@ object Streams {
     graft.operators.Pipeline.badwordsFilter(docs, textCol, badwords)
       .filter(!col("blocked")).drop("blocked")
 
+  /** Bloom snapshot gate for a document stream — [[graft.operators
+    * .Pipeline.bloomDedup]] applied per micro-batch: the STATIC
+    * reference corpus (last snapshot's admitted docs) collapses to one
+    * sorted set-bit row bounded by the filter's `mBits` budget, and
+    * each batch's docs probe it map-side, so the gate is STATELESS —
+    * no watermark, no state store — and drops exactly what the batch
+    * operator would (including its documented false-positive trade; a
+    * doc the filter wrongly claims to know is lost, never the
+    * reverse). This is the streaming half of the Dolma BFF recipe:
+    * cheap snapshot-over-snapshot dedup for a live ingest feed, with
+    * the exact/near-dup stateful gates handling WITHIN-stream
+    * duplicates. The static side re-resolves per batch, so republished
+    * snapshot files are picked up without a restart. */
+  def bloomGate(docs: DataFrame, reference: DataFrame, textCol: String,
+      mBits: Int, k: Int): DataFrame =
+    graft.operators.Pipeline.bloomDedup(docs, reference, textCol, mBits, k)
+      .filter(!col("in_bloom")).drop("bloom_hits", "in_bloom")
+
   /** Stream-static enrichment: join the unbounded stream against a
     * bounded dimension table (source metadata, license registry,
     * per-domain quality priors). Spark broadcasts the static side into

@@ -210,6 +210,48 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("bloomDedup and cmsEstimate: the probe side never shuffles") {
+    // both docstrings promise the probe arm is a single broadcast-fed
+    // map pass (the filter/sketch collapses to one row; the corpus /
+    // candidate side joins nothing data-sized): assert no
+    // ShuffleExchange subtree contains the probe's parquet scan. AQE
+    // off so the executed plan is a real traversable tree.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val probes = Seq(
+        "bloomDedup" -> operators.Pipeline.bloomDedup(
+          docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0),
+          "text", mBits = 1024, k = 3),
+        "cmsEstimate" -> operators.Pipeline.cmsEstimate(
+          docs.select(org.apache.spark.sql.functions.col("text")), "text",
+          operators.Pipeline.cmsSketch(docs, "text", 3, 64), 3, 64))
+      probes.foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan
+        // the build arm shuffles (its partial agg) — only shuffles that
+        // REACH the probe scan are the contract violation. The probe
+        // scan is the one whose output feeds the final project, i.e.
+        // any parquet scan NOT under a ShuffleExchange. Collect as SETS:
+        // the build scan sits under two NESTED shuffles (hash-partition
+        // distinct + single-partition gather) and must count once.
+        val underShuffle = plan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            s.collect {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+            }
+        }.flatten.toSet
+        val all = plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.toSet
+        assert(all.nonEmpty && (all -- underShuffle).nonEmpty,
+          s"$name: every scan sits under a shuffle — the probe arm " +
+            s"shuffled:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("sink partitionBy writes hive-style directories") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("part").toString + "/t"

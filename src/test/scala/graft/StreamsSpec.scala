@@ -38,6 +38,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(!spark.table("blocklist_gate").columns.contains("blocked"))
   }
 
+  test("bloomGate: stateless snapshot-membership blocking on a stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val snapshot = Seq((100L, "seen before"), (101L, "also known"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val gated = Streams.bloomGate(in.toDF().toDF("doc_id", "text"),
+      snapshot, "text", mBits = 1 << 20, k = 4)
+    val q = gated.writeStream.format("memory")
+      .queryName("bloom_gate").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "seen before"),    // snapshot member → dropped
+        (2L, "fresh content"))  // unknown → kept
+      q.processAllAvailable()
+      in.addData((3L, "also known"), (4L, "more fresh")) // batch 2 works
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("bloom_gate")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(2L, 4L))
+    // stateless, and the probe columns never reach the sink
+    assert(spark.table("bloom_gate").columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("sessionize: events within gap merge, beyond gap split") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -2545,4 +2545,109 @@ class TextApiSpec extends AnyFunSuite {
     // no RNG anywhere: a second invocation reproduces bit-identically
     assert(proj() == out)
   }
+
+  test("bloomDedup: members always flag, NULL text never, FPs are the " +
+      "all-k-positions semantics — not exact membership") {
+    import spark.implicits._
+    val ref = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("post_key", "body")
+    val probe = Seq(
+      (10L, "alpha beta"),          // member (same text, different id)
+      (11L, "something else"),      // non-member
+      (12L, null.asInstanceOf[String]), // NULL text: never flags
+      (13L, "gamma delta"))         // member
+      .toDF("post_key", "body")
+    val out = Pipeline.bloomDedup(probe, ref, "body", mBits = 1 << 20, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("bloom_hits"), r.getAs[Boolean]("in_bloom"))).toMap
+    assert(out(10L) == ((4L, true)) && out(13L) == ((4L, true)))
+    assert(!out(11L)._2 && out(12L) == ((0L, false)))
+    // alien caller columns survive alongside the two added ones
+    val cols = Pipeline.bloomDedup(probe, ref, "body", 1 << 20, 4).columns
+    assert(cols.toSeq == Seq("post_key", "body", "bloom_hits", "in_bloom"))
+    // a LOADED filter false-positives — the Bloom trade, not a bug: at
+    // mBits = 2 one reference doc sets both bits (positions alternate
+    // parity because h2 is odd), so EVERY non-null probe claims
+    // membership while the k-hit count stays honest
+    val tiny = Pipeline.bloomDedup(probe, ref.limit(1), "body",
+      mBits = 2, k = 3).collect()
+    assert(tiny.filter(_.getAs[String]("body") != null)
+      .forall(_.getAs[Boolean]("in_bloom")))
+    assert(!tiny.find(_.getLong(0) == 12L).get.getAs[Boolean]("in_bloom"))
+    // an EMPTY reference (all-NULL texts) flags nothing
+    val none = Pipeline.bloomDedup(probe,
+      Seq(Tuple1(null.asInstanceOf[String])).toDF("body"), "body", 1024, 3)
+      .collect()
+    assert(none.forall(!_.getAs[Boolean]("in_bloom")))
+  }
+
+  test("unimaxSample: integer waterfilling caps at epochs·n_l, spreads " +
+      "the rest; greedy prefix honors the quota") {
+    import spark.implicits._
+    // stratum a: 2 docs × 10 tokens (n=20); b: 5 docs × 20 (n=100).
+    // budget 60, epochs 1 → c = [20, 100]; a capped (20·2 = 40 ≤ 60),
+    // b uncapped with quota (60 − 20)/1 = 40 → exactly 2 of b's docs.
+    val docs = (Seq((1L, "a", 10L), (2L, "a", 10L)) ++
+      (10L to 14L).map(i => (i, "b", 20L))).toDF("post_key", "grp", "toks")
+    val out = Pipeline.unimaxSample(docs, "post_key", "grp", "toks",
+      budget = 60L, epochs = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Long]("quota")))
+    assert(out.filter(_._2 == "a").map(_._1).toSet == Set(1L, 2L))
+    assert(out.filter(_._2 == "a").forall(_._3 == 20L))
+    val b = out.filter(_._2 == "b")
+    assert(b.length == 2 && b.forall(_._3 == 40L))
+    // epochs scale capacity: at epochs = 3, a's cap triples (60) and
+    // the quota column reports the repetition surplus over one epoch
+    val e3 = Pipeline.unimaxSample(docs, "post_key", "grp", "toks",
+      budget = 1000L, epochs = 3).collect()
+      .map(r => (r.getString(1), r.getAs[Long]("quota"))).distinct.sorted
+    assert(e3.toSeq == Seq(("a", 60L), ("b", 300L)))
+    // all strata capped → every doc admits, and the uncapped division
+    // branch (u = 0) is never evaluated
+    assert(Pipeline.unimaxSample(docs, "post_key", "grp", "toks",
+      budget = 1000L, epochs = 3).count() == 7)
+    // caller columns + (rk, quota), id and stratum first
+    assert(Pipeline.unimaxSample(docs, "post_key", "grp", "toks", 60L)
+      .columns.toSeq == Seq("post_key", "grp", "toks", "rk", "quota"))
+    intercept[IllegalArgumentException] {
+      Pipeline.unimaxSample(docs, "post_key", "grp", "toks", 60L, epochs = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.unimaxSample(docs, "post_key", "grp", "toks", -1L)
+    }
+  }
+
+  test("cmsSketch/cmsEstimate: never undercounts, exact at ample width, " +
+      "total-collapse at width 1, absent and NULL items read 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red red red blue"),
+      (2L, "red blue green"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("post_key", "body")
+    val items = Seq("red", "blue", "green", "absent", null)
+      .map(Tuple1(_)).toDF("term")
+    // ample width: 4 distinct words in 2^16 cells — no collisions, the
+    // estimate IS the exact count (md5 positions are deterministic, so
+    // this either never passes or always does)
+    val wide = Pipeline.cmsSketch(docs, "body", depth = 3, width = 1 << 16)
+    val est = Pipeline.cmsEstimate(items, "term", wide, 3, 1 << 16)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("cms_est"))
+      .toMap
+    assert(est == Map("red" -> 4L, "blue" -> 2L, "green" -> 1L,
+      "absent" -> 0L, (null: String) -> 0L))
+    // width 1: every occurrence lands in the one cell — the estimate
+    // degenerates to the total token count for every present item,
+    // the documented sum-on-collision overcount at its extreme
+    val narrow = Pipeline.cmsSketch(docs, "body", depth = 2, width = 1)
+    val est1 = Pipeline.cmsEstimate(items.filter($"term".isNotNull),
+      "term", narrow, 2, 1)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("cms_est"))
+      .toMap
+    assert(est1.values.toSet == Set(7L)) // 7 tokens total, NULL doc ignored
+    // caller columns survive; the sketch's internal columns do not
+    assert(Pipeline.cmsEstimate(items, "term", wide, 3, 1 << 16)
+      .columns.toSeq == Seq("term", "cms_est"))
+  }
 }
