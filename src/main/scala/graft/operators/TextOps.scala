@@ -536,6 +536,149 @@ private[operators] trait TextOps { self: Pipeline.type =>
   /** The "l r"-lines encoding [[graft.plans.BpeSegment]] bakes its
     * rank table from — ONE driver collect of the numMerges-bounded
     * table, shared by [[bpeSegment]] and [[bpeEncodeIds]]. */
+  /** Unigram-LM subword segmentation (Kudo, "Subword Regularization:
+    * Improving Neural Network Translation Models with Multiple Subword
+    * Candidates", ACL 2018 — the SentencePiece unigram model; with
+    * [[bpeSegment]] this completes the two tokenizer families real
+    * pipelines ship): every whitespace token of every document Viterbi-
+    * segments against a `(piece, score)` table, maximizing the summed
+    * scores with the [[graft.plans.UnigramSegment]] kernel's
+    * longest-piece tie rule and single-char UNK fallback at `unkScore`.
+    * The table is vocab-bounded (the BPE-merge-list contract) so it
+    * collects once, bakes into the codegen'd expression, and every row
+    * streams MAP-SIDE — zero shuffle, zero join; pieces must be
+    * whitespace-free (they come from whitespace-split words — enforced)
+    * and scores finite. Output: one row per (doc, word position) —
+    * (doc_id, word_no, word, seg "p1+p2+…", n_pieces, score); NULL and
+    * empty texts contribute no rows. */
+  def unigramSegment(corpus: DataFrame, idCol: String, textCol: String,
+      pieces: DataFrame, unkScore: Double = -100000.0): DataFrame = {
+    require(!unkScore.isNaN && !unkScore.isInfinite,
+      s"unkScore must be finite, got $unkScore")
+    val tbl = pieces
+      .select(col(pieces.columns(0)).cast(StringType),
+        col(pieces.columns(1)).cast(DoubleType))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    require(tbl.nonEmpty, "need a non-empty piece table")
+    val bad = tbl.filter(p => p._1 == null || p._1.isEmpty ||
+      p._1.exists(_.isWhitespace) || p._2.isNaN || p._2.isInfinite)
+    require(bad.isEmpty,
+      s"pieces must be non-empty whitespace-free strings with finite " +
+        s"scores; offenders: ${bad.take(5).mkString(", ")}")
+    val enc = tbl.map(p => p._1 + " " + p._2).mkString("\n")
+    corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(array_remove(words(col(textCol)), ""))
+          .as(Seq("word_no", "word")))
+      .withColumn("__sg",
+        call_function("unigram_segment", col("word"), lit(enc), lit(unkScore)))
+      .select(col("doc_id"), col("word_no").cast(LongType), col("word"),
+        array_join(col("__sg.pieces"), "+").as("seg"),
+        size(col("__sg.pieces")).cast(LongType).as("n_pieces"),
+        col("__sg.score").as("score"))
+  }
+
+  /** Hard-EM unigram-LM training (the Viterbi-EM simplification of
+    * Kudo 2018 §3.2's EM + pruning loop: the E-step takes the 1-best
+    * segmentation instead of the full lattice expectation — the
+    * standard cheap variant, deterministic by construction): seed with
+    * every substring up to `maxPieceLen` weighted by word frequency,
+    * then iterate {Viterbi-segment the word dictionary with current
+    * scores via the SAME [[graft.plans.UnigramSegment.segmentLocal]]
+    * the serving kernel runs (the two can never diverge) → re-score
+    * pieces by usage log-frequency (add-1 smoothed, quantized 1e-9 —
+    * the established cross-rerun ln stance) → prune to the top
+    * `vocabSize` multi-char pieces by (usage, piece) with every
+    * observed single character kept unconditionally (coverage — the
+    * UNK fallback should mean "character never seen in training", not
+    * "pruned")}. Scale shape: the corpus reduces to its distinct-word
+    * dictionary in ONE partial-agg pass (the [[bpeTrain]] argument:
+    * natural-language vocabulary grows sublinearly, so the
+    * `localDictMax`-gated collect is vocab-bounded, not corpus-bound)
+    * and the EM loop runs driver-local over it — no per-iteration
+    * Spark jobs. Output: (piece, score), ready for
+    * [[unigramSegment]]. */
+  def unigramTrain(corpus: DataFrame, textCol: String, vocabSize: Int,
+      iters: Int = 2, maxPieceLen: Int = 4,
+      localDictMax: Int = 1 << 20): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dictRows = corpus
+      .select(explode(array_remove(words(col(textCol)), "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .limit(localDictMax + 1)
+      .collect()
+    require(dictRows.length <= localDictMax,
+      s"word dictionary exceeds localDictMax=$localDictMax — raise it " +
+        "or pre-truncate the corpus")
+    val dict = dictRows.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val round9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    val chars = dict.flatMap(_._1.toSeq).distinct.sorted.map(_.toString)
+    // seed scores: substring log-frequency over the weighted dictionary
+    val seed = new scala.collection.mutable.HashMap[String, Long]()
+    dict.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          seed.update(p, seed.getOrElse(p, 0L) + c)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val seedTotal = seed.values.sum.toDouble
+    var vocab: Seq[(String, Double)] = seed.toSeq.sortBy(_._1)
+      .map { case (p, c) => (p, round9(math.log(c / seedTotal))) }
+    var it = 0
+    while (it < iters) {
+      val table = new java.util.HashMap[String, java.lang.Double]()
+      vocab.foreach { case (p, sc) =>
+        table.put(p, java.lang.Double.valueOf(sc))
+      }
+      val maxLen = vocab.map(_._1.length).max
+      val usage = new scala.collection.mutable.HashMap[String, Long]()
+      dict.foreach { case (w, c) =>
+        val (ps, _) = graft.plans.UnigramSegment.segmentLocal(
+          w, table, maxLen, -1e12)
+        ps.foreach(p => usage.update(p, usage.getOrElse(p, 0L) + c))
+      }
+      val keptMulti = usage.toSeq.filter(_._1.length > 1)
+        .sortBy { case (p, u) => (-u, p) }
+        .take(math.max(0, vocabSize - chars.length)).map(_._1)
+      val kept = (chars ++ keptMulti).distinct
+      val uTotal = (kept.map(p => usage.getOrElse(p, 0L)).sum +
+        kept.length).toDouble
+      vocab = kept.sorted.map(p =>
+        (p, round9(math.log((usage.getOrElse(p, 0L) + 1L) / uTotal))))
+      it += 1
+    }
+    vocab.toDF("piece", "score")
+  }
+
+  /** The p79 gate's hand-built unigram piece table: full a–z coverage
+    * at distinct low scores (−100 − index, so no two char paths tie)
+    * plus multi-char pieces at distinct high scores chosen TIE-FREE
+    * over the fixture vocabulary — `BpeSpec` brute-forces every
+    * segmentation of every fixture word and asserts the argmax is
+    * unique, which is what lets the oracle rank by score alone. Shared
+    * between the QueryDef and the spec so the two can't drift. */
+  private[graft] val UnigramGatePieces: Seq[(String, Double)] =
+    ('a' to 'z').zipWithIndex.map { case (c, i) =>
+      (c.toString, -(100.0 + i))
+    } ++ Seq(
+      "table" -> -40.0, "spark" -> -42.0, "data" -> -43.0, "key" -> -44.0,
+      "sort" -> -45.0, "row" -> -47.0, "val" -> -49.0, "ta" -> -50.0,
+      "ry" -> -51.0, "str" -> -52.0, "que" -> -53.0, "win" -> -54.0,
+      "ble" -> -55.0, "dow" -> -56.0, "ue" -> -57.0, "eam" -> -58.0,
+      "an" -> -59.0, "sc" -> -61.0, "ord" -> -62.0, "er" -> -63.0,
+      "vec" -> -64.0, "tor" -> -65.0)
+
   private def encodeMerges(merges: DataFrame): String =
     merges.orderBy(col(merges.columns(0)))
       .select(col(merges.columns(1)), col(merges.columns(2)))
@@ -1114,6 +1257,59 @@ private[operators] trait TextOps { self: Pipeline.type =>
                CAST(COALESCE(ex.exact_tf, 0) AS BIGINT) AS exact_tf,
                CAST(est.cms_est - COALESCE(ex.exact_tf, 0) AS BIGINT)
                  AS overcount
-        FROM est LEFT JOIN ex ON ex.w = est.w ORDER BY word"""))
+        FROM est LEFT JOIN ex ON ex.w = est.w ORDER BY word""")),
+
+    // ---- p79: unigram-LM Viterbi segmentation — [[unigramSegment]]
+    // with the tie-free [[UnigramGatePieces]] table (integer-valued
+    // scores: DP sums are exact in both engines). The oracle cannot
+    // run a DP, so it enumerates EVERY segmentation of every distinct
+    // word via a recursive CTE (words are ≤ 8 chars with full
+    // single-char coverage — path counts are tiny) and keeps the
+    // score-argmax, which is unique because the table is tie-free
+    // (brute-force-asserted in BpeSpec). Certifies the kernel's
+    // maximization, piece boundaries, piece counts and path-sum
+    // scores word-for-word across the whole corpus.
+    {
+      val piecesValues = UnigramGatePieces
+        .map { case (p, sc) => s"('$p', CAST($sc AS DOUBLE))" }
+        .mkString(", ")
+      QueryDef(
+        "p79_unigram_segment",
+        (s, d) => {
+          import s.implicits._
+          unigramSegment(T.documents(s, d), "doc_id", "text",
+            UnigramGatePieces.toDF("piece", "score"))
+            .orderBy(col("doc_id"), col("word_no"))
+        },
+        Some(s"""
+          WITH RECURSIVE w AS (
+            SELECT doc_id, CAST(i AS BIGINT) - 1 AS word_no, ws[i] AS word
+            FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS ws
+                  FROM documents WHERE text IS NOT NULL),
+                 unnest(range(1, len(ws) + 1)) t(i)),
+          p(piece, score) AS (VALUES $piecesValues),
+          uw AS (SELECT DISTINCT word FROM w),
+          seg AS (
+            SELECT word, 0 AS pos, CAST(0 AS DOUBLE) AS score,
+                   CAST('' AS VARCHAR) AS path, 0 AS np
+            FROM uw
+            UNION ALL
+            SELECT s.word, s.pos + len(p.piece), s.score + p.score,
+                   CASE WHEN s.path = '' THEN p.piece
+                        ELSE s.path || '+' || p.piece END,
+                   s.np + 1
+            FROM seg s JOIN p ON substr(s.word, s.pos + 1, len(p.piece)) = p.piece
+            WHERE s.pos < len(s.word)),
+          best AS (
+            SELECT word, path, np, score,
+                   ROW_NUMBER() OVER (PARTITION BY word
+                     ORDER BY score DESC) AS rk
+            FROM seg WHERE pos = len(word))
+          SELECT w.doc_id, w.word_no, w.word, b.path AS seg,
+                 CAST(b.np AS BIGINT) AS n_pieces, b.score AS score
+          FROM w JOIN best b ON b.word = w.word AND b.rk = 1
+          ORDER BY w.doc_id, w.word_no"""))
+    }
   )
 }

@@ -91,6 +91,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextHashes.litString(c(1), "bpe_encode_ids: merges"),
         TextHashes.litString(c(2), "bpe_encode_ids: vocab")))))
     ext.injectFunction((
+      new FunctionIdentifier("unigram_segment"),
+      new ExpressionInfo(classOf[UnigramSegment].getName, "unigram_segment"),
+      arity("unigram_segment", 3)(c => UnigramSegment(c(0),
+        TextHashes.litString(c(1), "unigram_segment: pieces"),
+        TextHashes.litDouble(c(2), "unigram_segment: unkScore")))))
+    ext.injectFunction((
       new FunctionIdentifier("kgram_hashes_all"),
       new ExpressionInfo(classOf[KgramHashesAll].getName, "kgram_hashes_all"),
       arity("kgram_hashes_all", 3)(c => KgramHashesAll(c(0),

@@ -426,6 +426,20 @@ object TextHashes {
       s"$what must be a foldable string literal")
   }
 
+  /** Shared literal-double extraction for the function builders (an
+    * int literal widens — SQL callers write `-100000` unadorned). */
+  private[plans] def litDouble(e: Expression, what: String): Double = e match {
+    case f if f.foldable => f.eval() match {
+      case d: Double => d
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a foldable numeric literal")
+  }
+
   /** Shared literal-int extraction for the function builders. */
   private[plans] def litInt(e: Expression, what: String): Int = e match {
     case f if f.foldable => f.eval() match {

@@ -436,4 +436,115 @@ class BpeSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"bpeTrain leaked persisted RDDs: $leaked")
   }
+
+  // ---- unigram-LM tokenizer (Kudo 2018): the Viterbi kernel + the
+  // hard-EM trainer. Reference role: exhaustive segmentation
+  // enumeration (the p79 oracle's recursive-CTE strategy, in Scala).
+
+  /** Every segmentation of `w` over `table` pieces (no UNK), with its
+    * left-to-right score sum. */
+  private def allSegs(w: String, table: Map[String, Double])
+      : Seq[(List[String], Double)] = {
+    if (w.isEmpty) return Seq((Nil, 0.0))
+    (1 to w.length).flatMap { l =>
+      val p = w.take(l)
+      table.get(p).toSeq.flatMap { sc =>
+        allSegs(w.drop(l), table).map { case (rest, rs) =>
+          // left-to-right association: ((sc + r1) + r2) + … — rebuild
+          // by summing the flat path in order, matching the DP and the
+          // recursive CTE
+          val path = p :: rest
+          (path, path.map(table).foldLeft(0.0)(_ + _))
+        }
+      }
+    }
+  }
+
+  test("unigram gate table is tie-free over the fixture vocabulary and " +
+      "the kernel returns the unique argmax") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(vocab.nonEmpty)
+    val table = graft.operators.Pipeline.UnigramGatePieces.toMap
+    val jTable = new java.util.HashMap[String, java.lang.Double]()
+    table.foreach { case (p, s) => jTable.put(p, Double.box(s)) }
+    val maxLen = table.keys.map(_.length).max
+    vocab.foreach { w =>
+      val segs = allSegs(w, table)
+      assert(segs.nonEmpty, s"'$w' not coverable by the gate table")
+      val best = segs.map(_._2).max
+      val winners = segs.filter(_._2 == best)
+      assert(winners.size == 1,
+        s"TIE in the gate table for '$w': ${winners.map(_._1)} — the " +
+          "oracle's score-only ranking would be nondeterministic")
+      val (ps, sc) = graft.plans.UnigramSegment.segmentLocal(
+        w, jTable, maxLen, -1e9)
+      assert(ps.toList == winners.head._1 && sc == best,
+        s"kernel disagrees with exhaustive argmax on '$w'")
+    }
+  }
+
+  test("unigram_segment kernel: longest-piece tie rule, UNK fallback, " +
+      "empty word; codegen path agrees with segmentLocal") {
+    import spark.implicits._
+    val tie = new java.util.HashMap[String, java.lang.Double]()
+    tie.put("a", Double.box(-1.0))
+    tie.put("b", Double.box(-1.0))
+    tie.put("ab", Double.box(-2.0))
+    // 'ab' path and a+b path both score −2 → the longer piece wins
+    val (tp, ts) = graft.plans.UnigramSegment.segmentLocal("ab", tie, 2, -99)
+    assert(tp.toSeq == Seq("ab") && ts == -2.0)
+    // UNK: '9' is not in the table — emitted as itself at unkScore,
+    // and segmentation resumes with table pieces after it
+    val (up, us) = graft.plans.UnigramSegment.segmentLocal("a9b", tie, 2, -50)
+    assert(up.toSeq == Seq("a", "9", "b") && us == -52.0)
+    assert(graft.plans.UnigramSegment.segmentLocal("", tie, 2, -50)
+      ._1.isEmpty)
+    // the codegen'd expression path returns the identical struct
+    val enc = Seq("a -1.0", "b -1.0", "ab -2.0").mkString("\n")
+    val rows = Seq("ab", "a9b", "ba").toDF("w")
+      .select(call_function("unigram_segment", col("w"), lit(enc),
+        lit(-50.0)).as("s"))
+      .select(col("s.pieces"), col("s.score"))
+      .collect()
+      .map(r => (r.getSeq[String](0).toList, r.getDouble(1)))
+    assert(rows.toSeq == Seq(
+      (List("ab"), -2.0), (List("a", "9", "b"), -52.0),
+      (List("b", "a"), -2.0)))
+  }
+
+  test("unigramTrain: deterministic, char coverage, vocab bound, and " +
+      "trained segmentation round-trips") {
+    import spark.implicits._
+    val corpus = (Seq.fill(20)("tokenizer") ++ Seq.fill(12)("token") ++
+      Seq.fill(8)("sizer") ++ Seq("ize"))
+      .map(Tuple1(_)).toDF("body")
+    def train() = graft.operators.Pipeline
+      .unigramTrain(corpus, "body", vocabSize = 12, iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    val v = train()
+    // rerun-deterministic (driver-local loop, quantized scores)
+    assert(train().toSeq == v.toSeq)
+    val pieces = v.map(_._1).toSet
+    // every training character survives pruning unconditionally
+    assert("tokenizer".toSet.map((c: Char) => c.toString).subsetOf(pieces))
+    assert(v.length <= 12)
+    // the dominant subword is among the kept multi-char pieces
+    assert(pieces.exists(p => p.length > 1 && "tokenizer".contains(p)))
+    // serving with the trained table reconstructs every word exactly
+    val seg = graft.operators.Pipeline.unigramSegment(
+      corpus.distinct().withColumn("k", lit(1L)), "k", "body",
+      v.toSeq.toDF("piece", "score"))
+      .collect()
+    assert(seg.nonEmpty)
+    seg.foreach { r =>
+      assert(r.getAs[String]("seg").replace("+", "") ==
+        r.getAs[String]("word"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.unigramTrain(corpus, "body", 0)
+    }
+  }
 }
