@@ -26,7 +26,16 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     * [[exactDedup]] first, the standard pipeline order, and such
     * buckets collapse before LSH ever sees them. */
   def minhashNeardupPairs(corpus: DataFrame, idCol: String, textCol: String,
-      jaccardMin: Double = DefaultJaccardMin): DataFrame = {
+      jaccardMin: Double = DefaultJaccardMin,
+      bands: Int = NumHashes / BandRows, rows: Int = BandRows): DataFrame = {
+    // (bands, rows) default to the registry-pinned 8×4 scheme; tune
+    // with [[minhashBandPlan]] for other thresholds — more bands =
+    // higher recall at lower thresholds, more rows = sharper cutoff.
+    // bands·rows signature slots compute in the same single kernel
+    // pass whatever the split.
+    require(bands >= 1 && rows >= 1,
+      s"need bands, rows >= 1, got ($bands, $rows)")
+    val numHashes = bands * rows
     val docs = corpus
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 5)
@@ -57,21 +66,21 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     // MinhashSignature expression does one traversal with a primitive
     // long[] accumulator inside whole-stage codegen)
     val mh = xs.select(col("doc_id"),
-      minhashSig(col("xs"), NumHashes).as("mh"))
+      minhashSig(col("xs"), numHashes).as("mh"))
 
-    val sigCols = (0 until NumHashes / BandRows).map(b =>
-      concat_ws(",", (0 until BandRows).map(r =>
-        element_at(col("mh"), b * BandRows + r + 1).cast(StringType)): _*)
+    val sigCols = (0 until bands).map(b =>
+      concat_ws(",", (0 until rows).map(r =>
+        element_at(col("mh"), b * rows + r + 1).cast(StringType)): _*)
         .as(s"sig$b"))
-    val stackExpr = (0 until NumHashes / BandRows)
+    val stackExpr = (0 until bands)
       .map(b => s"$b, sig$b").mkString(", ")
-    val bands = mh.select(col("doc_id") +: sigCols: _*)
+    val banded = mh.select(col("doc_id") +: sigCols: _*)
       .select(col("doc_id"),
-        expr(s"stack(${NumHashes / BandRows}, $stackExpr) AS (band, sig)"))
+        expr(s"stack($bands, $stackExpr) AS (band, sig)"))
 
-    // The ONLY full shuffle in the pipeline: 8 signature rows per
-    // doc, grouped by (band, sig) — the LSH bucketing itself.
-    val buckets = bands.groupBy(col("band"), col("sig"))
+    // The ONLY full shuffle in the pipeline: `bands` signature rows
+    // per doc, grouped by (band, sig) — the LSH bucketing itself.
+    val buckets = banded.groupBy(col("band"), col("sig"))
       .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= LshBucketCap)
     val pairs = buckets

@@ -52,6 +52,55 @@ private[operators] trait PipelineCore { self: Pipeline.type =>
 
   private[operators] def hashB(i: Int): Long = 99991L * i + 7
 
+  /** Optimal LSH banding plan for a target Jaccard threshold — the
+    * standard S-curve tuning (Leskovec/Rajaraman/Ullman, "Mining of
+    * Massive Datasets" §3.4.3; the procedure datasketch ships as
+    * `_optimal_param`): a (b bands × r rows) scheme admits a pair of
+    * similarity s with probability 1 − (1 − s^r)^b, so pick the
+    * (b, r) with b·r ≤ `numPerm` minimizing the weighted area of the
+    * two error regions — FP = ∫₀ᵗ P(s) ds (dissimilar pairs that
+    * bucket together and must be verified: wasted join work) and
+    * FN = ∫ₜ¹ (1 − P(s)) ds (true near-dups the buckets miss:
+    * recall loss). Midpoint rule at 1000 points; ties prefer fewer
+    * bands (each band is a row in the bucket shuffle — at 100 TB,
+    * b IS the LSH stage's shuffle amplification factor). Driver-side
+    * pure function: feed the result to [[DedupOps.minhashNeardupPairs]]'
+    * (bands, rows) parameters. */
+  def minhashBandPlan(threshold: Double, numPerm: Int = NumHashes,
+      wFalsePositive: Double = 0.5, wFalseNegative: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    require(numPerm >= 1, s"numPerm must be >= 1, got $numPerm")
+    require(wFalsePositive >= 0 && wFalseNegative >= 0 &&
+      wFalsePositive + wFalseNegative > 0,
+      "weights must be non-negative and not both zero")
+    val grid = 1000
+    def admitP(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    var best = (1, 1)
+    var bestObj = Double.MaxValue
+    var b = 1
+    while (b <= numPerm) {
+      val r = numPerm / b
+      if (r >= 1) {
+        var fp = 0.0
+        var fn = 0.0
+        var i = 0
+        while (i < grid) {
+          val sFp = threshold * (i + 0.5) / grid
+          fp += admitP(sFp, b, r) * threshold / grid
+          val sFn = threshold + (1.0 - threshold) * (i + 0.5) / grid
+          fn += (1.0 - admitP(sFn, b, r)) * (1.0 - threshold) / grid
+          i += 1
+        }
+        val obj = wFalsePositive * fp + wFalseNegative * fn
+        if (obj < bestObj) { bestObj = obj; best = (b, r) }
+      }
+      b += 1
+    }
+    best
+  }
+
   /** Distinct word-5-gram hash set of a words array (the p02/p19/p23
     * shingle artifact — one definition so the cluster keys can never
     * de-synchronize between operators). */

@@ -111,6 +111,82 @@ private[operators] trait TextOps { self: Pipeline.type =>
       .drop((0 until depth).map(j => s"__cms_$j"): _*)
   }
 
+  /** Corpus data card — the quantitative core of a dataset datasheet
+    * (Gebru et al., "Datasheets for Datasets", CACM 2021; the summary
+    * table every released pretraining corpus ships — Dolma, FineWeb,
+    * RedPajama all publish exactly these axes): ONE long-format frame
+    * of (section, key, n_docs, n_tokens, n_chars) rows covering corpus
+    * totals, per-stratum breakdowns (language, source, … — any caller
+    * columns), a fixed-boundary document-length histogram (integer
+    * thresholds, engine-exact), and data-quality counters (NULL texts,
+    * whitespace-only texts, docs whose exact content duplicates
+    * another). Each section is one partial-agg pass over the corpus
+    * and the union is section-count × stratum-cardinality rows —
+    * report-sized at any corpus scale; the only non-trivial shuffle is
+    * the md5-keyed duplicate count, the [[DedupOps.exactDedup]] shape.
+    * n_tokens/n_chars are NULL where the axis doesn't apply (quality
+    * counters). */
+  def dataCard(corpus: DataFrame, idCol: String, textCol: String,
+      strataCols: Seq[String] = Seq.empty): DataFrame = {
+    val toks = size(array_remove(words(col(textCol)), "")).cast(LongType)
+    val chars = length(col(textCol)).cast(LongType)
+    val base = corpus.select(Seq(col(idCol).as("__id"),
+      col(textCol).as("__t"),
+      coalesce(when(col(textCol).isNotNull, toks), lit(0L)).as("__tok"),
+      coalesce(when(col(textCol).isNotNull, chars), lit(0L)).as("__ch"))
+      ++ strataCols.map(c => col(c).cast(StringType).as(c)): _*)
+    def pack(section: String, key: Column, grouped: DataFrame): DataFrame =
+      grouped.select(lit(section).as("section"), key.as("key"),
+        col("__d").as("n_docs"), col("__tk").as("n_tokens"),
+        col("__c").as("n_chars"))
+    val totals = pack("corpus", lit("all"),
+      base.agg(count(lit(1)).as("__d"), sum(col("__tok")).as("__tk"),
+        sum(col("__ch")).as("__c")))
+    val strata = strataCols.map { sc =>
+      pack(s"by_$sc", coalesce(col(sc), lit("NULL")),
+        base.groupBy(col(sc)).agg(count(lit(1)).as("__d"),
+          sum(col("__tok")).as("__tk"), sum(col("__ch")).as("__c")))
+    }
+    // power-of-two token-length buckets at fixed integer boundaries:
+    // "0", "1-32", "33-64", "65-128", …, "1025+" — deterministic CASE
+    // thresholds, no float log anywhere
+    val bounds = Seq(32L, 64L, 128L, 256L, 512L, 1024L)
+    val bucket = bounds.zip(1L +: bounds.dropRight(1).map(_ + 1))
+      .foldRight(when(col("__tok") === 0L, "0")
+          .otherwise(s"${bounds.last + 1}+")) { case ((hi, lo), acc) =>
+        when(col("__tok") === 0L, "0")
+          .when(col("__tok") <= hi, s"$lo-$hi").otherwise(acc)
+      }
+    val hist = pack("tokens_bucket", col("__b"),
+      base.select(bucket.as("__b"), col("__tok"), col("__ch"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__d"),
+          sum(col("__tok")).as("__tk"), sum(col("__ch")).as("__c")))
+    // quality counters: token/char sums don't apply → NULL
+    val nullLong = lit(null).cast(LongType)
+    val quality = Seq(
+      ("null_text", col("__t").isNull),
+      ("blank_text", col("__t").isNotNull && trim(col("__t")) === ""),
+      ("exact_dup_docs",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(coalesce(md5(col("__t")),
+            concat(lit("n:"), col("__id").cast(StringType))))
+          .orderBy(col("__id"))) > 1))
+    val qualityRows = {
+      val flags = base.select(
+        quality.map { case (k, c) => c.cast(LongType).as(k) }: _*)
+      val agg = flags.agg(
+        sum(col(quality.head._1)).as(quality.head._1),
+        quality.drop(1).map { case (k, _) => sum(col(k)).as(k) }: _*)
+      quality.map { case (k, _) =>
+        agg.select(lit("quality").as("section"), lit(k).as("key"),
+          coalesce(col(k), lit(0L)).as("n_docs"),
+          nullLong.as("n_tokens"), nullLong.as("n_chars"))
+      }.reduce(_ unionByName _)
+    }
+    (Seq(totals) ++ strata ++ Seq(hist, qualityRows))
+      .reduce(_ unionByName _)
+  }
+
   /** Sequence packing over ANY corpus — the p22 plan as a reusable
     * operator: concatenate-and-chunk the token stream into fixed
     * context windows where documents may straddle chunk boundaries.
@@ -1310,6 +1386,88 @@ private[operators] trait TextOps { self: Pipeline.type =>
                  CAST(b.np AS BIGINT) AS n_pieces, b.score AS score
           FROM w JOIN best b ON b.word = w.word AND b.rk = 1
           ORDER BY w.doc_id, w.word_no"""))
-    }
+    },
+
+    // ---- p80: corpus data card — [[dataCard]] over (lang, source)
+    // strata: totals, per-stratum doc/token/char masses, the
+    // fixed-boundary token-length histogram, and the quality counters
+    // (NULL / blank / exact-duplicate docs). The oracle replays every
+    // section with integer aggregates; quality rows carry NULL
+    // token/char masses in both engines.
+    QueryDef(
+      "p80_data_card",
+      (s, d) =>
+        dataCard(T.documents(s, d), "doc_id", "text",
+          strataCols = Seq("lang", "source"))
+          .orderBy(col("section"), col("key")),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text, lang, source,
+                 CASE WHEN text IS NULL THEN 0
+                      ELSE len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) END AS tok,
+                 CASE WHEN text IS NULL THEN 0 ELSE len(text) END AS ch
+          FROM documents),
+        tot AS (
+          SELECT 'corpus' AS section, 'all' AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(ch) AS BIGINT) AS n_chars
+          FROM b),
+        bl AS (
+          SELECT 'by_lang' AS section, COALESCE(lang, 'NULL') AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(ch) AS BIGINT) AS n_chars
+          FROM b GROUP BY lang),
+        bs AS (
+          SELECT 'by_source' AS section, COALESCE(source, 'NULL') AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(ch) AS BIGINT) AS n_chars
+          FROM b GROUP BY source),
+        hist AS (
+          SELECT 'tokens_bucket' AS section,
+                 CASE WHEN tok = 0 THEN '0'
+                      WHEN tok <= 32 THEN '1-32'
+                      WHEN tok <= 64 THEN '33-64'
+                      WHEN tok <= 128 THEN '65-128'
+                      WHEN tok <= 256 THEN '129-256'
+                      WHEN tok <= 512 THEN '257-512'
+                      WHEN tok <= 1024 THEN '513-1024'
+                      ELSE '1025+' END AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(ch) AS BIGINT) AS n_chars
+          FROM b GROUP BY 2),
+        q AS (
+          SELECT 'quality' AS section, 'null_text' AS key,
+                 CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_docs,
+                 CAST(NULL AS BIGINT) AS n_tokens,
+                 CAST(NULL AS BIGINT) AS n_chars
+          FROM b
+          UNION ALL
+          SELECT 'quality', 'blank_text',
+                 CAST(SUM(CASE WHEN text IS NOT NULL AND trim(text) = ''
+                   THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM b
+          UNION ALL
+          SELECT 'quality', 'exact_dup_docs',
+                 (SELECT CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+                  FROM (SELECT ROW_NUMBER() OVER (
+                          PARTITION BY COALESCE(md5(text),
+                            'n:' || CAST(doc_id AS VARCHAR))
+                          ORDER BY doc_id) AS rn
+                        FROM b)),
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+        SELECT * FROM tot
+        UNION ALL SELECT * FROM bl
+        UNION ALL SELECT * FROM bs
+        UNION ALL SELECT * FROM hist
+        UNION ALL SELECT * FROM q
+        ORDER BY section, key"""))
   )
 }

@@ -2546,6 +2546,98 @@ class TextApiSpec extends AnyFunSuite {
     assert(proj() == out)
   }
 
+  test("minhashBandPlan: matches an independent integrator's argmin; " +
+      "sharper curves at higher thresholds; bounds enforced") {
+    // independent reference: trapezoidal rule at 4× the resolution —
+    // different integrator, same objective; the chosen plan's objective
+    // must match the reference argmin's to well under any plan gap
+    def admit(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def objRef(t: Double, b: Int, r: Int): Double = {
+      val g = 4000
+      def trap(lo: Double, hi: Double, f: Double => Double): Double = {
+        val h = (hi - lo) / g
+        (0 until g).map(i => (f(lo + i * h) + f(lo + (i + 1) * h)) / 2 * h).sum
+      }
+      0.5 * trap(0, t, s => admit(s, b, r)) +
+        0.5 * trap(t, 1, s => 1 - admit(s, b, r))
+    }
+    for ((t, n) <- Seq((0.2, 32), (0.5, 32), (0.8, 32), (0.5, 128),
+        (0.9, 64))) {
+      val (b, r) = Pipeline.minhashBandPlan(t, n)
+      assert(b >= 1 && r >= 1 && b * r <= n, s"($b, $r) out of budget $n")
+      val ref = (1 to n).map(bb => (bb, n / bb)).filter(_._2 >= 1)
+        .minBy { case (bb, rr) => objRef(t, bb, rr) }
+      assert(math.abs(objRef(t, b, r) - objRef(t, ref._1, ref._2)) < 1e-6,
+        s"planner ($b,$r) vs reference $ref at t=$t n=$n")
+    }
+    // a high-threshold target wants a sharper S-curve: r must not shrink
+    assert(Pipeline.minhashBandPlan(0.2, 32)._2 <=
+      Pipeline.minhashBandPlan(0.9, 32)._2)
+    intercept[IllegalArgumentException] { Pipeline.minhashBandPlan(0.0) }
+    intercept[IllegalArgumentException] { Pipeline.minhashBandPlan(1.0) }
+    intercept[IllegalArgumentException] {
+      Pipeline.minhashBandPlan(0.5, 32, 0.0, 0.0)
+    }
+  }
+
+  test("minhashNeardupPairs: custom banding keeps exact-dup recall and " +
+      "exact verification") {
+    // identical texts share every signature slot, so the exact pair
+    // (14, 15) must surface under ANY banding; verification stays the
+    // exact Jaccard regardless of the LSH split
+    for ((b, r) <- Seq((16, 2), (4, 8),
+        Pipeline.minhashBandPlan(0.5, 32))) {
+      val pairs = Pipeline.minhashNeardupPairs(corpus, "post_key", "body",
+        bands = b, rows = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      assert(pairs.exists(p => p._1 == 14L && p._2 == 15L && p._3 == 1.0),
+        s"exact dup missed at ($b, $r)")
+      assert(pairs.forall(p => p._3 >= 0.5 && p._3 <= 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.minhashNeardupPairs(corpus, "post_key", "body",
+        bands = 0, rows = 4)
+    }
+  }
+
+  test("dataCard: totals, strata, histogram and quality counters on a " +
+      "hand-checkable corpus; strata optional") {
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "a b c", "de", "s1"),              // exact dup of doc 1
+      (3L, null.asInstanceOf[String], "en", "s2"),
+      (4L, "   ", "de", "s2"),                // blank: 0 tokens, 3 chars
+      (5L, big, "en", "s1"))
+      .toDF("post_key", "body", "tongue", "origin")
+    val card = Pipeline.dataCard(docs, "post_key", "body",
+      strataCols = Seq("tongue", "origin"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[java.lang.Long]("n_docs"),
+        r.getAs[java.lang.Long]("n_tokens"),
+        r.getAs[java.lang.Long]("n_chars")))
+    def row(s: String, k: String) = card.find(x => x._1 == s && x._2 == k).get
+    assert(row("corpus", "all") == (("corpus", "all", 5L, 46L,
+      5L + 5L + 0L + 3L + big.length)))
+    assert(row("by_tongue", "en")._3 == 3L && row("by_tongue", "de")._3 == 2L)
+    assert(row("by_origin", "s1") == (("by_origin", "s1", 3L, 46L,
+      5L + 5L + big.length)))
+    assert(row("tokens_bucket", "0")._3 == 2L)      // NULL + blank
+    assert(row("tokens_bucket", "1-32")._3 == 2L)
+    assert(row("tokens_bucket", "33-64") == (("tokens_bucket", "33-64",
+      1L, 40L, big.length.toLong)))
+    assert(row("quality", "null_text") == (("quality", "null_text",
+      1L, null, null)))
+    assert(row("quality", "blank_text")._3 == 1L)
+    assert(row("quality", "exact_dup_docs")._3 == 1L)
+    // no strata requested → only the stratum-free sections appear
+    val plain = Pipeline.dataCard(docs, "post_key", "body")
+      .select("section").distinct().collect().map(_.getString(0)).sorted
+    assert(plain.toSeq == Seq("corpus", "quality", "tokens_bucket"))
+  }
+
   test("bloomDedup: members always flag, NULL text never, FPs are the " +
       "all-k-positions semantics — not exact membership") {
     import spark.implicits._
