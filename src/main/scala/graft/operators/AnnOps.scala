@@ -350,6 +350,53 @@ private[operators] trait AnnOps { self: Pipeline.type =>
        |  (acc, x) -> acc + x) * (1.0 / sqrt(${outDim}.0)) AS FLOAT)""".stripMargin
   }
 
+  /** Okapi BM25 document-side term weights (Robertson & Zaragoza, "The
+    * Probabilistic Relevance Framework: BM25 and Beyond", FnTIR 2009;
+    * the idf is Lucene's always-positive ln(1 + (N−df+0.5)/(df+0.5))
+    * variant) — the weighting that turns [[sparseTopK]]'s generic
+    * posting dot product into the classical lexical ranker: score(q,d)
+    * = Σ_t∈q idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), i.e. BM25
+    * retrieval IS `sparseTopK(bm25Postings(corpus), queryTerms)` with
+    * query weight 1 per term (the p82 gate runs exactly this chain,
+    * [[capPostingsByDf]] composes upstream like any posting source).
+    * Scale shape: document length rides the (doc, term) partial agg as
+    * a group key (computed map-side BEFORE the explode — no second
+    * doc-keyed shuffle), the corpus stats collapse to ONE broadcast
+    * row, and the df table is vocab-sized so it broadcast-joins onto
+    * the postings — the posting stream itself shuffles exactly once,
+    * for its own tf aggregation. Weights are per-row double arithmetic
+    * with ln quantized at 1e-9 (the established cross-engine stance),
+    * so DuckDB replays them bit-for-bit. Output: (doc_id, term, tf,
+    * dl, df, weight). */
+  def bm25Postings(corpus: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 >= 0, s"k1 must be >= 0, got $k1")
+    require(b >= 0 && b <= 1, s"b must be in [0,1], got $b")
+    val base = corpus
+      .select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("__ws"))
+      .withColumn("dl", size(col("__ws")).cast(LongType))
+      .filter(col("dl") > 0)
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val idf = round(log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType)
+        + lit(0.5)) / (col("df").cast(DoubleType) + lit(0.5))), 9)
+    val ratio = col("tf").cast(DoubleType) * (lit(k1) + lit(1.0)) /
+      (col("tf").cast(DoubleType) + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl").cast(DoubleType) / avgdl))
+    tf.join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
+        round(idf * ratio, 9).as("weight"))
+  }
+
   /** AnnOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
   private[operators] lazy val annQueries: Seq[QueryDef] = Seq(
@@ -817,6 +864,66 @@ private[operators] trait AnnOps { self: Pipeline.type =>
            |SELECT vec_id, cl AS cluster, d2,
            |       COUNT(*) OVER (PARTITION BY cl) AS n_members
            |FROM a3 ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // ---- p82: BM25 retrieval — [[bm25Postings]] composed into
+    // [[sparseTopK]] (query weight 1 per term, the standard BM25 query
+    // side), docs 0–4 querying the whole corpus, top-5 each. The
+    // oracle replays the full chain: tf with dl riding the group key,
+    // one-row corpus stats, Lucene idf at the established round-9 ln
+    // quantization, the identical left-associated double arithmetic,
+    // and the decimal-accumulated score sum.
+    QueryDef(
+      "p82_bm25_retrieval",
+      (s, d) => {
+        val posts = bm25Postings(T.documents(s, d), "doc_id", "text")
+        val qs = posts.filter(col("doc_id") < 5)
+          .select(col("doc_id"), col("term"), lit(1.0).as("weight"))
+        sparseTopK(posts.select(col("doc_id"), col("term"), col("weight")),
+          qs, k = 5)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""
+        WITH bl AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents WHERE text IS NOT NULL)
+          WHERE len(ws) > 0),
+        tf AS (
+          SELECT doc_id, dl, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, dl, unnest(ws) AS w FROM bl)
+          GROUP BY doc_id, dl, w),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl
+          FROM bl),
+        dft AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+          FROM tf GROUP BY term),
+        wt AS (
+          SELECT tf.doc_id, tf.term,
+                 ROUND(ROUND(ln(CAST(1.0 AS DOUBLE) +
+                     (CAST(st.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE))
+                     / (CAST(dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE))), 9)
+                   * (CAST(tf.tf AS DOUBLE) *
+                      (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                         (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE)
+                          / (CAST(st.sum_dl AS DOUBLE)
+                             / CAST(st.n_docs AS DOUBLE))))), 9) AS w
+          FROM tf JOIN dft ON dft.term = tf.term CROSS JOIN st),
+        q AS (SELECT doc_id AS q_id, term FROM wt WHERE doc_id < 5),
+        sc AS (
+          SELECT q.q_id, wt.doc_id, ${graft.QueryDef.dsumSql("wt.w")} AS score
+          FROM wt JOIN q ON q.term = wt.term AND wt.doc_id <> q.q_id
+          GROUP BY q.q_id, wt.doc_id)
+        SELECT q_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, doc_id ASC) AS INT) AS rk
+        FROM sc QUALIFY rk <= 5 ORDER BY q_id, rk"""))
   )
 }

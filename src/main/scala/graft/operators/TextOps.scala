@@ -755,6 +755,253 @@ private[operators] trait TextOps { self: Pipeline.type =>
       "an" -> -59.0, "sc" -> -61.0, "ord" -> -62.0, "er" -> -63.0,
       "vec" -> -64.0, "tor" -> -65.0)
 
+  /** WordPiece subword tokenization (Wu et al. 2016 §4.1 — the BERT
+    * tokenizer; with [[bpeSegment]] and [[unigramSegment]] this
+    * completes all three subword families production tokenizers ship):
+    * every whitespace token greedy-longest-matches against a piece
+    * vocabulary via the codegen'd [[graft.plans.WordpieceSegment]]
+    * kernel — continuation pieces carry the `##` prefix, a word with
+    * any unmatchable position (or longer than `maxInputChars` code
+    * points) becomes the single `[UNK]` piece, no backtracking. The
+    * vocabulary is vocab-bounded so it collects once and bakes into
+    * the expression; every row then streams MAP-SIDE — zero shuffle,
+    * zero join. Output: one row per (doc, word position) — (doc_id,
+    * word_no, word, seg "p1+p2+…", n_pieces, is_unk) plus any
+    * `keepCols` riding through (e.g. a language column for
+    * [[tokenizerStats]]); NULL and empty texts contribute no rows. */
+  def wordpieceSegment(corpus: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxInputChars: Int = 200,
+      keepCols: Seq[String] = Seq.empty): DataFrame = {
+    require(maxInputChars >= 1,
+      s"maxInputChars must be >= 1, got $maxInputChars")
+    val pieces = vocab.select(col(vocab.columns(0)).cast(StringType))
+      .collect().map(_.getString(0))
+    require(pieces.nonEmpty, "need a non-empty piece vocabulary")
+    val bad = pieces.filter(p => p == null || p.isEmpty || p == "##" ||
+      p.exists(_.isWhitespace))
+    require(bad.isEmpty,
+      "pieces must be non-empty whitespace-free strings (a bare '##' " +
+        s"matches nothing); offenders: ${bad.take(5).mkString(", ")}")
+    val enc = pieces.mkString("\n")
+    corpus
+      .select(Seq(col(idCol).as("doc_id"),
+        posexplode(array_remove(words(col(textCol)), ""))
+          .as(Seq("word_no", "word"))) ++ keepCols.map(col): _*)
+      .withColumn("__ps", call_function("wordpiece_segment", col("word"),
+        lit(enc), lit(maxInputChars)))
+      .select(Seq(col("doc_id"), col("word_no").cast(LongType), col("word"),
+        array_join(col("__ps"), "+").as("seg"),
+        size(col("__ps")).cast(LongType).as("n_pieces"),
+        (col("__ps") === array(lit(graft.plans.WordpieceSegment.UnkPiece)))
+          .as("is_unk")) ++ keepCols.map(col): _*)
+  }
+
+  /** WordPiece vocabulary training (Schuster & Nakajima, "Japanese and
+    * Korean Voice Search", ICASSP 2012 — the likelihood-gain variant
+    * BPE's count objective approximates): identical merge mechanics to
+    * [[bpeTrain]] — word-frequency dictionary, adjacent-pair merges,
+    * greedy non-overlapping application — but each round merges the
+    * pair MAXIMIZING count(xy) / (count(x)·count(y)) (the corpus
+    * log-likelihood gain of fusing the pair into one unit) instead of
+    * the raw pair count. Scores compare as exact BigInt
+    * cross-products — c₁·(a₂·b₂) vs c₂·(a₁·b₁) — so training is
+    * reproducible bit-for-bit with zero float ops; ties break (pair
+    * count desc, then pair UTF-8-binary asc). Symbols use the serving
+    * convention directly: word-initial pieces raw, continuations
+    * `##`-prefixed, so merge outputs drop straight into
+    * [[wordpieceSegment]]'s vocabulary (no `</w>` marker — WordPiece
+    * marks continuation, not end). Scale shape: ONE corpus scan to
+    * the vocab-bounded dictionary (the [[bpeTrain]] argument), then a
+    * driver-local incremental-stats merge loop — no per-round Spark
+    * jobs. Not SQL-expressible (iterative state); BpeSpec gates it
+    * against hand-computed likelihood algebra, including the case
+    * where the count objective (BPE) and the likelihood objective
+    * (WordPiece) pick DIFFERENT pairs. Output: (merge_no, left,
+    * right, piece, pair_count). */
+  def wordpieceTrain(corpus: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2, localDictMax: Int = 1 << 20): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1,
+      s"minPairCount must be >= 1, got $minPairCount")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dictRows = corpus
+      .select(explode(array_remove(words(col(textCol)), "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .limit(localDictMax + 1)
+      .collect()
+    require(dictRows.length <= localDictMax,
+      s"word dictionary exceeds localDictMax=$localDictMax — raise it " +
+        "or pre-truncate the corpus")
+    val dict = dictRows.map { r =>
+      val w = r.getString(0)
+      val syms = collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val c = new String(Character.toChars(cp))
+        syms += (if (i == 0) c else "##" + c)
+        i += Character.charCount(cp)
+      }
+      (syms.toArray, r.getLong(1))
+    }.sortBy(x => x._1.mkString(" "))
+    wordpieceTrainLocal(dict, numMerges, minPairCount)
+      .toDF("merge_no", "left", "right", "piece", "pair_count")
+  }
+
+  /** The WordPiece symbol concatenation: the right symbol's `##` is
+    * absorbed (it marked "continues the left neighbor", which the
+    * merge just made true). */
+  private def wpConcat(l: String, r: String): String =
+    l + (if (r.startsWith("##")) r.substring(2) else r)
+
+  /** Incremental-stats WordPiece merge loop ([[bpeTrainLocal]]'s
+    * machinery with the likelihood objective): pair counts AND unit
+    * counts are maintained incrementally, so a round costs
+    * O(Σ affected word lengths) + one scan of the live pairs for the
+    * argmax. */
+  private def wordpieceTrainLocal(dict0: Array[(Array[String], Long)],
+      numMerges: Int, minPairCount: Long)
+      : Seq[(Int, String, String, String, Long)] = {
+    val words = dict0.map(w =>
+      collection.mutable.ArrayBuffer.from[String](w._1))
+    val cnts = dict0.map(_._2)
+    val stats = collection.mutable.HashMap.empty[(String, String), Long]
+    val unit = collection.mutable.HashMap.empty[String, Long]
+    val index = collection.mutable.HashMap
+      .empty[(String, String), collection.mutable.Set[Int]]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val w = words(wi)
+      var i = 0
+      while (i < w.length) {
+        val u = w(i)
+        val nu = unit.getOrElse(u, 0L) + sign * cnts(wi)
+        if (nu == 0L) unit.remove(u) else unit(u) = nu
+        if (i < w.length - 1) {
+          val p = (w(i), w(i + 1))
+          val nv = stats.getOrElse(p, 0L) + sign * cnts(wi)
+          if (nv == 0L) stats.remove(p) else stats(p) = nv
+          if (sign > 0)
+            index.getOrElseUpdate(p, collection.mutable.Set.empty) += wi
+        }
+        i += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+    val merges =
+      collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (!done && round <= numMerges) {
+      // argmax of c/(a·b) by exact cross-product; ties (score, then
+      // pair count desc, then (l, r) UTF-8-binary asc)
+      var bl: String = null
+      var br: String = null
+      var bc = 0L
+      var bDen = BigInt(0)
+      stats.foreach { case ((l, r), c) =>
+        if (c >= minPairCount) {
+          val den = BigInt(unit(l)) * BigInt(unit(r))
+          val better =
+            if (bl == null) true
+            else {
+              val cmp = (BigInt(c) * bDen).compare(BigInt(bc) * den)
+              if (cmp != 0) cmp > 0
+              else if (c != bc) c > bc
+              else utf8Lt(l, bl) || (l == bl && utf8Lt(r, br))
+            }
+          if (better) { bl = l; br = r; bc = c; bDen = den }
+        }
+      }
+      if (bl == null) done = true
+      else {
+        val piece = wpConcat(bl, br)
+        merges += ((round, bl, br, piece, bc))
+        val affected = index.remove((bl, br)).map(_.toArray)
+          .getOrElse(Array.emptyIntArray)
+        affected.foreach { wi =>
+          addWord(wi, -1L)
+          val w = words(wi)
+          val out = collection.mutable.ArrayBuffer.empty[String]
+          w.foreach { x =>
+            if (out.nonEmpty && out.last == bl && x == br)
+              out(out.length - 1) = piece
+            else out += x
+          }
+          words(wi) = out
+          addWord(wi, 1L)
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The serving vocabulary of a trained WordPiece model — one (piece)
+    * row per base symbol observed in the corpus (word-initial code
+    * points raw, continuations `##`-prefixed — the same convention
+    * [[wordpieceTrain]] trains in) plus every merge output, ready for
+    * [[wordpieceSegment]]. Scale shape: one alphabet-bounded distinct
+    * aggregation plus the numMerges-bounded merge table — both
+    * parameter-sized ([[bpeVocab]]'s contract). */
+  def wordpieceVocab(corpus: DataFrame, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val base = corpus
+      .select(explode(array_remove(words(col(textCol)), "")).as("w"))
+      .select(explode(transform(sequence(lit(1), length(col("w"))),
+        i => when(i === 1, col("w").substr(lit(1), lit(1)))
+          .otherwise(concat(lit("##"), col("w").substr(i, lit(1))))))
+        .as("piece"))
+    base.union(merges.select(col("piece"))).distinct()
+  }
+
+  /** Tokenizer evaluation report over a segmented corpus (the output
+    * shape of [[wordpieceSegment]] / [[unigramSegment]]) — the three
+    * numbers every tokenizer comparison publishes, per stratum:
+    * FERTILITY (pieces per word — the standard multilingual-coverage
+    * metric; a tokenizer trained on English shows fertility 2–4× on
+    * unseen scripts), chars per piece (compression), and the UNK rate
+    * when the segmentation carries one ([[wordpieceSegment]]'s
+    * `is_unk`; pass `unkCol = None` for tokenizers with full coverage
+    * — unigram's char fallback, BPE's open alphabet). One partial-agg
+    * pass, stratum-cardinality output rows; the ratios divide exact
+    * integer sums as doubles, so both engines agree bit-for-bit. */
+  def tokenizerStats(segments: DataFrame, byCols: Seq[String],
+      wordCol: String = "word", nPiecesCol: String = "n_pieces",
+      unkCol: Option[String] = Some("is_unk")): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("n_words"),
+      sum(col(nPiecesCol)).as("n_pieces"),
+      sum(length(col(wordCol)).cast(LongType)).as("n_chars")) ++
+      unkCol.map(u => sum(col(u).cast(LongType)).as("n_unk")).toSeq
+    val g = segments.groupBy(byCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val ratios = g
+      .withColumn("fertility", col("n_pieces").cast(DoubleType) /
+        col("n_words").cast(DoubleType))
+      .withColumn("chars_per_piece", col("n_chars").cast(DoubleType) /
+        col("n_pieces").cast(DoubleType))
+    unkCol.fold(ratios)(_ => ratios.withColumn("unk_rate",
+      col("n_unk").cast(DoubleType) / col("n_words").cast(DoubleType)))
+  }
+
+  /** The p81/p83 gates' hand-built WordPiece vocabulary over the
+    * fixture corpus's 31-word lowercase vocabulary: every a–z as a
+    * word-initial single and every `##`-continuation single EXCEPT
+    * `##k` — so "spark" (non-initial k) exercises the whole-word
+    * [[graft.plans.WordpieceSegment.UnkPiece]] rule — plus multi-char
+    * pieces chosen to exercise greedy-longest at both initial and
+    * continuation positions ("table" beats "tab"; "##eam" beats
+    * "##ea"). The p81 gate runs maxInputChars = 7, so "customer"
+    * (8 chars) exercises the over-length rule. Shared between the
+    * QueryDefs and BpeSpec so the two can't drift. */
+  private[graft] val WordpieceGateVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++
+      ('a' to 'z').filter(_ != 'k').map("##" + _) ++ Seq(
+      "table", "tab", "##le", "val", "va", "##ue", "str", "##eam", "##ea",
+      "ord", "##er", "##uery", "sort", "sc", "##an", "da", "##ta", "the",
+      "big", "vec", "##tor", "col", "##umn", "fil", "##ter", "part", "merg")
+
   private def encodeMerges(merges: DataFrame): String =
     merges.orderBy(col(merges.columns(0)))
       .select(col(merges.columns(1)), col(merges.columns(2)))
@@ -1468,6 +1715,155 @@ private[operators] trait TextOps { self: Pipeline.type =>
         UNION ALL SELECT * FROM bs
         UNION ALL SELECT * FROM hist
         UNION ALL SELECT * FROM q
-        ORDER BY section, key"""))
+        ORDER BY section, key""")),
+
+    // ---- p81: WordPiece segmentation — [[wordpieceSegment]] with the
+    // hand-built [[WordpieceGateVocab]] at maxInputChars = 7. The
+    // oracle replays the greedy longest-match walk as a recursive CTE:
+    // per (word, position) the best (longest) matching piece is a MAX
+    // over the vocab join (continuations must carry '##'), the walk
+    // follows those bests from position 1, and a word whose walk
+    // strands short of the end — or that is over-length — collapses
+    // to the single '[UNK]' piece, exactly the kernel's no-backtrack
+    // rule. Certifies piece boundaries, the ## convention, both UNK
+    // rules and piece counts word-for-word across the corpus.
+    {
+      val vocabValues = WordpieceGateVocab
+        .map(p => s"('$p')").mkString(", ")
+      QueryDef(
+        "p81_wordpiece_segment",
+        (s, d) => {
+          import s.implicits._
+          wordpieceSegment(T.documents(s, d), "doc_id", "text",
+            WordpieceGateVocab.toDF("piece"), maxInputChars = 7)
+            .orderBy(col("doc_id"), col("word_no"))
+        },
+        Some(s"""
+          WITH RECURSIVE w AS (
+            SELECT doc_id, CAST(i AS BIGINT) - 1 AS word_no, ws[i] AS word
+            FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS ws
+                  FROM documents WHERE text IS NOT NULL),
+                 unnest(range(1, len(ws) + 1)) t(i)),
+          v(piece) AS (VALUES $vocabValues),
+          uw AS (SELECT DISTINCT word FROM w),
+          m AS (
+            SELECT u.word, t.pos,
+                   MAX(CASE WHEN t.pos = 1 THEN len(v.piece)
+                            ELSE len(v.piece) - 2 END) AS clen
+            FROM uw u, unnest(range(1, len(u.word) + 1)) t(pos), v
+            WHERE (t.pos = 1 AND v.piece NOT LIKE '##%'
+                   AND substr(u.word, 1, len(v.piece)) = v.piece)
+               OR (t.pos > 1 AND v.piece LIKE '##%' AND len(v.piece) > 2
+                   AND substr(u.word, CAST(t.pos AS BIGINT),
+                         len(v.piece) - 2) = substr(v.piece, 3))
+            GROUP BY u.word, t.pos),
+          walk AS (
+            SELECT word, CAST(1 AS BIGINT) AS pos,
+                   CAST('' AS VARCHAR) AS path, CAST(0 AS BIGINT) AS np
+            FROM uw
+            UNION ALL
+            SELECT k.word, k.pos + m.clen,
+                   CASE WHEN k.path = '' THEN '' ELSE k.path || '+' END ||
+                     CASE WHEN k.pos = 1 THEN substr(k.word, 1, m.clen)
+                          ELSE '##' || substr(k.word,
+                            CAST(k.pos AS BIGINT), m.clen) END,
+                   k.np + 1
+            FROM walk k JOIN m ON m.word = k.word AND m.pos = k.pos
+            WHERE k.pos <= len(k.word)),
+          fin AS (
+            SELECT word, pos, path, np,
+                   ROW_NUMBER() OVER (PARTITION BY word
+                     ORDER BY pos DESC) AS rk
+            FROM walk),
+          res AS (
+            SELECT word,
+                   CASE WHEN len(word) > 7 OR pos <> len(word) + 1
+                        THEN '[UNK]' ELSE path END AS seg,
+                   CASE WHEN len(word) > 7 OR pos <> len(word) + 1
+                        THEN CAST(1 AS BIGINT) ELSE np END AS n_pieces
+            FROM fin WHERE rk = 1)
+          SELECT w.doc_id, w.word_no, w.word, r.seg,
+                 r.n_pieces, r.seg = '[UNK]' AS is_unk
+          FROM w JOIN res r ON r.word = w.word
+          ORDER BY w.doc_id, w.word_no"""))
+    },
+
+    // ---- p83: tokenizer evaluation report — [[tokenizerStats]] over
+    // the p81 WordPiece segmentation, per language: fertility (pieces
+    // per word), chars per piece, UNK rate. The oracle reuses the p81
+    // walk CTE, joins it back to every word occurrence with its
+    // document's language, and divides exact integer sums as doubles
+    // (bit-identical division in both engines).
+    {
+      val vocabValues = WordpieceGateVocab
+        .map(p => s"('$p')").mkString(", ")
+      QueryDef(
+        "p83_tokenizer_stats",
+        (s, d) => {
+          import s.implicits._
+          val segd = wordpieceSegment(T.documents(s, d), "doc_id", "text",
+            WordpieceGateVocab.toDF("piece"), maxInputChars = 7,
+            keepCols = Seq("lang"))
+          tokenizerStats(segd, byCols = Seq("lang"))
+            .orderBy(col("lang"))
+        },
+        Some(s"""
+          WITH RECURSIVE w AS (
+            SELECT doc_id, lang, ws[i] AS word
+            FROM (SELECT doc_id, lang,
+                    list_filter(string_split_regex(text, '\\s+'),
+                      x -> x <> '') AS ws
+                  FROM documents WHERE text IS NOT NULL),
+                 unnest(range(1, len(ws) + 1)) t(i)),
+          v(piece) AS (VALUES $vocabValues),
+          uw AS (SELECT DISTINCT word FROM w),
+          m AS (
+            SELECT u.word, t.pos,
+                   MAX(CASE WHEN t.pos = 1 THEN len(v.piece)
+                            ELSE len(v.piece) - 2 END) AS clen
+            FROM uw u, unnest(range(1, len(u.word) + 1)) t(pos), v
+            WHERE (t.pos = 1 AND v.piece NOT LIKE '##%'
+                   AND substr(u.word, 1, len(v.piece)) = v.piece)
+               OR (t.pos > 1 AND v.piece LIKE '##%' AND len(v.piece) > 2
+                   AND substr(u.word, CAST(t.pos AS BIGINT),
+                         len(v.piece) - 2) = substr(v.piece, 3))
+            GROUP BY u.word, t.pos),
+          walk AS (
+            SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np
+            FROM uw
+            UNION ALL
+            SELECT k.word, k.pos + m.clen, k.np + 1
+            FROM walk k JOIN m ON m.word = k.word AND m.pos = k.pos
+            WHERE k.pos <= len(k.word)),
+          fin AS (
+            SELECT word, pos, np,
+                   ROW_NUMBER() OVER (PARTITION BY word
+                     ORDER BY pos DESC) AS rk
+            FROM walk),
+          res AS (
+            SELECT word,
+                   CASE WHEN len(word) > 7 OR pos <> len(word) + 1
+                        THEN CAST(1 AS BIGINT) ELSE np END AS n_pieces,
+                   (len(word) > 7 OR pos <> len(word) + 1) AS is_unk
+            FROM fin WHERE rk = 1)
+          SELECT w.lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(r.n_pieces) AS BIGINT) AS n_pieces,
+                 CAST(SUM(len(w.word)) AS BIGINT) AS n_chars,
+                 CAST(SUM(CASE WHEN r.is_unk THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unk,
+                 CAST(CAST(SUM(r.n_pieces) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS fertility,
+                 CAST(CAST(SUM(len(w.word)) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(SUM(r.n_pieces) AS BIGINT) AS DOUBLE)
+                   AS chars_per_piece,
+                 CAST(CAST(SUM(CASE WHEN r.is_unk THEN 1 ELSE 0 END)
+                     AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS unk_rate
+          FROM w JOIN res r ON r.word = w.word
+          GROUP BY w.lang
+          ORDER BY w.lang"""))
+    }
   )
 }

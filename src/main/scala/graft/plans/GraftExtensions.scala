@@ -97,6 +97,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextHashes.litString(c(1), "unigram_segment: pieces"),
         TextHashes.litDouble(c(2), "unigram_segment: unkScore")))))
     ext.injectFunction((
+      new FunctionIdentifier("wordpiece_segment"),
+      new ExpressionInfo(classOf[WordpieceSegment].getName,
+        "wordpiece_segment"),
+      arity("wordpiece_segment", 3)(c => WordpieceSegment(c(0),
+        TextHashes.litString(c(1), "wordpiece_segment: vocab"),
+        TextHashes.litInt(c(2), "wordpiece_segment: maxInputChars")))))
+    ext.injectFunction((
       new FunctionIdentifier("kgram_hashes_all"),
       new ExpressionInfo(classOf[KgramHashesAll].getName, "kgram_hashes_all"),
       arity("kgram_hashes_all", 3)(c => KgramHashesAll(c(0),

@@ -547,4 +547,153 @@ class BpeSpec extends AnyFunSuite {
       graft.operators.Pipeline.unigramTrain(corpus, "body", 0)
     }
   }
+
+  // ---- WordPiece (Wu 2016 / Schuster & Nakajima 2012): the greedy
+  // kernel + the likelihood-objective trainer.
+
+  test("wordpiece_segment kernel: greedy longest match, ## convention, " +
+      "whole-word UNK, over-length UNK, no backtracking; codegen path " +
+      "agrees") {
+    import spark.implicits._
+    def jv(ps: String*): java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      ps.foreach(s.add)
+      s
+    }
+    def seg(w: String, v: java.util.HashSet[String],
+        maxChars: Int = 200): List[String] =
+      // maxLen only bounds the scan — any value ≥ the longest piece
+      // body is equivalent; 8 covers every vocab in this test
+      graft.plans.WordpieceSegment.segmentLocal(w, v, 8, maxChars).toList
+    val v1 = jv("ab", "abc", "a", "c", "##b", "##c", "##bc")
+    // longest start match wins ("abc" over "ab" over "a")
+    assert(seg("abc", v1) == List("abc"))
+    // continuation pieces require ##; longest continuation wins
+    assert(seg("cbc", v1) == List("c", "##bc"))
+    // a start-only piece never matches mid-word: "abab" is a + ... but
+    // pos 1 has only ##b, and then 'a' again has no ##a → whole-word UNK
+    assert(seg("abab", v1) == List("[UNK]"))
+    // unmatchable position → the WHOLE word is [UNK]
+    assert(seg("abd", v1) == List("[UNK]"))
+    // over-length words are [UNK] outright (code-point count)
+    assert(seg("abc", v1, maxChars = 2) == List("[UNK]"))
+    assert(seg("", v1).isEmpty)
+    // NO backtracking: greedy takes "abcd" and strands at 'e', even
+    // though a + ##bc + ##de segments the word — the BERT is_bad rule
+    val corner = jv("abcd", "a", "##bc", "##de")
+    assert(seg("abcde", corner) == List("[UNK]"))
+    // supplementary chars are ONE position: never split mid-surrogate,
+    // counted once against maxInputChars
+    val astral = jv("𝄞", "##a")
+    assert(seg("𝄞a", astral, maxChars = 2) ==
+      List("𝄞", "##a"))
+    // the codegen'd expression path returns the identical pieces
+    // ('b' exists only as a ##-continuation, so the bare word is UNK)
+    val enc = Seq("ab", "abc", "a", "c", "##b", "##c", "##bc").mkString("\n")
+    val rows = Seq("abc", "cbc", "abd", "b").toDF("w")
+      .select(call_function("wordpiece_segment", col("w"), lit(enc),
+        lit(200)).as("p"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(rows.toSeq == Seq(List("abc"), List("c", "##bc"),
+      List("[UNK]"), List("[UNK]")))
+  }
+
+  test("wordpieceTrain: likelihood objective picks a different pair " +
+      "than BPE's count objective; merges verified by hand") {
+    import spark.implicits._
+    // 'xy' x5 drives the COUNT argmax (pair count 5), but x appears 15
+    // times overall so its likelihood gain 5/(15*5) = 1/15 loses to
+    // (a,##b): 3/(3*3) = 1/3 — WordPiece must merge ab first, then xy
+    val corpus = (Seq.fill(5)("xy") ++ Seq.fill(3)("ab") ++
+      Seq.fill(10)("x") ++ Seq.fill(10)("y"))
+      .map(Tuple1(_)).toDF("body")
+    def train() = graft.operators.Pipeline
+      .wordpieceTrain(corpus, "body", numMerges = 4, minPairCount = 2)
+      .orderBy("merge_no").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val got = train()
+    assert(train() == got)                      // rerun-deterministic
+    assert(got == Seq(
+      (1, "a", "##b", "ab", 3L),
+      (2, "x", "##y", "xy", 5L)))               // nothing else reaches 2
+    // the count argmax (BPE's pick) is NOT the first wordpiece merge
+    assert(got.head._5 < 5L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.wordpieceTrain(corpus, "body", 0)
+    }
+  }
+
+  test("wordpieceTrain tie-break: equal likelihood falls to pair count, " +
+      "then UTF-8 pair order") {
+    import spark.implicits._
+    // aba x2 + ab x1: unit a=3, ##b=3, ##a=2; pairs (a,##b)=3 at
+    // 3/(3*3)=1/3 and (##b,##a)=2 at 2/(3*2)=1/3 — a SCORE tie; the
+    // higher pair count must win
+    val corpus = (Seq.fill(2)("aba") ++ Seq("ab"))
+      .map(Tuple1(_)).toDF("body")
+    val got = graft.operators.Pipeline
+      .wordpieceTrain(corpus, "body", numMerges = 1, minPairCount = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(("a", "##b", "ab")))
+  }
+
+  test("wordpieceVocab + wordpieceSegment: trained model round-trips " +
+      "its corpus with zero UNKs") {
+    import spark.implicits._
+    val corpus = (Seq.fill(6)("hugging") ++ Seq.fill(4)("hugs") ++
+      Seq.fill(3)("gugs") ++ Seq.fill(2)("hug"))
+      .map(Tuple1(_)).toDF("body")
+    val merges = graft.operators.Pipeline
+      .wordpieceTrain(corpus, "body", numMerges = 6, minPairCount = 2)
+    val vocab = graft.operators.Pipeline
+      .wordpieceVocab(corpus, "body", merges)
+    val pieces = vocab.collect().map(_.getString(0)).toSet
+    // base convention: initial chars raw, continuations ##-prefixed
+    assert(pieces.contains("h") && pieces.contains("##u") &&
+      pieces.contains("g"))
+    val segd = graft.operators.Pipeline.wordpieceSegment(
+      corpus.distinct().withColumn("k", lit(1L)), "k", "body", vocab)
+      .collect()
+    assert(segd.nonEmpty)
+    segd.foreach { r =>
+      assert(!r.getAs[Boolean]("is_unk"),
+        s"UNK on training word ${r.getAs[String]("word")}")
+      assert(r.getAs[String]("seg").replace("+", "").replace("##", "")
+        == r.getAs[String]("word"))
+      assert(r.getAs[Long]("n_pieces") >= 1L)
+    }
+    // trained multi-char pieces actually serve (not just singles):
+    // 'hugging' (7 chars) must segment in fewer than 7 pieces — its
+    // (##i,##n) pair is round 1's likelihood argmax (6/(6·6) = 1/6
+    // beats every other pair's ≤ 1/15)
+    assert(segd.find(r => r.getAs[String]("word") == "hugging").get
+      .getAs[Long]("n_pieces") < 7L)
+  }
+
+  test("WordpieceGateVocab over the fixture corpus: exactly the two " +
+      "designed UNKs, everything else reassembles; greedy picks pinned") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val segd = graft.operators.Pipeline.wordpieceSegment(
+      docs, "doc_id", "text",
+      graft.operators.Pipeline.WordpieceGateVocab.toDF("piece"),
+      maxInputChars = 7)
+      .select("word", "seg", "is_unk").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(segd.nonEmpty)
+    val unks = segd.filter(_._3).map(_._1).toSet
+    // 'spark' (no ##k continuation) and 'customer' (8 > 7 chars) are
+    // the two designed UNK exercises — and the ONLY UNKs
+    assert(unks == Set("spark", "customer"))
+    segd.filterNot(_._3).foreach { case (w, s, _) =>
+      assert(s.replace("+", "").replace("##", "") == w)
+    }
+    val bySeg = segd.map(x => (x._1, x._2)).toMap
+    assert(bySeg("table") == "table")           // whole word beats "tab"
+    assert(bySeg("stream") == "str+##eam")      // "##eam" beats "##ea"
+    assert(bySeg("value") == "val+##ue")
+    assert(bySeg("query") == "q+##uery")
+    assert(bySeg("merge") == "merg+##e")
+  }
 }

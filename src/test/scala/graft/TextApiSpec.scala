@@ -2638,6 +2638,80 @@ class TextApiSpec extends AnyFunSuite {
     assert(plain.toSeq == Seq("corpus", "quality", "tokens_bucket"))
   }
 
+  test("bm25Postings: weights match the hand-replayed Okapi formula; " +
+      "idf orders rare above common; retrieval composes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),                     // dl 3
+      (2L, "a c"),                       // dl 2
+      (3L, "c c c a"),                   // dl 4
+      (4L, null.asInstanceOf[String]),   // contributes nothing
+      (5L, "   "))                       // zero tokens: dropped
+      .toDF("post_key", "body")
+    val posts = Pipeline.bm25Postings(docs, "post_key", "body")
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // N = 3 docs, avgdl = 9/3; replay the exact arithmetic (same op
+    // order, same HALF_UP round-9) for every posting
+    val n = 3.0
+    val avgdl = 9.0 / 3.0
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def w(tf: Double, dl: Double, df: Double): Double = {
+      val idf = r9(math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+      r9(idf * (tf * (1.2 + 1.0) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))))
+    }
+    assert(posts.size == 6)
+    assert(posts((1L, "a")) == ((2L, 3L, 3L, w(2, 3, 3))))
+    assert(posts((1L, "b")) == ((1L, 3L, 1L, w(1, 3, 1))))
+    assert(posts((2L, "a")) == ((1L, 2L, 3L, w(1, 2, 3))))
+    assert(posts((2L, "c")) == ((1L, 2L, 2L, w(1, 2, 2))))
+    assert(posts((3L, "c")) == ((3L, 4L, 2L, w(3, 4, 2))))
+    assert(posts((3L, "a")) == ((1L, 4L, 3L, w(1, 4, 3))))
+    // the Lucene idf is always positive, and rarer terms outweigh
+    // common ones at equal tf/dl: b (df 1) > c (df 2) > a (df 3) in doc-
+    // normalized weight
+    assert(posts.values.forall(_._4 > 0))
+    assert(w(1, 3, 1) > w(1, 3, 2) && w(1, 3, 2) > w(1, 3, 3))
+    // composition: doc 2 queries with weight 1 per term → doc 3 wins
+    // (shares rare c AND a) over doc 1 (shares only a)
+    val q = Seq((2L, "a", 1.0), (2L, "c", 1.0))
+      .toDF("doc_id", "term", "weight")
+    val top = Pipeline.sparseTopK(
+      Pipeline.bm25Postings(docs, "post_key", "body")
+        .select(col("doc_id"), col("term"), col("weight")), q, k = 2)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.toSeq == Seq((3L, 1), (1L, 2)))
+    intercept[IllegalArgumentException] {
+      Pipeline.bm25Postings(docs, "post_key", "body", b = 1.5)
+    }
+  }
+
+  test("tokenizerStats: fertility, compression and UNK rate on a " +
+      "hand-checkable segmentation; unkCol optional") {
+    import spark.implicits._
+    val segs = Seq(
+      // (word, n_pieces, is_unk, lang)
+      ("table", 1L, false, "en"),
+      ("stream", 2L, false, "en"),
+      ("spark", 1L, true, "en"),
+      ("data", 2L, false, "de"))
+      .toDF("word", "n_pieces", "is_unk", "lang")
+    val got = Pipeline.tokenizerStats(segs, byCols = Seq("lang"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.toSeq == Seq(
+      ("de", 1L, 2L, 4L, 0L, 2.0, 2.0, 0.0),
+      ("en", 3L, 4L, 16L, 1L, 4.0 / 3.0, 16.0 / 4.0, 1.0 / 3.0)))
+    // without an UNK column the report drops the rate, keeps the rest
+    val plain = Pipeline.tokenizerStats(segs.drop("is_unk"),
+      byCols = Seq("lang"), unkCol = None)
+    assert(!plain.columns.contains("unk_rate") &&
+      plain.columns.contains("fertility"))
+  }
+
   test("bloomDedup: members always flag, NULL text never, FPs are the " +
       "all-k-positions semantics — not exact membership") {
     import spark.implicits._
