@@ -877,8 +877,16 @@ private[operators] trait AnnOps { self: Pipeline.type =>
       "p82_bm25_retrieval",
       (s, d) => {
         val posts = bm25Postings(T.documents(s, d), "doc_id", "text")
-        val qs = posts.filter(col("doc_id") < 5)
-          .select(col("doc_id"), col("term"), lit(1.0).as("weight"))
+        // query side from the raw text, NOT from posts: the distinct
+        // terms of a doc are exactly its posting keys, and deriving
+        // them directly avoids recomputing the whole weight chain
+        // (tf + df + stats) a second time for the query arm
+        val qs = T.documents(s, d)
+          .filter(col("doc_id") < 5 && col("text").isNotNull)
+          .select(col("doc_id"),
+            explode(array_remove(words(col("text")), "")).as("term"))
+          .distinct()
+          .withColumn("weight", lit(1.0))
         sparseTopK(posts.select(col("doc_id"), col("term"), col("weight")),
           qs, k = 5)
           .orderBy(col("q_id"), col("rk"))

@@ -793,6 +793,135 @@ private[operators] trait QualityOps { self: Pipeline.type =>
 
   /** QualityOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
+  /** Collocation / phrase mining (Mikolov et al., "Distributed
+    * Representations of Words and Phrases", NeurIPS 2013 §4 — the
+    * word2phrase score every phrase-vocabulary pass runs before
+    * tokenizer or embedding training): rank adjacent word pairs by
+    * score(a,b) = (count(ab) − δ) / (count(a)·count(b)), where the
+    * discount δ kills rare-pair noise; pairs scoring high co-occur far
+    * above chance ("new york") and deserve a single vocabulary slot.
+    * All arithmetic is IEEE-exact with NO transcendentals (unlike PMI,
+    * whose ln the score order doesn't need), so both engines agree
+    * bit-for-bit without quantization. Scale shape: bigram counts are
+    * one explode + partial agg (the p27 shape), unigram counts are
+    * vocab-sized and broadcast onto the bigram table twice, and
+    * selection is orderBy+limit → TakeOrdered (k per partition, no
+    * full sort). Output: (w1, w2, c_ab, c_a, c_b, score) top-k by
+    * (score desc, pair asc). */
+  def collocations(corpus: DataFrame, textCol: String, k: Int = 20,
+      minCount: Long = 5, delta: Double = 5.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(delta >= 0, s"delta must be >= 0, got $delta")
+    val ws = corpus
+      .select(array_remove(words(col(textCol)), "").as("ws"))
+    val bc = ws.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uc = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    bc
+      .join(broadcast(uc.select(col("w").as("w1"), col("c").as("c_a"))),
+        Seq("w1"))
+      .join(broadcast(uc.select(col("w").as("w2"), col("c").as("c_b"))),
+        Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab").cast(DoubleType) - lit(delta)) /
+          (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType)))
+          .as("score"))
+      .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Skip-gram training-pair generation (Mikolov et al., "Efficient
+    * Estimation of Word Representations", ICLR 2013 — the (center,
+    * context) stream word2vec/fastText train on): for each token
+    * occurrence, emit every neighbor within a per-center window b
+    * sampled uniformly from 1..window — the paper's actual rule (the
+    * uniform b is what makes nearer contexts proportionally more
+    * frequent, §3.1's implicit 1/d weighting). RNG-free in the
+    * [[SamplingOps.frequencySubsample]] stance: b is md5-derived from
+    * (doc, position), so reruns and engines agree exactly. Scale
+    * shape: ONE posexplode (≤ 2·window+1 rows per token, the corpus's
+    * own token budget), window draw + neighbor fan-out + bounds check
+    * all map-side — the corpus never shuffles; callers feed the pairs
+    * straight into their (center, context)-keyed trainer, which owns
+    * the one real shuffle. Output: (doc_id, center_no, center,
+    * context_no, context, win). */
+  def skipgramPairs(corpus: DataFrame, idCol: String, textCol: String,
+      window: Int = 5): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val win = pmod(conv(substring(md5(concat(
+      col("doc_id").cast(StringType), lit(":"),
+      col("center_no").cast(StringType))), 1, 12), 16, 10)
+      .cast(LongType), lit(window.toLong)) + 1
+    corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("__ws"))
+      .select(col("doc_id"), col("__ws"),
+        posexplode(col("__ws")).as(Seq("center_no", "center")))
+      .withColumn("center_no", col("center_no").cast(LongType))
+      .withColumn("win", win)
+      .select(col("doc_id"), col("__ws"), col("center_no"), col("center"),
+        col("win"),
+        explode(concat(sequence(-col("win"), lit(-1L)),
+          sequence(lit(1L), col("win")))).as("__off"))
+      .withColumn("context_no", col("center_no") + col("__off"))
+      .filter(col("context_no") >= 0 &&
+        col("context_no") < size(col("__ws")))
+      .select(col("doc_id"), col("center_no"), col("center"),
+        col("context_no"),
+        element_at(col("__ws"),
+          (col("context_no") + 1).cast(IntegerType)).as("context"),
+        col("win"))
+  }
+
+  /** GloVe co-occurrence accumulation (Pennington, Socher & Manning,
+    * "GloVe: Global Vectors for Word Representation", EMNLP 2014 §4):
+    * X_ij = Σ 1/d over every occurrence of word j within `window`
+    * tokens of word i — the decaying-weight count matrix the GloVe
+    * objective factorizes. Kept engine-exact without decimals: the
+    * per-distance counts are exact integers from ONE (w1, w2)-keyed
+    * partial agg (the distance pivot rides the same groupBy — no
+    * second shuffle), and the weighted sum folds cnt_d/d in FIXED
+    * ascending-d order, so the IEEE result is deterministic and the
+    * oracle replays the identical expression. Top-k plans as
+    * TakeOrdered. Output: (w1, w2, cnt_1..cnt_window, xij) top-k by
+    * (xij desc, pair asc). */
+  def gloveCooc(corpus: DataFrame, textCol: String, window: Int = 3,
+      k: Int = 50): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val offs = ((-window to -1) ++ (1 to window)).map(_.toLong)
+    val pairs = corpus
+      .filter(col(textCol).isNotNull)
+      .select(array_remove(words(col(textCol)), "").as("__ws"))
+      .select(col("__ws"), posexplode(col("__ws")).as(Seq("__i", "w1")))
+      .select(col("__ws"), col("__i").cast(LongType).as("__i"), col("w1"),
+        explode(array(offs.map(lit): _*)).as("__off"))
+      .filter(col("__i") + col("__off") >= 0 &&
+        col("__i") + col("__off") < size(col("__ws")))
+      .select(col("w1"),
+        element_at(col("__ws"),
+          (col("__i") + col("__off") + 1).cast(IntegerType)).as("w2"),
+        abs(col("__off")).as("__d"))
+    val cnts = (1 to window).map(d =>
+      coalesce(sum(when(col("__d") === d, 1L)), lit(0L)).as(s"cnt_$d"))
+    val xij = (1 to window).map(d =>
+      col(s"cnt_$d").cast(DoubleType) / lit(d.toDouble)).reduce(_ + _)
+    pairs
+      .groupBy(col("w1"), col("w2"))
+      .agg(cnts.head, cnts.tail: _*)
+      .withColumn("xij", xij)
+      .orderBy(col("xij").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   private[operators] lazy val qualityQueries: Seq[QueryDef] = Seq(
     // ---- p08: corpus text statistics per language (partial-aggregable;
     // exact integer sums so the double means are deterministic).
@@ -1554,5 +1683,100 @@ private[operators] trait QualityOps { self: Pipeline.type =>
                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                  ELSE 'tail' END AS bucket
         FROM sc ORDER BY doc_id"""))
+    ,
+
+    // ---- p84: collocation mining — [[collocations]] over the corpus
+    // (word2phrase score, δ = 5, minCount = 5, top-20). Zero
+    // transcendentals: the oracle replays counts and the exact double
+    // (c_ab − δ)/(c_a·c_b) verbatim; ties break on the pair.
+    QueryDef(
+      "p84_collocations",
+      (s, d) =>
+        collocations(T.documents(s, d), "text", k = 20, minCount = 5,
+          delta = 5.0),
+      Some("""
+        WITH w AS (
+          SELECT list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        bc AS (
+          SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM w, unnest(range(1, len(ws))) t(i)
+          WHERE len(ws) >= 2
+          GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        uc AS (
+          SELECT w AS wrd, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w)
+        SELECT bc.w1, bc.w2, bc.c_ab, u1.c AS c_a, u2.c AS c_b,
+               (CAST(bc.c_ab AS DOUBLE) - CAST(5.0 AS DOUBLE))
+                 / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS score
+        FROM bc JOIN uc u1 ON u1.wrd = bc.w1 JOIN uc u2 ON u2.wrd = bc.w2
+        ORDER BY score DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20"""))
+    ,
+
+    // ---- p87: skip-gram pair generation — [[skipgramPairs]] at
+    // window = 3. The oracle replays the md5-derived per-center window
+    // draw and the neighbor fan-out verbatim; the gate covers every
+    // (center, context) pair the corpus yields, certifying bounds
+    // handling at both document edges and the uniform 1..window draw.
+    QueryDef(
+      "p87_skipgram_pairs",
+      (s, d) =>
+        skipgramPairs(T.documents(s, d), "doc_id", "text", window = 3)
+          .orderBy(col("doc_id"), col("center_no"), col("context_no")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT doc_id, ws, CAST(i AS BIGINT) - 1 AS center_no, ws[i] AS center
+          FROM w, unnest(range(1, len(ws) + 1)) t(i)),
+        b AS (
+          SELECT *, (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                CAST(center_no AS VARCHAR)), 1, 12) AS BIGINT) % 3) + 1 AS win
+          FROM c),
+        p AS (
+          SELECT doc_id, center_no, center, center_no + off AS context_no,
+                 ws[CAST(center_no + off AS INTEGER) + 1] AS context,
+                 CAST(win AS BIGINT) AS win
+          FROM b, unnest(list_concat(range(-win, 0), range(1, win + 1))) t(off)
+          WHERE center_no + off >= 0 AND center_no + off < len(ws))
+        SELECT doc_id, center_no, center, context_no, context, win
+        FROM p ORDER BY doc_id, center_no, context_no""")),
+
+    // ---- p88: GloVe co-occurrence matrix — [[gloveCooc]] at
+    // window = 3, top-50 cells. Counts per distance are exact
+    // integers; the 1/d-weighted xij folds in fixed ascending-d order,
+    // which both engines spell as the identical left-associated
+    // expression, so the doubles match bit-for-bit with no decimal
+    // quantization anywhere.
+    QueryDef(
+      "p88_glove_cooc",
+      (s, d) => gloveCooc(T.documents(s, d), "text", window = 3, k = 50),
+      Some("""
+        WITH w AS (
+          SELECT list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT ws, CAST(i AS BIGINT) - 1 AS i0, ws[i] AS w1
+          FROM w, unnest(range(1, len(ws) + 1)) t(i)),
+        p AS (
+          SELECT w1, ws[CAST(i0 + off AS INTEGER) + 1] AS w2,
+                 abs(off) AS d
+          FROM c, unnest([-3, -2, -1, 1, 2, 3]) t(off)
+          WHERE i0 + off >= 0 AND i0 + off < len(ws)),
+        g AS (
+          SELECT w1, w2,
+                 CAST(COUNT(*) FILTER (WHERE d = 1) AS BIGINT) AS cnt_1,
+                 CAST(COUNT(*) FILTER (WHERE d = 2) AS BIGINT) AS cnt_2,
+                 CAST(COUNT(*) FILTER (WHERE d = 3) AS BIGINT) AS cnt_3
+          FROM p GROUP BY w1, w2)
+        SELECT w1, w2, cnt_1, cnt_2, cnt_3,
+               CAST(cnt_1 AS DOUBLE) / CAST(1.0 AS DOUBLE)
+               + CAST(cnt_2 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+               + CAST(cnt_3 AS DOUBLE) / CAST(3.0 AS DOUBLE) AS xij
+        FROM g ORDER BY xij DESC, w1 ASC, w2 ASC LIMIT 50"""))
   )
 }

@@ -377,6 +377,45 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
         graft.QueryDef.dsum(col("llr")).as(scoreCol))
   }
 
+  /** Frequency-based token subsampling (Mikolov et al., NeurIPS 2013
+    * §2.3 — word2vec's famous subsampling trick, the occurrence-level
+    * downsampler embedding and LM pipelines run to stop "the"/"of"
+    * from dominating the training stream): each OCCURRENCE of word w
+    * survives with probability √(t / f(w)) where f is w's corpus
+    * frequency fraction — words rarer than the threshold t always
+    * survive (keep-p ≥ 1), ubiquitous words keep ~√t/√f of their
+    * occurrences. RNG-free (the [[resampleByImportance]] stance): the
+    * uniform is md5-derived from (word, doc, position), so reruns and
+    * engines agree exactly — and here even the keep probability is
+    * transcendental-free (√ of an IEEE division is correctly rounded
+    * in both engines), so nothing is quantized. Scale shape: the
+    * frequency table is vocab-sized and broadcasts onto one exploded
+    * corpus pass, the total is one broadcast row, and the decision is
+    * a map-side filter — the corpus never shuffles. Output: the kept
+    * occurrences (doc_id, word_no, word, keep_p). */
+  def frequencySubsample(corpus: DataFrame, idCol: String, textCol: String,
+      t: Double = 1e-3): DataFrame = {
+    require(t > 0, s"t must be > 0, got $t")
+    val occ = corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(array_remove(words(col(textCol)), ""))
+          .as(Seq("word_no", "word")))
+      .select(col("doc_id"), col("word_no").cast(LongType), col("word"))
+    val uc = occ.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val tot = occ.agg(count(lit(1)).as("n"))
+    val keepP = sqrt(lit(t) /
+      (col("c").cast(DoubleType) / col("n").cast(DoubleType)))
+    val u = (conv(substring(md5(concat(col("word"), lit(":"),
+      col("doc_id").cast(StringType), lit(":"),
+      col("word_no").cast(StringType))), 1, 12), 16, 10)
+      .cast(DoubleType) + 0.5) / lit(math.pow(2, 48))
+    occ.join(broadcast(uc), Seq("word"))
+      .crossJoin(broadcast(tot))
+      .withColumn("keep_p", keepP)
+      .filter(u < col("keep_p"))
+      .select(col("doc_id"), col("word_no"), col("word"), col("keep_p"))
+  }
+
   /** SamplingOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
   private[operators] lazy val samplingQueries: Seq[QueryDef] = Seq(
@@ -632,6 +671,43 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
                    ROWS UNBOUNDED PRECEDING) AS cum
           FROM d JOIN q USING (lang))
         SELECT doc_id, lang, n_tok, CAST(rk AS BIGINT) AS rk, quota
-        FROM ranked WHERE cum <= quota ORDER BY doc_id"""))
+        FROM ranked WHERE cum <= quota ORDER BY doc_id""")),
+
+    // ---- p85: word2vec frequency subsampling — [[frequencySubsample]]
+    // at t = 1e-3 (the paper's recommended threshold; the 31-word
+    // fixture vocabulary makes every word frequent enough that keep
+    // probabilities sit well inside (0,1), so the gate certifies real
+    // probabilistic thinning, not all-keep). The oracle replays the
+    // frequency table, the √(t/f) keep probability and the md5-derived
+    // per-occurrence uniform verbatim — all IEEE-exact, nothing
+    // quantized.
+    QueryDef(
+      "p85_freq_subsample",
+      (s, d) =>
+        frequencySubsample(T.documents(s, d), "doc_id", "text", t = 1e-3)
+          .orderBy(col("doc_id"), col("word_no")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, CAST(i AS BIGINT) - 1 AS word_no, ws[i] AS word
+          FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '') AS ws
+                FROM documents WHERE text IS NOT NULL),
+               unnest(range(1, len(ws) + 1)) t(i)),
+        uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+               FROM w GROUP BY word),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+        j AS (
+          SELECT w.doc_id, w.word_no, w.word,
+                 sqrt(CAST(0.001 AS DOUBLE) /
+                   (CAST(uc.c AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+                   AS keep_p,
+                 (CAST(CAST('0x' || substr(md5(w.word || ':' ||
+                      CAST(w.doc_id AS VARCHAR) || ':' ||
+                      CAST(w.word_no AS VARCHAR)), 1, 12) AS BIGINT)
+                    AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / 281474976710656.0 AS u
+          FROM w JOIN uc USING (word) CROSS JOIN tot)
+        SELECT doc_id, word_no, word, keep_p
+        FROM j WHERE u < keep_p ORDER BY doc_id, word_no"""))
   )
 }

@@ -111,6 +111,97 @@ private[operators] trait TextOps { self: Pipeline.type =>
       .drop((0 until depth).map(j => s"__cms_$j"): _*)
   }
 
+  /** HyperLogLog sketch of a corpus's DISTINCT whitespace-token count,
+    * as one broadcast-ready row holding the m = 2^b dense registers
+    * (Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the analysis of
+    * a near-optimal cardinality estimation algorithm", AofA 2007). The
+    * cardinality counterpart of [[cmsSketch]]'s frequency sketch — and
+    * the same scale contract: exact `countDistinct` shuffles the whole
+    * unbounded vocabulary (hapaxes dominate at 100 TB), while HLL's
+    * partial agg collapses to at most m cells PER MAPPER (max combines
+    * map-side) for a fixed ~1.04/√m relative error chosen up front.
+    * Per occurrence: one md5 → 48-bit h; register index = the low b
+    * bits, payload w = the high 48−b bits, rank = leading zeros of w
+    * within its width + 1 (via the BINARY-STRING length — `bin` is
+    * minimal-length in both Spark and DuckDB, so the oracle replays
+    * the rank with zero floating point); register = max rank. Max is
+    * idempotent, so occurrences need no distinct pass. NULL text
+    * contributes nothing; an untouched register stays 0. */
+  def hllSketch(corpus: DataFrame, textCol: String, b: Int = 6): DataFrame = {
+    require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
+    val m = 1 << b
+    val wBits = 48 - b
+    val h = conv(substring(md5(col("__w")), 1, 12), 16, 10).cast(LongType)
+    val payload = shiftright(h, b)
+    val rank = when(payload === 0, lit((wBits + 1).toLong))
+      .otherwise(lit((wBits + 1).toLong) - length(bin(payload)).cast(LongType))
+    corpus
+      .filter(col(textCol).isNotNull)
+      .select(explode(array_remove(words(col(textCol)), "")).as("__w"))
+      .select(h.bitwiseAND(lit((m - 1).toLong)).cast(IntegerType).as("__b"),
+        rank.as("__rk"))
+      .groupBy(col("__b"))
+      .agg(max(col("__rk")).as("__r"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(
+        struct(col("__b"), col("__r")))).as("__m"))
+      .select(transform(sequence(lit(0), lit(m - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__hll"))
+  }
+
+  /** Lossless HLL union: register-wise max over any number of
+    * [[hllSketch]] rows → one merged sketch row. This is the algebra
+    * that makes HLL a distributed summary (Flajolet et al. 2007 §4 —
+    * the registers of A∪B are exactly the element-wise max of A's and
+    * B's): shards/partitions/days sketch independently, ship one
+    * m-long array each, and merge commutes with estimation — so a
+    * 100 TB corpus's distinct count is a tree of register maxes over
+    * per-split sketches, never a re-scan. Spec-pinned:
+    * sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly. */
+  def hllMerge(sketches: DataFrame, b: Int = 6): DataFrame = {
+    require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
+    val m = 1 << b
+    sketches
+      .select(posexplode(col("__hll")).as(Seq("__b", "__r")))
+      .groupBy(col("__b"))
+      .agg(max(col("__r")).as("__r"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(
+        struct(col("__b"), col("__r")))).as("__m"))
+      .select(transform(sequence(lit(0), lit(m - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__hll"))
+  }
+
+  /** HyperLogLog raw estimate over a [[hllSketch]] row: appends
+    * `hll_v0` (empty registers), `hll_hsum` (the harmonic denominator
+    * Σ 2^−M_j) and `hll_raw_est` (α_m·m²/hsum). Deliberately the RAW
+    * estimator only — the paper's small-range linear-counting branch
+    * needs ln(), whose last-bit rounding the engines don't guarantee;
+    * callers needing it apply m·ln(m/V) on the emitted v0. Everything
+    * here IS bit-replayable: each term is 1/2^M via an exact integer
+    * shift, and every partial sum of the m terms needs at most
+    * b + (48−b) + 1 = 49 mantissa bits, so the double sum is EXACT and
+    * order-independent at any b — no fold-order pinning required.
+    * α_m uses the paper's closed form 0.7213/(1+1.079/m) for all m
+    * (the classic small-m constants differ below m=128 only in the
+    * bias regime the raw estimator doesn't correct anyway). The sketch
+    * row is one broadcast row; the probe is map-side element_at. */
+  def hllEstimate(sketch: DataFrame, b: Int = 6): DataFrame = {
+    require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val terms = sequence(lit(1), lit(m))
+    val hsum = aggregate(terms, lit(0.0), (acc, i) => acc +
+      lit(1.0) / call_function("shiftleft", lit(1L),
+        element_at(col("__hll"), i).cast(IntegerType)).cast(DoubleType))
+    val v0 = size(filter(col("__hll"), r => r === 0L)).cast(LongType)
+    sketch
+      .withColumn("hll_v0", v0)
+      .withColumn("hll_hsum", hsum)
+      .withColumn("hll_raw_est",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("hll_hsum"))
+  }
+
   /** Corpus data card — the quantitative core of a dataset datasheet
     * (Gebru et al., "Datasheets for Datasets", CACM 2021; the summary
     * table every released pretraining corpus ships — Dolma, FineWeb,
@@ -1864,6 +1955,73 @@ private[operators] trait TextOps { self: Pipeline.type =>
           FROM w JOIN res r ON r.word = w.word
           GROUP BY w.lang
           ORDER BY w.lang"""))
-    }
+    },
+
+    // ---- p86: HyperLogLog distinct-token sketch — [[hllSketch]] +
+    // [[hllEstimate]] at b = 6 (64 registers), emitted beside the
+    // exact countDistinct for context. The oracle replays the whole
+    // structure bit-for-bit: the md5-derived 48-bit hash, the
+    // binary-string rank (bin is minimal-length in both engines — no
+    // floating point anywhere in the registers), and the raw estimate,
+    // whose harmonic sum is EXACT in doubles (each term is 1/2^M via
+    // an integer shift; every partial sum fits 49 mantissa bits), so
+    // even the estimator needs no quantization. The sf0.01 corpus has
+    // a 31-word vocabulary — deliberately the paper's SMALL-RANGE
+    // regime (n < 2.5m), where the raw estimator overshoots (63.5
+    // here) and §4 prescribes linear counting on the zero-register
+    // count: m·ln(m/V) = 64·ln(64/39) ≈ 31.7, within 2.3% of the
+    // exact 31. The gate certifies the registers and raw estimate
+    // bit-for-bit; v0 is emitted precisely so callers can apply that
+    // correction (its ln stays out of the gate by design).
+    QueryDef(
+      "p86_hll_distinct",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val sk = hllEstimate(hllSketch(docs, "text", b = 6), b = 6)
+        val exact = docs.filter(col("text").isNotNull)
+          .select(explode(array_remove(words(col("text")), "")).as("w"))
+          .agg(countDistinct(col("w")).as("exact_distinct"))
+        sk.crossJoin(broadcast(exact))
+          .select(lit(64L).as("m"), col("hll_v0"),
+            graft.QueryDef.canonArray(col("__hll")).as("registers"),
+            col("hll_hsum"), col("hll_raw_est"), col("exact_distinct"))
+      },
+      Some("""
+        WITH occ AS (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        hr AS (
+          SELECT CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h
+          FROM occ),
+        rk AS (
+          SELECT h & 63 AS b,
+                 CASE WHEN (h >> 6) = 0 THEN 43
+                      ELSE 43 - length(bin(h >> 6)) END AS r
+          FROM hr),
+        regs AS (
+          SELECT CAST(t.i AS INTEGER) AS b,
+                 CAST(COALESCE(MAX(rk.r), 0) AS BIGINT) AS r
+          FROM range(0, 64) t(i) LEFT JOIN rk ON rk.b = t.i
+          GROUP BY 1),
+        est AS (
+          SELECT CAST(COUNT(*) FILTER (WHERE r = 0) AS BIGINT) AS v0,
+                 SUM(CAST(1.0 AS DOUBLE) /
+                   CAST(CAST(1 AS BIGINT) << CAST(r AS INTEGER)
+                     AS DOUBLE)) AS hsum,
+                 string_agg(CAST(r AS VARCHAR), ',' ORDER BY b) AS regstr
+          FROM regs),
+        ex AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct
+               FROM occ)
+        SELECT CAST(64 AS BIGINT) AS m, v0 AS hll_v0,
+               '[' || regstr || ']' AS registers,
+               CAST(hsum AS DOUBLE) AS hll_hsum,
+               ((CAST(0.7213 AS DOUBLE)
+                  / (CAST(1.0 AS DOUBLE)
+                     + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+                 * CAST(64.0 AS DOUBLE)) * CAST(64.0 AS DOUBLE)
+                 / CAST(hsum AS DOUBLE) AS hll_raw_est,
+               exact_distinct
+        FROM est CROSS JOIN ex"""))
   )
 }

@@ -2712,6 +2712,155 @@ class TextApiSpec extends AnyFunSuite {
       plain.columns.contains("fertility"))
   }
 
+  test("collocations: word2phrase scores by hand; discount and " +
+      "minCount behave; ties break on the pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york new york new york new york new york"),
+      (2L, "the the the the the the"))
+      .toDF("post_key", "body")
+    // counts: new=5, york=5, the=6; bigrams (new,york)=5, (york,new)=4,
+    // (the,the)=5
+    val byPair = Pipeline.collocations(docs, "body", k = 10, minCount = 3,
+      delta = 1.0).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        (r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"),
+          r.getAs[Double]("score"))))
+    assert(byPair.map(_._1).toSeq == Seq(("new", "york"), ("york", "new"),
+      ("the", "the")))                         // 0.16 > 0.12 > 4/36
+    assert(byPair.toMap.apply(("new", "york")) ==
+      ((5L, 5L, 5L, (5.0 - 1.0) / (5.0 * 5.0))))
+    assert(byPair.toMap.apply(("the", "the")) ==
+      ((5L, 6L, 6L, (5.0 - 1.0) / (6.0 * 6.0))))
+    // minCount drops (york,new); δ = count zeroes both survivors →
+    // score tie broken by pair order
+    val tied = Pipeline.collocations(docs, "body", k = 10, minCount = 5,
+      delta = 5.0).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Double]("score")))
+    assert(tied.toSeq == Seq(("new", "york", 0.0), ("the", "the", 0.0)))
+    intercept[IllegalArgumentException] {
+      Pipeline.collocations(docs, "body", k = 0)
+    }
+  }
+
+  test("frequencySubsample: rare words always survive, frequent words " +
+      "thin to ~sqrt(t/f), keep_p replays the formula, deterministic") {
+    import spark.implicits._
+    val docs = (1 to 10).map(i =>
+      (i.toLong, (Seq.fill(10)("a") ++ (if (i == 1) Seq("z") else Nil))
+        .mkString(" ")))
+      .toDF("post_key", "body")
+    // 100 'a' + 1 'z'; t = 0.05: f_z < t → keep_p > 1 → always kept;
+    // f_a = 100/101 → keep_p = sqrt(0.0505) ≈ 0.22
+    def run() = Pipeline.frequencySubsample(docs, "post_key", "body",
+      t = 0.05).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val kept = run()
+    assert(kept.sameElements(run()))           // RNG-free: rerun-identical
+    assert(kept.exists(_._3 == "z"), "rare word must always survive")
+    val aKept = kept.count(_._3 == "a")
+    assert(aKept > 0 && aKept < 100, s"expected genuine thinning, got $aKept")
+    val expA = math.sqrt(0.05 / (100.0 / 101.0))
+    val expZ = math.sqrt(0.05 / (1.0 / 101.0))
+    kept.foreach { case (_, _, w, p) =>
+      assert(p == (if (w == "a") expA else expZ))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.frequencySubsample(docs, "post_key", "body", t = 0.0)
+    }
+  }
+
+  test("hllSketch/hllMerge/hllEstimate: registers replay the md5 rank " +
+      "by hand, duplicates are free, merge == sketch of the union, " +
+      "estimate is the exact harmonic formula") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta")).toDF("post_key", "body")
+    val dup = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha beta gamma delta")).toDF("post_key", "body")
+    def regs(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect()(0).getSeq[Long](0)
+    val ra = regs(Pipeline.hllSketch(a, "body"))
+    // max is idempotent: re-occurrences never move a register
+    assert(ra == regs(Pipeline.hllSketch(dup, "body")))
+    assert(ra.length == 64 && ra.count(_ > 0) >= 1 && ra.count(_ > 0) <= 4)
+    // hand-replay the md5-derived (bucket, rank) of each word
+    def reg(w: String): (Int, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(6)
+        .map(b => f"${b & 0xff}%02x").mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      val p = h >> 6
+      ((h & 63).toInt,
+        if (p == 0) 43L else 43L - java.lang.Long.toBinaryString(p).length)
+    }
+    val exp = Array.fill(64)(0L)
+    Seq("alpha", "beta", "gamma", "delta").foreach { w =>
+      val (b, r) = reg(w); exp(b) = math.max(exp(b), r)
+    }
+    assert(ra == exp.toSeq)
+    // merging per-shard sketches is lossless: register-wise max
+    val b2 = Seq((3L, "epsilon zeta")).toDF("post_key", "body")
+    val merged = regs(Pipeline.hllMerge(
+      Pipeline.hllSketch(a, "body").unionAll(Pipeline.hllSketch(b2, "body"))))
+    assert(merged == regs(Pipeline.hllSketch(a.unionAll(b2), "body")))
+    // the raw estimate is the exact (order-free) harmonic formula
+    val est = Pipeline.hllEstimate(Pipeline.hllSketch(a, "body")).collect()(0)
+    val hsum = ra.foldLeft(0.0)((acc, r) => acc + 1.0 / (1L << r).toDouble)
+    val alpha = 0.7213 / (1.0 + 1.079 / 64)
+    assert(est.getAs[Long]("hll_v0") == ra.count(_ == 0).toLong)
+    assert(est.getAs[Double]("hll_hsum") == hsum)
+    assert(est.getAs[Double]("hll_raw_est") == alpha * 64.0 * 64.0 / hsum)
+    intercept[IllegalArgumentException](Pipeline.hllSketch(a, "body", b = 0))
+  }
+
+  test("skipgramPairs: md5-derived 1..w windows, edge clipping, " +
+      "contexts match positions; NULL text contributes nothing") {
+    import spark.implicits._
+    val docs = Seq((7L, "a b c d e"), (8L, null.asInstanceOf[String]))
+      .toDF("post_key", "body")
+    val got = Pipeline.skipgramPairs(docs, "post_key", "body", window = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toSet
+    def winOf(doc: Long, pos: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$doc:$pos".getBytes("UTF-8")).take(6)
+        .map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 2) + 1
+    }
+    val ws = Array("a", "b", "c", "d", "e")
+    val exp = (0 until 5).flatMap { i =>
+      val b = winOf(7L, i.toLong)
+      ((-b to -1L) ++ (1L to b)).map(i + _).filter(j => j >= 0 && j < 5)
+        .map(j => (7L, i.toLong, ws(i), j, ws(j.toInt), b))
+    }.toSet
+    assert(got == exp)
+    assert(exp.map(_._6).exists(_ == 1L) || exp.map(_._6).exists(_ == 2L))
+    intercept[IllegalArgumentException] {
+      Pipeline.skipgramPairs(docs, "post_key", "body", window = 0)
+    }
+  }
+
+  test("gloveCooc: per-distance counts by hand, xij folds 1/d in " +
+      "ascending order, ties break on the pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b")).toDF("post_key", "body")
+    val got = Pipeline.gloveCooc(docs, "body", window = 2, k = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(got.map(_._1).toSeq ==
+      Seq(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")))
+    val m = got.toMap
+    assert(m(("a", "b")) == ((3L, 0L, 3.0)))
+    assert(m(("b", "a")) == ((3L, 0L, 3.0)))
+    assert(m(("a", "a")) == ((0L, 2L, 1.0)))
+    assert(m(("b", "b")) == ((0L, 2L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Pipeline.gloveCooc(docs, "body", window = 2, k = 0)
+    }
+  }
+
   test("bloomDedup: members always flag, NULL text never, FPs are the " +
       "all-k-positions semantics — not exact membership") {
     import spark.implicits._
