@@ -312,12 +312,12 @@ private[operators] trait QualityOps { self: Pipeline.type =>
     // matching is per whitespace TOKEN: a multi-word phrase can never
     // match a single token, so it would silently filter nothing —
     // fail fast instead (phrase blocking = an n-gram probe, see
-    // ngramDecontaminate)
+    // [[phraseBlocklistFilter]])
     val phrases = badwords.filter(_.exists(_.isWhitespace))
     require(phrases.isEmpty,
       s"blocklist entries must be single tokens (matching is per word); " +
         s"phrases: ${phrases.take(5).mkString(", ")} — use " +
-        "ngramDecontaminate for phrase blocking")
+        "phraseBlocklistFilter for phrase blocking")
     val spark = corpus.sparkSession
     import spark.implicits._
     val norm: Column => Column =
@@ -339,6 +339,57 @@ private[operators] trait QualityOps { self: Pipeline.type =>
           col("__bw")),
         lit(false)))
       .drop("__bw")
+  }
+
+  /** Multi-word phrase blocklist filter — the companion
+    * [[badwordsFilter]] fails fast toward: flags each document whose
+    * whitespace tokens contain ANY blocklist phrase as a CONTIGUOUS
+    * whole-word run ("fast table" matches "a fast table row", never
+    * "fast red table" and never the substring "breakfast table" of a
+    * single token). The mechanism is the decontamination probe
+    * generalized to the blocklist's own lengths: phrases group by
+    * token count L, each group collapses to one sorted 61-bit
+    * rolling-hash row (config-sized — a blocklist is hundreds of
+    * entries), and the corpus side is ONE map pass per distinct L
+    * (positioned rolling grams via [[graft.plans.KgramRollHashesAll]],
+    * [[graft.plans.AnyInSorted]] binary-search probe, ORed across
+    * lengths) — no explode, no join, no shuffle of the corpus. Both
+    * sides hash through the SAME kernel, never driver-side md5 (the
+    * [[badwordsFilter]] stance: two arithmetics could drift). A 61-bit
+    * collision can only over-flag. Output: every caller column +
+    * `blocked`; NULL text is never blocked. */
+  def phraseBlocklistFilter(corpus: DataFrame, textCol: String,
+      phrases: Seq[String], caseInsensitive: Boolean = true): DataFrame = {
+    require(phrases.nonEmpty, "need a non-empty blocklist")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val norm: Column => Column =
+      if (caseInsensitive) lower(_: Column) else identity
+    // lengths come from the driver-side Seq (it is config-sized by
+    // contract); the HASHES come from the kernel
+    val lens = phrases
+      .map(_.trim.split("\\s+").count(_.nonEmpty)).filter(_ >= 1)
+      .distinct.sorted
+    require(lens.nonEmpty, "blocklist contains no non-empty phrase")
+    val phraseRows = lens.map { l =>
+      phrases.toDF("__p")
+        .select(array_remove(words(norm(trim(col("__p")))), "").as("__ws"))
+        .filter(size(col("__ws")) === l)
+        .select(explode(call_function("kgram_roll_hashes_all",
+          col("__ws"), lit(l))).as("h"))
+        .agg(sort_array(collect_set(col("h"))).as(s"__ph_$l"))
+    }
+    val withRows = phraseRows.foldLeft(corpus)(
+      (df, row) => df.crossJoin(broadcast(row)))
+    val flags = lens.map { l =>
+      coalesce(call_function("any_in_sorted",
+        call_function("kgram_roll_hashes_all",
+          array_remove(words(norm(col(textCol))), ""), lit(l)),
+        col(s"__ph_$l")), lit(false))
+    }
+    withRows
+      .withColumn("blocked", flags.reduce(_ || _))
+      .drop(lens.map(l => s"__ph_$l"): _*)
   }
 
   /** Canonical URL form for [[dedupByUrl]]: trim, lowercase, strip the
@@ -920,6 +971,72 @@ private[operators] trait QualityOps { self: Pipeline.type =>
       .withColumn("xij", xij)
       .orderBy(col("xij").desc, col("w1").asc, col("w2").asc)
       .limit(k)
+  }
+
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney, ICASSP 1995;
+    * Chen & Goodman, "An Empirical Study of Smoothing Techniques",
+    * 1999 — THE reference n-gram smoothing; the exact complement to
+    * [[lmPerplexity]]'s Stupid Backoff, which trades this properness
+    * for a normalization-free count table). For each attested bigram:
+    *
+    *   P_KN(b|a) = max(c(ab) − D, 0)/c(a·) + λ(a)·P_cont(b)
+    *   λ(a)      = D·N1+(a·)/c(a·)
+    *   P_cont(b) = N1+(·b)/N1+(··)
+    *
+    * with c(a·) the context total, N1+(a·)/N1+(·b) the distinct right/
+    * left continuation counts and N1+(··) the distinct-bigram total.
+    * λ(a) is exactly the mass the discount frees, so P_KN is a proper
+    * distribution over the vocabulary — unseen b score λ(a)·P_cont(b),
+    * and the spec asserts the full-vocabulary sum is 1 per context.
+    * The continuation probability (how many DISTINCT contexts b
+    * follows, not how often) is the fix for the "San Francisco"
+    * pathology: frequent-but-context-locked words stop inflating
+    * their unigram backoff.
+    *
+    * Engine-exactness: D = 0.75 is a dyadic double, so c − D is exact;
+    * every other factor is an exact-integer IEEE division composed in
+    * fixed order — the oracle replays p_kn bit-for-bit, no
+    * quantization anywhere. Scale shape: bigram counts are one
+    * explode + partial agg over the corpus (the [[collocations]]
+    * shape); the context, continuation and total tables fold over the
+    * BIGRAM table (vocab-bounded, far below corpus scale) and
+    * broadcast back onto it. Unseen-pair scoring needs only the
+    * model's own columns: distinct (w1, lambda) × distinct (w2,
+    * p_cont). Output: (w1, w2, c_ab, c_ctx, n1p_ctx, n1p_right,
+    * p_cont, lambda, p_kn) for every attested bigram. */
+  def knBigramModel(corpus: DataFrame, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val ws = corpus
+      .select(array_remove(words(col(textCol)), "").as("ws"))
+    val bc = ws.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val ctx = bc.groupBy(col("w1"))
+      .agg(sum(col("c_ab")).as("c_ctx"), count(lit(1)).as("n1p_ctx"))
+    val cont = bc.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_right"))
+    val nb = bc.agg(count(lit(1)).as("n_bigrams"))
+    bc
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .withColumn("p_cont",
+        col("n1p_right").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+      .withColumn("lambda",
+        (lit(discount) * col("n1p_ctx").cast(DoubleType)) /
+          col("c_ctx").cast(DoubleType))
+      .withColumn("p_kn",
+        greatest(col("c_ab").cast(DoubleType) - lit(discount), lit(0.0)) /
+          col("c_ctx").cast(DoubleType) +
+          col("lambda") * col("p_cont"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_ctx"),
+        col("n1p_ctx"), col("n1p_right"), col("p_cont"), col("lambda"),
+        col("p_kn"))
   }
 
   private[operators] lazy val qualityQueries: Seq[QueryDef] = Seq(
@@ -1777,6 +1894,112 @@ private[operators] trait QualityOps { self: Pipeline.type =>
                CAST(cnt_1 AS DOUBLE) / CAST(1.0 AS DOUBLE)
                + CAST(cnt_2 AS DOUBLE) / CAST(2.0 AS DOUBLE)
                + CAST(cnt_3 AS DOUBLE) / CAST(3.0 AS DOUBLE) AS xij
-        FROM g ORDER BY xij DESC, w1 ASC, w2 ASC LIMIT 50"""))
+        FROM g ORDER BY xij DESC, w1 ASC, w2 ASC LIMIT 50""")),
+
+    // ---- p89: interpolated Kneser–Ney bigram model —
+    // [[knBigramModel]] at D = 0.75 over every attested bigram. D is
+    // dyadic and every factor an exact integer ratio in fixed order,
+    // so the oracle replays c_ab, the three summary tables, p_cont,
+    // lambda and p_kn all bit-for-bit — a full smoothed-LM gate with
+    // zero quantization.
+    QueryDef(
+      "p89_kneser_ney",
+      (s, d) => knBigramModel(T.documents(s, d), "text", discount = 0.75)
+        .orderBy(col("w1"), col("w2")),
+      Some("""
+        WITH w AS (
+          SELECT list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        bc AS (
+          SELECT ws[i] AS w1, ws[i+1] AS w2,
+                 CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM w, unnest(range(1, len(ws))) t(i)
+          WHERE len(ws) >= 2 GROUP BY 1, 2),
+        ctx AS (
+          SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_ctx,
+                 CAST(COUNT(*) AS BIGINT) AS n1p_ctx
+          FROM bc GROUP BY w1),
+        cont AS (
+          SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_right
+          FROM bc GROUP BY w2),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM bc)
+        SELECT bc.w1, bc.w2, bc.c_ab, ctx.c_ctx, ctx.n1p_ctx,
+               cont.n1p_right,
+               CAST(cont.n1p_right AS DOUBLE)
+                 / CAST(nb.n_bigrams AS DOUBLE) AS p_cont,
+               (CAST(0.75 AS DOUBLE) * CAST(ctx.n1p_ctx AS DOUBLE))
+                 / CAST(ctx.c_ctx AS DOUBLE) AS lambda,
+               greatest(CAST(bc.c_ab AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE))
+                 / CAST(ctx.c_ctx AS DOUBLE)
+               + ((CAST(0.75 AS DOUBLE) * CAST(ctx.n1p_ctx AS DOUBLE))
+                    / CAST(ctx.c_ctx AS DOUBLE))
+                 * (CAST(cont.n1p_right AS DOUBLE)
+                    / CAST(nb.n_bigrams AS DOUBLE)) AS p_kn
+        FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nb
+        ORDER BY w1, w2""")),
+
+    // ---- p90: multi-word phrase blocklist — [[phraseBlocklistFilter]]
+    // with a mixed-length fixture list (1-, 3- and 4-token entries) so
+    // the gate certifies the per-length probe rows AND the OR across
+    // them. The oracle replays the positioned rolling-gram arithmetic
+    // (per-word md5 prefixes × spliced B-power literals, summed mod
+    // 2⁶¹−1 in HUGEINT — the p47/p56 machinery) for the corpus at
+    // every blocklist length and for the phrases themselves.
+    QueryDef(
+      "p90_phrase_blocklist",
+      (s, d) => phraseBlocklistFilter(T.documents(s, d), "text",
+        Seq("a row fast merge", "customer query line",
+          "slow filter value", "vector"))
+        .select(col("doc_id"), col("lang"), col("blocked"))
+        .orderBy(col("doc_id")),
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 3)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        w AS (SELECT doc_id, ws, len(ws) AS n FROM d
+              WHERE ws IS NOT NULL AND len(ws) >= 1),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT)
+                   AS HUGEINT) AS h
+          FROM w, unnest(range(1, n + 1)) t(i)),
+        pw(e, bp) AS (VALUES $pows),
+        pl(p) AS (VALUES ('a row fast merge'), ('customer query line'),
+                         ('slow filter value'), ('vector')),
+        pt AS (SELECT list_filter(string_split_regex(lower(trim(p)), '\s+'),
+                                  x -> x <> '') AS pws FROM pl),
+        ph AS (
+          SELECT CAST(len(pws) AS INT) AS l,
+                 CAST(SUM((CAST(CAST('0x' || substr(md5(pws[i]), 1, 12)
+                              AS BIGINT) AS HUGEINT) * pw.bp) % $P) % $P
+                   AS BIGINT) AS h
+          FROM pt, unnest(range(1, len(pws) + 1)) t(i)
+          JOIN pw ON pw.e = len(pws) - CAST(i AS INT)
+          GROUP BY pws),
+        lens AS (SELECT DISTINCT l FROM ph),
+        g AS MATERIALIZED (
+          SELECT DISTINCT w0.doc_id, lens.l,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN lens ON w0.i <= w0.n - (lens.l - 1)
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + lens.l - 1
+          JOIN pw ON pw.e = lens.l - 1 - (w2.i - w0.i)
+          GROUP BY w0.doc_id, lens.l, w0.i),
+        hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ph USING (l, h))
+        SELECT d.doc_id, d.lang,
+               (d.doc_id IN (SELECT doc_id FROM hit)) AS blocked
+        FROM d ORDER BY d.doc_id"""
+      })
   )
 }

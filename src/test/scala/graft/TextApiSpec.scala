@@ -2842,6 +2842,69 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseBlocklistFilter: contiguous whole-word runs only, " +
+      "case-insensitive, mixed lengths OR together, NULL never blocks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),   // 3-gram hit
+      (2L, "a quick brown wolf"),          // 1-gram hit (case-folded)
+      (3L, "quick red brown fox"),         // gap breaks the run
+      (4L, "the breakfast foxtrot"),       // substrings never match
+      (5L, null.asInstanceOf[String]))
+      .toDF("post_key", "body")
+    val got = Pipeline.phraseBlocklistFilter(docs, "body",
+      Seq("quick brown fox", "Wolf"))
+      .select(col("post_key"), col("blocked")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> false))
+    // case-sensitive mode: "Wolf" no longer matches lowercase "wolf"
+    val cs = Pipeline.phraseBlocklistFilter(docs, "body",
+      Seq("quick brown fox", "Wolf"), caseInsensitive = false)
+      .select(col("post_key"), col("blocked")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(cs == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false))
+    intercept[IllegalArgumentException] {
+      Pipeline.phraseBlocklistFilter(docs, "body", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.phraseBlocklistFilter(docs, "body", Seq("   "))
+    }
+  }
+
+  test("knBigramModel: hand-computed probabilities, and P_KN is a " +
+      "proper distribution — per-context sums over the FULL vocab " +
+      "(seen mass + lambda-weighted unseen mass) are 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c")).toDF("post_key", "body")
+    val rows = Pipeline.knBigramModel(docs, "body").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    // bigrams: (a,b)=2, (b,a)=1, (b,c)=1; ctx a: (2,1), b: (2,2);
+    // cont: a=1, b=1, c=1; N1+(..)=3
+    assert(rows(("a", "b")) ==
+      ((2L, 2L, 1L, 1L, 1.0 / 3, 0.75 * 1 / 2, (2.0 - 0.75) / 2 +
+        (0.75 * 1 / 2) * (1.0 / 3))))
+    assert(rows(("b", "a"))._7 == (1.0 - 0.75) / 2 + (0.75 * 2 / 2) * (1.0 / 3))
+    assert(rows(("b", "c"))._7 == rows(("b", "a"))._7)
+    // normalization: for each context, seen p_kn + unseen lambda·p_cont
+    // over the whole vocabulary sums to 1
+    val vocab = Seq("a", "b", "c")
+    val pCont = rows.map { case ((_, b), v) => b -> v._5 }
+    val lambda = rows.map { case ((a, _), v) => a -> v._6 }
+    for (a <- Seq("a", "b")) {
+      val total = vocab.map { b =>
+        rows.get((a, b)).map(_._7).getOrElse(lambda(a) * pCont(b))
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-12, s"context $a sums to $total")
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.knBigramModel(docs, "body", discount = 1.0)
+    }
+  }
+
   test("gloveCooc: per-distance counts by hand, xij folds 1/d in " +
       "ascending order, ties break on the pair") {
     import spark.implicits._
