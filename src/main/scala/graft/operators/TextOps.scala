@@ -130,6 +130,25 @@ private[operators] trait TextOps { self: Pipeline.type =>
   def hllSketch(corpus: DataFrame, textCol: String, b: Int = 6): DataFrame = {
     require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
     val m = 1 << b
+    hllMelt(corpus, textCol, b)
+      .groupBy(col("__b"))
+      .agg(max(col("__rk")).as("__r"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(
+        struct(col("__b"), col("__r")))).as("__m"))
+      .select(transform(sequence(lit(0), lit(m - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__hll"))
+  }
+
+  /** The map-side half of [[hllSketch]]: one (__b bucket, __rk rank)
+    * row per token occurrence. Factored out so the streaming counter
+    * ([[graft.streaming.Streams.distinctCountHll]]) aggregates the
+    * SAME arithmetic the batch sketch does — two spellings of the
+    * hash/rank math could silently drift. */
+  private[graft] def hllMelt(corpus: DataFrame, textCol: String,
+      b: Int): DataFrame = {
+    require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
+    val m = 1 << b
     val wBits = 48 - b
     val h = conv(substring(md5(col("__w")), 1, 12), 16, 10).cast(LongType)
     val payload = shiftright(h, b)
@@ -140,13 +159,6 @@ private[operators] trait TextOps { self: Pipeline.type =>
       .select(explode(array_remove(words(col(textCol)), "")).as("__w"))
       .select(h.bitwiseAND(lit((m - 1).toLong)).cast(IntegerType).as("__b"),
         rank.as("__rk"))
-      .groupBy(col("__b"))
-      .agg(max(col("__rk")).as("__r"))
-      .groupBy()
-      .agg(map_from_entries(collect_list(
-        struct(col("__b"), col("__r")))).as("__m"))
-      .select(transform(sequence(lit(0), lit(m - 1)),
-        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__hll"))
   }
 
   /** Lossless HLL union: register-wise max over any number of

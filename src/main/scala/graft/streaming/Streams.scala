@@ -278,6 +278,26 @@ object Streams {
     graft.operators.Pipeline.bloomDedup(docs, reference, textCol, mBits, k)
       .filter(!col("in_bloom")).drop("bloom_hits", "in_bloom")
 
+  /** Streaming distinct-token counter — the HyperLogLog registers as a
+    * STREAMING aggregation: each micro-batch's tokens melt map-side
+    * into (bucket, rank) rows through the exact arithmetic of the
+    * batch sketch ([[graft.operators.Pipeline.hllSketch]]'s own melt,
+    * shared so the two can never drift), and `max(rank)` per bucket is
+    * the running state — the state store holds AT MOST 2^b rows no
+    * matter how long the stream runs, the bounded-state property that
+    * makes an exact streaming `countDistinct` (unbounded key state)
+    * unnecessary. Register-wise max is associative, idempotent and
+    * monotone, so restarts and replays can only re-confirm state,
+    * never corrupt it. Emit in update/complete mode; feed the rows to
+    * [[graft.operators.Pipeline.hllMerge]]/`hllEstimate` (batch) for
+    * the estimate, or max-merge them with a historical sketch. Output:
+    * (bucket, register). */
+  def distinctCountHll(docs: DataFrame, textCol: String = "text",
+      b: Int = 6): DataFrame =
+    graft.operators.Pipeline.hllMelt(docs, textCol, b)
+      .groupBy(col("__b").as("bucket"))
+      .agg(max(col("__rk")).as("register"))
+
   /** Stream-static enrichment: join the unbounded stream against a
     * bounded dimension table (source metadata, license registry,
     * per-domain quality priors). Spark broadcasts the static side into

@@ -252,6 +252,53 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("skipgramPairs is a shuffle-free map pass; phraseBlocklistFilter " +
+      "and frequencySubsample never shuffle the corpus arm; " +
+      "knBigramModel joins broadcast-only") {
+    import org.apache.spark.sql.functions.col
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      // skip-gram pair generation promises ZERO shuffle anywhere
+      val sg = operators.Pipeline
+        .skipgramPairs(docs, "doc_id", "text", window = 3)
+        .queryExecution.executedPlan
+      assert(!sg.toString.contains("Exchange"),
+        s"skipgramPairs must stay a shuffle-free map pass:\n$sg")
+      // blocklist probe + subsample decision: the CORPUS scan must not
+      // sit under any ShuffleExchange (the blocklist/frequency build
+      // arms may — set-based accounting, the bloomDedup pattern)
+      val probes = Seq(
+        "phraseBlocklistFilter" -> operators.Pipeline
+          .phraseBlocklistFilter(docs, "text", Seq("one", "two three")),
+        "frequencySubsample" -> operators.Pipeline
+          .frequencySubsample(docs, "doc_id", "text"))
+      probes.foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan
+        val underShuffle = plan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            s.collect {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+            }
+        }.flatten.toSet
+        val all = plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.toSet
+        assert(all.nonEmpty && (all -- underShuffle).nonEmpty,
+          s"$name: every scan sits under a shuffle — the corpus arm " +
+            s"shuffled:\n$plan")
+      }
+      // KN model: the three summary tables are vocab-bounded and must
+      // come back as broadcast joins, never a SortMergeJoin
+      val kn = operators.Pipeline.knBigramModel(docs, "text")
+        .queryExecution.executedPlan.toString
+      assert(!kn.contains("SortMergeJoin"),
+        s"knBigramModel summary joins must broadcast:\n$kn")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("sink partitionBy writes hive-style directories") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("part").toString + "/t"

@@ -63,6 +63,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.table("bloom_gate").columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("distinctCountHll: bounded-state streaming registers equal the " +
+      "batch sketch at every point in the stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val counted = Streams.distinctCountHll(in.toDF().toDF("doc_id", "text"))
+    val q = counted.writeStream.format("memory")
+      .queryName("hll_stream").outputMode("complete").start()
+    def streamRegs(): Map[Int, Long] = spark.table("hll_stream").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def batchRegs(rows: Seq[(Long, String)]): Map[Int, Long] =
+      graft.operators.Pipeline.hllSketch(rows.toDF("doc_id", "text"), "text")
+        .collect()(0).getSeq[Long](0).zipWithIndex
+        .collect { case (r, i) if r > 0 => i -> r }.toMap
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "delta"))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamRegs() == batchRegs(b1))
+      // a second batch only raises (or confirms) registers — and the
+      // stream state stays register-count-bounded by construction
+      val b2 = Seq((3L, "epsilon alpha zeta"))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamRegs() == batchRegs(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("sessionize: events within gap merge, beyond gap split") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
