@@ -1039,6 +1039,71 @@ private[operators] trait QualityOps { self: Pipeline.type =>
         col("p_kn"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
+    * Bringing Order into Text", EMNLP 2004 — PageRank over the word
+    * co-occurrence graph; the classic unsupervised keyword ranker, and
+    * this library's demonstration of ITERATIVE graph computation):
+    * nodes are words, edges connect words co-occurring within `window`
+    * tokens (self-loops dropped) with weight = co-occurrence count
+    * (the §4.2 weighted variant; symmetric by construction since both
+    * directions fan out), and
+    *
+    *   r_{t+1}(v) = (1−d) + d · Σ_{u∼v} (w_uv / W_u) · r_t(u)
+    *
+    * runs `iters` damped rounds from r_0 = 1. Determinism: the
+    * neighbor sum is the one order-dependent reduction, so it runs
+    * through the decimal accumulator ([[graft.QueryDef.dsum]] — exact,
+    * order-free addition, 4-dp requantization replayed identically by
+    * both engines); the (w_uv/W_u)·r product is fixed-order IEEE on
+    * exact inputs, so every iteration replays bit-for-bit and the
+    * oracle unrolls the rounds verbatim. Scale shape: the edge table
+    * is token-scale (ONE explode + partial agg, the [[gloveCooc]]
+    * shape, built once); ranks and weighted degrees are vocab-sized
+    * and BROADCAST back onto the edges each round — `iters` passes
+    * over the edge table, nothing collects, no vocab-keyed
+    * SortMergeJoin. Words with no neighbor (single-word docs) carry no
+    * edge and rank nothing, as in the paper. Output: top-k
+    * (word, score) by (score desc, word). */
+  def textrankKeywords(corpus: DataFrame, textCol: String,
+      window: Int = 2, damping: Double = 0.85, iters: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0,1), got $damping")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val offs = ((-window to -1) ++ (1 to window)).map(_.toLong)
+    val edges = corpus
+      .filter(col(textCol).isNotNull)
+      .select(array_remove(words(col(textCol)), "").as("__ws"))
+      .select(col("__ws"), posexplode(col("__ws")).as(Seq("__i", "w1")))
+      .select(col("__ws"), col("__i").cast(LongType).as("__i"), col("w1"),
+        explode(array(offs.map(lit): _*)).as("__off"))
+      .filter(col("__i") + col("__off") >= 0 &&
+        col("__i") + col("__off") < size(col("__ws")))
+      .select(col("w1"), element_at(col("__ws"),
+        (col("__i") + col("__off") + 1).cast(IntegerType)).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("weight"))
+    val wdeg = edges.groupBy(col("w1")).agg(sum(col("weight")).as("wdeg"))
+    var ranks = wdeg.select(col("w1").as("w"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edges
+        .join(broadcast(wdeg), Seq("w1"))
+        .join(broadcast(ranks.withColumnRenamed("w", "w1")), Seq("w1"))
+        .groupBy(col("w2"))
+        .agg(((lit(1.0) - lit(damping)) + lit(damping) *
+          graft.QueryDef.dsum((col("weight").cast(DoubleType) /
+            col("wdeg").cast(DoubleType)) * col("r"))).as("r"))
+        .select(col("w2").as("w"), col("r"))
+    }
+    ranks
+      .select(col("w").as("word"), col("r").as("score"))
+      .orderBy(col("score").desc, col("word").asc)
+      .limit(k)
+  }
+
   private[operators] lazy val qualityQueries: Seq[QueryDef] = Seq(
     // ---- p08: corpus text statistics per language (partial-aggregable;
     // exact integer sums so the double means are deterministic).
@@ -2000,6 +2065,54 @@ private[operators] trait QualityOps { self: Pipeline.type =>
         SELECT d.doc_id, d.lang,
                (d.doc_id IN (SELECT doc_id FROM hit)) AS blocked
         FROM d ORDER BY d.doc_id"""
+      }),
+
+    // ---- p91: TextRank keywords — [[textrankKeywords]] at window 2,
+    // d = 0.85, THREE unrolled PageRank iterations, top-20. Each
+    // round's neighbor sum goes through the decimal accumulator
+    // (dsum/dsumSql — exact order-free addition, matched HALF_UP
+    // 4-dp requantization), so the oracle replays all three rounds
+    // bit-for-bit — an iterative graph computation under the full
+    // rows+schema+hash gate.
+    QueryDef(
+      "p91_textrank",
+      (s, d) => textrankKeywords(T.documents(s, d), "text", window = 2,
+        damping = 0.85, iters = 3, k = 20),
+      Some {
+        val its = Seq(("r0", "r1"), ("r1", "r2"), ("r2", "r3")).map {
+          case (prev, cur) => s"""
+        $cur AS MATERIALIZED (
+          SELECT e.w2 AS w,
+                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 + CAST(0.85 AS DOUBLE) *
+                   ${graft.QueryDef.dsumSql(
+            "(CAST(e.weight AS DOUBLE) / CAST(d.wdeg AS DOUBLE)) * r.r")}
+                   AS r
+          FROM edges e JOIN wdeg d USING (w1)
+          JOIN $prev r ON r.w = e.w1
+          GROUP BY e.w2)"""
+        }.mkString(",")
+        raw"""
+        WITH w AS (
+          SELECT list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT ws, CAST(i AS BIGINT) - 1 AS i0, ws[i] AS w1
+          FROM w, unnest(range(1, len(ws) + 1)) t(i)),
+        e0 AS (
+          SELECT w1, ws[CAST(i0 + off AS INTEGER) + 1] AS w2
+          FROM c, unnest([-2, -1, 1, 2]) t(off)
+          WHERE i0 + off >= 0 AND i0 + off < len(ws)),
+        edges AS MATERIALIZED (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS weight
+          FROM e0 WHERE w1 <> w2 GROUP BY 1, 2),
+        wdeg AS MATERIALIZED (
+          SELECT w1, CAST(SUM(weight) AS BIGINT) AS wdeg
+          FROM edges GROUP BY w1),
+        r0 AS (SELECT w1 AS w, CAST(1.0 AS DOUBLE) AS r FROM wdeg),$its
+        SELECT w AS word, r AS score FROM r3
+        ORDER BY score DESC, word ASC LIMIT 20"""
       })
   )
 }

@@ -290,12 +290,17 @@ class BucketingSpec extends AnyFunSuite {
           s"$name: every scan sits under a shuffle — the corpus arm " +
             s"shuffled:\n$plan")
       }
-      // KN model: the three summary tables are vocab-bounded and must
-      // come back as broadcast joins, never a SortMergeJoin
-      val kn = operators.Pipeline.knBigramModel(docs, "text")
-        .queryExecution.executedPlan.toString
-      assert(!kn.contains("SortMergeJoin"),
-        s"knBigramModel summary joins must broadcast:\n$kn")
+      // KN model / TextRank: the vocab-bounded summary/rank tables
+      // must come back as broadcast joins, never a SortMergeJoin
+      Seq(
+        "knBigramModel" -> operators.Pipeline.knBigramModel(docs, "text"),
+        "textrankKeywords" -> operators.Pipeline
+          .textrankKeywords(docs, "text", iters = 2)).foreach {
+        case (name, df) =>
+          val plan = df.queryExecution.executedPlan.toString
+          assert(!plan.contains("SortMergeJoin"),
+            s"$name vocab-sized joins must broadcast:\n$plan")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 

@@ -2905,6 +2905,38 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("textrankKeywords: two hand-replayed PageRank rounds on a path " +
+      "graph — hub outranks leaves, decimal requantization matches, " +
+      "ties break on word") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("post_key", "body")
+    val got = Pipeline.textrankKeywords(docs, "body", window = 1,
+      iters = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // replay the dsum path: per-element double -> DECIMAL(38,10)
+    // HALF_UP, exact sum, DECIMAL(27,4) HALF_UP, back to double
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def qsum(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, HALF_UP)).sum
+        .setScale(4, HALF_UP).toDouble
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "b", 1L))
+    val wdeg = Map("a" -> 1L, "b" -> 2L, "c" -> 1L)
+    def step(r: Map[String, Double]): Map[String, Double] =
+      edges.groupBy(_._2).map { case (v, es) =>
+        v -> ((1.0 - 0.85) + 0.85 * qsum(es.map { case (u, _, w) =>
+          (w.toDouble / wdeg(u).toDouble) * r(u)
+        }))
+      }
+    val r2 = step(step(Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)))
+    assert(got.toSeq == Seq("b", "a", "c").map(w => (w, r2(w))),
+      s"got ${got.toSeq}, expected ranks $r2")
+    assert(r2("b") > r2("a") && r2("a") == r2("c"))
+    intercept[IllegalArgumentException] {
+      Pipeline.textrankKeywords(docs, "body", iters = 0)
+    }
+  }
+
   test("gloveCooc: per-distance counts by hand, xij folds 1/d in " +
       "ascending order, ties break on the pair") {
     import spark.implicits._
