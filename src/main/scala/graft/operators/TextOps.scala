@@ -290,6 +290,108 @@ private[operators] trait TextOps { self: Pipeline.type =>
       .reduce(_ unionByName _)
   }
 
+  /** Vocabulary growth curve — Heaps'-law diagnostics without the
+    * transcendental fit (Heaps 1978; the "is more data still adding
+    * new types?" curve corpus reports plot): split the id range into
+    * `buckets` equal-width slices and report, per slice, how many
+    * NEVER-BEFORE-SEEN words first appear there, plus the cumulative
+    * vocabulary. A flattening vocab_cum says the source is exhausting
+    * its novelty — the data-acquisition signal. Everything is integer
+    * arithmetic: each word reduces to min(first-seen id) in ONE
+    * partial agg (hapaxes combine map-side — the same shuffle budget
+    * as a vocabulary count), slice assignment is an exact integer
+    * formula off one broadcast (min, max) row, and the cumulative sum
+    * is a window over `buckets` rows. Docs are sliced by ID RANGE
+    * (ingest order), not by a computed rank — at 100 TB a global
+    * row_number is a sort nobody needs when the ingest id already
+    * encodes order. Output: (bucket, id_lo, id_hi, n_docs, n_tokens,
+    * vocab_new, vocab_cum). */
+  def vocabGrowth(corpus: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val bounds = corpus.agg(min(col(idCol)).cast(LongType).as("__lo"),
+      (max(col(idCol)).cast(LongType) + 1).as("__hi"))
+    def bucketOf(id: Column): Column =
+      least(call_function("div", (id - col("__lo")) * buckets,
+        greatest(col("__hi") - col("__lo"), lit(1L))),
+        lit((buckets - 1).toLong)).cast(IntegerType)
+    val docsB = corpus
+      .select(col(idCol).cast(LongType).as("__id"),
+        coalesce(size(array_remove(words(col(textCol)), "")), lit(0))
+          .cast(LongType).as("__tok"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(col("__id")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+    val firstSeen = corpus
+      .select(col(idCol).cast(LongType).as("__id"),
+        explode(array_remove(words(col(textCol)), "")).as("__w"))
+      .groupBy(col("__w")).agg(min(col("__id")).as("__first"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(col("__first")).as("bucket"))
+      .agg(count(lit(1)).as("vocab_new"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docsB
+      .join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("vocab_new"))
+      .crossJoin(broadcast(bounds))
+      .select(col("bucket"),
+        (col("__lo") + call_function("div",
+          (col("__hi") - col("__lo")) * col("bucket").cast(LongType),
+          lit(buckets.toLong))).as("id_lo"),
+        (col("__lo") + call_function("div",
+          (col("__hi") - col("__lo")) * (col("bucket") + 1).cast(LongType),
+          lit(buckets.toLong)) - 1).as("id_hi"),
+        col("n_docs"), col("n_tokens"), col("vocab_new"))
+      .withColumn("vocab_cum", sum(col("vocab_new")).over(win))
+      .orderBy(col("bucket"))
+  }
+
+  /** Corpus drift report — total-variation distance between the
+    * unigram distributions of two corpus slices (snapshots, sources,
+    * time windows; the distribution-shift monitor a mixing pipeline
+    * watches): TVD(P,Q) = ½ Σ_w |p_w − q_w| over the union vocabulary,
+    * with the top-k drift CONTRIBUTORS (largest |p_w − q_w|) named so
+    * the report says WHAT moved, not just how much. TVD is the
+    * transcendental-free divergence (KL's ln is deliberately avoided —
+    * the [[hllEstimate]] stance), so everything replays exactly: p/q
+    * are exact integer ratios, |p−q| is one IEEE subtraction, and the
+    * union-vocab sum rides the decimal accumulator. Shape: one
+    * slice-labeled token pass, ONE word-keyed partial agg carrying
+    * both slices' counts, one broadcast totals row; the TVD row is a
+    * vocab-bounded fold broadcast back onto the top-k. Output: top-k
+    * (word, c_a, c_b, p_a, p_b, abs_diff) + constant `tvd`. */
+  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def toks(df: DataFrame, label: Int): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(array_remove(words(col(textCol)), "")).as("__w"),
+        lit(label).as("__s"))
+    val counts = toks(a, 0).unionAll(toks(b, 1))
+      .groupBy(col("__w"))
+      .agg(coalesce(sum(when(col("__s") === 0, 1L)), lit(0L)).as("c_a"),
+        coalesce(sum(when(col("__s") === 1, 1L)), lit(0L)).as("c_b"))
+    val totals = counts.agg(sum(col("c_a")).as("__na"),
+      sum(col("c_b")).as("__nb"))
+    val scored = counts
+      .crossJoin(broadcast(totals))
+      .withColumn("p_a",
+        col("c_a").cast(DoubleType) / col("__na").cast(DoubleType))
+      .withColumn("p_b",
+        col("c_b").cast(DoubleType) / col("__nb").cast(DoubleType))
+      .withColumn("abs_diff", abs(col("p_a") - col("p_b")))
+    val tvd = scored.agg(
+      (lit(0.5) * graft.QueryDef.dsum(col("abs_diff"))).as("tvd"))
+    scored
+      .select(col("__w").as("word"), col("c_a"), col("c_b"),
+        col("p_a"), col("p_b"), col("abs_diff"))
+      .orderBy(col("abs_diff").desc, col("word").asc)
+      .limit(k)
+      .crossJoin(broadcast(tvd))
+  }
+
   /** Sequence packing over ANY corpus — the p22 plan as a reusable
     * operator: concatenate-and-chunk the token stream into fixed
     * context windows where documents may straddle chunk boundaries.
@@ -2034,6 +2136,93 @@ private[operators] trait TextOps { self: Pipeline.type =>
                  * CAST(64.0 AS DOUBLE)) * CAST(64.0 AS DOUBLE)
                  / CAST(hsum AS DOUBLE) AS hll_raw_est,
                exact_distinct
-        FROM est CROSS JOIN ex"""))
+        FROM est CROSS JOIN ex""")),
+
+    // ---- p92: vocabulary growth curve — [[vocabGrowth]] over ten
+    // equal-width id slices. All integer arithmetic (min-first-seen
+    // partial agg, exact integer slice formula, window cumsum over 10
+    // rows); the DuckDB window SUM needs its HUGEINT cast back.
+    QueryDef(
+      "p92_vocab_growth",
+      (s, d) => vocabGrowth(T.documents(s, d), "doc_id", "text",
+        buckets = 10),
+      Some("""
+        WITH b AS (
+          SELECT CAST(MIN(doc_id) AS BIGINT) AS lo,
+                 CAST(MAX(doc_id) AS BIGINT) + 1 AS hi
+          FROM documents),
+        d AS (
+          SELECT doc_id,
+                 COALESCE(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')), 0) AS tok
+          FROM documents),
+        db AS (
+          SELECT CAST(LEAST(((d.doc_id - b.lo) * 10)
+                   // GREATEST(b.hi - b.lo, 1), 9) AS INTEGER) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS n_tokens
+          FROM d, b GROUP BY 1),
+        fs AS (
+          SELECT w, MIN(doc_id) AS fst
+          FROM (SELECT doc_id,
+                  unnest(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS w
+                FROM documents WHERE text IS NOT NULL)
+          GROUP BY w),
+        vb AS (
+          SELECT CAST(LEAST(((fs.fst - b.lo) * 10)
+                   // GREATEST(b.hi - b.lo, 1), 9) AS INTEGER) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_new
+          FROM fs, b GROUP BY 1)
+        SELECT db.bucket,
+               b.lo + ((b.hi - b.lo) * db.bucket) // 10 AS id_lo,
+               b.lo + ((b.hi - b.lo) * (db.bucket + 1)) // 10 - 1 AS id_hi,
+               db.n_docs, db.n_tokens,
+               COALESCE(vb.vocab_new, 0) AS vocab_new,
+               CAST(SUM(COALESCE(vb.vocab_new, 0)) OVER (
+                 ORDER BY db.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS vocab_cum
+        FROM db LEFT JOIN vb USING (bucket) CROSS JOIN b
+        ORDER BY db.bucket""")),
+
+    // ---- p93: corpus drift report — [[corpusDrift]] between the
+    // even- and odd-id halves of the corpus: top-20 |p−q| contributors
+    // + the total-variation distance (the transcendental-free
+    // divergence — exact integer ratios, one IEEE subtraction, the
+    // union-vocab sum through dsum), all replayed bit-for-bit.
+    QueryDef(
+      "p93_corpus_drift",
+      (s, d) => {
+        val all = T.documents(s, d)
+        corpusDrift(all.filter(col("doc_id") % 2 === 0),
+          all.filter(col("doc_id") % 2 =!= 0), "text", k = 20)
+      },
+      Some(s"""
+        WITH occ AS (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                   x -> x <> '')) AS w,
+                 CAST(doc_id % 2 AS INTEGER) AS s
+          FROM documents WHERE text IS NOT NULL),
+        counts AS (
+          SELECT w, CAST(COUNT(*) FILTER (WHERE s = 0) AS BIGINT) AS c_a,
+                 CAST(COUNT(*) FILTER (WHERE s <> 0) AS BIGINT) AS c_b
+          FROM occ GROUP BY w),
+        tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+                       CAST(SUM(c_b) AS BIGINT) AS nb FROM counts),
+        sc AS (
+          SELECT w, c_a, c_b,
+                 CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE) AS p_a,
+                 CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE) AS p_b,
+                 abs(CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE))
+                   AS abs_diff
+          FROM counts, tot),
+        tv AS (SELECT CAST(0.5 AS DOUBLE) *
+                 ${graft.QueryDef.dsumSql("abs_diff")} AS tvd FROM sc),
+        top AS (SELECT * FROM sc
+                ORDER BY abs_diff DESC, w ASC LIMIT 20)
+        SELECT top.w AS word, top.c_a, top.c_b, top.p_a, top.p_b,
+               top.abs_diff, tv.tvd
+        FROM top, tv ORDER BY top.abs_diff DESC, word ASC"""))
   )
 }

@@ -2905,6 +2905,48 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabGrowth: first-seen words land in their id slice, " +
+      "cumulative vocabulary is monotone, slice bounds are exact") {
+    import spark.implicits._
+    val docs = ((0L to 9L).map(i => (i, i match {
+      case 0L => "x y"
+      case 5L => "y z"
+      case 7L => "x w"
+      case _ => null.asInstanceOf[String]
+    }))).toDF("post_key", "body")
+    val got = Pipeline.vocabGrowth(docs, "post_key", "body", buckets = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // slice 0 = ids 0..4 (x, y first appear), slice 1 = ids 5..9 (z, w)
+    assert(got.toSeq == Seq(
+      (0, 0L, 4L, 5L, 2L, 2L, 2L),
+      (1, 5L, 9L, 5L, 4L, 2L, 4L)))
+    intercept[IllegalArgumentException] {
+      Pipeline.vocabGrowth(docs, "post_key", "body", buckets = 0)
+    }
+  }
+
+  test("corpusDrift: TVD and per-word contributions by hand — a word " +
+      "absent from one side still contributes, order is |p-q| desc") {
+    import spark.implicits._
+    val a = Seq((1L, "x x y")).toDF("post_key", "body")
+    val b = Seq((2L, "x z")).toDF("post_key", "body")
+    val got = Pipeline.corpusDrift(a, b, "body", k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val byDiff = got.sortBy(x => (-x._6, x._1))
+    assert(byDiff.map(_._1).toSeq == Seq("z", "y", "x"))
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("x") == (("x", 2L, 1L, 2.0 / 3, 1.0 / 2,
+      math.abs(2.0 / 3 - 1.0 / 2), 0.5)))
+    assert(m("z") == (("z", 0L, 1L, 0.0, 0.5, 0.5, 0.5)))
+    assert(got.forall(_._7 == 0.5))   // TVD = 1/2 (1/6 + 1/3 + 1/2)
+    intercept[IllegalArgumentException] {
+      Pipeline.corpusDrift(a, b, "body", k = 0)
+    }
+  }
+
   test("textrankKeywords: two hand-replayed PageRank rounds on a path " +
       "graph — hub outranks leaves, decimal requantization matches, " +
       "ties break on word") {
