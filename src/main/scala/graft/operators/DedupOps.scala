@@ -35,6 +35,31 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     // pass whatever the split.
     require(bands >= 1 && rows >= 1,
       s"need bands, rows >= 1, got ($bands, $rows)")
+    val (xs, _, pairs) = minhashCandidates(corpus, idCol, textCol,
+      bands, rows)
+
+    // Exact-Jaccard verification: fetch the two shingle arrays and
+    // intersect in place — bounded by bucket collisions (pairs is
+    // tiny, so both joins broadcast it against the cached xs).
+    pairs
+      .join(xs.as("xa"), col("da") === col("xa.doc_id"))
+      .join(xs.as("xb"), col("db") === col("xb.doc_id"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        size(array_intersect(col("xa.xs"), col("xb.xs")))
+          .cast(DoubleType).as("c"),
+        size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+  }
+
+  /** Shared candidate generation for [[minhashNeardupPairs]] and
+    * [[minhashAccuracyReport]]: (per-doc distinct shingle-hash arrays
+    * — persisted, the expensive artifact; per-doc signature arrays;
+    * LSH candidate pairs from bucket collisions). */
+  private def minhashCandidates(corpus: DataFrame, idCol: String,
+      textCol: String, bands: Int, rows: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val numHashes = bands * rows
     val docs = corpus
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
@@ -88,20 +113,48 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .select(col("da"), explode(col("docs")).as("db"))
       .filter(col("da") < col("db"))
       .distinct()
+    (xs, mh, pairs)
+  }
 
-    // Exact-Jaccard verification: fetch the two shingle arrays and
-    // intersect in place — bounded by bucket collisions (pairs is
-    // tiny, so both joins broadcast it against the cached xs).
-    pairs
+  /** MinHash estimation-accuracy report — the sketch-accuracy
+    * companion to [[minhashNeardupPairs]] (the pattern p39 applies to
+    * ANN recall, p78 to Count-Min overcounts and p86 to HLL): for
+    * every LSH candidate pair, the textbook signature estimate
+    * ĵ = (agreeing slots)/n — unbiased because P[slot agrees] = J —
+    * beside the exact shingle Jaccard, plus the report-level mean
+    * absolute error. This is how banding/permutation counts get
+    * validated before a production dedup run commits to them. Same
+    * bounded shapes as the dedup pass itself: candidates come only
+    * from bucket collisions, and the pair table broadcasts against
+    * the cached shingle/signature artifacts. Output per candidate
+    * pair: (doc_a, doc_b, n_agree, est, jaccard, abs_err) + the
+    * constant `mae` column. */
+  def minhashAccuracyReport(corpus: DataFrame, idCol: String,
+      textCol: String, bands: Int = NumHashes / BandRows,
+      rows: Int = BandRows): DataFrame = {
+    require(bands >= 1 && rows >= 1,
+      s"need bands, rows >= 1, got ($bands, $rows)")
+    val n = bands * rows
+    val (xs, mh, pairs) = minhashCandidates(corpus, idCol, textCol,
+      bands, rows)
+    val scored = pairs
+      .join(mh.as("ma"), col("da") === col("ma.doc_id"))
+      .join(mh.as("mb"), col("db") === col("mb.doc_id"))
       .join(xs.as("xa"), col("da") === col("xa.doc_id"))
       .join(xs.as("xb"), col("db") === col("xb.doc_id"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        aggregate(zip_with(col("ma.mh"), col("mb.mh"),
+          (x, y) => (x === y).cast(LongType)), lit(0L), _ + _)
+          .as("n_agree"),
         size(array_intersect(col("xa.xs"), col("xb.xs")))
           .cast(DoubleType).as("c"),
         size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree").cast(DoubleType) / n).as("est"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= jaccardMin)
+      .withColumn("abs_err", abs(col("est") - col("jaccard")))
+    val mae = scored.agg(graft.QueryDef.davg(col("abs_err")).as("mae"))
+    scored.crossJoin(broadcast(mae))
   }
 
   /** The fixture-corpus instantiation shared by p02/p25/p30/p31. */
@@ -1599,6 +1652,49 @@ private[operators] trait DedupOps { self: Pipeline.type =>
                COALESCE(p.bloom_hits, 0) AS bloom_hits,
                COALESCE(p.in_bloom, FALSE) AS in_bloom
         FROM documents d LEFT JOIN probe p ON p.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- p94: MinHash accuracy report — [[minhashAccuracyReport]]
+    // over p02's own candidate pairs: signature-agreement estimate vs
+    // exact shingle Jaccard per pair + the MAE (decimal-averaged). The
+    // oracle splices the shared NeardupPairsSql CTEs so both engines
+    // derive the identical candidates, signatures and exact counts —
+    // the sketch-accuracy pattern (p39/p78/p86) applied to the LSH
+    // dedup path.
+    QueryDef(
+      "p94_minhash_accuracy",
+      (s, d) =>
+        minhashAccuracyReport(T.documents(s, d), "doc_id", "text")
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH $NeardupPairsSql,
+        agree AS (
+          SELECT p.da, p.db,
+                 CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_agree
+          FROM pairs p
+          JOIN mh a ON a.doc_id = p.da
+          JOIN mh b ON b.doc_id = p.db AND b.i = a.i
+          GROUP BY p.da, p.db),
+        ex AS (
+          SELECT p.da, p.db, COALESCE(i.c, 0) AS c, na.n AS na, nb.n AS nb
+          FROM pairs p
+          LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+          JOIN ns na ON na.doc_id = p.da
+          JOIN ns nb ON nb.doc_id = p.db),
+        rep AS (
+          SELECT a.da AS doc_a, a.db AS doc_b, a.n_agree,
+                 CAST(a.n_agree AS DOUBLE) / CAST($NumHashes AS DOUBLE)
+                   AS est,
+                 CAST(e.c AS DOUBLE) / (e.na + e.nb - CAST(e.c AS DOUBLE))
+                   AS jaccard,
+                 abs(CAST(a.n_agree AS DOUBLE) / CAST($NumHashes AS DOUBLE)
+                     - CAST(e.c AS DOUBLE)
+                       / (e.na + e.nb - CAST(e.c AS DOUBLE))) AS abs_err
+          FROM agree a JOIN ex e ON e.da = a.da AND e.db = a.db),
+        m AS (SELECT ${graft.QueryDef.davgSql("abs_err")} AS mae FROM rep)
+        SELECT rep.doc_a, rep.doc_b, rep.n_agree, rep.est, rep.jaccard,
+               rep.abs_err, m.mae
+        FROM rep, m ORDER BY rep.doc_a, rep.doc_b"""))
   )
 }

@@ -2905,6 +2905,36 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashAccuracyReport: identical docs estimate 1.0 with zero " +
+      "error, est is exactly n_agree/n, mae replays the decimal mean") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // exact pair: J = 1
+      (3L, base + " lambda mu"), (4L, "unrelated words entirely here now"))
+      .toDF("post_key", "body")
+    val got = Pipeline.minhashAccuracyReport(docs, "post_key", "body")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))))
+    assert(got.nonEmpty)
+    val m = got.toMap
+    assert(m.contains((1L, 2L)))
+    assert(m((1L, 2L)) == ((32L, 1.0, 1.0, 0.0, m((1L, 2L))._5)))
+    got.foreach { case (_, (nAgree, est, jac, absErr, _)) =>
+      assert(est == nAgree.toDouble / 32)
+      assert(jac >= 0.0 && jac <= 1.0)
+      assert(absErr == math.abs(est - jac))
+    }
+    // mae == the decimal-averaged abs_err (the davg path by hand)
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val errs = got.map(_._2._4)
+    val expMae = errs.map(BigDecimal(_).setScale(10, HALF_UP)).sum
+      .setScale(4, HALF_UP).toDouble / errs.length
+    assert(got.forall(_._2._5 == expMae))
+  }
+
   test("vocabGrowth: first-seen words land in their id slice, " +
       "cumulative vocabulary is monotone, slice bounds are exact") {
     import spark.implicits._
