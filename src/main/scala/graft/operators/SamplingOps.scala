@@ -388,11 +388,16 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * uniform is md5-derived from (word, doc, position), so reruns and
     * engines agree exactly — and here even the keep probability is
     * transcendental-free (√ of an IEEE division is correctly rounded
-    * in both engines), so nothing is quantized. Scale shape: the
-    * frequency table is vocab-sized and broadcasts onto one exploded
-    * corpus pass, the total is one broadcast row, and the decision is
-    * a map-side filter — the corpus never shuffles. Output: the kept
-    * occurrences (doc_id, word_no, word, keep_p). */
+    * in both engines), so nothing is quantized. keep_p is capped at
+    * 1.0 (it IS a probability), which buys the scale bound: only
+    * words with f > t can ever be dropped, and since Σf = 1 there are
+    * FEWER THAN 1/t of them (1,000 at the paper's t = 1e-3) — so the
+    * broadcast frequency table is bounded by the THRESHOLD, not the
+    * vocabulary, whose hapax tail is unbounded at 100 TB. The corpus
+    * side stays one exploded pass with a broadcast left join + a
+    * map-side filter — it never shuffles (plan-pinned). Output: the
+    * kept occurrences (doc_id, word_no, word, keep_p); absent-from-
+    * table words carry keep_p = 1.0. */
   def frequencySubsample(corpus: DataFrame, idCol: String, textCol: String,
       t: Double = 1e-3): DataFrame = {
     require(t > 0, s"t must be > 0, got $t")
@@ -403,15 +408,19 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
       .select(col("doc_id"), col("word_no").cast(LongType), col("word"))
     val uc = occ.groupBy(col("word")).agg(count(lit(1)).as("c"))
     val tot = occ.agg(count(lit(1)).as("n"))
-    val keepP = sqrt(lit(t) /
-      (col("c").cast(DoubleType) / col("n").cast(DoubleType)))
+    // the <1/t frequent words, with their sub-1 keep probability; the
+    // f = t boundary is safe on either side (√(t/f) = 1 ⟺ keep-always)
+    val freq = uc.crossJoin(broadcast(tot))
+      .filter(col("c").cast(DoubleType) / col("n").cast(DoubleType) > t)
+      .select(col("word"), sqrt(lit(t) /
+        (col("c").cast(DoubleType) / col("n").cast(DoubleType)))
+        .as("__kp"))
     val u = (conv(substring(md5(concat(col("word"), lit(":"),
       col("doc_id").cast(StringType), lit(":"),
       col("word_no").cast(StringType))), 1, 12), 16, 10)
       .cast(DoubleType) + 0.5) / lit(math.pow(2, 48))
-    occ.join(broadcast(uc), Seq("word"))
-      .crossJoin(broadcast(tot))
-      .withColumn("keep_p", keepP)
+    occ.join(broadcast(freq), Seq("word"), "left")
+      .withColumn("keep_p", coalesce(col("__kp"), lit(1.0)))
       .filter(u < col("keep_p"))
       .select(col("doc_id"), col("word_no"), col("word"), col("keep_p"))
   }
@@ -678,9 +687,10 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     // fixture vocabulary makes every word frequent enough that keep
     // probabilities sit well inside (0,1), so the gate certifies real
     // probabilistic thinning, not all-keep). The oracle replays the
-    // frequency table, the √(t/f) keep probability and the md5-derived
-    // per-occurrence uniform verbatim — all IEEE-exact, nothing
-    // quantized.
+    // threshold-bounded frequency table (only f > t words — the <1/t
+    // broadcast bound), the √(t/f) keep probability, the keep_p = 1.0
+    // fallback for rare words, and the md5-derived per-occurrence
+    // uniform verbatim — all IEEE-exact, nothing quantized.
     QueryDef(
       "p85_freq_subsample",
       (s, d) =>
@@ -696,17 +706,22 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
         uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
                FROM w GROUP BY word),
         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+        f AS (
+          SELECT word,
+                 sqrt(CAST(0.001 AS DOUBLE) /
+                   (CAST(uc.c AS DOUBLE) / CAST(tot.n AS DOUBLE))) AS kp
+          FROM uc CROSS JOIN tot
+          WHERE CAST(uc.c AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                  > CAST(0.001 AS DOUBLE)),
         j AS (
           SELECT w.doc_id, w.word_no, w.word,
-                 sqrt(CAST(0.001 AS DOUBLE) /
-                   (CAST(uc.c AS DOUBLE) / CAST(tot.n AS DOUBLE)))
-                   AS keep_p,
+                 COALESCE(f.kp, CAST(1.0 AS DOUBLE)) AS keep_p,
                  (CAST(CAST('0x' || substr(md5(w.word || ':' ||
                       CAST(w.doc_id AS VARCHAR) || ':' ||
                       CAST(w.word_no AS VARCHAR)), 1, 12) AS BIGINT)
                     AS DOUBLE) + CAST(0.5 AS DOUBLE))
                    / 281474976710656.0 AS u
-          FROM w JOIN uc USING (word) CROSS JOIN tot)
+          FROM w LEFT JOIN f USING (word))
         SELECT doc_id, word_no, word, keep_p
         FROM j WHERE u < keep_p ORDER BY doc_id, word_no"""))
   )

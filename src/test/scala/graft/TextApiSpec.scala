@@ -2751,7 +2751,8 @@ class TextApiSpec extends AnyFunSuite {
       (i.toLong, (Seq.fill(10)("a") ++ (if (i == 1) Seq("z") else Nil))
         .mkString(" ")))
       .toDF("post_key", "body")
-    // 100 'a' + 1 'z'; t = 0.05: f_z < t → keep_p > 1 → always kept;
+    // 100 'a' + 1 'z'; t = 0.05: f_z < t → rare, stays out of the
+    // threshold-bounded table → keep_p = 1.0, always kept;
     // f_a = 100/101 → keep_p = sqrt(0.0505) ≈ 0.22
     def run() = Pipeline.frequencySubsample(docs, "post_key", "body",
       t = 0.05).collect()
@@ -2762,9 +2763,8 @@ class TextApiSpec extends AnyFunSuite {
     val aKept = kept.count(_._3 == "a")
     assert(aKept > 0 && aKept < 100, s"expected genuine thinning, got $aKept")
     val expA = math.sqrt(0.05 / (100.0 / 101.0))
-    val expZ = math.sqrt(0.05 / (1.0 / 101.0))
     kept.foreach { case (_, _, w, p) =>
-      assert(p == (if (w == "a") expA else expZ))
+      assert(p == (if (w == "a") expA else 1.0))
     }
     intercept[IllegalArgumentException] {
       Pipeline.frequencySubsample(docs, "post_key", "body", t = 0.0)
