@@ -157,6 +157,44 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     scored.crossJoin(broadcast(mae))
   }
 
+  /** Edit-distance-verified near-duplicates — the character-level
+    * verification stage over the LSH candidate pairs (the RETSim/
+    * SuffixArray-paper observation that shingle Jaccard misses small
+    * EDITS inside shingles; exact Levenshtein is the ground-truth
+    * verifier, affordable precisely because candidates are
+    * bucket-bounded): for each [[minhashCandidates]] pair, the exact
+    * edit distance between the two texts and the normalized similarity
+    * 1 − d/max(len). Cost contract: Levenshtein is O(|a|·|b|) PER
+    * PAIR — bounded by candidate count, not corpus size, but callers
+    * with book-length docs should verify on a prefix or chunk.
+    * Cross-engine note: Spark's levenshtein counts CODEPOINTS while
+    * DuckDB's counts bytes — identical on ASCII (the gate corpus), a
+    * documented divergence on multibyte text (the spec pins Spark's
+    * codepoint semantics separately). Output: pairs with
+    * sim ≥ minSim: (doc_a, doc_b, dist, len_a, len_b, sim). */
+  def editDistanceNeardupPairs(corpus: DataFrame, idCol: String,
+      textCol: String, minSim: Double = 0.8,
+      bands: Int = NumHashes / BandRows, rows: Int = BandRows): DataFrame = {
+    require(minSim >= 0 && minSim <= 1, s"minSim must be in [0,1], got $minSim")
+    require(bands >= 1 && rows >= 1,
+      s"need bands, rows >= 1, got ($bands, $rows)")
+    val (_, _, pairs) = minhashCandidates(corpus, idCol, textCol,
+      bands, rows)
+    val txt = corpus.select(col(idCol).as("__tid"),
+      col(textCol).as("__txt"))
+    pairs
+      .join(txt.as("ta"), col("da") === col("ta.__tid"))
+      .join(txt.as("tb"), col("db") === col("tb.__tid"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        levenshtein(col("ta.__txt"), col("tb.__txt")).cast(LongType)
+          .as("dist"),
+        length(col("ta.__txt")).cast(LongType).as("len_a"),
+        length(col("tb.__txt")).cast(LongType).as("len_b"))
+      .withColumn("sim", lit(1.0) - col("dist").cast(DoubleType) /
+        greatest(col("len_a"), col("len_b")).cast(DoubleType))
+      .filter(col("sim") >= minSim)
+  }
+
   /** The fixture-corpus instantiation shared by p02/p25/p30/p31. */
   private def neardupPairs(s: SparkSession, d: String): DataFrame =
     minhashNeardupPairs(T.documents(s, d), "doc_id", "text")
@@ -1695,6 +1733,39 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         m AS (SELECT ${graft.QueryDef.davgSql("abs_err")} AS mae FROM rep)
         SELECT rep.doc_a, rep.doc_b, rep.n_agree, rep.est, rep.jaccard,
                rep.abs_err, m.mae
-        FROM rep, m ORDER BY rep.doc_a, rep.doc_b"""))
+        FROM rep, m ORDER BY rep.doc_a, rep.doc_b""")),
+
+    // ---- p95: edit-distance-verified near-dups —
+    // [[editDistanceNeardupPairs]] at minSim = 0.5 over p02's own
+    // candidates: exact Levenshtein + normalized similarity per pair.
+    // Both engines compute the exact integer distance (byte ≡
+    // codepoint on this ASCII corpus; the divergence on multibyte
+    // text is documented on the operator); the similarity is one
+    // IEEE division mirrored verbatim.
+    QueryDef(
+      "p95_editdist_neardup",
+      (s, d) =>
+        editDistanceNeardupPairs(T.documents(s, d), "doc_id", "text",
+          minSim = 0.5)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH $NeardupPairsSql,
+        txt AS (SELECT doc_id, text FROM documents),
+        e AS (
+          SELECT p.da AS doc_a, p.db AS doc_b,
+                 CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+                 CAST(length(ta.text) AS BIGINT) AS len_a,
+                 CAST(length(tb.text) AS BIGINT) AS len_b
+          FROM pairs p
+          JOIN txt ta ON ta.doc_id = p.da
+          JOIN txt tb ON tb.doc_id = p.db),
+        r AS (
+          SELECT doc_a, doc_b, dist, len_a, len_b,
+                 CAST(1.0 AS DOUBLE) - CAST(dist AS DOUBLE)
+                   / CAST(greatest(len_a, len_b) AS DOUBLE) AS sim
+          FROM e)
+        SELECT doc_a, doc_b, dist, len_a, len_b, sim
+        FROM r WHERE sim >= CAST(0.5 AS DOUBLE)
+        ORDER BY doc_a, doc_b"""))
   )
 }

@@ -1039,6 +1039,41 @@ private[operators] trait QualityOps { self: Pipeline.type =>
         col("p_kn"))
   }
 
+  /** Character-entropy quality signal — the Shannon entropy of each
+    * document's character distribution, in nats: encoding noise and
+    * random bytes read anomalously HIGH, key-mash and repeated-char
+    * runs anomalously LOW, making H = −Σ_c p_c·ln(p_c) the standard
+    * cheap gibberish detector beside p10's length/punct ratios (every
+    * web-scale quality pack ships some form of it). Engine-exactness
+    * via the portable-ln recipe (ln is not correctly rounded across
+    * libms, so round(ln, 9) on BOTH engines — the DSIR/p49 stance)
+    * and the per-doc sum through the decimal accumulator. Shape: one
+    * char explode + (doc, char) partial agg (≤ alphabet-size keys per
+    * doc combine map-side) + a doc-partition window and regroup on
+    * the SAME key — one shuffle class end to end. ASCII note: Spark's
+    * empty-regex split severs surrogate pairs where DuckDB splits
+    * codepoints — identical on ASCII (the gate corpus). Docs with no
+    * characters carry no entropy row. Output: (doc_id, n_chars,
+    * entropy). */
+  def charEntropySignal(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cc = corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val p = col("c").cast(DoubleType) / col("n").cast(DoubleType)
+    cc
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("term", p * round(log(p), 9))
+      .groupBy(col("doc_id"), col("n"))
+      .agg((-graft.QueryDef.dsum(col("term"))).as("entropy"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("entropy"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
     * Bringing Order into Text", EMNLP 2004 — PageRank over the word
     * co-occurrence graph; the classic unsupervised keyword ranker, and
@@ -2113,6 +2148,36 @@ private[operators] trait QualityOps { self: Pipeline.type =>
         r0 AS (SELECT w1 AS w, CAST(1.0 AS DOUBLE) AS r FROM wdeg),$its
         SELECT w AS word, r AS score FROM r3
         ORDER BY score DESC, word ASC LIMIT 20"""
-      })
+      }),
+
+    // ---- p96: character-entropy quality signal —
+    // [[charEntropySignal]] over every document: Shannon entropy of
+    // the char distribution in nats, the standard gibberish detector.
+    // The oracle replays the exact p = c/n ratios, the 1e-9-quantized
+    // ln (the portable recipe — both ROUNDs agree at every magnitude)
+    // and the decimal per-doc sum.
+    QueryDef(
+      "p96_char_entropy",
+      (s, d) => charEntropySignal(T.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents WHERE text IS NOT NULL),
+        cc AS (
+          SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ch GROUP BY doc_id, ch),
+        nn AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+          FROM cc GROUP BY doc_id),
+        t AS (
+          SELECT cc.doc_id, nn.n,
+                 (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                   AS term
+          FROM cc JOIN nn USING (doc_id))
+        SELECT doc_id, n AS n_chars,
+               -(${graft.QueryDef.dsumSql("term")}) AS entropy
+        FROM t GROUP BY doc_id, n ORDER BY doc_id"""))
   )
 }

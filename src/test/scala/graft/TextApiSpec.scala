@@ -2935,6 +2935,66 @@ class TextApiSpec extends AnyFunSuite {
     assert(got.forall(_._2._5 == expMae))
   }
 
+  test("editDistanceNeardupPairs: exact Levenshtein on candidates, " +
+      "identical docs score 1.0, minSim filters, codepoint semantics") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val edited = base.replace("kappa", "kappo")
+    val docs = Seq((1L, base), (2L, base), (3L, edited))
+      .toDF("post_key", "body")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = Map(1L -> base, 2L -> base, 3L -> edited)
+    val got = Pipeline.editDistanceNeardupPairs(docs, "post_key", "body",
+      minSim = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.contains((1L, 2L)))
+    assert(got((1L, 2L)) == ((0L, base.length.toLong, base.length.toLong, 1.0)))
+    got.foreach { case ((a, b), (dist, la, lb, sim)) =>
+      assert(dist == lev(texts(a), texts(b)).toLong)
+      assert(la == texts(a).length.toLong && lb == texts(b).length.toLong)
+      assert(sim == 1.0 - dist.toDouble / math.max(la, lb).toDouble)
+    }
+    // tight threshold keeps only the exact pair
+    val tight = Pipeline.editDistanceNeardupPairs(docs, "post_key", "body",
+      minSim = 0.999).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tight.toSet == Set((1L, 2L)))
+    // Spark's levenshtein counts codepoints (the documented DuckDB
+    // byte-count divergence is oracle-side only; gate corpus is ASCII)
+    import org.apache.spark.sql.functions.{levenshtein => slev, lit => slit}
+    assert(spark.range(1).select(slev(slit("héllo"), slit("hello")))
+      .collect()(0).getInt(0) == 1)
+  }
+
+  test("charEntropySignal: hand-replayed entropy through the " +
+      "round-ln + decimal path; uniform text scores 0; empty/NULL " +
+      "texts carry no row") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab"), (2L, "aaaa"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("post_key", "body")
+    val got = Pipeline.charEntropySignal(docs, "post_key", "body")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, HALF_UP).toDouble
+    def dsum(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, HALF_UP)).sum
+        .setScale(4, HALF_UP).toDouble
+    val exp = -dsum(Seq(
+      (2.0 / 3) * r9(math.log(2.0 / 3)),
+      (1.0 / 3) * r9(math.log(1.0 / 3))))
+    assert(got == Map(1L -> ((3L, exp)), 2L -> ((4L, -0.0))))
+    assert(got(2L)._2 == 0.0)   // -0.0 == 0.0 numerically
+  }
+
   test("vocabGrowth: first-seen words land in their id slice, " +
       "cumulative vocabulary is monotone, slice bounds are exact") {
     import spark.implicits._
