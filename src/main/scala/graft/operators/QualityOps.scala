@@ -1039,6 +1039,78 @@ private[operators] trait QualityOps { self: Pipeline.type =>
         col("p_kn"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM model (Chen & Goodman 1999
+    * §2.7 — the production order; [[knBigramModel]] is the two-level
+    * teaching case, this is what a deployed KN LM actually ships):
+    * lower orders use CONTINUATION counts derived from the trigram
+    * table (the KN insight applied recursively — how many distinct
+    * contexts a gram completes, not how often), with one dyadic
+    * discount D per level:
+    *
+    *   P1(w3)       = N1+(·w3) / N1+(··)
+    *   P2(w3|w2)    = max(ĉ(w2w3)−D, 0)/ĉ(w2·) + λ2(w2)·P1(w3)
+    *   P3(w3|w1w2)  = max(c(w1w2w3)−D, 0)/c(w1w2·) + λ3(w1w2)·P2(w3|w2)
+    *
+    * where ĉ(w2w3) = N1+(·w2w3) counts distinct predecessors, and each
+    * λ = D·(distinct continuations)/(context total) is exactly the
+    * discounted mass, so P3 is proper over the vocabulary per context
+    * (spec-asserted with the unseen mass). Engine-exactness as in the
+    * bigram model: dyadic D, exact integer ratios, fixed-order IEEE —
+    * the oracle replays every probability bit-for-bit. Scale shape:
+    * the trigram table is ONE explode + partial agg; the (w1,w2)- and
+    * (w2,w3)-keyed summary tables are bigram-type-sized and join back
+    * on their gram keys (shuffle under AQE — the p65 LM-scoring
+    * precedent; bigram types outgrow any broadcast at 100 TB), while
+    * the vocab-sized unigram/context tables and the one-row total
+    * broadcast. Output per attested trigram: (w1, w2, w3, c3, c12,
+    * n3, chat, chat2, n2, n1, p1, p2, p_kn). */
+  def knTrigramModel(corpus: DataFrame, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val ws = corpus
+      .select(array_remove(words(col(textCol)), "").as("ws"))
+    val tc = ws.filter(size(col("ws")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2"),
+          element_at(col("ws"), i + 2).as("w3")))).as("t"))
+      .groupBy(col("t.w1"), col("t.w2"), col("t.w3"))
+      .agg(count(lit(1)).as("c3"))
+    val ctx3 = tc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n3"))
+    // tc rows are unique triples, so count(*) per (w2,w3) IS the
+    // distinct-predecessor continuation count N1+(·w2w3)
+    val bt = tc.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("chat"))
+    val ctx2 = bt.groupBy(col("w2"))
+      .agg(sum(col("chat")).as("chat2"), count(lit(1)).as("n2"))
+    val uni = bt.groupBy(col("w3")).agg(count(lit(1)).as("n1"))
+    val ntot = bt.agg(count(lit(1)).as("ntot"))
+    val d = lit(discount)
+    tc
+      .join(ctx3, Seq("w1", "w2"))
+      .join(bt, Seq("w2", "w3"))
+      .join(broadcast(ctx2), Seq("w2"))
+      .join(broadcast(uni), Seq("w3"))
+      .crossJoin(broadcast(ntot))
+      .withColumn("p1",
+        col("n1").cast(DoubleType) / col("ntot").cast(DoubleType))
+      .withColumn("p2",
+        greatest(col("chat").cast(DoubleType) - d, lit(0.0)) /
+          col("chat2").cast(DoubleType) +
+          ((d * col("n2").cast(DoubleType)) /
+            col("chat2").cast(DoubleType)) * col("p1"))
+      .withColumn("p_kn",
+        greatest(col("c3").cast(DoubleType) - d, lit(0.0)) /
+          col("c12").cast(DoubleType) +
+          ((d * col("n3").cast(DoubleType)) /
+            col("c12").cast(DoubleType)) * col("p2"))
+      .select(col("w1"), col("w2"), col("w3"), col("c3"), col("c12"),
+        col("n3"), col("chat"), col("chat2"), col("n2"), col("n1"),
+        col("p1"), col("p2"), col("p_kn"))
+  }
+
   /** Character-entropy quality signal — the Shannon entropy of each
     * document's character distribution, in nats: encoding noise and
     * random bytes read anomalously HIGH, key-mash and repeated-char
@@ -2178,6 +2250,68 @@ private[operators] trait QualityOps { self: Pipeline.type =>
           FROM cc JOIN nn USING (doc_id))
         SELECT doc_id, n AS n_chars,
                -(${graft.QueryDef.dsumSql("term")}) AS entropy
-        FROM t GROUP BY doc_id, n ORDER BY doc_id"""))
+        FROM t GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // ---- p97: interpolated Kneser–Ney TRIGRAM model —
+    // [[knTrigramModel]] at D = 0.75 over every attested trigram,
+    // all three levels (continuation-count P2/P1 included) replayed
+    // bit-for-bit: dyadic discount, exact integer ratios, fixed-order
+    // IEEE composition.
+    QueryDef(
+      "p97_kneser_ney_trigram",
+      (s, d) => knTrigramModel(T.documents(s, d), "text", discount = 0.75)
+        .orderBy(col("w1"), col("w2"), col("w3")),
+      Some("""
+        WITH w AS (
+          SELECT list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        tc AS MATERIALIZED (
+          SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3,
+                 CAST(COUNT(*) AS BIGINT) AS c3
+          FROM w, unnest(range(1, len(ws) - 1)) t(i)
+          WHERE len(ws) >= 3 GROUP BY 1, 2, 3),
+        ctx3 AS (
+          SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12,
+                 CAST(COUNT(*) AS BIGINT) AS n3
+          FROM tc GROUP BY 1, 2),
+        bt AS MATERIALIZED (
+          SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS chat
+          FROM tc GROUP BY 1, 2),
+        ctx2 AS (
+          SELECT w2, CAST(SUM(chat) AS BIGINT) AS chat2,
+                 CAST(COUNT(*) AS BIGINT) AS n2
+          FROM bt GROUP BY 1),
+        uni AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS n1
+                FROM bt GROUP BY 1),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM bt)
+        SELECT tc.w1, tc.w2, tc.w3, tc.c3, ctx3.c12, ctx3.n3, bt.chat,
+               ctx2.chat2, ctx2.n2, uni.n1,
+               CAST(uni.n1 AS DOUBLE) / CAST(nt.ntot AS DOUBLE) AS p1,
+               greatest(CAST(bt.chat AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE)) / CAST(ctx2.chat2 AS DOUBLE)
+               + ((CAST(0.75 AS DOUBLE) * CAST(ctx2.n2 AS DOUBLE))
+                    / CAST(ctx2.chat2 AS DOUBLE))
+                 * (CAST(uni.n1 AS DOUBLE) / CAST(nt.ntot AS DOUBLE))
+                 AS p2,
+               greatest(CAST(tc.c3 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE)) / CAST(ctx3.c12 AS DOUBLE)
+               + ((CAST(0.75 AS DOUBLE) * CAST(ctx3.n3 AS DOUBLE))
+                    / CAST(ctx3.c12 AS DOUBLE))
+                 * (greatest(CAST(bt.chat AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                      / CAST(ctx2.chat2 AS DOUBLE)
+                    + ((CAST(0.75 AS DOUBLE) * CAST(ctx2.n2 AS DOUBLE))
+                         / CAST(ctx2.chat2 AS DOUBLE))
+                      * (CAST(uni.n1 AS DOUBLE)
+                         / CAST(nt.ntot AS DOUBLE)))
+                 AS p_kn
+        FROM tc
+        JOIN ctx3 USING (w1, w2)
+        JOIN bt USING (w2, w3)
+        JOIN ctx2 USING (w2)
+        JOIN uni USING (w3)
+        CROSS JOIN nt
+        ORDER BY w1, w2, w3"""))
   )
 }

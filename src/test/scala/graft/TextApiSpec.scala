@@ -3069,6 +3069,42 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("knTrigramModel: hand-computed three-level probabilities on " +
+      "'a b a b c', and P3 is proper per context including unseen " +
+      "lambda-weighted mass") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c")).toDF("post_key", "body")
+    val rows = Pipeline.knTrigramModel(docs, "body").collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getLong(9),
+          r.getDouble(10), r.getDouble(11), r.getDouble(12)))).toMap
+    // trigrams (a,b,a), (b,a,b), (a,b,c) each once; bt: (b,a),(a,b),
+    // (b,c) chat=1; ctx2 b:(2,2) a:(1,1); uni a/b/c n1=1; ntot=3
+    assert(rows.keySet == Set(("a", "b", "a"), ("b", "a", "b"),
+      ("a", "b", "c")))
+    val aba = rows(("a", "b", "a"))
+    assert((aba._1, aba._2, aba._3, aba._4, aba._5, aba._6, aba._7) ==
+      ((1L, 2L, 2L, 1L, 2L, 2L, 1L)))
+    assert(aba._8 == 1.0 / 3)                          // p1(a)
+    val p2ab = (1.0 - 0.75) / 2 + (0.75 * 2 / 2) * (1.0 / 3)  // P2(a|b)
+    assert(aba._9 == p2ab && p2ab == 0.375)
+    assert(aba._10 == (1.0 - 0.75) / 2 + (0.75 * 2 / 2) * p2ab) // .40625
+    val bab = rows(("b", "a", "b"))
+    val p2ba = (1.0 - 0.75) / 1 + (0.75 * 1 / 1) * (1.0 / 3)    // P2(b|a)
+    assert(bab._9 == p2ba && bab._10 == (1.0 - 0.75) / 1 + 0.75 * p2ba)
+    // normalization over vocab {a,b,c} for context (a,b): seen a,c at
+    // .40625 each; unseen b gets lambda3(a,b)·P2(b|b) where (b,b) is
+    // an unseen continuation → P2 = lambda2(b)·p1(b) = .75·(1/3)·...
+    val p2bb = (0.75 * 2 / 2) * (1.0 / 3)   // .25
+    val lam3ab = 0.75 * 2 / 2
+    val total = 0.40625 + 0.40625 + lam3ab * p2bb
+    assert(math.abs(total - 1.0) < 1e-12, s"context (a,b) sums to $total")
+    intercept[IllegalArgumentException] {
+      Pipeline.knTrigramModel(docs, "body", discount = 0.0)
+    }
+  }
+
   test("gloveCooc: per-distance counts by hand, xij folds 1/d in " +
       "ascending order, ties break on the pair") {
     import spark.implicits._
