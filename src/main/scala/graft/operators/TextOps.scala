@@ -63,13 +63,7 @@ private[operators] trait TextOps { self: Pipeline.type =>
       depth: Int, width: Int): DataFrame = {
     require(depth >= 1, s"depth must be >= 1, got $depth")
     require(width >= 1, s"width must be >= 1, got $width")
-    val cells = corpus
-      .filter(col(textCol).isNotNull)
-      .select(explode(array_remove(words(col(textCol)), "")).as("__w"))
-      .select(posexplode(doubleHashPositions(col("__w"), depth, width))
-        .as(Seq("__j", "__pos")))
-      .groupBy(col("__j"), col("__pos"))
-      .agg(count(lit(1)).as("__c"))
+    val cells = cmsCells(corpus, textCol, depth, width)
     cells
       .groupBy(col("__j"))
       .agg(map_from_entries(collect_list(
@@ -84,6 +78,20 @@ private[operators] trait TextOps { self: Pipeline.type =>
           first(when(col("__j") === j, col("__arr")), ignoreNulls = true)
             .as(s"__cms_$j")): _*)
   }
+
+  /** The cell-count half of [[cmsSketch]]: one (__j, __pos, __c) row
+    * per non-empty sketch cell. Factored out so the streaming counter
+    * ([[graft.streaming.Streams.termFrequencyCms]]) aggregates the
+    * SAME double-hash arithmetic the batch sketch does. */
+  private[graft] def cmsCells(corpus: DataFrame, textCol: String,
+      depth: Int, width: Int): DataFrame =
+    corpus
+      .filter(col(textCol).isNotNull)
+      .select(explode(array_remove(words(col(textCol)), "")).as("__w"))
+      .select(posexplode(doubleHashPositions(col("__w"), depth, width))
+        .as(Seq("__j", "__pos")))
+      .groupBy(col("__j"), col("__pos"))
+      .agg(count(lit(1)).as("__c"))
 
   /** Count-Min frequency estimates for a candidate item frame against
     * a [[cmsSketch]] row: est(x) = min_j sketch[j][pos_j(x)] ≥ the

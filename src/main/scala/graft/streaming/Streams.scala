@@ -298,6 +298,29 @@ object Streams {
       .groupBy(col("__b").as("bucket"))
       .agg(max(col("__rk")).as("register"))
 
+  /** Streaming term-frequency Count-Min sketch — the CMS cells as a
+    * STREAMING aggregation (the [[distinctCountHll]] pattern for
+    * frequencies): each micro-batch's tokens melt map-side into
+    * (row, pos) cell hits through the batch sketch's own double-hash
+    * arithmetic ([[graft.operators.Pipeline.cmsSketch]]'s cell pass,
+    * shared so batch and stream can never drift), and the running
+    * count per cell is the state — AT MOST depth×width rows no matter
+    * how long the stream runs, versus the unbounded vocabulary an
+    * exact streaming term count would hold. Cell addition is
+    * associative and commutative, so replays only re-add what the
+    * checkpoint already excludes. Emit in update/complete mode; probe
+    * with min-over-rows (the [[graft.operators.Pipeline.cmsEstimate]]
+    * contract: estimates only ever over-count). Output: (row, pos,
+    * cnt). */
+  def termFrequencyCms(docs: DataFrame, textCol: String = "text",
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 1, s"width must be >= 1, got $width")
+    graft.operators.Pipeline.cmsCells(docs, textCol, depth, width)
+      .select(col("__j").as("row"), col("__pos").as("pos"),
+        col("__c").as("cnt"))
+  }
+
   /** Stream-static enrichment: join the unbounded stream against a
     * bounded dimension table (source metadata, license registry,
     * per-domain quality priors). Spark broadcasts the static side into

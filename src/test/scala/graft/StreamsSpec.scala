@@ -91,6 +91,40 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("termFrequencyCms: bounded-state streaming cells equal the " +
+      "batch sketch cells at every point in the stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val counted = Streams.termFrequencyCms(
+      in.toDF().toDF("doc_id", "text"), depth = 3, width = 64)
+    val q = counted.writeStream.format("memory")
+      .queryName("cms_stream").outputMode("complete").start()
+    def streamCells(): Map[(Int, Long), Long] =
+      spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def batchCells(rows: Seq[(Long, String)]): Map[(Int, Long), Long] = {
+      val sk = graft.operators.Pipeline
+        .cmsSketch(rows.toDF("doc_id", "text"), "text", 3, 64)
+        .collect()(0)
+      (0 until 3).flatMap { j =>
+        sk.getSeq[Long](j).zipWithIndex.collect {
+          case (c, pos) if c > 0 => (j, pos.toLong) -> c
+        }
+      }.toMap
+    }
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "gamma"))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamCells() == batchCells(b1))
+      val b2 = Seq((3L, "alpha delta"))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamCells() == batchCells(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("sessionize: events within gap merge, beyond gap split") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
