@@ -1039,6 +1039,45 @@ private[operators] trait QualityOps { self: Pipeline.type =>
         col("p_kn"))
   }
 
+  /** Flesch reading-ease signal (Flesch 1948; the readability score
+    * quality packs ship beside length/punct ratios — extreme scores
+    * flag boilerplate, legalese and gibberish):
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * with the standard structural heuristics kept ENGINE-EXACT:
+    * sentences = regex runs of [.!?]+ (floored at 1 so unpunctuated
+    * text scores as one sentence), syllables = vowel-group runs
+    * [aeiouy]+ per lowercased word floored at 1 per word. All three
+    * counts are exact integers from one map-side pass (no shuffle at
+    * all — plan-pinnable), and the score is a fixed-order IEEE
+    * composition of exact ratios, so the oracle replays it
+    * bit-for-bit. Docs with no words carry no row (the ratio is
+    * undefined, not zero). Output: (doc_id, n_words, n_sentences,
+    * n_syllables, flesch). */
+  def fleschSignal(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ws = array_remove(words(lower(col(textCol))), "")
+    val nWords = size(ws).cast(LongType)
+    val nSents = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))),
+      lit(1)).cast(LongType)
+    val nSyll = aggregate(ws, lit(0L), (acc, w) => acc +
+      greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))),
+        lit(1)).cast(LongType))
+    corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), nWords.as("n_words"),
+        nSents.as("n_sentences"), nSyll.as("n_syllables"))
+      .filter(col("n_words") >= 1)
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast(DoubleType) /
+            col("n_sentences").cast(DoubleType)) -
+          lit(84.6) * (col("n_syllables").cast(DoubleType) /
+            col("n_words").cast(DoubleType)))
+  }
+
   /** Interpolated Kneser–Ney TRIGRAM model (Chen & Goodman 1999
     * §2.7 — the production order; [[knBigramModel]] is the two-level
     * teaching case, this is what a deployed KN LM actually ships):
@@ -2312,6 +2351,38 @@ private[operators] trait QualityOps { self: Pipeline.type =>
         JOIN ctx2 USING (w2)
         JOIN uni USING (w3)
         CROSS JOIN nt
-        ORDER BY w1, w2, w3"""))
+        ORDER BY w1, w2, w3""")),
+
+    // ---- p98: Flesch reading ease — [[fleschSignal]] over every
+    // document: exact integer word/sentence/syllable counts (vowel-
+    // group heuristic, both floors) and the fixed-order score
+    // composition, all replayed bit-for-bit.
+    QueryDef(
+      "p98_flesch",
+      (s, d) => fleschSignal(T.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                   x -> x <> '') AS ws,
+                 GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences
+          FROM documents WHERE text IS NOT NULL),
+        counts AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(n_sentences AS BIGINT) AS n_sentences,
+                 CAST(list_sum(list_transform(ws, w ->
+                   GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+                   AS BIGINT) AS n_syllables
+          FROM base WHERE len(ws) >= 1)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE)
+                 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - CAST(84.6 AS DOUBLE)
+                 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 AS flesch
+        FROM counts ORDER BY doc_id"""))
   )
 }

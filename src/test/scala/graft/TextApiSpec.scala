@@ -3069,6 +3069,81 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("knBigramModel: property — P_KN is a proper distribution per " +
+      "context on random corpora (unseen mass included)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docGen = Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, docGen))
+    val p = Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("post_key", "body")
+      val rows = Pipeline.knBigramModel(df, "body").collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getDouble(6), r.getDouble(7), r.getDouble(8))))
+      val pCont = rows.map { case ((_, b), (pc, _, _)) => b -> pc }
+        .toMap.withDefaultValue(0.0)
+      val lam = rows.map { case ((a, _), (_, l, _)) => a -> l }.toMap
+      val pkn = rows.map { case ((a, b), (_, _, pk)) => (a, b) -> pk }.toMap
+      val vocab = docs.flatMap(_.split(" ")).filter(_.nonEmpty).distinct
+      lam.keys.forall { a =>
+        val tot = vocab.map(b => pkn.getOrElse((a, b), lam(a) * pCont(b))).sum
+        math.abs(tot - 1.0) < 1e-9
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(6), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("hllSketch: property — merging the sketches of any split equals " +
+      "the sketch of the whole corpus") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "zz", "ww", "é", "𝄞"))
+        .map(_.mkString(" ")))
+    val gen = for {
+      n <- Gen.chooseNum(2, 8)
+      docs <- Gen.listOfN(n, docGen)
+      cut <- Gen.chooseNum(1, n - 1)
+    } yield (docs, cut)
+    def df(docs: Seq[String]) = docs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("post_key", "body")
+    val p = Prop.forAll(gen) { case (docs, cut) =>
+      val (a, b) = docs.splitAt(cut)
+      val merged = Pipeline.hllMerge(
+        Pipeline.hllSketch(df(a), "body")
+          .unionAll(Pipeline.hllSketch(df(b), "body")))
+        .collect()(0).getSeq[Long](0)
+      merged == Pipeline.hllSketch(df(docs), "body")
+        .collect()(0).getSeq[Long](0)
+    }
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(6), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("fleschSignal: hand counts for words/sentences/syllables with " +
+      "both floors; no-word docs carry no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),
+      (2L, "xyzzzz"),                       // no vowels, no punctuation
+      (3L, "   "), (4L, null.asInstanceOf[String]))
+      .toDF("post_key", "body")
+    val got = Pipeline.fleschSignal(docs, "post_key", "body").collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def score(w: Long, s: Long, y: Long): Double =
+      206.835 - 1.015 * (w.toDouble / s.toDouble) -
+        84.6 * (y.toDouble / w.toDouble)
+    assert(got == Map(
+      1L -> ((5L, 2L, 5L, score(5, 2, 5))),
+      2L -> ((1L, 1L, 1L, score(1, 1, 1)))))
+  }
+
   test("knTrigramModel: hand-computed three-level probabilities on " +
       "'a b a b c', and P3 is proper per context including unseen " +
       "lambda-weighted mass") {
