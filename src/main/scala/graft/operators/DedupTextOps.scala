@@ -349,7 +349,122 @@ private[operators] trait DedupTextOps { self: Pipeline.type =>
 
   /** DedupTextOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
+  /** Content-defined chunking (the FastCDC/rsync boundary idea applied
+    * at word granularity — chunk a document wherever a rolling window
+    * hash hits a divisor condition, so chunk boundaries SHIFT WITH THE
+    * CONTENT: an insertion early in a document moves every byte
+    * offset, but re-synchronizes the chunk stream within one window,
+    * which is why delta-dedup of re-crawled/lightly-edited pages
+    * chunks by content, never by fixed offsets): a k-word window
+    * whose rolling hash ≡ 0 (mod `divisor`) closes the chunk at the
+    * window's FIRST word; expected chunk length ≈ divisor words. Same
+    * rolling kernel as the dedup/decontamination family
+    * ([[graft.plans.KgramRollHashesAll]]), so one hash arithmetic
+    * serves all of them. ENTIRELY map-side (boundary test is
+    * per-window, cut assembly is higher-order array work — zero
+    * shuffle, plan-pinnable); chunk-level dedup is then
+    * [[DedupOps.exactDedup]] on `chunk_md5`. Output: one row per
+    * chunk (doc_id, chunk_no, start_word, n_words, chunk_md5); docs
+    * with no words produce no rows. */
+  def cdcChunks(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 2, divisor: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    val withWs = corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("__ws"))
+      .filter(size(col("__ws")) >= 1)
+      .withColumn("__hs",
+        call_function("kgram_roll_hashes_all", col("__ws"), lit(k)))
+    // cut AFTER word i whenever the window STARTING at i hits the
+    // divisor; windows exist at 1..n-k+1 (a doc shorter than k words
+    // is one chunk)
+    val n = size(col("__ws"))
+    val cuts = filter(
+      transform(coalesce(col("__hs"), array().cast(ArrayType(LongType))),
+        (h, i) => when(pmod(h, lit(divisor.toLong)) === 0, i + 1)),
+      c => c.isNotNull)
+    withWs
+      .withColumn("__cuts", cuts)
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__cuts"), c => c + 1)))
+      .withColumn("__ends", concat(col("__cuts"), array(n)))
+      .select(col("doc_id"), col("__ws"),
+        posexplode(filter(zip_with(col("__starts"), col("__ends"),
+          (s, e) => when(s <= e, struct(s.as("s"), e.as("e")))),
+          x => x.isNotNull)).as(Seq("chunk_no", "se")))
+      .select(col("doc_id"), col("chunk_no").cast(LongType).as("chunk_no"),
+        col("se.s").cast(LongType).as("start_word"),
+        (col("se.e") - col("se.s") + 1).cast(LongType).as("n_words"),
+        md5(concat_ws(" ",
+          slice(col("__ws"), col("se.s"), col("se.e") - col("se.s") + 1)))
+          .as("chunk_md5"))
+  }
+
   private[operators] lazy val deduptextQueries: Seq[QueryDef] = Seq(
+    // ---- p99: content-defined chunking — [[cdcChunks]] at k = 2,
+    // divisor = 16 (expected chunk ≈ 16 words). The oracle replays
+    // the rolling window hashes (the p47/p56 HUGEINT arithmetic), the
+    // divisor cuts, the span assembly (1-based inclusive list slices)
+    // and the per-chunk md5 verbatim; chunk renumbering after the
+    // empty-tail drop is pinned by a row_number mirror.
+    QueryDef(
+      "p99_cdc_chunks",
+      (s, d) => cdcChunks(T.documents(s, d), "doc_id", "text",
+        k = 2, divisor = 16)
+        .orderBy(col("doc_id"), col("chunk_no")),
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 1)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
+        WITH d0 AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        w AS (SELECT doc_id, ws, len(ws) AS n FROM d0 WHERE len(ws) >= 1),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT)
+                   AS HUGEINT) AS h
+          FROM w, unnest(range(1, n + 1)) t(i)),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT w0.doc_id, w0.i,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 1
+          JOIN pw ON pw.e = 1 - (w2.i - w0.i)
+          WHERE w0.i <= w0.n - 1
+          GROUP BY w0.doc_id, w0.i),
+        cuts AS (
+          SELECT doc_id, list_sort(list(i)) AS cs
+          FROM g WHERE h % 16 = 0 GROUP BY doc_id),
+        spans AS (
+          SELECT w.doc_id, w.ws, w.n,
+                 list_concat([1], list_transform(COALESCE(cuts.cs, []),
+                   c -> c + 1)) AS starts,
+                 list_concat(COALESCE(cuts.cs, []), [w.n]) AS ends
+          FROM w LEFT JOIN cuts USING (doc_id)),
+        ch AS (
+          SELECT doc_id, ws, starts[i] AS s, ends[i] AS e
+          FROM spans, unnest(range(1, len(starts) + 1)) t(i)
+          WHERE starts[i] <= ends[i])
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s)
+                 - 1 AS BIGINT) AS chunk_no,
+               CAST(s AS BIGINT) AS start_word,
+               CAST(e - s + 1 AS BIGINT) AS n_words,
+               md5(array_to_string(ws[CAST(s AS INT):CAST(e AS INT)], ' '))
+                 AS chunk_md5
+        FROM ch ORDER BY doc_id, chunk_no"""
+      }),
+
     // ---- p12: document fingerprinting — min-of-rolling-window hashes
     // (winnowing-style, window = word 3-grams) + distinct-gram count;
     // a compact per-doc sketch for shard-local dedup indexes. Entirely

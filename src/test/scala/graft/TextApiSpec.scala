@@ -2905,6 +2905,48 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunks: chunks partition the word sequence, boundaries are " +
+      "content-defined (insertion re-syncs), edge docs behave") {
+    import spark.implicits._
+    val vocab = "abcdefghijklmnopqrstuvw".map(_.toString)
+    val base = (0 until 200).map(i => vocab((i * 7 + i * i) % vocab.length))
+    val shifted = "zzz" +: base
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, shifted.mkString(" ")),
+      (3L, "lonely"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("post_key", "body")
+    val got = Pipeline.cdcChunks(docs, "post_key", "body").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val byDoc = got.groupBy(_._1).map { case (d, cs) =>
+      d -> cs.sortBy(_._2)
+    }
+    // partition property: chunk_no consecutive from 0, spans contiguous
+    // and covering 1..n
+    for ((d, n) <- Seq(1L -> 200, 2L -> 201, 3L -> 1)) {
+      val cs = byDoc(d)
+      assert(cs.map(_._2).toSeq == cs.indices.map(_.toLong))
+      assert(cs.head._3 == 1L)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _ =>
+      }
+      assert(cs.last._3 + cs.last._4 - 1 == n)
+    }
+    assert(!byDoc.contains(4L))
+    assert(byDoc(3L).length == 1)   // shorter than k: one whole chunk
+    // content-defined re-sync: prepending one word shifts every offset
+    // but the chunk streams re-align — the TAIL chunks hash identically
+    val h1 = byDoc(1L).map(_._5)
+    val h2 = byDoc(2L).map(_._5)
+    assert(h1.length > 3, s"fixture should cut several chunks, got ${h1.length}")
+    val common = h1.reverse.zip(h2.reverse).takeWhile { case (a, b) => a == b }
+    assert(common.length >= h1.length / 2,
+      s"expected tail re-sync, shared tail = ${common.length} of ${h1.length}")
+  }
+
   test("minhashAccuracyReport: identical docs estimate 1.0 with zero " +
       "error, est is exactly n_agree/n, mae replays the decimal mean") {
     import spark.implicits._
