@@ -402,7 +402,94 @@ private[operators] trait DedupTextOps { self: Pipeline.type =>
           .as("chunk_md5"))
   }
 
+  /** Chunk-level dedup report over [[cdcChunks]] — how a crawl-delta /
+    * storage dedup pass quantifies its savings: group chunks by
+    * content hash, report every duplicated chunk (copies, words per
+    * copy, words saved keeping one) plus the first holder for lineage.
+    * One partial agg over the chunk stream — the [[DedupOps
+    * .exactDedup]] shape at sub-document granularity, which is the
+    * point: re-crawled pages whose EDITS broke document-level exact
+    * dedup still share almost all their chunks. Output per duplicated
+    * chunk: (chunk_md5, n_copies, words_per_copy, words_saved,
+    * first_doc). */
+  def cdcDedupReport(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 2, divisor: Int = 16): DataFrame =
+    cdcChunks(corpus, idCol, textCol, k, divisor)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("n_words")).as("words_per_copy"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_md5"), col("n_copies"), col("words_per_copy"),
+        ((col("n_copies") - 1) * col("words_per_copy")).as("words_saved"),
+        col("first_doc"))
+
   private[operators] lazy val deduptextQueries: Seq[QueryDef] = Seq(
+    // ---- p100: CDC chunk-dedup savings report — [[cdcDedupReport]]
+    // over the p99 chunk stream: one content-hash partial agg, the
+    // exactDedup shape at sub-document granularity. The oracle reuses
+    // the whole p99 replay and aggregates it identically.
+    QueryDef(
+      "p100_cdc_dedup_report",
+      (s, d) => cdcDedupReport(T.documents(s, d), "doc_id", "text",
+        k = 2, divisor = 16)
+        .orderBy(col("chunk_md5")),
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 1)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
+        WITH d0 AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        w AS (SELECT doc_id, ws, len(ws) AS n FROM d0 WHERE len(ws) >= 1),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT)
+                   AS HUGEINT) AS h
+          FROM w, unnest(range(1, n + 1)) t(i)),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT w0.doc_id, w0.i,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 1
+          JOIN pw ON pw.e = 1 - (w2.i - w0.i)
+          WHERE w0.i <= w0.n - 1
+          GROUP BY w0.doc_id, w0.i),
+        cuts AS (
+          SELECT doc_id, list_sort(list(i)) AS cs
+          FROM g WHERE h % 16 = 0 GROUP BY doc_id),
+        spans AS (
+          SELECT w.doc_id, w.ws, w.n,
+                 list_concat([1], list_transform(COALESCE(cuts.cs, []),
+                   c -> c + 1)) AS starts,
+                 list_concat(COALESCE(cuts.cs, []), [w.n]) AS ends
+          FROM w LEFT JOIN cuts USING (doc_id)),
+        ch AS (
+          SELECT doc_id, CAST(ends[i] - starts[i] + 1 AS BIGINT) AS n_words,
+                 md5(array_to_string(
+                   ws[CAST(starts[i] AS INT):CAST(ends[i] AS INT)], ' '))
+                   AS chunk_md5
+          FROM spans, unnest(range(1, len(starts) + 1)) t(i)
+          WHERE starts[i] <= ends[i]),
+        rep AS (
+          SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 CAST(MIN(n_words) AS BIGINT) AS words_per_copy,
+                 MIN(doc_id) AS first_doc
+          FROM ch GROUP BY chunk_md5)
+        SELECT chunk_md5, n_copies, words_per_copy,
+               CAST((n_copies - 1) * words_per_copy AS BIGINT)
+                 AS words_saved,
+               first_doc
+        FROM rep WHERE n_copies >= 2 ORDER BY chunk_md5"""
+      }),
+
     // ---- p99: content-defined chunking — [[cdcChunks]] at k = 2,
     // divisor = 16 (expected chunk ≈ 16 words). The oracle replays
     // the rolling window hashes (the p47/p56 HUGEINT arithmetic), the

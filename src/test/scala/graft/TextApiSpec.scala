@@ -2947,6 +2947,32 @@ class TextApiSpec extends AnyFunSuite {
       s"expected tail re-sync, shared tail = ${common.length} of ${h1.length}")
   }
 
+  test("cdcDedupReport: duplicated chunks aggregate exactly from the " +
+      "chunk stream; identical docs save all their words") {
+    import spark.implicits._
+    val vocab = "abcdefghijklmnopqrstuvw".map(_.toString)
+    val base = (0 until 200).map(i => vocab((i * 7 + i * i) % vocab.length))
+      .mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, "entirely different words"))
+      .toDF("post_key", "body")
+    val chunks = Pipeline.cdcChunks(docs, "post_key", "body").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    val expected = chunks.groupBy(_._3).collect {
+      case (h, cs) if cs.length >= 2 =>
+        h -> ((cs.length.toLong, cs.map(_._2).min,
+          (cs.length - 1).toLong * cs.map(_._2).min, cs.map(_._1).min))
+    }
+    val got = Pipeline.cdcDedupReport(docs, "post_key", "body").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.forall(_._1 >= 2L))
+    // the identical pair duplicates every chunk: savings cover at
+    // least one full copy of the 200-word doc
+    assert(got.values.map(_._3).sum >= 200L)
+    assert(got.values.forall(_._4 == 1L))   // first holder is doc 1
+  }
+
   test("minhashAccuracyReport: identical docs estimate 1.0 with zero " +
       "error, est is exactly n_agree/n, mae replays the decimal mean") {
     import spark.implicits._
