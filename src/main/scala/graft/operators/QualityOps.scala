@@ -1160,8 +1160,10 @@ private[operators] trait QualityOps { self: Pipeline.type =>
     * libms, so round(ln, 9) on BOTH engines — the DSIR/p49 stance)
     * and the per-doc sum through the decimal accumulator. Shape: one
     * char explode + (doc, char) partial agg (≤ alphabet-size keys per
-    * doc combine map-side) + a doc-partition window and regroup on
-    * the SAME key — one shuffle class end to end. ASCII note: Spark's
+    * doc combine map-side), then a doc-keyed exchange shared by the
+    * total window and the final regroup — two exchanges, both over
+    * the alphabet-bounded count table, never the raw char stream.
+    * ASCII note: Spark's
     * empty-regex split severs surrogate pairs where DuckDB splits
     * codepoints — identical on ASCII (the gate corpus). Docs with no
     * characters carry no entropy row. Output: (doc_id, n_chars,
