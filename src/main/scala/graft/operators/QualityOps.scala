@@ -1039,6 +1039,71 @@ private[operators] trait QualityOps { self: Pipeline.type =>
         col("p_kn"))
   }
 
+  /** Document scoring under a [[knBigramModel]] — the serving half of
+    * the KN story (what [[lmPerplexity]] does with Stupid Backoff,
+    * done with the proper model): every adjacent word pair in the
+    * corpus scores through the full interpolated backoff chain,
+    *
+    *   seen bigram            → P = P_KN(w2|w1)       (model row)
+    *   unseen bigram,
+    *     attested context w1  → P = λ(w1)·P_cont(w2)
+    *     unattested context   → P = P_cont(w2)        (longest context
+    *                                                   that EXISTS —
+    *                                                   the p65 stance)
+    *
+    * and out-of-vocabulary continuations (P_cont = 0: the reference
+    * corpus never saw w2 follow anything) are COUNTED (`n_oov`) but
+    * excluded from the average rather than scored −∞ — KN reserves no
+    * OOV mass by construction, and pretending otherwise would poison
+    * the mean. Per-doc score = decimal-averaged round-9 ln P (the
+    * portable recipe), so the whole chain replays bit-for-bit.
+    * Scale shape: the model's three lookup tables are vocab-sized or
+    * smaller — bigram rows join on their pair key (shuffle under AQE,
+    * the p65 precedent), λ and P_cont broadcast. Output: (doc_id,
+    * n_pairs, n_seen, n_backoff, n_oov, logprob_avg); docs with fewer
+    * than 2 words carry no row. */
+  def knBigramScore(reference: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val model = knBigramModel(reference, textCol, discount)
+    val pairs = model.select(col("w1"), col("w2"), col("p_kn"))
+    val lam = model.select(col("w1"), col("lambda")).distinct()
+    val cont = model.select(col("w2"), col("p_cont")).distinct()
+    val occ = corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val scored = occ
+      .join(pairs, Seq("w1", "w2"), "left")
+      .join(broadcast(lam), Seq("w1"), "left")
+      .join(broadcast(cont), Seq("w2"), "left")
+      .withColumn("__p", coalesce(col("p_kn"),
+        col("lambda") * col("p_cont"), col("p_cont")))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("p_kn").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+        sum(when(col("p_kn").isNull && col("__p").isNotNull, 1L)
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_oov"),
+        // dsum skips the NULL (OOV) terms; the mean divides by the
+        // SCORED count, not the pair count
+        graft.QueryDef.dsum(when(col("__p").isNotNull,
+          round(log(col("__p")), 9))).as("__ls"))
+      .withColumn("logprob_avg",
+        when(col("n_pairs") - col("n_oov") > 0,
+          col("__ls") / (col("n_pairs") - col("n_oov"))
+            .cast(DoubleType)))
+      .select(col("doc_id"), col("n_pairs"), col("n_seen"),
+        col("n_backoff"), col("n_oov"), col("logprob_avg"))
+  }
+
   /** Flesch reading-ease signal (Flesch 1948; the readability score
     * quality packs ship beside length/punct ratios — extreme scores
     * flag boilerplate, legalese and gibberish):
@@ -2385,6 +2450,84 @@ private[operators] trait QualityOps { self: Pipeline.type =>
                - CAST(84.6 AS DOUBLE)
                  * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
                  AS flesch
-        FROM counts ORDER BY doc_id"""))
+        FROM counts ORDER BY doc_id""")),
+
+    // ---- p101: KN-scored documents — [[knBigramScore]] trained on
+    // the even-id half, scoring EVERY document: the gate exercises
+    // the seen and unseen-bigram backoff outcomes on real data (the
+    // fixture's 31-word vocabulary leaves no OOV continuation — the
+    // OOV-excluded and unseen-context arms are pinned by the spec's
+    // hand fixture instead). The oracle rebuilds the p89 model on the
+    // even half and replays the coalesce chain, the round-9 ln and
+    // the decimal mean verbatim.
+    QueryDef(
+      "p101_kn_score",
+      (s, d) => {
+        val all = T.documents(s, d)
+        knBigramScore(all.filter(col("doc_id") % 2 === 0), all,
+          "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        bcm AS (
+          SELECT ws[i] AS w1, ws[i+1] AS w2,
+                 CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM w, unnest(range(1, len(ws))) t(i)
+          WHERE len(ws) >= 2 AND doc_id % 2 = 0 GROUP BY 1, 2),
+        ctx AS (
+          SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_ctx,
+                 CAST(COUNT(*) AS BIGINT) AS n1p
+          FROM bcm GROUP BY w1),
+        cont AS (
+          SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pr
+          FROM bcm GROUP BY w2),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bcm),
+        model AS (
+          SELECT bcm.w1, bcm.w2,
+                 greatest(CAST(c_ab AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                     CAST(0.0 AS DOUBLE)) / CAST(c_ctx AS DOUBLE)
+                 + ((CAST(0.75 AS DOUBLE) * CAST(n1p AS DOUBLE))
+                      / CAST(c_ctx AS DOUBLE))
+                   * (CAST(n1pr AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS p_kn
+          FROM bcm JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nb),
+        lam AS (
+          SELECT w1, (CAST(0.75 AS DOUBLE) * CAST(n1p AS DOUBLE))
+                   / CAST(c_ctx AS DOUBLE) AS lambda
+          FROM ctx),
+        pc AS (
+          SELECT cont.w2, CAST(n1pr AS DOUBLE) / CAST(nb.n AS DOUBLE)
+                   AS p_cont
+          FROM cont CROSS JOIN nb),
+        occ AS (
+          SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+          FROM w, unnest(range(1, len(ws))) t(i)
+          WHERE len(ws) >= 2),
+        sc AS (
+          SELECT occ.doc_id, model.p_kn,
+                 COALESCE(model.p_kn, lam.lambda * pc.p_cont, pc.p_cont)
+                   AS p
+          FROM occ
+          LEFT JOIN model ON model.w1 = occ.w1 AND model.w2 = occ.w2
+          LEFT JOIN lam ON lam.w1 = occ.w1
+          LEFT JOIN pc ON pc.w2 = occ.w2)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN p_kn IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_seen,
+               CAST(SUM(CASE WHEN p_kn IS NULL AND p IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+               CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               CASE WHEN COUNT(*) - SUM(CASE WHEN p IS NULL
+                        THEN 1 ELSE 0 END) > 0
+                    THEN ${graft.QueryDef.dsumSql(
+        "CASE WHEN p IS NOT NULL THEN round(ln(p), 9) END")}
+                         / CAST(COUNT(*) - SUM(CASE WHEN p IS NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               END AS logprob_avg
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

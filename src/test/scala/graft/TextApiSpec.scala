@@ -3193,6 +3193,36 @@ class TextApiSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("knBigramScore: all four backoff outcomes by hand — seen, " +
+      "unseen-bigram, unseen-context, OOV-excluded; decimal mean") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b c")).toDF("post_key", "body")
+    val docs = Seq(
+      (10L, "a b z"),     // seen (a,b); (b,z): z is OOV → excluded
+      (11L, "c a b"),     // (c,a): context c unattested → p_cont(a);
+                          // (a,b) seen
+      (12L, "b b"),       // unseen bigram, attested context → λ·p_cont
+      (13L, "x"))         // one word → no row
+      .toDF("post_key", "body")
+    val got = Pipeline.knBigramScore(ref, docs, "post_key", "body")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def r9(x: Double): Double = BigDecimal(x).setScale(9, HALF_UP).toDouble
+    def dmean(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, HALF_UP)).sum
+        .setScale(4, HALF_UP).toDouble / xs.length
+    // model from "a b a b c": p_kn(b|a)=.75, λ(b)=.75, p_cont = 1/3 each
+    assert(got(10L) == ((2L, 1L, 0L, 1L, Some(dmean(Seq(r9(math.log(0.75))))))))
+    assert(got(11L) == ((2L, 1L, 1L, 0L,
+      Some(dmean(Seq(r9(math.log(1.0 / 3)), r9(math.log(0.75))))))))
+    assert(got(12L) == ((1L, 0L, 1L, 0L,
+      Some(dmean(Seq(r9(math.log(0.75 * (1.0 / 3)))))))))
+    assert(!got.contains(13L))
+  }
+
   test("fleschSignal: hand counts for words/sentences/syllables with " +
       "both floors; no-word docs carry no row") {
     import spark.implicits._
