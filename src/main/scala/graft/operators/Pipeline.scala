@@ -26,13 +26,16 @@ object Pipeline
     with AnnOps
     with QuantOps
     with QualityOps
+    with WordModelOps
     with TextOps
+    with SketchOps
     with SamplingOps {
 
-  /** Every pipeline QueryDef across the topic suites (p01..p70 +
+  /** Every pipeline QueryDef across the topic suites (p01..p101 +
     * m01..m03) — same names, plans and oracle SQL as the pre-split
     * single-file registry; SparkEntry fails fast on duplicates. */
   val queries: Seq[QueryDef] =
     dedupQueries ++ deduptextQueries ++ decontamQueries ++ annQueries ++
-      quantQueries ++ qualityQueries ++ textQueries ++ samplingQueries
+      quantQueries ++ qualityQueries ++ wordmodelQueries ++ textQueries ++
+      sketchQueries ++ samplingQueries
 }
