@@ -97,6 +97,47 @@ private[operators] trait DecontamOps { self: Pipeline.type =>
       .drop("__eval_ngram_hashes")
   }
 
+  /** N-gram novelty score against a reference corpus — the
+    * memorization / freshness signal (the per-document twin of
+    * [[ngramDecontaminate]]'s boolean flag, and the quantity
+    * Gopher-style train–test-overlap and generation-memorization
+    * analyses report): for each document, the share of its DISTINCT
+    * word n-grams the reference has NEVER seen. novelty 0 = every
+    * n-gram already exists in the reference (a verbatim copy or
+    * boilerplate); novelty 1 = entirely new text. Same 100 TB shape
+    * as the boolean form: the reference collapses to ONE sorted
+    * rolling-hash broadcast row, and the corpus side is a single map
+    * pass — distinct doc grams via sort_array(array_distinct(...)),
+    * shared-count via the [[graft.plans.SortedIntersectCount]] binary
+    * merge, novelty as one exact integer ratio. Docs with fewer than
+    * n words carry no n-gram: they emit n_grams = 0 and a NULL
+    * novelty (undefined, not zero). Output: every corpus column +
+    * (n_grams, n_known, novelty). */
+  def ngramNoveltyScore(corpus: DataFrame, reference: DataFrame,
+      textCol: String, n: Int = 8,
+      refTextCol: String = ""): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val refCol = if (refTextCol.isEmpty) textCol else refTextCol
+    val refHashes = reference
+      .select(explode(call_function("kgram_roll_hashes_all",
+        array_remove(words(col(refCol)), ""), lit(n))).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("__ref_hashes"))
+    corpus
+      .crossJoin(broadcast(refHashes))
+      .withColumn("__dg", sort_array(array_distinct(
+        coalesce(call_function("kgram_roll_hashes_all",
+          array_remove(words(col(textCol)), ""), lit(n)),
+          array().cast(ArrayType(LongType))))))
+      .withColumn("n_grams", size(col("__dg")).cast(LongType))
+      .withColumn("n_known", coalesce(
+        call_function("sorted_intersect_count", col("__dg"),
+          col("__ref_hashes")), lit(0L)).cast(LongType))
+      .withColumn("novelty", when(col("n_grams") > 0,
+        (col("n_grams") - col("n_known")).cast(DoubleType) /
+          col("n_grams").cast(DoubleType)))
+      .drop("__ref_hashes", "__dg")
+  }
+
   /** SPAN-granular eval-set decontamination — the excise-the-span
     * variant of [[ngramDecontaminate]]: instead of flagging (and
     * typically dropping) every document sharing a word n-gram with the
@@ -576,6 +617,71 @@ private[operators] trait DecontamOps { self: Pipeline.type =>
         LEFT JOIN reb ON reb.doc_id = nn.doc_id
         WHERE nn.doc_id % 10 <> 0
         ORDER BY nn.doc_id"""
+      }),
+
+    // ---- p102: n-gram novelty — [[ngramNoveltyScore]] at n = 8,
+    // odd-id docs scored against the even-id half as reference. The
+    // oracle replays the rolling hashes (the p47 HUGEINT machinery),
+    // the per-doc distinct-gram and shared-gram counts, and the exact
+    // integer-ratio novelty; sub-n docs carry NULL novelty in both
+    // engines.
+    QueryDef(
+      "p102_ngram_novelty",
+      (s, d) => {
+        val all = T.documents(s, d)
+        ngramNoveltyScore(
+          corpus = all.filter(col("doc_id") % 2 =!= 0),
+          reference = all.filter(col("doc_id") % 2 === 0),
+          textCol = "text", n = 8)
+          .select(col("doc_id"), col("lang"), col("n_grams"),
+            col("n_known"), col("novelty"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val P = graft.plans.TextHashes.MersenneP
+        val B = BigInt(graft.plans.TextHashes.RollBase)
+        val pows = (0 to 7)
+          .map(e => s"($e, ${B.modPow(BigInt(e), BigInt(P))}::HUGEINT)")
+          .mkString(", ")
+        raw"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '') AS ws
+          FROM documents),
+        w AS (SELECT doc_id, ws, len(ws) AS n FROM d
+              WHERE ws IS NOT NULL AND len(ws) >= 8),
+        wh AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS INT) AS i, n,
+                 CAST(CAST('0x' || substr(md5(ws[i]), 1, 12) AS BIGINT)
+                   AS HUGEINT) AS h
+          FROM w, unnest(range(1, n + 1)) t(i)),
+        pw(e, bp) AS (VALUES $pows),
+        g AS MATERIALIZED (
+          SELECT DISTINCT w0.doc_id,
+                 CAST(SUM((w2.h * pw.bp) % $P) % $P AS BIGINT) AS h
+          FROM wh w0
+          JOIN wh w2 ON w2.doc_id = w0.doc_id
+                    AND w2.i >= w0.i AND w2.i <= w0.i + 7
+          JOIN pw ON pw.e = 7 - (w2.i - w0.i)
+          WHERE w0.i <= w0.n - 7
+          GROUP BY w0.doc_id, w0.i),
+        ref AS (SELECT DISTINCT h FROM g WHERE doc_id % 2 = 0),
+        cg AS (SELECT doc_id, h FROM g WHERE doc_id % 2 <> 0),
+        stats AS (
+          SELECT cg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN ref.h IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_known
+          FROM cg LEFT JOIN ref USING (h) GROUP BY cg.doc_id)
+        SELECT d.doc_id, d.lang,
+               COALESCE(s.n_grams, 0) AS n_grams,
+               COALESCE(s.n_known, 0) AS n_known,
+               CASE WHEN COALESCE(s.n_grams, 0) > 0
+                    THEN CAST(s.n_grams - s.n_known AS DOUBLE)
+                         / CAST(s.n_grams AS DOUBLE)
+               END AS novelty
+        FROM d LEFT JOIN stats s USING (doc_id)
+        WHERE d.doc_id % 2 <> 0 ORDER BY d.doc_id"""
       })
   )
 }

@@ -2905,6 +2905,29 @@ class TextApiSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramNoveltyScore: exact shares by hand — verbatim copy 0, " +
+      "disjoint 1, partial overlap fractional, sub-n and NULL NULL") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e")).toDF("post_key", "body")
+    val docs = Seq(
+      (1L, "a b c d e"),      // every 3-gram known → novelty 0
+      (2L, "x y z w"),        // disjoint → novelty 1
+      (3L, "a b c x y"),      // abc known; bcx, cxy new → 2/3
+      (4L, "q r"),            // shorter than n → 0 grams, NULL novelty
+      (5L, null.asInstanceOf[String]))
+      .toDF("post_key", "body")
+    val got = Pipeline.ngramNoveltyScore(docs, ref, "body", n = 3)
+      .select(col("post_key"), col("n_grams"), col("n_known"),
+        col("novelty")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) == ((3L, 3L, Some(0.0))))
+    assert(got(2L) == ((2L, 0L, Some(1.0))))
+    assert(got(3L) == ((3L, 1L, Some(2.0 / 3))))
+    assert(got(4L) == ((0L, 0L, None)))
+    assert(got(5L) == ((0L, 0L, None)))
+  }
+
   test("cdcChunks: chunks partition the word sequence, boundaries are " +
       "content-defined (insertion re-syncs), edge docs behave") {
     import spark.implicits._
