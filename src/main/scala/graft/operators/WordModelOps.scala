@@ -349,6 +349,80 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
   }
 
 
+  /** Document scoring under a [[knTrigramModel]] — the production
+    * serving path ([[knBigramScore]] one order up): every trigram
+    * position scores through the full three-level interpolated
+    * backoff, each level falling to the LONGEST CONTEXT THAT EXISTS
+    * (the p65 stance):
+    *
+    *   level 2: P2' = coalesce(P2(w3|w2), λ2(w2)·P1(w3), P1(w3))
+    *   level 3: P   = coalesce(P3(w1w2w3), λ3(w1w2)·P2', P2')
+    *
+    * OOV continuations (P1 = 0: the reference never saw w3 complete
+    * anything) are counted and excluded from the mean, as in the
+    * bigram scorer. All lookup tables are DERIVED FROM THE MODEL'S
+    * OWN OUTPUT (distinct projections of [[knTrigramModel]] rows), so
+    * scoring can never drift from training. The first two tokens of a
+    * document carry no trigram and are not scored (kept crisp rather
+    * than mixing orders per position). Scale: the trigram and
+    * (w2,w3)-level tables join on their gram keys (shuffle under
+    * AQE); λ2/P1 are vocab-sized broadcasts. Output: (doc_id,
+    * n_grams, n_seen, n_backoff, n_oov, logprob_avg); docs under 3
+    * words carry no row. */
+  def knTrigramScore(reference: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val model = knTrigramModel(reference, textCol, discount)
+    val d = lit(discount)
+    val m3 = model.select(col("w1"), col("w2"), col("w3"), col("p_kn"))
+    val lam3 = model.select(col("w1"), col("w2"),
+      ((d * col("n3").cast(DoubleType)) / col("c12").cast(DoubleType))
+        .as("__lam3")).distinct()
+    val p2t = model.select(col("w2"), col("w3"), col("p2").as("__p2"))
+      .distinct()
+    val lam2 = model.select(col("w2"),
+      ((d * col("n2").cast(DoubleType)) / col("chat2").cast(DoubleType))
+        .as("__lam2")).distinct()
+    val p1t = model.select(col("w3"), col("p1").as("__p1")).distinct()
+    val occ = corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__ws")) - 2),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2"),
+          element_at(col("__ws"), i + 2).as("w3")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val scored = occ
+      .join(m3, Seq("w1", "w2", "w3"), "left")
+      .join(lam3, Seq("w1", "w2"), "left")
+      .join(p2t, Seq("w2", "w3"), "left")
+      .join(broadcast(lam2), Seq("w2"), "left")
+      .join(broadcast(p1t), Seq("w3"), "left")
+      .withColumn("__p2f",
+        coalesce(col("__p2"), col("__lam2") * col("__p1"), col("__p1")))
+      .withColumn("__p",
+        coalesce(col("p_kn"), col("__lam3") * col("__p2f"), col("__p2f")))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("p_kn").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+        sum(when(col("p_kn").isNull && col("__p").isNotNull, 1L)
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_oov"),
+        graft.QueryDef.dsum(when(col("__p").isNotNull,
+          round(log(col("__p")), 9))).as("__ls"))
+      .withColumn("logprob_avg",
+        when(col("n_grams") - col("n_oov") > 0,
+          col("__ls") / (col("n_grams") - col("n_oov"))
+            .cast(DoubleType)))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        col("n_backoff"), col("n_oov"), col("logprob_avg"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
     * Bringing Order into Text", EMNLP 2004 — PageRank over the word
     * co-occurrence graph; the classic unsupervised keyword ranker, and
@@ -727,6 +801,105 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
           LEFT JOIN lam ON lam.w1 = occ.w1
           LEFT JOIN pc ON pc.w2 = occ.w2)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN p_kn IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_seen,
+               CAST(SUM(CASE WHEN p_kn IS NULL AND p IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+               CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               CASE WHEN COUNT(*) - SUM(CASE WHEN p IS NULL
+                        THEN 1 ELSE 0 END) > 0
+                    THEN ${graft.QueryDef.dsumSql(
+        "CASE WHEN p IS NOT NULL THEN round(ln(p), 9) END")}
+                         / CAST(COUNT(*) - SUM(CASE WHEN p IS NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               END AS logprob_avg
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- p103: trigram-KN-scored documents — [[knTrigramScore]]
+    // trained on the even half, scoring every document through the
+    // full three-level backoff. The oracle rebuilds the p97 tables on
+    // the even half and replays both coalesce levels, the round-9 ln
+    // and the decimal mean verbatim.
+    QueryDef(
+      "p103_kn3_score",
+      (s, d) => {
+        val all = T.documents(s, d)
+        knTrigramScore(all.filter(col("doc_id") % 2 === 0), all,
+          "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        tc AS MATERIALIZED (
+          SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3,
+                 CAST(COUNT(*) AS BIGINT) AS c3
+          FROM w, unnest(range(1, len(ws) - 1)) t(i)
+          WHERE len(ws) >= 3 AND doc_id % 2 = 0 GROUP BY 1, 2, 3),
+        ctx3 AS (
+          SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12,
+                 CAST(COUNT(*) AS BIGINT) AS n3
+          FROM tc GROUP BY 1, 2),
+        bt AS MATERIALIZED (
+          SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS chat
+          FROM tc GROUP BY 1, 2),
+        ctx2 AS (
+          SELECT w2, CAST(SUM(chat) AS BIGINT) AS chat2,
+                 CAST(COUNT(*) AS BIGINT) AS n2
+          FROM bt GROUP BY 1),
+        uni AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS n1
+                FROM bt GROUP BY 1),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM bt),
+        p2t AS (
+          SELECT bt.w2, bt.w3,
+                 greatest(CAST(bt.chat AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                     CAST(0.0 AS DOUBLE)) / CAST(ctx2.chat2 AS DOUBLE)
+                 + ((CAST(0.75 AS DOUBLE) * CAST(ctx2.n2 AS DOUBLE))
+                      / CAST(ctx2.chat2 AS DOUBLE))
+                   * (CAST(uni.n1 AS DOUBLE) / CAST(nt.ntot AS DOUBLE))
+                   AS p2
+          FROM bt JOIN ctx2 USING (w2) JOIN uni ON uni.w3 = bt.w3
+          CROSS JOIN nt),
+        m3 AS (
+          SELECT tc.w1, tc.w2, tc.w3,
+                 greatest(CAST(tc.c3 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                     CAST(0.0 AS DOUBLE)) / CAST(ctx3.c12 AS DOUBLE)
+                 + ((CAST(0.75 AS DOUBLE) * CAST(ctx3.n3 AS DOUBLE))
+                      / CAST(ctx3.c12 AS DOUBLE)) * p2t.p2 AS p_kn
+          FROM tc JOIN ctx3 USING (w1, w2)
+          JOIN p2t ON p2t.w2 = tc.w2 AND p2t.w3 = tc.w3),
+        lam3 AS (
+          SELECT w1, w2, (CAST(0.75 AS DOUBLE) * CAST(n3 AS DOUBLE))
+                   / CAST(c12 AS DOUBLE) AS l3
+          FROM ctx3),
+        lam2 AS (
+          SELECT w2, (CAST(0.75 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                   / CAST(chat2 AS DOUBLE) AS l2
+          FROM ctx2),
+        p1t AS (
+          SELECT w3, CAST(n1 AS DOUBLE) / CAST(nt.ntot AS DOUBLE) AS p1
+          FROM uni CROSS JOIN nt),
+        occ AS (
+          SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+          FROM w, unnest(range(1, len(ws) - 1)) t(i)
+          WHERE len(ws) >= 3),
+        s1 AS (
+          SELECT occ.doc_id, m3.p_kn, lam3.l3,
+                 COALESCE(p2t.p2, lam2.l2 * p1t.p1, p1t.p1) AS p2f
+          FROM occ
+          LEFT JOIN m3 ON m3.w1 = occ.w1 AND m3.w2 = occ.w2
+                      AND m3.w3 = occ.w3
+          LEFT JOIN lam3 ON lam3.w1 = occ.w1 AND lam3.w2 = occ.w2
+          LEFT JOIN p2t ON p2t.w2 = occ.w2 AND p2t.w3 = occ.w3
+          LEFT JOIN lam2 ON lam2.w2 = occ.w2
+          LEFT JOIN p1t ON p1t.w3 = occ.w3),
+        sc AS (
+          SELECT doc_id, p_kn, COALESCE(p_kn, l3 * p2f, p2f) AS p
+          FROM s1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
                CAST(SUM(CASE WHEN p_kn IS NOT NULL THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_seen,
                CAST(SUM(CASE WHEN p_kn IS NULL AND p IS NOT NULL

@@ -3246,6 +3246,38 @@ class TextApiSpec extends AnyFunSuite {
     assert(!got.contains(13L))
   }
 
+  test("knTrigramScore: every backoff level by hand — seen trigram, " +
+      "lambda3 to P2, unattested context to P2, OOV excluded") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b c")).toDF("post_key", "body")
+    val docs = Seq(
+      (10L, "a b a"),    // seen trigram → P3 = .40625
+      (11L, "a b b"),    // unseen trigram, ctx (a,b) attested, (b,b)
+                         // unseen continuation → λ3·λ2·P1 = .75·.25
+      (12L, "c a b"),    // ctx (c,a) unattested → P2(b|a) = .5
+      (13L, "c c z"),    // z never a continuation → OOV, excluded
+      (14L, "x y"))      // < 3 words → no row
+      .toDF("post_key", "body")
+    val got = Pipeline.knTrigramScore(ref, docs, "post_key", "body")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def r9(x: Double): Double = BigDecimal(x).setScale(9, HALF_UP).toDouble
+    def dmean(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, HALF_UP)).sum
+        .setScale(4, HALF_UP).toDouble / xs.length
+    assert(got(10L) == ((1L, 1L, 0L, 0L,
+      Some(dmean(Seq(r9(math.log(0.40625))))))))
+    assert(got(11L) == ((1L, 0L, 1L, 0L,
+      Some(dmean(Seq(r9(math.log(0.75 * (0.75 * (1.0 / 3))))))))))
+    assert(got(12L) == ((1L, 0L, 1L, 0L,
+      Some(dmean(Seq(r9(math.log(0.5))))))))
+    assert(got(13L) == ((1L, 0L, 0L, 1L, None)))
+    assert(!got.contains(14L))
+  }
+
   test("fleschSignal: hand counts for words/sentences/syllables with " +
       "both floors; no-word docs carry no row") {
     import spark.implicits._
