@@ -2970,6 +2970,62 @@ class TextApiSpec extends AnyFunSuite {
       s"expected tail re-sync, shared tail = ${common.length} of ${h1.length}")
   }
 
+  test("cdcChunks: property — chunks partition every random document " +
+      "contiguously and re-concatenate to the original words") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")))
+    val gen = Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, docGen))
+    val p = Prop.forAll(gen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("post_key", "body")
+      val got = Pipeline.cdcChunks(df, "post_key", "body", k = 2,
+        divisor = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      docs.zipWithIndex.forall { case (ws, i) =>
+        val cs = got.getOrElse(i.toLong, Array.empty).sortBy(_._2)
+        cs.map(_._2).toSeq == cs.indices.map(_.toLong) &&
+          cs.head._3 == 1L &&
+          cs.sliding(2).forall {
+            case Array(a, b) => b._3 == a._3 + a._4
+            case _ => true
+          } &&
+          cs.last._3 + cs.last._4 - 1 == ws.length.toLong
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(6), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("corpusDrift: property — TVD is symmetric and in [0,1] on " +
+      "random slice pairs; identical slices score 0") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))
+    val gen = for {
+      a <- Gen.nonEmptyListOf(docGen); b <- Gen.nonEmptyListOf(docGen)
+    } yield (a.take(4), b.take(4))
+    def df(docs: Seq[String]) = docs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("post_key", "body")
+    def tvd(a: Seq[String], b: Seq[String]): Double =
+      Pipeline.corpusDrift(df(a), df(b), "body", k = 50)
+        .collect()(0).getAs[Double]("tvd")
+    val p = Prop.forAll(gen) { case (a, b) =>
+      val t = tvd(a, b)
+      t >= 0.0 && t <= 1.0 && t == tvd(b, a)
+    }
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(5), p)
+    assert(r.passed, r.status.toString)
+    val same = Seq("x y z x")
+    assert(tvd(same, same) == 0.0)
+  }
+
   test("cdcDedupReport: duplicated chunks aggregate exactly from the " +
       "chunk stream; identical docs save all their words") {
     import spark.implicits._
