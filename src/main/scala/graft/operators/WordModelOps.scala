@@ -230,9 +230,14 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
     * portable recipe), so the whole chain replays bit-for-bit.
     * Scale shape: the model's three lookup tables are vocab-sized or
     * smaller — bigram rows join on their pair key (shuffle under AQE,
-    * the p65 precedent), λ and P_cont broadcast. Output: (doc_id,
-    * n_pairs, n_seen, n_backoff, n_oov, logprob_avg); docs with fewer
-    * than 2 words carry no row. */
+    * the p65 precedent), λ and P_cont broadcast. The lookup arms
+    * re-derive the model plan rather than pinning blocks: the model
+    * builds from the REFERENCE (typically orders of magnitude smaller
+    * than the scored corpus), so a ≤3× recompute of the small side
+    * beats carrying a checkpoint lifecycle; callers scoring many
+    * corpora against one reference should persist the model frame
+    * themselves. Output: (doc_id, n_pairs, n_seen, n_backoff, n_oov,
+    * logprob_avg); docs with fewer than 2 words carry no row. */
   def knBigramScore(reference: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
@@ -366,9 +371,12 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
     * document carry no trigram and are not scored (kept crisp rather
     * than mixing orders per position). Scale: the trigram and
     * (w2,w3)-level tables join on their gram keys (shuffle under
-    * AQE); λ2/P1 are vocab-sized broadcasts. Output: (doc_id,
-    * n_grams, n_seen, n_backoff, n_oov, logprob_avg); docs under 3
-    * words carry no row. */
+    * AQE); λ2/P1 are vocab-sized broadcasts; the lookup arms
+    * re-derive the reference-sized model plan rather than pinning
+    * blocks (the [[knBigramScore]] trade — persist the model frame
+    * when scoring many corpora against one reference). Output:
+    * (doc_id, n_grams, n_seen, n_backoff, n_oov, logprob_avg); docs
+    * under 3 words carry no row. */
   def knTrigramScore(reference: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
