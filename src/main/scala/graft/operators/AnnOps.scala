@@ -362,9 +362,14 @@ private[operators] trait AnnOps { self: Pipeline.type =>
     * Scale shape: document length rides the (doc, term) partial agg as
     * a group key (computed map-side BEFORE the explode — no second
     * doc-keyed shuffle), the corpus stats collapse to ONE broadcast
-    * row, and the df table is vocab-sized so it broadcast-joins onto
-    * the postings — the posting stream itself shuffles exactly once,
-    * for its own tf aggregation. Weights are per-row double arithmetic
+    * row, and the df table is vocab-keyed and hapax-inclusive — it
+    * GROWS with the corpus (10⁸–10⁹ distinct terms on a raw crawl), so
+    * its join is left UNHINTED for AQE to pick: at curated scale AQE
+    * still broadcasts it, at raw-crawl scale it falls back to a
+    * shuffle join instead of OOMing the driver (a df≥2 floor would
+    * bound it but changes hapax idf, so exact BM25 forbids it) — the
+    * posting stream itself shuffles exactly once, for its own tf
+    * aggregation. Weights are per-row double arithmetic
     * with ln quantized at 1e-9 (the established cross-engine stance),
     * so DuckDB replays them bit-for-bit. Output: (doc_id, term, tf,
     * dl, df, weight). */
@@ -391,7 +396,7 @@ private[operators] trait AnnOps { self: Pipeline.type =>
     val ratio = col("tf").cast(DoubleType) * (lit(k1) + lit(1.0)) /
       (col("tf").cast(DoubleType) + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * col("dl").cast(DoubleType) / avgdl))
-    tf.join(broadcast(dfTab), Seq("term"))
+    tf.join(dfTab, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
         round(idf * ratio, 9).as("weight"))

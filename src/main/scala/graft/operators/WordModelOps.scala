@@ -25,8 +25,11 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
     * All arithmetic is IEEE-exact with NO transcendentals (unlike PMI,
     * whose ln the score order doesn't need), so both engines agree
     * bit-for-bit without quantization. Scale shape: bigram counts are
-    * one explode + partial agg (the p27 shape), unigram counts are
-    * vocab-sized and broadcast onto the bigram table twice, and
+    * one explode + partial agg (the p27 shape); the unigram table is
+    * hapax-inclusive (minCount prunes the BIGRAM side only) so it
+    * grows with the corpus — its two joins are left UNHINTED for AQE,
+    * which broadcasts at curated scale and shuffle-joins at raw-crawl
+    * scale instead of OOMing the driver; and
     * selection is orderBy+limit → TakeOrdered (k per partition, no
     * full sort). Output: (w1, w2, c_ab, c_a, c_b, score) top-k by
     * (score desc, pair asc). */
@@ -47,10 +50,8 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
     val uc = ws.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     bc
-      .join(broadcast(uc.select(col("w").as("w1"), col("c").as("c_a"))),
-        Seq("w1"))
-      .join(broadcast(uc.select(col("w").as("w2"), col("c").as("c_b"))),
-        Seq("w2"))
+      .join(uc.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
       .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
         ((col("c_ab").cast(DoubleType) - lit(delta)) /
           (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType)))
@@ -450,10 +451,12 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
     * exact inputs, so every iteration replays bit-for-bit and the
     * oracle unrolls the rounds verbatim. Scale shape: the edge table
     * is token-scale (ONE explode + partial agg, the [[gloveCooc]]
-    * shape, built once); ranks and weighted degrees are vocab-sized
-    * and BROADCAST back onto the edges each round — `iters` passes
-    * over the edge table, nothing collects, no vocab-keyed
-    * SortMergeJoin. Words with no neighbor (single-word docs) carry no
+    * shape, built once); ranks and weighted degrees are vocab-keyed
+    * and hapax-inclusive, so their per-round joins are left UNHINTED
+    * for AQE — at curated scale AQE broadcasts them back onto the
+    * edges, at raw-crawl vocab (10⁸–10⁹ words) it shuffle-joins
+    * instead of OOMing the driver; `iters` passes over the edge
+    * table, nothing collects. Words with no neighbor (single-word docs) carry no
     * edge and rank nothing, as in the paper. Output: top-k
     * (word, score) by (score desc, word). */
   def textrankKeywords(corpus: DataFrame, textCol: String,
@@ -482,8 +485,8 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
     var ranks = wdeg.select(col("w1").as("w"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
       ranks = edges
-        .join(broadcast(wdeg), Seq("w1"))
-        .join(broadcast(ranks.withColumnRenamed("w", "w1")), Seq("w1"))
+        .join(wdeg, Seq("w1"))
+        .join(ranks.withColumnRenamed("w", "w1"), Seq("w1"))
         .groupBy(col("w2"))
         .agg(((lit(1.0) - lit(damping)) + lit(damping) *
           graft.QueryDef.dsum((col("weight").cast(DoubleType) /
