@@ -6,19 +6,23 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * columns with typed metadata, processed by per-partition batch
   * decoders (builder brief).
   *
-  * The decode step itself is STUBBED — media codecs are not in this
-  * container — with a deterministic byte-level fake. Everything around
-  * it is the real Spark shape: typed `Dataset[MediaRecord]` with
-  * case-class encoders, `mapPartitions` so a real decoder would
-  * initialize its codec once per partition (not per row), and a
-  * schema-stable `MediaFeatures` output that downstream DataFrame ops
-  * consume. Swapping `decodeStub` for a JNI/FFmpeg call changes no
-  * plumbing.
+  * IMAGE decode is REAL: the JDK ships PNG/JPEG codecs in
+  * `javax.imageio`, so [[decodeImageStats]] parses actual image bytes
+  * and measures actual pixels — no external library needed (the m04
+  * gate round-trips encode→decode and checks pixel sums against a
+  * closed-form oracle). Audio/video decode remains STUBBED — those
+  * codecs are not in this container — with a deterministic byte-level
+  * fake behind the same plumbing: typed `Dataset[MediaRecord]` with
+  * case-class encoders, `mapPartitions` so the codec initializes once
+  * per partition (not per row), and schema-stable outputs that
+  * downstream DataFrame ops consume. Swapping the audio stub for a
+  * JNI/FFmpeg call changes no plumbing.
   *
   * Scale: decode is embarrassingly parallel; partition count is
   * inherited from the source scan, so 100 TB of payloads spread over
   * the cluster with no shuffle. Only `mapPartitions` is used — never a
-  * driver-side collect.
+  * driver-side collect. `ImageIO.setUseCache(false)` keeps executor
+  * threads off the shared temp-file cache.
   */
 object Multimodal {
 
@@ -32,9 +36,9 @@ object Multimodal {
       mime: String,
       n_bytes: Long,
       head_hex: String,
-      width: Int,      // stubbed "decoded" dimensions
+      width: Int,      // real for image mimes; stub-derived otherwise
       height: Int,
-      n_frames: Int)   // stubbed frame-sample count
+      n_frames: Int)   // 1 for still images; stub-derived otherwise
 
   /** Null-safe payload view: a NULL binary cell (e.g. a null-text
     * document through [[fromDocuments]]) decodes like an empty payload
@@ -63,13 +67,36 @@ object Multimodal {
       n_frames = n / 100)
   }
 
+  /** Real image decode into the [[MediaFeatures]] shape: actual
+    * dimensions from `javax.imageio`, n_frames = 1 (a still image). */
+  private[operators] def decodeImageFeatures(r: MediaRecord): MediaFeatures = {
+    val p = bytes(r)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    require(img != null,
+      s"doc_id=${r.doc_id}: payload (${p.length} bytes, mime=${r.mime}) " +
+        "is not a decodable image")
+    MediaFeatures(
+      doc_id = r.doc_id,
+      mime = r.mime,
+      n_bytes = p.length.toLong,
+      head_hex = p.take(8).map(b => f"${b & 0xff}%02X").mkString,
+      width = img.getWidth,
+      height = img.getHeight,
+      n_frames = 1)
+  }
+
   /** The decode/feature-extract stage: one decoder "session" per
-    * partition, streamed over the iterator (no materialization). */
+    * partition, streamed over the iterator (no materialization).
+    * image-mime records get REAL JDK decode; audio/video/other mimes
+    * fall to the deterministic stub (those codecs aren't shipped). */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      // real codec init would happen here, once per partition
-      it.map(decodeStub)
+      imageIoInit() // codec init, once per partition
+      it.map { r =>
+        if (r.mime != null && r.mime.startsWith("image/")) decodeImageFeatures(r)
+        else decodeStub(r)
+      }
     }
   }
 
@@ -111,6 +138,99 @@ object Multimodal {
           .map { case (i, off) =>
             WindowSample(r.doc_id, i, off, math.min(width.toLong, n - off))
           }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- images
+
+  /** Real decoded-image statistics: dimensions plus exact per-channel
+    * pixel sums (integer-exact, so cross-engine comparison is
+    * bit-identical — the established no-float-accumulation stance). */
+  final case class ImageStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_px: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Executor-side ImageIO hygiene: by default ImageIO spills decode
+    * buffers to a shared temp-file cache — 32 executor threads
+    * hammering one tmpdir is an IO hotspot and a cleanup hazard, so
+    * decode in-memory. Idempotent; called once per partition. */
+  private def imageIoInit(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic PNG render for a document: a `w×h` image filled
+    * with RGB (g, (2g+1) mod 256, (3g+2) mod 256) where
+    * w = 8 + doc_id mod 13, h = 8 + doc_id mod 7, g = doc_id mod 256,
+    * with pixel (0,0) forced to white as a position sentinel (a decode
+    * that mislays pixels — wrong stride, channel order, premultiply —
+    * changes the sums). These are REAL PNG bytes from the JDK encoder;
+    * the closed-form pixel sums are what the m04 oracle recomputes. */
+  private[graft] def renderPng(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 13).toInt
+    val h = 8 + (docId % 7).toInt
+    val g = (docId % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (((2 * g + 1) % 256) << 8) | ((3 * g + 2) % 256)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img.setRGB(0, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Documents → real PNG MediaRecords (the m04 ingest): renders
+    * per-partition with the codec-init-once shape. */
+  def imageRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long]
+      .mapPartitions { it =>
+        imageIoInit()
+        it.map(id => MediaRecord(id, "image/png", renderPng(id)))
+      }
+  }
+
+  /** REAL image decode via pure-JDK `javax.imageio`: parses the
+    * payload bytes (PNG/JPEG/GIF/BMP — whatever the JDK registry
+    * handles), walks the raster, and returns exact integer channel
+    * sums. Throws on undecodable payloads — an image-typed record
+    * whose bytes don't parse is a data error the pipeline must
+    * surface, not average away (same loud-failure stance as the
+    * unsupported-PG-type policy). */
+  def decodeImageStats(records: Dataset[MediaRecord]): Dataset[ImageStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      imageIoInit()
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes(r)))
+        require(img != null,
+          s"doc_id=${r.doc_id}: payload (${bytes(r).length} bytes, " +
+            s"mime=${r.mime}) is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(r.doc_id, w, h, w.toLong * h, sr, sg, sb)
       }
     }
   }

@@ -1373,6 +1373,35 @@ private[operators] trait TextOps { self: Pipeline.type =>
              unnest(range(0, octet_length(encode(text)) // 100)) t(i)
         ORDER BY doc_id, frame_no""")),
 
+    // ---- m04: REAL image decode through pure-JDK javax.imageio — per
+    // document a deterministic PNG is actually ENCODED (JDK PNG writer,
+    // solid fill + white sentinel pixel at (0,0)), then actually
+    // DECODED (ImageIO.read) and its raster measured: dimensions plus
+    // exact integer per-channel pixel sums. The oracle recomputes the
+    // closed-form expectations, so any decode defect — wrong stride,
+    // channel order, color management, dropped sentinel — breaks the
+    // sums. This retires the r15 "decode is stubbed" caveat for images
+    // (audio/video stay stubbed: no codecs in the JDK).
+    QueryDef(
+      "m04_image_decode",
+      (s, d) =>
+        Multimodal.decodeImageStats(Multimodal.imageRecords(s, d))
+          .toDF()
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH spec AS (
+          SELECT doc_id,
+                 8 + doc_id % 13 AS w, 8 + doc_id % 7 AS h,
+                 doc_id % 256 AS g
+          FROM documents)
+        SELECT doc_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(g * (w * h - 1) + 255 AS BIGINT) AS sum_r,
+               CAST(((2 * g + 1) % 256) * (w * h - 1) + 255 AS BIGINT) AS sum_g,
+               CAST(((3 * g + 2) % 256) * (w * h - 1) + 255 AS BIGINT) AS sum_b
+        FROM spec ORDER BY doc_id""")),
+
 
     // ---- p79: unigram-LM Viterbi segmentation — [[unigramSegment]]
     // with the tie-free [[UnigramGatePieces]] table (integer-valued

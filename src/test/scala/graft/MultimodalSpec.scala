@@ -10,8 +10,10 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("extractFeatures: schema-stable typed output, deterministic stub") {
     import spark.implicits._
+    // non-image mimes take the stub path (image mimes get REAL decode
+    // since r16 — covered by the imageio tests below)
     val ds = Seq(
-      MediaRecord(1L, "image/png", Array.tabulate(250)(_.toByte)),
+      MediaRecord(1L, "video/mp4", Array.tabulate(250)(_.toByte)),
       MediaRecord(2L, "audio/wav", Array.empty[Byte]),
       MediaRecord(3L, "audio/wav", null)).toDS()
     val out = Multimodal.extractFeatures(ds).collect().sortBy(_.doc_id)
@@ -67,5 +69,44 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3), r.getLong(4)))
       .toMap
     assert(a == b)
+  }
+
+  test("imageio: PNG encode→decode round-trips real dimensions and pixel sums") {
+    import spark.implicits._
+    // renderPng spec: w=8+id%13, h=8+id%7, fill g=id%256, white (0,0)
+    val ids = Seq(0L, 1L, 12L, 255L, 256L, 1000L)
+    val recs = ids
+      .map(id => MediaRecord(id, "image/png", Multimodal.renderPng(id))).toDS()
+    val stats = Multimodal.decodeImageStats(recs).collect()
+      .map(s => s.doc_id -> s).toMap
+    ids.foreach { id =>
+      val (w, h, g) = (8 + (id % 13).toInt, 8 + (id % 7).toInt, (id % 256).toInt)
+      val s = stats(id)
+      assert(s.width == w && s.height == h && s.n_px == w.toLong * h)
+      assert(s.sum_r == g.toLong * (w * h - 1) + 255)
+      assert(s.sum_g == ((2 * g + 1) % 256).toLong * (w * h - 1) + 255)
+      assert(s.sum_b == ((3 * g + 2) % 256).toLong * (w * h - 1) + 255)
+    }
+    // the bytes are a REAL PNG container, not a fake
+    val head = Multimodal.renderPng(7L).take(8).map(_ & 0xff)
+    assert(head.toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+  }
+
+  test("imageio: extractFeatures routes image mimes to the real decoder") {
+    import spark.implicits._
+    val ds = Seq(MediaRecord(42L, "image/png", Multimodal.renderPng(42L))).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.width == 8 + 42 % 13 && f.height == 8 + 42 % 7 && f.n_frames == 1)
+    assert(f.head_hex == "89504E470D0A1A0A")
+  }
+
+  test("imageio: undecodable image payload fails loudly, not silently") {
+    import spark.implicits._
+    val ds = Seq(MediaRecord(9L, "image/png", Array.tabulate(64)(_.toByte))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImageStats(ds).collect()
+    }
+    assert(e.getMessage.contains("doc_id=9") ||
+      Option(e.getCause).exists(_.getMessage.contains("doc_id=9")))
   }
 }
