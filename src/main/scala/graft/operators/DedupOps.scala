@@ -469,14 +469,13 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     * doc), the `.distinct()` partial-agg collapses repeats mapper-side
     * and bounds the shuffle by `mBits` KEYS — so the one-row gather
     * receives at most `mBits` rows, the filter's own memory budget, no
-    * matter how large the reference corpus is. (A production deploy
-    * would pack these positions into an `mBits/8`-byte bitset; the
-    * sorted-position array keeps the probe on the shared
-    * `sorted_intersect_count` / binary-search kernels and stays
-    * engine-replayable — same asymptotics, ~32× the broadcast bytes,
-    * which at the 2³⁰-bit filter a 100 TB snapshot wants is the
-    * difference between 128 MiB and 4 GiB: switch representation
-    * before switching algorithms.) */
+    * matter how large the reference corpus is. The sorted-position row
+    * is the ORACLE representation (engine-replayable via the shared
+    * `sorted_intersect_count` kernel but ~32× the broadcast bytes of a
+    * bitset); production deploys broadcast the PACKED form instead —
+    * [[bloomBuildBitset]] / [[bloomDedupPacked]], 128 MiB not 4 GiB at
+    * the 2³⁰-bit filter a 100 TB snapshot wants — pinned flag-identical
+    * to this form by BloomPackedSpec. */
   def bloomBuildPositions(reference: DataFrame, textCol: String,
       mBits: Int, k: Int): DataFrame =
     reference
@@ -514,6 +513,38 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .withColumn("in_bloom", col(textCol).isNotNull &&
         col("bloom_hits") === size(col("__pp")).cast(LongType))
       .drop("__pp", "__bloom")
+  }
+
+  /** The PACKED build half: [[bloomBuildPositions]]' one gathered row,
+    * bit-packed into ceil(mBits/64) longs by the codegen'd
+    * `bitset_pack` kernel — identical m-bounded build shuffle (packing
+    * is a map step on the single row), ~32× smaller broadcast. This is
+    * the form a production snapshot persists and re-broadcasts. */
+  def bloomBuildBitset(reference: DataFrame, textCol: String,
+      mBits: Int, k: Int): DataFrame =
+    bloomBuildPositions(reference, textCol, mBits, k)
+      .select(call_function("bitset_pack", col("__bloom"), lit(mBits))
+        .as("__bloomBits"))
+
+  /** [[bloomDedup]] over the packed bitset: same flags (pinned by
+    * BloomPackedSpec on randomized corpora), O(k) bit tests per doc
+    * instead of the sorted-merge against the set-bit array, and the
+    * broadcast is the fixed `mBits/8`-byte filter itself — the scale
+    * path for raw-crawl snapshots where bits-set approaches m/2 and
+    * the position array would be gigabytes. */
+  def bloomDedupPacked(corpus: DataFrame, reference: DataFrame,
+      textCol: String, mBits: Int, k: Int): DataFrame = {
+    val bloomRow = bloomBuildBitset(reference, textCol, mBits, k)
+    corpus
+      .crossJoin(broadcast(bloomRow))
+      .withColumn("__pp", sort_array(array_distinct(
+        doubleHashPositions(col(textCol), k, mBits))))
+      .withColumn("bloom_hits", coalesce(
+        call_function("bitset_count_set", col("__pp"), col("__bloomBits"))
+          .cast(LongType), lit(0L)))
+      .withColumn("in_bloom", col(textCol).isNotNull &&
+        col("bloom_hits") === size(col("__pp")).cast(LongType))
+      .drop("__pp", "__bloomBits")
   }
 
   /** SimHash near-dup pairs over ANY corpus by Hamming distance ≤

@@ -70,6 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_count", 2)(c =>
         SortedIntersectCount(c(0), c(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("bitset_pack"),
+      new ExpressionInfo(classOf[BitsetPack].getName, "bitset_pack"),
+      arity("bitset_pack", 2)(c => BitsetPack(c(0), c(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("bitset_count_set"),
+      new ExpressionInfo(classOf[BitsetCountSet].getName, "bitset_count_set"),
+      arity("bitset_count_set", 2)(c => BitsetCountSet(c(0), c(1)))))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_atleast"),
       new ExpressionInfo(classOf[SortedIntersectAtLeast].getName,
         "sorted_intersect_atleast"),
