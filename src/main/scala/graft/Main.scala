@@ -72,6 +72,153 @@ object Main {
       "usage: parquet-info <file-or-dir> [sampleRows]")
   }
 
+  /** Beyond-reference CLI surface: `graft curate` runs the composed
+    * [[operators.Curation]] cleaning chain (URL dedup → badword gate →
+    * C4 line cleaning → paragraph dedup → substring dedup → optional
+    * span decontamination) over a parquet directory and writes a
+    * curated parquet corpus through the same [[sources.ParquetSink]] +
+    * progress meter as export — the engine's north-star capability
+    * reachable without writing Scala. */
+  final case class CurateArgs(
+      input: String = "",
+      outputFile: String = "",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      evalFile: Option[String] = None,
+      evalTextColumn: String = "",
+      substringMinLen: Int = 50,
+      decontaminateN: Int = 13,
+      badwords: Seq[String] = Nil,
+      urlColumn: String = "",
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      multiFile: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      quiet: Boolean = false)
+
+  private[graft] val CurateHelpText =
+    s"""Cleans a document corpus: C4 line cleaning, paragraph + substring
+       |dedup, optional URL dedup / badword gate / eval decontamination
+       |
+       |Usage: graft curate [OPTIONS] --input <DIR> --output-file <FILE>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of documents
+       |  -o, --output-file <FILE>    Curated parquet output (overwritten if present)
+       |      --id-column <C>         Document id column (default doc_id)
+       |      --text-column <C>       Text column (default text)
+       |      --url-column <C>        Enable URL-normalized exact dedup on this column
+       |      --badword <W>           Drop pages containing W (whole-word,
+       |                              case-insensitive; repeatable)
+       |      --eval-file <DIR>       Eval-set parquet dir: scrub its n-gram spans
+       |      --eval-text-column <C>  Eval set's text column (default: --text-column)
+       |      --decontaminate-n <N>   Span n-gram length (default 13)
+       |      --substring-min-len <N> Substring-dedup minimum run (default 50)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --multi-file            Write one file per task instead of a single file
+       |      --partition-by <C>      Hive-style output partitioning (repeatable)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseCurateArgs(argv: Seq[String]): CurateArgs = {
+    var a = CurateArgs()
+    var rest = argv.toList
+    def take(flag: String): String = rest match {
+      case v :: tl if !v.startsWith("--") => rest = tl; v
+      case _ => throw new IllegalArgumentException(s"$flag requires a value")
+    }
+    while (rest.nonEmpty) {
+      val flag = rest.head
+      rest = rest.tail
+      flag match {
+        case "--help" | "-h" => throw CliExit(CurateHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--url-column" => a = a.copy(urlColumn = take(flag))
+        case "--badword" => a = a.copy(badwords = a.badwords :+ take(flag))
+        case "--eval-file" => a = a.copy(evalFile = Some(take(flag)))
+        case "--eval-text-column" => a = a.copy(evalTextColumn = take(flag))
+        case "--decontaminate-n" =>
+          a = a.copy(decontaminateN = parsePosInt(flag, take(flag)))
+        case "--substring-min-len" =>
+          a = a.copy(substringMinLen = parsePosInt(flag, take(flag)))
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          a = a.copy(compressionLevel = Some(take(flag).toInt))
+        case "--multi-file" => a = a.copy(multiFile = true)
+        case "--partition-by" =>
+          a = a.copy(partitionBy = a.partitionBy :+ take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see curate --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: curate [OPTIONS] --input DIR --output-file FILE")
+    a
+  }
+
+  private def parsePosInt(flag: String, v: String): Int = {
+    val n =
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"invalid value '$v' for $flag") }
+    if (n < 1) throw new IllegalArgumentException(s"$flag must be >= 1")
+    n
+  }
+
+  /** The curate execution path: read → [[operators.Curation
+    * .cleanTextManaged]] → sink; the handle's checkpoint blocks are
+    * released after the write so repeated CLI runs in one session
+    * (tests, notebooks) don't accumulate storage. Column existence is
+    * validated up front for the one-line-error exit-2 contract. */
+  private[graft] def runCurate(spark: SparkSession,
+      a: CurateArgs): ParquetSink.WriteStats = {
+    val docs =
+      try spark.read.parquet(a.input)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot read --input '${a.input}': ${e.getMessage}") }
+    def requireCol(df: org.apache.spark.sql.DataFrame, c: String,
+        what: String): Unit =
+      if (!df.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"$what column '$c' not found (have: ${df.columns.sorted.mkString(", ")})")
+    requireCol(docs, a.idColumn, "--id-column")
+    requireCol(docs, a.textColumn, "--text-column")
+    if (a.urlColumn.nonEmpty) requireCol(docs, a.urlColumn, "--url-column")
+    val evalSet = a.evalFile.map { dir =>
+      val df =
+        try spark.read.parquet(dir)
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"cannot read --eval-file '$dir': ${e.getMessage}") }
+      val etc = if (a.evalTextColumn.nonEmpty) a.evalTextColumn else a.textColumn
+      requireCol(df, etc, "--eval-text-column")
+      df
+    }
+    val handle = operators.Curation.cleanTextManaged(docs, a.idColumn,
+      a.textColumn, evalSet, a.substringMinLen, a.decontaminateN,
+      a.evalTextColumn, a.badwords, a.urlColumn)
+    try {
+      val stats = ParquetSink.write(handle.frame, a.outputFile,
+        ParquetSink.SinkOptions(
+          compression = a.compression,
+          compressionLevel = a.compressionLevel,
+          singleFile = !a.multiFile,
+          partitionBy = a.partitionBy,
+          quiet = a.quiet))
+      if (!a.quiet)
+        System.err.println(s"curated ${stats.rows} rows to ${a.outputFile}")
+      stats
+    } finally handle.release()
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -81,6 +228,7 @@ object Main {
        |
        |Commands:
        |  export  Exports a PostgreSQL table or query to a Parquet file
+       |  curate  Cleans a parquet document corpus (dedup, C4, decontamination)
        |
        |Options:
        |  -h, --help     Print help
@@ -521,6 +669,30 @@ object Main {
         case e: Exception =>
           System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
       }
+      return
+    }
+    if (argv.headOption.contains("curate")) {
+      val ca =
+        try parseCurateArgs(argv.toSeq.tail)
+        catch {
+          case CliExit(text) => println(text); sys.exit(0)
+          case e: IllegalArgumentException =>
+            System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
+        }
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-curate")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val failure =
+        try { runCurate(spark, ca); None }
+        catch { case e: IllegalArgumentException => Some(e.getMessage) }
+        finally spark.stop()
+      failure.foreach { m => System.err.println(s"error: $m"); sys.exit(2) }
       return
     }
     val a =

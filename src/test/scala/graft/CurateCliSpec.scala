@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The `graft curate` CLI subcommand: parse contract + end-to-end run
+  * over the fixture corpus, asserting CLI output ≡ the library chain
+  * it fronts (Curation.cleanText — never a reimplementation). */
+class CurateCliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("parseCurateArgs: full surface, repeatables, errors") {
+    import Main.parseCurateArgs
+    val a = parseCurateArgs(Seq("-i", "/in", "-o", "/out",
+      "--id-column", "id", "--text-column", "body",
+      "--url-column", "url", "--badword", "xx", "--badword", "yy",
+      "--eval-file", "/eval", "--eval-text-column", "etext",
+      "--decontaminate-n", "8", "--substring-min-len", "30",
+      "--compression", "snappy", "--multi-file",
+      "--partition-by", "lang", "--quiet"))
+    assert(a.input == "/in" && a.outputFile == "/out")
+    assert(a.idColumn == "id" && a.textColumn == "body" && a.urlColumn == "url")
+    assert(a.badwords == Seq("xx", "yy"))
+    assert(a.evalFile.contains("/eval") && a.evalTextColumn == "etext")
+    assert(a.decontaminateN == 8 && a.substringMinLen == 30)
+    assert(a.compression == "snappy" && a.multiFile && a.quiet)
+    assert(a.partitionBy == Seq("lang"))
+
+    intercept[IllegalArgumentException](parseCurateArgs(Seq("-i", "/in")))
+    intercept[IllegalArgumentException](parseCurateArgs(Seq("--nope")))
+    intercept[IllegalArgumentException](
+      parseCurateArgs(Seq("-i", "a", "-o", "b", "--decontaminate-n", "0")))
+    intercept[Main.CliExit](parseCurateArgs(Seq("--help")))
+  }
+
+  // pages must clear the C4 gate (3+ sentences, 5+-word lines ending
+  // in terminal punctuation) — same fixture discipline as TextApiSpec's
+  // cleanText cases; the synthetic documents table has no punctuation,
+  // so crafted corpora carry the end-to-end assertions
+  private val l1 = "alpha beta gamma delta epsilon zeta eta."
+  private val l2 = "one two three four five six seven eight."
+  private val l3 = "red orange yellow green blue indigo violet."
+
+  test("curate end-to-end: runCurate output ≡ Curation.cleanText") {
+    import spark.implicits._
+    val in = tmp("curate-in") + "/docs.parquet"
+    val page = Seq(l1, l2, l3).mkString("\n")
+    Seq(
+      (1L, page),
+      (2L, Seq(l2, l3, l1).mkString("\n")),
+      (3L, "too short."),
+      (4L, page + "\nthis fresh closing line arrives here too."))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = tmp("curate") + "/clean.parquet"
+    val stats = Main.runCurate(spark, Main.CurateArgs(
+      input = in, outputFile = out, quiet = true))
+    assert(stats.rows > 0)
+    val written = spark.read.parquet(out)
+    assert(written.columns.toSet == Set("doc_id", "n_lines", "n_kept_lines",
+      "n_words", "n_cut_words", "n_flagged_grams", "text_clean"))
+    val lib = operators.Curation.cleanText(
+      spark.read.parquet(in), "doc_id", "text")
+    val a = written.orderBy("doc_id").collect().map(_.toSeq)
+    val b = lib.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.length == b.length &&
+      a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("curate: badwords + eval decontamination flow through the chain") {
+    import spark.implicits._
+    val in = tmp("curate-in") + "/docs.parquet"
+    val evalDir = tmp("curate-eval") + "/eval.parquet"
+    val badPage = Seq("this slow page crawls badterm badly ok.", l2, l3)
+      .mkString("\n")
+    Seq(
+      (1L, Seq(l1, l2, l3).mkString("\n")),
+      (2L, badPage),
+      (3L, Seq(l3, l1, l2).mkString("\n")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    Seq(Tuple1(l1)).toDF("text")
+      .write.mode("overwrite").parquet(evalDir)
+    val out = tmp("curate-out") + "/clean.parquet"
+    Main.runCurate(spark, Main.CurateArgs(
+      input = in, outputFile = out, badwords = Seq("badterm"),
+      evalFile = Some(evalDir), decontaminateN = 3, quiet = true))
+    val rows = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L), "badword page must drop")
+    // global paragraph dedup keeps l1 in only ONE surviving doc, so
+    // exactly that doc can flag the contaminated 3-grams
+    assert(rows.exists(r => r.getLong(r.fieldIndex("n_flagged_grams")) > 0),
+      "eval 3-grams from l1 must flag in the doc that retains it")
+  }
+
+  test("curate: missing columns and unreadable input fail with one-line errors") {
+    val e1 = intercept[IllegalArgumentException] {
+      Main.runCurate(spark, Main.CurateArgs(
+        input = TestSpark.sfDir + "/documents.parquet",
+        outputFile = "/tmp/nope.parquet", textColumn = "no_such", quiet = true))
+    }
+    assert(e1.getMessage.contains("no_such"))
+    val e2 = intercept[IllegalArgumentException] {
+      Main.runCurate(spark, Main.CurateArgs(
+        input = "/definitely/not/here",
+        outputFile = "/tmp/nope.parquet", quiet = true))
+    }
+    assert(e2.getMessage.contains("--input"))
+  }
+}
