@@ -261,21 +261,24 @@ object Streams {
       .filter(!col("blocked")).drop("blocked")
 
   /** Bloom snapshot gate for a document stream — [[graft.operators
-    * .Pipeline.bloomDedup]] applied per micro-batch: the STATIC
+    * .Pipeline.bloomDedupPacked]] applied per micro-batch: the STATIC
     * reference corpus (last snapshot's admitted docs) collapses to one
-    * sorted set-bit row bounded by the filter's `mBits` budget, and
-    * each batch's docs probe it map-side, so the gate is STATELESS —
-    * no watermark, no state store — and drops exactly what the batch
-    * operator would (including its documented false-positive trade; a
-    * doc the filter wrongly claims to know is lost, never the
-    * reverse). This is the streaming half of the Dolma BFF recipe:
-    * cheap snapshot-over-snapshot dedup for a live ingest feed, with
-    * the exact/near-dup stateful gates handling WITHIN-stream
-    * duplicates. The static side re-resolves per batch, so republished
-    * snapshot files are picked up without a restart. */
+    * PACKED bitset row bounded by `mBits/8` bytes (the packed form
+    * matters doubly here — the broadcast re-ships per micro-batch, so
+    * the 32× saving over the sorted-position row is paid every
+    * trigger), and each batch's docs probe it map-side via O(k) bit
+    * tests, so the gate is STATELESS — no watermark, no state store —
+    * and drops exactly what the batch operator would (flags pinned
+    * packed ≡ positions in BloomPackedSpec, including the documented
+    * false-positive trade; a doc the filter wrongly claims to know is
+    * lost, never the reverse). This is the streaming half of the Dolma
+    * BFF recipe: cheap snapshot-over-snapshot dedup for a live ingest
+    * feed, with the exact/near-dup stateful gates handling
+    * WITHIN-stream duplicates. The static side re-resolves per batch,
+    * so republished snapshot files are picked up without a restart. */
   def bloomGate(docs: DataFrame, reference: DataFrame, textCol: String,
       mBits: Int, k: Int): DataFrame =
-    graft.operators.Pipeline.bloomDedup(docs, reference, textCol, mBits, k)
+    graft.operators.Pipeline.bloomDedupPacked(docs, reference, textCol, mBits, k)
       .filter(!col("in_bloom")).drop("bloom_hits", "in_bloom")
 
   /** Streaming distinct-token counter — the HyperLogLog registers as a

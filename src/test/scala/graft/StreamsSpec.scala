@@ -61,6 +61,16 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids == Seq(2L, 4L))
     // stateless, and the probe columns never reach the sink
     assert(spark.table("bloom_gate").columns.toSeq == Seq("doc_id", "text"))
+    // stream ≡ batch: the gate admits exactly what the batch operator
+    // admits over the union of both micro-batches (the packed form the
+    // gate broadcasts is pinned ≡ positions in BloomPackedSpec)
+    val allData = Seq((1L, "seen before"), (2L, "fresh content"),
+      (3L, "also known"), (4L, "more fresh")).toDF("doc_id", "text")
+    val batchKept = graft.operators.Pipeline
+      .bloomDedup(allData, snapshot, "text", mBits = 1 << 20, k = 4)
+      .filter(!col("in_bloom"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == ids, "stream gate diverged from the batch operator")
   }
 
   test("distinctCountHll: bounded-state streaming registers equal the " +
