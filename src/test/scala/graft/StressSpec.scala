@@ -1,0 +1,170 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ~10× sf0.1 scale-stress harness (r15 verdict: "everything is
+  * certified at sf0.01 and benched at sf0.1; the 100 TB arguments are
+  * design-by-inspection" — this drives the most expensive operators
+  * through a 50k-doc / 20k-vector corpus with plan-shape assertions
+  * and a wall-time budget, so the scale claims get an executable
+  * check one order of magnitude up).
+  *
+  * OPT-IN like LivePgSpec: canceled unless `GRAFT_STRESS=1` — the
+  * corpus build plus five heavy drives cost minutes, which the default
+  * suite must not. Run with:
+  * {{{ GRAFT_STRESS=1 sbt "testOnly graft.StressSpec" }}}
+  *
+  * The corpus is generated DISTRIBUTED and deterministically (Spark
+  * `hash`-derived word salad — no driver loops, no RNG state): 20% of
+  * docs are exact-duplicate pairs (dedup work for p04), every doc
+  * carries two unique hapax tokens (so the vocabulary GROWS with the
+  * corpus — the r15 hazard class the unhinted-AQE joins must absorb),
+  * and vectors carry 32-cluster structure (real neighbor sets for
+  * semDedup/IVFPQ). Written once under target/stress/ and reused.
+  */
+class StressSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = TestSpark.spark
+
+  private val NDocs = 50000L
+  private val NVecs = 20000L
+  private val Dir = "target/stress"
+
+  private def ensureCorpus(): (DataFrame, DataFrame) = {
+    val docsPath = s"$Dir/docs.parquet"
+    val vecsPath = s"$Dir/vecs.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val vocab = array(Seq("batch", "part", "spark", "line", "column",
+        "order", "small", "sort", "fast", "value", "scan", "hash", "slow",
+        "group", "agg", "filter", "query", "big", "key", "window", "row",
+        "table", "stream", "merge", "data", "plan", "join", "shard",
+        "codec", "page", "block", "stripe", "vector", "token", "gram",
+        "probe", "build", "spill", "skew", "stage").map(lit): _*)
+      // id%5==1 copies id-1's seed → 10k exact-duplicate pairs
+      val seed = when(col("id") % 5 === 1, col("id") - 1).otherwise(col("id"))
+      val len = (abs(hash(seed)) % 80 + 40).cast("int")
+      val body = array_join(transform(sequence(lit(1), len), i =>
+        element_at(vocab, (abs(hash(concat_ws("_", seed, i))) % 40 + 1)
+          .cast("int"))), " ")
+      spark.range(0, NDocs, 1, 32)
+        .select(col("id").as("doc_id"),
+          // two per-doc hapax tokens: the vocabulary grows 2×|corpus|
+          concat(body, lit(" hapa"), seed, lit(" hapb"), col("id"))
+            .as("text"),
+          element_at(array(Seq("en", "de", "fr", "es", "zh").map(lit): _*),
+            (abs(hash(seed)) % 5 + 1).cast("int")).as("lang"))
+        .write.mode("overwrite").parquet(docsPath)
+      val c = abs(hash(col("id"))) % 32
+      val emb = transform(sequence(lit(1), lit(64)), j =>
+        ((abs(hash(concat_ws("c", c, j))) % 1000).cast("double") / 500.0
+          - 1.0
+          + (abs(hash(concat_ws("n", col("id"), j))) % 200).cast("double")
+            / 2000.0).cast("float"))
+      spark.range(0, NVecs, 1, 32)
+        .select(col("id").as("vec_id"), emb.as("embedding"))
+        .write.mode("overwrite").parquet(vecsPath)
+    }
+    (spark.read.parquet(docsPath), spark.read.parquet(vecsPath))
+  }
+
+  /** Drive one operator: execute, assert rows, no CartesianProduct in
+    * the final (adaptive) plan, and a wall-time budget. Budgets are
+    * deliberately loose (ambient-load tolerant — the bench protocol's
+    * lesson): they catch complexity blow-ups, not regressions. */
+  private def drive(name: String, budgetSec: Int, minRows: Long = 1L)(
+      df: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    val frame = df
+    val n = frame.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"$name: $n rows in $secs%.1f s (budget $budgetSec s)")
+    assert(n >= minRows, s"$name returned $n rows, expected >= $minRows")
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"$name plans a CartesianProduct at stress scale:\n$plan")
+    assert(secs < budgetSec,
+      f"$name took $secs%.1f s — over the $budgetSec s stress budget")
+  }
+
+  test("stress: the five most expensive operators hold shape at ~10× sf0.1") {
+    assume(sys.env.contains("GRAFT_STRESS"),
+      "stress harness is opt-in: set GRAFT_STRESS=1")
+    val (docs, vecs) = ensureCorpus()
+    import spark.implicits._
+
+    // p04: exact n-gram Jaccard with prefix filtering — the quadratic
+    // hazard; 10k exact-dup pairs must surface, candidates must not
+    // explode beyond the prefix-filter contract
+    drive("ngramJaccardPairs", budgetSec = 600, minRows = 10000L) {
+      operators.Pipeline.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.8)
+    }
+
+    // p66: SemDeDup — quadratic within clusters only (32 clusters of
+    // ~625 vectors)
+    drive("semDedup", budgetSec = 600) {
+      operators.Pipeline.semDedup(vecs, "vec_id", "embedding",
+        k = 32, dim = 64, tau = 0.9)
+    }
+
+    // p72: langid serve — the one-broadcast-row shape must survive a
+    // corpus whose vocabulary grows with it (hapax tokens)
+    drive("langIdScore", budgetSec = 300, minRows = NDocs) {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val weights = langs.zipWithIndex.flatMap { case (l, li) =>
+        (0 to 256).map(b => (l, b,
+          if (b == 256) (li + 1).toDouble / 8
+          else ((b * (li + 2)) % 9 - 4).toDouble / 8))
+      }.toDF("lang", "b", "w")
+      val scored = operators.Pipeline.langIdScore(docs, "doc_id", "text",
+        weights, buckets = 256)
+      // the weights must reach the features as ONE broadcast row (a
+      // BroadcastNestedLoopJoin under the crossJoin by construction);
+      // the doc-keyed left join of corpus ids onto the dots table MAY
+      // SortMergeJoin here — two corpus-sized arms on the same key is
+      // the correct shape at scale, so it is deliberately not pinned
+      assert(scored.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "langIdScore lost its single-broadcast-row weight shape")
+      scored
+    }
+
+    // p42 chain: residual IVFADC train + serve at k=32 — the full
+    // production ladder, persisted like the README example
+    drive("ivfpqResidualChain", budgetSec = 600) {
+      val (member0, cents0) = operators.Pipeline.ivfIndex(
+        vecs, "vec_id", "embedding", k = 32, dim = 64, iters = 1,
+        seedRounds = 2)
+      val member = member0.localCheckpoint()
+      val cents = cents0.localCheckpoint()
+      val resid = operators.Pipeline.pqResiduals(
+        vecs, "vec_id", "embedding", member, cents).localCheckpoint()
+      val books = operators.Pipeline.pqTrain(resid, "vec_id", "residual",
+        dim = 64, m = 4, ksub = 16, iters = 1).localCheckpoint()
+      val codes = operators.Pipeline.pqEncode(resid, "vec_id", "residual",
+        books, dim = 64, m = 4)
+      operators.Pipeline.ivfpqSearch(member, codes,
+        vecs.filter(col("vec_id") < 8), cents, books, "vec_id",
+        "embedding", k = 5, dim = 64, m = 4, ksub = 16, nprobe = 4,
+        residual = true)
+    }
+
+    // p65: Stupid-Backoff perplexity of the corpus against a 10%
+    // reference slice — gram tables shuffle under AQE, never broadcast
+    // by force
+    drive("lmPerplexity", budgetSec = 600, minRows = NDocs / 2) {
+      operators.Pipeline.lmPerplexity(
+        docs.filter(col("doc_id") % 10 === 0), docs,
+        "doc_id", "text", "lang")
+    }
+
+    // the packed Bloom gate at stress scale: the broadcast is the
+    // fixed mBits/8-byte filter, never corpus-sized
+    drive("bloomDedupPacked", budgetSec = 300, minRows = NDocs) {
+      operators.Pipeline.bloomDedupPacked(docs,
+        docs.filter(col("doc_id") % 7 === 0), "text",
+        mBits = 1 << 22, k = 5)
+    }
+  }
+}
