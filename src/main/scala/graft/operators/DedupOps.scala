@@ -1723,6 +1723,52 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         FROM documents d LEFT JOIN probe p ON p.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    // ---- p104: the PACKED Bloom path — [[bloomDedupPacked]] with
+    // p76's exact parameters. The bitset_pack/bitset_count_set codegen
+    // kernels must reproduce p76's flags bit-for-bit, so the oracle is
+    // p76's position-arithmetic replay VERBATIM: a packing defect
+    // (wrong word index, shift, sign, range clamp) diverges here at
+    // the driver gate, not just in the randomized spec. This is the
+    // representation the 100 TB snapshot broadcast actually ships
+    // (mBits/8 bytes instead of 8 bytes per set bit).
+    QueryDef(
+      "p104_bloom_packed",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        bloomDedupPacked(docs.select(col("doc_id"), col("text")),
+            docs.filter(col("doc_id") % 3 === 0), "text",
+            mBits = 1024, k = 3)
+          .select(col("doc_id"), col("bloom_hits"), col("in_bloom"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS h1,
+                 2 * CAST('0x' || substr(md5(text), 13, 12) AS BIGINT) + 1 AS h2
+          FROM documents WHERE text IS NOT NULL),
+        bits AS (
+          SELECT DISTINCT (h1 + j * h2) % 1024 AS pos
+          FROM h, unnest(range(0, 3)) t(j)
+          WHERE doc_id % 3 = 0),
+        bloom AS (SELECT list_sort(list(pos)) AS bs FROM bits),
+        pp AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(list((h1 + j * h2) % 1024))) AS ps
+          FROM h, unnest(range(0, 3)) t(j) GROUP BY doc_id),
+        probe AS (
+          SELECT pp.doc_id,
+                 CAST(len(list_filter(ps, p -> list_contains(bs, p)))
+                   AS BIGINT) AS bloom_hits,
+                 len(list_filter(ps, p -> list_contains(bs, p))) = len(ps)
+                   AS in_bloom
+          FROM pp CROSS JOIN bloom)
+        SELECT d.doc_id,
+               COALESCE(p.bloom_hits, 0) AS bloom_hits,
+               COALESCE(p.in_bloom, FALSE) AS in_bloom
+        FROM documents d LEFT JOIN probe p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // ---- p94: MinHash accuracy report — [[minhashAccuracyReport]]
     // over p02's own candidate pairs: signature-agreement estimate vs
     // exact shingle Jaccard per pair + the MAE (decimal-averaged). The
