@@ -219,6 +219,89 @@ object Main {
     } finally handle.release()
   }
 
+  /** `graft datacard` — the corpus data card (p80's operator) as a CLI
+    * report: per-corpus / per-stratum doc, token and char counts, the
+    * release-notes table a dataset card publishes. The card is
+    * strata-bounded (one row per (section, key)), so printing it
+    * driver-side is safe at any corpus size. */
+  final case class DatacardArgs(
+      input: String = "",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      strata: Seq[String] = Nil,
+      outputFile: Option[String] = None,
+      quiet: Boolean = false)
+
+  private[graft] val DatacardHelpText =
+    s"""Prints a corpus data card: doc/token/char totals, overall and per stratum
+       |
+       |Usage: graft datacard [OPTIONS] --input <DIR>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of documents
+       |      --id-column <C>         Document id column (default doc_id)
+       |      --text-column <C>       Text column (default text)
+       |      --strata <C>            Also break down by this column (repeatable)
+       |  -o, --output-file <FILE>    Also write the card as parquet
+       |      --quiet                 Suppress the stdout table
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseDatacardArgs(argv: Seq[String]): DatacardArgs = {
+    var a = DatacardArgs()
+    var rest = argv.toList
+    def take(flag: String): String = rest match {
+      case v :: tl if !v.startsWith("--") => rest = tl; v
+      case _ => throw new IllegalArgumentException(s"$flag requires a value")
+    }
+    while (rest.nonEmpty) {
+      val flag = rest.head
+      rest = rest.tail
+      flag match {
+        case "--help" | "-h" => throw CliExit(DatacardHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--strata" => a = a.copy(strata = a.strata :+ take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = Some(take(flag)))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see datacard --help)")
+      }
+    }
+    if (a.input.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: datacard [OPTIONS] --input DIR")
+    a
+  }
+
+  private[graft] def runDatacard(spark: SparkSession,
+      a: DatacardArgs): Seq[org.apache.spark.sql.Row] = {
+    val docs =
+      try spark.read.parquet(a.input)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot read --input '${a.input}': ${e.getMessage}") }
+    (a.idColumn +: a.textColumn +: a.strata).foreach { c =>
+      if (!docs.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"column '$c' not found (have: ${docs.columns.sorted.mkString(", ")})")
+    }
+    val card = operators.Pipeline.dataCard(docs, a.idColumn, a.textColumn,
+      a.strata)
+    a.outputFile.foreach(f =>
+      ParquetSink.write(card, f, ParquetSink.SinkOptions(quiet = true)))
+    val rows = card.collect().toSeq
+    if (!a.quiet) {
+      println(f"${"section"}%-12s ${"key"}%-24s ${"n_docs"}%12s ${"n_tokens"}%14s ${"n_chars"}%14s")
+      rows.foreach { r =>
+        println(f"${r.getString(0)}%-12s ${r.getString(1)}%-24s " +
+          f"${r.getLong(2)}%12d ${r.getLong(3)}%14d ${r.getLong(4)}%14d")
+      }
+    }
+    rows
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -229,6 +312,7 @@ object Main {
        |Commands:
        |  export  Exports a PostgreSQL table or query to a Parquet file
        |  curate  Cleans a parquet document corpus (dedup, C4, decontamination)
+       |  datacard  Prints doc/token/char totals for a corpus, overall + per stratum
        |
        |Options:
        |  -h, --help     Print help
@@ -669,6 +753,29 @@ object Main {
         case e: Exception =>
           System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
       }
+      return
+    }
+    if (argv.headOption.contains("datacard")) {
+      val da =
+        try parseDatacardArgs(argv.toSeq.tail)
+        catch {
+          case CliExit(text) => println(text); sys.exit(0)
+          case e: IllegalArgumentException =>
+            System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
+        }
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-datacard")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val failure =
+        try { runDatacard(spark, da); None }
+        catch { case e: IllegalArgumentException => Some(e.getMessage) }
+        finally spark.stop()
+      failure.foreach { m => System.err.println(s"error: $m"); sys.exit(2) }
       return
     }
     if (argv.headOption.contains("curate")) {

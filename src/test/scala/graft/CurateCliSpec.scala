@@ -94,6 +94,32 @@ class CurateCliSpec extends AnyFunSuite {
       "eval 3-grams from l1 must flag in the doc that retains it")
   }
 
+  test("datacard: parse + run over the fixture corpus, strata rows add up") {
+    import Main.parseDatacardArgs
+    val pa = parseDatacardArgs(Seq("-i", "/in", "--strata", "lang",
+      "--strata", "source", "-o", "/card.parquet", "--quiet"))
+    assert(pa.input == "/in" && pa.strata == Seq("lang", "source") &&
+      pa.outputFile.contains("/card.parquet") && pa.quiet)
+    intercept[IllegalArgumentException](parseDatacardArgs(Seq()))
+    intercept[Main.CliExit](parseDatacardArgs(Seq("--help")))
+
+    val out = tmp("datacard") + "/card.parquet"
+    val rows = Main.runDatacard(spark, Main.DatacardArgs(
+      input = TestSpark.sfDir + "/documents.parquet",
+      strata = Seq("lang"), outputFile = Some(out), quiet = true))
+    val total = rows.find(r => r.getString(0) == "corpus").get
+    val langRows = rows.filter(_.getString(0) == "by_lang")
+    assert(langRows.nonEmpty)
+    assert(langRows.map(_.getLong(2)).sum == total.getLong(2),
+      "per-lang doc counts must sum to the corpus total")
+    assert(langRows.map(_.getLong(3)).sum == total.getLong(3))
+    // the parquet mirror carries the same rows
+    assert(spark.read.parquet(out).count() == rows.length)
+    intercept[IllegalArgumentException](Main.runDatacard(spark,
+      Main.DatacardArgs(input = TestSpark.sfDir + "/documents.parquet",
+        strata = Seq("nope"), quiet = true)))
+  }
+
   test("curate: missing columns and unreadable input fail with one-line errors") {
     val e1 = intercept[IllegalArgumentException] {
       Main.runCurate(spark, Main.CurateArgs(
