@@ -23,9 +23,11 @@ private[operators] trait QuantOps { self: Pipeline.type =>
     * codebook fits; standalone they retrained the overlapping chain
     * per gate (~16 s of the r10 sweep). Memoizing mirrors production:
     * an ANN index is TRAINED once and SERVED many times — the serving
-    * queries (probe selection, ADC scan) are what each gate times, and
-    * p42 (residual IVFADC) deliberately stays standalone so one gate
-    * still prices a full training chain end-to-end.
+    * queries (probe selection, ADC scan) are what each gate times —
+    * since r16 that includes p42 (residual IVFADC), whose residual
+    * codebooks/codes joined the memo: the sweep prices serving
+    * everywhere, the one-time training chain is amortized into the
+    * memo build (the r15 verdict's persist-then-serve stance).
     *
     * Artifacts: `member` (vec_id, cluster — corpus-sized label table),
     * `cents` (k centroid rows), `books` (m×ksub codebook rows), `codes`
@@ -1288,6 +1290,145 @@ private[operators] trait QuantOps { self: Pipeline.type =>
        |  SELECT cl, [$meanList] AS ce FROM $uname)""".stripMargin
   }
 
+
+  /** Exact corpus mean + covariance of an embedding column, as
+    * upper-triangle (i, j, n, mean_i, mean_j, cov) rows — the moment
+    * pass every linear embedding transform (PCA whitening, OPQ-style
+    * rotation, mahalanobis outliers) trains on. Arithmetic follows the
+    * engine's cross-engine stance: per-element products are IEEE
+    * doubles, sums go through [[QueryDef.dsum]]'s decimal quantization,
+    * and the derived mean/cov are rounded at 1e-9 — so DuckDB replays
+    * every cell bit-for-bit (the p105 gate). Scale shape: the pair
+    * fan-out is rows × dim(dim+1)/2 generated map-side (two codegen'd
+    * posexplodes + a j ≥ i filter), and the ONE shuffle is the (i, j)
+    * partial agg — map-side combine bounds it at dim(dim+1)/2 rows per
+    * mapper (2,080 at dim 64) no matter the corpus size, the same
+    * cells-per-mapper contract as the CMS/HLL sketches. (A
+    * mapPartitions BLAS accumulator would cut the constant factor ~x
+    * rows-per-cell; the asymptotic shuffle is identical — switch only
+    * if profiles demand it.) Vectors that are NULL or off-`dim` are
+    * excluded (loudly countable by the caller via a pre-filter). */
+  def embeddingMeanCov(vecs: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 1024,
+      s"dim must be in [1, 1024] (dim^2 cells must stay agg-state-sized), got $dim")
+    vecs
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(vecCol).as("__v"))
+      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "__xi")))
+      .select(col("i"), col("__xi").cast(DoubleType).as("xi"),
+        posexplode(col("__v")).as(Seq("j", "__xj")))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"), col("xi"),
+        col("__xj").cast(DoubleType).as("xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        graft.QueryDef.dsum(col("xi")).as("__si"),
+        graft.QueryDef.dsum(col("xj")).as("__sj"),
+        graft.QueryDef.dsum(col("xi") * col("xj")).as("__sij"))
+      .select(col("i"), col("j"), col("n"),
+        round(col("__si") / col("n"), 9).as("mean_i"),
+        round(col("__sj") / col("n"), 9).as("mean_j"),
+        round((col("__sij") - col("__si") * col("__sj") / col("n"))
+          / col("n"), 9).as("cov"))
+  }
+
+  /** PCA basis by deterministic power iteration with deflation over
+    * [[embeddingMeanCov]]'s matrix — the FAISS PCAMatrix pre-transform
+    * for the ANN ladder (project 64 -> d' before IVF/PQ; same purpose
+    * as [[randomProject]] but data-adapted, capturing variance instead
+    * of merely preserving distances). The covariance COLLECT is
+    * dim(dim+1)/2 + nothing rows — parameter-bounded by the same hard
+    * `dim <= 1024` require as the moment pass (at dim 1024 that is
+    * ~525k tiny rows, a few MB); the eigensolve runs on the driver on
+    * the dim x dim matrix, which is the correct locality for a
+    * parameter-sized model (the kmeans++/vocab-collect stance), and
+    * serving is map-side via [[pcaProject]]. Determinism: fixed start
+    * vector (1, 2, ..., dim normalized), fixed iteration count, sign
+    * fixed so the largest-magnitude entry is positive — two fits on
+    * the same corpus are identical arrays. Output: (component,
+    * eigenvalue, weights array<double>), components in descending
+    * eigenvalue order. */
+  def pcaFit(vecs: DataFrame, vecCol: String, dim: Int,
+      nComponents: Int, iters: Int = 50): DataFrame = {
+    require(nComponents >= 1 && nComponents <= dim,
+      s"nComponents must be in [1, $dim], got $nComponents")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = vecs.sparkSession
+    val cells = embeddingMeanCov(vecs, vecCol, dim)
+      .select(col("i"), col("j"), col("cov")).collect()
+    require(cells.nonEmpty, "pcaFit: no vectors of the declared dim")
+    val m = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val basis = Array.ofDim[Double](nComponents, dim)
+    val eig = new Array[Double](nComponents)
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var d = 0; while (d < dim) { s += a(d) * b(d); d += 1 }; s
+    }
+    def matv(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(r => dotv(m(r), v))
+    for (c <- 0 until nComponents) {
+      var v = Array.tabulate(dim)(d => (d + 1).toDouble)
+      var it = 0
+      while (it < iters) {
+        var w = matv(v)
+        // deflate: remove the already-found components
+        for (k <- 0 until c) {
+          val pr = dotv(basis(k), w)
+          var d = 0; while (d < dim) { w(d) -= pr * basis(k)(d); d += 1 }
+        }
+        val nrm = math.sqrt(dotv(w, w))
+        // a zero iterate (rank-deficient tail) keeps the previous v:
+        // its Rayleigh quotient below reports the (near-)zero eigenvalue
+        if (nrm > 0) { var d = 0; while (d < dim) { w(d) /= nrm; d += 1 }; v = w }
+        it += 1
+      }
+      // sign convention: largest-|entry| positive
+      val am = v.indices.maxBy(d => (math.abs(v(d)), -d))
+      if (v(am) < 0) { var d = 0; while (d < dim) { v(d) = -v(d); d += 1 } }
+      basis(c) = v
+      eig(c) = dotv(v, matv(v))
+    }
+    import spark.implicits._
+    (0 until nComponents)
+      .map(c => (c, eig(c), basis(c).toSeq))
+      .toDF("component", "eigenvalue", "weights")
+  }
+
+  /** Map-side PCA projection through a basis table (trained by
+    * [[pcaFit]] or fixed): each component's weights are quantized to
+    * FLOAT (the [[randomProject]] precision contract) and baked into
+    * the plan as literals — the basis is parameter-bounded, so this is
+    * the langid collect-and-broadcast stance, and the scan stays a
+    * shuffle-free single pass with one codegen'd `float_dot` per
+    * component. Output column: array<float> of component scores, FLOAT
+    * rounded like [[randomProject]] so the p106 oracle replays it. */
+  def pcaProject(corpus: DataFrame, vecCol: String, basisTab: DataFrame,
+      outCol: String = "pca"): DataFrame = {
+    val rows = basisTab.select(col("component").cast(IntegerType),
+        col("weights")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "pcaProject: empty basis")
+    val comps = rows.map { case (_, w) =>
+      call_function("float_dot", col(vecCol),
+        array(w.map(x => lit(x)): _*)).cast(FloatType)
+    }
+    corpus.withColumn(outCol, array(comps: _*))
+  }
+
+
+  /** The p106 gate's FIXED projection basis — exact quarter-valued
+    * weights (binary-fraction exact in FLOAT, so both engines carry
+    * identical literals), derived from one formula on BOTH the Spark
+    * and oracle sides so they cannot drift (the p72 weight-table
+    * pattern). pcaFit's own training is certified by PcaSpec; the gate
+    * certifies the PROJECTION operator end-to-end. */
+  private def pcaGateWeight(c: Int, d: Int): Double =
+    ((d * (c + 2) + c) % 7 - 3) / 4.0
+
   /** QuantOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
   private[operators] lazy val quantQueries: Seq[QueryDef] = Seq(
@@ -1874,6 +2015,63 @@ private[operators] trait QuantOps { self: Pipeline.type =>
            |FROM n
            |WHERE n.vec_id NOT IN (SELECT node FROM reps WHERE rk > 1)
            |ORDER BY n.vec_id""".stripMargin
+      }),
+
+    // ---- p105: embedding mean + covariance — [[embeddingMeanCov]]'s
+    // full upper triangle, every cell replayed by the oracle through
+    // the shared dsum decimal quantization: the moment pass PCA /
+    // whitening / mahalanobis outliers train on, certified exactly.
+    QueryDef(
+      "p105_embedding_covariance",
+      (s, d) =>
+        embeddingMeanCov(T.embeddings(s, d), "embedding", dim = 64)
+          .orderBy(col("i"), col("j")),
+      Some(s"""
+        WITH p AS MATERIALIZED (
+          SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                 CAST(embedding[i + 1] AS DOUBLE) AS xi,
+                 CAST(embedding[j + 1] AS DOUBLE) AS xj
+          FROM embeddings, unnest(range(0, 64)) t(i), unnest(range(0, 64)) u(j)
+          WHERE j >= i AND embedding IS NOT NULL AND len(embedding) = 64)
+        SELECT i, j, COUNT(*) AS n,
+               ROUND(${graft.QueryDef.dsumSql("xi")} / COUNT(*), 9) AS mean_i,
+               ROUND(${graft.QueryDef.dsumSql("xj")} / COUNT(*), 9) AS mean_j,
+               ROUND((${graft.QueryDef.dsumSql("xi * xj")}
+                 - ${graft.QueryDef.dsumSql("xi")}
+                   * ${graft.QueryDef.dsumSql("xj")} / COUNT(*)) / COUNT(*), 9)
+                 AS cov
+        FROM p GROUP BY i, j ORDER BY i, j""")),
+
+    // ---- p106: PCA projection — [[pcaProject]] through the FIXED
+    // [[pcaGateWeight]] basis (3 components over the 64-dim
+    // embeddings), flattened per-component like p69. The oracle
+    // replays the identical float-quantized weights and the
+    // left-to-right double fold + FLOAT round of `float_dot`.
+    QueryDef(
+      "p106_pca_project",
+      (s, d) => {
+        import s.implicits._
+        val basis = (0 until 3).map(c => (c, 0.0,
+          (0 until 64).map(dd => pcaGateWeight(c, dd)).toSeq))
+          .toDF("component", "eigenvalue", "weights")
+        pcaProject(T.embeddings(s, d), "embedding", basis)
+          .select(col("vec_id") +: (0 until 3).map(c =>
+            element_at(col("pca"), c + 1).cast(DoubleType)
+              .as(s"pca_$c")): _*)
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def proj(c: Int): String = {
+          val w = (0 until 64).map(dd => pcaGateWeight(c, dd).toFloat)
+            .mkString("[", ",", "]")
+          s"""CAST(CAST(list_reduce(list_transform(range(1, 65),
+             |  d -> CAST(embedding[d] AS DOUBLE) * CAST($w[d] AS DOUBLE)),
+             |  (acc, x) -> acc + x) AS FLOAT) AS DOUBLE) AS pca_$c""".stripMargin
+        }
+        s"""
+        SELECT vec_id,
+               ${(0 until 3).map(proj).mkString(",\n               ")}
+        FROM embeddings ORDER BY vec_id"""
       })
   )
 }

@@ -169,7 +169,13 @@ class BucketingSpec extends AnyFunSuite {
       "gopherLineSignals" ->
         operators.Pipeline.gopherLineSignals(docs, "text"),
       "gopherQualitySignals" ->
-        operators.Pipeline.gopherQualitySignals(docs, "doc_id", "text"))
+        operators.Pipeline.gopherQualitySignals(docs, "doc_id", "text"),
+      "pcaProject" -> {
+        import spark.implicits._
+        val basis = Seq((0, 1.0, (0 until 64).map(_ * 0.1).toSeq))
+          .toDF("component", "eigenvalue", "weights")
+        operators.Pipeline.pcaProject(embs, "embedding", basis)
+      })
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
