@@ -1404,12 +1404,22 @@ private[operators] trait QuantOps { self: Pipeline.type =>
     * the langid collect-and-broadcast stance, and the scan stays a
     * shuffle-free single pass with one codegen'd `float_dot` per
     * component. Output column: array<float> of component scores, FLOAT
-    * rounded like [[randomProject]] so the p106 oracle replays it. */
+    * rounded like [[randomProject]] so the p106 oracle replays it.
+    * `whiten = true` additionally scales each component by
+    * 1/sqrt(eigenvalue + eps) — PCA whitening (unit variance per
+    * component, the ZCA/OPQ preprocessing step) folded into the same
+    * baked weights, so the plan shape is unchanged. */
   def pcaProject(corpus: DataFrame, vecCol: String, basisTab: DataFrame,
-      outCol: String = "pca"): DataFrame = {
+      outCol: String = "pca", whiten: Boolean = false,
+      eps: Double = 1e-9): DataFrame = {
     val rows = basisTab.select(col("component").cast(IntegerType),
-        col("weights")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat))
+        col("eigenvalue").cast(DoubleType), col("weights")).collect()
+      .map { r =>
+        val scale =
+          if (whiten) 1.0 / math.sqrt(math.max(r.getDouble(1), 0.0) + eps)
+          else 1.0
+        r.getInt(0) -> r.getSeq[Double](2).map(w => (w * scale).toFloat)
+      }
       .sortBy(_._1)
     require(rows.nonEmpty, "pcaProject: empty basis")
     val comps = rows.map { case (_, w) =>

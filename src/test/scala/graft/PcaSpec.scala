@@ -62,6 +62,14 @@ class PcaSpec extends AnyFunSuite {
         s"component $c: projected variance $varP vs eigenvalue ${b(c)._2}")
     }
     assert(n > 0)
+    // whitened projection: each component's variance collapses to ~1
+    val white = operators.Pipeline.pcaProject(e, "embedding", fit,
+      whiten = true)
+    val w0 = white.select(element_at(col("pca"), 1).cast("double").as("w"))
+      .agg(expr("avg(w)").as("m"), expr("avg(w*w)").as("m2")).collect().head
+    val wVar = w0.getDouble(1) - w0.getDouble(0) * w0.getDouble(0)
+    assert(math.abs(wVar - 1.0) < 1e-2,
+      s"whitened component variance should be ~1, got $wVar")
   }
 
   test("pcaFit is deterministic; guards reject bad parameters") {
