@@ -10,9 +10,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * `javax.imageio`, so [[decodeImageStats]] parses actual image bytes
   * and measures actual pixels — no external library needed (the m04
   * gate round-trips encode→decode and checks pixel sums against a
-  * closed-form oracle). Audio/video decode remains STUBBED — those
-  * codecs are not in this container — with a deterministic byte-level
-  * fake behind the same plumbing: typed `Dataset[MediaRecord]` with
+  * closed-form oracle). WAV AUDIO decode is REAL too:
+  * `javax.sound.sampled` parses the RIFF container and streams the
+  * PCM frames ([[decodeAudioStats]], the m05 gate). Only video and
+  * non-WAV audio codecs — absent from the JDK — remain STUBBED, with
+  * a deterministic byte-level fake behind the same plumbing: typed `Dataset[MediaRecord]` with
   * case-class encoders, `mapPartitions` so the codec initializes once
   * per partition (not per row), and schema-stable outputs that
   * downstream DataFrame ops consume. Swapping the audio stub for a
@@ -231,6 +233,93 @@ object Multimodal {
           y += 1
         }
         ImageStats(r.doc_id, w, h, w.toLong * h, sr, sg, sb)
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------- audio
+
+  /** Real decoded-audio statistics: container metadata plus exact
+    * integer amplitude sums (deviation from the 8-bit midpoint 128),
+    * so cross-engine comparison is bit-identical like [[ImageStats]]. */
+  final case class AudioStats(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Long,
+      sum_dev: Long,
+      sum_sq_dev: Long)
+
+  /** Deterministic WAV render for a document — a REAL RIFF/WAVE
+    * container from the JDK encoder (`javax.sound.sampled
+    * .AudioSystem.write`), 8-bit unsigned PCM mono at 8 kHz with
+    * n = 400 + doc_id mod 200 samples of the integer sawtooth
+    * sample_t = (t·a + b) mod 256, a = doc_id mod 7 + 2,
+    * b = doc_id mod 251 — closed-form amplitude sums the m05 oracle
+    * recomputes. */
+  private[graft] def renderWav(docId: Long): Array[Byte] = {
+    val n = (400 + docId % 200).toInt
+    val a = (docId % 7 + 2).toInt
+    val b = (docId % 251).toInt
+    val samples = Array.tabulate[Byte](n)(t => ((t * a + b) % 256).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+      /* signed = */ false, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Documents → real WAV MediaRecords (the m05 ingest). */
+  def audioRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, "audio/wav", renderWav(id))))
+  }
+
+  /** REAL audio decode via pure-JDK `javax.sound.sampled`: parses the
+    * WAV container (format, rate, channels), streams the PCM frames,
+    * and returns exact integer amplitude sums. Currently 8-bit PCM
+    * (what [[renderWav]] emits and the JDK reads without a converter);
+    * other depths fail loudly with the format named — the same
+    * loud-failure stance as [[decodeImageStats]]. Video and non-WAV
+    * audio remain with the stub: those codecs the JDK does not ship. */
+  def decodeAudioStats(records: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes(r)))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"doc_id=${r.doc_id}: payload (${bytes(r).length} bytes, " +
+                  s"mime=${r.mime}) is not a decodable audio container", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"doc_id=${r.doc_id}: unsupported PCM layout " +
+            s"(${fmt.getSampleSizeInBits}-bit, ${fmt.getChannels}ch) — " +
+            "only 8-bit mono is decoded here")
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var read = ais.read(chunk)
+        while (read > 0) { buf.write(chunk, 0, read); read = ais.read(chunk) }
+        val pcm = buf.toByteArray
+        var (sd, sq) = (0L, 0L)
+        var i = 0
+        while (i < pcm.length) {
+          val d = (pcm(i) & 0xff) - 128
+          sd += d; sq += d.toLong * d
+          i += 1
+        }
+        AudioStats(r.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, pcm.length.toLong, sd, sq)
       }
     }
   }

@@ -1402,6 +1402,39 @@ private[operators] trait TextOps { self: Pipeline.type =>
                CAST(((3 * g + 2) % 256) * (w * h - 1) + 255 AS BIGINT) AS sum_b
         FROM spec ORDER BY doc_id""")),
 
+    // ---- m05: REAL audio decode through pure-JDK javax.sound.sampled
+    // — per document a deterministic 8-bit PCM WAV is actually ENCODED
+    // (JDK RIFF writer, integer sawtooth samples), then actually
+    // DECODED (AudioSystem.getAudioInputStream) and its frames
+    // measured: container metadata plus exact integer amplitude sums.
+    // The oracle recomputes the sawtooth closed-form, so a decode
+    // defect (header offset, sign convention, frame count) breaks the
+    // sums. With m04 this retires the decode stub for both stills and
+    // WAV audio; only video / non-WAV codecs (absent from the JDK)
+    // remain stubbed.
+    QueryDef(
+      "m05_audio_decode",
+      (s, d) =>
+        Multimodal.decodeAudioStats(Multimodal.audioRecords(s, d))
+          .toDF()
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH spec AS (
+          SELECT doc_id, 400 + doc_id % 200 AS n,
+                 doc_id % 7 + 2 AS a, doc_id % 251 AS b
+          FROM documents),
+        s AS MATERIALIZED (
+          SELECT doc_id, ((t * a + b) % 256) - 128 AS dev
+          FROM spec, unnest(range(0, n)) u(t))
+        SELECT doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS channels,
+               CAST(8 AS INT) AS bits,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(dev) AS BIGINT) AS sum_dev,
+               CAST(SUM(dev * dev) AS BIGINT) AS sum_sq_dev
+        FROM s GROUP BY doc_id ORDER BY doc_id""")),
+
 
     // ---- p79: unigram-LM Viterbi segmentation — [[unigramSegment]]
     // with the tie-free [[UnigramGatePieces]] table (integer-valued

@@ -100,6 +100,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.head_hex == "89504E470D0A1A0A")
   }
 
+  test("audio: WAV encode→decode round-trips real metadata and amplitude sums") {
+    import spark.implicits._
+    val ids = Seq(0L, 6L, 199L, 250L, 1234L)
+    val recs = ids
+      .map(id => MediaRecord(id, "audio/wav", Multimodal.renderWav(id))).toDS()
+    val stats = Multimodal.decodeAudioStats(recs).collect()
+      .map(s => s.doc_id -> s).toMap
+    ids.foreach { id =>
+      val n = (400 + id % 200).toInt
+      val a = (id % 7 + 2).toInt
+      val b = (id % 251).toInt
+      val devs = (0 until n).map(t => (t * a + b) % 256 - 128)
+      val s = stats(id)
+      assert(s.sample_rate == 8000 && s.channels == 1 && s.bits == 8)
+      assert(s.n_samples == n.toLong)
+      assert(s.sum_dev == devs.map(_.toLong).sum)
+      assert(s.sum_sq_dev == devs.map(d => d.toLong * d).sum)
+    }
+    // the bytes are a REAL RIFF/WAVE container, not a fake
+    val head = Multimodal.renderWav(7L).take(4).map(_.toChar).mkString
+    assert(head == "RIFF")
+  }
+
+  test("audio: undecodable payload fails loudly with the doc_id") {
+    import spark.implicits._
+    val ds = Seq(MediaRecord(5L, "audio/wav", Array.tabulate(64)(_.toByte))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioStats(ds).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("doc_id=5")))
+  }
+
   test("imageio: undecodable image payload fails loudly, not silently") {
     import spark.implicits._
     val ds = Seq(MediaRecord(9L, "image/png", Array.tabulate(64)(_.toByte))).toDS()
