@@ -458,6 +458,42 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         :+ col("content_hash") :+ col("band_sig"): _*)
   }
 
+
+  /** Snapshot-over-snapshot corpus diff: classify every doc id across
+    * two corpus versions as `added` (only in `curr`), `removed` (only
+    * in `prev`), `changed` (both, different content hash) or
+    * `unchanged` — the audit table every incremental ingest publishes
+    * next to its new snapshot (which ids does the delta touch, how
+    * much re-tokenization does it imply). NULL text hashes to NULL;
+    * two NULL-text versions of an id count `unchanged` (no content to
+    * differ), one-sided NULL counts `changed` — the same
+    * NULL-is-not-content stance as [[exactDedup]]. Scale shape: ONE
+    * id-keyed full-outer SortMergeJoin of the two snapshots (both
+    * sides hash-partition on the id — with both snapshots bucketed by
+    * id on disk this is exchange-free), content compare map-side via
+    * md5; no collect, no skew hazard beyond the id key itself (unique
+    * per side). Output: (doc_id, status, prev_hash, curr_hash). */
+  def corpusDiff(prev: DataFrame, curr: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    // explicit presence flags: after a full-outer join a NULL hash is
+    // ambiguous (side absent vs side present with NULL text) — the
+    // literal marker disambiguates, and <=> makes two NULL-text
+    // versions compare unchanged
+    def keyed(df: DataFrame, side: String): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as(s"${side}_hash"),
+        lit(true).as(s"__${side}_present"))
+    keyed(prev, "prev")
+      .join(keyed(curr, "curr"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("prev_hash"), col("curr_hash"),
+        when(coalesce(col("__prev_present"), lit(false)) === false,
+          lit("added"))
+          .when(coalesce(col("__curr_present"), lit(false)) === false,
+            lit("removed"))
+          .when(col("prev_hash") <=> col("curr_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** The set-bit positions of a Bloom filter over a reference corpus's
     * exact text content, as ONE sorted-array row ready to broadcast —
     * the build half of [[bloomDedup]] (Bloom, CACM 1970; the BFF shape
@@ -1768,6 +1804,51 @@ private[operators] trait DedupOps { self: Pipeline.type =>
                COALESCE(p.in_bloom, FALSE) AS in_bloom
         FROM documents d LEFT JOIN probe p ON p.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
+
+    // ---- p107: snapshot diff — [[corpusDiff]] between two derived
+    // versions of the documents table, built so all four statuses and
+    // both NULL-ambiguity cases appear: curr gains the doc_id%5=0 ids
+    // prev lacks (added), loses the %3=0 ids (removed), mutates the
+    // %7=0 texts (changed), and both sides NULL the %11=0 texts
+    // (NULL <=> NULL -> unchanged; an id missing on one side must NOT
+    // collapse into that — the presence-flag semantics the operator
+    // exists to get right). The oracle replays the same full-outer
+    // join + null-safe compare.
+    QueryDef(
+      "p107_corpus_diff",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        def vtext = when(col("doc_id") % 11 === 0, lit(null).cast(StringType))
+          .otherwise(col("text"))
+        val prev = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), vtext.as("text"))
+        val curr = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0,
+              concat(col("text"), lit(" v2"))).otherwise(vtext).as("text"))
+        corpusDiff(prev, curr, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH prev AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END AS text
+          FROM documents WHERE doc_id % 5 <> 0),
+        curr AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN NULL
+                      WHEN doc_id % 7 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 3 <> 0)
+        SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+               md5(p.text) AS prev_hash, md5(c.text) AS curr_hash,
+               CASE WHEN p.doc_id IS NULL THEN 'added'
+                    WHEN c.doc_id IS NULL THEN 'removed'
+                    WHEN md5(p.text) IS NOT DISTINCT FROM md5(c.text)
+                      THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+        ORDER BY doc_id""")),
 
     // ---- p94: MinHash accuracy report — [[minhashAccuracyReport]]
     // over p02's own candidate pairs: signature-agreement estimate vs

@@ -576,4 +576,29 @@ class PipelineSpec extends AnyFunSuite {
     // without semantic, doc 6 is unflagged → any = {2, 5}
     assert(noSem(("near", "near")) == 2L && noSem(("any", "any")) == 2L)
   }
+
+  test("corpusDiff: presence vs NULL-text disambiguation, all four statuses") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, Option("same")),          // unchanged
+      (2L, Option("old")),           // changed
+      (3L, Option("gone")),          // removed
+      (5L, Option.empty[String]),    // NULL text both sides → unchanged
+      (6L, Option.empty[String]),    // NULL text prev, absent curr → removed
+      (7L, Option("there")))         // present prev, NULL text curr → changed
+      .toDF("doc_id", "text")
+    val curr = Seq(
+      (1L, Option("same")),
+      (2L, Option("new")),
+      (4L, Option("fresh")),         // added
+      (5L, Option.empty[String]),
+      (7L, Option.empty[String]),
+      (8L, Option.empty[String]))    // absent prev, NULL text curr → added
+      .toDF("doc_id", "text")
+    val out = operators.Pipeline.corpusDiff(prev, curr, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "removed", 7L -> "changed",
+      8L -> "added"), s"got $out")
+  }
 }
