@@ -94,7 +94,14 @@ object Main {
       compressionLevel: Option[Int] = None,
       multiFile: Boolean = false,
       partitionBy: Seq[String] = Nil,
-      quiet: Boolean = false)
+      quiet: Boolean = false,
+      // --select mode: the gate/select chain (Curation.curate) instead
+      // of the text-cleaning chain
+      select: Boolean = false,
+      langs: Seq[String] = Nil,
+      minChars: Long = 100L,
+      minQuality: Double = 0.5,
+      maxTokens: Long = 10000L)
 
   private[graft] val CurateHelpText =
     s"""Cleans a document corpus: C4 line cleaning, paragraph + substring
@@ -114,6 +121,15 @@ object Main {
        |      --eval-text-column <C>  Eval set's text column (default: --text-column)
        |      --decontaminate-n <N>   Span n-gram length (default 13)
        |      --substring-min-len <N> Substring-dedup minimum run (default 50)
+       |      --select                Gate/select mode instead of text cleaning:
+       |                              exact dedup -> language/length/quality/token
+       |                              gates over a documents-shaped corpus
+       |                              (doc_id, text, lang, source, n_chars)
+       |      --lang <L>              (--select) keep this language (repeatable;
+       |                              default en,de,fr,es)
+       |      --min-chars <N>         (--select) minimum n_chars (default 100)
+       |      --min-quality <Q>       (--select) minimum quality score (default 0.5)
+       |      --max-tokens <N>        (--select) maximum whitespace tokens (default 10000)
        |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
        |      --compression-level <N> Compressor level (zstd)
        |      --multi-file            Write one file per task instead of a single file
@@ -146,6 +162,18 @@ object Main {
           a = a.copy(decontaminateN = parsePosInt(flag, take(flag)))
         case "--substring-min-len" =>
           a = a.copy(substringMinLen = parsePosInt(flag, take(flag)))
+        case "--select" => a = a.copy(select = true)
+        case "--lang" => a = a.copy(langs = a.langs :+ take(flag))
+        case "--min-chars" =>
+          a = a.copy(minChars = parsePosInt(flag, take(flag)).toLong)
+        case "--min-quality" =>
+          a = a.copy(minQuality =
+            try take(flag).toDouble
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"invalid value for $flag") })
+        case "--max-tokens" =>
+          a = a.copy(maxTokens = parsePosInt(flag, take(flag)).toLong)
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" =>
           a = a.copy(compressionLevel = Some(take(flag).toInt))
@@ -192,6 +220,26 @@ object Main {
     requireCol(docs, a.idColumn, "--id-column")
     requireCol(docs, a.textColumn, "--text-column")
     if (a.urlColumn.nonEmpty) requireCol(docs, a.urlColumn, "--url-column")
+    if (a.select) {
+      // the gate/select chain runs on the documents contract
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .foreach(requireCol(docs, _, "--select required"))
+      val cfg = operators.Curation.CurationConfig(
+        langs = if (a.langs.nonEmpty) a.langs
+          else operators.Curation.CurationConfig().langs,
+        minChars = a.minChars, minQuality = a.minQuality,
+        maxTokens = a.maxTokens)
+      val stats = ParquetSink.write(operators.Curation.curate(docs, cfg),
+        a.outputFile, ParquetSink.SinkOptions(
+          compression = a.compression,
+          compressionLevel = a.compressionLevel,
+          singleFile = !a.multiFile,
+          partitionBy = a.partitionBy,
+          quiet = a.quiet))
+      if (!a.quiet)
+        System.err.println(s"selected ${stats.rows} rows to ${a.outputFile}")
+      return stats
+    }
     val evalSet = a.evalFile.map { dir =>
       val df =
         try spark.read.parquet(dir)

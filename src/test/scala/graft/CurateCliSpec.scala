@@ -94,6 +94,34 @@ class CurateCliSpec extends AnyFunSuite {
       "eval 3-grams from l1 must flag in the doc that retains it")
   }
 
+  test("curate --select: gate/select chain ≡ Curation.curate") {
+    val out = tmp("curate-sel") + "/sel.parquet"
+    val stats = Main.runCurate(spark, Main.CurateArgs(
+      input = TestSpark.sfDir + "/documents.parquet",
+      outputFile = out, select = true, quiet = true))
+    assert(stats.rows > 0)
+    val cli = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toSeq)
+    val lib = operators.Curation.curate(
+      spark.read.parquet(TestSpark.sfDir + "/documents.parquet"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(cli.length == lib.length &&
+      cli.zip(lib).forall { case (a, b) => a == b })
+    // parse surface for the select flags
+    val pa = Main.parseCurateArgs(Seq("-i", "/in", "-o", "/out", "--select",
+      "--lang", "en", "--lang", "zh", "--min-chars", "50",
+      "--min-quality", "0.25", "--max-tokens", "500"))
+    assert(pa.select && pa.langs == Seq("en", "zh") && pa.minChars == 50L &&
+      pa.minQuality == 0.25 && pa.maxTokens == 500L)
+    // select mode demands the documents contract
+    import spark.implicits._
+    val thin = tmp("curate-thin") + "/docs.parquet"
+    Seq((1L, "x")).toDF("doc_id", "text").write.parquet(thin)
+    val e = intercept[IllegalArgumentException](Main.runCurate(spark,
+      Main.CurateArgs(input = thin, outputFile = "/tmp/n.parquet",
+        select = true, quiet = true)))
+    assert(e.getMessage.contains("lang") || e.getMessage.contains("n_chars"))
+  }
+
   test("datacard: parse + run over the fixture corpus, strata rows add up") {
     import Main.parseDatacardArgs
     val pa = parseDatacardArgs(Seq("-i", "/in", "--strata", "lang",
