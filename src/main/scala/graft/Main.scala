@@ -339,7 +339,25 @@ object Main {
       a.strata)
     a.outputFile.foreach(f =>
       ParquetSink.write(card, f, ParquetSink.SinkOptions(quiet = true)))
-    val rows = card.collect().toSeq
+    // the card is strata-bounded ONLY if the strata columns are low-
+    // cardinality; a url-like column would make this collect data-sized,
+    // so cap it loudly instead of OOMing the driver (-o still writes
+    // the full card distributed)
+    val MaxCardRows = 10000
+    val rows = card.limit(MaxCardRows + 1).collect().toSeq
+    if (rows.length > MaxCardRows) {
+      // -o already wrote the FULL card distributed; only the print is
+      // capped
+      if (a.outputFile.isDefined) {
+        System.err.println(s"note: data card exceeds $MaxCardRows rows; " +
+          "stdout print skipped — the full card is in the parquet output")
+        return rows.take(MaxCardRows)
+      }
+      throw new IllegalArgumentException(
+        s"data card exceeds $MaxCardRows rows — a --strata column is " +
+          "high-cardinality; use -o to write the card as parquet instead " +
+          "of printing it")
+    }
     if (!a.quiet) {
       println(f"${"section"}%-12s ${"key"}%-24s ${"n_docs"}%12s ${"n_tokens"}%14s ${"n_chars"}%14s")
       rows.foreach { r =>

@@ -921,6 +921,21 @@ private[operators] trait TextOps { self: Pipeline.type =>
       .withColumn("n_bpe_tokens", size(col("bpe_ids")).cast(LongType))
   }
 
+  /** Unicode NFC normalization of a text column — the
+    * canonical-composition pass to run BEFORE any content-hash stage:
+    * precomposed and decomposed spellings of the same visible text
+    * hash apart, shingle apart and Bloom-probe apart without it
+    * (silent dedup misses on mixed-encoder crawls). `nfc_changed`
+    * reports which rows the pass actually rewrote (the cheap audit
+    * counter). Map-side codegen kernel with an isNormalized fast path
+    * — zero shuffle, certified cross-engine by p108 against DuckDB's
+    * nfc_normalize. */
+  def nfcNormalizeText(corpus: DataFrame, textCol: String,
+      outCol: String = "text_nfc"): DataFrame =
+    corpus
+      .withColumn(outCol, call_function("nfc_normalize", col(textCol)))
+      .withColumn("nfc_changed", !(col(outCol) <=> col(textCol)))
+
   /** TextOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
   private[operators] lazy val textQueries: Seq[QueryDef] = Seq(
@@ -1297,6 +1312,44 @@ private[operators] trait TextOps { self: Pipeline.type =>
         JOIN nn ON nn.doc_id = k.doc_id
         JOIN sp ON sp.doc_id = k.doc_id
         ORDER BY k.doc_id, k.chunk_no""")),
+
+    // ---- p108: Unicode NFC normalization — the canonical-composition
+    // pass content-hash dedup needs (precomposed U+00E9 and decomposed
+    // U+0065+U+0301 are the SAME text but different md5s without it).
+    // The fixture corpus is ASCII, so composed/decomposed markers are
+    // injected deterministically from doc_id (the t21/p20 synthesize
+    // trick); DuckDB's nfc_normalize implements the same UAX #15
+    // algorithm as java.text.Normalizer, so hashes, lengths and the
+    // changed flag certify the engines compose identically.
+    QueryDef(
+      "p108_nfc_normalize",
+      (s, d) => {
+        val marker = when(col("doc_id") % 3 === 0, lit(" cafe\u0301"))
+          .when(col("doc_id") % 3 === 1, lit(" caf\u00e9"))
+          .otherwise(lit(""))
+        val marked = T.documents(s, d)
+          .select(col("doc_id"), concat(col("text"), marker).as("t"))
+        nfcNormalizeText(marked, "t", "t_nfc")
+          .select(col("doc_id"),
+            md5(col("t_nfc")).as("norm_md5"),
+            length(col("t")).cast(LongType).as("n_before"),
+            length(col("t_nfc")).cast(LongType).as("n_after"),
+            col("nfc_changed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                              WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+                              ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               md5(nfc_normalize(t)) AS norm_md5,
+               CAST(length(t) AS BIGINT) AS n_before,
+               CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
+               NOT (nfc_normalize(t) IS NOT DISTINCT FROM t) AS nfc_changed
+        FROM m ORDER BY doc_id""")),
 
     // ---- m01: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; "decode"/feature steps are deterministic

@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_count", 2)(c =>
         SortedIntersectCount(c(0), c(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      arity("nfc_normalize", 1)(c => NfcNormalize(c(0)))))
+    ext.injectFunction((
       new FunctionIdentifier("bitset_pack"),
       new ExpressionInfo(classOf[BitsetPack].getName, "bitset_pack"),
       arity("bitset_pack", 2)(c => BitsetPack(c(0), c(1)))))

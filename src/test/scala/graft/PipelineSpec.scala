@@ -601,4 +601,26 @@ class PipelineSpec extends AnyFunSuite {
       4L -> "added", 5L -> "unchanged", 6L -> "removed", 7L -> "changed",
       8L -> "added"), s"got $out")
   }
+
+  test("nfcNormalizeText: composes decomposed text, flags changes, fast-path identity") {
+    import spark.implicits._
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val out = operators.Pipeline.nfcNormalizeText(
+      Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"),
+        (4L, null.asInstanceOf[String])).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), r.getBoolean(3))).toMap
+    assert(out(1L) == (Some(composed), false), "already-NFC text untouched")
+    assert(out(2L) == (Some(composed), true), "decomposed must compose")
+    assert(out(3L) == (Some("plain ascii"), false))
+    assert(out(4L) == (None, false), "NULL stays NULL, unflagged")
+    // the dedup motivation: same visible text, same hash AFTER the pass
+    val hashes = operators.Pipeline.nfcNormalizeText(
+      Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text"), "text")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text_nfc")))
+      .collect().map(_.getString(0)).distinct
+    assert(hashes.length == 1)
+  }
 }
