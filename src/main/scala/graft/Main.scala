@@ -95,6 +95,7 @@ object Main {
       multiFile: Boolean = false,
       partitionBy: Seq[String] = Nil,
       quiet: Boolean = false,
+      nfc: Boolean = false,
       // --select mode: the gate/select chain (Curation.curate) instead
       // of the text-cleaning chain
       select: Boolean = false,
@@ -121,6 +122,8 @@ object Main {
        |      --eval-text-column <C>  Eval set's text column (default: --text-column)
        |      --decontaminate-n <N>   Span n-gram length (default 13)
        |      --substring-min-len <N> Substring-dedup minimum run (default 50)
+       |      --nfc                   Unicode-NFC normalize the text first (before
+       |                              any content hashing)
        |      --select                Gate/select mode instead of text cleaning:
        |                              exact dedup -> language/length/quality/token
        |                              gates over a documents-shaped corpus
@@ -162,6 +165,7 @@ object Main {
           a = a.copy(decontaminateN = parsePosInt(flag, take(flag)))
         case "--substring-min-len" =>
           a = a.copy(substringMinLen = parsePosInt(flag, take(flag)))
+        case "--nfc" => a = a.copy(nfc = true)
         case "--select" => a = a.copy(select = true)
         case "--lang" => a = a.copy(langs = a.langs :+ take(flag))
         case "--min-chars" =>
@@ -252,7 +256,7 @@ object Main {
     }
     val handle = operators.Curation.cleanTextManaged(docs, a.idColumn,
       a.textColumn, evalSet, a.substringMinLen, a.decontaminateN,
-      a.evalTextColumn, a.badwords, a.urlColumn)
+      a.evalTextColumn, a.badwords, a.urlColumn, a.nfc)
     try {
       val stats = ParquetSink.write(handle.frame, a.outputFile,
         ParquetSink.SinkOptions(

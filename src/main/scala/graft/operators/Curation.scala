@@ -48,9 +48,10 @@ object Curation {
   def cleanText(docs: DataFrame, idCol: String, textCol: String,
       evalSet: Option[DataFrame] = None, substringMinLen: Int = 50,
       decontaminateN: Int = 13, evalTextCol: String = "",
-      badwords: Seq[String] = Nil, urlCol: String = ""): DataFrame =
+      badwords: Seq[String] = Nil, urlCol: String = "",
+      nfc: Boolean = false): DataFrame =
     cleanTextManaged(docs, idCol, textCol, evalSet, substringMinLen,
-      decontaminateN, evalTextCol, badwords, urlCol).frame
+      decontaminateN, evalTextCol, badwords, urlCol, nfc).frame
 
   /** Handle over a [[cleanTextManaged]] result: `frame` is the cleaned
     * corpus; `release()` drops the chain's localCheckpoint blocks from
@@ -80,10 +81,20 @@ object Curation {
   def cleanTextManaged(docs: DataFrame, idCol: String, textCol: String,
       evalSet: Option[DataFrame] = None, substringMinLen: Int = 50,
       decontaminateN: Int = 13, evalTextCol: String = "",
-      badwords: Seq[String] = Nil, urlCol: String = ""): CleanTextHandle = {
+      badwords: Seq[String] = Nil, urlCol: String = "",
+      nfc: Boolean = false): CleanTextHandle = {
+    // optional Unicode NFC FIRST (map-side, before anything
+    // content-hashed): mixed-encoder crawls carry the same visible
+    // text precomposed and decomposed, and every downstream dedup
+    // stage keys on content — normalize before hashing or miss dups.
+    // Off by default so the p13-era gates pin the unextended chain.
+    val docs0 =
+      if (!nfc) docs
+      else docs.withColumn(textCol,
+        call_function("nfc_normalize", col(textCol)))
     val afterUrl =
-      if (urlCol.isEmpty) docs
-      else Pipeline.dedupByUrl(docs, idCol, urlCol).drop("url_norm")
+      if (urlCol.isEmpty) docs0
+      else Pipeline.dedupByUrl(docs0, idCol, urlCol).drop("url_norm")
     val afterBlock =
       if (badwords.isEmpty) afterUrl
       else Pipeline.badwordsFilter(afterUrl, textCol, badwords)

@@ -94,6 +94,33 @@ class CurateCliSpec extends AnyFunSuite {
       "eval 3-grams from l1 must flag in the doc that retains it")
   }
 
+  test("curate --nfc: decomposed duplicates collapse that otherwise survive") {
+    import spark.implicits._
+    val in = tmp("curate-nfc") + "/docs.parquet"
+    val composedPage = Seq("caf\u00e9 " + l1, l2, l3).mkString("\n")
+    val decomposedPage = Seq("cafe\u0301 " + l1, l2, l3).mkString("\n")
+    Seq((1L, composedPage), (2L, decomposedPage))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    def runWith(nfc: Boolean): Array[String] = {
+      val out = tmp("curate-nfc-out") + "/c.parquet"
+      Main.runCurate(spark, Main.CurateArgs(input = in, outputFile = out,
+        nfc = nfc, quiet = true))
+      spark.read.parquet(out).orderBy("doc_id")
+        .select("text_clean").collect().map(_.getString(0))
+    }
+    // without NFC the two spellings hash apart through every dedup
+    // stage; with it the first line is one paragraph, deduped globally
+    val plain = runWith(nfc = false)
+    assert(plain.length == 2 && plain.toSet.size == 2)
+    val norm = runWith(nfc = true)
+    assert(norm.length == 2)
+    val firstLines = norm.map(_.split("\n").head)
+    assert(firstLines.count(_.nonEmpty) == 1,
+      s"NFC should make the caf\u00e9 paragraph an exact duplicate: " +
+        s"${firstLines.toSeq}")
+    assert(Main.parseCurateArgs(Seq("-i", "a", "-o", "b", "--nfc")).nfc)
+  }
+
   test("curate --select: gate/select chain ≡ Curation.curate") {
     val out = tmp("curate-sel") + "/sel.parquet"
     val stats = Main.runCurate(spark, Main.CurateArgs(
