@@ -324,6 +324,30 @@ object Streams {
         col("__c").as("cnt"))
   }
 
+  /** Streaming data card — the p80 corpus card's per-stratum counters
+    * as a STREAMING aggregation: running (n_docs, n_tokens, n_chars)
+    * per stratum value, state bounded by the stratum cardinality (a
+    * lang/source column — NOT a url-like key; the batch datacard CLI
+    * enforces the same contract with its print cap). Counts are
+    * associative sums, so restarts re-add only what the checkpoint
+    * excludes. Emit in update/complete mode; the totals row of the
+    * batch [[graft.operators.Pipeline.dataCard]] is the SUM over these
+    * rows, pinned stream ≡ batch in StreamsSpec. Output: (key, n_docs,
+    * n_tokens, n_chars). */
+  def runningCardCounts(docs: DataFrame, strataCol: String,
+      textCol: String = "text"): DataFrame = {
+    val toks = size(array_remove(split(col(textCol), "\\s+"), ""))
+      .cast("long")
+    val chars = length(col(textCol)).cast("long")
+    docs
+      .select(coalesce(col(strataCol).cast("string"), lit("NULL")).as("key"),
+        coalesce(when(col(textCol).isNotNull, toks), lit(0L)).as("__tok"),
+        coalesce(when(col(textCol).isNotNull, chars), lit(0L)).as("__ch"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
+        sum(col("__ch")).as("n_chars"))
+  }
+
   /** Stream-static enrichment: join the unbounded stream against a
     * bounded dimension table (source metadata, license registry,
     * per-domain quality priors). Spark broadcasts the static side into

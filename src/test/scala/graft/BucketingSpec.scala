@@ -231,6 +231,9 @@ class BucketingSpec extends AnyFunSuite {
         "bloomDedup" -> operators.Pipeline.bloomDedup(
           docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0),
           "text", mBits = 1024, k = 3),
+        "bloomDedupPacked" -> operators.Pipeline.bloomDedupPacked(
+          docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0),
+          "text", mBits = 1024, k = 3),
         "cmsEstimate" -> operators.Pipeline.cmsEstimate(
           docs.select(org.apache.spark.sql.functions.col("text")), "text",
           operators.Pipeline.cmsSketch(docs, "text", 3, 64), 3, 64))

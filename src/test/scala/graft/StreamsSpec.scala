@@ -797,4 +797,35 @@ class StreamsSpec extends AnyFunSuite {
       assert((user1.getLong(0), user1.getLong(1)) == ((2L, 1L)))
     } finally q.stop()
   }
+
+  test("runningCardCounts: streaming per-stratum totals equal the batch data card") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val counted = Streams.runningCardCounts(
+      in.toDF().toDF("doc_id", "text", "lang"), "lang")
+    val q = counted.writeStream.format("memory")
+      .queryName("card_stream").outputMode("complete").start()
+    try {
+      in.addData((1L, "one two three", "en"), (2L, "vier", "de"),
+        (3L, null, "en"))
+      q.processAllAvailable()
+      in.addData((4L, "cinq six", "fr"), (5L, "seven", "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("card_stream").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // batch twin over the union of both micro-batches
+    val batch = operators.Pipeline.dataCard(
+      Seq((1L, "one two three", "en"), (2L, "vier", "de"),
+        (3L, null.asInstanceOf[String], "en"), (4L, "cinq six", "fr"),
+        (5L, "seven", "en")).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", Seq("lang"))
+      .filter(org.apache.spark.sql.functions.col("section") === "by_lang")
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(stream == batch, s"stream $stream vs batch $batch")
+  }
 }

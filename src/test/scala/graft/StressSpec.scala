@@ -166,5 +166,22 @@ class StressSpec extends AnyFunSuite {
         docs.filter(col("doc_id") % 7 === 0), "text",
         mBits = 1 << 22, k = 5)
     }
+
+    // PCA at stress scale: one dim²-bounded partial agg + driver
+    // eigensolve + shuffle-free projection
+    drive("pcaFitProject", budgetSec = 300, minRows = NVecs) {
+      val basis = operators.Pipeline.pcaFit(vecs, "embedding",
+        dim = 64, nComponents = 8)
+      operators.Pipeline.pcaProject(vecs, "embedding", basis)
+    }
+
+    // snapshot diff at stress scale: one id-keyed full-outer join;
+    // the union excludes ids in NEITHER snapshot (%15 == 0), so
+    // 50000 - ceil(50000/15) = 46666 rows
+    drive("corpusDiff", budgetSec = 300, minRows = 46666L) {
+      operators.Pipeline.corpusDiff(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    }
   }
 }
