@@ -1430,6 +1430,58 @@ private[operators] trait QuantOps { self: Pipeline.type =>
   }
 
 
+
+  /** The baked quadratic form (x−μ)ᵀA(x−μ) as a shuffle-free Column —
+    * shared by [[mahalanobisScores]] and the p109 gate (which fixes A
+    * and μ so DuckDB can replay it), never duplicated. Expansion:
+    * y_i = A_i·x − A_i·μ (one codegen float_dot per matrix row, the
+    * μ-term folded into a constant), then s = y·x − y·μ — all
+    * sequential double folds, FLOAT-quantized only at the literal
+    * boundary, so the oracle's list_reduce twin is bit-identical. */
+  private[operators] def quadFormExpr(vecCol: Column, a: Array[Array[Double]],
+      mu: Array[Double]): Column = {
+    val dim = mu.length
+    val muF = array(mu.map(v => lit(v.toFloat)): _*)
+    val y = array((0 until dim).map { i =>
+      val rowF = array(a(i).map(v => lit(v.toFloat)): _*)
+      val c = (0 until dim).foldLeft(0.0)((acc, j) =>
+        acc + a(i)(j).toFloat.toDouble * mu(j).toFloat.toDouble)
+      (call_function("float_dot", vecCol, rowF) - lit(c)).cast(FloatType)
+    }: _*)
+    round(call_function("float_dot", y, vecCol) -
+      call_function("float_dot", y, muF), 9)
+  }
+
+  /** Mahalanobis distance² of every vector from the corpus
+    * distribution — the covariance-aware outlier score ((x−μ)ᵀΣ⁻¹(x−μ);
+    * the [[centroidOutliers]] family upgraded from spherical to
+    * elliptical): train μ/Σ in ONE [[embeddingMeanCov]] pass
+    * (dim²-bounded shuffle), collect the parameter-sized moments,
+    * invert (Σ + eps·I) on the driver by Gauss-Jordan with partial
+    * pivoting (the eigensolve-locality stance of [[pcaFit]] — a dim×dim
+    * matrix is a MODEL, not data), and serve through the baked
+    * [[quadFormExpr]] — map-side, zero shuffle, plan-pinned. eps
+    * regularizes rank-deficient covariances (constant dims score 0 in
+    * their direction instead of exploding). Deterministic end-to-end:
+    * same corpus → same moments → same inverse → same scores. Output:
+    * every caller column + `m2`. */
+  def mahalanobisScores(vecs: DataFrame, vecCol: String, dim: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, s"eps must be > 0, got $eps")
+    val cells = embeddingMeanCov(vecs, vecCol, dim)
+      .select(col("i"), col("j"), col("mean_i"), col("cov")).collect()
+    require(cells.nonEmpty, "mahalanobisScores: no vectors of the declared dim")
+    val mu = new Array[Double](dim)
+    val m = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      if (i == j) { mu(i) = r.getDouble(2); m(i)(i) = r.getDouble(3) + eps }
+      else { m(i)(j) = r.getDouble(3); m(j)(i) = r.getDouble(3) }
+    }
+    val inv = MahalanobisMath.invert(m)
+    vecs.withColumn("m2", quadFormExpr(col(vecCol), inv, mu))
+  }
+
   /** The p106 gate's FIXED projection basis — exact quarter-valued
     * weights (binary-fraction exact in FLOAT, so both engines carry
     * identical literals), derived from one formula on BOTH the Spark
@@ -2082,6 +2134,51 @@ private[operators] trait QuantOps { self: Pipeline.type =>
         SELECT vec_id,
                ${(0 until 3).map(proj).mkString(",\n               ")}
         FROM embeddings ORDER BY vec_id"""
+      }),
+
+    // ---- p109: the Mahalanobis quadratic form — [[quadFormExpr]]
+    // (the serving path of [[mahalanobisScores]]) with a FIXED
+    // quarter/eighth-valued matrix and mean over the jl-projected
+    // 8-dim embeddings, so the oracle replays every fold: the shared
+    // [[jlProjSql]] projection, each matrix row's sequential double
+    // fold, the folded-constant subtraction, the FLOAT quantization of
+    // y, and the final y·x − y·μ. Training (moment collect + driver
+    // inversion) is certified by MahalanobisSpec — the same
+    // train-by-spec / serve-by-gate split as pcaFit/p106.
+    QueryDef(
+      "p109_mahalanobis_form",
+      (s, d) => {
+        val a = Array.tabulate(8, 8)((i, j) => ((i + 2 * j + 1) % 5 - 2) / 4.0)
+        val mu = Array.tabulate(8)(dd => (dd - 3) / 8.0)
+        randomProject(T.embeddings(s, d), "embedding", EmbDim, 8, "e8")
+          .select(col("vec_id"), quadFormExpr(col("e8"), a, mu).as("m2"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val a = Array.tabulate(8, 8)((i, j) => ((i + 2 * j + 1) % 5 - 2) / 4.0)
+        val mu = Array.tabulate(8)(dd => (dd - 3) / 8.0)
+        def dotSql(xs: String, lits: String): String =
+          s"""list_reduce(list_transform(range(1, 9),
+             |    d -> CAST($xs[d] AS DOUBLE) * CAST($lits[d] AS DOUBLE)),
+             |    (acc, x) -> acc + x)""".stripMargin
+        def flist(v: Array[Double]): String =
+          v.map(x => x.toFloat.toString).mkString("[", ",", "]")
+        val ys = (0 until 8).map { i =>
+          val c = (0 until 8).foldLeft(0.0)((acc, j) =>
+            acc + a(i)(j).toFloat.toDouble * mu(j).toFloat.toDouble)
+          s"CAST(${dotSql("e", flist(a(i)))} - ($c) AS FLOAT)"
+        }.mkString(",\n            ")
+        s"""WITH e8 AS MATERIALIZED (
+           |  SELECT vec_id,
+           |         [${(0 until 8).map(j => jlProjSql(j, EmbDim, 8)).mkString(",\n          ")}] AS e
+           |  FROM embeddings),
+           |y AS MATERIALIZED (
+           |  SELECT vec_id, e,
+           |         [$ys] AS y
+           |  FROM e8)
+           |SELECT vec_id,
+           |       ROUND(${dotSql("y", "e")} - ${dotSql("y", flist(mu))}, 9) AS m2
+           |FROM y ORDER BY vec_id""".stripMargin
       })
   )
 }
