@@ -225,15 +225,30 @@ object Main {
     requireCol(docs, a.textColumn, "--text-column")
     if (a.urlColumn.nonEmpty) requireCol(docs, a.urlColumn, "--url-column")
     if (a.select) {
+      // cleaning-only flags must not silently no-op under --select
+      val incompatible = Seq(
+        "--badword" -> a.badwords.nonEmpty,
+        "--eval-file" -> a.evalFile.isDefined,
+        "--url-column" -> a.urlColumn.nonEmpty).collect {
+          case (f, true) => f }
+      if (incompatible.nonEmpty)
+        throw new IllegalArgumentException(
+          s"${incompatible.mkString(", ")} belong to the cleaning chain " +
+            "and have no effect with --select — drop them or drop --select")
       // the gate/select chain runs on the documents contract
       Seq("doc_id", "text", "lang", "source", "n_chars")
         .foreach(requireCol(docs, _, "--select required"))
+      val selDocs =
+        if (!a.nfc) docs
+        else docs.withColumn("text", org.apache.spark.sql.functions
+          .call_function("nfc_normalize",
+            org.apache.spark.sql.functions.col("text")))
       val cfg = operators.Curation.CurationConfig(
         langs = if (a.langs.nonEmpty) a.langs
           else operators.Curation.CurationConfig().langs,
         minChars = a.minChars, minQuality = a.minQuality,
         maxTokens = a.maxTokens)
-      val stats = ParquetSink.write(operators.Curation.curate(docs, cfg),
+      val stats = ParquetSink.write(operators.Curation.curate(selDocs, cfg),
         a.outputFile, ParquetSink.SinkOptions(
           compression = a.compression,
           compressionLevel = a.compressionLevel,

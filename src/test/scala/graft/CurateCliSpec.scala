@@ -139,6 +139,12 @@ class CurateCliSpec extends AnyFunSuite {
       "--min-quality", "0.25", "--max-tokens", "500"))
     assert(pa.select && pa.langs == Seq("en", "zh") && pa.minChars == 50L &&
       pa.minQuality == 0.25 && pa.maxTokens == 500L)
+    // cleaning-only flags fail loudly under --select instead of no-oping
+    val e0 = intercept[IllegalArgumentException](Main.runCurate(spark,
+      Main.CurateArgs(input = TestSpark.sfDir + "/documents.parquet",
+        outputFile = "/tmp/n.parquet", select = true,
+        badwords = Seq("x"), quiet = true)))
+    assert(e0.getMessage.contains("--badword"))
     // select mode demands the documents contract
     import spark.implicits._
     val thin = tmp("curate-thin") + "/docs.parquet"
