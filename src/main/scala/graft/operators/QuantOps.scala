@@ -1299,32 +1299,51 @@ private[operators] trait QuantOps { self: Pipeline.type =>
     * doubles, sums go through [[QueryDef.dsum]]'s decimal quantization,
     * and the derived mean/cov are rounded at 1e-9 — so DuckDB replays
     * every cell bit-for-bit (the p105 gate). Scale shape: the pair
-    * fan-out is rows × dim(dim+1)/2 generated map-side (two codegen'd
-    * posexplodes + a j ≥ i filter), and the ONE shuffle is the (i, j)
-    * partial agg — map-side combine bounds it at dim(dim+1)/2 rows per
-    * mapper (2,080 at dim 64) no matter the corpus size, the same
-    * cells-per-mapper contract as the CMS/HLL sketches. (A
-    * mapPartitions BLAS accumulator would cut the constant factor ~x
-    * rows-per-cell; the asymptotic shuffle is identical — switch only
-    * if profiles demand it.) Vectors that are NULL or off-`dim` are
+    * fan-out is rows × dim(dim+1)/2 generated map-side by the
+    * codegen'd `outer_upper` kernel (ONE generator over the packed
+    * upper triangle, products multiplied in a tight double loop —
+    * r16 replaced the original two-posexplode dim² fan-out; decimal
+    * sums are order-independent so the rewrite changed the plan, not
+    * one output bit, p105 re-verified), and the ONE data-sized shuffle
+    * is the packed-position partial agg — map-side combine bounds it
+    * at dim(dim+1)/2 rows per mapper (2,080 at dim 64) no matter the
+    * corpus size, the same cells-per-mapper contract as the CMS/HLL
+    * sketches; the (pos → i,j) decode and the per-dim mean sums join
+    * back as parameter-sized broadcasts. Vectors that are NULL or off-`dim` are
     * excluded (loudly countable by the caller via a pre-filter). */
   def embeddingMeanCov(vecs: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 1024,
       s"dim must be in [1, 1024] (dim^2 cells must stay agg-state-sized), got $dim")
-    vecs
+    val spark = vecs.sparkSession
+    val base = vecs
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(vecCol).as("__v"))
-      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "__xi")))
-      .select(col("i"), col("__xi").cast(DoubleType).as("xi"),
-        posexplode(col("__v")).as(Seq("j", "__xj")))
-      .filter(col("j") >= col("i"))
-      .select(col("i"), col("j"), col("xi"),
-        col("__xj").cast(DoubleType).as("xj"))
-      .groupBy(col("i"), col("j"))
+    // per-dimension sums: one explode (dim rows/vec), dim group keys
+    val dimSums = base
+      .select(posexplode(col("__v")).as(Seq("d", "__x")))
+      .groupBy(col("d"))
       .agg(count(lit(1)).as("n"),
-        graft.QueryDef.dsum(col("xi")).as("__si"),
-        graft.QueryDef.dsum(col("xj")).as("__sj"),
-        graft.QueryDef.dsum(col("xi") * col("xj")).as("__sij"))
+        graft.QueryDef.dsum(col("__x").cast(DoubleType)).as("__s"))
+    // product sums: the codegen'd packed upper triangle — ONE generator
+    // emitting dim(dim+1)/2 rows/vec (vs the 2-generator dim² fan-out),
+    // products multiplied inside whole-stage codegen
+    val prodSums = base
+      .select(posexplode(call_function("outer_upper", col("__v")))
+        .as(Seq("pos", "__p")))
+      .groupBy(col("pos"))
+      .agg(graft.QueryDef.dsum(col("__p")).as("__sij"))
+    // packed-pos → (i, j): a parameter-sized literal index table,
+    // broadcast onto the dim(dim+1)/2 aggregated cells
+    import spark.implicits._
+    val idx = broadcast(
+      (for { i <- 0 until dim; j <- i until dim }
+        yield (i * dim - i * (i - 1) / 2 + (j - i), i, j))
+        .toDF("pos", "i", "j"))
+    prodSums.join(idx, Seq("pos"))
+      .join(broadcast(dimSums
+        .select(col("d").as("i"), col("n"), col("__s").as("__si"))), Seq("i"))
+      .join(broadcast(dimSums
+        .select(col("d").as("j"), col("__s").as("__sj"))), Seq("j"))
       .select(col("i"), col("j"), col("n"),
         round(col("__si") / col("n"), 9).as("mean_i"),
         round(col("__sj") / col("n"), 9).as("mean_j"),

@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_count", 2)(c =>
         SortedIntersectCount(c(0), c(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("outer_upper"),
+      new ExpressionInfo(classOf[OuterUpper].getName, "outer_upper"),
+      arity("outer_upper", 1)(c => OuterUpper(c(0)))))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       arity("nfc_normalize", 1)(c => NfcNormalize(c(0)))))
