@@ -387,6 +387,92 @@ object Main {
     rows
   }
 
+  /** `graft diff` — [[operators.Pipeline.corpusDiff]] as a CLI: the
+    * added/removed/changed/unchanged audit between two corpus
+    * snapshots, written as parquet and summarized on stderr. */
+  final case class DiffArgs(
+      prev: String = "",
+      curr: String = "",
+      outputFile: String = "",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      quiet: Boolean = false)
+
+  private[graft] val DiffHelpText =
+    s"""Diffs two corpus snapshots: added / removed / changed / unchanged per id
+       |
+       |Usage: graft diff [OPTIONS] --prev <DIR> --curr <DIR> --output-file <FILE>
+       |
+       |Options:
+       |      --prev <DIR>            Previous snapshot (parquet directory)
+       |      --curr <DIR>            Current snapshot (parquet directory)
+       |  -o, --output-file <FILE>    Diff table output (doc_id, hashes, status)
+       |      --id-column <C>         Document id column (default doc_id)
+       |      --text-column <C>       Text column (default text)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseDiffArgs(argv: Seq[String]): DiffArgs = {
+    var a = DiffArgs()
+    var rest = argv.toList
+    def take(flag: String): String = rest match {
+      case v :: tl if !v.startsWith("--") => rest = tl; v
+      case _ => throw new IllegalArgumentException(s"$flag requires a value")
+    }
+    while (rest.nonEmpty) {
+      val flag = rest.head
+      rest = rest.tail
+      flag match {
+        case "--help" | "-h" => throw CliExit(DiffHelpText)
+        case "--prev" => a = a.copy(prev = take(flag))
+        case "--curr" => a = a.copy(curr = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see diff --help)")
+      }
+    }
+    if (a.prev.isEmpty || a.curr.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: diff [OPTIONS] --prev DIR --curr DIR --output-file FILE")
+    a
+  }
+
+  private[graft] def runDiff(spark: SparkSession,
+      a: DiffArgs): Map[String, Long] = {
+    def read(dir: String, what: String) = {
+      val df =
+        try spark.read.parquet(dir)
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"cannot read $what '$dir': ${e.getMessage}") }
+      Seq(a.idColumn, a.textColumn).foreach { c =>
+        if (!df.columns.contains(c))
+          throw new IllegalArgumentException(
+            s"$what: column '$c' not found (have: " +
+              s"${df.columns.sorted.mkString(", ")})")
+      }
+      df
+    }
+    val diff = operators.Pipeline.corpusDiff(
+      read(a.prev, "--prev"), read(a.curr, "--curr"),
+      a.idColumn, a.textColumn)
+    ParquetSink.write(diff, a.outputFile,
+      ParquetSink.SinkOptions(quiet = true))
+    // the status histogram is 4-bounded — driver-safe at any scale
+    val counts = spark.read.parquet(a.outputFile)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (!a.quiet)
+      System.err.println(
+        Seq("added", "changed", "removed", "unchanged")
+          .map(k => s"$k=${counts.getOrElse(k, 0L)}").mkString(" "))
+    counts
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -398,6 +484,7 @@ object Main {
        |  export  Exports a PostgreSQL table or query to a Parquet file
        |  curate  Cleans a parquet document corpus (dedup, C4, decontamination)
        |  datacard  Prints doc/token/char totals for a corpus, overall + per stratum
+       |  diff    Diffs two corpus snapshots (added / removed / changed per id)
        |
        |Options:
        |  -h, --help     Print help
@@ -838,6 +925,29 @@ object Main {
         case e: Exception =>
           System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
       }
+      return
+    }
+    if (argv.headOption.contains("diff")) {
+      val da =
+        try parseDiffArgs(argv.toSeq.tail)
+        catch {
+          case CliExit(text) => println(text); sys.exit(0)
+          case e: IllegalArgumentException =>
+            System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
+        }
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-diff")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val failure =
+        try { runDiff(spark, da); None }
+        catch { case e: IllegalArgumentException => Some(e.getMessage) }
+        finally spark.stop()
+      failure.foreach { m => System.err.println(s"error: $m"); sys.exit(2) }
       return
     }
     if (argv.headOption.contains("datacard")) {

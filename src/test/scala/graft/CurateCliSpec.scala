@@ -181,6 +181,26 @@ class CurateCliSpec extends AnyFunSuite {
         strata = Seq("nope"), quiet = true)))
   }
 
+  test("diff: CLI snapshot diff writes the table and the 4-bounded summary") {
+    import spark.implicits._
+    val prevDir = tmp("diff-prev") + "/p.parquet"
+    val currDir = tmp("diff-curr") + "/c.parquet"
+    Seq((1L, "same"), (2L, "old"), (3L, "gone"))
+      .toDF("doc_id", "text").write.parquet(prevDir)
+    Seq((1L, "same"), (2L, "new"), (4L, "fresh"))
+      .toDF("doc_id", "text").write.parquet(currDir)
+    val out = tmp("diff-out") + "/d.parquet"
+    val counts = Main.runDiff(spark, Main.DiffArgs(
+      prev = prevDir, curr = currDir, outputFile = out, quiet = true))
+    assert(counts == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+    assert(spark.read.parquet(out).columns.toSeq ==
+      Seq("doc_id", "prev_hash", "curr_hash", "status"))
+    import Main.parseDiffArgs
+    intercept[IllegalArgumentException](parseDiffArgs(Seq("--prev", "a")))
+    intercept[Main.CliExit](parseDiffArgs(Seq("--help")))
+  }
+
   test("curate: missing columns and unreadable input fail with one-line errors") {
     val e1 = intercept[IllegalArgumentException] {
       Main.runCurate(spark, Main.CurateArgs(
