@@ -1437,15 +1437,17 @@ private[operators] trait QuantOps { self: Pipeline.type =>
         val scale =
           if (whiten) 1.0 / math.sqrt(math.max(r.getDouble(1), 0.0) + eps)
           else 1.0
-        r.getInt(0) -> r.getSeq[Double](2).map(w => (w * scale).toFloat)
+        r.getInt(0) -> r.getSeq[Double](2).map(w => (w * scale).toFloat).toArray
       }
       .sortBy(_._1)
     require(rows.nonEmpty, "pcaProject: empty basis")
-    val comps = rows.map { case (_, w) =>
-      call_function("float_dot", col(vecCol),
-        array(w.map(x => lit(x)): _*)).cast(FloatType)
-    }
-    corpus.withColumn(outCol, array(comps: _*))
+    // ONE baked-model kernel call instead of nComponents×dim literal
+    // nodes (the jl_project plan-size lesson — a 256×1024 basis as
+    // array(lit…) trees is a ~260k-node plan); identical float_dot
+    // arithmetic, pinned by the unchanged p106 oracle
+    corpus.withColumn(outCol, call_function("mat_vec_affine", col(vecCol),
+      lit(graft.plans.MatVecAffine.encode(rows.map(_._2),
+        Array.fill(rows.length)(0.0)))))
   }
 
 
@@ -1460,13 +1462,14 @@ private[operators] trait QuantOps { self: Pipeline.type =>
   private[operators] def quadFormExpr(vecCol: Column, a: Array[Array[Double]],
       mu: Array[Double]): Column = {
     val dim = mu.length
+    val wF = a.map(_.map(_.toFloat))
+    val bias = wF.map(row => (0 until dim).foldLeft(0.0)((acc, j) =>
+      acc + row(j).toDouble * mu(j).toFloat.toDouble))
+    // ONE baked-model kernel call instead of dim² literal nodes (the
+    // jl_project plan-size lesson): y = A·x − A·μ in a tight loop
+    val y = call_function("mat_vec_affine", vecCol,
+      lit(graft.plans.MatVecAffine.encode(wF, bias)))
     val muF = array(mu.map(v => lit(v.toFloat)): _*)
-    val y = array((0 until dim).map { i =>
-      val rowF = array(a(i).map(v => lit(v.toFloat)): _*)
-      val c = (0 until dim).foldLeft(0.0)((acc, j) =>
-        acc + a(i)(j).toFloat.toDouble * mu(j).toFloat.toDouble)
-      (call_function("float_dot", vecCol, rowF) - lit(c)).cast(FloatType)
-    }: _*)
     round(call_function("float_dot", y, vecCol) -
       call_function("float_dot", y, muF), 9)
   }

@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_count", 2)(c =>
         SortedIntersectCount(c(0), c(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("mat_vec_affine"),
+      new ExpressionInfo(classOf[MatVecAffine].getName, "mat_vec_affine"),
+      arity("mat_vec_affine", 2)(c => MatVecAffine(c(0),
+        TextHashes.litString(c(1), "mat_vec_affine: model")))))
+    ext.injectFunction((
       new FunctionIdentifier("outer_upper"),
       new ExpressionInfo(classOf[OuterUpper].getName, "outer_upper"),
       arity("outer_upper", 1)(c => OuterUpper(c(0)))))

@@ -30,6 +30,31 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }, n = 20)
   }
 
+  test("mat_vec_affine: equals the per-row double-fold model; encode/parse round-trips") {
+    import spark.implicits._
+    val gen = for {
+      d <- Gen.chooseNum(1, 10)
+      r <- Gen.chooseNum(1, 8)
+      w <- Gen.listOfN(r, Gen.listOfN(d, Gen.chooseNum(-4f, 4f)))
+      b <- Gen.listOfN(r, Gen.chooseNum(-4.0, 4.0))
+      x <- Gen.listOfN(d, Gen.chooseNum(-4f, 4f))
+    } yield (w.map(_.toArray).toArray, b.toArray, x)
+    check(Prop.forAll(gen) { case (w, b, x) =>
+      val enc = graft.plans.MatVecAffine.encode(w, b)
+      val parsed = graft.plans.MatVecAffine.parse(enc)
+      val roundTrips = parsed.w.map(_.toSeq).toSeq == w.map(_.toSeq).toSeq &&
+        parsed.b.toSeq == b.toSeq
+      val out = Seq(Tuple1(x)).toDF("v")
+        .select(call_function("mat_vec_affine", col("v"), lit(enc)))
+        .collect().head.getSeq[Float](0)
+      val want = w.zip(b).map { case (row, bi) =>
+        (row.zip(x).foldLeft(0.0) { case (acc, (wi, xi)) =>
+          acc + wi.toDouble * xi.toDouble } - bi).toFloat
+      }
+      roundTrips && out == want.toSeq
+    }, n = 30)
+  }
+
   test("nfc_normalize: idempotent, matches the JDK reference, never lengthens") {
     import spark.implicits._
     // strings mixing ascii, precomposed, decomposed (combining marks),
