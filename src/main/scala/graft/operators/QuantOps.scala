@@ -2201,6 +2201,53 @@ private[operators] trait QuantOps { self: Pipeline.type =>
            |SELECT vec_id,
            |       ROUND(${dotSql("y", "e")} - ${dotSql("y", flist(mu))}, 9) AS m2
            |FROM y ORDER BY vec_id""".stripMargin
+      }),
+
+    // ---- p110: clustering in PCA space — [[pcaProject]] (through the
+    // p106 fixed basis) feeding [[kmeansCluster]], the composition
+    // that IS the PCA rung's production purpose (FAISS PCAMatrix →
+    // coarse quantizer: Lloyd's over 3 dims at ~1/21 the distance cost
+    // of raw 64-dim space). The p70 pattern with the data-adapted
+    // transform in place of JL: the oracle projects inside its first
+    // CTE with the identical float-quantized weights and fold, then
+    // replays the full min-id-seeded k-means chain at dim 3.
+    QueryDef(
+      "p110_pca_cluster",
+      (s, d) => {
+        import s.implicits._
+        val basis = (0 until 3).map(c => (c, 0.0,
+          (0 until 64).map(dd => pcaGateWeight(c, dd)).toSeq))
+          .toDF("component", "eigenvalue", "weights")
+        kmeansCluster(
+          pcaProject(T.embeddings(s, d), "embedding", basis, "pe"),
+          "vec_id", "pe", k = 8, dim = 3, iters = 2)
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val Dim = 3
+        def proj(c: Int): String = {
+          val w = (0 until 64).map(dd => pcaGateWeight(c, dd).toFloat)
+            .mkString("[", ",", "]")
+          s"""CAST(list_reduce(list_transform(range(1, 65),
+             |  d -> CAST(embedding[d] AS DOUBLE) * CAST($w[d] AS DOUBLE)),
+             |  (acc, x) -> acc + x) AS FLOAT)""".stripMargin
+        }
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id,
+           |         [${(0 until Dim).map(proj).mkString(",\n          ")}] AS emb
+           |  FROM embeddings),
+           |c0 AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+           |         list_transform(emb, x -> CAST(x AS DOUBLE)) AS ce
+           |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "c1", "a1", Dim)},
+           |${kmAssignSql("a2", "c1", Dim)},
+           |${kmUpdateSql("u2", "c2", "a2", Dim)},
+           |${kmAssignSql("a3", "c2", Dim)}
+           |SELECT vec_id, cl AS cluster, d2,
+           |       COUNT(*) OVER (PARTITION BY cl) AS n_members
+           |FROM a3 ORDER BY vec_id""".stripMargin
       })
   )
 }
