@@ -239,9 +239,14 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
     * corpora against one reference should persist the model frame
     * themselves. Output: (doc_id, n_pairs, n_seen, n_backoff, n_oov,
     * logprob_avg); docs with fewer than 2 words carry no row. */
-  def knBigramScore(reference: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
+  /** The occurrence-level KN-scored pair stream shared by
+    * [[knBigramScore]] and [[knMinKProb]] (one chain, two aggregations
+    * — the qualityExpr no-drift stance): every adjacent pair of every
+    * corpus doc joined against the reference model with the
+    * seen → backoff → continuation coalesce. Columns: (doc_id, p_kn,
+    * __p). */
+  private def knBigramScoredPairs(reference: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, discount: Double): DataFrame = {
     val model = knBigramModel(reference, textCol, discount)
     val pairs = model.select(col("w1"), col("w2"), col("p_kn"))
     val lam = model.select(col("w1"), col("lambda")).distinct()
@@ -256,12 +261,19 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
         i => struct(element_at(col("__ws"), i).as("w1"),
           element_at(col("__ws"), i + 1).as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val scored = occ
+    occ
       .join(pairs, Seq("w1", "w2"), "left")
       .join(broadcast(lam), Seq("w1"), "left")
       .join(broadcast(cont), Seq("w2"), "left")
       .withColumn("__p", coalesce(col("p_kn"),
         col("lambda") * col("p_cont"), col("p_cont")))
+  }
+
+  def knBigramScore(reference: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val scored = knBigramScoredPairs(reference, corpus, idCol, textCol,
+      discount)
     scored
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -281,6 +293,45 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
         col("n_backoff"), col("n_oov"), col("logprob_avg"))
   }
 
+
+  /** Min-K% Prob membership signal (Shi et al., "Detecting Pretraining
+    * Data from Large Language Models", ICLR 2024): the average
+    * log-probability of a document's LOWEST-k% scored tokens under a
+    * reference LM — memorized/training-set text has few low-probability
+    * outliers, so its min-k tail sits far above fresh text's; the
+    * per-doc aggregate is the standard contamination/memorization
+    * audit. Here the LM is the [[knBigramModel]] (the engine's exact
+    * cross-engine LM) via the SHARED [[knBigramScoredPairs]] chain, so
+    * the scorer and this detector can never drift. Selection: the
+    * ⌈kPct·n_scored⌉ lowest round-9 log-probs per doc via a doc-keyed
+    * row_number — tie order is engine-arbitrary but the selected VALUE
+    * multiset is tie-invariant, so the decimal sum is bit-stable
+    * (kPct defaults to a dyadic 0.25: ceil(kPct·n) then never wobbles
+    * on the 53rd bit). OOV pairs are excluded like [[knBigramScore]];
+    * docs with zero scored pairs are absent. Scale shape: the scored
+    * chain is p101's (gram joins under AQE, vocab broadcasts), the
+    * ranking is ONE doc-keyed window — no global sort. Output:
+    * (doc_id, n_scored, k_count, mink_avg). */
+  def knMinKProb(reference: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, kPct: Double = 0.25,
+      discount: Double = 0.75): DataFrame = {
+    require(kPct > 0 && kPct <= 1, s"kPct must be in (0,1], got $kPct")
+    val lp = knBigramScoredPairs(reference, corpus, idCol, textCol, discount)
+      .filter(col("__p").isNotNull)
+      .select(col("doc_id"), round(log(col("__p")), 9).as("__lp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = lp
+      .withColumn("__r", row_number().over(w.orderBy(col("__lp").asc)))
+      .withColumn("__ns", count(lit(1)).over(w))
+      .withColumn("__m", greatest(lit(1L),
+        ceil(lit(kPct) * col("__ns").cast(DoubleType)).cast(LongType)))
+    ranked
+      .groupBy(col("doc_id"))
+      .agg(max(col("__ns")).as("n_scored"),
+        max(col("__m")).as("k_count"),
+        (graft.QueryDef.dsum(when(col("__r") <= col("__m"), col("__lp")))
+          / max(col("__m")).cast(DoubleType)).as("mink_avg"))
+  }
 
   /** Interpolated Kneser–Ney TRIGRAM model (Chen & Goodman 1999
     * §2.7 — the production order; [[knBigramModel]] is the two-level
@@ -826,6 +877,83 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
                              THEN 1 ELSE 0 END) AS DOUBLE)
                END AS logprob_avg
         FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- p111: Min-K% Prob — [[knMinKProb]] with p101's exact setup
+    // (bigram KN trained on the even-id half, scoring every document,
+    // k = 25%). The oracle rebuilds the p101 model CTEs verbatim, then
+    // replays the doc-keyed rank/cutoff selection: ROW_NUMBER ties are
+    // engine-arbitrary but the selected value multiset is invariant,
+    // so the decimal sum matches bit-for-bit.
+    QueryDef(
+      "p111_min_k_prob",
+      (s, d) => {
+        val all = T.documents(s, d)
+        knMinKProb(all.filter(col("doc_id") % 2 === 0), all,
+          "doc_id", "text", kPct = 0.25)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                   x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        bcm AS (
+          SELECT ws[i] AS w1, ws[i+1] AS w2,
+                 CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM w, unnest(range(1, len(ws))) t(i)
+          WHERE len(ws) >= 2 AND doc_id % 2 = 0 GROUP BY 1, 2),
+        ctx AS (
+          SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_ctx,
+                 CAST(COUNT(*) AS BIGINT) AS n1p
+          FROM bcm GROUP BY w1),
+        cont AS (
+          SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pr
+          FROM bcm GROUP BY w2),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bcm),
+        model AS (
+          SELECT bcm.w1, bcm.w2,
+                 greatest(CAST(c_ab AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                     CAST(0.0 AS DOUBLE)) / CAST(c_ctx AS DOUBLE)
+                 + ((CAST(0.75 AS DOUBLE) * CAST(n1p AS DOUBLE))
+                      / CAST(c_ctx AS DOUBLE))
+                   * (CAST(n1pr AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS p_kn
+          FROM bcm JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nb),
+        lam AS (
+          SELECT w1, (CAST(0.75 AS DOUBLE) * CAST(n1p AS DOUBLE))
+                   / CAST(c_ctx AS DOUBLE) AS lambda
+          FROM ctx),
+        pc AS (
+          SELECT cont.w2, CAST(n1pr AS DOUBLE) / CAST(nb.n AS DOUBLE)
+                   AS p_cont
+          FROM cont CROSS JOIN nb),
+        occ AS (
+          SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+          FROM w, unnest(range(1, len(ws))) t(i)
+          WHERE len(ws) >= 2),
+        sc AS (
+          SELECT occ.doc_id,
+                 COALESCE(model.p_kn, lam.lambda * pc.p_cont, pc.p_cont)
+                   AS p
+          FROM occ
+          LEFT JOIN model ON model.w1 = occ.w1 AND model.w2 = occ.w2
+          LEFT JOIN lam ON lam.w1 = occ.w1
+          LEFT JOIN pc ON pc.w2 = occ.w2),
+        rkd AS (
+          SELECT doc_id, round(ln(p), 9) AS lp,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY round(ln(p), 9) ASC) AS r,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS ns
+          FROM sc WHERE p IS NOT NULL),
+        cut AS (
+          SELECT doc_id, lp, r, ns,
+                 greatest(1, CAST(ceil(0.25 * CAST(ns AS DOUBLE))
+                   AS BIGINT)) AS m
+          FROM rkd)
+        SELECT doc_id, CAST(MAX(ns) AS BIGINT) AS n_scored,
+               CAST(MAX(m) AS BIGINT) AS k_count,
+               ${graft.QueryDef.dsumSql("CASE WHEN r <= m THEN lp END")}
+                 / CAST(MAX(m) AS DOUBLE) AS mink_avg
+        FROM cut GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- p103: trigram-KN-scored documents — [[knTrigramScore]]
     // trained on the even half, scoring every document through the
