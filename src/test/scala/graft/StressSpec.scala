@@ -183,5 +183,22 @@ class StressSpec extends AnyFunSuite {
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
     }
+
+    // NFC normalization: a pure map pass — must stay shuffle-free
+    drive("nfcNormalizeText", budgetSec = 300, minRows = NDocs) {
+      val df = operators.Pipeline.nfcNormalizeText(docs, "text")
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "nfcNormalizeText must stay a shuffle-free map pass")
+      df
+    }
+
+    // Min-K% Prob at stress scale: the KN gram tables here carry the
+    // hapax tail (vocab grows with the corpus) — the joins must run
+    // under AQE without a forced broadcast, and the ranking stays one
+    // doc-keyed window
+    drive("knMinKProb", budgetSec = 600, minRows = NDocs / 2) {
+      operators.Pipeline.knMinKProb(
+        docs.filter(col("doc_id") % 10 === 0), docs, "doc_id", "text")
+    }
   }
 }
