@@ -72,6 +72,18 @@ object Main {
       "usage: parquet-info <file-or-dir> [sampleRows]")
   }
 
+  /** Shared argv cursor for the subcommand parsers — one `take`
+    * implementation instead of a drifting copy per parser. */
+  private final class ArgCursor(argv: Seq[String]) {
+    private var rest: List[String] = argv.toList
+    def nonEmpty: Boolean = rest.nonEmpty
+    def next(): String = { val h = rest.head; rest = rest.tail; h }
+    def take(flag: String): String = rest match {
+      case v :: tl if !v.startsWith("--") => rest = tl; v
+      case _ => throw new IllegalArgumentException(s"$flag requires a value")
+    }
+  }
+
   /** Beyond-reference CLI surface: `graft curate` runs the composed
     * [[operators.Curation]] cleaning chain (URL dedup → badword gate →
     * C4 line cleaning → paragraph dedup → substring dedup → optional
@@ -143,14 +155,10 @@ object Main {
 
   private[graft] def parseCurateArgs(argv: Seq[String]): CurateArgs = {
     var a = CurateArgs()
-    var rest = argv.toList
-    def take(flag: String): String = rest match {
-      case v :: tl if !v.startsWith("--") => rest = tl; v
-      case _ => throw new IllegalArgumentException(s"$flag requires a value")
-    }
-    while (rest.nonEmpty) {
-      val flag = rest.head
-      rest = rest.tail
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
       flag match {
         case "--help" | "-h" => throw CliExit(CurateHelpText)
         case "--input" | "-i" => a = a.copy(input = take(flag))
@@ -180,7 +188,12 @@ object Main {
           a = a.copy(maxTokens = parsePosInt(flag, take(flag)).toLong)
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" =>
-          a = a.copy(compressionLevel = Some(take(flag).toInt))
+          val v = take(flag)
+          a = a.copy(compressionLevel = Some(
+            try v.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"invalid value '$v' for --compression-level") }))
         case "--multi-file" => a = a.copy(multiFile = true)
         case "--partition-by" =>
           a = a.copy(partitionBy = a.partitionBy :+ take(flag))
@@ -225,11 +238,19 @@ object Main {
     requireCol(docs, a.textColumn, "--text-column")
     if (a.urlColumn.nonEmpty) requireCol(docs, a.urlColumn, "--url-column")
     if (a.select) {
-      // cleaning-only flags must not silently no-op under --select
+      // cleaning-only flags must not silently no-op under --select —
+      // including non-default values of the numeric/column knobs (the
+      // select chain runs on the fixed documents contract)
+      val d = CurateArgs()
       val incompatible = Seq(
         "--badword" -> a.badwords.nonEmpty,
         "--eval-file" -> a.evalFile.isDefined,
-        "--url-column" -> a.urlColumn.nonEmpty).collect {
+        "--url-column" -> a.urlColumn.nonEmpty,
+        "--eval-text-column" -> (a.evalTextColumn != d.evalTextColumn),
+        "--decontaminate-n" -> (a.decontaminateN != d.decontaminateN),
+        "--substring-min-len" -> (a.substringMinLen != d.substringMinLen),
+        "--id-column" -> (a.idColumn != d.idColumn),
+        "--text-column" -> (a.textColumn != d.textColumn)).collect {
           case (f, true) => f }
       if (incompatible.nonEmpty)
         throw new IllegalArgumentException(
@@ -316,14 +337,10 @@ object Main {
 
   private[graft] def parseDatacardArgs(argv: Seq[String]): DatacardArgs = {
     var a = DatacardArgs()
-    var rest = argv.toList
-    def take(flag: String): String = rest match {
-      case v :: tl if !v.startsWith("--") => rest = tl; v
-      case _ => throw new IllegalArgumentException(s"$flag requires a value")
-    }
-    while (rest.nonEmpty) {
-      val flag = rest.head
-      rest = rest.tail
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
       flag match {
         case "--help" | "-h" => throw CliExit(DatacardHelpText)
         case "--input" | "-i" => a = a.copy(input = take(flag))
@@ -358,12 +375,17 @@ object Main {
       a.strata)
     a.outputFile.foreach(f =>
       ParquetSink.write(card, f, ParquetSink.SinkOptions(quiet = true)))
+    // with -o the card was just materialized — read it back instead of
+    // re-running the whole corpus aggregation for the print (the
+    // runDiff pattern; without -o the plan runs once here)
+    val cardForPrint = a.outputFile
+      .map(f => spark.read.parquet(f)).getOrElse(card)
     // the card is strata-bounded ONLY if the strata columns are low-
     // cardinality; a url-like column would make this collect data-sized,
     // so cap it loudly instead of OOMing the driver (-o still writes
     // the full card distributed)
     val MaxCardRows = 10000
-    val rows = card.limit(MaxCardRows + 1).collect().toSeq
+    val rows = cardForPrint.limit(MaxCardRows + 1).collect().toSeq
     if (rows.length > MaxCardRows) {
       // -o already wrote the FULL card distributed; only the print is
       // capped
@@ -378,10 +400,15 @@ object Main {
           "of printing it")
     }
     if (!a.quiet) {
+      // quality-section rows carry NULL token/char sums by design
+      // (counters, not corpora) — print them as '-', never getLong a
+      // null cell
+      def cell(r: org.apache.spark.sql.Row, i: Int): String =
+        if (r.isNullAt(i)) "-" else r.getLong(i).toString
       println(f"${"section"}%-12s ${"key"}%-24s ${"n_docs"}%12s ${"n_tokens"}%14s ${"n_chars"}%14s")
       rows.foreach { r =>
         println(f"${r.getString(0)}%-12s ${r.getString(1)}%-24s " +
-          f"${r.getLong(2)}%12d ${r.getLong(3)}%14d ${r.getLong(4)}%14d")
+          f"${cell(r, 2)}%12s ${cell(r, 3)}%14s ${cell(r, 4)}%14s")
       }
     }
     rows
@@ -415,14 +442,10 @@ object Main {
 
   private[graft] def parseDiffArgs(argv: Seq[String]): DiffArgs = {
     var a = DiffArgs()
-    var rest = argv.toList
-    def take(flag: String): String = rest match {
-      case v :: tl if !v.startsWith("--") => rest = tl; v
-      case _ => throw new IllegalArgumentException(s"$flag requires a value")
-    }
-    while (rest.nonEmpty) {
-      val flag = rest.head
-      rest = rest.tail
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
       flag match {
         case "--help" | "-h" => throw CliExit(DiffHelpText)
         case "--prev" => a = a.copy(prev = take(flag))
@@ -914,6 +937,42 @@ object Main {
     finalStats
   }
 
+  /** The one subcommand harness: parse (CliExit → print + exit 0,
+    * IllegalArgumentException → one-line error + exit 2), build the
+    * standard local session, run, stop — the exit-2 contract kept in
+    * ONE place instead of a copy per subcommand (review r16: three
+    * drifting copies). `timestampMicros` is the only per-command
+    * variation: subcommands that WRITE parquet keep the export
+    * writer's TIMESTAMP_MICROS stance. */
+  private def runSubcommand[A](name: String, argv: Seq[String],
+      parse: Seq[String] => A, run: (SparkSession, A) => Any,
+      timestampMicros: Boolean = false): Unit = {
+    val a =
+      try parse(argv)
+      catch {
+        case CliExit(text) => println(text); sys.exit(0)
+        case e: IllegalArgumentException =>
+          System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
+      }
+    val b = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-$name")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+    val spark = (if (timestampMicros)
+      b.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    else b).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // failures collected rather than exited inline: System.exit skips
+    // finally, and spark.stop() must still run
+    val failure =
+      try { run(spark, a); None }
+      catch { case e: IllegalArgumentException => Some(e.getMessage) }
+      finally spark.stop()
+    failure.foreach { m => System.err.println(s"error: $m"); sys.exit(2) }
+  }
+
   def main(argv: Array[String]): Unit = {
     if (argv.headOption.contains("parquet-info")) {
       try {
@@ -927,75 +986,16 @@ object Main {
       }
       return
     }
-    if (argv.headOption.contains("diff")) {
-      val da =
-        try parseDiffArgs(argv.toSeq.tail)
-        catch {
-          case CliExit(text) => println(text); sys.exit(0)
-          case e: IllegalArgumentException =>
-            System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
-        }
-      val spark = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-        .appName("graft-diff")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      val failure =
-        try { runDiff(spark, da); None }
-        catch { case e: IllegalArgumentException => Some(e.getMessage) }
-        finally spark.stop()
-      failure.foreach { m => System.err.println(s"error: $m"); sys.exit(2) }
-      return
-    }
-    if (argv.headOption.contains("datacard")) {
-      val da =
-        try parseDatacardArgs(argv.toSeq.tail)
-        catch {
-          case CliExit(text) => println(text); sys.exit(0)
-          case e: IllegalArgumentException =>
-            System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
-        }
-      val spark = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-        .appName("graft-datacard")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      val failure =
-        try { runDatacard(spark, da); None }
-        catch { case e: IllegalArgumentException => Some(e.getMessage) }
-        finally spark.stop()
-      failure.foreach { m => System.err.println(s"error: $m"); sys.exit(2) }
-      return
-    }
-    if (argv.headOption.contains("curate")) {
-      val ca =
-        try parseCurateArgs(argv.toSeq.tail)
-        catch {
-          case CliExit(text) => println(text); sys.exit(0)
-          case e: IllegalArgumentException =>
-            System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
-        }
-      val spark = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-        .appName("graft-curate")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      val failure =
-        try { runCurate(spark, ca); None }
-        catch { case e: IllegalArgumentException => Some(e.getMessage) }
-        finally spark.stop()
-      failure.foreach { m => System.err.println(s"error: $m"); sys.exit(2) }
-      return
+    argv.headOption match {
+      case Some("diff") =>
+        return runSubcommand("diff", argv.toSeq.tail, parseDiffArgs, runDiff)
+      case Some("datacard") =>
+        return runSubcommand("datacard", argv.toSeq.tail, parseDatacardArgs,
+          runDatacard)
+      case Some("curate") =>
+        return runSubcommand("curate", argv.toSeq.tail, parseCurateArgs,
+          runCurate, timestampMicros = true)
+      case _ =>
     }
     val a =
       try parseArgs(argv.toSeq, sys.env)

@@ -1390,6 +1390,7 @@ private[operators] trait QuantOps { self: Pipeline.type =>
       Array.tabulate(dim)(r => dotv(m(r), v))
     for (c <- 0 until nComponents) {
       var v = Array.tabulate(dim)(d => (d + 1).toDouble)
+      var normalized = false
       var it = 0
       while (it < iters) {
         var w = matv(v)
@@ -1399,10 +1400,37 @@ private[operators] trait QuantOps { self: Pipeline.type =>
           var d = 0; while (d < dim) { w(d) -= pr * basis(k)(d); d += 1 }
         }
         val nrm = math.sqrt(dotv(w, w))
-        // a zero iterate (rank-deficient tail) keeps the previous v:
-        // its Rayleigh quotient below reports the (near-)zero eigenvalue
-        if (nrm > 0) { var d = 0; while (d < dim) { w(d) /= nrm; d += 1 }; v = w }
+        if (nrm > 0) {
+          var d = 0; while (d < dim) { w(d) /= nrm; d += 1 }
+          v = w; normalized = true
+        }
         it += 1
+      }
+      if (!normalized) {
+        // rank-deficient tail: the deflated matrix annihilates every
+        // iterate (e.g. a constant corpus, or nComponents > rank with
+        // the residual cells rounded to exactly 0). The start vector is
+        // NOT a usable component (un-normalized, duplicated across the
+        // tail) — complete the basis deterministically instead:
+        // Gram-Schmidt the standard basis against the found components
+        // and take the first surviving direction, with eigenvalue 0.
+        var e = 0
+        var done = false
+        while (e < dim && !done) {
+          val cand = Array.tabulate(dim)(d => if (d == e) 1.0 else 0.0)
+          for (k <- 0 until c) {
+            val pr = dotv(basis(k), cand)
+            var d = 0; while (d < dim) { cand(d) -= pr * basis(k)(d); d += 1 }
+          }
+          val nrm = math.sqrt(dotv(cand, cand))
+          if (nrm > 1e-9) {
+            var d = 0; while (d < dim) { cand(d) /= nrm; d += 1 }
+            v = cand; done = true
+          }
+          e += 1
+        }
+        require(done, s"pcaFit: could not complete an orthonormal basis " +
+          s"at component $c (dim $dim)")
       }
       // sign convention: largest-|entry| positive
       val am = v.indices.maxBy(d => (math.abs(v(d)), -d))

@@ -211,14 +211,25 @@ private[operators] trait SketchOps { self: Pipeline.type =>
     * the md5-keyed duplicate count, the [[DedupOps.exactDedup]] shape.
     * n_tokens/n_chars are NULL where the axis doesn't apply (quality
     * counters). */
+  /** The data-card counter columns — ONE definition shared with the
+    * streaming twin ([[graft.streaming.Streams.runningCardCounts]]),
+    * so the pinned stream ≡ batch equivalence holds by construction
+    * rather than by parallel maintenance (review r16). NULL text
+    * counts 0 tokens / 0 chars but still one doc. */
+  private[graft] def cardTokenCount(text: Column): Column =
+    coalesce(when(text.isNotNull,
+      size(array_remove(words(text), "")).cast(LongType)), lit(0L))
+  private[graft] def cardCharCount(text: Column): Column =
+    coalesce(when(text.isNotNull, length(text).cast(LongType)), lit(0L))
+  private[graft] def cardStratumKey(c: Column): Column =
+    coalesce(c.cast(StringType), lit("NULL"))
+
   def dataCard(corpus: DataFrame, idCol: String, textCol: String,
       strataCols: Seq[String] = Seq.empty): DataFrame = {
-    val toks = size(array_remove(words(col(textCol)), "")).cast(LongType)
-    val chars = length(col(textCol)).cast(LongType)
     val base = corpus.select(Seq(col(idCol).as("__id"),
       col(textCol).as("__t"),
-      coalesce(when(col(textCol).isNotNull, toks), lit(0L)).as("__tok"),
-      coalesce(when(col(textCol).isNotNull, chars), lit(0L)).as("__ch"))
+      cardTokenCount(col(textCol)).as("__tok"),
+      cardCharCount(col(textCol)).as("__ch"))
       ++ strataCols.map(c => col(c).cast(StringType).as(c)): _*)
     def pack(section: String, key: Column, grouped: DataFrame): DataFrame =
       grouped.select(lit(section).as("section"), key.as("key"),

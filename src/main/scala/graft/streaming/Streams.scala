@@ -335,18 +335,15 @@ object Streams {
     * rows, pinned stream ≡ batch in StreamsSpec. Output: (key, n_docs,
     * n_tokens, n_chars). */
   def runningCardCounts(docs: DataFrame, strataCol: String,
-      textCol: String = "text"): DataFrame = {
-    val toks = size(array_remove(split(col(textCol), "\\s+"), ""))
-      .cast("long")
-    val chars = length(col(textCol)).cast("long")
+      textCol: String = "text"): DataFrame =
     docs
-      .select(coalesce(col(strataCol).cast("string"), lit("NULL")).as("key"),
-        coalesce(when(col(textCol).isNotNull, toks), lit(0L)).as("__tok"),
-        coalesce(when(col(textCol).isNotNull, chars), lit(0L)).as("__ch"))
+      .select(graft.operators.Pipeline.cardStratumKey(col(strataCol))
+          .as("key"),
+        graft.operators.Pipeline.cardTokenCount(col(textCol)).as("__tok"),
+        graft.operators.Pipeline.cardCharCount(col(textCol)).as("__ch"))
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
         sum(col("__ch")).as("n_chars"))
-  }
 
   /** Stream-static enrichment: join the unbounded stream against a
     * bounded dimension table (source metadata, license registry,

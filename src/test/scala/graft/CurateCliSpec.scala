@@ -179,6 +179,21 @@ class CurateCliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Main.runDatacard(spark,
       Main.DatacardArgs(input = TestSpark.sfDir + "/documents.parquet",
         strata = Seq("nope"), quiet = true)))
+    // the NON-quiet print must survive the quality rows' NULL
+    // token/char cells (review r16: getLong on a null cell NPE'd and
+    // every test passed quiet=true)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      Main.runDatacard(spark, Main.DatacardArgs(
+        input = TestSpark.sfDir + "/documents.parquet",
+        strata = Seq("lang"), quiet = false))
+    }
+    val printed = buf.toString
+    assert(printed.contains("corpus") && printed.contains("null_text"),
+      s"print must include totals and quality counters:\n$printed")
+    assert(printed.linesIterator.exists(l =>
+      l.contains("null_text") && l.contains("-")),
+      "quality rows print '-' for their NULL token/char cells")
   }
 
   test("diff: CLI snapshot diff writes the table and the 4-bounded summary") {

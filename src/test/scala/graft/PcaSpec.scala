@@ -72,6 +72,26 @@ class PcaSpec extends AnyFunSuite {
       s"whitened component variance should be ~1, got $wVar")
   }
 
+  test("rank-deficient corpus: tail components complete orthonormally with 0 eigenvalue") {
+    import spark.implicits._
+    // constant corpus → covariance exactly 0 everywhere: power
+    // iteration annihilates every iterate; the basis must still come
+    // back orthonormal (review r16: it used to return the raw
+    // (1,2,...,dim) start vector, duplicated, norm ~sqrt(dim^3/3))
+    val df = (0 until 40).map(i => (i.toLong, Seq(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val b = fetchBasis(operators.Pipeline.pcaFit(df, "embedding", 4, 3))
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    for (i <- b.indices; j <- i until b.length) {
+      val d = dot(b(i)._3, b(j)._3)
+      if (i == j) assert(math.abs(d - 1.0) < 1e-9, s"|u$i| != 1: $d")
+      else assert(math.abs(d) < 1e-9, s"u($i).u($j) = $d")
+    }
+    assert(b.forall(c => math.abs(c._2) < 1e-9),
+      s"all eigenvalues must be ~0 on a constant corpus: ${b.map(_._2).toSeq}")
+  }
+
   test("pcaFit is deterministic; guards reject bad parameters") {
     val e = Tables.embeddings(spark, TestSpark.sfDir)
     val a = fetchBasis(operators.Pipeline.pcaFit(e, "embedding", 64, 3))
