@@ -79,8 +79,14 @@ object Main {
     def nonEmpty: Boolean = rest.nonEmpty
     def next(): String = { val h = rest.head; rest = rest.tail; h }
     def take(flag: String): String = rest match {
+      // `--flag -- --weird-value`: a literal `--` marks the next token
+      // as a value even if it looks like a flag (a blocklist entry
+      // `--foo`, a column named like an option)
+      case "--" :: v :: tl => rest = tl; v
       case v :: tl if !v.startsWith("--") => rest = tl; v
-      case _ => throw new IllegalArgumentException(s"$flag requires a value")
+      case _ => throw new IllegalArgumentException(
+        s"$flag requires a value (for a value that itself starts with " +
+          s"'--', write: $flag -- <value>)")
     }
   }
 
@@ -512,6 +518,10 @@ object Main {
        |Options:
        |  -h, --help     Print help
        |  -V, --version  Print version
+       |
+       |Option values that themselves begin with "--" (a blocklist entry,
+       |a column named like a flag) are written with a literal "--" marker:
+       |  graft curate --badword -- --foo ...
        |""".stripMargin
 
   private[graft] val ExportHelpText =

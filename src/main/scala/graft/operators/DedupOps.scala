@@ -472,7 +472,7 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     * sides hash-partition on the id — with both snapshots bucketed by
     * id on disk this is exchange-free), content compare map-side via
     * md5; no collect, no skew hazard beyond the id key itself (unique
-    * per side). Output: (doc_id, status, prev_hash, curr_hash). */
+    * per side). Output: (doc_id, prev_hash, curr_hash, status). */
   def corpusDiff(prev: DataFrame, curr: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     // explicit presence flags: after a full-outer join a NULL hash is

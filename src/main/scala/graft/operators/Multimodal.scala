@@ -302,10 +302,12 @@ object Multimodal {
                   s"mime=${r.mime}) is not a decodable audio container", e)
           }
         val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
           s"doc_id=${r.doc_id}: unsupported PCM layout " +
-            s"(${fmt.getSampleSizeInBits}-bit, ${fmt.getChannels}ch) — " +
-            "only 8-bit mono is decoded here")
+            s"(${fmt.getSampleSizeInBits}-bit, ${fmt.getChannels}ch, " +
+            s"encoding=${fmt.getEncoding}) — only 8-bit mono PCM_UNSIGNED is " +
+            "decoded here (the (b & 0xff) - 128 midpoint below assumes it)")
         val buf = new java.io.ByteArrayOutputStream()
         val chunk = new Array[Byte](4096)
         var read = ais.read(chunk)

@@ -51,6 +51,14 @@ case class OuterUpper(child: Expression) extends UnaryExpression {
 object OuterUpper {
   def packed(x: ArrayData): Array[Double] = {
     val d = x.numElements()
+    // d(d+1)/2 is Int arithmetic: past 65535 elements it overflows to a
+    // negative array size. The operator path caps dim at 1024, but the
+    // function is SQL-registered, so direct callers need the loud bound.
+    require(d <= 65535,
+      s"outer_upper: input has $d elements; the packed upper triangle " +
+        "d*(d+1)/2 overflows Int past 65535 (and a >2-billion-cell moment " +
+        "row is not a usable covariance accumulator) — reduce dimensionality " +
+        "first (e.g. jl_project)")
     val out = new Array[Double](d * (d + 1) / 2)
     var k = 0
     var i = 0

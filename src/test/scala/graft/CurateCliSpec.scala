@@ -29,6 +29,14 @@ class CurateCliSpec extends AnyFunSuite {
     assert(a.compression == "snappy" && a.multiFile && a.quiet)
     assert(a.partitionBy == Seq("lang"))
 
+    // literal "--" marker lets a value that looks like a flag through
+    val b = parseCurateArgs(Seq("-i", "/in", "-o", "/out",
+      "--badword", "--", "--foo", "--text-column", "--", "--weird"))
+    assert(b.badwords == Seq("--foo") && b.textColumn == "--weird")
+    // without the marker, a flag-shaped value still fails loudly
+    intercept[IllegalArgumentException](
+      parseCurateArgs(Seq("-i", "/in", "-o", "/out", "--badword", "--foo")))
+
     intercept[IllegalArgumentException](parseCurateArgs(Seq("-i", "/in")))
     intercept[IllegalArgumentException](parseCurateArgs(Seq("--nope")))
     intercept[IllegalArgumentException](

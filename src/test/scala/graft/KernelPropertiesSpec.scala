@@ -30,6 +30,15 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }, n = 20)
   }
 
+  test("outer_upper: oversized input fails loudly, not NegativeArraySizeException") {
+    val big = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Float](65536))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.OuterUpper.packed(big)
+    }
+    assert(e.getMessage.contains("65535"))
+  }
+
   test("mat_vec_affine: equals the per-row double-fold model; encode/parse round-trips") {
     import spark.implicits._
     val gen = for {

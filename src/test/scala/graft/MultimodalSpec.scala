@@ -134,6 +134,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("doc_id=5")))
   }
 
+  test("audio: 8-bit PCM_SIGNED is rejected loudly, never mis-midpointed") {
+    import spark.implicits._
+    // AU stores 8-bit linear PCM SIGNED — the JDK parses it as
+    // PCM_SIGNED, which the (b & 0xff) - 128 unsigned midpoint would
+    // silently decode wrong; the require must name the encoding
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val pcm = Array.tabulate(100)(i => i.toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AU, buf)
+    val ds = Seq(MediaRecord(11L, "audio/basic", buf.toByteArray)).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioStats(ds).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("doc_id=11") && m.contains("PCM_SIGNED")))
+  }
+
   test("imageio: undecodable image payload fails loudly, not silently") {
     import spark.implicits._
     val ds = Seq(MediaRecord(9L, "image/png", Array.tabulate(64)(_.toByte))).toDS()
