@@ -620,6 +620,21 @@ private[operators] trait QuantOps { self: Pipeline.type =>
         col("d2"), col("n_members"))
   }
 
+  /** Default within-cluster pair-work bound for [[semDedup]]: clusters
+    * past this size are salted into sub-blocks (see the semDedup doc).
+    * 100k members ≈ 5·10⁹ cosine pairs per worst-case block — hours of
+    * one executor's work, the loud end of acceptable; the paper's own
+    * k ≈ n/5000 sizing keeps honest clusterings far below it. */
+  val SemDedupClusterCap: Int = 100000
+
+  /** Deterministic md5-derived sub-block salt in [0, nSub): the
+    * RNG-free hash-salt used to subdivide oversized clusters. Exposed
+    * package-private so specs can compute expected block membership
+    * with the engine's own arithmetic. */
+  private[graft] def subClusterSalt(id: Column, nSub: Column): Column =
+    pmod(conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType), nSub.cast(LongType)).cast(IntegerType)
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication", arXiv:2303.09540):
     * semantic near-duplicate REMOVAL over an embedding column —
@@ -648,9 +663,27 @@ private[operators] trait QuantOps { self: Pipeline.type =>
     * cosines are sequential double folds ([[graft.plans.FloatDotProduct]])
     * over exact IEEE division, so the ≥ `tau` gate and the d2
     * representative ordering are bit-identical across engines.
-    * Output: the SURVIVING rows (vec_id, cluster, d2). */
+    * Output: the SURVIVING rows (vec_id, cluster, d2).
+    *
+    * Degenerate-clustering guard: the only data-dependent quadratic
+    * here is the within-cluster self-join, and a skewed fit (one
+    * mega-cluster swallowing the corpus) would silently turn it
+    * all-pairs. Clusters larger than `clusterCap` are subdivided by a
+    * deterministic md5 salt on the id into ⌈n/cap⌉ sub-blocks and
+    * pairs form only WITHIN a sub-block, so per-block work is bounded
+    * by cap² regardless of how badly the clustering went. Semantics
+    * under the cap (documented, the [[graft.operators.DedupOps]]
+    * LshBucketCap keep-side stance): duplicates whose members land in
+    * different sub-blocks of an OVERSIZED cluster are missed — the
+    * survivor set can only grow, never lose a vector that the uncapped
+    * run would have kept (the uncapped representative of a group is
+    * still its own sub-group's representative). Normal-sized clusters
+    * (n ≤ cap) are bit-identical to the uncapped path. */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, tau: Double, iters: Int = 2): DataFrame = {
+      k: Int, dim: Int, tau: Double, iters: Int = 2,
+      clusterCap: Int = SemDedupClusterCap): DataFrame = {
+    require(clusterCap >= 2,
+      s"semDedup: clusterCap must be >= 2, got $clusterCap")
     // materialized ONCE: the assignment feeds four plan arms (both
     // pair sides, the representative's d2 join, the final anti-join) —
     // without truncation each arm would re-run the whole fit+assign
@@ -661,13 +694,24 @@ private[operators] trait QuantOps { self: Pipeline.type =>
       kmeansFit(vecs, idCol, vecCol, k, dim, iters))
       .withColumn("n2", dot(col("embedding"), col("embedding")))
       .localCheckpoint()
+    // the clusterCap guard: cluster sizes are a ≤ k-row broadcast;
+    // an oversized cluster's members are salted into ⌈n/cap⌉
+    // sub-blocks (md5-derived — deterministic, RNG-free), normal
+    // clusters keep sub-block 0 so their plan arm is unchanged
+    val sizes = assigned.groupBy(col("cl")).agg(count(lit(1)).as("__n"))
+    val blocked = assigned.join(broadcast(sizes), Seq("cl"))
+      .withColumn("__sub",
+        when(col("__n") <= clusterCap, lit(0)).otherwise(
+          subClusterSalt(col("vec_id"),
+            ceil(col("__n") / lit(clusterCap.toDouble)).cast(IntegerType))))
     // the ONLY pairing shuffle: both sides hash-partitioned on the
-    // cluster key; va < vb halves the work and orients every pair
-    val a = assigned.select(col("cl"), col("vec_id").as("va"),
+    // (cluster, sub-block) key; va < vb halves the work and orients
+    // every pair
+    val a = blocked.select(col("cl"), col("__sub"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("n2").as("n2a"))
-    val b = assigned.select(col("cl"), col("vec_id").as("vb"),
+    val b = blocked.select(col("cl"), col("__sub"), col("vec_id").as("vb"),
       col("embedding").as("eb"), col("n2").as("n2b"))
-    val pairs = a.join(b, Seq("cl"))
+    val pairs = a.join(b, Seq("cl", "__sub"))
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb"),
         cosine(dot(col("ea"), col("eb")), col("n2a"), col("n2b"))

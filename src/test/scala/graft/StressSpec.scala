@@ -108,6 +108,15 @@ class StressSpec extends AnyFunSuite {
         k = 32, dim = 64, tau = 0.9)
     }
 
+    // the clusterCap guard under a FORCED-degenerate clustering: k = 1
+    // drops all 20k vectors into one mega-cluster, which uncapped
+    // would self-join all-pairs (2·10⁸ dim-64 cosines); cap = 2000
+    // salts it into ⌈20000/2000⌉ = 10 sub-blocks, ≤ cap² pairs each
+    drive("semDedupSkewCap", budgetSec = 600, minRows = 10L) {
+      operators.Pipeline.semDedup(vecs, "vec_id", "embedding",
+        k = 1, dim = 64, tau = 0.9, clusterCap = 2000)
+    }
+
     // p72: langid serve — the one-broadcast-row shape must survive a
     // corpus whose vocabulary grows with it (hapax tokens)
     drive("langIdScore", budgetSec = 300, minRows = NDocs) {

@@ -455,6 +455,42 @@ class TextApiSpec extends AnyFunSuite {
     assert(math.abs(d2(4L) - 7.88) < 1e-9, s"d2: $d2")
   }
 
+  test("semDedup clusterCap: a mega-cluster is salted into bounded sub-blocks; " +
+      "survivors only grow; n ≤ cap stays bit-identical; cap < 2 rejected") {
+    import spark.implicits._
+    // 12 colinear vectors: ONE transitive dup group in ONE cluster —
+    // exactly the degenerate all-pairs shape the cap exists for
+    val vecs = (1 to 12).map(i => (i.toLong, Array(i.toFloat, 0f)))
+      .toDF("post_key", "v")
+    val base = Pipeline.semDedup(vecs, "post_key", "v", k = 1, dim = 2,
+      tau = 0.99).collect().map(_.getLong(0)).toSet
+    assert(base.size == 1) // one group → one representative
+    val capped = Pipeline.semDedup(vecs, "post_key", "v", k = 1, dim = 2,
+      tau = 0.99, clusterCap = 4).collect().map(_.getLong(0)).toSet
+    // expected: per occupied md5 sub-block (nSub = ⌈12/4⌉ = 3) the
+    // farthest-from-centroid member survives; d2 cross-checked from the
+    // independently-gated kmeansCluster assignment, block membership
+    // from the engine's own salt expression
+    val d2 = Pipeline.kmeansCluster(vecs, "post_key", "v", k = 1, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val salts = (1 to 12).map(_.toLong).toDF("post_key")
+      .select(col("post_key"),
+        Pipeline.subClusterSalt(col("post_key"), lit(3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = salts.groupBy(_._2).values
+      .map(_.keys.toSeq.maxBy(id => (d2(id), -id))).toSet
+    assert(capped == expected, s"capped=$capped expected=$expected salts=$salts")
+    assert(base.subsetOf(capped)) // the cap only ever KEEPS more
+    assert(capped.size == salts.values.toSet.size)
+    // a cluster at exactly the cap takes the unsalted arm → identical
+    val atCap = Pipeline.semDedup(vecs, "post_key", "v", k = 1, dim = 2,
+      tau = 0.99, clusterCap = 12).collect().map(_.getLong(0)).toSet
+    assert(atCap == base)
+    intercept[IllegalArgumentException](
+      Pipeline.semDedup(vecs, "post_key", "v", k = 1, dim = 2, tau = 0.99,
+        clusterCap = 1))
+  }
+
   test("temperatureSample: α interpolates natural → uniform; quotas clamp " +
       "without redistribution; nested prefixes; alien columns") {
     import spark.implicits._
