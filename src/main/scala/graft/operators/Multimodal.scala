@@ -32,15 +32,21 @@ object Multimodal {
     * carries. */
   final case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
 
-  /** Decoder output: fixed-width features a training pipeline joins on. */
+  /** Decoder output: fixed-width features a training pipeline joins on.
+    * `decoded` separates the two provenance classes that share this
+    * shape: true = a real JDK codec measured the payload (width/height
+    * are actual pixels), false = the deterministic byte-derived stub
+    * (video / non-WAV codecs the JDK lacks) — a consumer mixing mimes
+    * filters on it instead of maintaining a mime allowlist. */
   final case class MediaFeatures(
       doc_id: Long,
       mime: String,
       n_bytes: Long,
       head_hex: String,
-      width: Int,      // real for image mimes; stub-derived otherwise
+      width: Int,      // real when decoded; stub-derived otherwise
       height: Int,
-      n_frames: Int)   // 1 for still images; stub-derived otherwise
+      n_frames: Int,   // 1 for still images; stub-derived otherwise
+      decoded: Boolean)
 
   /** Null-safe payload view: a NULL binary cell (e.g. a null-text
     * document through [[fromDocuments]]) decodes like an empty payload
@@ -66,7 +72,8 @@ object Multimodal {
       head_hex = head,
       width = 16 + (if (n == 0) 0 else (p(0) & 0x7f)),
       height = 16 + (if (n < 2) 0 else (p(1) & 0x7f)),
-      n_frames = n / 100)
+      n_frames = n / 100,
+      decoded = false)
   }
 
   /** Real image decode into the [[MediaFeatures]] shape: actual
@@ -84,7 +91,8 @@ object Multimodal {
       head_hex = p.take(8).map(b => f"${b & 0xff}%02X").mkString,
       width = img.getWidth,
       height = img.getHeight,
-      n_frames = 1)
+      n_frames = 1,
+      decoded = true)
   }
 
   /** The decode/feature-extract stage: one decoder "session" per

@@ -22,6 +22,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0).n_bytes == 250 && out(0).n_frames == 2)
     assert(out(0).head_hex == "0001020304050607")
     assert(out(0).width == 16 + 0 && out(0).height == 16 + 1)
+    // stub features are flagged as such — a consumer filters on
+    // `decoded` instead of keeping a mime allowlist
+    assert(out.forall(!_.decoded))
     assert(out(1).n_bytes == 0 && out(1).n_frames == 0 && out(1).head_hex == "")
     // a NULL payload (null-text document) decodes like an empty one
     assert(out(2).n_bytes == 0 && out(2).n_frames == 0 && out(2).head_hex == "")
@@ -98,6 +101,7 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.extractFeatures(ds).collect().head
     assert(f.width == 8 + 42 % 13 && f.height == 8 + 42 % 7 && f.n_frames == 1)
     assert(f.head_hex == "89504E470D0A1A0A")
+    assert(f.decoded) // real codec measured it
   }
 
   test("audio: WAV encode→decode round-trips real metadata and amplitude sums") {
