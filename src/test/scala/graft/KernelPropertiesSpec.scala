@@ -64,6 +64,82 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }, n = 30)
   }
 
+  test("canonArray/canonMap: injective over adversarial nested values " +
+      "(10⁴ randomized cases), NULL ≠ empty ≠ [NULL] separations hold") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("arr", ArrayType(StringType, containsNull = true)),
+      StructField("m", MapType(StringType, StringType,
+        valueContainsNull = true))))
+    def encode(rows: Seq[Row]) = spark
+      .createDataFrame(rows.asJava, schema)
+      .select(col("id"), QueryDef.canonArray(col("arr")).as("ea"),
+        QueryDef.canonMap(col("m")).as("em"))
+      .collect()
+
+    // the whole driver comparator rests on these encoders being
+    // injective: a silent collision turns a real mismatch into a green
+    // gate. Fuzz with every trigger character, the NULL token, escapes,
+    // empties, astral + combining chars — and check injectivity ACROSS
+    // batches (a global encoding→value map), not just within one.
+    val piece = Gen.oneOf("", "NULL", ",", "[", "]", "{", "}", "\"",
+      "\\", ":", "a", "b9", " ", "\\\"", "NUL", "NULLX", "\\N", "a,b",
+      "\"a\"", "😀", "é")
+    val str = Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, piece))
+      .map(_.mkString)
+    val elem = Gen.frequency(1 -> Gen.const(null: String), 5 -> str)
+    val arrGen: Gen[Seq[String]] = Gen.frequency(
+      1 -> Gen.const(null: Seq[String]),
+      1 -> Gen.const(Seq.empty[String]),
+      8 -> Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, elem)))
+    val mapGen: Gen[Map[String, String]] = Gen.frequency(
+      1 -> Gen.const(null: Map[String, String]),
+      8 -> Gen.choose(0, 3)
+        .flatMap(n => Gen.listOfN(n, Gen.zip(str, elem))).map(_.toMap))
+
+    val arrByEnc = scala.collection.mutable.Map
+      .empty[Option[String], Option[List[String]]]
+    val arrByVal = scala.collection.mutable.Map
+      .empty[Option[List[String]], Option[String]]
+    val mapByEnc = scala.collection.mutable.Map
+      .empty[Option[String], Option[Map[String, String]]]
+    val mapByVal = scala.collection.mutable.Map
+      .empty[Option[Map[String, String]], Option[String]]
+    check(Prop.forAll(Gen.listOfN(250, Gen.zip(arrGen, mapGen))) { batch =>
+      val rows = batch.zipWithIndex.map { case ((a, m), i) => Row(i, a, m) }
+      encode(rows).forall { r =>
+        val (a, m) = batch(r.getInt(0))
+        val (ka, km) = (Option(a).map(_.toList), Option(m))
+        val (ea, em) = (Option(r.getString(1)), Option(r.getString(2)))
+        // distinct values → distinct encodings (enc→val stays single-
+        // valued) AND same value → same encoding (val→enc too)
+        arrByEnc.getOrElseUpdate(ea, ka) == ka &&
+          arrByVal.getOrElseUpdate(ka, ea) == ea &&
+          mapByEnc.getOrElseUpdate(em, km) == km &&
+          mapByVal.getOrElseUpdate(km, em) == em
+      }
+    }, n = 40) // 40 batches × 250 values = 10⁴ cases
+
+    // the documented separations, pinned to their exact literals
+    val sep = encode(Seq(
+      Row(0, null, null),
+      Row(1, Seq.empty[String], Map.empty[String, String]),
+      Row(2, Seq(null: String), Map("k:a" -> "b")),
+      Row(3, Seq("NULL"), Map("k" -> "a:b")),
+      Row(4, Seq(""), Map("k" -> (null: String)))))
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(sep(0)._1 == null && sep(0)._2 == null)
+    assert(sep(1) == (("[]", "{}")))
+    assert(sep(2)._1 == "[NULL]" && sep(3)._1 == "[\"NULL\"]")
+    assert(sep(4)._1 == "[\"\"]")
+    // the r-noted collision class: {k:a → b} must differ from {k → a:b}
+    assert(sep(2)._2 != sep(3)._2)
+    assert(sep(4)._2 == "{k:NULL}")
+  }
+
   test("nfc_normalize: idempotent, matches the JDK reference, never lengthens") {
     import spark.implicits._
     // strings mixing ascii, precomposed, decomposed (combining marks),
