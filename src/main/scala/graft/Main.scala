@@ -502,6 +502,163 @@ object Main {
     counts
   }
 
+  /** `graft dedup` — the flagship near-dup capability (the p34 suite's
+    * chain) as a CLI: exact content-hash dedup, then minhash-LSH
+    * near-dup collapse with the component graph built once and shared
+    * with the optional report output. Fronts
+    * [[operators.Pipeline.dedupChainManaged]] — never a
+    * reimplementation (DedupCliSpec pins CLI ≡ library). */
+  final case class DedupArgs(
+      input: String = "",
+      outputFile: String = "",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      mode: String = "near",
+      jaccardMin: Double = 0.5,
+      bands: Int = 8,
+      rows: Int = 4,
+      reportFile: Option[String] = None,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      multiFile: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      quiet: Boolean = false)
+
+  private[graft] val DedupHelpText =
+    s"""Deduplicates a document corpus: exact content-hash dedup, then
+       |minhash-LSH near-duplicate collapse (one representative per
+       |connected near-dup group)
+       |
+       |Usage: graft dedup [OPTIONS] --input <DIR> --output-file <FILE>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of documents
+       |  -o, --output-file <FILE>    Deduplicated parquet output
+       |      --id-column <C>         Document id column (default doc_id)
+       |      --text-column <C>       Text column (default text)
+       |      --mode <M>              near (default: exact + minhash collapse)
+       |                              or exact (content-hash dedup only)
+       |      --jaccard-min <J>       Near-dup Jaccard threshold (default 0.5)
+       |      --bands <N>             LSH bands (default 8)
+       |      --rows <N>              Minhash rows per band (default 4)
+       |      --report-file <FILE>    Also write the component-size report
+       |                              (csize, n_components, n_docs, docs_removed)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --multi-file            Write one file per task instead of a single file
+       |      --partition-by <C>      Hive-style output partitioning (repeatable)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseDedupArgs(argv: Seq[String]): DedupArgs = {
+    var a = DedupArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(DedupHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--mode" =>
+          val m = take(flag)
+          if (m != "near" && m != "exact")
+            throw new IllegalArgumentException(
+              s"--mode must be 'near' or 'exact', got '$m'")
+          a = a.copy(mode = m)
+        case "--jaccard-min" =>
+          val v = take(flag)
+          val j =
+            try v.toDouble
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"invalid value '$v' for --jaccard-min") }
+          if (j <= 0 || j > 1)
+            throw new IllegalArgumentException(
+              s"--jaccard-min must be in (0, 1], got $v")
+          a = a.copy(jaccardMin = j)
+        case "--bands" => a = a.copy(bands = parsePosInt(flag, take(flag)))
+        case "--rows" => a = a.copy(rows = parsePosInt(flag, take(flag)))
+        case "--report-file" => a = a.copy(reportFile = Some(take(flag)))
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          val v = take(flag)
+          a = a.copy(compressionLevel = Some(
+            try v.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"invalid value '$v' for --compression-level") }))
+        case "--multi-file" => a = a.copy(multiFile = true)
+        case "--partition-by" =>
+          a = a.copy(partitionBy = a.partitionBy :+ take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see dedup --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: dedup [OPTIONS] --input DIR --output-file FILE")
+    if (a.mode == "exact") {
+      // near-layer knobs must not silently no-op under --mode exact
+      val d = DedupArgs()
+      val incompatible = Seq(
+        "--report-file" -> a.reportFile.isDefined,
+        "--jaccard-min" -> (a.jaccardMin != d.jaccardMin),
+        "--bands" -> (a.bands != d.bands),
+        "--rows" -> (a.rows != d.rows)).collect { case (f, true) => f }
+      if (incompatible.nonEmpty)
+        throw new IllegalArgumentException(
+          s"${incompatible.mkString(", ")} belong to the near layer " +
+            "and have no effect with --mode exact")
+    }
+    a
+  }
+
+  private[graft] def runDedup(spark: SparkSession,
+      a: DedupArgs): ParquetSink.WriteStats = {
+    val docs =
+      try spark.read.parquet(a.input)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot read --input '${a.input}': ${e.getMessage}") }
+    Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn)
+      .foreach { case (f, c) =>
+        if (!docs.columns.contains(c))
+          throw new IllegalArgumentException(
+            s"$f column '$c' not found (have: " +
+              s"${docs.columns.sorted.mkString(", ")})")
+      }
+    val sinkOpts = ParquetSink.SinkOptions(
+      compression = a.compression,
+      compressionLevel = a.compressionLevel,
+      singleFile = !a.multiFile,
+      partitionBy = a.partitionBy,
+      quiet = a.quiet)
+    if (a.mode == "exact") {
+      val stats = ParquetSink.write(
+        operators.Pipeline.exactDedup(docs, a.idColumn, a.textColumn),
+        a.outputFile, sinkOpts)
+      if (!a.quiet)
+        System.err.println(s"deduped to ${stats.rows} rows at ${a.outputFile}")
+      return stats
+    }
+    val chain = operators.Pipeline.dedupChainManaged(docs, a.idColumn,
+      a.textColumn, a.jaccardMin, a.bands, a.rows)
+    try {
+      val stats = ParquetSink.write(chain.deduped, a.outputFile, sinkOpts)
+      a.reportFile.foreach { rf =>
+        ParquetSink.write(chain.report, rf, ParquetSink.SinkOptions(quiet = true))
+      }
+      if (!a.quiet)
+        System.err.println(s"deduped to ${stats.rows} rows at ${a.outputFile}")
+      stats
+    } finally chain.release()
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -512,6 +669,7 @@ object Main {
        |Commands:
        |  export  Exports a PostgreSQL table or query to a Parquet file
        |  curate  Cleans a parquet document corpus (dedup, C4, decontamination)
+       |  dedup   Deduplicates a corpus: exact + minhash-LSH near-dup collapse
        |  datacard  Prints doc/token/char totals for a corpus, overall + per stratum
        |  diff    Diffs two corpus snapshots (added / removed / changed per id)
        |
@@ -1005,6 +1163,9 @@ object Main {
       case Some("curate") =>
         return runSubcommand("curate", argv.toSeq.tail, parseCurateArgs,
           runCurate, timestampMicros = true)
+      case Some("dedup") =>
+        return runSubcommand("dedup", argv.toSeq.tail, parseDedupArgs,
+          runDedup, timestampMicros = true)
       case _ =>
     }
     val a =

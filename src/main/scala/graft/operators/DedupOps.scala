@@ -822,6 +822,40 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     collapseByComponents(corpus, idCol, connectedComponents(
       pairs.select(pairs.columns(0), pairs.columns(1))))
 
+  /** The managed two-layer dedup chain of [[dedupChainManaged]]:
+    * `deduped` is the surviving corpus (all caller columns), `report`
+    * the component-size histogram of the NEAR layer ([[dedupReport]]),
+    * `release()` frees the chain's localCheckpoint blocks once both
+    * frames are written/consumed (the [[graft.operators.Curation]]
+    * CleanHandle discipline). */
+  final case class DedupChain(deduped: DataFrame, report: DataFrame,
+      release: () => Unit)
+
+  /** The standard production dedup chain as ONE managed operator —
+    * exact content-hash dedup FIRST (mass-duplicate classes collapse
+    * before LSH ever sees them, which is also what keeps
+    * [[LshBucketCap]] from dropping their buckets), then minhash-LSH
+    * near-dup collapse over the survivors. The component graph is
+    * built ONCE and shared by the collapse and the report (the p34
+    * fan-out stance: at 100 TB the graph build dominates every
+    * consumer). Both intermediates are localCheckpoint-pinned — each
+    * feeds two plan arms — and handed back for release. */
+  def dedupChainManaged(corpus: DataFrame, idCol: String, textCol: String,
+      jaccardMin: Double = DefaultJaccardMin,
+      bands: Int = NumHashes / BandRows, rows: Int = BandRows): DedupChain = {
+    val exact = exactDedup(corpus, idCol, textCol).localCheckpoint()
+    val comps = connectedComponents(
+      minhashNeardupPairs(exact, idCol, textCol, jaccardMin, bands, rows)
+        .select(col("doc_a"), col("doc_b"))).localCheckpoint()
+    DedupChain(
+      collapseByComponents(exact, idCol, comps),
+      dedupReport(comps),
+      () => {
+        releaseLocalCheckpoint(exact, blocking = true)
+        releaseLocalCheckpoint(comps, blocking = true)
+      })
+  }
+
   /** [[collapseNeardups]] from a PRECOMPUTED component table — the
     * (node, component) output of [[connectedComponents]]. Collapse,
     * split and report each need the same pair graph; at 100 TB the
