@@ -256,8 +256,16 @@ final class JdbcReader(
         (s"(SELECT *, ($col)::numeric::float8 AS __graft_part FROM $rel) __graft_p",
           "__graft_part", s"($col)::numeric::float8", true, true)
     }
+    // PG keeps its exact ::text probe; other backends get an ANSI
+    // spelling (TRIM-of-CHAR — Derby allows integer→CHAR but not
+    // →VARCHAR), so the plain numeric/date partitioned path also runs
+    // against non-PG JDBC sources and is testable live in-repo (Derby)
+    val asText: String => String =
+      if (url.startsWith("jdbc:postgresql")) c => s"$c::text"
+      else c => s"TRIM(CAST($c AS CHAR(64)))"
     val b = query(spark,
-      s"SELECT MIN($probeCol)::text AS lo, MAX($probeCol)::text AS hi FROM $rel")
+      s"SELECT ${asText(s"MIN($probeCol)")} AS lo, " +
+        s"${asText(s"MAX($probeCol)")} AS hi FROM $rel")
       .collect()(0)
     if (b.isNullAt(0) || b.isNullAt(1)) // empty relation / all-NULL column
       return unpartitioned
@@ -295,6 +303,13 @@ final class JdbcReader(
     // pointless partitioning options
     if (numericBounds && lo.toLong >= hi.toLong)
       return unpartitioned
+    // the partition plan, made observable (r16 verdict #6): without
+    // this line a mis-strided live export runs silently single-ish —
+    // the [scan] prefix pairs with the sink meter's [sink] lines, so
+    // an export's read parallelism and write progress read together
+    System.err.println(s"[scan] range-partitioned $rel on $col: " +
+      s"$n slices, bounds [$lo, $hi]" +
+      (if (synthetic) " (synthetic numeric stride key)" else ""))
     val df = base(spark).option("dbtable", scanRel)
       .option("partitionColumn", scanCol)
       .option("numPartitions", n)

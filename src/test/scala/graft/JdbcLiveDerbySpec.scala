@@ -66,9 +66,41 @@ class JdbcLiveDerbySpec extends AnyFunSuite {
       assert(described.map(_._2.toUpperCase) == Seq("BIGINT", "VARCHAR"))
 
       // n <= 1 degenerates to the plain scan without a bounds probe
-      // (the probe's ::text casts are PG dialect — see scaladoc)
       val single = reader.tablePartitioned(spark, "graft_live_t", "id", 1)
       assert(single.count() == 3)
+    }
+  }
+
+  test("tablePartitioned: live range scan is sliced, exact, and announces " +
+      "its partition plan on stderr (O18 observability)") {
+    withDb { conn =>
+      val st = conn.createStatement()
+      try {
+        try st.execute("DROP TABLE graft_live_part") catch { case _: Exception => }
+        st.execute(
+          "CREATE TABLE graft_live_part (id BIGINT NOT NULL, v VARCHAR(10))")
+        (1 to 20).foreach(i =>
+          st.execute(s"INSERT INTO graft_live_part VALUES ($i, 'r$i')"))
+      } finally st.close()
+
+      val reader = new JdbcReader(url)
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      val part =
+        try reader.tablePartitioned(spark, "graft_live_part", "id", 4)
+        finally System.setErr(old)
+      // ANSI-CAST bounds probe ran live (MIN=1, MAX=20), 4 range
+      // slices, every row exactly once across slices
+      assert(part.rdd.getNumPartitions == 4)
+      val ids = part.collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (1L to 20L))
+      // the partition plan is observable: a mis-strided export is no
+      // longer silent
+      val err = buf.toString("UTF-8")
+      assert(err.contains(
+        "[scan] range-partitioned graft_live_part on id: 4 slices, " +
+          "bounds [1, 20]"), s"stderr was: $err")
     }
   }
 
