@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * check one order of magnitude up).
   *
   * OPT-IN like LivePgSpec: canceled unless `GRAFT_STRESS=1` — the
-  * corpus build plus five heavy drives cost minutes, which the default
-  * suite must not. Run with:
+  * corpus build plus the heavy drives cost minutes, which the default
+  * suite must not. Run ONCE PER ROUND as part of the closing
+  * certification with:
   * {{{ GRAFT_STRESS=1 sbt "testOnly graft.StressSpec" }}}
+  * Each drive's wall time is committed to `tools/stress_history.json`
+  * under the bench protocol's min-ratchet (committed keys are monotone
+  * non-increasing; the 0-rise gate applies at round close), so scale
+  * regressions are as undeniable as the sf0.1 bench ones.
   *
   * The corpus is generated DISTRIBUTED and deterministically (Spark
   * `hash`-derived word salad — no driver loops, no RNG state): 20% of
@@ -30,6 +35,7 @@ class StressSpec extends AnyFunSuite {
   private val NDocs = 50000L
   private val NVecs = 20000L
   private val Dir = "target/stress"
+  private val captured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
   private def ensureCorpus(): (DataFrame, DataFrame) = {
     val docsPath = s"$Dir/docs.parquet"
@@ -78,6 +84,7 @@ class StressSpec extends AnyFunSuite {
     val frame = df
     val n = frame.count()
     val secs = (System.nanoTime() - t0) / 1e9
+    captured(name) = secs
     info(f"$name: $n rows in $secs%.1f s (budget $budgetSec s)")
     assert(n >= minRows, s"$name returned $n rows, expected >= $minRows")
     val plan = frame.queryExecution.executedPlan.toString
@@ -209,5 +216,111 @@ class StressSpec extends AnyFunSuite {
       operators.Pipeline.knMinKProb(
         docs.filter(col("doc_id") % 10 === 0), docs, "doc_id", "text")
     }
+
+    // p02: the minhash-LSH chain — the 10k near-dup pairs (two hapax
+    // tokens differ per pair, so shingle Jaccard ≈ 0.9, not 1.0) must
+    // surface through the banded shuffle; LSH recall loses at most a
+    // handful at J ≈ 0.9 under the 8×4 scheme
+    drive("minhashNeardupPairs", budgetSec = 600, minRows = 9500L) {
+      operators.Pipeline.minhashNeardupPairs(docs, "doc_id", "text",
+        jaccardMin = 0.8)
+    }
+
+    // p78: CMS over a vocabulary that grows with the corpus (2 hapax
+    // tokens per doc) — the partial agg stays bounded by depth×width
+    // cells per mapper, never by vocab
+    drive("cmsSketch", budgetSec = 300) {
+      operators.Pipeline.cmsSketch(docs, "text", depth = 4, width = 1 << 14)
+    }
+
+    // p82: BM25 postings + top-k retrieval with the df table
+    // AQE-decided (the r16 de-hinted gate) — at hapax-growing vocab
+    // the join must not force a driver-sized broadcast
+    drive("bm25Retrieval", budgetSec = 600, minRows = 400L) {
+      val postings = operators.Pipeline.bm25Postings(docs, "doc_id", "text")
+      operators.Pipeline.sparseTopK(postings,
+        postings.filter(col("doc_id") < 50), k = 10)
+    }
+
+    // p75: the dedup-ladder report — exact + near (the p02 component
+    // graph) + substring layers audited in one aggregation pass
+    drive("dedupLadderReport", budgetSec = 600) {
+      val comps = operators.Pipeline.connectedComponents(
+        operators.Pipeline.minhashNeardupPairs(docs, "doc_id", "text",
+          jaccardMin = 0.8).select(col("doc_a"), col("doc_b")))
+      operators.Pipeline.dedupLadderReport(docs, "doc_id", "text", comps,
+        substringMinLen = 20)
+    }
+
+    // commit the per-drive wall times to the min-ratchet: like the
+    // bench history, the committed record is monotone non-increasing
+    // per key, so an ambient-load run can never raise it and a
+    // complexity regression at 10× scale is as undeniable as an sf0.1
+    // one (r16 verdict #1)
+    val merged = StressSpec.mergeStressHistory(
+      StressSpec.readHistory(StressSpec.HistoryPath), captured.toMap)
+    StressSpec.writeHistory(StressSpec.HistoryPath, merged)
+    info(s"stress history committed: ${merged.size} keys -> " +
+      StressSpec.HistoryPath)
+  }
+
+  test("stress history merge: committed keys never rise, absent keys carry forward") {
+    // always-run pin of the ratchet rule (the BenchSpec stance)
+    val merged = StressSpec.mergeStressHistory(
+      Map("a" -> 10.0, "b" -> 5.0, "gone" -> 7.0),
+      Map("a" -> 12.0, "b" -> 4.0, "new" -> 3.0))
+    assert(merged == Map(
+      "a" -> 10.0,   // captured higher -> committed value holds
+      "b" -> 4.0,    // captured lower -> ratchet tightens
+      "gone" -> 7.0, // failed/removed this run -> carried forward
+      "new" -> 3.0)) // new drive enters at its captured value
+    // non-positive history values never lock a key at an invalid floor
+    assert(StressSpec.mergeStressHistory(Map("a" -> -1.0),
+      Map("a" -> 2.0)) == Map("a" -> 2.0))
+    // round-trip through the on-disk format
+    val tmp = java.nio.file.Files.createTempFile("stress-hist", ".json")
+      .toString
+    StressSpec.writeHistory(tmp, merged)
+    assert(StressSpec.readHistory(tmp) == merged)
+    assert(StressSpec.readHistory("/nonexistent/x.json").isEmpty)
+  }
+}
+
+object StressSpec {
+  val HistoryPath = "tools/stress_history.json"
+
+  /** Per-key min-merge, the bench-history ratchet rule: captured keys
+    * take min(committed, captured); new keys enter at their captured
+    * value; history-only keys carry forward (one transient failure
+    * cannot erase a committed record); non-positive committed values
+    * are ignored rather than locking an invalid floor. */
+  def mergeStressHistory(history: Map[String, Double],
+      captured: Map[String, Double]): Map[String, Double] = {
+    val keys = history.keySet ++ captured.keySet
+    keys.map { k =>
+      k -> ((history.get(k).filter(_ > 0), captured.get(k)) match {
+        case (Some(h), Some(c)) => math.min(h, c)
+        case (Some(h), None) => h
+        case (None, Some(c)) => c
+        case (None, None) => Double.NaN // unreachable: k is in a map
+      })
+    }.toMap
+  }
+
+  def readHistory(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      "\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+
+  def writeHistory(path: String, h: Map[String, Double]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val line = h.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}\n")
+    java.nio.file.Files.write(p, line.getBytes("UTF-8"))
   }
 }
