@@ -659,6 +659,151 @@ object Main {
     } finally chain.release()
   }
 
+  /** `graft split` — leakage-safe train/val/test assignment (the p31
+    * capability) as a CLI: the split is hashed from the near-dup
+    * COMPONENT representative, so a near-duplicate pair can never
+    * straddle train and test. Fronts
+    * [[operators.Pipeline.leakageSafeSplit]] over the same minhash
+    * pair graph as `graft dedup` (SplitCliSpec pins CLI ≡ library). */
+  final case class SplitArgs(
+      input: String = "",
+      outputFile: String = "",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      trainBuckets: Int = 8,
+      valBuckets: Int = 1,
+      jaccardMin: Double = 0.5,
+      bands: Int = 8,
+      rows: Int = 4,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      multiFile: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      quiet: Boolean = false)
+
+  private[graft] val SplitHelpText =
+    s"""Assigns a leakage-safe train/val/test split: the assignment hashes the
+       |near-duplicate COMPONENT representative, so near-dup pairs never
+       |straddle splits (the classic eval-leakage bug of per-doc hashing)
+       |
+       |Usage: graft split [OPTIONS] --input <DIR> --output-file <FILE>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of documents
+       |  -o, --output-file <FILE>    Output with added component + split columns
+       |      --id-column <C>         Document id column (default doc_id)
+       |      --text-column <C>       Text column (default text)
+       |      --train-buckets <N>     Tenths assigned to train (default 8)
+       |      --val-buckets <N>       Tenths assigned to val (default 1; rest = test)
+       |      --jaccard-min <J>       Near-dup Jaccard threshold (default 0.5)
+       |      --bands <N>             LSH bands (default 8)
+       |      --rows <N>              Minhash rows per band (default 4)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --multi-file            Write one file per task instead of a single file
+       |      --partition-by <C>      Hive-style output partitioning (repeatable)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseSplitArgs(argv: Seq[String]): SplitArgs = {
+    var a = SplitArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(SplitHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--train-buckets" =>
+          a = a.copy(trainBuckets = parsePosInt(flag, take(flag)))
+        case "--val-buckets" =>
+          val v = take(flag)
+          val n =
+            try v.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"invalid value '$v' for $flag") }
+          if (n < 0) throw new IllegalArgumentException(s"$flag must be >= 0")
+          a = a.copy(valBuckets = n)
+        case "--jaccard-min" =>
+          val v = take(flag)
+          val j =
+            try v.toDouble
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"invalid value '$v' for --jaccard-min") }
+          if (j <= 0 || j > 1)
+            throw new IllegalArgumentException(
+              s"--jaccard-min must be in (0, 1], got $v")
+          a = a.copy(jaccardMin = j)
+        case "--bands" => a = a.copy(bands = parsePosInt(flag, take(flag)))
+        case "--rows" => a = a.copy(rows = parsePosInt(flag, take(flag)))
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          val v = take(flag)
+          a = a.copy(compressionLevel = Some(
+            try v.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"invalid value '$v' for --compression-level") }))
+        case "--multi-file" => a = a.copy(multiFile = true)
+        case "--partition-by" =>
+          a = a.copy(partitionBy = a.partitionBy :+ take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see split --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: split [OPTIONS] --input DIR --output-file FILE")
+    if (a.trainBuckets + a.valBuckets >= 10)
+      throw new IllegalArgumentException(
+        "--train-buckets + --val-buckets must be < 10 (tenths; the " +
+          "remainder is the test share)")
+    a
+  }
+
+  private[graft] def runSplit(spark: SparkSession,
+      a: SplitArgs): ParquetSink.WriteStats = {
+    val docs =
+      try spark.read.parquet(a.input)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot read --input '${a.input}': ${e.getMessage}") }
+    Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn)
+      .foreach { case (f, c) =>
+        if (!docs.columns.contains(c))
+          throw new IllegalArgumentException(
+            s"$f column '$c' not found (have: " +
+              s"${docs.columns.sorted.mkString(", ")})")
+      }
+    val pairs = operators.Pipeline.minhashNeardupPairs(docs, a.idColumn,
+      a.textColumn, a.jaccardMin, a.bands, a.rows)
+    val split = operators.Pipeline.leakageSafeSplit(docs, a.idColumn,
+      pairs, a.trainBuckets, a.valBuckets)
+    val stats = ParquetSink.write(split, a.outputFile,
+      ParquetSink.SinkOptions(
+        compression = a.compression,
+        compressionLevel = a.compressionLevel,
+        singleFile = !a.multiFile,
+        partitionBy = a.partitionBy,
+        quiet = a.quiet))
+    if (!a.quiet) {
+      // the split histogram is 3-bounded — driver-safe at any scale
+      val counts = spark.read.parquet(a.outputFile)
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      System.err.println(Seq("train", "val", "test")
+        .map(k => s"$k=${counts.getOrElse(k, 0L)}").mkString(" "))
+    }
+    stats
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -670,6 +815,7 @@ object Main {
        |  export  Exports a PostgreSQL table or query to a Parquet file
        |  curate  Cleans a parquet document corpus (dedup, C4, decontamination)
        |  dedup   Deduplicates a corpus: exact + minhash-LSH near-dup collapse
+       |  split   Leakage-safe train/val/test split (near-dups never straddle)
        |  datacard  Prints doc/token/char totals for a corpus, overall + per stratum
        |  diff    Diffs two corpus snapshots (added / removed / changed per id)
        |
@@ -1166,6 +1312,9 @@ object Main {
       case Some("dedup") =>
         return runSubcommand("dedup", argv.toSeq.tail, parseDedupArgs,
           runDedup, timestampMicros = true)
+      case Some("split") =>
+        return runSubcommand("split", argv.toSeq.tail, parseSplitArgs,
+          runSplit, timestampMicros = true)
       case _ =>
     }
     val a =
