@@ -385,7 +385,82 @@ private[operators] trait SketchOps { self: Pipeline.type =>
       .crossJoin(broadcast(tvd))
   }
 
+  /** Zipf rank–frequency slope: least-squares fit of ln(freq) over
+    * ln(rank) across the top-`topK` vocabulary head — the classic
+    * corpus-health diagnostic (natural text sits near slope −1;
+    * template/boilerplate-heavy or gibberish corpora drift off it,
+    * Zipf 1949 / Piantadosi 2014's review). Complements [[vocabGrowth]]
+    * (the Heaps'-law tail view) with the head view.
+    *
+    * Scale shape: one unigram partial agg, then a TakeOrdered top-K —
+    * the rank window runs over K rows only, NEVER a global window over
+    * the (corpus-growing) vocabulary. Determinism: ranks total-ordered
+    * by (count desc, word asc); x/y carry the shared round-9 ln
+    * stance; all four regression sums ride [[graft.QueryDef.dsum]]
+    * (exact order-free decimal addition), so slope and intercept are
+    * bit-identical across engines. Output: ONE row
+    * (n_ranks, slope, intercept). */
+  def zipfSlope(corpus: DataFrame, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2 to fit a line, got $topK")
+    val counts = corpus
+      .select(explode(array_remove(words(col(textCol)), "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val head = counts.orderBy(col("cnt").desc, col("w").asc).limit(topK)
+    val ranked = head.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("w").asc)))
+    val x = round(log(col("rank").cast(DoubleType)), 9)
+    val y = round(log(col("cnt").cast(DoubleType)), 9)
+    val sums = ranked.agg(
+      count(lit(1)).as("n_ranks"),
+      graft.QueryDef.dsum(x).as("sx"),
+      graft.QueryDef.dsum(y).as("sy"),
+      graft.QueryDef.dsum(x * y).as("sxy"),
+      graft.QueryDef.dsum(x * x).as("sxx"))
+    val n = col("n_ranks").cast(DoubleType)
+    sums
+      .withColumn("slope", (n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sxx") - col("sx") * col("sx")))
+      .select(col("n_ranks"),
+        col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / n).as("intercept"))
+  }
+
   private[operators] lazy val sketchQueries: Seq[QueryDef] = Seq(
+    // ---- p112: Zipf rank–frequency slope — [[zipfSlope]] over the
+    // documents table's top-100 vocabulary head. The oracle replays
+    // the unigram counts, the total-ordered top-K, the round-9 ln
+    // points and all four decimal regression sums, then spells the
+    // identical slope/intercept double arithmetic — bit-exact.
+    QueryDef(
+      "p112_zipf_slope",
+      (s, d) => zipfSlope(T.documents(s, d), "text"),
+      Some(s"""
+        WITH w AS (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                   x -> x <> '')) AS w
+          FROM documents),
+        c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY w),
+        h AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w ASC LIMIT 100),
+        r AS (SELECT cnt, CAST(ROW_NUMBER() OVER
+                (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rank FROM h),
+        t AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+                     round(ln(CAST(cnt AS DOUBLE)), 9) AS y FROM r),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+                ${graft.QueryDef.dsumSql("x")} AS sx,
+                ${graft.QueryDef.dsumSql("y")} AS sy,
+                ${graft.QueryDef.dsumSql("x * y")} AS sxy,
+                ${graft.QueryDef.dsumSql("x * x")} AS sxx
+              FROM t),
+        s2 AS (SELECT n_ranks, sx, sy,
+                 (CAST(n_ranks AS DOUBLE) * sxy - sx * sy) /
+                 (CAST(n_ranks AS DOUBLE) * sxx - sx * sx) AS slope
+               FROM s)
+        SELECT n_ranks, slope,
+               (sy - slope * sx) / CAST(n_ranks AS DOUBLE) AS intercept
+        FROM s2""")),
+
     // ---- p78: Count-Min sketch frequency estimates — [[cmsSketch]] /
     // [[cmsEstimate]] at depth 3 × width 64 over the corpus's
     // whitespace tokens, probed with the distinct tokens of the

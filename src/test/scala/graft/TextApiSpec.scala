@@ -435,6 +435,47 @@ class TextApiSpec extends AnyFunSuite {
     assert(again == Map(1L -> lp1, 2L -> lp2, 3L -> lp3))
   }
 
+  test("zipfSlope: exact power-law corpus fits slope −1 and intercept ln(c); " +
+      "head truncation; topK < 2 rejected; deterministic") {
+    import spark.implicits._
+    // freq = 60/rank for ranks 1..4 (counts 60, 30, 20, 15): every
+    // ln-ln point sits exactly on y = ln 60 − x (mod round-9)
+    val wordz = Seq("w1" -> 60, "w2" -> 30, "w3" -> 20, "w4" -> 15)
+    val text = wordz.map { case (w, n) => Seq.fill(n)(w).mkString(" ") }
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Pipeline.zipfSlope(docs, "text", topK = 4).collect().head
+    assert(r.getLong(0) == 4L)
+    // the dsum contract quantizes each regression sum to 4 decimal
+    // places, so the fit sits within ~1e-3 of the ideal line — pin the
+    // EXACT value via a hand-fold of the same arithmetic
+    def round9(v: Double) =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = (1 to 4).map(k => round9(math.log(k.toDouble)))
+    val ys = Seq(60, 30, 20, 15).map(c => round9(math.log(c.toDouble)))
+    val (sx, sy) = (q4(xs.sum), q4(ys.sum))
+    val sxy = q4(xs.zip(ys).map { case (a, b) => a * b }.sum)
+    val sxx = q4(xs.map(a => a * a).sum)
+    val slope = (4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx)
+    assert(r.getDouble(1) == slope && math.abs(slope + 1.0) < 1e-3,
+      s"slope=${r.getDouble(1)} want $slope")
+    assert(r.getDouble(2) == (sy - slope * sx) / 4.0 &&
+      math.abs(r.getDouble(2) - math.log(60)) < 1e-3,
+      s"intercept=${r.getDouble(2)}")
+    // head truncation: only the top-2 ranks enter the fit
+    val r2 = Pipeline.zipfSlope(docs, "text", topK = 2).collect().head
+    // a two-point fit amplifies the 4-dp sum quantization (small
+    // denominator), so the tolerance is looser here
+    assert(r2.getLong(0) == 2L && math.abs(r2.getDouble(1) + 1.0) < 5e-3)
+    intercept[IllegalArgumentException](
+      Pipeline.zipfSlope(docs, "text", topK = 1))
+    val again = Pipeline.zipfSlope(docs, "text", topK = 4).collect().head
+    assert(again.getDouble(1) == r.getDouble(1) &&
+      again.getDouble(2) == r.getDouble(2))
+  }
+
   test("semDedup: prunes same-direction groups to the farthest-from-centroid " +
       "representative; orthogonal vectors survive; alien columns") {
     import spark.implicits._
