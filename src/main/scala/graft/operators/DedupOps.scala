@@ -421,6 +421,31 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .filter(col("__rk") === 1)
       .drop("__rk")
 
+  /** Word-order-insensitive exact dedup: the canonical key is the md5
+    * of the SORTED token multiset, so a doc whose words were merely
+    * permuted (scraped tables re-serialized in a different order,
+    * shuffled-sentence plagiarism, list pages) collapses onto its
+    * twin even though the byte-level hash differs — the cheap
+    * order-free layer between [[exactDedup]] (misses any reorder) and
+    * [[minhashNeardupPairs]] (pays LSH for what is really an exact
+    * multiset match). Multiset, not set: duplicate words are KEPT by
+    * the sort, so "big big data" never collapses onto "big data".
+    * Keeps the min-id row per key; NULL text never matches anything
+    * (per-row synthetic key — the [[exactDedup]] stance); whitespace
+    * runs normalize away (empty tokens removed). One shuffle on the
+    * 128-bit digest, token sort entirely map-side. */
+  def dedupBagOfWords(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(coalesce(
+            md5(array_join(array_sort(
+              array_remove(words(col(textCol)), "")), " ")),
+            concat(lit("n:"), col(idCol).cast(StringType))))
+          .orderBy(col(idCol))))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+
   /** Incremental admission of an incoming shard against an EXISTING
     * corpus — the p23 plan as a reusable operator: drop incoming rows
     * whose exact content hash OR near-dup band signature already
@@ -1245,6 +1270,57 @@ private[operators] trait DedupOps { self: Pipeline.type =>
   /** DedupOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
   private[operators] lazy val dedupQueries: Seq[QueryDef] = Seq(
+    // ---- p113: bag-of-words dedup — [[dedupBagOfWords]] must collapse
+    // word-order-permuted copies that byte-level exact dedup provably
+    // misses. The fixture corpus has no natural permuted twins, so the
+    // gate synthesizes them (the p108 injected-marker trick): every odd
+    // doc's text is REPLACED by the descending-sorted word order of its
+    // predecessor's text — a true permutation (same multiset, different
+    // bytes except for ≤1-word docs). The oracle replays the twin
+    // construction, the sorted-multiset key (DuckDB list_sort and
+    // Spark array_sort agree on binary UTF-8 string order), the min-id
+    // window and the NULL-text synthetic-key rule.
+    QueryDef(
+      "p113_bow_dedup",
+      (s, d) => {
+        val base = T.documents(s, d).select(col("doc_id"), col("text"))
+        val prev = base.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__pt"))
+        val marked = base.join(prev, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 2 === 1 && col("__pt").isNotNull,
+              array_join(sort_array(
+                array_remove(words(col("__pt")), ""), asc = false), " "))
+              .otherwise(col("text")).as("t"))
+        dedupBagOfWords(marked, "doc_id", "t")
+          .select(col("doc_id"), md5(col("t")).as("content_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH prev AS (
+          SELECT doc_id + 1 AS doc_id, text AS pt FROM documents),
+        m AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 2 = 1 AND p.pt IS NOT NULL
+                      THEN array_to_string(list_reverse_sort(
+                             list_filter(string_split_regex(p.pt, '\s+'),
+                               x -> x <> '')), ' ')
+                      ELSE d.text END AS t
+          FROM documents d LEFT JOIN prev p USING (doc_id)),
+        k AS (
+          SELECT doc_id, t,
+                 COALESCE(md5(array_to_string(list_sort(
+                     list_filter(string_split_regex(t, '\s+'),
+                       x -> x <> '')), ' ')),
+                   'n:' || CAST(doc_id AS VARCHAR)) AS bk
+          FROM m),
+        r AS (
+          SELECT doc_id, t,
+                 ROW_NUMBER() OVER (PARTITION BY bk ORDER BY doc_id) AS rk
+          FROM k)
+        SELECT doc_id, md5(t) AS content_md5
+        FROM r WHERE rk = 1 ORDER BY doc_id""")),
+
     // ---- p01: exact deduplication via content hash — one shuffle on the
     // 128-bit digest; representative = min doc_id per group. At 100 TB
     // the digest groupBy is the canonical exact-dedup plan (no text

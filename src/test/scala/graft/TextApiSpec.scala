@@ -1252,6 +1252,26 @@ class TextApiSpec extends AnyFunSuite {
       Seq((3L, "b"), (7L, "c")))
   }
 
+  test("dedupBagOfWords: permuted copies collapse (where exactDedup keeps both), " +
+      "multiset not set, NULL-text rows all kept, whitespace normalizes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "big data is fast", "a"),      // original
+      (2L, "fast is big data", "b"),      // permutation → dropped
+      (3L, "big  data is   fast", "c"),   // whitespace runs → dropped
+      (4L, "big data fast", "d"),         // missing a word → kept
+      (5L, "big big data is fast", "e"),  // extra duplicate word → kept
+      (6L, null.asInstanceOf[String], "f"),
+      (7L, null.asInstanceOf[String], "g"))
+      .toDF("post_key", "body", "tag")
+    val kept = Pipeline.dedupBagOfWords(df, "post_key", "body")
+    assert(kept.columns.toSeq == Seq("post_key", "body", "tag"))
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L, 5L, 6L, 7L))
+    // the byte-level layer provably misses the permutation
+    assert(Pipeline.exactDedup(df, "post_key", "body").count() == 7L)
+  }
+
   test("exactDedup keeps every NULL-text row; admit/rebalance guard their inputs") {
     import spark.implicits._
     // NULL text never matches anything — md5(NULL) is NULL and the
