@@ -804,6 +804,153 @@ object Main {
     stats
   }
 
+  /** `graft tokenize` — the tokenizer workflow (the p53/p74 chain) as
+    * a CLI: train a BPE merge list on the corpus, encode every doc to
+    * integer token ids, optionally pack the id stream into fixed-length
+    * training chunks, and optionally persist the merge list + vocab as
+    * parquet artifacts. Fronts [[operators.Pipeline.bpeTrain]] /
+    * [[operators.Pipeline.bpeVocab]] /
+    * [[operators.Pipeline.bpeEncodeIds]] /
+    * [[operators.Pipeline.packTokenIds]] (TokenizeCliSpec pins CLI ≡
+    * library). */
+  final case class TokenizeArgs(
+      input: String = "",
+      outputFile: String = "",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      merges: Int = 1000,
+      minPairCount: Int = 2,
+      mergesFile: Option[String] = None,
+      vocabFile: Option[String] = None,
+      pack: Option[Int] = None,
+      shardColumn: Option[String] = None,
+      sepId: Int = -1,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      multiFile: Boolean = false,
+      quiet: Boolean = false)
+
+  private[graft] val TokenizeHelpText =
+    s"""Trains a BPE tokenizer on a corpus and encodes it to token ids,
+       |optionally packing the id stream into fixed-length training chunks
+       |
+       |Usage: graft tokenize [OPTIONS] --input <DIR> --output-file <FILE>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of documents
+       |  -o, --output-file <FILE>    Encoded output: per-doc rows with bpe_ids,
+       |                              or (chunk_id, ids) rows with --pack
+       |      --id-column <C>         Document id column (default doc_id)
+       |      --text-column <C>       Text column (default text)
+       |      --merges <N>            BPE merges to train (default 1000)
+       |      --min-pair-count <N>    Minimum pair count per merge (default 2)
+       |      --merges-file <FILE>    Also write the merge list as parquet
+       |      --vocab-file <FILE>     Also write the (id, symbol) vocab as parquet
+       |      --pack <L>              Pack ids into context-length-L chunks
+       |      --shard-column <C>      Packing shard column (default: 32 md5-derived
+       |                              shards from the id column)
+       |      --sep-id <N>            Separator id between docs (default -1)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --multi-file            Write one file per task instead of a single file
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseTokenizeArgs(argv: Seq[String]): TokenizeArgs = {
+    var a = TokenizeArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    def takeInt(flag: String): Int = {
+      val v = take(flag)
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"invalid value '$v' for $flag") }
+    }
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(TokenizeHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--merges" => a = a.copy(merges = parsePosInt(flag, take(flag)))
+        case "--min-pair-count" =>
+          a = a.copy(minPairCount = parsePosInt(flag, take(flag)))
+        case "--merges-file" => a = a.copy(mergesFile = Some(take(flag)))
+        case "--vocab-file" => a = a.copy(vocabFile = Some(take(flag)))
+        case "--pack" => a = a.copy(pack = Some(parsePosInt(flag, take(flag))))
+        case "--shard-column" => a = a.copy(shardColumn = Some(take(flag)))
+        case "--sep-id" => a = a.copy(sepId = takeInt(flag))
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          a = a.copy(compressionLevel = Some(takeInt(flag)))
+        case "--multi-file" => a = a.copy(multiFile = true)
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see tokenize --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: tokenize [OPTIONS] --input DIR --output-file FILE")
+    if (a.pack.isEmpty && a.shardColumn.isDefined)
+      throw new IllegalArgumentException(
+        "--shard-column only applies with --pack")
+    a
+  }
+
+  private[graft] def runTokenize(spark: SparkSession,
+      a: TokenizeArgs): ParquetSink.WriteStats = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs =
+      try spark.read.parquet(a.input)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot read --input '${a.input}': ${e.getMessage}") }
+    (Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn) ++
+      a.shardColumn.map("--shard-column" -> _))
+      .foreach { case (f, c) =>
+        if (!docs.columns.contains(c))
+          throw new IllegalArgumentException(
+            s"$f column '$c' not found (have: " +
+              s"${docs.columns.sorted.mkString(", ")})")
+      }
+    val merges = operators.Pipeline.bpeTrain(docs, a.textColumn,
+      a.merges, a.minPairCount.toLong)
+    a.mergesFile.foreach(f => ParquetSink.write(merges, f,
+      ParquetSink.SinkOptions(quiet = true)))
+    val vocab = operators.Pipeline.bpeVocab(docs, a.textColumn, merges)
+    a.vocabFile.foreach(f => ParquetSink.write(vocab, f,
+      ParquetSink.SinkOptions(quiet = true)))
+    val encoded = operators.Pipeline.bpeEncodeIds(docs, a.textColumn,
+      merges, vocab)
+    val out = a.pack match {
+      case None => encoded
+      case Some(l) =>
+        // default sharding: 32 md5-derived shards from the id column —
+        // deterministic, and the packing windows stay per-shard-sized
+        // instead of one global partition
+        val sharded = a.shardColumn match {
+          case Some(sc) => encoded.withColumn("__shard", col(sc))
+          case None => encoded.withColumn("__shard",
+            operators.Pipeline.subClusterSalt(col(a.idColumn), lit(32)))
+        }
+        operators.Pipeline.packTokenIds(sharded, a.idColumn, "__shard",
+          "bpe_ids", l, a.sepId)
+    }
+    val stats = ParquetSink.write(out, a.outputFile,
+      ParquetSink.SinkOptions(
+        compression = a.compression,
+        compressionLevel = a.compressionLevel,
+        singleFile = !a.multiFile,
+        quiet = a.quiet))
+    if (!a.quiet)
+      System.err.println(s"tokenized to ${stats.rows} rows at ${a.outputFile}")
+    stats
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -816,6 +963,7 @@ object Main {
        |  curate  Cleans a parquet document corpus (dedup, C4, decontamination)
        |  dedup   Deduplicates a corpus: exact + minhash-LSH near-dup collapse
        |  split   Leakage-safe train/val/test split (near-dups never straddle)
+       |  tokenize  Trains a BPE tokenizer, encodes token ids, packs chunks
        |  datacard  Prints doc/token/char totals for a corpus, overall + per stratum
        |  diff    Diffs two corpus snapshots (added / removed / changed per id)
        |
@@ -1315,6 +1463,9 @@ object Main {
       case Some("split") =>
         return runSubcommand("split", argv.toSeq.tail, parseSplitArgs,
           runSplit, timestampMicros = true)
+      case Some("tokenize") =>
+        return runSubcommand("tokenize", argv.toSeq.tail, parseTokenizeArgs,
+          runTokenize, timestampMicros = true)
       case _ =>
     }
     val a =
