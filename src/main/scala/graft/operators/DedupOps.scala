@@ -53,6 +53,36 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .filter(col("jaccard") >= jaccardMin)
   }
 
+  /** One-permutation MinHash signatures ([[graft.plans.OphSignature]]
+    * — Li/Owen/Zhang NIPS'12 + Shrivastava/Li ICML'14 densification):
+    * the k-slot MinHash signature computed with ONE hash evaluation
+    * per shingle instead of k — slot agreement / k estimates Jaccard
+    * exactly like the classic signature, at 1/k the per-element cost
+    * of the signature map pass (the whole-corpus stage at 100 TB).
+    * Shares [[minhashNeardupPairs]]'s 5-gram shingle construction, so
+    * signatures are comparable across any two corpora processed by
+    * this library. Docs under 5 words carry no signature (the p02
+    * contract). Output: (doc_id, oph_sig array&lt;long&gt;). Use
+    * [[ophAgreement]] for the pairwise estimate. */
+  def ophSignatures(corpus: DataFrame, idCol: String, textCol: String,
+      numBins: Int = 32): DataFrame = {
+    require(numBins >= 1 && numBins <= 64,
+      s"numBins must be in [1, 64], got $numBins")
+    corpus
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"),
+        call_function("oph_sig", shingleHashes(col("ws")), lit(numBins))
+          .as("oph_sig"))
+  }
+
+  /** Jaccard estimate from two [[ophSignatures]] columns: matching
+    * slots / numBins, entirely map-side. */
+  def ophAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v).cast(DoubleType) /
+      size(a).cast(DoubleType)
+
   /** Shared candidate generation for [[minhashNeardupPairs]] and
     * [[minhashAccuracyReport]]: (per-doc distinct shingle-hash arrays
     * — persisted, the expensive artifact; per-doc signature arrays;
@@ -1320,6 +1350,54 @@ private[operators] trait DedupOps { self: Pipeline.type =>
           FROM k)
         SELECT doc_id, md5(t) AS content_md5
         FROM r WHERE rk = 1 ORDER BY doc_id""")),
+
+    // ---- p114: one-permutation MinHash signatures —
+    // [[ophSignatures]] at 16 bins over every (≥ 5-word) document.
+    // The oracle replays the 5-gram shingle-hash set (the p02 CTE
+    // arithmetic), the single (x+7) mod P hash, the per-bin minimum
+    // quotient, and the rotation densification with its +P·t offsets
+    // via nested list lambdas — every slot of every signature
+    // bit-exact. At sf0.01 both genuinely-occupied and densified
+    // (borrowed) slots occur: 16 bins over 30-120 shingles leaves
+    // empty bins on the short docs.
+    QueryDef(
+      "p114_oph_signature",
+      (s, d) =>
+        ophSignatures(T.documents(s, d), "doc_id", "text", numBins = 16)
+          .select(col("doc_id"),
+            graft.QueryDef.canonArray(col("oph_sig")).as("oph_sig"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+          WHERE len(string_split_regex(text, '\\s+')) >= 5),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8)
+                   AS BIGINT) AS x
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+        h AS (SELECT doc_id, (x + 7) % $MinhashP AS h FROM sh),
+        bm AS (
+          SELECT doc_id, h % 16 AS bin, MIN(h // 16) AS v
+          FROM h GROUP BY doc_id, h % 16),
+        grid AS (
+          SELECT s.doc_id, t.j, bm.v
+          FROM (SELECT DISTINCT doc_id FROM sh) s
+          CROSS JOIN unnest(range(0, 16)) t(j)
+          LEFT JOIN bm ON bm.doc_id = s.doc_id AND bm.bin = t.j),
+        packed AS (
+          SELECT doc_id, list(v ORDER BY j) AS vals FROM grid GROUP BY doc_id),
+        dens AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16), j ->
+                   list_filter(list_transform(range(0, 16), t ->
+                     CASE WHEN vals[((j + t) % 16) + 1] IS NOT NULL
+                          THEN vals[((j + t) % 16) + 1] + $MinhashP * t
+                     END), u -> u IS NOT NULL)[1]) AS sig
+          FROM packed)
+        SELECT doc_id,
+               '[' || array_to_string(sig, ',') || ']' AS oph_sig
+        FROM dens ORDER BY doc_id""")),
 
     // ---- p01: exact deduplication via content hash — one shuffle on the
     // 128-bit digest; representative = min doc_id per group. At 100 TB

@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("minhash_sig", 2)(c => MinhashSignature(c(0),
         TextHashes.litInt(c(1), "minhash_sig: numHashes")))))
     ext.injectFunction((
+      new FunctionIdentifier("oph_sig"),
+      new ExpressionInfo(classOf[OphSignature].getName, "oph_sig"),
+      arity("oph_sig", 2)(c => OphSignature(c(0),
+        TextHashes.litInt(c(1), "oph_sig: numBins")))))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimhashFingerprint].getName, "simhash_fp"),
       arity("simhash_fp", 2)(c => SimhashFingerprint(c(0),
