@@ -83,6 +83,56 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       lit(0L), (acc, v) => acc + v).cast(DoubleType) /
       size(a).cast(DoubleType)
 
+  /** Near-dup pairs over [[ophSignatures]] — the [[minhashNeardupPairs]]
+    * pipeline (band buckets → [[LshBucketCap]] → exact-Jaccard verify)
+    * with the one-permutation signature supplying the bands, so the
+    * full-corpus signature map pass costs ONE hash per shingle instead
+    * of bands·rows. Same output contract: (doc_a, doc_b, jaccard ≥
+    * `jaccardMin`), same verification arithmetic — only the CANDIDATE
+    * set differs (OPH's slot randomness vs k independent hashes; both
+    * are unbiased Jaccard samplers, so the S-curve tuning of
+    * [[minhashBandPlan]] applies unchanged). */
+  def ophNeardupPairs(corpus: DataFrame, idCol: String, textCol: String,
+      jaccardMin: Double = DefaultJaccardMin,
+      bands: Int = 4, rows: Int = 4): DataFrame = {
+    require(bands >= 1 && rows >= 1,
+      s"need bands, rows >= 1, got ($bands, $rows)")
+    val k = bands * rows
+    val docs = corpus
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 5)
+    val xs = docs
+      .select(col("doc_id"), shingleHashes(col("ws")).as("xs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = xs.select(col("doc_id"),
+      call_function("oph_sig", col("xs"), lit(k)).as("sig"))
+    val bucketed = sigs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), array_join(transform(
+          slice(col("sig"), b * rows + 1, lit(rows)),
+          v => v.cast(StringType)), ",").as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val pairs = bucketed
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= LshBucketCap)
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da") < col("db"))
+      .distinct()
+    pairs
+      .join(xs.as("xa"), col("da") === col("xa.doc_id"))
+      .join(xs.as("xb"), col("db") === col("xb.doc_id"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        size(array_intersect(col("xa.xs"), col("xb.xs")))
+          .cast(DoubleType).as("c"),
+        size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+  }
+
   /** Shared candidate generation for [[minhashNeardupPairs]] and
     * [[minhashAccuracyReport]]: (per-doc distinct shingle-hash arrays
     * — persisted, the expensive artifact; per-doc signature arrays;
@@ -1398,6 +1448,73 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         SELECT doc_id,
                '[' || array_to_string(sig, ',') || ']' AS oph_sig
         FROM dens ORDER BY doc_id""")),
+
+    // ---- p115: OPH near-dup pairs — [[ophNeardupPairs]] at 4×4 bands
+    // over the 16-slot p114 signature: band buckets, the LshBucketCap
+    // guard, and the exact-Jaccard verification all replayed on the
+    // densified one-permutation slots. Certifies the full cheap-
+    // signature dedup path end to end (candidates AND verified pairs),
+    // not just the signature table.
+    QueryDef(
+      "p115_oph_neardup",
+      (s, d) =>
+        ophNeardupPairs(T.documents(s, d), "doc_id", "text")
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+          WHERE len(string_split_regex(text, '\\s+')) >= 5),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8)
+                   AS BIGINT) AS x
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+        h AS (SELECT doc_id, (x + 7) % $MinhashP AS h FROM sh),
+        bm AS (
+          SELECT doc_id, h % 16 AS bin, MIN(h // 16) AS v
+          FROM h GROUP BY doc_id, h % 16),
+        grid AS (
+          SELECT s.doc_id, t.j, bm.v
+          FROM (SELECT DISTINCT doc_id FROM sh) s
+          CROSS JOIN unnest(range(0, 16)) t(j)
+          LEFT JOIN bm ON bm.doc_id = s.doc_id AND bm.bin = t.j),
+        packed AS (
+          SELECT doc_id, list(v ORDER BY j) AS vals FROM grid GROUP BY doc_id),
+        dens AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16), j ->
+                   list_filter(list_transform(range(0, 16), t ->
+                     CASE WHEN vals[((j + t) % 16) + 1] IS NOT NULL
+                          THEN vals[((j + t) % 16) + 1] + $MinhashP * t
+                     END), u -> u IS NOT NULL)[1]) AS sig
+          FROM packed),
+        bnd AS (
+          SELECT doc_id, b,
+                 array_to_string(sig[b*4 + 1 : b*4 + 4], ',') AS key
+          FROM dens, unnest(range(0, 4)) t(b)),
+        buckets AS (
+          SELECT b, key, list_sort(list(DISTINCT doc_id)) AS docs
+          FROM bnd GROUP BY b, key
+          HAVING COUNT(DISTINCT doc_id) > 1
+             AND COUNT(DISTINCT doc_id) <= $LshBucketCap),
+        pairs AS (
+          SELECT DISTINCT ta.da, tb.db
+          FROM buckets, unnest(docs) ta(da), unnest(docs) tb(db)
+          WHERE ta.da < tb.db),
+        ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.da, p.db, COUNT(*) AS c
+          FROM pairs p
+          JOIN sh s1 ON s1.doc_id = p.da
+          JOIN sh s2 ON s2.doc_id = p.db AND s2.x = s1.x
+          GROUP BY p.da, p.db)
+        SELECT i.da AS doc_a, i.db AS doc_b,
+               CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) AS jaccard
+        FROM inter i
+        JOIN ns na ON na.doc_id = i.da
+        JOIN ns nb ON nb.doc_id = i.db
+        WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.5
+        ORDER BY doc_a, doc_b""")),
 
     // ---- p01: exact deduplication via content hash — one shuffle on the
     // 128-bit digest; representative = min doc_id per group. At 100 TB

@@ -122,6 +122,20 @@ class MinhashSignatureSpec extends AnyFunSuite {
     assert(aj > 0.05 && aj < 0.8, s"agreement=$aj")
   }
 
+  test("ophNeardupPairs: exact duplicates always surface (identical sigs " +
+      "collide in every band); verified jaccard is exact") {
+    import spark.implicits._
+    val t1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val t2 = (51 to 80).map(i => s"beta$i").mkString(" ")
+    val docs = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2), (5L, "short text here okay five"))
+      .toDF("post_key", "body")
+    val pairs = operators.Pipeline.ophNeardupPairs(docs, "post_key", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical texts share every slot → collide in EVERY band → found
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (3L, 4L)))
+    assert(pairs.forall(_._3 == 1.0)) // exact verification, not estimate
+  }
+
   test("minhash_sig: null input yields null; wrong element type rejected") {
     import spark.implicits._
     val n = Seq(Option.empty[Array[Long]]).toDF("xs")
