@@ -938,7 +938,106 @@ private[operators] trait TextOps { self: Pipeline.type =>
 
   /** TextOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
+  /** Packing-efficiency report over a [[packTokenIds]] output: ONE row
+    * (n_chunks, n_full, total_tokens, n_separators, fill_rate,
+    * separator_overhead) — the utilization metrics a training-data
+    * team tracks per packed shard (how much of every context window is
+    * real signal, how much separator/padding overhead the doc-length
+    * distribution costs at this L). `total_tokens` counts every filled
+    * slot including separators; only the final chunk can be short, so
+    * fill_rate < 1 measures exactly that tail. One partial agg over
+    * the chunk table — scale-free. */
+  def packingReport(packed: DataFrame, contextLen: Int,
+      sepId: Int): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    packed
+      .select(size(col("ids")).cast(LongType).as("__fill"),
+        size(filter(col("ids"), v => v === sepId)).cast(LongType).as("__seps"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__fill") === contextLen, 1L).otherwise(0L)).as("n_full"),
+        sum(col("__fill")).as("total_tokens"),
+        sum(col("__seps")).as("n_separators"))
+      .select(col("n_chunks"), col("n_full"), col("total_tokens"),
+        col("n_separators"),
+        (col("total_tokens").cast(DoubleType) /
+          (col("n_chunks") * contextLen).cast(DoubleType)).as("fill_rate"),
+        (col("n_separators").cast(DoubleType) /
+          col("total_tokens").cast(DoubleType)).as("separator_overhead"))
+  }
+
+  /** The p74 oracle's packed-chunk CTE chain (deterministic word-id
+    * encoding, −1 separators, (source, doc_id) order, L = 256 windows)
+    * — shared by the p74 gate and the p116 packing-efficiency report
+    * so both certify the SAME chunk stream. Ends at CTE `p`
+    * (chunk_id, o2, piece). */
+  private val PackTokenIdsCtes: String = raw"""d AS (
+          SELECT doc_id, source,
+                 list_transform(
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                   w -> CAST(CAST('0x' || substr(md5(w), 1, 12) AS BIGINT)
+                             % 1000 AS INT)) AS ids
+          FROM documents),
+        t AS (
+          SELECT doc_id, source, list_append(ids, -1) AS ids,
+                 CAST(len(ids) + 1 AS BIGINT) AS tok
+          FROM d),
+        r AS (
+          SELECT *, SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS run FROM t),
+        bb AS (
+          SELECT source AS b_source,
+                 CAST(SUM(total) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING)
+                   - total AS BIGINT) AS base
+          FROM (SELECT source, SUM(tok) AS total FROM t GROUP BY source)),
+        o AS (
+          SELECT doc_id, ids, tok, CAST(base + run - tok AS BIGINT) AS o2
+          FROM r JOIN bb ON r.source = bb.b_source),
+        p AS (
+          SELECT c AS chunk_id, o2,
+                 ids[CAST(GREATEST(c * 256, o2) - o2 + 1 AS INT) :
+                     CAST(LEAST((c + 1) * 256, o2 + tok) - o2 AS INT)] AS piece
+          FROM o, unnest(range(o2 // 256, (o2 + tok - 1) // 256 + 1)) u(c))"""
+
   private[operators] lazy val textQueries: Seq[QueryDef] = Seq(
+    // ---- p116: packing-efficiency report — [[packingReport]] over
+    // the exact p74 chunk stream (same word-id encoding, separators,
+    // order and L = 256), so the two gates certify one pipeline: p74
+    // the chunks themselves, p116 the utilization metrics a team
+    // publishes per packed shard. The oracle splices the SHARED p74
+    // CTE chain and aggregates the identical fill/separator counts.
+    QueryDef(
+      "p116_packing_report",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+          transform(array_remove(words(col("text")), ""), w =>
+            pmod(call_function("md5_prefix_long", w, lit(6)), lit(1000L))
+              .cast(IntegerType)).as("ids"))
+        packingReport(
+          packTokenIds(docs, "doc_id", "source", "ids",
+            contextLen = 256, sepId = -1),
+          contextLen = 256, sepId = -1)
+      },
+      Some(raw"""
+        WITH $PackTokenIdsCtes,
+        chunks AS (
+          SELECT chunk_id, flatten(list(piece ORDER BY o2)) AS ids
+          FROM p GROUP BY chunk_id),
+        sizes AS (
+          SELECT chunk_id, CAST(len(ids) AS BIGINT) AS fill,
+                 CAST(len(list_filter(ids, v -> v = -1)) AS BIGINT) AS seps
+          FROM chunks)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN fill = 256 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_full,
+               CAST(SUM(fill) AS BIGINT) AS total_tokens,
+               CAST(SUM(seps) AS BIGINT) AS n_separators,
+               CAST(SUM(fill) AS DOUBLE) / CAST(COUNT(*) * 256 AS DOUBLE)
+                 AS fill_rate,
+               CAST(SUM(seps) AS DOUBLE) / CAST(SUM(fill) AS DOUBLE)
+                 AS separator_overhead
+        FROM sizes""")),
+
     // ---- p11: token counting — whitespace tokens and a BPE-ish
     // regex tokenizer (letter runs | digit runs | single symbol),
     // aggregated per language.
@@ -1125,33 +1224,7 @@ private[operators] trait TextOps { self: Pipeline.type =>
           .orderBy(col("chunk_id"))
       },
       Some(raw"""
-        WITH d AS (
-          SELECT doc_id, source,
-                 list_transform(
-                   list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
-                   w -> CAST(CAST('0x' || substr(md5(w), 1, 12) AS BIGINT)
-                             % 1000 AS INT)) AS ids
-          FROM documents),
-        t AS (
-          SELECT doc_id, source, list_append(ids, -1) AS ids,
-                 CAST(len(ids) + 1 AS BIGINT) AS tok
-          FROM d),
-        r AS (
-          SELECT *, SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) AS run FROM t),
-        bb AS (
-          SELECT source AS b_source,
-                 CAST(SUM(total) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING)
-                   - total AS BIGINT) AS base
-          FROM (SELECT source, SUM(tok) AS total FROM t GROUP BY source)),
-        o AS (
-          SELECT doc_id, ids, tok, CAST(base + run - tok AS BIGINT) AS o2
-          FROM r JOIN bb ON r.source = bb.b_source),
-        p AS (
-          SELECT c AS chunk_id, o2,
-                 ids[CAST(GREATEST(c * 256, o2) - o2 + 1 AS INT) :
-                     CAST(LEAST((c + 1) * 256, o2 + tok) - o2 AS INT)] AS piece
-          FROM o, unnest(range(o2 // 256, (o2 + tok - 1) // 256 + 1)) u(c))
+        WITH $PackTokenIdsCtes
         SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
                concat('[',
                  array_to_string(flatten(list(piece ORDER BY o2)), ','),

@@ -435,6 +435,27 @@ class TextApiSpec extends AnyFunSuite {
     assert(again == Map(1L -> lp1, 2L -> lp2, 3L -> lp3))
   }
 
+  test("packingReport: fill/full/separator counts and rates on a hand corpus") {
+    import spark.implicits._
+    // three docs of 3/5/2 ids + one -9 separator each = 13 slots; L=4
+    // over one shard → chunks of 4,4,4,1 — 3 full, fill_rate 13/16
+    val docs = Seq(
+      (1L, 0, Seq(10, 11, 12)),
+      (2L, 0, Seq(20, 21, 22, 23, 24)),
+      (3L, 0, Seq(30, 31)))
+      .toDF("post_key", "shard", "ids")
+    val packed = Pipeline.packTokenIds(docs, "post_key", "shard", "ids",
+      contextLen = 4, sepId = -9)
+    val r = Pipeline.packingReport(packed, contextLen = 4, sepId = -9)
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L) // n_chunks, n_full
+    assert(r.getLong(2) == 13L && r.getLong(3) == 3L) // total, separators
+    assert(r.getDouble(4) == 13.0 / 16.0)
+    assert(r.getDouble(5) == 3.0 / 13.0)
+    intercept[IllegalArgumentException](
+      Pipeline.packingReport(packed, contextLen = 0, sepId = -9))
+  }
+
   test("zipfSlope: exact power-law corpus fits slope −1 and intercept ln(c); " +
       "head truncation; topK < 2 rejected; deterministic") {
     import spark.implicits._
