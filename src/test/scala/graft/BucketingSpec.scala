@@ -35,6 +35,43 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusDiff over id-bucketed snapshots runs exchange-free — the " +
+      "documented 100 TB shape, proven not inspected") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bspec_prev")
+    spark.sql("DROP TABLE IF EXISTS bspec_curr")
+    spark.range(5000)
+      .select(col("id").as("doc_id"), concat(lit("text"), col("id")).as("text"))
+      .write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("bspec_prev")
+    spark.range(1000, 6000)
+      .select(col("id").as("doc_id"), concat(lit("text"),
+        when(col("id") % 10 === 0, col("id") + 1).otherwise(col("id")))
+        .as("text"))
+      .write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("bspec_curr")
+
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val diff = operators.Pipeline.corpusDiff(
+        spark.table("bspec_prev"), spark.table("bspec_curr"),
+        "doc_id", "text")
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed corpusDiff should not shuffle:\n$plan")
+      val counts = diff.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts("added") == 1000L && counts("removed") == 1000L)
+      assert(counts("changed") == 400L && counts("unchanged") == 3600L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bspec_prev")
+      spark.sql("DROP TABLE IF EXISTS bspec_curr")
+    }
+  }
+
   test("rank-filter windows get WindowGroupLimit pushdown") {
     // row_number()<=k filters must become group-limits, or every rank
     // window sorts its WHOLE partition on one task at 100 TB. p19 is
