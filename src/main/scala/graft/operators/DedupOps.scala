@@ -95,6 +95,27 @@ private[operators] trait DedupOps { self: Pipeline.type =>
   def ophNeardupPairs(corpus: DataFrame, idCol: String, textCol: String,
       jaccardMin: Double = DefaultJaccardMin,
       bands: Int = 4, rows: Int = 4): DataFrame = {
+    val (xs, _, pairs) = ophCandidates(corpus, idCol, textCol, bands, rows)
+    pairs
+      .join(xs.as("xa"), col("da") === col("xa.doc_id"))
+      .join(xs.as("xb"), col("db") === col("xb.doc_id"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        size(array_intersect(col("xa.xs"), col("xb.xs")))
+          .cast(DoubleType).as("c"),
+        size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+  }
+
+  /** Shared candidate generation for [[ophNeardupPairs]] and
+    * [[ophAccuracyReport]] — the [[minhashCandidates]] shape on the
+    * one-permutation signature: (per-doc shingle-hash arrays,
+    * persisted; per-doc OPH signatures; banded candidate pairs under
+    * [[LshBucketCap]]). */
+  private def ophCandidates(corpus: DataFrame, idCol: String,
+      textCol: String, bands: Int, rows: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(bands >= 1 && rows >= 1,
       s"need bands, rows >= 1, got ($bands, $rows)")
     val k = bands * rows
@@ -121,16 +142,38 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .select(col("da"), explode(col("docs")).as("db"))
       .filter(col("da") < col("db"))
       .distinct()
-    pairs
+    (xs, sigs, pairs)
+  }
+
+  /** Sketch-accuracy audit of the OPH signature — the
+    * [[minhashAccuracyReport]] pattern on [[ophSignatures]]: for every
+    * banded candidate pair, the slot-agreement Jaccard estimate vs the
+    * exact shingle Jaccard, plus the decimal-averaged MAE over all
+    * candidates. Audits the very pairs [[ophNeardupPairs]] acts on
+    * (shared candidate generation). */
+  def ophAccuracyReport(corpus: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rows: Int = 4): DataFrame = {
+    val k = bands * rows
+    val (xs, sigs, pairs) = ophCandidates(corpus, idCol, textCol,
+      bands, rows)
+    val scored = pairs
+      .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
       .join(xs.as("xa"), col("da") === col("xa.doc_id"))
       .join(xs.as("xb"), col("db") === col("xb.doc_id"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        aggregate(zip_with(col("sa.sig"), col("sb.sig"),
+          (x, y) => (x === y).cast(LongType)), lit(0L), _ + _)
+          .as("n_agree"),
         size(array_intersect(col("xa.xs"), col("xb.xs")))
           .cast(DoubleType).as("c"),
         size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree").cast(DoubleType) / k).as("est"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= jaccardMin)
+      .withColumn("abs_err", abs(col("est") - col("jaccard")))
+    val mae = scored.agg(graft.QueryDef.davg(col("abs_err")).as("mae"))
+    scored.crossJoin(broadcast(mae))
   }
 
   /** Shared candidate generation for [[minhashNeardupPairs]] and
@@ -1349,6 +1392,58 @@ private[operators] trait DedupOps { self: Pipeline.type =>
 
   /** DedupOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
+  /** The p114/p115/p117 oracle chain through candidate pairs +
+    * exact-Jaccard ingredients — shared so all OPH gates certify ONE
+    * pipeline. Ends at CTEs `dens` (signatures), `pairs`, `ns`,
+    * `inter`. */
+  private val OphCandidatesSql: String = s"""w AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+          WHERE len(string_split_regex(text, '\\s+')) >= 5),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8)
+                   AS BIGINT) AS x
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+        h AS (SELECT doc_id, (x + 7) % $MinhashP AS h FROM sh),
+        bm AS (
+          SELECT doc_id, h % 16 AS bin, MIN(h // 16) AS v
+          FROM h GROUP BY doc_id, h % 16),
+        grid AS (
+          SELECT s.doc_id, t.j, bm.v
+          FROM (SELECT DISTINCT doc_id FROM sh) s
+          CROSS JOIN unnest(range(0, 16)) t(j)
+          LEFT JOIN bm ON bm.doc_id = s.doc_id AND bm.bin = t.j),
+        packed AS (
+          SELECT doc_id, list(v ORDER BY j) AS vals FROM grid GROUP BY doc_id),
+        dens AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16), j ->
+                   list_filter(list_transform(range(0, 16), t ->
+                     CASE WHEN vals[((j + t) % 16) + 1] IS NOT NULL
+                          THEN vals[((j + t) % 16) + 1] + $MinhashP * t
+                     END), u -> u IS NOT NULL)[1]) AS sig
+          FROM packed),
+        bnd AS (
+          SELECT doc_id, b,
+                 array_to_string(sig[b*4 + 1 : b*4 + 4], ',') AS key
+          FROM dens, unnest(range(0, 4)) t(b)),
+        buckets AS (
+          SELECT b, key, list_sort(list(DISTINCT doc_id)) AS docs
+          FROM bnd GROUP BY b, key
+          HAVING COUNT(DISTINCT doc_id) > 1
+             AND COUNT(DISTINCT doc_id) <= $LshBucketCap),
+        pairs AS (
+          SELECT DISTINCT ta.da, tb.db
+          FROM buckets, unnest(docs) ta(da), unnest(docs) tb(db)
+          WHERE ta.da < tb.db),
+        ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.da, p.db, COUNT(*) AS c
+          FROM pairs p
+          JOIN sh s1 ON s1.doc_id = p.da
+          JOIN sh s2 ON s2.doc_id = p.db AND s2.x = s1.x
+          GROUP BY p.da, p.db)"""
+
   private[operators] lazy val dedupQueries: Seq[QueryDef] = Seq(
     // ---- p113: bag-of-words dedup — [[dedupBagOfWords]] must collapse
     // word-order-permuted copies that byte-level exact dedup provably
@@ -1449,6 +1544,43 @@ private[operators] trait DedupOps { self: Pipeline.type =>
                '[' || array_to_string(sig, ',') || ']' AS oph_sig
         FROM dens ORDER BY doc_id""")),
 
+    // ---- p117: OPH accuracy report — [[ophAccuracyReport]] over the
+    // shared candidate chain: per candidate the slot-agreement
+    // estimate, the exact shingle Jaccard, the absolute error, and
+    // the decimal-averaged MAE broadcast onto every row (the p94
+    // pattern on the one-permutation signature). The oracle reads the
+    // SAME dens/pairs/ns/inter CTEs as p115.
+    QueryDef(
+      "p117_oph_accuracy",
+      (s, d) =>
+        ophAccuracyReport(T.documents(s, d), "doc_id", "text")
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH $OphCandidatesSql,
+        agr AS (
+          SELECT p.da, p.db,
+                 CAST(len(list_filter(range(1, 17),
+                   i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]))
+                   AS BIGINT) AS n_agree
+          FROM pairs p
+          JOIN dens sa ON sa.doc_id = p.da
+          JOIN dens sb ON sb.doc_id = p.db),
+        scored AS (
+          SELECT a.da AS doc_a, a.db AS doc_b, a.n_agree,
+                 CAST(a.n_agree AS DOUBLE) / 16 AS est,
+                 CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) AS jaccard
+          FROM agr a
+          JOIN inter i ON i.da = a.da AND i.db = a.db
+          JOIN ns na ON na.doc_id = a.da
+          JOIN ns nb ON nb.doc_id = a.db),
+        s2 AS (
+          SELECT doc_a, doc_b, n_agree, est, jaccard,
+                 abs(est - jaccard) AS abs_err
+          FROM scored),
+        m AS (SELECT ${graft.QueryDef.davgSql("abs_err")} AS mae FROM s2)
+        SELECT s2.*, m.mae FROM s2, m
+        ORDER BY doc_a, doc_b""")),
+
     // ---- p115: OPH near-dup pairs — [[ophNeardupPairs]] at 4×4 bands
     // over the 16-slot p114 signature: band buckets, the LshBucketCap
     // guard, and the exact-Jaccard verification all replayed on the
@@ -1461,53 +1593,7 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         ophNeardupPairs(T.documents(s, d), "doc_id", "text")
           .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
-        WITH w AS (
-          SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
-          WHERE len(string_split_regex(text, '\\s+')) >= 5),
-        sh AS (
-          SELECT DISTINCT doc_id,
-                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8)
-                   AS BIGINT) AS x
-          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
-        h AS (SELECT doc_id, (x + 7) % $MinhashP AS h FROM sh),
-        bm AS (
-          SELECT doc_id, h % 16 AS bin, MIN(h // 16) AS v
-          FROM h GROUP BY doc_id, h % 16),
-        grid AS (
-          SELECT s.doc_id, t.j, bm.v
-          FROM (SELECT DISTINCT doc_id FROM sh) s
-          CROSS JOIN unnest(range(0, 16)) t(j)
-          LEFT JOIN bm ON bm.doc_id = s.doc_id AND bm.bin = t.j),
-        packed AS (
-          SELECT doc_id, list(v ORDER BY j) AS vals FROM grid GROUP BY doc_id),
-        dens AS (
-          SELECT doc_id,
-                 list_transform(range(0, 16), j ->
-                   list_filter(list_transform(range(0, 16), t ->
-                     CASE WHEN vals[((j + t) % 16) + 1] IS NOT NULL
-                          THEN vals[((j + t) % 16) + 1] + $MinhashP * t
-                     END), u -> u IS NOT NULL)[1]) AS sig
-          FROM packed),
-        bnd AS (
-          SELECT doc_id, b,
-                 array_to_string(sig[b*4 + 1 : b*4 + 4], ',') AS key
-          FROM dens, unnest(range(0, 4)) t(b)),
-        buckets AS (
-          SELECT b, key, list_sort(list(DISTINCT doc_id)) AS docs
-          FROM bnd GROUP BY b, key
-          HAVING COUNT(DISTINCT doc_id) > 1
-             AND COUNT(DISTINCT doc_id) <= $LshBucketCap),
-        pairs AS (
-          SELECT DISTINCT ta.da, tb.db
-          FROM buckets, unnest(docs) ta(da), unnest(docs) tb(db)
-          WHERE ta.da < tb.db),
-        ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT p.da, p.db, COUNT(*) AS c
-          FROM pairs p
-          JOIN sh s1 ON s1.doc_id = p.da
-          JOIN sh s2 ON s2.doc_id = p.db AND s2.x = s1.x
-          GROUP BY p.da, p.db)
+        WITH $OphCandidatesSql
         SELECT i.da AS doc_a, i.db AS doc_b,
                CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) AS jaccard
         FROM inter i

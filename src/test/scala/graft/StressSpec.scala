@@ -242,6 +242,19 @@ class StressSpec extends AnyFunSuite {
         postings.filter(col("doc_id") < 50), k = 10)
     }
 
+    // the same retrieval with the documented stop-term mitigation:
+    // the stress vocabulary is 40 common words + hapax tail, so the
+    // uncapped score shuffle above is dominated by postings of terms
+    // in EVERY doc (~zero idf, full scan cost) — capPostingsByDf
+    // prunes exactly those; the two keys quantify the cap's effect
+    drive("bm25RetrievalCapped", budgetSec = 600, minRows = 100L) {
+      val postings = operators.Pipeline.capPostingsByDf(
+        operators.Pipeline.bm25Postings(docs, "doc_id", "text"),
+        maxDf = 5000L)
+      operators.Pipeline.sparseTopK(postings,
+        postings.filter(col("doc_id") < 50), k = 10)
+    }
+
     // p75: the dedup-ladder report — exact + near (the p02 component
     // graph) + substring layers audited in one aggregation pass
     drive("dedupLadderReport", budgetSec = 600) {
