@@ -222,6 +222,35 @@ object Streams {
       .drop("band_sig")
   }
 
+  /** [[neardupGate]] on the ONE-permutation band key: the dedup key is
+    * the `rows`-slot [[graft.plans.OphSignature]] signature, computed
+    * with ONE hash per shingle instead of `rows`
+    * ([[graft.operators.Pipeline.ophSignatures]]'s kernel) — the
+    * cheap-signature path for ingest streams, where the signature
+    * recomputes on EVERY arriving document forever. Same null/short
+    * sentinels, watermark semantics and caller-columns contract as
+    * [[neardupGate]]; the candidate sensitivity differs only through
+    * OPH's slot randomness (both keys are unbiased Jaccard samplers).
+    */
+  def neardupGateOph(docs: DataFrame, watermark: String = "1 hour",
+      rows: Int = 4): DataFrame = {
+    import graft.operators.Pipeline
+    require(!docs.columns.contains("oph_band_sig"),
+      "docs already has column oph_band_sig — drop or rename it before " +
+        "calling neardupGateOph, which derives (and then drops) its own")
+    val ws = split(col("text"), "\\s+")
+    val sig = call_function("oph_sig", Pipeline.shingleHashes(ws), lit(rows))
+    docs
+      .withColumn("oph_band_sig",
+        when(col("text").isNull, lit("null:"))
+          .when(size(ws) >= 5,
+            array_join(transform(sig, v => v.cast("string")), ","))
+          .otherwise(concat(lit("short:"), md5(col("text")))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("oph_band_sig")
+      .drop("oph_band_sig")
+  }
+
   /** Ingest-time scrub + quality gate — the stage that runs in-line
     * with the stream BEFORE any stateful operator: drop documents
     * shorter than `minChars` (measured on the RAW text, so survival

@@ -474,6 +474,56 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("neardupGateOph: the one-permutation band key drops near-dups and " +
+      "keeps the null/short sentinels") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def ophKey(ts: Seq[String]): Seq[String] = ts.toDF("text")
+      .select(array_join(transform(
+        call_function("oph_sig", graft.operators.Pipeline.shingleHashes(
+          split(col("text"), "\\s+")), lit(4)),
+        v => v.cast("string")), ","))
+      .collect().map(_.getString(0)).toSeq
+    // find a 1-word edit that keeps the 4-slot OPH key (deterministic
+    // kernel — the search pins the precondition instead of hardcoding
+    // an edit position that a kernel change would silently invalidate)
+    val candidates = (0 until 40).map(i =>
+      base.split(" ").toVector.updated(i, "edited").mkString(" "))
+    val keys = ophKey(base +: candidates)
+    val nearDupIdx = candidates.indices.find(i => keys(i + 1) == keys.head)
+    assert(nearDupIdx.isDefined,
+      "no 1-word edit preserved the OPH band key — fixture precondition")
+    val nearDup = candidates(nearDupIdx.get)
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    assert(ophKey(Seq(other)).head != keys.head)
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.neardupGateOph(df, watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup_gate_oph")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, base),
+        (ts("2024-01-01 10:01:00"), 2L, "tiny"),
+        (ts("2024-01-01 10:02:00"), 3L, other))
+      q.processAllAvailable()
+      in.addData(
+        (ts("2024-01-01 10:10:00"), 4L, nearDup), // OPH near-dup → dropped
+        (ts("2024-01-01 10:11:00"), 5L, "tiny"),  // exact short dup → dropped
+        (ts("2024-01-01 10:12:00"), 6L, "tiny2")) // distinct short → kept
+      q.processAllAvailable()
+      val kept = spark.table("neardup_gate_oph").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 2L, 3L, 6L))
+    } finally q.stop()
+    val withSig = Seq(("a", ts("2024-01-01 10:00:00"), "x"))
+      .toDF("text", "ts", "oph_band_sig")
+    val e = intercept[IllegalArgumentException](Streams.neardupGateOph(withSig))
+    assert(e.getMessage.contains("oph_band_sig"))
+  }
+
   test("scrubAndGate: stateless scrub gives identical batch and stream results") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
