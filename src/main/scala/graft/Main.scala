@@ -951,6 +951,141 @@ object Main {
     stats
   }
 
+  /** `graft score` — per-document quality signals as a CLI: the p10
+    * heuristic quality score + keep flag and the p09 language-ID
+    * prediction on every row, with optional Flesch reading ease (p98)
+    * and character entropy (p96) columns joined on. Fronts
+    * [[operators.Pipeline.qualityScore]] / `langIdPredict` /
+    * `fleschSignal` / `charEntropySignal` (ScoreCliSpec pins CLI ≡
+    * library). */
+  final case class ScoreArgs(
+      input: String = "",
+      outputFile: String = "",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      minQuality: Double = 0.5,
+      flesch: Boolean = false,
+      entropy: Boolean = false,
+      filterKeep: Boolean = false,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      multiFile: Boolean = false,
+      quiet: Boolean = false)
+
+  private[graft] val ScoreHelpText =
+    s"""Scores every document: heuristic quality + keep flag + language ID,
+       |optionally Flesch reading ease and character entropy
+       |
+       |Usage: graft score [OPTIONS] --input <DIR> --output-file <FILE>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of documents
+       |  -o, --output-file <FILE>    Scored output (all input columns +
+       |                              quality, keep, predicted_lang, ...)
+       |      --id-column <C>         Document id column (default doc_id)
+       |      --text-column <C>       Text column (default text)
+       |      --min-quality <Q>       keep = quality >= Q (default 0.5)
+       |      --flesch                Also add the Flesch reading-ease column
+       |      --entropy               Also add the character-entropy column
+       |      --filter                Write only keep = true rows
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --multi-file            Write one file per task instead of a single file
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseScoreArgs(argv: Seq[String]): ScoreArgs = {
+    var a = ScoreArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(ScoreHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--min-quality" =>
+          val v = take(flag)
+          a = a.copy(minQuality =
+            try v.toDouble
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"invalid value '$v' for $flag") })
+        case "--flesch" => a = a.copy(flesch = true)
+        case "--entropy" => a = a.copy(entropy = true)
+        case "--filter" => a = a.copy(filterKeep = true)
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          val v = take(flag)
+          a = a.copy(compressionLevel = Some(
+            try v.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"invalid value '$v' for --compression-level") }))
+        case "--multi-file" => a = a.copy(multiFile = true)
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see score --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: score [OPTIONS] --input DIR --output-file FILE")
+    a
+  }
+
+  private[graft] def runScore(spark: SparkSession,
+      a: ScoreArgs): ParquetSink.WriteStats = {
+    import org.apache.spark.sql.functions.col
+    val docs =
+      try spark.read.parquet(a.input)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot read --input '${a.input}': ${e.getMessage}") }
+    Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn)
+      .foreach { case (f, c) =>
+        if (!docs.columns.contains(c))
+          throw new IllegalArgumentException(
+            s"$f column '$c' not found (have: " +
+              s"${docs.columns.sorted.mkString(", ")})")
+      }
+    // never silently overwrite a caller column (the neardupGate stance)
+    val derived = Seq("quality", "keep", "predicted_lang") ++
+      (if (a.flesch) Seq("flesch") else Nil) ++
+      (if (a.entropy) Seq("entropy") else Nil)
+    val clash = derived.filter(docs.columns.contains)
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"input already has column(s) ${clash.mkString(", ")} — drop or " +
+          "rename them before scoring")
+    var out = operators.Pipeline.langIdPredict(
+      operators.Pipeline.qualityScore(docs, a.textColumn,
+        keepMin = a.minQuality), a.textColumn)
+    if (a.flesch)
+      out = out.join(
+        operators.Pipeline.fleschSignal(docs, a.idColumn, a.textColumn)
+          .select(col("doc_id").as(a.idColumn), col("flesch")),
+        Seq(a.idColumn), "left")
+    if (a.entropy)
+      out = out.join(
+        operators.Pipeline.charEntropySignal(docs, a.idColumn, a.textColumn)
+          .select(col("doc_id").as(a.idColumn), col("entropy")),
+        Seq(a.idColumn), "left")
+    if (a.filterKeep) out = out.filter(col("keep"))
+    val stats = ParquetSink.write(out, a.outputFile,
+      ParquetSink.SinkOptions(
+        compression = a.compression,
+        compressionLevel = a.compressionLevel,
+        singleFile = !a.multiFile,
+        quiet = a.quiet))
+    if (!a.quiet)
+      System.err.println(s"scored ${stats.rows} rows to ${a.outputFile}")
+    stats
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -964,6 +1099,7 @@ object Main {
        |  dedup   Deduplicates a corpus: exact + minhash-LSH near-dup collapse
        |  split   Leakage-safe train/val/test split (near-dups never straddle)
        |  tokenize  Trains a BPE tokenizer, encodes token ids, packs chunks
+       |  score   Scores documents: quality + language ID (+ flesch/entropy)
        |  datacard  Prints doc/token/char totals for a corpus, overall + per stratum
        |  diff    Diffs two corpus snapshots (added / removed / changed per id)
        |
@@ -1466,6 +1602,9 @@ object Main {
       case Some("tokenize") =>
         return runSubcommand("tokenize", argv.toSeq.tail, parseTokenizeArgs,
           runTokenize, timestampMicros = true)
+      case Some("score") =>
+        return runSubcommand("score", argv.toSeq.tail, parseScoreArgs,
+          runScore, timestampMicros = true)
       case _ =>
     }
     val a =
