@@ -422,9 +422,12 @@ private[operators] trait DedupOps { self: Pipeline.type =>
   /** Oracle-side twin of [[neardupPairs]] as a CTE chain ending in
     * `verified(doc_a, doc_b, jaccard)` — p02 and p25 splice it into
     * their oracle SQL so both engines derive the same pair graph. */
-  private val NeardupPairsSql: String = s"""
+  /** [[NeardupPairsSql]] parameterized over the source relation — the
+    * p118 chain gate runs the identical CTE arithmetic over the
+    * exact-deduped survivors instead of raw `documents`. */
+  private def neardupPairsSqlFrom(src: String): String = s"""
     w AS (
-      SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+      SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM $src
       WHERE len(string_split_regex(text, '\\s+')) >= 5),
     sh AS (
       SELECT DISTINCT doc_id,
@@ -459,6 +462,8 @@ private[operators] trait DedupOps { self: Pipeline.type =>
              i.c / (na.n + nb.n - i.c) AS jaccard
       FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
       WHERE i.c / (na.n + nb.n - i.c) >= $DefaultJaccardMin)"""
+
+  private val NeardupPairsSql: String = neardupPairsSqlFrom("documents")
 
   /** 48-bit SimHash fingerprint per document (p03's plan, factored out
     * so p26's Hamming-distance pairing runs over the identical
@@ -1580,6 +1585,70 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         m AS (SELECT ${graft.QueryDef.davgSql("abs_err")} AS mae FROM s2)
         SELECT s2.*, m.mae FROM s2, m
         ORDER BY doc_a, doc_b""")),
+
+    // ---- p118: the production dedup CHAIN (exact → minhash collapse
+    // + report) certified cross-engine in ORDER — the composition
+    // `graft dedup` ships ([[dedupChainManaged]]; DedupCliSpec pins
+    // CLI ≡ these pieces, this gate pins the pieces' composition).
+    // The fixture has no exact duplicates, so the gate synthesizes
+    // them (the p113 trick): every doc_id % 9 == 4 row REPLACES its
+    // text with the previous doc's verbatim — the exact layer must
+    // collapse those BEFORE LSH ever sees them, and the near layer
+    // then runs over the survivors. The oracle replays the injection,
+    // the md5 keep-min-id window, the full minhash chain OVER THE
+    // SURVIVORS (the parameterized CTE source), the recursive closure
+    // and both consumers' outputs in one sectioned result.
+    QueryDef(
+      "p118_dedup_chain",
+      (s, d) => {
+        val base = T.documents(s, d).select(col("doc_id"), col("text"))
+        val prev = base.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__pt"))
+        val marked = base.join(prev, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 9 === 4 && col("__pt").isNotNull,
+              col("__pt")).otherwise(col("text")).as("text"))
+        val exact = exactDedup(marked, "doc_id", "text")
+        val comps = connectedComponents(
+          minhashNeardupPairs(exact, "doc_id", "text")
+            .select(col("doc_a"), col("doc_b")))
+        val nullL = lit(null).cast(LongType)
+        val kept = collapseByComponents(exact, "doc_id", comps)
+          .select(lit("kept").as("section"), col("doc_id").as("k"),
+            nullL.as("v1"), nullL.as("v2"))
+        val report = dedupReport(comps)
+          .select(lit("report").as("section"), col("csize").as("k"),
+            col("n_components").as("v1"), col("docs_removed").as("v2"))
+        kept.unionByName(report).orderBy(col("section"), col("k"))
+      },
+      Some(s"""
+        WITH RECURSIVE prevd AS (
+          SELECT doc_id + 1 AS doc_id, text AS pt FROM documents),
+        m AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 9 = 4 AND p.pt IS NOT NULL
+                      THEN p.pt ELSE d.text END AS t
+          FROM documents d LEFT JOIN prevd p USING (doc_id)),
+        ex AS (
+          SELECT doc_id, t AS text FROM (
+            SELECT doc_id, t, ROW_NUMBER() OVER (
+              PARTITION BY COALESCE(md5(t), 'n:' || CAST(doc_id AS VARCHAR))
+              ORDER BY doc_id) AS rk
+            FROM m) WHERE rk = 1),
+        ${neardupPairsSqlFrom("ex")},
+        $ComponentsSql,
+        sizes AS (
+          SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+          FROM comp GROUP BY component)
+        SELECT 'kept' AS section, doc_id AS k,
+               CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2
+        FROM ex
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        UNION ALL
+        SELECT 'report', csize, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(csize) - COUNT(*) AS BIGINT)
+        FROM sizes GROUP BY csize
+        ORDER BY section, k""")),
 
     // ---- p115: OPH near-dup pairs — [[ophNeardupPairs]] at 4×4 bands
     // over the 16-slot p114 signature: band buckets, the LshBucketCap
