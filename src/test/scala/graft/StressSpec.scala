@@ -247,7 +247,12 @@ class StressSpec extends AnyFunSuite {
     // uncapped score shuffle above is dominated by postings of terms
     // in EVERY doc (~zero idf, full scan cost) — capPostingsByDf
     // prunes exactly those; the two keys quantify the cap's effect
-    drive("bm25RetrievalCapped", budgetSec = 600, minRows = 100L) {
+    // minRows 10: after the cap only hapax/dup-pair terms carry signal
+    // here (every common word is in ~every doc → pruned), so the 50
+    // query docs surface just their exact-dup partners — which is the
+    // point: the cap removes scan cost that carried ~zero ranking
+    // signal
+    drive("bm25RetrievalCapped", budgetSec = 600, minRows = 10L) {
       val postings = operators.Pipeline.capPostingsByDf(
         operators.Pipeline.bm25Postings(docs, "doc_id", "text"),
         maxDf = 5000L)
