@@ -88,6 +88,29 @@ object Main {
         s"$flag requires a value (for a value that itself starts with " +
           s"'--', write: $flag -- <value>)")
     }
+    // the ONE copy of the numeric-option parse/validate blocks the
+    // subcommand parsers previously duplicated (r17 self-review: the
+    // copies had already drifted — --min-quality accepted NaN)
+    def takeInt(flag: String): Int = {
+      val v = take(flag)
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"invalid value '$v' for $flag") }
+    }
+    def takeDouble(flag: String, lo: Double, hi: Double,
+        loExclusive: Boolean = false): Double = {
+      val v = take(flag)
+      val d =
+        try v.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"invalid value '$v' for $flag") }
+      if (d.isNaN || d > hi || d < lo || (loExclusive && d == lo))
+        throw new IllegalArgumentException(
+          s"$flag must be in ${if (loExclusive) "(" else "["}$lo, $hi], " +
+            s"got '$v'")
+      d
+    }
   }
 
   /** Beyond-reference CLI surface: `graft curate` runs the composed
@@ -194,12 +217,7 @@ object Main {
           a = a.copy(maxTokens = parsePosInt(flag, take(flag)).toLong)
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" =>
-          val v = take(flag)
-          a = a.copy(compressionLevel = Some(
-            try v.toInt
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"invalid value '$v' for --compression-level") }))
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
         case "--multi-file" => a = a.copy(multiFile = true)
         case "--partition-by" =>
           a = a.copy(partitionBy = a.partitionBy :+ take(flag))
@@ -502,6 +520,27 @@ object Main {
     counts
   }
 
+  /** Shared subcommand input reader: parquet directory + fail-fast
+    * existence check for the named (flag, column) pairs — the ONE copy
+    * of the read/validate block the dedup/split/tokenize/score runners
+    * previously duplicated. */
+  private def readDocs(spark: SparkSession, inputFlag: String,
+      input: String,
+      required: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val df =
+      try spark.read.parquet(input)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot read $inputFlag '$input': ${e.getMessage}") }
+    required.foreach { case (f, c) =>
+      if (!df.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"$f column '$c' not found (have: " +
+            s"${df.columns.sorted.mkString(", ")})")
+    }
+    df
+  }
+
   /** `graft dedup` — the flagship near-dup capability (the p34 suite's
     * chain) as a CLI: exact content-hash dedup, then minhash-LSH
     * near-dup collapse with the component graph built once and shared
@@ -570,27 +609,13 @@ object Main {
               s"--mode must be 'near' or 'exact', got '$m'")
           a = a.copy(mode = m)
         case "--jaccard-min" =>
-          val v = take(flag)
-          val j =
-            try v.toDouble
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"invalid value '$v' for --jaccard-min") }
-          if (j <= 0 || j > 1)
-            throw new IllegalArgumentException(
-              s"--jaccard-min must be in (0, 1], got $v")
-          a = a.copy(jaccardMin = j)
+          a = a.copy(jaccardMin = c.takeDouble(flag, 0, 1, loExclusive = true))
         case "--bands" => a = a.copy(bands = parsePosInt(flag, take(flag)))
         case "--rows" => a = a.copy(rows = parsePosInt(flag, take(flag)))
         case "--report-file" => a = a.copy(reportFile = Some(take(flag)))
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" =>
-          val v = take(flag)
-          a = a.copy(compressionLevel = Some(
-            try v.toInt
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"invalid value '$v' for --compression-level") }))
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
         case "--multi-file" => a = a.copy(multiFile = true)
         case "--partition-by" =>
           a = a.copy(partitionBy = a.partitionBy :+ take(flag))
@@ -620,18 +645,8 @@ object Main {
 
   private[graft] def runDedup(spark: SparkSession,
       a: DedupArgs): ParquetSink.WriteStats = {
-    val docs =
-      try spark.read.parquet(a.input)
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"cannot read --input '${a.input}': ${e.getMessage}") }
-    Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn)
-      .foreach { case (f, c) =>
-        if (!docs.columns.contains(c))
-          throw new IllegalArgumentException(
-            s"$f column '$c' not found (have: " +
-              s"${docs.columns.sorted.mkString(", ")})")
-      }
+    val docs = readDocs(spark, "--input", a.input,
+      Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn))
     val sinkOpts = ParquetSink.SinkOptions(
       compression = a.compression,
       compressionLevel = a.compressionLevel,
@@ -730,26 +745,12 @@ object Main {
           if (n < 0) throw new IllegalArgumentException(s"$flag must be >= 0")
           a = a.copy(valBuckets = n)
         case "--jaccard-min" =>
-          val v = take(flag)
-          val j =
-            try v.toDouble
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"invalid value '$v' for --jaccard-min") }
-          if (j <= 0 || j > 1)
-            throw new IllegalArgumentException(
-              s"--jaccard-min must be in (0, 1], got $v")
-          a = a.copy(jaccardMin = j)
+          a = a.copy(jaccardMin = c.takeDouble(flag, 0, 1, loExclusive = true))
         case "--bands" => a = a.copy(bands = parsePosInt(flag, take(flag)))
         case "--rows" => a = a.copy(rows = parsePosInt(flag, take(flag)))
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" =>
-          val v = take(flag)
-          a = a.copy(compressionLevel = Some(
-            try v.toInt
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"invalid value '$v' for --compression-level") }))
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
         case "--multi-file" => a = a.copy(multiFile = true)
         case "--partition-by" =>
           a = a.copy(partitionBy = a.partitionBy :+ take(flag))
@@ -770,18 +771,8 @@ object Main {
 
   private[graft] def runSplit(spark: SparkSession,
       a: SplitArgs): ParquetSink.WriteStats = {
-    val docs =
-      try spark.read.parquet(a.input)
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"cannot read --input '${a.input}': ${e.getMessage}") }
-    Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn)
-      .foreach { case (f, c) =>
-        if (!docs.columns.contains(c))
-          throw new IllegalArgumentException(
-            s"$f column '$c' not found (have: " +
-              s"${docs.columns.sorted.mkString(", ")})")
-      }
+    val docs = readDocs(spark, "--input", a.input,
+      Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn))
     val pairs = operators.Pipeline.minhashNeardupPairs(docs, a.idColumn,
       a.textColumn, a.jaccardMin, a.bands, a.rows)
     val split = operators.Pipeline.leakageSafeSplit(docs, a.idColumn,
@@ -861,12 +852,6 @@ object Main {
     var a = TokenizeArgs()
     val c = new ArgCursor(argv)
     def take(flag: String): String = c.take(flag)
-    def takeInt(flag: String): Int = {
-      val v = take(flag)
-      try v.toInt
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"invalid value '$v' for $flag") }
-    }
     while (c.nonEmpty) {
       val flag = c.next()
       flag match {
@@ -882,10 +867,10 @@ object Main {
         case "--vocab-file" => a = a.copy(vocabFile = Some(take(flag)))
         case "--pack" => a = a.copy(pack = Some(parsePosInt(flag, take(flag))))
         case "--shard-column" => a = a.copy(shardColumn = Some(take(flag)))
-        case "--sep-id" => a = a.copy(sepId = takeInt(flag))
+        case "--sep-id" => a = a.copy(sepId = c.takeInt(flag))
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" =>
-          a = a.copy(compressionLevel = Some(takeInt(flag)))
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
         case "--multi-file" => a = a.copy(multiFile = true)
         case "--quiet" => a = a.copy(quiet = true)
         case other => throw new IllegalArgumentException(
@@ -904,19 +889,19 @@ object Main {
   private[graft] def runTokenize(spark: SparkSession,
       a: TokenizeArgs): ParquetSink.WriteStats = {
     import org.apache.spark.sql.functions.{col, lit}
-    val docs =
-      try spark.read.parquet(a.input)
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"cannot read --input '${a.input}': ${e.getMessage}") }
-    (Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn) ++
-      a.shardColumn.map("--shard-column" -> _))
-      .foreach { case (f, c) =>
-        if (!docs.columns.contains(c))
-          throw new IllegalArgumentException(
-            s"$f column '$c' not found (have: " +
-              s"${docs.columns.sorted.mkString(", ")})")
-      }
+    val docs = readDocs(spark, "--input", a.input,
+      Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn) ++
+        a.shardColumn.map("--shard-column" -> _))
+    // never silently overwrite a caller column (the runScore stance):
+    // the encode stage derives bpe_ids/n_bpe_tokens, packing derives
+    // __shard when no --shard-column names one
+    val derivedTok = Seq("bpe_ids", "n_bpe_tokens") ++
+      (if (a.pack.isDefined && a.shardColumn.isEmpty) Seq("__shard") else Nil)
+    val tokClash = derivedTok.filter(docs.columns.contains)
+    if (tokClash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"input already has column(s) ${tokClash.mkString(", ")} — drop or " +
+          "rename them before tokenizing")
     val merges = operators.Pipeline.bpeTrain(docs, a.textColumn,
       a.merges, a.minPairCount.toLong)
     a.mergesFile.foreach(f => ParquetSink.write(merges, f,
@@ -1008,23 +993,13 @@ object Main {
         case "--id-column" => a = a.copy(idColumn = take(flag))
         case "--text-column" => a = a.copy(textColumn = take(flag))
         case "--min-quality" =>
-          val v = take(flag)
-          a = a.copy(minQuality =
-            try v.toDouble
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"invalid value '$v' for $flag") })
+          a = a.copy(minQuality = c.takeDouble(flag, 0, 1))
         case "--flesch" => a = a.copy(flesch = true)
         case "--entropy" => a = a.copy(entropy = true)
         case "--filter" => a = a.copy(filterKeep = true)
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" =>
-          val v = take(flag)
-          a = a.copy(compressionLevel = Some(
-            try v.toInt
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"invalid value '$v' for --compression-level") }))
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
         case "--multi-file" => a = a.copy(multiFile = true)
         case "--quiet" => a = a.copy(quiet = true)
         case other => throw new IllegalArgumentException(
@@ -1040,18 +1015,8 @@ object Main {
   private[graft] def runScore(spark: SparkSession,
       a: ScoreArgs): ParquetSink.WriteStats = {
     import org.apache.spark.sql.functions.col
-    val docs =
-      try spark.read.parquet(a.input)
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"cannot read --input '${a.input}': ${e.getMessage}") }
-    Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn)
-      .foreach { case (f, c) =>
-        if (!docs.columns.contains(c))
-          throw new IllegalArgumentException(
-            s"$f column '$c' not found (have: " +
-              s"${docs.columns.sorted.mkString(", ")})")
-      }
+    val docs = readDocs(spark, "--input", a.input,
+      Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn))
     // never silently overwrite a caller column (the neardupGate stance)
     val derived = Seq("quality", "keep", "predicted_lang") ++
       (if (a.flesch) Seq("flesch") else Nil) ++
@@ -1061,6 +1026,18 @@ object Main {
       throw new IllegalArgumentException(
         s"input already has column(s) ${clash.mkString(", ")} — drop or " +
           "rename them before scoring")
+    // the flesch/entropy signals JOIN on the id column: duplicate ids
+    // would fan the output out quadratically per signal (r17
+    // self-review), so the join path demands unique ids up front
+    if (a.flesch || a.entropy) {
+      val dup = docs.groupBy(col(a.idColumn)).count()
+        .filter(col("count") > 1).limit(1).count()
+      if (dup > 0)
+        throw new IllegalArgumentException(
+          s"--flesch/--entropy join per-document signals on --id-column " +
+            s"'${a.idColumn}', which has duplicate values — deduplicate " +
+            "first (graft dedup) or choose a unique id column")
+    }
     var out = operators.Pipeline.langIdPredict(
       operators.Pipeline.qualityScore(docs, a.textColumn,
         keepMin = a.minQuality), a.textColumn)
@@ -1417,7 +1394,7 @@ object Main {
       // each — the scale path; trades the single-cursor row order away
       case (j: graft.sources.JdbcReader, Some(pc), Some(n)) =>
         val rel = a.table.getOrElse(s"(${a.query.get}) AS graft_q")
-        j.tablePartitioned(spark, rel, pc, n)
+        j.tablePartitioned(spark, rel, pc, n, quiet = a.quiet)
       case _ =>
         if (a.partitionColumn.isDefined && !a.quiet &&
             !reader.isInstanceOf[graft.sources.JdbcReader])

@@ -420,8 +420,18 @@ private[operators] trait SketchOps { self: Pipeline.type =>
       graft.QueryDef.dsum(x * x).as("sxx"))
     val n = col("n_ranks").cast(DoubleType)
     sums
-      .withColumn("slope", (n * col("sxy") - col("sx") * col("sy")) /
-        (n * col("sxx") - col("sx") * col("sx")))
+      // loud degenerate guard (r17 self-review): a corpus with < 2
+      // distinct words has a zero regression denominator — NaN would
+      // silently flow downstream; the error rides the slope column so
+      // column pruning cannot elide it
+      .withColumn("slope",
+        when(col("n_ranks") >= 2,
+          (n * col("sxy") - col("sx") * col("sy")) /
+            (n * col("sxx") - col("sx") * col("sx")))
+          .otherwise(raise_error(concat(
+            lit("zipfSlope: corpus has only "), col("n_ranks"),
+            lit(" distinct word(s) — need >= 2 ranks to fit a line")))
+            .cast(DoubleType)))
       .select(col("n_ranks"),
         col("slope"),
         ((col("sy") - col("slope") * col("sx")) / n).as("intercept"))

@@ -234,7 +234,12 @@ final class JdbcReader(
     * server-side `::float8` shadow key to stride on (dropped after the
     * load), and fractional bounds are floor/ceil-ed to integer strings. */
   def tablePartitioned(
-      spark: SparkSession, rel: String, col: String, n: Int): DataFrame = {
+      spark: SparkSession, rel: String, col: String, n: Int,
+      // gates the informational [scan] partition-plan line (the export
+      // CLI's --quiet contract: only errors/warnings reach stderr);
+      // the non-finite-bounds fallback WARNINGS stay unconditional —
+      // they signal degraded behavior
+      quiet: Boolean = false): DataFrame = {
     // the single-cursor scan every bail-out path returns — one
     // definition so the fallback cannot diverge between return sites
     def unpartitioned = base(spark).option("dbtable", rel).load()
@@ -307,9 +312,10 @@ final class JdbcReader(
     // this line a mis-strided live export runs silently single-ish —
     // the [scan] prefix pairs with the sink meter's [sink] lines, so
     // an export's read parallelism and write progress read together
-    System.err.println(s"[scan] range-partitioned $rel on $col: " +
-      s"$n slices, bounds [$lo, $hi]" +
-      (if (synthetic) " (synthetic numeric stride key)" else ""))
+    if (!quiet)
+      System.err.println(s"[scan] range-partitioned $rel on $col: " +
+        s"$n slices, bounds [$lo, $hi]" +
+        (if (synthetic) " (synthetic numeric stride key)" else ""))
     val df = base(spark).option("dbtable", scanRel)
       .option("partitionColumn", scanCol)
       .option("numPartitions", n)

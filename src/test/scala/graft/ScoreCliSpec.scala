@@ -22,7 +22,29 @@ class ScoreCliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parseScoreArgs(Seq("-i", "/in")))
     intercept[IllegalArgumentException](
       parseScoreArgs(Seq("-i", "a", "-o", "b", "--min-quality", "x")))
+    // range + NaN validated (the r17 self-review drift fix)
+    intercept[IllegalArgumentException](
+      parseScoreArgs(Seq("-i", "a", "-o", "b", "--min-quality", "5.0")))
+    intercept[IllegalArgumentException](
+      parseScoreArgs(Seq("-i", "a", "-o", "b", "--min-quality", "NaN")))
     intercept[Main.CliExit](parseScoreArgs(Seq("--help")))
+  }
+
+  test("score --flesch refuses duplicate ids instead of fanning the join out") {
+    import spark.implicits._
+    val in = tmp("score-dup")
+    Seq((1L, "alpha beta gamma."), (1L, "delta epsilon zeta."))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$in/d.parquet")
+    val out = tmp("score-dup-out") + "/s.parquet"
+    val e = intercept[IllegalArgumentException](Main.runScore(spark,
+      Main.ScoreArgs(input = s"$in/d.parquet", outputFile = out,
+        flesch = true, quiet = true)))
+    assert(e.getMessage.contains("duplicate"))
+    // without the joining signals, duplicate ids score row-wise fine
+    Main.runScore(spark, Main.ScoreArgs(
+      input = s"$in/d.parquet", outputFile = out, quiet = true))
+    assert(spark.read.parquet(out).count() == 2L)
   }
 
   test("score end-to-end: CLI columns ≡ library signals; --filter keeps only keep") {

@@ -492,6 +492,13 @@ class TextApiSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 2L && math.abs(r2.getDouble(1) + 1.0) < 5e-3)
     intercept[IllegalArgumentException](
       Pipeline.zipfSlope(docs, "text", topK = 1))
+    // a <2-distinct-word corpus fails loudly instead of returning NaN
+    val degenerate = Seq((1L, "same same same same")).toDF("doc_id", "text")
+    val eDeg = intercept[Exception](
+      Pipeline.zipfSlope(degenerate, "text").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(eDeg).exists(_.contains("distinct word")))
     val again = Pipeline.zipfSlope(docs, "text", topK = 4).collect().head
     assert(again.getDouble(1) == r.getDouble(1) &&
       again.getDouble(2) == r.getDouble(2))

@@ -70,6 +70,15 @@ class TokenizeCliSpec extends AnyFunSuite {
     assert(mrows.nonEmpty)
     val vrows = spark.read.parquet(vf).collect()
     assert(vrows.nonEmpty)
+
+    // derived-column clash fails fast instead of silently overwriting
+    val clashDir = tmp("tok-clash")
+    docs.withColumn("bpe_ids", lit("x"))
+      .write.mode("overwrite").parquet(s"$clashDir/d.parquet")
+    val e = intercept[IllegalArgumentException](Main.runTokenize(spark,
+      Main.TokenizeArgs(input = s"$clashDir/d.parquet",
+        outputFile = out, merges = 5, quiet = true)))
+    assert(e.getMessage.contains("bpe_ids"))
   }
 
   test("tokenize --pack: chunk stream conserves every id + one separator per doc") {
