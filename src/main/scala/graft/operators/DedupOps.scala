@@ -549,6 +549,27 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .filter(col("__rk") === 1)
       .drop("__rk")
 
+  /** Soft deduplication (He et al. 2024, "SoftDedup: an Efficient Data
+    * Reweighting Method for Speeding Up Language Model Pre-training",
+    * ACL 2024 — the reweighting alternative to hard removal): instead
+    * of DROPPING duplicates, every row gains `n_copies` (the size of
+    * its exact-content group) and `soft_weight` = 1/n_copies, so each
+    * distinct content's total sampling mass is equalized while the
+    * corpus keeps its full diversity — feed the weight into
+    * [[graft.operators.SamplingOps]] resampling or a trainer's example
+    * weighting. NULL text never matches anything (per-row synthetic
+    * key, weight 1 — the [[exactDedup]] stance). Same scale shape as
+    * exactDedup: ONE shuffle on the content digest (a count window
+    * instead of a rank window). All caller columns survive. */
+  def softDedupWeights(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus
+      .withColumn("n_copies", count(lit(1)).over(
+        Window.partitionBy(coalesce(md5(col(textCol)),
+          concat(lit("n:"), col(idCol).cast(StringType))))))
+      .withColumn("soft_weight",
+        lit(1.0) / col("n_copies").cast(DoubleType))
+
   /** Word-order-insensitive exact dedup: the canonical key is the md5
     * of the SORTED token multiset, so a doc whose words were merely
     * permuted (scraped tables re-serialized in a different order,
@@ -1585,6 +1606,42 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         m AS (SELECT ${graft.QueryDef.davgSql("abs_err")} AS mae FROM s2)
         SELECT s2.*, m.mae FROM s2, m
         ORDER BY doc_a, doc_b""")),
+
+    // ---- p119: SoftDedup reweighting — [[softDedupWeights]] with
+    // injected exact duplicates (the p113/p118 twin trick: doc_id % 9
+    // == 4 copies its predecessor's text) so copy groups of size > 1
+    // exist; the oracle replays the synthetic-key count window and the
+    // exact 1/n division (n small integer → IEEE-exact both engines).
+    QueryDef(
+      "p119_soft_dedup",
+      (s, d) => {
+        val base = T.documents(s, d).select(col("doc_id"), col("text"))
+        val prev = base.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__pt"))
+        val marked = base.join(prev, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 9 === 4 && col("__pt").isNotNull,
+              col("__pt")).otherwise(col("text")).as("t"))
+        softDedupWeights(marked, "doc_id", "t")
+          .select(col("doc_id"), col("n_copies"), col("soft_weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH prevd AS (
+          SELECT doc_id + 1 AS doc_id, text AS pt FROM documents),
+        m AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 9 = 4 AND p.pt IS NOT NULL
+                      THEN p.pt ELSE d.text END AS t
+          FROM documents d LEFT JOIN prevd p USING (doc_id))
+        SELECT doc_id,
+               COUNT(*) OVER (PARTITION BY
+                 COALESCE(md5(t), 'n:' || CAST(doc_id AS VARCHAR)))
+                 AS n_copies,
+               1.0 / CAST(COUNT(*) OVER (PARTITION BY
+                 COALESCE(md5(t), 'n:' || CAST(doc_id AS VARCHAR)))
+                 AS DOUBLE) AS soft_weight
+        FROM m ORDER BY doc_id""")),
 
     // ---- p118: the production dedup CHAIN (exact → minhash collapse
     // + report) certified cross-engine in ORDER — the composition

@@ -1280,6 +1280,24 @@ class TextApiSpec extends AnyFunSuite {
       Seq((3L, "b"), (7L, "c")))
   }
 
+  test("softDedupWeights: 1/n_copies per exact-content group; NULL text " +
+      "stays weight 1; each distinct content's total mass is 1") {
+    import spark.implicits._
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "same"), (4L, "other"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]))
+      .toDF("post_key", "body")
+    val w = Pipeline.softDedupWeights(df, "post_key", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(w(1L) == ((3L, 1.0 / 3)) && w(2L) == w(1L) && w(3L) == w(1L))
+    assert(w(4L) == ((1L, 1.0)))
+    // NULL text rows are each their own group — never merged
+    assert(w(5L) == ((1L, 1.0)) && w(6L) == ((1L, 1.0)))
+    // every distinct non-null content sums to exactly 1.0 of mass
+    assert(w.values.filter(_._1 == 3L).map(_._2).sum == 1.0)
+    // all caller columns survive, nothing dropped
+    assert(Pipeline.softDedupWeights(df, "post_key", "body").count() == 6L)
+  }
+
   test("dedupBagOfWords: permuted copies collapse (where exactDedup keeps both), " +
       "multiset not set, NULL-text rows all kept, whitespace normalizes") {
     import spark.implicits._
