@@ -325,6 +325,64 @@ private[operators] trait DedupTextOps { self: Pipeline.type =>
         array_min(col("kh")).as("fingerprint"),
         size(col("kh")).cast(LongType).as("n_distinct_grams"))
 
+  /** WINDOWED winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 §4 — the MOSS algorithm; [[winnowFingerprints]] keeps
+    * only the single global minimum, this is the real fingerprint
+    * SET): hash every positioned word k-gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's minimum, and emit
+    * the document's distinct selected hashes. The winnowing guarantee:
+    * any shared run of ≥ w + k − 1 words contributes at least one
+    * SHARED fingerprint, at expected density 2/(w+1) — detection
+    * without hashing every gram into the index. Docs shorter than one
+    * full window carry no row. Entirely map-side higher-order array
+    * work, zero shuffle. Output: (doc_id, fps array&lt;long&gt;). */
+  def winnowFingerprintSet(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k, w >= 1, got ($k, $w)")
+    corpus
+      .select(col(idCol).as("doc_id"),
+        array_remove(words(col(textCol)), "").as("ws"))
+      .filter(size(col("ws")) >= k + w - 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("ws")) - (k - 1)), i =>
+          call_function("md5_prefix_long",
+            array_join(slice(col("ws"), i, lit(k)), " "), lit(4)))
+          .as("gh"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("gh")) - (w - 1)),
+          j => array_min(slice(col("gh"), j, lit(w))))).as("fps"))
+  }
+
+  /** MOSS-style near-dup candidates from [[winnowFingerprintSet]]:
+    * pairs sharing at least `minShared` selected fingerprints, with
+    * `n_shared` = |fps_a ∩ fps_b| over fingerprints whose posting
+    * bucket passes the [[graft.operators.DedupOps]] LshBucketCap guard
+    * (a boilerplate fingerprint in every doc would otherwise explode
+    * the pair fan-out — the same mass-duplicate stance as minhash
+    * banding). One (fingerprint)-keyed shuffle; pair work bounded by
+    * capped bucket sizes. Output: (doc_a, doc_b, n_shared). */
+  def winnowNeardupCandidates(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val posting = winnowFingerprintSet(corpus, idCol, textCol, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    posting
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= LshBucketCap)
+      .select(col("fp"), explode(col("docs")).as("da"), col("docs"))
+      .select(col("fp"), col("da"), explode(col("docs")).as("db"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("n_shared"))
+  }
+
   /** Per-document repeated-passage share over ANY corpus — the p32
     * core as a reusable operator: the fraction of a doc's distinct
     * word-`passageLen`-gram passages that also occur in ANOTHER
@@ -425,6 +483,57 @@ private[operators] trait DedupTextOps { self: Pipeline.type =>
         col("first_doc"))
 
   private[operators] lazy val deduptextQueries: Seq[QueryDef] = Seq(
+    // ---- p120: MOSS winnowing candidates — [[winnowFingerprintSet]]
+    // (positioned k-gram hashes → sliding-window minima → distinct
+    // set) composed into [[winnowNeardupCandidates]] (shared-
+    // fingerprint pairs under the bucket cap). The oracle replays the
+    // positioned md5 grams (the p12 arithmetic kept positioned), the
+    // per-window minima via a bounded self-join, the distinct
+    // fingerprint set, the capped posting buckets and the per-pair
+    // shared count — end to end.
+    QueryDef(
+      "p120_winnow_candidates",
+      (s, d) =>
+        winnowNeardupCandidates(T.documents(s, d), "doc_id", "text")
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                   x -> x <> '') AS ws
+          FROM documents
+          WHERE len(list_filter(string_split_regex(text, '\\s+'),
+                  x -> x <> '')) >= 6),
+        g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')),
+                   1, 8) AS BIGINT) AS h
+          FROM w, unnest(range(1, len(ws) - 1)) t(i)),
+        np AS (SELECT doc_id, MAX(i) AS npos FROM g GROUP BY doc_id),
+        mins AS (
+          SELECT a.doc_id, a.i AS j, MIN(b.h) AS m
+          FROM g a
+          JOIN np ON np.doc_id = a.doc_id
+          JOIN g b ON b.doc_id = a.doc_id
+                  AND b.i >= a.i AND b.i <= a.i + 3
+          WHERE a.i + 3 <= np.npos
+          GROUP BY a.doc_id, a.i),
+        fset AS (SELECT DISTINCT doc_id, m FROM mins),
+        buckets AS (
+          SELECT m, list_sort(list(DISTINCT doc_id)) AS docs
+          FROM fset GROUP BY m
+          HAVING COUNT(DISTINCT doc_id) > 1
+             AND COUNT(DISTINCT doc_id) <= 1000),
+        pp AS (
+          SELECT ta.da, tb.db, m
+          FROM buckets, unnest(docs) ta(da), unnest(docs) tb(db)
+          WHERE ta.da < tb.db)
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM pp GROUP BY da, db
+        HAVING COUNT(*) >= 2
+        ORDER BY doc_a, doc_b""")),
+
     // ---- p100: CDC chunk-dedup savings report — [[cdcDedupReport]]
     // over the p99 chunk stream: one content-hash partial agg, the
     // exactDedup shape at sub-document granularity. The oracle reuses

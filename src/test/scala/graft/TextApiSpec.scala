@@ -1280,6 +1280,35 @@ class TextApiSpec extends AnyFunSuite {
       Seq((3L, "b"), (7L, "c")))
   }
 
+  test("winnowFingerprintSet/winnowNeardupCandidates: the coverage guarantee " +
+      "(shared ≥ w+k−1 run ⇒ shared fingerprint), short docs drop, " +
+      "distinct texts don't pair") {
+    import spark.implicits._
+    val sharedRun = "alpha beta gamma delta epsilon zeta" // 6 = w + k − 1
+    val docs = Seq(
+      (1L, s"one two three $sharedRun four five six"),
+      (2L, s"seven eight $sharedRun nine ten eleven twelve"),
+      (3L, "totally different words with nothing in common here at all"),
+      (4L, "short doc here")) // < k + w − 1 = 6 words → no fingerprints
+      .toDF("post_key", "body")
+    val fps = Pipeline.winnowFingerprintSet(docs, "post_key", "body")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L)) // short doc carries no row
+    // the winnowing theorem: a shared 6-word run MUST contribute at
+    // least one shared selected fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // density: far fewer fingerprints than grams (the 2/(w+1) point)
+    assert(fps(1L).size < 10)
+    val pairs = Pipeline.winnowNeardupCandidates(docs, "post_key", "body",
+      minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Pipeline.winnowNeardupCandidates(docs, "post_key", "body",
+        minShared = 0))
+  }
+
   test("softDedupWeights: 1/n_copies per exact-content group; NULL text " +
       "stays weight 1; each distinct content's total mass is 1") {
     import spark.implicits._
