@@ -1643,6 +1643,60 @@ private[operators] trait DedupOps { self: Pipeline.type =>
                  AS DOUBLE) AS soft_weight
         FROM m ORDER BY doc_id""")),
 
+    // ---- p121: soft-dedup-weighted Gumbel resampling — the p70-style
+    // COMPOSITION gate: [[softDedupWeights]]' 1/n_copies weights feed
+    // [[graft.operators.SamplingOps]]' resampleByImportance (RNG-free
+    // Gumbel-top-k, the p51 machinery) so duplicates' equalized mass
+    // drives the actual draw — the SoftDedup paper's end use. The
+    // oracle splices the p119 weight window into the p51 gumbel-key
+    // arithmetic verbatim.
+    QueryDef(
+      "p121_soft_resample",
+      (s, d) => {
+        val base = T.documents(s, d).select(col("doc_id"), col("text"))
+        val prev = base.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__pt"))
+        val marked = base.join(prev, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 9 === 4 && col("__pt").isNotNull,
+              col("__pt")).otherwise(col("text")).as("t"))
+        resampleByImportance(
+          softDedupWeights(marked, "doc_id", "t"),
+          "doc_id", "soft_weight", k = 100)
+          .select(col("doc_id"), col("n_copies"), col("soft_weight"),
+            col("gumbel_key"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH prevd AS (
+          SELECT doc_id + 1 AS doc_id, text AS pt FROM documents),
+        m AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 9 = 4 AND p.pt IS NOT NULL
+                      THEN p.pt ELSE d.text END AS t
+          FROM documents d LEFT JOIN prevd p USING (doc_id)),
+        wgt AS (
+          SELECT doc_id,
+                 COUNT(*) OVER (PARTITION BY
+                   COALESCE(md5(t), 'n:' || CAST(doc_id AS VARCHAR)))
+                   AS n_copies,
+                 1.0 / CAST(COUNT(*) OVER (PARTITION BY
+                   COALESCE(md5(t), 'n:' || CAST(doc_id AS VARCHAR)))
+                   AS DOUBLE) AS soft_weight
+          FROM m),
+        keyed AS (
+          SELECT doc_id, n_copies, soft_weight,
+                 soft_weight / 1.0 + round(-ln(-ln(
+                   (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) + 0.5) / 281474976710656.0)), 9)
+                   AS gumbel_key
+          FROM wgt)
+        SELECT doc_id, n_copies, soft_weight, gumbel_key
+        FROM keyed
+        QUALIFY ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id ASC)
+          <= 100
+        ORDER BY doc_id""")),
+
     // ---- p118: the production dedup CHAIN (exact → minhash collapse
     // + report) certified cross-engine in ORDER — the composition
     // `graft dedup` ships ([[dedupChainManaged]]; DedupCliSpec pins
