@@ -340,19 +340,17 @@ private[operators] trait DedupTextOps { self: Pipeline.type =>
   def winnowFingerprintSet(corpus: DataFrame, idCol: String,
       textCol: String, k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k, w >= 1, got ($k, $w)")
+    // the [[graft.plans.WinnowFingerprints]] codegen kernel — ONE
+    // linear pass; the HOF spelling of the same arithmetic was inlined
+    // by Catalyst into the downstream explode's pushed filter, where
+    // the window lambda re-evaluated the whole gram transform per
+    // position (O(n²) interpreted per row; 186 s at sf0.1)
     corpus
       .select(col(idCol).as("doc_id"),
-        array_remove(words(col(textCol)), "").as("ws"))
-      .filter(size(col("ws")) >= k + w - 1)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("ws")) - (k - 1)), i =>
-          call_function("md5_prefix_long",
-            array_join(slice(col("ws"), i, lit(k)), " "), lit(4)))
-          .as("gh"))
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(col("gh")) - (w - 1)),
-          j => array_min(slice(col("gh"), j, lit(w))))).as("fps"))
+        call_function("winnow_fps",
+          array_remove(words(col(textCol)), ""), lit(k), lit(w))
+          .as("fps"))
+      .filter(size(col("fps")) > 0)
   }
 
   /** MOSS-style near-dup candidates from [[winnowFingerprintSet]]:

@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("minhash_sig", 2)(c => MinhashSignature(c(0),
         TextHashes.litInt(c(1), "minhash_sig: numHashes")))))
     ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+      arity("winnow_fps", 3)(c => WinnowFingerprints(c(0),
+        TextHashes.litInt(c(1), "winnow_fps: k"),
+        TextHashes.litInt(c(2), "winnow_fps: w")))))
+    ext.injectFunction((
       new FunctionIdentifier("oph_sig"),
       new ExpressionInfo(classOf[OphSignature].getName, "oph_sig"),
       arity("oph_sig", 2)(c => OphSignature(c(0),

@@ -140,6 +140,35 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(sep(4)._2 == "{k:NULL}")
   }
 
+  test("winnow_fps: kernel equals the HOF spelling it replaced, on random word arrays") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "bb", "ccc", "dog", "x1", "zz9", "q", "été")
+    val gen = for {
+      n <- Gen.chooseNum(0, 30)
+      ws <- Gen.listOfN(n, word)
+      k <- Gen.chooseNum(1, 4)
+      w <- Gen.chooseNum(1, 5)
+    } yield (ws, k, w)
+    check(Prop.forAll(gen) { case (ws, k, w) =>
+      val df = Seq(Tuple1(ws)).toDF("ws")
+      val kernel = df.select(call_function("winnow_fps", col("ws"),
+        lit(k), lit(w))).collect().head.getSeq[Long](0)
+      // the reference model: positioned gram hashes, window minima,
+      // first-occurrence distinct — the exact HOF spelling the kernel
+      // replaced (kept here as the executable contract)
+      val hof = df
+        .filter(size(col("ws")) >= k + w - 1) // the pre-kernel guard
+        .select(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => call_function("md5_prefix_long",
+            array_join(slice(col("ws"), i, lit(k)), " "), lit(4))).as("gh"))
+        .select(array_distinct(transform(
+          sequence(lit(1), size(col("gh")) - (w - 1)),
+          j => array_min(slice(col("gh"), j, lit(w))))))
+        .collect().headOption.map(_.getSeq[Long](0)).getOrElse(Seq.empty)
+      kernel == hof
+    }, n = 60)
+  }
+
   test("nfc_normalize: idempotent, matches the JDK reference, never lengthens") {
     import spark.implicits._
     // strings mixing ascii, precomposed, decomposed (combining marks),
