@@ -260,6 +260,15 @@ class StressSpec extends AnyFunSuite {
         postings.filter(col("doc_id") < 50), k = 10)
     }
 
+    // p120: MOSS winnowing candidates at 10× — the WinnowFingerprints
+    // kernel must stay a linear map pass (the HOF spelling it replaced
+    // went O(n²)-interpreted under Catalyst's filter inlining: 186 s
+    // at sf0.1); the 10k near-dup pairs share ≥ w+k−1 runs, so the
+    // coverage guarantee must surface them
+    drive("winnowNeardupCandidates", budgetSec = 300, minRows = 9000L) {
+      operators.Pipeline.winnowNeardupCandidates(docs, "doc_id", "text")
+    }
+
     // p75: the dedup-ladder report — exact + near (the p02 component
     // graph) + substring layers audited in one aggregation pass
     drive("dedupLadderReport", budgetSec = 600) {
