@@ -39,8 +39,9 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       bands, rows)
 
     // Exact-Jaccard verification: fetch the two shingle arrays and
-    // intersect in place — bounded by bucket collisions (pairs is
-    // tiny, so both joins broadcast it against the cached xs).
+    // intersect in place — bounded by bucket collisions (xs covers
+    // only candidate docs, so AQE broadcasts whichever side is
+    // smaller).
     pairs
       .join(xs.as("xa"), col("da") === col("xa.doc_id"))
       .join(xs.as("xb"), col("db") === col("xb.doc_id"))
@@ -110,9 +111,11 @@ private[operators] trait DedupOps { self: Pipeline.type =>
 
   /** Shared candidate generation for [[ophNeardupPairs]] and
     * [[ophAccuracyReport]] — the [[minhashCandidates]] shape on the
-    * one-permutation signature: (per-doc shingle-hash arrays,
-    * persisted; per-doc OPH signatures; banded candidate pairs under
-    * [[LshBucketCap]]). */
+    * one-permutation signature: (CANDIDATE-subset shingle-hash arrays;
+    * candidate-subset OPH signatures; banded candidate pairs under
+    * [[LshBucketCap]]). See [[minhashCandidates]] for why the verify
+    * arrays are recomputed for the candidate subset instead of
+    * persisting a corpus-sized frame. */
   private def ophCandidates(corpus: DataFrame, idCol: String,
       textCol: String, bands: Int, rows: Int)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -122,11 +125,8 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     val docs = corpus
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 5)
-    val xs = docs
-      .select(col("doc_id"), shingleHashes(col("ws")).as("xs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = xs.select(col("doc_id"),
-      call_function("oph_sig", col("xs"), lit(k)).as("sig"))
+    val sigs = docs.select(col("doc_id"),
+      call_function("oph_sig", shingleHashes(col("ws")), lit(k)).as("sig"))
     val bucketed = sigs
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), lit(bands - 1)),
@@ -142,7 +142,19 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .select(col("da"), explode(col("docs")).as("db"))
       .filter(col("da") < col("db"))
       .distinct()
-    (xs, sigs, pairs)
+    val candIds = pairs
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct()
+    // the repartition plants an exchange at the top of the candidate
+    // frame, so every verify-join arm (xa/xb and sa/sb) reads ONE
+    // ReusedExchange instead of rescanning + rehashing the corpus per
+    // arm — a candidate-sized shuffle buys 3 saved corpus scans
+    val candXs = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleHashes(col("ws")).as("xs"))
+      .repartition(col("doc_id"))
+    val candSigs = candXs.select(col("doc_id"),
+      call_function("oph_sig", col("xs"), lit(k)).as("sig"))
+    (candXs, candSigs, pairs)
   }
 
   /** Sketch-accuracy audit of the OPH signature — the
@@ -177,9 +189,12 @@ private[operators] trait DedupOps { self: Pipeline.type =>
   }
 
   /** Shared candidate generation for [[minhashNeardupPairs]] and
-    * [[minhashAccuracyReport]]: (per-doc distinct shingle-hash arrays
-    * — persisted, the expensive artifact; per-doc signature arrays;
-    * LSH candidate pairs from bucket collisions). */
+    * [[minhashAccuracyReport]]: (CANDIDATE-subset shingle-hash arrays;
+    * candidate-subset signature arrays; LSH candidate pairs from
+    * bucket collisions). The first two frames cover exactly the docs
+    * appearing in `pairs` — every consumer joins them on pair ids, so
+    * restricting them is free, and it is what lets this function hold
+    * NO corpus-sized persist (the r17 cache-leak fix). */
   private def minhashCandidates(corpus: DataFrame, idCol: String,
       textCol: String, bands: Int, rows: Int)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -189,21 +204,17 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .filter(size(col("ws")) >= 5)
     // Per-doc distinct shingle-hash ARRAY, built map-side with
     // higher-order functions — no explode, no (doc,shingle) shuffle.
-    // This is the expensive artifact (one md5 per 5-gram); it feeds
-    // the signature computation and both sides of the verification
-    // join, so materialize it once (spills past memory — at 100 TB
-    // you'd persist exactly this table). Session contract: the
-    // persist lives until `spark.catalog.clearCache()` — Verify and
-    // Bench call it after every query, so the cache is scoped to one
-    // execution; long-lived sessions embedding this operator should
-    // do the same once the result is materialized.
+    // This is the expensive artifact (one md5 per 5-gram). It is NOT
+    // persisted: the signature chain consumes it once map-side, and
+    // the verification join recomputes it ONLY for the candidate
+    // subset (see candXs below) — a corpus-sized MEMORY_AND_DISK
+    // cache would leak for the session lifetime in embedding
+    // libraries and, at 100 TB, spill a larger-than-corpus artifact
+    // to executor disks; recomputing a candidate-bounded slice is
+    // strictly cheaper.
     // (measured: distincting the 5-gram strings before the md5 saves
     // duplicate hashes but costs an extra string-array materialization
     // — net slower on this corpus, so hash-then-distinct stays)
-    val xs = docs
-      .select(col("doc_id"), shingleHashes(col("ws")).as("xs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
     // All 32 minima in ONE codegen'd pass: the whole signature stage
     // is map-side, ZERO shuffle (the r03 plan shuffled every
     // (doc,shingle) pair through distinct + groupBy). Set sizes are
@@ -213,8 +224,8 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     // 32-slot zip_with accumulator was ~19% slower still; the native
     // MinhashSignature expression does one traversal with a primitive
     // long[] accumulator inside whole-stage codegen)
-    val mh = xs.select(col("doc_id"),
-      minhashSig(col("xs"), numHashes).as("mh"))
+    val mh = docs.select(col("doc_id"),
+      minhashSig(shingleHashes(col("ws")), numHashes).as("mh"))
 
     val sigCols = (0 until bands).map(b =>
       concat_ws(",", (0 until rows).map(r =>
@@ -236,7 +247,25 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .select(col("da"), explode(col("docs")).as("db"))
       .filter(col("da") < col("db"))
       .distinct()
-    (xs, mh, pairs)
+    // Verify-side arrays for the CANDIDATE subset only: semi-join the
+    // word arrays down to docs that appear in some pair, THEN hash.
+    // Candidates are bucket-bounded (tiny vs the corpus), so this
+    // recompute costs one corpus scan + a candidate-sized hash pass —
+    // and the banded-bucket exchange above is computed once and
+    // ReusedExchange'd across the pairs/candIds occurrences in the
+    // final plan.
+    val candIds = pairs
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct()
+    // exchange at the top of the candidate frame → every verify-join
+    // arm reads ONE ReusedExchange instead of rescanning the corpus
+    // (see ophCandidates; same trick)
+    val candXs = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleHashes(col("ws")).as("xs"))
+      .repartition(col("doc_id"))
+    val candMh = candXs.select(col("doc_id"),
+      minhashSig(col("xs"), numHashes).as("mh"))
+    (candXs, candMh, pairs)
   }
 
   /** MinHash estimation-accuracy report — the sketch-accuracy
@@ -248,8 +277,8 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     * absolute error. This is how banding/permutation counts get
     * validated before a production dedup run commits to them. Same
     * bounded shapes as the dedup pass itself: candidates come only
-    * from bucket collisions, and the pair table broadcasts against
-    * the cached shingle/signature artifacts. Output per candidate
+    * from bucket collisions, and the shingle/signature artifacts are
+    * recomputed for the candidate subset only. Output per candidate
     * pair: (doc_a, doc_b, n_agree, est, jaccard, abs_err) + the
     * constant `mae` column. */
   def minhashAccuracyReport(corpus: DataFrame, idCol: String,

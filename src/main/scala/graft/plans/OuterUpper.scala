@@ -49,17 +49,24 @@ case class OuterUpper(child: Expression) extends UnaryExpression {
 }
 
 object OuterUpper {
+  /** Packed upper-triangle cell count, computed in Long: d*(d+1)
+    * wraps Int at d >= 46341, so an Int-typed size would go negative
+    * (NegativeArraySizeException) for d in [46341, 65535] — inside
+    * the accepted bound. At the 65535 cap the Long size (2147450880)
+    * still fits an Int array exactly. */
+  def packedSize(d: Int): Long = d.toLong * (d + 1) / 2
+
   def packed(x: ArrayData): Array[Double] = {
     val d = x.numElements()
-    // d(d+1)/2 is Int arithmetic: past 65535 elements it overflows to a
-    // negative array size. The operator path caps dim at 1024, but the
-    // function is SQL-registered, so direct callers need the loud bound.
+    // The operator path caps dim at 1024, but the function is
+    // SQL-registered, so direct callers need the loud bound.
+    val sz = packedSize(d)
     require(d <= 65535,
       s"outer_upper: input has $d elements; the packed upper triangle " +
-        "d*(d+1)/2 overflows Int past 65535 (and a >2-billion-cell moment " +
-        "row is not a usable covariance accumulator) — reduce dimensionality " +
-        "first (e.g. jl_project)")
-    val out = new Array[Double](d * (d + 1) / 2)
+        s"has $sz cells, past the 65535-element bound (a >2-billion-cell " +
+        "moment row is not a usable covariance accumulator) — reduce " +
+        "dimensionality first (e.g. jl_project)")
+    val out = new Array[Double](sz.toInt)
     var k = 0
     var i = 0
     while (i < d) {

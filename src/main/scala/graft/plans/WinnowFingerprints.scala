@@ -24,8 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * — bit-identical to `CAST('0x' || substr(md5(gram), 1, 8) AS
   * BIGINT)`, so the DuckDB oracle is unchanged.
   *
-  * Null elements are not expected (word arrays are built non-null); a
-  * null input array yields null; fewer than one full window (n <
+  * Null elements are skipped within a gram — the `array_join`
+  * semantics of the HOF spelling this kernel replaced (and the
+  * [[OphSignature]] convention), so a direct SQL caller with a
+  * nullable array gets the same fingerprints, not an NPE. A null
+  * input array yields null; fewer than one full window (n <
   * w + k − 1 words) yields an EMPTY array — callers filter on
   * `size(fps) > 0` (cheap: the kernel is codegen'd, so the filter's
   * duplicate evaluation costs one linear pass, not the HOF pyramid).
@@ -75,9 +78,15 @@ object WinnowFingerprints {
     while (i < npos) {
       sb.setLength(0)
       var j = 0
+      var first = true
       while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(ws.getUTF8String(i + j).toString)
+        // skip nulls like array_join did in the HOF spelling — no
+        // separator is emitted for a skipped element
+        if (!ws.isNullAt(i + j)) {
+          if (!first) sb.append(' ')
+          sb.append(ws.getUTF8String(i + j).toString)
+          first = false
+        }
         j += 1
       }
       gh(i) = TextHashes.hashOne(UTF8String.fromString(sb.toString), 4)

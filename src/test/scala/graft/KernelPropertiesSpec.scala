@@ -39,6 +39,26 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("65535"))
   }
 
+  test("outer_upper: packed size is computed in Long — the Int expression " +
+      "wraps negative for d in [46341, 65535], inside the accepted bound") {
+    import graft.plans.OuterUpper.packedSize
+    // the hole the Long fix closes: d*(d+1)/2 in Int arithmetic goes
+    // negative exactly at 46341 (the allocation would have thrown
+    // NegativeArraySizeException even though the require passed)
+    val d = 46341
+    assert(d * (d + 1) / 2 < 0)
+    assert(packedSize(d) == 1073767311L)
+    // at the accepted cap the Long size still fits an Int array
+    assert(packedSize(65535) == 2147450880L)
+    assert(packedSize(65535) <= Int.MaxValue.toLong)
+    // the allocation path consumes packedSize: a direct probe agrees
+    val small = 512
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Float](small))
+    assert(graft.plans.OuterUpper.packed(arr).length.toLong ==
+      packedSize(small))
+  }
+
   test("mat_vec_affine: equals the per-row double-fold model; encode/parse round-trips") {
     import spark.implicits._
     val gen = for {
@@ -140,9 +160,15 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(sep(4)._2 == "{k:NULL}")
   }
 
-  test("winnow_fps: kernel equals the HOF spelling it replaced, on random word arrays") {
+  test("winnow_fps: kernel equals the HOF spelling it replaced, on random word " +
+      "arrays INCLUDING null elements (skipped like array_join, no NPE)") {
     import spark.implicits._
-    val word = Gen.oneOf("a", "bb", "ccc", "dog", "x1", "zz9", "q", "été")
+    // ~1 in 9 elements is null: a direct SQL caller may hand the
+    // registered function a containsNull array, and the kernel must
+    // match array_join's skip-the-null semantics instead of NPE-ing
+    val word = Gen.frequency(
+      8 -> Gen.oneOf("a", "bb", "ccc", "dog", "x1", "zz9", "q", "été"),
+      1 -> Gen.const(null: String))
     val gen = for {
       n <- Gen.chooseNum(0, 30)
       ws <- Gen.listOfN(n, word)

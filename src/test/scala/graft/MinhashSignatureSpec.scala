@@ -136,6 +136,21 @@ class MinhashSignatureSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 == 1.0)) // exact verification, not estimate
   }
 
+  test("oph/minhash neardup paths leave NO cached RDDs behind (the r17 " +
+      "advice leak: candidates used to persist a corpus-sized frame)") {
+    import spark.implicits._
+    val t1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val docs = Seq((1L, t1), (2L, t1), (3L, t1 + " tail"))
+      .toDF("post_key", "body")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    operators.Pipeline.ophNeardupPairs(docs, "post_key", "body").collect()
+    operators.Pipeline.ophAccuracyReport(docs, "post_key", "body").collect()
+    operators.Pipeline.minhashNeardupPairs(docs, "post_key", "body").collect()
+    operators.Pipeline.minhashAccuracyReport(docs, "post_key", "body").collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("minhash_sig: null input yields null; wrong element type rejected") {
     import spark.implicits._
     val n = Seq(Option.empty[Array[Long]]).toDF("xs")
