@@ -1047,9 +1047,14 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       jaccardMin: Double = DefaultJaccardMin,
       bands: Int = NumHashes / BandRows, rows: Int = BandRows): DedupChain = {
     val exact = exactDedup(corpus, idCol, textCol).localCheckpoint()
+    // connectedComponents returns ALREADY-materialized labels (its
+    // final round's eager localCheckpoint) — checkpointing again here
+    // would copy the table AND leak the inner blocks: release() walks
+    // the plan for LogicalRDDs, and a second checkpoint hides the
+    // first one's rdd from it (the r18 composed-drive finding)
     val comps = connectedComponents(
       minhashNeardupPairs(exact, idCol, textCol, jaccardMin, bands, rows)
-        .select(col("doc_a"), col("doc_b"))).localCheckpoint()
+        .select(col("doc_a"), col("doc_b")))
     DedupChain(
       collapseByComponents(exact, idCol, comps),
       dedupReport(comps),
@@ -1086,7 +1091,14 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     * are their own component. RNG-free md5 bucketing in tenths:
     * `trainBuckets`/10 train, `valBuckets`/10 val, remainder test.
     * One broadcast join against the component table (bounded by the
-    * near-dup set); the corpus side hashes map-side. */
+    * near-dup set); the corpus side hashes map-side.
+    *
+    * Lifecycle note: [[connectedComponents]]' returned labels are
+    * localCheckpoint-materialized and the returned frame reads those
+    * blocks — in a long-lived session, run [[connectedComponents]]
+    * yourself, feed [[splitByComponents]], and release the labels with
+    * [[PipelineCore.releaseLocalCheckpoint]] after the last action
+    * (the composed-pipeline stress drive is the executable example). */
   def leakageSafeSplit(corpus: DataFrame, idCol: String, pairs: DataFrame,
       trainBuckets: Int = 8, valBuckets: Int = 1): DataFrame =
     splitByComponents(corpus, idCol, connectedComponents(

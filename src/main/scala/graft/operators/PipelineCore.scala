@@ -341,17 +341,21 @@ private[operators] trait PipelineCore { self: Pipeline.type =>
   private[operators] def memoKey(s: SparkSession, d: String): String =
     s"${s.sparkContext.applicationId}:$d"
 
-  /** Free a superseded per-round `localCheckpoint`'s executor blocks.
-    * The succeeding round's EAGER localCheckpoint has already
-    * materialized an independent copy, so the old blocks are dead
-    * weight — without the release they survive until the DataFrame is
-    * GC'd, holding one corpus-sized copy PER ROUND on the executors.
-    * Plan-shape-tolerant like the connectedComponents cleanup: if a
-    * future Spark stops exposing the LogicalRDD, the collect finds
-    * nothing and we skip the release (memory grows for the call,
-    * correctness unchanged). blocking = false: no job waits on the
-    * removal. */
-  private[operators] def releaseLocalCheckpoint(df: DataFrame,
+  /** Free a `localCheckpoint`'s executor blocks once the frame (and
+    * everything derived from it) has had its LAST action. PUBLIC: this
+    * is the release half of the checkpoint-lifecycle discipline that
+    * [[Curation.CleanTextHandle]] and [[DedupOps.DedupChain]] package —
+    * long-lived sessions that localCheckpoint their own intermediates
+    * (e.g. a split table feeding several consumers) need the same
+    * lever, or each checkpoint pins a table-sized copy on the
+    * executors until the JVM exits. Walks the frame's logical plan for
+    * LogicalRDD nodes, so it also reaches a checkpoint sitting beneath
+    * projections (e.g. [[DedupOps.connectedComponents]]' returned
+    * labels). Plan-shape-tolerant: if a future Spark stops exposing
+    * the LogicalRDD, the collect finds nothing and we skip the release
+    * (memory grows for the call, correctness unchanged). blocking =
+    * false: no job waits on the removal. */
+  def releaseLocalCheckpoint(df: DataFrame,
       blocking: Boolean = false): Unit =
     df.queryExecution.logical.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd

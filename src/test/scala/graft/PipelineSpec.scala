@@ -197,6 +197,23 @@ class PipelineSpec extends AnyFunSuite {
       s"superseded CC rounds leaked persistent RDDs: $extra")
   }
 
+  test("dedupChainManaged: release() frees EVERY block the chain pinned " +
+      "(incl. connectedComponents' inner labels — the r18 double-checkpoint leak)") {
+    import spark.implicits._
+    val t = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docs = Seq((1L, t), (2L, t), (3L, t + " juliet"), (4L, "other words " +
+      "entirely unrelated content here okay")).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = operators.Pipeline.dedupChainManaged(docs, "doc_id", "text")
+    assert(chain.deduped.count() >= 1 && chain.report.count() >= 0)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "the chain should pin its exact/components checkpoints while live")
+    chain.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"chain.release() left blocks pinned: $leaked")
+  }
+
   test("sharedComponents memo: release frees blocks; a 5th dir evicts the 1st") {
     import spark.implicits._
     val P = operators.Pipeline

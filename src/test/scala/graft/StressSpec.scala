@@ -253,11 +253,19 @@ class StressSpec extends AnyFunSuite {
     // point: the cap removes scan cost that carried ~zero ranking
     // signal
     drive("bm25RetrievalCapped", budgetSec = 600, minRows = 10L) {
-      val postings = operators.Pipeline.capPostingsByDf(
-        operators.Pipeline.bm25Postings(docs, "doc_id", "text"),
-        maxDf = 5000L)
-      operators.Pipeline.sparseTopK(postings,
-        postings.filter(col("doc_id") < 50), k = 10)
+      // r18: the drive now goes through the bm25Retrieval FRONT DOOR
+      // (cap on by default) — the committed key measures the path a
+      // library consumer actually gets; 5000/50000 docs = fraction 0.1,
+      // the same threshold the hand-composed r17 drive used. Query
+      // terms come from the raw text (the p82/p122 shape) instead of a
+      // second postings build.
+      val queries = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(array_remove(split(col("text"), "\\s+"), "")).as("term"))
+        .distinct()
+        .withColumn("weight", lit(1.0))
+      operators.Pipeline.bm25Retrieval(docs, "doc_id", "text", queries,
+        k = 10, maxDfFraction = Some(0.1))
     }
 
     // p120: MOSS winnowing candidates at 10× — the WinnowFingerprints
@@ -277,6 +285,79 @@ class StressSpec extends AnyFunSuite {
           jaccardMin = 0.8).select(col("doc_a"), col("doc_b")))
       operators.Pipeline.dedupLadderReport(docs, "doc_id", "text", comps,
         substringMinLen = 20)
+    }
+
+    // THE COMPOSED USER JOURNEY in ONE session (r17 verdict Next #1):
+    // curate → managed dedup chain → component-shared leakage-safe
+    // split → BPE tokenize → pack + report — the `graft` CLI chain as
+    // a library composition. Every stage is individually proven above;
+    // this drive exercises their INTERACTION (CleanTextHandle +
+    // DedupChain release lifecycles, a user-managed split checkpoint
+    // feeding three consumers, bpeTrain's internal dictionary
+    // checkpoint) and then asserts ZERO leaked cache/checkpoint blocks
+    // once the handles are released — the assertion is the point.
+    {
+      val P = operators.Pipeline
+      spark.catalog.clearCache()
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      // the stress corpus is single-line unpunctuated word salad, which
+      // C4 line-cleaning (terminal punctuation + >=3 sentences) rightly
+      // drops wholesale — the composed journey needs curate-able PAGES,
+      // so wrap every 12 words into a period-terminated line (one map
+      // pass, local to this drive; dup structure is preserved)
+      val pages = docs.withColumn("text",
+        concat(regexp_replace(col("text"),
+          "((?:\\S+ ){11}\\S+) ", "$1.\n"), lit(".")))
+      val clean = operators.Curation.cleanTextManaged(pages, "doc_id",
+        "text", evalSet = Some(pages.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))))
+      val chain = P.dedupChainManaged(
+        clean.frame.select(col("doc_id"), col("text_clean")),
+        "doc_id", "text_clean", jaccardMin = 0.8)
+      // the long-lived-session split shape: build the component graph
+      // ONCE, split from it, checkpoint the split table (three
+      // consumers below), release both at the end
+      val splitComps = P.connectedComponents(
+        P.minhashNeardupPairs(chain.deduped, "doc_id", "text_clean",
+          jaccardMin = 0.8).select(col("doc_a"), col("doc_b")))
+      val split = P.splitByComponents(chain.deduped, "doc_id", splitComps)
+        .localCheckpoint()
+      val hist = split.groupBy(col("split")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hist.keySet == Set("train", "val", "test"),
+        s"split histogram missing a bucket: $hist")
+      assert(hist("train") > hist("test") && hist("test") > 0L,
+        s"implausible 8/1/1 split histogram: $hist")
+      val train = split.filter(col("split") === "train")
+      val merges = P.bpeTrain(train, "text_clean", numMerges = 48)
+      val vocab = P.bpeVocab(train, "text_clean", merges)
+      val ids = P.bpeEncodeIds(train, "text_clean", merges, vocab)
+      val packed = P.packTokenIds(
+        ids.withColumn("shard", col("doc_id") % 32), "doc_id", "shard",
+        "bpe_ids", contextLen = 512, sepId = -2)
+      val nChunks = packed.count()
+      assert(nChunks > 0L, "end-to-end pipeline packed zero chunks")
+      val packedPlan = packed.queryExecution.executedPlan.toString
+      assert(!packedPlan.contains("CartesianProduct"),
+        s"pipelineEndToEnd plans a CartesianProduct:\n$packedPlan")
+      val rep = P.packingReport(packed, contextLen = 512, sepId = -2)
+        .collect()(0)
+      assert(rep.getLong(0) == nChunks,
+        s"packingReport chunk count ${rep.getLong(0)} != packed $nChunks")
+      val secs = (System.nanoTime() - t0) / 1e9
+      captured("pipelineEndToEnd") = secs
+      info(f"pipelineEndToEnd: $nChunks chunks in $secs%.1f s (budget 900 s)")
+      assert(secs < 900, f"pipelineEndToEnd took $secs%.1f s — over budget")
+      // release every handle, then the zero-leak assertion
+      clean.release()
+      chain.release()
+      P.releaseLocalCheckpoint(splitComps, blocking = true)
+      P.releaseLocalCheckpoint(split, blocking = true)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet --
+        persistedBefore
+      assert(leaked.isEmpty,
+        s"pipelineEndToEnd leaked cached/checkpointed blocks: $leaked")
     }
 
     // commit the per-drive wall times to the min-ratchet: like the

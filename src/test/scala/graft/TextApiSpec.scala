@@ -2515,6 +2515,60 @@ class TextApiSpec extends AnyFunSuite {
       termCol = "t").count() == 5)
   }
 
+  test("capPostingsByDfFraction: fractional threshold tracks corpus size; " +
+      "bm25Retrieval default cap ≡ the hand-composed chain, None ≡ uncapped") {
+    import spark.implicits._
+    // 4 docs: 'stop' is in all 4 (df 4 = 100%), 'mid' in 2 (50%),
+    // 'rare' in 1 (25%)
+    val post = Seq(
+      (1L, "stop", 1.0), (2L, "stop", 1.0), (3L, "stop", 1.0),
+      (4L, "stop", 1.0),
+      (1L, "mid", 2.0), (2L, "mid", 2.0),
+      (3L, "rare", 5.0)).toDF("doc_id", "term", "weight")
+    // fraction 0.5: terms in MORE than 2 of 4 docs drop (cap inclusive)
+    val half = Pipeline.capPostingsByDfFraction(post, 0.5)
+    assert(half.filter(col("term") === "stop").count() == 0)
+    assert(half.count() == 3 &&
+      half.columns.toSeq == post.columns.toSeq)
+    // fraction 1.0 prunes nothing; bad fractions fail loudly
+    assert(Pipeline.capPostingsByDfFraction(post, 1.0).count() == 7)
+    intercept[IllegalArgumentException](
+      Pipeline.capPostingsByDfFraction(post, 0.0))
+
+    // the front door: capped-by-default retrieval equals composing the
+    // pieces by hand, and maxDfFraction = None equals the raw chain
+    val docs = Seq(
+      (1L, "the quick brown fox jumps the fence"),
+      (2L, "the quick red fox naps all day"),
+      (3L, "the slow green turtle naps all day"),
+      (4L, "the words here differ almost entirely now")
+    ).toDF("post_key", "body")
+    val qs = docs.filter(col("post_key") <= 2L)
+      .select(col("post_key").as("doc_id"),
+        explode(array_remove(split(col("body"), "\\s+"), "")).as("term"))
+      .distinct().withColumn("weight", lit(1.0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+    val gotDefault = rows(Pipeline.bm25Retrieval(
+      docs, "post_key", "body", qs, k = 3))
+    val wantDefault = rows(Pipeline.sparseTopK(
+      Pipeline.capPostingsByDfFraction(
+        Pipeline.bm25Postings(docs, "post_key", "body")
+          .select(col("doc_id"), col("term"), col("weight")), 0.5),
+      qs, k = 3))
+    assert(gotDefault == wantDefault && gotDefault.nonEmpty)
+    val gotRaw = rows(Pipeline.bm25Retrieval(
+      docs, "post_key", "body", qs, k = 3, maxDfFraction = None))
+    val wantRaw = rows(Pipeline.sparseTopK(
+      Pipeline.bm25Postings(docs, "post_key", "body")
+        .select(col("doc_id"), col("term"), col("weight")), qs, k = 3))
+    assert(gotRaw == wantRaw && gotRaw.nonEmpty)
+    // 'the' is in every doc: the default cap must change the result
+    assert(gotDefault != gotRaw)
+  }
+
   test("chunkText: randomized invariants — coverage, bounds, overlap, count formula") {
     import spark.implicits._
     // one Spark pass over a batch of random docs (seeded), invariants
