@@ -1063,6 +1063,471 @@ object Main {
     stats
   }
 
+  /** `graft index` — trains the IVF(-PQ) ANN index over an embedding
+    * corpus and writes the artifacts the serving side needs as parquet
+    * (centroids + member assignments; with --pq also codebooks + PQ
+    * codes) plus a meta.json recording the training parameters. Fronts
+    * [[operators.Pipeline.ivfIndex]] / pqResiduals / pqTrain /
+    * pqEncode — never a reimplementation (AnnCliSpec pins CLI ≡
+    * library). The train-once/serve-many shape: `graft ann` reads
+    * these artifacts without touching the raw corpus (PQ mode). */
+  final case class IndexArgs(
+      input: String = "",
+      outputDir: String = "",
+      idColumn: String = "vec_id",
+      vectorColumn: String = "embedding",
+      dim: Int = 0,
+      clusters: Int = 32,
+      iters: Int = 2,
+      pq: Boolean = false,
+      m: Int = 4,
+      ksub: Int = 16,
+      residual: Boolean = false,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      quiet: Boolean = false)
+
+  private[graft] val IndexHelpText =
+    s"""Trains an IVF(-PQ) approximate-nearest-neighbor index over an
+       |embedding corpus and writes the index artifacts as parquet
+       |(query them with `graft ann`)
+       |
+       |Usage: graft index [OPTIONS] --input <DIR> --output-dir <DIR> --dim <D>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of embeddings
+       |  -o, --output-dir <DIR>      Index artifact directory (centroids.parquet,
+       |                              members.parquet; with --pq also
+       |                              codebooks.parquet, codes.parquet; meta.json)
+       |      --id-column <C>         Vector id column (default vec_id)
+       |      --vector-column <C>     Embedding column (default embedding)
+       |      --dim <D>               Embedding dimensionality (required)
+       |      --clusters <K>          IVF coarse clusters (default 32)
+       |      --iters <N>             Lloyd iterations (default 2)
+       |      --pq                    Also train product quantization
+       |      --m <M>                 PQ subspaces (default 4; with --pq)
+       |      --ksub <K>              PQ codes per subspace (default 16; with --pq)
+       |      --residual              Encode residuals vs coarse centroids
+       |                              (IVFADC; with --pq)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseIndexArgs(argv: Seq[String]): IndexArgs = {
+    var a = IndexArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(IndexHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-dir" | "-o" => a = a.copy(outputDir = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--vector-column" => a = a.copy(vectorColumn = take(flag))
+        case "--dim" => a = a.copy(dim = parsePosInt(flag, take(flag)))
+        case "--clusters" => a = a.copy(clusters = parsePosInt(flag, take(flag)))
+        case "--iters" => a = a.copy(iters = parsePosInt(flag, take(flag)))
+        case "--pq" => a = a.copy(pq = true)
+        case "--m" => a = a.copy(m = parsePosInt(flag, take(flag)))
+        case "--ksub" => a = a.copy(ksub = parsePosInt(flag, take(flag)))
+        case "--residual" => a = a.copy(residual = true)
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see index --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputDir.isEmpty || a.dim == 0)
+      throw new IllegalArgumentException(
+        "usage: index [OPTIONS] --input DIR --output-dir DIR --dim D")
+    if (!a.pq) {
+      // PQ knobs must not silently no-op without --pq (the dedup
+      // --mode exact stance)
+      val d = IndexArgs()
+      val incompatible = Seq(
+        "--m" -> (a.m != d.m),
+        "--ksub" -> (a.ksub != d.ksub),
+        "--residual" -> a.residual).collect { case (f, true) => f }
+      if (incompatible.nonEmpty)
+        throw new IllegalArgumentException(
+          s"${incompatible.mkString(", ")} belong to the PQ layer — " +
+            "add --pq")
+    }
+    if (a.pq && a.dim % a.m != 0)
+      throw new IllegalArgumentException(
+        s"--dim ${a.dim} must divide into --m ${a.m} PQ subspaces")
+    a
+  }
+
+  private[graft] def runIndex(spark: SparkSession,
+      a: IndexArgs): ParquetSink.WriteStats = {
+    import org.apache.spark.sql.functions.col
+    val vecs = readDocs(spark, "--input", a.input,
+      Seq("--id-column" -> a.idColumn, "--vector-column" -> a.vectorColumn))
+    val sinkOpts = ParquetSink.SinkOptions(
+      compression = a.compression,
+      compressionLevel = a.compressionLevel,
+      singleFile = true,
+      quiet = a.quiet)
+    val P = operators.Pipeline
+    // train ONCE, checkpoint: members feed the sink AND (in residual
+    // mode) the PQ residual computation; centroids feed the sink, the
+    // residuals and nothing else
+    val (member0, cents0) = P.ivfIndex(vecs, a.idColumn, a.vectorColumn,
+      k = a.clusters, dim = a.dim, iters = a.iters)
+    val member = member0.localCheckpoint()
+    val cents = cents0.localCheckpoint()
+    try {
+      val stats = ParquetSink.write(member,
+        s"${a.outputDir}/members.parquet", sinkOpts)
+      ParquetSink.write(cents, s"${a.outputDir}/centroids.parquet",
+        sinkOpts.copy(quiet = true))
+      if (a.pq) {
+        val base =
+          if (a.residual)
+            P.pqResiduals(vecs, a.idColumn, a.vectorColumn, member, cents)
+          else vecs.select(col(a.idColumn).as("vec_id"),
+            col(a.vectorColumn).as("residual"))
+        val books = P.pqTrain(base, "vec_id", "residual",
+          dim = a.dim, m = a.m, ksub = a.ksub).localCheckpoint()
+        try {
+          ParquetSink.write(books, s"${a.outputDir}/codebooks.parquet",
+            sinkOpts.copy(quiet = true))
+          ParquetSink.write(
+            P.pqEncode(base, "vec_id", "residual", books,
+              dim = a.dim, m = a.m),
+            s"${a.outputDir}/codes.parquet", sinkOpts.copy(quiet = true))
+        } finally P.releaseLocalCheckpoint(books, blocking = true)
+      }
+      val meta =
+        s"""{"dim":${a.dim},"clusters":${a.clusters},"pq":${a.pq},""" +
+        s""""m":${a.m},"ksub":${a.ksub},"residual":${a.residual},""" +
+        s""""id_column":${Verify.jsonEscape(a.idColumn)},""" +
+        s""""vector_column":${Verify.jsonEscape(a.vectorColumn)}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${a.outputDir}/meta.json"), meta + "\n")
+      if (!a.quiet)
+        System.err.println(s"indexed ${stats.rows} vectors into " +
+          s"${a.clusters} clusters at ${a.outputDir}" +
+          (if (a.pq) s" (pq m=${a.m} ksub=${a.ksub}" +
+            (if (a.residual) " residual)" else ")") else ""))
+      stats
+    } finally {
+      P.releaseLocalCheckpoint(member, blocking = true)
+      P.releaseLocalCheckpoint(cents, blocking = true)
+    }
+  }
+
+  /** `graft ann` — top-k approximate-nearest-neighbor queries against
+    * a `graft index` artifact directory. PQ indexes serve from the
+    * artifacts alone (ADC over the codes — the raw corpus never
+    * loads); plain IVF scans the raw vectors of the probed clusters,
+    * so it needs --input. Fronts [[operators.Pipeline.ivfpqSearch]] /
+    * [[operators.Pipeline.ivfSearch]] (AnnCliSpec pins CLI ≡ library). */
+  final case class AnnArgs(
+      indexDir: String = "",
+      queries: String = "",
+      input: String = "",
+      outputFile: String = "",
+      idColumn: String = "",
+      vectorColumn: String = "",
+      k: Int = 10,
+      nprobe: Int = 1,
+      keepSelf: Boolean = false,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      quiet: Boolean = false)
+
+  private[graft] val AnnHelpText =
+    s"""Runs top-k approximate-nearest-neighbor queries against a
+       |`graft index` artifact directory
+       |
+       |Usage: graft ann [OPTIONS] --index-dir <DIR> --queries <DIR> --output-file <FILE>
+       |
+       |Options:
+       |      --index-dir <DIR>       `graft index` output directory
+       |  -q, --queries <DIR>         Parquet directory of query vectors
+       |  -o, --output-file <FILE>    Result parquet (q_id, probe_label,
+       |                              vec_id, score, rk)
+       |  -i, --input <DIR>           Raw embedding corpus — required for a
+       |                              non-PQ index (cluster-probed scan);
+       |                              a PQ index serves from artifacts alone
+       |      --id-column <C>         Query id column (default: the index's)
+       |      --vector-column <C>     Query vector column (default: the index's)
+       |      --k <K>                 Results per query (default 10)
+       |      --nprobe <N>            Clusters probed per query (default 1;
+       |                              the IVF recall knob)
+       |      --keep-self             Keep hits whose id equals the query id
+       |                              (default: excluded — same-id-space)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseAnnArgs(argv: Seq[String]): AnnArgs = {
+    var a = AnnArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(AnnHelpText)
+        case "--index-dir" => a = a.copy(indexDir = take(flag))
+        case "--queries" | "-q" => a = a.copy(queries = take(flag))
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--vector-column" => a = a.copy(vectorColumn = take(flag))
+        case "--k" => a = a.copy(k = parsePosInt(flag, take(flag)))
+        case "--nprobe" => a = a.copy(nprobe = parsePosInt(flag, take(flag)))
+        case "--keep-self" => a = a.copy(keepSelf = true)
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see ann --help)")
+      }
+    }
+    if (a.indexDir.isEmpty || a.queries.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: ann [OPTIONS] --index-dir DIR --queries DIR --output-file FILE")
+    a
+  }
+
+  /** Parsed meta.json of a `graft index` directory. */
+  private final case class IndexMeta(dim: Int, clusters: Int, pq: Boolean,
+      m: Int, ksub: Int, residual: Boolean, idColumn: String,
+      vectorColumn: String)
+
+  private def readIndexMeta(dir: String): IndexMeta = {
+    val path = java.nio.file.Paths.get(s"$dir/meta.json")
+    if (!java.nio.file.Files.exists(path))
+      throw new IllegalArgumentException(
+        s"--index-dir '$dir' is not a graft index (missing meta.json) — " +
+          "run `graft index` first")
+    val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    try {
+      import org.json4s._
+      implicit val fmt: Formats = DefaultFormats
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      IndexMeta(
+        (j \ "dim").extract[Int], (j \ "clusters").extract[Int],
+        (j \ "pq").extract[Boolean], (j \ "m").extract[Int],
+        (j \ "ksub").extract[Int], (j \ "residual").extract[Boolean],
+        (j \ "id_column").extract[String],
+        (j \ "vector_column").extract[String])
+    } catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"cannot parse $dir/meta.json: ${e.getMessage}")
+    }
+  }
+
+  private[graft] def runAnn(spark: SparkSession,
+      a: AnnArgs): ParquetSink.WriteStats = {
+    import org.apache.spark.sql.functions.col
+    val meta = readIndexMeta(a.indexDir)
+    val idCol = if (a.idColumn.nonEmpty) a.idColumn else meta.idColumn
+    val vecCol =
+      if (a.vectorColumn.nonEmpty) a.vectorColumn else meta.vectorColumn
+    val queries = readDocs(spark, "--queries", a.queries,
+      Seq("--id-column" -> idCol, "--vector-column" -> vecCol))
+    val member = readDocs(spark, "--index-dir", s"${a.indexDir}/members.parquet",
+      Seq("index members" -> "vec_id", "index members" -> "cluster"))
+    val cents = readDocs(spark, "--index-dir",
+      s"${a.indexDir}/centroids.parquet", Nil)
+    val P = operators.Pipeline
+    val out =
+      if (meta.pq) {
+        if (a.input.nonEmpty)
+          throw new IllegalArgumentException(
+            "--input is only for non-PQ indexes — a PQ index serves from " +
+              "its artifacts alone")
+        val books = readDocs(spark, "--index-dir",
+          s"${a.indexDir}/codebooks.parquet", Nil)
+        val codes = readDocs(spark, "--index-dir",
+          s"${a.indexDir}/codes.parquet", Nil)
+        P.ivfpqSearch(member, codes, queries, cents, books,
+          idCol, vecCol, k = a.k, dim = meta.dim, m = meta.m,
+          ksub = meta.ksub, nprobe = a.nprobe,
+          excludeSelf = !a.keepSelf, residual = meta.residual)
+          .withColumnRenamed("adist", "score")
+      } else {
+        if (a.input.isEmpty)
+          throw new IllegalArgumentException(
+            "a non-PQ index scans raw vectors of the probed clusters — " +
+              "pass the embedding corpus with --input (or train with --pq)")
+        val vecs = readDocs(spark, "--input", a.input,
+          Seq("--id-column" -> idCol, "--vector-column" -> vecCol))
+        val clustered = vecs.join(
+          member.select(col("vec_id").as(idCol), col("cluster")), Seq(idCol))
+        P.ivfSearch(clustered, queries, idCol, vecCol, "cluster",
+          k = a.k, nprobe = a.nprobe, excludeSelf = !a.keepSelf,
+          centroids = Some(cents))
+          .withColumnRenamed("cos_sim", "score")
+      }
+    val stats = ParquetSink.write(out, a.outputFile,
+      ParquetSink.SinkOptions(
+        compression = a.compression,
+        compressionLevel = a.compressionLevel,
+        singleFile = true,
+        quiet = a.quiet))
+    if (!a.quiet)
+      System.err.println(s"wrote ${stats.rows} hits (k=${a.k}, " +
+        s"nprobe=${a.nprobe}) to ${a.outputFile}")
+    stats
+  }
+
+  /** `graft ingest` — the streaming ingest chain as a CLI: a parquet
+    * directory is consumed as a file STREAM (new files picked up per
+    * micro-batch), scrubbed ([[streaming.Streams.scrubAndGate]]:
+    * min-length gate + PII redaction), optionally blocklist-gated,
+    * near-dup-gated within the watermark
+    * ([[streaming.Streams.neardupGateOph]] — one hash per shingle per
+    * arriving doc) and landed through the exactly-once checkpointed
+    * parquet sink ([[streaming.Streams.toParquet]]). The CLI runs
+    * BOUNDED: it drains the backlog present at start (plus anything
+    * arriving while draining) and exits — rerunning with the same
+    * --checkpoint resumes from the committed offsets, so a crash or
+    * rerun never double-ingests (IngestCliSpec pins rows ≡ the library
+    * chain and the exactly-once rerun). */
+  final case class IngestArgs(
+      input: String = "",
+      outputDir: String = "",
+      checkpoint: String = "",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      tsColumn: String = "",
+      minChars: Int = 50,
+      badwords: Seq[String] = Nil,
+      watermark: String = "1 hour",
+      maxBytesPerTrigger: Option[Long] = None,
+      quiet: Boolean = false)
+
+  private[graft] val IngestHelpText =
+    s"""Streams a parquet document directory through the ingest chain
+       |(scrub -> blocklist -> near-dup gate -> exactly-once parquet sink),
+       |drains the backlog and exits; rerun with the same --checkpoint to
+       |resume exactly-once
+       |
+       |Usage: graft ingest [OPTIONS] --input <DIR> --output-dir <DIR> --checkpoint <DIR>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory consumed as a file stream
+       |  -o, --output-dir <DIR>      Sink directory (parquet + _spark_metadata log)
+       |      --checkpoint <DIR>      Streaming checkpoint (offsets + sink commit
+       |                              log — the exactly-once state; keep it with
+       |                              the sink, reuse it on every rerun)
+       |      --id-column <C>         Document id column (default doc_id)
+       |      --text-column <C>       Text column (default text)
+       |      --ts-column <C>         Event-time column for the near-dup gate's
+       |                              watermark; omitted -> ingest time is used
+       |      --min-chars <N>         Drop docs shorter than N raw chars (default 50)
+       |      --badword <W>           Blocklist entry (repeatable; whole-word,
+       |                              case-insensitive)
+       |      --watermark <W>         Near-dup gate watermark (default "1 hour")
+       |      --max-bytes-per-trigger <N>  Micro-batch size cap in BYTES (a plain
+       |                              integer — no size suffixes)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseIngestArgs(argv: Seq[String]): IngestArgs = {
+    var a = IngestArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(IngestHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-dir" | "-o" => a = a.copy(outputDir = take(flag))
+        case "--checkpoint" => a = a.copy(checkpoint = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--ts-column" => a = a.copy(tsColumn = take(flag))
+        case "--min-chars" =>
+          val v = take(flag)
+          val n = try v.toInt catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$flag expects an integer, got '$v'") }
+          if (n < 0) throw new IllegalArgumentException(
+            s"$flag must be >= 0, got $n")
+          a = a.copy(minChars = n)
+        case "--badword" => a = a.copy(badwords = a.badwords :+ take(flag))
+        case "--watermark" => a = a.copy(watermark = take(flag))
+        case "--max-bytes-per-trigger" =>
+          // the file source parses size SUFFIXES ("10m") too, but a
+          // typo'd suffix silently becomes a huge batch — integers only
+          val v = take(flag)
+          val n = try v.toLong catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$flag expects a plain integer byte count, got '$v'") }
+          if (n <= 0) throw new IllegalArgumentException(
+            s"$flag must be > 0, got $n")
+          a = a.copy(maxBytesPerTrigger = Some(n))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see ingest --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputDir.isEmpty || a.checkpoint.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: ingest [OPTIONS] --input DIR --output-dir DIR --checkpoint DIR")
+    a
+  }
+
+  private[graft] def runIngest(spark: SparkSession, a: IngestArgs): Long = {
+    import org.apache.spark.sql.functions.{col, current_timestamp}
+    // schema comes from a static read of the same directory — also
+    // validates the input and the named columns up front
+    val static = readDocs(spark, "--input", a.input,
+      Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn) ++
+        (if (a.tsColumn.nonEmpty) Seq("--ts-column" -> a.tsColumn) else Nil))
+    // the chain's stages key on fixed column names; renames must not
+    // silently clobber a caller column
+    for ((flag, from, to) <- Seq(
+        ("--text-column", a.textColumn, "text"),
+        ("--ts-column", a.tsColumn, "ts"))
+        if from.nonEmpty && from != to && static.columns.contains(to))
+      throw new IllegalArgumentException(
+        s"input already has a '$to' column while $flag names '$from' — " +
+          "drop or rename it first")
+    if (a.tsColumn.isEmpty && static.columns.contains("ts"))
+      throw new IllegalArgumentException(
+        "input has a 'ts' column — name it with --ts-column to use it " +
+          "as event time (or rename it away)")
+    val reader = spark.readStream.schema(static.schema)
+    a.maxBytesPerTrigger.foreach(b =>
+      reader.option("maxBytesPerTrigger", b.toString))
+    var docs = reader.parquet(a.input)
+    if (a.textColumn != "text")
+      docs = docs.withColumnRenamed(a.textColumn, "text")
+    docs =
+      if (a.tsColumn.nonEmpty) docs.withColumnRenamed(a.tsColumn, "ts")
+      else docs.withColumn("ts", current_timestamp())
+    var gated = streaming.Streams.scrubAndGate(docs, minChars = a.minChars)
+    if (a.badwords.nonEmpty)
+      gated = streaming.Streams.blocklistGate(gated, a.badwords)
+    gated = streaming.Streams.neardupGateOph(gated, a.watermark)
+    val q = streaming.Streams.toParquet(gated, a.outputDir, a.checkpoint)
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(a.outputDir).count()
+    if (!a.quiet)
+      System.err.println(
+        s"ingested: sink at ${a.outputDir} now holds $rows rows " +
+          s"(exactly-once log at ${a.checkpoint})")
+    rows
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -1077,6 +1542,10 @@ object Main {
        |  split   Leakage-safe train/val/test split (near-dups never straddle)
        |  tokenize  Trains a BPE tokenizer, encodes token ids, packs chunks
        |  score   Scores documents: quality + language ID (+ flesch/entropy)
+       |  index   Trains an IVF(-PQ) ANN index, writes artifacts as parquet
+       |  ann     Top-k ANN queries against a `graft index` directory
+       |  ingest  Streams a corpus through scrub/blocklist/near-dup gates into
+       |          an exactly-once parquet sink (drains the backlog, exits)
        |  datacard  Prints doc/token/char totals for a corpus, overall + per stratum
        |  diff    Diffs two corpus snapshots (added / removed / changed per id)
        |
@@ -1582,6 +2051,15 @@ object Main {
       case Some("score") =>
         return runSubcommand("score", argv.toSeq.tail, parseScoreArgs,
           runScore, timestampMicros = true)
+      case Some("index") =>
+        return runSubcommand("index", argv.toSeq.tail, parseIndexArgs,
+          runIndex, timestampMicros = true)
+      case Some("ann") =>
+        return runSubcommand("ann", argv.toSeq.tail, parseAnnArgs,
+          runAnn, timestampMicros = true)
+      case Some("ingest") =>
+        return runSubcommand("ingest", argv.toSeq.tail, parseIngestArgs,
+          runIngest, timestampMicros = true)
       case _ =>
     }
     val a =

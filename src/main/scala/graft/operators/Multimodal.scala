@@ -110,6 +110,27 @@ object Multimodal {
     }
   }
 
+  /** Keep only REAL-decode features (`decoded = true`) — the consumer
+    * guard for pipelines that must not mix stub-derived width/height/
+    * n_frames (video and non-WAV codecs the JDK lacks) into training
+    * signals. With `strict = true` (the default) a stub row in the
+    * input is an ERROR, not a silent filter: a pipeline that believed
+    * its corpus was all-decodable should hear otherwise loudly; pass
+    * strict = false to knowingly drop the stub rows instead. */
+  def requireDecoded(features: Dataset[MediaFeatures],
+      strict: Boolean = true): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    if (!strict) features.filter(_.decoded)
+    else features.map { f =>
+      if (!f.decoded) throw new IllegalArgumentException(
+        s"requireDecoded: doc ${f.doc_id} (mime '${f.mime}') carries " +
+          "STUB features (decoded=false) — filter on `decoded`, call " +
+          "with strict = false to drop stubs, or keep image/WAV mimes " +
+          "out of this pipeline")
+      f
+    }
+  }
+
   /** Frame sampling stage: every `stride`-th byte offset stands in for
     * a frame timestamp; returns (doc_id, frame_no, offset) rows. */
   final case class FrameSample(doc_id: Long, frame_no: Int, offset: Long)

@@ -30,6 +30,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).n_bytes == 0 && out(2).n_frames == 0 && out(2).head_hex == "")
   }
 
+  test("requireDecoded: strict errors on a stub row, non-strict drops it, " +
+      "all-decoded passes through") {
+    import spark.implicits._
+    val mixed = Multimodal.extractFeatures(Seq(
+      MediaRecord(1L, "image/png", Multimodal.renderPng(1L)),
+      MediaRecord(2L, "video/mp4", Array.tabulate(250)(_.toByte))).toDS())
+    // strict (the default): the stub row is an ERROR, not a filter
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.requireDecoded(mixed).collect()
+    }
+    assert(e.getMessage.contains("requireDecoded") ||
+      Option(e.getCause).exists(_.getMessage.contains("requireDecoded")))
+    // non-strict: stub rows knowingly dropped
+    val kept = Multimodal.requireDecoded(mixed, strict = false).collect()
+    assert(kept.map(_.doc_id).toSeq == Seq(1L) && kept.head.decoded)
+    // an all-decoded input passes strict unchanged
+    val clean = Multimodal.extractFeatures(Seq(
+      MediaRecord(3L, "image/png", Multimodal.renderPng(3L))).toDS())
+    assert(Multimodal.requireDecoded(clean).collect().map(_.doc_id)
+      .toSeq == Seq(3L))
+  }
+
   test("sampleFrames/sampleWindows: null payloads yield no rows; bad stride rejected") {
     import spark.implicits._
     val ds = Seq(MediaRecord(1L, "video/mp4", null)).toDS()
