@@ -355,6 +355,46 @@ private[operators] trait AnnOps { self: Pipeline.type =>
     sparseTopK(capped, queries, k = k, excludeSelf = excludeSelf)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of ANY
+    * number of per-query rankings — the standard hybrid-retrieval
+    * merge (BM25 + dense ANN is the classic pair; any (q_id, doc_id,
+    * rk) tables fuse, e.g. [[sparseTopK]] and [[knnBruteCosine]]/
+    * [[ivfSearch]] outputs). score(q, d) = Σ_lists 1/(k0 + rk) over
+    * the lists that ranked d; a doc missing from a list simply
+    * contributes nothing there (union + groupBy, no outer-join NULL
+    * juggling), which is RRF's whole point — rank positions fuse
+    * without score calibration across heterogeneous retrievers. k0
+    * (default 60, the paper's value) damps the head: lower k0 trusts
+    * top ranks more. Determinism: each contribution is the EXACT
+    * integer round(10⁹/(k0+rk)) summed as BIGINT (order-free; the
+    * decimal accumulator's 4-decimal resolution would flatten scores
+    * this small), and the final /10⁹ is one double division of an
+    * exact integer — bit-identical in both engines. Ties break to the
+    * lowest doc_id. Scale shape: the inputs are top-k tables
+    * (k·queries rows, parameter-bounded), so the union, the (q, d)
+    * partial agg and the per-query window are all small regardless of
+    * corpus size. Output: (q_id, doc_id, rrf_score, rk ≤ k). */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, k: Int = 10,
+      qCol: String = "q_id", idCol: String = "doc_id",
+      rkCol: String = "rk"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val contrib = rankings
+      .map(_.select(col(qCol).as("q_id"), col(idCol).as("doc_id"),
+        round(lit(1e9) / (lit(k0).cast(DoubleType) +
+          col(rkCol).cast(DoubleType)), 0).cast(LongType).as("__c")))
+      .reduce(_ unionByName _)
+    contrib
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("__s"))
+      .withColumn("rrf_score", col("__s").cast(DoubleType) / lit(1e9))
+      .drop("__s")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)))
+      .filter(col("rk") <= k)
+  }
+
   /** Recall@k of an APPROXIMATE top-k result against an EXACT one —
     * the standard ANN tuning metric (how many of the true k nearest
     * neighbors the index returned), computed per query: join the two
@@ -1060,6 +1100,65 @@ private[operators] trait AnnOps { self: Pipeline.type =>
         SELECT q_id, doc_id, score,
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                  ORDER BY score DESC, doc_id ASC) AS INT) AS rk
+        FROM sc QUALIFY rk <= 5 ORDER BY q_id, rk""")),
+
+    // ---- p123: reciprocal-rank fusion — two deliberately OPPOSED
+    // per-lang rankings (longest docs vs shortest docs, both rank-5)
+    // fuse under RRF. The gate certifies the fusion semantics the
+    // retrieval chains can't: docs present in ONE list only still
+    // score (union, not inner join), 1/(k0+rk) contributions sum
+    // decimal-exactly, ties re-rank to the lowest doc_id. The
+    // retriever inputs themselves are window-ranked here (tiny, fully
+    // SQL-expressible) — the real BM25/ANN chains are gated at
+    // p82/p122/p05/p07 and fuse through this same function.
+    QueryDef(
+      "p123_rrf_fusion",
+      (s, d) => {
+        val base = T.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(col("lang").as("q_id"), col("doc_id"), col("n_chars"))
+        def ranked(byLongest: Boolean) = base
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(
+              if (byLongest) col("n_chars").desc else col("n_chars").asc,
+              col("doc_id").asc)))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("doc_id"), col("rk"))
+        rrfFuse(Seq(ranked(byLongest = true), ranked(byLongest = false)),
+          k0 = 60, k = 5)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT lang AS q_id, doc_id, n_chars FROM documents
+          WHERE text IS NOT NULL),
+        a AS (
+          SELECT q_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+          FROM base QUALIFY rk <= 5),
+        b AS (
+          SELECT q_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY n_chars ASC, doc_id ASC) AS rk
+          FROM base QUALIFY rk <= 5),
+        u AS (
+          SELECT q_id, doc_id,
+                 CAST(ROUND(CAST(1000000000 AS DOUBLE)
+                   / (CAST(60 AS DOUBLE) + CAST(rk AS DOUBLE)), 0) AS BIGINT) AS c
+          FROM a
+          UNION ALL
+          SELECT q_id, doc_id,
+                 CAST(ROUND(CAST(1000000000 AS DOUBLE)
+                   / (CAST(60 AS DOUBLE) + CAST(rk AS DOUBLE)), 0) AS BIGINT) AS c
+          FROM b),
+        sc AS (
+          SELECT q_id, doc_id,
+                 CAST(SUM(c) AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rrf_score
+          FROM u GROUP BY q_id, doc_id)
+        SELECT q_id, doc_id, rrf_score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rk
         FROM sc QUALIFY rk <= 5 ORDER BY q_id, rk"""))
   )
 }

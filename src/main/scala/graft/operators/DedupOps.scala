@@ -347,6 +347,44 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .filter(col("sim") >= minSim)
   }
 
+  /** Containment-verified near-duplicate pairs (Broder '97: C(A→B) =
+    * |A∩B| / |A| over the shingle sets): detects SUBSET duplication —
+    * a document quoted or wholly embedded in a larger one — which
+    * Jaccard systematically under-scores (a small doc inside a big one
+    * has J ≈ |A|/|B| ≈ 0 while C(A→B) = 1; dropping such pairs is how
+    * boilerplate-wrapped copies survive a Jaccard-only dedup). Same
+    * LSH candidate chain as [[minhashNeardupPairs]] (shared
+    * generation, same [[LshBucketCap]]); both directions are reported
+    * and a pair survives when EITHER reaches `minContainment`. Recall
+    * caveat: candidates still come from Jaccard-tuned LSH bands, so an
+    * extreme-size-ratio containment pair may never collide in a band —
+    * raise bands (or lower rows) when hunting those; what IS reported
+    * is exact (the p124 oracle replays the identical chain). Output:
+    * (doc_a, doc_b, containment_a, containment_b) where containment_a
+    * = |A∩B|/|A| (how much of A is inside B). */
+  def containmentNeardupPairs(corpus: DataFrame, idCol: String,
+      textCol: String, minContainment: Double = 0.6,
+      bands: Int = NumHashes / BandRows, rows: Int = BandRows): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must be in (0, 1], got $minContainment")
+    require(bands >= 1 && rows >= 1,
+      s"need bands, rows >= 1, got ($bands, $rows)")
+    val (xs, _, pairs) = minhashCandidates(corpus, idCol, textCol,
+      bands, rows)
+    pairs
+      .join(xs.as("xa"), col("da") === col("xa.doc_id"))
+      .join(xs.as("xb"), col("db") === col("xb.doc_id"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        size(array_intersect(col("xa.xs"), col("xb.xs")))
+          .cast(DoubleType).as("c"),
+        size(col("xa.xs")).as("na"), size(col("xb.xs")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / col("na").cast(DoubleType)).as("containment_a"),
+        (col("c") / col("nb").cast(DoubleType)).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= minContainment)
+  }
+
   /** The fixture-corpus instantiation shared by p02/p25/p30/p31. */
   private def neardupPairs(s: SparkSession, d: String): DataFrame =
     minhashNeardupPairs(T.documents(s, d), "doc_id", "text")
@@ -1857,6 +1895,30 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         SELECT doc_a, doc_b, jaccard FROM verified
         ORDER BY doc_a, doc_b"""),
       headline = true),
+
+    // ---- p124: containment-verified pairs over the SAME candidate
+    // chain as p02 — the subset-duplication verifier (max containment
+    // ≥ Jaccard always, so this surfaces a superset of p02's pairs at
+    // the same threshold). The oracle reuses p02's CTE chain down to
+    // the exact intersection counts and replays the containment
+    // division per direction.
+    QueryDef(
+      "p124_containment_pairs",
+      (s, d) => containmentNeardupPairs(T.documents(s, d), "doc_id",
+        "text", minContainment = 0.6)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH $NeardupPairsSql,
+        cont AS (
+          SELECT i.da AS doc_a, i.db AS doc_b,
+                 i.c / na.n AS containment_a,
+                 i.c / nb.n AS containment_b
+          FROM inter i
+          JOIN ns na ON na.doc_id = i.da
+          JOIN ns nb ON nb.doc_id = i.db
+          WHERE GREATEST(i.c / na.n, i.c / nb.n) >= CAST(0.6 AS DOUBLE))
+        SELECT doc_a, doc_b, containment_a, containment_b
+        FROM cont ORDER BY doc_a, doc_b""")),
 
     // ---- p03: SimHash fingerprints — 48-bit weighted-bit-vote hash,
     // fully map-side (one codegen'd pass per doc, see simhashFp). The

@@ -920,7 +920,47 @@ private[operators] trait QualityOps { self: Pipeline.type =>
       .select(col("doc_id"), col("n").as("n_chars"), col("entropy"))
   }
 
+  /** Per-source quality-score calibration: `q_norm` is the score's
+    * percent-rank WITHIN its source (0 = worst in source, 1 = best) —
+    * the standard fix for mixing corpora whose raw quality scores live
+    * on incomparable scales (a web crawl's 0.4 and a books corpus's
+    * 0.4 mean different things; one global threshold then silently
+    * empties the weaker-scaled source). Filter on `q_norm >= 1 - f`
+    * to keep the best fraction f OF EACH source. Ordering is made
+    * STRICT with the id tie-break, so equal raw scores get distinct,
+    * deterministic (and cross-engine identical) ranks — calibration
+    * here is a reproducibility contract, not a statistics one.
+    * Scale shape: one window per source partition (sources are
+    * many-rows-each, so partitions parallelize; no global sort). All
+    * caller columns survive. */
+  def calibrateScoresBySource(corpus: DataFrame, idCol: String,
+      sourceCol: String, scoreCol: String): DataFrame = {
+    require(!corpus.columns.contains("q_norm"),
+      "corpus already has column q_norm — rename it before calling " +
+        "calibrateScoresBySource, which adds it")
+    corpus.withColumn("q_norm",
+      percent_rank().over(Window.partitionBy(col(sourceCol))
+        .orderBy(col(scoreCol).asc, col(idCol).asc)))
+  }
+
   private[operators] lazy val qualityQueries: Seq[QueryDef] = Seq(
+    // ---- p125: per-source score calibration — percent-rank of a raw
+    // score within each source. The gate calibrates n_chars (a real
+    // fixture signal) so the oracle is the bare window definition:
+    // both engines compute (rank-1)/(n-1) as a double division of
+    // exact integers, bit-identical.
+    QueryDef(
+      "p125_calibrate_by_source",
+      (s, d) => calibrateScoresBySource(
+        T.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "source", "n_chars")
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, source, n_chars,
+               PERCENT_RANK() OVER (PARTITION BY source
+                 ORDER BY n_chars ASC, doc_id ASC) AS q_norm
+        FROM documents ORDER BY doc_id""")),
     // ---- p08: corpus text statistics per language (partial-aggregable;
     // exact integer sums so the double means are deterministic).
     QueryDef(
