@@ -355,6 +355,56 @@ private[operators] trait AnnOps { self: Pipeline.type =>
     sparseTopK(capped, queries, k = k, excludeSelf = excludeSelf)
   }
 
+  /** Feature-hashed document embeddings (the signed hashing trick,
+    * Weinberger '09): a dense `dim`-vector per document from word
+    * hashes alone — bucket = word-hash mod dim, sign = an independent
+    * hash bit, cell = signed word count, the whole vector L2
+    * -normalized. No trained model and no external embedding table:
+    * this is the deterministic baseline that feeds the ANN / SemDeDup
+    * / k-means ladder when a real encoder is unavailable (the signed
+    * construction makes the inner product an unbiased estimator of
+    * the token-frequency dot product, so cosine over these vectors
+    * approximates token-multiset similarity). Determinism: cells
+    * accumulate as exact integers; the only floating point is the
+    * final /√n² — one double division per cell, bit-identical across
+    * engines (the p126 oracle replays it). Documents with no words
+    * produce no row; a doc whose signs fully cancel keeps an all-zero
+    * vector. Scale shape: one (doc, bucket) partial-agg shuffle with
+    * ≤ dim cells per doc, then map-side assembly — no corpus-sized
+    * state. Output: (doc_id, embedding array&lt;float&gt;). */
+  def hashedEmbedding(corpus: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
+    val cells = corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(array_remove(words(col(textCol)), "")).as("w"))
+      .select(col("doc_id"),
+        (call_function("md5_prefix_long", col("w"), lit(4))
+          % dim.toLong).as("b"),
+        when(call_function("md5_prefix_long",
+            concat(lit("sign:"), col("w")), lit(4)) % 2 === 0, 1L)
+          .otherwise(-1L).as("s"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("s")).as("v"))
+    cells
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v"))))
+        .as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i.cast(LongType)), lit(0L)))
+          .as("__raw"))
+      .withColumn("__n2",
+        aggregate(col("__raw"), lit(0L), (a, x) => a + x * x))
+      .select(col("doc_id"),
+        transform(col("__raw"), v =>
+          when(col("__n2") === 0L, lit(0f))
+            .otherwise((v.cast(DoubleType) /
+              sqrt(col("__n2").cast(DoubleType))).cast(FloatType)))
+          .as("embedding"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of ANY
     * number of per-query rankings — the standard hybrid-retrieval
     * merge (BM25 + dense ANN is the classic pair; any (q_id, doc_id,
@@ -1159,6 +1209,51 @@ private[operators] trait AnnOps { self: Pipeline.type =>
         SELECT q_id, doc_id, rrf_score,
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                  ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rk
-        FROM sc QUALIFY rk <= 5 ORDER BY q_id, rk"""))
+        FROM sc QUALIFY rk <= 5 ORDER BY q_id, rk""")),
+
+    // ---- p126: feature-hashed embeddings — the gate explodes the
+    // vectors to (doc_id, pos, value) scalar rows (the comparator
+    // contract) and the oracle rebuilds every cell from the same md5
+    // arithmetic: signed integer counts, zero-fill off the bucket
+    // grid, one double normalization, float32 cast last.
+    QueryDef(
+      "p126_hashed_embedding",
+      (s, d) => hashedEmbedding(T.documents(s, d), "doc_id", "text",
+        dim = 64)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos"), col("col").as("value"))
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS b,
+                 CASE WHEN CAST('0x' || substr(md5('sign:' || w), 1, 8)
+                        AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM w),
+        cells AS (
+          SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+          FROM tok GROUP BY doc_id, b),
+        n2 AS (
+          SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS n2
+          FROM cells GROUP BY doc_id),
+        grid AS (
+          SELECT g.doc_id, p.pos
+          FROM (SELECT DISTINCT doc_id FROM cells) g
+          CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p)
+        SELECT grid.doc_id, CAST(grid.pos AS INT) AS pos,
+               CAST(CASE WHEN n2.n2 = 0 THEN CAST(0.0 AS DOUBLE)
+                         ELSE CAST(COALESCE(c.v, 0) AS DOUBLE)
+                              / sqrt(CAST(n2.n2 AS DOUBLE)) END
+                    AS REAL) AS value
+        FROM grid
+        LEFT JOIN cells c ON c.doc_id = grid.doc_id AND c.b = grid.pos
+        JOIN n2 ON n2.doc_id = grid.doc_id
+        ORDER BY grid.doc_id, pos"""))
   )
 }

@@ -2569,6 +2569,38 @@ class TextApiSpec extends AnyFunSuite {
     assert(gotDefault != gotRaw)
   }
 
+  test("hashedEmbedding: unit vectors, similarity tracks token overlap, " +
+      "composes with knnBruteCosine") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"w$i").mkString(" ")
+    val aEdit = (1 to 60).map(i => if (i == 30) "edited" else s"w$i")
+      .mkString(" ")
+    val z = (1 to 60).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, aEdit), (3L, z), (4L, null: String))
+      .toDF("post_key", "body")
+    val emb = Pipeline.hashedEmbedding(docs, "post_key", "body", dim = 32)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.keySet == Set(1L, 2L, 3L)) // null text → no row
+    assert(vecs.values.forall(_.size == 32))
+    // L2-normalized (within float tolerance)
+    vecs.values.foreach { v =>
+      val n = v.map(x => x.toDouble * x).sum
+      assert(math.abs(n - 1.0) < 1e-5, s"norm² = $n")
+    }
+    def cos(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    // near-identical token multisets → high cosine; disjoint → low
+    assert(cos(vecs(1L), vecs(2L)) > 0.9)
+    assert(cos(vecs(1L), vecs(3L)) < 0.5)
+    // feeds the ANN ladder directly: brute cosine ranks the edit first
+    // (output columns are (doc_id, embedding) whatever the input names)
+    val knn = Pipeline.knnBruteCosine(emb,
+      emb.filter(col("doc_id") === 1L), "doc_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(knn.toSeq == Seq((1L, 2L)))
+  }
+
   test("chunkText: randomized invariants — coverage, bounds, overlap, count formula") {
     import spark.implicits._
     // one Spark pass over a batch of random docs (seeded), invariants
