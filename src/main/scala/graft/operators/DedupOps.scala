@@ -385,6 +385,87 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         >= minContainment)
   }
 
+  /** CROSS-corpus near-duplicate scrub (the Dolma/BFF deployment
+    * shape: match a NEW crawl against a REFERENCE corpus — yesterday's
+    * training set, a licensed collection, an eval suite at document
+    * granularity — without ever pairing new-vs-new or ref-vs-ref):
+    * the [[minhashNeardupPairs]] chain with the band buckets built
+    * PER SIDE and candidates taken only from the cross join of
+    * same-(band, signature) buckets. Same arithmetic as the
+    * within-corpus chain (identical shingle hashes, signature kernel
+    * and band keys — a pair flagged here at (bands, rows) would also
+    * collide within one merged corpus), so thresholds tune once.
+    * Scale shape: signatures are map-side per side; ONE (band, sig)
+    * shuffle each; the bucket join is key-equality (no cartesian);
+    * each side's buckets are independently [[LshBucketCap]]-capped, so
+    * a boilerplate signature explodes to at most cap² pairs; exact
+    * Jaccard verification recomputes shingles for the CANDIDATE
+    * subset only (no corpus-sized persist, the r17 discipline).
+    * Asymmetric by design: `ref` never pairs with itself, so a
+    * pre-deduped reference corpus is not re-examined. Anti-join the
+    * flagged `doc_id`s against the new corpus to scrub. Output:
+    * (doc_id ∈ new, ref_id ∈ ref, jaccard ≥ jaccardMin). */
+  def minhashNeardupAgainstCorpus(newCorpus: DataFrame,
+      refCorpus: DataFrame, idCol: String, textCol: String,
+      jaccardMin: Double = DefaultJaccardMin,
+      bands: Int = NumHashes / BandRows, rows: Int = BandRows): DataFrame = {
+    require(jaccardMin > 0 && jaccardMin <= 1,
+      s"jaccardMin must be in (0, 1], got $jaccardMin")
+    require(bands >= 1 && rows >= 1,
+      s"need bands, rows >= 1, got ($bands, $rows)")
+    val numHashes = bands * rows
+    def prep(c: DataFrame): DataFrame = c
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 5)
+    // per-side (band, sig) buckets, each independently capped; no
+    // `> 1` floor — a singleton bucket still matches the OTHER side
+    def buckets(docs: DataFrame): DataFrame = {
+      val mh = docs.select(col("doc_id"),
+        minhashSig(shingleHashes(col("ws")), numHashes).as("mh"))
+      val sigCols = (0 until bands).map(b =>
+        concat_ws(",", (0 until rows).map(r =>
+          element_at(col("mh"), b * rows + r + 1).cast(StringType)): _*)
+          .as(s"sig$b"))
+      val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
+      mh.select(col("doc_id") +: sigCols: _*)
+        .select(col("doc_id"),
+          expr(s"stack($bands, $stackExpr) AS (band, sig)"))
+        .groupBy(col("band"), col("sig"))
+        .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) <= LshBucketCap)
+    }
+    val newDocs = prep(newCorpus)
+    val refDocs = prep(refCorpus)
+    val pairs = buckets(newDocs).as("bn")
+      .join(buckets(refDocs).withColumnRenamed("docs", "rdocs"),
+        Seq("band", "sig"))
+      .select(explode(col("docs")).as("doc_id"), col("rdocs"))
+      .select(col("doc_id"), explode(col("rdocs")).as("ref_id"))
+      .distinct()
+    // candidate-subset shingle arrays per side (see minhashCandidates
+    // for the ReusedExchange rationale behind the repartition)
+    val candNew = newDocs
+      .join(pairs.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), shingleHashes(col("ws")).as("xs_a"))
+      .repartition(col("doc_id"))
+    val candRef = refDocs
+      .join(pairs.select(col("ref_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("ref_id"), shingleHashes(col("ws")).as("xs_b"))
+      .repartition(col("ref_id"))
+    pairs
+      .join(candNew, Seq("doc_id"))
+      .join(candRef, Seq("ref_id"))
+      .select(col("doc_id"), col("ref_id"),
+        size(array_intersect(col("xs_a"), col("xs_b")))
+          .cast(DoubleType).as("c"),
+        size(col("xs_a")).as("na"), size(col("xs_b")).as("nb"))
+      .select(col("doc_id"), col("ref_id"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+  }
+
   /** The fixture-corpus instantiation shared by p02/p25/p30/p31. */
   private def neardupPairs(s: SparkSession, d: String): DataFrame =
     minhashNeardupPairs(T.documents(s, d), "doc_id", "text")
@@ -531,6 +612,56 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       WHERE i.c / (na.n + nb.n - i.c) >= $DefaultJaccardMin)"""
 
   private val NeardupPairsSql: String = neardupPairsSqlFrom("documents")
+
+  /** Oracle twin of [[minhashNeardupAgainstCorpus]] for the p128
+    * fixture split (new = even doc_ids, ref = odd): the p02 CTE
+    * arithmetic duplicated per side, candidates from the (band, sig)
+    * bucket JOIN across sides, each side's buckets independently
+    * capped — ends in `xverified(doc_id, ref_id, jaccard)`. */
+  private val NeardupAgainstSql: String = {
+    def side(tag: String, pred: String) = s"""
+      w$tag AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+        WHERE $pred
+          AND len(string_split_regex(text, '\\s+')) >= 5),
+      sh$tag AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8) AS BIGINT) AS x
+        FROM w$tag, unnest(range(1, len(ws) - 3)) t(i)),
+      mh$tag AS (
+        SELECT doc_id, i, MIN((a*x + b) % $MinhashP) AS mh
+        FROM sh$tag, params GROUP BY doc_id, i),
+      sig$tag AS (
+        SELECT doc_id, i // $BandRows AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+        FROM mh$tag GROUP BY doc_id, i // $BandRows),
+      b$tag AS (
+        SELECT band, sig, list(DISTINCT doc_id) AS docs
+        FROM sig$tag GROUP BY band, sig
+        HAVING COUNT(DISTINCT doc_id) <= $LshBucketCap)"""
+    s"""params AS (
+        SELECT i, 2*i + 1 AS a, 99991*i + 7 AS b
+        FROM unnest(range(0, $NumHashes)) t(i)),
+      ${side("N", "doc_id % 2 = 0")},
+      ${side("R", "doc_id % 2 = 1")},
+      cpairs AS (
+        SELECT DISTINCT ta.d AS doc_id, tb.r AS ref_id
+        FROM bN JOIN bR ON bN.band = bR.band AND bN.sig = bR.sig,
+             unnest(bN.docs) ta(d), unnest(bR.docs) tb(r)),
+      nsN AS (SELECT doc_id, COUNT(*) AS n FROM shN GROUP BY doc_id),
+      nsR AS (SELECT doc_id, COUNT(*) AS n FROM shR GROUP BY doc_id),
+      xinter AS (
+        SELECT p.doc_id, p.ref_id, COUNT(*) AS c
+        FROM cpairs p
+        JOIN shN s1 ON s1.doc_id = p.doc_id
+        JOIN shR s2 ON s2.doc_id = p.ref_id AND s2.x = s1.x
+        GROUP BY p.doc_id, p.ref_id),
+      xverified AS (
+        SELECT i.doc_id, i.ref_id, i.c / (na.n + nb.n - i.c) AS jaccard
+        FROM xinter i JOIN nsN na ON na.doc_id = i.doc_id
+                      JOIN nsR nb ON nb.doc_id = i.ref_id
+        WHERE i.c / (na.n + nb.n - i.c) >= $DefaultJaccardMin)"""
+  }
 
   /** 48-bit SimHash fingerprint per document (p03's plan, factored out
     * so p26's Hamming-distance pairing runs over the identical
@@ -1919,6 +2050,28 @@ private[operators] trait DedupOps { self: Pipeline.type =>
           WHERE GREATEST(i.c / na.n, i.c / nb.n) >= CAST(0.6 AS DOUBLE))
         SELECT doc_a, doc_b, containment_a, containment_b
         FROM cont ORDER BY doc_a, doc_b""")),
+
+    // ---- p128: cross-corpus near-dup scrub — the fixture splits
+    // documents by doc_id parity (new = even, ref = odd; 12 of p02's
+    // 25 verified pairs cross the parity line, so the gate has real
+    // matches to certify). The oracle duplicates the p02 CTE chain
+    // per side and takes candidates ONLY from the cross bucket join —
+    // a within-side duplicate pair appearing in the result would
+    // hash-mismatch immediately.
+    QueryDef(
+      "p128_neardup_against_corpus",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        minhashNeardupAgainstCorpus(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+          .orderBy(col("doc_id"), col("ref_id"))
+      },
+      Some(s"""
+        WITH $NeardupAgainstSql
+        SELECT doc_id, ref_id, jaccard FROM xverified
+        ORDER BY doc_id, ref_id""")),
 
     // ---- p03: SimHash fingerprints — 48-bit weighted-bit-vote hash,
     // fully map-side (one codegen'd pass per doc, see simhashFp). The

@@ -71,6 +71,38 @@ private[operators] trait DedupTextOps { self: Pipeline.type =>
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  /** WITHIN-document duplicate-line removal (the RefinedWeb/MassiveText
+    * "repetition removal" cleanup at line granularity: a page whose
+    * nav menu, share bar or footer repeats inside ONE document keeps
+    * each content line only at its FIRST occurrence — the intra-doc
+    * complement of [[dedupParagraphsGlobal]], which dedups lines
+    * ACROSS documents). Whitespace-only lines are structure, not
+    * content, and are never deduplicated (same contract as the global
+    * op). Scale shape: ZERO shuffle — the whole operator is per-row
+    * array expressions (split → indexed filter → join), embarrassingly
+    * parallel at any corpus size; cost is O(lines²) PER DOC from the
+    * first-occurrence scan, fine at web-page line counts (a pathological
+    * million-line doc would prefer the global op's aggregate). NULL
+    * text → (0, 0, "") like the global op. Output: (doc_id, n_lines,
+    * n_kept_lines, text_deduped), one row per input doc. */
+  def dedupLinesWithinDoc(corpus: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    corpus
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), sepRe).as("__ls"))
+      // keep line i iff whitespace-only OR its first occurrence is at i
+      // (array_position is 1-based; the filter index is 0-based)
+      .withColumn("__kept", filter(col("__ls"), (x, i) =>
+        trim(x) === "" || array_position(col("__ls"), x) === i + 1))
+      .select(col("doc_id"),
+        coalesce(size(col("__ls")).cast(LongType), lit(0L)).as("n_lines"),
+        coalesce(size(col("__kept")).cast(LongType), lit(0L))
+          .as("n_kept_lines"),
+        coalesce(array_join(col("__kept"), sep), lit(""))
+          .as("text_deduped"))
+  }
+
   // ---- word-span excision machinery, shared by [[dedupSubstringsGlobal]]
   // and [[decontaminateSpans]]: both flag gram START positions and must
   // cut the word windows those grams cover out of the ORIGINAL text. ----
@@ -990,6 +1022,40 @@ private[operators] trait DedupTextOps { self: Pipeline.type =>
                gram, n_docs,
                CAST((n_docs - 1) * strlen(gram) AS BIGINT) AS bytes_removed
         FROM fetched ORDER BY rk"""
-      })
+      }),
+
+    // ---- p127: within-document duplicate-line removal. The fixture
+    // corpus is single-line (no '\n' in any text), so the gate
+    // SYNTHESIZES multi-line docs in both engines (the p113 twin
+    // trick): text + a byte-identical duplicate line + an empty
+    // (whitespace) line + a distinct upper-cased line. Certifies all
+    // three contract clauses on every doc: the duplicate drops, the
+    // whitespace line survives untouched, distinct content keeps
+    // original order.
+    QueryDef(
+      "p127_dedup_lines_within_doc",
+      (s, d) => dedupLinesWithinDoc(
+        T.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            concat(col("text"), lit("\n"), col("text"), lit("\n\n"),
+              upper(col("text"))).as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH nl AS (
+          SELECT doc_id,
+                 text || chr(10) || text || chr(10) || chr(10) ||
+                   upper(text) AS t
+          FROM documents WHERE text IS NOT NULL),
+        sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM nl),
+        k AS (SELECT doc_id, ls,
+                list_filter(ls, (x, i) -> trim(x) = ''
+                  OR list_position(ls, x) = i) AS kept
+              FROM sp)
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               array_to_string(kept, chr(10)) AS text_deduped
+        FROM k ORDER BY doc_id"""))
   )
 }

@@ -277,6 +277,24 @@ class StressSpec extends AnyFunSuite {
       operators.Pipeline.winnowNeardupCandidates(docs, "doc_id", "text")
     }
 
+    // p126: feature-hashed embeddings at 10× — one (doc, bucket)
+    // partial-agg shuffle bounded at ≤ dim cells per doc; the hapax
+    // vocabulary growth must NOT grow the shuffle beyond dim·docs
+    drive("hashedEmbedding", budgetSec = 300, minRows = NDocs) {
+      operators.Pipeline.hashedEmbedding(docs, "doc_id", "text", dim = 64)
+    }
+
+    // p128: cross-corpus scrub at 10× — every exact-dup pair in the
+    // stress corpus is (id%5==0, id%5==1), i.e. crosses the even/odd
+    // line, so all ~10k matches flow through the cross bucket join
+    // (minus LSH recall loss at J ≈ 0.9); per-side buckets capped
+    drive("neardupAgainstCorpus", budgetSec = 600, minRows = 9000L) {
+      operators.Pipeline.minhashNeardupAgainstCorpus(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", jaccardMin = 0.8)
+    }
+
     // p75: the dedup-ladder report — exact + near (the p02 component
     // graph) + substring layers audited in one aggregation pass
     drive("dedupLadderReport", budgetSec = 600) {

@@ -3770,4 +3770,53 @@ class TextApiSpec extends AnyFunSuite {
     assert(Pipeline.cmsEstimate(items, "term", wide, 3, 1 << 16)
       .columns.toSeq == Seq("term", "cms_est"))
   }
+
+  test("dedupLinesWithinDoc: dup lines drop, blanks survive, order kept") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "nav menu\nbody text\nnav menu\n\nnav menu\nfooter"),
+      (2L, "only line"),
+      (3L, null.asInstanceOf[String]),
+      (4L, ""),
+      (5L, "  \n  \na")) // identical whitespace lines both survive
+      .toDF("page_id", "content")
+    val got = Pipeline.dedupLinesWithinDoc(pages, "page_id", "content")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got(0) == ((1L, 6L, 4L, "nav menu\nbody text\n\nfooter")))
+    assert(got(1) == ((2L, 1L, 1L, "only line")))
+    assert(got(2) == ((3L, 0L, 0L, "")))          // NULL text → empty
+    assert(got(3) == ((4L, 1L, 1L, "")))          // one empty line, kept
+    assert(got(4) == ((5L, 3L, 3L, "  \n  \na"))) // blanks never dedup
+    // custom separator
+    val piped = Seq((9L, "a|b|a|b|c")).toDF("k", "t")
+    val ps = Pipeline.dedupLinesWithinDoc(piped, "k", "t", sep = "|")
+      .collect().head
+    assert(ps.getString(3) == "a|b|c" && ps.getLong(2) == 3L)
+  }
+
+  test("minhashNeardupAgainstCorpus: cross pairs only, same arithmetic") {
+    // new = {A, E-copy-1}, ref = {B, C, D, E-copy-2}: the edited pair
+    // and the exact pair cross sides → both flagged with the exact
+    // within-corpus jaccards (51/61 and 1.0)
+    val newSide = corpus.filter(col("post_key").isin(10L, 14L))
+    val refSide = corpus.filter(col("post_key").isin(11L, 12L, 13L, 15L))
+    val got = Pipeline.minhashNeardupAgainstCorpus(
+      newSide, refSide, "post_key", "body")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((10L, 11L, 51.0 / 61), (14L, 15L, 1.0)))
+    // asymmetry: both exact copies on the NEW side → never paired
+    // with each other (no new-new candidates by construction)
+    val sameSide = Pipeline.minhashNeardupAgainstCorpus(
+      corpus.filter(col("post_key").isin(14L, 15L)),
+      corpus.filter(col("post_key") === 12L),
+      "post_key", "body")
+    assert(sameSide.count() == 0)
+    assert(intercept[IllegalArgumentException] {
+      Pipeline.minhashNeardupAgainstCorpus(newSide, refSide,
+        "post_key", "body", jaccardMin = 0.0)
+    }.getMessage.contains("jaccardMin"))
+  }
 }
