@@ -216,7 +216,27 @@ object Bench {
       // (pinned in BenchSpec). Writes are INDEPENDENT per path (own
       // try + parent mkdir): a missing tools/ dir must not also lose
       // the mirror write that would have succeeded.
-      Seq(HistoryPath, "BENCH_full.json").foreach { path =>
+      //
+      // CROSS-SF GUARD: loadHistory's sf gate protects READS, but an
+      // unguarded write at a different sf (a builder iterating at
+      // sf0.001) would REPLACE the canonical sf0.1 line wholesale —
+      // the committed minima would be gone, and the next sf0.1 run
+      // would silently restart the ratchet from scratch. A run whose
+      // sf differs from the committed record keeps its hands off both
+      // files (stdout still carries the full capture).
+      val writeOk = historyWriteAllowed(
+        try {
+          val p = java.nio.file.Paths.get(HistoryPath)
+          if (java.nio.file.Files.exists(p))
+            Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          else None
+        } catch { case _: Exception => None },
+        sfDir)
+      if (!writeOk)
+        System.err.println(s"[bench] history write skipped: $HistoryPath " +
+          s"holds a committed record for a DIFFERENT sf; overwriting it " +
+          s"from this $sfDir run would erase those minima")
+      else Seq(HistoryPath, "BENCH_full.json").foreach { path =>
         try {
           val p = java.nio.file.Paths.get(path)
           Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -323,6 +343,22 @@ object Bench {
         val vs = (a.get(k) ++ b.get(k)).filter(_ > 0)
         if (vs.isEmpty) None else Some(k -> vs.min)
       }.toMap
+    }
+
+  /** Whether this run may overwrite the canonical history file: yes
+    * when the file is absent, carries no parseable `sf`, or records the
+    * SAME sf as this run. A committed record at a DIFFERENT sf blocks
+    * the write — replacing it would erase that sf's quiet-window minima
+    * (the read side is already sf-gated in [[parseHistory]]; this is
+    * the same gate applied to the destructive direction). */
+  private[graft] def historyWriteAllowed(existingJson: Option[String],
+      sfDir: String): Boolean =
+    existingJson.forall { json =>
+      "\"sf\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(json) match {
+        case Some(m) => m.group(1) ==
+          Verify.jsonEscape(sfDir).stripPrefix("\"").stripSuffix("\"")
+        case None => true // no parseable sf: corrupt/legacy line, refresh
+      }
     }
 
   private[graft] def parseHistory(json: String, sfDir: String)

@@ -104,6 +104,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadHistory("/root/testdata/sf0.1", Seq.empty).isEmpty)
   }
 
+  test("historyWriteAllowed: a different-sf run cannot erase the committed record") {
+    // the r18 near-miss: a local sf0.001 iteration run would have
+    // wholesale-replaced the sf0.1 canonical line (loadHistory's sf
+    // gate protects reads, so the next sf0.1 run would have seen NO
+    // history and restarted the ratchet from scratch)
+    val committed =
+      """{"metric":"total","value":7.4,"queries":{"q01":0.5},"sf":"/root/testdata/sf0.1"}"""
+    assert(!Bench.historyWriteAllowed(Some(committed), "/root/testdata/sf0.001"))
+    // same sf: the min-merge write proceeds
+    assert(Bench.historyWriteAllowed(Some(committed), "/root/testdata/sf0.1"))
+    // first run ever / missing file: allowed
+    assert(Bench.historyWriteAllowed(None, "/root/testdata/sf0.001"))
+    // corrupt line without a parseable sf: refresh allowed
+    assert(Bench.historyWriteAllowed(Some("{broken"), "/root/testdata/sf0.1"))
+    // sf comparison goes through the same escaping as the write side
+    val esc = Verify.jsonEscape("/tmp/with\"quote").stripPrefix("\"").stripSuffix("\"")
+    assert(Bench.historyWriteAllowed(
+      Some(s"""{"queries":{},"sf":"$esc"}"""), "/tmp/with\"quote"))
+  }
+
   test("loadFactor: median measured/history ratio; None without history") {
     // the r10 shape: a uniformly ~1.25x-loaded capture self-reports it
     val history = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)
