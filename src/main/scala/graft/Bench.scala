@@ -224,18 +224,25 @@ object Bench {
       // would silently restart the ratchet from scratch. A run whose
       // sf differs from the committed record keeps its hands off both
       // files (stdout still carries the full capture).
-      val writeOk = historyWriteAllowed(
-        try {
-          val p = java.nio.file.Paths.get(HistoryPath)
-          if (java.nio.file.Files.exists(p))
-            Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-          else None
-        } catch { case _: Exception => None },
-        sfDir)
+      // FAIL CLOSED: a file that exists but cannot be read might hold
+      // the committed record — refusing the write loses one merge;
+      // allowing it could erase every committed minimum
+      val writeOk = try {
+        val p = java.nio.file.Paths.get(HistoryPath)
+        if (!java.nio.file.Files.exists(p)) true
+        else historyWriteAllowed(
+          Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")),
+          sfDir)
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] cannot read $HistoryPath ($e) — " +
+          "refusing to overwrite a possibly-committed record")
+        false
+      }
       if (!writeOk)
         System.err.println(s"[bench] history write skipped: $HistoryPath " +
-          s"holds a committed record for a DIFFERENT sf; overwriting it " +
-          s"from this $sfDir run would erase those minima")
+          s"holds a committed record for a DIFFERENT sf (or is " +
+          s"unreadable); overwriting it from this $sfDir run could " +
+          s"erase committed minima")
       else Seq(HistoryPath, "BENCH_full.json").foreach { path =>
         try {
           val p = java.nio.file.Paths.get(path)

@@ -1363,8 +1363,28 @@ object Main {
           throw new IllegalArgumentException(
             "a non-PQ index scans raw vectors of the probed clusters — " +
               "pass the embedding corpus with --input (or train with --pq)")
-        val vecs = readDocs(spark, "--input", a.input,
-          Seq("--id-column" -> idCol, "--vector-column" -> vecCol))
+        // the CORPUS is read by the INDEX's recorded columns (it is the
+        // same table the index was trained on); --id-column /
+        // --vector-column override the QUERY side only — applying them
+        // here would join member ids against the wrong corpus column
+        // and silently return zero/garbage hits
+        val vecs0 = readDocs(spark, "--input", a.input,
+          Seq("index id_column" -> meta.idColumn,
+            "index vector_column" -> meta.vectorColumn))
+        for ((from, to) <- Seq(meta.idColumn -> idCol,
+            meta.vectorColumn -> vecCol)
+            if from != to && vecs0.columns.contains(to))
+          throw new IllegalArgumentException(
+            s"--input already has a '$to' column while the index reads " +
+              s"'$from' — the query-side column override cannot apply; " +
+              "rename one side")
+        if (vecs0.columns.contains("cluster"))
+          throw new IllegalArgumentException(
+            "--input already has a 'cluster' column — the index join " +
+              "adds one; drop or rename it first")
+        val vecs = vecs0
+          .withColumnRenamed(meta.idColumn, idCol)
+          .withColumnRenamed(meta.vectorColumn, vecCol)
         val clustered = vecs.join(
           member.select(col("vec_id").as(idCol), col("cluster")), Seq(idCol))
         P.ivfSearch(clustered, queries, idCol, vecCol, "cluster",
@@ -1503,6 +1523,14 @@ object Main {
       throw new IllegalArgumentException(
         "input has a 'ts' column — name it with --ts-column to use it " +
           "as event time (or rename it away)")
+    // scrubAndGate ADDS n_pii; a caller column of that name (e.g.
+    // re-ingesting a directory this command produced) would be
+    // silently recounted over already-scrubbed text
+    if (static.columns.contains("n_pii"))
+      throw new IllegalArgumentException(
+        "input already has an 'n_pii' column (was it produced by " +
+          "`graft ingest`?) — the scrub stage adds its own; drop or " +
+          "rename it first")
     val reader = spark.readStream.schema(static.schema)
     a.maxBytesPerTrigger.foreach(b =>
       reader.option("maxBytesPerTrigger", b.toString))

@@ -347,18 +347,30 @@ private[operators] trait AnnOps { self: Pipeline.type =>
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = true): DataFrame = {
     val posts = bm25Postings(corpus, idCol, textCol, k1, b)
-      .select(col("doc_id"), col("term"), col("weight"))
+    // fast path vs the generic capPostingsByDfFraction: every
+    // bm25Postings row already CARRIES its term's df, so the cap is a
+    // plain filter against one broadcast single-row doc count — no
+    // second per-term aggregate, no anti-join. Same semantics (a term
+    // with df > fraction·n drops; survivors' weights untouched).
     val capped = maxDfFraction match {
-      case Some(f) => capPostingsByDfFraction(posts, f)
+      case Some(f) =>
+        require(f > 0 && f <= 1,
+          s"maxDfFraction must be in (0, 1], got $f")
+        val n = posts.select(countDistinct(col("doc_id")).as("__n"))
+        posts.crossJoin(broadcast(n))
+          .filter(col("df").cast(DoubleType) <=
+            col("__n").cast(DoubleType) * f)
       case None => posts
     }
-    sparseTopK(capped, queries, k = k, excludeSelf = excludeSelf)
+    sparseTopK(capped.select(col("doc_id"), col("term"), col("weight")),
+      queries, k = k, excludeSelf = excludeSelf)
   }
 
   /** Feature-hashed document embeddings (the signed hashing trick,
     * Weinberger '09): a dense `dim`-vector per document from word
-    * hashes alone — bucket = word-hash mod dim, sign = an independent
-    * hash bit, cell = signed word count, the whole vector L2
+    * hashes alone — ONE 32-bit hash per word supplies bucket
+    * (hash mod dim) and sign (the hash's top bit), cell = signed word
+    * count, the whole vector L2
     * -normalized. No trained model and no external embedding table:
     * this is the deterministic baseline that feeds the ANN / SemDeDup
     * / k-means ladder when a real encoder is unavailable (the signed
@@ -380,10 +392,15 @@ private[operators] trait AnnOps { self: Pipeline.type =>
       .select(col(idCol).as("doc_id"),
         explode(array_remove(words(col(textCol)), "")).as("w"))
       .select(col("doc_id"),
-        (call_function("md5_prefix_long", col("w"), lit(4))
-          % dim.toLong).as("b"),
-        when(call_function("md5_prefix_long",
-            concat(lit("sign:"), col("w")), lit(4)) % 2 === 0, 1L)
+        call_function("md5_prefix_long", col("w"), lit(4)).as("__h"))
+      // ONE hash per token supplies both coordinates (the r18 review's
+      // efficiency fix — the per-token hash dominates this map stage):
+      // bucket from the modulus, sign from the top bit of the same
+      // 32-bit value (bit 31 and h mod dim≤4096 are effectively
+      // independent — Weinberger'09 uses exactly this single-hash ξ)
+      .select(col("doc_id"),
+        (col("__h") % dim.toLong).as("b"),
+        when(shiftright(col("__h"), 31) === 0, 1L)
           .otherwise(-1L).as("s"))
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(col("s")).as("v"))
@@ -1230,12 +1247,11 @@ private[operators] trait AnnOps { self: Pipeline.type =>
                    x -> x <> '')) AS w
           FROM documents WHERE text IS NOT NULL),
         tok AS (
-          SELECT doc_id,
-                 CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS b,
-                 CASE WHEN CAST('0x' || substr(md5('sign:' || w), 1, 8)
-                        AS BIGINT) % 2 = 0
-                      THEN 1 ELSE -1 END AS s
-          FROM w),
+          SELECT doc_id, h % 64 AS b,
+                 CASE WHEN h // 2147483648 = 0 THEN 1 ELSE -1 END AS s
+          FROM (SELECT doc_id,
+                  CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+                FROM w)),
         cells AS (
           SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
           FROM tok GROUP BY doc_id, b),

@@ -76,9 +76,11 @@ private[operators] trait DedupTextOps { self: Pipeline.type =>
     * nav menu, share bar or footer repeats inside ONE document keeps
     * each content line only at its FIRST occurrence — the intra-doc
     * complement of [[dedupParagraphsGlobal]], which dedups lines
-    * ACROSS documents). Whitespace-only lines are structure, not
-    * content, and are never deduplicated (same contract as the global
-    * op). Scale shape: ZERO shuffle — the whole operator is per-row
+    * ACROSS documents). Whitespace-only lines (the ASCII set: space,
+    * tab, LF, CR, FF) are structure, not content, and are never
+    * deduplicated — a WIDER exemption than [[dedupParagraphsGlobal]]'s
+    * space-only trim, so tab-only separator lines survive here.
+    * Scale shape: ZERO shuffle — the whole operator is per-row
     * array expressions (split → indexed filter → join), embarrassingly
     * parallel at any corpus size; cost is O(lines²) PER DOC from the
     * first-occurrence scan, fine at web-page line counts (a pathological
@@ -92,9 +94,14 @@ private[operators] trait DedupTextOps { self: Pipeline.type =>
       .select(col(idCol).as("doc_id"),
         split(col(textCol), sepRe).as("__ls"))
       // keep line i iff whitespace-only OR its first occurrence is at i
-      // (array_position is 1-based; the filter index is 0-based)
+      // (array_position is 1-based; the filter index is 0-based).
+      // whitespace = the explicit ASCII set via char-set trim, NOT
+      // trim(x) — bare trim strips only ' ' in both engines, so a
+      // tab-only separator line would be treated as content and
+      // deduplicated (r18 review)
       .withColumn("__kept", filter(col("__ls"), (x, i) =>
-        trim(x) === "" || array_position(col("__ls"), x) === i + 1))
+        trim(x, " \t\n\r\f") === "" ||
+          array_position(col("__ls"), x) === i + 1))
       .select(col("doc_id"),
         coalesce(size(col("__ls")).cast(LongType), lit(0L)).as("n_lines"),
         coalesce(size(col("__kept")).cast(LongType), lit(0L))
@@ -1049,8 +1056,9 @@ private[operators] trait DedupTextOps { self: Pipeline.type =>
           FROM documents WHERE text IS NOT NULL),
         sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM nl),
         k AS (SELECT doc_id, ls,
-                list_filter(ls, (x, i) -> trim(x) = ''
-                  OR list_position(ls, x) = i) AS kept
+                list_filter(ls, (x, i) ->
+                  trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(12))
+                    = '' OR list_position(ls, x) = i) AS kept
               FROM sp)
         SELECT doc_id,
                CAST(len(ls) AS BIGINT) AS n_lines,

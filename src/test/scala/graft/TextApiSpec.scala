@@ -3778,7 +3778,8 @@ class TextApiSpec extends AnyFunSuite {
       (2L, "only line"),
       (3L, null.asInstanceOf[String]),
       (4L, ""),
-      (5L, "  \n  \na")) // identical whitespace lines both survive
+      (5L, "  \n  \na"),   // identical whitespace lines both survive
+      (6L, "a\n\t\nb\n\t\nc")) // tab-only lines are structure too
       .toDF("page_id", "content")
     val got = Pipeline.dedupLinesWithinDoc(pages, "page_id", "content")
       .orderBy("doc_id")
@@ -3789,6 +3790,7 @@ class TextApiSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 0L, 0L, "")))          // NULL text → empty
     assert(got(3) == ((4L, 1L, 1L, "")))          // one empty line, kept
     assert(got(4) == ((5L, 3L, 3L, "  \n  \na"))) // blanks never dedup
+    assert(got(5) == ((6L, 5L, 5L, "a\n\t\nb\n\t\nc"))) // incl. tab-only
     // custom separator
     val piped = Seq((9L, "a|b|a|b|c")).toDF("k", "t")
     val ps = Pipeline.dedupLinesWithinDoc(piped, "k", "t", sep = "|")
