@@ -466,6 +466,80 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .filter(col("jaccard") >= jaccardMin)
   }
 
+  /** Per-doc OPH band-key strings — the LSH bucket keys
+    * [[ophNeardupPairs]] hashes on, exposed as ONE map-side array
+    * column ("b|s₀,…,s₍rows₋₁₎" over the densified [[ophSignatures]]
+    * slots of band b) so gates can probe them against a reference
+    * structure without materializing the bucket table. Docs under 5
+    * words and NULL text carry an EMPTY array — they never near-dup
+    * (the p02 contract). Entirely map-side. */
+  private[graft] def ophBandKeys(textCol: Column, bands: Int,
+      rows: Int): Column = {
+    val ws = words(textCol)
+    val sig = call_function("oph_sig", shingleHashes(ws), lit(bands * rows))
+    when(textCol.isNotNull && size(ws) >= 5,
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat(b.cast(StringType), lit("|"),
+          array_join(transform(slice(sig, b * rows + 1, lit(rows)),
+            v => v.cast(StringType)), ","))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Bloom filter over a REFERENCE corpus's OPH band keys — the
+    * fixed-size (mBits/8-byte) broadcastable summary of "which LSH
+    * buckets the reference occupies". At 100 TB the reference's bucket
+    * table is data-sized and cannot broadcast; this filter is a fixed
+    * budget that can, making reference-corpus near-dup gating a
+    * map-side probe ([[neardupFlagAgainstBloom]] in batch,
+    * [[graft.streaming.Streams.neardupGateAgainstCorpus]] on a
+    * stream). Build once per snapshot and reuse; (mBits, k, bands,
+    * rows) MUST match between build and probe — they parameterize the
+    * hash family. Output: one row, one packed-bitset column. */
+  def neardupBloomBuild(reference: DataFrame, textCol: String,
+      mBits: Int, k: Int = 5,
+      bands: Int = NumHashes / BandRows, rows: Int = BandRows): DataFrame = {
+    require(bands * rows <= 64,
+      s"bands*rows must be <= 64 oph bins, got ${bands * rows}")
+    reference
+      .select(explode(ophBandKeys(col(textCol), bands, rows)).as("__key"))
+      .select(explode(doubleHashPositions(col("__key"), k, mBits))
+        .as("__pos"))
+      .distinct()
+      .agg(sort_array(collect_list(col("__pos"))).as("__bloom"))
+      .select(call_function("bitset_pack", col("__bloom"), lit(mBits))
+        .as("__bloomBits"))
+  }
+
+  /** Flag every corpus doc whose ANY OPH band key the reference Bloom
+    * filter claims to contain — near-dup-vs-reference gating at Bloom
+    * cost (the [[minhashNeardupAgainstCorpus]] CANDIDATE stage without
+    * the exact-verify join: a gate, not a report). Error surface is
+    * the union of the two structures' documented trades: LSH misses a
+    * true near-dup only when no band agrees (recall), and the Bloom
+    * filter can claim an absent key with the usual (bits-set/m)^k
+    * false-positive rate — so a flagged doc MIGHT be clean, a
+    * non-flagged doc is clean up to LSH recall. Plan: the corpus
+    * crossJoin(broadcast)s one fixed-size row and probes map-side —
+    * the corpus never shuffles. Output: every caller column +
+    * `neardup_in_ref`. */
+  def neardupFlagAgainstBloom(corpus: DataFrame, textCol: String,
+      bloom: DataFrame, mBits: Int, k: Int = 5,
+      bands: Int = NumHashes / BandRows, rows: Int = BandRows): DataFrame = {
+    require(!corpus.columns.contains("neardup_in_ref"),
+      "corpus already has column neardup_in_ref — rename it before " +
+        "calling neardupFlagAgainstBloom, which adds it")
+    corpus
+      .crossJoin(broadcast(bloom))
+      .withColumn("neardup_in_ref",
+        exists(ophBandKeys(col(textCol), bands, rows), key => {
+          val pp = sort_array(array_distinct(
+            doubleHashPositions(key, k, mBits)))
+          call_function("bitset_count_set", pp, col("__bloomBits"))
+            .cast(LongType) === size(pp).cast(LongType)
+        }))
+      .drop("__bloomBits")
+  }
+
   /** The fixture-corpus instantiation shared by p02/p25/p30/p31. */
   private def neardupPairs(s: SparkSession, d: String): DataFrame =
     minhashNeardupPairs(T.documents(s, d), "doc_id", "text")
@@ -2072,6 +2146,83 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         WITH $NeardupAgainstSql
         SELECT doc_id, ref_id, jaccard FROM xverified
         ORDER BY doc_id, ref_id""")),
+
+    // ---- p129: the near-dup-vs-reference BLOOM gate — OPH band keys
+    // (the p114 densified-signature arithmetic at 16 bins) hashed into
+    // a p104-style packed Bloom filter built over the doc_id%3=0
+    // reference slice, then every doc probed map-side ("any band key
+    // claimed present" flags). The oracle replays the whole
+    // composition — OPH dens chain → band-key strings → double-hash
+    // positions → set-membership probe — so even the filter's false
+    // positives (deterministic at mBits=4096) must match bit-for-bit.
+    QueryDef(
+      "p129_neardup_bloom_gate",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        neardupFlagAgainstBloom(docs.select(col("doc_id"), col("text")),
+          "text",
+          neardupBloomBuild(docs.filter(col("doc_id") % 3 === 0), "text",
+            mBits = 4096, k = 3, bands = 4, rows = 4),
+          mBits = 4096, k = 3, bands = 4, rows = 4)
+          .select(col("doc_id"), col("neardup_in_ref"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+          WHERE len(string_split_regex(text, '\\s+')) >= 5),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8)
+                   AS BIGINT) AS x
+          FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+        h AS (SELECT doc_id, (x + 7) % $MinhashP AS h FROM sh),
+        bm AS (
+          SELECT doc_id, h % 16 AS bin, MIN(h // 16) AS v
+          FROM h GROUP BY doc_id, h % 16),
+        grid AS (
+          SELECT s.doc_id, t.j, bm.v
+          FROM (SELECT DISTINCT doc_id FROM sh) s
+          CROSS JOIN unnest(range(0, 16)) t(j)
+          LEFT JOIN bm ON bm.doc_id = s.doc_id AND bm.bin = t.j),
+        packed AS (
+          SELECT doc_id, list(v ORDER BY j) AS vals FROM grid GROUP BY doc_id),
+        dens AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16), j ->
+                   list_filter(list_transform(range(0, 16), t ->
+                     CASE WHEN vals[((j + t) % 16) + 1] IS NOT NULL
+                          THEN vals[((j + t) % 16) + 1] + $MinhashP * t
+                     END), u -> u IS NOT NULL)[1]) AS sig
+          FROM packed),
+        keys AS (
+          SELECT doc_id,
+                 b || '|' || array_to_string(sig[b*4 + 1 : b*4 + 4], ',') AS key
+          FROM dens, unnest(range(0, 4)) t(b)),
+        kh AS (
+          SELECT doc_id, key,
+                 CAST('0x' || substr(md5(key), 1, 12) AS BIGINT) AS h1,
+                 2 * CAST('0x' || substr(md5(key), 13, 12) AS BIGINT) + 1 AS h2
+          FROM keys),
+        refbits AS (
+          SELECT DISTINCT (h1 + j * h2) % 4096 AS pos
+          FROM kh, unnest(range(0, 3)) t(j)
+          WHERE doc_id % 3 = 0),
+        bloom AS (SELECT list_sort(list(pos)) AS bs FROM refbits),
+        kp AS (
+          SELECT doc_id, key,
+                 list_sort(list_distinct(list((h1 + j * h2) % 4096))) AS ps
+          FROM kh, unnest(range(0, 3)) t(j)
+          GROUP BY doc_id, key),
+        probe AS (
+          SELECT kp.doc_id,
+                 bool_or(len(list_filter(ps, p -> list_contains(bs, p)))
+                   = len(ps)) AS neardup_in_ref
+          FROM kp CROSS JOIN bloom
+          GROUP BY kp.doc_id)
+        SELECT d.doc_id, COALESCE(p.neardup_in_ref, FALSE) AS neardup_in_ref
+        FROM documents d LEFT JOIN probe p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
 
     // ---- p03: SimHash fingerprints — 48-bit weighted-bit-vote hash,
     // fully map-side (one codegen'd pass per doc, see simhashFp). The

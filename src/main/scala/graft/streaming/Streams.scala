@@ -310,6 +310,32 @@ object Streams {
     graft.operators.Pipeline.bloomDedupPacked(docs, reference, textCol, mBits, k)
       .filter(!col("in_bloom")).drop("bloom_hits", "in_bloom")
 
+  /** NEAR-dup gate against a STATIC reference corpus — [[bloomGate]]'s
+    * recipe lifted from exact text hashes to OPH band keys
+    * ([[graft.operators.Pipeline.neardupBloomBuild]] /
+    * `neardupFlagAgainstBloom`, the p129-gated batch pair): the
+    * reference's LSH bucket keys collapse into one fixed `mBits/8`-byte
+    * packed Bloom row, and each arriving doc is dropped when ANY of its
+    * band keys is claimed present. STATELESS like bloomGate (no
+    * watermark, no state store; the static side re-resolves per batch,
+    * so a republished reference snapshot is picked up without restart)
+    * — this is how a live ingest feed scrubs near-duplicates of
+    * yesterday's 100 TB corpus without yesterday's corpus ever
+    * shuffling: the batch twin [[graft.operators.Pipeline
+    * .minhashNeardupAgainstCorpus]] verifies exactly, this gate trades
+    * its verification join for a fixed-size broadcast (Bloom false
+    * positives lose a clean doc at the documented (bits/m)^k rate;
+    * misses only from LSH recall). Within-stream duplicates still need
+    * [[neardupGateOph]] — compose both, as `graft ingest` does for the
+    * exact case. */
+  def neardupGateAgainstCorpus(docs: DataFrame, reference: DataFrame,
+      textCol: String = "text", mBits: Int = 1 << 22, k: Int = 5): DataFrame =
+    graft.operators.Pipeline.neardupFlagAgainstBloom(docs, textCol,
+      graft.operators.Pipeline.neardupBloomBuild(reference, textCol,
+        mBits, k),
+      mBits, k)
+      .filter(!col("neardup_in_ref")).drop("neardup_in_ref")
+
   /** Streaming distinct-token counter — the HyperLogLog registers as a
     * STREAMING aggregation: each micro-batch's tokens melt map-side
     * into (bucket, rank) rows through the exact arithmetic of the

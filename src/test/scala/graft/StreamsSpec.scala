@@ -73,6 +73,48 @@ class StreamsSpec extends AnyFunSuite {
     assert(batchKept == ids, "stream gate diverged from the batch operator")
   }
 
+  test("neardupGateAgainstCorpus: stateless near-dup blocking vs a static corpus") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def mk(ws: Seq[String]) = ws.mkString(" ")
+    val a = (1 to 30).map(i => s"ref$i")
+    val z = (1 to 30).map(i => s"new$i")
+    val snapshot = Seq((100L, mk(a))).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val gated = Streams.neardupGateAgainstCorpus(
+      in.toDF().toDF("doc_id", "text"), snapshot, mBits = 1 << 18, k = 4)
+    val q = gated.writeStream.format("memory")
+      .queryName("neardup_ref_gate").outputMode("append").start()
+    val data = Seq(
+      (1L, mk(a)),                       // exact copy of the snapshot doc
+      (2L, mk(z)),                       // unrelated → kept
+      (3L, mk(a.updated(10, "edited"))), // one-word edit (LSH decides)
+      (4L, "short doc"))                 // <5 words: no band keys → kept
+    try {
+      in.addData(data.take(2): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(2): _*)       // batch 2: static side re-resolves
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("neardup_ref_gate")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.contains(2L) && ids.contains(4L), s"clean docs dropped: $ids")
+    assert(!ids.contains(1L), "the exact twin of the reference passed")
+    // the probe column never reaches the sink; the gate is stateless
+    assert(spark.table("neardup_ref_gate").columns.toSeq ==
+      Seq("doc_id", "text"))
+    // stream ≡ batch: the gate admits exactly what the batch pair
+    // admits over the union of both micro-batches (including doc 3,
+    // whichever way the band lottery went — same arithmetic both sides)
+    val batchKept = graft.operators.Pipeline.neardupFlagAgainstBloom(
+      data.toDF("doc_id", "text"), "text",
+      graft.operators.Pipeline.neardupBloomBuild(snapshot, "text",
+        1 << 18, 4), 1 << 18, 4)
+      .filter(!col("neardup_in_ref"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == ids, "stream gate diverged from the batch pair")
+  }
+
   test("distinctCountHll: bounded-state streaming registers equal the " +
       "batch sketch at every point in the stream") {
     import spark.implicits._

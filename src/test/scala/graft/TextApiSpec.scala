@@ -3798,6 +3798,31 @@ class TextApiSpec extends AnyFunSuite {
     assert(ps.getString(3) == "a|b|c" && ps.getLong(2) == 3L)
   }
 
+  test("neardupBloomBuild/FlagAgainstBloom: exact twin flags, clean docs pass") {
+    import spark.implicits._
+    // reference = the E document; the probe side carries E's exact
+    // copy (identical band keys → flagged with certainty), unrelated
+    // docs, a 4-word doc and a NULL (no band keys → never flagged)
+    val ref = corpus.filter(col("post_key") === 14L)
+    val probe = corpus.filter(col("post_key").isin(10L, 12L, 15L))
+      .unionByName(Seq((20L, "too few words here"),
+        (21L, null.asInstanceOf[String])).toDF("post_key", "body"))
+    val flagged = Pipeline.neardupFlagAgainstBloom(probe, "body",
+      Pipeline.neardupBloomBuild(ref, "body", mBits = 1 << 16, k = 4),
+      mBits = 1 << 16, k = 4)
+      .collect().map(r => r.getAs[Long]("post_key") ->
+        r.getAs[Boolean]("neardup_in_ref")).toMap
+    assert(flagged(15L))                    // exact copy of the reference
+    assert(!flagged(10L) && !flagged(12L))  // unrelated corpora
+    assert(!flagged(20L) && !flagged(21L))  // short/NULL: no band keys
+    // derived-column clash fails fast
+    assert(intercept[IllegalArgumentException] {
+      Pipeline.neardupFlagAgainstBloom(
+        probe.withColumn("neardup_in_ref", lit(true)), "body",
+        Pipeline.neardupBloomBuild(ref, "body", 1 << 16, 4), 1 << 16, 4)
+    }.getMessage.contains("neardup_in_ref"))
+  }
+
   test("minhashNeardupAgainstCorpus: cross pairs only, same arithmetic") {
     // new = {A, E-copy-1}, ref = {B, C, D, E-copy-2}: the edited pair
     // and the exact pair cross sides → both flagged with the exact
