@@ -1556,6 +1556,187 @@ object Main {
     rows
   }
 
+  /** `graft scrub` — removes documents that duplicate a REFERENCE
+    * corpus (yesterday's training set, a licensed collection, an eval
+    * suite at document granularity), fronting the three library
+    * escalation rungs — never a reimplementation (ScrubCliSpec pins
+    * CLI ≡ library per mode):
+    *   admit (default) — [[operators.Pipeline.admitAgainstCorpus]]:
+    *     drop exact content-hash OR band-signature matches (no
+    *     pairwise work; the reference reduces to its key sets);
+    *   near — [[operators.Pipeline.minhashNeardupAgainstCorpus]]:
+    *     exact-Jaccard-VERIFIED near-dups at --jaccard-min, with an
+    *     optional (doc, ref, jaccard) match report;
+    *   bloom — [[operators.Pipeline.neardupBloomBuild]] +
+    *     `neardupFlagAgainstBloom`: candidate-level gating behind one
+    *     fixed mBits/8-byte filter (the 100 TB-reference rung). */
+  final case class ScrubArgs(
+      input: String = "",
+      reference: String = "",
+      outputFile: String = "",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      mode: String = "admit",
+      jaccardMin: Double = 0.5,
+      bands: Int = 8,
+      rows: Int = 4,
+      mBits: Int = 1 << 22,
+      k: Int = 5,
+      reportFile: Option[String] = None,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      multiFile: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      quiet: Boolean = false)
+
+  private[graft] val ScrubHelpText =
+    s"""Removes documents that duplicate a REFERENCE corpus (cross-corpus
+       |dedup: new crawl vs yesterday's training set)
+       |
+       |Usage: graft scrub [OPTIONS] --input <DIR> --reference <DIR> --output-file <FILE>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of incoming documents
+       |  -r, --reference <DIR>       Parquet directory of the reference corpus
+       |  -o, --output-file <FILE>    Surviving documents (parquet)
+       |      --id-column <C>         Document id column, both sides (default doc_id)
+       |      --text-column <C>       Text column, both sides (default text)
+       |      --mode <M>              admit (default: drop exact content-hash OR
+       |                              band-signature matches), near (exact-Jaccard
+       |                              -verified near-dups), bloom (candidate-level
+       |                              gate behind one fixed-size Bloom filter —
+       |                              the arbitrarily-large-reference mode)
+       |      --jaccard-min <J>       near: verification threshold (default 0.5)
+       |      --bands <N>             near: LSH bands (default 8)
+       |      --rows <N>              near: minhash rows per band (default 4)
+       |      --mbits <N>             bloom: filter size in bits (default 4194304)
+       |      --k <N>                 bloom: hash probes per key (default 5)
+       |      --report-file <FILE>    near: also write the verified match pairs
+       |                              (doc_id, ref_id, jaccard)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --multi-file            Write one file per task instead of a single file
+       |      --partition-by <C>      Hive-style output partitioning (repeatable)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseScrubArgs(argv: Seq[String]): ScrubArgs = {
+    var a = ScrubArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(ScrubHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--reference" | "-r" => a = a.copy(reference = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--mode" =>
+          val m = take(flag)
+          if (!Set("admit", "near", "bloom")(m))
+            throw new IllegalArgumentException(
+              s"--mode must be admit, near or bloom, got '$m'")
+          a = a.copy(mode = m)
+        case "--jaccard-min" =>
+          a = a.copy(jaccardMin = c.takeDouble(flag, 0, 1, loExclusive = true))
+        case "--bands" => a = a.copy(bands = parsePosInt(flag, take(flag)))
+        case "--rows" => a = a.copy(rows = parsePosInt(flag, take(flag)))
+        case "--mbits" => a = a.copy(mBits = parsePosInt(flag, take(flag)))
+        case "--k" => a = a.copy(k = parsePosInt(flag, take(flag)))
+        case "--report-file" => a = a.copy(reportFile = Some(take(flag)))
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
+        case "--multi-file" => a = a.copy(multiFile = true)
+        case "--partition-by" =>
+          a = a.copy(partitionBy = a.partitionBy :+ take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see scrub --help)")
+      }
+    }
+    if (a.input.isEmpty || a.reference.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: scrub [OPTIONS] --input DIR --reference DIR --output-file FILE")
+    // mode-specific knobs must not silently no-op (the dedup
+    // --mode exact stance)
+    val d = ScrubArgs()
+    val nearOnly = Seq(
+      "--jaccard-min" -> (a.jaccardMin != d.jaccardMin),
+      "--bands" -> (a.bands != d.bands),
+      "--rows" -> (a.rows != d.rows),
+      "--report-file" -> a.reportFile.nonEmpty)
+    val bloomOnly = Seq(
+      "--mbits" -> (a.mBits != d.mBits),
+      "--k" -> (a.k != d.k))
+    val stray = (if (a.mode != "near") nearOnly else Nil) ++
+      (if (a.mode != "bloom") bloomOnly else Nil)
+    val bad = stray.collect { case (f, true) => f }
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"${bad.mkString(", ")} only apply to --mode " +
+          s"${if (bad.exists(b => nearOnly.exists(_._1 == b))) "near"
+             else "bloom"}")
+    a
+  }
+
+  private[graft] def runScrub(spark: SparkSession,
+      a: ScrubArgs): ParquetSink.WriteStats = {
+    import org.apache.spark.sql.functions.col
+    val docs = readDocs(spark, "--input", a.input,
+      Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn))
+    val ref = readDocs(spark, "--reference", a.reference,
+      Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn))
+    val sinkOpts = ParquetSink.SinkOptions(
+      compression = a.compression,
+      compressionLevel = a.compressionLevel,
+      singleFile = !a.multiFile,
+      partitionBy = a.partitionBy,
+      quiet = a.quiet)
+    val P = operators.Pipeline
+    val stats = a.mode match {
+      case "admit" =>
+        // derived key columns dropped so the OUTPUT can feed a later
+        // scrub run unchanged (admitAgainstCorpus fails fast on them)
+        ParquetSink.write(
+          P.admitAgainstCorpus(ref, docs, a.idColumn, a.textColumn)
+            .drop("content_hash", "band_sig"),
+          a.outputFile, sinkOpts)
+      case "near" =>
+        val pairs0 = P.minhashNeardupAgainstCorpus(docs, ref,
+          a.idColumn, a.textColumn, a.jaccardMin, a.bands, a.rows)
+        // with a report requested the pair table feeds TWO sinks —
+        // materialize once, release after (the dedup-chain discipline)
+        val pairs = if (a.reportFile.nonEmpty) pairs0.localCheckpoint()
+          else pairs0
+        try {
+          val flagged = pairs.select(col("doc_id").as(a.idColumn)).distinct()
+          val out = ParquetSink.write(
+            docs.join(flagged, Seq(a.idColumn), "left_anti"),
+            a.outputFile, sinkOpts)
+          a.reportFile.foreach { rf =>
+            ParquetSink.write(pairs, rf, ParquetSink.SinkOptions(quiet = true))
+          }
+          out
+        } finally if (a.reportFile.nonEmpty)
+          P.releaseLocalCheckpoint(pairs, blocking = true)
+      case _ =>
+        ParquetSink.write(
+          P.neardupFlagAgainstBloom(docs, a.textColumn,
+            P.neardupBloomBuild(ref, a.textColumn, a.mBits, a.k),
+            a.mBits, a.k)
+            .filter(!col("neardup_in_ref")).drop("neardup_in_ref"),
+          a.outputFile, sinkOpts)
+    }
+    if (!a.quiet)
+      System.err.println(s"scrubbed (${a.mode}): ${stats.rows} rows " +
+        s"survive at ${a.outputFile}")
+    stats
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -1574,6 +1755,8 @@ object Main {
        |  ann     Top-k ANN queries against a `graft index` directory
        |  ingest  Streams a corpus through scrub/blocklist/near-dup gates into
        |          an exactly-once parquet sink (drains the backlog, exits)
+       |  scrub   Removes documents duplicating a REFERENCE corpus (exact/
+       |          band admit, verified near-dup, or Bloom-gated)
        |  datacard  Prints doc/token/char totals for a corpus, overall + per stratum
        |  diff    Diffs two corpus snapshots (added / removed / changed per id)
        |
@@ -2088,6 +2271,9 @@ object Main {
       case Some("ingest") =>
         return runSubcommand("ingest", argv.toSeq.tail, parseIngestArgs,
           runIngest, timestampMicros = true)
+      case Some("scrub") =>
+        return runSubcommand("scrub", argv.toSeq.tail, parseScrubArgs,
+          runScrub, timestampMicros = true)
       case _ =>
     }
     val a =
