@@ -1270,6 +1270,119 @@ private[operators] trait AnnOps { self: Pipeline.type =>
         FROM grid
         LEFT JOIN cells c ON c.doc_id = grid.doc_id AND c.b = grid.pos
         JOIN n2 ON n2.doc_id = grid.doc_id
-        ORDER BY grid.doc_id, pos"""))
+        ORDER BY grid.doc_id, pos""")),
+
+    // ---- p130: HYBRID retrieval — the composition the pieces exist
+    // for: the p122 capped-BM25 chain (sparse) and the p05 brute-cosine
+    // chain (dense) fused per query through rrfFuse's exact-integer
+    // arithmetic. Query ids 0–4 exist in both id spaces (documents +
+    // embeddings), so every query fuses a real lexical ranking with a
+    // real vector ranking; docs ranked by only ONE retriever still
+    // score (the RRF union semantics p123 pins in isolation — here
+    // they carry actual retrieval chains cross-engine).
+    QueryDef(
+      "p130_hybrid_retrieval",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val qs = docs.filter(col("doc_id") < 5 && col("text").isNotNull)
+          .select(col("doc_id"),
+            explode(array_remove(words(col("text")), "")).as("term"))
+          .distinct()
+          .withColumn("weight", lit(1.0))
+        val sparse = bm25Retrieval(docs, "doc_id", "text", qs, k = 5,
+          maxDfFraction = Some(0.78))
+          .select(col("q_id"), col("doc_id"), col("rk"))
+        val e = T.embeddings(s, d)
+        val dense = knnBruteCosine(e, e.filter(col("vec_id") <= 4),
+          "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("vec_id").as("doc_id"), col("rk"))
+        rrfFuse(Seq(sparse, dense), k0 = 60, k = 5)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""
+        WITH bl AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents WHERE text IS NOT NULL)
+          WHERE len(ws) > 0),
+        tf AS (
+          SELECT doc_id, dl, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, dl, unnest(ws) AS w FROM bl)
+          GROUP BY doc_id, dl, w),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl
+          FROM bl),
+        dft AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+          FROM tf GROUP BY term),
+        wt AS (
+          SELECT tf.doc_id, tf.term,
+                 ROUND(ROUND(ln(CAST(1.0 AS DOUBLE) +
+                     (CAST(st.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE))
+                     / (CAST(dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE))), 9)
+                   * (CAST(tf.tf AS DOUBLE) *
+                      (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                         (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE)
+                          / (CAST(st.sum_dl AS DOUBLE)
+                             / CAST(st.n_docs AS DOUBLE))))), 9) AS w
+          FROM tf JOIN dft ON dft.term = tf.term CROSS JOIN st),
+        cap AS (
+          SELECT dft.term FROM dft CROSS JOIN st
+          WHERE CAST(dft.df AS DOUBLE) >
+                CAST(0.78 AS DOUBLE) * CAST(st.n_docs AS DOUBLE)),
+        wc AS (
+          SELECT * FROM wt
+          WHERE term NOT IN (SELECT term FROM cap)),
+        qq AS (SELECT doc_id AS q_id, term FROM wt WHERE doc_id < 5),
+        sc AS (
+          SELECT qq.q_id, wc.doc_id, ${graft.QueryDef.dsumSql("wc.w")} AS score
+          FROM wc JOIN qq ON qq.term = wc.term AND wc.doc_id <> qq.q_id
+          GROUP BY qq.q_id, wc.doc_id),
+        sparse AS (
+          SELECT q_id, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, doc_id ASC) AS INT) AS rk
+          FROM sc QUALIFY rk <= 5),
+        e AS (
+          SELECT vec_id, embedding,
+                 list_reduce(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) AS n2
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id,
+                 list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+          FROM e q, e c WHERE q.vec_id <= 4 AND c.vec_id <> q.vec_id),
+        dense AS (
+          SELECT q_id, vec_id AS doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rk
+          FROM scored QUALIFY rk <= 5),
+        u AS (
+          SELECT q_id, doc_id,
+                 CAST(ROUND(CAST(1000000000 AS DOUBLE)
+                   / (CAST(60 AS DOUBLE) + CAST(rk AS DOUBLE)), 0) AS BIGINT) AS c
+          FROM sparse
+          UNION ALL
+          SELECT q_id, doc_id,
+                 CAST(ROUND(CAST(1000000000 AS DOUBLE)
+                   / (CAST(60 AS DOUBLE) + CAST(rk AS DOUBLE)), 0) AS BIGINT) AS c
+          FROM dense),
+        fsc AS (
+          SELECT q_id, doc_id,
+                 CAST(SUM(c) AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rrf_score
+          FROM u GROUP BY q_id, doc_id)
+        SELECT q_id, doc_id, rrf_score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rk
+        FROM fsc QUALIFY rk <= 5 ORDER BY q_id, rk"""))
   )
 }
