@@ -1586,6 +1586,38 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         sum(col("csize")).as("n_docs"))
       .withColumn("docs_removed", col("n_docs") - col("n_components"))
 
+  /** CROSS-SOURCE duplication matrix — the dedup GOVERNANCE report:
+    * for every (source_a, source_b) pair, how many verified near-dup
+    * pairs straddle the two sources and how similar they are. This is
+    * the table that tells a corpus owner which feeds copy from each
+    * other (a crawl mirroring a curated set, two crawls overlapping),
+    * i.e. where dedup budget and licensing attention go — per-pair
+    * evidence the aggregate [[dedupReport]] can't show. Source labels
+    * are ordered lexicographically within a pair so (a, b) and (b, a)
+    * accumulate into one cell; same-source duplication shows on the
+    * diagonal. Scale shape: one broadcast-able join of the
+    * bucket-bounded pair table against the corpus's (id, source)
+    * projection, then a cells-bounded aggregate — the corpus never
+    * shuffles more than that projection. `pairs` is
+    * [[minhashNeardupPairs]]-shaped (doc_a, doc_b, jaccard). Output:
+    * (source_a ≤ source_b, n_pairs, avg_jaccard — decimal-averaged,
+    * cross-engine exact). */
+  def crossSourceDupMatrix(corpus: DataFrame, idCol: String,
+      sourceCol: String, pairs: DataFrame): DataFrame = {
+    val src = corpus.select(col(idCol).as("__id"),
+      col(sourceCol).cast(StringType).as("__src"))
+    pairs
+      .join(src.as("sa"), col("doc_a") === col("sa.__id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.__id"))
+      .select(
+        least(col("sa.__src"), col("sb.__src")).as("source_a"),
+        greatest(col("sa.__src"), col("sb.__src")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.QueryDef.davg(col("jaccard")).as("avg_jaccard"))
+  }
+
   /** Composition report over the FULL dedup ladder — what each layer
     * removes and how the layers overlap, the audit a production
     * pipeline publishes alongside a curated corpus (and the question
@@ -2223,6 +2255,29 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         SELECT d.doc_id, COALESCE(p.neardup_in_ref, FALSE) AS neardup_in_ref
         FROM documents d LEFT JOIN probe p ON p.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
+
+    // ---- p131: cross-source duplication matrix over the p02 verified
+    // pairs — the governance report (which sources copy from each
+    // other). The oracle reuses the full NeardupPairsSql chain and
+    // replays the ordered-pair cells and the decimal-exact mean.
+    QueryDef(
+      "p131_cross_source_dup_matrix",
+      (s, d) => crossSourceDupMatrix(T.documents(s, d), "doc_id",
+        "source", neardupPairs(s, d))
+        .orderBy(col("source_a"), col("source_b")),
+      Some(s"""
+        WITH $NeardupPairsSql,
+        cells AS (
+          SELECT LEAST(da.source, db.source) AS source_a,
+                 GREATEST(da.source, db.source) AS source_b,
+                 v.jaccard
+          FROM verified v
+          JOIN documents da ON da.doc_id = v.doc_a
+          JOIN documents db ON db.doc_id = v.doc_b)
+        SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ${graft.QueryDef.davgSql("jaccard")} AS avg_jaccard
+        FROM cells GROUP BY source_a, source_b
+        ORDER BY source_a, source_b""")),
 
     // ---- p03: SimHash fingerprints — 48-bit weighted-bit-vote hash,
     // fully map-side (one codegen'd pass per doc, see simhashFp). The
