@@ -266,6 +266,176 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------- perceptual hash
+
+  /** 64-bit average-hash of a decoded image, carried as four 16-bit
+    * bands so the near-dup join and the cross-engine compare never
+    * touch the sign bit of a packed BIGINT. bit index = by·8+bx,
+    * band k = bits [16k, 16k+16). */
+  final case class ImagePHash(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Deterministic patterned PNG for a document — the near-dup image
+    * fixture (m06/m07). Unlike [[renderPng]]'s solid fill (whose aHash
+    * degenerates to one sentinel bit), the gray gradient
+    * v(x,y) = (x·a + y·b + c + δ) mod 256 gives every image a
+    * distinctive 64-bit hash. Pattern parameters derive from the
+    * FAMILY fam = doc_id / 4 (so 4 consecutive docs share geometry and
+    * gradient) and only the brightness offset δ = doc_id mod 4 varies
+    * within a family — the within-family hashes differ in exactly the
+    * blocks where the mod-256 wraparound moves, i.e. REAL near
+    * duplicates with small hamming distance, which is what m07 mines. */
+  private[graft] def renderPatternPng(docId: Long): Array[Byte] = {
+    val fam = docId / 4
+    val w = 8 + (fam % 13).toInt
+    val h = 8 + (fam % 7).toInt
+    val a = (fam % 5).toInt + 1
+    val b = (fam % 3).toInt + 1
+    val e = (fam % 11).toInt + 1
+    val c = (fam % 256).toInt
+    val delta = (docId % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // the x·y·e cross-term keys the pattern to the family: without
+        // it the aHash is invariant to the constant c (same-gradient
+        // families collide at hamming 0 and the pair set degenerates
+        // to a fixture artifact, 37k pairs over 500 docs); with it the
+        // (a, b, e, w, h) class period is lcm(5,3,11,13,7) = 15015
+        // families — every family distinct up to 60k docs
+        val v = (x * a + y * b + x * y * e + c + delta) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Documents → patterned real-PNG MediaRecords (the m06/m07 ingest). */
+  def imageRecordsPatterned(spark: SparkSession, sfDir: String)
+      : Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long]
+      .mapPartitions { it =>
+        imageIoInit()
+        it.map(id => MediaRecord(id, "image/png", renderPatternPng(id)))
+      }
+  }
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels — the
+    * classic image near-dup fingerprint (same family as pHash/dHash;
+    * e.g. the photo-dedup passes in LAION-style image-corpus
+    * curation): partition the raster into an 8×8 block grid, set bit
+    * (by·8+bx) iff the block's mean brightness exceeds the image mean.
+    * Resize-invariant by construction (blocks, not pixels) and robust
+    * to small brightness edits — the properties that make hamming
+    * distance on the 64 bits a near-duplicate metric.
+    *
+    * Exactness contract: "mean exceeds mean" is evaluated in pure
+    * integer arithmetic — blockSum·nTotal > totalSum·nBlock over
+    * gray = r+g+b sums — so the hash is bit-identical across engines
+    * and platforms (no float downscale, no rounding mode). Images
+    * smaller than 8×8 are rejected loudly (an empty block would make
+    * the grid partial). Scale: embarrassingly parallel map over the
+    * payloads, no shuffle; the hash is 8 bytes/image no matter the
+    * resolution, so 100 TB of pixels reduce to GB-scale hash tables. */
+  def imagePerceptualHash(records: Dataset[MediaRecord]): Dataset[ImagePHash] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      imageIoInit()
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes(r)))
+        require(img != null,
+          s"doc_id=${r.doc_id}: payload (${bytes(r).length} bytes, " +
+            s"mime=${r.mime}) is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        require(w >= 8 && h >= 8,
+          s"doc_id=${r.doc_id}: aHash needs >= 8x8 pixels, got ${w}x$h")
+        val bSum = new Array[Long](64)
+        val bN = new Array[Long](64)
+        var tot = 0L
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            val blk = by * 8 + x * 8 / w
+            bSum(blk) += gray; bN(blk) += 1; tot += gray
+            x += 1
+          }
+          y += 1
+        }
+        val nTot = w.toLong * h
+        val bands = new Array[Int](4)
+        var blk = 0
+        while (blk < 64) {
+          if (bSum(blk) * nTot > tot * bN(blk))
+            bands(blk / 16) |= 1 << (blk % 16)
+          blk += 1
+        }
+        ImagePHash(r.doc_id, w, h, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs by banded hamming LSH over
+    * [[imagePerceptualHash]] bands: pairs sharing at least one 16-bit
+    * band become candidates (by pigeonhole this catches EVERY pair at
+    * hamming ≤ 3 — four bands, three differing bits — so `tau` ≤ 3 is
+    * exact, not approximate), then the full 64-bit hamming distance
+    * filters candidates to `tau`. The 100 TB shape is the MinHash-LSH
+    * contract exactly: one (band, value) shuffle, buckets past
+    * [[PipelineCore.LshBucketCap]]-style `bucketCap` dropped loudly
+    * (a degenerate constant-image flood would otherwise go quadratic),
+    * pair work bounded by bucket collisions — never all-pairs over the
+    * corpus. Output: (doc_a, doc_b, hamming). */
+  def imageNeardupPairs(hashes: Dataset[ImagePHash], tau: Int = 3,
+      bucketCap: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(tau >= 0 && tau <= 3,
+      s"tau must be in [0, 3] (one shared 16-bit band is guaranteed " +
+        s"only up to hamming 3), got $tau")
+    val df = hashes.toDF()
+    val bucketed = df.select(col("doc_id"), explode(array(
+      (0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"b$k").as("v"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.v"))
+    val cand = bucketed
+      .groupBy(col("band"), col("v"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= bucketCap)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val l = df.select(col("doc_id").as("doc_a"),
+      col("b0").as("l0"), col("b1").as("l1"),
+      col("b2").as("l2"), col("b3").as("l3"))
+    val r = df.select(col("doc_id").as("doc_b"),
+      col("b0").as("r0"), col("b1").as("r1"),
+      col("b2").as("r2"), col("b3").as("r3"))
+    def pc(k: Int): org.apache.spark.sql.Column =
+      call_function("bit_count",
+        col(s"l$k").bitwiseXOR(col(s"r$k")))
+    cand.join(l, Seq("doc_a")).join(r, Seq("doc_b"))
+      .withColumn("hamming", (pc(0) + pc(1) + pc(2) + pc(3)).cast("int"))
+      .filter(col("hamming") <= tau)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   // ----------------------------------------------------------------- audio
 
   /** Real decoded-audio statistics: container metadata plus exact

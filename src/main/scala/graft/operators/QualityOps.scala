@@ -943,6 +943,83 @@ private[operators] trait QualityOps { self: Pipeline.type =>
         .orderBy(col(scoreCol).asc, col(idCol).asc)))
   }
 
+  /** Encoding-corruption (mojibake) detection + conservative repair —
+    * the ftfy-style cleanup every web-crawl pipeline runs before
+    * quality scoring (UTF-8 bytes mis-decoded as Latin-1/Windows-1252
+    * litter CommonCrawl with 'Ã©'-for-'é' and 'â€œ'-for-'“'). Three
+    * per-document integer signals, each a length-difference count
+    * (map-side, zero shuffle, identical arithmetic in DuckDB):
+    *
+    *   - `n_latin1` — occurrences of 'Ã' or 'Â', the two Latin-1
+    *     renderings of UTF-8 lead bytes 0xC3/0xC2 that cover the whole
+    *     Latin-1-supplement double-encode family;
+    *   - `n_win1252` — occurrences of 'â€', the Latin-1 rendering of
+    *     UTF-8 0xE2 0x80 (curly quotes / dashes / ellipsis);
+    *   - `n_replacement` — U+FFFD replacement characters, i.e. bytes a
+    *     lenient upstream decoder already destroyed.
+    *
+    * Repair is the byte round-trip `decode(encode(text, ISO-8859-1),
+    * UTF-8)` — exactly inverts the Latin-1 mis-decode — applied only
+    * when it is provably safe: the Latin-1 signal fired, the
+    * Windows-1252 signal did NOT (its '€'/'“' characters are outside
+    * Latin-1, so the round-trip would mangle them to '?'), no U+FFFD
+    * (information already lost — nothing to invert), and the text's
+    * Latin-1 byte image is STRUCTURALLY well-formed UTF-8 per the
+    * RFC 3629 table ([[Utf8AsLatin1Re]] — every char ≤ U+00FF and the
+    * lead/continuation ranges line up, surrogate and overlong ranges
+    * excluded). The structural check must come first: Spark 4's ANSI
+    * `decode` THROWS on malformed input rather than inserting U+FFFD,
+    * so "try and inspect" is not an option — the guard proves the
+    * decode total before it runs. Everything else keeps the original
+    * text with the signals attached, for the caller's filter
+    * threshold. Output: (doc_id, n_chars, n_latin1, n_win1252,
+    * n_replacement, mojibake_ratio, fixed, text_fixed). */
+  def mojibakeSignals(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col("__t")
+    def occurrences(pat: String): Column =
+      ((length(t) - length(replace(t, lit(pat), lit(""))))
+        / lit(pat.length)).cast(LongType)
+    val candidate = decode(encode(t, "ISO-8859-1"), "UTF-8")
+    corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("n_chars", length(t).cast(LongType))
+      .withColumn("n_latin1", occurrences("Ã") + occurrences("Â"))
+      .withColumn("n_win1252", occurrences("â€"))
+      .withColumn("n_replacement", occurrences("�"))
+      .withColumn("mojibake_ratio",
+        when(col("n_chars") > 0,
+          (col("n_latin1") + col("n_win1252") + col("n_replacement"))
+            .cast(DoubleType) / col("n_chars"))
+          .otherwise(lit(0.0)))
+      .withColumn("__cand",
+        when(col("n_latin1") > 0 && col("n_win1252") === 0 &&
+          col("n_replacement") === 0 && t.rlike(Utf8AsLatin1Re), candidate))
+      .withColumn("fixed",
+        col("__cand").isNotNull && length(col("__cand")) < length(t))
+      .withColumn("text_fixed", when(col("fixed"), col("__cand")).otherwise(t))
+      .drop("__cand")
+      .withColumnRenamed("__t", "text")
+  }
+
+  /** RFC 3629 well-formed-UTF-8, expressed over a string whose chars
+    * ARE the bytes (the Latin-1 mis-decode view): ASCII, or a C2–DF
+    * lead + one continuation, or the three-byte forms with the E0
+    * overlong and ED surrogate ranges carved out, or the four-byte
+    * forms clamped to U+10FFFF. A match proves `decode(encode(s,
+    * ISO-8859-1), UTF-8)` cannot throw. */
+  private val Utf8AsLatin1Re: String =
+    "^(?:[\\u0000-\\u007F]" +
+      "|[\\u00C2-\\u00DF][\\u0080-\\u00BF]" +
+      "|\\u00E0[\\u00A0-\\u00BF][\\u0080-\\u00BF]" +
+      "|[\\u00E1-\\u00EC][\\u0080-\\u00BF]{2}" +
+      "|\\u00ED[\\u0080-\\u009F][\\u0080-\\u00BF]" +
+      "|[\\u00EE-\\u00EF][\\u0080-\\u00BF]{2}" +
+      "|\\u00F0[\\u0090-\\u00BF][\\u0080-\\u00BF]{2}" +
+      "|[\\u00F1-\\u00F3][\\u0080-\\u00BF]{3}" +
+      "|\\u00F4[\\u0080-\\u008F][\\u0080-\\u00BF]{2})*$"
+
   private[operators] lazy val qualityQueries: Seq[QueryDef] = Seq(
     // ---- p125: per-source score calibration — percent-rank of a raw
     // score within each source. The gate calibrates n_chars (a real
@@ -1850,5 +1927,66 @@ private[operators] trait QualityOps { self: Pipeline.type =>
                  AS flesch
         FROM counts ORDER BY doc_id""")),
 
+    // ---- p133: mojibake detection + repair — [[mojibakeSignals]] over
+    // a corpus with SYNTHESIZED encoding damage (the p113 twin trick:
+    // the clean ASCII fixture can't exercise the detector, so the gate
+    // plants the damage deterministically and the oracle plants the
+    // identical damage). Docs ≡0 mod 5 get the Latin-1 double-encode
+    // ('a' → 'Ã¡', the mis-decoded UTF-8 of 'á'); docs ≡0 mod 7 get
+    // U+FFFD scars ('e' → chr(65533)). The oracle recomputes the
+    // length-difference counts and — where the operator's guards admit
+    // repair — the byte round-trip's closed form on this fixture
+    // (every 'Ã' here is 'Ã¡', whose round-trip is exactly 'á'), so a
+    // repair that fires on the wrong rows, skips the FFFD guard, or
+    // mangles a byte hash-mismatches.
+    QueryDef(
+      "p133_mojibake",
+      (s, d) => {
+        val base = T.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              replace(col("text"), lit("a"), lit("Ã¡")))
+              .otherwise(col("text")).as("t1"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              replace(col("t1"), lit("e"), lit("�")))
+              .otherwise(col("t1")).as("text"))
+        mojibakeSignals(base, "doc_id", "text")
+          .select(col("doc_id"), col("n_chars"), col("n_latin1"),
+            col("n_win1252"), col("n_replacement"), col("mojibake_ratio"),
+            col("fixed"), col("text_fixed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN replace(t1, 'e', chr(65533))
+                      ELSE t1 END AS text
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN replace(text, 'a', 'Ã¡')
+                            ELSE text END AS t1
+                FROM documents WHERE text IS NOT NULL)),
+        sig AS (
+          SELECT doc_id, text,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(length(text) - length(replace(text, 'Ã', ''))
+                      AS BIGINT)
+                 + CAST(length(text) - length(replace(text, 'Â', ''))
+                      AS BIGINT) AS n_latin1,
+                 CAST((length(text) - length(replace(text, 'â€', ''))) / 2
+                      AS BIGINT) AS n_win1252,
+                 CAST(length(text) - length(replace(text, chr(65533), ''))
+                      AS BIGINT) AS n_replacement
+          FROM planted)
+        SELECT doc_id, n_chars, n_latin1, n_win1252, n_replacement,
+               CASE WHEN n_chars > 0
+                    THEN CAST(n_latin1 + n_win1252 + n_replacement AS DOUBLE)
+                         / n_chars
+                    ELSE 0.0 END AS mojibake_ratio,
+               (n_latin1 > 0 AND n_win1252 = 0 AND n_replacement = 0)
+                 AS fixed,
+               CASE WHEN n_latin1 > 0 AND n_win1252 = 0 AND n_replacement = 0
+                    THEN replace(text, 'Ã¡', 'á') ELSE text END AS text_fixed
+        FROM sig ORDER BY doc_id"""))
   )
 }

@@ -620,6 +620,68 @@ private[operators] trait QuantOps { self: Pipeline.type =>
         col("d2"), col("n_members"))
   }
 
+  /** Simplified-silhouette clustering quality report — the standard
+    * O(n·k) surrogate for the O(n²) silhouette (Hruschka et al. 2004;
+    * scikit-learn calls the full version `silhouette_score`): per
+    * point, a = distance to its OWN centroid and b = distance to the
+    * nearest OTHER centroid, s = (b − a) / max(a, b). Because the
+    * assignment IS the argmin, b is simply the second-smallest
+    * centroid distance, so one broadcast fold per row tracks (best,
+    * best cluster, second-best) — the [[kmeansAssign]] fold with one
+    * extra slot, zero extra passes, zero shuffle beyond the final
+    * k-row groupBy. That is what makes the metric usable for k sweeps
+    * at 100 TB where true silhouette's all-pairs is off the table.
+    *
+    * Cross-engine determinism: sqrt and the (b−a)/b division are
+    * correctly-rounded IEEE ops; the per-point score is quantized to
+    * an exact integer (round(s·1e7)) BEFORE the cluster mean, so the
+    * sum is order-free and the mean is one integer/integer double
+    * division — the same stance as the centroid update. Ties in the
+    * two-min fold resolve exactly like `ROW_NUMBER() OVER (ORDER BY
+    * d2, cl)` ranks 1 and 2 (strict < keeps the earlier centroid).
+    * Output: (cluster, n_members, sum_sil_q7, mean_sil_q7), one row
+    * per cluster. */
+  def silhouetteReport(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int = 2,
+      seeding: String = "min-id"): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2 (b = nearest OTHER centroid), got $k")
+    val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val cents = kmeansFit(corpus, idCol, vecCol, k, dim, iters, seeding)
+    val cArr = cents
+      .agg(sort_array(collect_list(struct(col("cl"), col("ce")))).as("cs"))
+      .select(when(size(col("cs")) > 0, col("cs"))
+        .otherwise(raise_error(lit(
+          "silhouetteReport: empty centroid table")))
+        .as("cs"))
+    val mins = e.crossJoin(broadcast(cArr))
+      .withColumn("m", aggregate(col("cs"),
+        struct(lit(Double.MaxValue).as("d1"), lit(-1).as("cl"),
+          lit(Double.MaxValue).as("db")),
+        (acc, c) => {
+          val d = call_function("float_dist_sq", col("embedding"),
+            c.getField("ce"))
+          when(d < acc.getField("d1"),
+            struct(d.as("d1"), c.getField("cl").as("cl"),
+              acc.getField("d1").as("db")))
+            .when(d < acc.getField("db"),
+              struct(acc.getField("d1").as("d1"), acc.getField("cl").as("cl"),
+                d.as("db")))
+            .otherwise(acc)
+        }))
+      .select(col("m.cl").as("cl"),
+        sqrt(col("m.d1")).as("a"), sqrt(col("m.db")).as("b"))
+    mins
+      .withColumn("sq",
+        round(when(col("b") > 0.0, (col("b") - col("a")) / col("b"))
+          .otherwise(lit(0.0)) * IntScale.toDouble).cast(LongType))
+      .groupBy(col("cl"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("sq")).as("sum_sil_q7"))
+      .select(col("cl").as("cluster"), col("n_members"), col("sum_sil_q7"),
+        (col("sum_sil_q7").cast(DoubleType) / col("n_members"))
+          .as("mean_sil_q7"))
+  }
+
   /** Default within-cluster pair-work bound for [[semDedup]]: clusters
     * past this size are salted into sub-blocks (see the semDedup doc).
     * 100k members ≈ 5·10⁹ cosine pairs per worst-case block — hours of
@@ -2352,6 +2414,54 @@ private[operators] trait QuantOps { self: Pipeline.type =>
            |SELECT vec_id, cl AS cluster, d2,
            |       COUNT(*) OVER (PARTITION BY cl) AS n_members
            |FROM a3 ORDER BY vec_id""".stripMargin
+      }),
+
+    // ---- p132: simplified-silhouette clustering quality —
+    // [[silhouetteReport]] over the p21 fit (k = 4, 2 Lloyd's
+    // iterations, min-id seeds). The oracle replays the identical
+    // centroid chain (c0→c2), then derives a and b as ranks 1 and 2 of
+    // the per-point centroid-distance ordering (d2 ASC, cl ASC) — the
+    // exact tie semantics of the Spark side's strict-< two-min fold —
+    // and aggregates the round(s·1e7) integer scores. Gates the b =
+    // second-minimum extraction, the sqrt/division arithmetic, and the
+    // order-free quantized mean in one shot.
+    QueryDef(
+      "p132_silhouette",
+      (s, d) =>
+        silhouetteReport(T.embeddings(s, d), "vec_id", "embedding",
+          k = 4, dim = 64, iters = 2)
+          .orderBy(col("cluster")),
+      Some {
+        val K = 4; val Dim = 64
+        s"""WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+           |c0 AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+           |         list_transform(emb, x -> CAST(x AS DOUBLE)) AS ce
+           |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $K),
+           |${kmAssignSql("a1", "c0", Dim)},
+           |${kmUpdateSql("u1", "c1", "a1", Dim)},
+           |${kmAssignSql("a2", "c1", Dim)},
+           |${kmUpdateSql("u2", "c2", "a2", Dim)},
+           |dists AS (
+           |  SELECT s.vec_id, c.cl, ${kmD2Sql(Dim, "s.emb", "c.ce")} AS d2
+           |  FROM e s CROSS JOIN c2 c),
+           |ranked AS (
+           |  SELECT vec_id, cl, d2,
+           |         ROW_NUMBER() OVER (PARTITION BY vec_id
+           |           ORDER BY d2 ASC, cl ASC) AS rn
+           |  FROM dists),
+           |ab AS (
+           |  SELECT r1.vec_id, r1.cl, sqrt(r1.d2) AS a, sqrt(r2.d2) AS b
+           |  FROM ranked r1 JOIN ranked r2 ON r1.vec_id = r2.vec_id
+           |  WHERE r1.rn = 1 AND r2.rn = 2),
+           |q AS (
+           |  SELECT cl, CAST(ROUND((CASE WHEN b > 0 THEN (b - a) / b
+           |                              ELSE 0 END) * 10000000.0) AS BIGINT) AS sq
+           |  FROM ab)
+           |SELECT CAST(cl AS INT) AS cluster, COUNT(*) AS n_members,
+           |       CAST(SUM(sq) AS BIGINT) AS sum_sil_q7,
+           |       CAST(CAST(SUM(sq) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_sil_q7
+           |FROM q GROUP BY cl ORDER BY cluster""".stripMargin
       })
   )
 }

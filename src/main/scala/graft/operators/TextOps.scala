@@ -15,6 +15,42 @@ import org.apache.spark.sql.types._
   * caller, gate, or oracle changed. */
 private[operators] trait TextOps { self: Pipeline.type =>
 
+  /** Shared m06/m07 oracle prefix: regenerates the patterned-PNG
+    * pixels from [[Multimodal.renderPatternPng]]'s closed form and
+    * replays the integer aHash block grid — ends at CTE `bands`
+    * (doc_id, w, h, band, val); consumers append either the band
+    * pivot (m06) or the pair mining (m07). */
+  private val ImagePHashOracleSql: String = """
+        WITH spec AS (
+          SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS delta
+          FROM documents),
+        par AS (
+          SELECT doc_id, 8 + fam % 13 AS w, 8 + fam % 7 AS h,
+                 fam % 5 + 1 AS a, fam % 3 + 1 AS b, fam % 11 + 1 AS e,
+                 fam % 256 AS c, delta
+          FROM spec),
+        px AS (
+          SELECT doc_id, w, h,
+                 ((y * 8) // h) * 8 + ((x * 8) // w) AS blk,
+                 3 * ((x * a + y * b + x * y * e + c + delta) % 256) AS gray
+          FROM par, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
+        bs AS (
+          SELECT doc_id, w, h, blk, SUM(gray) AS bsum, COUNT(*) AS bn
+          FROM px GROUP BY doc_id, w, h, blk),
+        tot AS (
+          SELECT doc_id, SUM(bsum) AS tsum, SUM(bn) AS tn
+          FROM bs GROUP BY doc_id),
+        bits AS (
+          SELECT b.doc_id, b.w, b.h, b.blk,
+                 CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END
+                   AS bit
+          FROM bs b JOIN tot t USING (doc_id)),
+        bands AS (
+          SELECT doc_id, w, h, blk // 16 AS band,
+                 SUM(bit * (1 << (blk % 16))) AS val
+          FROM bits GROUP BY doc_id, w, h, blk // 16)
+  """
+
   /** Per-row token counts over ANY corpus — the p11 tokenizers as a
     * reusable operator: whitespace tokens and the BPE-ish regex
     * (letter runs | digit runs | single symbol). Map-side, caller
@@ -1560,6 +1596,67 @@ private[operators] trait TextOps { self: Pipeline.type =>
                CAST(SUM(dev) AS BIGINT) AS sum_dev,
                CAST(SUM(dev * dev) AS BIGINT) AS sum_sq_dev
         FROM s GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- m06: perceptual average-hash over REAL decoded pixels — per
+    // document a patterned PNG (gray gradient (x·a + y·b + c + δ) mod
+    // 256, parameters from the doc's 4-member family) is ENCODED by
+    // the JDK, DECODED back, and aHashed in pure integer arithmetic
+    // (bit = blockSum·nTotal > totalSum·nBlock over gray = r+g+b).
+    // The oracle regenerates every pixel from the closed form and
+    // replays the block grid and threshold integer-for-integer, so a
+    // decode defect OR any hash-arithmetic drift flips bits and
+    // hash-mismatches. Hash carried as four 16-bit bands (b0..b3) —
+    // the same columns m07's LSH buckets on.
+    QueryDef(
+      "m06_image_phash",
+      (s, d) =>
+        Multimodal.imagePerceptualHash(Multimodal.imageRecordsPatterned(s, d))
+          .toDF()
+          .orderBy(col("doc_id")),
+      Some(ImagePHashOracleSql + """
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
+               CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
+               CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
+               CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
+        FROM bands GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
+    // ---- m07: image near-duplicate pairs — banded hamming LSH over
+    // the m06 hashes (share-one-16-bit-band candidates, exact for
+    // hamming ≤ 3 by pigeonhole, then the full 64-bit hamming filter).
+    // The fixture's δ-perturbed families ARE the planted near-dups:
+    // within a family only the mod-256 wraparound pixels move, so
+    // sibling hashes sit a few bits apart; across families the
+    // gradients differ and the hamming filter kills the accidental
+    // band collisions. The oracle mines pairs from ITS OWN replayed
+    // hashes with the OR-of-bands join + xor/bit_count — candidate
+    // generation differs (LSH shuffle vs OR join), the PAIR SET must
+    // not.
+    QueryDef(
+      "m07_image_neardup",
+      (s, d) =>
+        Multimodal.imageNeardupPairs(
+          Multimodal.imagePerceptualHash(Multimodal.imageRecordsPatterned(s, d)),
+          tau = 3)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(ImagePHashOracleSql + """,
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
+                 CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
+                 CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
+                 CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
+          FROM bands GROUP BY doc_id, w, h)
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
+                  + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3))
+                  AS INT) AS hamming
+        FROM hashes l JOIN hashes r
+          ON l.doc_id < r.doc_id
+         AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+        WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
+            + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 3
+        ORDER BY doc_a, doc_b""")),
 
 
     // ---- p79: unigram-LM Viterbi segmentation — [[unigramSegment]]

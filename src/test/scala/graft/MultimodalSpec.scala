@@ -192,4 +192,97 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("doc_id=9") ||
       Option(e.getCause).exists(_.getMessage.contains("doc_id=9")))
   }
+
+  test("aHash: solid fill + sentinel → exactly the sentinel-block bit; " +
+    "all-equal image → zero hash; sub-8x8 rejected") {
+    import spark.implicits._
+    // renderPng is solid g with a white (0,0) sentinel: every block's
+    // mean equals the image mean EXCEPT block 0 (raised by the
+    // sentinel), and strict > keeps the equal blocks at 0 — so the
+    // hash is exactly bit 0 of band 0
+    val solid = Seq(MediaRecord(7L, "image/png", Multimodal.renderPng(7L))).toDS()
+    val hs = Multimodal.imagePerceptualHash(solid).collect().head
+    assert((hs.b0, hs.b1, hs.b2, hs.b3) == (1, 0, 0, 0))
+    // g = 255 makes the sentinel invisible: a truly constant image has
+    // no block above the mean — the all-zero hash
+    val const = Seq(MediaRecord(255L, "image/png",
+      Multimodal.renderPng(255L))).toDS()
+    val hc = Multimodal.imagePerceptualHash(const).collect().head
+    assert((hc.b0, hc.b1, hc.b2, hc.b3) == (0, 0, 0, 0))
+    // smaller than the 8×8 block grid → loud failure, not a partial hash
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val tiny = Seq(MediaRecord(3L, "image/png", bos.toByteArray)).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.imagePerceptualHash(tiny).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("doc_id=3") && m.contains("8x8")))
+  }
+
+  test("aHash: exact-resize invariance — 2x nearest-neighbor upscale " +
+    "keeps every bit (the property that makes it perceptual)") {
+    import spark.implicits._
+    def png(w: Int, h: Int, scale: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w * scale, h * scale,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h * scale; x <- 0 until w * scale) {
+        val v = ((x / scale) * 7 + (y / scale) * 13 + (x / scale) * (y / scale)) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // grid-aligned dimensions (multiples of 8): floor((s·x+d)·8/(s·w))
+    // = floor(x·8/w) exactly, so each upscaled pixel group lands whole
+    // in its source pixel's block — every block comparison, hence
+    // every bit, is unchanged. (Non-aligned sizes redistribute the
+    // boundary pixels and the hash may drift a bit or two — which is
+    // hamming-near, the metric's whole point.)
+    val ds = Seq(
+      MediaRecord(1L, "image/png", png(16, 8, 1)),
+      MediaRecord(2L, "image/png", png(16, 8, 2)),
+      MediaRecord(3L, "image/png", png(16, 8, 3))).toDS()
+    val out = Multimodal.imagePerceptualHash(ds).collect()
+      .map(p => p.doc_id -> p).toMap
+    assert((out(1L).b0, out(1L).b1, out(1L).b2, out(1L).b3) ==
+      (out(3L).b0, out(3L).b1, out(3L).b2, out(3L).b3))
+    assert((out(1L).b0, out(1L).b1, out(1L).b2, out(1L).b3) ==
+      (out(2L).b0, out(2L).b1, out(2L).b2, out(2L).b3))
+    assert(Seq(out(1L).b0, out(1L).b1, out(1L).b2, out(1L).b3)
+      .exists(_ != 0)) // and the pattern is not degenerate
+  }
+
+  test("imageNeardupPairs: banded candidates + hamming filter; " +
+    "bucketCap drops floods; tau bounds enforced") {
+    import spark.implicits._
+    import Multimodal.ImagePHash
+    // planted geometry: 1-2 at hamming 1 (b0 differs by one bit),
+    // 3 differs from 1 in one bit PER band (hamming 4: candidate via
+    // no shared band? — it shares none, correctly unreachable),
+    // 4 shares band values with nobody
+    val hs = Seq(
+      ImagePHash(1L, 16, 16, 0x00ff, 0x0f0f, 0x3333, 0x5555),
+      ImagePHash(2L, 16, 16, 0x00fe, 0x0f0f, 0x3333, 0x5555),
+      ImagePHash(3L, 16, 16, 0x00fd, 0x0f0e, 0x3332, 0x5554),
+      ImagePHash(4L, 16, 16, 0x1111, 0x2222, 0x4444, 0x0101)).toDS()
+    val pairs = Multimodal.imageNeardupPairs(hs, tau = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    // (1,2) at hamming 1; (2,3) shares NO band (b0 fe vs fd, others
+    // differ) → not a candidate even at hamming 5; (1,3) ditto
+    assert(pairs.toSeq == Seq((1L, 2L, 1)))
+    // a flood of identical hashes past bucketCap is dropped, not
+    // exploded into cap² pairs
+    val flood = (1L to 5L).map(i =>
+      ImagePHash(i, 8, 8, 7, 7, 7, 7)).toDS()
+    assert(Multimodal.imageNeardupPairs(flood, tau = 0, bucketCap = 4)
+      .count() == 0)
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.imageNeardupPairs(hs, tau = 4)
+    }.getMessage.contains("tau"))
+  }
 }

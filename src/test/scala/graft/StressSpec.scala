@@ -295,6 +295,29 @@ class StressSpec extends AnyFunSuite {
         "doc_id", "text", jaccardMin = 0.8)
     }
 
+    // m06+m07: REAL image decode + perceptual-hash near-dup at 50k
+    // images — the JDK codec path and the banded hamming LSH at 10×.
+    // Families of 4 δ-perturbed siblings ⇒ ≥ 3 of the 6 within-family
+    // pairs typically survive hamming ≤ 3; the floor asserts the LSH
+    // keeps finding them at scale, the budget that decode+hash stays
+    // linear (8 bytes of hash per image regardless of pixels)
+    drive("imagePHashNeardup", budgetSec = 600, minRows = 10000L) {
+      import spark.implicits._
+      val recs = spark.range(0, NDocs, 1, 32)
+        .as[Long]
+        .mapPartitions(_.map(id => operators.Multimodal.MediaRecord(
+          id, "image/png", operators.Multimodal.renderPatternPng(id))))
+      operators.Multimodal.imageNeardupPairs(
+        operators.Multimodal.imagePerceptualHash(recs), tau = 3)
+    }
+
+    // p132: simplified silhouette at 10× — the O(n·k) fold must stay
+    // one zero-shuffle pass + a k-row groupBy at 20k×64×32 clusters
+    drive("silhouetteReport", budgetSec = 300, minRows = 32L) {
+      operators.Pipeline.silhouetteReport(vecs, "vec_id", "embedding",
+        k = 32, dim = 64, iters = 2)
+    }
+
     // p75: the dedup-ladder report — exact + near (the p02 component
     // graph) + substring layers audited in one aggregation pass
     drive("dedupLadderReport", budgetSec = 600) {

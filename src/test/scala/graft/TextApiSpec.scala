@@ -3846,4 +3846,69 @@ class TextApiSpec extends AnyFunSuite {
         "post_key", "body", jaccardMin = 0.0)
     }.getMessage.contains("jaccardMin"))
   }
+
+  test("mojibakeSignals: detects the double-encode family, repairs only " +
+    "when provably safe; alien columns") {
+    import spark.implicits._
+    val docs = Seq(
+      // classic Latin-1 double-encode of "café déjà vu" — repairable.
+      // 'à' (C3 A0) mis-decodes to 'Ã' + NBSP, hence the  : a
+      // plain space there would be C3 20 — invalid UTF-8, unrepairable
+      (1L, "cafÃ© dÃ©jÃ  vu"),
+      // clean ASCII — untouched, zero signals
+      (2L, "plain ascii text"),
+      // Windows-1252 curly-quote damage ('â€œ') — detected, NOT
+      // repaired (the round-trip would mangle '€' to '?')
+      (3L, "he said â€œhelloâ€ there"),
+      // U+FFFD scar — information already destroyed, no repair
+      (4L, "br�ken text"),
+      // lone 'Ã' whose round-trip is invalid UTF-8 (0xC3 then space):
+      // the candidate-validity guard must keep the original
+      (5L, "stray Ã marker"),
+      // clean non-ASCII that LOOKS repaired already — zero signals
+      (6L, "café déjà vu")).toDF("post_key", "body")
+    val out = Pipeline.mojibakeSignals(docs, "post_key", "body")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_latin1"),
+        r.getAs[Long]("n_win1252"), r.getAs[Long]("n_replacement"),
+        r.getAs[Boolean]("fixed"), r.getAs[String]("text_fixed")))
+    assert(out(0) == (1L, 3L, 0L, 0L, true, "café déjà vu"))
+    assert(out(1) == (2L, 0L, 0L, 0L, false, "plain ascii text"))
+    assert(out(2)._1 == 3L && out(2)._3 == 2L && !out(2)._5 &&
+      out(2)._6 == "he said â€œhelloâ€ there")
+    assert(out(3) == (4L, 0L, 0L, 1L, false, "br�ken text"))
+    // the guard: decode(encode('Ã '))  contains U+FFFD → keep original
+    assert(out(4)._1 == 5L && out(4)._2 == 1L && !out(4)._5 &&
+      out(4)._6 == "stray Ã marker")
+    assert(out(5) == (6L, 0L, 0L, 0L, false, "café déjà vu"))
+    // ratio: doc 1 has 15 chars ("cafÃ©" 5 + " " + "dÃ©jÃ<nbsp>" 6 + " vu" 3),
+    // 3 'Ã' markers
+    val ratios = Pipeline.mojibakeSignals(docs, "post_key", "body")
+      .orderBy(col("doc_id")).collect().map(_.getAs[Double]("mojibake_ratio"))
+    assert(math.abs(ratios(0) - 3.0 / 15) < 1e-12)
+    assert(ratios(1) == 0.0)
+  }
+
+  test("silhouetteReport: perfectly separated blobs score 1.0 exactly; " +
+    "k < 2 rejected; alien columns") {
+    import spark.implicits._
+    // two blobs whose members sit EXACTLY on their centroid: a = 0,
+    // b = |centroid gap|, s = 1 for every point — the quantized sum is
+    // n·1e7 with no float slack. min-id seeds: ids 0 (blob A) and 1
+    // (blob B) seed the two clusters.
+    val pts = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(8f, 8f, 8f, 8f)),
+      (2L, Seq(0f, 0f, 0f, 0f)), (3L, Seq(0f, 0f, 0f, 0f)),
+      (4L, Seq(8f, 8f, 8f, 8f)), (5L, Seq(8f, 8f, 8f, 8f)))
+      .toDF("vid", "emb")
+    val rep = Pipeline.silhouetteReport(pts, "vid", "emb", k = 2, dim = 4)
+      .orderBy(col("cluster")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rep.toSeq == Seq(
+      (0, 3L, 3L * 10000000L, 1.0e7),
+      (1, 3L, 3L * 10000000L, 1.0e7)))
+    assert(intercept[IllegalArgumentException] {
+      Pipeline.silhouetteReport(pts, "vid", "emb", k = 1, dim = 4)
+    }.getMessage.contains("k >= 2"))
+  }
 }
