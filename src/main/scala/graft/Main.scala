@@ -1737,6 +1737,189 @@ object Main {
     stats
   }
 
+  /** `graft phash` — the image perceptual-hash dedup family
+    * ([[operators.Multimodal.imagePerceptualHash]] /
+    * `imageNeardupPairs` / `imageNeardupAgainstCorpus` — never a
+    * reimplementation; PhashCliSpec pins CLI ≡ library): hash a
+    * payload corpus, mine within-corpus near-dup pairs, or scrub a
+    * new corpus against a reference collection's hashes. */
+  final case class PhashArgs(
+      input: String = "",
+      outputFile: String = "",
+      idColumn: String = "doc_id",
+      payloadColumn: String = "payload",
+      mode: String = "hash",
+      reference: String = "",
+      tau: Int = 3,
+      bucketCap: Int = 1000,
+      reportFile: Option[String] = None,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      multiFile: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      quiet: Boolean = false)
+
+  private[graft] val PhashHelpText =
+    s"""Image perceptual-hash dedup: aHash-64 over really-decoded pixels,
+       |near-dup pairs by banded hamming LSH, or a cross-corpus scrub
+       |
+       |Usage: graft phash [OPTIONS] --input <DIR> --output-file <FILE>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory: one row per image,
+       |                              an id column + a BINARY payload column
+       |                              (PNG/JPEG/GIF/BMP — whatever javax.imageio decodes)
+       |  -o, --output-file <FILE>    Output parquet
+       |      --id-column <C>         Image id column (default doc_id)
+       |      --payload-column <C>    Binary payload column (default payload)
+       |      --mode <M>              hash (default: id, width, height, b0..b3 —
+       |                              the 64-bit aHash as four 16-bit bands),
+       |                              pairs (within-corpus near-dups:
+       |                              doc_a, doc_b, hamming), scrub (drop inputs
+       |                              near-duplicating --reference; survivors out)
+       |      --reference <DIR>       scrub: reference image corpus (same columns)
+       |      --tau <N>               pairs/scrub: max hamming distance, 0..3
+       |                              (one shared 16-bit band is pigeonhole-exact
+       |                              only up to 3; default 3)
+       |      --bucket-cap <N>        pairs/scrub: drop (band, value) buckets past
+       |                              this size (default 1000)
+       |      --report-file <FILE>    scrub: also write the match pairs
+       |                              (doc_id, ref_id, hamming)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --multi-file            Write one file per task instead of a single file
+       |      --partition-by <C>      Hive-style output partitioning (repeatable)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parsePhashArgs(argv: Seq[String]): PhashArgs = {
+    var a = PhashArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(PhashHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--payload-column" => a = a.copy(payloadColumn = take(flag))
+        case "--mode" =>
+          val m = take(flag)
+          if (!Set("hash", "pairs", "scrub")(m))
+            throw new IllegalArgumentException(
+              s"--mode must be hash, pairs or scrub, got '$m'")
+          a = a.copy(mode = m)
+        case "--reference" | "-r" => a = a.copy(reference = take(flag))
+        case "--tau" =>
+          val t = c.takeInt(flag)
+          if (t < 0 || t > 3) throw new IllegalArgumentException(
+            s"--tau must be in 0..3 (the pigeonhole-exact range), got $t")
+          a = a.copy(tau = t)
+        case "--bucket-cap" =>
+          a = a.copy(bucketCap = parsePosInt(flag, take(flag)))
+        case "--report-file" => a = a.copy(reportFile = Some(take(flag)))
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
+        case "--multi-file" => a = a.copy(multiFile = true)
+        case "--partition-by" =>
+          a = a.copy(partitionBy = a.partitionBy :+ take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see phash --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: phash [OPTIONS] --input DIR --output-file FILE")
+    // mode-specific knobs must not silently no-op (the scrub stance)
+    val d = PhashArgs()
+    if (a.mode == "scrub" && a.reference.isEmpty)
+      throw new IllegalArgumentException("--mode scrub needs --reference")
+    if (a.mode != "scrub" && (a.reference.nonEmpty || a.reportFile.nonEmpty))
+      throw new IllegalArgumentException(
+        "--reference, --report-file only apply to --mode scrub")
+    if (a.mode == "hash" &&
+      (a.tau != d.tau || a.bucketCap != d.bucketCap))
+      throw new IllegalArgumentException(
+        "--tau, --bucket-cap only apply to --mode pairs or scrub")
+    a
+  }
+
+  /** Parquet (id, binary payload) rows → typed MediaRecords for the
+    * Multimodal operators; validates presence AND the binary type
+    * (a base64 string column would otherwise fail row-by-row inside
+    * executors instead of once, loudly, here). */
+  private def readImageRecords(spark: SparkSession, inputFlag: String,
+      input: String, a: PhashArgs)
+      : org.apache.spark.sql.Dataset[operators.Multimodal.MediaRecord] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val df = readDocs(spark, inputFlag, input,
+      Seq("--id-column" -> a.idColumn, "--payload-column" -> a.payloadColumn))
+    val pType = df.schema(a.payloadColumn).dataType
+    if (pType != BinaryType)
+      throw new IllegalArgumentException(
+        s"--payload-column '${a.payloadColumn}' must be BINARY (image " +
+          s"bytes), found $pType")
+    import spark.implicits._
+    df.select(col(a.idColumn).cast(LongType).as("doc_id"),
+      lit("image/*").as("mime"),
+      col(a.payloadColumn).as("payload"))
+      .as[operators.Multimodal.MediaRecord]
+  }
+
+  private[graft] def runPhash(spark: SparkSession,
+      a: PhashArgs): ParquetSink.WriteStats = {
+    import org.apache.spark.sql.functions.col
+    val M = operators.Multimodal
+    val sinkOpts = ParquetSink.SinkOptions(
+      compression = a.compression,
+      compressionLevel = a.compressionLevel,
+      singleFile = !a.multiFile,
+      partitionBy = a.partitionBy,
+      quiet = a.quiet)
+    val hashes = M.imagePerceptualHash(
+      readImageRecords(spark, "--input", a.input, a))
+    val stats = a.mode match {
+      case "hash" =>
+        ParquetSink.write(
+          hashes.toDF().withColumnRenamed("doc_id", a.idColumn),
+          a.outputFile, sinkOpts)
+      case "pairs" =>
+        ParquetSink.write(
+          M.imageNeardupPairs(hashes, a.tau, a.bucketCap),
+          a.outputFile, sinkOpts)
+      case _ =>
+        val refHashes = M.imagePerceptualHash(
+          readImageRecords(spark, "--reference", a.reference, a))
+        val pairs0 = M.imageNeardupAgainstCorpus(hashes, refHashes,
+          a.tau, a.bucketCap)
+        // with a report requested the pair table feeds TWO sinks —
+        // materialize once, release after (the scrub discipline)
+        val pairs = if (a.reportFile.nonEmpty) pairs0.localCheckpoint()
+          else pairs0
+        try {
+          val flagged = pairs.select(col("doc_id").as(a.idColumn)).distinct()
+          val out = ParquetSink.write(
+            spark.read.parquet(a.input)
+              .join(flagged, Seq(a.idColumn), "left_anti"),
+            a.outputFile, sinkOpts)
+          a.reportFile.foreach { rf =>
+            ParquetSink.write(pairs, rf, ParquetSink.SinkOptions(quiet = true))
+          }
+          out
+        } finally if (a.reportFile.nonEmpty)
+          operators.Pipeline.releaseLocalCheckpoint(pairs, blocking = true)
+    }
+    if (!a.quiet)
+      System.err.println(s"phash (${a.mode}): ${stats.rows} rows " +
+        s"at ${a.outputFile}")
+    stats
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -1757,6 +1940,8 @@ object Main {
        |          an exactly-once parquet sink (drains the backlog, exits)
        |  scrub   Removes documents duplicating a REFERENCE corpus (exact/
        |          band admit, verified near-dup, or Bloom-gated)
+       |  phash   Image perceptual hashes (aHash-64 over real decode), near-dup
+       |          pairs by banded hamming LSH, or a cross-corpus image scrub
        |  datacard  Prints doc/token/char totals for a corpus, overall + per stratum
        |  diff    Diffs two corpus snapshots (added / removed / changed per id)
        |
@@ -2274,6 +2459,9 @@ object Main {
       case Some("scrub") =>
         return runSubcommand("scrub", argv.toSeq.tail, parseScrubArgs,
           runScrub, timestampMicros = true)
+      case Some("phash") =>
+        return runSubcommand("phash", argv.toSeq.tail, parsePhashArgs,
+          runPhash, timestampMicros = true)
       case _ =>
     }
     val a =

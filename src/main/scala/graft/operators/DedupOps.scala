@@ -385,6 +385,56 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         >= minContainment)
   }
 
+  /** Blocked record linkage over STRUCTURED entity tables — the
+    * classic blocking-then-verify shape of the Fellegi-Sunter record-
+    * linkage tradition (and of every production MDM/entity-resolution
+    * pipeline): candidate pairs come ONLY from records sharing a
+    * deterministic blocking key (`blockCols` — nation + segment, zip +
+    * surname initial, …), then exact Levenshtein on `fieldCol`
+    * verifies each candidate. Every other near-dup operator here keys
+    * on document TEXT; this is the counterpart for entity tables
+    * (customers, suppliers, users), where duplication means "the same
+    * real-world entity typed twice" and the evidence lives in a short
+    * name/address field, not a shingle set.
+    *
+    * Scale shape: ONE block-key shuffle; pair work is quadratic in
+    * BLOCK size only, and blocks past `blockCap` are dropped loudly
+    * via the [[LshBucketCap]] stance (a degenerate blocking key —
+    * blocking a national registry on 'country' — must surface as a
+    * modeling error, not as an executor OOM). Levenshtein cost is
+    * O(|a|·|b|) per pair, affordable precisely because blocking
+    * bounds the pair count; byte-vs-codepoint caveat as on
+    * [[editDistanceNeardupPairs]]. Records with a NULL field never
+    * link (their distance is NULL). Output: (<blockCols>, id_a, id_b,
+    * dist, sim) with dist ≤ maxDist, sim = 1 − dist/max(len). */
+  def blockedRecordLinkage(records: DataFrame, idCol: String,
+      blockCols: Seq[String], fieldCol: String, maxDist: Int,
+      blockCap: Int = 1000): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(blockCap >= 2, s"blockCap must be >= 2, got $blockCap")
+    val recs = records.select(
+      struct(blockCols.map(col): _*).as("__blk"),
+      col(idCol).as("__rid"), col(fieldCol).as("__f"))
+    val buckets = recs
+      .groupBy(col("__blk"))
+      .agg(sort_array(collect_list(struct(col("__rid"), col("__f"))))
+        .as("rs"))
+      .filter(size(col("rs")) > 1 && size(col("rs")) <= blockCap)
+    buckets
+      .select(col("__blk"), explode(col("rs")).as("a"), col("rs"))
+      .select(col("__blk"), col("a"), explode(col("rs")).as("b"))
+      .filter(col("a.__rid") < col("b.__rid"))
+      .select(blockCols.map(n => col("__blk").getField(n).as(n)) ++ Seq(
+        col("a.__rid").as("id_a"), col("b.__rid").as("id_b"),
+        levenshtein(col("a.__f"), col("b.__f")).cast(LongType).as("dist"),
+        (lit(1.0) - levenshtein(col("a.__f"), col("b.__f"))
+          .cast(DoubleType) /
+          greatest(length(col("a.__f")), length(col("b.__f")))
+            .cast(DoubleType)).as("sim")): _*)
+      .filter(col("dist") <= maxDist)
+  }
+
   /** CROSS-corpus near-duplicate scrub (the Dolma/BFF deployment
     * shape: match a NEW crawl against a REFERENCE corpus — yesterday's
     * training set, a licensed collection, an eval suite at document
@@ -2957,6 +3007,39 @@ private[operators] trait DedupOps { self: Pipeline.type =>
           FROM e)
         SELECT doc_a, doc_b, dist, len_a, len_b, sim
         FROM r WHERE sim >= CAST(0.5 AS DOUBLE)
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- p134: blocked record linkage over the STRUCTURED customer
+    // table — [[blockedRecordLinkage]] with (nation, segment) as the
+    // blocking key and exact Levenshtein on the name field. The only
+    // gate whose dedup subject is an entity table rather than document
+    // text. The oracle replays blocking as a key-equality self-join
+    // (candidate generation differs — bucket shuffle vs join — the
+    // PAIR SET must not) and the identical distance + similarity
+    // arithmetic.
+    QueryDef(
+      "p134_record_linkage",
+      (s, d) =>
+        blockedRecordLinkage(T.customer(s, d), "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"), "c_name", maxDist = 2)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""
+        WITH r AS (
+          SELECT c_custkey AS id, c_nationkey, c_mktsegment, c_name
+          FROM customer),
+        p AS (
+          SELECT a.c_nationkey, a.c_mktsegment,
+                 a.id AS id_a, b.id AS id_b,
+                 CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+                 CAST(1.0 AS DOUBLE)
+                   - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+                     / CAST(greatest(length(a.c_name), length(b.c_name))
+                            AS DOUBLE) AS sim
+          FROM r a JOIN r b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+           AND a.id < b.id)
+        SELECT c_nationkey, c_mktsegment, id_a, id_b, dist, sim
+        FROM p WHERE dist <= 2 ORDER BY id_a, id_b"""))
   )
 }

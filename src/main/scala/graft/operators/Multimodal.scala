@@ -436,6 +436,55 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** CROSS-corpus image near-duplicate scrub — the [[imageNeardupPairs]]
+    * chain with band buckets built PER SIDE and candidates taken only
+    * from the cross join of same-(band, value) buckets (the text
+    * family's `minhashNeardupAgainstCorpus` deployment shape, for
+    * images: match a NEW photo crawl against a REFERENCE collection —
+    * yesterday's training set, a licensed archive — without ever
+    * pairing new-vs-new or ref-vs-ref). Same hash, same bands, same
+    * pigeonhole-exact `tau` ≤ 3 guarantee as the within-corpus
+    * operator, so thresholds tune once. Scale shape: one (band, value)
+    * shuffle per side, key-equality bucket join (no cartesian), each
+    * side's buckets independently capped — the reference's 8-byte
+    * hashes are the ONLY thing that travels, never its pixels.
+    * Output: (doc_id, ref_id, hamming). */
+  def imageNeardupAgainstCorpus(newHashes: Dataset[ImagePHash],
+      refHashes: Dataset[ImagePHash], tau: Int = 3,
+      bucketCap: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(tau >= 0 && tau <= 3,
+      s"tau must be in [0, 3] (one shared 16-bit band is guaranteed " +
+        s"only up to hamming 3), got $tau")
+    def bands(df: org.apache.spark.sql.DataFrame, idAs: String)
+        : org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id").as(idAs), explode(array(
+        (0 until 4).map(k =>
+          struct(lit(k).as("band"), col(s"b$k").as("v"))): _*)).as("bk"))
+        .select(col(idAs), col("bk.band"), col("bk.v"))
+        .groupBy(col("band"), col("v"))
+        .agg(sort_array(collect_set(col(idAs))).as(s"${idAs}s"))
+        .filter(size(col(s"${idAs}s")) <= bucketCap)
+    val cand = bands(newHashes.toDF(), "doc_id")
+      .join(bands(refHashes.toDF(), "ref_id"), Seq("band", "v"))
+      .select(explode(col("doc_ids")).as("doc_id"), col("ref_ids"))
+      .select(col("doc_id"), explode(col("ref_ids")).as("ref_id"))
+      .distinct()
+    val l = newHashes.toDF().select(col("doc_id"),
+      col("b0").as("l0"), col("b1").as("l1"),
+      col("b2").as("l2"), col("b3").as("l3"))
+    val r = refHashes.toDF().select(col("doc_id").as("ref_id"),
+      col("b0").as("r0"), col("b1").as("r1"),
+      col("b2").as("r2"), col("b3").as("r3"))
+    def pc(k: Int): org.apache.spark.sql.Column =
+      call_function("bit_count",
+        col(s"l$k").bitwiseXOR(col(s"r$k")))
+    cand.join(l, Seq("doc_id")).join(r, Seq("ref_id"))
+      .withColumn("hamming", (pc(0) + pc(1) + pc(2) + pc(3)).cast("int"))
+      .filter(col("hamming") <= tau)
+      .select(col("doc_id"), col("ref_id"), col("hamming"))
+  }
+
   // ----------------------------------------------------------------- audio
 
   /** Real decoded-audio statistics: container metadata plus exact

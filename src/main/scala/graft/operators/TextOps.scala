@@ -1658,6 +1658,45 @@ private[operators] trait TextOps { self: Pipeline.type =>
             + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 3
         ORDER BY doc_a, doc_b""")),
 
+    // ---- m08: cross-corpus image scrub — [[imageNeardupAgainstCorpus]]
+    // with the fixture split by id parity (the p128 trick): evens are
+    // the "new crawl", odds the "reference collection". Each 4-member
+    // δ-family straddles the parity line, so the planted near-dups all
+    // flow through the cross-side bucket join; the oracle mines pairs
+    // from its replayed hashes with the parity predicate + OR-of-bands
+    // join — candidate generation differs (per-side bucket shuffle vs
+    // join), the PAIR SET must not. New-vs-new and ref-vs-ref pairs
+    // never appear by construction (pinned: every output pair crosses
+    // parity).
+    QueryDef(
+      "m08_image_scrub",
+      (s, d) => {
+        val hs = Multimodal.imagePerceptualHash(
+          Multimodal.imageRecordsPatterned(s, d))
+        Multimodal.imageNeardupAgainstCorpus(
+          hs.filter(col("doc_id") % 2 === 0),
+          hs.filter(col("doc_id") % 2 === 1), tau = 3)
+          .orderBy(col("doc_id"), col("ref_id"))
+      },
+      Some(ImagePHashOracleSql + """,
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
+                 CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
+                 CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
+                 CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
+          FROM bands GROUP BY doc_id, w, h)
+        SELECT l.doc_id AS doc_id, r.doc_id AS ref_id,
+               CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
+                  + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3))
+                  AS INT) AS hamming
+        FROM hashes l JOIN hashes r
+          ON l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+         AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+        WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
+            + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 3
+        ORDER BY doc_id, ref_id""")),
+
 
     // ---- p79: unigram-LM Viterbi segmentation — [[unigramSegment]]
     // with the tie-free [[UnigramGatePieces]] table (integer-valued

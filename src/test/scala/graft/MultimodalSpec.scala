@@ -285,4 +285,30 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.imageNeardupPairs(hs, tau = 4)
     }.getMessage.contains("tau"))
   }
+
+  test("imageNeardupAgainstCorpus: cross-side pairs only; same-side " +
+    "twins never pair; per-side bucket cap") {
+    import spark.implicits._
+    import Multimodal.ImagePHash
+    // new side: 1 and 5 are IDENTICAL twins (must never pair with each
+    // other — no new-vs-new candidates by construction); ref side: 2
+    // matches them at hamming 0, 4 shares no band with anything
+    val newSide = Seq(
+      ImagePHash(1L, 16, 16, 0x00ff, 0x0f0f, 0x3333, 0x5555),
+      ImagePHash(5L, 16, 16, 0x00ff, 0x0f0f, 0x3333, 0x5555)).toDS()
+    val refSide = Seq(
+      ImagePHash(2L, 16, 16, 0x00ff, 0x0f0f, 0x3333, 0x5554),
+      ImagePHash(4L, 16, 16, 0x1111, 0x2222, 0x4444, 0x0101)).toDS()
+    val got = Multimodal.imageNeardupAgainstCorpus(newSide, refSide, tau = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(got.toSeq == Seq((1L, 2L, 1), (5L, 2L, 1)))
+    // per-side cap: a flooded REF bucket (11 exact twins of the new
+    // side — WOULD pair at hamming 0 uncapped) drops wholesale
+    val refFlood = (10L to 20L).map(i =>
+      ImagePHash(i, 16, 16, 0x00ff, 0x0f0f, 0x3333, 0x5555)).toDS()
+    assert(Multimodal.imageNeardupAgainstCorpus(
+      newSide, refFlood, tau = 3).count() == 22) // uncapped: 2×11 pairs
+    assert(Multimodal.imageNeardupAgainstCorpus(
+      newSide, refFlood, tau = 3, bucketCap = 5).count() == 0)
+  }
 }

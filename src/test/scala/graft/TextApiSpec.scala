@@ -3889,6 +3889,42 @@ class TextApiSpec extends AnyFunSuite {
     assert(ratios(1) == 0.0)
   }
 
+  test("blockedRecordLinkage: pairs only within blocks, exact distances, " +
+    "NULL fields never link, blockCap drops degenerate blocks") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "east", "jon smith"),
+      (2L, "east", "john smith"),   // dist 1 to #1
+      (3L, "east", "mary jones"),   // far from both
+      (4L, "west", "jon smith"),    // exact text of #1 — but other block
+      (5L, "east", null.asInstanceOf[String]), // NULL field: never links
+      (6L, "west", "jon smythe"))   // dist 2 to #4's "jon smith"
+      .toDF("user_id", "region", "full_name")
+    val got = Pipeline.blockedRecordLinkage(recs, "user_id",
+      Seq("region"), "full_name", maxDist = 2)
+      .orderBy(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getAs[String]("region"), r.getAs[Long]("id_a"),
+        r.getAs[Long]("id_b"), r.getAs[Long]("dist")))
+    // (1,2) linked at dist 1; (1,4) NEVER compared (blocks differ)
+    // despite identical text; (4,6) at dist 2; NULL row links nowhere
+    assert(got.toSeq == Seq(("east", 1L, 2L, 1L), ("west", 4L, 6L, 2L)))
+    // sim arithmetic: 1 − 1/10 for the (1,2) pair
+    val sim = Pipeline.blockedRecordLinkage(recs, "user_id",
+      Seq("region"), "full_name", maxDist = 2)
+      .filter(col("id_a") === 1L).collect()(0).getAs[Double]("sim")
+    assert(math.abs(sim - 0.9) < 1e-12)
+    // a degenerate blocking key (every record one block) past blockCap
+    // drops the block — no quadratic pair explosion
+    val flood = (1L to 10L).map(i => (i, "all", s"name$i"))
+      .toDF("user_id", "region", "full_name")
+    assert(Pipeline.blockedRecordLinkage(flood, "user_id", Seq("region"),
+      "full_name", maxDist = 99, blockCap = 9).count() == 0)
+    assert(intercept[IllegalArgumentException] {
+      Pipeline.blockedRecordLinkage(recs, "user_id", Seq.empty,
+        "full_name", maxDist = 1)
+    }.getMessage.contains("blocking column"))
+  }
+
   test("silhouetteReport: perfectly separated blobs score 1.0 exactly; " +
     "k < 2 rejected; alien columns") {
     import spark.implicits._
