@@ -428,11 +428,11 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .select(blockCols.map(n => col("__blk").getField(n).as(n)) ++ Seq(
         col("a.__rid").as("id_a"), col("b.__rid").as("id_b"),
         levenshtein(col("a.__f"), col("b.__f")).cast(LongType).as("dist"),
-        (lit(1.0) - levenshtein(col("a.__f"), col("b.__f"))
-          .cast(DoubleType) /
-          greatest(length(col("a.__f")), length(col("b.__f")))
-            .cast(DoubleType)).as("sim")): _*)
+        greatest(length(col("a.__f")), length(col("b.__f")))
+          .cast(DoubleType).as("__ml")): _*)
       .filter(col("dist") <= maxDist)
+      .withColumn("sim", lit(1.0) - col("dist").cast(DoubleType) / col("__ml"))
+      .drop("__ml")
   }
 
   /** CROSS-corpus near-duplicate scrub (the Dolma/BFF deployment

@@ -574,6 +574,78 @@ object Multimodal {
     }
   }
 
+  /** One audio fingerprint row: surviving full windows and the
+    * energy-delta bit string ('1' = this window is louder than the
+    * previous; length = n_windows − 1). */
+  final case class AudioFingerprint(
+      doc_id: Long,
+      n_windows: Int,
+      fp: String)
+
+  /** Acoustic fingerprint over REAL decoded PCM — the energy-delta
+    * sign bits of the Haitsma-Kalker (2002) "robust audio
+    * fingerprinting" family, reduced to the time domain (their bit is
+    * the sign of a band-energy difference; without an FFT in the JDK
+    * the honest equivalent is the full-band energy difference, which
+    * keeps the property that matters: bits survive volume scaling and
+    * requantization because they encode energy ORDER, not energy):
+    * the PCM stream splits into fixed `window`-sample frames (trailing
+    * partial frame dropped), each frame's energy is the exact integer
+    * Σ dev² (dev = sample − 128, the 8-bit midpoint), and bit i says
+    * whether frame i+1 is louder than frame i (strict >, so equal
+    * energies — digital silence — read 0). Same loud-failure format
+    * contract as [[decodeAudioStats]]. The fingerprint is a '0'/'1'
+    * string (variable frame counts per doc make a packed integer
+    * column awkward across engines; the string compares exactly).
+    * Scale: map-side decode, no shuffle; ~2 bits per millisecond of
+    * audio regardless of sample width — the image-hash story again.
+    * Output: (doc_id, n_windows, fp). */
+  def audioFingerprint(records: Dataset[MediaRecord],
+      window: Int = 32): Dataset[AudioFingerprint] = {
+    require(window >= 2, s"window must be >= 2 samples, got $window")
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes(r)))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"doc_id=${r.doc_id}: payload (${bytes(r).length} bytes, " +
+                  s"mime=${r.mime}) is not a decodable audio container", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+          s"doc_id=${r.doc_id}: unsupported PCM layout " +
+            s"(${fmt.getSampleSizeInBits}-bit, ${fmt.getChannels}ch, " +
+            s"encoding=${fmt.getEncoding}) — only 8-bit mono PCM_UNSIGNED is " +
+            "decoded here (the (b & 0xff) - 128 midpoint below assumes it)")
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var read = ais.read(chunk)
+        while (read > 0) { buf.write(chunk, 0, read); read = ais.read(chunk) }
+        val pcm = buf.toByteArray
+        val nw = pcm.length / window
+        val e = new Array[Long](nw)
+        var i = 0
+        while (i < nw * window) {
+          val d = (pcm(i) & 0xff) - 128
+          e(i / window) += d.toLong * d
+          i += 1
+        }
+        val sb = new java.lang.StringBuilder(math.max(nw - 1, 0))
+        var w = 1
+        while (w < nw) {
+          sb.append(if (e(w) > e(w - 1)) '1' else '0')
+          w += 1
+        }
+        AudioFingerprint(r.doc_id, nw, sb.toString)
+      }
+    }
+  }
+
   /** Documents → MediaRecords (text bytes standing in for payloads). */
   def fromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._

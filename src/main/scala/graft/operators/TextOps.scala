@@ -1697,6 +1697,49 @@ private[operators] trait TextOps { self: Pipeline.type =>
             + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 3
         ORDER BY doc_id, ref_id""")),
 
+    // ---- m09: acoustic fingerprint over REAL decoded PCM —
+    // [[Multimodal.audioFingerprint]] on the m05 WAV fixture: windowed
+    // exact-integer energies over the actually-decoded sample stream,
+    // energy-delta sign bits as the fingerprint. The oracle regenerates
+    // the sawtooth samples from the closed form, replays the 32-sample
+    // window partition (trailing partial dropped), the Σ dev² energies
+    // and the strict-> lag comparison, and string-aggregates the bits
+    // in window order — a decode defect (header offset, sign
+    // convention, dropped frame) shifts every downstream energy and
+    // breaks the string.
+    QueryDef(
+      "m09_audio_fingerprint",
+      (s, d) =>
+        Multimodal.audioFingerprint(Multimodal.audioRecords(s, d))
+          .toDF()
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH spec AS (
+          SELECT doc_id, 400 + doc_id % 200 AS n,
+                 doc_id % 7 + 2 AS a, doc_id % 251 AS b
+          FROM documents),
+        s AS MATERIALIZED (
+          SELECT doc_id, CAST(t // 32 AS INT) AS w_i,
+                 ((t * a + b) % 256) - 128 AS dev
+          FROM spec, unnest(range(0, (n // 32) * 32)) u(t)),
+        e AS (
+          SELECT doc_id, w_i, SUM(dev * dev) AS en
+          FROM s GROUP BY doc_id, w_i),
+        bits AS (
+          SELECT doc_id, w_i,
+                 CASE WHEN en > lag(en) OVER (PARTITION BY doc_id
+                                              ORDER BY w_i)
+                      THEN '1' ELSE '0' END AS bit,
+                 lag(en) OVER (PARTITION BY doc_id ORDER BY w_i) AS prev
+          FROM e)
+        SELECT sp.doc_id, CAST(sp.n // 32 AS INT) AS n_windows,
+               coalesce(fp.fp, '') AS fp
+        FROM spec sp LEFT JOIN (
+          SELECT doc_id, string_agg(bit, '' ORDER BY w_i) AS fp
+          FROM bits WHERE prev IS NOT NULL GROUP BY doc_id) fp
+          USING (doc_id)
+        ORDER BY sp.doc_id""")),
+
 
     // ---- p79: unigram-LM Viterbi segmentation — [[unigramSegment]]
     // with the tie-free [[UnigramGatePieces]] table (integer-valued

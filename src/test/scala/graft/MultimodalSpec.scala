@@ -286,6 +286,36 @@ class MultimodalSpec extends AnyFunSuite {
     }.getMessage.contains("tau"))
   }
 
+  test("audioFingerprint: hand-checked energy-delta bits on a real WAV; " +
+    "trailing partial window dropped; window bound") {
+    import spark.implicits._
+    // 7 samples at window=2: devs (0,0)(2,-2)(0,1) + one dropped tail
+    // sample → energies 0, 8, 1 → bits: 8>0 = '1', 1>8 = '0'
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val bytesArr = samples.map(s => (s + 128).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+        /* signed = */ false, /* bigEndian = */ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytesArr), fmt, bytesArr.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val ds = Seq(MediaRecord(1L, "audio/wav",
+      wav(Array(0, 0, 2, -2, 0, 1, 9)))).toDS()
+    val got = Multimodal.audioFingerprint(ds, window = 2).collect().head
+    assert(got.n_windows == 3 && got.fp == "10")
+    // equal energies (silence) read 0 — strict >
+    val silent = Seq(MediaRecord(2L, "audio/wav",
+      wav(Array(5, -5, -5, 5)))).toDS()
+    assert(Multimodal.audioFingerprint(silent, window = 2)
+      .collect().head.fp == "0")
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.audioFingerprint(ds, window = 1)
+    }.getMessage.contains("window"))
+  }
+
   test("imageNeardupAgainstCorpus: cross-side pairs only; same-side " +
     "twins never pair; per-side bucket cap") {
     import spark.implicits._
