@@ -574,6 +574,60 @@ object Multimodal {
     }
   }
 
+  /** The (band, value) key strings of one hash row — shared by the
+    * Bloom build and the probe so the two sides can never drift. */
+  private def imageBandKeys: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    array((0 until 4).map(k =>
+      concat_ws(":", lit(k), col(s"b$k"))): _*)
+  }
+
+  /** Pack a reference image collection's perceptual-hash band keys
+    * into ONE fixed-size Bloom bitset (`mBits/8` bytes regardless of
+    * reference size) — the image twin of the text family's
+    * `neardupBloomBuild`: how a live feed scrubs near-dups of a
+    * 100 TB photo snapshot without the snapshot ever shuffling or
+    * even shipping its hash table. Same double-hash positions and
+    * packed-bitset kernel as the text gate. */
+  def imageBloomBuild(refHashes: Dataset[ImagePHash], mBits: Int,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    refHashes.toDF()
+      .select(explode(imageBandKeys).as("__key"))
+      .select(explode(Pipeline.doubleHashPositions(col("__key"), k, mBits))
+        .as("__pos"))
+      .distinct()
+      .agg(sort_array(collect_list(col("__pos"))).as("__bloom"))
+      .select(call_function("bitset_pack", col("__bloom"), lit(mBits))
+        .as("__bloomBits"))
+  }
+
+  /** Flag every hash whose image the reference Bloom filter CLAIMS to
+    * near-duplicate: any of the four band keys fully present → flag.
+    * Candidate-level gate semantics (the text `neardupFlagAgainstBloom`
+    * contract): true band collisions always flag — the pigeonhole
+    * hamming ≤ 3 guarantee carries over — and a clean image can flag
+    * with the filter's documented false-positive probability. Works
+    * unchanged on a STREAMING hash frame (map-side probe against one
+    * broadcast row, no state). Output: input columns +
+    * `neardup_in_ref`. */
+  def imageFlagAgainstBloom(hashes: Dataset[ImagePHash],
+      bloom: org.apache.spark.sql.DataFrame, mBits: Int,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    hashes.toDF()
+      .crossJoin(broadcast(bloom))
+      .withColumn("neardup_in_ref",
+        exists(imageBandKeys, key => {
+          val pp = sort_array(array_distinct(
+            Pipeline.doubleHashPositions(key, k, mBits)))
+          call_function("bitset_count_set", pp, col("__bloomBits"))
+            .cast(LongType) === size(pp).cast(LongType)
+        }))
+      .drop("__bloomBits")
+  }
+
   /** One audio fingerprint row: surviving full windows and the
     * energy-delta bit string ('1' = this window is louder than the
     * previous; length = n_windows − 1). */

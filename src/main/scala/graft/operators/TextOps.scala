@@ -1697,6 +1697,63 @@ private[operators] trait TextOps { self: Pipeline.type =>
             + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 3
         ORDER BY doc_id, ref_id""")),
 
+    // ---- m10: the image Bloom gate — m06 hashes of the doc_id%3=0
+    // reference slice packed into one 4096-bit filter, every image
+    // probed map-side ("any band key claimed present" flags). The
+    // oracle replays the whole composition — closed-form pixels →
+    // integer aHash bands → band-key strings → md5 double-hash
+    // positions → set-membership probe — so even the filter's false
+    // positives (deterministic at mBits = 4096) must match
+    // bit-for-bit. The p129 gate's shape, for images.
+    QueryDef(
+      "m10_image_bloom_gate",
+      (s, d) => {
+        val hs = Multimodal.imagePerceptualHash(
+          Multimodal.imageRecordsPatterned(s, d))
+        Multimodal.imageFlagAgainstBloom(hs,
+          Multimodal.imageBloomBuild(hs.filter(col("doc_id") % 3 === 0),
+            mBits = 4096, k = 3),
+          mBits = 4096, k = 3)
+          .select(col("doc_id"), col("neardup_in_ref"))
+          .orderBy(col("doc_id"))
+      },
+      Some(ImagePHashOracleSql + """,
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
+                 CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
+                 CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
+                 CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
+          FROM bands GROUP BY doc_id, w, h),
+        keys AS (
+          SELECT doc_id,
+                 CAST(b AS VARCHAR) || ':' ||
+                 CAST(CASE b WHEN 0 THEN b0 WHEN 1 THEN b1
+                             WHEN 2 THEN b2 ELSE b3 END AS VARCHAR) AS key
+          FROM hashes, unnest(range(0, 4)) t(b)),
+        kh AS (
+          SELECT doc_id, key,
+                 CAST('0x' || substr(md5(key), 1, 12) AS BIGINT) AS h1,
+                 2 * CAST('0x' || substr(md5(key), 13, 12) AS BIGINT) + 1 AS h2
+          FROM keys),
+        refbits AS (
+          SELECT DISTINCT (h1 + j * h2) % 4096 AS pos
+          FROM kh, unnest(range(0, 3)) t(j)
+          WHERE doc_id % 3 = 0),
+        bloom AS (SELECT list_sort(list(pos)) AS bs FROM refbits),
+        kp AS (
+          SELECT doc_id, key,
+                 list_sort(list_distinct(list((h1 + j * h2) % 4096))) AS ps
+          FROM kh, unnest(range(0, 3)) t(j)
+          GROUP BY doc_id, key),
+        probe AS (
+          SELECT kp.doc_id,
+                 bool_or(len(list_filter(ps, p -> list_contains(bs, p)))
+                   = len(ps)) AS neardup_in_ref
+          FROM kp CROSS JOIN bloom
+          GROUP BY kp.doc_id)
+        SELECT doc_id, neardup_in_ref FROM probe ORDER BY doc_id""")),
+
     // ---- m09: acoustic fingerprint over REAL decoded PCM —
     // [[Multimodal.audioFingerprint]] on the m05 WAV fixture: windowed
     // exact-integer energies over the actually-decoded sample stream,

@@ -336,6 +336,30 @@ object Streams {
       mBits, k)
       .filter(!col("neardup_in_ref")).drop("neardup_in_ref")
 
+  /** Streaming IMAGE near-dup gate against a static reference
+    * collection — [[neardupGateAgainstCorpus]]'s deployment shape for
+    * the perceptual-hash family: the reference's aHash band keys pack
+    * ONCE into a fixed-size Bloom filter
+    * ([[graft.operators.Multimodal.imageBloomBuild]]) and every
+    * arriving image decodes + hashes in-stream (the typed
+    * mapPartitions decode works unchanged under streaming) and probes
+    * the broadcast filter map-side — stateless, no watermark, no
+    * state store; a republished reference snapshot is picked up per
+    * micro-batch without restart. Admits images the filter does not
+    * claim; pigeonhole hamming ≤ 3 collisions with the reference
+    * always drop, clean images drop at the filter's documented
+    * false-positive rate. Output: the surviving hash rows (doc_id,
+    * width, height, b0..b3). */
+  def imageGateAgainstCorpus(
+      records: Dataset[graft.operators.Multimodal.MediaRecord],
+      refHashes: Dataset[graft.operators.Multimodal.ImagePHash],
+      mBits: Int = 1 << 22, k: Int = 5): DataFrame = {
+    val M = graft.operators.Multimodal
+    M.imageFlagAgainstBloom(M.imagePerceptualHash(records),
+      M.imageBloomBuild(refHashes, mBits, k), mBits, k)
+      .filter(!col("neardup_in_ref")).drop("neardup_in_ref")
+  }
+
   /** Streaming distinct-token counter — the HyperLogLog registers as a
     * STREAMING aggregation: each micro-batch's tokens melt map-side
     * into (bucket, rank) rows through the exact arithmetic of the

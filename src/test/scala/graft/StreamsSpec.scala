@@ -115,6 +115,52 @@ class StreamsSpec extends AnyFunSuite {
     assert(batchKept == ids, "stream gate diverged from the batch pair")
   }
 
+  test("imageGateAgainstCorpus: in-stream decode + hash, stateless " +
+      "Bloom probe; stream ≡ batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val M = graft.operators.Multimodal
+    // reference = the δ=0 member of families 0..4; the stream carries
+    // its δ-siblings (hamming-near → band collisions → dropped) and
+    // images from far families (kept unless a band accidentally
+    // collides — same arithmetic both sides, so the batch pin decides)
+    val refIds = (0L until 5L).map(_ * 4)
+    val streamIds = Seq(1L, 2L, 401L, 402L, 803L)
+    val refHashes = M.imagePerceptualHash(
+      refIds.map(id => M.MediaRecord(id, "image/png",
+        M.renderPatternPng(id))).toDS())
+    val in = MemoryStream[Long]
+    // direct object references inside the lambda (static MODULE$
+    // access): a `val M` alias would capture the non-serializable
+    // Multimodal object into the streaming task closure
+    val gated = Streams.imageGateAgainstCorpus(
+      in.toDS().mapPartitions(_.map(id =>
+        graft.operators.Multimodal.MediaRecord(id, "image/png",
+          graft.operators.Multimodal.renderPatternPng(id)))),
+      refHashes, mBits = 1 << 16, k = 4)
+    val q = gated.writeStream.format("memory")
+      .queryName("image_ref_gate").outputMode("append").start()
+    try {
+      in.addData(streamIds.take(2): _*)
+      q.processAllAvailable()
+      in.addData(streamIds.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("image_ref_gate")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // δ-siblings of reference family 0 share bands with it → dropped
+    assert(!ids.contains(1L) && !ids.contains(2L),
+      s"reference family siblings passed the gate: $ids")
+    // stream ≡ batch over the union of both micro-batches
+    val batchKept = M.imageFlagAgainstBloom(
+      M.imagePerceptualHash(streamIds.map(id => M.MediaRecord(
+        id, "image/png", M.renderPatternPng(id))).toDS()),
+      M.imageBloomBuild(refHashes, 1 << 16, 4), 1 << 16, 4)
+      .filter(!col("neardup_in_ref"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == ids, "image stream gate diverged from the batch pair")
+  }
+
   test("distinctCountHll: bounded-state streaming registers equal the " +
       "batch sketch at every point in the stream") {
     import spark.implicits._
