@@ -972,8 +972,9 @@ private[operators] trait QualityOps { self: Pipeline.type =>
     * so "try and inspect" is not an option — the guard proves the
     * decode total before it runs. Everything else keeps the original
     * text with the signals attached, for the caller's filter
-    * threshold. Output: (doc_id, n_chars, n_latin1, n_win1252,
-    * n_replacement, mojibake_ratio, fixed, text_fixed). */
+    * threshold. Output: (doc_id, text, n_chars, n_latin1, n_win1252,
+    * n_replacement, mojibake_ratio, fixed, text_fixed) — the original
+    * text rides along so a caller can diff or fall back. */
   def mojibakeSignals(corpus: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val t = col("__t")
