@@ -435,6 +435,36 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .drop("__ml")
   }
 
+  /** Multimodal near-duplicate union report — the governance view a
+    * paired-corpus curation (LAION-style caption+image datasets) needs
+    * before deciding a dedup policy: which near-dup pairs does each
+    * MODALITY catch? Takes the two pair tables the modality operators
+    * already produce ([[minhashNeardupPairs]]-shaped (doc_a, doc_b,
+    * jaccard) and [[Multimodal.imageNeardupPairs]]-shaped (doc_a,
+    * doc_b, hamming)) and full-outer-joins them on the pair key:
+    * `modality` says 'text', 'image' or 'both', with each side's
+    * evidence column NULL where that modality did not fire. Filter
+    * `modality = 'both'` for the strict policy (dup only when caption
+    * AND image agree), or take everything for the aggressive one —
+    * either way ONE report drives the decision. Scale shape: both
+    * inputs are candidate-bounded pair tables, so the full-outer join
+    * is pair-keyed and small regardless of corpus size. Output:
+    * (doc_a, doc_b, jaccard, hamming, modality). */
+  def multimodalNeardupPairs(textPairs: DataFrame,
+      imagePairs: DataFrame): DataFrame = {
+    Seq("doc_a", "doc_b", "jaccard").foreach(c => require(
+      textPairs.columns.contains(c), s"textPairs needs column $c"))
+    Seq("doc_a", "doc_b", "hamming").foreach(c => require(
+      imagePairs.columns.contains(c), s"imagePairs needs column $c"))
+    textPairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(imagePairs.select(col("doc_a"), col("doc_b"), col("hamming")),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .withColumn("modality",
+        when(col("jaccard").isNotNull && col("hamming").isNotNull, "both")
+          .when(col("jaccard").isNotNull, "text")
+          .otherwise("image"))
+  }
+
   /** CROSS-corpus near-duplicate scrub (the Dolma/BFF deployment
     * shape: match a NEW crawl against a REFERENCE corpus — yesterday's
     * training set, a licensed collection, an eval suite at document
@@ -3040,6 +3070,57 @@ private[operators] trait DedupOps { self: Pipeline.type =>
            AND a.c_mktsegment = b.c_mktsegment
            AND a.id < b.id)
         SELECT c_nationkey, c_mktsegment, id_a, id_b, dist, sim
-        FROM p WHERE dist <= 2 ORDER BY id_a, id_b"""))
+        FROM p WHERE dist <= 2 ORDER BY id_a, id_b""")),
+
+    // ---- p135: the multimodal near-dup union report —
+    // [[multimodalNeardupPairs]] over the p02 text pairs and the m07
+    // image pairs on the SAME doc ids (text from the documents table,
+    // image from its patterned-PNG fixture). The oracle composes both
+    // full CTE chains — minhash verify AND closed-form pixel aHash —
+    // and replays the full-outer modality classification, so a drift
+    // in EITHER modality's arithmetic (or in the join/flag logic)
+    // hash-mismatches. On this fixture: 25 text pairs, 1350 image
+    // pairs, exactly 1 caught by both.
+    QueryDef(
+      "p135_multimodal_neardups",
+      (s, d) => {
+        val M = graft.operators.Multimodal
+        multimodalNeardupPairs(
+          minhashNeardupPairs(T.documents(s, d), "doc_id", "text"),
+          M.imageNeardupPairs(
+            M.imagePerceptualHash(M.imageRecordsPatterned(s, d)), tau = 3))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $NeardupPairsSql,
+        $ImagePHashOracleSql,
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
+                 CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
+                 CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
+                 CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
+          FROM bands GROUP BY doc_id, w, h),
+        ipairs AS (
+          SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                 CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
+                    + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3))
+                    AS INT) AS hamming
+          FROM hashes l JOIN hashes r
+            ON l.doc_id < r.doc_id
+           AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+          WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
+              + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 3)
+        SELECT COALESCE(t.doc_a, i.doc_a) AS doc_a,
+               COALESCE(t.doc_b, i.doc_b) AS doc_b,
+               t.jaccard, i.hamming,
+               CASE WHEN t.doc_a IS NOT NULL AND i.doc_a IS NOT NULL
+                      THEN 'both'
+                    WHEN t.doc_a IS NOT NULL THEN 'text'
+                    ELSE 'image' END AS modality
+        FROM (SELECT doc_a, doc_b, jaccard FROM verified) t
+        FULL OUTER JOIN ipairs i
+          ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b
+        ORDER BY doc_a, doc_b"""))
   )
 }

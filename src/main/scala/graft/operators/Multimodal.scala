@@ -529,6 +529,104 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaRecord(id, "audio/wav", renderWav(id))))
   }
 
+  /** Deterministic FAMILY WAV render — the audio near-dup fixture
+    * (m11), the [[renderPatternPng]] idea for sound: 4 consecutive
+    * docs share the sawtooth (n, a, b from fam = doc_id / 4) and only
+    * the amplitude offset δ = doc_id mod 4 varies within a family, so
+    * siblings' window energies — and hence their [[audioFingerprint]]
+    * delta-sign bits — differ only where the mod-256 wraparound moves:
+    * REAL near duplicates a fingerprint match must find. */
+  private[graft] def renderWavFamily(docId: Long): Array[Byte] = {
+    val fam = docId / 4
+    val n = (400 + fam % 200).toInt
+    val a = (fam % 7 + 2).toInt
+    val b = (fam % 251).toInt
+    val e = (fam % 11).toInt + 1
+    val fm = (fam % 128).toInt
+    val delta = (docId % 4).toInt
+    // window-keyed modulus = a per-window amplitude envelope: a plain
+    // full-range sawtooth has near-constant window energy, which makes
+    // every fingerprint collapse toward the same bit string (the m11
+    // fixture's first draft paired 2.4k cross-family docs at hamming
+    // 0) — the (e, fm)-keyed envelope makes the energy SEQUENCE the
+    // family's signature, which is exactly what the fingerprint
+    // encodes
+    def m(t: Int): Int = 128 + ((t / 32) * e + fm) % 128
+    val samples = Array.tabulate[Byte](n)(t =>
+      ((t * a + b + delta) % m(t)).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+      /* signed = */ false, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Documents → family WAV MediaRecords (the m11 ingest). */
+  def audioRecordsFamilies(spark: SparkSession, sfDir: String)
+      : Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map(id =>
+        MediaRecord(id, "audio/wav", renderWavFamily(id))))
+  }
+
+  /** Audio near-duplicate pairs over [[audioFingerprint]] bit strings —
+    * the Haitsma-Kalker search shape: candidates come from an EXACT
+    * match of any aligned `blockLen`-bit sub-fingerprint (their §III
+    * lookup-table trick: a near-duplicate burst of bit errors rarely
+    * hits every block, so some block survives verbatim and indexes the
+    * pair), then the full fingerprint hamming distance — between
+    * same-length fingerprints only; different window counts mean
+    * different material — filters candidates to `tau`. Recall caveat
+    * (the LSH trade, stated honestly): a pair whose every block
+    * carries at least one flipped bit never becomes a candidate; what
+    * IS reported is exact, and the m11 oracle replays the identical
+    * block index. Scale shape: ONE (block_no, bits) shuffle, buckets
+    * past `bucketCap` dropped loudly (digital silence floods a bucket),
+    * pair work bounded by bucket collisions. Output: (doc_a, doc_b,
+    * n_windows, hamming). */
+  def audioNeardupPairs(fps: Dataset[AudioFingerprint], tau: Int = 2,
+      blockLen: Int = 8, bucketCap: Int = 1000)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(tau >= 0, s"tau must be >= 0, got $tau")
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    val df = fps.toDF()
+    val blocks = df
+      .filter(length(col("fp")) >= blockLen)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), (length(col("fp")) / blockLen).cast("int") - 1),
+        i => struct(i.as("blk_no"),
+          col("fp").substr(i * blockLen + 1, lit(blockLen)).as("bits"))))
+        .as("b"))
+      .select(col("doc_id"), col("b.blk_no"), col("b.bits"))
+    val cand = blocks
+      .groupBy(col("blk_no"), col("bits"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= bucketCap)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val l = df.select(col("doc_id").as("doc_a"),
+      col("n_windows").as("nw_a"), col("fp").as("fp_a"))
+    val r = df.select(col("doc_id").as("doc_b"),
+      col("n_windows").as("nw_b"), col("fp").as("fp_b"))
+    cand.join(l, Seq("doc_a")).join(r, Seq("doc_b"))
+      .filter(col("nw_a") === col("nw_b"))
+      .withColumn("hamming",
+        aggregate(zip_with(split(col("fp_a"), ""), split(col("fp_b"), ""),
+          (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("int"))
+      .filter(col("hamming") <= tau)
+      .select(col("doc_a"), col("doc_b"),
+        col("nw_a").as("n_windows"), col("hamming"))
+  }
+
   /** REAL audio decode via pure-JDK `javax.sound.sampled`: parses the
     * WAV container (format, rate, channels), streams the PCM frames,
     * and returns exact integer amplitude sums. Currently 8-bit PCM

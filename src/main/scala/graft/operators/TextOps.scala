@@ -15,13 +15,14 @@ import org.apache.spark.sql.types._
   * caller, gate, or oracle changed. */
 private[operators] trait TextOps { self: Pipeline.type =>
 
-  /** Shared m06/m07 oracle prefix: regenerates the patterned-PNG
+  /** Shared m06/m07/m08/m10/p135 oracle CTE list (no leading WITH, so
+    * it composes with other chains): regenerates the patterned-PNG
     * pixels from [[Multimodal.renderPatternPng]]'s closed form and
     * replays the integer aHash block grid — ends at CTE `bands`
     * (doc_id, w, h, band, val); consumers append either the band
     * pivot (m06) or the pair mining (m07). */
-  private val ImagePHashOracleSql: String = """
-        WITH spec AS (
+  private[operators] val ImagePHashOracleSql: String = """
+        spec AS (
           SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS delta
           FROM documents),
         par AS (
@@ -1613,7 +1614,7 @@ private[operators] trait TextOps { self: Pipeline.type =>
         Multimodal.imagePerceptualHash(Multimodal.imageRecordsPatterned(s, d))
           .toDF()
           .orderBy(col("doc_id")),
-      Some(ImagePHashOracleSql + """
+      Some("WITH " + ImagePHashOracleSql + """
         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
                CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
@@ -1639,7 +1640,7 @@ private[operators] trait TextOps { self: Pipeline.type =>
           Multimodal.imagePerceptualHash(Multimodal.imageRecordsPatterned(s, d)),
           tau = 3)
           .orderBy(col("doc_a"), col("doc_b")),
-      Some(ImagePHashOracleSql + """,
+      Some("WITH " + ImagePHashOracleSql + """,
         hashes AS (
           SELECT doc_id,
                  CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
@@ -1678,7 +1679,7 @@ private[operators] trait TextOps { self: Pipeline.type =>
           hs.filter(col("doc_id") % 2 === 1), tau = 3)
           .orderBy(col("doc_id"), col("ref_id"))
       },
-      Some(ImagePHashOracleSql + """,
+      Some("WITH " + ImagePHashOracleSql + """,
         hashes AS (
           SELECT doc_id,
                  CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
@@ -1717,7 +1718,7 @@ private[operators] trait TextOps { self: Pipeline.type =>
           .select(col("doc_id"), col("neardup_in_ref"))
           .orderBy(col("doc_id"))
       },
-      Some(ImagePHashOracleSql + """,
+      Some("WITH " + ImagePHashOracleSql + """,
         hashes AS (
           SELECT doc_id,
                  CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
@@ -1753,6 +1754,72 @@ private[operators] trait TextOps { self: Pipeline.type =>
           FROM kp CROSS JOIN bloom
           GROUP BY kp.doc_id)
         SELECT doc_id, neardup_in_ref FROM probe ORDER BY doc_id""")),
+
+    // ---- m11: audio near-dup pairs — [[Multimodal.audioNeardupPairs]]
+    // over the δ-family WAV fixture (4 siblings share the sawtooth,
+    // only the amplitude offset moves): candidates from exact aligned
+    // 8-bit sub-fingerprint matches (the Haitsma-Kalker lookup-table
+    // search), verified by full-fingerprint hamming ≤ 2 between
+    // same-length fingerprints. The oracle regenerates the family
+    // sawtooth, replays the m09 fingerprint chain, the block index,
+    // and the per-position hamming — candidate generation differs
+    // (bucket shuffle vs self-join), the PAIR SET must not.
+    QueryDef(
+      "m11_audio_neardup",
+      (s, d) =>
+        Multimodal.audioNeardupPairs(
+          Multimodal.audioFingerprint(Multimodal.audioRecordsFamilies(s, d)),
+          tau = 2)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH fspec AS (
+          SELECT doc_id, 400 + (doc_id // 4) % 200 AS n,
+                 (doc_id // 4) % 7 + 2 AS a, (doc_id // 4) % 251 AS b,
+                 (doc_id // 4) % 11 + 1 AS e, (doc_id // 4) % 128 AS fm,
+                 doc_id % 4 AS delta
+          FROM documents),
+        fs AS MATERIALIZED (
+          SELECT doc_id, CAST(t // 32 AS INT) AS w_i,
+                 ((t * a + b + delta) % (128 + ((t // 32) * e + fm) % 128))
+                   - 128 AS dev
+          FROM fspec, unnest(range(0, (n // 32) * 32)) u(t)),
+        fe AS (
+          SELECT doc_id, w_i, SUM(dev * dev) AS en
+          FROM fs GROUP BY doc_id, w_i),
+        fbits AS (
+          SELECT doc_id, w_i,
+                 CASE WHEN en > lag(en) OVER (PARTITION BY doc_id
+                                              ORDER BY w_i)
+                      THEN '1' ELSE '0' END AS bit,
+                 lag(en) OVER (PARTITION BY doc_id ORDER BY w_i) AS prev
+          FROM fe),
+        fps AS (
+          SELECT sp.doc_id, CAST(sp.n // 32 AS INT) AS n_windows, f.fp
+          FROM fspec sp JOIN (
+            SELECT doc_id, string_agg(bit, '' ORDER BY w_i) AS fp
+            FROM fbits WHERE prev IS NOT NULL GROUP BY doc_id) f
+            USING (doc_id)),
+        fblocks AS (
+          SELECT doc_id, CAST(i AS INT) AS blk_no,
+                 substr(fp, CAST(i * 8 + 1 AS INT), 8) AS bits
+          FROM fps, unnest(range(0, len(fp) // 8)) t(i)
+          WHERE len(fp) >= 8),
+        fcand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM fblocks x JOIN fblocks y
+            ON x.blk_no = y.blk_no AND x.bits = y.bits
+           AND x.doc_id < y.doc_id),
+        fver AS (
+          SELECT c.doc_a, c.doc_b, fa.n_windows AS n_windows,
+                 CAST(list_sum(list_transform(range(1, len(fa.fp) + 1),
+                   i -> CASE WHEN fa.fp[i] <> fb.fp[i] THEN 1 ELSE 0 END))
+                   AS INT) AS hamming
+          FROM fcand c
+          JOIN fps fa ON fa.doc_id = c.doc_a
+          JOIN fps fb ON fb.doc_id = c.doc_b
+          WHERE fa.n_windows = fb.n_windows)
+        SELECT doc_a, doc_b, n_windows, hamming
+        FROM fver WHERE hamming <= 2 ORDER BY doc_a, doc_b""")),
 
     // ---- m09: acoustic fingerprint over REAL decoded PCM —
     // [[Multimodal.audioFingerprint]] on the m05 WAV fixture: windowed

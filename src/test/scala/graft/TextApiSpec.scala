@@ -3889,6 +3889,24 @@ class TextApiSpec extends AnyFunSuite {
     assert(ratios(1) == 0.0)
   }
 
+  test("multimodalNeardupPairs: full-outer modality classification; " +
+    "missing columns rejected") {
+    import spark.implicits._
+    val tp = Seq((1L, 2L, 0.9), (3L, 4L, 0.8)).toDF("doc_a", "doc_b", "jaccard")
+    val ip = Seq((1L, 2L, 1), (5L, 6L, 0)).toDF("doc_a", "doc_b", "hamming")
+    val got = Pipeline.multimodalNeardupPairs(tp, ip)
+      .orderBy(col("doc_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, Some(0.9), Some(1), "both"),
+      (3L, 4L, Some(0.8), None, "text"),
+      (5L, 6L, None, Some(0), "image")))
+    assert(intercept[IllegalArgumentException] {
+      Pipeline.multimodalNeardupPairs(tp.drop("jaccard"), ip)
+    }.getMessage.contains("jaccard"))
+  }
+
   test("blockedRecordLinkage: pairs only within blocks, exact distances, " +
     "NULL fields never link, blockCap drops degenerate blocks") {
     import spark.implicits._
