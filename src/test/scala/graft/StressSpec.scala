@@ -311,6 +311,23 @@ class StressSpec extends AnyFunSuite {
         operators.Multimodal.imagePerceptualHash(recs), tau = 3)
     }
 
+    // p134: blocked record linkage at 10× — 150k entity records in
+    // ~2k hash blocks (≈75 records each), every group of 5 planting
+    // four identical names + one one-edit sibling, so ~300k true
+    // matches flow through the block-bounded Levenshtein verify
+    // (~5.5M distance evaluations). Proves the pair work stays
+    // quadratic in BLOCK size, never corpus size
+    drive("recordLinkage", budgetSec = 600, minRows = 250000L) {
+      val grp = (col("id") / 5).cast("long")
+      val recs = spark.range(0, 150000, 1, 32).select(col("id"),
+        pmod(hash(grp), lit(2000)).as("blk"),
+        concat(lit("name-"), abs(hash(grp)).cast("string"),
+          when(col("id") % 5 === 1, lit("x")).otherwise(lit("")))
+          .as("nm"))
+      operators.Pipeline.blockedRecordLinkage(recs, "id", Seq("blk"),
+        "nm", maxDist = 1, blockCap = 1000)
+    }
+
     // p132: simplified silhouette at 10× — the O(n·k) fold must stay
     // one zero-shuffle pass + a k-row groupBy at 20k×64×32 clusters.
     // Rows = SURVIVING clusters: Lloyd's legitimately empties some of
