@@ -1920,6 +1920,115 @@ object Main {
     stats
   }
 
+  /** `graft linkage` — blocked entity resolution
+    * ([[operators.Pipeline.blockedRecordLinkage]] — never a
+    * reimplementation; LinkageCliSpec pins CLI ≡ library): candidate
+    * pairs only within a deterministic blocking key, exact Levenshtein
+    * verify on the name/address field. */
+  final case class LinkageArgs(
+      input: String = "",
+      outputFile: String = "",
+      idColumn: String = "doc_id",
+      blockColumns: Seq[String] = Nil,
+      fieldColumn: String = "",
+      maxDist: Int = 2,
+      blockCap: Int = 1000,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      multiFile: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      quiet: Boolean = false)
+
+  private[graft] val LinkageHelpText =
+    s"""Blocked record linkage (entity resolution): candidate pairs come only
+       |from records sharing the blocking key, then exact Levenshtein on the
+       |field verifies each candidate
+       |
+       |Usage: graft linkage [OPTIONS] --input <DIR> --output-file <FILE>
+       |                     --block-column <C> --field-column <C>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of entity records
+       |  -o, --output-file <FILE>    Match pairs (parquet): <block cols>,
+       |                              id_a, id_b, dist, sim
+       |      --id-column <C>         Record id column (default doc_id)
+       |      --block-column <C>      Blocking column (repeatable; at least one)
+       |      --field-column <C>      The field Levenshtein verifies (a name,
+       |                              an address line)
+       |      --max-dist <N>          Max edit distance to link (default 2)
+       |      --block-cap <N>         Drop blocks past this size — a degenerate
+       |                              blocking key must surface as a modeling
+       |                              error, not an OOM (default 1000)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --multi-file            Write one file per task instead of a single file
+       |      --partition-by <C>      Hive-style output partitioning (repeatable)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseLinkageArgs(argv: Seq[String]): LinkageArgs = {
+    var a = LinkageArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(LinkageHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--block-column" =>
+          a = a.copy(blockColumns = a.blockColumns :+ take(flag))
+        case "--field-column" => a = a.copy(fieldColumn = take(flag))
+        case "--max-dist" =>
+          val d = c.takeInt(flag)
+          if (d < 0) throw new IllegalArgumentException(
+            s"--max-dist must be >= 0, got $d")
+          a = a.copy(maxDist = d)
+        case "--block-cap" =>
+          a = a.copy(blockCap = parsePosInt(flag, take(flag)))
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
+        case "--multi-file" => a = a.copy(multiFile = true)
+        case "--partition-by" =>
+          a = a.copy(partitionBy = a.partitionBy :+ take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see linkage --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty ||
+      a.blockColumns.isEmpty || a.fieldColumn.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: linkage [OPTIONS] --input DIR --output-file FILE " +
+          "--block-column C --field-column C")
+    a
+  }
+
+  private[graft] def runLinkage(spark: SparkSession,
+      a: LinkageArgs): ParquetSink.WriteStats = {
+    val recs = readDocs(spark, "--input", a.input,
+      (("--id-column" -> a.idColumn) +:
+        a.blockColumns.map("--block-column" -> _)) :+
+        ("--field-column" -> a.fieldColumn))
+    val stats = ParquetSink.write(
+      operators.Pipeline.blockedRecordLinkage(recs, a.idColumn,
+        a.blockColumns, a.fieldColumn, a.maxDist, a.blockCap),
+      a.outputFile,
+      ParquetSink.SinkOptions(
+        compression = a.compression,
+        compressionLevel = a.compressionLevel,
+        singleFile = !a.multiFile,
+        partitionBy = a.partitionBy,
+        quiet = a.quiet))
+    if (!a.quiet)
+      System.err.println(s"linkage: ${stats.rows} match pairs " +
+        s"at ${a.outputFile}")
+    stats
+  }
+
   private[graft] val Version = "graft 0.5.0"
 
   private[graft] val HelpText =
@@ -1942,6 +2051,8 @@ object Main {
        |          band admit, verified near-dup, or Bloom-gated)
        |  phash   Image perceptual hashes (aHash-64 over real decode), near-dup
        |          pairs by banded hamming LSH, or a cross-corpus image scrub
+       |  linkage Blocked record linkage (entity resolution): in-block
+       |          Levenshtein match pairs over a structured table
        |  datacard  Prints doc/token/char totals for a corpus, overall + per stratum
        |  diff    Diffs two corpus snapshots (added / removed / changed per id)
        |
@@ -2462,6 +2573,9 @@ object Main {
       case Some("phash") =>
         return runSubcommand("phash", argv.toSeq.tail, parsePhashArgs,
           runPhash, timestampMicros = true)
+      case Some("linkage") =>
+        return runSubcommand("linkage", argv.toSeq.tail, parseLinkageArgs,
+          runLinkage, timestampMicros = true)
       case _ =>
     }
     val a =

@@ -316,6 +316,96 @@ class MultimodalSpec extends AnyFunSuite {
     }.getMessage.contains("window"))
   }
 
+  test("aHash property: PNG round-trip hash ≡ independent direct " +
+    "computation on the source pixels (100 random images)") {
+    import spark.implicits._
+    // deterministic LCG so the property replays; images up to 23×19
+    var seed = 0x2545F4914F6CDD1DL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val cases = (0 until 100).map { i =>
+      val w = 8 + nextInt(16); val h = 8 + nextInt(12)
+      val px = Array.tabulate(h, w)((_, _) =>
+        (nextInt(256), nextInt(256), nextInt(256)))
+      (i.toLong, w, h, px)
+    }
+    // independent implementation: BigInt arithmetic, no shared code
+    def direct(w: Int, h: Int, px: Array[Array[(Int, Int, Int)]]): Seq[Int] = {
+      val bSum = Array.fill(64)(BigInt(0)); val bN = Array.fill(64)(BigInt(0))
+      var tot = BigInt(0)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(y)(x); val gray = BigInt(r + g + b)
+        val blk = (y * 8 / h) * 8 + (x * 8 / w)
+        bSum(blk) += gray; bN(blk) += 1; tot += gray
+      }
+      val bands = Array.fill(4)(0)
+      for (blk <- 0 until 64)
+        if (bSum(blk) * (BigInt(w) * h) > tot * bN(blk))
+          bands(blk / 16) |= 1 << (blk % 16)
+      bands.toSeq
+    }
+    def png(w: Int, h: Int, px: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(y)(x)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val recs = cases.map { case (id, w, h, px) =>
+      MediaRecord(id, "image/png", png(w, h, px)) }.toDS()
+    val got = Multimodal.imagePerceptualHash(recs).collect()
+      .map(p => p.doc_id -> Seq(p.b0, p.b1, p.b2, p.b3)).toMap
+    cases.foreach { case (id, w, h, px) =>
+      assert(got(id) == direct(w, h, px),
+        s"aHash mismatch at image $id (${w}x$h)")
+    }
+  }
+
+  test("audioFingerprint property: WAV round-trip fingerprint ≡ " +
+    "independent direct computation (100 random streams)") {
+    import spark.implicits._
+    var seed = 0x9E3779B97F4A7C15L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val cases = (0 until 100).map { i =>
+      val n = 40 + nextInt(400)
+      (i.toLong, Array.fill(n)(nextInt(256)))
+    }
+    def direct(samples: Array[Int], window: Int): (Int, String) = {
+      val nw = samples.length / window
+      val e = (0 until nw).map(w =>
+        (0 until window).map { j =>
+          val d = BigInt(samples(w * window + j) - 128); d * d
+        }.sum)
+      (nw, (1 until nw).map(w => if (e(w) > e(w - 1)) '1' else '0').mkString)
+    }
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val bytesArr = samples.map(_.toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytesArr), fmt, bytesArr.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val recs = cases.map { case (id, s) =>
+      MediaRecord(id, "audio/wav", wav(s)) }.toDS()
+    val got = Multimodal.audioFingerprint(recs, window = 16).collect()
+      .map(f => f.doc_id -> ((f.n_windows, f.fp))).toMap
+    cases.foreach { case (id, s) =>
+      assert(got(id) == direct(s, 16), s"fingerprint mismatch at stream $id")
+    }
+  }
+
   test("imageNeardupAgainstCorpus: cross-side pairs only; same-side " +
     "twins never pair; per-side bucket cap") {
     import spark.implicits._
