@@ -1864,6 +1864,18 @@ object Main {
       throw new IllegalArgumentException(
         s"--payload-column '${a.payloadColumn}' must be BINARY (image " +
           s"bytes), found $pType")
+    // integral ids only, validated HERE: a silent cast would turn
+    // string ids into NULLs that explode inside executor tasks, and a
+    // double-promoted join in scrub mode could mis-match huge ids
+    // (review r18)
+    val idType = df.schema(a.idColumn).dataType
+    if (!Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, LongType)(idType))
+      throw new IllegalArgumentException(
+        s"--id-column '${a.idColumn}' must be an integral type " +
+          s"(the hash tables key on 64-bit ids), found $idType")
     import spark.implicits._
     df.select(col(a.idColumn).cast(LongType).as("doc_id"),
       lit("image/*").as("mime"),
@@ -1881,39 +1893,60 @@ object Main {
       singleFile = !a.multiFile,
       partitionBy = a.partitionBy,
       quiet = a.quiet)
-    val hashes = M.imagePerceptualHash(
-      readImageRecords(spark, "--input", a.input, a))
-    val stats = a.mode match {
-      case "hash" =>
-        ParquetSink.write(
-          hashes.toDF().withColumnRenamed("doc_id", a.idColumn),
-          a.outputFile, sinkOpts)
-      case "pairs" =>
-        ParquetSink.write(
-          M.imageNeardupPairs(hashes, a.tau, a.bucketCap),
-          a.outputFile, sinkOpts)
-      case _ =>
-        val refHashes = M.imagePerceptualHash(
-          readImageRecords(spark, "--reference", a.reference, a))
-        val pairs0 = M.imageNeardupAgainstCorpus(hashes, refHashes,
-          a.tau, a.bucketCap)
-        // with a report requested the pair table feeds TWO sinks —
-        // materialize once, release after (the scrub discipline)
-        val pairs = if (a.reportFile.nonEmpty) pairs0.localCheckpoint()
-          else pairs0
-        try {
-          val flagged = pairs.select(col("doc_id").as(a.idColumn)).distinct()
-          val out = ParquetSink.write(
-            spark.read.parquet(a.input)
-              .join(flagged, Seq(a.idColumn), "left_anti"),
+    // the pair/scrub plans reference the hash frame from THREE places
+    // (bucketing + both verify-join arms), and unlike the text
+    // family's candidate-bounded shingle recompute, each reference
+    // would re-run the FULL image decode — so hashes materialize once
+    // (8 bytes + dims per image; review r18) and release at the end
+    import spark.implicits._
+    def checkpointed(ds: org.apache.spark.sql.Dataset[
+        operators.Multimodal.MediaRecord]) =
+      M.imagePerceptualHash(ds).toDF().localCheckpoint()
+        .as[operators.Multimodal.ImagePHash]
+    val needPairs = a.mode != "hash"
+    val hashes =
+      if (needPairs) checkpointed(readImageRecords(spark, "--input", a.input, a))
+      else M.imagePerceptualHash(readImageRecords(spark, "--input", a.input, a))
+    val refHashes =
+      if (a.mode == "scrub")
+        Some(checkpointed(readImageRecords(spark, "--reference", a.reference, a)))
+      else None
+    val stats =
+      try a.mode match {
+        case "hash" =>
+          ParquetSink.write(
+            hashes.toDF().withColumnRenamed("doc_id", a.idColumn),
             a.outputFile, sinkOpts)
-          a.reportFile.foreach { rf =>
-            ParquetSink.write(pairs, rf, ParquetSink.SinkOptions(quiet = true))
-          }
-          out
-        } finally if (a.reportFile.nonEmpty)
-          operators.Pipeline.releaseLocalCheckpoint(pairs, blocking = true)
-    }
+        case "pairs" =>
+          ParquetSink.write(
+            M.imageNeardupPairs(hashes, a.tau, a.bucketCap),
+            a.outputFile, sinkOpts)
+        case _ =>
+          val pairs0 = M.imageNeardupAgainstCorpus(hashes, refHashes.get,
+            a.tau, a.bucketCap)
+          // with a report requested the pair table feeds TWO sinks —
+          // materialize once, release after (the scrub discipline)
+          val pairs = if (a.reportFile.nonEmpty) pairs0.localCheckpoint()
+            else pairs0
+          try {
+            val flagged = pairs.select(col("doc_id").as(a.idColumn)).distinct()
+            val out = ParquetSink.write(
+              spark.read.parquet(a.input)
+                .join(flagged, Seq(a.idColumn), "left_anti"),
+              a.outputFile, sinkOpts)
+            a.reportFile.foreach { rf =>
+              ParquetSink.write(pairs, rf, ParquetSink.SinkOptions(quiet = true))
+            }
+            out
+          } finally if (a.reportFile.nonEmpty)
+            operators.Pipeline.releaseLocalCheckpoint(pairs, blocking = true)
+      } finally {
+        if (needPairs)
+          operators.Pipeline.releaseLocalCheckpoint(hashes.toDF(),
+            blocking = true)
+        refHashes.foreach(r => operators.Pipeline.releaseLocalCheckpoint(
+          r.toDF(), blocking = true))
+      }
     if (!a.quiet)
       System.err.println(s"phash (${a.mode}): ${stats.rows} rows " +
         s"at ${a.outputFile}")

@@ -405,7 +405,12 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     * O(|a|·|b|) per pair, affordable precisely because blocking
     * bounds the pair count; byte-vs-codepoint caveat as on
     * [[editDistanceNeardupPairs]]. Records with a NULL field never
-    * link (their distance is NULL). Output: (<blockCols>, id_a, id_b,
+    * link (their distance is NULL), and records with a NULL in ANY
+    * blocking column never link either — blocking is KEY EQUALITY
+    * (the SQL semantics the p134 oracle's self-join has), and a bare
+    * groupBy would instead pool every key-less record into one
+    * NULL-block that pairs strangers or silently vanishes past
+    * blockCap (review r18). Output: (<blockCols>, id_a, id_b,
     * dist, sim) with dist ≤ maxDist, sim = 1 − dist/max(len). */
   def blockedRecordLinkage(records: DataFrame, idCol: String,
       blockCols: Seq[String], fieldCol: String, maxDist: Int,
@@ -413,9 +418,11 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     require(blockCols.nonEmpty, "need at least one blocking column")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(blockCap >= 2, s"blockCap must be >= 2, got $blockCap")
-    val recs = records.select(
-      struct(blockCols.map(col): _*).as("__blk"),
-      col(idCol).as("__rid"), col(fieldCol).as("__f"))
+    val recs = records
+      .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        struct(blockCols.map(col): _*).as("__blk"),
+        col(idCol).as("__rid"), col(fieldCol).as("__f"))
     val buckets = recs
       .groupBy(col("__blk"))
       .agg(sort_array(collect_list(struct(col("__rid"), col("__f"))))
@@ -3094,13 +3101,6 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       Some(s"""
         WITH $NeardupPairsSql,
         $ImagePHashOracleSql,
-        hashes AS (
-          SELECT doc_id,
-                 CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
-                 CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
-                 CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
-                 CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
-          FROM bands GROUP BY doc_id, w, h),
         ipairs AS (
           SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
                  CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))

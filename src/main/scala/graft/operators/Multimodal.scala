@@ -380,9 +380,16 @@ object Multimodal {
         }
         val nTot = w.toLong * h
         val bands = new Array[Int](4)
+        // the threshold products in BigInt: at gigapixel resolutions
+        // (w·h ≳ 8.8e8) bSum·nTot exceeds Long and a silent wrap would
+        // flip hash bits against the documented bit-exactness contract
+        // (review r18) — 64 BigInt comparisons per image is noise next
+        // to the decode
+        val nTotB = BigInt(nTot)
+        val totB = BigInt(tot)
         var blk = 0
         while (blk < 64) {
-          if (bSum(blk) * nTot > tot * bN(blk))
+          if (BigInt(bSum(blk)) * nTotB > totB * BigInt(bN(blk)))
             bands(blk / 16) |= 1 << (blk % 16)
           blk += 1
         }

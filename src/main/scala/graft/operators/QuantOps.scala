@@ -647,11 +647,18 @@ private[operators] trait QuantOps { self: Pipeline.type =>
     require(k >= 2, s"silhouette needs k >= 2 (b = nearest OTHER centroid), got $k")
     val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val cents = kmeansFit(corpus, idCol, vecCol, k, dim, iters, seeding)
+    // ≥ 2 SURVIVING centroids, not just ≥ 2 requested: Lloyd's can
+    // empty clusters (identical seeds, degenerate data), and with one
+    // survivor the fold's second-min slot stays Double.MaxValue — b ≈
+    // 1.3e154, s ≈ 1.0 for every point, i.e. a silent PERFECT score
+    // for a clustering that never happened (review r18)
     val cArr = cents
       .agg(sort_array(collect_list(struct(col("cl"), col("ce")))).as("cs"))
-      .select(when(size(col("cs")) > 0, col("cs"))
-        .otherwise(raise_error(lit(
-          "silhouetteReport: empty centroid table")))
+      .select(when(size(col("cs")) >= 2, col("cs"))
+        .otherwise(raise_error(concat(lit(
+          "silhouetteReport: needs >= 2 surviving centroids " +
+            "(b = nearest OTHER centroid), got "),
+          size(col("cs")).cast(StringType))))
         .as("cs"))
     val mins = e.crossJoin(broadcast(cArr))
       .withColumn("m", aggregate(col("cs"),

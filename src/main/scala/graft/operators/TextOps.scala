@@ -18,9 +18,10 @@ private[operators] trait TextOps { self: Pipeline.type =>
   /** Shared m06/m07/m08/m10/p135 oracle CTE list (no leading WITH, so
     * it composes with other chains): regenerates the patterned-PNG
     * pixels from [[Multimodal.renderPatternPng]]'s closed form and
-    * replays the integer aHash block grid — ends at CTE `bands`
-    * (doc_id, w, h, band, val); consumers append either the band
-    * pivot (m06) or the pair mining (m07). */
+    * replays the integer aHash block grid THROUGH the band pivot —
+    * ends at CTE `hashes` (doc_id, w, h, b0..b3), so every consumer
+    * mines pairs / probes filters from the one shared spelling
+    * (review r18: the pivot was copy-pasted into four oracles). */
   private[operators] val ImagePHashOracleSql: String = """
         spec AS (
           SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS delta
@@ -49,7 +50,14 @@ private[operators] trait TextOps { self: Pipeline.type =>
         bands AS (
           SELECT doc_id, w, h, blk // 16 AS band,
                  SUM(bit * (1 << (blk % 16))) AS val
-          FROM bits GROUP BY doc_id, w, h, blk // 16)
+          FROM bits GROUP BY doc_id, w, h, blk // 16),
+        hashes AS (
+          SELECT doc_id, w, h,
+                 CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
+                 CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
+                 CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
+                 CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
+          FROM bands GROUP BY doc_id, w, h)
   """
 
   /** Per-row token counts over ANY corpus — the p11 tokenizers as a
@@ -1616,11 +1624,8 @@ private[operators] trait TextOps { self: Pipeline.type =>
           .orderBy(col("doc_id")),
       Some("WITH " + ImagePHashOracleSql + """
         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-               CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
-               CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
-               CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
-               CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
-        FROM bands GROUP BY doc_id, w, h ORDER BY doc_id""")),
+               b0, b1, b2, b3
+        FROM hashes ORDER BY doc_id""")),
 
     // ---- m07: image near-duplicate pairs — banded hamming LSH over
     // the m06 hashes (share-one-16-bit-band candidates, exact for
@@ -1640,14 +1645,7 @@ private[operators] trait TextOps { self: Pipeline.type =>
           Multimodal.imagePerceptualHash(Multimodal.imageRecordsPatterned(s, d)),
           tau = 3)
           .orderBy(col("doc_a"), col("doc_b")),
-      Some("WITH " + ImagePHashOracleSql + """,
-        hashes AS (
-          SELECT doc_id,
-                 CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
-                 CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
-                 CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
-                 CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
-          FROM bands GROUP BY doc_id, w, h)
+      Some("WITH " + ImagePHashOracleSql + """
         SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
                CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
                   + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3))
@@ -1679,14 +1677,7 @@ private[operators] trait TextOps { self: Pipeline.type =>
           hs.filter(col("doc_id") % 2 === 1), tau = 3)
           .orderBy(col("doc_id"), col("ref_id"))
       },
-      Some("WITH " + ImagePHashOracleSql + """,
-        hashes AS (
-          SELECT doc_id,
-                 CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
-                 CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
-                 CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
-                 CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
-          FROM bands GROUP BY doc_id, w, h)
+      Some("WITH " + ImagePHashOracleSql + """
         SELECT l.doc_id AS doc_id, r.doc_id AS ref_id,
                CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
                   + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3))
@@ -1719,13 +1710,6 @@ private[operators] trait TextOps { self: Pipeline.type =>
           .orderBy(col("doc_id"))
       },
       Some("WITH " + ImagePHashOracleSql + """,
-        hashes AS (
-          SELECT doc_id,
-                 CAST(SUM(CASE WHEN band = 0 THEN val ELSE 0 END) AS INT) AS b0,
-                 CAST(SUM(CASE WHEN band = 1 THEN val ELSE 0 END) AS INT) AS b1,
-                 CAST(SUM(CASE WHEN band = 2 THEN val ELSE 0 END) AS INT) AS b2,
-                 CAST(SUM(CASE WHEN band = 3 THEN val ELSE 0 END) AS INT) AS b3
-          FROM bands GROUP BY doc_id, w, h),
         keys AS (
           SELECT doc_id,
                  CAST(b AS VARCHAR) || ':' ||

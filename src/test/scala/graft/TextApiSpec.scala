@@ -3937,6 +3937,16 @@ class TextApiSpec extends AnyFunSuite {
       .toDF("user_id", "region", "full_name")
     assert(Pipeline.blockedRecordLinkage(flood, "user_id", Seq("region"),
       "full_name", maxDist = 99, blockCap = 9).count() == 0)
+    // NULL blocking keys never link (key EQUALITY, the oracle's join
+    // semantics — review r18): two identical names both missing the
+    // key must NOT pool into a NULL block and pair
+    val nullKeys = Seq(
+      (1L, null.asInstanceOf[String], "same name"),
+      (2L, null.asInstanceOf[String], "same name"),
+      (3L, "east", "same name"))
+      .toDF("user_id", "region", "full_name")
+    assert(Pipeline.blockedRecordLinkage(nullKeys, "user_id",
+      Seq("region"), "full_name", maxDist = 0).count() == 0)
     assert(intercept[IllegalArgumentException] {
       Pipeline.blockedRecordLinkage(recs, "user_id", Seq.empty,
         "full_name", maxDist = 1)
@@ -3964,5 +3974,18 @@ class TextApiSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Pipeline.silhouetteReport(pts, "vid", "emb", k = 1, dim = 4)
     }.getMessage.contains("k >= 2"))
+    // Lloyd's emptying down to ONE surviving centroid must error, not
+    // report s ≈ 1.0 against the MaxValue sentinel (review r18): all
+    // points identical → both min-id seeds coincide → cluster 1 empties
+    val degenerate = Seq(
+      (0L, Seq(1f, 1f, 1f, 1f)), (1L, Seq(1f, 1f, 1f, 1f)),
+      (2L, Seq(1f, 1f, 1f, 1f))).toDF("vid", "emb")
+    val e = intercept[Exception] {
+      Pipeline.silhouetteReport(degenerate, "vid", "emb", k = 2, dim = 4)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("surviving centroids")))
   }
 }
