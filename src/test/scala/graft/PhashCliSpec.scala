@@ -114,6 +114,22 @@ class PhashCliSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("phash: decode-once hashes and the report checkpoint all release " +
+    "— zero leaked blocks after any mode (the pipelineEndToEnd stance)") {
+    val in = writeImages(tmp("phash-leak"), 0L until 24L)
+    val ref = writeImages(tmp("phash-leak-ref"), 24L until 40L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Main.runPhash(spark, Main.PhashArgs(input = in,
+      outputFile = tmp("phash-leak-o") + "/p.parquet", idColumn = "img_id",
+      payloadColumn = "png", mode = "pairs", quiet = true))
+    Main.runPhash(spark, Main.PhashArgs(input = in, reference = ref,
+      outputFile = tmp("phash-leak-o2") + "/k.parquet", idColumn = "img_id",
+      payloadColumn = "png", mode = "scrub",
+      reportFile = Some(tmp("phash-leak-o2") + "/r.parquet"), quiet = true))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"phash leaked cached/checkpointed blocks: $leaked")
+  }
+
   test("phash --mode scrub ≡ imageNeardupAgainstCorpus anti-join; " +
     "report pairs; output carries only caller columns") {
     import spark.implicits._
