@@ -303,6 +303,50 @@ private[operators] trait DecontamOps { self: Pipeline.type =>
   }
 
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram family (the Phi/FineWeb-Edu eval-similarity scrub:
+    * paraphrased benchmark leakage shares no 13-gram, but its
+    * embedding sits next to the eval item): score every corpus row by
+    * its MAX cosine against the eval set and flag rows at or above
+    * `tau`. Scale shape: the eval side is benchmark-suite-sized by
+    * contract, so its vectors collapse to ONE broadcast row of
+    * (vector, squared-norm) structs; the corpus side is a single
+    * map pass — per row, `float_dot` (the codegen'd sequential fold)
+    * against each eval vector inside one `transform`, then
+    * `array_max` / a `>= tau` count over that array. The corpus never
+    * shuffles, joins, or sorts — the same zero-shuffle corpus-arm
+    * contract as [[ngramDecontaminate]]. All arithmetic is IEEE-exact
+    * (dot ≡ DuckDB list_reduce, sqrt/division exactly rounded, MAX
+    * order-free), so a DuckDB oracle matches bit-for-bit with no
+    * quantization. An empty eval set raises (riding the output column
+    * so pruning cannot elide it) — flagging NOTHING because the eval
+    * table was accidentally empty is the silent failure mode a
+    * decontamination pass must not have. Output: corpus columns +
+    * max_cos + n_over (eval items at/above tau) + flagged. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      vecCol: String, tau: Double): DataFrame = {
+    require(tau > -1.0 && tau <= 1.0, s"tau must be in (-1, 1], got $tau")
+    val evRow = evalSet
+      .select(col(vecCol).as("__v"))
+      .select(struct(col("__v").as("v"),
+        dot(col("__v"), col("__v")).as("n2")).as("__e"))
+      .agg(collect_list(col("__e")).as("__evals"))
+    corpus
+      .withColumn("__n2", dot(col(vecCol), col(vecCol)))
+      .crossJoin(broadcast(evRow))
+      .withColumn("__cos", transform(col("__evals"), e =>
+        dot(col(vecCol), e.getField("v"))
+          / (sqrt(col("__n2")) * sqrt(e.getField("n2")))))
+      .withColumn("max_cos", coalesce(array_max(col("__cos")),
+        raise_error(lit("semanticDecontaminate: empty eval set — " +
+          "an empty exclusion corpus would silently flag nothing"))))
+      .withColumn("n_over",
+        size(filter(col("__cos"), c => c >= lit(tau))).cast(LongType))
+      .withColumn("flagged", col("max_cos") >= lit(tau))
+      .select(corpus.columns.toSeq.map(col)
+        ++ Seq(col("max_cos"), col("n_over"), col("flagged")): _*)
+  }
+
   /** DecontamOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
   private[operators] lazy val decontamQueries: Seq[QueryDef] = Seq(
@@ -682,6 +726,47 @@ private[operators] trait DecontamOps { self: Pipeline.type =>
                END AS novelty
         FROM d LEFT JOIN stats s USING (doc_id)
         WHERE d.doc_id % 2 <> 0 ORDER BY d.doc_id"""
-      })
+      }),
+
+    // ---- p138: semantic (embedding-space) decontamination —
+    // [[semanticDecontaminate]] with every fifth vec_id as the eval
+    // set (the p49 split convention) at tau = 0.4 (the fixture's
+    // max-cos p99 sits at ~0.45, so a few corpus rows flag and the
+    // rest certify the negative path). The oracle replays the exact
+    // cosine (list_reduce sequential fold ≡ float_dot), the MAX, the
+    // >= tau count and the flag — nothing quantized.
+    QueryDef(
+      "p138_semantic_decontam",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        semanticDecontaminate(
+          e.filter(col("vec_id") % 5 =!= 0).select(col("vec_id"), col("label")
+            , col("embedding")),
+          e.filter(col("vec_id") % 5 === 0),
+          "embedding", tau = 0.4)
+          .select(col("vec_id"), col("label"), col("max_cos"),
+            col("n_over"), col("flagged"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 list_reduce(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) AS n2
+          FROM embeddings),
+        ev AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        corp AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        scored AS (
+          SELECT c.vec_id, c.label,
+                 list_reduce(list_transform(range(1, len(c.embedding) + 1),
+                   i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ev.embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) / (sqrt(c.n2) * sqrt(ev.n2)) AS cos
+          FROM corp c, ev)
+        SELECT vec_id, label, MAX(cos) AS max_cos,
+               CAST(SUM(CASE WHEN cos >= CAST(0.4 AS DOUBLE) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_over,
+               MAX(cos) >= CAST(0.4 AS DOUBLE) AS flagged
+        FROM scored GROUP BY vec_id, label ORDER BY vec_id"""))
   )
 }

@@ -425,6 +425,79 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
       .select(col("doc_id"), col("word_no"), col("word"), col("keep_p"))
   }
 
+  /** Curriculum training order (Bengio et al. ICML'09 applied to LLM
+    * data: easy-first document scheduling): assign every row a global
+    * training position that visits difficulty buckets in ascending
+    * order, md5-shuffled WITHIN each bucket (deterministic, RNG-free —
+    * the [[stratifiedSplit]] rank machinery). `bucketCol` is any
+    * caller-derived integer difficulty band (a length band, a quality
+    * quartile, a perplexity band — fixed boundaries keep it a map-side
+    * derivation). Plan shape: positions come from rank-within-bucket
+    * (a PARTITIONED window — parallel across buckets) plus per-bucket
+    * offsets from a bucket-count aggregate (bucket-cardinality-sized,
+    * broadcast back), NOT a corpus-wide single-partition row_number —
+    * the p92 slice trick, so the op survives 100 TB. Output: caller
+    * columns + rk (rank within bucket) + pos (global 1-based training
+    * position). */
+  def curriculumOrder(corpus: DataFrame, idCol: String,
+      bucketCol: String): DataFrame = {
+    val b = corpus.withColumn("__b", col(bucketCol).cast(StringType))
+    val ranked = b.withColumn("rk",
+      stratumMd5Rank("__b", idCol).cast(LongType))
+    // bucket offsets: counts (one tiny agg), cumulative sum over the
+    // ascending bucket order — bucket-cardinality rows, broadcast back
+    val offs = b.groupBy(col(bucketCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.orderBy(col(bucketCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(bucketCol), col("__off"))
+    ranked.join(broadcast(offs), Seq(bucketCol))
+      .select(Seq(col(idCol), col(bucketCol))
+        ++ corpus.columns.filterNot(c => c == idCol || c == bucketCol).map(col)
+        :+ col("rk")
+        :+ (col("__off") + col("rk")).cast(LongType).as("pos"): _*)
+  }
+
+  /** Token-balanced shard assignment — the training-data placement
+    * step: spread documents over `nShards` output shards so per-shard
+    * token totals stay close (boustrophedon/"snake" placement over the
+    * tokens-descending order: shard pattern 0..S−1, S−1..0, repeating —
+    * each full snake cycle gives every shard exactly two docs from one
+    * size neighborhood, so totals track each other far tighter than
+    * hash placement, which leaves Θ(√n) skew). The global
+    * tokens-descending rank does NOT use a corpus-wide single-partition
+    * window: rows rank inside their binary size class
+    * (`length(bin(tokens))` — disjoint token ranges, a PARTITIONED
+    * window, parallel across classes) and class-count offsets (≤ 64
+    * rows) complete the exact global rank, the p92 slice trick.
+    * Ties break by id, so reruns and the oracle agree exactly.
+    * Output: caller columns + rank (global, tokens-descending) +
+    * shard (0-based). */
+  def balancedShards(corpus: DataFrame, idCol: String, tokenCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val c = corpus.withColumn("__toks",
+      coalesce(col(tokenCol).cast(LongType), lit(0L)))
+      .withColumn("__cls", length(bin(col("__toks"))))
+    val ranked = c.withColumn("__rk",
+      row_number().over(Window.partitionBy(col("__cls"))
+        .orderBy(col("__toks").desc, col(idCol))))
+    val offs = c.groupBy(col("__cls")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__cls").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__cls"), col("__off"))
+    val snake = ranked.join(broadcast(offs), Seq("__cls"))
+      .withColumn("rank", (col("__off") + col("__rk")).cast(LongType))
+      .withColumn("__r0", (col("rank") - 1) % (2L * nShards))
+    snake.select(Seq(col(idCol))
+      ++ corpus.columns.filterNot(_ == idCol).map(col)
+      :+ col("rank")
+      :+ when(col("__r0") < nShards, col("__r0"))
+        .otherwise(lit(2L * nShards - 1) - col("__r0"))
+        .cast(IntegerType).as("shard"): _*)
+  }
+
   /** SamplingOps QueryDefs — registered through [[Pipeline.queries]];
     * names, plans and oracle SQL unchanged by the r15 module split. */
   private[operators] lazy val samplingQueries: Seq[QueryDef] = Seq(
@@ -723,6 +796,80 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
                    / 281474976710656.0 AS u
           FROM w LEFT JOIN f USING (word))
         SELECT doc_id, word_no, word, keep_p
-        FROM j WHERE u < keep_p ORDER BY doc_id, word_no"""))
+        FROM j WHERE u < keep_p ORDER BY doc_id, word_no""")),
+
+    // ---- p136: curriculum training order — [[curriculumOrder]] with a
+    // fixed-boundary length band as the difficulty bucket (short docs
+    // first; boundaries 200/300/400 straddle the fixture quartiles so
+    // all four bands populate). The oracle replays the md5
+    // within-bucket shuffle, the bucket-count offsets (window SUM cast
+    // back to BIGINT — the recorded DuckDB HUGEINT gotcha) and the
+    // offset+rank position arithmetic verbatim.
+    QueryDef(
+      "p136_curriculum_order",
+      (s, d) =>
+        curriculumOrder(
+          T.documents(s, d).select(col("doc_id"),
+            when(col("n_chars") < 200, 0).when(col("n_chars") < 300, 1)
+              .when(col("n_chars") < 400, 2).otherwise(3)
+              .cast(IntegerType).as("difficulty")),
+          "doc_id", "difficulty")
+          .orderBy(col("pos")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN n_chars < 200 THEN 0
+                           WHEN n_chars < 300 THEN 1
+                           WHEN n_chars < 400 THEN 2
+                           ELSE 3 END AS INTEGER) AS difficulty
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, difficulty,
+                 ROW_NUMBER() OVER (PARTITION BY difficulty
+                   ORDER BY md5(CAST(difficulty AS VARCHAR) || ':' ||
+                                CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM d),
+        cnt AS (SELECT difficulty, COUNT(*) AS n FROM d GROUP BY difficulty),
+        offs AS (
+          SELECT difficulty,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY difficulty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+          FROM cnt)
+        SELECT r.doc_id, r.difficulty, CAST(r.rk AS BIGINT) AS rk,
+               CAST(o.off + r.rk AS BIGINT) AS pos
+        FROM ranked r JOIN offs o USING (difficulty)
+        ORDER BY pos""")),
+
+    // ---- p137: token-balanced shard assignment — [[balancedShards]]
+    // at 8 shards over whitespace token counts. The oracle's global
+    // rank uses the plain single-window spelling (ORDER BY tokens
+    // DESC, doc_id) — provably equal to the operator's two-level
+    // class+offset construction, which is exactly what the gate
+    // certifies — then replays the snake fold.
+    QueryDef(
+      "p137_balanced_shards",
+      (s, d) =>
+        balancedShards(
+          T.documents(s, d).select(col("doc_id"),
+            coalesce(size(array_remove(words(col("text")), ""))
+              .cast(LongType), lit(0L)).as("n_tok")),
+          "doc_id", "n_tok", nShards = 8)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 COALESCE(CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS BIGINT), 0) AS n_tok
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, n_tok,
+                 ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rank
+          FROM d),
+        s AS (SELECT *, (rank - 1) % 16 AS r0 FROM ranked)
+        SELECT doc_id, n_tok, CAST(rank AS BIGINT) AS rank,
+               CAST(CASE WHEN r0 < 8 THEN r0 ELSE 15 - r0 END AS INTEGER)
+                 AS shard
+        FROM s ORDER BY doc_id"""))
   )
 }

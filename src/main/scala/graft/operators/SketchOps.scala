@@ -437,6 +437,46 @@ private[operators] trait SketchOps { self: Pipeline.type =>
         ((col("sy") - col("slope") * col("sx")) / n).as("intercept"))
   }
 
+  /** N-gram duplication profile — the corpus-health diagnostic behind
+    * dedup POLICY choices (Lee et al. "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022 reports exactly this
+    * sweep): for each gram length n, the share of n-gram OCCURRENCES
+    * that are repeats of an already-counted gram
+    * ((total − distinct) / total). Read as a curve: high dup share at
+    * large n means copied PASSAGES (substring/near dedup will bite);
+    * high share only at small n is ordinary language redundancy.
+    * One (count, count-distinct) aggregation per requested n — each an
+    * exact gram-keyed shuffle, the audited-diagnostic contract (at
+    * 100 TB swap the distinct side for [[hllSketch]]/
+    * approx_count_distinct and accept the ±2% band; the exact form is
+    * what the oracle can certify). Docs shorter than n words
+    * contribute no n-grams; NULL texts none at any n. */
+  def ngramDupProfile(corpus: DataFrame, textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(ns.nonEmpty, "ns must not be empty")
+    require(ns.forall(_ >= 1), s"gram lengths must be >= 1, got $ns")
+    require(ns.distinct.size == ns.size, s"duplicate gram lengths in $ns")
+    val ws = corpus
+      .select(array_remove(words(col(textCol)), "").as("ws"))
+      .filter(col("ws").isNotNull)
+    val perN = ns.map { n =>
+      // the size >= n filter keeps sequence() ascending (sequence(1, 0)
+      // is DESCENDING in Spark — the recorded BpeSpec gotcha)
+      ws.filter(size(col("ws")) >= n)
+        .select(explode(transform(
+          sequence(lit(1), size(col("ws")) - n + 1),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))).as("g"))
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("g")).as("distinct_grams"))
+        .select(lit(n).as("n"), col("total_grams"), col("distinct_grams"),
+          when(col("total_grams") > 0,
+            (col("total_grams") - col("distinct_grams")).cast(DoubleType)
+              / col("total_grams").cast(DoubleType))
+            .as("dup_gram_share"))
+    }
+    perN.reduce(_.union(_)).orderBy(col("n"))
+  }
+
   private[operators] lazy val sketchQueries: Seq[QueryDef] = Seq(
     // ---- p112: Zipf rank–frequency slope — [[zipfSlope]] over the
     // documents table's top-100 vocabulary head. The oracle replays
@@ -768,6 +808,36 @@ private[operators] trait SketchOps { self: Pipeline.type =>
                 ORDER BY abs_diff DESC, w ASC LIMIT 20)
         SELECT top.w AS word, top.c_a, top.c_b, top.p_a, top.p_b,
                top.abs_diff, tv.tvd
-        FROM top, tv ORDER BY top.abs_diff DESC, word ASC"""))
+        FROM top, tv ORDER BY top.abs_diff DESC, word ASC""")),
+
+    // ---- p139: n-gram duplication profile — [[ngramDupProfile]] at
+    // the default n ∈ {1, 2, 4, 8} sweep. The oracle replays each
+    // length's gram formation (1-based inclusive list slices joined
+    // with ' '), the exact count / count-distinct pair and the double
+    // division verbatim, one UNION ALL block per n.
+    QueryDef(
+      "p139_ngram_dup_profile",
+      (s, d) =>
+        ngramDupProfile(T.documents(s, d), "text"),
+      Some {
+        val blocks = Seq(1, 2, 4, 8).map { n =>
+          s"""
+          SELECT CAST($n AS INTEGER) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS total_grams,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_grams,
+                 CAST(COUNT(*) - COUNT(DISTINCT g) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS dup_gram_share
+          FROM (SELECT array_to_string(ws[i:i+${n - 1}], ' ') AS g
+                FROM w, unnest(range(1, len(ws) - $n + 2)) t(i)
+                WHERE len(ws) >= $n)"""
+        }
+        s"""
+        WITH w AS (
+          SELECT list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL)
+        ${blocks.mkString(" UNION ALL ")}
+        ORDER BY n"""
+      })
   )
 }

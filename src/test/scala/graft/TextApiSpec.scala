@@ -3988,4 +3988,132 @@ class TextApiSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("surviving centroids")))
   }
+
+  test("curriculumOrder: positions are a bucket-ascending permutation; " +
+      "within-bucket order is the md5 shuffle; alien columns pass through") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, 0, "x1"), (2L, 2, "x2"), (3L, 0, "x3"), (4L, 1, "x4"),
+      (5L, 2, "x5"), (6L, 0, "x6"), (7L, 1, "x7")).toDF("k", "band", "extra")
+    val got = Pipeline.curriculumOrder(corpus, "k", "band").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+    // pos is a permutation of 1..n
+    assert(got.map(_._4).sorted.toSeq == (1L to 7L))
+    // bucket blocks: every bucket-0 pos < every bucket-1 pos < bucket-2
+    val byBand = got.groupBy(_._2).view.mapValues(_.map(_._4)).toMap
+    assert(byBand(0).max < byBand(1).min && byBand(1).max < byBand(2).min)
+    // rk is 1..count within each bucket and pos = offset + rk
+    assert(byBand.keys.forall(b =>
+      got.filter(_._2 == b).map(_._3).sorted.toSeq ==
+        (1L to byBand(b).length)))
+    // within-bucket order is md5("band:k"), k tie-break — replay it
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expect0 = Seq(1L, 3L, 6L).sortBy(k => (md5hex(s"0:$k"), k))
+    assert(got.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq == expect0)
+    // alien column survives, output column order is id, bucket, rest
+    assert(Pipeline.curriculumOrder(corpus, "k", "band").columns.toSeq ==
+      Seq("k", "band", "extra", "rk", "pos"))
+  }
+
+  test("balancedShards: two-level rank equals the global tokens-desc sort; " +
+      "snake placement balances totals; degenerate shapes") {
+    import spark.implicits._
+    // token counts straddle several binary size classes (1..3000) so
+    // the class+offset construction is genuinely exercised
+    val rows = (1L to 40L).map(k => (k, ((k * 37) % 61) * 50 + k))
+    val corpus = rows.toDF("k", "toks")
+    val got = Pipeline.balancedShards(corpus, "k", "toks", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // rank must equal the plain global (tokens DESC, id ASC) order
+    val expectRank = rows.sortBy { case (k, t) => (-t, k) }
+      .zipWithIndex.map { case ((k, _), i) => k -> (i + 1L) }.toMap
+    assert(got.forall { case (k, _, rank, _) => rank == expectRank(k) },
+      s"two-level rank diverged from the global sort: ${got.toSeq}")
+    // snake: rank r → (r-1) mod 8 folded at 4
+    assert(got.forall { case (_, _, r, s) =>
+      val r0 = (r - 1) % 8
+      s == (if (r0 < 4) r0 else 7 - r0)
+    })
+    // balance: every shard gets 10 docs and totals stay within the
+    // largest single doc of each other (snake pairs big with small)
+    val totals = got.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    assert(totals.keySet == Set(0, 1, 2, 3) &&
+      got.groupBy(_._4).forall(_._2.length == 10))
+    assert(totals.values.max - totals.values.min <= got.map(_._2).max,
+      s"snake balance violated: $totals")
+    // nShards = 1: everything lands in shard 0
+    assert(Pipeline.balancedShards(corpus, "k", "toks", 1)
+      .select("shard").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    // null token counts rank as 0 (last), and the guard is loud
+    val withNull = Seq((1L, Some(5L)), (2L, None)).toDF("k", "toks")
+    val nulled = Pipeline.balancedShards(withNull, "k", "toks", 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nulled == Map(1L -> 1L, 2L -> 2L))
+    assert(intercept[IllegalArgumentException](
+      Pipeline.balancedShards(corpus, "k", "toks", 0))
+      .getMessage.contains("nShards"))
+  }
+
+  test("semanticDecontaminate: max cosine + threshold flag; empty eval " +
+      "raises loudly; corpus columns pass through") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.6f, 0.8f)), (3L, Seq(0f, 1f)))
+      .toDF("k", "v")
+    val evalSet = Seq((90L, Seq(1f, 0f)), (91L, Seq(0f, -1f))).toDF("k", "v")
+    val got = Pipeline.semanticDecontaminate(corpus, evalSet, "v", tau = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    // cos vs eval {(1,0),(0,-1)}: doc1 → max 1.0; doc2 → max 0.6;
+    // doc3 → max 0.0 (the −1 eval scores −1)
+    assert(got(0) == ((1L, 1.0, 1L, true)))
+    assert(math.abs(got(1)._2 - 0.6) < 1e-7 && got(1)._3 == 0L && !got(1)._4)
+    assert(got(2) == ((3L, 0.0, 0L, false)))
+    // n_over counts EVERY eval item at/above tau, not just the max
+    val both = Pipeline.semanticDecontaminate(
+      corpus, Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f))).toDF("k", "v"),
+      "v", tau = 0.9).filter(col("k") === 1L).collect().head
+    assert(both.getLong(3) == 2L && both.getBoolean(4))
+    // an empty eval set raises instead of silently flagging nothing
+    val e = intercept[Exception] {
+      Pipeline.semanticDecontaminate(corpus, evalSet.limit(0), "v", 0.9)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("empty eval set")))
+    assert(intercept[IllegalArgumentException](
+      Pipeline.semanticDecontaminate(corpus, evalSet, "v", 1.5))
+      .getMessage.contains("tau"))
+  }
+
+  test("ngramDupProfile: hand-counted sweep; short docs drop per n; " +
+      "NULL text ignored; parameter guards") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"),
+      (3L, null.asInstanceOf[String])).toDF("k", "text")
+    val got = Pipeline.ngramDupProfile(docs, "text", ns = Seq(1, 2, 4, 8))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // n=1: 7 occurrences of {a,b,c}; n=2: "a b","b a","a b" + "a b","b c"
+    assert(got(1) == ((7L, 3L, Some(4.0 / 7.0))))
+    assert(got(2) == ((5L, 3L, Some(2.0 / 5.0))))
+    // n=4: only doc1 is long enough — its single gram is unique
+    assert(got(4) == ((1L, 1L, Some(0.0))))
+    // n=8: no doc long enough → zero counts, share undefined (null)
+    assert(got(8) == ((0L, 0L, None)))
+    assert(intercept[IllegalArgumentException](
+      Pipeline.ngramDupProfile(docs, "text", ns = Nil))
+      .getMessage.contains("empty"))
+    assert(intercept[IllegalArgumentException](
+      Pipeline.ngramDupProfile(docs, "text", ns = Seq(2, 2)))
+      .getMessage.contains("duplicate"))
+    assert(intercept[IllegalArgumentException](
+      Pipeline.ngramDupProfile(docs, "text", ns = Seq(0)))
+      .getMessage.contains(">= 1"))
+  }
 }
