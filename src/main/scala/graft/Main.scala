@@ -795,6 +795,188 @@ object Main {
     stats
   }
 
+  /** `graft shard` — the training-layout pair (p136/p137) as a CLI:
+    * token-balanced shard placement (mode `balance`) or curriculum
+    * training order (mode `curriculum`). Fronts
+    * [[operators.Pipeline.balancedShards]] /
+    * [[operators.Pipeline.curriculumOrder]] — never a reimplementation
+    * (ShardCliSpec pins CLI ≡ library). */
+  final case class ShardArgs(
+      input: String = "",
+      outputFile: String = "",
+      mode: String = "balance",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      tokenColumn: Option[String] = None,
+      bucketColumn: Option[String] = None,
+      shards: Int = 64,
+      compression: String = "zstd",
+      compressionLevel: Option[Int] = None,
+      multiFile: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      quiet: Boolean = false)
+
+  private[graft] val ShardHelpText =
+    s"""Lays a corpus out for training: token-balanced shard placement
+       |(snake fold over the tokens-descending rank, so per-shard token
+       |totals stay close) or curriculum training order (difficulty
+       |buckets ascending, deterministically shuffled within each bucket)
+       |
+       |Usage: graft shard [OPTIONS] --input <DIR> --output-file <FILE>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of documents
+       |  -o, --output-file <FILE>    Output with the layout columns added
+       |      --mode <M>              balance (default) | curriculum
+       |      --id-column <C>         Document id column (default doc_id)
+       |      --text-column <C>       Text column for derived token counts
+       |                              (default text; balance mode)
+       |      --token-column <C>      Integral per-doc token count column —
+       |                              skips the text derivation (balance mode)
+       |      --bucket-column <C>     Integral difficulty bucket column
+       |                              (required in curriculum mode)
+       |      --shards <N>            Shard count (default 64; balance mode)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --compression-level <N> Compressor level (zstd)
+       |      --multi-file            Write one file per task instead of a single file
+       |      --partition-by <C>      Hive-style output partitioning (repeatable)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |
+       |balance adds: rank (global tokens-descending), shard (0-based),
+       |and n_tok when derived from --text-column.
+       |curriculum adds: rk (rank within bucket), pos (global 1-based
+       |training position).
+       |""".stripMargin
+
+  private[graft] def parseShardArgs(argv: Seq[String]): ShardArgs = {
+    var a = ShardArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(ShardHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--mode" => a = a.copy(mode = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--token-column" => a = a.copy(tokenColumn = Some(take(flag)))
+        case "--bucket-column" => a = a.copy(bucketColumn = Some(take(flag)))
+        case "--shards" => a = a.copy(shards = parsePosInt(flag, take(flag)))
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--compression-level" =>
+          a = a.copy(compressionLevel = Some(c.takeInt(flag)))
+        case "--multi-file" => a = a.copy(multiFile = true)
+        case "--partition-by" =>
+          a = a.copy(partitionBy = a.partitionBy :+ take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see shard --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: shard [OPTIONS] --input DIR --output-file FILE")
+    if (a.mode != "balance" && a.mode != "curriculum")
+      throw new IllegalArgumentException(
+        s"unknown --mode '${a.mode}' (balance | curriculum)")
+    if (a.mode == "curriculum" && a.bucketColumn.isEmpty)
+      throw new IllegalArgumentException(
+        "--mode curriculum requires --bucket-column (an integral " +
+          "difficulty band — e.g. a quality quartile or length band)")
+    if (a.mode == "curriculum" &&
+        (a.tokenColumn.nonEmpty || a.shards != ShardArgs().shards))
+      throw new IllegalArgumentException(
+        "--token-column/--shards apply to --mode balance only")
+    if (a.mode == "balance" && a.bucketColumn.nonEmpty)
+      throw new IllegalArgumentException(
+        "--bucket-column applies to --mode curriculum only")
+    a
+  }
+
+  /** Integral-type gate shared by the shard CLI's layout columns: a
+    * silent cast of a string column would turn every value into NULL
+    * (token counts of 0, one giant NULL bucket) instead of failing. */
+  private def requireIntegral(df: org.apache.spark.sql.DataFrame,
+      flag: String, column: String): Unit = {
+    val t = df.schema(column).dataType
+    if (!Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)(t))
+      throw new IllegalArgumentException(
+        s"$flag column '$column' must be an integral type, found $t")
+  }
+
+  private[graft] def runShard(spark: SparkSession,
+      a: ShardArgs): ParquetSink.WriteStats = {
+    import org.apache.spark.sql.functions.{array_remove, coalesce, col, lit,
+      max, min, size, split, sum}
+    import org.apache.spark.sql.types.LongType
+    val derived: Seq[String] = a.mode match {
+      case "balance" =>
+        Seq("rank", "shard") ++
+          (if (a.tokenColumn.isEmpty) Seq("n_tok") else Nil)
+      case _ => Seq("rk", "pos")
+    }
+    val required = Seq("--id-column" -> a.idColumn) ++
+      (a.mode match {
+        case "balance" =>
+          a.tokenColumn.map("--token-column" -> _).toSeq ++
+            (if (a.tokenColumn.isEmpty) Seq("--text-column" -> a.textColumn)
+             else Nil)
+        case _ => a.bucketColumn.map("--bucket-column" -> _).toSeq
+      })
+    val docs = readDocs(spark, "--input", a.input, required)
+    derived.filter(docs.columns.contains) match {
+      case Nil =>
+      case clash => throw new IllegalArgumentException(
+        s"input already has column(s) ${clash.mkString(", ")} — the " +
+          "shard layout would overwrite them; rename or drop them first")
+    }
+    val out = a.mode match {
+      case "balance" =>
+        a.tokenColumn.foreach(requireIntegral(docs, "--token-column", _))
+        val withToks = a.tokenColumn match {
+          case Some(_) => docs
+          case None => docs.withColumn("n_tok",
+            coalesce(size(array_remove(split(col(a.textColumn), "\\s+"), ""))
+              .cast(LongType), lit(0L)))
+        }
+        operators.Pipeline.balancedShards(withToks, a.idColumn,
+          a.tokenColumn.getOrElse("n_tok"), a.shards)
+      case _ =>
+        requireIntegral(docs, "--bucket-column", a.bucketColumn.get)
+        operators.Pipeline.curriculumOrder(docs, a.idColumn,
+          a.bucketColumn.get)
+    }
+    val stats = ParquetSink.write(out, a.outputFile,
+      ParquetSink.SinkOptions(
+        compression = a.compression,
+        compressionLevel = a.compressionLevel,
+        singleFile = !a.multiFile,
+        partitionBy = a.partitionBy,
+        quiet = a.quiet))
+    if (!a.quiet) {
+      // both summaries are bounded (shards / buckets), driver-safe
+      val written = spark.read.parquet(a.outputFile)
+      if (a.mode == "balance") {
+        val t = written.groupBy(col("shard"))
+          .agg(sum(col(a.tokenColumn.getOrElse("n_tok"))).as("t"))
+          .agg(min(col("t")), max(col("t"))).collect()(0)
+        System.err.println(s"[shard] ${a.shards} shards, per-shard " +
+          s"tokens min=${t.get(0)} max=${t.get(1)}")
+      } else
+        System.err.println(s"[shard] ${written
+          .select(a.bucketColumn.get).distinct().count()} " +
+          "curriculum buckets")
+    }
+    stats
+  }
+
   /** `graft tokenize` — the tokenizer workflow (the p53/p74 chain) as
     * a CLI: train a BPE merge list on the corpus, encode every doc to
     * integer token ids, optionally pack the id stream into fixed-length
@@ -2074,6 +2256,8 @@ object Main {
        |  curate  Cleans a parquet document corpus (dedup, C4, decontamination)
        |  dedup   Deduplicates a corpus: exact + minhash-LSH near-dup collapse
        |  split   Leakage-safe train/val/test split (near-dups never straddle)
+       |  shard   Training layout: token-balanced shard placement or
+       |          curriculum ordering
        |  tokenize  Trains a BPE tokenizer, encodes token ids, packs chunks
        |  score   Scores documents: quality + language ID (+ flesch/entropy)
        |  index   Trains an IVF(-PQ) ANN index, writes artifacts as parquet
@@ -2585,6 +2769,9 @@ object Main {
       case Some("split") =>
         return runSubcommand("split", argv.toSeq.tail, parseSplitArgs,
           runSplit, timestampMicros = true)
+      case Some("shard") =>
+        return runSubcommand("shard", argv.toSeq.tail, parseShardArgs,
+          runShard, timestampMicros = true)
       case Some("tokenize") =>
         return runSubcommand("tokenize", argv.toSeq.tail, parseTokenizeArgs,
           runTokenize, timestampMicros = true)

@@ -1411,6 +1411,31 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-dup collapse: keep, per component, the member
+    * maximizing `keepBy` (id tie-break) instead of
+    * [[collapseByComponents]]' min-LABEL representative — the curation
+    * stance real pipelines want when duplicates differ in quality
+    * (keep the longest / highest-scored / least-boilerplate copy of a
+    * page, drop its degraded mirrors). `keepBy` is any Column over the
+    * corpus row (a length, a p10-style quality score, a perplexity).
+    * NULL scores sort LAST (a missing score never beats a present
+    * one). Plan shape: one corpus⋈components join (the component
+    * table is bounded by the near-dup set — AQE broadcasts it at
+    * curated scale), one rank window PARTITIONED by component, and
+    * the same anti-join collapse; unpaired rows never enter the
+    * window and always survive. */
+  def collapseByComponentsBest(corpus: DataFrame, idCol: String,
+      components: DataFrame, keepBy: Column): DataFrame = {
+    val byBest = Window.partitionBy(col("component"))
+      .orderBy(keepBy.desc_nulls_last, col(idCol).asc)
+    val drop = corpus
+      .join(components.withColumnRenamed("node", idCol), Seq(idCol))
+      .withColumn("__rk", row_number().over(byBest))
+      .filter(col("__rk") > 1)
+      .select(col(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Leakage-safe train/val/test split of ANY corpus: the assignment
     * is hashed from the near-dup COMPONENT representative, not the
     * doc, so a near-duplicate pair can never straddle train and test
@@ -2560,6 +2585,32 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         $ComponentsSql
         SELECT doc_id, lang, source FROM documents
         WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        ORDER BY doc_id""")),
+
+    // ---- p140: quality-aware near-dup collapse —
+    // [[collapseByComponentsBest]] over the SAME shared component
+    // graph as p30, keeping the LONGEST member (n_chars) per component
+    // instead of the min-label one. The oracle reuses the p30 CTE
+    // chain and replays the per-component (n_chars DESC NULLS LAST,
+    // id) rank; the two gates together certify that representative
+    // POLICY, not component structure, is the only difference.
+    QueryDef(
+      "p140_collapse_best",
+      (s, d) =>
+        collapseByComponentsBest(
+          T.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", sharedComponents(s, d), keepBy = col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH RECURSIVE $NeardupPairsSql,
+        $ComponentsSql,
+        members AS (
+          SELECT d.doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY c.component
+                   ORDER BY d.n_chars DESC NULLS LAST, d.doc_id) AS rk
+          FROM documents d JOIN comp c ON d.doc_id = c.node)
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE rk > 1)
         ORDER BY doc_id""")),
 
     // ---- p26: SimHash near-dup pairing by Hamming distance ≤ 3 over

@@ -473,22 +473,48 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * Ties break by id, so reruns and the oracle agree exactly.
     * Output: caller columns + rank (global, tokens-descending) +
     * shard (0-based). */
+  /** Exact global rank over (`valueCol` asc/desc, id asc) WITHOUT a
+    * corpus-wide single-partition window — the p92 slice trick shared
+    * by [[balancedShards]] and [[paddingWasteReport]]: rows rank
+    * inside their binary size class (`length(bin(value))` — disjoint
+    * value ranges, a PARTITIONED window, parallel across classes) and
+    * class-count offsets (≤ 64 rows, broadcast) complete the exact
+    * global rank. Values must be non-negative (a negative long's
+    * two's-complement bin() is 64 chars — it would silently class
+    * ABOVE every positive value); the guard rides the rank column so
+    * pruning cannot elide it. Adds `rankCol` (1-based long); the
+    * `__cls` scratch column is dropped. */
+  private def rankByValueClass(df: DataFrame, valueCol: String,
+      idCol: String, rankCol: String, ascending: Boolean): DataFrame = {
+    val guarded = when(col(valueCol) < 0, raise_error(concat(
+      lit(s"rank over '$valueCol': negative value "), col(valueCol),
+      lit(" — binary size classes require non-negative keys"))))
+      .otherwise(col(valueCol))
+    val c = df.withColumn("__cls", length(bin(guarded)))
+    val order =
+      if (ascending) Seq(col(valueCol).asc, col(idCol).asc)
+      else Seq(col(valueCol).desc, col(idCol).asc)
+    val ranked = c.withColumn("__rk",
+      row_number().over(Window.partitionBy(col("__cls"))
+        .orderBy(order: _*)))
+    val offOrder = if (ascending) col("__cls").asc else col("__cls").desc
+    val offs = c.groupBy(col("__cls")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.orderBy(offOrder)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__cls"), col("__off"))
+    ranked.join(broadcast(offs), Seq("__cls"))
+      .withColumn(rankCol, (col("__off") + col("__rk")).cast(LongType))
+      .drop("__cls", "__rk", "__off")
+  }
+
   def balancedShards(corpus: DataFrame, idCol: String, tokenCol: String,
       nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val c = corpus.withColumn("__toks",
       coalesce(col(tokenCol).cast(LongType), lit(0L)))
-      .withColumn("__cls", length(bin(col("__toks"))))
-    val ranked = c.withColumn("__rk",
-      row_number().over(Window.partitionBy(col("__cls"))
-        .orderBy(col("__toks").desc, col(idCol))))
-    val offs = c.groupBy(col("__cls")).agg(count(lit(1)).as("__n"))
-      .withColumn("__off",
-        coalesce(sum(col("__n")).over(Window.orderBy(col("__cls").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__cls"), col("__off"))
-    val snake = ranked.join(broadcast(offs), Seq("__cls"))
-      .withColumn("rank", (col("__off") + col("__rk")).cast(LongType))
+    val snake = rankByValueClass(c, "__toks", idCol, "rank",
+      ascending = false)
       .withColumn("__r0", (col("rank") - 1) % (2L * nShards))
     snake.select(Seq(col(idCol))
       ++ corpus.columns.filterNot(_ == idCol).map(col)
@@ -496,6 +522,49 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
       :+ when(col("__r0") < nShards, col("__r0"))
         .otherwise(lit(2L * nShards - 1) - col("__r0"))
         .cast(IntegerType).as("shard"): _*)
+  }
+
+  /** Padding-waste report — the batching-efficiency diagnostic behind
+    * length-bucketed batching (every serving/training stack pads a
+    * batch's rows to its longest member, so batch COMPOSITION sets the
+    * waste): for `arrival` (id-order) and `sorted` (token-descending)
+    * batch layouts of size `batchSize`, the padded-token overhead
+    * n_b·max(len) − Σlen summed over batches, and its share of the
+    * padded stream. Sorting by length is the standard fix (e.g.
+    * dynamic batching in inference servers); this op QUANTIFIES what
+    * it saves on a concrete corpus. Both layouts rank through
+    * [[rankByValueClass]] (no single-partition window); the per-batch
+    * aggregate shuffles ⌈n/B⌉ keys. All counts are exact integers;
+    * the share is one double division. Output: (strategy, n_batches,
+    * total_tokens, padded_tokens, waste_share). */
+  def paddingWasteReport(corpus: DataFrame, idCol: String,
+      tokenCol: String, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = corpus.select(col(idCol),
+      coalesce(col(tokenCol).cast(LongType), lit(0L)).as("__toks"))
+    def wasteOf(ranked: DataFrame, strategy: String): DataFrame =
+      ranked
+        .withColumn("__batch", ((col("__rank") - 1) / batchSize)
+          .cast(LongType))
+        .groupBy(col("__batch"))
+        .agg(count(lit(1)).as("__n"), max(col("__toks")).as("__mx"),
+          sum(col("__toks")).as("__sum"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__sum")).as("total_tokens"),
+          sum(col("__n") * col("__mx") - col("__sum")).as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          when(col("total_tokens") + col("padded_tokens") > 0,
+            col("padded_tokens").cast(DoubleType)
+              / (col("total_tokens") + col("padded_tokens"))
+                .cast(DoubleType)).as("waste_share"))
+    val arrival = wasteOf(
+      rankByValueClass(base.withColumn("__id", col(idCol).cast(LongType)),
+        "__id", idCol, "__rank", ascending = true), "arrival")
+    val srt = wasteOf(
+      rankByValueClass(base, "__toks", idCol, "__rank", ascending = false),
+      "sorted")
+    arrival.union(srt).orderBy(col("strategy"))
   }
 
   /** SamplingOps QueryDefs — registered through [[Pipeline.queries]];
@@ -870,6 +939,54 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
         SELECT doc_id, n_tok, CAST(rank AS BIGINT) AS rank,
                CAST(CASE WHEN r0 < 8 THEN r0 ELSE 15 - r0 END AS INTEGER)
                  AS shard
-        FROM s ORDER BY doc_id"""))
+        FROM s ORDER BY doc_id""")),
+
+    // ---- p141: padding-waste report — [[paddingWasteReport]] at
+    // batch size 32 over whitespace token counts: arrival-order vs
+    // length-sorted batch layouts, exact integer padded-token overhead
+    // per strategy. The oracle replays both rank orders with the plain
+    // single-window spelling (≡ the operator's class+offset
+    // construction, certified by p137), the per-batch n·max−sum fold,
+    // and the one double division.
+    QueryDef(
+      "p141_padding_waste",
+      (s, d) =>
+        paddingWasteReport(
+          T.documents(s, d).select(col("doc_id"),
+            coalesce(size(array_remove(words(col("text")), ""))
+              .cast(LongType), lit(0L)).as("n_tok")),
+          "doc_id", "n_tok", batchSize = 32),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 COALESCE(CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS BIGINT), 0) AS n_tok
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, n_tok,
+                 ROW_NUMBER() OVER (ORDER BY doc_id) AS r_arr,
+                 ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS r_srt
+          FROM d),
+        per AS (
+          SELECT 'arrival' AS strategy, (r_arr - 1) // 32 AS b,
+                 n_tok FROM ranked
+          UNION ALL
+          SELECT 'sorted' AS strategy, (r_srt - 1) // 32 AS b,
+                 n_tok FROM ranked),
+        batches AS (
+          SELECT strategy, b, COUNT(*) AS n, MAX(n_tok) AS mx,
+                 SUM(n_tok) AS sm
+          FROM per GROUP BY strategy, b),
+        agg AS (
+          SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+                 CAST(SUM(sm) AS BIGINT) AS total_tokens,
+                 CAST(SUM(n * mx - sm) AS BIGINT) AS padded_tokens
+          FROM batches GROUP BY strategy)
+        SELECT strategy, n_batches, total_tokens, padded_tokens,
+               CASE WHEN total_tokens + padded_tokens > 0
+                    THEN CAST(padded_tokens AS DOUBLE)
+                         / CAST(total_tokens + padded_tokens AS DOUBLE)
+               END AS waste_share
+        FROM agg ORDER BY strategy"""))
   )
 }

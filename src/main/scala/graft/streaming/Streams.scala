@@ -360,6 +360,24 @@ object Streams {
       .filter(!col("neardup_in_ref")).drop("neardup_in_ref")
   }
 
+  /** Streaming SEMANTIC decontamination gate — [[graft.operators
+    * .Pipeline.semanticDecontaminate]] applied per micro-batch: the
+    * STATIC eval set collapses to one broadcast row of (vector,
+    * squared-norm) structs (benchmark-suite-sized by contract) and
+    * every arriving row scores map-side (`float_dot` per eval vector,
+    * `array_max`, the `>= tau` flag) — stateless, no watermark, no
+    * state store, and the gate drops exactly what the batch operator
+    * flags. The static side re-resolves per micro-batch, so a
+    * republished eval snapshot is picked up without a restart. This is
+    * the live-ingest half of the eval-similarity scrub: paraphrased
+    * benchmark leakage that shares no n-gram with the eval set (and so
+    * passes [[neardupGateAgainstCorpus]]) still blocks on embedding
+    * proximity. Output: the surviving rows, probe columns dropped. */
+  def semanticGate(docs: DataFrame, evalSet: DataFrame, vecCol: String,
+      tau: Double): DataFrame =
+    graft.operators.Pipeline.semanticDecontaminate(docs, evalSet, vecCol, tau)
+      .filter(!col("flagged")).drop("max_cos", "n_over", "flagged")
+
   /** Streaming distinct-token counter — the HyperLogLog registers as a
     * STREAMING aggregation: each micro-batch's tokens melt map-side
     * into (bucket, rank) rows through the exact arithmetic of the

@@ -115,6 +115,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(batchKept == ids, "stream gate diverged from the batch pair")
   }
 
+  test("semanticGate: stateless embedding-proximity blocking vs a " +
+      "static eval set; stream ≡ batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evalSet = Seq((100L, Seq(1f, 0f, 0f)), (101L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val gated = Streams.semanticGate(
+      in.toDF().toDF("doc_id", "embedding"), evalSet, "embedding", tau = 0.9)
+    val q = gated.writeStream.format("memory")
+      .queryName("semantic_gate").outputMode("append").start()
+    val data = Seq(
+      (1L, Seq(1f, 0f, 0f)),       // exactly an eval vector → dropped
+      (2L, Seq(0f, 0f, 1f)),       // orthogonal to both → kept
+      (3L, Seq(0.1f, 0.99f, 0f)),  // near eval 101 (cos > 0.9) → dropped
+      (4L, Seq(1f, 1f, 0f)))       // cos ≈ 0.71 to both → kept
+    try {
+      in.addData(data.take(2): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(2): _*) // batch 2: static side re-resolves
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("semantic_gate")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(2L, 4L), s"gate admitted $ids")
+    // probe columns never reach the sink; the gate is stateless
+    assert(spark.table("semantic_gate").columns.toSeq ==
+      Seq("doc_id", "embedding"))
+    // stream ≡ batch over the union of both micro-batches
+    val batchKept = graft.operators.Pipeline.semanticDecontaminate(
+      data.toDF("doc_id", "embedding"), evalSet, "embedding", 0.9)
+      .filter(!col("flagged"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == ids, "stream gate diverged from the batch operator")
+  }
+
   test("imageGateAgainstCorpus: in-stream decode + hash, stateless " +
       "Bloom probe; stream ≡ batch") {
     import spark.implicits._

@@ -348,6 +348,41 @@ class StressSpec extends AnyFunSuite {
         substringMinLen = 20)
     }
 
+    // p138: semantic decontamination — 19k corpus vectors × 1k eval
+    // vectors = 19M dim-64 cosines, ALL map-side against one broadcast
+    // row; the corpus arm must stay shuffle-free (the count's single
+    // partial agg is the only exchange)
+    drive("semanticDecontam", budgetSec = 600, minRows = NVecs - 1000L) {
+      operators.Pipeline.semanticDecontaminate(
+        vecs.filter(col("vec_id") % 20 =!= 0),
+        vecs.filter(col("vec_id") % 20 === 0),
+        "embedding", tau = 0.9)
+    }
+
+    // p136/p137: the training-layout pair at 5M rows — the two-level
+    // (partitioned window + offsets) rank construction must hold where
+    // a single-partition global window would serialize the corpus
+    val layout = spark.range(0, 5000000L, 1, 32)
+      .select(col("id").as("doc_id"),
+        (abs(hash(col("id"))) % 4096 + 1).cast("long").as("n_tok"))
+    drive("balancedShards", budgetSec = 300, minRows = 5000000L) {
+      operators.Pipeline.balancedShards(layout, "doc_id", "n_tok",
+        nShards = 1024)
+    }
+    drive("curriculumOrder", budgetSec = 300, minRows = 5000000L) {
+      operators.Pipeline.curriculumOrder(
+        layout.withColumn("difficulty",
+          (col("n_tok") / 256).cast("int")),
+        "doc_id", "difficulty")
+    }
+
+    // p139: the duplication-profile sweep — four exact gram-keyed
+    // (count, count-distinct) aggregations over ~6M words (~24M gram
+    // occurrences total), the vocabulary growing with the corpus
+    drive("ngramDupProfile", budgetSec = 600, minRows = 4L) {
+      operators.Pipeline.ngramDupProfile(docs, "text")
+    }
+
     // THE COMPOSED USER JOURNEY in ONE session (r17 verdict Next #1):
     // curate → managed dedup chain → component-shared leakage-safe
     // split → BPE tokenize → pack + report — the `graft` CLI chain as

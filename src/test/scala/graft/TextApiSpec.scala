@@ -4090,6 +4090,53 @@ class TextApiSpec extends AnyFunSuite {
       .getMessage.contains("tau"))
   }
 
+  test("collapseByComponentsBest: keeps the max-score member per component; " +
+      "NULL scores lose; ties break to the smaller id; unpaired rows survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, 5L), (2L, 10L), (3L, 7L),   // component 1 → keep 2 (score 10)
+      (5L, 4L), (6L, 4L),              // component 5: tie → keep 5 (min id)
+      (8L, -1L),                       // component 8 with a NULL partner
+      (4L, 99L), (7L, 0L))             // unpaired → always survive
+      .toDF("k", "score")
+      .withColumn("score", when(col("score") === -1L, lit(null)
+        .cast("long")).otherwise(col("score")))
+    val nullPartner = Seq((9L, Some(3L))).toDF("k", "score")
+    val all = corpus.union(nullPartner.select(col("k"),
+      col("score").cast("long")))
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (8L, 8L), (9L, 8L)).toDF("node", "component")
+    val kept = Pipeline.collapseByComponentsBest(all, "k", comps,
+      keepBy = col("score")).select("k").collect().map(_.getLong(0)).toSet
+    // comp 1 → 2; comp 5 tie at 4 → 5; comp 8: NULL(8) vs 3(9) → 9
+    assert(kept == Set(2L, 5L, 9L, 4L, 7L), s"kept $kept")
+  }
+
+  test("paddingWasteReport: hand-counted arrival vs sorted waste; guards") {
+    import spark.implicits._
+    val corpus = Seq((1L, Some(10L)), (2L, Some(1L)), (3L, Some(10L)),
+      (4L, None), (5L, Some(10L))).toDF("k", "toks")
+    val got = Pipeline.paddingWasteReport(corpus, "k", "toks", batchSize = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // arrival batches (by id): [10,1]→pad 9, [10,0]→pad 10, [10]→0;
+    // total 31, padded 19
+    assert(got("arrival") == ((3L, 31L, 19L, 19.0 / 50.0)))
+    // sorted (desc): [10,10]→0, [10,1]→9, [0]→0; padded 9
+    assert(got("sorted") == ((3L, 31L, 9L, 9.0 / 40.0)))
+    assert(intercept[IllegalArgumentException](
+      Pipeline.paddingWasteReport(corpus, "k", "toks", 0))
+      .getMessage.contains("batchSize"))
+    // negative token counts fail loudly (binary size classes would
+    // silently misorder them)
+    val neg = Seq((1L, -5L)).toDF("k", "toks")
+    val e = intercept[Exception](
+      Pipeline.paddingWasteReport(neg, "k", "toks", 2).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("negative value")))
+  }
+
   test("ngramDupProfile: hand-counted sweep; short docs drop per n; " +
       "NULL text ignored; parameter guards") {
     import spark.implicits._
