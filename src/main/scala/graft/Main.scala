@@ -1764,6 +1764,8 @@ object Main {
       rows: Int = 4,
       mBits: Int = 1 << 22,
       k: Int = 5,
+      vectorColumn: String = "embedding",
+      tau: Double = 0.9,
       reportFile: Option[String] = None,
       compression: String = "zstd",
       compressionLevel: Option[Int] = None,
@@ -1787,14 +1789,20 @@ object Main {
        |                              band-signature matches), near (exact-Jaccard
        |                              -verified near-dups), bloom (candidate-level
        |                              gate behind one fixed-size Bloom filter —
-       |                              the arbitrarily-large-reference mode)
+       |                              the arbitrarily-large-reference mode),
+       |                              semantic (cosine-verified embedding near-dups
+       |                              via cross-side SRP-LSH buckets — catches
+       |                              paraphrased copies no text mode sees)
        |      --jaccard-min <J>       near: verification threshold (default 0.5)
        |      --bands <N>             near: LSH bands (default 8)
        |      --rows <N>              near: minhash rows per band (default 4)
        |      --mbits <N>             bloom: filter size in bits (default 4194304)
        |      --k <N>                 bloom: hash probes per key (default 5)
-       |      --report-file <FILE>    near: also write the verified match pairs
-       |                              (doc_id, ref_id, jaccard)
+       |      --vector-column <C>     semantic: embedding column, both sides
+       |                              (default embedding)
+       |      --tau <T>               semantic: cosine threshold (default 0.9)
+       |      --report-file <FILE>    near/semantic: also write the verified match
+       |                              pairs (doc_id, ref_id, jaccard | cos_sim)
        |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
        |      --compression-level <N> Compressor level (zstd)
        |      --multi-file            Write one file per task instead of a single file
@@ -1818,9 +1826,9 @@ object Main {
         case "--text-column" => a = a.copy(textColumn = take(flag))
         case "--mode" =>
           val m = take(flag)
-          if (!Set("admit", "near", "bloom")(m))
+          if (!Set("admit", "near", "bloom", "semantic")(m))
             throw new IllegalArgumentException(
-              s"--mode must be admit, near or bloom, got '$m'")
+              s"--mode must be admit, near, bloom or semantic, got '$m'")
           a = a.copy(mode = m)
         case "--jaccard-min" =>
           a = a.copy(jaccardMin = c.takeDouble(flag, 0, 1, loExclusive = true))
@@ -1828,6 +1836,9 @@ object Main {
         case "--rows" => a = a.copy(rows = parsePosInt(flag, take(flag)))
         case "--mbits" => a = a.copy(mBits = parsePosInt(flag, take(flag)))
         case "--k" => a = a.copy(k = parsePosInt(flag, take(flag)))
+        case "--vector-column" => a = a.copy(vectorColumn = take(flag))
+        case "--tau" =>
+          a = a.copy(tau = c.takeDouble(flag, -1, 1, loExclusive = true))
         case "--report-file" => a = a.copy(reportFile = Some(take(flag)))
         case "--compression" => a = a.copy(compression = take(flag))
         case "--compression-level" =>
@@ -1849,18 +1860,26 @@ object Main {
     val nearOnly = Seq(
       "--jaccard-min" -> (a.jaccardMin != d.jaccardMin),
       "--bands" -> (a.bands != d.bands),
-      "--rows" -> (a.rows != d.rows),
-      "--report-file" -> a.reportFile.nonEmpty)
+      "--rows" -> (a.rows != d.rows))
     val bloomOnly = Seq(
       "--mbits" -> (a.mBits != d.mBits),
       "--k" -> (a.k != d.k))
+    val semanticOnly = Seq(
+      "--vector-column" -> (a.vectorColumn != d.vectorColumn),
+      "--tau" -> (a.tau != d.tau))
+    val pairModes = Set("near", "semantic")
     val stray = (if (a.mode != "near") nearOnly else Nil) ++
-      (if (a.mode != "bloom") bloomOnly else Nil)
+      (if (a.mode != "bloom") bloomOnly else Nil) ++
+      (if (a.mode != "semantic") semanticOnly else Nil) ++
+      (if (!pairModes(a.mode))
+         Seq("--report-file" -> a.reportFile.nonEmpty) else Nil)
     val bad = stray.collect { case (f, true) => f }
     if (bad.nonEmpty)
       throw new IllegalArgumentException(
         s"${bad.mkString(", ")} only apply to --mode " +
           s"${if (bad.exists(b => nearOnly.exists(_._1 == b))) "near"
+             else if (bad.exists(b => semanticOnly.exists(_._1 == b))) "semantic"
+             else if (bad.contains("--report-file")) "near/semantic"
              else "bloom"}")
     a
   }
@@ -1868,10 +1887,14 @@ object Main {
   private[graft] def runScrub(spark: SparkSession,
       a: ScrubArgs): ParquetSink.WriteStats = {
     import org.apache.spark.sql.functions.col
+    // semantic mode reads the embedding column instead of text
+    val contentCol =
+      if (a.mode == "semantic") "--vector-column" -> a.vectorColumn
+      else "--text-column" -> a.textColumn
     val docs = readDocs(spark, "--input", a.input,
-      Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn))
+      Seq("--id-column" -> a.idColumn, contentCol))
     val ref = readDocs(spark, "--reference", a.reference,
-      Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn))
+      Seq("--id-column" -> a.idColumn, contentCol))
     val sinkOpts = ParquetSink.SinkOptions(
       compression = a.compression,
       compressionLevel = a.compressionLevel,
@@ -1879,6 +1902,27 @@ object Main {
       partitionBy = a.partitionBy,
       quiet = a.quiet)
     val P = operators.Pipeline
+    // the near/semantic arms share one shape: verified pair table →
+    // anti-join the flagged ids away, optional pair report (with a
+    // report the pairs feed TWO sinks — materialize once, release
+    // after, the dedup-chain discipline). `keyCol` names the pair
+    // table's new-side id column
+    def scrubByPairs(pairs0: org.apache.spark.sql.DataFrame,
+        keyCol: String): ParquetSink.WriteStats = {
+      val pairs = if (a.reportFile.nonEmpty) pairs0.localCheckpoint()
+        else pairs0
+      try {
+        val flagged = pairs.select(col(keyCol).as(a.idColumn)).distinct()
+        val out = ParquetSink.write(
+          docs.join(flagged, Seq(a.idColumn), "left_anti"),
+          a.outputFile, sinkOpts)
+        a.reportFile.foreach { rf =>
+          ParquetSink.write(pairs, rf, ParquetSink.SinkOptions(quiet = true))
+        }
+        out
+      } finally if (a.reportFile.nonEmpty)
+        P.releaseLocalCheckpoint(pairs, blocking = true)
+    }
     val stats = a.mode match {
       case "admit" =>
         // derived key columns dropped so the OUTPUT can feed a later
@@ -1888,23 +1932,22 @@ object Main {
             .drop("content_hash", "band_sig"),
           a.outputFile, sinkOpts)
       case "near" =>
-        val pairs0 = P.minhashNeardupAgainstCorpus(docs, ref,
-          a.idColumn, a.textColumn, a.jaccardMin, a.bands, a.rows)
-        // with a report requested the pair table feeds TWO sinks —
-        // materialize once, release after (the dedup-chain discipline)
-        val pairs = if (a.reportFile.nonEmpty) pairs0.localCheckpoint()
-          else pairs0
-        try {
-          val flagged = pairs.select(col("doc_id").as(a.idColumn)).distinct()
-          val out = ParquetSink.write(
-            docs.join(flagged, Seq(a.idColumn), "left_anti"),
-            a.outputFile, sinkOpts)
-          a.reportFile.foreach { rf =>
-            ParquetSink.write(pairs, rf, ParquetSink.SinkOptions(quiet = true))
+        scrubByPairs(P.minhashNeardupAgainstCorpus(docs, ref,
+          a.idColumn, a.textColumn, a.jaccardMin, a.bands, a.rows),
+          "doc_id")
+      case "semantic" =>
+        // the SRP hyperplanes are dim-sized literals — derive dim from
+        // the data instead of assuming the library default
+        val dim = docs.select(org.apache.spark.sql.functions
+          .size(col(a.vectorColumn)).as("d")).filter(col("d") > 0)
+          .head(1) match {
+            case Array(r) => r.getInt(0)
+            case _ => throw new IllegalArgumentException(
+              s"--vector-column '${a.vectorColumn}' has no non-empty " +
+                "vectors to derive the embedding dimension from")
           }
-          out
-        } finally if (a.reportFile.nonEmpty)
-          P.releaseLocalCheckpoint(pairs, blocking = true)
+        scrubByPairs(P.embeddingNeardupAgainstCorpus(docs, ref,
+          a.idColumn, a.vectorColumn, a.tau, dim), "vec_id")
       case _ =>
         ParquetSink.write(
           P.neardupFlagAgainstBloom(docs, a.textColumn,

@@ -122,6 +122,71 @@ private[operators] trait AnnOps { self: Pipeline.type =>
       call_function("jl_project", col(vecCol), lit(dim), lit(outDim)))
   }
 
+  /** Cross-corpus EMBEDDING near-dup pairs — the semantic modality's
+    * reference-corpus twin (text: [[graft.operators.DedupOps
+    * minhashNeardupAgainstCorpus]] / p128; image: m08): find (new,
+    * reference) vector pairs with cosine ≥ `tau`, with candidates
+    * coming ONLY from cross-side SRP-LSH bucket joins — neither corpus
+    * ever self-joins or shuffles beyond its own (band, sig) bucket
+    * stage. 32 hyperplane-sign bits (the deterministic md5-derived ±1
+    * family [[graft.operators.PipelineCore.srpWeight]], map-side
+    * `float_dot` projections) form 8 bands × 4 bits; per-side buckets
+    * are independently [[LshBucketCap]]-capped with NO `> 1` floor (a
+    * singleton bucket still matches the OTHER side); verification
+    * fetches raw vectors for the CANDIDATE subset only and scores one
+    * exact cosine per candidate. This is how a new crawl's embeddings
+    * scrub against a prior snapshot's at 100 TB: the snapshot
+    * contributes one bucket pass, never a broadcast ([[graft.operators
+    * .DecontamOps.semanticDecontaminate]] is the broadcast shape for
+    * benchmark-SIZED references). Output: (vec_id, ref_id, cos_sim ≥
+    * tau). */
+  def embeddingNeardupAgainstCorpus(newVecs: DataFrame, refVecs: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      dim: Int = EmbDim): DataFrame = {
+    require(tau > -1.0 && tau <= 1.0, s"tau must be in (-1, 1], got $tau")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    def prep(c: DataFrame, out: String) = c.select(col(idCol).as(out),
+      col(vecCol).as("embedding"), dot(col(vecCol), col(vecCol)).as("n2"))
+    def buckets(e: DataFrame, out: String): DataFrame = {
+      val bitCols = (0 until SrpBands * SrpRows).map { i =>
+        val w = array((0 until dim).map(dd => lit(srpWeight(i, dd).toFloat)): _*)
+        when(dot(col("embedding"), w) >= 0, lit("1")).otherwise(lit("0"))
+          .as(s"bit$i")
+      }
+      val sigExpr = (0 until SrpBands).map(b =>
+        s"$b, concat(${(0 until SrpRows).map(r => s"bit${b * SrpRows + r}").mkString(", ")})")
+        .mkString(", ")
+      e.select(col(out) +: bitCols: _*)
+        .select(col(out), expr(s"stack($SrpBands, $sigExpr) AS (band, sig)"))
+        .groupBy(col("band"), col("sig"))
+        .agg(array_sort(collect_set(col(out))).as("ids"))
+        .filter(size(col("ids")) <= LshBucketCap)
+    }
+    val nd = prep(newVecs, "vec_id")
+    val rd = prep(refVecs, "ref_id")
+    val pairs = buckets(nd, "vec_id")
+      .join(buckets(rd, "ref_id").withColumnRenamed("ids", "rids"),
+        Seq("band", "sig"))
+      .select(explode(col("ids")).as("vec_id"), col("rids"))
+      .select(col("vec_id"), explode(col("rids")).as("ref_id"))
+      .distinct()
+    val candN = nd
+      .join(pairs.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding").as("ea"), col("n2").as("n2a"))
+      .repartition(col("vec_id"))
+    val candR = rd
+      .join(pairs.select(col("ref_id")).distinct(), Seq("ref_id"), "left_semi")
+      .select(col("ref_id"), col("embedding").as("eb"), col("n2").as("n2b"))
+      .repartition(col("ref_id"))
+    pairs
+      .join(candN, Seq("vec_id"))
+      .join(candR, Seq("ref_id"))
+      .select(col("vec_id"), col("ref_id"),
+        cosine(dot(col("ea"), col("eb")), col("n2a"), col("n2b"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
   /** Per-label centroid outliers over ANY embedding corpus — the p29
     * curation gate as a reusable operator: flag the `topK` vectors
     * farthest from their label's centroid (mislabeled or corrupt
@@ -1383,6 +1448,69 @@ private[operators] trait AnnOps { self: Pipeline.type =>
         SELECT q_id, doc_id, rrf_score,
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                  ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rk
-        FROM fsc QUALIFY rk <= 5 ORDER BY q_id, rk"""))
+        FROM fsc QUALIFY rk <= 5 ORDER BY q_id, rk""")),
+
+    // ---- p142: cross-corpus embedding near-dup —
+    // [[embeddingNeardupAgainstCorpus]] with even vec_ids as the
+    // reference snapshot and odd vec_ids as the new crawl, tau = 0.4.
+    // The oracle replays the SRP sign bits (the p06 spelling, WITHOUT
+    // label blocking), the per-side capped buckets with no singleton
+    // floor, the cross-side-only candidate join, and the exact cosine
+    // verify — so the gate certifies candidacy + verification, cap
+    // semantics included, on both engines.
+    QueryDef(
+      "p142_embedding_scrub",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        embeddingNeardupAgainstCorpus(
+          e.filter(col("vec_id") % 2 === 1),
+          e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", tau = 0.4)
+          .orderBy(col("vec_id"), col("ref_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 list_reduce(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                   (acc, x) -> acc + x) AS n2
+          FROM embeddings),
+        bits AS (
+          SELECT vec_id, vec_id % 2 = 1 AS is_new,
+                 ${(0 until SrpBands * SrpRows).map { i =>
+                   val w = (0 until EmbDim)
+                     .map(d => if (srpWeight(i, d) > 0) "1.0" else "-1.0")
+                     .mkString("[", ",", "]")
+                   s"""CASE WHEN list_reduce(list_transform(range(1, ${EmbDim + 1}),
+                      |   d -> CAST(embedding[d] AS DOUBLE) * CAST($w[d] AS DOUBLE)),
+                      |   (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END AS b$i""".stripMargin
+                 }.mkString(",\n                 ")}
+          FROM e),
+        bands AS (
+          SELECT vec_id, is_new, t.band,
+                 ${(0 until SrpBands).map(b =>
+                   s"concat(${(0 until SrpRows).map(r => s"b${b * SrpRows + r}").mkString(", ")})")
+                   .mkString("[", ", ", "]")}[CAST(t.band AS INT) + 1] AS sig
+          FROM bits, unnest(range(0, $SrpBands)) t(band)),
+        bands_c AS (
+          SELECT * FROM bands
+          QUALIFY COUNT(*) OVER (PARTITION BY is_new, band, sig)
+            <= $LshBucketCap),
+        pairs AS (
+          SELECT DISTINCT n.vec_id, r.vec_id AS ref_id
+          FROM bands_c n JOIN bands_c r
+            ON n.band = r.band AND n.sig = r.sig
+           AND n.is_new AND NOT r.is_new)
+        SELECT p.vec_id, p.ref_id,
+               list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                 (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
+        FROM pairs p JOIN e a ON a.vec_id = p.vec_id
+                     JOIN e b ON b.vec_id = p.ref_id
+        WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                 (acc, x) -> acc + x) / (sqrt(a.n2) * sqrt(b.n2))
+              >= CAST(0.4 AS DOUBLE)
+        ORDER BY p.vec_id, p.ref_id"""))
   )
 }

@@ -129,6 +129,51 @@ class ScrubCliSpec extends AnyFunSuite {
       "a verified near-dup survived the bloom gate")
   }
 
+  test("scrub --mode semantic ≡ anti-join of embeddingNeardupAgainstCorpus; " +
+      "knob coupling; derived dim") {
+    import Main.parseScrubArgs
+    val sa = parseScrubArgs(Seq("-i", "/in", "-r", "/ref", "-o", "/out",
+      "--mode", "semantic", "--vector-column", "vec", "--tau", "0.5",
+      "--report-file", "/rep"))
+    assert(sa.mode == "semantic" && sa.vectorColumn == "vec" &&
+      sa.tau == 0.5 && sa.reportFile.contains("/rep"))
+    val e1 = intercept[IllegalArgumentException](parseScrubArgs(
+      Seq("-i", "a", "-r", "r", "-o", "b", "--tau", "0.5")))
+    assert(e1.getMessage.contains("--tau") &&
+      e1.getMessage.contains("semantic"))
+    // --report-file outside near/semantic must not silently no-op
+    val e2 = intercept[IllegalArgumentException](parseScrubArgs(
+      Seq("-i", "a", "-r", "r", "-o", "b", "--report-file", "/rep")))
+    assert(e2.getMessage.contains("--report-file"))
+
+    // end-to-end over the embeddings fixture, new = odd / ref = even
+    val all = spark.read.parquet(TestSpark.sfDir + "/embeddings.parquet")
+    val newDir = tmp("sem-new") + "/new.parquet"
+    val refDir = tmp("sem-ref") + "/ref.parquet"
+    all.filter(col("vec_id") % 2 === 1).write.parquet(newDir)
+    all.filter(col("vec_id") % 2 === 0).write.parquet(refDir)
+    val out = tmp("sem-out") + "/kept.parquet"
+    val rep = tmp("sem-rep") + "/pairs.parquet"
+    val stats = Main.runScrub(spark, Main.ScrubArgs(
+      input = newDir, reference = refDir, outputFile = out,
+      mode = "semantic", idColumn = "vec_id", tau = 0.4,
+      reportFile = Some(rep), quiet = true))
+    val pairs = operators.Pipeline.embeddingNeardupAgainstCorpus(
+      spark.read.parquet(newDir), spark.read.parquet(refDir),
+      "vec_id", "embedding", tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.nonEmpty, "fixture lost its cross-parity semantic pairs")
+    val flagged = pairs.map(_._1)
+    val allNew = spark.read.parquet(newDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val kept = spark.read.parquet(out).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == allNew -- flagged && stats.rows == kept.size.toLong)
+    val gotRep = spark.read.parquet(rep)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotRep == pairs)
+  }
+
   test("scrub: bad input directory fails with a one-line error") {
     val e = intercept[IllegalArgumentException] {
       Main.runScrub(spark, Main.ScrubArgs(

@@ -359,6 +359,18 @@ class StressSpec extends AnyFunSuite {
         "embedding", tau = 0.9)
     }
 
+    // p142: cross-corpus embedding scrub — 10k new vs 10k reference
+    // vectors through per-side SRP buckets; candidates only from
+    // cross-side bucket joins, exact-cosine verify on the candidate
+    // subset (the clustered stress vectors make every same-cluster
+    // cross pair a real candidate)
+    drive("embeddingScrub", budgetSec = 600, minRows = 1000L) {
+      operators.Pipeline.embeddingNeardupAgainstCorpus(
+        vecs.filter(col("vec_id") % 2 === 1),
+        vecs.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", tau = 0.9)
+    }
+
     // p136/p137: the training-layout pair at 5M rows — the two-level
     // (partitioned window + offsets) rank construction must hold where
     // a single-partition global window would serialize the corpus

@@ -4090,6 +4090,38 @@ class TextApiSpec extends AnyFunSuite {
       .getMessage.contains("tau"))
   }
 
+  test("embeddingNeardupAgainstCorpus: exact twins always surface; pairs " +
+      "are cross-side only; tau filters; within-side dups never emitted") {
+    import spark.implicits._
+    // deterministic vectors: two exact cross-side twins (1≡101, 3≡103),
+    // one within-NEW twin pair (5, 7) that must NOT pair, and noise
+    def vec(seed: Int): Seq[Float] =
+      (1 to 16).map(j => (((seed * 31 + j * 17) % 97) / 48.5f - 1f))
+    val newSide = Seq(
+      (1L, vec(1)), (3L, vec(3)), (5L, vec(5)), (7L, vec(5)), (9L, vec(9)))
+      .toDF("k", "v")
+    val refSide = Seq(
+      (101L, vec(1)), (103L, vec(3)), (105L, vec(60))).toDF("k", "v")
+    val got = Pipeline.embeddingNeardupAgainstCorpus(newSide, refSide,
+      "k", "v", tau = 0.999, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors agree on EVERY hyperplane sign, so the exact
+    // twins are guaranteed candidates and score cosine 1.0
+    assert(got == Set((1L, 101L), (3L, 103L)), s"got $got")
+    // the within-new twin (5, 7) must never appear on either side of a
+    // pair — candidates are cross-side ONLY
+    assert(!got.exists(p => p._1 == 5L && p._2 == 7L))
+    // a permissive tau admits more pairs but never within-side ones
+    val loose = Pipeline.embeddingNeardupAgainstCorpus(newSide, refSide,
+      "k", "v", tau = -0.999, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.forall(p => p._1 < 100L && p._2 >= 100L))
+    assert(got.subsetOf(loose))
+    assert(intercept[IllegalArgumentException](
+      Pipeline.embeddingNeardupAgainstCorpus(newSide, refSide, "k", "v",
+        tau = 1.5, dim = 16)).getMessage.contains("tau"))
+  }
+
   test("collapseByComponentsBest: keeps the max-score member per component; " +
       "NULL scores lose; ties break to the smaller id; unpaired rows survive") {
     import spark.implicits._
