@@ -890,6 +890,13 @@ object Main {
         (a.tokenColumn.nonEmpty || a.shards != ShardArgs().shards))
       throw new IllegalArgumentException(
         "--token-column/--shards apply to --mode balance only")
+    // --text-column is only consumed when balance mode DERIVES token
+    // counts; anywhere else it would silently do nothing (review r18.2)
+    if (a.textColumn != ShardArgs().textColumn &&
+        (a.mode == "curriculum" || a.tokenColumn.nonEmpty))
+      throw new IllegalArgumentException(
+        "--text-column only applies to --mode balance without " +
+          "--token-column (it names the text the token counts derive from)")
     if (a.mode == "balance" && a.bucketColumn.nonEmpty)
       throw new IllegalArgumentException(
         "--bucket-column applies to --mode curriculum only")
@@ -1867,6 +1874,12 @@ object Main {
     val semanticOnly = Seq(
       "--vector-column" -> (a.vectorColumn != d.vectorColumn),
       "--tau" -> (a.tau != d.tau))
+    // semantic mode reads vectors, never text — a --text-column there
+    // would silently do nothing (review r18.2)
+    if (a.mode == "semantic" && a.textColumn != d.textColumn)
+      throw new IllegalArgumentException(
+        "--text-column does not apply to --mode semantic (use " +
+          "--vector-column)")
     val pairModes = Set("near", "semantic")
     val stray = (if (a.mode != "near") nearOnly else Nil) ++
       (if (a.mode != "bloom") bloomOnly else Nil) ++
@@ -1946,8 +1959,12 @@ object Main {
               s"--vector-column '${a.vectorColumn}' has no non-empty " +
                 "vectors to derive the embedding dimension from")
           }
+        // the pair table carries the DOCUMENTED (doc_id, ref_id, …)
+        // shape like the near mode, not the library's vec_id spelling
+        // (review r18.2)
         scrubByPairs(P.embeddingNeardupAgainstCorpus(docs, ref,
-          a.idColumn, a.vectorColumn, a.tau, dim), "vec_id")
+          a.idColumn, a.vectorColumn, a.tau, dim)
+          .withColumnRenamed("vec_id", "doc_id"), "doc_id")
       case _ =>
         ParquetSink.write(
           P.neardupFlagAgainstBloom(docs, a.textColumn,

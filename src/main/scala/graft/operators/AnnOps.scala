@@ -145,8 +145,20 @@ private[operators] trait AnnOps { self: Pipeline.type =>
       dim: Int = EmbDim): DataFrame = {
     require(tau > -1.0 && tau <= 1.0, s"tau must be in (-1, 1], got $tau")
     require(dim >= 1, s"dim must be >= 1, got $dim")
+    // NULL or wrong-length vectors raise LOUDLY (riding the embedding
+    // column, so any consumption forces the check): a dimension
+    // mismatch between the two corpora would otherwise NULL every
+    // float_dot, zero every SRP bit on that side, and ship the full
+    // contaminated corpus as "no pairs found" — the silent failure
+    // mode a scrub must not have (review r18.2)
     def prep(c: DataFrame, out: String) = c.select(col(idCol).as(out),
-      col(vecCol).as("embedding"), dot(col(vecCol), col(vecCol)).as("n2"))
+      when(size(col(vecCol)) === dim, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"embeddingNeardupAgainstCorpus: embedding of row "),
+          col(idCol).cast(StringType),
+          lit(s" is NULL or not $dim-dimensional")))).as("embedding"))
+      .select(col(out), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("n2"))
     def buckets(e: DataFrame, out: String): DataFrame = {
       val bitCols = (0 until SrpBands * SrpRows).map { i =>
         val w = array((0 until dim).map(dd => lit(srpWeight(i, dd).toFloat)): _*)

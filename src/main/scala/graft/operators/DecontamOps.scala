@@ -337,9 +337,21 @@ private[operators] trait DecontamOps { self: Pipeline.type =>
       .withColumn("__cos", transform(col("__evals"), e =>
         dot(col(vecCol), e.getField("v"))
           / (sqrt(col("__n2")) * sqrt(e.getField("n2")))))
-      .withColumn("max_cos", coalesce(array_max(col("__cos")),
-        raise_error(lit("semanticDecontaminate: empty eval set — " +
-          "an empty exclusion corpus would silently flag nothing"))))
+      // two DISTINCT loud failures (review r18.2 — the first cut's
+      // single coalesce blamed the eval set for both): an empty eval
+      // set, and a corpus row the pass cannot score (NULL or
+      // wrong-dimension embedding → every cos NULL) — silently KEEPING
+      // an unscoreable row is the contamination leak this operator
+      // exists to prevent
+      .withColumn("max_cos",
+        when(size(col("__evals")) === 0,
+          raise_error(lit("semanticDecontaminate: empty eval set — " +
+            "an empty exclusion corpus would silently flag nothing")))
+          .when(array_max(col("__cos")).isNull,
+            raise_error(lit("semanticDecontaminate: unscoreable corpus " +
+              "embedding (NULL or wrong-dimension vs the eval set) — " +
+              "filter or repair such rows first")))
+          .otherwise(array_max(col("__cos"))))
       .withColumn("n_over",
         size(filter(col("__cos"), c => c >= lit(tau))).cast(LongType))
       .withColumn("flagged", col("max_cos") >= lit(tau))

@@ -441,7 +441,16 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * position). */
   def curriculumOrder(corpus: DataFrame, idCol: String,
       bucketCol: String): DataFrame = {
-    val b = corpus.withColumn("__b", col(bucketCol).cast(StringType))
+    // a NULL bucket raises LOUDLY (riding the rank column): the offset
+    // equi-join can never match a NULL key, so such rows would
+    // otherwise vanish from the training layout without a trace
+    // (review r18.2)
+    val b = corpus.withColumn("__b",
+      when(col(bucketCol).isNull, raise_error(concat(
+        lit("curriculumOrder: NULL bucket for row "),
+        col(idCol).cast(StringType),
+        lit(s" — assign every row a difficulty in '$bucketCol' first"))))
+        .otherwise(col(bucketCol).cast(StringType)))
     val ranked = b.withColumn("rk",
       stratumMd5Rank("__b", idCol).cast(LongType))
     // bucket offsets: counts (one tiny agg), cumulative sum over the
@@ -540,6 +549,16 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
   def paddingWasteReport(corpus: DataFrame, idCol: String,
       tokenCol: String, batchSize: Int): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    // the arrival-order rank keys on the id itself, so a non-integral
+    // id would silently cast to NULL and report n_batches = 0 for the
+    // arrival strategy while 'sorted' computes fine (review r18.2)
+    val idType = corpus.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, LongType).contains(idType),
+      s"paddingWasteReport: idCol '$idCol' must be an integral type " +
+        s"(the arrival-order rank keys on it), found $idType")
     val base = corpus.select(col(idCol),
       coalesce(col(tokenCol).cast(LongType), lit(0L)).as("__toks"))
     def wasteOf(ranked: DataFrame, strategy: String): DataFrame =

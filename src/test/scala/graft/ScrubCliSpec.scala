@@ -145,6 +145,11 @@ class ScrubCliSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](parseScrubArgs(
       Seq("-i", "a", "-r", "r", "-o", "b", "--report-file", "/rep")))
     assert(e2.getMessage.contains("--report-file"))
+    // semantic never reads text — --text-column there fails fast
+    val e3 = intercept[IllegalArgumentException](parseScrubArgs(
+      Seq("-i", "a", "-r", "r", "-o", "b", "--mode", "semantic",
+        "--text-column", "body")))
+    assert(e3.getMessage.contains("--text-column"))
 
     // end-to-end over the embeddings fixture, new = odd / ref = even
     val all = spark.read.parquet(TestSpark.sfDir + "/embeddings.parquet")
@@ -172,6 +177,10 @@ class ScrubCliSpec extends AnyFunSuite {
     val gotRep = spark.read.parquet(rep)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(gotRep == pairs)
+    // the report carries the DOCUMENTED (doc_id, ref_id, cos_sim)
+    // shape, like the near mode (review r18.2)
+    assert(spark.read.parquet(rep).columns.toSeq ==
+      Seq("doc_id", "ref_id", "cos_sim"))
   }
 
   test("scrub: bad input directory fails with a one-line error") {

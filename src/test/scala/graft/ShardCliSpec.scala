@@ -39,6 +39,14 @@ class ShardCliSpec extends AnyFunSuite {
         "--bucket-column", "band", "--shards", "8")))
     intercept[IllegalArgumentException](parseShardArgs(
       Seq("-i", "a", "-o", "b", "--bucket-column", "band")))
+    // --text-column where no token derivation happens fails fast
+    // instead of silently doing nothing (review r18.2)
+    intercept[IllegalArgumentException](parseShardArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "curriculum",
+        "--bucket-column", "band", "--text-column", "body")))
+    intercept[IllegalArgumentException](parseShardArgs(
+      Seq("-i", "a", "-o", "b", "--token-column", "toks",
+        "--text-column", "body")))
     intercept[Main.CliExit](parseShardArgs(Seq("--help")))
   }
 

@@ -4015,6 +4015,15 @@ class TextApiSpec extends AnyFunSuite {
     // alien column survives, output column order is id, bucket, rest
     assert(Pipeline.curriculumOrder(corpus, "k", "band").columns.toSeq ==
       Seq("k", "band", "extra", "rk", "pos"))
+    // a NULL bucket raises loudly instead of vanishing through the
+    // offset equi-join (review r18.2)
+    val withNull = Seq((1L, Some(0), "x"), (2L, None, "y"))
+      .toDF("k", "band", "extra")
+    val eNull = intercept[Exception](
+      Pipeline.curriculumOrder(withNull, "k", "band").collect())
+    def msgsN(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgsN(x.getCause))
+    assert(msgsN(eNull).exists(_.contains("NULL bucket")))
   }
 
   test("balancedShards: two-level rank equals the global tokens-desc sort; " +
@@ -4085,6 +4094,14 @@ class TextApiSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("empty eval set")))
+    // an unscoreable corpus row raises its OWN accurate error, not the
+    // empty-eval one (review r18.2)
+    val unscoreable = Seq((9L, null.asInstanceOf[Seq[Float]])).toDF("k", "v")
+    val e2 = intercept[Exception] {
+      Pipeline.semanticDecontaminate(corpus.union(unscoreable), evalSet,
+        "v", 0.9).collect()
+    }
+    assert(msgs(e2).exists(_.contains("unscoreable")), msgs(e2).mkString("; "))
     assert(intercept[IllegalArgumentException](
       Pipeline.semanticDecontaminate(corpus, evalSet, "v", 1.5))
       .getMessage.contains("tau"))
@@ -4120,6 +4137,15 @@ class TextApiSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Pipeline.embeddingNeardupAgainstCorpus(newSide, refSide, "k", "v",
         tau = 1.5, dim = 16)).getMessage.contains("tau"))
+    // a dimension mismatch raises LOUDLY instead of zeroing one side's
+    // SRP bits and reporting "no pairs" (review r18.2)
+    val short = Seq((201L, Seq(1f, 2f))).toDF("k", "v")
+    val eDim = intercept[Exception](
+      Pipeline.embeddingNeardupAgainstCorpus(newSide, short, "k", "v",
+        tau = 0.5, dim = 16).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(eDim).exists(_.contains("not 16-dimensional")))
   }
 
   test("collapseByComponentsBest: keeps the max-score member per component; " +
@@ -4159,6 +4185,12 @@ class TextApiSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Pipeline.paddingWasteReport(corpus, "k", "toks", 0))
       .getMessage.contains("batchSize"))
+    // a non-integral id is rejected (the arrival rank keys on it — a
+    // silent cast would report n_batches = 0; review r18.2)
+    val strId = Seq(("a", 5L)).toDF("k", "toks")
+    assert(intercept[IllegalArgumentException](
+      Pipeline.paddingWasteReport(strId, "k", "toks", 2))
+      .getMessage.contains("integral"))
     // negative token counts fail loudly (binary size classes would
     // silently misorder them)
     val neg = Seq((1L, -5L)).toDF("k", "toks")
