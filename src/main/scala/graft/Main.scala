@@ -984,6 +984,138 @@ object Main {
     stats
   }
 
+  /** `graft profile` — the corpus-health diagnostics (p139 duplication
+    * profile, p112 Zipf slope, p141 padding waste, p92 vocabulary
+    * growth) as ONE command writing a report directory. Fronts
+    * [[operators.Pipeline.ngramDupProfile]] /
+    * [[operators.Pipeline.zipfSlope]] /
+    * [[operators.Pipeline.paddingWasteReport]] /
+    * [[operators.Pipeline.vocabGrowth]] — never a reimplementation
+    * (ProfileCliSpec pins CLI ≡ library per section). */
+  final case class ProfileArgs(
+      input: String = "",
+      outputDir: String = "",
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      ns: Seq[Int] = Seq(1, 2, 4, 8),
+      batchSize: Int = 32,
+      topK: Int = 100,
+      buckets: Int = 10,
+      compression: String = "zstd",
+      quiet: Boolean = false)
+
+  private[graft] val ProfileHelpText =
+    s"""Profiles a corpus's health in one pass: n-gram duplication share per
+       |gram length (what dedup would reclaim), Zipf rank-frequency slope
+       |(natural text ~ -1), padding waste of arrival vs length-sorted
+       |batch layouts, and the vocabulary growth curve
+       |
+       |Usage: graft profile [OPTIONS] --input <DIR> --output-dir <DIR>
+       |
+       |Options:
+       |  -i, --input <DIR>           Parquet directory of documents
+       |  -o, --output-dir <DIR>      Report directory: dup_profile.parquet,
+       |                              zipf.parquet, padding.parquet,
+       |                              growth.parquet
+       |      --id-column <C>         Document id column (default doc_id;
+       |                              integral — the padding section ranks on it)
+       |      --text-column <C>       Text column (default text)
+       |      --ns <N,N,...>          Gram lengths for the duplication profile
+       |                              (default 1,2,4,8)
+       |      --batch-size <N>        Padding-waste batch size (default 32)
+       |      --top-k <N>             Zipf vocabulary head size (default 100)
+       |      --buckets <N>           Vocabulary-growth id slices (default 10)
+       |      --compression <CODEC>   zstd (default), snappy, gzip, brotli, lz4, none
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseProfileArgs(argv: Seq[String]): ProfileArgs = {
+    var a = ProfileArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(ProfileHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-dir" | "-o" => a = a.copy(outputDir = take(flag))
+        case "--id-column" => a = a.copy(idColumn = take(flag))
+        case "--text-column" => a = a.copy(textColumn = take(flag))
+        case "--ns" =>
+          val v = take(flag)
+          val ns = v.split(",").toSeq.map { t =>
+            try t.trim.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"invalid gram length '$t' in $flag '$v'") }
+          }
+          a = a.copy(ns = ns)
+        case "--batch-size" =>
+          a = a.copy(batchSize = parsePosInt(flag, take(flag)))
+        case "--top-k" => a = a.copy(topK = parsePosInt(flag, take(flag)))
+        case "--buckets" =>
+          a = a.copy(buckets = parsePosInt(flag, take(flag)))
+        case "--compression" => a = a.copy(compression = take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see profile --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputDir.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: profile [OPTIONS] --input DIR --output-dir DIR")
+    // the operators' own requires would also catch these, but at
+    // parse time the message names the flag, not the parameter
+    if (a.ns.isEmpty || a.ns.exists(_ < 1) || a.ns.distinct.size != a.ns.size)
+      throw new IllegalArgumentException(
+        s"--ns must be distinct gram lengths >= 1, got ${a.ns.mkString(",")}")
+    if (a.topK < 2)
+      throw new IllegalArgumentException("--top-k must be >= 2 to fit a line")
+    a
+  }
+
+  private[graft] def runProfile(spark: SparkSession,
+      a: ProfileArgs): Map[String, ParquetSink.WriteStats] = {
+    import org.apache.spark.sql.functions.{array_remove, coalesce, col,
+      lit, size, split}
+    import org.apache.spark.sql.types.LongType
+    val docs = readDocs(spark, "--input", a.input,
+      Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn))
+    requireIntegral(docs, "--id-column", a.idColumn)
+    val P = operators.Pipeline
+    val sink = ParquetSink.SinkOptions(compression = a.compression,
+      quiet = true)
+    val withToks = docs.select(col(a.idColumn),
+      coalesce(size(array_remove(split(col(a.textColumn), "\\s+"), ""))
+        .cast(LongType), lit(0L)).as("n_tok"))
+    val sections = Seq(
+      "dup_profile" -> P.ngramDupProfile(docs, a.textColumn, a.ns),
+      "zipf" -> P.zipfSlope(docs, a.textColumn, a.topK),
+      "padding" -> P.paddingWasteReport(withToks, a.idColumn, "n_tok",
+        a.batchSize),
+      "growth" -> P.vocabGrowth(docs, a.idColumn, a.textColumn, a.buckets))
+    val stats = sections.map { case (name, df) =>
+      name -> ParquetSink.write(df, s"${a.outputDir}/$name.parquet", sink)
+    }.toMap
+    if (!a.quiet) {
+      // every section is report-sized (|ns| / 1 / 2 / buckets rows)
+      val dup = spark.read.parquet(s"${a.outputDir}/dup_profile.parquet")
+        .orderBy(col("n")).collect()
+        .map(r => s"n=${r.getInt(0)}:${
+          if (r.isNullAt(3)) "-" else f"${r.getDouble(3)}%.3f"}")
+      val z = spark.read.parquet(s"${a.outputDir}/zipf.parquet")
+        .collect()(0)
+      val pad = spark.read.parquet(s"${a.outputDir}/padding.parquet")
+        .collect().map(r => s"${r.getString(0)}=${
+          if (r.isNullAt(4)) "-" else f"${r.getDouble(4)}%.3f"}").sorted
+      System.err.println(s"[profile] dup_share ${dup.mkString(" ")}; " +
+        f"zipf_slope ${z.getDouble(1)}%.3f; " +
+        s"padding_waste ${pad.mkString(" ")}")
+    }
+    stats
+  }
+
   /** `graft tokenize` — the tokenizer workflow (the p53/p74 chain) as
     * a CLI: train a BPE merge list on the corpus, encode every doc to
     * integer token ids, optionally pack the id stream into fixed-length
@@ -2318,6 +2450,8 @@ object Main {
        |  split   Leakage-safe train/val/test split (near-dups never straddle)
        |  shard   Training layout: token-balanced shard placement or
        |          curriculum ordering
+       |  profile Corpus-health report: n-gram duplication profile, Zipf
+       |          slope, padding waste, vocabulary growth
        |  tokenize  Trains a BPE tokenizer, encodes token ids, packs chunks
        |  score   Scores documents: quality + language ID (+ flesch/entropy)
        |  index   Trains an IVF(-PQ) ANN index, writes artifacts as parquet
@@ -2832,6 +2966,9 @@ object Main {
       case Some("shard") =>
         return runSubcommand("shard", argv.toSeq.tail, parseShardArgs,
           runShard, timestampMicros = true)
+      case Some("profile") =>
+        return runSubcommand("profile", argv.toSeq.tail, parseProfileArgs,
+          runProfile, timestampMicros = true)
       case Some("tokenize") =>
         return runSubcommand("tokenize", argv.toSeq.tail, parseTokenizeArgs,
           runTokenize, timestampMicros = true)
