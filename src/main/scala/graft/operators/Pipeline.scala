@@ -31,8 +31,8 @@ object Pipeline
     with SketchOps
     with SamplingOps {
 
-  /** Every pipeline QueryDef across the topic suites (p01..p111 +
-    * m01..m05) — same names, plans and oracle SQL as the pre-split
+  /** Every pipeline QueryDef across the topic suites (p01..p142 +
+    * m01..m11) — same names, plans and oracle SQL as the pre-split
     * single-file registry; SparkEntry fails fast on duplicates. */
   val queries: Seq[QueryDef] =
     dedupQueries ++ deduptextQueries ++ decontamQueries ++ annQueries ++
