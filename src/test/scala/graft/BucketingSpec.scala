@@ -380,6 +380,76 @@ class BucketingSpec extends AnyFunSuite {
       }
   }
 
+  test("semanticDecontaminate never shuffles the corpus arm; the layout " +
+      "ranks never put a corpus scan under a single-partition exchange") {
+    import org.apache.spark.sql.functions.col
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // corpus arm of the semantic scrub: the eval arm may shuffle (its
+      // collect_list agg), the corpus scan must not (set accounting,
+      // the bloomDedup pattern)
+      val vecs = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val sem = operators.Pipeline.semanticDecontaminate(
+        vecs.filter(col("vec_id") % 5 =!= 0),
+        vecs.filter(col("vec_id") % 5 === 0),
+        "embedding", tau = 0.4).queryExecution.executedPlan
+      val underShuffle = sem.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          s.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          }
+      }.flatten.toSet
+      val all = sem.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.toSet
+      assert(all.nonEmpty && (all -- underShuffle).nonEmpty,
+        s"semanticDecontaminate: every scan sits under a shuffle — the " +
+          s"corpus arm shuffled:\n$sem")
+      // the layout ranks: the corpus's one hash exchange (partitioned
+      // window) is the contract; what must NEVER happen is the corpus
+      // scan under a SINGLE-PARTITION exchange — the serialized global
+      // window the class+offset construction exists to avoid (the tiny
+      // offsets arm legitimately single-partitions its ≤64 count rows)
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      Seq(
+        "balancedShards" -> operators.Pipeline
+          .balancedShards(docs, "doc_id", "n_chars", nShards = 8),
+        "curriculumOrder" -> operators.Pipeline.curriculumOrder(
+          docs.withColumn("band", (col("n_chars") / 200).cast("int")),
+          "doc_id", "band"),
+        "paddingWasteReport" -> operators.Pipeline
+          .paddingWasteReport(docs, "doc_id", "n_chars", batchSize = 32))
+        .foreach { case (name, df) =>
+          val plan = df.queryExecution.executedPlan
+          plan.collect {
+            case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+                if s.outputPartitioning ==
+                  org.apache.spark.sql.catalyst.plans.physical.SinglePartition =>
+              s
+          }.foreach { s =>
+            // the offsets arm DOES single-partition — but only ≤64
+            // aggregate-reduced count rows. The violation is RAW corpus
+            // rows crossing a single-partition exchange: a scan beneath
+            // one is legitimate only with an aggregate in between
+            val under = s.collect {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+            }
+            val aggregated = s.collect {
+              case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+              case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+            }.nonEmpty
+            assert(under.isEmpty || aggregated,
+              s"$name: RAW corpus rows cross a single-partition " +
+                s"exchange (a serialized global window):\n$plan")
+          }
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("sink partitionBy writes hive-style directories") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("part").toString + "/t"
