@@ -917,6 +917,66 @@ object Relational {
                      ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         QUALIFY o_custkey % 100 = 0
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ---- q40: quiet-gap event dedup — [[dedupEventsQuietGap]] at a
+    // 1-day window over (user, event_type): the retry-storm /
+    // double-fire collapse every event pipeline ships (an event is a
+    // duplicate when ANY same-key event precedes it within the window —
+    // the lag spelling, so a burst collapses to its first event plus
+    // whatever re-fires after a full quiet gap). One key-partitioned
+    // window, the q30 shuffle class. The oracle replays the
+    // microsecond-epoch lag compare verbatim; at sf0.01 the 1-day
+    // window drops ~36% of events and keeps every first-of-key.
+    QueryDef(
+      "q40_event_quiet_gap",
+      (s, d) =>
+        dedupEventsQuietGap(T.events(s, d), Seq("user_id", "event_type"),
+          "ts", "event_id", windowSec = 86400L)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"))
+          .orderBy(col("event_id")),
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, ts,
+                 epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+                     (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) AS gap_us
+          FROM events)
+        SELECT event_id, user_id, event_type, ts
+        FROM e WHERE gap_us IS NULL
+           OR gap_us > CAST(86400 AS BIGINT) * 1000000
+        ORDER BY event_id"""))
   )
+
+  /** Quiet-gap event dedup — the retry-storm collapse: a row is a
+    * duplicate when ANY same-key row precedes it within `windowSec`
+    * (lag semantics: a burst keeps its FIRST row; a later row survives
+    * only after a full quiet gap with no same-key traffic). This is
+    * the deterministic batch form of debounce/throttle dedup for event
+    * pipelines (double-fired webhooks, client retries, at-least-once
+    * ingestion) — the exact-content dedup family can't catch these
+    * because retries carry fresh event ids and timestamps. One
+    * key-partitioned window ordered by (`tsCol`, `tieCol`) — the q30
+    * sessionize shuffle class, parallel across keys at any scale.
+    * Rows with a NULL timestamp are kept (an ingest-failure row is not
+    * evidence of a retry), mirroring [[graft.operators.DedupOps
+    * .exactDedup]]'s NULL-text stance. Output: every surviving row,
+    * caller columns untouched. */
+  def dedupEventsQuietGap(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, windowSec: Long): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    require(windowSec > 0, s"windowSec must be > 0, got $windowSec")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    // TIMESTAMP_NTZ → TIMESTAMP before unix_micros (sessions run UTC,
+    // so the cast is wall-clock identity; the oracle casts identically)
+    val us = unix_micros(col(tsCol).cast(TimestampType))
+    events
+      .withColumn("__gap_us", us - lag(us, 1).over(w))
+      .filter(col(tsCol).isNull || col("__gap_us").isNull ||
+        col("__gap_us") > windowSec * 1000000L)
+      .drop("__gap_us")
+  }
 }

@@ -22,6 +22,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupEventsQuietGap: bursts keep their first event; a full quiet " +
+      "gap re-admits; NULL timestamps are kept; keys isolate") {
+    import spark.implicits._
+    def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1 / click: a burst at t=0,10,20 then quiet until t=200
+      (1L, 1L, "click", Some(ts(0))),
+      (2L, 1L, "click", Some(ts(10))),
+      (3L, 1L, "click", Some(ts(20))),
+      (4L, 1L, "click", Some(ts(200))),
+      // gap exactly == window is still a duplicate (strict >)
+      (5L, 1L, "click", Some(ts(300))),
+      // other keys are independent even at identical timestamps
+      (6L, 1L, "view", Some(ts(1))),
+      (7L, 2L, "click", Some(ts(1))),
+      // an ingest-failure row is not evidence of a retry
+      (8L, 1L, "click", None))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val kept = operators.Relational.dedupEventsQuietGap(events,
+      Seq("user_id", "event_type"), "ts", "event_id", windowSec = 100L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // 1 (first), 4 (gap 180 > 100), 6/7 (own keys), 8 (NULL ts);
+    // 2/3 are burst retries, 5's gap is exactly 100 → still a duplicate
+    assert(kept == Set(1L, 4L, 6L, 7L, 8L), s"kept $kept")
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.dedupEventsQuietGap(events, Nil, "ts",
+        "event_id", 100L)).getMessage.contains("keyCols"))
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.dedupEventsQuietGap(events, Seq("user_id"),
+        "ts", "event_id", 0L)).getMessage.contains("windowSec"))
+  }
+
   test("q32: salted two-phase aggregation equals the direct plan") {
     import QueryDef._
     val salted = SparkEntry.queries("q32_salted_agg")(spark, TestSpark.sfDir)
