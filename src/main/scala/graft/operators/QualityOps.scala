@@ -1021,7 +1021,66 @@ private[operators] trait QualityOps { self: Pipeline.type =>
       "|[\\u00F1-\\u00F3][\\u0080-\\u00BF]{3}" +
       "|\\u00F4[\\u0080-\\u008F][\\u0080-\\u00BF]{2})*$"
 
+  /** Script-mix signals — per-document codepoint-class counts (ASCII
+    * letters, digits, CJK, Cyrillic, Arabic, whitespace), the cheap
+    * script-distribution profile multilingual curation routes on
+    * BEFORE a model-based language ID runs (a "Latin" doc whose chars
+    * are 40% CJK is mislabeled or mixed; a digits-dominated doc is a
+    * table dump). Classes are EXPLICIT BMP codepoint ranges — not
+    * `\\p{Script=…}` classes, whose definitions differ between regex
+    * engines — so counts are exact integers both engines agree on
+    * (count = length after deleting the class complement; every
+    * counted char is BMP, so UTF-16 length ≡ codepoint count). One
+    * map-side pass, zero shuffle; NULL text → zero counts. */
+  def scriptMixSignals(corpus: DataFrame, textCol: String): DataFrame = {
+    def classCount(pattern: String): Column =
+      coalesce(length(regexp_replace(col(textCol), s"[^$pattern]", "")),
+        lit(0)).cast(LongType)
+    corpus
+      .withColumn("n_ascii_letter", classCount("A-Za-z"))
+      .withColumn("n_digit", classCount("0-9"))
+      .withColumn("n_cjk", classCount("\\x{4E00}-\\x{9FFF}"))
+      .withColumn("n_cyrillic", classCount("\\x{0400}-\\x{04FF}"))
+      .withColumn("n_arabic", classCount("\\x{0600}-\\x{06FF}"))
+      .withColumn("n_ws", classCount(" \\t\\n\\r"))
+  }
+
   private[operators] lazy val qualityQueries: Seq[QueryDef] = Seq(
+    // ---- p143: script-mix signals — [[scriptMixSignals]] with
+    // non-Latin markers injected in-query (the p108 stance: the fixture
+    // corpus is Latin-only, so every third doc gains a CJK tail and
+    // every third+1 a Cyrillic one — both classification arms execute
+    // for real). The oracle replays each class's delete-the-complement
+    // count with RE2's global regexp_replace.
+    QueryDef(
+      "p143_script_mix",
+      (s, d) => {
+        val marked = T.documents(s, d)
+          .select(col("doc_id"), concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 3 === 0, lit(" 你好世界"))
+              .when(col("doc_id") % 3 === 1, lit(" привет"))
+              .otherwise(lit(""))).as("text"))
+        scriptMixSignals(marked, "text")
+          .select(col("doc_id"), col("n_ascii_letter"), col("n_digit"),
+            col("n_cjk"), col("n_cyrillic"), col("n_arabic"), col("n_ws"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 COALESCE(text, '') ||
+                 CASE WHEN doc_id % 3 = 0 THEN ' 你好世界'
+                      WHEN doc_id % 3 = 1 THEN ' привет'
+                      ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_ascii_letter,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               CAST(length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+               CAST(length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+               CAST(length(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+               CAST(length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS BIGINT) AS n_ws
+        FROM m ORDER BY doc_id""")),
     // ---- p125: per-source score calibration — percent-rank of a raw
     // score within each source. The gate calibrates n_chars (a real
     // fixture signal) so the oracle is the bare window definition:

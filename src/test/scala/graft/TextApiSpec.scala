@@ -4107,6 +4107,26 @@ class TextApiSpec extends AnyFunSuite {
       .getMessage.contains("tau"))
   }
 
+  test("scriptMixSignals: hand-counted codepoint classes; NULL text zeros; " +
+      "astral chars never skew the UTF-16 counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Abc 12 你好 да \t"),
+      (2L, null.asInstanceOf[String]),
+      // the emoji is astral (surrogate pair in UTF-16) and belongs to
+      // NO class — deleting complements must drop it cleanly so every
+      // count stays a codepoint count
+      (3L, "a😀b 7")).toDF("k", "text")
+    // caller columns pass through: counts start after (k, text)
+    val got = Pipeline.scriptMixSignals(docs, "text").collect()
+      .map(r => r.getLong(0) -> (2 to 7).map(r.getLong)).toMap
+    // "Abc 12 你好 да \t": 3 ascii letters, 2 digits, 2 CJK,
+    // 2 cyrillic, 0 arabic, 5 whitespace (4 spaces + tab)
+    assert(got(1L) == Seq(3L, 2L, 2L, 2L, 0L, 5L), s"got ${got(1L)}")
+    assert(got(2L) == Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    assert(got(3L) == Seq(2L, 1L, 0L, 0L, 0L, 1L), s"got ${got(3L)}")
+  }
+
   test("embeddingNeardupAgainstCorpus: exact twins always surface; pairs " +
       "are cross-side only; tau filters; within-side dups never emitted") {
     import spark.implicits._
