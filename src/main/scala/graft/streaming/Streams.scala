@@ -118,6 +118,85 @@ object Streams {
   /** Expected output mode for [[runningUserStats]] sinks. */
   val runningStatsOutputMode: OutputMode = OutputMode.Update()
 
+  final case class KeyedEvent(key: String, event_id: Long,
+      ts: java.sql.Timestamp)
+  /** [[quietGapGate]] state: event-time micros of the LAST same-key
+    * event seen (admitted or not — the lag semantics of the batch
+    * operator). Public only for Spark's encoder codegen. */
+  final case class QuietGapState(lastUs: Long)
+
+  /** Streaming quiet-gap event gate — [[graft.operators.Relational
+    * .dedupEventsQuietGap]] as custom keyed state
+    * (`flatMapGroupsWithState`: 0-or-more emissions per input, which
+    * `mapGroupsWithState` can't express): admit an event when NO
+    * same-key event precedes it within `windowSec`, tracking one
+    * event-time long per key. The retry-storm gate for live ingest —
+    * content dedup can't catch retries that carry fresh ids. State is
+    * EVICTED once the watermark passes the key's last event +
+    * `windowSec` (EventTimeTimeout): an entry older than the window
+    * can only produce "admit" decisions, which is exactly what its
+    * absence produces, so eviction never changes output — the state
+    * store is bounded by keys ACTIVE within one window, not keys ever
+    * seen. Within a micro-batch the group sorts by (ts, id) before the
+    * lag walk; ACROSS batches the gate assumes in-order arrival per
+    * key (the exactly-once ingest contract this library's sinks
+    * target) — a cross-batch late event is compared against the newest
+    * earlier event, not rewound. Stream ≡ batch pinned on in-order
+    * feeds in StreamsSpec. Rows with NULL timestamps carry no event
+    * time and are dropped here (the BATCH operator keeps them —
+    * documented deviation; filter them to a side channel first if they
+    * matter). Output: the surviving (key, event_id, ts) rows. */
+  def quietGapGate(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      idCol: String, windowSec: Long,
+      watermark: String = "10 minutes"): Dataset[KeyedEvent] = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    require(windowSec > 0, s"windowSec must be > 0, got $windowSec")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events
+      .filter(col(tsCol).isNotNull)
+      // NUL separator: a printable one could let ("a b", "c") collide
+      // with ("a", "b c") as one state key
+      .select(concat_ws("\u0000",
+        keyCols.map(c => col(c).cast("string")): _*).as("key"),
+        col(idCol).cast("long").as("event_id"),
+        col(tsCol).cast("timestamp").as("ts"))
+      // watermark LAST: tagging before the select would mint a fresh
+      // untagged `ts` attribute and EventTimeTimeout would reject it
+      .withWatermark("ts", watermark)
+      .as[KeyedEvent]
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[QuietGapState, KeyedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, batch: Iterator[KeyedEvent], state: GroupState[QuietGapState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def us(e: KeyedEvent): Long =
+              e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            val sorted = batch.toSeq.sortBy(e => (us(e), e.event_id))
+            var last = state.getOption.map(_.lastUs)
+            val out = sorted.filter { e =>
+              val t = us(e)
+              val admit = last.forall(t - _ > windowSec * 1000000L)
+              last = Some(t)
+              admit
+            }
+            last.foreach { l =>
+              state.update(QuietGapState(l))
+              // Spark rejects a timeout at or below the watermark — an
+              // old enough batch would otherwise throw; clamping to
+              // watermark+1 evicts at the next trigger, which is
+              // correct (the entry is already past its useful window)
+              state.setTimeoutTimestamp(
+                math.max(l / 1000L + windowSec * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-stream LAST-TOUCH attribution: each purchase is attributed
     * to the LATEST click by the same user within the preceding
     * `horizon`. The interval join emits every qualifying (purchase,

@@ -115,6 +115,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(batchKept == ids, "stream gate diverged from the batch pair")
   }
 
+  test("quietGapGate: stateful retry-storm blocking; state carries across " +
+      "micro-batches; stream ≡ batch on an in-order feed") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // offset well past epoch 0: the initial watermark is 0, and a row
+    // AT the watermark is border-late — not the semantics under test
+    def ts(s: Long) = new java.sql.Timestamp((1000000L + s) * 1000L)
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val gated = Streams.quietGapGate(
+      in.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+      Seq("user_id", "event_type"), "ts", "event_id", windowSec = 100L)
+    val q = gated.writeStream.format("memory")
+      .queryName("quiet_gap_gate").outputMode("append").start()
+    val batch1 = Seq(
+      (1L, 1L, "click", ts(0)),    // first of key → admitted
+      (2L, 1L, "click", ts(10)),   // burst retry → dropped
+      (6L, 1L, "view", ts(1)),     // own key → admitted
+      (7L, 2L, "click", ts(1)))    // own key → admitted
+    val batch2 = Seq(
+      (3L, 1L, "click", ts(20)),   // still within 100s of event 2 → dropped
+      (4L, 1L, "click", ts(200)),  // 180s quiet gap → admitted
+      (5L, 1L, "click", ts(300)))  // gap exactly 100s → still a duplicate
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)      // state must carry event 2's ts over
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("quiet_gap_gate")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 4L, 6L, 7L), s"gate admitted $ids")
+    // stream ≡ batch over the union of both micro-batches
+    val batchKept = operators.Relational.dedupEventsQuietGap(
+      (batch1 ++ batch2).toDF("event_id", "user_id", "event_type", "ts"),
+      Seq("user_id", "event_type"), "ts", "event_id", windowSec = 100L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == ids, "stream gate diverged from the batch operator")
+  }
+
   test("semanticGate: stateless embedding-proximity blocking vs a " +
       "static eval set; stream ≡ batch") {
     import spark.implicits._
