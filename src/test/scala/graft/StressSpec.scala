@@ -388,6 +388,21 @@ class StressSpec extends AnyFunSuite {
         "doc_id", "difficulty")
     }
 
+    // q40: quiet-gap event dedup at 5M events over 50k keys — ONE
+    // key-partitioned window (the sessionize shuffle class); every key
+    // sees ~100 events at ~5000 s spacing against a 10 000 s window,
+    // so most collapse and each key's first always survives
+    drive("eventQuietGap", budgetSec = 300, minRows = 50000L) {
+      val ev = spark.range(0, 5000000L, 1, 32)
+        .select(col("id").as("event_id"),
+          (abs(hash(col("id"))) % 50000).as("user_id"),
+          lit("click").as("event_type"),
+          timestamp_micros(col("id") * 100000L).as("ts"))
+      operators.Relational.dedupEventsQuietGap(ev,
+        Seq("user_id", "event_type"), "ts", "event_id",
+        windowSec = 10000L)
+    }
+
     // p139: the duplication-profile sweep — four exact gram-keyed
     // (count, count-distinct) aggregations over ~6M words (~24M gram
     // occurrences total), the vocabulary growing with the corpus
