@@ -947,8 +947,172 @@ object Relational {
         SELECT event_id, user_id, event_type, ts
         FROM e WHERE gap_us IS NULL
            OR gap_us > CAST(86400 AS BIGINT) * 1000000
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- q41: CDC apply — [[cdcApply]] with the events table read as
+    // a per-user changelog: latest (ts, event_id) version wins,
+    // 'error' is the tombstone (a user whose LAST event errored holds
+    // no current state). The oracle replays the descending version
+    // window and the null-safe tombstone filter.
+    QueryDef(
+      "q41_cdc_apply",
+      (s, d) =>
+        cdcApply(T.events(s, d), keyCols = Seq("user_id"),
+          seqCols = Seq("ts", "event_id"), opCol = "event_type",
+          deleteOp = "error")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts"), col("value"))
+          .orderBy(col("user_id")),
+      Some("""
+        WITH ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rk
+          FROM events)
+        SELECT user_id, event_id, event_type, ts, value
+        FROM ranked
+        WHERE rk = 1 AND event_type IS DISTINCT FROM 'error'
+        ORDER BY user_id"""))
+    ,
+
+    // ---- q42: SCD Type-2 merge — [[scd2Merge]] folding a mutated
+    // customer snapshot (every 7th key's balance +100; every 3rd key
+    // deleted; odd keys newly inserted) into a snapshot-1 history:
+    // all five arms (stay-open / close-changed / reopen-changed /
+    // close-deleted / insert) populate. The oracle replays the
+    // full-outer key join and every arm's null-safe attr compare.
+    QueryDef(
+      "q42_scd2_merge",
+      (s, d) => {
+        val cust = T.customer(s, d)
+        def snap(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("c_custkey").as("k"),
+          col("c_acctbal").cast(DoubleType).as("bal"),
+          col("c_mktsegment").as("seg"))
+        val h1 = snap(cust.filter(col("c_custkey") % 2 === 0))
+          .withColumn("valid_from", lit(1L))
+          .withColumn("valid_to", lit(null).cast(LongType))
+        val s2 = cust.filter(col("c_custkey") % 3 =!= 0).select(
+          col("c_custkey").as("k"),
+          (col("c_acctbal").cast(DoubleType) +
+            when(col("c_custkey") % 7 === 0, 100.0).otherwise(0.0)).as("bal"),
+          col("c_mktsegment").as("seg"))
+        scd2Merge(h1, s2, Seq("k"), Seq("bal", "seg"), snapshotId = 2L)
+          .orderBy(col("k"), col("valid_from"), col("valid_to"))
+      },
+      Some("""
+        WITH s1 AS (
+          SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+                 c_mktsegment AS seg
+          FROM customer WHERE c_custkey % 2 = 0),
+        s2 AS (
+          SELECT c_custkey AS k,
+                 CAST(c_acctbal AS DOUBLE) +
+                   CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS bal,
+                 c_mktsegment AS seg
+          FROM customer WHERE c_custkey % 3 <> 0),
+        j AS (
+          SELECT h.k AS hk, h.bal AS hbal, h.seg AS hseg,
+                 s.k AS sk, s.bal AS sbal, s.seg AS sseg
+          FROM s1 h FULL OUTER JOIN s2 s ON h.k = s.k),
+        merged AS (
+          SELECT hk AS k, hbal AS bal, hseg AS seg,
+                 CAST(1 AS BIGINT) AS valid_from,
+                 CAST(NULL AS BIGINT) AS valid_to
+          FROM j WHERE hk IS NOT NULL AND sk IS NOT NULL
+            AND hbal IS NOT DISTINCT FROM sbal
+            AND hseg IS NOT DISTINCT FROM sseg
+          UNION ALL
+          SELECT hk, hbal, hseg, CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+          FROM j WHERE hk IS NOT NULL AND (sk IS NULL
+            OR hbal IS DISTINCT FROM sbal OR hseg IS DISTINCT FROM sseg)
+          UNION ALL
+          SELECT sk, sbal, sseg, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+          FROM j WHERE sk IS NOT NULL AND (hk IS NULL
+            OR hbal IS DISTINCT FROM sbal OR hseg IS DISTINCT FROM sseg))
+        SELECT k, bal, seg, valid_from, valid_to
+        FROM merged ORDER BY k, valid_from, valid_to"""))
   )
+
+  /** CDC apply — materialize CURRENT state from a changelog (the
+    * Debezium/Delta upsert-merge semantics every lakehouse pipeline
+    * reimplements): keep, per key, the row with the highest
+    * `seqCols` (latest version wins; ties break by the caller's own
+    * tie columns — pass them IN seqCols), then drop keys whose latest
+    * operation is the tombstone `deleteOp`. Stale versions never
+    * survive and a resurrected key (insert after delete) comes back
+    * because only the LATEST op is consulted — exactly once over the
+    * log, idempotent under replay. A NULL op is NOT a tombstone (an
+    * unclassified change keeps the row — dropping state on a parse
+    * gap is the unsafe direction). One key-partitioned window — the
+    * same shuffle class as any upsert-merge shuffle at 100 TB, and
+    * keys process in parallel. Output: the surviving latest rows,
+    * caller columns untouched. */
+  def cdcApply(changelog: DataFrame, keyCols: Seq[String],
+      seqCols: Seq[String], opCol: String, deleteOp: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    require(seqCols.nonEmpty, "seqCols must not be empty (the version " +
+      "order decides which row wins — include a tie-break column)")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(seqCols.map(c => col(c).desc): _*)
+    changelog
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+      .filter(!(col(opCol) <=> lit(deleteOp)))
+  }
+
+  /** SCD Type-2 snapshot merge — the slowly-changing-dimension
+    * history every warehouse maintains (Kimball SCD2): fold a new
+    * dimension snapshot into a versioned history table whose rows
+    * carry `[fromCol, toCol)` validity (open rows have NULL `toCol`).
+    * Per key: attrs unchanged → the open row stays open; changed →
+    * the open row CLOSES at `snapshotId` and a new open row begins
+    * there; key absent from the snapshot → closed (a deletion);
+    * new key → inserted open. Attribute comparison is NULL-safe
+    * per column. Already-closed history passes through untouched —
+    * the merge is idempotent over snapshots (re-merging the same
+    * snapshot changes nothing). Plan shape: ONE full-outer key join
+    * between the OPEN slice and the snapshot, then a single map pass
+    * that emits 0–2 rows per joined key via an inline struct array +
+    * explode — never one filtered arm per case over a recomputed
+    * join. Keys shuffle once; AQE picks broadcast when the open
+    * slice is small. */
+  def scd2Merge(history: DataFrame, snapshot: DataFrame,
+      keyCols: Seq[String], attrCols: Seq[String], snapshotId: Long,
+      fromCol: String = "valid_from", toCol: String = "valid_to"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    require(attrCols.nonEmpty, "attrCols must not be empty")
+    val outCols = keyCols ++ attrCols
+    val closed = history.filter(col(toCol).isNotNull)
+      .select((outCols :+ fromCol :+ toCol).map(col): _*)
+    val open = history.filter(col(toCol).isNull)
+    val h = open.select(outCols.map(c => col(c).as(s"__h_$c"))
+      :+ col(fromCol).cast(LongType).as("__h_from"): _*)
+    val sn = snapshot.select(outCols.map(c => col(c).as(s"__s_$c"))
+      :+ lit(true).as("__s_present"): _*)
+    val joined = h.join(sn,
+      keyCols.map(k => col(s"__h_$k") <=> col(s"__s_$k")).reduce(_ && _),
+      "full_outer")
+    val inH = col("__h_from").isNotNull
+    val inS = col("__s_present").isNotNull
+    val same = attrCols.map(a => col(s"__h_$a") <=> col(s"__s_$a"))
+      .reduce(_ && _)
+    def row(side: String, from: Column, to: Column): Column =
+      struct(outCols.map(c => col(s"__${side}_$c").as(c))
+        :+ from.cast(LongType).as(fromCol)
+        :+ to.cast(LongType).as(toCol): _*)
+    // 0–2 output rows per joined key, one map pass: the open row
+    // (kept open, or closed at snapshotId) and/or the new open row
+    val rows = array(
+      when(inH && inS && same, row("h", col("__h_from"), lit(null))),
+      when(inH && (!inS || !same), row("h", col("__h_from"), lit(snapshotId))),
+      when(inS && (!inH || !same), row("s", lit(snapshotId), lit(null))))
+    val merged = joined
+      .select(explode(filter(rows, r => r.isNotNull)).as("__r"))
+      .select(outCols.map(c => col(s"__r.$c"))
+        :+ col(s"__r.$fromCol") :+ col(s"__r.$toCol"): _*)
+    closed.union(merged)
+  }
 
   /** Quiet-gap event dedup — the retry-storm collapse: a row is a
     * duplicate when ANY same-key row precedes it within `windowSec`

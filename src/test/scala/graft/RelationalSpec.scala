@@ -54,6 +54,81 @@ class RelationalSpec extends AnyFunSuite {
         "ts", "event_id", 0L)).getMessage.contains("windowSec"))
   }
 
+  test("cdcApply: latest version wins; tombstones drop keys; resurrection " +
+      "works; NULL op is not a delete; ties break by the tie column") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: I then U — latest U survives
+      (1L, 1L, "I", "a"), (1L, 2L, "U", "b"),
+      // key 2: latest op is the tombstone → no current state
+      (2L, 1L, "I", "c"), (2L, 2L, "D", "d"),
+      // key 3: deleted then re-inserted → resurrected
+      (3L, 1L, "D", "e"), (3L, 2L, "I", "f"),
+      // key 4: NULL op is latest → kept (unclassified ≠ delete)
+      (4L, 1L, "I", "g"), (4L, 2L, null.asInstanceOf[String], "h"),
+      // key 5: same seq twice → the higher tie column wins
+      (5L, 7L, "U", "old"), (5L, 7L, "U", "new"))
+      .zipWithIndex.map { case ((k, sq, op, v), i) => (k, sq, i.toLong, op, v) }
+      .toDF("key", "seq", "tie", "op", "v")
+    val got = operators.Relational.cdcApply(log, Seq("key"),
+      Seq("seq", "tie"), "op", deleteOp = "D")
+      .select("key", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "b", 3L -> "f", 4L -> "h", 5L -> "new"),
+      s"got $got")
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.cdcApply(log, Nil, Seq("seq"), "op", "D"))
+      .getMessage.contains("keyCols"))
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.cdcApply(log, Seq("key"), Nil, "op", "D"))
+      .getMessage.contains("seqCols"))
+  }
+
+  test("scd2Merge: all five arms; closed history passes through; NULL " +
+      "attrs compare null-safe; re-merging the same snapshot is a no-op") {
+    import spark.implicits._
+    def hist(rows: Seq[(Long, String, Option[String], Long, Option[Long])]) =
+      rows.toDF("k", "a", "b", "valid_from", "valid_to")
+    val history = hist(Seq(
+      (1L, "x", Some("p"), 1L, Some(2L)),  // already closed: passthrough
+      (1L, "y", Some("p"), 2L, None),      // open, unchanged in snapshot
+      (2L, "z", None, 1L, None),           // open, attr b NULL — unchanged
+      (3L, "w", Some("q"), 1L, None),      // open, CHANGES in snapshot
+      (4L, "v", Some("r"), 1L, None)))     // open, DELETED from snapshot
+    val snapshot = Seq(
+      (1L, "y", Some("p")), (2L, "z", None),
+      (3L, "w2", Some("q")),               // changed attr a
+      (5L, "new", Some("s")))              // inserted key
+      .toDF("k", "a", "b")
+    val out = operators.Relational.scd2Merge(history, snapshot,
+      Seq("k"), Seq("a", "b"), snapshotId = 3L)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)),
+      r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(got == Set(
+      (1L, "x", Some("p"), 1L, Some(2L)),   // passthrough
+      (1L, "y", Some("p"), 2L, None),       // stays open
+      (2L, "z", None, 1L, None),            // NULL<=>NULL: stays open
+      (3L, "w", Some("q"), 1L, Some(3L)),   // closed at 3
+      (3L, "w2", Some("q"), 3L, None),      // reopened at 3
+      (4L, "v", Some("r"), 1L, Some(3L)),   // delete closes
+      (5L, "new", Some("s"), 3L, None)),    // insert opens
+      s"got $got")
+    // idempotence: folding the SAME snapshot again changes nothing
+    val again = operators.Relational.scd2Merge(out, snapshot,
+      Seq("k"), Seq("a", "b"), snapshotId = 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(again == got, "re-merge was not a no-op")
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.scd2Merge(history, snapshot, Nil, Seq("a"), 3L))
+      .getMessage.contains("keyCols"))
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.scd2Merge(history, snapshot, Seq("k"), Nil, 3L))
+      .getMessage.contains("attrCols"))
+  }
+
   test("q32: salted two-phase aggregation equals the direct plan") {
     import QueryDef._
     val salted = SparkEntry.queries("q32_salted_agg")(spark, TestSpark.sfDir)
