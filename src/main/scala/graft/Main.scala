@@ -918,11 +918,20 @@ object Main {
         s"$flag column '$column' must be an integral type, found $t")
   }
 
+  /** Whitespace token count derived from a text column — the ONE
+    * definition `graft shard` and `graft profile` share (review r18.3:
+    * two verbatim copies could drift apart on what "n_tok" means). */
+  private def derivedTokenCount(textColumn: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array_remove, coalesce, col,
+      lit, size, split}
+    import org.apache.spark.sql.types.LongType
+    coalesce(size(array_remove(split(col(textColumn), "\\s+"), ""))
+      .cast(LongType), lit(0L))
+  }
+
   private[graft] def runShard(spark: SparkSession,
       a: ShardArgs): ParquetSink.WriteStats = {
-    import org.apache.spark.sql.functions.{array_remove, coalesce, col, lit,
-      max, min, size, split, sum}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.{col, max, min, sum}
     val derived: Seq[String] = a.mode match {
       case "balance" =>
         Seq("rank", "shard") ++
@@ -950,8 +959,7 @@ object Main {
         val withToks = a.tokenColumn match {
           case Some(_) => docs
           case None => docs.withColumn("n_tok",
-            coalesce(size(array_remove(split(col(a.textColumn), "\\s+"), ""))
-              .cast(LongType), lit(0L)))
+            derivedTokenCount(a.textColumn))
         }
         operators.Pipeline.balancedShards(withToks, a.idColumn,
           a.tokenColumn.getOrElse("n_tok"), a.shards)
@@ -1077,9 +1085,7 @@ object Main {
 
   private[graft] def runProfile(spark: SparkSession,
       a: ProfileArgs): Map[String, ParquetSink.WriteStats] = {
-    import org.apache.spark.sql.functions.{array_remove, coalesce, col,
-      lit, size, split}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.col
     val docs = readDocs(spark, "--input", a.input,
       Seq("--id-column" -> a.idColumn, "--text-column" -> a.textColumn))
     requireIntegral(docs, "--id-column", a.idColumn)
@@ -1087,8 +1093,7 @@ object Main {
     val sink = ParquetSink.SinkOptions(compression = a.compression,
       quiet = true)
     val withToks = docs.select(col(a.idColumn),
-      coalesce(size(array_remove(split(col(a.textColumn), "\\s+"), ""))
-        .cast(LongType), lit(0L)).as("n_tok"))
+      derivedTokenCount(a.textColumn).as("n_tok"))
     val sections = Seq(
       "dup_profile" -> P.ngramDupProfile(docs, a.textColumn, a.ns),
       "zipf" -> P.zipfSlope(docs, a.textColumn, a.topK),

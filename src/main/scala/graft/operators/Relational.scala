@@ -1086,14 +1086,32 @@ object Relational {
     val closed = history.filter(col(toCol).isNotNull)
       .select((outCols :+ fromCol :+ toCol).map(col): _*)
     val open = history.filter(col(toCol).isNull)
-    val h = open.select(outCols.map(c => col(c).as(s"__h_$c"))
+    // per-side duplicate-key guards ride the plan (one window each —
+    // the same key shuffle class as the join): TWO open rows for a key
+    // (or a key twice in the snapshot) would fan the full-outer join
+    // out and emit overlapping validity for that key with no error —
+    // corrupted dimension history, the silent failure mode an SCD2
+    // fold must not have (review r18.3)
+    def dupGuard(side: String, prefix: String): Column = {
+      val n = count(lit(1)).over(
+        Window.partitionBy(keyCols.map(c => col(s"$prefix$c")): _*))
+      when(n > 1, raise_error(concat(
+        lit(s"scd2Merge: duplicate $side key "),
+        concat_ws(",", keyCols.map(c => col(s"$prefix$c").cast(StringType)): _*),
+        lit(s" — $side rows must be key-unique (dedup first)"))))
+        .otherwise(lit(true))
+    }
+    val h0 = open.select(outCols.map(c => col(c).as(s"__h_$c"))
       :+ col(fromCol).cast(LongType).as("__h_from"): _*)
-    val sn = snapshot.select(outCols.map(c => col(c).as(s"__s_$c"))
-      :+ lit(true).as("__s_present"): _*)
+    // explicit presence flag: inferring presence from valid_from would
+    // make an open row with a NULL valid_from vanish (review r18.3)
+    val h = h0.withColumn("__h_present", dupGuard("open-history", "__h_"))
+    val sn0 = snapshot.select(outCols.map(c => col(c).as(s"__s_$c")): _*)
+    val sn = sn0.withColumn("__s_present", dupGuard("snapshot", "__s_"))
     val joined = h.join(sn,
       keyCols.map(k => col(s"__h_$k") <=> col(s"__s_$k")).reduce(_ && _),
       "full_outer")
-    val inH = col("__h_from").isNotNull
+    val inH = col("__h_present").isNotNull
     val inS = col("__s_present").isNotNull
     val same = attrCols.map(a => col(s"__h_$a") <=> col(s"__s_$a"))
       .reduce(_ && _)

@@ -118,7 +118,7 @@ object Streams {
   /** Expected output mode for [[runningUserStats]] sinks. */
   val runningStatsOutputMode: OutputMode = OutputMode.Update()
 
-  final case class KeyedEvent(key: String, event_id: Long,
+  final case class KeyedEvent(key: String, event_id: Option[Long],
       ts: java.sql.Timestamp)
   /** [[quietGapGate]] state: event-time micros of the LAST same-key
     * event seen (admitted or not — the lag semantics of the batch
@@ -155,10 +155,15 @@ object Streams {
     import spark.implicits._
     val keyed = events
       .filter(col(tsCol).isNotNull)
-      // NUL separator: a printable one could let ("a b", "c") collide
-      // with ("a", "b c") as one state key
+      // NUL-separated, NULL-safe key encoding: concat_ws SKIPS null
+      // arguments, so a bare cast would let (NULL, "click") collide
+      // with ("click", NULL) into one state entry and wrongly suppress
+      // cross-key events (review r18.3). Each component is prefixed
+      // ("v" value / "n" null) so NULL is its own key component, like
+      // the batch operator's window partitioning.
       .select(concat_ws("\u0000",
-        keyCols.map(c => col(c).cast("string")): _*).as("key"),
+        keyCols.map(c => coalesce(concat(lit("v"), col(c).cast("string")),
+          lit("n"))): _*).as("key"),
         col(idCol).cast("long").as("event_id"),
         col(tsCol).cast("timestamp").as("ts"))
       // watermark LAST: tagging before the select would mint a fresh
@@ -174,7 +179,11 @@ object Streams {
           else {
             def us(e: KeyedEvent): Long =
               e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
-            val sorted = batch.toSeq.sortBy(e => (us(e), e.event_id))
+            // a NULL tie id sorts first, like the batch window's
+            // NULLS FIRST asc default (and never crashes the encoder —
+            // event_id is Option for exactly that row shape)
+            val sorted = batch.toSeq.sortBy(e =>
+              (us(e), e.event_id.getOrElse(Long.MinValue)))
             var last = state.getOption.map(_.lastUs)
             val out = sorted.filter { e =>
               val t = us(e)
@@ -188,8 +197,12 @@ object Streams {
               // old enough batch would otherwise throw; clamping to
               // watermark+1 evicts at the next trigger, which is
               // correct (the entry is already past its useful window)
+              // CEIL the micros->millis conversion: flooring could
+              // evict up to 999 us before lastUs + window, and a
+              // gap-just-inside-the-window event arriving after that
+              // eviction would be wrongly admitted (review r18.3)
               state.setTimeoutTimestamp(
-                math.max(l / 1000L + windowSec * 1000L,
+                math.max((l + windowSec * 1000000L + 999L) / 1000L,
                   state.getCurrentWatermarkMs() + 1L))
             }
             out.iterator

@@ -127,6 +127,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       operators.Relational.scd2Merge(history, snapshot, Seq("k"), Nil, 3L))
       .getMessage.contains("attrCols"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // an open row with a NULL valid_from must not vanish or skip its
+    // close (presence is an explicit flag, not inferred from the
+    // validity column — review r18.3)
+    val nullFrom = Seq((9L, "old", Some("p"), Option.empty[Long],
+      Option.empty[Long])).toDF("k", "a", "b", "valid_from", "valid_to")
+    val gotNf = operators.Relational.scd2Merge(nullFrom,
+      Seq((9L, "new", Some("p"))).toDF("k", "a", "b"),
+      Seq("k"), Seq("a", "b"), snapshotId = 5L)
+      .collect().map(r => (r.getString(1),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(gotNf == Set(("old", Some(5L)), ("new", None)), s"got $gotNf")
+    // duplicate snapshot keys (and duplicate OPEN history rows) fail
+    // loudly instead of emitting overlapping validity
+    val dupSnap = Seq((1L, "y", Some("p")), (1L, "y2", Some("p")))
+      .toDF("k", "a", "b")
+    val eDup = intercept[Exception](operators.Relational.scd2Merge(
+      history, dupSnap, Seq("k"), Seq("a", "b"), 3L).collect())
+    assert(msgs(eDup).exists(_.contains("duplicate snapshot key")))
+    val dupOpen = hist(Seq((1L, "y", Some("p"), 1L, None),
+      (1L, "y2", Some("p"), 2L, None)))
+    val eDup2 = intercept[Exception](operators.Relational.scd2Merge(
+      dupOpen, snapshot, Seq("k"), Seq("a", "b"), 3L).collect())
+    assert(msgs(eDup2).exists(_.contains("duplicate open-history key")))
   }
 
   test("q32: salted two-phase aggregation equals the direct plan") {

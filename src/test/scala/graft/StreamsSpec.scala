@@ -152,6 +152,26 @@ class StreamsSpec extends AnyFunSuite {
       Seq("user_id", "event_type"), "ts", "event_id", windowSec = 100L)
       .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(batchKept == ids, "stream gate diverged from the batch operator")
+
+    // NULL key components form their OWN key: (NULL, "7") and
+    // (7, NULL) must not collide into one state entry (review r18.3 —
+    // bare concat_ws SKIPS nulls, which merged them)
+    val in2 = MemoryStream[(Long, java.lang.Long, String, java.sql.Timestamp)]
+    val gated2 = Streams.quietGapGate(
+      in2.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+      Seq("user_id", "event_type"), "ts", "event_id", windowSec = 100L)
+    val q2 = gated2.writeStream.format("memory")
+      .queryName("quiet_gap_nullkey").outputMode("append").start()
+    try {
+      in2.addData(
+        (10L, null.asInstanceOf[java.lang.Long], "7", ts(0)),
+        (11L, java.lang.Long.valueOf(7L), null.asInstanceOf[String], ts(10)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids2 = spark.table("quiet_gap_nullkey")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids2 == Seq(10L, 11L),
+      s"NULL-key events collided in the state key: $ids2")
   }
 
   test("semanticGate: stateless embedding-proximity blocking vs a " +
