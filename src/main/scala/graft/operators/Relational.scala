@@ -1030,7 +1030,64 @@ object Relational {
           FROM j WHERE sk IS NOT NULL AND (hk IS NULL
             OR hbal IS DISTINCT FROM sbal OR hseg IS DISTINCT FROM sseg))
         SELECT k, bal, seg, valid_from, valid_to
-        FROM merged ORDER BY k, valid_from, valid_to"""))
+        FROM merged ORDER BY k, valid_from, valid_to""")),
+
+    // ---- q43: funnel analysis — [[funnelSteps]] over the canonical
+    // view → click → purchase sequence. The oracle replays the greedy
+    // earliest-completion chain as per-step min-join CTEs (strict >,
+    // so simultaneous events never advance the funnel).
+    QueryDef(
+      "q43_funnel",
+      (s, d) =>
+        funnelSteps(T.events(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase")),
+      Some("""
+        WITH t1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t
+          GROUP BY e.user_id),
+        t3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t
+          GROUP BY e.user_id)
+        SELECT CAST(1 AS INTEGER) AS step_no, 'view' AS step,
+               CAST(COUNT(*) AS BIGINT) AS n_keys FROM t1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'click', CAST(COUNT(*) AS BIGINT) FROM t2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), 'purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+        ORDER BY step_no""")),
+
+    // ---- q44: retention cohorts — [[retentionCohorts]] at weekly
+    // periods. The oracle replays the exact integer epoch-µs floor
+    // division (the pmod-subtraction spelling, matching the Spark
+    // column verbatim), the per-key min cohort and the offset counts.
+    QueryDef(
+      "q44_retention",
+      (s, d) => retentionCohorts(T.events(s, d), "user_id", "ts",
+        periodSec = 604800L),
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE ts IS NOT NULL),
+        act AS (
+          SELECT DISTINCT user_id,
+                 (us - ((us % 604800000000) + 604800000000) % 604800000000)
+                   // 604800000000 AS p
+          FROM u),
+        cohorts AS (
+          SELECT user_id, MIN(p) AS c FROM act GROUP BY user_id)
+        SELECT c AS cohort_period, CAST(p - c AS BIGINT) AS period_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM act JOIN cohorts USING (user_id)
+        GROUP BY c, p - c
+        ORDER BY cohort_period, period_offset"""))
   )
 
   /** CDC apply — materialize CURRENT state from a changelog (the
@@ -1130,6 +1187,74 @@ object Relational {
       .select(outCols.map(c => col(s"__r.$c"))
         :+ col(s"__r.$fromCol") :+ col(s"__r.$toCol"): _*)
     closed.union(merged)
+  }
+
+  /** Funnel analysis — how many keys (users) complete each prefix of
+    * an ordered step sequence (view → click → purchase …), the classic
+    * product-analytics query: a key reaches step i when an event of
+    * that type exists STRICTLY after its step-(i−1) completion time,
+    * and taking the EARLIEST completion at every step is provably
+    * optimal for existence (greedy earliest leaves maximal room for
+    * later steps), so the per-step min is the whole algorithm.
+    * Simultaneous events do not advance the funnel (strict >) — a
+    * click logged in the same microsecond as the view it supposedly
+    * followed is attribution noise, not progress. Plan shape: one
+    * filtered per-key min-aggregate per step, each joined back on the
+    * key (AQE broadcasts the shrinking reached-set at dimension
+    * scale) — steps are config-sized, so this is O(steps) key-shuffles
+    * of strictly shrinking frames, never a per-key sort or collect.
+    * Output: (step_no, step, n_keys) with n_keys non-increasing. */
+  def funnelSteps(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must not be empty")
+    require(steps.distinct.size == steps.size,
+      s"duplicate step types in ${steps.mkString(", ")} — a funnel " +
+        "revisiting a type needs distinct event types per stage")
+    val spark = events.sparkSession
+    var reached: DataFrame = null
+    val perStep = steps.zipWithIndex.map { case (st, i) =>
+      val hits = events.filter(col(typeCol) === st)
+      val stage =
+        if (i == 0)
+          hits.groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))
+        else
+          hits.join(reached, Seq(keyCol))
+            .filter(col(tsCol) > col("__prev"))
+            .groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))
+      reached = stage.select(col(keyCol), col("__t").as("__prev"))
+      stage.agg(count(lit(1)).as("n_keys"))
+        .select(lit(i + 1).as("step_no"), lit(st).as("step"),
+          col("n_keys"))
+    }
+    perStep.reduce(_.union(_)).orderBy(col("step_no"))
+  }
+
+  /** Retention cohorts — the other half of product analytics: group
+    * keys by their FIRST-activity period (the cohort) and count how
+    * many are active again k periods later. Periods are exact integer
+    * epoch-microsecond divisions (floorDiv semantics via the pmod
+    * subtraction — correct for pre-1970 timestamps too, the
+    * Tables.events nanos stance), so both engines bucket identically.
+    * Plan shape: one per-key min-aggregate (the cohort), one distinct
+    * (key, period) aggregate, one key join, one bounded
+    * (cohort, offset) count — all standard key-shuffle classes.
+    * Output: (cohort_period, period_offset, n_active); offset 0 rows
+    * count each cohort's size. */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
+      periodSec: Long): DataFrame = {
+    require(periodSec > 0, s"periodSec must be > 0, got $periodSec")
+    val us = unix_micros(col(tsCol).cast(TimestampType))
+    val p = lit(periodSec * 1000000L)
+    val period = ((us - pmod(us, p)) / p).cast(LongType)
+    val act = events.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), period.as("__p"))
+      .distinct()
+    val cohorts = act.groupBy(col("__k")).agg(min(col("__p")).as("__c"))
+    act.join(cohorts, Seq("__k"))
+      .groupBy(col("__c").as("cohort_period"),
+        (col("__p") - col("__c")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_period"), col("period_offset"))
   }
 
   /** Quiet-gap event dedup — the retry-storm collapse: a row is a

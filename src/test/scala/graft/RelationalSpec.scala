@@ -154,6 +154,56 @@ class RelationalSpec extends AnyFunSuite {
     assert(msgs(eDup2).exists(_.contains("duplicate open-history key")))
   }
 
+  test("funnelSteps: greedy earliest completion; strict ordering; " +
+      "same-timestamp events never advance; counts non-increasing") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1 completes all three in order
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: click at the SAME instant as view → not progress;
+      // a later purchase without a click cannot complete the funnel
+      (2L, "view", ts(1)), (2L, "click", ts(1)), (2L, "purchase", ts(5)),
+      // user 3: click BEFORE the first view doesn't count; the one
+      // after does
+      (3L, "click", ts(1)), (3L, "view", ts(2)), (3L, "click", ts(3)),
+      // user 4 never views
+      (4L, "purchase", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = operators.Relational.funnelSteps(events, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "view", 3L), (2, "click", 2L),
+      (3, "purchase", 1L)), s"got $got")
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.funnelSteps(events, "user_id", "ts",
+        "event_type", Nil)).getMessage.contains("steps"))
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.funnelSteps(events, "user_id", "ts",
+        "event_type", Seq("view", "view"))).getMessage.contains("duplicate"))
+  }
+
+  test("retentionCohorts: first-activity period is the cohort; offsets " +
+      "count returning keys; NULL timestamps ignored") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      ("A", Some(ts(50))), ("A", Some(ts(150))), ("A", Some(ts(350))),
+      ("A", Some(ts(160))),           // same period as 150 — distinct'd
+      ("B", Some(ts(150))), ("B", Some(ts(250))),
+      ("C", Some(ts(50))), ("C", None))
+      .toDF("user_id", "ts")
+    val got = operators.Relational.retentionCohorts(events, "user_id",
+      "ts", periodSec = 100L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L), s"got $got")
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.retentionCohorts(events, "user_id", "ts", 0L))
+      .getMessage.contains("periodSec"))
+  }
+
   test("q32: salted two-phase aggregation equals the direct plan") {
     import QueryDef._
     val salted = SparkEntry.queries("q32_salted_agg")(spark, TestSpark.sfDir)
