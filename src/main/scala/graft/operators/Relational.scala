@@ -1042,17 +1042,24 @@ object Relational {
         funnelSteps(T.events(s, d), "user_id", "ts", "event_type",
           Seq("view", "click", "purchase")),
       Some("""
-        WITH t1 AS (
-          SELECT user_id, MIN(ts) AS t FROM events
+        WITH ev AS (
+          -- µs truncation up front (CAST, the q40/q44 stance): on a
+          -- nanos-precision events file the raw ts would compare at ns
+          -- while Spark floors to µs, and a sub-µs gap would advance
+          -- the funnel in one engine only
+          SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE ts IS NOT NULL),
+        t1 AS (
+          SELECT user_id, MIN(ts) AS t FROM ev
           WHERE event_type = 'view' GROUP BY user_id),
         t2 AS (
           SELECT e.user_id, MIN(e.ts) AS t
-          FROM events e JOIN t1 ON e.user_id = t1.user_id
+          FROM ev e JOIN t1 ON e.user_id = t1.user_id
           WHERE e.event_type = 'click' AND e.ts > t1.t
           GROUP BY e.user_id),
         t3 AS (
           SELECT e.user_id, MIN(e.ts) AS t
-          FROM events e JOIN t2 ON e.user_id = t2.user_id
+          FROM ev e JOIN t2 ON e.user_id = t2.user_id
           WHERE e.event_type = 'purchase' AND e.ts > t2.t
           GROUP BY e.user_id)
         SELECT CAST(1 AS INTEGER) AS step_no, 'view' AS step,
@@ -1210,10 +1217,14 @@ object Relational {
     require(steps.distinct.size == steps.size,
       s"duplicate step types in ${steps.mkString(", ")} — a funnel " +
         "revisiting a type needs distinct event types per stage")
-    val spark = events.sparkSession
+    // a NULL-timestamp event carries no position in the funnel: it can
+    // never advance later steps, and counting it as step-1 entry would
+    // inflate conversion denominators (review r18.4; the
+    // retentionCohorts stance)
+    val timed = events.filter(col(tsCol).isNotNull)
     var reached: DataFrame = null
     val perStep = steps.zipWithIndex.map { case (st, i) =>
-      val hits = events.filter(col(typeCol) === st)
+      val hits = timed.filter(col(typeCol) === st)
       val stage =
         if (i == 0)
           hits.groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))

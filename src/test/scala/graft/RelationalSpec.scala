@@ -168,7 +168,11 @@ class RelationalSpec extends AnyFunSuite {
       // after does
       (3L, "click", ts(1)), (3L, "view", ts(2)), (3L, "click", ts(3)),
       // user 4 never views
-      (4L, "purchase", ts(1)))
+      (4L, "purchase", ts(1)),
+      // user 5's only view has no timestamp → not a funnel ENTRY
+      // (review r18.4: min() ignoring the NULL would still have
+      // counted the group)
+      (5L, "view", null.asInstanceOf[java.sql.Timestamp]))
       .toDF("user_id", "event_type", "ts")
     val got = operators.Relational.funnelSteps(events, "user_id", "ts",
       "event_type", Seq("view", "click", "purchase"))
