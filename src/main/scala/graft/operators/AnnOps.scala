@@ -168,11 +168,18 @@ private[operators] trait AnnOps { self: Pipeline.type =>
       val sigExpr = (0 until SrpBands).map(b =>
         s"$b, concat(${(0 until SrpRows).map(r => s"bit${b * SrpRows + r}").mkString(", ")})")
         .mkString(", ")
+      // the cap counts ROWS per (band, sig) — the p142 oracle's
+      // COUNT(*) OVER spelling — not distinct ids: capping on the
+      // collect_set size would let a duplicate-id side cross the
+      // threshold at a different point than the oracle and silently
+      // collapse the duplicate rows in the candidate path (r18 ADVICE)
       e.select(col(out) +: bitCols: _*)
         .select(col(out), expr(s"stack($SrpBands, $sigExpr) AS (band, sig)"))
         .groupBy(col("band"), col("sig"))
-        .agg(array_sort(collect_set(col(out))).as("ids"))
-        .filter(size(col("ids")) <= LshBucketCap)
+        .agg(array_sort(collect_set(col(out))).as("ids"),
+          count(lit(1)).as("__n"))
+        .filter(col("__n") <= LshBucketCap)
+        .drop("__n")
     }
     val nd = prep(newVecs, "vec_id")
     val rd = prep(refVecs, "ref_id")

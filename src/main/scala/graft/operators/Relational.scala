@@ -1254,11 +1254,16 @@ object Relational {
   def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
       periodSec: Long): DataFrame = {
     require(periodSec > 0, s"periodSec must be > 0, got $periodSec")
-    val us = unix_micros(col(tsCol).cast(TimestampType))
-    val p = lit(periodSec * 1000000L)
-    val period = ((us - pmod(us, p)) / p).cast(LongType)
+    val pUs = periodSec * 1000000L
     val act = events.filter(col(tsCol).isNotNull)
-      .select(col(keyCol).as("__k"), period.as("__p"))
+      .select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("__us"))
+      // integral `div` on the pmod-adjusted dividend (the Tables.events
+      // spelling): Long `/` is DOUBLE division in Spark, exact only
+      // while |epoch µs| < 2^53 (~years -285..2255) — `div` keeps the
+      // floorDiv bucket in int64 for the full timestamp range
+      .select(col("__k"),
+        expr(s"(__us - pmod(__us, ${pUs}L)) div ${pUs}L").as("__p"))
       .distinct()
     val cohorts = act.groupBy(col("__k")).agg(min(col("__p")).as("__c"))
     act.join(cohorts, Seq("__k"))

@@ -91,19 +91,70 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * (empty sample) rather than shipping a sample that violates the
     * mix; corpus strata not in `weights` are dropped. Output: caller
     * columns (id and stratum first) plus the per-stratum hash rank. */
-  /** The shared per-stratum RNG-free order: rank within each stratum
-    * by md5(stratum:id), id tie-break. [[rebalanceToMix]] and
-    * [[stratifiedSplit]] BOTH rank through this one definition — the
+  /** The shared per-stratum RNG-free ordering hash: md5(stratum:id),
+    * id tie-break. Every stratified sampler ranks through the ONE
+    * [[withStratumMd5Rank]] definition built on this hash — the
     * documented contract that related curation steps draw from one
     * consistent shuffle of each stratum (review r10: two verbatim
     * copies of the formula could drift apart). */
-  private def stratumMd5Order(stratumCol: String, idCol: String): Seq[Column] =
-    Seq(md5(concat(col(stratumCol), lit(":"),
-      col(idCol).cast(StringType))), col(idCol))
+  private def stratumMd5(stratumCol: String, idCol: String): Column =
+    md5(concat(col(stratumCol), lit(":"), col(idCol).cast(StringType)))
 
-  private def stratumMd5Rank(stratumCol: String, idCol: String): Column =
-    row_number().over(Window.partitionBy(col(stratumCol))
-      .orderBy(stratumMd5Order(stratumCol, idCol): _*))
+  /** Exact per-stratum md5 rank WITHOUT a stratum-sized window task —
+    * the two-level salted construction (r18 verdict #1). A plain
+    * `row_number() OVER (PARTITION BY stratum ORDER BY md5, id)` puts
+    * each stratum's FULL row set through one window task; strata are
+    * languages/domains — maybe 5–50 — so at 100 TB one task sorts
+    * terabytes. Here rows rank inside (stratum, salt) where the salt is
+    * the first 2 hex chars of the ordering md5 ITSELF: the
+    * within-stratum order IS the md5 string order, so the 256 salt
+    * prefixes are disjoint CONTIGUOUS rank ranges, and
+    * per-(stratum, salt) count offsets (|strata|·256 rows, broadcast)
+    * complete the exact global-within-stratum rank — identical ranks,
+    * ~256× the parallelism, spec-pinned ≡ the one-level window in
+    * SamplingTwoLevelSpec. `running` adds exact per-stratum RUNNING
+    * SUMS over the same order (the [[unimaxSample]] admission sum),
+    * each completed with sum offsets from the SAME tiny offsets table.
+    * Adds `rankCol` (1-based long) and one long column per `running`
+    * entry; `__h`/`__salt` scratch columns are dropped. A NULL md5
+    * (NULL stratum or id) salts to "" — before "00" in string order,
+    * matching Spark's NULLS FIRST ascending placement. */
+  private def withStratumMd5Rank(df: DataFrame, stratumCol: String,
+      idCol: String, rankCol: String,
+      running: Seq[(Column, String)] = Nil): DataFrame = {
+    val salted = df
+      .withColumn("__h", stratumMd5(stratumCol, idCol))
+      .withColumn("__salt", coalesce(substring(col("__h"), 1, 2), lit("")))
+    val w = Window.partitionBy(col(stratumCol), col("__salt"))
+      .orderBy(col("__h"), col(idCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = running.foldLeft(
+      salted.withColumn("__srk", row_number().over(w))) {
+      case (d, (src, out)) =>
+        d.withColumn(s"__sc_$out", sum(src).over(cum))
+    }
+    // per-(stratum, salt) counts and sums with an EXCLUSIVE cumulative
+    // over the salt order WITHIN each stratum: |strata|·256 rows — the
+    // offsets window is parameter-scale, never corpus-sized
+    val aggs = count(lit(1)).as("__n") +:
+      running.map { case (src, out) => sum(src).as(s"__s_$out") }
+    val offW = Window.partitionBy(col(stratumCol)).orderBy(col("__salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs0 = salted.groupBy(col(stratumCol), col("__salt"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+    val offs = running.foldLeft(offs0) { case (d, (_, out)) =>
+      d.withColumn(s"__o_$out",
+        coalesce(sum(col(s"__s_$out")).over(offW), lit(0L)))
+    }.select(col(stratumCol) +: col("__salt") +: col("__off") +:
+      running.map { case (_, out) => col(s"__o_$out") }: _*)
+    val joined = ranked.join(broadcast(offs), Seq(stratumCol, "__salt"))
+      .withColumn(rankCol, (col("__off") + col("__srk")).cast(LongType))
+    running.foldLeft(joined) { case (d, (_, out)) =>
+      d.withColumn(out, (col(s"__o_$out") + col(s"__sc_$out")).cast(LongType))
+        .drop(s"__o_$out", s"__sc_$out")
+    }.drop("__h", "__salt", "__srk", "__off")
+  }
 
   def rebalanceToMix(corpus: DataFrame, idCol: String, stratumCol: String,
       weights: Seq[(String, Long)]): DataFrame = {
@@ -125,8 +176,7 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
         Seq(stratumCol), "left")
       .select(floor(coalesce(col("__n"), lit(0L)) * W / col("__w")).as("__cap"))
     val t = caps.agg(min(col("__cap")).as("__t"))
-    docs
-      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
+    withStratumMd5Rank(docs, stratumCol, idCol, "rk")
       .crossJoin(broadcast(t))
       .filter(col("rk") <= floor(col("__t") * col("__w") / W))
       .select(Seq(col(idCol), col(stratumCol))
@@ -149,9 +199,10 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * md5-rank prefix: RNG-free and reproducible, like
     * [[rebalanceToMix]], and docs admitted at a smaller budget stay
     * admitted at a larger one (rank prefixes nest). Plan: one tiny
-    * per-stratum count agg → one-row broadcast → one rank window per
-    * stratum — the single corpus shuffle any stratified pass needs.
-    * Output: caller columns + rk. */
+    * per-stratum count agg → one-row broadcast → the two-level
+    * (stratum, md5-salt) rank of [[withStratumMd5Rank]] — the single
+    * corpus shuffle any stratified pass needs, ~256 window tasks per
+    * stratum. Output: caller columns + rk. */
   def temperatureSample(corpus: DataFrame, idCol: String,
       stratumCol: String, budget: Long, alpha: Double): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
@@ -165,8 +216,8 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
       .select(col(stratumCol),
         least(col("__n"),
           floor(lit(budget) * col("__s") / col("__stot"))).as("__q"))
-    corpus.join(broadcast(quotas), Seq(stratumCol))
-      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
+    withStratumMd5Rank(corpus.join(broadcast(quotas), Seq(stratumCol)),
+        stratumCol, idCol, "rk")
       .filter(col("rk") <= col("__q"))
       .select(Seq(col(idCol), col(stratumCol))
         ++ corpus.columns.filterNot(c => c == idCol || c == stratumCol)
@@ -191,7 +242,7 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * overflow needs c_l·L ≥ 2⁶³ — a yotta-token stratum). Selection
     * materializes ONE epoch greedily: within each stratum docs take
     * the shared RNG-free md5 order ([[rebalanceToMix]]'s formula, via
-    * the one [[stratumMd5Order]] definition — rank and running sum can
+    * the one [[withStratumMd5Rank]] definition — rank and running sum can
     * never drift apart) and a doc is kept while the running token sum
     * stays within the quota; a quota above n_l (epochs > 1 worth of
     * repetition) keeps the whole stratum and reports the surplus in
@@ -199,9 +250,11 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * dropped (the quota join is inner), like [[rebalanceToMix]]'s
     * unknown strata. Plan shape: one per-stratum token-sum agg, the
     * waterfilling windows run over L = |strata| rows (parameter-scale
-    * — the whole quota table broadcasts), then the single rank window
-    * any stratified pass needs. Output: (idCol, stratumCol, tokensCol,
-    * rk, quota). */
+    * — the whole quota table broadcasts), then ONE two-level
+    * (stratum, md5-salt) pass carrying BOTH the rank and the running
+    * token sum ([[withStratumMd5Rank]]'s `running` hook — never a
+    * stratum-sized window task). Output: (idCol, stratumCol,
+    * tokensCol, rk, quota). */
   def unimaxSample(corpus: DataFrame, idCol: String, stratumCol: String,
       tokensCol: String, budget: Long, epochs: Int = 1): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
@@ -230,12 +283,12 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
       .select(col(stratumCol),
         when(col("__capped"), col("__c"))
           .otherwise(expr(s"($budget - __sc) div __u")).as("quota"))
-    val cum = Window.partitionBy(col(stratumCol))
-      .orderBy(stratumMd5Order(stratumCol, idCol): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    corpus.join(broadcast(quotas), Seq(stratumCol))
-      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
-      .withColumn("__cum", sum(col(tokensCol).cast(LongType)).over(cum))
+    // rank AND running token sum ride ONE two-level pass: both are
+    // (stratum, salt)-windowed and completed by the same broadcast
+    // offsets table — never a stratum-sized window task
+    withStratumMd5Rank(corpus.join(broadcast(quotas), Seq(stratumCol)),
+        stratumCol, idCol, "rk",
+        running = Seq((col(tokensCol).cast(LongType), "__cum")))
       .filter(col("__cum") <= col("quota"))
       .select(Seq(col(idCol), col(stratumCol))
         ++ corpus.columns.filterNot(c => c == idCol || c == stratumCol).map(col)
@@ -255,8 +308,9 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * component-hashed split when near-dup leakage across splits is
     * the concern — exactness here is per-ROW, so near-dup pairs can
     * straddle splits. Plan shape: one tiny per-stratum count agg
-    * (broadcast back), one rank window partitioned by stratum — the
-    * single corpus shuffle any stratified pass needs. Fraction
+    * (broadcast back), then the two-level (stratum, md5-salt) rank of
+    * [[withStratumMd5Rank]] — the single corpus shuffle any stratified
+    * pass needs, ~256 window tasks per stratum. Fraction
     * thresholds are IEEE double products floored (correctly rounded,
     * engine-identical). Output: caller's columns + (rk, split). */
   def stratifiedSplit(corpus: DataFrame, idCol: String, stratumCol: String,
@@ -265,9 +319,8 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
       s"need trainFrac, valFrac >= 0 with sum <= 1, got $trainFrac + $valFrac")
     val counts = corpus.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("__n"))
-    corpus
-      .join(broadcast(counts), Seq(stratumCol))
-      .withColumn("rk", stratumMd5Rank(stratumCol, idCol))
+    withStratumMd5Rank(corpus.join(broadcast(counts), Seq(stratumCol)),
+        stratumCol, idCol, "rk")
       .withColumn("split",
         when(col("rk") <= floor(lit(trainFrac) * col("__n")), "train")
           .when(col("rk") <= floor(lit(trainFrac) * col("__n"))
@@ -432,8 +485,10 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * the [[stratifiedSplit]] rank machinery). `bucketCol` is any
     * caller-derived integer difficulty band (a length band, a quality
     * quartile, a perplexity band — fixed boundaries keep it a map-side
-    * derivation). Plan shape: positions come from rank-within-bucket
-    * (a PARTITIONED window — parallel across buckets) plus per-bucket
+    * derivation). Plan shape: positions come from the two-level
+    * (bucket, md5-salt) rank of [[withStratumMd5Rank]] (~256 window
+    * tasks per bucket — difficulty bands are FEW, so bucket-only
+    * partitioning would bottleneck on 4–10 tasks) plus per-bucket
     * offsets from a bucket-count aggregate (bucket-cardinality-sized,
     * broadcast back), NOT a corpus-wide single-partition row_number —
     * the p92 slice trick, so the op survives 100 TB. Output: caller
@@ -451,8 +506,7 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
         col(idCol).cast(StringType),
         lit(s" — assign every row a difficulty in '$bucketCol' first"))))
         .otherwise(col(bucketCol).cast(StringType)))
-    val ranked = b.withColumn("rk",
-      stratumMd5Rank("__b", idCol).cast(LongType))
+    val ranked = withStratumMd5Rank(b, "__b", idCol, "rk")
     // bucket offsets: counts (one tiny agg), cumulative sum over the
     // ascending bucket order — bucket-cardinality rows, broadcast back
     val offs = b.groupBy(col(bucketCol)).agg(count(lit(1)).as("__n"))
@@ -475,24 +529,33 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     * size neighborhood, so totals track each other far tighter than
     * hash placement, which leaves Θ(√n) skew). The global
     * tokens-descending rank does NOT use a corpus-wide single-partition
-    * window: rows rank inside their binary size class
-    * (`length(bin(tokens))` — disjoint token ranges, a PARTITIONED
-    * window, parallel across classes) and class-count offsets (≤ 64
-    * rows) complete the exact global rank, the p92 slice trick.
+    * window: rows rank inside their (size class, top-9-bits sub-class)
+    * — disjoint token ranges, a PARTITIONED window with up to ~16 k
+    * parallel tasks — and per-(class, sub-class) count offsets
+    * (≤ 64·256 rows) complete the exact global rank
+    * ([[rankByValueClass]], the two-level p92 slice trick).
     * Ties break by id, so reruns and the oracle agree exactly.
     * Output: caller columns + rank (global, tokens-descending) +
     * shard (0-based). */
   /** Exact global rank over (`valueCol` asc/desc, id asc) WITHOUT a
     * corpus-wide single-partition window — the p92 slice trick shared
-    * by [[balancedShards]] and [[paddingWasteReport]]: rows rank
-    * inside their binary size class (`length(bin(value))` — disjoint
-    * value ranges, a PARTITIONED window, parallel across classes) and
-    * class-count offsets (≤ 64 rows, broadcast) complete the exact
-    * global rank. Values must be non-negative (a negative long's
-    * two's-complement bin() is 64 chars — it would silently class
-    * ABOVE every positive value); the guard rides the rank column so
-    * pruning cannot elide it. Adds `rankCol` (1-based long); the
-    * `__cls` scratch column is dropped. */
+    * by [[balancedShards]] and [[paddingWasteReport]], TWO-LEVEL
+    * (r18 verdict #1): the binary size class (`length(bin(value))` —
+    * disjoint value ranges) alone is ≤ 64 partitions, and real
+    * doc-length distributions put 30–50 % of a corpus in 1–2 modal
+    * classes — one window task carrying terabytes at 100 TB. So each
+    * class is SUB-CLASSED on the value's top 9 bits
+    * (`value >> max(bitlen − 9, 0)` — still disjoint, still
+    * order-preserving value sub-ranges, ≤ 256 per class): the window
+    * partitions by (class, sub-class) — up to ~16 k parallel tasks —
+    * and (class, sub-class) count offsets (≤ 64·256 rows, broadcast;
+    * the offsets window is parameter-scale) complete the exact global
+    * rank, spec-pinned ≡ the plain single window in
+    * SamplingTwoLevelSpec. Values must be non-negative (a negative
+    * long's two's-complement bin() is 64 chars — it would silently
+    * class ABOVE every positive value); the guard rides the rank
+    * column so pruning cannot elide it. Adds `rankCol` (1-based long);
+    * the `__cls`/`__sub` scratch columns are dropped. */
   private def rankByValueClass(df: DataFrame, valueCol: String,
       idCol: String, rankCol: String, ascending: Boolean): DataFrame = {
     val guarded = when(col(valueCol) < 0, raise_error(concat(
@@ -500,21 +563,26 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
       lit(" — binary size classes require non-negative keys"))))
       .otherwise(col(valueCol))
     val c = df.withColumn("__cls", length(bin(guarded)))
+      .withColumn("__sub", expr(
+        s"shiftright($valueCol, greatest(cast(length(bin($valueCol)) as int) - 9, 0))"))
     val order =
       if (ascending) Seq(col(valueCol).asc, col(idCol).asc)
       else Seq(col(valueCol).desc, col(idCol).asc)
     val ranked = c.withColumn("__rk",
-      row_number().over(Window.partitionBy(col("__cls"))
+      row_number().over(Window.partitionBy(col("__cls"), col("__sub"))
         .orderBy(order: _*)))
-    val offOrder = if (ascending) col("__cls").asc else col("__cls").desc
-    val offs = c.groupBy(col("__cls")).agg(count(lit(1)).as("__n"))
+    val offOrder =
+      if (ascending) Seq(col("__cls").asc, col("__sub").asc)
+      else Seq(col("__cls").desc, col("__sub").desc)
+    val offs = c.groupBy(col("__cls"), col("__sub"))
+      .agg(count(lit(1)).as("__n"))
       .withColumn("__off",
-        coalesce(sum(col("__n")).over(Window.orderBy(offOrder)
+        coalesce(sum(col("__n")).over(Window.orderBy(offOrder: _*)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__cls"), col("__off"))
-    ranked.join(broadcast(offs), Seq("__cls"))
+      .select(col("__cls"), col("__sub"), col("__off"))
+    ranked.join(broadcast(offs), Seq("__cls", "__sub"))
       .withColumn(rankCol, (col("__off") + col("__rk")).cast(LongType))
-      .drop("__cls", "__rk", "__off")
+      .drop("__cls", "__sub", "__rk", "__off")
   }
 
   def balancedShards(corpus: DataFrame, idCol: String, tokenCol: String,
@@ -577,6 +645,11 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
             col("padded_tokens").cast(DoubleType)
               / (col("total_tokens") + col("padded_tokens"))
                 .cast(DoubleType)).as("waste_share"))
+        // an empty corpus must yield ZERO rows (the oracle's GROUP BY
+        // over an empty union), not one n_batches=0 / NULL-totals row
+        // per strategy that downstream summaries would have to
+        // special-case (r18 ADVICE)
+        .filter(col("n_batches") > 0)
     val arrival = wasteOf(
       rankByValueClass(base.withColumn("__id", col(idCol).cast(LongType)),
         "__id", idCol, "__rank", ascending = true), "arrival")
@@ -649,8 +722,8 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     // floor(T·w_l/W) hash-first documents — selection is an md5 rank,
     // so the sample is deterministic and reproducible with NO RNG, like
     // p15. Plan shape: one tiny per-lang count agg, a scalar broadcast,
-    // and one rank window partitioned by lang (parallel across
-    // languages) — the single corpus shuffle any stratified pass needs.
+    // and the two-level (lang, md5-salt) rank — the single corpus
+    // shuffle any stratified pass needs, ~256 window tasks per lang.
     QueryDef(
       "p24_rebalance_sample",
       (s, d) =>

@@ -206,6 +206,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       operators.Relational.retentionCohorts(events, "user_id", "ts", 0L))
       .getMessage.contains("periodSec"))
+    // far-range timestamps bucket by EXACT int64 floorDiv (r18 ADVICE:
+    // Long `/` is double division in Spark — exact only below 2^53
+    // epoch-µs, ~year 2255; `div` must hold to the timestamp limits)
+    // pre-1970 but post-1582 (java.sql.Timestamp values before the
+    // Gregorian cutover rebase by days on ingest — a calendar shift,
+    // not a division concern), plus the >2^53-µs far future
+    val farSecs = Seq(-5000000000L,            // year 1811
+      13569465601L, 17987443199L, 9200000000000L) // 2400, 2540, ~293.5k
+    val far = farSecs.map(s => ("F", Some(ts(s)))).toDF("user_id", "ts")
+    val buckets = operators.Relational
+      .retentionCohorts(far, "user_id", "ts", periodSec = 604800L)
+      .collect().map(r => r.getLong(0) + r.getLong(1)).toSet
+    val expected = farSecs
+      .map(s => Math.floorDiv(s * 1000000L, 604800L * 1000000L)).toSet
+    assert(buckets == expected, s"got $buckets vs $expected")
   }
 
   test("q32: salted two-phase aggregation equals the direct plan") {

@@ -4168,6 +4168,29 @@ class TextApiSpec extends AnyFunSuite {
     assert(msgs(eDim).exists(_.contains("not 16-dimensional")))
   }
 
+  test("embeddingNeardupAgainstCorpus: the bucket cap counts ROWS, not " +
+      "distinct ids (the p142 oracle's COUNT(*) semantics)") {
+    import spark.implicits._
+    val v = (1 to 4).map(_.toFloat)
+    val newSide = Seq((1L, v)).toDF("k", "v")
+    // 1001 ref ROWS but only 2 distinct ids, all in the same bucket
+    // (identical vectors agree on every SRP sign): a distinct-id cap
+    // (2 ≤ 1000) would keep the bucket; the row cap must drop it
+    val refOver = ((1 to 1000).map(_ => (101L, v)) :+ (102L, v))
+      .toDF("k", "v")
+    val over = Pipeline.embeddingNeardupAgainstCorpus(newSide, refOver,
+      "k", "v", tau = 0.9, dim = 4).collect()
+    assert(over.isEmpty, s"row-capped bucket leaked ${over.length} pairs")
+    // exactly at the cap the bucket survives and pairs emit (dup ids
+    // collapse in the id-pair output, as in the oracle's DISTINCT)
+    val refAt = ((1 to 999).map(_ => (101L, v)) :+ (102L, v))
+      .toDF("k", "v")
+    val at = Pipeline.embeddingNeardupAgainstCorpus(newSide, refAt,
+      "k", "v", tau = 0.9, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at == Set((1L, 101L), (1L, 102L)), s"got $at")
+  }
+
   test("collapseByComponentsBest: keeps the max-score member per component; " +
       "NULL scores lose; ties break to the smaller id; unpaired rows survive") {
     import spark.implicits._
@@ -4219,6 +4242,12 @@ class TextApiSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("negative value")))
+    // an empty corpus yields ZERO rows — not an n_batches=0 /
+    // NULL-totals row per strategy (r18 ADVICE; the oracle's GROUP BY
+    // over an empty union)
+    val empty = Seq.empty[(Long, Long)].toDF("k", "toks")
+    assert(Pipeline.paddingWasteReport(empty, "k", "toks", 2)
+      .collect().isEmpty)
   }
 
   test("ngramDupProfile: hand-counted sweep; short docs drop per n; " +
