@@ -1094,6 +1094,73 @@ object Relational {
                CAST(COUNT(*) AS BIGINT) AS n_active
         FROM act JOIN cohorts USING (user_id)
         GROUP BY c, p - c
+        ORDER BY cohort_period, period_offset""")),
+
+    // ---- q45: within-window funnel — [[funnelStepsWithin]] with a
+    // 7-day conversion window anchored at the key's first-touch entry.
+    // The oracle replays the q43 greedy min-join chain plus the ONE
+    // extra deadline predicate (epoch-µs inclusive ≤), so the gate
+    // certifies the window actually prunes conversions (at sf0.01 the
+    // events fixture spans months — step-2/3 counts drop below q43's).
+    QueryDef(
+      "q45_funnel_window",
+      (s, d) =>
+        funnelStepsWithin(T.events(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSec = 604800L),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE ts IS NOT NULL),
+        t1 AS (
+          SELECT user_id, MIN(ts) AS t, epoch_us(MIN(ts)) AS entry
+          FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t, ANY_VALUE(t1.entry) AS entry
+          FROM ev e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t
+            AND epoch_us(e.ts) <= t1.entry + 604800000000
+          GROUP BY e.user_id),
+        t3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM ev e JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t
+            AND epoch_us(e.ts) <= t2.entry + 604800000000
+          GROUP BY e.user_id)
+        SELECT CAST(1 AS INTEGER) AS step_no, 'view' AS step,
+               CAST(COUNT(*) AS BIGINT) AS n_keys FROM t1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'click', CAST(COUNT(*) AS BIGINT) FROM t2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), 'purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+        ORDER BY step_no""")),
+
+    // ---- q46: dual-grain retention — weekly cohorts read at DAY
+    // granularity (ratio 7), the standard product retention chart. The
+    // oracle replays the day buckets, the nested-floor cohort
+    // derivation (⌊pmin/7⌋ via the pmod spelling) and the
+    // day-since-cohort-start offsets, all int64.
+    QueryDef(
+      "q46_retention_daily",
+      (s, d) => retentionCohorts(T.events(s, d), "user_id", "ts",
+        cohortPeriodSec = 604800L, activityPeriodSec = 86400L),
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE ts IS NOT NULL),
+        act AS (
+          SELECT DISTINCT user_id,
+                 (us - ((us % 86400000000) + 86400000000) % 86400000000)
+                   // 86400000000 AS p
+          FROM u),
+        cohorts AS (
+          SELECT user_id,
+                 (pm - ((pm % 7) + 7) % 7) // 7 AS c
+          FROM (SELECT user_id, MIN(p) AS pm FROM act GROUP BY user_id))
+        SELECT c AS cohort_period, CAST(p - c * 7 AS BIGINT) AS period_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM act JOIN cohorts USING (user_id)
+        GROUP BY c, p - c * 7
         ORDER BY cohort_period, period_offset"""))
   )
 
@@ -1212,7 +1279,31 @@ object Relational {
     * of strictly shrinking frames, never a per-key sort or collect.
     * Output: (step_no, step, n_keys) with n_keys non-increasing. */
   def funnelSteps(events: DataFrame, keyCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String]): DataFrame =
+    funnelStepsImpl(events, keyCol, tsCol, typeCol, steps, None)
+
+  /** Within-window funnel — [[funnelSteps]] with a CONVERSION WINDOW
+    * (the Amplitude/Mixpanel convention): a step counts only when it
+    * completes within `withinSec` of the key's ENTRY — its earliest
+    * step-1 event, the first-touch anchor (deadline inclusive). The
+    * anchor is deterministic by construction: entry is min(step-1 ts),
+    * and within the fixed deadline the greedy per-step earliest
+    * completion is provably optimal (a fixed upper bound on every
+    * step's time — exchange argument), so the chain stays the same
+    * O(steps) shrinking min-joins with ONE extra map-side filter. Note
+    * the semantics this buys: a key whose first touch times out does
+    * NOT re-anchor at a later step-1 event (an ∃-over-anchors variant
+    * would explode per-key step-1 candidates — quadratic on hot keys).
+    * Output: (step_no, step, n_keys), n_keys non-increasing. */
+  def funnelStepsWithin(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], withinSec: Long): DataFrame = {
+    require(withinSec > 0, s"withinSec must be > 0, got $withinSec")
+    funnelStepsImpl(events, keyCol, tsCol, typeCol, steps, Some(withinSec))
+  }
+
+  private def funnelStepsImpl(events: DataFrame, keyCol: String,
+      tsCol: String, typeCol: String, steps: Seq[String],
+      withinSec: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "steps must not be empty")
     require(steps.distinct.size == steps.size,
       s"duplicate step types in ${steps.mkString(", ")} — a funnel " +
@@ -1222,17 +1313,25 @@ object Relational {
     // inflate conversion denominators (review r18.4; the
     // retentionCohorts stance)
     val timed = events.filter(col(tsCol).isNotNull)
+    // TIMESTAMP_NTZ → TIMESTAMP before unix_micros (UTC sessions: the
+    // cast is wall-clock identity; the q40/q44 stance)
+    def us(c: Column): Column = unix_micros(c.cast(TimestampType))
     var reached: DataFrame = null
     val perStep = steps.zipWithIndex.map { case (st, i) =>
       val hits = timed.filter(col(typeCol) === st)
       val stage =
         if (i == 0)
           hits.groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))
+            .withColumn("__entry", us(col("__t")))
         else
           hits.join(reached, Seq(keyCol))
-            .filter(col(tsCol) > col("__prev"))
-            .groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))
-      reached = stage.select(col(keyCol), col("__t").as("__prev"))
+            .filter(col(tsCol) > col("__prev") && withinSec.map(w =>
+              us(col(tsCol)) <= col("__entry") + w * 1000000L)
+              .getOrElse(lit(true)))
+            .groupBy(col(keyCol), col("__entry"))
+            .agg(min(col(tsCol)).as("__t"))
+      reached = stage.select(col(keyCol), col("__t").as("__prev"),
+        col("__entry"))
       stage.agg(count(lit(1)).as("n_keys"))
         .select(lit(i + 1).as("step_no"), lit(st).as("step"),
           col("n_keys"))
@@ -1252,9 +1351,32 @@ object Relational {
     * Output: (cohort_period, period_offset, n_active); offset 0 rows
     * count each cohort's size. */
   def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
-      periodSec: Long): DataFrame = {
-    require(periodSec > 0, s"periodSec must be > 0, got $periodSec")
-    val pUs = periodSec * 1000000L
+      periodSec: Long): DataFrame =
+    retentionCohorts(events, keyCol, tsCol, periodSec, periodSec)
+
+  /** Dual-grain retention — cohorts at one period, activity at a FINER
+    * one (weekly cohorts read at day granularity, the standard product
+    * retention chart). `cohortPeriodSec` must be a multiple of
+    * `activityPeriodSec` so every cohort start lands exactly on an
+    * activity-bucket boundary and offsets stay exact integers: cohort
+    * = floorDiv(first-activity bucket, ratio) (the nested-floor law:
+    * ⌊us/C⌋ = ⌊⌊us/A⌋/ratio⌋ when C = ratio·A), offset = activity
+    * bucket − cohort·ratio, in ACTIVITY periods since cohort start.
+    * All int64 (`div` on pmod-adjusted dividends — exact to the
+    * timestamp limits). Same plan shape as the single-grain form: one
+    * distinct, one per-key min, one key join, one bounded count.
+    * Output: (cohort_period, period_offset, n_active). */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
+      cohortPeriodSec: Long, activityPeriodSec: Long): DataFrame = {
+    require(activityPeriodSec > 0,
+      s"periodSec must be > 0, got $activityPeriodSec")
+    require(cohortPeriodSec >= activityPeriodSec &&
+        cohortPeriodSec % activityPeriodSec == 0,
+      s"cohortPeriodSec ($cohortPeriodSec) must be a positive multiple " +
+        s"of activityPeriodSec ($activityPeriodSec) — otherwise cohort " +
+        "starts fall inside activity buckets and offsets are not exact")
+    val pUs = activityPeriodSec * 1000000L
+    val ratio = cohortPeriodSec / activityPeriodSec
     val act = events.filter(col(tsCol).isNotNull)
       .select(col(keyCol).as("__k"),
         unix_micros(col(tsCol).cast(TimestampType)).as("__us"))
@@ -1265,10 +1387,12 @@ object Relational {
       .select(col("__k"),
         expr(s"(__us - pmod(__us, ${pUs}L)) div ${pUs}L").as("__p"))
       .distinct()
-    val cohorts = act.groupBy(col("__k")).agg(min(col("__p")).as("__c"))
+    val cohorts = act.groupBy(col("__k")).agg(min(col("__p")).as("__pm"))
+      .select(col("__k"),
+        expr(s"(__pm - pmod(__pm, ${ratio}L)) div ${ratio}L").as("__c"))
     act.join(cohorts, Seq("__k"))
       .groupBy(col("__c").as("cohort_period"),
-        (col("__p") - col("__c")).as("period_offset"))
+        (col("__p") - col("__c") * ratio).as("period_offset"))
       .agg(count(lit(1)).as("n_active"))
       .orderBy(col("cohort_period"), col("period_offset"))
   }

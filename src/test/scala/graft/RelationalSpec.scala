@@ -223,6 +223,52 @@ class RelationalSpec extends AnyFunSuite {
     assert(buckets == expected, s"got $buckets vs $expected")
   }
 
+  test("funnelStepsWithin: first-touch anchor, inclusive deadline, no " +
+      "re-anchoring at later step-1 events") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      ("A", "view", 0L), ("A", "click", 10L), ("A", "purchase", 20L),
+      ("B", "view", 0L), ("B", "click", 5L), ("B", "purchase", 12L),
+      // C: the click fits a window anchored at the SECOND view but not
+      // the first — first-touch semantics must NOT convert it
+      ("C", "view", 0L), ("C", "view", 90L), ("C", "click", 100L),
+      // D: click exactly AT the deadline — inclusive, converts
+      ("D", "view", 0L), ("D", "click", 15L))
+      .map { case (u, e, s) => (u, e, ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = operators.Relational.funnelStepsWithin(events, "user_id",
+      "ts", "event_type", Seq("view", "click", "purchase"), withinSec = 15L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "view", 4L), (2, "click", 3L),
+      (3, "purchase", 1L)), s"got $got")
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.funnelStepsWithin(events, "user_id", "ts",
+        "event_type", Seq("view"), 0L)).getMessage.contains("withinSec"))
+  }
+
+  test("retentionCohorts dual-grain: weekly-style cohorts at finer " +
+      "activity buckets; offsets count activity periods since cohort start") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // cohort grain 100 s, activity grain 20 s (ratio 5)
+    val events = Seq(
+      ("A", ts(50)),   // p=2 → cohort ⌊2/5⌋=0, offset 2
+      ("A", ts(130)),  // p=6 → offset 6
+      ("B", ts(210)))  // p=10 → cohort 2, offset 0
+      .toDF("user_id", "ts")
+    val got = operators.Relational.retentionCohorts(events, "user_id",
+      "ts", cohortPeriodSec = 100L, activityPeriodSec = 20L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got == Map((0L, 2L) -> 1L, (0L, 6L) -> 1L, (2L, 0L) -> 1L),
+      s"got $got")
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.retentionCohorts(events, "user_id", "ts",
+        cohortPeriodSec = 90L, activityPeriodSec = 20L))
+      .getMessage.contains("multiple"))
+  }
+
   test("q32: salted two-phase aggregation equals the direct plan") {
     import QueryDef._
     val salted = SparkEntry.queries("q32_salted_agg")(spark, TestSpark.sfDir)
