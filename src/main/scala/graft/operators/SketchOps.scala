@@ -109,10 +109,16 @@ private[operators] trait SketchOps { self: Pipeline.type =>
     * the rank with zero floating point); register = max rank. Max is
     * idempotent, so occurrences need no distinct pass. NULL text
     * contributes nothing; an untouched register stays 0. */
-  def hllSketch(corpus: DataFrame, textCol: String, b: Int = 6): DataFrame = {
+  def hllSketch(corpus: DataFrame, textCol: String, b: Int = 6): DataFrame =
+    hllRegisters(hllMelt(corpus, textCol, b), b)
+
+  /** The reduce half shared by [[hllSketch]] and the n-gram profile's
+    * approx mode: melted (bucket, rank) rows → ONE dense-register
+    * sketch row (`__hll`, m longs). */
+  private[graft] def hllRegisters(melted: DataFrame, b: Int): DataFrame = {
     require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
     val m = 1 << b
-    hllMelt(corpus, textCol, b)
+    melted
       .groupBy(col("__b"))
       .agg(max(col("__rk")).as("__r"))
       .groupBy()
@@ -128,17 +134,28 @@ private[operators] trait SketchOps { self: Pipeline.type =>
     * SAME arithmetic the batch sketch does — two spellings of the
     * hash/rank math could silently drift. */
   private[graft] def hllMelt(corpus: DataFrame, textCol: String,
+      b: Int): DataFrame =
+    hllMeltItems(corpus
+      .filter(col(textCol).isNotNull)
+      .select(explode(array_remove(words(col(textCol)), "")).as("__w")),
+      "__w", b)
+
+  /** The ONE hash/rank spelling under every HLL consumer (tokens,
+    * n-grams, stream batches): per item, register index = low b bits
+    * of the 48-bit md5 hash, rank = leading-zero count of the high
+    * 48−b bits + 1 via the minimal-length binary string (`bin` agrees
+    * between Spark and DuckDB — zero floating point in the
+    * registers). */
+  private[graft] def hllMeltItems(items: DataFrame, itemCol: String,
       b: Int): DataFrame = {
     require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
     val m = 1 << b
     val wBits = 48 - b
-    val h = conv(substring(md5(col("__w")), 1, 12), 16, 10).cast(LongType)
+    val h = conv(substring(md5(col(itemCol)), 1, 12), 16, 10).cast(LongType)
     val payload = shiftright(h, b)
     val rank = when(payload === 0, lit((wBits + 1).toLong))
       .otherwise(lit((wBits + 1).toLong) - length(bin(payload)).cast(LongType))
-    corpus
-      .filter(col(textCol).isNotNull)
-      .select(explode(array_remove(words(col(textCol)), "")).as("__w"))
+    items
       .select(h.bitwiseAND(lit((m - 1).toLong)).cast(IntegerType).as("__b"),
         rank.as("__rk"))
   }
@@ -446,32 +463,71 @@ private[operators] trait SketchOps { self: Pipeline.type =>
     * large n means copied PASSAGES (substring/near dedup will bite);
     * high share only at small n is ordinary language redundancy.
     * One (count, count-distinct) aggregation per requested n — each an
-    * exact gram-keyed shuffle, the audited-diagnostic contract (at
-    * 100 TB swap the distinct side for [[hllSketch]]/
-    * approx_count_distinct and accept the ±2% band; the exact form is
-    * what the oracle can certify). Docs shorter than n words
-    * contribute no n-grams; NULL texts none at any n. */
+    * exact gram-keyed shuffle, the audited-diagnostic contract. Docs
+    * shorter than n words contribute no n-grams; NULL texts none at
+    * any n.
+    *
+    * `approx = true` is the 100 TB mode: the exact distinct over
+    * 8-gram space is the most expensive aggregate in the profile (the
+    * gram-keyed shuffle carries the hapax-dominated gram universe), so
+    * the distinct side routes through the [[hllSketch]] machinery
+    * instead — the gram melt collapses to at most m = 2^`b` register
+    * cells PER MAPPER (max combines map-side; NOTHING gram-keyed ever
+    * shuffles), for a documented ±1.04/√m relative error on
+    * `distinct_grams` (±1.6 % at the default b = 12) and whatever that
+    * propagates to `dup_gram_share` (error ≤ distinct/total · 1.6 %,
+    * amplified when total ≈ distinct). Estimation follows Flajolet
+    * §4: linear counting m·ln(m/V) in the small range (raw ≤ 2.5 m,
+    * V > 0; the ln carries the shared round-9 stance so both engines
+    * agree bit-for-bit — the p112 precedent), the raw harmonic
+    * estimate otherwise; the estimate is rounded to a long so the
+    * column stays drop-in for the exact mode's schema, and the share
+    * is clamped at 0 (an estimator overshoot past total must not
+    * report negative duplication). Exact ≡ approx within the band is
+    * spec-pinned; the p144 gate certifies the full estimator replay
+    * against DuckDB. */
   def ngramDupProfile(corpus: DataFrame, textCol: String,
-      ns: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+      ns: Seq[Int] = Seq(1, 2, 4, 8), approx: Boolean = false,
+      b: Int = 12): DataFrame = {
     require(ns.nonEmpty, "ns must not be empty")
     require(ns.forall(_ >= 1), s"gram lengths must be >= 1, got $ns")
     require(ns.distinct.size == ns.size, s"duplicate gram lengths in $ns")
+    require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
     val ws = corpus
       .select(array_remove(words(col(textCol)), "").as("ws"))
       .filter(col("ws").isNotNull)
     val perN = ns.map { n =>
       // the size >= n filter keeps sequence() ascending (sequence(1, 0)
       // is DESCENDING in Spark — the recorded BpeSpec gotcha)
-      ws.filter(size(col("ws")) >= n)
+      val grams = ws.filter(size(col("ws")) >= n)
         .select(explode(transform(
           sequence(lit(1), size(col("ws")) - n + 1),
           i => array_join(slice(col("ws"), i, lit(n)), " "))).as("g"))
-        .agg(count(lit(1)).as("total_grams"),
-          countDistinct(col("g")).as("distinct_grams"))
+      val counted =
+        if (!approx)
+          grams.agg(count(lit(1)).as("total_grams"),
+            countDistinct(col("g")).as("distinct_grams"))
+        else {
+          val m = 1 << b
+          val mD = m.toDouble
+          val est = hllEstimate(
+            hllRegisters(hllMeltItems(grams, "g", b), b), b)
+            .select(col("hll_v0"), col("hll_raw_est"))
+          grams.agg(count(lit(1)).as("total_grams"))
+            .crossJoin(broadcast(est))
+            .select(col("total_grams"),
+              when(col("hll_v0") > 0 && col("hll_raw_est") <= lit(2.5 * mD),
+                round(round(log(lit(mD) / col("hll_v0").cast(DoubleType)),
+                  9) * mD))
+                .otherwise(round(col("hll_raw_est")))
+                .cast(LongType).as("distinct_grams"))
+        }
+      counted
         .select(lit(n).as("n"), col("total_grams"), col("distinct_grams"),
           when(col("total_grams") > 0,
-            (col("total_grams") - col("distinct_grams")).cast(DoubleType)
-              / col("total_grams").cast(DoubleType))
+            greatest(lit(0.0),
+              (col("total_grams") - col("distinct_grams")).cast(DoubleType)
+                / col("total_grams").cast(DoubleType)))
             .as("dup_gram_share"))
     }
     perN.reduce(_.union(_)).orderBy(col("n"))
@@ -837,6 +893,77 @@ private[operators] trait SketchOps { self: Pipeline.type =>
                              x -> x <> '') AS ws
           FROM documents WHERE text IS NOT NULL)
         ${blocks.mkString(" UNION ALL ")}
+        ORDER BY n"""
+      }),
+
+    // ---- p144: n-gram duplication profile, HLL mode —
+    // [[ngramDupProfile]] with approx = true at the default b = 12
+    // (4096 registers, ±1.6 %): the 100 TB form, where NOTHING
+    // gram-keyed ever shuffles (register cells only). The oracle
+    // replays the whole estimator per n: the md5 48-bit hash, the
+    // bin-length ranks, the 4096 dense registers, the exact harmonic
+    // sum, the raw estimate, the Flajolet §4 linear-counting branch
+    // (round-9 ln — the p112 stance), the rounding to a long and the
+    // clamped share — so the gate certifies the ESTIMATOR bit-for-bit
+    // on both engines; exact-vs-approx accuracy is spec-pinned in
+    // TextApiSpec. At sf0.01 the n = 1 arm sits deep in the
+    // linear-counting range and n = 8 in the raw range, so both
+    // branches execute.
+    QueryDef(
+      "p144_ngram_profile_hll",
+      (s, d) =>
+        ngramDupProfile(T.documents(s, d), "text", approx = true),
+      Some {
+        val alpha = "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) " +
+          "+ CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))"
+        val raw = s"(($alpha * CAST(4096.0 AS DOUBLE)) " +
+          "* CAST(4096.0 AS DOUBLE) / hsum)"
+        val ctes = Seq(1, 2, 4, 8).map { n =>
+          s"""
+          g$n AS (SELECT array_to_string(ws[i:i+${n - 1}], ' ') AS g
+                  FROM w, unnest(range(1, len(ws) - $n + 2)) t(i)
+                  WHERE len(ws) >= $n),
+          t$n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM g$n),
+          k$n AS (SELECT h & 4095 AS b,
+                         CASE WHEN (h >> 12) = 0 THEN 37
+                              ELSE 37 - length(bin(h >> 12)) END AS r
+                  FROM (SELECT CAST('0x' || substr(md5(g), 1, 12)
+                                 AS BIGINT) AS h FROM g$n)),
+          q$n AS (SELECT CAST(t.i AS INTEGER) AS b,
+                         CAST(COALESCE(MAX(k$n.r), 0) AS BIGINT) AS r
+                  FROM range(0, 4096) t(i) LEFT JOIN k$n ON k$n.b = t.i
+                  GROUP BY 1),
+          v$n AS (SELECT CAST(COUNT(*) FILTER (WHERE r = 0) AS BIGINT)
+                           AS v0,
+                         SUM(CAST(1.0 AS DOUBLE) /
+                             CAST(CAST(1 AS BIGINT) << CAST(r AS INTEGER)
+                               AS DOUBLE)) AS hsum
+                  FROM q$n),
+          e$n AS (SELECT CASE
+                    WHEN v0 > 0 AND $raw <= CAST(10240.0 AS DOUBLE)
+                    THEN CAST(round(round(ln(CAST(4096.0 AS DOUBLE)
+                           / CAST(v0 AS DOUBLE)), 9)
+                           * CAST(4096.0 AS DOUBLE)) AS BIGINT)
+                    ELSE CAST(round($raw) AS BIGINT) END AS est
+                  FROM v$n)"""
+        }
+        val selects = Seq(1, 2, 4, 8).map { n =>
+          s"""
+          SELECT CAST($n AS INTEGER) AS n, t$n.total AS total_grams,
+                 e$n.est AS distinct_grams,
+                 CASE WHEN t$n.total > 0 THEN greatest(
+                   CAST(0.0 AS DOUBLE),
+                   CAST(t$n.total - e$n.est AS DOUBLE)
+                     / CAST(t$n.total AS DOUBLE)) END AS dup_gram_share
+          FROM t$n CROSS JOIN e$n"""
+        }
+        s"""
+        WITH w AS (
+          SELECT list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        ${ctes.mkString(",")}
+        ${selects.mkString(" UNION ALL ")}
         ORDER BY n"""
       })
   )

@@ -410,6 +410,13 @@ class StressSpec extends AnyFunSuite {
       operators.Pipeline.ngramDupProfile(docs, "text")
     }
 
+    // p144: the same sweep with the HLL distinct side — NOTHING
+    // gram-keyed shuffles (the melt collapses to ≤4096 register cells
+    // per mapper), the 100 TB form of the profile
+    drive("ngramDupProfileHll", budgetSec = 600, minRows = 4L) {
+      operators.Pipeline.ngramDupProfile(docs, "text", approx = true)
+    }
+
     // THE COMPOSED USER JOURNEY in ONE session (r17 verdict Next #1):
     // curate → managed dedup chain → component-shared leakage-safe
     // split → BPE tokenize → pack + report — the `graft` CLI chain as

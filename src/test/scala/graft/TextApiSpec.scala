@@ -4276,4 +4276,34 @@ class TextApiSpec extends AnyFunSuite {
       Pipeline.ngramDupProfile(docs, "text", ns = Seq(0)))
       .getMessage.contains(">= 1"))
   }
+
+  test("ngramDupProfile approx: HLL distinct tracks exact within the " +
+      "documented ±1.6% band; totals identical; empty arm stays zero") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val exact = Pipeline.ngramDupProfile(docs, "text")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val approx = Pipeline.ngramDupProfile(docs, "text", approx = true)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    Seq(1, 2, 4, 8).foreach { n =>
+      assert(approx(n)._1 == exact(n)._1,
+        s"n=$n: totals diverged (${approx(n)._1} vs ${exact(n)._1})")
+      val (e, a) = (exact(n)._2, approx(n)._2)
+      // 3σ of the 1.04/√4096 band, plus integer slack for tiny counts
+      val tol = math.max(0.05 * e, 3.0)
+      assert(math.abs(a - e) <= tol,
+        s"n=$n: HLL estimate $a vs exact $e exceeds ±$tol")
+    }
+    // an all-too-short corpus yields the zero row, not an estimator NaN
+    val short = Seq("a b").toDF("text")
+    val z = Pipeline.ngramDupProfile(short, "text", ns = Seq(8),
+      approx = true).collect().head
+    assert(z.getLong(1) == 0L && z.getLong(2) == 0L && z.isNullAt(3),
+      s"got $z")
+    assert(intercept[IllegalArgumentException](
+      Pipeline.ngramDupProfile(docs, "text", approx = true, b = 17))
+      .getMessage.contains("b must"))
+  }
 }
