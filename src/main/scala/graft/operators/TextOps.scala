@@ -86,6 +86,25 @@ private[operators] trait TextOps { self: Pipeline.type =>
       .limit(k)
 
 
+  /** The packers' shard-size advisory (one spelling for
+    * [[packSequences]] and [[packTokenIds]]): sequential packing ranks
+    * every shard through ONE window task, so an oversized shard is a
+    * straggler-then-OOM at 100 TB with no error — this guard rides the
+    * broadcast shard-base column (column pruning cannot elide it; the
+    * check itself costs one count per shard inside the agg the packers
+    * already run) and raises LOUDLY with the sizing math instead.
+    * Expects `__n` (the shard's row count) in scope. */
+  private def shardRowsGuard(op: String, shard: Column, maxShardRows: Long,
+      base: Column): Column =
+    when(col("__n") > maxShardRows, raise_error(concat(
+      lit(s"$op: shard "), shard.cast(StringType), lit(" holds "),
+      col("__n").cast(StringType),
+      lit(s" rows > maxShardRows = $maxShardRows — each shard packs " +
+        "sequentially in ONE window task; use more shards (aim for " +
+        "corpus_rows / |shards| <= maxShardRows) or raise maxShardRows " +
+        "explicitly if a bigger task is intended"))).cast(LongType))
+      .otherwise(base)
+
   /** Sequence packing over ANY corpus — the p22 plan as a reusable
     * operator: concatenate-and-chunk the token stream into fixed
     * context windows where documents may straddle chunk boundaries.
@@ -96,10 +115,18 @@ private[operators] trait TextOps { self: Pipeline.type =>
     * windows (`shardCol` is the shard key), and the tiny per-shard
     * totals table carries the base offsets via broadcast — a single
     * global orderBy window would drag the whole corpus through ONE
-    * partition; this shape never does. Output: (doc_id, <shardCol>,
-    * tok, tok_offset, first_chunk, last_chunk, n_chunks). */
+    * partition; this shape never does. The per-shard running sum is
+    * still ONE window task per shard — inherent to sequential packing
+    * (chunk boundaries depend on every preceding document) — so the
+    * caller-chosen shard count bounds the parallelism AND the biggest
+    * task: [[shardRowsGuard]] raises loudly when any shard exceeds
+    * `maxShardRows` rows (the `localDictMax` stance; size shards so
+    * corpus_rows / |shards| ≤ maxShardRows — OPERATORS.md has the
+    * math). Output: (doc_id, <shardCol>, tok, tok_offset, first_chunk,
+    * last_chunk, n_chunks). */
   def packSequences(corpus: DataFrame, idCol: String, shardCol: String,
-      tokenCount: Column, contextLen: Int): DataFrame = {
+      tokenCount: Column, contextLen: Int,
+      maxShardRows: Long = 8388608L): DataFrame = {
     val toks = corpus.select(col(idCol).as("doc_id"), col(shardCol),
       tokenCount.as("tok"))
     val wIntra = Window.partitionBy(col(shardCol)).orderBy(col("doc_id"))
@@ -107,9 +134,12 @@ private[operators] trait TextOps { self: Pipeline.type =>
     val intra = toks.withColumn("run", sum(col("tok")).over(wIntra))
     val wBase = Window.orderBy(col(shardCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bases = toks.groupBy(col(shardCol)).agg(sum(col("tok")).as("total"))
+    val bases = toks.groupBy(col(shardCol))
+      .agg(sum(col("tok")).as("total"), count(lit(1)).as("__n"))
       .withColumn("cum", sum(col("total")).over(wBase))
-      .select(col(shardCol).as("b_shard"), (col("cum") - col("total")).as("base"))
+      .select(col(shardCol).as("b_shard"),
+        shardRowsGuard("packSequences", col(shardCol), maxShardRows,
+          (col("cum") - col("total"))).as("base"))
     intra.join(broadcast(bases), col(shardCol) === col("b_shard"))
       .select(col("doc_id"), col(shardCol), col("tok"),
         (col("base") + col("run") - col("tok")).as("tok_offset"))
@@ -144,7 +174,8 @@ private[operators] trait TextOps { self: Pipeline.type =>
     * `sepId` (round-tripped in TextApiSpec). `sepId` should be outside
     * the vocab id range — the ids themselves are opaque here. */
   def packTokenIds(corpus: DataFrame, idCol: String, shardCol: String,
-      idsCol: String, contextLen: Int, sepId: Int): DataFrame = {
+      idsCol: String, contextLen: Int, sepId: Int,
+      maxShardRows: Long = 8388608L): DataFrame = {
     require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
     val L = lit(contextLen.toLong)
     val toks = corpus.select(col(idCol).as("doc_id"),
@@ -155,13 +186,16 @@ private[operators] trait TextOps { self: Pipeline.type =>
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val intra = toks.withColumn("run", sum(col("tok")).over(wIntra))
     // the shard-base table is shard-count-sized: its single-partition
-    // window is fine (same stance as packSequences)
+    // window is fine (same stance as packSequences); the per-shard
+    // task-size advisory rides the base column like packSequences'
     val wBase = Window.orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bases = toks.groupBy(col("__shard")).agg(sum(col("tok")).as("total"))
+    val bases = toks.groupBy(col("__shard"))
+      .agg(sum(col("tok")).as("total"), count(lit(1)).as("__n"))
       .withColumn("cum", sum(col("total")).over(wBase))
       .select(col("__shard").as("b_shard"),
-        (col("cum") - col("total")).as("base"))
+        shardRowsGuard("packTokenIds", col("__shard"), maxShardRows,
+          (col("cum") - col("total"))).as("base"))
     val lo = greatest(col("chunk") * L, col("off"))
     val hi = least((col("chunk") + 1) * L, col("off") + col("tok"))
     intra.join(broadcast(bases), col("__shard") === col("b_shard"))

@@ -2741,6 +2741,23 @@ class TextApiSpec extends AnyFunSuite {
       Seq((1L, 0L), (2L, 100L), (3L, 300L), (4L, 600L)))
     // doc 2 spans tokens 100..299 → chunks 0..2 of 128 → 3 chunks
     assert(offs.find(_._1 == 2L).get._3 == 3L)
+    // the shard-size advisory raises LOUDLY when one shard exceeds
+    // maxShardRows (sequential packing = ONE window task per shard; an
+    // oversized shard is a silent straggler at 100 TB otherwise), and
+    // the message carries the sizing math
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception](
+      Pipeline.packSequences(rows, "rid", "shard", col("ntok"),
+        contextLen = 128, maxShardRows = 1L).collect())
+    assert(msgs(e).exists(m => m.contains("maxShardRows")
+      && m.contains("corpus_rows / |shards|")), s"got ${msgs(e)}")
+    val e2 = intercept[Exception](
+      Pipeline.packTokenIds(
+        Seq((1L, "sA", Seq(1, 2)), (2L, "sA", Seq(3))).toDF("rid", "shard", "ids"),
+        "rid", "shard", "ids", contextLen = 4, sepId = -1,
+        maxShardRows = 1L).collect())
+    assert(msgs(e2).exists(_.contains("maxShardRows")), s"got ${msgs(e2)}")
   }
 
   test("passageShareStats: verbatim copies score 1.0, one copied block scores 1/51") {
