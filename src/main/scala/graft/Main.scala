@@ -1747,20 +1747,28 @@ object Main {
       input: String = "",
       outputDir: String = "",
       checkpoint: String = "",
+      mode: String = "document",
       idColumn: String = "doc_id",
       textColumn: String = "text",
       tsColumn: String = "",
       minChars: Int = 50,
       badwords: Seq[String] = Nil,
       watermark: String = "1 hour",
+      keyColumns: Seq[String] = Nil,
+      seqColumn: String = "",
+      opColumn: String = "",
+      deleteOp: String = "delete",
       maxBytesPerTrigger: Option[Long] = None,
       quiet: Boolean = false)
 
   private[graft] val IngestHelpText =
-    s"""Streams a parquet document directory through the ingest chain
-       |(scrub -> blocklist -> near-dup gate -> exactly-once parquet sink),
-       |drains the backlog and exits; rerun with the same --checkpoint to
-       |resume exactly-once
+    s"""Streams a parquet directory through an ingest chain, drains the
+       |backlog and exits; rerun with the same --checkpoint to resume
+       |exactly-once. --mode document (default): scrub -> blocklist ->
+       |near-dup gate -> parquet sink. --mode cdc: a changelog stream
+       |folds to NET state-change rows per key per micro-batch
+       |(latest-seq wins, stale replays silent, delete ops emit
+       |tombstone rows) -> parquet change feed.
        |
        |Usage: graft ingest [OPTIONS] --input <DIR> --output-dir <DIR> --checkpoint <DIR>
        |
@@ -1770,6 +1778,9 @@ object Main {
        |      --checkpoint <DIR>      Streaming checkpoint (offsets + sink commit
        |                              log — the exactly-once state; keep it with
        |                              the sink, reuse it on every rerun)
+       |      --mode <M>              document (default) or cdc
+       |
+       |Document-mode options:
        |      --id-column <C>         Document id column (default doc_id)
        |      --text-column <C>       Text column (default text)
        |      --ts-column <C>         Event-time column for the near-dup gate's
@@ -1778,6 +1789,15 @@ object Main {
        |      --badword <W>           Blocklist entry (repeatable; whole-word,
        |                              case-insensitive)
        |      --watermark <W>         Near-dup gate watermark (default "1 hour")
+       |
+       |CDC-mode options:
+       |      --key-column <C>        Primary-key column (repeatable, required)
+       |      --seq-column <C>        Version-order column, key-unique, cast to
+       |                              long (required)
+       |      --op-column <C>         Operation column (required)
+       |      --delete-op <V>         Tombstone operation value (default delete)
+       |
+       |Common options:
        |      --max-bytes-per-trigger <N>  Micro-batch size cap in BYTES (a plain
        |                              integer — no size suffixes)
        |      --quiet                 Only errors are written to stderr
@@ -1788,6 +1808,10 @@ object Main {
     var a = IngestArgs()
     val c = new ArgCursor(argv)
     def take(flag: String): String = c.take(flag)
+    // a document-mode flag beside --mode cdc is a config error to say
+    // loudly, never to silently ignore (and vice versa)
+    val docFlags = scala.collection.mutable.ListBuffer.empty[String]
+    val cdcFlags = scala.collection.mutable.ListBuffer.empty[String]
     while (c.nonEmpty) {
       val flag = c.next()
       flag match {
@@ -1795,10 +1819,20 @@ object Main {
         case "--input" | "-i" => a = a.copy(input = take(flag))
         case "--output-dir" | "-o" => a = a.copy(outputDir = take(flag))
         case "--checkpoint" => a = a.copy(checkpoint = take(flag))
-        case "--id-column" => a = a.copy(idColumn = take(flag))
-        case "--text-column" => a = a.copy(textColumn = take(flag))
-        case "--ts-column" => a = a.copy(tsColumn = take(flag))
+        case "--mode" =>
+          val v = take(flag)
+          if (v != "document" && v != "cdc")
+            throw new IllegalArgumentException(
+              s"--mode must be document or cdc, got '$v'")
+          a = a.copy(mode = v)
+        case "--id-column" =>
+          docFlags += flag; a = a.copy(idColumn = take(flag))
+        case "--text-column" =>
+          docFlags += flag; a = a.copy(textColumn = take(flag))
+        case "--ts-column" =>
+          docFlags += flag; a = a.copy(tsColumn = take(flag))
         case "--min-chars" =>
+          docFlags += flag
           val v = take(flag)
           val n = try v.toInt catch { case _: NumberFormatException =>
             throw new IllegalArgumentException(
@@ -1806,8 +1840,18 @@ object Main {
           if (n < 0) throw new IllegalArgumentException(
             s"$flag must be >= 0, got $n")
           a = a.copy(minChars = n)
-        case "--badword" => a = a.copy(badwords = a.badwords :+ take(flag))
-        case "--watermark" => a = a.copy(watermark = take(flag))
+        case "--badword" =>
+          docFlags += flag; a = a.copy(badwords = a.badwords :+ take(flag))
+        case "--watermark" =>
+          docFlags += flag; a = a.copy(watermark = take(flag))
+        case "--key-column" =>
+          cdcFlags += flag; a = a.copy(keyColumns = a.keyColumns :+ take(flag))
+        case "--seq-column" =>
+          cdcFlags += flag; a = a.copy(seqColumn = take(flag))
+        case "--op-column" =>
+          cdcFlags += flag; a = a.copy(opColumn = take(flag))
+        case "--delete-op" =>
+          cdcFlags += flag; a = a.copy(deleteOp = take(flag))
         case "--max-bytes-per-trigger" =>
           // the file source parses size SUFFIXES ("10m") too, but a
           // typo'd suffix silently becomes a huge batch — integers only
@@ -1826,11 +1870,24 @@ object Main {
     if (a.input.isEmpty || a.outputDir.isEmpty || a.checkpoint.isEmpty)
       throw new IllegalArgumentException(
         "usage: ingest [OPTIONS] --input DIR --output-dir DIR --checkpoint DIR")
+    if (a.mode == "cdc" && docFlags.nonEmpty)
+      throw new IllegalArgumentException(
+        s"document-mode flag(s) ${docFlags.distinct.mkString(", ")} " +
+          "have no effect under --mode cdc")
+    if (a.mode == "document" && cdcFlags.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CDC-mode flag(s) ${cdcFlags.distinct.mkString(", ")} " +
+          "have no effect under --mode document")
+    if (a.mode == "cdc" &&
+        (a.keyColumns.isEmpty || a.seqColumn.isEmpty || a.opColumn.isEmpty))
+      throw new IllegalArgumentException(
+        "--mode cdc requires --key-column, --seq-column and --op-column")
     a
   }
 
   private[graft] def runIngest(spark: SparkSession, a: IngestArgs): Long = {
     import org.apache.spark.sql.functions.{col, current_timestamp}
+    if (a.mode == "cdc") return runIngestCdc(spark, a)
     // schema comes from a static read of the same directory — also
     // validates the input and the named columns up front
     val static = readDocs(spark, "--input", a.input,
@@ -1879,6 +1936,46 @@ object Main {
       System.err.println(
         s"ingested: sink at ${a.outputDir} now holds $rows rows " +
           s"(exactly-once log at ${a.checkpoint})")
+    rows
+  }
+
+  /** `graft ingest --mode cdc`: the bounded-input front of
+    * [[streaming.Streams.cdcGate]] — a parquet changelog directory
+    * streams through the latest-wins keyed state and lands NET
+    * state-change rows (key, seq, op, payload JSON, deleted) as a
+    * parquet change feed through the same exactly-once checkpointed
+    * sink as document mode. Payload = every input column that is not a
+    * key/seq/op column. IngestCliSpec pins CLI ≡ the library gate and
+    * the exactly-once rerun. */
+  private def runIngestCdc(spark: SparkSession, a: IngestArgs): Long = {
+    val static = spark.read.parquet(a.input)
+    for ((flag, c) <- a.keyColumns.map(("--key-column", _)) ++
+        Seq("--seq-column" -> a.seqColumn, "--op-column" -> a.opColumn))
+      if (!static.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"$flag '$c' not found in ${a.input} " +
+            s"(columns: ${static.columns.mkString(", ")})")
+    val payload = static.columns.toSeq.filterNot(c =>
+      a.keyColumns.contains(c) || c == a.seqColumn || c == a.opColumn)
+    if (payload.isEmpty)
+      throw new IllegalArgumentException(
+        "the changelog has no payload columns beyond key/seq/op — " +
+          "nothing to materialize")
+    val reader = spark.readStream.schema(static.schema)
+    a.maxBytesPerTrigger.foreach(b =>
+      reader.option("maxBytesPerTrigger", b.toString))
+    val changes = streaming.Streams.cdcGate(reader.parquet(a.input),
+      a.keyColumns, a.seqColumn, a.opColumn, a.deleteOp, payload)
+    val q = streaming.Streams.toParquet(changes.toDF(), a.outputDir,
+      a.checkpoint)
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(a.outputDir).count()
+    if (!a.quiet)
+      System.err.println(
+        s"ingested: CDC change feed at ${a.outputDir} now holds $rows " +
+          s"change rows (exactly-once log at ${a.checkpoint})")
     rows
   }
 
@@ -2462,7 +2559,9 @@ object Main {
        |  index   Trains an IVF(-PQ) ANN index, writes artifacts as parquet
        |  ann     Top-k ANN queries against a `graft index` directory
        |  ingest  Streams a corpus through scrub/blocklist/near-dup gates into
-       |          an exactly-once parquet sink (drains the backlog, exits)
+       |          an exactly-once parquet sink (drains the backlog, exits);
+       |          --mode cdc folds a changelog to net state-change rows
+       |          (latest-seq wins, tombstones on delete ops)
        |  scrub   Removes documents duplicating a REFERENCE corpus (exact/
        |          band admit, verified near-dup, or Bloom-gated)
        |  phash   Image perceptual hashes (aHash-64 over real decode), near-dup

@@ -210,6 +210,90 @@ object Streams {
       }
   }
 
+  final case class CdcInput(key: String, seq: Long, op: Option[String],
+      payload: Option[String])
+  /** [[cdcGate]] state: the key's CURRENT winner. Public only for
+    * Spark's encoder codegen. */
+  final case class CdcState(seq: Long, op: Option[String],
+      payload: Option[String], deleted: Boolean)
+  /** One net state change per key per micro-batch: the new current
+    * row (`deleted = false`, `payload` = the row's non-key columns as
+    * JSON) or a tombstone (`deleted = true`) when the latest operation
+    * is the delete op. */
+  final case class CdcChange(key: String, seq: Long, op: Option[String],
+      payload: Option[String], deleted: Boolean)
+
+  /** Streaming CDC apply — [[graft.operators.Relational.cdcApply]] as
+    * custom keyed state (the warehouse-maintenance twin of
+    * [[quietGapGate]]): materialize CURRENT state from a live
+    * changelog, emitting one NET change row per key per micro-batch —
+    * the new winner (highest `seqCol`; latest op `deleteOp` → a
+    * tombstone with `deleted = true`) — and nothing when a batch
+    * leaves the key unchanged (stale replays are ignored: only a
+    * STRICTLY newer seq advances state, so replayed rows are
+    * idempotent, exactly the batch operator's latest-wins contract; a
+    * NULL op is NOT a tombstone — the batch stance). `seqCol` must be
+    * key-unique (the batch contract: "pass tie columns IN seqCols" —
+    * here, fold them into one long up front); rows with a NULL seq
+    * carry no position in the log and are dropped (the quietGapGate
+    * NULL-ts stance). Non-key columns ride as ONE JSON payload
+    * (`to_json(struct(payloadCols))` — `from_json` recovers them at
+    * the sink).
+    *
+    * State is one (seq, op, payload) per LIVE key with NO timeout —
+    * deliberately: current-state semantics cannot forget a key without
+    * re-admitting stale replays of it, and the state size equals the
+    * materialized dimension itself (what any CDC target stores anyway;
+    * at big-dimension scale back the store with RocksDB). Stream ≡
+    * batch pinned on in-order feeds in StreamsSpec; `graft ingest
+    * --mode cdc` fronts the bounded-input form. Output mode Append. */
+  def cdcGate(changelog: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String, deleteOp: String,
+      payloadCols: Seq[String]): Dataset[CdcChange] = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    require(payloadCols.nonEmpty, "payloadCols must not be empty")
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    val keyed = changelog
+      .filter(col(seqCol).isNotNull)
+      // the quietGapGate NUL-separated NULL-safe key encoding: a bare
+      // concat_ws SKIPS nulls and would collide (NULL, "x") with
+      // ("x", NULL)
+      .select(concat_ws("\u0000",
+        keyCols.map(c => coalesce(concat(lit("v"), col(c).cast("string")),
+          lit("n"))): _*).as("key"),
+        col(seqCol).cast("long").as("seq"),
+        col(opCol).cast("string").as("op"),
+        to_json(struct(payloadCols.map(col): _*)).as("payload"))
+      .as[CdcInput]
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CdcState, CdcChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, batch: Iterator[CdcInput], state: GroupState[CdcState]) =>
+          // stable ascending-seq fold: among equal seqs the first
+          // encountered wins and the rest are ignored (strict >) —
+          // key-unique seq is the caller's contract, as in the batch op
+          val sorted = batch.toSeq.sortBy(_.seq)
+          var cur = state.getOption
+          var changed = false
+          sorted.foreach { r =>
+            if (cur.forall(r.seq > _.seq)) {
+              cur = Some(CdcState(r.seq, r.op, r.payload,
+                deleted = r.op.contains(deleteOp)))
+              changed = true
+            }
+          }
+          if (!changed) Iterator.empty
+          else {
+            val c = cur.get
+            state.update(c)
+            Iterator.single(
+              CdcChange(key, c.seq, c.op, c.payload, c.deleted))
+          }
+      }
+  }
+
   /** Stream-stream LAST-TOUCH attribution: each purchase is attributed
     * to the LATEST click by the same user within the preceding
     * `horizon`. The interval join emits every qualifying (purchase,

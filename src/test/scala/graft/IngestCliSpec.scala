@@ -114,6 +114,71 @@ class IngestCliSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set(keepA, keepB, keepC))
   }
 
+  test("ingest --mode cdc: parse surface; change feed ≡ the library " +
+      "cdcGate and net state ≡ batch cdcApply; exactly-once rerun") {
+    import Main.parseIngestArgs
+    import spark.implicits._
+    // parse: cdc flags land; cross-mode flags are loud
+    val a0 = parseIngestArgs(Seq("-i", "/in", "-o", "/out",
+      "--checkpoint", "/ck", "--mode", "cdc", "--key-column", "k",
+      "--seq-column", "seq", "--op-column", "op", "--delete-op", "D"))
+    assert(a0.mode == "cdc" && a0.keyColumns == Seq("k") &&
+      a0.seqColumn == "seq" && a0.opColumn == "op" && a0.deleteOp == "D")
+    assert(intercept[IllegalArgumentException](parseIngestArgs(
+      Seq("-i", "a", "-o", "b", "--checkpoint", "c", "--mode", "cdc",
+        "--key-column", "k", "--seq-column", "s", "--op-column", "o",
+        "--min-chars", "10"))).getMessage.contains("no effect"))
+    assert(intercept[IllegalArgumentException](parseIngestArgs(
+      Seq("-i", "a", "-o", "b", "--checkpoint", "c",
+        "--key-column", "k"))).getMessage.contains("no effect"))
+    assert(intercept[IllegalArgumentException](parseIngestArgs(
+      Seq("-i", "a", "-o", "b", "--checkpoint", "c", "--mode", "cdc")))
+      .getMessage.contains("requires"))
+    assert(intercept[IllegalArgumentException](parseIngestArgs(
+      Seq("-i", "a", "-o", "b", "--checkpoint", "c", "--mode", "x")))
+      .getMessage.contains("--mode"))
+
+    // end-to-end over a changelog backlog
+    val in = tmp("cdc-in")
+    val log1 = Seq(
+      (1L, 1L, "insert", "a1"), (1L, 2L, "update", "a2"),
+      (2L, 1L, "insert", "b1"),
+      (3L, 1L, "insert", "c1"), (3L, 2L, "delete", "c1"))
+    log1.toDF("k", "seq", "op", "val").coalesce(1)
+      .write.mode("append").parquet(in)
+    val out = tmp("cdc-out"); val ck = tmp("cdc-ck")
+    val args = Main.IngestArgs(input = in, outputDir = out,
+      checkpoint = ck, mode = "cdc", keyColumns = Seq("k"),
+      seqColumn = "seq", opColumn = "op", deleteOp = "delete",
+      quiet = true)
+    val n1 = Main.runIngest(spark, args)
+    assert(n1 == 3L, s"expected 3 net changes, got $n1")
+    // exactly-once: rerunning over the same committed backlog is silent
+    assert(Main.runIngest(spark, args) == 3L)
+    // a later changelog file folds on the carried state: the stale row
+    // emits nothing, the resurrection and the new key emit
+    val log2 = Seq(
+      (2L, 1L, "insert", "XX"),   // stale → silent
+      (3L, 3L, "insert", "c2"),   // resurrection
+      (4L, 7L, "update", "d1"))
+    log2.toDF("k", "seq", "op", "val").coalesce(1)
+      .write.mode("append").parquet(in)
+    assert(Main.runIngest(spark, args) == 5L)
+    // net state (latest change per key, tombstones dropped) ≡ the
+    // batch cdcApply over the full log
+    val feed = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(3), r.getBoolean(4)))
+    val net = feed.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+      .filterNot(_._4).map(t => (t._1, t._2, t._3)).toSet
+    val batch = operators.Relational.cdcApply(
+      (log1 ++ log2).toDF("k", "seq", "op", "val"),
+      Seq("k"), Seq("seq"), "op", "delete")
+      .collect().map(r => (s"v${r.getLong(0)}", r.getLong(1),
+        s"""{"val":"${r.getString(3)}"}""")).toSet
+    assert(net == batch, s"CLI change feed $net diverged from $batch")
+  }
+
   test("ingest: column validation is loud — clobbering renames and an " +
       "unnamed ts column are rejected") {
     import spark.implicits._

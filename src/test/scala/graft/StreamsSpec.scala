@@ -174,6 +174,57 @@ class StreamsSpec extends AnyFunSuite {
       s"NULL-key events collided in the state key: $ids2")
   }
 
+  test("cdcGate: latest-wins state across micro-batches; stale replays " +
+      "emit nothing; tombstones; stream ≡ batch cdcApply on an in-order feed") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, String)]
+    val changes = Streams.cdcGate(
+      in.toDF().toDF("k", "seq", "op", "val"),
+      keyCols = Seq("k"), seqCol = "seq", opCol = "op",
+      deleteOp = "delete", payloadCols = Seq("val"))
+    val q = changes.writeStream.format("memory")
+      .queryName("cdc_gate").outputMode("append").start()
+    val batch1 = Seq(
+      (1L, 1L, "insert", "a1"), (1L, 2L, "update", "a2"), // net: a2
+      (2L, 1L, "insert", "b1"),
+      (3L, 1L, "insert", "c1"), (3L, 2L, "delete", "c1")) // net: tombstone
+    val batch2 = Seq(
+      (1L, 2L, "update", "a2"),   // exact replay → no emission
+      (2L, 1L, "insert", "XX"),   // stale seq → ignored, no emission
+      (3L, 3L, "insert", "c2"),   // resurrection after delete
+      (4L, 7L, "update", "d1"))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("cdc_gate")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(3), r.getBoolean(4))).toSeq
+    // batch 1: three net changes; batch 2: two (the replay and the
+    // stale row are silent)
+    assert(out.size == 5, s"got $out")
+    assert(out.contains(("v1", 2L, """{"val":"a2"}""", false)))
+    assert(out.contains(("v3", 2L, """{"val":"c1"}""", true)),
+      s"missing tombstone in $out")
+    assert(out.contains(("v3", 3L, """{"val":"c2"}""", false)))
+    assert(out.contains(("v4", 7L, """{"val":"d1"}""", false)))
+    // stream ≡ batch: the latest emission per key (tombstones removed)
+    // must equal cdcApply over the whole log
+    val latest = out.groupBy(_._1).map { case (k, rs) => rs.maxBy(_._2) }
+      .filterNot(_._4).map(t => (t._1.drop(1).toLong, t._2, t._3)).toSet
+    val batchCur = operators.Relational.cdcApply(
+      (batch1 ++ batch2).toDF("k", "seq", "op", "val"),
+      keyCols = Seq("k"), seqCols = Seq("seq"), opCol = "op",
+      deleteOp = "delete")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        s"""{"val":"${r.getString(3)}"}""")).toSet
+    assert(latest == batchCur,
+      s"stream net state $latest diverged from batch cdcApply $batchCur")
+  }
+
   test("semanticGate: stateless embedding-proximity blocking vs a " +
       "static eval set; stream ≡ batch") {
     import spark.implicits._
