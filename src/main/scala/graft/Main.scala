@@ -1979,6 +1979,180 @@ object Main {
     rows
   }
 
+  /** `graft warehouse` — the warehouse-maintenance operators as a CLI,
+    * fronting the library (WarehouseCliSpec pins CLI ≡ library per
+    * mode — never a reimplementation):
+    *   cdc-apply (default) — [[operators.Relational.cdcApply]]:
+    *     materialize CURRENT state from a changelog (latest seq wins,
+    *     delete ops tombstone);
+    *   scd2 — [[operators.Relational.scd2Merge]]: fold a dimension
+    *     snapshot into an SCD Type-2 history with `[from, to)`
+    *     validity. */
+  final case class WarehouseArgs(
+      mode: String = "cdc-apply",
+      input: String = "",
+      history: String = "",
+      snapshot: String = "",
+      outputFile: String = "",
+      keyColumns: Seq[String] = Nil,
+      seqColumns: Seq[String] = Nil,
+      opColumn: String = "",
+      deleteOp: String = "delete",
+      attrColumns: Seq[String] = Nil,
+      snapshotId: Option[Long] = None,
+      fromColumn: String = "valid_from",
+      toColumn: String = "valid_to",
+      quiet: Boolean = false)
+
+  private[graft] val WarehouseHelpText =
+    s"""Warehouse maintenance: materialize CDC current state, or fold a
+       |dimension snapshot into an SCD Type-2 history
+       |
+       |Usage: graft warehouse [OPTIONS] --output-file <FILE>
+       |
+       |Options:
+       |      --mode <M>              cdc-apply (default) or scd2
+       |  -o, --output-file <FILE>    Result table (parquet)
+       |      --key-column <C>        Key column (repeatable, required)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |
+       |cdc-apply options:
+       |  -i, --input <DIR>           Changelog (parquet directory)
+       |      --seq-column <C>        Version-order column (repeatable —
+       |                              include a tie-break column; required)
+       |      --op-column <C>         Operation column (required)
+       |      --delete-op <V>         Tombstone operation value (default delete)
+       |
+       |scd2 options:
+       |      --history <DIR>         SCD2 history table (parquet; rows carry
+       |                              [from, to) validity, open rows NULL to)
+       |      --snapshot <DIR>        New dimension snapshot (parquet)
+       |      --attr-column <C>       Tracked attribute (repeatable, required)
+       |      --snapshot-id <N>       Version id this snapshot closes/opens at
+       |                              (required; a long)
+       |      --from-column <C>       Validity-from column (default valid_from)
+       |      --to-column <C>         Validity-to column (default valid_to)
+       |""".stripMargin
+
+  private[graft] def parseWarehouseArgs(argv: Seq[String]): WarehouseArgs = {
+    var a = WarehouseArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    val cdcFlags = scala.collection.mutable.ListBuffer.empty[String]
+    val scdFlags = scala.collection.mutable.ListBuffer.empty[String]
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(WarehouseHelpText)
+        case "--mode" =>
+          val v = take(flag)
+          if (v != "cdc-apply" && v != "scd2")
+            throw new IllegalArgumentException(
+              s"--mode must be cdc-apply or scd2, got '$v'")
+          a = a.copy(mode = v)
+        case "--input" | "-i" =>
+          cdcFlags += flag; a = a.copy(input = take(flag))
+        case "--history" =>
+          scdFlags += flag; a = a.copy(history = take(flag))
+        case "--snapshot" =>
+          scdFlags += flag; a = a.copy(snapshot = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--key-column" =>
+          a = a.copy(keyColumns = a.keyColumns :+ take(flag))
+        case "--seq-column" =>
+          cdcFlags += flag; a = a.copy(seqColumns = a.seqColumns :+ take(flag))
+        case "--op-column" =>
+          cdcFlags += flag; a = a.copy(opColumn = take(flag))
+        case "--delete-op" =>
+          cdcFlags += flag; a = a.copy(deleteOp = take(flag))
+        case "--attr-column" =>
+          scdFlags += flag; a = a.copy(attrColumns = a.attrColumns :+ take(flag))
+        case "--snapshot-id" =>
+          scdFlags += flag
+          val v = take(flag)
+          val n = try v.toLong catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$flag expects a long, got '$v'") }
+          a = a.copy(snapshotId = Some(n))
+        case "--from-column" =>
+          scdFlags += flag; a = a.copy(fromColumn = take(flag))
+        case "--to-column" =>
+          scdFlags += flag; a = a.copy(toColumn = take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see warehouse --help)")
+      }
+    }
+    if (a.outputFile.isEmpty || a.keyColumns.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: warehouse [OPTIONS] --key-column C --output-file FILE")
+    if (a.mode == "cdc-apply" && scdFlags.nonEmpty)
+      throw new IllegalArgumentException(
+        s"scd2 flag(s) ${scdFlags.distinct.mkString(", ")} have no " +
+          "effect under --mode cdc-apply")
+    if (a.mode == "scd2" && cdcFlags.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cdc-apply flag(s) ${cdcFlags.distinct.mkString(", ")} have no " +
+          "effect under --mode scd2")
+    if (a.mode == "cdc-apply" &&
+        (a.input.isEmpty || a.seqColumns.isEmpty || a.opColumn.isEmpty))
+      throw new IllegalArgumentException(
+        "--mode cdc-apply requires --input, --seq-column and --op-column")
+    if (a.mode == "scd2" && (a.history.isEmpty || a.snapshot.isEmpty ||
+        a.attrColumns.isEmpty || a.snapshotId.isEmpty))
+      throw new IllegalArgumentException(
+        "--mode scd2 requires --history, --snapshot, --attr-column " +
+          "and --snapshot-id")
+    a
+  }
+
+  private[graft] def runWarehouse(spark: SparkSession,
+      a: WarehouseArgs): Long = {
+    def read(dir: String, what: String, cols: Seq[(String, String)]) = {
+      val df =
+        try spark.read.parquet(dir)
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"cannot read $what '$dir': ${e.getMessage}") }
+      for ((flag, c) <- cols if !df.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"$what: $flag '$c' not found (have: " +
+            s"${df.columns.sorted.mkString(", ")})")
+      df
+    }
+    val result = a.mode match {
+      case "cdc-apply" =>
+        val log = read(a.input, "--input",
+          a.keyColumns.map(("--key-column", _)) ++
+            a.seqColumns.map(("--seq-column", _)) :+
+            ("--op-column" -> a.opColumn))
+        operators.Relational.cdcApply(log, a.keyColumns, a.seqColumns,
+          a.opColumn, a.deleteOp)
+      case _ =>
+        val hist = read(a.history, "--history",
+          a.keyColumns.map(("--key-column", _)) ++
+            a.attrColumns.map(("--attr-column", _)) ++
+            Seq("--from-column" -> a.fromColumn, "--to-column" -> a.toColumn))
+        val snap = read(a.snapshot, "--snapshot",
+          a.keyColumns.map(("--key-column", _)) ++
+            a.attrColumns.map(("--attr-column", _)))
+        operators.Relational.scd2Merge(hist, snap, a.keyColumns,
+          a.attrColumns, a.snapshotId.get, a.fromColumn, a.toColumn)
+    }
+    ParquetSink.write(result, a.outputFile,
+      ParquetSink.SinkOptions(quiet = true))
+    val rows = spark.read.parquet(a.outputFile).count()
+    if (!a.quiet)
+      System.err.println(a.mode match {
+        case "cdc-apply" => s"cdc-apply: $rows current rows " +
+          s"materialized at ${a.outputFile}"
+        case _ => s"scd2: merged history at ${a.outputFile} holds " +
+          s"$rows rows (snapshot id ${a.snapshotId.get})"
+      })
+    rows
+  }
+
   /** `graft scrub` — removes documents that duplicate a REFERENCE
     * corpus (yesterday's training set, a licensed collection, an eval
     * suite at document granularity), fronting the three library
@@ -2564,6 +2738,8 @@ object Main {
        |          (latest-seq wins, tombstones on delete ops)
        |  scrub   Removes documents duplicating a REFERENCE corpus (exact/
        |          band admit, verified near-dup, or Bloom-gated)
+       |  warehouse  Materializes CDC current state from a changelog, or
+       |          folds a dimension snapshot into an SCD Type-2 history
        |  phash   Image perceptual hashes (aHash-64 over real decode), near-dup
        |          pairs by banded hamming LSH, or a cross-corpus image scrub
        |  linkage Blocked record linkage (entity resolution): in-block
@@ -3085,6 +3261,9 @@ object Main {
       case Some("ann") =>
         return runSubcommand("ann", argv.toSeq.tail, parseAnnArgs,
           runAnn, timestampMicros = true)
+      case Some("warehouse") =>
+        return runSubcommand("warehouse", argv.toSeq.tail,
+          parseWarehouseArgs, runWarehouse)
       case Some("ingest") =>
         return runSubcommand("ingest", argv.toSeq.tail, parseIngestArgs,
           runIngest, timestampMicros = true)

@@ -388,6 +388,35 @@ class StressSpec extends AnyFunSuite {
         "doc_id", "difficulty")
     }
 
+    // r19 (r18 verdict #1): the stratified samplers' two-level
+    // (stratum, md5-salt) rank at 5M rows over FIVE strata — stratum-
+    // only partitioning would put ~1M rows through ONE window task.
+    // The arity pin proves the salt reaches the partitioning AT STRESS
+    // SCALE: every Window consuming corpus rows (no Aggregate on the
+    // path to a leaf) partitions by ≥ 2 expressions.
+    drive("stratifiedSplitTwoLevel", budgetSec = 300, minRows = 5000000L) {
+      val strat = layout.withColumn("lang",
+        element_at(array(Seq("en", "de", "fr", "es", "zh").map(lit): _*),
+          (abs(hash(col("doc_id"))) % 5 + 1).cast("int")))
+      val df = operators.Pipeline.stratifiedSplit(strat, "doc_id", "lang")
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+        LogicalPlan, Window => LWindow}
+      def corpusConsuming(p: LogicalPlan): Boolean = p match {
+        case _: Aggregate => false
+        case leaf if leaf.children.isEmpty => true
+        case other => other.children.exists(corpusConsuming)
+      }
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }
+      assert(windows.nonEmpty, "stratifiedSplit lost its rank window")
+      windows.foreach(w => assert(
+        !corpusConsuming(w.child) || w.partitionSpec.size >= 2,
+        s"a corpus-consuming Window partitions by only " +
+          s"${w.partitionSpec.size} key(s) at stress scale:\n$w"))
+      df
+    }
+
     // q40: quiet-gap event dedup at 5M events over 50k keys — ONE
     // key-partitioned window (the sessionize shuffle class); every key
     // sees ~100 events at ~5000 s spacing against a 10 000 s window,
