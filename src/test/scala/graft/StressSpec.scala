@@ -441,7 +441,12 @@ class StressSpec extends AnyFunSuite {
 
     // p144: the same sweep with the HLL distinct side — NOTHING
     // gram-keyed shuffles (the melt collapses to ≤4096 register cells
-    // per mapper), the 100 TB form of the profile
+    // per mapper), the 100 TB form of the profile. At THIS scale it is
+    // not faster than exact (~10 s vs ~7 s: the gram universe still
+    // fits partial-agg hash tables, and the HLL pays 4 register
+    // assemblies) — the claim the drive certifies is the SHUFFLE SHAPE
+    // (register cells, never the hapax-dominated gram universe), which
+    // is what survives the next 4 orders of magnitude
     drive("ngramDupProfileHll", budgetSec = 600, minRows = 4L) {
       operators.Pipeline.ngramDupProfile(docs, "text", approx = true)
     }
