@@ -1161,7 +1161,51 @@ object Relational {
                CAST(COUNT(*) AS BIGINT) AS n_active
         FROM act JOIN cohorts USING (user_id)
         GROUP BY c, p - c * 7
-        ORDER BY cohort_period, period_offset"""))
+        ORDER BY cohort_period, period_offset""")),
+
+    // ---- q47: anchor-exact within-window funnel —
+    // [[funnelStepsAnchored]] with the q45 window (7 days): ∃ over
+    // step-1 anchors instead of the first-touch anchor, so keys whose
+    // first view timed out but whose later view converts ARE counted
+    // (at sf0.01: 150/150/150 vs q45's 150/144/126 — every fixture key
+    // has SOME anchor that converts, so the gate certifies both the
+    // semantic divergence from first-touch and the greedy per-anchor
+    // chase against the oracle's replay; RelationalSpec covers the
+    // partial-conversion shapes). The oracle keys every min-join CTE
+    // by (user_id, t1) and counts distinct keys.
+    QueryDef(
+      "q47_funnel_anchored",
+      (s, d) =>
+        funnelStepsAnchored(T.events(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSec = 604800L),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE ts IS NOT NULL),
+        t1 AS (
+          SELECT DISTINCT user_id, us AS t1 FROM ev
+          WHERE event_type = 'view'),
+        s2 AS (
+          SELECT e.user_id, t1.t1, MIN(e.us) AS t
+          FROM ev e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.us > t1.t1
+            AND e.us <= t1.t1 + 604800000000
+          GROUP BY e.user_id, t1.t1),
+        s3 AS (
+          SELECT e.user_id, s2.t1, MIN(e.us) AS t
+          FROM ev e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.us > s2.t
+            AND e.us <= s2.t1 + 604800000000
+          GROUP BY e.user_id, s2.t1)
+        SELECT CAST(1 AS INTEGER) AS step_no, 'view' AS step,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys FROM t1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'click',
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), 'purchase',
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM s3
+        ORDER BY step_no"""))
   )
 
   /** CDC apply — materialize CURRENT state from a changelog (the
@@ -1299,6 +1343,68 @@ object Relational {
       typeCol: String, steps: Seq[String], withinSec: Long): DataFrame = {
     require(withinSec > 0, s"withinSec must be > 0, got $withinSec")
     funnelStepsImpl(events, keyCol, tsCol, typeCol, steps, Some(withinSec))
+  }
+
+  /** Anchor-EXACT within-window funnel — the ∃-over-anchors semantics
+    * [[funnelStepsWithin]] deliberately trades away: a key reaches
+    * step i when ANY of its step-1 events t₁ admits a chain
+    * t₁ < t₂ < … < tᵢ ≤ t₁ + `withinSec` (the ClickHouse
+    * `windowFunnel` strict-increase contract — a first touch that
+    * times out does not doom a later attempt). Exact because for a
+    * FIXED anchor the deadline is fixed, so the greedy per-step
+    * earliest completion is optimal (exchange argument) and ∃ reduces
+    * to running the greedy chain per (key, anchor). Plan shape: the
+    * reached-set frames carry one row per SURVIVING (key, anchor) —
+    * step-1-event scale, shrinking per step — through the same
+    * O(steps) key-joins as [[funnelSteps]]; per-step counts are
+    * countDistinct over keys. The hazard is a hot key carrying
+    * thousands of anchors (each joins against that key's events):
+    * `anchorCap` raises LOUDLY when any key's anchor count exceeds it
+    * (the `LshBucketCap` stance — dedupe or pre-bucket retry storms
+    * first; [[dedupEventsQuietGap]] is the tool). Anchors at the same
+    * microsecond are one anchor (distinct). Output: (step_no, step,
+    * n_keys), n_keys non-increasing. */
+  def funnelStepsAnchored(events: DataFrame, keyCol: String,
+      tsCol: String, typeCol: String, steps: Seq[String],
+      withinSec: Long, anchorCap: Int = 10000): DataFrame = {
+    require(steps.nonEmpty, "steps must not be empty")
+    require(steps.distinct.size == steps.size,
+      s"duplicate step types in ${steps.mkString(", ")} — a funnel " +
+        "revisiting a type needs distinct event types per stage")
+    require(withinSec > 0, s"withinSec must be > 0, got $withinSec")
+    require(anchorCap >= 1, s"anchorCap must be >= 1, got $anchorCap")
+    val timed = events.filter(col(tsCol).isNotNull)
+    def us(c: Column): Column = unix_micros(c.cast(TimestampType))
+    val anchors0 = timed.filter(col(typeCol) === steps.head)
+      .select(col(keyCol), us(col(tsCol)).as("__t1"))
+      .distinct()
+    // the cap rides the anchor column so pruning cannot elide it: an
+    // uncapped hot key fans every later step's join out by its anchor
+    // count — quadratic per key with no error
+    val nAnchors = count(lit(1)).over(Window.partitionBy(col(keyCol)))
+    val anchors = anchors0.withColumn("__t1",
+      when(nAnchors > anchorCap, raise_error(concat(
+        lit("funnelStepsAnchored: key "), col(keyCol).cast(StringType),
+        lit(s" has more than anchorCap = $anchorCap step-1 events — " +
+          "dedupe retry storms first (dedupEventsQuietGap) or raise " +
+          "anchorCap explicitly"))).cast(LongType))
+        .otherwise(col("__t1")))
+    var reached = anchors.withColumn("__prev", col("__t1"))
+    val perStep = steps.zipWithIndex.map { case (st, i) =>
+      if (i > 0) {
+        val hits = timed.filter(col(typeCol) === st)
+          .select(col(keyCol), us(col(tsCol)).as("__ts"))
+        reached = hits.join(reached, Seq(keyCol))
+          .filter(col("__ts") > col("__prev") &&
+            col("__ts") <= col("__t1") + withinSec * 1000000L)
+          .groupBy(col(keyCol), col("__t1"))
+          .agg(min(col("__ts")).as("__prev"))
+      }
+      reached.agg(countDistinct(col(keyCol)).as("n_keys"))
+        .select(lit(i + 1).as("step_no"), lit(st).as("step"),
+          col("n_keys"))
+    }
+    perStep.reduce(_.union(_)).orderBy(col("step_no"))
   }
 
   private def funnelStepsImpl(events: DataFrame, keyCol: String,

@@ -247,6 +247,48 @@ class RelationalSpec extends AnyFunSuite {
         "event_type", Seq("view"), 0L)).getMessage.contains("withinSec"))
   }
 
+  test("funnelStepsAnchored: ∃ over step-1 anchors — a timed-out first " +
+      "touch does not doom a later attempt; anchorCap is loud") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // A: first-touch view@0 times out for the click@100 (T=15), but
+      // the view@90 anchor converts — anchored counts it, q45 doesn't
+      ("A", "view", 0L), ("A", "view", 90L), ("A", "click", 100L),
+      // B: converts from the first anchor; purchase within 15 of ITS
+      // anchor start
+      ("B", "view", 0L), ("B", "click", 5L), ("B", "purchase", 12L),
+      // C: click after every anchor's deadline → step 1 only
+      ("C", "view", 0L), ("C", "click", 50L))
+      .map { case (u, e, s) => (u, e, ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = operators.Relational.funnelStepsAnchored(events, "user_id",
+      "ts", "event_type", Seq("view", "click", "purchase"),
+      withinSec = 15L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "view", 3L), (2, "click", 2L),
+      (3, "purchase", 1L)), s"got $got")
+    // the first-touch variant misses A's conversion — the semantic gap
+    // the anchored form exists to close
+    val firstTouch = operators.Relational.funnelStepsWithin(events,
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+      withinSec = 15L)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(firstTouch(2) == 1L)
+    // hot-key anchor cap raises loudly
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception](
+      operators.Relational.funnelStepsAnchored(events, "user_id", "ts",
+        "event_type", Seq("view", "click"), withinSec = 15L,
+        anchorCap = 1).collect())
+    assert(msgs(e).exists(_.contains("anchorCap")), s"got ${msgs(e)}")
+    assert(intercept[IllegalArgumentException](
+      operators.Relational.funnelStepsAnchored(events, "user_id", "ts",
+        "event_type", Seq("view"), withinSec = 0L))
+      .getMessage.contains("withinSec"))
+  }
+
   test("retentionCohorts dual-grain: weekly-style cohorts at finer " +
       "activity buckets; offsets count activity periods since cohort start") {
     import spark.implicits._
