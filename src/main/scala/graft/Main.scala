@@ -1944,9 +1944,11 @@ object Main {
     * streams through the latest-wins keyed state and lands NET
     * state-change rows (key, seq, op, payload JSON, deleted) as a
     * parquet change feed through the same exactly-once checkpointed
-    * sink as document mode. Payload = every input column that is not a
-    * key/seq/op column. IngestCliSpec pins CLI ≡ the library gate and
-    * the exactly-once rerun. */
+    * sink as document mode. The payload JSON carries the NATURAL key
+    * columns plus every non-key/seq/op column (`from_json` recovers
+    * them — the consumer contract; the `key` string is internal state
+    * encoding). IngestCliSpec pins CLI ≡ the library gate and the
+    * exactly-once rerun. */
   private def runIngestCdc(spark: SparkSession, a: IngestArgs): Long = {
     val static = spark.read.parquet(a.input)
     for ((flag, c) <- a.keyColumns.map(("--key-column", _)) ++

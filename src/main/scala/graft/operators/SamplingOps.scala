@@ -128,16 +128,23 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     val w = Window.partitionBy(col(stratumCol), col("__salt"))
       .orderBy(col("__h"), col(idCol))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // each running sum also tracks its NON-NULL count: the one-level
+    // window's sum is NULL exactly when the stratum-prefix holds zero
+    // non-null source values, and salt-local sums alone cannot tell
+    // "prefix all-NULL" (one-level NULL) from "this salt all-NULL but
+    // earlier salts had values" (one-level non-NULL) — review r19.2
     val ranked = running.foldLeft(
       salted.withColumn("__srk", row_number().over(w))) {
       case (d, (src, out)) =>
         d.withColumn(s"__sc_$out", sum(src).over(cum))
+          .withColumn(s"__sn_$out", count(src).over(cum))
     }
     // per-(stratum, salt) counts and sums with an EXCLUSIVE cumulative
     // over the salt order WITHIN each stratum: |strata|·256 rows — the
     // offsets window is parameter-scale, never corpus-sized
     val aggs = count(lit(1)).as("__n") +:
-      running.map { case (src, out) => sum(src).as(s"__s_$out") }
+      running.flatMap { case (src, out) =>
+        Seq(sum(src).as(s"__s_$out"), count(src).as(s"__cn_$out")) }
     val offW = Window.partitionBy(col(stratumCol)).orderBy(col("__salt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs0 = salted.groupBy(col(stratumCol), col("__salt"))
@@ -146,13 +153,20 @@ private[operators] trait SamplingOps { self: Pipeline.type =>
     val offs = running.foldLeft(offs0) { case (d, (_, out)) =>
       d.withColumn(s"__o_$out",
         coalesce(sum(col(s"__s_$out")).over(offW), lit(0L)))
+        .withColumn(s"__oc_$out",
+          coalesce(sum(col(s"__cn_$out")).over(offW), lit(0L)))
     }.select(col(stratumCol) +: col("__salt") +: col("__off") +:
-      running.map { case (_, out) => col(s"__o_$out") }: _*)
+      running.flatMap { case (_, out) =>
+        Seq(col(s"__o_$out"), col(s"__oc_$out")) }: _*)
     val joined = ranked.join(broadcast(offs), Seq(stratumCol, "__salt"))
       .withColumn(rankCol, (col("__off") + col("__srk")).cast(LongType))
     running.foldLeft(joined) { case (d, (_, out)) =>
-      d.withColumn(out, (col(s"__o_$out") + col(s"__sc_$out")).cast(LongType))
-        .drop(s"__o_$out", s"__sc_$out")
+      d.withColumn(out,
+        when(col(s"__oc_$out") + col(s"__sn_$out") === 0,
+          lit(null).cast(LongType))
+          .otherwise((col(s"__o_$out") + coalesce(col(s"__sc_$out"), lit(0L)))
+            .cast(LongType)))
+        .drop(s"__o_$out", s"__oc_$out", s"__sc_$out", s"__sn_$out")
     }.drop("__h", "__salt", "__srk", "__off")
   }
 

@@ -114,18 +114,28 @@ private[operators] trait SketchOps { self: Pipeline.type =>
 
   /** The reduce half shared by [[hllSketch]] and the n-gram profile's
     * approx mode: melted (bucket, rank) rows → ONE dense-register
-    * sketch row (`__hll`, m longs). */
-  private[graft] def hllRegisters(melted: DataFrame, b: Int): DataFrame = {
+    * sketch row (`__hll`, m longs). `carryTotal = true` adds the
+    * melted ROW COUNT as `__total` in the same aggregation — the melt
+    * emits exactly one row per item, so consumers needing both the
+    * sketch and the item count read the (exploded, expensive) item
+    * stream ONCE instead of once per statistic (review r19.5). */
+  private[graft] def hllRegisters(melted: DataFrame, b: Int,
+      carryTotal: Boolean = false): DataFrame = {
     require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
     val m = 1 << b
-    melted
+    val perBucket = melted
       .groupBy(col("__b"))
-      .agg(max(col("__rk")).as("__r"))
+      .agg(max(col("__rk")).as("__r"), count(lit(1)).as("__c"))
+    val folded = perBucket
       .groupBy()
       .agg(map_from_entries(collect_list(
-        struct(col("__b"), col("__r")))).as("__m"))
-      .select(transform(sequence(lit(0), lit(m - 1)),
-        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__hll"))
+        struct(col("__b"), col("__r")))).as("__m"),
+        sum(col("__c")).as("__t"))
+    val regs = transform(sequence(lit(0), lit(m - 1)),
+      i => coalesce(element_at(col("__m"), i), lit(0L))).as("__hll")
+    if (carryTotal)
+      folded.select(regs, coalesce(col("__t"), lit(0L)).as("__total"))
+    else folded.select(regs)
   }
 
   /** The map-side half of [[hllSketch]]: one (__b bucket, __rk rank)
@@ -510,12 +520,14 @@ private[operators] trait SketchOps { self: Pipeline.type =>
         else {
           val m = 1 << b
           val mD = m.toDouble
-          val est = hllEstimate(
-            hllRegisters(hllMeltItems(grams, "g", b), b), b)
-            .select(col("hll_v0"), col("hll_raw_est"))
-          grams.agg(count(lit(1)).as("total_grams"))
-            .crossJoin(broadcast(est))
-            .select(col("total_grams"),
+          // ONE pass over the exploded gram stream: registers AND the
+          // occurrence total ride the same aggregation (review r19.5 —
+          // a separate count() re-ran the explode, doubling the
+          // dominant cost of the 100 TB mode)
+          hllEstimate(
+            hllRegisters(hllMeltItems(grams, "g", b), b,
+              carryTotal = true), b)
+            .select(col("__total").as("total_grams"),
               when(col("hll_v0") > 0 && col("hll_raw_est") <= lit(2.5 * mD),
                 round(round(log(lit(mD) / col("hll_v0").cast(DoubleType)),
                   9) * mD))

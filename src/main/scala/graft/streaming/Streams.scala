@@ -217,9 +217,10 @@ object Streams {
   final case class CdcState(seq: Long, op: Option[String],
       payload: Option[String], deleted: Boolean)
   /** One net state change per key per micro-batch: the new current
-    * row (`deleted = false`, `payload` = the row's non-key columns as
-    * JSON) or a tombstone (`deleted = true`) when the latest operation
-    * is the delete op. */
+    * row (`deleted = false`, `payload` = the row's key AND payload
+    * columns as JSON — natural keys recover via `from_json`) or a
+    * tombstone (`deleted = true`) when the latest operation is the
+    * delete op. */
   final case class CdcChange(key: String, seq: Long, op: Option[String],
       payload: Option[String], deleted: Boolean)
 
@@ -234,11 +235,16 @@ object Streams {
     * idempotent, exactly the batch operator's latest-wins contract; a
     * NULL op is NOT a tombstone — the batch stance). `seqCol` must be
     * key-unique (the batch contract: "pass tie columns IN seqCols" —
-    * here, fold them into one long up front); rows with a NULL seq
-    * carry no position in the log and are dropped (the quietGapGate
-    * NULL-ts stance). Non-key columns ride as ONE JSON payload
-    * (`to_json(struct(payloadCols))` — `from_json` recovers them at
-    * the sink).
+    * here, fold them into one long up front); rows whose seq is NULL
+    * OR not castable to long carry no position in the log and are
+    * dropped (the quietGapGate NULL-ts stance — the filter runs on the
+    * CAST value, so a malformed version token degrades to a drop, not
+    * an encoder crash mid-stream; review r19.1). The key columns AND
+    * the payload columns ride as ONE JSON payload
+    * (`to_json(struct(keyCols ++ payloadCols))` — `from_json` recovers
+    * the NATURAL keys and values at the sink; the emitted `key` string
+    * is the internal NUL-separated state encoding, for
+    * dedup/partitioning only; review r19.3).
     *
     * State is one (seq, op, payload) per LIVE key with NO timeout —
     * deliberately: current-state semantics cannot forget a key without
@@ -255,29 +261,35 @@ object Streams {
     val spark = changelog.sparkSession
     import spark.implicits._
     val keyed = changelog
-      .filter(col(seqCol).isNotNull)
       // the quietGapGate NUL-separated NULL-safe key encoding: a bare
       // concat_ws SKIPS nulls and would collide (NULL, "x") with
       // ("x", NULL)
       .select(concat_ws("\u0000",
         keyCols.map(c => coalesce(concat(lit("v"), col(c).cast("string")),
           lit("n"))): _*).as("key"),
-        col(seqCol).cast("long").as("seq"),
+        col(seqCol).try_cast(org.apache.spark.sql.types.LongType).as("seq"),
         col(opCol).cast("string").as("op"),
-        to_json(struct(payloadCols.map(col): _*)).as("payload"))
+        to_json(struct((keyCols ++ payloadCols.filterNot(keyCols.contains))
+          .map(col): _*)).as("payload"))
+      // try_cast + filter on the RESULT: under ANSI a plain cast of an
+      // uncastable version token throws mid-stream, and an
+      // isNotNull-on-the-raw-column filter would let a NULL result
+      // crash the non-nullable Long encoder (review r19.1)
+      .filter(col("seq").isNotNull)
       .as[CdcInput]
     keyed
       .groupByKey(_.key)
       .flatMapGroupsWithState[CdcState, CdcChange](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, batch: Iterator[CdcInput], state: GroupState[CdcState]) =>
-          // stable ascending-seq fold: among equal seqs the first
-          // encountered wins and the rest are ignored (strict >) —
-          // key-unique seq is the caller's contract, as in the batch op
-          val sorted = batch.toSeq.sortBy(_.seq)
+          // ONE streaming pass keeping the strict-> winner: seq is
+          // key-unique by contract, so order among (out-of-contract)
+          // equal seqs was never guaranteed — and materializing the
+          // batch to sort it would hold a hot key's whole micro-batch
+          // (payload JSON included) in executor memory (review r19.4)
           var cur = state.getOption
           var changed = false
-          sorted.foreach { r =>
+          batch.foreach { r =>
             if (cur.forall(r.seq > _.seq)) {
               cur = Some(CdcState(r.seq, r.op, r.payload,
                 deleted = r.op.contains(deleteOp)))

@@ -175,8 +175,16 @@ class IngestCliSpec extends AnyFunSuite {
       (log1 ++ log2).toDF("k", "seq", "op", "val"),
       Seq("k"), Seq("seq"), "op", "delete")
       .collect().map(r => (s"v${r.getLong(0)}", r.getLong(1),
-        s"""{"val":"${r.getString(3)}"}""")).toSet
+        s"""{"k":${r.getLong(0)},"val":"${r.getString(3)}"}""")).toSet
     assert(net == batch, s"CLI change feed $net diverged from $batch")
+    // the payload JSON is the consumer contract: natural keys recover
+    // via from_json without touching the internal key encoding
+    val rec = spark.read.parquet(out)
+      .select(from_json(col("payload"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, val STRING")).as("r"))
+      .select("r.k").collect().map(_.getLong(0)).toSet
+    assert(rec == Set(1L, 2L, 3L, 4L), s"natural keys not recoverable: $rec")
   }
 
   test("ingest: column validation is loud — clobbering renames and an " +

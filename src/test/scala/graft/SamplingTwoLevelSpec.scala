@@ -66,15 +66,11 @@ class SamplingTwoLevelSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("unimaxSample: two-level rank AND running admission sum ≡ the " +
-      "one-level stratum window on the fixture") {
-    val d = docs.select(col("doc_id"), col("lang"),
-      size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
-    val got = Pipeline.unimaxSample(d, "doc_id", "lang", "n_tok",
-      budget = 40000L, epochs = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
-    // one-level twin: identical waterfilling quotas (unchanged code
-    // path), rank + cum from the plain stratum-partitioned window
+  // one-level twin of unimaxSample: identical waterfilling quotas
+  // (unchanged code path), rank + cum from the plain
+  // stratum-partitioned window
+  private def oneLevelUnimax(d: DataFrame, budget: Long)
+      : Set[(Long, Long, Long)] = {
     val caps = d.groupBy(col("lang"))
       .agg(sum(col("n_tok")).as("__n"))
       .select(col("lang"), (col("__n") * 2).as("__c"))
@@ -87,22 +83,49 @@ class SamplingTwoLevelSpec extends AnyFunSuite {
       .withColumn("__L", count(lit(1)).over(all))
       .withColumn("__pre", coalesce(sum(col("__c")).over(pre), lit(0L)))
       .withColumn("__capped",
-        col("__c") * (col("__L") - col("__i") + 1) + col("__pre") <= 40000L)
+        col("__c") * (col("__L") - col("__i") + 1) + col("__pre") <= budget)
       .withColumn("__sc",
         sum(when(col("__capped"), col("__c")).otherwise(0L)).over(all))
       .withColumn("__u",
         sum(when(col("__capped"), 0L).otherwise(1L)).over(all))
       .select(col("lang"),
         when(col("__capped"), col("__c"))
-          .otherwise(expr("(40000 - __sc) div __u")).as("quota"))
+          .otherwise(expr(s"($budget - __sc) div __u")).as("quota"))
     val w = oneLevel(d, "lang", "doc_id")
-    val want = d.join(broadcast(quotas), Seq("lang"))
+    d.join(broadcast(quotas), Seq("lang"))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .withColumn("__cum", sum(col("n_tok")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("__cum") <= col("quota"))
       .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(3))).toSet
-    assert(got.nonEmpty && got == want)
+  }
+
+  test("unimaxSample: two-level rank AND running admission sum ≡ the " +
+      "one-level stratum window on the fixture") {
+    val d = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+    val got = Pipeline.unimaxSample(d, "doc_id", "lang", "n_tok",
+      budget = 40000L, epochs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty && got == oneLevelUnimax(d, 40000L))
+  }
+
+  test("unimaxSample: NULL token rows — the running sum's NULL placement " +
+      "matches the one-level window exactly (review r19.2)") {
+    // 90% NULL tokens → many (stratum, salt) partitions are ALL-NULL;
+    // the one-level cum for a row in such a salt is non-NULL whenever
+    // any EARLIER salt held values — salt-local sums alone get this
+    // wrong (the non-null-count completion is what the test pins)
+    val d = docs.select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 10 === 0, lit(7L))
+        .otherwise(lit(null).cast(LongType)).as("n_tok"))
+    val got = Pipeline.unimaxSample(d, "doc_id", "lang", "n_tok",
+      budget = 140L, epochs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    val want = oneLevelUnimax(d, 140L)
+    assert(got.nonEmpty && got == want,
+      s"two-level diverged under NULLs: only-got=${got -- want} " +
+        s"only-want=${want -- got}")
   }
 
   test("stratified rank: randomized skew — few strata, heavy salt " +

@@ -204,13 +204,15 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1),
         r.getString(3), r.getBoolean(4))).toSeq
     // batch 1: three net changes; batch 2: two (the replay and the
-    // stale row are silent)
+    // stale row are silent). Payload JSON carries the NATURAL key
+    // alongside the values (review r19.3: the `key` string is the
+    // internal state encoding, not a consumer contract)
     assert(out.size == 5, s"got $out")
-    assert(out.contains(("v1", 2L, """{"val":"a2"}""", false)))
-    assert(out.contains(("v3", 2L, """{"val":"c1"}""", true)),
+    assert(out.contains(("v1", 2L, """{"k":1,"val":"a2"}""", false)))
+    assert(out.contains(("v3", 2L, """{"k":3,"val":"c1"}""", true)),
       s"missing tombstone in $out")
-    assert(out.contains(("v3", 3L, """{"val":"c2"}""", false)))
-    assert(out.contains(("v4", 7L, """{"val":"d1"}""", false)))
+    assert(out.contains(("v3", 3L, """{"k":3,"val":"c2"}""", false)))
+    assert(out.contains(("v4", 7L, """{"k":4,"val":"d1"}""", false)))
     // stream ≡ batch: the latest emission per key (tombstones removed)
     // must equal cdcApply over the whole log
     val latest = out.groupBy(_._1).map { case (k, rs) => rs.maxBy(_._2) }
@@ -220,9 +222,24 @@ class StreamsSpec extends AnyFunSuite {
       keyCols = Seq("k"), seqCols = Seq("seq"), opCol = "op",
       deleteOp = "delete")
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        s"""{"val":"${r.getString(3)}"}""")).toSet
+        s"""{"k":${r.getLong(0)},"val":"${r.getString(3)}"}""")).toSet
     assert(latest == batchCur,
       s"stream net state $latest diverged from batch cdcApply $batchCur")
+    // a seq value that does not cast to long is DROPPED (no position in
+    // the log), never an encoder crash mid-stream (review r19.1)
+    val in3 = MemoryStream[(Long, String, String, String)]
+    val g3 = Streams.cdcGate(in3.toDF().toDF("k", "seq", "op", "val"),
+      Seq("k"), "seq", "op", "delete", Seq("val"))
+    val q3 = g3.writeStream.format("memory")
+      .queryName("cdc_gate_badseq").outputMode("append").start()
+    try {
+      in3.addData((1L, "not-a-number", "insert", "x"),
+        (1L, "5", "insert", "y"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val out3 = spark.table("cdc_gate_badseq")
+      .collect().map(r => (r.getLong(1), r.getString(3))).toSeq
+    assert(out3 == Seq((5L, """{"k":1,"val":"y"}""")), s"got $out3")
   }
 
   test("semanticGate: stateless embedding-proximity blocking vs a " +
