@@ -176,6 +176,24 @@ class BucketingSpec extends AnyFunSuite {
       s"p16 lost its broadcast join:\n$plan")
   }
 
+  test("centroidOutliers: the rank<=K filter pushes a WindowGroupLimit — " +
+      "the few-key label window never carries full groups") {
+    // partition-by-label is the SAME bottleneck family as the r19
+    // stratified-rank fix: labels are caller taxonomies (maybe 4-50),
+    // so without the group-limit pushdown ONE window task sorts a
+    // label's full vector set at 100 TB. Spark's InferWindowGroupLimit
+    // only fires for a literal rank bound on the UNCAST rank attribute
+    // — this pin holds the operator to that shape.
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = operators.Pipeline.centroidOutliers(embs, "vec_id",
+      "embedding", "label", topK = 3, dim = 64)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=K filter did not push a WindowGroupLimit:\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // crossJoins in this repo are all crossJoin(broadcast(...)) —
     // BroadcastNestedLoopJoin over a small side, by contract. A plain

@@ -441,12 +441,10 @@ class StressSpec extends AnyFunSuite {
 
     // p144: the same sweep with the HLL distinct side — NOTHING
     // gram-keyed shuffles (the melt collapses to ≤4096 register cells
-    // per mapper), the 100 TB form of the profile. At THIS scale it is
-    // not faster than exact (~10 s vs ~7 s: the gram universe still
-    // fits partial-agg hash tables, and the HLL pays 4 register
-    // assemblies) — the claim the drive certifies is the SHUFFLE SHAPE
-    // (register cells, never the hapax-dominated gram universe), which
-    // is what survives the next 4 orders of magnitude
+    // per mapper, occurrence totals riding the same aggregation —
+    // review r19.5), the 100 TB form of the profile: already faster
+    // than exact at 10× (~6.7 s vs ~8.4 s), and the gap is the
+    // hapax-dominated gram-universe shuffle the exact form cannot shed
     drive("ngramDupProfileHll", budgetSec = 600, minRows = 4L) {
       operators.Pipeline.ngramDupProfile(docs, "text", approx = true)
     }
