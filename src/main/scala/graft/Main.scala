@@ -1006,6 +1006,7 @@ object Main {
       idColumn: String = "doc_id",
       textColumn: String = "text",
       ns: Seq[Int] = Seq(1, 2, 4, 8),
+      approx: Boolean = false,
       batchSize: Int = 32,
       topK: Int = 100,
       buckets: Int = 10,
@@ -1030,6 +1031,9 @@ object Main {
        |      --text-column <C>       Text column (default text)
        |      --ns <N,N,...>          Gram lengths for the duplication profile
        |                              (default 1,2,4,8)
+       |      --approx                HLL distinct counts for the duplication
+       |                              profile (+-1.6%; nothing gram-keyed
+       |                              shuffles -- the 100 TB mode)
        |      --batch-size <N>        Padding-waste batch size (default 32)
        |      --top-k <N>             Zipf vocabulary head size (default 100)
        |      --buckets <N>           Vocabulary-growth id slices (default 10)
@@ -1059,6 +1063,7 @@ object Main {
                 s"invalid gram length '$t' in $flag '$v'") }
           }
           a = a.copy(ns = ns)
+        case "--approx" => a = a.copy(approx = true)
         case "--batch-size" =>
           a = a.copy(batchSize = parsePosInt(flag, take(flag)))
         case "--top-k" => a = a.copy(topK = parsePosInt(flag, take(flag)))
@@ -1095,7 +1100,8 @@ object Main {
     val withToks = docs.select(col(a.idColumn),
       derivedTokenCount(a.textColumn).as("n_tok"))
     val sections = Seq(
-      "dup_profile" -> P.ngramDupProfile(docs, a.textColumn, a.ns),
+      "dup_profile" -> P.ngramDupProfile(docs, a.textColumn, a.ns,
+        approx = a.approx),
       "zipf" -> P.zipfSlope(docs, a.textColumn, a.topK),
       "padding" -> P.paddingWasteReport(withToks, a.idColumn, "n_tok",
         a.batchSize),

@@ -23,7 +23,9 @@ class ProfileCliSpec extends AnyFunSuite {
       a.topK == 50 && a.buckets == 4 && a.quiet)
     val d = parseProfileArgs(Seq("-i", "/in", "-o", "/out"))
     assert(d.ns == Seq(1, 2, 4, 8) && d.batchSize == 32 &&
-      d.topK == 100 && d.buckets == 10)
+      d.topK == 100 && d.buckets == 10 && !d.approx)
+    assert(parseProfileArgs(Seq("-i", "/in", "-o", "/out",
+      "--approx")).approx)
 
     intercept[IllegalArgumentException](parseProfileArgs(Seq("-i", "/in")))
     intercept[IllegalArgumentException](parseProfileArgs(
@@ -63,6 +65,13 @@ class ProfileCliSpec extends AnyFunSuite {
         "doc_id", "n_tok", batchSize = 16)))
     assert(rows(spark.read.parquet(s"$out/growth.parquet")) ==
       rows(P.vocabGrowth(docs, "doc_id", "text", buckets = 5)))
+    // --approx routes the HLL mode through to the dup_profile section
+    val outA = tmp("profile-approx")
+    Main.runProfile(spark, Main.ProfileArgs(input = in,
+      outputDir = outA, ns = Seq(1, 3), approx = true, batchSize = 16,
+      topK = 20, buckets = 5, quiet = true))
+    assert(rows(spark.read.parquet(s"$outA/dup_profile.parquet")) ==
+      rows(P.ngramDupProfile(docs, "text", Seq(1, 3), approx = true)))
     // a non-integral id fails fast (the padding section ranks on it)
     val strId = tmp("profile-str")
     docs.select(col("doc_id").cast("string").as("doc_id"), col("text"))
