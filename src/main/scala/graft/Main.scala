@@ -1987,6 +1987,190 @@ object Main {
     rows
   }
 
+  /** `graft events` — the product-analytics operators as a CLI,
+    * fronting the library (EventsCliSpec pins CLI ≡ library per mode —
+    * never a reimplementation):
+    *   funnel (default) — [[operators.Relational.funnelSteps]];
+    *   funnel-window — [[operators.Relational.funnelStepsWithin]]
+    *     (first-touch conversion window);
+    *   funnel-anchored — [[operators.Relational.funnelStepsAnchored]]
+    *     (∃-over-anchors, anchorCap-guarded);
+    *   retention — [[operators.Relational.retentionCohorts]] (dual
+    *     grain when --activity-period-sec is given);
+    *   quiet-gap — [[operators.Relational.dedupEventsQuietGap]]. */
+  final case class EventsArgs(
+      mode: String = "funnel",
+      input: String = "",
+      outputFile: String = "",
+      keyColumn: String = "user_id",
+      tsColumn: String = "ts",
+      typeColumn: String = "event_type",
+      steps: Seq[String] = Nil,
+      withinSec: Option[Long] = None,
+      anchorCap: Int = 10000,
+      periodSec: Option[Long] = None,
+      activityPeriodSec: Option[Long] = None,
+      windowSec: Option[Long] = None,
+      tieColumn: String = "event_id",
+      quiet: Boolean = false)
+
+  private[graft] val EventsHelpText =
+    s"""Product analytics over an event log: funnels (plain / first-touch
+       |conversion window / anchor-exact ∃), retention cohorts (single or
+       |dual grain), and quiet-gap retry-storm dedup
+       |
+       |Usage: graft events [OPTIONS] --input <DIR> --output-file <FILE>
+       |
+       |Options:
+       |      --mode <M>              funnel (default), funnel-window,
+       |                              funnel-anchored, retention, quiet-gap
+       |  -i, --input <DIR>           Event log (parquet directory)
+       |  -o, --output-file <FILE>    Result table (parquet)
+       |      --key-column <C>        Key/user column (default user_id)
+       |      --ts-column <C>         Event-time column (default ts)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |
+       |Funnel options (all three funnel modes):
+       |      --type-column <C>       Event-type column (default event_type)
+       |      --step <TYPE>           Funnel stage (repeatable, in order;
+       |                              required)
+       |      --within-sec <N>        Conversion window (required for
+       |                              funnel-window / funnel-anchored)
+       |      --anchor-cap <N>        funnel-anchored hot-key guard
+       |                              (default 10000)
+       |
+       |Retention options:
+       |      --period-sec <N>        Cohort period (required)
+       |      --activity-period-sec <N>  Finer activity grain (optional;
+       |                              cohort period must be a multiple)
+       |
+       |Quiet-gap options:
+       |      --window-sec <N>        Quiet window (required)
+       |      --tie-column <C>        Same-timestamp tie-break column
+       |                              (default event_id)
+       |""".stripMargin
+
+  private[graft] def parseEventsArgs(argv: Seq[String]): EventsArgs = {
+    var a = EventsArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    def takeLong(flag: String): Long = {
+      val v = take(flag)
+      try v.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$flag expects a long, got '$v'") }
+    }
+    val funnelFlags = scala.collection.mutable.ListBuffer.empty[String]
+    val retFlags = scala.collection.mutable.ListBuffer.empty[String]
+    val gapFlags = scala.collection.mutable.ListBuffer.empty[String]
+    var anchorCapSeen = false
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(EventsHelpText)
+        case "--mode" =>
+          val v = take(flag)
+          val modes = Seq("funnel", "funnel-window", "funnel-anchored",
+            "retention", "quiet-gap")
+          if (!modes.contains(v))
+            throw new IllegalArgumentException(
+              s"--mode must be one of ${modes.mkString(", ")}, got '$v'")
+          a = a.copy(mode = v)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--key-column" => a = a.copy(keyColumn = take(flag))
+        case "--ts-column" => a = a.copy(tsColumn = take(flag))
+        case "--type-column" =>
+          funnelFlags += flag; a = a.copy(typeColumn = take(flag))
+        case "--step" =>
+          funnelFlags += flag; a = a.copy(steps = a.steps :+ take(flag))
+        case "--within-sec" =>
+          funnelFlags += flag; a = a.copy(withinSec = Some(takeLong(flag)))
+        case "--anchor-cap" =>
+          funnelFlags += flag; anchorCapSeen = true
+          a = a.copy(anchorCap = parsePosInt(flag, take(flag)))
+        case "--period-sec" =>
+          retFlags += flag; a = a.copy(periodSec = Some(takeLong(flag)))
+        case "--activity-period-sec" =>
+          retFlags += flag
+          a = a.copy(activityPeriodSec = Some(takeLong(flag)))
+        case "--window-sec" =>
+          gapFlags += flag; a = a.copy(windowSec = Some(takeLong(flag)))
+        case "--tie-column" =>
+          gapFlags += flag; a = a.copy(tieColumn = take(flag))
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see events --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: events [OPTIONS] --input DIR --output-file FILE")
+    val isFunnel = a.mode.startsWith("funnel")
+    def crossMode(flags: Seq[String], theirs: String): Unit =
+      if (flags.nonEmpty) throw new IllegalArgumentException(
+        s"$theirs flag(s) ${flags.distinct.mkString(", ")} have no " +
+          s"effect under --mode ${a.mode}")
+    if (!isFunnel) crossMode(funnelFlags.toSeq, "funnel")
+    if (a.mode != "retention") crossMode(retFlags.toSeq, "retention")
+    if (a.mode != "quiet-gap") crossMode(gapFlags.toSeq, "quiet-gap")
+    if (isFunnel && a.steps.isEmpty)
+      throw new IllegalArgumentException(
+        s"--mode ${a.mode} requires at least one --step")
+    if (a.mode != "funnel" && isFunnel && a.withinSec.isEmpty)
+      throw new IllegalArgumentException(
+        s"--mode ${a.mode} requires --within-sec")
+    if (a.mode == "funnel" && a.withinSec.nonEmpty)
+      throw new IllegalArgumentException(
+        "--within-sec has no effect under --mode funnel — use " +
+          "funnel-window (first-touch) or funnel-anchored (∃ over anchors)")
+    if (a.mode != "funnel-anchored" && anchorCapSeen)
+      throw new IllegalArgumentException(
+        s"--anchor-cap has no effect under --mode ${a.mode}")
+    if (a.mode == "retention" && a.periodSec.isEmpty)
+      throw new IllegalArgumentException(
+        "--mode retention requires --period-sec")
+    if (a.mode == "quiet-gap" && a.windowSec.isEmpty)
+      throw new IllegalArgumentException(
+        "--mode quiet-gap requires --window-sec")
+    a
+  }
+
+  private[graft] def runEvents(spark: SparkSession, a: EventsArgs): Long = {
+    val needed = Seq("--key-column" -> a.keyColumn,
+      "--ts-column" -> a.tsColumn) ++
+      (if (a.mode.startsWith("funnel"))
+        Seq("--type-column" -> a.typeColumn) else Nil) ++
+      (if (a.mode == "quiet-gap") Seq("--tie-column" -> a.tieColumn)
+       else Nil)
+    val events = readDocs(spark, "--input", a.input, needed)
+    val R = operators.Relational
+    val result = a.mode match {
+      case "funnel" =>
+        R.funnelSteps(events, a.keyColumn, a.tsColumn, a.typeColumn, a.steps)
+      case "funnel-window" =>
+        R.funnelStepsWithin(events, a.keyColumn, a.tsColumn, a.typeColumn,
+          a.steps, a.withinSec.get)
+      case "funnel-anchored" =>
+        R.funnelStepsAnchored(events, a.keyColumn, a.tsColumn, a.typeColumn,
+          a.steps, a.withinSec.get, a.anchorCap)
+      case "retention" =>
+        R.retentionCohorts(events, a.keyColumn, a.tsColumn, a.periodSec.get,
+          a.activityPeriodSec.getOrElse(a.periodSec.get))
+      case _ =>
+        R.dedupEventsQuietGap(events, Seq(a.keyColumn), a.tsColumn,
+          a.tieColumn, a.windowSec.get)
+    }
+    ParquetSink.write(result, a.outputFile,
+      ParquetSink.SinkOptions(quiet = true))
+    val rows = spark.read.parquet(a.outputFile).count()
+    if (!a.quiet)
+      System.err.println(
+        s"events ${a.mode}: $rows rows at ${a.outputFile}")
+    rows
+  }
+
   /** `graft warehouse` — the warehouse-maintenance operators as a CLI,
     * fronting the library (WarehouseCliSpec pins CLI ≡ library per
     * mode — never a reimplementation):
@@ -2748,6 +2932,8 @@ object Main {
        |          band admit, verified near-dup, or Bloom-gated)
        |  warehouse  Materializes CDC current state from a changelog, or
        |          folds a dimension snapshot into an SCD Type-2 history
+       |  events  Product analytics over an event log: funnels (plain /
+       |          windowed / anchor-exact), retention cohorts, quiet-gap dedup
        |  phash   Image perceptual hashes (aHash-64 over real decode), near-dup
        |          pairs by banded hamming LSH, or a cross-corpus image scrub
        |  linkage Blocked record linkage (entity resolution): in-block
@@ -3272,6 +3458,9 @@ object Main {
       case Some("warehouse") =>
         return runSubcommand("warehouse", argv.toSeq.tail,
           parseWarehouseArgs, runWarehouse)
+      case Some("events") =>
+        return runSubcommand("events", argv.toSeq.tail,
+          parseEventsArgs, runEvents, timestampMicros = true)
       case Some("ingest") =>
         return runSubcommand("ingest", argv.toSeq.tail, parseIngestArgs,
           runIngest, timestampMicros = true)

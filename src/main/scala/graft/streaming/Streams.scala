@@ -306,6 +306,85 @@ object Streams {
       }
   }
 
+  final case class FunnelEvent(key: String, etype: String,
+      ts: java.sql.Timestamp)
+  /** [[funnelGate]] state: the key's first-touch entry (event-time
+    * µs), the highest step reached (1-based) and its completion time.
+    * Public only for Spark's encoder codegen. */
+  final case class FunnelState(entryUs: Long, step: Int, prevUs: Long)
+  /** One row per step COMPLETION: the live funnel event feed.
+    * `count(distinct key) GROUP BY step_no` downstream reproduces
+    * [[graft.operators.Relational.funnelStepsWithin]]'s n_keys. */
+  final case class FunnelHit(key: String, step_no: Int, step: String,
+      ts: java.sql.Timestamp)
+
+  /** Streaming first-touch funnel — [[graft.operators.Relational
+    * .funnelStepsWithin]] as custom keyed state (the product-analytics
+    * twin of [[cdcGate]]): emit a row the moment a key completes a
+    * funnel step, where entry is the key's FIRST step-1 event and
+    * every later step must land strictly after the previous one and
+    * within `withinSec` of entry (deadline inclusive — the batch
+    * operator's exact contract). Within a micro-batch events walk in
+    * event-time order (the per-key sort EVERY order-dependent gate
+    * pays — the quietGapGate shape; same-instant events cannot advance
+    * twice, so ties need no ordering); ACROSS batches the gate assumes
+    * in-order arrival per key (the ingest contract). Walking in time
+    * order IS the batch greedy: the first qualifying event per step is
+    * the earliest. Rows with NULL timestamps are dropped (the
+    * quietGapGate stance). State is one small struct per key that ever
+    * entered, with NO timeout BY DESIGN: first-touch semantics must
+    * remember the entry forever — evicting an expired or completed key
+    * would let a later step-1 event RE-ENTER as a fresh funnel, which
+    * the batch operator never does (the [[cdcGate]] stance; back the
+    * store with RocksDB at big-key scale, or use session-scoped keys
+    * when re-entry per session is the WANTED semantics). Stream ≡
+    * batch pinned in StreamsSpec. Output mode Append. */
+  def funnelGate(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      withinSec: Long): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "steps must not be empty")
+    require(steps.distinct.size == steps.size,
+      s"duplicate step types in ${steps.mkString(", ")} — a funnel " +
+        "revisiting a type needs distinct event types per stage")
+    require(withinSec > 0, s"withinSec must be > 0, got $withinSec")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowUs = withinSec * 1000000L
+    val keyed = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isin(steps: _*))
+      .select(col(keyCol).cast("string").as("key"),
+        col(typeCol).cast("string").as("etype"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[FunnelEvent]
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          def us(e: FunnelEvent): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val sorted = batch.toSeq.sortBy(us)
+          var st = state.getOption
+          val hits = Seq.newBuilder[FunnelHit]
+          sorted.foreach { e =>
+            val t = us(e)
+            st match {
+              case None if e.etype == steps.head =>
+                st = Some(FunnelState(t, 1, t))
+                hits += FunnelHit(key, 1, steps.head, e.ts)
+              case Some(s) if s.step < steps.length &&
+                  e.etype == steps(s.step) && t > s.prevUs &&
+                  t <= s.entryUs + windowUs =>
+                st = Some(s.copy(step = s.step + 1, prevUs = t))
+                hits += FunnelHit(key, s.step + 1, steps(s.step), e.ts)
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          hits.result().iterator
+      }
+  }
+
   /** Stream-stream LAST-TOUCH attribution: each purchase is attributed
     * to the LATEST click by the same user within the preceding
     * `horizon`. The interval join emits every qualifying (purchase,

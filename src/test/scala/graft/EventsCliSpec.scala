@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The `graft events` CLI subcommand: parse contract + end-to-end runs
+  * pinning CLI ≡ the library product-analytics operators per mode
+  * ([[graft.operators.Relational.funnelSteps]] / `funnelStepsWithin` /
+  * `funnelStepsAnchored` / `retentionCohorts` / `dedupEventsQuietGap`
+  * — never a reimplementation, the DedupCliSpec shape). */
+class EventsCliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  private lazy val eventsDir: String = {
+    import spark.implicits._
+    val dir = tmp("events-in")
+    Seq(
+      (1L, "A", "view", ts(0)), (2L, "A", "view", ts(90)),
+      (3L, "A", "click", ts(100)), (4L, "A", "purchase", ts(105)),
+      (5L, "B", "view", ts(0)), (6L, "B", "click", ts(5)),
+      (7L, "B", "purchase", ts(12)),
+      (8L, "C", "view", ts(0)), (9L, "C", "click", ts(50)),
+      (10L, "C", "click", ts(52)))   // burst retry for quiet-gap
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("parseEventsArgs: surface, defaults, cross-mode flags loud, " +
+      "required flags per mode") {
+    import Main.parseEventsArgs
+    val a = parseEventsArgs(Seq("-i", "/in", "-o", "/out",
+      "--step", "view", "--step", "click", "--quiet"))
+    assert(a.mode == "funnel" && a.steps == Seq("view", "click") &&
+      a.keyColumn == "user_id" && a.tsColumn == "ts" &&
+      a.typeColumn == "event_type" && a.quiet)
+    val w = parseEventsArgs(Seq("-i", "/in", "-o", "/out",
+      "--mode", "funnel-anchored", "--step", "v", "--within-sec", "60",
+      "--anchor-cap", "50", "--key-column", "uid", "--ts-column", "at",
+      "--type-column", "kind"))
+    assert(w.withinSec.contains(60L) && w.anchorCap == 50 &&
+      w.keyColumn == "uid" && w.tsColumn == "at" && w.typeColumn == "kind")
+    val r = parseEventsArgs(Seq("-i", "/in", "-o", "/out",
+      "--mode", "retention", "--period-sec", "604800",
+      "--activity-period-sec", "86400"))
+    assert(r.periodSec.contains(604800L) &&
+      r.activityPeriodSec.contains(86400L))
+
+    // cross-mode flags are loud
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "retention",
+        "--period-sec", "60", "--step", "view")))
+      .getMessage.contains("no effect"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--step", "v", "--window-sec", "9")))
+      .getMessage.contains("no effect"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--step", "v", "--within-sec", "9")))
+      .getMessage.contains("funnel-window"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "funnel-window", "--step", "v",
+        "--within-sec", "9", "--anchor-cap", "5")))
+      .getMessage.contains("--anchor-cap"))
+    // per-mode required flags
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b"))).getMessage.contains("--step"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "funnel-window", "--step", "v")))
+      .getMessage.contains("--within-sec"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "retention")))
+      .getMessage.contains("--period-sec"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "quiet-gap")))
+      .getMessage.contains("--window-sec"))
+    intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "nope")))
+    intercept[IllegalArgumentException](parseEventsArgs(Seq("--nope")))
+    intercept[Main.CliExit](parseEventsArgs(Seq("--help")))
+  }
+
+  test("events: every mode ≡ its library operator") {
+    val steps = Seq("view", "click", "purchase")
+    val events = spark.read.parquet(eventsDir)
+    val R = operators.Relational
+    def run(a: Main.EventsArgs): Set[String] = {
+      Main.runEvents(spark, a)
+      spark.read.parquet(a.outputFile).collect().map(_.toString).toSet
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val base = Main.EventsArgs(input = eventsDir, quiet = true)
+
+    assert(run(base.copy(outputFile = tmp("ev-f") + "/f.parquet",
+        steps = steps)) ==
+      rows(R.funnelSteps(events, "user_id", "ts", "event_type", steps)))
+    assert(run(base.copy(mode = "funnel-window",
+        outputFile = tmp("ev-w") + "/w.parquet", steps = steps,
+        withinSec = Some(15L))) ==
+      rows(R.funnelStepsWithin(events, "user_id", "ts", "event_type",
+        steps, 15L)))
+    assert(run(base.copy(mode = "funnel-anchored",
+        outputFile = tmp("ev-a") + "/a.parquet", steps = steps,
+        withinSec = Some(15L))) ==
+      rows(R.funnelStepsAnchored(events, "user_id", "ts", "event_type",
+        steps, 15L)))
+    assert(run(base.copy(mode = "retention",
+        outputFile = tmp("ev-r") + "/r.parquet",
+        periodSec = Some(100L), activityPeriodSec = Some(20L))) ==
+      rows(R.retentionCohorts(events, "user_id", "ts", 100L, 20L)))
+    assert(run(base.copy(mode = "quiet-gap",
+        outputFile = tmp("ev-g") + "/g.parquet",
+        windowSec = Some(10L))) ==
+      rows(R.dedupEventsQuietGap(events, Seq("user_id"), "ts",
+        "event_id", 10L)))
+    // the first-touch window and the anchored form genuinely differ on
+    // this fixture (user A's first view times out; the view@90 anchor
+    // converts) — the CLI exposes the semantics ladder, not one alias
+    val ft = run(base.copy(mode = "funnel-window",
+      outputFile = tmp("ev-w2") + "/w.parquet", steps = steps,
+      withinSec = Some(15L)))
+    val an = run(base.copy(mode = "funnel-anchored",
+      outputFile = tmp("ev-a2") + "/a.parquet", steps = steps,
+      withinSec = Some(15L)))
+    assert(ft != an)
+    // a missing column fails at read validation, naming the flag
+    assert(intercept[IllegalArgumentException](Main.runEvents(spark,
+      base.copy(outputFile = tmp("x") + "/x.parquet", steps = steps,
+        keyColumn = "nope"))).getMessage.contains("--key-column"))
+  }
+}

@@ -68,6 +68,45 @@ class LayoutPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("funnelStepsAnchored: ∃-over-anchors counts ≡ the local brute-force " +
+      "chain search, on randomized event streams") {
+    import spark.implicits._
+    val types = Seq("view", "click", "purchase")
+    val gen = for {
+      n <- Gen.chooseNum(5, 60)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(0, 4)
+        t <- Gen.oneOf(types)
+        s <- Gen.chooseNum(0L, 50L)
+      } yield (s"u$u", t, s))
+    } yield evs.distinct // same (user, type, second) rows collapse anyway
+    check(Prop.forAll(gen) { evs =>
+      val window = 12L
+      val df = evs.map { case (u, t, s) =>
+        (u, t, new java.sql.Timestamp(s * 1000L)) }
+        .toDF("user_id", "event_type", "ts")
+      val got = operators.Relational.funnelStepsAnchored(df, "user_id",
+        "ts", "event_type", types, withinSec = window)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      // local brute force: a user reaches level L iff SOME strictly
+      // increasing chain t1 < t2 < ... < tL of the right types fits
+      // within [t1, t1 + window]
+      val byUser = evs.groupBy(_._1)
+      def reaches(rows: Seq[(String, String, Long)], level: Int): Boolean = {
+        def extend(prev: Long, anchor: Long, step: Int): Boolean =
+          if (step == level) true
+          else rows.exists { case (_, t, s) =>
+            t == types(step) && s > prev && s <= anchor + window &&
+              extend(s, anchor, step + 1) }
+        rows.exists { case (_, t, s) =>
+          t == types.head && extend(s, s, 1) }
+      }
+      val want = (1 to 3).map(l =>
+        l -> byUser.values.count(reaches(_, l)).toLong).toMap
+      got == want
+    }, n = 8)
+  }
+
   test("paddingWasteReport: both strategies ≡ the local integer model") {
     import spark.implicits._
     val gen = for {

@@ -242,6 +242,52 @@ class StreamsSpec extends AnyFunSuite {
     assert(out3 == Seq((5L, """{"k":1,"val":"y"}""")), s"got $out3")
   }
 
+  test("funnelGate: step completions carry across micro-batches; " +
+      "first-touch entry never re-anchors; stream ≡ batch " +
+      "funnelStepsWithin on an in-order feed") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val steps = Seq("view", "click", "purchase")
+    val in = MemoryStream[(String, String, java.sql.Timestamp)]
+    val gated = Streams.funnelGate(
+      in.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "ts", "event_type", steps, withinSec = 15L)
+    val q = gated.writeStream.format("memory")
+      .queryName("funnel_gate").outputMode("append").start()
+    val batch1 = Seq(
+      ("A", "view", ts(0)), ("B", "view", ts(0)),
+      ("B", "click", ts(5)), ("C", "view", ts(0)),
+      ("D", "view", ts(0)),
+      ("E", "click", ts(1)))          // click before any view → nothing
+    val batch2 = Seq(
+      ("A", "click", ts(10)),         // within 15 of entry 0 → step 2
+      ("B", "purchase", ts(12)),      // carried state → step 3
+      ("C", "view", ts(90)),          // first-touch: NO re-anchor
+      ("C", "click", ts(100)),        // outside entry 0's window → nothing
+      ("D", "click", ts(15)))         // exactly AT the deadline → step 2
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("funnel_gate")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(hits == Set(("A", 1), ("A", 2), ("B", 1), ("B", 2), ("B", 3),
+      ("C", 1), ("D", 1), ("D", 2)), s"got $hits")
+    // stream ≡ batch: distinct keys per completed step equals the
+    // batch first-touch windowed funnel over the union
+    val streamCounts = hits.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val batchCounts = operators.Relational.funnelStepsWithin(
+      (batch1 ++ batch2).toDF("user_id", "event_type", "ts"),
+      "user_id", "ts", "event_type", steps, withinSec = 15L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamCounts == batchCounts,
+      s"stream $streamCounts diverged from batch $batchCounts")
+  }
+
   test("semanticGate: stateless embedding-proximity blocking vs a " +
       "static eval set; stream ≡ batch") {
     import spark.implicits._
