@@ -812,4 +812,54 @@ object Multimodal {
       .selectExpr("doc_id", "'text/plain' AS mime", "encode(text, 'UTF-8') AS payload")
       .as[MediaRecord]
   }
+
+  /** Raw media-DIRECTORY ingest — how 100 TB of crawled images/audio
+    * actually arrives (a bucket of files, not a parquet table): Spark's
+    * built-in `binaryFile` source lists and reads every file under
+    * `dir` (optionally filtered by `glob`, e.g. `*.png`), and each file
+    * becomes one row of (path, mod_time, length, doc_id, mime,
+    * payload):
+    *   - `doc_id` is the md5-prefix long of the PATH (deterministic
+    *     across reruns and listing orders — the library's RNG-free id
+    *     stance; 48 bits, so birthday collisions need ~2²⁴ files per
+    *     corpus — pass ids from a manifest join when that matters);
+    *   - `mime` is sniffed from the MAGIC BYTES (PNG / JPEG / GIF /
+    *     RIFF-WAVE), not the extension — exactly the formats the decode
+    *     stages dispatch on; anything else is
+    *     `application/octet-stream` and flows down the stub path with
+    *     `decoded = false`.
+    * `toMediaRecords` adapts the frame to the typed [[MediaRecord]]
+    * every decode/fingerprint/scrub stage consumes. Scale: binaryFile
+    * assigns files to partitions up to
+    * `spark.sql.files.maxPartitionBytes` with NO shuffle, and decode
+    * stays embarrassingly parallel from there; the path/length/mod_time
+    * columns carry lineage for free. */
+  def readMediaDir(spark: SparkSession, dir: String,
+      glob: String = ""): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val reader = spark.read.format("binaryFile")
+    val r = (if (glob.nonEmpty) reader.option("pathGlobFilter", glob)
+             else reader).load(dir)
+    def magic(fromByte: Int, hexPrefix: String) =
+      hex(substring(col("content"), fromByte,
+        hexPrefix.length / 2)) === lit(hexPrefix)
+    val mime = when(magic(1, "89504E47"), "image/png")       // \x89PNG
+      .when(magic(1, "FFD8FF"), "image/jpeg")                // JPEG SOI
+      .when(magic(1, "47494638"), "image/gif")               // GIF8
+      .when(magic(1, "52494646") && magic(9, "57415645"),    // RIFF..WAVE
+        "audio/wav")
+      .otherwise("application/octet-stream")
+    r.select(col("path"), col("modificationTime").as("mod_time"),
+      col("length"),
+      call_function("md5_prefix_long", col("path"), lit(6)).as("doc_id"),
+      mime.as("mime"), col("content").as("payload"))
+  }
+
+  /** The typed adapter from [[readMediaDir]]'s frame (or any frame
+    * carrying doc_id/mime/payload) to the [[MediaRecord]] stream the
+    * decode stages consume. */
+  def toMediaRecords(df: org.apache.spark.sql.DataFrame): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(df("doc_id"), df("mime"), df("payload")).as[MediaRecord]
+  }
 }
