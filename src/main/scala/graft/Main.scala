@@ -2144,7 +2144,24 @@ object Main {
         Seq("--type-column" -> a.typeColumn) else Nil) ++
       (if (a.mode == "quiet-gap") Seq("--tie-column" -> a.tieColumn)
        else Nil)
-    val events = readDocs(spark, "--input", a.input, needed)
+    val events0 = readDocs(spark, "--input", a.input, needed)
+    // a TIMESTAMP(NANOS) log surfaces its ts as INT64 epoch-nanos under
+    // the session's nanosAsLong flag — convert with the exact floor
+    // division Tables.events uses, and SAY so (a genuine BIGINT-seconds
+    // column would be misread as nanos; store real timestamps, or
+    // convert up front, if that is the shape)
+    val events =
+      if (events0.schema(a.tsColumn).dataType ==
+          org.apache.spark.sql.types.LongType) {
+        if (!a.quiet)
+          System.err.println(s"note: INT64 --ts-column '${a.tsColumn}' " +
+            "treated as epoch NANOS (the TIMESTAMP(NANOS) parquet " +
+            "lowering) and floored to microseconds")
+        events0.withColumn(a.tsColumn,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(
+              s"(`${a.tsColumn}` - pmod(`${a.tsColumn}`, 1000)) div 1000")))
+      } else events0
     val R = operators.Relational
     val result = a.mode match {
       case "funnel" =>
@@ -3390,15 +3407,20 @@ object Main {
         case e: IllegalArgumentException =>
           System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
       }
-    val b = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName(s"graft-$name")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-    val spark = (if (timestampMicros)
-      b.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    else b).getOrCreate()
+    // TIMESTAMP(NANOS) event logs (some CDC/event exporters emit them)
+    // are unreadable without this flag; with it they surface as INT64
+    // epoch-nanos, which nanosTsToMicros converts faithfully
+    val b = if (timestampMicros)
+      b0.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    else b0
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // failures collected rather than exited inline: System.exit skips
     // finally, and spark.stop() must still run

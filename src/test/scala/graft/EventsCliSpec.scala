@@ -133,4 +133,22 @@ class EventsCliSpec extends AnyFunSuite {
       base.copy(outputFile = tmp("x") + "/x.parquet", steps = steps,
         keyColumn = "nope"))).getMessage.contains("--key-column"))
   }
+
+  test("events: a TIMESTAMP(NANOS) log (INT64 epoch-nanos ts) converts " +
+      "with the exact Tables.events floor — CLI ≡ library on the " +
+      "driver fixture") {
+    // the driver's events.parquet is TIMESTAMP(NANOS); under the
+    // session's nanosAsLong flag its ts reads as LongType, which the
+    // CLI must floor to µs exactly like Tables.events before bucketing
+    val fx = s"${TestSpark.sfDir}/events.parquet"
+    val out = tmp("ev-nanos") + "/r.parquet"
+    Main.runEvents(spark, Main.EventsArgs(mode = "retention",
+      input = fx, outputFile = out, periodSec = Some(604800L),
+      quiet = true))
+    val got = spark.read.parquet(out).collect().map(_.toString).toSet
+    val want = operators.Relational.retentionCohorts(
+      Tables.events(spark, TestSpark.sfDir), "user_id", "ts",
+      periodSec = 604800L).collect().map(_.toString).toSet
+    assert(got.nonEmpty && got == want)
+  }
 }
