@@ -2055,11 +2055,16 @@ object Main {
     var a = EventsArgs()
     val c = new ArgCursor(argv)
     def take(flag: String): String = c.take(flag)
-    def takeLong(flag: String): Long = {
+    // positivity checked AT PARSE TIME so the error names the FLAG —
+    // the library requires would name internal camelCase parameters
+    def takePosLong(flag: String): Long = {
       val v = take(flag)
-      try v.toLong catch { case _: NumberFormatException =>
+      val n = try v.toLong catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"$flag expects a long, got '$v'") }
+      if (n <= 0) throw new IllegalArgumentException(
+        s"$flag must be > 0, got $n")
+      n
     }
     val funnelFlags = scala.collection.mutable.ListBuffer.empty[String]
     val retFlags = scala.collection.mutable.ListBuffer.empty[String]
@@ -2086,17 +2091,17 @@ object Main {
         case "--step" =>
           funnelFlags += flag; a = a.copy(steps = a.steps :+ take(flag))
         case "--within-sec" =>
-          funnelFlags += flag; a = a.copy(withinSec = Some(takeLong(flag)))
+          funnelFlags += flag; a = a.copy(withinSec = Some(takePosLong(flag)))
         case "--anchor-cap" =>
           funnelFlags += flag; anchorCapSeen = true
           a = a.copy(anchorCap = parsePosInt(flag, take(flag)))
         case "--period-sec" =>
-          retFlags += flag; a = a.copy(periodSec = Some(takeLong(flag)))
+          retFlags += flag; a = a.copy(periodSec = Some(takePosLong(flag)))
         case "--activity-period-sec" =>
           retFlags += flag
-          a = a.copy(activityPeriodSec = Some(takeLong(flag)))
+          a = a.copy(activityPeriodSec = Some(takePosLong(flag)))
         case "--window-sec" =>
-          gapFlags += flag; a = a.copy(windowSec = Some(takeLong(flag)))
+          gapFlags += flag; a = a.copy(windowSec = Some(takePosLong(flag)))
         case "--tie-column" =>
           gapFlags += flag; a = a.copy(tieColumn = take(flag))
         case "--quiet" => a = a.copy(quiet = true)
@@ -2157,10 +2162,7 @@ object Main {
           System.err.println(s"note: INT64 --ts-column '${a.tsColumn}' " +
             "treated as epoch NANOS (the TIMESTAMP(NANOS) parquet " +
             "lowering) and floored to microseconds")
-        events0.withColumn(a.tsColumn,
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr(
-              s"(`${a.tsColumn}` - pmod(`${a.tsColumn}`, 1000)) div 1000")))
+        events0.withColumn(a.tsColumn, Tables.nanosTsToMicros(a.tsColumn))
       } else events0
     val R = operators.Relational
     val result = a.mode match {
@@ -3413,13 +3415,19 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    val b1 = if (timestampMicros)
+      b0.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    else b0
     // TIMESTAMP(NANOS) event logs (some CDC/event exporters emit them)
     // are unreadable without this flag; with it they surface as INT64
-    // epoch-nanos, which nanosTsToMicros converts faithfully
-    val b = if (timestampMicros)
-      b0.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    else b0
+    // epoch-nanos, which runEvents converts via Tables.nanosTsToMicros.
+    // ONLY the events subcommand opts in (review r19.7): the other
+    // subcommands have no nanos conversion, so the flag would turn
+    // their previously-clean read error into a raw bigint flowing into
+    // timestamp logic (or silently into a CDC payload)
+    val b = if (name == "events")
+      b1.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    else b1
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // failures collected rather than exited inline: System.exit skips

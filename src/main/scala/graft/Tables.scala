@@ -38,15 +38,22 @@ object Tables {
     * of epoch-nanos; normalize to TimestampType at µs precision
     * (floor-truncation, matching DuckDB's ns→µs cast).
     */
+  /** The ONE epoch-nanos → µs-timestamp spelling ([[events]] and
+    * `graft events`' INT64-ts path both convert through it — two
+    * copies of this load-bearing floor could silently drift, review
+    * r19.8): integral FLOOR division (DuckDB's ns→µs cast floors:
+    * −1 ns → −1 µs, verified) — bare `div` truncates toward zero,
+    * which would shift pre-1970 sub-µs timestamps +1 µs off the
+    * oracle. Subtracting pmod makes the dividend exactly divisible,
+    * all in int64 (epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact
+    * range). */
+  def nanosTsToMicros(c: String): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"(`$c` - pmod(`$c`, 1000)) div 1000"))
+
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      // Integral FLOOR division (DuckDB's ns→µs cast floors: −1 ns →
-      // −1 µs, verified) — bare `div` truncates toward zero, which
-      // would shift pre-1970 sub-µs timestamps +1 µs off the oracle.
-      // Subtracting pmod makes the dividend exactly divisible, all in
-      // int64 (epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range).
-      raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      raw.withColumn("ts", nanosTsToMicros("ts"))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -351,10 +351,15 @@ object Streams {
     import spark.implicits._
     val windowUs = withinSec * 1000000L
     val keyed = events
-      .filter(col(tsCol).isNotNull && col(typeCol).isin(steps: _*))
+      .filter(col(typeCol).isin(steps: _*))
       .select(col(keyCol).cast("string").as("key"),
         col(typeCol).cast("string").as("etype"),
-        col(tsCol).cast("timestamp").as("ts"))
+        col(tsCol).try_cast(org.apache.spark.sql.types.TimestampType)
+          .as("ts"))
+      // filter on the CAST result (the cdcGate r19.1 stance): a value
+      // that fails the timestamp cast must degrade to a drop, not NPE
+      // inside the state function and kill the query
+      .filter(col("ts").isNotNull)
       .as[FunnelEvent]
     keyed
       .groupByKey(_.key)

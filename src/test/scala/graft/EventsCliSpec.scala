@@ -82,6 +82,13 @@ class EventsCliSpec extends AnyFunSuite {
       Seq("-i", "a", "-o", "b", "--mode", "nope")))
     intercept[IllegalArgumentException](parseEventsArgs(Seq("--nope")))
     intercept[Main.CliExit](parseEventsArgs(Seq("--help")))
+    // non-positive durations rejected AT PARSE TIME, naming the FLAG
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "quiet-gap",
+        "--window-sec", "0"))).getMessage.contains("--window-sec"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "retention",
+        "--period-sec", "-5"))).getMessage.contains("--period-sec"))
   }
 
   test("events: every mode ≡ its library operator") {

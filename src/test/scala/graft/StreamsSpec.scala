@@ -286,6 +286,22 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(streamCounts == batchCounts,
       s"stream $streamCounts diverged from batch $batchCounts")
+    // an uncastable ts degrades to a DROP (the cdcGate r19.1 stance),
+    // never an NPE inside the state function
+    val in2 = MemoryStream[(String, String, String)]
+    val g2 = Streams.funnelGate(
+      in2.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "ts", "event_type", steps, withinSec = 15L)
+    val q2 = g2.writeStream.format("memory")
+      .queryName("funnel_gate_badts").outputMode("append").start()
+    try {
+      in2.addData(("Z", "view", "garbage"),
+        ("Z", "view", "2024-01-01 10:00:00"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val z = spark.table("funnel_gate_badts")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(z == Seq(("Z", 1)), s"got $z")
   }
 
   test("semanticGate: stateless embedding-proximity blocking vs a " +
