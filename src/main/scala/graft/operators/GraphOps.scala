@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Link-graph authority signals for web-corpus curation.
+  *
+  * Web-scale curation ranks pages by link authority before quality
+  * filtering (Common Crawl publishes harmonic-centrality/PageRank-style
+  * host ranks; CCNet/RefinedWeb-style pipelines consume them as a
+  * quality prior). The reference has no graph surface at all — this is
+  * the beyond-reference family next to [[DedupOps.connectedComponents]]
+  * (which already does the other classic corpus graph pass).
+  *
+  * Determinism stance: the power iteration runs in FIXED-POINT int64
+  * ("rank units" of `scale`⁻¹), not doubles — float PageRank sums are
+  * order-dependent across partitions, so no double spelling could
+  * hash-match the single-threaded DuckDB oracle (the Pipeline
+  * determinism stance). Every step is integer: floor-div shares, exact
+  * integer sums, floor-div damping. Each floor leaks < 1 unit of mass
+  * per term (total mass is monotonically ≤ `scale`, spec-bounded), so
+  * ranks are comparable to ~12 significant digits at the default scale
+  * — far beyond what any downstream quality threshold reads.
+  *
+  * Scale stance (100 TB): the edge table is deduped, degree-annotated
+  * and persisted ONCE, pre-partitioned by source node so each round's
+  * rank⋈edge join reuses that layout and only the node-sized rank table
+  * shuffles per round (inherent to power iteration — the same
+  * round-shuffle class as [[DedupOps.connectedComponents]]). Rounds are
+  * eagerly `localCheckpoint`ed with the previous round released, so
+  * lineage and executor storage stay O(1) in the iteration count. The
+  * dangling-mass total is a ONE-ROW aggregate broadcast back into the
+  * plan (never a corpus-sized collect).
+  */
+private[operators] trait GraphOps { self: Pipeline.type =>
+
+  /** Fixed-point PageRank over a directed edge table.
+    *
+    * Semantics (all int64, `p` = dampingPct, `S` = scale, `N` = node
+    * count over src∪dst after cleanup):
+    * {{{
+    *   perNode   = S div N
+    *   base      = ((100 − p) · perNode) div 100
+    *   r₀(v)     = perNode
+    *   D_i       = Σ rᵢ₋₁(v) over outdeg(v) = 0        (dangling mass)
+    *   inflow(v) = Σ_{(u,v)∈E} rᵢ₋₁(u) div outdeg(u)
+    *   rᵢ(v)     = base + (p · (inflow(v) + D_i div N)) div 100
+    * }}}
+    * Self-loops are dropped and parallel edges collapse to one
+    * (standard PageRank cleanup; both documented rather than silent:
+    * the dedup happens on the FIRST pass, before degrees are counted,
+    * so degrees and shares always agree). A NULL endpoint raises — a
+    * null in a link graph is a parse failure upstream, and silently
+    * dropping it would undercount the source page's out-degree and
+    * inflate every sibling link's share.
+    *
+    * Output: (node, rank_fp) — rank in `scale`⁻¹ units. Callers
+    * wanting probabilities divide by `scale` themselves; the integer
+    * form is the deterministic contract.
+    */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"dampingPct must be in [1, 99], got $dampingPct")
+    require(scale >= 1000000L,
+      s"scale must be >= 1e6 (rank resolution), got $scale")
+
+    val nullGuard = when(col(srcCol).isNull.or(col(dstCol).isNull),
+      raise_error(lit("pageRankFixedPoint: NULL edge endpoint — a null " +
+        s"in ($srcCol, $dstCol) is malformed input; filter or repair " +
+        "upstream"))).otherwise(col(srcCol).cast(LongType))
+    val e = edges
+      .select(nullGuard.as("src"), col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRankFixedPoint: empty edge table after cleanup " +
+      "(no non-self-loop edges) — an authority signal over zero pages " +
+      "is a pipeline wiring error")
+
+    val perNode = scale / n
+    val base = ((100L - dampingPct) * perNode) / 100L
+    // degree-annotated edges, partitioned by source node ONCE: each
+    // round's rank join lands on this layout, so only the node-sized
+    // rank table moves per round
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(deg, Seq("src"))
+      .select(col("src").as("node"), col("dst"), col("deg"))
+      .repartition(col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outNodes = edgesDeg.select(col("node")).distinct()
+
+    var prev: DataFrame = null
+    var ranks = nodes.select(col("node"), lit(perNode).as("rank"))
+      .localCheckpoint()
+    try {
+      (1 to iterations).foreach { _ =>
+        val dang = ranks.join(outNodes, Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
+        val inflow = ranks.join(edgesDeg, Seq("node"))
+          .select(col("dst").as("node"),
+            expr("rank div deg").as("__c"))
+          .groupBy(col("node")).agg(sum(col("__c")).as("__inflow"))
+        val next = nodes.join(inflow, Seq("node"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"),
+            (lit(base) + expr(s"($dampingPct * (coalesce(__inflow, 0L)" +
+              s" + (__dang div ${n}L))) div 100")).as("rank"))
+          .localCheckpoint()
+        if (prev != null) releaseLocalCheckpoint(prev)
+        prev = ranks
+        ranks = next
+      }
+      if (prev != null) releaseLocalCheckpoint(prev)
+      ranks.select(col("node"), col("rank").as("rank_fp"))
+    } finally {
+      nodes.unpersist()
+      edgesDeg.unpersist()
+    }
+  }
+
+  /** Degree profile of a directed edge table — the cheap companion
+    * signal ([[pageRankFixedPoint]]'s cleanup rules, one pass): per
+    * node, distinct out/in degree after self-loop drop + parallel-edge
+    * collapse. Nodes appearing only as a source have in_deg 0 and vice
+    * versa — a full-outer merge, never a lossy inner join. */
+  def degreeProfile(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val out = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** The p145/p146 fixture: a deterministic synthetic link graph over
+    * `documents` — three modular-arithmetic out-links per page, pages
+    * ≡ 0 (mod 10) publish none (they rank as pure sinks, exercising
+    * the dangling-mass path). Both engines derive it from the same
+    * int64 arithmetic, so the edge sets are identical by construction.
+    */
+  private def docLinkEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val nd = docs.agg(count(lit(1)).as("__nd"))
+    docs.select(col("doc_id")).crossJoin(broadcast(nd))
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("src"),
+        explode(array(
+          expr("(doc_id * 7 + 1) % __nd"),
+          expr("(doc_id * 13 + 5) % __nd"),
+          expr("(doc_id * 101 + 11) % __nd"))).as("dst"))
+  }
+
+  private val DocLinkEdgesSql: String = """
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src, d AS dst
+      FROM documents CROSS JOIN nd,
+           unnest([(doc_id * 7 + 1) % n, (doc_id * 13 + 5) % n,
+                   (doc_id * 101 + 11) % n]) t(d)
+      WHERE doc_id % 10 <> 0),
+    e0 AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)"""
+
+  /** Unrolled DuckDB twin of the fixed-point iteration — one CTE pair
+    * (dangling total, inflow) per round, integer `//` throughout
+    * (non-negative operands, so DuckDB `//` ≡ Spark `div`). */
+  private def pageRankOracleSql(iterations: Int, dampingPct: Int,
+      scale: Long): String = {
+    val rounds = (1 to iterations).map { i =>
+      val p = i - 1
+      s"""
+    dang$i AS (
+      SELECT COALESCE(SUM(r), 0) AS dm FROM r$p
+      WHERE node NOT IN (SELECT src FROM e0)),
+    inf$i AS (
+      SELECT e0.dst AS node, SUM(r$p.r // deg.d) AS f
+      FROM r$p JOIN e0 ON r$p.node = e0.src
+      JOIN deg ON deg.src = e0.src
+      GROUP BY e0.dst),
+    r$i AS (
+      SELECT nodes.node,
+             base.b + ($dampingPct * (COALESCE(inf$i.f, 0)
+               + dang$i.dm // nn.n)) // 100 AS r
+      FROM nodes LEFT JOIN inf$i ON nodes.node = inf$i.node
+      CROSS JOIN dang$i CROSS JOIN nn CROSS JOIN base)"""
+    }.mkString(",")
+    s"""
+    WITH $DocLinkEdgesSql,
+    nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src),
+    base AS (
+      SELECT ((100 - $dampingPct) * ($scale // n)) // 100 AS b FROM nn),
+    r0 AS (SELECT node, (SELECT $scale // n FROM nn) AS r FROM nodes),$rounds
+    SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iterations
+    ORDER BY node"""
+  }
+
+  private[operators] lazy val graphQueries: Seq[QueryDef] = Seq(
+    // ---- p145: link-graph PageRank — [[pageRankFixedPoint]] over the
+    // synthetic doc link graph, 3 rounds at the default damping/scale.
+    // The oracle unrolls the identical int64 fixed-point recurrence
+    // round by round, so the gate certifies every floor, every dangling
+    // redistribution and every damping step — not just the ordering.
+    QueryDef(
+      "p145_pagerank",
+      (s, d) => pageRankFixedPoint(docLinkEdges(s, d), "src", "dst",
+        iterations = 3),
+      Some(pageRankOracleSql(iterations = 3, dampingPct = 85,
+        scale = 1000000000000L))),
+
+    // ---- p146: degree profile — [[degreeProfile]] over the same
+    // graph; certifies the shared cleanup rules (self-loop drop,
+    // parallel-edge collapse) and the full-outer degree merge.
+    QueryDef(
+      "p146_degree_profile",
+      (s, d) => degreeProfile(docLinkEdges(s, d), "src", "dst"),
+      Some(s"""
+        WITH $DocLinkEdgesSql,
+        o AS (SELECT src AS node, COUNT(*) AS od FROM e0 GROUP BY src),
+        i AS (SELECT dst AS node, COUNT(*) AS id_ FROM e0 GROUP BY dst)
+        SELECT COALESCE(o.node, i.node) AS node,
+               CAST(COALESCE(od, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(id_, 0) AS BIGINT) AS in_deg
+        FROM o FULL OUTER JOIN i ON o.node = i.node
+        ORDER BY node"""))
+  )
+}

@@ -29,7 +29,8 @@ object Pipeline
     with WordModelOps
     with TextOps
     with SketchOps
-    with SamplingOps {
+    with SamplingOps
+    with GraphOps {
 
   /** Every pipeline QueryDef across the topic suites (p01..p142 +
     * m01..m11) — same names, plans and oracle SQL as the pre-split
@@ -37,5 +38,5 @@ object Pipeline
   val queries: Seq[QueryDef] =
     dedupQueries ++ deduptextQueries ++ decontamQueries ++ annQueries ++
       quantQueries ++ qualityQueries ++ wordmodelQueries ++ textQueries ++
-      sketchQueries ++ samplingQueries
+      sketchQueries ++ samplingQueries ++ graphQueries
 }

@@ -1205,7 +1205,96 @@ object Relational {
         UNION ALL
         SELECT CAST(3 AS INTEGER), 'purchase',
                CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM s3
-        ORDER BY step_no"""))
+        ORDER BY step_no""")),
+
+    // ---- q48: data-quality constraint suite — [[checkConstraints]]
+    // over lineitem: the five Deequ-style check families in one
+    // report. The fixture's (l_orderkey, l_linenumber) is genuinely
+    // NON-unique (11,785 duplicated keys at sf0.01), so the gate
+    // certifies a real failing check next to passing ones — not just
+    // the all-green shape. The oracle recomputes every scalar
+    // independently (conditional counts, dup-group row sum, anti-join
+    // orphan count).
+    QueryDef(
+      "q48_constraints",
+      (s, d) => checkConstraints(T.lineitem(s, d), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", lit(1.0), lit(50.0)),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity(Seq("l_orderkey"), T.orders(s, d),
+          Seq("o_orderkey")))),
+      Some("""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+                   FROM lineitem),
+        checks AS (
+          SELECT 'not_null' AS check_type, 'l_orderkey' AS target,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                  WHERE l_orderkey IS NULL) AS n_violations
+          UNION ALL
+          SELECT 'in_range', 'l_quantity',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                  WHERE l_quantity IS NOT NULL
+                    AND (l_quantity < 1.0 OR l_quantity > 50.0))
+          UNION ALL
+          SELECT 'in_set', 'l_returnflag',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                  WHERE l_returnflag IS NOT NULL
+                    AND l_returnflag NOT IN ('A', 'N', 'R'))
+          UNION ALL
+          SELECT 'unique', 'l_orderkey,l_linenumber',
+                 (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) FROM (
+                    SELECT COUNT(*) AS k FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber
+                    HAVING COUNT(*) > 1))
+          UNION ALL
+          SELECT 'ref_integrity', 'l_orderkey',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                  WHERE l.l_orderkey IS NOT NULL
+                    AND NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey)))
+        SELECT check_type, target, n.n_rows, n_violations,
+               n_violations = 0 AS passed
+        FROM checks CROSS JOIN n
+        ORDER BY check_type, target""")),
+
+    // ---- q49: resample + forward fill — [[resampleFfill]] on events
+    // at 6-hour buckets (the 150-user/30-day fixture leaves real gaps
+    // at that grain, so LOCF rows exist and `filled` is exercised both
+    // ways). The oracle replays the µs floor-division buckets, the
+    // rank-1 per-bucket pick, the per-key grid and the IGNORE NULLS
+    // window fill.
+    QueryDef(
+      "q49_resample_ffill",
+      (s, d) => resampleFfill(T.events(s, d), "user_id", "ts",
+        "event_id", "value", periodSec = 21600L),
+      Some("""
+        WITH ev AS (
+          SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 event_id AS tie, value AS v
+          FROM events WHERE ts IS NOT NULL),
+        b AS (
+          SELECT k, (us - ((us % 21600000000) + 21600000000)
+                     % 21600000000) // 21600000000 AS b, us, tie, v
+          FROM ev),
+        obs AS (
+          SELECT k, b, v FROM (
+            SELECT k, b, v, row_number() OVER (
+              PARTITION BY k, b ORDER BY us DESC, tie DESC) AS rn
+            FROM b) WHERE rn = 1),
+        span AS (SELECT k, MIN(b) AS b0, MAX(b) AS b1 FROM b GROUP BY k),
+        grid AS (
+          SELECT k, gb AS b
+          FROM span, unnest(range(b0, b1 + 1)) t(gb))
+        SELECT grid.k AS user_id,
+               make_timestamp(grid.b * 21600000000) AS bucket_start,
+               last_value(obs.v IGNORE NULLS) OVER (
+                 PARTITION BY grid.k ORDER BY grid.b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value,
+               obs.v IS NULL AS filled
+        FROM grid LEFT JOIN obs ON grid.k = obs.k AND grid.b = obs.b
+        ORDER BY user_id, bucket_start"""))
   )
 
   /** CDC apply — materialize CURRENT state from a changelog (the
@@ -1531,5 +1620,170 @@ object Relational {
       .filter(col(tsCol).isNull || col("__gap_us").isNull ||
         col("__gap_us") > windowSec * 1000000L)
       .drop("__gap_us")
+  }
+
+  /** One declarative data-quality constraint for [[checkConstraints]]
+    * (the Deequ/Great-Expectations check families every warehouse runs
+    * on ingest, as plain Catalyst aggregates). */
+  sealed trait TableCheck
+  /** Violation: the column is NULL. */
+  final case class NotNull(column: String) extends TableCheck
+  /** Violation: a NON-NULL value outside [lo, hi] (inclusive). NULLs
+    * are [[NotNull]]'s job — counting them here too would double-bill
+    * one defect across two checks. */
+  final case class InRange(column: String, lo: Column, hi: Column)
+      extends TableCheck
+  /** Violation: a NON-NULL value outside the allowed set. */
+  final case class InSet(column: String, allowed: Seq[Any])
+      extends TableCheck
+  /** Violation: EVERY row whose key occurs more than once (both copies
+    * are defects — a consumer keying on these columns loses one of
+    * them silently). NULL key components group together, matching the
+    * groupBy semantics a downstream dedup would apply. */
+  final case class Unique(columns: Seq[String]) extends TableCheck
+  /** Violation: a row whose fully NON-NULL foreign-key tuple has no
+    * match in `dim` (SQL FK semantics: a NULL component opts the row
+    * out of the check). */
+  final case class RefIntegrity(columns: Seq[String], dim: DataFrame,
+      dimColumns: Seq[String]) extends TableCheck
+
+  /** Declarative data-quality constraint checking — the ingest-time
+    * audit (Deequ's `VerificationSuite` surface) as ONE report table:
+    * (check_type, target, n_rows, n_violations, passed), one row per
+    * check.
+    *
+    * Scale stance: all row-local checks ([[NotNull]]/[[InRange]]/
+    * [[InSet]]) fold into a SINGLE full-scan aggregate (conditional
+    * sums — one pass over the fact table no matter how many checks);
+    * each [[Unique]] is one key-grouped count (partial aggregation
+    * map-side); each [[RefIntegrity]] is one anti-join that AQE
+    * broadcast-plans when the dimension side is small. Report rows are
+    * per-check scalars — parameter-scale, never data-sized.
+    */
+  def checkConstraints(df: DataFrame, checks: Seq[TableCheck]): DataFrame = {
+    require(checks.nonEmpty, "checks must not be empty")
+    // n_rows for the keyed checks re-derives from a zero-column count
+    // scan (Catalyst prunes every column), so the extra passes read
+    // parquet footers, not data
+    val total = df.agg(count(lit(1)).cast(LongType).as("n_rows"))
+    val rowLocal = checks.zipWithIndex.collect {
+      case (c: NotNull, i)  => (i, "not_null", c.column, col(c.column).isNull)
+      case (c: InRange, i)  => (i, "in_range", c.column,
+        col(c.column).isNotNull &&
+          (col(c.column) < c.lo || col(c.column) > c.hi))
+      case (c: InSet, i)    => (i, "in_set", c.column,
+        col(c.column).isNotNull && !col(c.column).isin(c.allowed: _*))
+    }
+    val localReport: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggs = count(lit(1)).cast(LongType).as("__n") +:
+          rowLocal.map { case (i, _, _, bad) =>
+            sum(when(bad, 1L).otherwise(0L)).as(s"__v_$i") }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Some(one.select(explode(array(rowLocal.map { case (i, kind, tgt, _) =>
+          struct(lit(kind).as("check_type"), lit(tgt).as("target"),
+            col("__n").as("n_rows"),
+            coalesce(col(s"__v_$i"), lit(0L)).as("n_violations"))
+        }: _*)).as("__r")).select(col("__r.*")))
+      }
+    val keyed: Seq[DataFrame] = checks.collect {
+      case Unique(cols) =>
+        require(cols.nonEmpty, "Unique needs at least one column")
+        val dups = df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("__k"))
+          .filter(col("__k") > 1)
+          .agg(coalesce(sum(col("__k")), lit(0L)).as("n_violations"))
+        total.crossJoin(broadcast(dups)).select(
+          lit("unique").as("check_type"),
+          lit(cols.mkString(",")).as("target"),
+          col("n_rows"), col("n_violations"))
+      case RefIntegrity(cols, dim, dimCols) =>
+        require(cols.nonEmpty && cols.size == dimCols.size,
+          s"RefIntegrity column lists must be non-empty and equal " +
+            s"length, got ${cols.size} vs ${dimCols.size}")
+        val cond = cols.zip(dimCols)
+          .map { case (a, b) => df(a) === dim(b) }.reduce(_ && _)
+        val orphans = df
+          .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+          .join(dim, cond, "left_anti")
+          .agg(count(lit(1)).cast(LongType).as("n_violations"))
+        total.crossJoin(broadcast(orphans)).select(
+          lit("ref_integrity").as("check_type"),
+          lit(cols.mkString(",")).as("target"),
+          col("n_rows"), col("n_violations"))
+    }
+    val parts = localReport.toSeq ++ keyed
+    parts.reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+  }
+
+  /** Time-series resample + forward fill — the gap-fill every metrics
+    * pipeline runs before charting or feature extraction: bucket each
+    * key's observations to a fixed `periodSec` grid, keep the LAST
+    * observation per (key, bucket) (latest (tsCol, tieCol) wins —
+    * tieCol must be unique per key for a deterministic pick; event ids
+    * are), then fill empty buckets with the last observed value
+    * (LOCF). The grid spans each key's own [min, max] observed bucket,
+    * so there are no leading NULLs and absent keys produce no rows.
+    * Rows with a NULL timestamp are dropped (an unstamped observation
+    * cannot be placed on a grid — the funnel/retention stance); a NULL
+    * observed VALUE counts as "no usable observation" and is filled
+    * over, flagged like any gap.
+    *
+    * Scale stance: the per-bucket pick is a rank-1 window on the
+    * HIGH-cardinality (key, bucket) pair (Spark 4's WindowGroupLimit
+    * pushes the rn=1 filter into the sort); the grid explode is
+    * map-side `sequence()`, guarded by `maxBucketsPerKey` with a loud
+    * error naming the offending span (a mis-set period on a years-long
+    * key would otherwise explode quietly into billions of rows); the
+    * LOCF window partitions by key — the q30 sessionize shuffle class.
+    * Output: (key, bucket_start timestamp, value, filled).
+    */
+  def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, periodSec: Long,
+      maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    require(periodSec > 0, s"periodSec must be > 0, got $periodSec")
+    require(maxBucketsPerKey > 0,
+      s"maxBucketsPerKey must be > 0, got $maxBucketsPerKey")
+    val p = periodSec * 1000000L
+    val us = unix_micros(col(tsCol).cast(TimestampType))
+    // exact int64 floor division (the q44 pmod spelling — Long `/`
+    // would detour through doubles and lose exactness past 2^53)
+    val b = events.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        expr(s"(unix_micros(cast(`$tsCol` as timestamp))" +
+          s" - pmod(unix_micros(cast(`$tsCol` as timestamp)), ${p}L))" +
+          s" div ${p}L").as("__b"),
+        us.as("__us"), col(tieCol).as("__tie"), col(valueCol).as("__v"))
+    val wpick = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__us").desc, col("__tie").desc)
+    val obs = b.withColumn("__rn", row_number().over(wpick))
+      .filter(col("__rn") === 1)
+      .select(col("__k"), col("__b"), col("__v"))
+    val grid = b.groupBy(col("__k"))
+      .agg(min(col("__b")).as("__b0"), max(col("__b")).as("__b1"))
+      .select(col("__k"), explode(
+        when(col("__b1") - col("__b0") < maxBucketsPerKey,
+          sequence(col("__b0"), col("__b1")))
+          .otherwise(raise_error(concat(
+            lit("resampleFfill: key "), col("__k").cast(StringType),
+            lit(s" spans more than $maxBucketsPerKey buckets of " +
+              s"$periodSec s ("), (col("__b1") - col("__b0") + 1)
+              .cast(StringType),
+            lit(") — raise periodSec or maxBucketsPerKey")))))
+        .as("__b"))
+    val wfill = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("__k", "__b"), "left")
+      .select(col("__k").as(keyCol),
+        // NTZ (sessions run UTC, so the LTZ→NTZ cast is wall-clock
+        // identity): grid instants are derived values, and the naive
+        // spelling is what DuckDB's make_timestamp and pandas both
+        // read back without a timezone annotation
+        timestamp_micros(col("__b") * p).cast(TimestampNTZType)
+          .as("bucket_start"),
+        last(col("__v"), ignoreNulls = true).over(wfill).as(valueCol),
+        col("__v").isNull.as("filled"))
   }
 }

@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.operators.{Pipeline, Relational}
+import graft.operators.Relational.{InRange, InSet, NotNull, RefIntegrity, Unique}
+
+/** Fixed-point PageRank / degree profile vs an independent local int64
+  * model, and the q48/q49 operator fixtures the DuckDB gates
+  * under-sample (guards, NULL shapes, LOCF edges). */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def check(p: Prop, n: Int = 8): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  /** The exact integer recurrence from [[Pipeline.pageRankFixedPoint]]'s
+    * doc, in plain Scala Maps — non-negative operands make Long `/`
+    * (truncate) ≡ floor ≡ Spark `div` ≡ DuckDB `//`. */
+  private def localPageRank(edges: Seq[(Long, Long)], iters: Int,
+      p: Int, scale: Long): Map[Long, Long] = {
+    val e = edges.filter { case (a, b) => a != b }.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val perNode = scale / n
+    val base = ((100L - p) * perNode) / 100L
+    var r = nodes.map(_ -> perNode).toMap
+    (1 to iters).foreach { _ =>
+      val dang = nodes.filterNot(deg.contains).map(r).sum
+      val share = dang / n
+      val inflow = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum }
+      r = nodes.map(v =>
+        v -> (base + (p * (inflow.getOrElse(v, 0L) + share)) / 100L)).toMap
+    }
+    r
+  }
+
+  private val graphGen = for {
+    n <- Gen.chooseNum(2, 10)
+    m <- Gen.chooseNum(1, 30)
+    // raw pairs INCLUDING self-loops and duplicates — the operator's
+    // cleanup rules are part of the contract under test
+    es <- Gen.listOfN(m,
+      Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    if es.exists { case (a, b) => a != b }
+    it <- Gen.chooseNum(1, 3)
+  } yield (es, it)
+
+  test("pageRankFixedPoint ≡ the local int64 model (self-loops, parallel " +
+      "edges, dangling nodes, 1–3 rounds)") {
+    import spark.implicits._
+    check(Prop.forAll(graphGen) { case (es, it) =>
+      val got = Pipeline
+        .pageRankFixedPoint(es.toDF("s", "t"), "s", "t", iterations = it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == localPageRank(es, it, 85, 1000000000000L)
+    })
+  }
+
+  test("pageRank mass is conserved up to floor leak and ranks are " +
+      "deterministic across runs") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (1L, 6L)) // 6 is a pure sink (dangling)
+    val df = es.toDF("s", "t")
+    val a = Pipeline.pageRankFixedPoint(df, "s", "t", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Pipeline.pageRankFixedPoint(df, "s", "t", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val scale = 1000000000000L
+    val mass = a.values.sum
+    assert(mass <= scale)
+    // each of the 5 rounds floors ≤ (edges + 1 dangling share + nodes
+    // damping divs) unit-losses; 1e-6 relative is far above any of it
+    assert(mass >= scale - scale / 1000000L)
+    // the hub (node 1: three in-links) outranks every leaf
+    assert(a(1L) > a(4L) && a(1L) > a(5L))
+  }
+
+  test("pageRank: NULL endpoint raises; empty-after-cleanup raises") {
+    import spark.implicits._
+    val bad = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("s", "t")
+    val e = intercept[Exception] {
+      Pipeline.pageRankFixedPoint(bad, "s", "t", 1).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("NULL edge endpoint"), chain)
+    val onlySelf = Seq((7L, 7L)).toDF("s", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.pageRankFixedPoint(onlySelf, "s", "t", 1)
+    }
+    assert(e2.getMessage.contains("empty edge table"))
+  }
+
+  test("degreeProfile ≡ local model (cleanup rules shared with pageRank)") {
+    import spark.implicits._
+    check(Prop.forAll(graphGen) { case (es, _) =>
+      val got = Pipeline.degreeProfile(es.toDF("s", "t"), "s", "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val e = es.filter { case (a, b) => a != b }.distinct
+      val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val in = e.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val want = (out.keySet ++ in.keySet).map(v =>
+        (v, out.getOrElse(v, 0L), in.getOrElse(v, 0L)))
+      got == want
+    })
+  }
+
+  test("checkConstraints: every family reports the exact violation " +
+      "count; NULLs split between not_null and in_range/in_set; NULL fk " +
+      "components opt out of ref_integrity") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(10.0), Some("A")),
+      (Some(1L), Some(99.0), Some("X")), // dup key, range viol, set viol
+      (None, None, None),                // null key → not_null only
+      (Some(2L), Some(5.0), Some("B"))
+    ).toDF("k", "q", "f")
+    val dim = Seq(1L).toDF("dk") // k=2 is an orphan; NULL k opts out
+    val rep = Relational.checkConstraints(df, Seq(
+      NotNull("k"), InRange("q", lit(0.0), lit(50.0)),
+      InSet("f", Seq("A", "B")), Unique(Seq("k")),
+      RefIntegrity(Seq("k"), dim, Seq("dk"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(rep == Set(
+      ("not_null", "k", 4L, 1L, false),
+      ("in_range", "q", 4L, 1L, false),
+      ("in_set", "f", 4L, 1L, false),
+      ("unique", "k", 4L, 2L, false),
+      ("ref_integrity", "k", 4L, 1L, false)))
+    intercept[IllegalArgumentException] {
+      Relational.checkConstraints(df, Nil)
+    }
+  }
+
+  test("checkConstraints: an all-green suite reports passed=true rows " +
+      "and zero-violation counts") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q")
+    val rep = Relational.checkConstraints(df,
+      Seq(NotNull("k"), Unique(Seq("k")),
+        InRange("q", lit(0.0), lit(50.0))))
+      .collect()
+    assert(rep.length == 3 && rep.forall(_.getBoolean(4)))
+    assert(rep.forall(_.getLong(3) == 0L))
+  }
+
+  test("resampleFfill: LOCF over gaps, last-(ts,tie)-wins per bucket, " +
+      "NULL ts dropped, NULL value filled over, per-key grids") {
+    import spark.implicits._
+    val p = 10L // seconds per bucket
+    val rows = Seq(
+      // key 1: buckets 0 and 3 observed → 1, 2 filled from bucket 0
+      (1L, Some("1970-01-01 00:00:01"), 1L, Some(1.0)),
+      (1L, Some("1970-01-01 00:00:02"), 2L, Some(2.0)), // same bucket, later ts wins
+      (1L, Some("1970-01-01 00:00:35"), 3L, Some(9.0)),
+      // key 2: single bucket, NULL value → one row, filled=true, value NULL
+      (2L, Some("1970-01-01 00:00:05"), 4L, None),
+      // NULL ts → dropped entirely
+      (3L, None, 5L, Some(7.0)))
+      .toDF("k", "ts_s", "tie", "v")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = Relational.resampleFfill(rows, "k", "ts", "tie", "v", p)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1)
+          .toEpochSecond(java.time.ZoneOffset.UTC),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, Some(2.0), false),
+      (1L, 10L, Some(2.0), true),
+      (1L, 20L, Some(2.0), true),
+      (1L, 30L, Some(9.0), false),
+      (2L, 0L, None, true)))
+  }
+
+  test("resampleFfill: a span wider than maxBucketsPerKey raises with " +
+      "the offending key in the message") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "1970-01-01 00:00:00", 1L, 1.0),
+      (1L, "1970-01-02 00:00:00", 2L, 2.0))
+      .toDF("k", "ts_s", "tie", "v")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val e = intercept[Exception] {
+      Relational.resampleFfill(rows, "k", "ts", "tie", "v",
+        periodSec = 1L, maxBucketsPerKey = 100L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("resampleFfill") && msg.contains("buckets"))
+  }
+}
