@@ -2364,6 +2364,171 @@ object Main {
     rows
   }
 
+  /** `graft audit` — the [[operators.Relational.checkConstraints]]
+    * data-quality suite as an ingest-time CLI (AuditCliSpec pins CLI ≡
+    * library — never a reimplementation). Constraint flags are
+    * repeatable; `--fail-on-violation` turns the report into a CI
+    * gate (non-zero exit naming the failed checks, report still
+    * written first so the failure is inspectable). */
+  final case class AuditArgs(
+      input: String = "",
+      outputFile: String = "",
+      notNull: Seq[String] = Nil,
+      unique: Seq[Seq[String]] = Nil,
+      ranges: Seq[(String, Double, Double)] = Nil,
+      inSets: Seq[(String, Seq[String])] = Nil,
+      refs: Seq[(Seq[String], String, Seq[String])] = Nil,
+      failOnViolation: Boolean = false,
+      quiet: Boolean = false)
+
+  private[graft] val AuditHelpText =
+    s"""Data-quality constraint audit over a parquet table: one report row
+       |per check (check_type, target, n_rows, n_violations, passed)
+       |
+       |Usage: graft audit [OPTIONS] -i <DIR> -o <FILE>
+       |
+       |Options:
+       |  -i, --input <DIR>           Table to audit (parquet directory)
+       |  -o, --output-file <FILE>    Report table (parquet)
+       |      --not-null <C>          Column must be non-NULL (repeatable)
+       |      --unique <C[,C2,..]>    Key must be unique; every row of a
+       |                              duplicated key counts (repeatable)
+       |      --range <C:LO:HI>       Non-NULL values must lie in [LO, HI]
+       |                              (doubles; repeatable)
+       |      --in-set <C:V1[,V2,..]> Non-NULL values must be in the set
+       |                              (string compare; repeatable)
+       |      --ref <C[,C2]=DIR:D1[,D2]>  Non-NULL key tuples must exist in
+       |                              the dimension table DIR's columns
+       |                              (the last ':' splits DIR from columns;
+       |                              repeatable)
+       |      --fail-on-violation     Exit non-zero if any check fails
+       |                              (report is written first)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |""".stripMargin
+
+  private[graft] def parseAuditArgs(argv: Seq[String]): AuditArgs = {
+    var a = AuditArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    def split2(flag: String, v: String, sep: Char): (String, String) = {
+      val i = v.indexOf(sep)
+      if (i <= 0 || i == v.length - 1) throw new IllegalArgumentException(
+        s"$flag expects '<left>$sep<right>', got '$v'")
+      (v.substring(0, i), v.substring(i + 1))
+    }
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(AuditHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--not-null" => a = a.copy(notNull = a.notNull :+ take(flag))
+        case "--unique" =>
+          a = a.copy(unique = a.unique :+ take(flag).split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty))
+        case "--range" =>
+          val v = take(flag)
+          val parts = v.split(':')
+          if (parts.length != 3) throw new IllegalArgumentException(
+            s"--range expects '<column>:<lo>:<hi>', got '$v'")
+          val (lo, hi) =
+            try (parts(1).toDouble, parts(2).toDouble)
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"--range bounds must be doubles, got '$v'") }
+          if (lo > hi) throw new IllegalArgumentException(
+            s"--range lower bound exceeds upper, got '$v'")
+          a = a.copy(ranges = a.ranges :+ ((parts(0), lo, hi)))
+        case "--in-set" =>
+          val (col0, vs) = split2(flag, take(flag), ':')
+          a = a.copy(inSets = a.inSets :+
+            ((col0, vs.split(',').toSeq.map(_.trim))))
+        case "--ref" =>
+          val (fk, rhs) = split2(flag, take(flag), '=')
+          val i = rhs.lastIndexOf(':')
+          if (i <= 0 || i == rhs.length - 1)
+            throw new IllegalArgumentException(
+              s"--ref expects '<cols>=<dir>:<dimcols>', got '$rhs'")
+          val fkCols = fk.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          val dimCols = rhs.substring(i + 1).split(',').toSeq.map(_.trim)
+            .filter(_.nonEmpty)
+          if (fkCols.size != dimCols.size)
+            throw new IllegalArgumentException(
+              s"--ref key/dimension column counts differ " +
+                s"(${fkCols.size} vs ${dimCols.size})")
+          a = a.copy(refs = a.refs :+
+            ((fkCols, rhs.substring(0, i), dimCols)))
+        case "--fail-on-violation" => a = a.copy(failOnViolation = true)
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see audit --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: audit [OPTIONS] -i DIR -o FILE")
+    if (a.notNull.isEmpty && a.unique.isEmpty && a.ranges.isEmpty &&
+        a.inSets.isEmpty && a.refs.isEmpty)
+      throw new IllegalArgumentException(
+        "audit needs at least one constraint flag (--not-null / " +
+          "--unique / --range / --in-set / --ref)")
+    a
+  }
+
+  private[graft] def runAudit(spark: SparkSession, a: AuditArgs): Long = {
+    import operators.Relational._
+    import org.apache.spark.sql.functions.lit
+    val df =
+      try spark.read.parquet(a.input)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot read --input '${a.input}': ${e.getMessage}") }
+    def need(flag: String, cs: Seq[String], cols: Array[String]): Unit =
+      for (c0 <- cs if !cols.contains(c0))
+        throw new IllegalArgumentException(
+          s"$flag: column '$c0' not found (have: " +
+            s"${cols.sorted.mkString(", ")})")
+    need("--not-null", a.notNull, df.columns)
+    a.unique.foreach(u => need("--unique", u, df.columns))
+    need("--range", a.ranges.map(_._1), df.columns)
+    need("--in-set", a.inSets.map(_._1), df.columns)
+    val checks: Seq[TableCheck] =
+      a.notNull.map(NotNull) ++
+        a.unique.map(Unique) ++
+        a.ranges.map { case (c0, lo, hi) =>
+          InRange(c0, lit(lo), lit(hi)) } ++
+        a.inSets.map { case (c0, vs) => InSet(c0, vs) } ++
+        a.refs.map { case (fk, dir, dimCols) =>
+          need("--ref", fk, df.columns)
+          val dim =
+            try spark.read.parquet(dir)
+            catch { case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"cannot read --ref dimension '$dir': ${e.getMessage}") }
+          need("--ref", dimCols, dim.columns)
+          RefIntegrity(fk, dim, dimCols)
+        }
+    val report = checkConstraints(df, checks).localCheckpoint()
+    ParquetSink.write(report, a.outputFile,
+      ParquetSink.SinkOptions(quiet = true))
+    val rows = report.collect()
+    val failed = rows.filter(!_.getAs[Boolean]("passed"))
+    if (!a.quiet)
+      System.err.println(s"audit: ${rows.length} checks, " +
+        s"${failed.length} failed at ${a.outputFile}")
+    operators.Pipeline.releaseLocalCheckpoint(report)
+    if (a.failOnViolation && failed.nonEmpty)
+      throw new IllegalArgumentException("audit failed: " +
+        failed.sortBy(r => (r.getAs[String]("check_type"),
+            r.getAs[String]("target")))
+          .map(r => s"${r.getAs[String]("check_type")}(" +
+            s"${r.getAs[String]("target")}): " +
+            s"${r.getAs[Long]("n_violations")} violations")
+          .mkString("; "))
+    rows.length.toLong
+  }
+
   /** `graft scrub` — removes documents that duplicate a REFERENCE
     * corpus (yesterday's training set, a licensed collection, an eval
     * suite at document granularity), fronting the three library
@@ -2951,6 +3116,8 @@ object Main {
        |          band admit, verified near-dup, or Bloom-gated)
        |  warehouse  Materializes CDC current state from a changelog, or
        |          folds a dimension snapshot into an SCD Type-2 history
+       |  audit   Data-quality constraint report (not-null / unique / range /
+       |          in-set / referential integrity), optionally a CI gate
        |  events  Product analytics over an event log: funnels (plain /
        |          windowed / anchor-exact), retention cohorts, quiet-gap dedup
        |  phash   Image perceptual hashes (aHash-64 over real decode), near-dup
@@ -3488,6 +3655,9 @@ object Main {
       case Some("warehouse") =>
         return runSubcommand("warehouse", argv.toSeq.tail,
           parseWarehouseArgs, runWarehouse)
+      case Some("audit") =>
+        return runSubcommand("audit", argv.toSeq.tail,
+          parseAuditArgs, runAudit)
       case Some("events") =>
         return runSubcommand("events", argv.toSeq.tail,
           parseEventsArgs, runEvents, timestampMicros = true)

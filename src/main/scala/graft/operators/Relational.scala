@@ -1294,7 +1294,42 @@ object Relational {
                  AS value,
                obs.v IS NULL AS filled
         FROM grid LEFT JOIN obs ON grid.k = obs.k AND grid.b = obs.b
-        ORDER BY user_id, bucket_start"""))
+        ORDER BY user_id, bucket_start""")),
+
+    // ---- q50: row-level violation flags — [[flagRowViolations]] over
+    // lineitem with a range check that genuinely fires (quantity ≤ 25
+    // splits the uniform 1..50 fixture roughly in half) next to
+    // passing ones, so the gate certifies label order, the "" clean
+    // spelling, and the NULL-skipping concat. The oracle replays each
+    // CASE and the same NULL-skipping concat_ws.
+    QueryDef(
+      "q50_row_violations",
+      (s, d) => flagRowViolations(T.lineitem(s, d), Seq(
+        NotNull("l_shipdate"),
+        InRange("l_quantity", lit(1.0), lit(25.0)),
+        InSet("l_returnflag", Seq("A", "R"))))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("n_violated"), col("violated")),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               CAST((CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                 + (CASE WHEN l_quantity IS NOT NULL
+                         AND (l_quantity < 1.0 OR l_quantity > 25.0)
+                    THEN 1 ELSE 0 END)
+                 + (CASE WHEN l_returnflag IS NOT NULL
+                         AND l_returnflag NOT IN ('A', 'R')
+                    THEN 1 ELSE 0 END) AS INTEGER) AS n_violated,
+               concat_ws(',',
+                 CASE WHEN l_shipdate IS NULL
+                      THEN 'not_null(l_shipdate)' END,
+                 CASE WHEN l_quantity IS NOT NULL
+                      AND (l_quantity < 1.0 OR l_quantity > 25.0)
+                      THEN 'in_range(l_quantity)' END,
+                 CASE WHEN l_returnflag IS NOT NULL
+                      AND l_returnflag NOT IN ('A', 'R')
+                      THEN 'in_set(l_returnflag)' END) AS violated
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 
   /** CDC apply — materialize CURRENT state from a changelog (the
@@ -1716,6 +1751,42 @@ object Relational {
     val parts = localReport.toSeq ++ keyed
     parts.reduce(_ unionByName _)
       .withColumn("passed", col("n_violations") === 0L)
+  }
+
+  /** Row-level twin of [[checkConstraints]] for the ROW-LOCAL check
+    * families ([[NotNull]]/[[InRange]]/[[InSet]]): every input row
+    * comes back with `n_violated` (int) and `violated` (the
+    * comma-joined "check_type(column)" labels in check order, "" when
+    * clean) — the quarantine/routing form of the audit (bad rows to a
+    * side channel, clean rows onward) where [[checkConstraints]] is
+    * the report form. Keyed checks ([[Unique]]/[[RefIntegrity]])
+    * raise: they need cross-row state and belong to the report (a
+    * silent skip here would let an audit config "pass" rows the batch
+    * report fails). Pure map-side (one codegen'd projection, no
+    * shuffle), so it rides streaming micro-batches unchanged —
+    * [[graft.streaming.Streams]] wraps it as the `auditGate`. */
+  def flagRowViolations(df: DataFrame, checks: Seq[TableCheck],
+      prefix: String = ""): DataFrame = {
+    require(checks.nonEmpty, "checks must not be empty")
+    val conds = checks.map {
+      case NotNull(c) => (s"not_null($c)", col(c).isNull)
+      case InRange(c, lo, hi) =>
+        (s"in_range($c)", col(c).isNotNull && (col(c) < lo || col(c) > hi))
+      case InSet(c, allowed) =>
+        (s"in_set($c)", col(c).isNotNull && !col(c).isin(allowed: _*))
+      case other => throw new IllegalArgumentException(
+        s"flagRowViolations takes row-local checks only (NotNull/" +
+          s"InRange/InSet); ${other.getClass.getSimpleName} needs " +
+          "cross-row state — use checkConstraints")
+    }
+    df.withColumn(s"${prefix}n_violated",
+      conds.map { case (_, bad) => when(bad, 1).otherwise(0) }
+        .reduce(_ + _))
+      // concat_ws skips NULL args, so passing checks vanish and the
+      // label list preserves check order with no placeholder commas
+      .withColumn(s"${prefix}violated",
+        concat_ws(",", conds.map { case (lbl, bad) =>
+          when(bad, lit(lbl)) }: _*))
   }
 
   /** Time-series resample + forward fill — the gap-fill every metrics

@@ -561,6 +561,27 @@ object Streams {
     graft.operators.Pipeline.badwordsFilter(docs, textCol, badwords)
       .filter(!col("blocked")).drop("blocked")
 
+  /** Data-quality gate for an ingest stream — [[graft.operators
+    * .Relational.flagRowViolations]] applied per micro-batch: every
+    * row gains `n_violated`/`violated` from the ROW-LOCAL check
+    * families (not-null / range / set), and rows violating anything
+    * are DROPPED when `dropViolations` (quarantine them first by
+    * splitting on the flag upstream of the drop). The projection is
+    * one codegen'd map pass, so the gate is STATELESS — no watermark,
+    * no state store — and composes freely with the scrub/dedup gates;
+    * keyed checks (unique / referential) need cross-row state and
+    * stay batch-side in `checkConstraints` (the library raises on
+    * them here, same as batch). Stream ≡ batch pinned in StreamsSpec. */
+  def auditGate(rows: DataFrame,
+      checks: Seq[graft.operators.Relational.TableCheck],
+      dropViolations: Boolean = true): DataFrame = {
+    val flagged = graft.operators.Relational.flagRowViolations(rows, checks)
+    if (dropViolations)
+      flagged.filter(col("n_violated") === 0)
+        .drop("n_violated", "violated")
+    else flagged
+  }
+
   /** Bloom snapshot gate for a document stream — [[graft.operators
     * .Pipeline.bloomDedupPacked]] applied per micro-batch: the STATIC
     * reference corpus (last snapshot's admitted docs) collapses to one

@@ -79,8 +79,12 @@ class BucketingSpec extends AnyFunSuite {
     // key needs the full bucket, so no group-limit can apply there
     // (see clusterRepresentatives scaladoc).
     val sfDir = "/root/testdata/sf0.001"
+    // q49's per-bucket rank-1 pick rides the same rule: without the
+    // group-limit, the (key, bucket) window sorts every bucket's full
+    // observation set instead of tracking one running max
     Seq("q07_topk_per_customer", "p05_embedding_knn",
-      "p28_characteristic_terms", "p29_embedding_outliers").foreach { n =>
+      "p28_characteristic_terms", "p29_embedding_outliers",
+      "q49_resample_ffill").foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       val plan = df.queryExecution.optimizedPlan.toString
       assert(plan.contains("WindowGroupLimit"),

@@ -38,6 +38,58 @@ class StreamsSpec extends AnyFunSuite {
     assert(!spark.table("blocklist_gate").columns.contains("blocked"))
   }
 
+  test("auditGate: stateless row-local quality gate, stream ≡ batch, " +
+      "keyed checks raise") {
+    import spark.implicits._
+    import graft.operators.Relational
+    implicit val sc = spark.sqlContext
+    val checks = Seq(Relational.NotNull("text"),
+      Relational.InRange("score", lit(0.0), lit(1.0)),
+      Relational.InSet("lang", Seq("en", "de")))
+    val rows = Seq(
+      (1L, Some("ok"), Some(0.5), Some("en")),    // clean
+      (2L, None, Some(0.5), Some("en")),          // null text
+      (3L, Some("ok"), Some(2.0), Some("de")),    // range
+      (4L, Some("ok"), Some(0.1), Some("fr")),    // set
+      (5L, Some("ok"), None, None))               // NULL range/set pass,
+                                                  // only if not-null'd
+    val in = MemoryStream[(Long, Option[String], Option[Double],
+      Option[String])]
+    val gated = Streams.auditGate(
+      in.toDF().toDF("doc_id", "text", "score", "lang"), checks)
+    val q = gated.writeStream.format("memory")
+      .queryName("audit_gate").outputMode("append").start()
+    try {
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("audit_gate")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // batch twin: same checks through flagRowViolations
+    val want = Relational.flagRowViolations(
+      rows.toDF("doc_id", "text", "score", "lang"), checks)
+      .filter(col("n_violated") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got == Seq(1L, 5L))
+    assert(!spark.table("audit_gate").columns.contains("violated"))
+    // flag mode keeps every row and labels in check order
+    val flagged = Streams.auditGate(
+      rows.toDF("doc_id", "text", "score", "lang"), checks,
+      dropViolations = false)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("violated")).toMap
+    assert(flagged(2L) == "not_null(text)" &&
+      flagged(3L) == "in_range(score)" && flagged(4L) == "in_set(lang)" &&
+      flagged(1L) == "" && flagged(5L) == "")
+    // keyed checks cannot ride a row-local gate
+    val e = intercept[IllegalArgumentException](Streams.auditGate(
+      rows.toDF("doc_id", "text", "score", "lang"),
+      Seq(Relational.Unique(Seq("doc_id")))))
+    assert(e.getMessage.contains("row-local"))
+  }
+
   test("bloomGate: stateless snapshot-membership blocking on a stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

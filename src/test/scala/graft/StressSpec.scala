@@ -522,6 +522,50 @@ class StressSpec extends AnyFunSuite {
         s"pipelineEndToEnd leaked cached/checkpointed blocks: $leaked")
     }
 
+    // p145: fixed-point PageRank at 100k nodes / ~500k edges, 5
+    // rounds — the power-iteration shuffle class must stay linear in
+    // edges × rounds; 10% of nodes publish nothing (dangling mass
+    // broadcast every round)
+    drive("pageRankStress", budgetSec = 600, minRows = 90000L) {
+      val n = 100000L
+      val edges = spark.range(0, n, 1, 32)
+        .filter(col("id") % 10 =!= 0)
+        .select(col("id").as("src"), explode(array((1 to 5).map(k =>
+          abs(hash(concat_ws("_", col("id"), lit(k)))) % n): _*))
+          .as("dst"))
+      operators.Pipeline.pageRankFixedPoint(edges, "src", "dst",
+        iterations = 5)
+    }
+
+    // q49: resample + LOCF at 50k keys × ~120-bucket grids (6M grid
+    // rows) — the guarded sequence explode and the two window families
+    // (rank-1 pick on (key, bucket); per-key fill) must hold shape
+    drive("resampleFfillStress", budgetSec = 600, minRows = 5000000L) {
+      val ev = spark.range(0, 2000000L, 1, 32).select(
+        (col("id") % 50000L).as("k"),
+        // xxhash64, not hash: the 32-bit hash caps at ~2.1e9 µs (35
+        // minutes) and would collapse every key to ONE 6 h bucket
+        timestamp_micros(abs(xxhash64(col("id")))
+          % 2592000000000L).as("ts"),
+        col("id").as("tie"),
+        (col("id") % 97).cast("double").as("v"))
+      operators.Relational.resampleFfill(ev, "k", "ts", "tie", "v",
+        periodSec = 21600L)
+    }
+
+    // q48: the one-pass audit over the stress docs — row-local checks
+    // stay a single conditional-sum scan, uniqueness one keyed count,
+    // ref-integrity one anti-join
+    drive("constraintAuditStress", budgetSec = 300, minRows = 4L) {
+      operators.Relational.checkConstraints(docs, Seq(
+        operators.Relational.NotNull("text"),
+        operators.Relational.Unique(Seq("doc_id")),
+        operators.Relational.InSet("lang",
+          Seq("en", "de", "fr", "es", "zh")),
+        operators.Relational.RefIntegrity(Seq("lang"),
+          Seq("en", "de", "fr", "es", "zh").toDF("l"), Seq("l"))))
+    }
+
     // commit the per-drive wall times to the min-ratchet: like the
     // bench history, the committed record is monotone non-increasing
     // per key, so an ambient-load run can never raise it and a
