@@ -2437,13 +2437,21 @@ object Main {
             catch { case _: NumberFormatException =>
               throw new IllegalArgumentException(
                 s"--range bounds must be doubles, got '$v'") }
+          // NaN parses but every comparison against it is false — the
+          // check would silently never fire (the takeDouble stance)
+          if (lo.isNaN || hi.isNaN) throw new IllegalArgumentException(
+            s"--range bounds must not be NaN, got '$v'")
           if (lo > hi) throw new IllegalArgumentException(
             s"--range lower bound exceeds upper, got '$v'")
           a = a.copy(ranges = a.ranges :+ ((parts(0), lo, hi)))
         case "--in-set" =>
           val (col0, vs) = split2(flag, take(flag), ':')
-          a = a.copy(inSets = a.inSets :+
-            ((col0, vs.split(',').toSeq.map(_.trim))))
+          // empty tokens would silently admit "" to the allowed set
+          // (or leave a degenerate empty set flagging every row)
+          val set = vs.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          if (set.isEmpty) throw new IllegalArgumentException(
+            s"--in-set needs at least one non-empty value, got '$vs'")
+          a = a.copy(inSets = a.inSets :+ ((col0, set)))
         case "--ref" =>
           val (fk, rhs) = split2(flag, take(flag), '=')
           val i = rhs.lastIndexOf(':')

@@ -66,17 +66,14 @@ private[operators] trait GraphOps { self: Pipeline.type =>
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 1 && dampingPct <= 99,
       s"dampingPct must be in [1, 99], got $dampingPct")
-    require(scale >= 1000000L,
-      s"scale must be >= 1e6 (rank resolution), got $scale")
+    // upper bound: the damping step computes p·(inflow + share) with
+    // inflow ≤ scale, so 99 · 2·1e15 ≈ 2e17 stays far inside int64 —
+    // a larger scale would WRAP under Spark's unchecked long multiply
+    // (garbage ranks, while DuckDB errors: silent engine divergence)
+    require(scale >= 1000000L && scale <= 1000000000000000L,
+      s"scale must be in [1e6, 1e15], got $scale")
 
-    val nullGuard = when(col(srcCol).isNull.or(col(dstCol).isNull),
-      raise_error(lit("pageRankFixedPoint: NULL edge endpoint — a null " +
-        s"in ($srcCol, $dstCol) is malformed input; filter or repair " +
-        "upstream"))).otherwise(col(srcCol).cast(LongType))
-    val e = edges
-      .select(nullGuard.as("src"), col(dstCol).cast(LongType).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+    val e = cleanEdges(edges, srcCol, dstCol, "pageRankFixedPoint")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -84,6 +81,10 @@ private[operators] trait GraphOps { self: Pipeline.type =>
     require(n > 0, "pageRankFixedPoint: empty edge table after cleanup " +
       "(no non-self-loop edges) — an authority signal over zero pages " +
       "is a pipeline wiring error")
+    // below this, scale div n floors every initial rank to 0 and the
+    // whole signal is silently meaningless
+    require(n <= scale, s"pageRankFixedPoint: $n nodes exceed scale " +
+      s"$scale — every rank would floor to 0; raise scale")
 
     val perNode = scale / n
     val base = ((100L - dampingPct) * perNode) / 100L
@@ -126,19 +127,32 @@ private[operators] trait GraphOps { self: Pipeline.type =>
     }
   }
 
+  /** The ONE edge-cleanup pass both graph operators share (self-loop
+    * drop + parallel-edge collapse + NULL-endpoint raise): two
+    * spellings of these rules could silently disagree on corrupt
+    * input — a profile that "validated" a graph pageRank then crashes
+    * on, or worse trusts rows pageRank would reject. */
+  private def cleanEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      op: String): DataFrame = {
+    val nullGuard = when(col(srcCol).isNull.or(col(dstCol).isNull),
+      raise_error(lit(s"$op: NULL edge endpoint — a null in " +
+        s"($srcCol, $dstCol) is malformed input; filter or repair " +
+        "upstream"))).otherwise(col(srcCol).cast(LongType))
+    edges
+      .select(nullGuard.as("src"), col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** Degree profile of a directed edge table — the cheap companion
-    * signal ([[pageRankFixedPoint]]'s cleanup rules, one pass): per
-    * node, distinct out/in degree after self-loop drop + parallel-edge
-    * collapse. Nodes appearing only as a source have in_deg 0 and vice
-    * versa — a full-outer merge, never a lossy inner join. */
+    * signal (the SAME cleanup pass as [[pageRankFixedPoint]],
+    * including the NULL-endpoint raise): per node, distinct out/in
+    * degree after self-loop drop + parallel-edge collapse. Nodes
+    * appearing only as a source have in_deg 0 and vice versa — a
+    * full-outer merge, never a lossy inner join. */
   def degreeProfile(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val e = edges
-      .select(col(srcCol).cast(LongType).as("src"),
-        col(dstCol).cast(LongType).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct()
+    val e = cleanEdges(edges, srcCol, dstCol, "degreeProfile")
     val out = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg"))
     val in = e.groupBy(col("dst").as("node"))

@@ -32,7 +32,7 @@ object Pipeline
     with SamplingOps
     with GraphOps {
 
-  /** Every pipeline QueryDef across the topic suites (p01..p142 +
+  /** Every pipeline QueryDef across the topic suites (p01..p146 +
     * m01..m11) — same names, plans and oracle SQL as the pre-split
     * single-file registry; SparkEntry fails fast on duplicates. */
   val queries: Seq[QueryDef] =

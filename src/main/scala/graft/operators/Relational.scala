@@ -1748,6 +1748,14 @@ object Relational {
           lit(cols.mkString(",")).as("target"),
           col("n_rows"), col("n_violations"))
     }
+    // every check must land in exactly one arm — a future TableCheck
+    // subtype falling through both collect{}s would be silently absent
+    // from the report, and a check that silently didn't run is the
+    // worst failure mode an audit tool has (the suite would read
+    // all-green under --fail-on-violation)
+    require(rowLocal.size + keyed.size == checks.size,
+      "checkConstraints: unhandled check type(s) — every TableCheck " +
+        "must be one of NotNull/InRange/InSet/Unique/RefIntegrity")
     val parts = localReport.toSeq ++ keyed
     parts.reduce(_ unionByName _)
       .withColumn("passed", col("n_violations") === 0L)
@@ -1768,6 +1776,13 @@ object Relational {
   def flagRowViolations(df: DataFrame, checks: Seq[TableCheck],
       prefix: String = ""): DataFrame = {
     require(checks.nonEmpty, "checks must not be empty")
+    // withColumn would silently REPLACE a caller's same-named column
+    // (e.g. the labels of an upstream flagging pass) — and the gate's
+    // drop mode would then delete it outright
+    for (c <- Seq(s"${prefix}n_violated", s"${prefix}violated"))
+      require(!df.columns.contains(c),
+        s"flagRowViolations: input already has a '$c' column — pass a " +
+          "prefix to keep both")
     val conds = checks.map {
       case NotNull(c) => (s"not_null($c)", col(c).isNull)
       case InRange(c, lo, hi) =>
@@ -1797,8 +1812,9 @@ object Relational {
     * are), then fill empty buckets with the last observed value
     * (LOCF). The grid spans each key's own [min, max] observed bucket,
     * so there are no leading NULLs and absent keys produce no rows.
-    * Rows with a NULL timestamp are dropped (an unstamped observation
-    * cannot be placed on a grid — the funnel/retention stance); a NULL
+    * Rows with a NULL timestamp or a NULL key are dropped (an
+    * unstamped or unattributed observation cannot be placed on a
+    * grid — the funnel/retention stance); a NULL
     * observed VALUE counts as "no usable observation" and is filled
     * over, flagged like any gap.
     *
@@ -1820,8 +1836,12 @@ object Relational {
     val p = periodSec * 1000000L
     val us = unix_micros(col(tsCol).cast(TimestampType))
     // exact int64 floor division (the q44 pmod spelling — Long `/`
-    // would detour through doubles and lose exactness past 2^53)
-    val b = events.filter(col(tsCol).isNotNull)
+    // would detour through doubles and lose exactness past 2^53).
+    // NULL keys drop with NULL timestamps: a keyless observation has
+    // no grid to land on, and keeping the NULL group would FABRICATE a
+    // NULL-keyed grid whose equi-join back to its observations never
+    // matches — every bucket value=NULL/filled=true junk downstream
+    val b = events.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol).as("__k"),
         expr(s"(unix_micros(cast(`$tsCol` as timestamp))" +
           s" - pmod(unix_micros(cast(`$tsCol` as timestamp)), ${p}L))" +

@@ -39,6 +39,17 @@ class AuditCliSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](parseAuditArgs(
       Seq("-i", "/in", "-o", "/out", "--range", "q:9:1")))
       .getMessage.contains("lower bound"))
+    // NaN parses as a double but every comparison is false — the check
+    // would silently never fire
+    assert(intercept[IllegalArgumentException](parseAuditArgs(
+      Seq("-i", "/in", "-o", "/out", "--range", "q:NaN:1")))
+      .getMessage.contains("NaN"))
+    // empty in-set tokens: interior ones filtered, all-empty loud
+    assert(parseAuditArgs(Seq("-i", "/in", "-o", "/out",
+      "--in-set", "f:en,,de")).inSets == Seq(("f", Seq("en", "de"))))
+    assert(intercept[IllegalArgumentException](parseAuditArgs(
+      Seq("-i", "/in", "-o", "/out", "--in-set", "f:,")))
+      .getMessage.contains("non-empty value"))
     assert(intercept[IllegalArgumentException](parseAuditArgs(
       Seq("-i", "/in", "-o", "/out", "--in-set", "f")))
       .getMessage.contains("--in-set"))

