@@ -2537,6 +2537,130 @@ object Main {
     rows.length.toLong
   }
 
+  /** `graft graph` — the link-graph authority signals as a CLI,
+    * fronting the library (GraphCliSpec pins CLI ≡ library per mode):
+    *   pagerank (default) — [[operators.Pipeline.pageRankFixedPoint]]:
+    *     fixed-point int64 PageRank over a (src, dst) edge table;
+    *   degrees — [[operators.Pipeline.degreeProfile]]: per-node in/out
+    *     degrees under the same cleanup rules. */
+  final case class GraphArgs(
+      input: String = "",
+      outputFile: String = "",
+      mode: String = "pagerank",
+      srcColumn: String = "src",
+      dstColumn: String = "dst",
+      iterations: Int = 10,
+      dampingPct: Int = 85,
+      scale: Long = 1000000000000L,
+      quiet: Boolean = false)
+
+  private[graft] val GraphHelpText =
+    s"""Link-graph authority signals over a (src, dst) edge table:
+       |fixed-point int64 PageRank (bit-deterministic across engines and
+       |runs) or a per-node degree profile
+       |
+       |Usage: graft graph [OPTIONS] -i <DIR> -o <FILE>
+       |
+       |Options:
+       |  -i, --input <DIR>           Edge table (parquet directory)
+       |  -o, --output-file <FILE>    Result table (parquet)
+       |      --mode <M>              pagerank (default) or degrees
+       |      --src-column <C>        Source-node column (default src)
+       |      --dst-column <C>        Destination-node column (default dst)
+       |      --quiet                 Only errors are written to stderr
+       |  -h, --help                  Print help
+       |
+       |pagerank options:
+       |      --iterations <N>        Power-iteration rounds (default 10)
+       |      --damping-pct <P>       Damping as an integer percent in
+       |                              [1, 99] (default 85)
+       |      --scale <N>             Fixed-point denominator: ranks are in
+       |                              1/N units (default 1e12; [1e6, 1e15])
+       |""".stripMargin
+
+  private[graft] def parseGraphArgs(argv: Seq[String]): GraphArgs = {
+    var a = GraphArgs()
+    val c = new ArgCursor(argv)
+    def take(flag: String): String = c.take(flag)
+    def takeInt(flag: String): Int = {
+      val v = take(flag)
+      try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$flag expects an integer, got '$v'") }
+    }
+    val prFlags = scala.collection.mutable.ListBuffer.empty[String]
+    while (c.nonEmpty) {
+      val flag = c.next()
+      flag match {
+        case "--help" | "-h" => throw CliExit(GraphHelpText)
+        case "--input" | "-i" => a = a.copy(input = take(flag))
+        case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
+        case "--mode" =>
+          val v = take(flag)
+          if (v != "pagerank" && v != "degrees")
+            throw new IllegalArgumentException(
+              s"--mode must be pagerank or degrees, got '$v'")
+          a = a.copy(mode = v)
+        case "--src-column" => a = a.copy(srcColumn = take(flag))
+        case "--dst-column" => a = a.copy(dstColumn = take(flag))
+        case "--iterations" =>
+          prFlags += flag; a = a.copy(iterations = takeInt(flag))
+        case "--damping-pct" =>
+          prFlags += flag; a = a.copy(dampingPct = takeInt(flag))
+        case "--scale" =>
+          prFlags += flag
+          val v = take(flag)
+          val n = try v.toLong catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"--scale expects a long, got '$v'") }
+          a = a.copy(scale = n)
+        case "--quiet" => a = a.copy(quiet = true)
+        case other => throw new IllegalArgumentException(
+          s"unexpected argument '$other' (see graph --help)")
+      }
+    }
+    if (a.input.isEmpty || a.outputFile.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: graph [OPTIONS] -i DIR -o FILE")
+    if (a.mode == "degrees" && prFlags.nonEmpty)
+      throw new IllegalArgumentException(
+        s"pagerank flag(s) ${prFlags.distinct.mkString(", ")} have no " +
+          "effect under --mode degrees")
+    a
+  }
+
+  private[graft] def runGraph(spark: SparkSession, a: GraphArgs): Long = {
+    val edges =
+      try spark.read.parquet(a.input)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot read --input '${a.input}': ${e.getMessage}") }
+    for ((flag, c) <- Seq("--src-column" -> a.srcColumn,
+        "--dst-column" -> a.dstColumn) if !edges.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"$flag: column '$c' not found (have: " +
+          s"${edges.columns.sorted.mkString(", ")})")
+    val result = a.mode match {
+      case "pagerank" =>
+        // the library's requires re-raise as CLI usage errors (the
+        // runSubcommand contract maps IllegalArgumentException → exit 2)
+        operators.Pipeline.pageRankFixedPoint(edges, a.srcColumn,
+          a.dstColumn, a.iterations, a.dampingPct, a.scale)
+      case _ =>
+        operators.Pipeline.degreeProfile(edges, a.srcColumn, a.dstColumn)
+    }
+    ParquetSink.write(result, a.outputFile,
+      ParquetSink.SinkOptions(quiet = true))
+    val rows = spark.read.parquet(a.outputFile).count()
+    if (!a.quiet)
+      System.err.println(a.mode match {
+        case "pagerank" => s"pagerank: $rows node ranks " +
+          s"(${a.iterations} rounds, scale ${a.scale}) at ${a.outputFile}"
+        case _ => s"degrees: $rows node profiles at ${a.outputFile}"
+      })
+    rows
+  }
+
   /** `graft scrub` — removes documents that duplicate a REFERENCE
     * corpus (yesterday's training set, a licensed collection, an eval
     * suite at document granularity), fronting the three library
@@ -3126,6 +3250,8 @@ object Main {
        |          folds a dimension snapshot into an SCD Type-2 history
        |  audit   Data-quality constraint report (not-null / unique / range /
        |          in-set / referential integrity), optionally a CI gate
+       |  graph   Link-graph authority signals: fixed-point PageRank or a
+       |          per-node degree profile over a (src, dst) edge table
        |  events  Product analytics over an event log: funnels (plain /
        |          windowed / anchor-exact), retention cohorts, quiet-gap dedup
        |  phash   Image perceptual hashes (aHash-64 over real decode), near-dup
@@ -3666,6 +3792,9 @@ object Main {
       case Some("audit") =>
         return runSubcommand("audit", argv.toSeq.tail,
           parseAuditArgs, runAudit)
+      case Some("graph") =>
+        return runSubcommand("graph", argv.toSeq.tail,
+          parseGraphArgs, runGraph)
       case Some("events") =>
         return runSubcommand("events", argv.toSeq.tail,
           parseEventsArgs, runEvents, timestampMicros = true)
