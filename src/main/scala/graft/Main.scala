@@ -2012,18 +2012,24 @@ object Main {
       activityPeriodSec: Option[Long] = None,
       windowSec: Option[Long] = None,
       tieColumn: String = "event_id",
+      valueColumn: String = "value",
+      windowRows: Option[Int] = None,
+      threshold: Double = 3.0,
+      minPeriods: Int = 2,
       quiet: Boolean = false)
 
   private[graft] val EventsHelpText =
     s"""Product analytics over an event log: funnels (plain / first-touch
        |conversion window / anchor-exact ∃), retention cohorts (single or
-       |dual grain), and quiet-gap retry-storm dedup
+       |dual grain), quiet-gap retry-storm dedup, fixed-grid resample +
+       |forward fill, and rolling z-score anomaly flags
        |
        |Usage: graft events [OPTIONS] --input <DIR> --output-file <FILE>
        |
        |Options:
        |      --mode <M>              funnel (default), funnel-window,
-       |                              funnel-anchored, retention, quiet-gap
+       |                              funnel-anchored, retention,
+       |                              quiet-gap, resample, zscore
        |  -i, --input <DIR>           Event log (parquet directory)
        |  -o, --output-file <FILE>    Result table (parquet)
        |      --key-column <C>        Key/user column (default user_id)
@@ -2041,14 +2047,28 @@ object Main {
        |                              (default 10000)
        |
        |Retention options:
-       |      --period-sec <N>        Cohort period (required)
+       |      --period-sec <N>        Cohort period (required; also the
+       |                              resample grid period)
        |      --activity-period-sec <N>  Finer activity grain (optional;
        |                              cohort period must be a multiple)
        |
        |Quiet-gap options:
        |      --window-sec <N>        Quiet window (required)
        |      --tie-column <C>        Same-timestamp tie-break column
-       |                              (default event_id)
+       |                              (default event_id; also used by
+       |                              resample / zscore)
+       |
+       |Resample options (LOCF forward fill onto a fixed grid):
+       |      --period-sec <N>        Grid period in seconds (required)
+       |      --value-column <C>      Observed value (default value; also
+       |                              used by zscore)
+       |
+       |Z-score options (rolling anomaly flags):
+       |      --window-rows <N>       Trailing window size in rows
+       |                              (required; >= 2)
+       |      --threshold <X>         |z| anomaly threshold (default 3.0)
+       |      --min-periods <N>       Min usable values for a score
+       |                              (default 2)
        |""".stripMargin
 
   private[graft] def parseEventsArgs(argv: Seq[String]): EventsArgs = {
@@ -2066,18 +2086,32 @@ object Main {
         s"$flag must be > 0, got $n")
       n
     }
-    val funnelFlags = scala.collection.mutable.ListBuffer.empty[String]
-    val retFlags = scala.collection.mutable.ListBuffer.empty[String]
-    val gapFlags = scala.collection.mutable.ListBuffer.empty[String]
-    var anchorCapSeen = false
+    // flag → the modes it applies to: one registry instead of per-group
+    // lists, so every cross-mode misuse is loud with one rule
+    val Funnels = Set("funnel", "funnel-window", "funnel-anchored")
+    val allowed = Map(
+      "--type-column" -> Funnels,
+      "--step" -> Funnels,
+      "--within-sec" -> Set("funnel-window", "funnel-anchored"),
+      "--anchor-cap" -> Set("funnel-anchored"),
+      "--period-sec" -> Set("retention", "resample"),
+      "--activity-period-sec" -> Set("retention"),
+      "--window-sec" -> Set("quiet-gap"),
+      "--tie-column" -> Set("quiet-gap", "resample", "zscore"),
+      "--value-column" -> Set("resample", "zscore"),
+      "--window-rows" -> Set("zscore"),
+      "--threshold" -> Set("zscore"),
+      "--min-periods" -> Set("zscore"))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     while (c.nonEmpty) {
       val flag = c.next()
+      if (allowed.contains(flag)) seen += flag
       flag match {
         case "--help" | "-h" => throw CliExit(EventsHelpText)
         case "--mode" =>
           val v = take(flag)
           val modes = Seq("funnel", "funnel-window", "funnel-anchored",
-            "retention", "quiet-gap")
+            "retention", "quiet-gap", "resample", "zscore")
           if (!modes.contains(v))
             throw new IllegalArgumentException(
               s"--mode must be one of ${modes.mkString(", ")}, got '$v'")
@@ -2086,24 +2120,32 @@ object Main {
         case "--output-file" | "-o" => a = a.copy(outputFile = take(flag))
         case "--key-column" => a = a.copy(keyColumn = take(flag))
         case "--ts-column" => a = a.copy(tsColumn = take(flag))
-        case "--type-column" =>
-          funnelFlags += flag; a = a.copy(typeColumn = take(flag))
-        case "--step" =>
-          funnelFlags += flag; a = a.copy(steps = a.steps :+ take(flag))
+        case "--type-column" => a = a.copy(typeColumn = take(flag))
+        case "--step" => a = a.copy(steps = a.steps :+ take(flag))
         case "--within-sec" =>
-          funnelFlags += flag; a = a.copy(withinSec = Some(takePosLong(flag)))
+          a = a.copy(withinSec = Some(takePosLong(flag)))
         case "--anchor-cap" =>
-          funnelFlags += flag; anchorCapSeen = true
           a = a.copy(anchorCap = parsePosInt(flag, take(flag)))
         case "--period-sec" =>
-          retFlags += flag; a = a.copy(periodSec = Some(takePosLong(flag)))
+          a = a.copy(periodSec = Some(takePosLong(flag)))
         case "--activity-period-sec" =>
-          retFlags += flag
           a = a.copy(activityPeriodSec = Some(takePosLong(flag)))
         case "--window-sec" =>
-          gapFlags += flag; a = a.copy(windowSec = Some(takePosLong(flag)))
-        case "--tie-column" =>
-          gapFlags += flag; a = a.copy(tieColumn = take(flag))
+          a = a.copy(windowSec = Some(takePosLong(flag)))
+        case "--tie-column" => a = a.copy(tieColumn = take(flag))
+        case "--value-column" => a = a.copy(valueColumn = take(flag))
+        case "--window-rows" =>
+          a = a.copy(windowRows = Some(parsePosInt(flag, take(flag))))
+        case "--threshold" =>
+          val v = take(flag)
+          val x = try v.toDouble catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$flag expects a double, got '$v'") }
+          if (x.isNaN || x <= 0) throw new IllegalArgumentException(
+            s"$flag must be a positive number, got '$v'")
+          a = a.copy(threshold = x)
+        case "--min-periods" =>
+          a = a.copy(minPeriods = parsePosInt(flag, take(flag)))
         case "--quiet" => a = a.copy(quiet = true)
         case other => throw new IllegalArgumentException(
           s"unexpected argument '$other' (see events --help)")
@@ -2112,33 +2154,42 @@ object Main {
     if (a.input.isEmpty || a.outputFile.isEmpty)
       throw new IllegalArgumentException(
         "usage: events [OPTIONS] --input DIR --output-file FILE")
-    val isFunnel = a.mode.startsWith("funnel")
-    def crossMode(flags: Seq[String], theirs: String): Unit =
-      if (flags.nonEmpty) throw new IllegalArgumentException(
-        s"$theirs flag(s) ${flags.distinct.mkString(", ")} have no " +
-          s"effect under --mode ${a.mode}")
-    if (!isFunnel) crossMode(funnelFlags.toSeq, "funnel")
-    if (a.mode != "retention") crossMode(retFlags.toSeq, "retention")
-    if (a.mode != "quiet-gap") crossMode(gapFlags.toSeq, "quiet-gap")
-    if (isFunnel && a.steps.isEmpty)
+    val stray = seen.filterNot(f => allowed(f).contains(a.mode))
+    if (stray.nonEmpty) throw new IllegalArgumentException(
+      s"flag(s) ${stray.mkString(", ")} have no effect under " +
+        s"--mode ${a.mode}" +
+        (if (stray.contains("--within-sec") && a.mode == "funnel")
+          " — use funnel-window (first-touch) or funnel-anchored " +
+            "(∃ over anchors)"
+         else ""))
+    if (a.mode.startsWith("funnel") && a.steps.isEmpty)
       throw new IllegalArgumentException(
         s"--mode ${a.mode} requires at least one --step")
-    if (a.mode != "funnel" && isFunnel && a.withinSec.isEmpty)
+    if (a.mode != "funnel" && a.mode.startsWith("funnel") &&
+        a.withinSec.isEmpty)
       throw new IllegalArgumentException(
         s"--mode ${a.mode} requires --within-sec")
-    if (a.mode == "funnel" && a.withinSec.nonEmpty)
-      throw new IllegalArgumentException(
-        "--within-sec has no effect under --mode funnel — use " +
-          "funnel-window (first-touch) or funnel-anchored (∃ over anchors)")
-    if (a.mode != "funnel-anchored" && anchorCapSeen)
-      throw new IllegalArgumentException(
-        s"--anchor-cap has no effect under --mode ${a.mode}")
     if (a.mode == "retention" && a.periodSec.isEmpty)
       throw new IllegalArgumentException(
         "--mode retention requires --period-sec")
     if (a.mode == "quiet-gap" && a.windowSec.isEmpty)
       throw new IllegalArgumentException(
         "--mode quiet-gap requires --window-sec")
+    if (a.mode == "resample" && a.periodSec.isEmpty)
+      throw new IllegalArgumentException(
+        "--mode resample requires --period-sec")
+    if (a.mode == "zscore" && a.windowRows.isEmpty)
+      throw new IllegalArgumentException(
+        "--mode zscore requires --window-rows")
+    // flag-named versions of the library's own bounds (the takePosLong
+    // stance: the error should cite the FLAG, not a camelCase param)
+    for (wr <- a.windowRows) {
+      if (wr < 2) throw new IllegalArgumentException(
+        s"--window-rows must be >= 2, got $wr")
+      if (a.minPeriods < 2 || a.minPeriods > wr)
+        throw new IllegalArgumentException(
+          s"--min-periods must be in [2, --window-rows], got ${a.minPeriods}")
+    }
     a
   }
 
@@ -2147,8 +2198,10 @@ object Main {
       "--ts-column" -> a.tsColumn) ++
       (if (a.mode.startsWith("funnel"))
         Seq("--type-column" -> a.typeColumn) else Nil) ++
-      (if (a.mode == "quiet-gap") Seq("--tie-column" -> a.tieColumn)
-       else Nil)
+      (if (Seq("quiet-gap", "resample", "zscore").contains(a.mode))
+        Seq("--tie-column" -> a.tieColumn) else Nil) ++
+      (if (Seq("resample", "zscore").contains(a.mode))
+        Seq("--value-column" -> a.valueColumn) else Nil)
     val events0 = readDocs(spark, "--input", a.input, needed)
     // a TIMESTAMP(NANOS) log surfaces its ts as INT64 epoch-nanos under
     // the session's nanosAsLong flag — convert with the exact floor
@@ -2177,6 +2230,12 @@ object Main {
       case "retention" =>
         R.retentionCohorts(events, a.keyColumn, a.tsColumn, a.periodSec.get,
           a.activityPeriodSec.getOrElse(a.periodSec.get))
+      case "resample" =>
+        R.resampleFfill(events, a.keyColumn, a.tsColumn, a.tieColumn,
+          a.valueColumn, a.periodSec.get)
+      case "zscore" =>
+        R.rollingZscore(events, a.keyColumn, a.tsColumn, a.tieColumn,
+          a.valueColumn, a.windowRows.get, a.threshold, a.minPeriods)
       case _ =>
         R.dedupEventsQuietGap(events, Seq(a.keyColumn), a.tsColumn,
           a.tieColumn, a.windowSec.get)

@@ -47,6 +47,11 @@ object QueryDef {
   /** SQL-side twin of [[dsum]]. */
   def dsumSql(expr: String): String =
     s"CAST(CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,10))), 4) AS DECIMAL(27,4)) AS DOUBLE)"
+  /** [[dsumSql]] as a WINDOWED sum — the same exact-decimal /
+    * ROUND-4 / double chain over an OVER frame (rolling aggregates
+    * must be order-free for the same reason grouped ones are). */
+  def dwinSql(expr: String, win: String): String =
+    s"CAST(CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,10))) OVER ($win), 4) AS DECIMAL(27,4)) AS DOUBLE)"
   /** Exact mean: decimal sum cast to double, then double division. */
   def davg(c: Column): Column = (dsum(c) / count(lit(1)))
   def davgSql(expr: String): String =

@@ -1329,7 +1329,47 @@ object Relational {
                       AND l_returnflag NOT IN ('A', 'R')
                       THEN 'in_set(l_returnflag)' END) AS violated
         FROM lineitem
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- q51: rolling z-score anomalies — [[rollingZscore]] over
+    // each user's value series, 20-observation trailing window. The
+    // oracle replays the decimal Σv/Σv² (the dsum ROUND/cast chain),
+    // the non-null frame count, and the identical per-row IEEE z
+    // arithmetic, so the double scores hash-match bit-for-bit.
+    QueryDef(
+      "q51_rolling_zscore",
+      (s, d) => rollingZscore(T.events(s, d), "user_id", "ts",
+        "event_id", "value", windowRows = 20)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("zscore"), col("is_anomaly")),
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS ts,
+                 event_id AS tie, value AS v
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        win AS (
+          SELECT k, tie, v,
+                 ${QueryDef.dwinSql("v",
+                   "PARTITION BY k ORDER BY ts, tie " +
+                   "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW")} AS s,
+                 ${QueryDef.dwinSql("v * v",
+                   "PARTITION BY k ORDER BY ts, tie " +
+                   "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW")} AS q,
+                 CAST(COUNT(v) OVER (PARTITION BY k ORDER BY ts, tie
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS n
+          FROM ev)
+        SELECT k AS user_id, tie AS event_id, v AS value,
+               CASE WHEN v IS NOT NULL AND n >= 2
+                         AND (q / n - (s / n) * (s / n)) > 0
+                    THEN (v - s / n) / sqrt(q / n - (s / n) * (s / n))
+               END AS zscore,
+               abs(CASE WHEN v IS NOT NULL AND n >= 2
+                             AND (q / n - (s / n) * (s / n)) > 0
+                        THEN (v - s / n) / sqrt(q / n - (s / n) * (s / n))
+                   END) > 3.0 AS is_anomaly
+        FROM win
+        ORDER BY user_id, event_id"""))
   )
 
   /** CDC apply — materialize CURRENT state from a changelog (the
@@ -1802,6 +1842,57 @@ object Relational {
       .withColumn(s"${prefix}violated",
         concat_ws(",", conds.map { case (lbl, bad) =>
           when(bad, lit(lbl)) }: _*))
+  }
+
+  /** Rolling z-score anomaly signal — the metrics-monitoring staple
+    * (spike/drop detection per key) over a row-count trailing window:
+    * for each observation, z = (v − mean)/std over the last
+    * `windowRows` same-key observations (current row inclusive), plus
+    * `is_anomaly` = |z| > `threshold`. NULL when the window holds
+    * fewer than `minPeriods` usable values, the variance is 0 (a flat
+    * window has no scale to deviate from), or the value itself is
+    * NULL; rows with a NULL key or timestamp are dropped (the
+    * resampleFfill stance — and DuckDB orders NULLs last where Spark
+    * orders them first, so a NULL-ts ordering could never be
+    * oracle-stable anyway).
+    *
+    * Determinism stance: the two windowed sums (Σv, Σv²) run in
+    * DECIMAL(38,10) — exact and order-free — then re-scale through the
+    * [[graft.QueryDef.dsum]] chain (ROUND to scale 4, cast double:
+    * bit-identical across engines); mean/variance/sqrt/z are then
+    * per-row IEEE754 ops on identical inputs, so the doubles
+    * hash-match the oracle bit-for-bit. A double windowed SUM would be
+    * partition-order-dependent and could not.
+    *
+    * Scale stance: two sums + a count in ONE window pass (Spark
+    * evaluates same-window frames together), partitioned by the
+    * HIGH-cardinality key — the q30 sessionize shuffle class; the
+    * trailing frame is O(windowRows) state per task. */
+  def rollingZscore(series: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, windowRows: Int,
+      threshold: Double = 3.0, minPeriods: Int = 2): DataFrame = {
+    require(windowRows >= 2, s"windowRows must be >= 2, got $windowRows")
+    require(minPeriods >= 2 && minPeriods <= windowRows,
+      s"minPeriods must be in [2, windowRows], got $minPeriods")
+    require(!threshold.isNaN && threshold > 0,
+      s"threshold must be a positive number, got $threshold")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    def dsumWin(c: Column): Column =
+      sum(graft.QueryDef.dec(c)).over(w)
+        .cast(DecimalType(27, 4)).cast(DoubleType)
+    val v = col(valueCol)
+    val s = dsumWin(v)
+    val q = dsumWin(v * v)
+    val n = count(v).over(w).cast(DoubleType)
+    val mean = s / n
+    val variance = q / n - mean * mean
+    val z = when(v.isNotNull && n >= minPeriods && variance > 0,
+      (v - mean) / sqrt(variance))
+    series.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("zscore", z)
+      .withColumn("is_anomaly", abs(col("zscore")) > threshold)
   }
 
   /** Time-series resample + forward fill — the gap-fill every metrics

@@ -20,13 +20,13 @@ class EventsCliSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = tmp("events-in")
     Seq(
-      (1L, "A", "view", ts(0)), (2L, "A", "view", ts(90)),
-      (3L, "A", "click", ts(100)), (4L, "A", "purchase", ts(105)),
-      (5L, "B", "view", ts(0)), (6L, "B", "click", ts(5)),
-      (7L, "B", "purchase", ts(12)),
-      (8L, "C", "view", ts(0)), (9L, "C", "click", ts(50)),
-      (10L, "C", "click", ts(52)))   // burst retry for quiet-gap
-      .toDF("event_id", "user_id", "event_type", "ts")
+      (1L, "A", "view", ts(0), 1.0), (2L, "A", "view", ts(90), 2.0),
+      (3L, "A", "click", ts(100), 3.0), (4L, "A", "purchase", ts(105), 40.0),
+      (5L, "B", "view", ts(0), 1.0), (6L, "B", "click", ts(5), 1.5),
+      (7L, "B", "purchase", ts(12), 2.0),
+      (8L, "C", "view", ts(0), 0.5), (9L, "C", "click", ts(50), 0.6),
+      (10L, "C", "click", ts(52), 0.7))   // burst retry for quiet-gap
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(dir)
     dir
   }
@@ -66,6 +66,37 @@ class EventsCliSpec extends AnyFunSuite {
       Seq("-i", "a", "-o", "b", "--mode", "funnel-window", "--step", "v",
         "--within-sec", "9", "--anchor-cap", "5")))
       .getMessage.contains("--anchor-cap"))
+    // resample/zscore surface: shared tie/value columns, own requireds
+    val rs = parseEventsArgs(Seq("-i", "/in", "-o", "/out",
+      "--mode", "resample", "--period-sec", "60",
+      "--tie-column", "eid", "--value-column", "v"))
+    assert(rs.periodSec.contains(60L) && rs.tieColumn == "eid" &&
+      rs.valueColumn == "v")
+    val z = parseEventsArgs(Seq("-i", "/in", "-o", "/out",
+      "--mode", "zscore", "--window-rows", "10", "--threshold", "2.5",
+      "--min-periods", "3"))
+    assert(z.windowRows.contains(10) && z.threshold == 2.5 &&
+      z.minPeriods == 3)
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "resample")))
+      .getMessage.contains("--period-sec"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "zscore")))
+      .getMessage.contains("--window-rows"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "zscore", "--window-rows", "1")))
+      .getMessage.contains("--window-rows"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "zscore", "--window-rows", "5",
+        "--min-periods", "9")))
+      .getMessage.contains("--min-periods"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "zscore", "--window-rows", "5",
+        "--threshold", "NaN"))).getMessage.contains("--threshold"))
+    assert(intercept[IllegalArgumentException](parseEventsArgs(
+      Seq("-i", "a", "-o", "b", "--mode", "retention",
+        "--period-sec", "60", "--value-column", "v")))
+      .getMessage.contains("no effect"))
     // per-mode required flags
     assert(intercept[IllegalArgumentException](parseEventsArgs(
       Seq("-i", "a", "-o", "b"))).getMessage.contains("--step"))
@@ -125,6 +156,16 @@ class EventsCliSpec extends AnyFunSuite {
         windowSec = Some(10L))) ==
       rows(R.dedupEventsQuietGap(events, Seq("user_id"), "ts",
         "event_id", 10L)))
+    assert(run(base.copy(mode = "resample",
+        outputFile = tmp("ev-rs") + "/rs.parquet",
+        periodSec = Some(30L))) ==
+      rows(R.resampleFfill(events, "user_id", "ts", "event_id",
+        "value", 30L)))
+    assert(run(base.copy(mode = "zscore",
+        outputFile = tmp("ev-z") + "/z.parquet",
+        windowRows = Some(3), threshold = 2.0)) ==
+      rows(R.rollingZscore(events, "user_id", "ts", "event_id",
+        "value", 3, 2.0)))
     // the first-touch window and the anchored form genuinely differ on
     // this fixture (user A's first view times out; the view@90 anchor
     // converts) — the CLI exposes the semantics ladder, not one alias

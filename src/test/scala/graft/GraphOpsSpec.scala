@@ -232,6 +232,62 @@ class GraphOpsSpec extends AnyFunSuite {
       (2L, 0L, None, true)))
   }
 
+  test("rollingZscore: trailing-window scores match a local model; flat " +
+      "windows, short windows and NULL values yield NULL; the anomaly " +
+      "flag respects the threshold") {
+    import spark.implicits._
+    val rows = Seq(
+      // key 1: stable series then a spike
+      (1L, 1L, Some(10.0)), (1L, 2L, Some(10.0)), (1L, 3L, Some(12.0)),
+      (1L, 4L, Some(10.0)), (1L, 5L, Some(100.0)),
+      // key 2: flat — variance 0 → NULL z everywhere
+      (2L, 1L, Some(5.0)), (2L, 2L, Some(5.0)), (2L, 3L, Some(5.0)),
+      // key 3: single point (n < minPeriods) and a NULL value
+      (3L, 1L, Some(7.0)), (3L, 2L, None))
+      .toDF("k", "tie", "v")
+      .withColumn("ts", timestamp_seconds(col("tie")))
+    val got = Relational.rollingZscore(rows, "k", "ts", "tie", "v",
+      windowRows = 4, threshold = 1.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Boolean]))))
+      .toMap
+    // local model over the same trailing-4 window (decimal rounding is
+    // a no-op on these small exact values)
+    def zOf(w: Seq[Double], v: Double): Option[Double] = {
+      val n = w.size
+      if (n < 2) None else {
+        val mean = w.sum / n
+        val variance = w.map(x => x * x).sum / n - mean * mean
+        if (variance > 0) Some((v - mean) / math.sqrt(variance)) else None
+      }
+    }
+    def close(a: Option[Double], b: Option[Double]): Boolean =
+      (a, b) match {
+        case (Some(x), Some(y)) => math.abs(x - y) < 1e-12
+        case (None, None) => true
+        case _ => false
+      }
+    assert(got((1L, 1L))._1.isEmpty)                          // n = 1
+    assert(got((1L, 2L))._1.isEmpty)                          // flat pair
+    assert(close(got((1L, 3L))._1, zOf(Seq(10, 10, 12), 12)) &&
+      got((1L, 3L))._2.contains(true))                        // |1.41| > 1.2
+    assert(close(got((1L, 4L))._1, zOf(Seq(10, 10, 12, 10), 10)) &&
+      got((1L, 4L))._2.contains(false))                       // |-0.58| ≤ 1.2
+    assert(close(got((1L, 5L))._1, zOf(Seq(10, 12, 10, 100), 100)) &&
+      got((1L, 5L))._2.contains(true))                        // the spike
+    assert(got((2L, 2L))._1.isEmpty && got((2L, 3L))._1.isEmpty) // flat
+    assert(got((3L, 1L))._1.isEmpty && got((3L, 2L))._1.isEmpty) // short/NULL
+    intercept[IllegalArgumentException](
+      Relational.rollingZscore(rows, "k", "ts", "tie", "v", 1))
+    intercept[IllegalArgumentException](
+      Relational.rollingZscore(rows, "k", "ts", "tie", "v", 5,
+        minPeriods = 9))
+    intercept[IllegalArgumentException](
+      Relational.rollingZscore(rows, "k", "ts", "tie", "v", 5,
+        threshold = Double.NaN))
+  }
+
   test("resampleFfill: a span wider than maxBucketsPerKey raises with " +
       "the offending key in the message") {
     import spark.implicits._
