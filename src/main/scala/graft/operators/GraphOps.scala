@@ -62,7 +62,35 @@ private[operators] trait GraphOps { self: Pipeline.type =>
     */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, dampingPct: Int = 85,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, None, iterations, dampingPct,
+      scale, "pageRankFixedPoint")
+
+  /** Personalized PageRank — the seeded-teleport form every
+    * whitelist-conditioned authority ranking uses (rank pages by
+    * proximity to a trusted seed set — known-good domains, curated
+    * hubs — instead of global popularity; TrustRank is exactly this).
+    * Identical int64 fixed-point semantics with the teleport vector
+    * concentrated on the seeds: r₀ and the (1−p) restart mass go only
+    * to seed nodes (scale div |B| each, B = seeds present in the
+    * graph), and dangling mass redistributes to the seeds. Uniform
+    * [[pageRankFixedPoint]] IS this operator with B = all nodes — both
+    * run the ONE shared loop, so the semantics cannot drift. Seed ids
+    * absent from the graph are ignored (a whitelist naturally lists
+    * pages the crawl never saw); an EMPTY intersection raises — ranks
+    * of all-zero would silently claim "nothing is trustworthy". */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int = 10, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame =
+    pageRankCore(edges, srcCol, dstCol,
+      Some(seeds.select(col(seedCol).cast(LongType).as("node"))
+        .filter(col("node").isNotNull).distinct()),
+      iterations, dampingPct, scale, "personalizedPageRank")
+
+  private def pageRankCore(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Option[DataFrame], iterations: Int,
+      dampingPct: Int, scale: Long, op: String): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 1 && dampingPct <= 99,
       s"dampingPct must be in [1, 99], got $dampingPct")
@@ -73,21 +101,33 @@ private[operators] trait GraphOps { self: Pipeline.type =>
     require(scale >= 1000000L && scale <= 1000000000000000L,
       s"scale must be in [1e6, 1e15], got $scale")
 
-    val e = cleanEdges(edges, srcCol, dstCol, "pageRankFixedPoint")
-    val nodes = e.select(col("src").as("node"))
+    val e = cleanEdges(edges, srcCol, dstCol, op)
+    val nodesBase = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
-    require(n > 0, "pageRankFixedPoint: empty edge table after cleanup " +
-      "(no non-self-loop edges) — an authority signal over zero pages " +
-      "is a pipeline wiring error")
-    // below this, scale div n floors every initial rank to 0 and the
-    // whole signal is silently meaningless
-    require(n <= scale, s"pageRankFixedPoint: $n nodes exceed scale " +
+    // one boolean teleport flag per node; the uniform form seeds
+    // everything, so both operators run literally this one loop
+    val nodes = (seeds match {
+      case None => nodesBase.withColumn("__seed", lit(true))
+      case Some(s) => nodesBase
+        .join(s.withColumn("__s", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(false)).as("__seed"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTele = nodes.filter(col("__seed")).count()
+    require(nTele > 0, seeds match {
+      case None => s"$op: empty edge table after cleanup (no " +
+        "non-self-loop edges) — an authority signal over zero pages " +
+        "is a pipeline wiring error"
+      case _ => s"$op: no seed id appears in the graph — all-zero " +
+        "ranks would silently claim nothing is trustworthy; check the " +
+        "seed/node id spaces line up"
+    })
+    // below this, scale div |B| floors every teleport share to 0 and
+    // the whole signal is silently meaningless
+    require(nTele <= scale, s"$op: $nTele teleport nodes exceed scale " +
       s"$scale — every rank would floor to 0; raise scale")
 
-    val perNode = scale / n
-    val base = ((100L - dampingPct) * perNode) / 100L
+    val perSeed = scale / nTele
+    val base = ((100L - dampingPct) * perSeed) / 100L
     // degree-annotated edges, partitioned by source node ONCE: each
     // round's rank join lands on this layout, so only the node-sized
     // rank table moves per round
@@ -99,7 +139,9 @@ private[operators] trait GraphOps { self: Pipeline.type =>
     val outNodes = edgesDeg.select(col("node")).distinct()
 
     var prev: DataFrame = null
-    var ranks = nodes.select(col("node"), lit(perNode).as("rank"))
+    var ranks = nodes
+      .select(col("node"), col("__seed"),
+        when(col("__seed"), lit(perSeed)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint()
     try {
       (1 to iterations).foreach { _ =>
@@ -111,9 +153,11 @@ private[operators] trait GraphOps { self: Pipeline.type =>
           .groupBy(col("node")).agg(sum(col("__c")).as("__inflow"))
         val next = nodes.join(inflow, Seq("node"), "left")
           .crossJoin(broadcast(dang))
-          .select(col("node"),
-            (lit(base) + expr(s"($dampingPct * (coalesce(__inflow, 0L)" +
-              s" + (__dang div ${n}L))) div 100")).as("rank"))
+          .select(col("node"), col("__seed"),
+            (when(col("__seed"), lit(base)).otherwise(lit(0L)) +
+              expr(s"($dampingPct * (coalesce(__inflow, 0L)" +
+                s" + (case when __seed then __dang div ${nTele}L" +
+                s" else 0L end))) div 100")).as("rank"))
           .localCheckpoint()
         if (prev != null) releaseLocalCheckpoint(prev)
         prev = ranks
@@ -193,9 +237,13 @@ private[operators] trait GraphOps { self: Pipeline.type =>
 
   /** Unrolled DuckDB twin of the fixed-point iteration — one CTE pair
     * (dangling total, inflow) per round, integer `//` throughout
-    * (non-negative operands, so DuckDB `//` ≡ Spark `div`). */
+    * (non-negative operands, so DuckDB `//` ≡ Spark `div`). The
+    * `seedWhere` form replays the personalized teleport: r₀, restart
+    * mass and the dangling share all gated on seed membership —
+    * exactly the shared-loop CASE arms. */
   private def pageRankOracleSql(iterations: Int, dampingPct: Int,
-      scale: Long): String = {
+      scale: Long, seedWhere: Option[String] = None): String = {
+    val seedPred = seedWhere.getOrElse("TRUE")
     val rounds = (1 to iterations).map { i =>
       val p = i - 1
       s"""
@@ -208,20 +256,26 @@ private[operators] trait GraphOps { self: Pipeline.type =>
       JOIN deg ON deg.src = e0.src
       GROUP BY e0.dst),
     r$i AS (
-      SELECT nodes.node,
-             base.b + ($dampingPct * (COALESCE(inf$i.f, 0)
-               + dang$i.dm // nn.n)) // 100 AS r
-      FROM nodes LEFT JOIN inf$i ON nodes.node = inf$i.node
-      CROSS JOIN dang$i CROSS JOIN nn CROSS JOIN base)"""
+      SELECT sn.node,
+             (CASE WHEN sn.seed THEN base.b ELSE 0 END)
+               + ($dampingPct * (COALESCE(inf$i.f, 0)
+                 + CASE WHEN sn.seed THEN dang$i.dm // nt.n
+                   ELSE 0 END)) // 100 AS r
+      FROM sn LEFT JOIN inf$i ON sn.node = inf$i.node
+      CROSS JOIN dang$i CROSS JOIN nt CROSS JOIN base)"""
     }.mkString(",")
     s"""
     WITH $DocLinkEdgesSql,
     nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
-    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    sn AS (SELECT node, ($seedPred) AS seed FROM nodes),
+    nt AS (SELECT COUNT(*) AS n FROM sn WHERE seed),
     deg AS (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src),
     base AS (
-      SELECT ((100 - $dampingPct) * ($scale // n)) // 100 AS b FROM nn),
-    r0 AS (SELECT node, (SELECT $scale // n FROM nn) AS r FROM nodes),$rounds
+      SELECT ((100 - $dampingPct) * ($scale // n)) // 100 AS b FROM nt),
+    r0 AS (SELECT node, seed,
+             CASE WHEN seed THEN (SELECT $scale // n FROM nt)
+             ELSE 0 END AS r
+           FROM sn),$rounds
     SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iterations
     ORDER BY node"""
   }
@@ -238,6 +292,22 @@ private[operators] trait GraphOps { self: Pipeline.type =>
         iterations = 3),
       Some(pageRankOracleSql(iterations = 3, dampingPct = 85,
         scale = 1000000000000L))),
+
+    // ---- p147: personalized (seeded) PageRank — [[personalizedPageRank]]
+    // with every 7th doc as the trusted seed set (72 of 500 at
+    // sf0.01): teleport, restart mass and dangling redistribution all
+    // concentrate on the seeds, so the gate certifies every CASE arm
+    // of the shared loop against the seed-gated oracle unroll — and
+    // that the two operators genuinely diverge (non-seed ranks carry
+    // no restart term).
+    QueryDef(
+      "p147_personalized_pagerank",
+      (s, d) => personalizedPageRank(docLinkEdges(s, d), "src", "dst",
+        T.documents(s, d).filter(col("doc_id") % 7 === 0),
+        "doc_id", iterations = 3),
+      Some(pageRankOracleSql(iterations = 3, dampingPct = 85,
+        scale = 1000000000000L,
+        seedWhere = Some("node % 7 = 0")))),
 
     // ---- p146: degree profile — [[degreeProfile]] over the same
     // graph; certifies the shared cleanup rules (self-loop drop,

@@ -101,6 +101,57 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("empty edge table"))
   }
 
+  test("personalizedPageRank ≡ the seed-gated local int64 model; " +
+      "diverges from uniform; empty seed intersection raises") {
+    import spark.implicits._
+    def localPpr(edges: Seq[(Long, Long)], seedIds: Set[Long],
+        iters: Int, p: Int, scale: Long): Map[Long, Long] = {
+      val e = edges.filter { case (a, b) => a != b }.distinct
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+      val b = nodes.filter(seedIds).toSet
+      val nB = b.size.toLong
+      val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val perSeed = scale / nB
+      val baseL = ((100L - p) * perSeed) / 100L
+      var r = nodes.map(v => v -> (if (b(v)) perSeed else 0L)).toMap
+      (1 to iters).foreach { _ =>
+        val dang = nodes.filterNot(deg.contains).map(r).sum
+        val share = dang / nB
+        val inflow = e.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _) => r(u) / deg(u) }.sum }
+        r = nodes.map(v => v -> ((if (b(v)) baseL else 0L) +
+          (p * (inflow.getOrElse(v, 0L) +
+            (if (b(v)) share else 0L))) / 100L)).toMap
+      }
+      r
+    }
+    val gen = for {
+      (es, it) <- graphGen
+      seedMod <- Gen.chooseNum(2, 4)
+    } yield (es, it, seedMod)
+    check(Prop.forAll(gen) { case (es, it, m) =>
+      val nodeIds = (es.map(_._1) ++ es.map(_._2)).toSet
+      val seedIds = nodeIds.filter(_ % m == 0) + nodeIds.min
+      val got = Pipeline.personalizedPageRank(es.toDF("s", "t"), "s", "t",
+        seedIds.toSeq.toDF("id"), "id", iterations = it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == localPpr(es, seedIds, it, 85, 1000000000000L)
+    })
+    // seeded vs uniform genuinely differ (non-seeds carry no restart)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L))
+    val uni = Pipeline.pageRankFixedPoint(es.toDF("s", "t"), "s", "t", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ppr = Pipeline.personalizedPageRank(es.toDF("s", "t"), "s", "t",
+      Seq(1L).toDF("id"), "id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uni != ppr && ppr(4L) == 0L) // no in-links, not a seed
+    // seed ids absent from the graph: ignored if some match, loud if none
+    val e2 = intercept[IllegalArgumentException](
+      Pipeline.personalizedPageRank(es.toDF("s", "t"), "s", "t",
+        Seq(99L).toDF("id"), "id", 1))
+    assert(e2.getMessage.contains("no seed id"))
+  }
+
   test("pageRank: scale bounds are loud (overflow above 1e15, all-zero " +
       "ranks when nodes exceed scale); degreeProfile raises on NULL " +
       "endpoints like pageRank") {
