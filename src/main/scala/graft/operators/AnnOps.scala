@@ -465,44 +465,29 @@ private[operators] trait AnnOps { self: Pipeline.type =>
     * final /√n² — one double division per cell, bit-identical across
     * engines (the p126 oracle replays it). Documents with no words
     * produce no row; a doc whose signs fully cancel keeps an all-zero
-    * vector. Scale shape: one (doc, bucket) partial-agg shuffle with
-    * ≤ dim cells per doc, then map-side assembly — no corpus-sized
-    * state. Output: (doc_id, embedding array&lt;float&gt;). */
+    * vector. Scale shape: ZERO shuffles — the dense signed-count
+    * vector is one codegen'd pass per document
+    * ([[graft.plans.HashedSignedCounts]]: ONE 32-bit hash per token
+    * supplies bucket AND sign, Weinberger'09's single-hash ξ), and the
+    * norm + divide are per-row array ops. The token explode →
+    * (doc, bucket) partial-agg shuffle → doc-keyed map assembly it
+    * replaces pushed every token through a hash-aggregate probe;
+    * value-identical output (pinned in TextHashesSpec). Output:
+    * (doc_id, embedding array&lt;float&gt;). */
   def hashedEmbedding(corpus: DataFrame, idCol: String, textCol: String,
       dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
-    val cells = corpus
+    // ONE explode, nothing else: the kernel emits the finished
+    // normalized vector in a 0-or-1-element array, so explode both
+    // yields the embedding and drops token-less docs — the exact row
+    // set of the old token-explode pipeline. (A scalar `aggregate` n²
+    // beside a `transform` was measured 3× SLOWER than the old shape:
+    // CollapseProject inlines the fold into the per-element lambda.)
+    fanOutSmallScan(corpus)
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        explode(array_remove(words(col(textCol)), "")).as("w"))
-      .select(col("doc_id"),
-        call_function("md5_prefix_long", col("w"), lit(4)).as("__h"))
-      // ONE hash per token supplies both coordinates (the r18 review's
-      // efficiency fix — the per-token hash dominates this map stage):
-      // bucket from the modulus, sign from the top bit of the same
-      // 32-bit value (bit 31 and h mod dim≤4096 are effectively
-      // independent — Weinberger'09 uses exactly this single-hash ξ)
-      .select(col("doc_id"),
-        (col("__h") % dim.toLong).as("b"),
-        when(shiftright(col("__h"), 31) === 0, 1L)
-          .otherwise(-1L).as("s"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("s")).as("v"))
-    cells
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("v"))))
-        .as("__m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("__m"), i.cast(LongType)), lit(0L)))
-          .as("__raw"))
-      .withColumn("__n2",
-        aggregate(col("__raw"), lit(0L), (a, x) => a + x * x))
-      .select(col("doc_id"),
-        transform(col("__raw"), v =>
-          when(col("__n2") === 0L, lit(0f))
-            .otherwise((v.cast(DoubleType) /
-              sqrt(col("__n2").cast(DoubleType))).cast(FloatType)))
+        explode(call_function("hashed_embedding_vec",
+          array_remove(words(col(textCol)), ""), lit(dim)))
           .as("embedding"))
   }
 

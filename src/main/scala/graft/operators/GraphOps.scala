@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -101,17 +102,36 @@ private[operators] trait GraphOps { self: Pipeline.type =>
     require(scale >= 1000000L && scale <= 1000000000000000L,
       s"scale must be in [1e6, 1e15], got $scale")
 
-    val e = cleanEdges(edges, srcCol, dstCol, op)
-    val nodesBase = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    // one boolean teleport flag per node; the uniform form seeds
-    // everything, so both operators run literally this one loop
+    // ONE edge shuffle total for all of setup (measured r19: the old
+    // distinct → groupBy(src) → join → repartition(node) chain paid
+    // THREE edge-sized exchanges before the loop even started):
+    // hash-partition the cleaned-but-not-yet-deduped edges by src once;
+    // dropDuplicates(src,dst) and the per-src degree window both run on
+    // that layout without further exchange (hash(src) satisfies the
+    // clustering both require), and the persisted frame IS the layout
+    // each round's rank⋈edges join lands on.
+    val e = cleanEdges(edges, srcCol, dstCol, op, dedup = false)
+    val edgesDeg = e.repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .select(col("src").as("node"), col("dst"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node set + has-out-edges flag from ONE pass over the persisted
+    // edges (the old shape derived the node set with its own
+    // union+distinct shuffle and then re-derived "nodes with out-edges"
+    // EVERY round as a distinct + anti-join; carrying __out in the rank
+    // frame turns the per-round dangling-mass pass into a plain
+    // filter+sum over the already-checkpointed ranks — zero joins)
+    val nodesBase = edgesDeg.select(col("node"), lit(true).as("__o"))
+      .unionAll(edgesDeg.select(col("dst").as("node"), lit(false).as("__o")))
+      .groupBy(col("node")).agg(max(col("__o")).as("__out"))
     val nodes = (seeds match {
       case None => nodesBase.withColumn("__seed", lit(true))
       case Some(s) => nodesBase
         .join(s.withColumn("__s", lit(true)), Seq("node"), "left")
-        .select(col("node"), coalesce(col("__s"), lit(false)).as("__seed"))
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("node"), col("__out"),
+          coalesce(col("__s"), lit(false)).as("__seed"))
+    })
     val nTele = nodes.filter(col("__seed")).count()
     require(nTele > 0, seeds match {
       case None => s"$op: empty edge table after cleanup (no " +
@@ -128,32 +148,32 @@ private[operators] trait GraphOps { self: Pipeline.type =>
 
     val perSeed = scale / nTele
     val base = ((100L - dampingPct) * perSeed) / 100L
-    // degree-annotated edges, partitioned by source node ONCE: each
-    // round's rank join lands on this layout, so only the node-sized
-    // rank table moves per round
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesDeg = e.join(deg, Seq("src"))
-      .select(col("src").as("node"), col("dst"), col("deg"))
-      .repartition(col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outNodes = edgesDeg.select(col("node")).distinct()
 
     var prev: DataFrame = null
     var ranks = nodes
-      .select(col("node"), col("__seed"),
+      .select(col("node"), col("__seed"), col("__out"),
         when(col("__seed"), lit(perSeed)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint()
     try {
       (1 to iterations).foreach { _ =>
-        val dang = ranks.join(outNodes, Seq("node"), "left_anti")
+        // dangling mass: filter+sum over the checkpointed rank frame —
+        // no join, no extra shuffle, one scalar broadcast back in
+        val dang = ranks.filter(!col("__out"))
           .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
-        val inflow = ranks.join(edgesDeg, Seq("node"))
+        // only out-nodes contribute inflow; the filter halves the probe
+        // side before the edge-layout join (an inner join would drop
+        // the others anyway, but later — this prunes before the
+        // exchange)
+        val inflow = ranks.filter(col("__out"))
+          .select(col("node"), col("rank"))
+          .join(edgesDeg, Seq("node"))
           .select(col("dst").as("node"),
             expr("rank div deg").as("__c"))
           .groupBy(col("node")).agg(sum(col("__c")).as("__inflow"))
-        val next = nodes.join(inflow, Seq("node"), "left")
+        val next = ranks.select(col("node"), col("__seed"), col("__out"))
+          .join(inflow, Seq("node"), "left")
           .crossJoin(broadcast(dang))
-          .select(col("node"), col("__seed"),
+          .select(col("node"), col("__seed"), col("__out"),
             (when(col("__seed"), lit(base)).otherwise(lit(0L)) +
               expr(s"($dampingPct * (coalesce(__inflow, 0L)" +
                 s" + (case when __seed then __dang div ${nTele}L" +
@@ -166,7 +186,6 @@ private[operators] trait GraphOps { self: Pipeline.type =>
       if (prev != null) releaseLocalCheckpoint(prev)
       ranks.select(col("node"), col("rank").as("rank_fp"))
     } finally {
-      nodes.unpersist()
       edgesDeg.unpersist()
     }
   }
@@ -177,15 +196,18 @@ private[operators] trait GraphOps { self: Pipeline.type =>
     * input — a profile that "validated" a graph pageRank then crashes
     * on, or worse trusts rows pageRank would reject. */
   private def cleanEdges(edges: DataFrame, srcCol: String, dstCol: String,
-      op: String): DataFrame = {
+      op: String, dedup: Boolean = true): DataFrame = {
     val nullGuard = when(col(srcCol).isNull.or(col(dstCol).isNull),
       raise_error(lit(s"$op: NULL edge endpoint — a null in " +
         s"($srcCol, $dstCol) is malformed input; filter or repair " +
         "upstream"))).otherwise(col(srcCol).cast(LongType))
-    edges
+    val base = edges
       .select(nullGuard.as("src"), col(dstCol).cast(LongType).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // pageRankCore dedups AFTER its src-hash repartition (same rule,
+    // one exchange instead of two — the (src,dst)-keyed distinct here
+    // would shuffle the edges once just to shuffle them again by src)
+    if (dedup) base.distinct() else base
   }
 
   /** Degree profile of a directed edge table — the cheap companion

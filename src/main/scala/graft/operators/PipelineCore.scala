@@ -17,6 +17,30 @@ private[operators] trait PipelineCore { self: Pipeline.type =>
 
   private[operators] def words(c: Column): Column = split(c, "\\s+")
 
+  /** Scale-adaptive scan fan-out for the FUSED map-side kernels (r19):
+    * when an operator's whole cost is one codegen'd pass per row, its
+    * parallelism is the SCAN's — and a small input (one parquet file,
+    * one row group: every local fixture, any small dimension-ish
+    * corpus) plans as ONE task, serializing work the pre-fusion
+    * shuffle used to spread by accident. Round-robin repartition to
+    * the session's default parallelism, but ONLY when the input plans
+    * to fewer partitions: at real corpus scale the scan already
+    * carries ≥ cores splits and this is a provable no-op (no exchange
+    * enters the plan), so the 100 TB shape is untouched — the only
+    * time the exchange exists is exactly when the data is small
+    * enough for it to be trivially cheap. Derived from the ACTUAL
+    * planned partition count, not a constant — the brief's
+    * "scale-adaptive, not tuned for either local mode or the
+    * cluster" rule. */
+  private[operators] def fanOutSmallScan(df: DataFrame): DataFrame = {
+    // streaming frames have no planned partition count to inspect (and
+    // their micro-batch parallelism is the source's business) — no-op
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
   /** Sequential (left-to-right) double dot product of two float arrays —
     * matches DuckDB list_reduce over list_transform exactly. Backed by
     * the codegen'd [[graft.plans.FloatDotProduct]] expression

@@ -423,25 +423,30 @@ private[operators] trait QualityOps { self: Pipeline.type =>
     * [[classifierScore]] and definition-identical to
     * [[dsirImportanceScores]]' buckets so the two selection signals
     * can never drift. Output: (doc_id, b, cnt, doc_grams), one row
-    * per (doc, occupied bucket). Scale shape: the count is a
-    * partial-agg shuffle on (doc, b); the per-doc totals join is one
-    * doc-keyed shuffle more — iterative consumers checkpoint the
-    * result once ([[trainQualityClassifier]] does). */
+    * per (doc, occupied bucket). Scale shape: ZERO shuffles — the
+    * whole feature table is one codegen'd pass per document
+    * ([[graft.plans.KgramBucketCounts]] buckets and counts the grams
+    * inside the row; the per-doc total folds over the same array), so
+    * at 100 TB this is a pure map stage. The explode → (doc, b)
+    * partial-agg shuffle → doc-keyed totals join it replaces pushed
+    * every gram occurrence through a hash-aggregate probe;
+    * row-identical output (pinned in TextHashesSpec). */
   def hashedNgramFeatures(corpus: DataFrame, idCol: String, textCol: String,
       buckets: Int = 8192, maxGram: Int = 2, nBytes: Int = 6): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(maxGram >= 1, s"maxGram must be >= 1, got $maxGram")
-    val rows = corpus.select(col(idCol).as("doc_id"),
-        explode(flatten(array((1 to maxGram).map(k =>
-          call_function("kgram_hashes_all",
-            array_remove(words(col(textCol)), ""), lit(k), lit(nBytes))): _*)))
-          .as("h"))
-      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-    val totals = rows.groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("doc_grams"))
-    rows.join(totals, Seq("doc_id"))
+    // ONE explode, nothing else: the kernel's elements carry
+    // (b, cnt, doc_grams) complete, and explode of the empty array
+    // drops gram-less docs exactly like the old per-gram explode did.
+    // (A scalar `aggregate(...)` total beside the explode was measured
+    // 5× SLOWER than the old shape: it collapses into the
+    // post-Generate projection and re-folds the array per OUTPUT row.)
+    fanOutSmallScan(corpus).select(col(idCol).as("doc_id"),
+        explode(call_function("kgram_bucket_counts",
+          array_remove(words(col(textCol)), ""), lit(maxGram),
+          lit(buckets), lit(nBytes))).as("__e"))
+      .select(col("doc_id"), col("__e.b").as("b"),
+        col("__e.cnt").as("cnt"), col("__e.doc_grams").as("doc_grams"))
   }
 
   /** Linear text-classifier scores over [[hashedNgramFeatures]]
@@ -697,28 +702,29 @@ private[operators] trait QualityOps { self: Pipeline.type =>
     * [[graft.plans.ChargramStrings]] pass — distinct-per-k unions to
     * distinct overall since k-grams of different lengths never
     * collide), hashed by 48-bit md5 prefix
-    * ([[graft.plans.Md5PrefixLong]] — the same oracle-replayable
-    * arithmetic every gram gate uses) and bucketed by pmod. Scale
-    * shape: one map-side explode bounded by document length, one
-    * (doc, b)-keyed partial-agg shuffle, one doc-keyed total. */
+    * (the same oracle-replayable arithmetic every gram gate uses) and
+    * bucketed by pmod. Scale shape: ZERO shuffles — the whole feature
+    * table is one codegen'd pass per document
+    * ([[graft.plans.ChargramBucketCounts]] enumerates, dedups, hashes
+    * and buckets the grams inside the row; the per-doc total folds
+    * over the same array), so at 100 TB this is a pure map stage. The
+    * explode → (doc, b) partial-agg shuffle → doc-keyed totals join
+    * it replaces pushed ~3× document-length gram rows through a
+    * hash-aggregate probe per document; row-identical output (pinned
+    * in TextHashesSpec). */
   def hashedChargramFeatures(corpus: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096, kMin: Int = 1, kMax: Int = 3,
       nBytes: Int = 6): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(kMin >= 1 && kMax >= kMin,
       s"need 1 <= kMin <= kMax, got kMin=$kMin kMax=$kMax")
-    val rows = corpus.select(col(idCol).as("doc_id"),
-        explode(flatten(array((kMin to kMax).map(k =>
-          call_function("chargram_strings", col(textCol), lit(k))): _*)))
-          .as("g"))
-      .withColumn("b",
-        pmod(call_function("md5_prefix_long", col("g"), lit(nBytes)),
-          lit(buckets.toLong)))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-    val totals = rows.groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("doc_grams"))
-    rows.join(totals, Seq("doc_id"))
+    // ONE explode, nothing else (see hashedNgramFeatures for why the
+    // total rides inside each element rather than a scalar fold)
+    fanOutSmallScan(corpus).select(col(idCol).as("doc_id"),
+        explode(call_function("chargram_bucket_counts", col(textCol),
+          lit(kMin), lit(kMax), lit(buckets), lit(nBytes))).as("__e"))
+      .select(col("doc_id"), col("__e.b").as("b"),
+        col("__e.cnt").as("cnt"), col("__e.doc_grams").as("doc_grams"))
   }
 
   /** fastText-style language-ID training (Joulin'17 — the linear

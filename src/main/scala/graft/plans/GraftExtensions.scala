@@ -70,6 +70,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextHashes.litInt(c(1), "kgram_hashes: k"),
         TextHashes.litInt(c(2), "kgram_hashes: nBytes")))))
     ext.injectFunction((
+      new FunctionIdentifier("chargram_bucket_counts"),
+      new ExpressionInfo(classOf[ChargramBucketCounts].getName,
+        "chargram_bucket_counts"),
+      arity("chargram_bucket_counts", 5)(c => ChargramBucketCounts(c(0),
+        TextHashes.litInt(c(1), "chargram_bucket_counts: kMin"),
+        TextHashes.litInt(c(2), "chargram_bucket_counts: kMax"),
+        TextHashes.litInt(c(3), "chargram_bucket_counts: buckets"),
+        TextHashes.litInt(c(4), "chargram_bucket_counts: nBytes")))))
+    ext.injectFunction((
+      new FunctionIdentifier("kgram_bucket_counts"),
+      new ExpressionInfo(classOf[KgramBucketCounts].getName,
+        "kgram_bucket_counts"),
+      arity("kgram_bucket_counts", 4)(c => KgramBucketCounts(c(0),
+        TextHashes.litInt(c(1), "kgram_bucket_counts: maxGram"),
+        TextHashes.litInt(c(2), "kgram_bucket_counts: buckets"),
+        TextHashes.litInt(c(3), "kgram_bucket_counts: nBytes")))))
+    ext.injectFunction((
+      new FunctionIdentifier("hashed_embedding_vec"),
+      new ExpressionInfo(classOf[HashedEmbeddingVec].getName,
+        "hashed_embedding_vec"),
+      arity("hashed_embedding_vec", 2)(c => HashedEmbeddingVec(c(0),
+        TextHashes.litInt(c(1), "hashed_embedding_vec: dim")))))
+    ext.injectFunction((
       new FunctionIdentifier("chargram_strings"),
       new ExpressionInfo(classOf[ChargramStrings].getName, "chargram_strings"),
       arity("chargram_strings", 2)(c => ChargramStrings(c(0),

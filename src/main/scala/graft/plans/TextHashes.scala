@@ -415,6 +415,160 @@ object TextHashes {
     new GenericArrayData(res)
   }
 
+  /** Sparse (bucket, count, total) rows from a dense long[] count
+    * array — ascending bucket order, zero buckets omitted: exactly the
+    * row set a `groupBy(bucket).count()` over the hashed gram stream
+    * produces (group keys only exist where at least one gram landed),
+    * with the per-doc gram total REPLICATED into every element so one
+    * `explode` yields the full (b, cnt, doc_grams) feature row — no
+    * scalar fold a projection could inline and re-evaluate per
+    * exploded row (the r19 first-cut regression: an `aggregate(...)`
+    * total alongside the explode collapsed into the post-Generate
+    * projection and ran O(buckets) per OUTPUT row). */
+  private def sparseCounts(counts: Array[Long]): ArrayData = {
+    var nz = 0
+    var total = 0L
+    var b = 0
+    while (b < counts.length) {
+      if (counts(b) != 0L) { nz += 1; total += counts(b) }
+      b += 1
+    }
+    val out = new Array[Any](nz)
+    var j = 0
+    b = 0
+    while (b < counts.length) {
+      if (counts(b) != 0L) {
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(
+          b.toLong, counts(b), total)
+        j += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hashed char-n-gram bucket counts in ONE pass — the fused kernel
+    * behind [[graft.operators.QualityOps.hashedChargramFeatures]]:
+    * per k in [kMin, kMax], the DISTINCT char k-grams of `s` (the
+    * [[chargramStrings]] enumeration, first-occurrence dedup per k),
+    * each hashed `md5_prefix_long(g, nBytes)` and bucketed
+    * `pmod(h, buckets)`; output is the ascending sparse
+    * (bucket, count) table — row-identical to
+    * `explode(flatten(array(chargram_strings(s,k)…)))` →
+    * `pmod(md5_prefix_long(g), buckets)` → `groupBy(b).count()`
+    * for one document, with the explode row-stream and both
+    * shuffles gone. */
+  def chargramBucketCounts(s: UTF8String, kMin: Int, kMax: Int,
+      buckets: Int, nBytes: Int): ArrayData = {
+    val counts = new Array[Long](buckets)
+    val nChars = s.numChars()
+    val bytes = s.getBytes
+    // char→byte boundary table once per row (the chargramStrings rule:
+    // UTF8String's own lead-byte advance, malformed input never walks
+    // past the array)
+    val offsets = new Array[Int](nChars + 1)
+    var b = 0
+    var c = 0
+    while (c < nChars) {
+      offsets(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offsets(nChars) = bytes.length
+    val d = md.get()
+    var k = kMin
+    while (k <= kMax) {
+      if (nChars >= k) {
+        val seen = new java.util.HashSet[UTF8String]()
+        var i = 0
+        while (i <= nChars - k) {
+          val g = UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, offsets(i), offsets(i + k)))
+          if (seen.add(g)) {
+            d.reset()
+            val h = fold(d.digest(g.getBytes), nBytes)
+            counts((h % buckets).toInt) += 1L
+          }
+          i += 1
+        }
+      }
+      k += 1
+    }
+    sparseCounts(counts)
+  }
+
+  /** Hashed word-n-gram bucket counts in ONE pass — the fused kernel
+    * behind [[graft.operators.QualityOps.hashedNgramFeatures]]: per k
+    * in [1, maxGram], ALL word k-grams of `ws` (the [[kgramHashesAll]]
+    * enumeration — every window position, repeats kept), each hashed
+    * by the incremental space-joined digest and bucketed
+    * `pmod(h, buckets)`; output is the ascending sparse
+    * (bucket, count) table — row-identical to
+    * `explode(flatten(array(kgram_hashes_all(ws,k,nBytes)…)))` →
+    * `pmod(h, buckets)` → `groupBy(b).count()` for one document. */
+  def kgramBucketCounts(arr: ArrayData, maxGram: Int, buckets: Int,
+      nBytes: Int): ArrayData = {
+    val counts = new Array[Long](buckets)
+    val n = arr.numElements()
+    val d = md.get()
+    var k = 1
+    while (k <= maxGram) {
+      var i = 0
+      while (i <= n - k) {
+        val h = fold(gramDigest(d, arr, i, k), nBytes)
+        counts((h % buckets).toInt) += 1L
+        i += 1
+      }
+      k += 1
+    }
+    sparseCounts(counts)
+  }
+
+  /** The feature-hashing embedding in ONE pass — the fused kernel
+    * behind [[graft.operators.AnnOps.hashedEmbedding]] (Weinberger'09,
+    * single-hash ξ): per non-null token w, h = md5_prefix_long(w, 4)
+    * supplies bucket h mod `dim` and sign from bit 31; cells
+    * accumulate as exact integers, then each is normalized
+    * `(v / √Σv²).toFloat` (the same double divide + RN float cast the
+    * Column spelling performs; all-cancelled docs keep the all-zero
+    * vector). Output is a 0-or-1-element OUTER array so one `explode`
+    * both yields the embedding and drops token-less docs — exactly
+    * the row set of the explode → (doc, bucket) sum(sign) → dense-ify
+    * pipeline it replaces, with the two shuffles gone. Null tokens
+    * are skipped (producer contract is the null-free
+    * `array_remove(split(..), '')` output). */
+  def hashedEmbeddingVec(arr: ArrayData, dim: Int): ArrayData = {
+    val n = arr.numElements()
+    val d = md.get()
+    val v = new Array[Long](dim)
+    var tokens = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        d.reset()
+        val h = fold(d.digest(arr.getUTF8String(i).getBytes), 4)
+        val s = if (((h >>> 31) & 1L) == 0L) 1L else -1L
+        v((h % dim).toInt) += s
+        tokens += 1
+      }
+      i += 1
+    }
+    if (tokens == 0) return new GenericArrayData(Array.empty[Any])
+    var n2 = 0L
+    i = 0
+    while (i < dim) { n2 += v(i) * v(i); i += 1 }
+    val emb = new Array[Any](dim)
+    if (n2 == 0L) {
+      i = 0
+      while (i < dim) { emb(i) = 0f; i += 1 }
+    } else {
+      val norm = java.lang.Math.sqrt(n2.toDouble)
+      i = 0
+      while (i < dim) { emb(i) = (v(i).toDouble / norm).toFloat; i += 1 }
+    }
+    new GenericArrayData(Array[Any](new GenericArrayData(emb)))
+  }
+
   /** Shared literal-string extraction for the function builders. */
   private[plans] def litString(e: Expression, what: String): String = e match {
     case f if f.foldable => f.eval() match {
@@ -755,5 +909,127 @@ case class KgramStrings(child: Expression, k: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): KgramStrings =
+    copy(child = newChild)
+}
+
+/** `chargram_bucket_counts(s, kMin, kMax, buckets, nBytes)` — hashed
+  * char-n-gram features for one document in ONE codegen'd pass (see
+  * [[TextHashes.chargramBucketCounts]]): ascending sparse
+  * (b, cnt, doc_grams) rows over the distinct char k-grams, k ∈
+  * [kMin, kMax], the per-doc total replicated per element so ONE
+  * explode yields the whole feature row. Row-identical to the
+  * explode → md5 → pmod → groupBy(doc, b) → totals-join pipeline it
+  * replaces, with no per-gram row stream and no shuffle. */
+case class ChargramBucketCounts(child: Expression, kMin: Int, kMax: Int,
+    buckets: Int, nBytes: Int) extends UnaryExpression {
+  require(kMin >= 1 && kMax >= kMin,
+    s"need 1 <= kMin <= kMax, got kMin=$kMin kMax=$kMax")
+  require(buckets >= 2 && buckets <= (1 << 22),
+    s"buckets must be in [2, 2^22], got $buckets")
+  require(nBytes >= 1 && nBytes <= 7, s"nBytes must be in [1,7], got $nBytes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"chargram_bucket_counts requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc_grams", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "chargram_bucket_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.chargramBucketCounts(input.asInstanceOf[UTF8String],
+      kMin, kMax, buckets, nBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.chargramBucketCounts($s, $kMin, $kMax, $buckets, $nBytes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ChargramBucketCounts =
+    copy(child = newChild)
+}
+
+/** `kgram_bucket_counts(ws, maxGram, buckets, nBytes)` — hashed
+  * word-n-gram features for one document in ONE codegen'd pass (see
+  * [[TextHashes.kgramBucketCounts]]): ascending sparse
+  * (b, cnt, doc_grams) rows over ALL word k-grams, k ∈ [1, maxGram],
+  * repeats kept, the per-doc total replicated per element so ONE
+  * explode yields the whole feature row. */
+case class KgramBucketCounts(child: Expression, maxGram: Int,
+    buckets: Int, nBytes: Int) extends UnaryExpression {
+  require(maxGram >= 1, s"maxGram must be >= 1, got $maxGram")
+  require(buckets >= 2 && buckets <= (1 << 22),
+    s"buckets must be in [2, 2^22], got $buckets")
+  require(nBytes >= 1 && nBytes <= 7, s"nBytes must be in [1,7], got $nBytes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kgram_bucket_counts requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc_grams", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "kgram_bucket_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.kgramBucketCounts(input.asInstanceOf[ArrayData],
+      maxGram, buckets, nBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.kgramBucketCounts($arr, $maxGram, $buckets, $nBytes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): KgramBucketCounts =
+    copy(child = newChild)
+}
+
+/** `hashed_embedding_vec(ws, dim)` — the complete feature-hashing
+  * embedding for one document in ONE codegen'd pass (see
+  * [[TextHashes.hashedEmbeddingVec]]): a 0-or-1-element outer array
+  * holding the L2-normalized length-`dim` float vector (Weinberger'09
+  * single-hash ξ — bucket h mod dim, sign from bit 31 of the same
+  * 32-bit md5 prefix), empty for token-less docs so one `explode`
+  * replicates the old pipeline's row set exactly. */
+case class HashedEmbeddingVec(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_embedding_vec requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false),
+    containsNull = false)
+  override def prettyName: String = "hashed_embedding_vec"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.hashedEmbeddingVec(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.hashedEmbeddingVec($arr, $dim);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedEmbeddingVec =
     copy(child = newChild)
 }

@@ -435,6 +435,104 @@ class TextHashesSpec extends AnyFunSuite {
     assert(expr.eval(InternalRow(null, ga(1L))) == null)
   }
 
+  // ---- r19 fused feature kernels: each must be ROW-identical to the
+  // explode → hash → pmod → groupBy pipeline it replaced (that pipeline
+  // is what the p62/p72/p126 DuckDB oracles replay, so this identity is
+  // what keeps those gates valid after the fusion).
+
+  test("kgram_bucket_counts: explode(kernel) == old explode/groupBy/totals") {
+    import spark.implicits._
+    check(Prop.forAll(batchGen) { batch =>
+      val df = batch.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+        .toDF("id", "ws")
+      val got = df.select(col("id"),
+          explode(call_function("kgram_bucket_counts", col("ws"),
+            lit(2), lit(64), lit(6))).as("e"))
+        .select(col("id"), col("e.b"), col("e.cnt"), col("e.doc_grams"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val rows = df.select(col("id"),
+          explode(flatten(array(
+            call_function("kgram_hashes_all", col("ws"), lit(1), lit(6)),
+            call_function("kgram_hashes_all", col("ws"), lit(2), lit(6)))))
+            .as("h"))
+        .withColumn("b", pmod(col("h"), lit(64L)))
+        .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
+      val totals = rows.groupBy(col("id")).agg(sum(col("cnt")).as("dg"))
+      val want = rows.join(totals, Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      got == want
+    })
+  }
+
+  test("chargram_bucket_counts: explode(kernel) == old explode/groupBy/totals") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(8, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(20)),
+      Gen.oneOf("", "ab", "naïve café", "日本語テキスト", "aaaaaaa",
+        "x\\y\"q\"", "tab\tchar newline\nend")))) { ss =>
+      val df = ss.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+      val got = df.select(col("id"),
+          explode(call_function("chargram_bucket_counts", col("t"),
+            lit(1), lit(3), lit(32), lit(6))).as("e"))
+        .select(col("id"), col("e.b"), col("e.cnt"), col("e.doc_grams"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val rows = df.select(col("id"),
+          explode(flatten(array((1 to 3).map(k =>
+            call_function("chargram_strings", col("t"), lit(k))): _*)))
+            .as("g"))
+        .withColumn("b",
+          pmod(call_function("md5_prefix_long", col("g"), lit(6)), lit(32L)))
+        .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
+      val totals = rows.groupBy(col("id")).agg(sum(col("cnt")).as("dg"))
+      val want = rows.join(totals, Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      got == want
+    })
+  }
+
+  test("hashed_embedding_vec: explode(kernel) == old cells/map/normalize") {
+    import spark.implicits._
+    val dim = 16
+    check(Prop.forAll(batchGen) { batch =>
+      val df = batch.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+        .toDF("id", "ws")
+      val got = df.select(col("id"),
+          explode(call_function("hashed_embedding_vec", col("ws"), lit(dim)))
+            .as("emb"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toSet
+      // the pre-r19 pipeline spelling, verbatim (explode → single-hash
+      // bucket+sign → (id, b) sum → map assembly → dense + normalize)
+      val cells = df
+        .select(col("id"), explode(col("ws")).as("w"))
+        .select(col("id"),
+          call_function("md5_prefix_long", col("w"), lit(4)).as("h"))
+        .select(col("id"), (col("h") % dim.toLong).as("b"),
+          when(shiftright(col("h"), 31) === 0, 1L).otherwise(-1L).as("s"))
+        .groupBy(col("id"), col("b")).agg(sum(col("s")).as("v"))
+      val want = cells.groupBy(col("id"))
+        .agg(map_from_entries(collect_list(struct(col("b"), col("v"))))
+          .as("m"))
+        .select(col("id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => coalesce(element_at(col("m"), i.cast(LongType)), lit(0L)))
+            .as("raw"))
+        .withColumn("n2",
+          aggregate(col("raw"), lit(0L), (a, x) => a + x * x))
+        .select(col("id"),
+          transform(col("raw"), v =>
+            when(col("n2") === 0L, lit(0f))
+              .otherwise((v.cast("double") /
+                sqrt(col("n2").cast("double"))).cast("float"))).as("emb"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toSet
+      got == want
+    })
+  }
+
   test("type mismatches are rejected with the kernel name") {
     import spark.implicits._
     val e1 = intercept[Exception] {
