@@ -1226,10 +1226,18 @@ private[operators] trait DedupOps { self: Pipeline.type =>
           .orderBy(groupCols.map(col) :+ col("tri"): _*))
           .cast("long") * GidBuckets + col("__b"))
       .drop("__b")
-    // no forced broadcast: at fixture scale AQE converts this join to a
-    // broadcast anyway, and at large-charset scale the gram table can
-    // exceed the broadcast limit — let the planner pick per run
-    val tri = tri0.join(dfTab, groupCols :+ "tri")
+    // FORCED broadcast of the gram dictionary (r19): left to its size
+    // estimates the planner inverted the build side at sf0.1 —
+    // BroadcastExchange of the 712k-row CORPUS gram stream (tri0,
+    // BuildLeft) probing the 1.7k-row dictionary — i.e. it broadcast
+    // the side that scales with the corpus and streamed the side
+    // bounded by charset^n per group (guide §3.1: size estimates after
+    // aggregations are unreliable; hint the side you KNOW is small).
+    // The dictionary is df-capped and charset-bounded, the corpus side
+    // never is; a dictionary past the 8 GB broadcast cap (CJK-extreme
+    // gram spaces) needs a tighter dfCap/grouping anyway — the
+    // localDictMax stance.
+    val tri = tri0.join(broadcast(dfTab), groupCols :+ "tri")
     // per-doc set in the GLOBAL canonical order prefix filtering
     // requires: rarest first, df asc with gid as the tie-break — any
     // deterministic total order shared across docs is correct (the
