@@ -1639,12 +1639,30 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     }
     try {
     val Seq(a, b) = pairsDf.columns.take(2).toSeq.map(col)
-    val half = pairsDf.select(a.as("src"), b.as("dst"))
-    val edges = half
-      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+    // both edge directions from ONE evaluation of the pair plan (r19):
+    // the old `half union half.reversed` evaluated `pairsDf` TWICE when
+    // the persist materialized — and a CC input is typically the most
+    // expensive plan in its whole operator (the cosine self-join in
+    // p66, the banded-LSH verify in p118/p02). One explode of a
+    // two-struct array emits the same rows from a single pass.
+    val edges = pairsDf.select(a.as("src"), b.as("dst"))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ckpt(edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")))
+    // round 1 FUSED into initialization (r19): the one shuffle that
+    // used to build the distinct node set (labels = self) now also
+    // computes each node's neighbor minimum in the same groupBy, so
+    // labels start at min(self, min neighbor) — exactly the old round
+    // 1's output (from self-labels, round 1 took min(self, min nbr)) —
+    // and every call saves one full round: two joins, one checkpoint
+    // materialization and one convergence count. Star-like near-dup
+    // graphs that converged in 2 rounds now converge in 1.
+    var labels = ckpt(edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("src").as("node"),
+        least(col("src"), col("__m")).as("lbl")))
     var changed = 1L
     var iter = 0
     // plain neighbor-min rounds before pointer-jumping kicks in: the
@@ -1652,7 +1670,10 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     // only graphs that are still moving after 3 rounds (deep chains)
     // take on the shortcut join's cost — exactly the graphs where
     // O(log d) instead of O(d) rounds pays for it many times over
-    val ShortcutFromRound = 3
+    // one less than the pre-r19 value of 3: initialization now carries
+    // round 1's propagation, so the same effective plain-round warmup
+    // precedes the first shortcut join
+    val ShortcutFromRound = 2
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("lbl").as("nl")),

@@ -125,13 +125,19 @@ private[operators] trait GraphOps { self: Pipeline.type =>
     val nodesBase = edgesDeg.select(col("node"), lit(true).as("__o"))
       .unionAll(edgesDeg.select(col("dst").as("node"), lit(false).as("__o")))
       .groupBy(col("node")).agg(max(col("__o")).as("__out"))
+    // nodes materialized ONCE (r19): nTele's count used to evaluate the
+    // whole node-derivation plan (edge-table union + groupBy + seed
+    // join) and the rank-init checkpoint then evaluated it AGAIN — one
+    // full extra edge pass per call. Checkpoint the node table first,
+    // count seeds off the materialized blocks, and build r₀ as a lazy
+    // map over the same blocks (released with the edge cache below).
     val nodes = (seeds match {
       case None => nodesBase.withColumn("__seed", lit(true))
       case Some(s) => nodesBase
         .join(s.withColumn("__s", lit(true)), Seq("node"), "left")
         .select(col("node"), col("__out"),
           coalesce(col("__s"), lit(false)).as("__seed"))
-    })
+    }).localCheckpoint()
     val nTele = nodes.filter(col("__seed")).count()
     require(nTele > 0, seeds match {
       case None => s"$op: empty edge table after cleanup (no " +
@@ -150,10 +156,15 @@ private[operators] trait GraphOps { self: Pipeline.type =>
     val base = ((100L - dampingPct) * perSeed) / 100L
 
     var prev: DataFrame = null
+    // r₀ is a LAZY map over the checkpointed node table (not a second
+    // checkpoint): round 1's three consumers each re-run only the
+    // cheap projection over materialized blocks, and the usual
+    // prev-release after round 1 walks this plan down to the node
+    // table's LogicalRDD and frees those blocks exactly when the last
+    // consumer is done with them
     var ranks = nodes
       .select(col("node"), col("__seed"), col("__out"),
         when(col("__seed"), lit(perSeed)).otherwise(lit(0L)).as("rank"))
-      .localCheckpoint()
     try {
       (1 to iterations).foreach { _ =>
         // dangling mass: filter+sum over the checkpointed rank frame —
