@@ -526,22 +526,34 @@ private[operators] trait QualityOps { self: Pipeline.type =>
     val ref = reference
       .select(col(langCol).as("lang"), toks(col(textCol)).as("ws"))
       .filter(size(col("ws")) > 0)
-    // orders 1..3 in ONE union-explode pass; tokens cannot contain
-    // whitespace, so gram strings of different orders never collide
-    // and one (lang, gram) table serves every order
-    val gramRows = (1 to 3).map { n =>
-      ref.select(col("lang"), explode(
+    // orders 1..3 in ONE explode pass (r19: the old per-order unionAll
+    // re-tokenized and re-scanned the reference once per order, and the
+    // (N, V) stats pass was a fourth scan — 4 reference passes for one
+    // model build): each row emits its n=1..3 gram arrays concatenated;
+    // tokens cannot contain whitespace, so gram strings of different
+    // orders never collide and one (lang, gram) table serves every
+    // order, with the order recoverable as the gram's space count
+    val gramRows = ref.select(col("lang"), explode(flatten(array(
+      (1 to 3).map(n =>
         when(size(col("ws")) >= n,
           transform(sequence(lit(1), size(col("ws")) - (n - 1)),
             i => array_join(slice(col("ws"), i, lit(n)), " ")))
-          .otherwise(array().cast(ArrayType(StringType)))).as("g"))
-    }.reduce(_ unionAll _)
-    val counts = gramRows.groupBy(col("lang"), col("g"))
+          .otherwise(array().cast(ArrayType(StringType)))): _*))).as("g"))
+    // the pre-prune count table feeds both the model and the (N, V)
+    // stats — persisted because it is VOCABULARY-bounded (it IS the
+    // model CCNet ships), so two consumers must not re-run the
+    // token-scale explode+agg; same clearCache contract as p02
+    val counts0 = gramRows.groupBy(col("lang"), col("g"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-    val stats = ref.select(col("lang"), explode(col("ws")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = counts0.filter(col("cnt") >= minCount)
+    // N = total unigram occurrences, V = distinct unigrams — read off
+    // the unigram rows (no space) of the count table instead of a
+    // separate corpus pass; identical by construction to the old
+    // explode+countDistinct over the reference tokens
+    val stats = counts0.filter(!col("g").contains(" "))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("ntok"), countDistinct(col("w")).as("vsize"))
+      .agg(sum(col("cnt")).as("ntok"), count(lit(1)).as("vsize"))
     // map-side melt: each position emits its needed gram keys (null
     // where the position has no such context), joined ONCE
     val docs = corpus

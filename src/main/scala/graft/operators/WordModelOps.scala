@@ -247,7 +247,15 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
     * __p). */
   private def knBigramScoredPairs(reference: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, discount: Double): DataFrame = {
+    // model persisted AT THE CONSUMER (r19): the three lookup arms
+    // (pairs, λ, P_cont) each re-derive the model's post-shuffle join
+    // chain — exchange reuse dedups the underlying shuffles but not
+    // the joins above them. The model is bigram-type-bounded. Inside
+    // knTrigramModel/knBigramModel themselves a persist measurably
+    // HURT the model-only gates (p97: 0.89 → 1.52 s), so the builders
+    // stay persist-free. Same clearCache contract as p02.
     val model = knBigramModel(reference, textCol, discount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = model.select(col("w1"), col("w2"), col("p_kn"))
     val lam = model.select(col("w1"), col("lambda")).distinct()
     val cont = model.select(col("w2"), col("p_cont")).distinct()
@@ -364,6 +372,12 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
       s"discount must be in (0,1), got $discount")
     val ws = corpus
       .select(array_remove(words(col(textCol)), "").as("ws"))
+    // NOT persisted (r19 measurement): the fan-out (final join, ctx3,
+    // bt and bt's own consumers) is already served by Spark's exchange
+    // reuse — every arm reads the ONE materialized shuffle of the
+    // trigram partial agg — and an explicit persist on top measurably
+    // HURT (p97 min-of-5 at sf0.1: 0.89 s unpersisted vs 1.52 s
+    // persisted; the cache write is pure overhead).
     val tc = ws.filter(size(col("ws")) >= 3)
       .select(explode(transform(sequence(lit(1), size(col("ws")) - 2),
         i => struct(element_at(col("ws"), i).as("w1"),
@@ -432,7 +446,10 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
   def knTrigramScore(reference: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
+    // model persisted at the consumer — five lookup arms; see the
+    // knBigramScoredPairs note (builders stay persist-free: p97)
     val model = knTrigramModel(reference, textCol, discount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d = lit(discount)
     val m3 = model.select(col("w1"), col("w2"), col("w3"), col("p_kn"))
     val lam3 = model.select(col("w1"), col("w2"),
