@@ -37,7 +37,25 @@ private[operators] trait SketchOps { self: Pipeline.type =>
       depth: Int, width: Int): DataFrame = {
     require(depth >= 1, s"depth must be >= 1, got $depth")
     require(width >= 1, s"width must be >= 1, got $width")
-    val cells = cmsCells(corpus, textCol, depth, width)
+    // batch cell pass counts words FIRST and hashes each DISTINCT word
+    // once, weighting its cells by the count (r19): md5 work drops
+    // from occurrence-scale to vocabulary-scale, and a gate/caller
+    // that also computes exact term frequencies shares the word-count
+    // shuffle via exchange reuse. Identical cells by associativity:
+    // sum over grouped occurrences = count over occurrences. The
+    // streaming twin keeps the single-aggregation [[cmsCells]] shape
+    // (two chained aggregations are unsupported in a stream); both
+    // paths share the ONE [[doubleHashPositions]] arithmetic, and the
+    // stream ≡ batch pin certifies they cannot drift.
+    val cells = corpus
+      .filter(col(textCol).isNotNull)
+      .select(explode(array_remove(words(col(textCol)), "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__wc"))
+      .select(col("__wc"),
+        posexplode(doubleHashPositions(col("__w"), depth, width))
+          .as(Seq("__j", "__pos")))
+      .groupBy(col("__j"), col("__pos"))
+      .agg(sum(col("__wc")).as("__c"))
     cells
       .groupBy(col("__j"))
       .agg(map_from_entries(collect_list(
