@@ -338,13 +338,29 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .join(txt.as("ta"), col("da") === col("ta.__tid"))
       .join(txt.as("tb"), col("db") === col("tb.__tid"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        levenshtein(col("ta.__txt"), col("tb.__txt")).cast(LongType)
-          .as("dist"),
+        // THRESHOLDED Levenshtein (r19): banded DP, O(len·t) per pair
+        // instead of the full O(len²) matrix over document texts. The
+        // per-row threshold ceil((1−minSim)·maxLen)+1 over-covers the
+        // admission bound by a full edit, so every pair the original
+        // double-arithmetic sim filter could admit gets its EXACT
+        // distance (the 3-arg function is exact at or under the
+        // threshold); pairs past it return -1 with sim pushed far
+        // below minSim (≤ minSim − 1/maxLen, orders beyond any IEEE
+        // wobble) — the admitted pair set, their dist and sim are
+        // bit-identical to the unthresholded spelling.
+        call_function("levenshtein", col("ta.__txt"), col("tb.__txt"),
+          (ceil((lit(1.0) - lit(minSim)) *
+            greatest(length(col("ta.__txt")), length(col("tb.__txt")))
+              .cast(DoubleType)) + 1).cast(IntegerType))
+          .cast(LongType).as("dist"),
         length(col("ta.__txt")).cast(LongType).as("len_a"),
         length(col("tb.__txt")).cast(LongType).as("len_b"))
       .withColumn("sim", lit(1.0) - col("dist").cast(DoubleType) /
         greatest(col("len_a"), col("len_b")).cast(DoubleType))
-      .filter(col("sim") >= minSim)
+      // dist >= 0 first: the -1 over-threshold sentinel would read as
+      // sim > 1 in the formula; such pairs are exactly the ones the
+      // unthresholded spelling scored below minSim
+      .filter(col("dist") >= 0 && col("sim") >= minSim)
   }
 
   /** Containment-verified near-duplicate pairs (Broder '97: C(A→B) =
@@ -443,6 +459,11 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       // STRICT `<`, which also dropped duplicate-id pairs — keep that
       // exact semantics (near-free filter: only fires on dup ids)
       .filter(col("a.__rid") =!= col("b.__rid"))
+      // exact length prefilter: dist >= |len(a) - len(b)|, so pairs
+      // further apart than maxDist can never survive — an int compare
+      // that skips the DP entirely on skewed-length fields (NULL
+      // fields drop here exactly as their NULL distance dropped them)
+      .filter(abs(length(col("a.__f")) - length(col("b.__f"))) <= maxDist)
       .select(blockCols.map(n => col("__blk").getField(n).as(n)) ++ Seq(
         col("a.__rid").as("id_a"), col("b.__rid").as("id_b"),
         // thresholded Levenshtein (banded DP, O(len·maxDist) per pair
