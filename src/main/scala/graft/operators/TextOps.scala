@@ -1704,8 +1704,14 @@ private[operators] trait TextOps { self: Pipeline.type =>
     QueryDef(
       "m08_image_scrub",
       (s, d) => {
+        // persisted (r19): both parity sides re-run the opaque
+        // render+decode+pHash lineage (the parity filter cannot push
+        // below a typed mapPartitions) — one decode instead of two;
+        // measured neutral at sf0.1, kept for the decode-once scale
+        // shape. clearCache contract as p02.
         val hs = Multimodal.imagePerceptualHash(
           Multimodal.imageRecordsPatterned(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Multimodal.imageNeardupAgainstCorpus(
           hs.filter(col("doc_id") % 2 === 0),
           hs.filter(col("doc_id") % 2 === 1), tau = 3)
@@ -1734,8 +1740,14 @@ private[operators] trait TextOps { self: Pipeline.type =>
     QueryDef(
       "m10_image_bloom_gate",
       (s, d) => {
+        // persisted (r19): hs feeds both the Bloom build (ref side)
+        // and the probe side — a typed render+decode+pHash lineage
+        // with no exchange for reuse to dedup, so each arm re-decoded
+        // every image (the m11/m07 fix applied at this gate's level;
+        // same clearCache contract as p02)
         val hs = Multimodal.imagePerceptualHash(
           Multimodal.imageRecordsPatterned(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Multimodal.imageFlagAgainstBloom(hs,
           Multimodal.imageBloomBuild(hs.filter(col("doc_id") % 3 === 0),
             mBits = 4096, k = 3),
