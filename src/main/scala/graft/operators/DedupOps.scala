@@ -184,6 +184,11 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         (col("n_agree").cast(DoubleType) / k).as("est"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .withColumn("abs_err", abs(col("est") - col("jaccard")))
+      // persisted (r19): the report row set feeds both the MAE
+      // aggregate and the output — candidate-bounded by construction,
+      // so one evaluation of the four-join verify chain instead of
+      // two. clearCache contract as p02.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mae = scored.agg(graft.QueryDef.davg(col("abs_err")).as("mae"))
     scored.crossJoin(broadcast(mae))
   }
@@ -305,6 +310,11 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         (col("n_agree").cast(DoubleType) / n).as("est"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .withColumn("abs_err", abs(col("est") - col("jaccard")))
+      // persisted (r19): the report row set feeds both the MAE
+      // aggregate and the output — candidate-bounded by construction,
+      // so one evaluation of the four-join verify chain instead of
+      // two. clearCache contract as p02.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mae = scored.agg(graft.QueryDef.davg(col("abs_err")).as("mae"))
     scored.crossJoin(broadcast(mae))
   }
