@@ -184,11 +184,6 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         (col("n_agree").cast(DoubleType) / k).as("est"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .withColumn("abs_err", abs(col("est") - col("jaccard")))
-      // persisted (r19): the report row set feeds both the MAE
-      // aggregate and the output — candidate-bounded by construction,
-      // so one evaluation of the four-join verify chain instead of
-      // two. clearCache contract as p02.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mae = scored.agg(graft.QueryDef.davg(col("abs_err")).as("mae"))
     scored.crossJoin(broadcast(mae))
   }
@@ -310,11 +305,6 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         (col("n_agree").cast(DoubleType) / n).as("est"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .withColumn("abs_err", abs(col("est") - col("jaccard")))
-      // persisted (r19): the report row set feeds both the MAE
-      // aggregate and the output — candidate-bounded by construction,
-      // so one evaluation of the four-join verify chain instead of
-      // two. clearCache contract as p02.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mae = scored.agg(graft.QueryDef.davg(col("abs_err")).as("mae"))
     scored.crossJoin(broadcast(mae))
   }
@@ -3224,7 +3214,9 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         multimodalNeardupPairs(
           minhashNeardupPairs(T.documents(s, d), "doc_id", "text"),
           M.imageNeardupPairs(
-            M.imagePerceptualHash(M.imageRecordsPatterned(s, d)), tau = 3))
+            M.imagePerceptualHash(M.imageRecordsPatterned(s, d))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+            tau = 3))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""

@@ -415,12 +415,9 @@ object Multimodal {
     require(tau >= 0 && tau <= 3,
       s"tau must be in [0, 3] (one shared 16-bit band is guaranteed " +
         s"only up to hamming 3), got $tau")
-    // persisted (r19): three plan arms (band index + both verify
-    // sides) over a lineage that decodes and perceptually hashes every
-    // image — the same single-decode fix as audioNeardupPairs; the
-    // cached (doc_id, 4×16-bit bands) rows are the lightweight proxy.
+    // NOT persisted here — see audioNeardupPairs: callers own
+    // decode-once (CLI localCheckpoint / gate persist).
     val df = hashes.toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = df.select(col("doc_id"), explode(array(
       (0 until 4).map(k =>
         struct(lit(k).as("band"), col(s"b$k").as("v"))): _*)).as("bk"))
@@ -607,15 +604,13 @@ object Multimodal {
     import org.apache.spark.sql.functions._
     require(tau >= 0, s"tau must be >= 0, got $tau")
     require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
-    // persisted (r19): the fingerprint frame feeds THREE plan arms
-    // (the block index and both verify sides), and its lineage is the
-    // expensive part of the whole operator — a per-row decode +
-    // window-energy fingerprint over the raw audio. Without the
-    // persist every arm re-decoded the corpus; the cached rows are the
-    // lightweight proxy (doc_id, n_windows, fp bit string), tiny next
-    // to the audio bytes. Same clearCache contract as p02.
+    // NOT persisted here: the frame feeds three plan arms, but the
+    // operator must leave no cached blocks behind (the no-leak spec
+    // contract); callers own decode-once — the phash/audio CLIs
+    // localCheckpoint their fingerprint frame with managed release,
+    // and the m11/m07/p135 gates persist under the bench clearCache
+    // contract.
     val df = fps.toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = df
       .filter(length(col("fp")) >= blockLen)
       .select(col("doc_id"), explode(transform(

@@ -1675,8 +1675,13 @@ private[operators] trait TextOps { self: Pipeline.type =>
     QueryDef(
       "m07_image_neardup",
       (s, d) =>
+        // persist: the operator fans the hash frame over three arms
+        // and its lineage decodes every image (decode-once is the
+        // caller's job — the CLI localCheckpoints; gates persist
+        // under the bench clearCache contract)
         Multimodal.imageNeardupPairs(
-          Multimodal.imagePerceptualHash(Multimodal.imageRecordsPatterned(s, d)),
+          Multimodal.imagePerceptualHash(Multimodal.imageRecordsPatterned(s, d))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
           tau = 3)
           .orderBy(col("doc_a"), col("doc_b")),
       Some("WITH " + ImagePHashOracleSql + """
@@ -1798,7 +1803,8 @@ private[operators] trait TextOps { self: Pipeline.type =>
       "m11_audio_neardup",
       (s, d) =>
         Multimodal.audioNeardupPairs(
-          Multimodal.audioFingerprint(Multimodal.audioRecordsFamilies(s, d)),
+          Multimodal.audioFingerprint(Multimodal.audioRecordsFamilies(s, d))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
           tau = 2)
           .orderBy(col("doc_a"), col("doc_b")),
       Some("""
