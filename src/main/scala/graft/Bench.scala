@@ -27,6 +27,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Scaling signal (r20, VERDICT r19 item 2 — additions-only): at
+    // sf0.1 every query is fixed-cost-dominated, so the driver's
+    // 8-vs-32-core wall-clock ratio measures nothing and its
+    // suspect_cpus_ignored heuristic fires. Record what the wall clock
+    // cannot show: the PEAK number of concurrently running tasks and
+    // the total task count per timed query (a SparkListener counter —
+    // peak ≈ cpus on the heavy gates proves the bench truly runs wider
+    // at higher SPARK_GRAFT_CPUS even when elapsed time cannot).
+    val concRunning = new java.util.concurrent.atomic.AtomicInteger(0)
+    val concPeak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val concTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(
+            t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+          val r = concRunning.incrementAndGet()
+          concTasks.incrementAndGet()
+          concPeak.getAndAccumulate(r, (a: Int, b: Int) => math.max(a, b))
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          concRunning.decrementAndGet()
+      })
+    // per-query max over its timed runs: (peak concurrent tasks, tasks)
+    val concByQuery =
+      collection.mutable.Map.empty[String, (Int, Int)]
 
     // `all` medians-of-3 the whole suite; named args time just those;
     // no args = headline medians + a single-shot full sweep (below)
@@ -60,6 +86,12 @@ object Bench {
     // median and reported in a "failures" key (ADVICE r04: a silent
     // time-to-failure skewed the median with no marker in the JSON).
     def timedRun(name: String): Option[Double] = {
+      // the listener bus is async, so a previous query's stragglers can
+      // leak into this window — the signal is advisory (peak can only
+      // be slightly over-read, never under), which is all the scaling
+      // block needs
+      concPeak.set(concRunning.get())
+      concTasks.set(0)
       val t0 = System.nanoTime()
       val ok =
         try { qmap(name)(spark, sfDir).count(); true }
@@ -67,7 +99,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e"); false }
       val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
       spark.catalog.clearCache()
-      if (ok) Some(elapsed) else None
+      if (ok) {
+        val prev = concByQuery.getOrElse(name, (0, 0))
+        concByQuery(name) = (math.max(prev._1, concPeak.get()),
+          math.max(prev._2, concTasks.get()))
+        Some(elapsed)
+      } else None
     }
 
     val firstPass = names.map(name => name -> (1 to 3).flatMap(_ => timedRun(name)))
@@ -177,7 +214,25 @@ object Bench {
     // sfDir comes from an env var — escape it (a quote or backslash in
     // the path would make both JSON lines unparseable and zero the round)
     val sfJson = Verify.jsonEscape(sfDir)
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full":$fullJson,"full_total":$fullTotal,"failures":$failures,"partial":$partial,"inflated":$inflatedJson,"load_factor":$lfJson,"sf":$sfJson}"""
+    val amortizedJson = Amortized.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // [peak concurrent tasks, total tasks] per timed query — the
+    // scaling signal (see the listener above); fullLine/raw file only,
+    // so the tail-safe compact line stays small
+    val concJson = concByQuery.toSeq.sortBy(_._1)
+      .map { case (k, (p, t)) => "\"" + k + "\":[" + p + "," + t + "]" }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full":$fullJson,"full_total":$fullTotal,"failures":$failures,"partial":$partial,"inflated":$inflatedJson,"load_factor":$lfJson,"amortized":$amortizedJson,"max_conc":$concJson,"sf":$sfJson}"""
+    // RAW capture persisted to its own file (VERDICT r19 "what's wrong
+    // #2"): the driver's stdout tail capture truncated the 217-key raw
+    // full map two rounds running; BENCH_full.json holds the MIN-MERGED
+    // history (monotone by construction — useless for spotting
+    // regressions), so the honest per-round measurement needs its own
+    // artifact. Default (full) runs only, like the history writes.
+    if (args.isEmpty) try
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_raw.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_raw.json: $e") }
     // The driver's artifact capture keeps only a fixed-size TAIL of
     // stdout; in r7 the full line outgrew it and the headline maps were
     // truncated away (parsed: null). Defend both ways: persist the full
@@ -254,9 +309,25 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench history: $e") }
     println(fullLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full_total":$fullTotal,"failures":$failures,"partial":$partial,"inflated":$inflatedJson,"load_factor":$lfJson,"sf":$sfJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"full_total":$fullTotal,"failures":$failures,"partial":$partial,"inflated":$inflatedJson,"load_factor":$lfJson,"amortized":$amortizedJson,"sf":$sfJson}""")
     spark.stop()
   }
+
+  /** Gates whose timed number EXCLUDES a train-once/serve-many build
+    * that lands in a per-JVM memo on the warm pass (componentsMemo:
+    * p25/p30/p31/p33/p34/p75/p140; ivfPqMemo: p37/p40-p42/p54/p55/p71;
+    * semAssignMemo: p66). The memos deliberately survive the per-run
+    * clearCache (each family keeps a standalone gate pricing the full
+    * build — p02, p21/p36, p42's residual chain), but the bench JSON
+    * must SAY which numbers are amortized so a reader never compares
+    * p25's serve-path 0.04 s to p02's full-build 1.0 s as like-for-like
+    * (VERDICT r19 item 7). */
+  val Amortized: Seq[String] = Seq(
+    "p25_dedup_components", "p30_collapse_neardups",
+    "p31_leakage_safe_split", "p33_dedup_report", "p34_dedup_suite",
+    "p37_ivf_trained", "p40_pq_adc", "p41_ivfpq", "p42_ivfpq_residual",
+    "p54_ivfsq", "p55_ivfsq_residual", "p66_semdedup", "p71_ivfpq_refine",
+    "p75_dedup_ladder", "p140_collapse_best")
 
   /** Median over successful run times; -1 when none succeeded. Even
     * counts average the two middle values (ADVICE r05). */

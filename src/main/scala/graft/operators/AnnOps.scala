@@ -189,17 +189,22 @@ private[operators] trait AnnOps { self: Pipeline.type =>
       .select(explode(col("ids")).as("vec_id"), col("rids"))
       .select(col("vec_id"), explode(col("rids")).as("ref_id"))
       .distinct()
-    val candN = nd
-      .join(pairs.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
-      .select(col("vec_id"), col("embedding").as("ea"), col("n2").as("n2a"))
-      .repartition(col("vec_id"))
-    val candR = rd
-      .join(pairs.select(col("ref_id")).distinct(), Seq("ref_id"), "left_semi")
-      .select(col("ref_id"), col("embedding").as("eb"), col("n2").as("n2b"))
-      .repartition(col("ref_id"))
+    // vector fetch = the inner joins themselves (r20): the old shape
+    // pre-filtered each side with a semi-join against `pairs` and
+    // repartitioned before joining again — but an inner join on the id
+    // IS that filter, and each semi-join arm re-evaluated the whole
+    // bucket-join `pairs` plan (a typed/aggregated lineage with
+    // different column pruning per arm, so exchange reuse never
+    // unified them: the r20 before-plan evaluates `pairs` THREE times
+    // and shuffles each corpus side twice). One pairs evaluation, one
+    // shuffle per side (guide §1.2/§2.4); candidate-subset fetching is
+    // unchanged — non-candidate rows die in the join exactly as they
+    // died in the semi-join.
     pairs
-      .join(candN, Seq("vec_id"))
-      .join(candR, Seq("ref_id"))
+      .join(nd.select(col("vec_id"), col("embedding").as("ea"),
+        col("n2").as("n2a")), Seq("vec_id"))
+      .join(rd.select(col("ref_id"), col("embedding").as("eb"),
+        col("n2").as("n2b")), Seq("ref_id"))
       .select(col("vec_id"), col("ref_id"),
         cosine(dot(col("ea"), col("eb")), col("n2a"), col("n2b"))
           .as("cos_sim"))
@@ -430,21 +435,24 @@ private[operators] trait AnnOps { self: Pipeline.type =>
       maxDfFraction: Option[Double] = Some(0.5),
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = true): DataFrame = {
-    val posts = bm25Postings(corpus, idCol, textCol, k1, b)
     // fast path vs the generic capPostingsByDfFraction: every
     // bm25Postings row already CARRIES its term's df, so the cap is a
-    // plain filter against one broadcast single-row doc count — no
-    // second per-term aggregate, no anti-join. Same semantics (a term
-    // with df > fraction·n drops; survivors' weights untouched).
+    // plain filter against the doc count — no second per-term
+    // aggregate, no anti-join. Same semantics (a term with
+    // df > fraction·n drops; survivors' weights untouched). The doc
+    // count rides the postings' own one-row stats broadcast (`__n`,
+    // see [[bm25PostingsImpl]]) instead of a countDistinct over the
+    // postings output, which re-evaluated the entire postings plan a
+    // second time (r19 plans: the whole scan+explode+join tree
+    // duplicated for one scalar).
     val capped = maxDfFraction match {
       case Some(f) =>
         require(f > 0 && f <= 1,
           s"maxDfFraction must be in (0, 1], got $f")
-        val n = posts.select(countDistinct(col("doc_id")).as("__n"))
-        posts.crossJoin(broadcast(n))
+        bm25PostingsImpl(corpus, idCol, textCol, k1, b, withDocCount = true)
           .filter(col("df").cast(DoubleType) <=
             col("__n").cast(DoubleType) * f)
-      case None => posts
+      case None => bm25Postings(corpus, idCol, textCol, k1, b)
     }
     sparseTopK(capped.select(col("doc_id"), col("term"), col("weight")),
       queries, k = k, excludeSelf = excludeSelf)
@@ -599,7 +607,21 @@ private[operators] trait AnnOps { self: Pipeline.type =>
     * so DuckDB replays them bit-for-bit. Output: (doc_id, term, tf,
     * dl, df, weight). */
   def bm25Postings(corpus: DataFrame, idCol: String, textCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25PostingsImpl(corpus, idCol, textCol, k1, b, withDocCount = false)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
+        col("weight"))
+
+  /** [[bm25Postings]] body, shared with [[bm25Retrieval]]. With
+    * `withDocCount` the output additionally carries `__n` =
+    * countDistinct(doc_id) — the df-cap denominator — replicated onto
+    * every row via the SAME one-row stats broadcast, so the front
+    * door's cap costs no extra pass (r19's cap re-evaluated the whole
+    * postings plan — scan+explode+joins — just to count docs; the
+    * r20 before-plans show that tree duplicated wholesale). */
+  private def bm25PostingsImpl(corpus: DataFrame, idCol: String,
+      textCol: String, k1: Double, b: Double,
+      withDocCount: Boolean): DataFrame = {
     require(k1 >= 0, s"k1 must be >= 0, got $k1")
     require(b >= 0 && b <= 1, s"b must be in [0,1], got $b")
     val base = corpus
@@ -611,9 +633,32 @@ private[operators] trait AnnOps { self: Pipeline.type =>
       .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val stats = base.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
-    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // countDistinct(doc_id) over base ≡ the cap's old
+    // countDistinct(doc_id) over the postings (a doc appears in the
+    // postings iff dl > 0), but it rides the one-row stats aggregate
+    // instead of a second evaluation of the whole postings plan. Only
+    // computed when the caller needs the cap: the distinct agg adds a
+    // doc-keyed partial-agg shuffle the plain postings path shouldn't
+    // pay.
+    val stats =
+      if (withDocCount)
+        base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+          countDistinct(col("doc_id")).as("__n"))
+      else base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // df counts tf's rows per term; count(when(tf >= 0, tf)) ≡
+    // count(lit(1)) (tf is a count: ≥ 1 and never NULL) but REFERENCING
+    // the tf column stops column pruning from stripping the partial
+    // count out of the df arm's copy of the tf aggregate — with it
+    // stripped the two arms' exchange subtrees differ and the
+    // scan+tokenize+explode ran TWICE (the r20 before-plans); with it
+    // kept the df arm reuses the tf arm's exchange (guide §2.4: two
+    // operations keyed the same way share one exchange). The bare
+    // count(col("tf")) is NOT enough: NullPropagation rewrites a count
+    // of a non-nullable column back to count(1), re-enabling the
+    // pruning — the otherwise-less `when` is nullable, which blocks
+    // that rewrite while never actually producing a NULL.
+    val dfTab = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 0, col("tf"))).as("df"))
     val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
     val idf = round(log(lit(1.0) +
       (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType)
@@ -621,10 +666,12 @@ private[operators] trait AnnOps { self: Pipeline.type =>
     val ratio = col("tf").cast(DoubleType) * (lit(k1) + lit(1.0)) /
       (col("tf").cast(DoubleType) + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * col("dl").cast(DoubleType) / avgdl))
+    val outCols = Seq(col("doc_id"), col("term"), col("tf"), col("dl"),
+      col("df"), round(idf * ratio, 9).as("weight")) ++
+      (if (withDocCount) Seq(col("__n")) else Nil)
     tf.join(dfTab, Seq("term"))
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
-        round(idf * ratio, 9).as("weight"))
+      .select(outCols: _*)
   }
 
   /** AnnOps QueryDefs — registered through [[Pipeline.queries]];

@@ -344,10 +344,13 @@ private[operators] trait DedupOps { self: Pipeline.type =>
         // admission bound by a full edit, so every pair the original
         // double-arithmetic sim filter could admit gets its EXACT
         // distance (the 3-arg function is exact at or under the
-        // threshold); pairs past it return -1 with sim pushed far
-        // below minSim (≤ minSim − 1/maxLen, orders beyond any IEEE
-        // wobble) — the admitted pair set, their dist and sim are
-        // bit-identical to the unthresholded spelling.
+        // threshold); pairs past it return the -1 sentinel, which the
+        // sim formula turns into sim = 1 + 1/maxLen — ABOVE any
+        // minSim, so the `dist >= 0` predicate below is the
+        // load-bearing exclusion of those pairs (do not drop or
+        // reorder it). Every excluded pair is one the unthresholded
+        // spelling scored below minSim, so the admitted pair set,
+        // their dist and sim are bit-identical to it.
         call_function("levenshtein", col("ta.__txt"), col("tb.__txt"),
           (ceil((lit(1.0) - lit(minSim)) *
             greatest(length(col("ta.__txt")), length(col("tb.__txt")))
@@ -568,21 +571,25 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       .select(explode(col("docs")).as("doc_id"), col("rdocs"))
       .select(col("doc_id"), explode(col("rdocs")).as("ref_id"))
       .distinct()
-    // candidate-subset shingle arrays per side (see minhashCandidates
-    // for the ReusedExchange rationale behind the repartition)
-    val candNew = newDocs
-      .join(pairs.select(col("doc_id")).distinct(), Seq("doc_id"),
-        "left_semi")
-      .select(col("doc_id"), shingleHashes(col("ws")).as("xs_a"))
-      .repartition(col("doc_id"))
-    val candRef = refDocs
-      .join(pairs.select(col("ref_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("ref_id"), shingleHashes(col("ws")).as("xs_b"))
-      .repartition(col("ref_id"))
+    // verify = the inner joins themselves (r20): the old shape
+    // semi-joined each side against `pairs` and repartitioned before
+    // joining again — but an inner join on the id IS that filter, and
+    // unlike the WITHIN-corpus minhashCandidates (where the candidate
+    // frame feeds two verify arms and the repartition's exchange is
+    // genuinely ReusedExchange'd), each cross-corpus candidate frame
+    // feeds exactly ONE arm, so the semi bought no reuse while its
+    // candIds arm re-evaluated the whole bucket-join `pairs` plan —
+    // the r20 before-plan evaluates `pairs` THREE times (16 scans,
+    // zero ReusedExchange). shingleHashes sits ABOVE the join, so only
+    // candidate rows are hashed, exactly as before.
     pairs
-      .join(candNew, Seq("doc_id"))
-      .join(candRef, Seq("ref_id"))
+      .join(newDocs.select(col("doc_id"), col("ws").as("__wa")),
+        Seq("doc_id"))
+      .join(refDocs.select(col("doc_id").as("ref_id"),
+        col("ws").as("__wb")), Seq("ref_id"))
+      .select(col("doc_id"), col("ref_id"),
+        shingleHashes(col("__wa")).as("xs_a"),
+        shingleHashes(col("__wb")).as("xs_b"))
       .select(col("doc_id"), col("ref_id"),
         size(array_intersect(col("xs_a"), col("xs_b")))
           .cast(DoubleType).as("c"),
@@ -1238,13 +1245,30 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     // because a hash collision would silently merge two grams and break
     // the exactness contract).
     val GidBuckets = 4096
+    // dictionary-size advisory (r20, VERDICT r19): the dictionary is
+    // force-broadcast below, and a broadcast relation hard-caps at
+    // 8 GB / 512M rows — an over-cap dictionary (CJK-extreme gram
+    // spaces with a loose dfCap) would otherwise fail deep inside the
+    // broadcast build with a driver OOM. Fail FAST and actionably
+    // instead: the per-bucket rank already exists for gid assignment,
+    // and buckets are hash-balanced, so rank > DictMaxPerBucket ≈
+    // 16384 means the dictionary passed ~67M rows (× ~60 framed bytes
+    // ≈ 4 GB — the loud side of safe). One integer compare per
+    // dictionary row; fixture-scale dictionaries sit 4 orders below.
+    val DictMaxPerBucket = 16384
+    val rank = row_number().over(Window.partitionBy(col("__b"))
+      .orderBy(groupCols.map(col) :+ col("tri"): _*))
     val dfTab = tri0.groupBy(grp :+ col("tri"): _*)
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .withColumn("__b", pmod(hash(grp :+ col("tri"): _*), lit(GidBuckets)))
       .withColumn("gid",
-        row_number().over(Window.partitionBy(col("__b"))
-          .orderBy(groupCols.map(col) :+ col("tri"): _*))
+        when(rank > DictMaxPerBucket, raise_error(lit(
+          s"ngramJaccardPairs: the df-capped gram dictionary exceeds " +
+            s"~${GidBuckets.toLong * DictMaxPerBucket / 1000000}M rows — " +
+            "past the forced-broadcast advisory. Tighten dfCap or add " +
+            "groupCols so the dictionary stays broadcastable.")))
+          .otherwise(rank)
           .cast("long") * GidBuckets + col("__b"))
       .drop("__b")
     // FORCED broadcast of the gram dictionary (r19): left to its size
@@ -1255,9 +1279,10 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     // bounded by charset^n per group (guide §3.1: size estimates after
     // aggregations are unreliable; hint the side you KNOW is small).
     // The dictionary is df-capped and charset-bounded, the corpus side
-    // never is; a dictionary past the 8 GB broadcast cap (CJK-extreme
-    // gram spaces) needs a tighter dfCap/grouping anyway — the
-    // localDictMax stance.
+    // never is; a dictionary approaching the 8 GB broadcast cap
+    // (CJK-extreme gram spaces) fails FAST on the DictMaxPerBucket
+    // advisory above with an actionable error instead of degrading
+    // into a broadcast-build driver OOM.
     val tri = tri0.join(broadcast(dfTab), groupCols :+ "tri")
     // per-doc set in the GLOBAL canonical order prefix filtering
     // requires: rarest first, df asc with gid as the tie-break — any

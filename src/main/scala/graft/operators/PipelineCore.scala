@@ -36,8 +36,22 @@ private[operators] trait PipelineCore { self: Pipeline.type =>
     // streaming frames have no planned partition count to inspect (and
     // their micro-batch parallelism is the source's business) — no-op
     if (df.isStreaming) return df
+    // LAZINESS GUARD (ADVICE r19 medium): with AQE on, `.rdd` on a plan
+    // containing exchanges forces getFinalPhysicalPlan — every upstream
+    // shuffle stage RUNS at DataFrame-construction time, its jobs are
+    // thrown away, and the real action re-runs them. So inspect the
+    // NON-adaptive physical plan first (planning only, no jobs): a
+    // shuffle-derived input already carries the session's shuffle
+    // parallelism and needs no fan-out; only an exchange-free plan
+    // (scan / localCheckpoint — every in-repo caller) may consult
+    // `.rdd`, where AQE has no stages to materialize and the call
+    // stays lazy.
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    val hasExchange = df.queryExecution.sparkPlan.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isDefined
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
 

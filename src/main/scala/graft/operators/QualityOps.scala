@@ -515,8 +515,12 @@ private[operators] trait QualityOps { self: Pipeline.type =>
     * per-doc sum runs through the decimal accumulator
     * ([[graft.QueryDef.davg]], order-free), and the ntile order has a
     * doc-id tiebreak — so scores, ppl and buckets replay bit-for-bit
-    * in the oracle. Output: (idCol, lang, n_tokens, logprob_avg, ppl,
-    * bucket). */
+    * in the oracle. CACHE CONTRACT: the vocabulary-bounded count table
+    * is persisted inside the operator (it feeds both the model and the
+    * (N, V) stats) and stays cached in the session after the action —
+    * long-lived library sessions release it with
+    * `spark.catalog.clearCache()` between batches. Output: (idCol,
+    * lang, n_tokens, logprob_avg, ppl, bucket). */
   def lmPerplexity(reference: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, langCol: String,
       alpha: Double = 0.4, minCount: Long = 1L): DataFrame = {

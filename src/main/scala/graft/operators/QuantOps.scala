@@ -806,15 +806,19 @@ private[operators] trait QuantOps { self: Pipeline.type =>
             ceil(col("__n") / lit(clusterCap.toDouble)).cast(IntegerType))))
     // the ONLY pairing shuffle: both sides hash-partitioned on the
     // (cluster, sub-block) key; va < vb halves the work and orients
-    // every pair
+    // every pair. √n2 is hoisted BELOW the join (one sqrt per row,
+    // map-side, riding the assign frame's n2) so the per-pair kernel
+    // is one dot product + one multiply + one divide — sqrt of the
+    // same double per pair gave bit-identical cos_sim, just recomputed
+    // pair-many times (r20; guide §1.2 per-task work).
     val a = blocked.select(col("cl"), col("__sub"), col("vec_id").as("va"),
-      col("embedding").as("ea"), col("n2").as("n2a"))
+      col("embedding").as("ea"), sqrt(col("n2")).as("__sna"))
     val b = blocked.select(col("cl"), col("__sub"), col("vec_id").as("vb"),
-      col("embedding").as("eb"), col("n2").as("n2b"))
+      col("embedding").as("eb"), sqrt(col("n2")).as("__snb"))
     val pairs = a.join(b, Seq("cl", "__sub"))
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb"),
-        cosine(dot(col("ea"), col("eb")), col("n2a"), col("n2b"))
+        (dot(col("ea"), col("eb")) / (col("__sna") * col("__snb")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= tau)
     // duplicate groups are transitive closures WITHIN a cluster (pairs

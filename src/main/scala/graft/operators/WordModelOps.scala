@@ -231,14 +231,18 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
     * portable recipe), so the whole chain replays bit-for-bit.
     * Scale shape: the model's three lookup tables are vocab-sized or
     * smaller — bigram rows join on their pair key (shuffle under AQE,
-    * the p65 precedent), λ and P_cont broadcast. The lookup arms
-    * re-derive the model plan rather than pinning blocks: the model
-    * builds from the REFERENCE (typically orders of magnitude smaller
-    * than the scored corpus), so a ≤3× recompute of the small side
-    * beats carrying a checkpoint lifecycle; callers scoring many
-    * corpora against one reference should persist the model frame
-    * themselves. Output: (doc_id, n_pairs, n_seen, n_backoff, n_oov,
-    * logprob_avg); docs with fewer than 2 words carry no row. */
+    * the p65 precedent), λ and P_cont broadcast. CACHE CONTRACT
+    * (r19/r20): the (reference-bounded) model frame is persisted
+    * inside the operator — the three lookup arms would otherwise each
+    * re-derive its join chain — and the blocks stay cached in the
+    * session after the action (there is no per-call handle to return
+    * without changing the output type). Long-lived library sessions
+    * that score many batches should call
+    * `spark.catalog.clearCache()` between batches, or build and
+    * persist [[knBigramModel]] themselves and compose the score
+    * manually to own the lifecycle. Output: (doc_id, n_pairs, n_seen,
+    * n_backoff, n_oov, logprob_avg); docs with fewer than 2 words
+    * carry no row. */
   /** The occurrence-level KN-scored pair stream shared by
     * [[knBigramScore]] and [[knMinKProb]] (one chain, two aggregations
     * — the qualityExpr no-drift stance): every adjacent pair of every
@@ -437,10 +441,12 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
     * document carry no trigram and are not scored (kept crisp rather
     * than mixing orders per position). Scale: the trigram and
     * (w2,w3)-level tables join on their gram keys (shuffle under
-    * AQE); λ2/P1 are vocab-sized broadcasts; the lookup arms
-    * re-derive the reference-sized model plan rather than pinning
-    * blocks (the [[knBigramScore]] trade — persist the model frame
-    * when scoring many corpora against one reference). Output:
+    * AQE); λ2/P1 are vocab-sized broadcasts; the reference-bounded
+    * model frame is persisted inside the operator (five lookup arms)
+    * and stays cached in the session after the action — the
+    * [[knBigramScore]] cache contract: long-lived sessions release it
+    * with `spark.catalog.clearCache()` or compose [[knTrigramModel]]
+    * + scoring manually to own the lifecycle. Output:
     * (doc_id, n_grams, n_seen, n_backoff, n_oov, logprob_avg); docs
     * under 3 words carry no row. */
   def knTrigramScore(reference: DataFrame, corpus: DataFrame,
