@@ -359,7 +359,19 @@ private[operators] trait AnnOps { self: Pipeline.type =>
     val q = queries.select(col(idCol).as("q_id"), col(termCol).as("term"),
       col(weightCol).cast(DoubleType).as("qw"))
     val joined = c.join(broadcast(q), Seq("term"))
-    (if (excludeSelf) joined.filter(col("doc_id") =!= col("q_id"))
+    // excludeSelf spelled NULL-TOLERANTLY (r20): under Filter
+    // semantics coalesce(a =!= b, false) keeps exactly the rows
+    // doc_id =!= q_id kept (null compares drop either way), but the
+    // null-intolerant spelling made InferFiltersFromConstraints push
+    // an isnotnull(doc_id) down the POSTING arm's scan — which made
+    // the bm25Postings tf subtree under sparseTopK differ from the df
+    // arm's copy (df must count null-id docs, so it cannot take the
+    // same filter), defeating the exchange/stage reuse that
+    // de-duplicates the tokenize+explode+agg. With the inference
+    // blocked the two arms are canonically identical and AQE reuses
+    // the tf shuffle stage (see plans/r20/p82_*_after).
+    (if (excludeSelf)
+       joined.filter(coalesce(col("doc_id") =!= col("q_id"), lit(false)))
      else joined)
       .groupBy(col("q_id"), col("doc_id"))
       .agg(graft.QueryDef.dsum(col("w") * col("qw")).as("score"))

@@ -1691,11 +1691,20 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     // expensive plan in its whole operator (the cosine self-join in
     // p66, the banded-LSH verify in p118/p02). One explode of a
     // two-struct array emits the same rows from a single pass.
+    // persisted PRE-PARTITIONED on dst (r20): every round's first join
+    // probes edges by dst, and a cache with no layout re-shuffled the
+    // full edge table once per round — the only edge-SCALE exchange in
+    // the loop (the label tables are node-scale, and the neighbor-min
+    // agg exchange carries only the map-side partial minima). One
+    // repartition at build time removes it from every round: N rounds
+    // keyed the same way share one exchange (guide §2.4), which at
+    // 100 TB is one edge shuffle per CC call instead of one per round.
     val edges = pairsDf.select(a.as("src"), b.as("dst"))
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // round 1 FUSED into initialization (r19): the one shuffle that
     // used to build the distinct node set (labels = self) now also
@@ -1720,6 +1729,13 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     // round 1's propagation, so the same effective plain-round warmup
     // precedes the first shortcut join
     val ShortcutFromRound = 2
+    // NOT delta-frontier (r20 measurement): joining edges against only
+    // the CHANGED label rows per round (exact by monotonicity) was
+    // measured WORSE at sf0.1 — p66's CC 2.2 → 3.2 s min-of-3 in the
+    // same window: each round's fixed cost here is plan/stage
+    // overhead, and the frontier arm adds plan nodes to every round.
+    // Revisit only with a cluster-scale profile showing late-round
+    // edge-join shuffle as the bottleneck.
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("lbl").as("nl")),
@@ -1744,6 +1760,8 @@ private[operators] trait DedupOps { self: Pipeline.type =>
       changed = next.filter(col("lbl") < col("old")).count()
       labels = next.select(col("node"), col("lbl"))
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter changed=$changed")
     }
     // the final labels are localCheckpoint'ed (materialized), so the
     // edge cache is no longer referenced — release it here rather than

@@ -332,9 +332,17 @@ private[operators] trait WordModelOps { self: Pipeline.type =>
       .filter(col("__p").isNotNull)
       .select(col("doc_id"), round(log(col("__p")), 9).as("__lp"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // both window expressions share ONE (partition, order) spec — the
+    // per-partition count takes the ordered spec with an explicit
+    // unbounded frame (same value) so Spark plans a single Window
+    // operator instead of two stacked ones (r20; the unordered count
+    // spec forced a second operator and a second buffer pass)
+    val wOrd = w.orderBy(col("__lp").asc)
     val ranked = lp
-      .withColumn("__r", row_number().over(w.orderBy(col("__lp").asc)))
-      .withColumn("__ns", count(lit(1)).over(w))
+      .withColumn("__r", row_number().over(wOrd))
+      .withColumn("__ns", count(lit(1)).over(wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .withColumn("__m", greatest(lit(1L),
         ceil(lit(kPct) * col("__ns").cast(DoubleType)).cast(LongType)))
     ranked
