@@ -1221,9 +1221,15 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     */
   def ngramJaccardPairs(corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5, groupCols: Seq[String] = Nil,
-      dfCap: Int = NgramDfCap): DataFrame = {
+      dfCap: Int = NgramDfCap,
+      // broadcast advisory: fail fast when the df-capped dictionary
+      // exceeds ~4096·this many rows (see the guard below); the
+      // default sits where the forced broadcast nears its hard cap
+      dictMaxPerBucket: Int = 16384): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0,1], got $minJaccard")
+    require(dictMaxPerBucket >= 1,
+      s"dictMaxPerBucket must be >= 1, got $dictMaxPerBucket")
     val grp = groupCols.map(col)
     // per-doc DISTINCT n-gram rows, map-side (codegen'd kernel)
     val tri0 = corpus.select(col(idCol).as("doc_id") +: grp :+
@@ -1255,7 +1261,7 @@ private[operators] trait DedupOps { self: Pipeline.type =>
     // 16384 means the dictionary passed ~67M rows (× ~60 framed bytes
     // ≈ 4 GB — the loud side of safe). One integer compare per
     // dictionary row; fixture-scale dictionaries sit 4 orders below.
-    val DictMaxPerBucket = 16384
+    val DictMaxPerBucket = dictMaxPerBucket
     val rank = row_number().over(Window.partitionBy(col("__b"))
       .orderBy(groupCols.map(col) :+ col("tri"): _*))
     val dfTab = tri0.groupBy(grp :+ col("tri"): _*)

@@ -1686,6 +1686,34 @@ class TextApiSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the operator's internal persist
   }
 
+  test("ngramJaccardPairs: dictionary broadcast advisory fails fast and " +
+      "actionably (r20 guard); defaults never fire at sane scale") {
+    import spark.implicits._
+    // ~500 distinct trigrams across two docs: with the advisory forced
+    // to 1 row per hash bucket, at least one of the 4096 buckets holds
+    // >= 2 grams (P[all singleton] ~ e^-30 on a FIXED corpus — the
+    // hash is deterministic, so this either always fires or never
+    // does; it fires) and the guard must raise with the actionable
+    // message instead of proceeding to the forced broadcast
+    val txt1 = (1 to 260).map(i => ('a' + i % 26).toChar).mkString ++
+      (1 to 260).map(i => s"${i % 10}${(i * 7) % 10}").mkString
+    val txt2 = txt1.reverse
+    val big = Seq((1L, txt1), (2L, txt2)).toDF("post_key", "body")
+    val e = intercept[Exception] {
+      Pipeline.ngramJaccardPairs(big, "post_key", "body",
+        dictMaxPerBucket = 1).count()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("gram dictionary exceeds"),
+      s"expected the advisory message, got: ${rootMsg(e).take(400)}")
+    // and the same corpus passes untouched at the default advisory
+    assert(Pipeline.ngramJaccardPairs(big, "post_key", "body")
+      .count() >= 0)
+    spark.catalog.clearCache()
+  }
+
   test("simhashNeardupPairs: brute-force pairing recall on random corpora") {
     // the p26 oracle now mirrors the pigeonhole candidate generation
     // (cap semantics), so the RECALL proof — every hamming≤3 pair is
