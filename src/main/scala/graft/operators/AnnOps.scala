@@ -369,7 +369,8 @@ private[operators] trait AnnOps { self: Pipeline.type =>
     // same filter), defeating the exchange/stage reuse that
     // de-duplicates the tokenize+explode+agg. With the inference
     // blocked the two arms are canonically identical and AQE reuses
-    // the tf shuffle stage (see plans/r20/p82_*_after).
+    // the tf shuffle stage at runtime (static explain cannot show it;
+    // see plans/r20/p82_bm25_retrieval_final_executed.txt).
     (if (excludeSelf)
        joined.filter(coalesce(col("doc_id") =!= col("q_id"), lit(false)))
      else joined)
